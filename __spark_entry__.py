@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash). Every operator from SURVEY.md §2 (plus extensions) is exposed
+here; implementations live in ``flink_descriptive_stats_spark/``.
 """
 
 from __future__ import annotations
@@ -13,26 +13,47 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_descriptive_stats_spark import oracle
+from flink_descriptive_stats_spark.operators import profile as prof
+from flink_descriptive_stats_spark.sources.tables import load_table as _load
+
+
+# --------------------------------------------------------------------------
+# query implementations (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
+
+def _profile_table(table: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return prof.profile(_load(spark, sf_dir, table))
+    return q
+
+
+def _completeness_table(table: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return prof.complete_row_count(_load(spark, sf_dir, table))
+    return q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full single-pass profile of lineitem at sf0.001."""
+    return prof.profile(_load(spark, "/root/testdata/sf0.001", "lineitem"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for table in ("lineitem", "orders", "customer", "part", "events",
+                  "documents", "nation"):
+        q[f"profile_{table}"] = _profile_table(table)
+    for table in ("lineitem", "supplier"):
+        q[f"completeness_{table}"] = _completeness_table(table)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    for table in ("lineitem", "orders", "customer", "part", "events",
+                  "documents", "nation"):
+        o[f"profile_{table}"] = oracle.profile_table_sql(table)
+    for table in ("lineitem", "supplier"):
+        o[f"completeness_{table}"] = oracle.completeness_sql(table)
+    return o

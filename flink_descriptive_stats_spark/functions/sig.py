@@ -1,0 +1,75 @@
+"""Cross-engine-stable rendering of floating-point statistics.
+
+The driver's correctness gate hash-compares our Spark results with a DuckDB
+oracle. Aggregated doubles (means, variances, moments) legitimately differ
+between engines in the last few ULPs (different summation orders), so raw
+doubles would hash-mismatch. Every FP-derived statistic is therefore emitted
+as a 7-significant-digit string on BOTH sides; exact quantities (counts,
+min/max, which involve no FP arithmetic) stay raw.
+
+printf('%.6e') is NOT cross-engine-stable: Java String.format rounds ties
+half-up while C printf rounds half-even, and exact ties DO occur for rational
+statistics (e.g. var_pop of a uniform 1..N integer key = (N^2-1)/12 can end
+in ...25 exactly at the 7th digit). So we round explicitly to an integer
+mantissa + exponent using only operations that are bit-deterministic across
+engines:
+
+  e      = floor(log10(abs(x)))
+  m      = round(x / 10^(e-6))        # integer in [1e6, 1e7]
+  if |m| = 10^7: m /= 10, e += 1      # log10/round boundary normalization
+  out    = '<m>e<e-6>'                # e.g. 333333.25 -> '3333333e-1'
+
+Division by an exact power of ten (exact for |exponent| <= 22, which covers
+every statistic we emit) is correctly rounded IEEE in both engines, and both
+Spark's round() (BigDecimal HALF_UP on the exact decimal expansion) and
+DuckDB's round() (std::round) round ties away from zero, so the mantissa is
+identical bit-for-bit. NULL/NaN -> NULL; +-0 -> '0e0'; +-Inf -> 'inf'/'-inf'
+(NaN/Inf sentinel policy: SURVEY.md §2.6 items 4-5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def sig6(c: Column) -> Column:
+    """Render a double Column as a cross-engine-stable 7-sig-digit string."""
+    e = F.floor(F.log10(F.abs(c))).cast("bigint")
+    scaled = c / F.pow(F.lit(10.0), (e - 6).cast("double"))
+    m = F.round(scaled, 0).cast("bigint")
+    overflow = F.abs(m) >= 10000000
+    m2 = F.when(overflow, (m / 10).cast("bigint")).otherwise(m)
+    e2 = F.when(overflow, e + 1).otherwise(e)
+    return (
+        F.when(c.isNull() | F.isnan(c), F.lit(None).cast("string"))
+        .when(c == 0, F.lit("0e0"))
+        .when(c == float("inf"), F.lit("inf"))
+        .when(c == float("-inf"), F.lit("-inf"))
+        .otherwise(F.concat(m2.cast("string"), F.lit("e"),
+                            (e2 - 6).cast("string")))
+    )
+
+
+def duck_sig6(expr: str) -> str:
+    """DuckDB SQL fragment mirroring :func:`sig6` for scalar ``expr``.
+
+    DuckDB errors on log10(0) (it does not return -inf) and evaluates the
+    mantissa subquery eagerly, so the value fed to log10 is guarded to 1 for
+    the NULL/0/NaN/Inf branches (whose output the outer CASE overrides).
+    """
+    x = f"CAST(({expr}) AS DOUBLE)"
+    safe = (f"(CASE WHEN {x} IS NULL OR {x} = 0 OR isnan({x}) "
+            f"OR NOT isfinite({x}) THEN 1.0 ELSE {x} END)")
+    return (
+        f"CASE WHEN {x} IS NULL OR isnan({x}) THEN NULL "
+        f"WHEN {x} = 0 THEN '0e0' "
+        f"WHEN {x} = 'infinity'::DOUBLE THEN 'inf' "
+        f"WHEN {x} = '-infinity'::DOUBLE THEN '-inf' "
+        f"ELSE (SELECT CASE WHEN abs(m) >= 10000000 "
+        f"      THEN printf('%de%d', CAST(m / 10 AS BIGINT), e + 1 - 6) "
+        f"      ELSE printf('%de%d', m, e - 6) END "
+        f"      FROM (SELECT e, CAST(round({safe} / pow(10.0, CAST(e - 6 AS DOUBLE)), 0) AS BIGINT) AS m "
+        f"            FROM (SELECT CAST(floor(log10(abs({safe}))) AS BIGINT) AS e))) "
+        f"END"
+    )

@@ -1,0 +1,148 @@
+"""Per-column aggregate bundle (A1-A11) + derived statistics (D1-D10).
+
+The reference's ``StatsPojo`` is an algebraic (pairwise-mergeable) aggregation
+monoid — init StatsPojo.java:72-93, merge StatsPojo.java:101-155 using the
+Pébay / Chan-Golub-LeVeque central-moment update formulas. That is *exactly*
+Spark's partial+final HashAggregate model, and Spark's ``CentralMomentAgg``
+family (var_pop/var_samp/skewness/kurtosis) implements the same pairwise
+updates, so the whole per-column state machine collapses to built-in
+aggregate expressions inside one ``df.agg(...)`` — single pass over the data,
+no shuffle beyond the 1-row final merge, full whole-stage codegen.
+
+Mapping notes (verified numerically, see tests/test_moments.py):
+- Spark ``skewness`` == reference *population* skewness
+  (StatsPojo.java:214-219); sample variant is pop * n/(n-1)
+  (StatsPojo.java:226-231 — the McCrary-whitepaper convention, NOT the usual
+  b1 correction).
+- Spark ``kurtosis`` == population *excess* kurtosis, so reference population
+  kurtosis (StatsPojo.java:243-248) = kurtosis + 3; sample = pop * n/(n-1).
+- Zero guards replicate the reference: M2 == 0 -> skew/kurt = 0.0
+  (StatsPojo.java:215-217,244-246); n == 1 -> sample skew/kurt = 0.0
+  (StatsPojo.java:227-229,256-258).
+- Deviation (SURVEY.md §2.6 items 4-5): where the reference emits NaN/Inf
+  sentinels (n == 0 stats, n == 1 sample variance, n <= 2 standard errors) we
+  emit NULL.
+
+Derived statistics (closed-form over the aggregated row, StatsPojo.java:
+173-290 and ProfileJob.java:146-162):
+  D1 stddev pop/sample; D2 SE(mean) = s/sqrt(n); D3 SE(s^2) = s^2*sqrt(2/(n-1));
+  D4 SE(s) = s/sqrt(2(n-1)); D5 SES = sqrt(6n(n-1)/((n-2)(n+1)(n+3)));
+  D6 SEK = 2*SES*sqrt((n^2-1)/((n-3)(n+5)));
+  D7 JB = (n/6)*(sampleSkew^2 + sampleExcessKurt^2/4);
+  D10 Scott bin width = floor(3.49*stddev_pop*rowCount^(-1/3)) scaled by
+      0.4/0.6/0.7 when ceil(popSkew) == 1/2/3 (uses ROW count, not numeric
+      count — a reference quirk we replicate, ProfileJob.java:152-160).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Raw aggregate slots computed inside the single-pass agg for one numeric
+# (widened-to-double) expression x. Everything else is derived post-agg.
+RAW_NUMERIC_STATS = ("n", "min", "max", "mean", "var_pop", "var_samp",
+                     "skew_raw", "kurt_raw")
+
+
+def numeric_agg_exprs(x: Column, prefix: str) -> list[Column]:
+    """A3, A5-A9: the one-pass aggregate slots for a numeric column."""
+    return [
+        F.count(x).alias(f"{prefix}n"),
+        F.min(x).alias(f"{prefix}min"),
+        F.max(x).alias(f"{prefix}max"),
+        F.avg(x).alias(f"{prefix}mean"),
+        F.var_pop(x).alias(f"{prefix}var_pop"),
+        F.var_samp(x).alias(f"{prefix}var_samp"),
+        F.skewness(x).alias(f"{prefix}skew_raw"),
+        F.kurtosis(x).alias(f"{prefix}kurt_raw"),
+    ]
+
+
+def derived_stats(n: Column, row_count: Column, mean: Column,
+                  var_pop: Column, var_samp: Column,
+                  skew_raw: Column, kurt_raw: Column) -> dict[str, Column]:
+    """D1-D10 as Column expressions over the aggregated slots.
+
+    Returns every derived statistic as a raw double Column (callers render
+    with sig6 for oracle-stable output).
+    """
+    nd = n.cast("double")
+    none = F.lit(None).cast("double")
+
+    stddev_pop = F.sqrt(var_pop)
+    stddev_samp = F.sqrt(var_samp)
+
+    # |skew| below 1e-9 is summation noise from an exactly-symmetric sample
+    # (the two engines' different summation orders yield different tiny
+    # garbage); snap to the statistically-correct 0.0 on both sides.
+    skew_pop = (F.when(n == 0, none)
+                .when(var_pop == 0, F.lit(0.0))
+                .when(F.abs(skew_raw) < 1e-9, F.lit(0.0))
+                .otherwise(skew_raw))
+    kurt_pop = (F.when(n == 0, none)
+                .when(var_pop == 0, F.lit(0.0))
+                .otherwise(kurt_raw + F.lit(3.0)))
+    skew_samp = (F.when(n == 0, none)
+                 .when(n == 1, F.lit(0.0))
+                 .otherwise(skew_pop * nd / (nd - 1)))
+    kurt_samp = (F.when(n == 0, none)
+                 .when(n == 1, F.lit(0.0))
+                 .otherwise(kurt_pop * nd / (nd - 1)))
+    kurt_excess_pop = F.when(n == 0, none).otherwise(kurt_pop - 3.0)
+    kurt_excess_samp = F.when(n == 0, none).otherwise(kurt_samp - 3.0)
+
+    se_mean = F.when(n >= 2, stddev_samp / F.sqrt(nd)).otherwise(none)
+    se_var = F.when(n >= 2, var_samp * F.sqrt(F.lit(2.0) / (nd - 1))).otherwise(none)
+    se_stddev = F.when(n >= 2, stddev_samp / F.sqrt(2 * (nd - 1))).otherwise(none)
+    se_skew_core = F.sqrt((6 * nd * (nd - 1))
+                          / ((nd - 2) * (nd + 1) * (nd + 3)))
+    se_skew = F.when(n >= 3, se_skew_core).otherwise(none)
+    se_kurt = F.when(
+        n >= 4,
+        2 * se_skew_core * F.sqrt((nd * nd - 1) / ((nd - 3) * (nd + 5))),
+    ).otherwise(none)
+
+    jb = F.when(n == 0, none).otherwise(
+        (nd / 6.0) * (skew_samp * skew_samp
+                      + 0.25 * kurt_excess_samp * kurt_excess_samp))
+
+    # D10: Scott's-rule histogram bin width (ProfileJob.java:146-162); uses
+    # the full row count and population skewness ceiling as in the reference.
+    base_width = F.floor(
+        3.49 * stddev_pop * F.pow(row_count.cast("double"), F.lit(-1.0 / 3.0))
+    ).cast("double")
+    skew_ceil = F.ceil(skew_pop)
+    scott = (F.when(skew_ceil == 1, base_width * 0.4)
+             .when(skew_ceil == 2, base_width * 0.6)
+             .when(skew_ceil == 3, base_width * 0.7)
+             .otherwise(base_width))
+    scott = F.when(n == 0, none).otherwise(scott)
+
+    return {
+        "mean": F.when(n == 0, none).otherwise(mean),
+        "var_pop": F.when(n == 0, none).otherwise(var_pop),
+        "var_samp": F.when(n >= 2, var_samp).otherwise(none),
+        "stddev_pop": F.when(n == 0, none).otherwise(stddev_pop),
+        "stddev_samp": F.when(n >= 2, stddev_samp).otherwise(none),
+        "skew_pop": skew_pop,
+        "skew_samp": skew_samp,
+        "kurt_pop": kurt_pop,
+        "kurt_samp": kurt_samp,
+        "kurt_excess_pop": kurt_excess_pop,
+        "kurt_excess_samp": kurt_excess_samp,
+        "se_mean": se_mean,
+        "se_var": se_var,
+        "se_stddev": se_stddev,
+        "se_skew": se_skew,
+        "se_kurt": se_kurt,
+        "jb_score": jb,
+        "scott_bin_width": scott,
+    }
+
+
+DERIVED_STATS = ("mean", "var_pop", "var_samp", "stddev_pop", "stddev_samp",
+                 "skew_pop", "skew_samp", "kurt_pop", "kurt_samp",
+                 "kurt_excess_pop", "kurt_excess_samp", "se_mean", "se_var",
+                 "se_stddev", "se_skew", "se_kurt", "jb_score",
+                 "scott_bin_width")

@@ -1,0 +1,246 @@
+"""DuckDB oracle-SQL generators.
+
+The driver's correctness gate runs each ``queries()`` entry on Spark and the
+matching ``oracle_sql()`` string on DuckDB over the same parquet tables, then
+compares row-count + schema + order-insensitive value hash. The SQL emitted
+here mirrors the engine's semantics exactly:
+
+- moments via TWO-PASS centered sums (exact mean, then sum((x-mu)^k)) — a
+  numerically stronger computation than any single-pass stream, so oracle
+  agreement to 7 significant digits validates the Spark pairwise-merge path;
+- identical zero-guards / NULL policy as operators/moments.py;
+- identical regexes / pattern steps imported from functions/scalar.py, so the
+  two sides cannot drift;
+- all FP outputs rendered via the shared '%.6e' convention (functions/sig.py).
+
+The generators take the STATIC schema map below (verified against
+FIXTURES.md / the parquet files) because oracle_sql() must produce strings
+without a live SparkSession.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from flink_descriptive_stats_spark.functions import scalar
+from flink_descriptive_stats_spark.functions.sig import duck_sig6
+from flink_descriptive_stats_spark.operators import moments
+
+_TYPES = {
+    "int": T.IntegerType(), "bigint": T.LongType(), "double": T.DoubleType(),
+    "string": T.StringType(), "timestamp": T.TimestampType(),
+}
+
+# table -> [(column, spark simple type)] — mirrors /root/testdata parquet.
+TABLE_SCHEMAS: dict[str, list[tuple[str, str]]] = {
+    "lineitem": [
+        ("l_orderkey", "bigint"), ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"), ("l_linenumber", "int"),
+        ("l_quantity", "double"), ("l_extendedprice", "double"),
+        ("l_discount", "double"), ("l_tax", "double"),
+        ("l_returnflag", "string"), ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"), ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"), ("o_orderpriority", "string"),
+    ],
+    "customer": [
+        ("c_custkey", "bigint"), ("c_name", "string"),
+        ("c_nationkey", "int"), ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"), ("p_name", "string"), ("p_brand", "string"),
+        ("p_type", "string"), ("p_size", "int"), ("p_retailprice", "double"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"), ("s_name", "string"),
+        ("s_nationkey", "int"), ("s_acctbal", "double"),
+    ],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"),
+               ("n_regionkey", "int")],
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "events": [
+        ("event_id", "bigint"), ("ts", "timestamp"), ("user_id", "bigint"),
+        ("event_type", "string"), ("value", "double"), ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+        ("source", "string"), ("n_chars", "bigint"),
+    ],
+    "embeddings": [("vec_id", "bigint"), ("embedding", "array<float>"),
+                   ("label", "int")],
+}
+
+
+def spark_type(type_str: str) -> T.DataType:
+    return _TYPES[type_str]
+
+
+def _derived_sql() -> list[str]:
+    """sig6-rendered derived stats (names = moments.DERIVED_STATS), assuming
+    an enclosing relation with columns n, row_count, mean, mn, mx, m2, m3, m4
+    plus pre-derived var_pop_r, var_samp_r, sd_pop_r, sd_samp_r, skew_pop_r,
+    kurt_pop_r, skew_samp_r, kurt_samp_r (see _moment_core_sql)."""
+    nd = "CAST(n AS DOUBLE)"
+    exprs = {
+        "mean": "CASE WHEN n = 0 THEN NULL ELSE mean END",
+        "var_pop": "CASE WHEN n = 0 THEN NULL ELSE var_pop_r END",
+        "var_samp": "CASE WHEN n >= 2 THEN var_samp_r ELSE NULL END",
+        "stddev_pop": "CASE WHEN n = 0 THEN NULL ELSE sd_pop_r END",
+        "stddev_samp": "CASE WHEN n >= 2 THEN sd_samp_r ELSE NULL END",
+        "skew_pop": "skew_pop_r",
+        "skew_samp": "skew_samp_r",
+        "kurt_pop": "kurt_pop_r",
+        "kurt_samp": "kurt_samp_r",
+        "kurt_excess_pop": "CASE WHEN n = 0 THEN NULL ELSE kurt_pop_r - 3.0 END",
+        "kurt_excess_samp": "CASE WHEN n = 0 THEN NULL ELSE kurt_samp_r - 3.0 END",
+        "se_mean": f"CASE WHEN n >= 2 THEN sd_samp_r / sqrt({nd}) ELSE NULL END",
+        "se_var": f"CASE WHEN n >= 2 THEN var_samp_r * sqrt(2.0 / ({nd} - 1)) ELSE NULL END",
+        "se_stddev": f"CASE WHEN n >= 2 THEN sd_samp_r / sqrt(2 * ({nd} - 1)) ELSE NULL END",
+        "se_skew": (f"CASE WHEN n >= 3 THEN sqrt((6 * {nd} * ({nd} - 1)) / "
+                    f"(({nd} - 2) * ({nd} + 1) * ({nd} + 3))) ELSE NULL END"),
+        "se_kurt": (f"CASE WHEN n >= 4 THEN 2 * sqrt((6 * {nd} * ({nd} - 1)) / "
+                    f"(({nd} - 2) * ({nd} + 1) * ({nd} + 3))) * "
+                    f"sqrt(({nd} * {nd} - 1) / (({nd} - 3) * ({nd} + 5))) "
+                    f"ELSE NULL END"),
+        "jb_score": (f"CASE WHEN n = 0 THEN NULL ELSE ({nd} / 6.0) * "
+                     f"(skew_samp_r * skew_samp_r + 0.25 * "
+                     f"(kurt_samp_r - 3.0) * (kurt_samp_r - 3.0)) END"),
+        "scott_bin_width": (
+            "CASE WHEN n = 0 THEN NULL ELSE "
+            "(CASE ceil(skew_pop_r) WHEN 1 THEN 0.4 WHEN 2 THEN 0.6 "
+            "WHEN 3 THEN 0.7 ELSE 1.0 END) * "
+            "floor(3.49 * sd_pop_r * pow(CAST(row_count AS DOUBLE), -1.0/3.0)) END"),
+    }
+    assert set(exprs) == set(moments.DERIVED_STATS)
+    return [f"{duck_sig6(exprs[s])} AS {s}" for s in moments.DERIVED_STATS]
+
+
+def _moment_core_sql(table: str, x: str) -> str:
+    """Relation with two-pass moment slots + pre-derived stats for numeric
+    expression ``x`` over ``table`` (one output row)."""
+    return f"""
+      SELECT *,
+        CASE WHEN n > 0 THEN m2 / n END AS var_pop_r,
+        CASE WHEN n > 1 THEN m2 / (n - 1) END AS var_samp_r,
+        CASE WHEN n > 0 THEN sqrt(m2 / n) END AS sd_pop_r,
+        CASE WHEN n > 1 THEN sqrt(m2 / (n - 1)) END AS sd_samp_r,
+        CASE WHEN n = 0 THEN NULL WHEN m2 = 0 THEN 0.0
+             WHEN abs((m3 / n) / pow(m2 / n, 1.5)) < 1e-9 THEN 0.0
+             ELSE (m3 / n) / pow(m2 / n, 1.5) END AS skew_pop_r,
+        CASE WHEN n = 0 THEN NULL WHEN m2 = 0 THEN 0.0
+             ELSE (m4 / n) / pow(m2 / n, 2.0) END AS kurt_pop_r,
+        CASE WHEN n = 0 THEN NULL WHEN n = 1 THEN 0.0
+             ELSE skew_pop_r * n / (n - 1.0) END AS skew_samp_r,
+        CASE WHEN n = 0 THEN NULL WHEN n = 1 THEN 0.0
+             ELSE kurt_pop_r * n / (n - 1.0) END AS kurt_samp_r
+      FROM (
+        SELECT count(*) AS row_count, count(x) AS n,
+               count(*) - count(x) AS nulls,
+               min(x) AS mn, max(x) AS mx, avg(x) AS mean,
+               sum(pow(x - mu, 2)) AS m2, sum(pow(x - mu, 3)) AS m3,
+               sum(pow(x - mu, 4)) AS m4
+        FROM (SELECT {x} AS x FROM {table})
+        CROSS JOIN (SELECT avg({x}) AS mu FROM {table})
+      )
+    """
+
+
+def _null_derived() -> list[str]:
+    return [f"CAST(NULL AS VARCHAR) AS {s}" for s in moments.DERIVED_STATS]
+
+
+_COUNTERS = [("bool_count", scalar.duck_parses_bool),
+             ("int_count", scalar.duck_parses_int),
+             ("long_count", scalar.duck_parses_long),
+             ("float_count", scalar.duck_parses_float),
+             ("double_count", scalar.duck_parses_float),
+             ("date_count", scalar.duck_parses_date)]
+
+
+def profile_column_sql(table: str, col: str, type_str: str) -> str:
+    """One UNION ALL branch of the profile oracle: the full profile row for
+    one column, mirroring operators/profile.py output exactly."""
+    dt = spark_type(type_str)
+    x = scalar.duck_numeric_expr(col, dt)
+    ln = scalar.duck_length_expr(col, dt)
+    is_str = isinstance(dt, T.StringType)
+
+    sel = [f"'{col}' AS \"column\"", f"'{dt.simpleString()}' AS dtype",
+           "CAST(row_count AS BIGINT) AS row_count",
+           "CAST(nulls AS BIGINT) AS null_count"]
+    if x is not None:
+        sel += ["CAST(n AS BIGINT) AS numeric_count"]
+    else:
+        sel += ["CAST(0 AS BIGINT) AS numeric_count"]
+    if is_str:
+        sel += ["CAST(empty_c AS BIGINT) AS empty_count"]
+    else:
+        sel += ["CAST(NULL AS BIGINT) AS empty_count"]
+    if x is not None:
+        sel += ["mn AS min_val", "mx AS max_val"]
+        sel += _derived_sql()
+    else:
+        sel += ["CAST(NULL AS DOUBLE) AS min_val",
+                "CAST(NULL AS DOUBLE) AS max_val"]
+        sel += _null_derived()
+    if ln is not None:
+        sel += ["CAST(min_len_c AS BIGINT) AS min_len",
+                "CAST(max_len_c AS BIGINT) AS max_len",
+                duck_sig6("avg_len_c") + " AS avg_len"]
+    else:
+        sel += ["CAST(NULL AS BIGINT) AS min_len",
+                "CAST(NULL AS BIGINT) AS max_len",
+                "CAST(NULL AS VARCHAR) AS avg_len"]
+    for cname, _fn in _COUNTERS:
+        if is_str:
+            sel += [f"CAST({cname}_c AS BIGINT) AS {cname}"]
+        else:
+            sel += [f"CAST(NULL AS BIGINT) AS {cname}"]
+
+    # side slots computed directly over the table (lengths, string counters)
+    side = []
+    if ln is not None:
+        side += [f"min({ln}) AS min_len_c", f"max({ln}) AS max_len_c",
+                 f"avg({ln}) AS avg_len_c"]
+    if is_str:
+        side += [f"count(*) FILTER (WHERE {scalar.duck_is_blank(col)}) AS empty_c"]
+        for cname, fn in _COUNTERS:
+            side += [f"count(*) FILTER (WHERE {fn(col)}) AS {cname}_c"]
+
+    if x is not None:
+        core = _moment_core_sql(table, x)
+    else:
+        core = (f"SELECT count(*) AS row_count, "
+                f"count(*) FILTER (WHERE {col} IS NULL) AS nulls "
+                f"FROM {table}")
+
+    if side:
+        side_sql = f"SELECT {', '.join(side)} FROM {table}"
+        frm = f"({core}) CROSS JOIN ({side_sql})"
+    else:
+        frm = f"({core})"
+    return f"SELECT {', '.join(sel)} FROM {frm}"
+
+
+def profile_table_sql(table: str) -> str:
+    """Full profile oracle for ``table`` — one row per column."""
+    branches = [profile_column_sql(table, col, ts)
+                for col, ts in TABLE_SCHEMAS[table]]
+    return "\nUNION ALL\n".join(branches)
+
+
+def completeness_sql(table: str) -> str:
+    conds = []
+    for col, ts in TABLE_SCHEMAS[table]:
+        cond = f"{col} IS NOT NULL"
+        if ts == "string":
+            cond += f" AND trim({col}) <> ''"
+        conds.append(f"({cond})")
+    pred = " AND ".join(conds)
+    return (f"SELECT CAST(count(*) AS BIGINT) AS row_count, "
+            f"CAST(count(*) FILTER (WHERE {pred}) AS BIGINT) AS complete_count "
+            f"FROM {table}")

@@ -1,0 +1,37 @@
+"""Source layer: parquet table loading with schema normalization.
+
+The reference's only source is an in-memory synthetic collection
+(ProfileJob.java:86); our engine reads real columnar sources. One wrinkle the
+test tables exercise: parquet TIMESTAMP(NANOS) columns, which Spark has no
+native type for. We read them via ``spark.sql.legacy.parquet.nanosAsLong``
+and convert to TimestampType with *integer* division (nanos exceed double's
+53-bit mantissa, so FP division would corrupt timestamps) — truncation to
+micros matches DuckDB's ns->ms truncation for the epoch-millis stats space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    # Normalize known nanos-timestamp columns (read as long under the legacy
+    # conf) back to TimestampType.
+    from flink_descriptive_stats_spark.oracle import TABLE_SCHEMAS
+    expected = dict(TABLE_SCHEMAS.get(table, []))
+    cols = []
+    for f in df.schema.fields:
+        if expected.get(f.name) == "timestamp" and isinstance(f.dataType, T.LongType):
+            cols.append(F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+                        .alias(f.name))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            # Session TZ is pinned to UTC, so NTZ wall time == the UTC
+            # instant; normalizing to TimestampType keeps one code path.
+            cols.append(F.col(f.name).cast("timestamp").alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
