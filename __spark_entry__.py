@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_descriptive_stats_spark import oracle
 from flink_descriptive_stats_spark.operators import profile as prof
+from flink_descriptive_stats_spark.operators import topk
 from flink_descriptive_stats_spark.sources.tables import load_table as _load
 
 
@@ -39,21 +40,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return prof.profile(_load(spark, "/root/testdata/sf0.001", "lineitem"))
 
 
+def _topk_table(table: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return topk.topk_tokens(_load(spark, sf_dir, table))
+    return q
+
+
+_PROFILE_TABLES = ("lineitem", "orders", "customer", "part", "events",
+                   "documents", "nation")
+_TOPK_TABLES = ("lineitem", "customer", "part", "orders", "events", "nation")
+_COMPLETENESS_TABLES = ("lineitem", "supplier")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for table in ("lineitem", "orders", "customer", "part", "events",
-                  "documents", "nation"):
+    for table in _PROFILE_TABLES:
         q[f"profile_{table}"] = _profile_table(table)
-    for table in ("lineitem", "supplier"):
+    for table in _TOPK_TABLES:
+        q[f"topk_{table}"] = _topk_table(table)
+    for table in _COMPLETENESS_TABLES:
         q[f"completeness_{table}"] = _completeness_table(table)
     return q
 
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
-    for table in ("lineitem", "orders", "customer", "part", "events",
-                  "documents", "nation"):
+    for table in _PROFILE_TABLES:
         o[f"profile_{table}"] = oracle.profile_table_sql(table)
-    for table in ("lineitem", "supplier"):
+    for table in _TOPK_TABLES:
+        o[f"topk_{table}"] = oracle.topk_sql(table)
+    for table in _COMPLETENESS_TABLES:
         o[f"completeness_{table}"] = oracle.completeness_sql(table)
     return o

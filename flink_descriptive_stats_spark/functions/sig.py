@@ -51,6 +51,32 @@ def sig6(c: Column) -> Column:
     )
 
 
+def sig6_py(x: float | None) -> str | None:
+    """Pure-Python mirror of :func:`sig6` (IEEE doubles == Python floats).
+
+    Used by the batch profile, which computes derived stats driver-side over
+    the collected 1-row aggregate. Decimal ROUND_HALF_UP on the exact binary
+    expansion reproduces both Spark's BigDecimal HALF_UP and C round()'s
+    ties-away-from-zero behavior.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if x is None or math.isnan(x):
+        return None
+    if x == 0:
+        return "0e0"
+    if math.isinf(x):
+        return "inf" if x > 0 else "-inf"
+    e = math.floor(math.log10(abs(x)))
+    scaled = x / (10.0 ** (e - 6))
+    m = int(Decimal(scaled).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+    if abs(m) >= 10_000_000:
+        m = int(m / 10)
+        e += 1
+    return f"{m}e{e - 6}"
+
+
 def duck_sig6(expr: str) -> str:
     """DuckDB SQL fragment mirroring :func:`sig6` for scalar ``expr``.
 

@@ -146,3 +146,68 @@ DERIVED_STATS = ("mean", "var_pop", "var_samp", "stddev_pop", "stddev_samp",
                  "kurt_excess_pop", "kurt_excess_samp", "se_mean", "se_var",
                  "se_stddev", "se_skew", "se_kurt", "jb_score",
                  "scott_bin_width")
+
+
+def derived_stats_py(n: int, row_count: int, mean, var_pop, var_samp,
+                     skew_raw, kurt_raw) -> dict[str, float | None]:
+    """Pure-Python mirror of :func:`derived_stats` (same formulas, same
+    operation order — Python floats are IEEE doubles, so results match the
+    Column expressions bit-for-bit). Used by the batch profile driver-side;
+    the Column form drives the streaming/windowed path."""
+    import math
+
+    if n == 0:
+        return {s: None for s in DERIVED_STATS}
+    nd = float(n)
+
+    stddev_pop = math.sqrt(var_pop) if var_pop is not None else None
+    if var_pop == 0:
+        skew_pop, kurt_pop = 0.0, 0.0
+    else:
+        skew_pop = 0.0 if abs(skew_raw) < 1e-9 else skew_raw
+        kurt_pop = kurt_raw + 3.0
+    skew_samp = 0.0 if n == 1 else skew_pop * nd / (nd - 1)
+    kurt_samp = 0.0 if n == 1 else kurt_pop * nd / (nd - 1)
+    kurt_excess_samp = kurt_samp - 3.0
+
+    out: dict[str, float | None] = {
+        "mean": mean, "var_pop": var_pop,
+        "var_samp": var_samp if n >= 2 else None,
+        "stddev_pop": stddev_pop,
+        "stddev_samp": math.sqrt(var_samp) if n >= 2 else None,
+        "skew_pop": skew_pop, "skew_samp": skew_samp,
+        "kurt_pop": kurt_pop, "kurt_samp": kurt_samp,
+        "kurt_excess_pop": kurt_pop - 3.0,
+        "kurt_excess_samp": kurt_excess_samp,
+        "se_mean": None, "se_var": None, "se_stddev": None,
+        "se_skew": None, "se_kurt": None,
+        "jb_score": (nd / 6.0) * (skew_samp * skew_samp
+                                  + 0.25 * kurt_excess_samp * kurt_excess_samp),
+    }
+    if n >= 2:
+        s = math.sqrt(var_samp)
+        out["se_mean"] = s / math.sqrt(nd)
+        out["se_var"] = var_samp * math.sqrt(2.0 / (nd - 1))
+        out["se_stddev"] = s / math.sqrt(2 * (nd - 1))
+    if n >= 3:
+        se_skew_core = math.sqrt((6 * nd * (nd - 1))
+                                 / ((nd - 2) * (nd + 1) * (nd + 3)))
+        out["se_skew"] = se_skew_core
+        if n >= 4:
+            out["se_kurt"] = (2 * se_skew_core
+                              * math.sqrt((nd * nd - 1)
+                                          / ((nd - 3) * (nd + 5))))
+
+    base_width = float(math.floor(3.49 * stddev_pop
+                                  * float(row_count) ** (-1.0 / 3.0)))
+    skew_ceil = math.ceil(skew_pop)
+    if skew_ceil == 1:
+        scott = base_width * 0.4
+    elif skew_ceil == 2:
+        scott = base_width * 0.6
+    elif skew_ceil == 3:
+        scott = base_width * 0.7
+    else:
+        scott = base_width
+    out["scott_bin_width"] = scott
+    return out

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flink_descriptive_stats_spark.functions import scalar
-from flink_descriptive_stats_spark.functions.sig import sig6
+from flink_descriptive_stats_spark.functions.sig import sig6_py
 from flink_descriptive_stats_spark.operators import moments
 
 # Long-format output schema (name, type) — fixed order, every profile row.
@@ -96,12 +96,28 @@ def _agg_exprs_for_column(i: int, name: str, dt: T.DataType) -> list[Column]:
     return exprs
 
 
+def profile_schema() -> T.StructType:
+    type_map = {"string": T.StringType(), "bigint": T.LongType(),
+                "double": T.DoubleType()}
+    return T.StructType([T.StructField(name, type_map[ts], True)
+                         for name, ts in PROFILE_FIELDS])
+
+
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Profile every (selected) column of ``df`` in one aggregation pass.
 
+    Execution shape: ONE Spark job — scan -> partial HashAggregate ->
+    single-row exchange -> final HashAggregate -> collect of one wide row.
+    The derived statistics (D1-D10) are closed-form scalar math over that
+    collected row (O(N_cols) floats), so they run driver-side via the
+    bit-exact Python mirrors in moments/sig — putting them in the plan as
+    per-column Column trees costs seconds of janino compilation (and blows
+    the 64KB codegen limit) to compute a dozen scalars "distributed". The
+    expression forms still exist (moments.derived_stats) and drive the
+    streaming/windowed variant, where there IS one result row per window.
+
     Returns a long-format DataFrame, one row per column, schema
-    ``PROFILE_FIELDS`` — deterministic row order by column position is NOT
-    guaranteed by Spark, so downstream sorts by ``column`` where needed.
+    ``PROFILE_FIELDS``.
     """
     fields = [f for f in df.schema.fields
               if columns is None or f.name in columns]
@@ -110,53 +126,43 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     for i, f in enumerate(fields):
         agg_exprs += _agg_exprs_for_column(i, f.name, f.dataType)
 
-    wide = df.agg(*agg_exprs)
+    row = df.agg(*agg_exprs).collect()[0]
 
-    none_d = F.lit(None).cast("double")
-    none_l = F.lit(None).cast("bigint")
-    none_s = F.lit(None).cast("string")
-
-    structs = []
+    out_rows = []
     for i, f in enumerate(fields):
         p = f"c{i}__"
         has_numeric = scalar.numeric_expr(f.name, f.dataType) is not None
         has_len = scalar.length_expr(f.name, f.dataType) is not None
         is_str = isinstance(f.dataType, T.StringType)
 
+        n = row[f"{p}n"] if has_numeric else 0
         if has_numeric:
-            n = F.col(f"{p}n")
-            d = moments.derived_stats(
-                n, F.col("row_count"), F.col(f"{p}mean"),
-                F.col(f"{p}var_pop"), F.col(f"{p}var_samp"),
-                F.col(f"{p}skew_raw"), F.col(f"{p}kurt_raw"))
-            derived = [sig6(d[s]).alias(s) for s in moments.DERIVED_STATS]
-            min_v, max_v = F.col(f"{p}min"), F.col(f"{p}max")
+            d = moments.derived_stats_py(
+                n, row["row_count"], row[f"{p}mean"], row[f"{p}var_pop"],
+                row[f"{p}var_samp"], row[f"{p}skew_raw"], row[f"{p}kurt_raw"])
         else:
-            n = F.lit(0).cast("bigint")
-            derived = [none_s.alias(s) for s in moments.DERIVED_STATS]
-            min_v, max_v = none_d, none_d
+            d = {s: None for s in moments.DERIVED_STATS}
 
-        struct_fields = [
-            F.lit(f.name).alias("column"),
-            F.lit(f.dataType.simpleString()).alias("dtype"),
-            F.col("row_count").alias("row_count"),
-            F.col(f"{p}nulls").alias("null_count"),
-            n.alias("numeric_count"),
-            (F.col(f"{p}empty") if is_str else none_l).alias("empty_count"),
-            min_v.alias("min_val"), max_v.alias("max_val"),
-            *derived,
-            (F.col(f"{p}min_len") if has_len else none_l).alias("min_len"),
-            (F.col(f"{p}max_len") if has_len else none_l).alias("max_len"),
-            (sig6(F.col(f"{p}avg_len")) if has_len else none_s).alias("avg_len"),
-        ]
+        rec = {
+            "column": f.name,
+            "dtype": f.dataType.simpleString(),
+            "row_count": row["row_count"],
+            "null_count": row[f"{p}nulls"],
+            "numeric_count": n,
+            "empty_count": row[f"{p}empty"] if is_str else None,
+            "min_val": row[f"{p}min"] if has_numeric else None,
+            "max_val": row[f"{p}max"] if has_numeric else None,
+            **{s: sig6_py(d[s]) for s in moments.DERIVED_STATS},
+            "min_len": row[f"{p}min_len"] if has_len else None,
+            "max_len": row[f"{p}max_len"] if has_len else None,
+            "avg_len": sig6_py(row[f"{p}avg_len"]) if has_len else None,
+        }
         for cnt in ("bool_count", "int_count", "long_count",
                     "float_count", "double_count", "date_count"):
-            struct_fields.append(
-                (F.col(f"{p}{cnt}") if is_str else none_l).alias(cnt))
-        structs.append(F.struct(*struct_fields))
+            rec[cnt] = row[f"{p}{cnt}"] if is_str else None
+        out_rows.append(tuple(rec[name] for name, _ in PROFILE_FIELDS))
 
-    return (wide.select(F.explode(F.array(*structs)).alias("s"))
-            .select("s.*"))
+    return df.sparkSession.createDataFrame(out_rows, profile_schema())
 
 
 def complete_row_count(df: DataFrame) -> DataFrame:

@@ -1,0 +1,86 @@
+"""Top-K frequent values and character patterns (A12-A15 + F4).
+
+Reference shape: per string column, TWO serial sub-pipelines (word + pattern)
+each doing groupBy -> global sort at parallelism 1 -> first(20)
+(ProfileJob.java:183-216) — the declared bottleneck (BASELINE.md). Our shape
+is ONE multiplexed job for ALL string columns and BOTH token kinds:
+
+  melt strings -> (column, token) rows
+  union value-kind + pattern-kind          (still one dataflow, no cache)
+  groupBy(kind, column, token).count()     <- the only full-data shuffle;
+                                              map-side partial agg absorbs
+                                              heavy hitters before shuffling
+  salted partial top-K   (window over (kind, column, salt))
+  final top-K            (window over (kind, column), <= K*salt_buckets rows)
+
+Scale reasoning (100 TB): the grouped-count shuffle is unavoidable and keyed
+by (kind, column, token) — high cardinality, no skew. The naive final window
+over (kind, column) would funnel ALL distinct tokens of a column through one
+task; salting first reduces that to K*salt_buckets rows per column, so the
+final window is O(KB) regardless of input size. Ties broken (count desc,
+token asc) for determinism — the reference's tie order is nondeterministic
+(SURVEY.md §2.6 item 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_descriptive_stats_spark.functions import scalar
+
+
+def string_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields
+            if isinstance(f.dataType, T.StringType)]
+
+
+def topk_tokens(df: DataFrame, columns: list[str] | None = None,
+                k: int = 20, include_patterns: bool = True,
+                salt_buckets: int = 64) -> DataFrame:
+    """Top-K frequent values (kind='value') and character patterns
+    (kind='pattern') per string column. Output: (kind, column, token, cnt,
+    rank), rank 1-based by (cnt desc, token asc)."""
+    cols = columns or string_columns(df)
+    if not cols:
+        raise ValueError("no string columns to profile")
+
+    structs = [F.struct(F.lit(c).alias("column"),
+                        F.col(c).alias("token")) for c in cols]
+    stacked = (df.select(F.explode(F.array(*structs)).alias("s"))
+               .select("s.*")
+               .where(F.col("token").isNotNull()))  # P3: null filter
+
+    melted = stacked.select(F.lit("value").alias("kind"), "column", "token")
+    if include_patterns:
+        melted = melted.unionAll(
+            stacked.select(F.lit("pattern").alias("kind"), "column",
+                           scalar.pattern_expr(F.col("token")).alias("token")))
+
+    counts = melted.groupBy("kind", "column", "token").agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+    order = [F.col("cnt").desc(), F.col("token").asc()]
+    w_partial = Window.partitionBy(
+        "kind", "column",
+        F.pmod(F.hash("token"), F.lit(salt_buckets))).orderBy(*order)
+    w_final = Window.partitionBy("kind", "column").orderBy(*order)
+
+    return (counts
+            .withColumn("rn", F.row_number().over(w_partial))
+            .where(F.col("rn") <= k).drop("rn")
+            .withColumn("rank", F.row_number().over(w_final))
+            .where(F.col("rank") <= k))
+
+
+def topk_as_maps(df: DataFrame, columns: list[str] | None = None,
+                 k: int = 20) -> DataFrame:
+    """A15: fold each column's top-K into a single map row —
+    (kind, column, top: map<token, cnt>). The fold runs over <= K rows per
+    group, mirroring the reference's ReduceTopStrings/ReduceTopPatterns
+    (ProfileJob.java:218-248) without its fake global group."""
+    top = topk_tokens(df, columns, k)
+    return (top.groupBy("kind", "column")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("token", "cnt"))).alias("top")))

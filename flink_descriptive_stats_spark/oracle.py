@@ -233,6 +233,33 @@ def profile_table_sql(table: str) -> str:
     return "\nUNION ALL\n".join(branches)
 
 
+def topk_sql(table: str, k: int = 20) -> str:
+    """Oracle for operators/topk.py: top-K values + patterns per string
+    column, deterministic tie-break (cnt desc, token asc)."""
+    cols = [c for c, ts in TABLE_SCHEMAS[table] if ts == "string"]
+    stacked = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col, {c} AS token FROM {table} "
+        f"WHERE {c} IS NOT NULL" for c in cols)
+    pattern = scalar.duck_pattern_expr("token")
+    return f"""
+WITH stacked AS ({stacked}),
+melted AS (
+  SELECT 'value' AS kind, col, token FROM stacked
+  UNION ALL
+  SELECT 'pattern' AS kind, col, {pattern} AS token FROM stacked
+),
+counts AS (
+  SELECT kind, col, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM melted GROUP BY kind, col, token
+)
+SELECT kind, col AS "column", token, cnt,
+       CAST(row_number() OVER (PARTITION BY kind, col
+            ORDER BY cnt DESC, token ASC) AS INTEGER) AS rank
+FROM counts
+QUALIFY rank <= {k}
+"""
+
+
 def completeness_sql(table: str) -> str:
     conds = []
     for col, ts in TABLE_SCHEMAS[table]:

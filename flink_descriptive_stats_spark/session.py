@@ -28,6 +28,10 @@ def get_spark(app_name: str = "flink_descriptive_stats_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the single-pass profile agg carries ~10 aggregate buffers per
+        # column; the default maxFields=100 silently disables whole-stage
+        # codegen for it (2.5x slower) — raise it
+        .config("spark.sql.codegen.maxFields", "500")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

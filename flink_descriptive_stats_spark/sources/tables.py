@@ -18,6 +18,9 @@ from pyspark.sql import types as T
 
 def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # defensive: driver-owned sessions don't come through get_spark(); keep
+    # wide aggs inside whole-stage codegen (see session.py)
+    spark.conf.set("spark.sql.codegen.maxFields", "500")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # Normalize known nanos-timestamp columns (read as long under the legacy
     # conf) back to TimestampType.

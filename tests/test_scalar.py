@@ -1,0 +1,127 @@
+"""Scalar semantics (F2-F7): pattern generation, blank test, and the
+Java-parse-semantics latent-type checks with their reference quirks."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_descriptive_stats_spark.functions import scalar
+
+
+def _eval(spark, col_expr, values):
+    df = spark.createDataFrame([Row(s=v) for v in values])
+    return [r[0] for r in df.select(col_expr).collect()]
+
+
+def test_pattern_generation(spark):
+    cases = {
+        "ABCDEF00X30A333Y": "AAAAAA##A##A###A",
+        "hello": "aaaaa",
+        "Hello World3": "AaaaabAaaaa#",
+        "a-b/c:d.e'f#g": "a-a/a:a.a'a#a",
+        "Café": "Aaaa",          # accent fold
+        "naïve": "aaaaa",        # ï folds to i
+        "x\ty": "aba",           # tab -> b
+        "€12": "?##",            # unknown char -> ?
+    }
+    got = _eval(spark, scalar.pattern_expr(F.col("s")), list(cases))
+    assert got == list(cases.values())
+
+
+def test_pattern_matches_duckdb(spark):
+    import duckdb
+    values = ["ABCDEF00X30A333Y", "Hello World3", "a-b/c:d.e'f#g", "Café",
+              "x\ty", "€12", "Customer#000000042", ""]
+    got_spark = _eval(spark, scalar.pattern_expr(F.col("s")), values)
+    con = duckdb.connect()
+    expr = scalar.duck_pattern_expr("s")
+    got_duck = [
+        con.execute(f"SELECT {expr} FROM (SELECT ? AS s)", [v]).fetchone()[0]
+        for v in values
+    ]
+    assert got_spark == got_duck
+
+
+def test_bool_parse_quirk(spark):
+    # Boolean.parseBoolean: only "true" (any case) counts; "false" does NOT.
+    vals = ["true", "TRUE", "True", "false", "FALSE", "yes", "1", ""]
+    got = _eval(spark, scalar.parses_bool_expr(F.col("s")), vals)
+    assert got == [True, True, True, False, False, False, False, False]
+
+
+def test_int_long_parse(spark):
+    vals = ["3", "+5", "-7", "03", "3.5", "3e2", " 3", "", "abc",
+            "2147483647", "2147483648", "9999999999", "99999999999999999999"]
+    got_int = _eval(spark, scalar.parses_int_expr(F.col("s")), vals)
+    got_long = _eval(spark, scalar.parses_long_expr(F.col("s")), vals)
+    #                 3     +5    -7    03    3.5    3e2    " 3"   ""
+    assert got_int == [True, True, True, True, False, False, False, False,
+                       False, True, False, False, False]
+    assert got_long == [True, True, True, True, False, False, False, False,
+                        False, True, True, True, False]
+
+
+def test_float_parse(spark):
+    vals = ["3", "3.5", ".5", "3.", "3e2", "1E-5", "3.5f", "2d", "NaN",
+            "Infinity", "-Infinity", " 3.5 ", "abc", "", "3,5", "0x1.8p1"]
+    got = _eval(spark, scalar.parses_float_expr(F.col("s")), vals)
+    want = [True, True, True, True, True, True, True, True, True,
+            True, True, True, False, False, False, False]
+    assert got == want
+
+
+def test_date_parse(spark):
+    vals = ["2020-01-01", "20200101", "2020/01/01", "01/02/2020",
+            "01-02-2020", "12/31/2020", "31/12/2020", "2020-02-30",
+            "2020-13-01", "2020-1-1", "not a date", "99999999"]
+    got = _eval(spark, scalar.parses_date_expr(F.col("s")), vals)
+    want = [True, True, True, True,
+            True,
+            True,   # MM/dd/yyyy
+            True,   # dd/MM/yyyy
+            False,  # invalid calendar date
+            False,  # month 13 fails all patterns
+            False,  # shape requires 2-digit fields
+            False, False]
+    assert got == want
+
+
+def test_date_parse_matches_duckdb(spark):
+    import duckdb
+    vals = ["2020-01-01", "20200101", "2020/01/01", "01/02/2020",
+            "01-02-2020", "12/31/2020", "31/12/2020", "2020-02-30",
+            "2020-13-01", "2020-1-1", "not a date", "99999999", "00010101"]
+    got_spark = _eval(spark, scalar.parses_date_expr(F.col("s")), vals)
+    con = duckdb.connect()
+    expr = scalar.duck_parses_date("s")
+    got_duck = [
+        bool(con.execute(f"SELECT {expr} FROM (SELECT ? AS s)", [v]).fetchone()[0])
+        for v in vals
+    ]
+    assert got_spark == got_duck
+
+
+def test_blank(spark):
+    vals = ["", "  ", " x ", "x", None]
+    got = _eval(spark, scalar.is_blank_expr(F.col("s")), vals)
+    assert got == [True, True, False, False, False]
+
+
+def test_sig6_cross_engine_ties(spark):
+    """The motivating case: 333333.25 ties at the 7th significant digit."""
+    import duckdb
+    from flink_descriptive_stats_spark.functions.sig import duck_sig6, sig6
+    vals = [333333.25, 0.0, -0.0, 1.0, -1.5, 1e-7, 123456789.0,
+            2.5000005e-3, 9999999.5, -9999999.5, 1e21, 4.0 / 3.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [r[0] for r in df.select(sig6(F.col("x"))).collect()]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT {duck_sig6('x')} FROM (SELECT CAST(? AS DOUBLE) AS x)",
+            [v]).fetchone()[0]
+        for v in vals
+    ]
+    assert got_spark == got_duck
+    assert got_spark[0] == "3333333e-1"  # half-up/away, not banker's
+    assert got_spark[1] == "0e0" and got_spark[2] == "0e0"
