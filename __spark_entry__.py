@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_descriptive_stats_spark import oracle
+from flink_descriptive_stats_spark.operators import extras
 from flink_descriptive_stats_spark.operators import profile as prof
 from flink_descriptive_stats_spark.operators import topk
 from flink_descriptive_stats_spark.sources.tables import load_table as _load
@@ -46,10 +47,21 @@ def _topk_table(table: str):
     return q
 
 
+def _tq(fn, table, **kw):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_load(spark, sf_dir, table), **kw)
+    return q
+
+
 _PROFILE_TABLES = ("lineitem", "orders", "customer", "part", "events",
                    "documents", "nation")
 _TOPK_TABLES = ("lineitem", "customer", "part", "orders", "events", "nation")
 _COMPLETENESS_TABLES = ("lineitem", "supplier")
+_DISTINCT_TABLES = ("lineitem", "orders", "events")
+_QUANTILE_TABLES = ("lineitem", "customer", "events")
+_OUTLIER_TABLES = ("lineitem", "events")
+_CORR_TABLES = ("lineitem", "events")
+_HISTOGRAMS = (("lineitem", "l_extendedprice"), ("events", "value"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -60,6 +72,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[f"topk_{table}"] = _topk_table(table)
     for table in _COMPLETENESS_TABLES:
         q[f"completeness_{table}"] = _completeness_table(table)
+    for table in _DISTINCT_TABLES:
+        q[f"distinct_{table}"] = _tq(extras.distinct_counts, table)
+    for table in _QUANTILE_TABLES:
+        q[f"quartiles_{table}"] = _tq(extras.quantiles, table)
+    for table in _OUTLIER_TABLES:
+        q[f"outliers_{table}"] = _tq(extras.outlier_counts, table)
+    for table in _CORR_TABLES:
+        q[f"corr_{table}"] = _tq(extras.correlation_matrix, table)
+    for table, col in _HISTOGRAMS:
+        q[f"histogram_{table}_{col}"] = _tq(extras.histogram, table,
+                                            column=col)
+    # scale-path variants (sketch-based; no SQL oracle — rows-only check)
+    q["approx_distinct_lineitem"] = _tq(extras.approx_distinct_counts,
+                                        "lineitem")
+    q["quartiles_approx_lineitem"] = _tq(extras.quantiles, "lineitem",
+                                         exact=False)
     return q
 
 
@@ -71,4 +99,14 @@ def oracle_sql() -> dict[str, str]:
         o[f"topk_{table}"] = oracle.topk_sql(table)
     for table in _COMPLETENESS_TABLES:
         o[f"completeness_{table}"] = oracle.completeness_sql(table)
+    for table in _DISTINCT_TABLES:
+        o[f"distinct_{table}"] = oracle.distinct_sql(table)
+    for table in _QUANTILE_TABLES:
+        o[f"quartiles_{table}"] = oracle.quantiles_sql(table)
+    for table in _OUTLIER_TABLES:
+        o[f"outliers_{table}"] = oracle.outliers_sql(table)
+    for table in _CORR_TABLES:
+        o[f"corr_{table}"] = oracle.correlation_sql(table)
+    for table, col in _HISTOGRAMS:
+        o[f"histogram_{table}_{col}"] = oracle.histogram_sql(table, col)
     return o

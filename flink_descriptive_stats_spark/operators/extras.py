@@ -1,0 +1,169 @@
+"""The reference's declared-but-unimplemented roadmap (SURVEY.md §2.7).
+
+ProfileJob.java:67-71 lists: distinct rows, quartiles, histograms, outlier
+counts, correlation; StatsPojo.java:50-53 adds distinct values and median.
+Each is implemented Spark-first:
+
+- distinct counts: exact (count_distinct) for the oracle gate plus
+  approx_count_distinct (HLL++) as the 100 TB path (a single pass, mergeable
+  sketch state — at scale the exact variant is the one you stop running).
+- quantiles: exact percentile() for the oracle gate plus approx_percentile
+  (Greenwald-Khanna sketch) as the scale path.
+- histogram: equal-width bins over [min, max] — two-phase: a 1-row min/max
+  agg broadcast-joined back, then one grouped count keyed by bucket index
+  (bounded cardinality = bins, no skew).
+- outliers: IQR (1.5x) and 3-sigma fence counts, one pass each after the
+  1-row stats subquery.
+- correlation: all-pairs Pearson corr in ONE aggregation pass (k*(k-1)/2
+  corr buffers), not a job per pair.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_descriptive_stats_spark.functions import scalar
+from flink_descriptive_stats_spark.functions.sig import sig6_py
+
+QUARTILES = (0.25, 0.5, 0.75)
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields
+            if scalar.is_numeric_type(f.dataType)]
+
+
+def distinct_counts(df: DataFrame,
+                    columns: list[str] | None = None) -> DataFrame:
+    """Exact distinct per column — one row per column (long format).
+
+    Multiple count_distinct aggs in one agg() make Spark expand to N
+    shuffles; per-column 2-level agg is the same cost here, so keep the
+    single agg with all count_distinct expressions (Catalyst plans one
+    Expand + one aggregation pass)."""
+    cols = columns or [f.name for f in df.schema.fields]
+    agg = df.agg(*[F.count_distinct(F.col(c)).alias(c) for c in cols])
+    row = agg.collect()[0]
+    out = [(c, row[c]) for c in cols]
+    return df.sparkSession.createDataFrame(out, "column string, distinct_count bigint")
+
+
+def approx_distinct_counts(df: DataFrame, rsd: float = 0.05,
+                           columns: list[str] | None = None) -> DataFrame:
+    """HLL++ approximate distinct — the scale path (single pass, all columns
+    at once, mergeable sketches; no Expand explosion)."""
+    cols = columns or [f.name for f in df.schema.fields]
+    agg = df.agg(*[F.approx_count_distinct(F.col(c), rsd).alias(c)
+                   for c in cols])
+    row = agg.collect()[0]
+    out = [(c, row[c]) for c in cols]
+    return df.sparkSession.createDataFrame(
+        out, "column string, approx_distinct_count bigint")
+
+
+def quantiles(df: DataFrame, columns: list[str] | None = None,
+              probs: tuple[float, ...] = QUARTILES,
+              exact: bool = True) -> DataFrame:
+    """Quartiles/median per numeric column (long format: column, q_25, ...).
+
+    exact=True uses percentile() (oracle-comparable); exact=False uses
+    approx_percentile (GK sketch) — at 100 TB the exact variant implies a
+    full sort buffer per column, the approximate one is a bounded-memory
+    single pass."""
+    cols = columns or numeric_columns(df)
+    fn = F.percentile if exact else F.percentile_approx
+    arr = F.array(*[F.lit(p) for p in probs])
+    agg = df.agg(*[fn(F.col(c), arr).alias(c) for c in cols])
+    row = agg.collect()[0]
+    out = [tuple([c] + [sig6_py(v) for v in row[c]]) for c in cols]
+    names = ", ".join(f"q_{int(p * 100)} string" for p in probs)
+    return df.sparkSession.createDataFrame(out, f"column string, {names}")
+
+
+def histogram(df: DataFrame, column: str, bins: int = 20) -> DataFrame:
+    """Equal-width histogram: (bucket, lo, hi, cnt), bucket in [0, bins).
+
+    Values at max land in the last bucket. The min/max subquery is a 1-row
+    broadcast; the grouped count has at most ``bins`` keys."""
+    c = F.col(column)
+    mm = df.agg(F.min(c).alias("mn"), F.max(c).alias("mx"))
+    joined = df.select(c.alias("x")).crossJoin(F.broadcast(mm))
+    w = (F.col("mx") - F.col("mn")) / F.lit(float(bins))
+    bucket = F.least(
+        F.floor((F.col("x") - F.col("mn")) / w).cast("int"),
+        F.lit(bins - 1))
+    counts = (joined.where(F.col("x").isNotNull())
+              .withColumn("bucket",
+                          F.when(F.col("mx") == F.col("mn"), F.lit(0))
+                          .otherwise(bucket))
+              .groupBy("bucket")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.first("mn").alias("mn"), F.first("mx").alias("mx")))
+    rows = counts.collect()
+    out = []
+    for r in rows:
+        mn, mx = r["mn"], r["mx"]
+        width = (mx - mn) / float(bins)
+        b = r["bucket"]
+        out.append((b, sig6_py(mn + b * width),
+                    sig6_py(mn + (b + 1) * width), r["cnt"]))
+    return df.sparkSession.createDataFrame(
+        sorted(out), "bucket int, lo string, hi string, cnt bigint")
+
+
+def outlier_counts(df: DataFrame,
+                   columns: list[str] | None = None) -> DataFrame:
+    """IQR-fence (1.5x) and 3-sigma outlier counts per numeric column.
+
+    One stats pass (quartiles + mean/stddev for every column in one agg),
+    then ONE counting pass with all the fence predicates — two jobs total
+    regardless of column count."""
+    cols = columns or numeric_columns(df)
+    arr = F.array(F.lit(0.25), F.lit(0.75))
+    stats_row = df.agg(*(
+        [F.percentile(F.col(c), arr).alias(f"{c}__q") for c in cols]
+        + [F.avg(F.col(c)).alias(f"{c}__mu") for c in cols]
+        + [F.stddev_pop(F.col(c)).alias(f"{c}__sd") for c in cols]
+    )).collect()[0]
+
+    count_exprs = []
+    fences = {}
+    for c in cols:
+        q1, q3 = stats_row[f"{c}__q"]
+        mu, sd = stats_row[f"{c}__mu"], stats_row[f"{c}__sd"]
+        iqr = q3 - q1
+        lo_iqr, hi_iqr = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        lo_sig, hi_sig = mu - 3.0 * sd, mu + 3.0 * sd
+        fences[c] = (lo_iqr, hi_iqr, lo_sig, hi_sig)
+        x = F.col(c)
+        count_exprs.append(F.count_if(
+            (x < F.lit(lo_iqr)) | (x > F.lit(hi_iqr))).alias(f"{c}__iqr"))
+        count_exprs.append(F.count_if(
+            (x < F.lit(lo_sig)) | (x > F.lit(hi_sig))).alias(f"{c}__sig"))
+    counts = df.agg(*count_exprs).collect()[0]
+    out = [(c, counts[f"{c}__iqr"], counts[f"{c}__sig"]) for c in cols]
+    return df.sparkSession.createDataFrame(
+        out, "column string, iqr_outliers bigint, sigma3_outliers bigint")
+
+
+def correlation_matrix(df: DataFrame,
+                       columns: list[str] | None = None) -> DataFrame:
+    """All-pairs Pearson correlation in ONE aggregation pass (long format:
+    col_a, col_b, corr) — k*(k-1)/2 corr buffers in a single HashAggregate,
+    not a job per pair."""
+    cols = columns or numeric_columns(df)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    agg = df.agg(*[F.corr(F.col(a), F.col(b)).alias(f"{a}__{b}")
+                   for a, b in pairs])
+    row = agg.collect()[0]
+    out = []
+    for a, b in pairs:
+        v = row[f"{a}__{b}"]
+        if v is not None and not math.isnan(v) and abs(v) < 1e-9:
+            v = 0.0  # cross-engine summation noise on uncorrelated pairs
+        out.append((a, b, sig6_py(v)))
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, corr string")

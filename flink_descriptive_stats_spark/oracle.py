@@ -260,6 +260,81 @@ QUALIFY rank <= {k}
 """
 
 
+def _numeric_cols(table: str) -> list[str]:
+    return [c for c, ts in TABLE_SCHEMAS[table]
+            if ts in ("int", "bigint", "double")]
+
+
+def distinct_sql(table: str) -> str:
+    branches = [
+        f"SELECT '{c}' AS \"column\", "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS distinct_count FROM {table}"
+        for c, _ in TABLE_SCHEMAS[table]]
+    return "\nUNION ALL\n".join(branches)
+
+
+def quantiles_sql(table: str, probs=(0.25, 0.5, 0.75)) -> str:
+    branches = []
+    for c in _numeric_cols(table):
+        qs = ", ".join(
+            f"{duck_sig6(f'quantile_cont(CAST({c} AS DOUBLE), {p})')} "
+            f"AS q_{int(p * 100)}" for p in probs)
+        branches.append(f"SELECT '{c}' AS \"column\", {qs} FROM {table}")
+    return "\nUNION ALL\n".join(branches)
+
+
+def histogram_sql(table: str, column: str, bins: int = 20) -> str:
+    lo = f"mn + bucket * ((mx - mn) / {float(bins)})"
+    hi = f"mn + (bucket + 1) * ((mx - mn) / {float(bins)})"
+    return f"""
+WITH mm AS (SELECT min({column}) AS mn, max({column}) AS mx FROM {table}),
+pts AS (SELECT x, mn, mx
+        FROM (SELECT {column} AS x FROM {table}) CROSS JOIN mm
+        WHERE x IS NOT NULL),
+b AS (SELECT CASE WHEN mx = mn THEN 0
+             ELSE least(CAST(floor((x - mn) / ((mx - mn) / {float(bins)}))
+                        AS INTEGER), {bins - 1}) END AS bucket, mn, mx
+      FROM pts)
+SELECT bucket, {duck_sig6(lo)} AS lo, {duck_sig6(hi)} AS hi,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY bucket, mn, mx
+"""
+
+
+def outliers_sql(table: str) -> str:
+    branches = []
+    for c in _numeric_cols(table):
+        x = f"CAST({c} AS DOUBLE)"
+        branches.append(f"""
+SELECT '{c}' AS "column",
+  CAST(count(*) FILTER (WHERE x < q1 - 1.5 * (q3 - q1)
+                           OR x > q3 + 1.5 * (q3 - q1)) AS BIGINT)
+    AS iqr_outliers,
+  CAST(count(*) FILTER (WHERE x < mu - 3.0 * sd
+                           OR x > mu + 3.0 * sd) AS BIGINT)
+    AS sigma3_outliers
+FROM (SELECT {x} AS x FROM {table})
+CROSS JOIN (SELECT quantile_cont({x}, 0.25) AS q1,
+                   quantile_cont({x}, 0.75) AS q3,
+                   avg({x}) AS mu, stddev_pop({x}) AS sd FROM {table})
+GROUP BY q1, q3, mu, sd""")
+    return "\nUNION ALL\n".join(branches)
+
+
+def correlation_sql(table: str) -> str:
+    cols = _numeric_cols(table)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    branches = []
+    for a, b in pairs:
+        raw = f"corr(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE))"
+        snapped = (f"CASE WHEN {raw} IS NOT NULL AND NOT isnan({raw}) "
+                   f"AND abs({raw}) < 1e-9 THEN 0.0 ELSE {raw} END")
+        branches.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"{duck_sig6(snapped)} AS corr FROM {table}")
+    return "\nUNION ALL\n".join(branches)
+
+
 def completeness_sql(table: str) -> str:
     conds = []
     for col, ts in TABLE_SCHEMAS[table]:

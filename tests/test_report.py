@@ -1,0 +1,34 @@
+from flink_descriptive_stats_spark.operators.profile import (
+    complete_row_count, profile)
+from flink_descriptive_stats_spark.operators.topk import topk_tokens
+from flink_descriptive_stats_spark.report import (
+    jb_hypothesis_table, kurtosis_interpretation, render_profile)
+from flink_descriptive_stats_spark.sources.fixture import reference_fixture_df
+
+
+def test_jb_table():
+    rows = jb_hypothesis_table(5.0)
+    assert "REJECTED" in rows[0]      # 5.0 > 4.61 at alpha=0.10
+    assert "ACCEPTED" in rows[1]      # 5.0 < 5.99 at alpha=0.05
+    assert all("ACCEPTED" in r for r in rows[2:])
+    assert jb_hypothesis_table(None)[0].startswith("  JB test not applicable")
+
+
+def test_kurtosis_interpretation():
+    assert "mesokurtic" in kurtosis_interpretation(0.0)
+    assert "leptokurtic" in kurtosis_interpretation(2.5)
+    assert "platykurtic" in kurtosis_interpretation(-1.0)
+    assert kurtosis_interpretation(None) == "n/a"
+
+
+def test_render_profile(spark):
+    df = reference_fixture_df(spark, 2310)
+    text = render_profile(profile(df), topk_tokens(df, ["col2"]),
+                          complete_row_count(df))
+    assert "column 'col1'" in text and "column 'col3'" in text
+    assert "Top values:" in text and "'3':" in text
+    assert "Top patterns:" in text
+    assert "Complete rows:" in text
+    assert "H0 (normal distribution)" in text
+    # reference bug fix: numeric count printed, not null count
+    assert "Numeric values: 2310" in text
