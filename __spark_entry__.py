@@ -83,6 +83,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for table, col in _HISTOGRAMS:
         q[f"histogram_{table}_{col}"] = _tq(extras.histogram, table,
                                             column=col)
+    # windowed profile (batch mode of the streaming operator; tumbling 6h)
+    def _windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.streaming.profile_stream import (
+            windowed_profile)
+        return windowed_profile(_load(spark, sf_dir, "events"))
+    q["windowed_profile_events"] = _windowed
+
     # scale-path variants (sketch-based; no SQL oracle — rows-only check)
     q["approx_distinct_lineitem"] = _tq(extras.approx_distinct_counts,
                                         "lineitem")
@@ -109,4 +116,5 @@ def oracle_sql() -> dict[str, str]:
         o[f"corr_{table}"] = oracle.correlation_sql(table)
     for table, col in _HISTOGRAMS:
         o[f"histogram_{table}_{col}"] = oracle.histogram_sql(table, col)
+    o["windowed_profile_events"] = oracle.windowed_profile_sql()
     return o

@@ -33,10 +33,21 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+NUDGE = 1.0 + 2.0 ** -40
+"""Tie-breaking nudge: decimal-ish data (prices, 2-dp measurements) makes
+aggregate values with EXACT decimal expansions ending at the 8th significant
+digit common, and the two engines' ulp-level summation differences then land
+on opposite sides of the rounding boundary. Scaling by exactly 1+2^-40
+(9.1e-13 relative — 100x the engine deltas, 1e5x below the output quantum)
+pushes every exact tie off the boundary in the same direction on all three
+implementations (Spark Column, DuckDB SQL, Python)."""
+
+
 def sig6(c: Column) -> Column:
     """Render a double Column as a cross-engine-stable 7-sig-digit string."""
-    e = F.floor(F.log10(F.abs(c))).cast("bigint")
-    scaled = c / F.pow(F.lit(10.0), (e - 6).cast("double"))
+    y = c * F.lit(NUDGE)
+    e = F.floor(F.log10(F.abs(y))).cast("bigint")
+    scaled = y / F.pow(F.lit(10.0), (e - 6).cast("double"))
     m = F.round(scaled, 0).cast("bigint")
     overflow = F.abs(m) >= 10000000
     m2 = F.when(overflow, (m / 10).cast("bigint")).otherwise(m)
@@ -68,8 +79,9 @@ def sig6_py(x: float | None) -> str | None:
         return "0e0"
     if math.isinf(x):
         return "inf" if x > 0 else "-inf"
-    e = math.floor(math.log10(abs(x)))
-    scaled = x / (10.0 ** (e - 6))
+    y = x * NUDGE
+    e = math.floor(math.log10(abs(y)))
+    scaled = y / (10.0 ** (e - 6))
     m = int(Decimal(scaled).quantize(Decimal(1), rounding=ROUND_HALF_UP))
     if abs(m) >= 10_000_000:
         m = int(m / 10)
@@ -86,7 +98,7 @@ def duck_sig6(expr: str) -> str:
     """
     x = f"CAST(({expr}) AS DOUBLE)"
     safe = (f"(CASE WHEN {x} IS NULL OR {x} = 0 OR isnan({x}) "
-            f"OR NOT isfinite({x}) THEN 1.0 ELSE {x} END)")
+            f"OR NOT isfinite({x}) THEN 1.0 ELSE {x} * {NUDGE!r} END)")
     return (
         f"CASE WHEN {x} IS NULL OR isnan({x}) THEN NULL "
         f"WHEN {x} = 0 THEN '0e0' "

@@ -79,11 +79,11 @@ def spark_type(type_str: str) -> T.DataType:
     return _TYPES[type_str]
 
 
-def _derived_sql() -> list[str]:
-    """sig6-rendered derived stats (names = moments.DERIVED_STATS), assuming
-    an enclosing relation with columns n, row_count, mean, mn, mx, m2, m3, m4
+def _derived_exprs() -> dict[str, str]:
+    """Derived-stat SQL (names = moments.DERIVED_STATS), assuming an
+    enclosing relation with columns n, row_count, mean, mn, mx, m2, m3, m4
     plus pre-derived var_pop_r, var_samp_r, sd_pop_r, sd_samp_r, skew_pop_r,
-    kurt_pop_r, skew_samp_r, kurt_samp_r (see _moment_core_sql)."""
+    kurt_pop_r, skew_samp_r, kurt_samp_r (see _pre_derived_cases)."""
     nd = "CAST(n AS DOUBLE)"
     exprs = {
         "mean": "CASE WHEN n = 0 THEN NULL ELSE mean END",
@@ -116,14 +116,16 @@ def _derived_sql() -> list[str]:
             "floor(3.49 * sd_pop_r * pow(CAST(row_count AS DOUBLE), -1.0/3.0)) END"),
     }
     assert set(exprs) == set(moments.DERIVED_STATS)
-    return [f"{duck_sig6(exprs[s])} AS {s}" for s in moments.DERIVED_STATS]
+    return exprs
 
 
-def _moment_core_sql(table: str, x: str) -> str:
-    """Relation with two-pass moment slots + pre-derived stats for numeric
-    expression ``x`` over ``table`` (one output row)."""
-    return f"""
-      SELECT *,
+def _derived_sql(stats: tuple[str, ...] | None = None) -> list[str]:
+    exprs = _derived_exprs()
+    names = stats or moments.DERIVED_STATS
+    return [f"{duck_sig6(exprs[s])} AS {s}" for s in names]
+
+
+_PRE_DERIVED_CASES = """
         CASE WHEN n > 0 THEN m2 / n END AS var_pop_r,
         CASE WHEN n > 1 THEN m2 / (n - 1) END AS var_samp_r,
         CASE WHEN n > 0 THEN sqrt(m2 / n) END AS sd_pop_r,
@@ -137,6 +139,14 @@ def _moment_core_sql(table: str, x: str) -> str:
              ELSE skew_pop_r * n / (n - 1.0) END AS skew_samp_r,
         CASE WHEN n = 0 THEN NULL WHEN n = 1 THEN 0.0
              ELSE kurt_pop_r * n / (n - 1.0) END AS kurt_samp_r
+"""
+
+
+def _moment_core_sql(table: str, x: str) -> str:
+    """Relation with two-pass moment slots + pre-derived stats for numeric
+    expression ``x`` over ``table`` (one output row)."""
+    return f"""
+      SELECT *, {_PRE_DERIVED_CASES}
       FROM (
         SELECT count(*) AS row_count, count(x) AS n,
                count(*) - count(x) AS nulls,
@@ -333,6 +343,43 @@ def correlation_sql(table: str) -> str:
             f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
             f"{duck_sig6(snapped)} AS corr FROM {table}")
     return "\nUNION ALL\n".join(branches)
+
+
+def windowed_profile_sql(table: str = "events", ts_col: str = "ts",
+                         value_col: str = "value",
+                         window_hours: int = 6) -> str:
+    """Oracle for streaming/profile_stream.windowed_profile run in batch
+    mode with tumbling windows: Spark's window() and DuckDB's time_bucket
+    both align to the epoch for whole-hour durations."""
+    from flink_descriptive_stats_spark.streaming.profile_stream import (
+        WINDOW_STATS)
+    derived = ",\n       ".join(_derived_sql(WINDOW_STATS))
+    return f"""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '{window_hours} hours',
+                     CAST({ts_col} AS TIMESTAMP)) AS ws,
+         CAST({value_col} AS DOUBLE) AS x
+  FROM {table}
+),
+m AS (SELECT ws, avg(x) AS mu FROM b GROUP BY ws),
+a AS (
+  SELECT b.ws, count(*) AS row_count, count(x) AS n,
+         count(*) FILTER (WHERE x IS NULL) AS null_count,
+         min(x) AS mn, max(x) AS mx, avg(x) AS mean,
+         sum(pow(x - mu, 2)) AS m2, sum(pow(x - mu, 3)) AS m3,
+         sum(pow(x - mu, 4)) AS m4
+  FROM b JOIN m ON b.ws = m.ws GROUP BY b.ws
+),
+p AS (SELECT *, {_PRE_DERIVED_CASES} FROM a)
+SELECT ws AS window_start,
+       ws + INTERVAL '{window_hours} hours' AS window_end,
+       CAST(row_count AS BIGINT) AS row_count,
+       CAST(null_count AS BIGINT) AS null_count,
+       CAST(n AS BIGINT) AS numeric_count,
+       mn AS min_val, mx AS max_val,
+       {derived}
+FROM p
+"""
 
 
 def completeness_sql(table: str) -> str:

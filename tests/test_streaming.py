@@ -1,0 +1,104 @@
+"""Structured Streaming windowed profile == batch windowed profile over the
+same data (SURVEY.md §5.5) — the algebraic aggregate bundle is incremental
+by construction, so streaming state must reproduce the batch result exactly.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_descriptive_stats_spark.sources.tables import load_table
+from flink_descriptive_stats_spark.streaming.profile_stream import (
+    windowed_profile)
+
+SF_DIR = "/root/testdata/sf0.001"
+# readStream needs a *directory* source; expose the single parquet file
+# through a gitignored scratch dir via symlink.
+STREAM_DIR = "/root/repo/scratch/stream_events"
+
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def _normalize(df):
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@pytest.fixture(scope="module", autouse=True)
+def stream_dir():
+    import os
+    os.makedirs(STREAM_DIR, exist_ok=True)
+    link = f"{STREAM_DIR}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{SF_DIR}/events.parquet", link)
+    return STREAM_DIR
+
+
+def test_streaming_equals_batch(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = _normalize(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(STREAM_DIR))
+    assert stream.isStreaming
+
+    prof_stream = windowed_profile(stream, window="12 hours",
+                                   watermark="1 hour")
+    query = (prof_stream.writeStream.format("memory")
+             .queryName("win_profile").outputMode("complete").start())
+    try:
+        query.processAllAvailable()
+        got = spark.table("win_profile").collect()
+    finally:
+        query.stop()
+
+    batch = windowed_profile(load_table(spark, SF_DIR, "events"),
+                             window="12 hours").collect()
+    key = lambda r: r["window_start"]
+    got_d = {key(r): r.asDict() for r in got}
+    want_d = {key(r): r.asDict() for r in batch}
+    assert set(got_d) == set(want_d)
+    for k in want_d:
+        assert got_d[k] == want_d[k], f"window {k}"
+
+
+def test_streaming_grouped_by_type(spark):
+    """Windowed profile with an extra grouping key (per event_type) — the
+    streaming analogue of the per-column fan-out, one state store."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = _normalize(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(STREAM_DIR))
+    prof = windowed_profile(stream, window="1 day", watermark="1 hour",
+                            extra_keys=["event_type"])
+    query = (prof.writeStream.format("memory")
+             .queryName("win_profile_typed").outputMode("complete").start())
+    try:
+        query.processAllAvailable()
+        got = spark.table("win_profile_typed").collect()
+    finally:
+        query.stop()
+    assert len(got) > 0
+    types = {r["event_type"] for r in got}
+    assert len(types) >= 3  # click/view/error...
+    batch = windowed_profile(load_table(spark, SF_DIR, "events"),
+                             window="1 day",
+                             extra_keys=["event_type"]).collect()
+    assert len(got) == len(batch)
+
+
+def test_session_window_batch(spark):
+    """Session windows (gap-based) in batch mode — plan sanity + row count
+    bounded by events."""
+    ev = load_table(spark, SF_DIR, "events")
+    prof = windowed_profile(ev.where(F.col("user_id") == 1),
+                            session_gap="30 minutes")
+    rows = prof.collect()
+    assert 0 < len(rows) <= ev.where(F.col("user_id") == 1).count()
+    for r in rows:
+        assert r["window_end"] > r["window_start"]
