@@ -90,6 +90,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return windowed_profile(_load(spark, sf_dir, "events"))
     q["windowed_profile_events"] = _windowed
 
+    # LLM-pipeline operators: dedup / similarity / text analysis
+    from flink_descriptive_stats_spark.operators import dedup, similarity
+    from flink_descriptive_stats_spark.operators import text as text_ops
+    q["dedup_exact_documents"] = _tq(dedup.exact_dedup, "documents")
+    q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
+                                            "documents")
+    q["minhash_pairs_documents"] = _tq(dedup.minhash_dedup_pairs, "documents")
+    q["simhash_documents"] = _tq(dedup.simhash_signatures, "documents")
+    q["ngram_jaccard_pairs_documents"] = _tq(dedup.ngram_jaccard_pairs,
+                                             "documents")
+    q["embedding_neardup_pairs"] = _tq(dedup.embedding_near_dup_pairs,
+                                       "embeddings")
+    q["ann_cosine_topk"] = _tq(similarity.brute_force_topk, "embeddings")
+    q["ann_lsh_topk"] = _tq(similarity.lsh_topk, "embeddings")
+    q["simhash_near_pairs_documents"] = _tq(dedup.simhash_near_pairs,
+                                            "documents")
+    q["text_stats_documents"] = _tq(text_ops.text_stats, "documents")
+    q["lang_id_documents"] = _tq(text_ops.lang_id, "documents")
+    q["fingerprints_documents"] = _tq(text_ops.fingerprints, "documents")
+
+    # multimodal plumbing: metadata is oracle-checkable; the Arrow-batched
+    # feature extraction (mapInPandas) is rows-only
+    from flink_descriptive_stats_spark.operators import multimodal
+    q["multimodal_meta_documents"] = _tq(multimodal.payload_metadata,
+                                         "documents")
+    q["multimodal_features_documents"] = _tq(multimodal.extract_features,
+                                             "documents")
+
     # scale-path variants (sketch-based; no SQL oracle — rows-only check)
     q["approx_distinct_lineitem"] = _tq(extras.approx_distinct_counts,
                                         "lineitem")
@@ -117,4 +145,23 @@ def oracle_sql() -> dict[str, str]:
     for table, col in _HISTOGRAMS:
         o[f"histogram_{table}_{col}"] = oracle.histogram_sql(table, col)
     o["windowed_profile_events"] = oracle.windowed_profile_sql()
+
+    from flink_descriptive_stats_spark import oracle_pipeline as op
+    o["dedup_exact_documents"] = op.dedup_exact_sql()
+    o["minhash_signatures_documents"] = op.minhash_signatures_sql()
+    o["minhash_pairs_documents"] = op.minhash_pairs_sql()
+    o["simhash_documents"] = op.simhash_sql()
+    o["ngram_jaccard_pairs_documents"] = op.ngram_jaccard_pairs_sql()
+    o["embedding_neardup_pairs"] = op.embedding_neardup_sql()
+    o["ann_cosine_topk"] = op.ann_brute_force_sql()
+    o["text_stats_documents"] = op.text_stats_sql()
+    o["lang_id_documents"] = op.lang_id_sql()
+    o["fingerprints_documents"] = op.fingerprints_sql()
+    o["multimodal_meta_documents"] = (
+        "SELECT CAST(doc_id AS BIGINT) AS id, "
+        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, "
+        "'application/octet-stream' AS mime, md5(text) AS checksum "
+        "FROM documents")
+    # ann_lsh_topk / simhash_near_pairs / multimodal_features: approximate or
+    # UDF-backed variants — rows-only check (exact baselines are oracle-gated)
     return o

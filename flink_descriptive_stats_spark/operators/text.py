@@ -1,0 +1,150 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side built-ins (regexp_extract_all + higher-order array functions);
+no Python in the hot path. Every operator has a DuckDB-oracle mirror in
+oracle.py (same regexes, same arithmetic).
+
+- text_stats: token/char/punct/upper/digit counts, blank-ratio style quality
+  features, and a composite quality score in [0, 1].
+- lang_id: n-gram-free stopword-hit heuristic over 4 Latin stopword sets +
+  a CJK character counter; argmax with fixed tie order. (For synthetic test
+  text this exercises the machinery, not linguistic accuracy.)
+- fingerprints: order-insensitive content fingerprint (md5 over sorted
+  distinct tokens — robust to word reordering) and an order-SENSITIVE
+  rolling polynomial hash over the token sequence.
+- token counting: whitespace tokens and a BPE-ish subword count (word chars
+  grouped in runs of <= 4 + punctuation singles) as a cheap proxy for LLM
+  token budgeting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_descriptive_stats_spark.functions import hashing as H
+
+PUNCT_RE = "[^\\w\\s]"
+UPPER_RE = "[A-Z]"
+DIGIT_RE = "[0-9]"
+WS_RE = "\\s+"
+# real unicode chars in the class (not \u escapes): Java regex would accept
+# the escape form but RE2 (DuckDB) would not — raw chars work in both
+CJK_RE = "[一-鿿]"
+# BPE-ish: runs of up to 4 word chars, or one non-space symbol
+SUBWORD_RE = "\\w{1,4}|[^\\w\\s]"
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es": ("el", "los", "las", "y", "es", "un", "una", "en"),
+}
+LANG_ORDER = ("en", "de", "fr", "es", "zh")
+
+
+def _count_matches(c, pattern: str):
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def _stopword_hits(tokens, words: tuple[str, ...]):
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-doc text statistics + composite quality score."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    c = F.col(text_col)
+    toks = H.tokens_expr(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    punct = _count_matches(c, PUNCT_RE)
+    upper = _count_matches(c, UPPER_RE)
+    digit = _count_matches(c, DIGIT_RE)
+    ws_tokens = F.size(F.regexp_extract_all(c, F.lit("\\S+"), 0))
+    subwords = F.size(F.regexp_extract_all(c, F.lit(SUBWORD_RE), 0))
+    stop_hits = _stopword_hits(toks, STOPWORDS["en"])
+
+    ntd = n_tok.cast("double")
+    punct_ratio = F.when(n_chars > 0,
+                         punct.cast("double") / n_chars.cast("double")
+                         ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop_hits.cast("double") / ntd
+                        ).otherwise(F.lit(0.0))
+    avg_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0).cast("bigint"),
+                    lambda acc, t: acc + F.length(t)).cast("double") / ntd
+    ).otherwise(F.lit(0.0))
+    quality = (F.lit(0.4) * F.least(ntd / F.lit(100.0), F.lit(1.0))
+               + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 5.0,
+                                                    F.lit(1.0)))
+               + F.lit(0.3) * F.least(stop_ratio * 4.0, F.lit(1.0)))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        ws_tokens.cast("bigint").alias("n_ws_tokens"),
+        subwords.cast("bigint").alias("n_subword_tokens"),
+        punct.cast("bigint").alias("n_punct"),
+        upper.cast("bigint").alias("n_upper"),
+        digit.cast("bigint").alias("n_digit"),
+        stop_hits.cast("bigint").alias("n_stopwords"),
+        sig6(avg_tok_len).alias("avg_token_len"),
+        sig6(punct_ratio).alias("punct_ratio"),
+        sig6(quality).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language scores + predicted language (fixed tie order
+    en > de > fr > es > zh)."""
+    c = F.col(text_col)
+    toks = H.tokens_expr(c)
+    scores = {lang: _stopword_hits(toks, words)
+              for lang, words in STOPWORDS.items()}
+    scores["zh"] = _count_matches(c, CJK_RE)
+
+    pred = None
+    # first maximum in LANG_ORDER wins
+    conds = []
+    for lang in LANG_ORDER:
+        cond = None
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            ge = scores[lang] >= scores[other]
+            cond = ge if cond is None else (cond & ge)
+        conds.append((lang, cond))
+    expr = F.when(conds[0][1], F.lit(conds[0][0]))
+    for lang, cond in conds[1:-1]:
+        expr = expr.when(cond, F.lit(lang))
+    expr = expr.otherwise(F.lit(conds[-1][0]))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[scores[lang].cast("bigint").alias(f"score_{lang}")
+          for lang in LANG_ORDER],
+        expr.alias("predicted_lang"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: order-insensitive (md5 of sorted distinct
+    tokens) and order-sensitive (rolling polynomial hash over the token
+    sequence, mod 2^31-1)."""
+    c = F.col(text_col)
+    toks = H.tokens_expr(c)
+    bag = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    rolling = F.aggregate(
+        toks, F.lit(7).cast("bigint"),
+        lambda acc, t: (acc * F.lit(131)
+                        + F.pmod(H.token_hash(t), F.lit(H.MERSENNE_P))
+                        ) % F.lit(H.MERSENNE_P))
+    return df.select(F.col(id_col).alias("id"),
+                     bag.alias("bag_fingerprint"),
+                     rolling.alias("seq_fingerprint"))

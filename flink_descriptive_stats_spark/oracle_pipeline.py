@@ -1,0 +1,234 @@
+"""DuckDB oracle SQL for the LLM-pipeline operators (dedup, similarity,
+text analysis) — mirrors operators/{dedup,similarity,text}.py expression by
+expression. Shared constants (regexes, minhash parameters, hyperplanes) are
+imported from the same modules the Spark side uses, so the two sides cannot
+drift.
+"""
+
+from __future__ import annotations
+
+from flink_descriptive_stats_spark.functions import hashing as H
+from flink_descriptive_stats_spark.functions.sig import duck_sig6
+from flink_descriptive_stats_spark.operators import text as TX
+
+P = H.MERSENNE_P
+
+
+def _tokens_cte(table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    return (f"t AS (SELECT {id_col} AS id, {text_col} AS text, "
+            f"{H.duck_tokens(text_col)} AS toks FROM {table})")
+
+
+def _shingle_hash_cte(n: int = 3) -> str:
+    sh = H.duck_shingles("toks", n)
+    th = H.duck_token_hash("s")
+    return (f"sh AS (SELECT id, list_transform(list_distinct({sh}), "
+            f"s -> {th} % {P}) AS hashes FROM t)")
+
+
+def dedup_exact_sql(table: str = "documents") -> str:
+    return (f"SELECT md5(text) AS content_md5, "
+            f"CAST(min(doc_id) AS BIGINT) AS rep_id, "
+            f"CAST(count(*) AS BIGINT) AS dup_count "
+            f"FROM {table} GROUP BY md5(text)")
+
+
+def _sig_expr(j: int) -> str:
+    a, b = H.MINHASH_PARAMS[j]
+    return f"list_min(list_transform(hashes, x -> ({a} * x + {b}) % {P}))"
+
+
+def minhash_signatures_sql(table: str = "documents") -> str:
+    branches = [
+        f"SELECT CAST(id AS BIGINT) AS id, {j} AS sig_idx, "
+        f"CAST({_sig_expr(j)} AS BIGINT) AS sig_val FROM sh"
+        for j in range(H.MINHASH_K)]
+    return (f"WITH {_tokens_cte(table)}, {_shingle_hash_cte()}\n"
+            + "\nUNION ALL\n".join(branches))
+
+
+def minhash_pairs_sql(table: str = "documents", threshold: float = 0.5,
+                      max_bucket: int = 1000) -> str:
+    sig_cols = ", ".join(f"{_sig_expr(j)} AS sig_{j}"
+                         for j in range(H.MINHASH_K))
+    band_rows = []
+    for b in range(H.LSH_BANDS):
+        key = " || ',' || ".join(
+            f"CAST(sig_{b * H.LSH_ROWS + r} AS VARCHAR)"
+            for r in range(H.LSH_ROWS))
+        band_rows.append(f"SELECT id, {b} AS band, {key} AS band_key FROM sw")
+    return f"""
+WITH {_tokens_cte(table)}, {_shingle_hash_cte()},
+sw AS (SELECT id, hashes, {sig_cols} FROM sh),
+bands_all AS ({' UNION ALL '.join(band_rows)}),
+bands AS (SELECT * FROM bands_all
+          QUALIFY count(*) OVER (PARTITION BY band, band_key) <= {max_bucket}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+j AS (SELECT id_a, id_b,
+             CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)
+             / CAST(len(list_distinct(ha.hashes || hb.hashes)) AS DOUBLE)
+             AS jaccard
+      FROM cand
+      JOIN sh ha ON ha.id = cand.id_a
+      JOIN sh hb ON hb.id = cand.id_b)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, jaccard
+FROM j WHERE jaccard >= {threshold}
+"""
+
+
+def simhash_sql(table: str = "documents", bits: int = 32) -> str:
+    th = H.duck_token_hash("s")
+    terms = []
+    for b in range(bits):
+        w = 1 << b
+        terms.append(
+            f"(CASE WHEN COALESCE(list_sum(list_transform(hashes, "
+            f"h -> CASE WHEN (h // {w}) % 2 = 1 THEN 1 ELSE -1 END)), 0) >= 0 "
+            f"THEN {w} ELSE 0 END)")
+    return (f"WITH {_tokens_cte(table)}, "
+            f"h AS (SELECT id, list_transform(toks, s -> {th}) AS hashes "
+            f"FROM t)\n"
+            f"SELECT CAST(id AS BIGINT) AS id, "
+            f"CAST({' + '.join(terms)} AS BIGINT) AS simhash FROM h")
+
+
+def ngram_jaccard_pairs_sql(table: str = "documents",
+                            threshold: float = 0.3) -> str:
+    return f"""
+WITH {_tokens_cte(table)}, {_shingle_hash_cte()},
+sizes AS (SELECT id, len(hashes) AS sz FROM sh),
+expl AS (SELECT id, unnest(hashes) AS shingle FROM sh),
+shared AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+           FROM expl a JOIN expl b ON a.shingle = b.shingle AND a.id < b.id
+           GROUP BY a.id, b.id),
+j AS (SELECT id_a, id_b,
+             CAST(shared AS DOUBLE)
+             / CAST(sa.sz + sb.sz - shared AS DOUBLE) AS jaccard
+      FROM shared
+      JOIN sizes sa ON sa.id = shared.id_a
+      JOIN sizes sb ON sb.id = shared.id_b)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, jaccard
+FROM j WHERE jaccard >= {threshold}
+"""
+
+
+_DOT = ("list_reduce(list_transform(generate_series(1, len({a})), "
+        "i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+
+
+def _norm_cte(table: str = "embeddings") -> str:
+    dot_self = _DOT.format(a="v", b="v")
+    return (f"n AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, "
+            f"sqrt({dot_self}) AS norm "
+            f"FROM (SELECT vec_id, embedding FROM {table}))")
+
+
+def ann_brute_force_sql(table: str = "embeddings", k: int = 5,
+                        max_query_id: int = 10) -> str:
+    dot = _DOT.format(a="q.v", b="c.v")
+    return f"""
+WITH {_norm_cte(table)},
+q AS (SELECT * FROM n WHERE id < {max_query_id}),
+scored AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+                  ({dot}) / (q.norm * c.norm) AS cos
+           FROM n c CROSS JOIN q WHERE c.id != q.id)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+def embedding_neardup_sql(table: str = "embeddings",
+                          threshold: float = 0.95) -> str:
+    dot = _DOT.format(a="a.v", b="b.v")
+    return f"""
+WITH {_norm_cte(table)}
+SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+       ({dot}) / (a.norm * b.norm) AS cos
+FROM n a JOIN n b ON a.id < b.id
+WHERE ({dot}) / (a.norm * b.norm) >= {threshold}
+"""
+
+
+def _stop_filter(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, x -> x IN ({lst})))"
+
+
+def text_stats_sql(table: str = "documents") -> str:
+    punct = f"len(regexp_extract_all(text, '{TX.PUNCT_RE}'))"
+    upper = f"len(regexp_extract_all(text, '{TX.UPPER_RE}'))"
+    digit = f"len(regexp_extract_all(text, '{TX.DIGIT_RE}'))"
+    ws_tok = "len(regexp_extract_all(text, '\\S+'))"
+    subw = f"len(regexp_extract_all(text, '{TX.SUBWORD_RE}'))"
+    stop = _stop_filter(TX.STOPWORDS["en"])
+    return f"""
+WITH {_tokens_cte(table)},
+m AS (SELECT id, length(text) AS n_chars, len(toks) AS n_tok,
+             {punct} AS punct, {upper} AS upper_c, {digit} AS digit_c,
+             {ws_tok} AS ws_tok, {subw} AS subw, {stop} AS stop_hits,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, t -> length(t)))
+                    AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+             ELSE 0.0 END AS avg_tok_len,
+             CASE WHEN length(text) > 0 THEN
+               CAST({punct} AS DOUBLE) / CAST(length(text) AS DOUBLE)
+             ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(toks) > 0 THEN
+               CAST({stop} AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+             ELSE 0.0 END AS stop_ratio
+      FROM t),
+qf AS (SELECT *,
+              0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+              + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0))
+              + 0.3 * least(stop_ratio * 4.0, 1.0) AS quality
+       FROM m)
+SELECT CAST(id AS BIGINT) AS id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tok AS BIGINT) AS n_tokens, CAST(ws_tok AS BIGINT) AS n_ws_tokens,
+       CAST(subw AS BIGINT) AS n_subword_tokens,
+       CAST(punct AS BIGINT) AS n_punct, CAST(upper_c AS BIGINT) AS n_upper,
+       CAST(digit_c AS BIGINT) AS n_digit,
+       CAST(stop_hits AS BIGINT) AS n_stopwords,
+       {duck_sig6('avg_tok_len')} AS avg_token_len,
+       {duck_sig6('punct_ratio')} AS punct_ratio,
+       {duck_sig6('quality')} AS quality_score
+FROM qf
+"""
+
+
+def lang_id_sql(table: str = "documents") -> str:
+    scores = {lang: _stop_filter(words)
+              for lang, words in TX.STOPWORDS.items()}
+    scores["zh"] = f"len(regexp_extract_all(text, '{TX.CJK_RE}'))"
+    score_cols = ", ".join(f"{scores[lang]} AS s_{lang}"
+                           for lang in TX.LANG_ORDER)
+    whens = []
+    for lang in TX.LANG_ORDER[:-1]:
+        cond = " AND ".join(f"s_{lang} >= s_{other}"
+                            for other in TX.LANG_ORDER if other != lang)
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    pred = f"CASE {' '.join(whens)} ELSE '{TX.LANG_ORDER[-1]}' END"
+    sel = ", ".join(f"CAST(s_{lang} AS BIGINT) AS score_{lang}"
+                    for lang in TX.LANG_ORDER)
+    return (f"WITH {_tokens_cte(table)}, "
+            f"m AS (SELECT id, {score_cols} FROM t)\n"
+            f"SELECT CAST(id AS BIGINT) AS id, {sel}, "
+            f"{pred} AS predicted_lang FROM m")
+
+
+def fingerprints_sql(table: str = "documents") -> str:
+    th = H.duck_token_hash("t")
+    return (f"WITH {_tokens_cte(table)}\n"
+            f"SELECT CAST(id AS BIGINT) AS id, "
+            f"md5(array_to_string(list_sort(list_distinct(toks)), ' ')) "
+            f"AS bag_fingerprint, "
+            f"CAST(list_reduce([CAST(7 AS BIGINT)] || "
+            f"list_transform(toks, t -> {th} % {P}), "
+            f"(acc, h) -> (acc * 131 + h) % {P}) AS BIGINT) "
+            f"AS seq_fingerprint FROM t")

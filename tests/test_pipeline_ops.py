@@ -1,0 +1,143 @@
+"""Dedup / similarity / text / multimodal operator semantics on hand-built
+fixtures with independently computed expectations."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_descriptive_stats_spark.operators import (dedup, multimodal,
+                                                     similarity)
+from flink_descriptive_stats_spark.operators import text as text_ops
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "completely different content about spark engines and data"),
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (4, "pack my box with five dozen liquor jugs"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    rows = {r["rep_id"]: r["dup_count"]
+            for r in dedup.exact_dedup(docs).collect()}
+    assert rows[0] == 2          # docs 0 and 3 identical
+    assert rows[1] == 1 and rows[2] == 1 and rows[4] == 1
+    assert 3 not in rows         # represented by 0
+
+
+def test_minhash_identical_docs_equal_sigs(docs):
+    sigs = dedup.minhash_signatures(docs).collect()
+    by_id = {}
+    for r in sigs:
+        by_id.setdefault(r["id"], {})[r["sig_idx"]] = r["sig_val"]
+    assert by_id[0] == by_id[3]                     # exact dup: equal sigs
+    shared = sum(1 for j in range(16) if by_id[0][j] == by_id[1][j])
+    assert shared >= 8                              # near-dup: mostly equal
+    shared_far = sum(1 for j in range(16) if by_id[0][j] == by_id[2][j])
+    assert shared_far <= 4                          # unrelated: mostly differ
+
+
+def test_minhash_pairs_finds_neardup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.minhash_dedup_pairs(docs, threshold=0.4).collect()}
+    assert pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and 0.4 <= pairs[(0, 1)] < 1.0
+    assert (0, 2) not in pairs
+
+
+def test_simhash(docs):
+    sh = {r["id"]: r["simhash"]
+          for r in dedup.simhash_signatures(docs).collect()}
+    assert sh[0] == sh[3]
+    ham_near = bin(sh[0] ^ sh[1]).count("1")
+    ham_far = bin(sh[0] ^ sh[2]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 3)] == 1.0 and (0, 1) in pairs
+
+
+def test_ann_brute_force(spark):
+    vecs = [(i, [1.0 if j == i % 4 else 0.1 * ((i * 7 + j) % 5)
+                 for j in range(8)], 0) for i in range(20)]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int")
+    top = similarity.brute_force_topk(df, k=3, max_query_id=4)
+    rows = top.collect()
+    assert len(rows) == 12                       # 4 queries x top-3
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert -1.0 <= r["cos"] <= 1.0 + 1e-9
+    r1 = {(r["query_id"], r["rank"]): r["cos"] for r in rows}
+    for q in range(4):
+        assert r1[(q, 1)] >= r1[(q, 2)] >= r1[(q, 3)]
+
+
+def test_lsh_ann_recall(spark):
+    from flink_descriptive_stats_spark.sources.tables import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.brute_force_topk(emb, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.lsh_topk(emb, k=3).collect()}
+    # LSH with 8 planes on 64-dim data: expect meaningful (not total) recall
+    assert len(approx) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+
+
+def test_text_stats_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat, the hat! 42 times.")], "doc_id long, text string")
+    r = text_ops.text_stats(df).collect()[0]
+    assert r["n_tokens"] == 6                   # the cat the hat 42 times
+    assert r["n_ws_tokens"] == 6
+    assert r["n_punct"] == 3                    # , ! .
+    assert r["n_upper"] == 1                    # T
+    assert r["n_digit"] == 2                    # 4 2
+    assert r["n_stopwords"] == 2                # 'the' x2
+    assert r["n_chars"] == len("The cat, the hat! 42 times.")
+
+
+def test_lang_id_cjk(spark):
+    df = spark.createDataFrame(
+        [(1, "der und die das ist"), (2, "数据 处理 引擎"),
+         (3, "the cat is in the hat")], "doc_id long, text string")
+    got = {r["id"]: r["predicted_lang"]
+           for r in text_ops.lang_id(df).collect()}
+    assert got[1] == "de" and got[2] == "zh" and got[3] == "en"
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "c b a"), (3, "a b x")],
+        "doc_id long, text string")
+    rows = {r["id"]: r for r in text_ops.fingerprints(df).collect()}
+    # bag fingerprint is order-insensitive; sequence fingerprint is not
+    assert rows[1]["bag_fingerprint"] == rows[2]["bag_fingerprint"]
+    assert rows[1]["seq_fingerprint"] != rows[2]["seq_fingerprint"]
+    assert rows[1]["bag_fingerprint"] != rows[3]["bag_fingerprint"]
+
+
+def test_multimodal_features(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "")],
+                               "doc_id long, text string")
+    rows = {r["id"]: r for r in multimodal.extract_features(df).collect()}
+    assert rows[1]["n_bytes"] == 3
+    assert rows[1]["byte_sum"] == ord("a") + ord("b") + ord("c")
+    assert rows[1]["head_byte"] == ord("a") and rows[1]["tail_byte"] == ord("c")
+    assert rows[2]["n_bytes"] == 0 and rows[2]["head_byte"] == -1
+    assert len(rows[1]["feature"]) == 4
+
+
+def test_decode_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
