@@ -52,43 +52,47 @@ def exact_dedup(df: DataFrame, content_col: str = "text",
 
 
 def shingle_hashes_long(df: DataFrame, content_col: str = "text",
-                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, sh) — one row per DISTINCT n-token shingle per document, with
+                        id_col: str = "doc_id", n: int = 3,
+                        distinct: bool = True) -> DataFrame:
+    """(id, sh) — one row per n-token shingle per document, with
     sh = md5-derived shingle hash mod p (functions/hashing.py).
 
-    Built codegen-first: posexplode tokens, windowed lead(n-1) to form the
-    shingle, distinct, hash — every stage whole-stage-codegen'd. The
-    interpreted alternative (higher-order transform over a token array)
-    measured 9x slower at sf0.1. Texts with < n tokens contribute one
-    whole-text shingle (including "" for zero-token texts), matching the
-    reference-free oracle definition in oracle_pipeline.py.
+    Built codegen-first: explode an index sequence and index the token array
+    directly (element_at) — scan-local, zero shuffles, every stage
+    whole-stage-codegen'd. The interpreted alternative (higher-order
+    transform over a token array) measured 9x slower at sf0.1, and a
+    posexplode + windowed-lead variant pays a needless window shuffle.
+    Texts with < n tokens contribute one whole-text shingle (including ""
+    for zero-token texts), matching the oracle definition in
+    oracle_pipeline.py.
 
-    Scale: one shuffle (window by doc id) + one distinct shuffle on
-    (id, shingle); both keys are high-cardinality and skew-free.
+    distinct=True dedups shingles within a document (one shuffle on the
+    skew-free (id, shingle) key) — required for set-semantics consumers
+    (Jaccard). Min-aggregating consumers (MinHash) pass distinct=False:
+    min over the multiset equals min over the set, so they stay
+    shuffle-free up to their own groupBy.
     """
     toks = df.select(F.col(id_col).alias("id"),
-                     H.tokens_expr(F.col(content_col)).alias("__toks"))
-    pos = toks.select("id", F.size("__toks").alias("n_tok"),
-                      F.posexplode("__toks").alias("pos", "t0"))
-    w = Window.partitionBy("id").orderBy("pos")
-    lead_cols = [F.lead("t0", j).over(w).alias(f"t{j}") for j in range(1, n)]
-    led = pos.select("id", "n_tok", "pos", "t0", *lead_cols)
-    full = (F.col("n_tok") >= n) & F.col(f"t{n - 1}").isNotNull()
-    short = (F.col("n_tok") < n) & (F.col("pos") == 0)
-    shingle = F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)])
-    shingles = (led.where(full | short).select("id", shingle.alias("s")))
-    empty = (toks.where(F.size("__toks") == 0)
-             .select("id", F.lit("").alias("s")))
-    return (shingles.unionByName(empty).distinct()
-            .select("id", F.pmod(H.token_hash(F.col("s")),
-                                 F.lit(H.MERSENNE_P)).alias("sh")))
+                     H.tokens_expr(F.col(content_col)).alias("tk"))
+    idx = F.explode(F.sequence(F.lit(0),
+                               F.greatest(F.size("tk") - n, F.lit(0))))
+    d = toks.select("id", "tk", idx.alias("i"))
+    full = F.concat_ws(
+        " ", *[F.element_at("tk", F.col("i") + j + 1) for j in range(n)])
+    shingle = F.when(F.size("tk") >= n, full).otherwise(F.concat_ws(" ", "tk"))
+    out = d.select("id", shingle.alias("s"))
+    if distinct:
+        out = out.distinct()
+    return out.select("id", F.pmod(H.token_hash(F.col("s")),
+                                   F.lit(H.MERSENNE_P)).alias("sh"))
 
 
 def _minhash_wide(df: DataFrame, content_col: str, id_col: str,
                   n: int = 3) -> DataFrame:
     """(id, sig_0..sig_{k-1}) — MinHash signatures as k min() aggregates over
-    the long shingle-hash format: map-side partial aggregation, no arrays."""
-    long = shingle_hashes_long(df, content_col, id_col, n)
+    the long shingle-hash format: map-side partial aggregation, no arrays,
+    one shuffle total (the 1-row-per-doc groupBy)."""
+    long = shingle_hashes_long(df, content_col, id_col, n, distinct=False)
     aggs = [
         F.min((F.col("sh") * F.lit(a) + F.lit(b)) % F.lit(H.MERSENNE_P)
               ).alias(f"sig_{j}")
