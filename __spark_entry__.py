@@ -157,11 +157,13 @@ def oracle_sql() -> dict[str, str]:
     o["text_stats_documents"] = op.text_stats_sql()
     o["lang_id_documents"] = op.lang_id_sql()
     o["fingerprints_documents"] = op.fingerprints_sql()
+    o["simhash_near_pairs_documents"] = op.simhash_near_pairs_sql()
+    o["ann_lsh_topk"] = op.ann_lsh_sql()
     o["multimodal_meta_documents"] = (
         "SELECT CAST(doc_id AS BIGINT) AS id, "
         "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, "
         "'application/octet-stream' AS mime, md5(text) AS checksum "
         "FROM documents")
-    # ann_lsh_topk / simhash_near_pairs / multimodal_features: approximate or
-    # UDF-backed variants — rows-only check (exact baselines are oracle-gated)
+    # multimodal_features (stubbed UDF decode) and the sketch-based variants
+    # (approx_distinct, quartiles_approx) are rows-only by design
     return o

@@ -95,6 +95,68 @@ def simhash_sql(table: str = "documents", bits: int = 32) -> str:
             f"CAST({' + '.join(terms)} AS BIGINT) AS simhash FROM h")
 
 
+def simhash_near_pairs_sql(table: str = "documents", bits: int = 32,
+                           max_hamming: int = 3) -> str:
+    """Mirror of dedup.simhash_near_pairs: 4 8-bit bands (pigeonhole
+    blocking), candidate self-join, exact Hamming via bit_count(xor)."""
+    th = H.duck_token_hash("s")
+    terms = []
+    for b in range(bits):
+        w = 1 << b
+        terms.append(
+            f"(CASE WHEN COALESCE(list_sum(list_transform(hashes, "
+            f"h -> CASE WHEN (h // {w}) % 2 = 1 THEN 1 ELSE -1 END)), 0) >= 0 "
+            f"THEN {w} ELSE 0 END)")
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS band, "
+        f"(simhash // {1 << (8 * b)}) % 256 AS band_key FROM s"
+        for b in range(4))
+    return (f"WITH {_tokens_cte(table)}, "
+            f"h AS (SELECT id, list_transform(toks, s -> {th}) AS hashes "
+            f"FROM t), "
+            f"s AS (SELECT id, CAST({' + '.join(terms)} AS BIGINT) AS simhash "
+            f"FROM h), "
+            f"bands AS ({band_rows}), "
+            f"cand AS (SELECT DISTINCT a.id AS id_a, a.simhash AS sim_a, "
+            f"b.id AS id_b, b.simhash AS sim_b "
+            f"FROM bands a JOIN bands b ON a.band = b.band "
+            f"AND a.band_key = b.band_key AND a.id < b.id) "
+            f"SELECT CAST(id_a AS BIGINT) AS id_a, "
+            f"CAST(id_b AS BIGINT) AS id_b, "
+            f"CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming "
+            f"FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}")
+
+
+def ann_lsh_sql(table: str = "embeddings", k: int = 5, n_planes: int = 8,
+                max_query_id: int = 10, dim: int = 64) -> str:
+    """Mirror of similarity.lsh_topk: sign-bit hyperplane buckets (same
+    deterministic plane constants, embedded as round-trip float literals on
+    both sides), same-bucket candidates, exact left-fold cosine re-rank."""
+    from flink_descriptive_stats_spark.operators.similarity import hyperplanes
+    planes = hyperplanes(n_planes, dim)
+    terms = []
+    for j, hp in enumerate(planes):
+        arr = "[" + ", ".join(repr(c) for c in hp) + "]"
+        dot = _DOT.format(a="v", b=f"({arr}::DOUBLE[])")
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    dot_qc = _DOT.format(a="q.v", b="c.v")
+    return f"""
+WITH {_norm_cte(table)},
+nb AS (SELECT id, v, norm, ({bucket}) AS bucket FROM n),
+q AS (SELECT * FROM nb WHERE id < {max_query_id}),
+scored AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+                  ({dot_qc}) / (q.norm * c.norm) AS cos
+           FROM nb c JOIN q ON c.bucket = q.bucket AND c.id != q.id)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def ngram_jaccard_pairs_sql(table: str = "documents",
                             threshold: float = 0.3) -> str:
     return f"""
