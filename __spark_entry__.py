@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from flink_descriptive_stats_spark.operators import dedup, similarity
     from flink_descriptive_stats_spark.operators import text as text_ops
     q["dedup_exact_documents"] = _tq(dedup.exact_dedup, "documents")
+    q["dedup_keep_first_documents"] = _tq(dedup.keep_first, "documents")
     q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
                                             "documents")
     q["minhash_pairs_documents"] = _tq(dedup.minhash_dedup_pairs, "documents")
@@ -148,6 +149,10 @@ def oracle_sql() -> dict[str, str]:
 
     from flink_descriptive_stats_spark import oracle_pipeline as op
     o["dedup_exact_documents"] = op.dedup_exact_sql()
+    o["dedup_keep_first_documents"] = (
+        "SELECT * FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY md5(text) "
+        "ORDER BY doc_id) = 1")
     o["minhash_signatures_documents"] = op.minhash_signatures_sql()
     o["minhash_pairs_documents"] = op.minhash_pairs_sql()
     o["simhash_documents"] = op.simhash_sql()

@@ -87,6 +87,17 @@ def shingle_hashes_long(df: DataFrame, content_col: str = "text",
                                    F.lit(H.MERSENNE_P)).alias("sh"))
 
 
+def keep_first(df: DataFrame, content_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated corpus: keep the lowest-id row per exact content
+    group, preserving every input column. One shuffle, keyed by content md5
+    (high-cardinality; a boilerplate mega-group only concentrates its own
+    copies, and row_number within a group is a linear scan)."""
+    w = Window.partitionBy(F.md5(F.col(content_col))).orderBy(F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+
+
 def _minhash_wide(df: DataFrame, content_col: str, id_col: str,
                   n: int = 3) -> DataFrame:
     """(id, sig_0..sig_{k-1}) — MinHash signatures as k min() aggregates over

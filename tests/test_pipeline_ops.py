@@ -30,6 +30,25 @@ def test_exact_dedup(docs):
     assert 3 not in rows         # represented by 0
 
 
+def test_keep_first(docs):
+    kept = sorted(r["doc_id"] for r in dedup.keep_first(docs).collect())
+    assert kept == [0, 1, 2, 4]                     # 3 is a dup of 0
+
+
+@pytest.mark.parametrize("parts", [1, 64])
+def test_partitioning_invariance(spark, docs, parts):
+    """Results must not depend on input partitioning (the reference's own
+    merge bug class — SURVEY.md §2.6 item 2)."""
+    d = docs.repartition(parts)
+    sigs = sorted(map(tuple, dedup.minhash_signatures(d).collect()))
+    assert sigs == sorted(map(tuple, dedup.minhash_signatures(docs).collect()))
+    pairs = sorted(map(tuple, dedup.ngram_jaccard_pairs(d).collect()))
+    assert pairs == sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(docs).collect()))
+    stats = sorted(map(tuple, text_ops.text_stats(d).collect()))
+    assert stats == sorted(map(tuple, text_ops.text_stats(docs).collect()))
+
+
 def test_minhash_identical_docs_equal_sigs(docs):
     sigs = dedup.minhash_signatures(docs).collect()
     by_id = {}
