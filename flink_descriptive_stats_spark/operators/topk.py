@@ -10,16 +10,19 @@ is ONE multiplexed job for ALL string columns and BOTH token kinds:
   groupBy(kind, column, token).count()     <- the only full-data shuffle;
                                               map-side partial agg absorbs
                                               heavy hitters before shuffling
-  salted partial top-K   (window over (kind, column, salt))
-  final top-K            (window over (kind, column), <= K*salt_buckets rows)
+  row_number window over (kind, column)    <- planned with WindowGroupLimit
+                                              (Partial) BEFORE the exchange
 
 Scale reasoning (100 TB): the grouped-count shuffle is unavoidable and keyed
-by (kind, column, token) — high cardinality, no skew. The naive final window
-over (kind, column) would funnel ALL distinct tokens of a column through one
-task; salting first reduces that to K*salt_buckets rows per column, so the
-final window is O(KB) regardless of input size. Ties broken (count desc,
-token asc) for determinism — the reference's tie order is nondeterministic
-(SURVEY.md §2.6 item 6).
+by (kind, column, token) — high cardinality, no skew. The final window over
+(kind, column) looks like a single-task funnel, but Spark >= 3.5 plans a
+rank-limit pushdown (`WindowGroupLimit` in Partial mode before the
+exchange), so each upstream partition forwards at most K rows per
+(kind, column) — the funnel task sees O(K * partitions), independent of
+input size. (A manual salted two-level window achieves the same bound at
+the cost of one extra full shuffle — verified equivalent and removed.)
+Ties broken (count desc, token asc) for determinism — the reference's tie
+order is nondeterministic (SURVEY.md §2.6 item 6).
 """
 
 from __future__ import annotations
@@ -37,8 +40,7 @@ def string_columns(df: DataFrame) -> list[str]:
 
 
 def topk_tokens(df: DataFrame, columns: list[str] | None = None,
-                k: int = 20, include_patterns: bool = True,
-                salt_buckets: int = 64) -> DataFrame:
+                k: int = 20, include_patterns: bool = True) -> DataFrame:
     """Top-K frequent values (kind='value') and character patterns
     (kind='pattern') per string column. Output: (kind, column, token, cnt,
     rank), rank 1-based by (cnt desc, token asc)."""
@@ -61,16 +63,9 @@ def topk_tokens(df: DataFrame, columns: list[str] | None = None,
     counts = melted.groupBy("kind", "column", "token").agg(
         F.count(F.lit(1)).alias("cnt"))
 
-    order = [F.col("cnt").desc(), F.col("token").asc()]
-    w_partial = Window.partitionBy(
-        "kind", "column",
-        F.pmod(F.hash("token"), F.lit(salt_buckets))).orderBy(*order)
-    w_final = Window.partitionBy("kind", "column").orderBy(*order)
-
-    return (counts
-            .withColumn("rn", F.row_number().over(w_partial))
-            .where(F.col("rn") <= k).drop("rn")
-            .withColumn("rank", F.row_number().over(w_final))
+    w = Window.partitionBy("kind", "column").orderBy(
+        F.col("cnt").desc(), F.col("token").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
 
 
