@@ -118,6 +118,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          "documents")
     q["multimodal_features_documents"] = _tq(multimodal.extract_features,
                                              "documents")
+    q["multimodal_frames_documents"] = _tq(multimodal.sample_frames,
+                                           "documents")
+
+    # streaming operators, batch mode (same plan minus watermark state)
+    def _windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+            rank_topk, windowed_token_counts)
+        ev = _load(spark, sf_dir, "events")
+        return rank_topk(windowed_token_counts(ev, watermark=None))
+    q["windowed_topk_events"] = _windowed_topk
 
     # scale-path variants (sketch-based; no SQL oracle — rows-only check)
     q["approx_distinct_lineitem"] = _tq(extras.approx_distinct_counts,
@@ -163,6 +173,25 @@ def oracle_sql() -> dict[str, str]:
     o["lang_id_documents"] = op.lang_id_sql()
     o["fingerprints_documents"] = op.fingerprints_sql()
     o["simhash_near_pairs_documents"] = op.simhash_near_pairs_sql()
+    o["multimodal_frames_documents"] = (
+        "WITH d AS (SELECT doc_id AS id, text, "
+        "CAST(ceil(length(text) / 64.0) AS INTEGER) AS nf FROM documents), "
+        "f AS (SELECT id, unnest(generate_series(0, nf - 1, 2)) AS fi, text "
+        "FROM d WHERE nf > 0) "
+        "SELECT CAST(id AS BIGINT) AS id, CAST(fi AS INTEGER) AS frame_idx, "
+        "CAST(length(substring(text, fi * 64 + 1, 64)) AS BIGINT) "
+        "AS frame_len, md5(substring(text, fi * 64 + 1, 64)) AS frame_md5 "
+        "FROM f")
+    o["windowed_topk_events"] = (
+        "WITH c AS (SELECT time_bucket(INTERVAL '6 hours', "
+        "CAST(ts AS TIMESTAMP)) AS window_start, event_type AS token, "
+        "count(*) AS cnt FROM events GROUP BY 1, 2) "
+        "SELECT window_start, "
+        "window_start + INTERVAL '6 hours' AS window_end, token, "
+        "CAST(cnt AS BIGINT) AS cnt, "
+        "CAST(row_number() OVER (PARTITION BY window_start "
+        "ORDER BY cnt DESC, token ASC) AS INTEGER) AS rank "
+        "FROM c QUALIFY rank <= 5")
     o["ann_lsh_topk"] = op.ann_lsh_sql()
     o["multimodal_meta_documents"] = (
         "SELECT CAST(doc_id AS BIGINT) AS id, "

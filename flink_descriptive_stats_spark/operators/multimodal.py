@@ -59,6 +59,46 @@ def decode_image(payload: bytes) -> "object":
         "image decode requires PIL/opencv; not available in this container")
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL image resize — decode-dependent, so stubbed like decode_image.
+    The Spark-side plumbing for a resize stage is extract_features' shape:
+    binary in -> mapInPandas -> binary/struct out with a declared schema."""
+    raise NotImplementedError(
+        "image resize requires PIL/opencv; not available in this container")
+
+
+def sample_frames(df: DataFrame, content_col: str = "text",
+                  id_col: str = "doc_id", frame_size: int = 64,
+                  stride: int = 2) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: treat the content as
+    consecutive fixed-size frames, keep every ``stride``-th frame, emit
+    (id, frame_idx, frame_len, frame_md5).
+
+    Entirely JVM-side — sequence + explode for the sampled indices,
+    substr slicing, md5 checksum — so it is oracle-checkable and keeps
+    Python out of the hot path; a real video pipeline swaps the substr
+    slice for a decoder UDF with the same dataflow. Frames are defined on
+    the character domain here because the stand-in payloads are text
+    (Spark and DuckDB agree on code-point substring semantics); with real
+    ``binary`` payloads the same plan uses byte offsets.
+
+    Scale: output rows = ceil(payload/frame_size)/stride per doc — the
+    explode fans out before any shuffle, and there is no shuffle at all.
+    """
+    c = F.col(content_col)
+    n_frames = F.ceil(F.length(c) / F.lit(float(frame_size))).cast("int")
+    d = (df.select(F.col(id_col).alias("id"), c.alias("__content"),
+                   n_frames.alias("__nf"))
+         .where(F.col("__nf") > 0))
+    idx = F.explode(F.sequence(F.lit(0), F.col("__nf") - 1, F.lit(stride)))
+    d = d.select("id", "__content", idx.alias("frame_idx"))
+    frame = F.col("__content").substr(
+        F.col("frame_idx") * frame_size + 1, F.lit(frame_size))
+    return d.select("id", "frame_idx",
+                    F.length(frame).cast("bigint").alias("frame_len"),
+                    F.md5(frame).alias("frame_md5"))
+
+
 def _fake_features(payload: bytes) -> tuple[int, int, int, int, list[float]]:
     """Deterministic stand-in for decode+embed: byte statistics."""
     n = len(payload)

@@ -1,0 +1,62 @@
+"""Streaming variants of the pipeline operators (dedup, top-K).
+
+The reference is batch-only; these are the Structured-Streaming analogues a
+continuously-ingesting training-data pipeline needs. Both reuse the batch
+operators' expressions so streaming and batch results coincide on the same
+data (asserted in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def streaming_exact_dedup(stream: DataFrame, content_col: str = "text",
+                          ts_col: str | None = None,
+                          delay: str = "1 hour") -> DataFrame:
+    """Exact streaming dedup on the content hash (same md5 key as
+    operators/dedup.exact_dedup).
+
+    With ``ts_col`` the state is bounded: dropDuplicatesWithinWatermark
+    suppresses duplicates arriving within the watermark delay and evicts
+    state afterwards — the only shape that survives an unbounded stream.
+    Without a timestamp it falls back to dropDuplicates (state grows with
+    distinct keys; fine for bounded backfills, documented not to scale)."""
+    d = stream.withColumn("__content_md5", F.md5(F.col(content_col)))
+    if ts_col:
+        d = d.withWatermark(ts_col, delay)
+        out = d.dropDuplicatesWithinWatermark(["__content_md5"])
+    else:
+        out = d.dropDuplicates(["__content_md5"])
+    return out.drop("__content_md5")
+
+
+def windowed_token_counts(stream: DataFrame, ts_col: str = "ts",
+                          token_col: str = "event_type",
+                          window: str = "6 hours",
+                          watermark: str | None = "1 hour") -> DataFrame:
+    """Streaming-safe per-window token counts — the aggregation half of a
+    windowed top-K. Ranking (row_number) is not allowed mid-stream, so
+    ``rank_topk`` applies to the materialized result (foreachBatch or the
+    memory/table sink); within-window counts are exact. Cross-window global
+    top-K over an unbounded stream needs a sketch (count-min) — documented
+    limitation, mirroring the batch operator's exact-within-scope contract.
+    """
+    if watermark:
+        stream = stream.withWatermark(ts_col, watermark)
+    return (stream
+            .groupBy(F.window(F.col(ts_col), window).alias("win"),
+                     F.col(token_col).alias("token"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"), "token", "cnt"))
+
+
+def rank_topk(counts: DataFrame, k: int = 5) -> DataFrame:
+    """Rank materialized windowed counts into per-window top-K
+    (deterministic ties: cnt desc, token asc)."""
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("cnt").desc(), F.col("token").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -92,6 +92,54 @@ def test_streaming_grouped_by_type(spark):
     assert len(got) == len(batch)
 
 
+def test_streaming_dedup(spark, tmp_path_factory):
+    """Streaming exact dedup drops every duplicate the batch operator
+    would; state key is the same content md5."""
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        streaming_exact_dedup)
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    docs = load_table(spark, SF_DIR, "documents")
+    dup = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    dup.write.mode("overwrite").parquet(src)
+    n_unique = docs.select("text").distinct().count()
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    deduped = streaming_exact_dedup(stream)
+    query = (deduped.writeStream.format("memory")
+             .queryName("dedup_stream").outputMode("append").start())
+    try:
+        query.processAllAvailable()
+        got = spark.table("dedup_stream").count()
+    finally:
+        query.stop()
+    assert got == n_unique
+
+
+def test_streaming_windowed_topk_equals_batch(spark):
+    """Streaming per-window token counts + post-materialization ranking ==
+    batch ranking over the same data."""
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        rank_topk, windowed_token_counts)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = _normalize(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(STREAM_DIR))
+    counts = windowed_token_counts(stream, window="1 day", watermark="1 hour")
+    query = (counts.writeStream.format("memory")
+             .queryName("win_counts").outputMode("complete").start())
+    try:
+        query.processAllAvailable()
+        got = sorted(map(tuple,
+                         rank_topk(spark.table("win_counts")).collect()))
+    finally:
+        query.stop()
+    batch = rank_topk(windowed_token_counts(
+        load_table(spark, SF_DIR, "events"), window="1 day",
+        watermark=None)).collect()
+    assert got == sorted(map(tuple, batch))
+    assert len(got) > 0
+
+
 def test_session_window_batch(spark):
     """Session windows (gap-based) in batch mode — plan sanity + row count
     bounded by events."""
