@@ -129,6 +129,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rank_topk(windowed_token_counts(ev, watermark=None))
     q["windowed_topk_events"] = _windowed_topk
 
+    def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+            sessionize)
+        return sessionize(_load(spark, sf_dir, "events"))
+    q["sessionize_events"] = _sessionize
+
     # scale-path variants (sketch-based; no SQL oracle — rows-only check)
     q["approx_distinct_lineitem"] = _tq(extras.approx_distinct_counts,
                                         "lineitem")
@@ -182,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "CAST(length(substring(text, fi * 64 + 1, 64)) AS BIGINT) "
         "AS frame_len, md5(substring(text, fi * 64 + 1, 64)) AS frame_md5 "
         "FROM f")
+    o["sessionize_events"] = op.sessionize_sql()
     o["windowed_topk_events"] = (
         "WITH c AS (SELECT time_bucket(INTERVAL '6 hours', "
         "CAST(ts AS TIMESTAMP)) AS window_start, event_type AS token, "

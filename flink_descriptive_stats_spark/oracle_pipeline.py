@@ -218,6 +218,32 @@ WHERE ({dot}) / (a.norm * b.norm) >= {threshold}
 """
 
 
+def sessionize_sql(table: str = "events", gap_minutes: int = 30) -> str:
+    """Gaps-and-islands mirror of pipeline_stream.sessionize. Boundary
+    semantics verified against Spark's session_window: events exactly
+    ``gap`` apart MERGE (a new session starts only when the inter-event
+    gap is strictly greater)."""
+    g = f"INTERVAL '{gap_minutes} minutes'"
+    dur = "epoch(max(t) + {g}) - epoch(min(t))".format(g=g)
+    return f"""
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+                  CAST(value AS DOUBLE) AS x FROM {table}),
+l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM e),
+s AS (SELECT *, CASE WHEN pt IS NULL OR t - pt > {g} THEN 1 ELSE 0 END AS ns
+      FROM l),
+gi AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       min(t) AS session_start,
+       max(t) + {g} AS session_end,
+       {duck_sig6(dur)} AS duration_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(x) AS min_val, max(x) AS max_val,
+       {duck_sig6('avg(x)')} AS mean_val
+FROM gi GROUP BY user_id, sid
+"""
+
+
 def _stop_filter(words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(toks, x -> x IN ({lst})))"

@@ -53,6 +53,37 @@ def windowed_token_counts(stream: DataFrame, ts_col: str = "ts",
                     F.col("win.end").alias("window_end"), "token", "cnt"))
 
 
+def sessionize(df: DataFrame, ts_col: str = "ts",
+               key_col: str = "user_id", gap: str = "30 minutes",
+               value_col: str = "value",
+               watermark: str | None = None) -> DataFrame:
+    """Session rollup per key: gap-based session_window groupBy emitting
+    (key, session_start, session_end, duration_s, n_events, value min/max/
+    mean). session_window is Structured-Streaming-native (mergeable session
+    state + watermark eviction); the identical plan runs in batch, which is
+    what the DuckDB gaps-and-islands oracle checks.
+
+    Scale: one shuffle keyed by (key, merged session) — session merging is
+    per-key local after the shuffle; hot keys are bounded by a single user's
+    event volume."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    if watermark:  # required for streaming input (session state eviction)
+        df = df.withWatermark(ts_col, watermark)
+    x = F.col(value_col).cast("double")
+    agg = (df.groupBy(F.session_window(F.col(ts_col), gap).alias("win"),
+                      F.col(key_col))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.min(x).alias("min_val"), F.max(x).alias("max_val"),
+                F.avg(x).alias("__mean")))
+    dur = (F.unix_micros(F.col("win.end"))
+           - F.unix_micros(F.col("win.start"))) / F.lit(1_000_000.0)
+    return agg.select(
+        F.col(key_col), F.col("win.start").alias("session_start"),
+        F.col("win.end").alias("session_end"),
+        sig6(dur).alias("duration_s"), F.col("n_events"),
+        "min_val", "max_val", sig6(F.col("__mean")).alias("mean_val"))
+
+
 def rank_topk(counts: DataFrame, k: int = 5) -> DataFrame:
     """Rank materialized windowed counts into per-window top-K
     (deterministic ties: cnt desc, token asc)."""
