@@ -129,6 +129,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rank_topk(windowed_token_counts(ev, watermark=None))
     q["windowed_topk_events"] = _windowed_topk
 
+    def _grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.streaming.profile_stream import (
+            grouped_profile)
+        return grouped_profile(_load(spark, sf_dir, "events"),
+                               keys=["event_type"])
+    q["grouped_profile_events"] = _grouped_profile
+
     def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         from flink_descriptive_stats_spark.streaming.pipeline_stream import (
             sessionize)
@@ -162,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
     for table, col in _HISTOGRAMS:
         o[f"histogram_{table}_{col}"] = oracle.histogram_sql(table, col)
     o["windowed_profile_events"] = oracle.windowed_profile_sql()
+    o["grouped_profile_events"] = oracle.grouped_profile_sql()
 
     from flink_descriptive_stats_spark import oracle_pipeline as op
     o["dedup_exact_documents"] = op.dedup_exact_sql()

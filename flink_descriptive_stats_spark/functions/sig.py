@@ -55,8 +55,14 @@ def sig6(c: Column) -> Column:
     return (
         F.when(c.isNull() | F.isnan(c), F.lit(None).cast("string"))
         .when(c == 0, F.lit("0e0"))
-        .when(c == float("inf"), F.lit("inf"))
-        .when(c == float("-inf"), F.lit("-inf"))
+        # Magnitudes outside (1e-300, 1e300) render as 0e0 / +-inf: below,
+        # 10^(e-6) denormalizes/underflows; above, the tie-break nudge
+        # overflows — either way the scaled arithmetic loses the
+        # bit-exactness the three implementations rely on. No real
+        # statistic lives out there.
+        .when(F.abs(c) < 1e-300, F.lit("0e0"))
+        .when(c > 1e300, F.lit("inf"))
+        .when(c < -1e300, F.lit("-inf"))
         .otherwise(F.concat(m2.cast("string"), F.lit("e"),
                             (e2 - 6).cast("string")))
     )
@@ -75,9 +81,9 @@ def sig6_py(x: float | None) -> str | None:
 
     if x is None or math.isnan(x):
         return None
-    if x == 0:
+    if x == 0 or abs(x) < 1e-300:  # domain guards: see sig6
         return "0e0"
-    if math.isinf(x):
+    if math.isinf(x) or abs(x) > 1e300:
         return "inf" if x > 0 else "-inf"
     y = x * NUDGE
     e = math.floor(math.log10(abs(y)))
@@ -98,12 +104,13 @@ def duck_sig6(expr: str) -> str:
     """
     x = f"CAST(({expr}) AS DOUBLE)"
     safe = (f"(CASE WHEN {x} IS NULL OR {x} = 0 OR isnan({x}) "
-            f"OR NOT isfinite({x}) THEN 1.0 ELSE {x} * {NUDGE!r} END)")
+            f"OR NOT isfinite({x}) OR abs({x}) < 1e-300 "
+            f"OR abs({x}) > 1e300 THEN 1.0 ELSE {x} * {NUDGE!r} END)")
     return (
         f"CASE WHEN {x} IS NULL OR isnan({x}) THEN NULL "
-        f"WHEN {x} = 0 THEN '0e0' "
-        f"WHEN {x} = 'infinity'::DOUBLE THEN 'inf' "
-        f"WHEN {x} = '-infinity'::DOUBLE THEN '-inf' "
+        f"WHEN {x} = 0 OR abs({x}) < 1e-300 THEN '0e0' "
+        f"WHEN {x} > 1e300 THEN 'inf' "
+        f"WHEN {x} < -1e300 THEN '-inf' "
         f"ELSE (SELECT CASE WHEN abs(m) >= 10000000 "
         f"      THEN printf('%de%d', CAST(m / 10 AS BIGINT), e + 1 - 6) "
         f"      ELSE printf('%de%d', m, e - 6) END "

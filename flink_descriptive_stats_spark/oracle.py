@@ -382,6 +382,35 @@ FROM p
 """
 
 
+def grouped_profile_sql(table: str = "events", key: str = "event_type",
+                        value_col: str = "value") -> str:
+    """Oracle for streaming/profile_stream.grouped_profile: the windowed
+    oracle with the time bucket replaced by a dimension key."""
+    from flink_descriptive_stats_spark.streaming.profile_stream import (
+        WINDOW_STATS)
+    derived = ",\n       ".join(_derived_sql(WINDOW_STATS))
+    return f"""
+WITH b AS (SELECT {key} AS k, CAST({value_col} AS DOUBLE) AS x FROM {table}),
+m AS (SELECT k, avg(x) AS mu FROM b GROUP BY k),
+a AS (
+  SELECT b.k, count(*) AS row_count, count(x) AS n,
+         count(*) FILTER (WHERE x IS NULL) AS null_count,
+         min(x) AS mn, max(x) AS mx, avg(x) AS mean,
+         sum(pow(x - mu, 2)) AS m2, sum(pow(x - mu, 3)) AS m3,
+         sum(pow(x - mu, 4)) AS m4
+  FROM b JOIN m ON b.k = m.k GROUP BY b.k
+),
+p AS (SELECT *, {_PRE_DERIVED_CASES} FROM a)
+SELECT k AS {key},
+       CAST(row_count AS BIGINT) AS row_count,
+       CAST(null_count AS BIGINT) AS null_count,
+       CAST(n AS BIGINT) AS numeric_count,
+       mn AS min_val, mx AS max_val,
+       {derived}
+FROM p
+"""
+
+
 def completeness_sql(table: str) -> str:
     conds = []
     for col, ts in TABLE_SCHEMAS[table]:

@@ -68,6 +68,29 @@ def windowed_profile(df: DataFrame, ts_col: str = "ts",
     return agg.select(*out)
 
 
+def grouped_profile(df: DataFrame, keys: list[str],
+                    value_col: str = "value") -> DataFrame:
+    """The windowed profile's aggregate bundle keyed by arbitrary dimension
+    columns instead of a time window — per-group numeric profile in one
+    partial+final aggregation pass (grouped analogue of the reference's
+    whole-column profile; same moments, same derived statistics)."""
+    x = F.col(value_col).cast("double")
+    agg = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.count_if(x.isNull()).alias("null_count"),
+        *moments.numeric_agg_exprs(x, ""),
+    )
+    d = moments.derived_stats(F.col("n"), F.col("row_count"), F.col("mean"),
+                              F.col("var_pop"), F.col("var_samp"),
+                              F.col("skew_raw"), F.col("kurt_raw"))
+    return agg.select(
+        *[F.col(k) for k in keys],
+        F.col("row_count"), F.col("null_count"),
+        F.col("n").alias("numeric_count"),
+        F.col("min").alias("min_val"), F.col("max").alias("max_val"),
+        *[sig6(d[s]).alias(s) for s in WINDOW_STATS])
+
+
 def streaming_windowed_profile(spark, source_dir: str, schema,
                                ts_col: str = "ts", value_col: str = "value",
                                window: str = "6 hours",

@@ -125,3 +125,35 @@ def test_sig6_cross_engine_ties(spark):
     assert got_spark == got_duck
     assert got_spark[0] == "3333333e-1"  # half-up/away, not banker's
     assert got_spark[1] == "0e0" and got_spark[2] == "0e0"
+
+
+def test_sig6_three_way_property(spark):
+    """Property: sig6 (Spark), duck_sig6 (DuckDB) and sig6_py (Python)
+    agree on arbitrary doubles — the foundation of the whole oracle
+    strategy. Hypothesis drives the values; evaluation is batched per
+    engine to keep the test fast."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+    from flink_descriptive_stats_spark.functions.sig import (
+        duck_sig6, sig6, sig6_py)
+
+    collected: list[float] = []
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.floats(allow_nan=False, allow_infinity=False))
+    def gather(x):
+        collected.append(x)
+
+    gather()
+    vals = collected + [float("nan"), float("inf"), float("-inf"),
+                        5e-324, -5e-324, 1e-300, 1.7e308]
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [r[0] for r in df.select(sig6(F.col("x"))).collect()]
+    con = duckdb.connect()
+    got_duck = [r[0] for r in con.execute(
+        f"SELECT {duck_sig6('x')} FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+        [vals]).fetchall()]
+    got_py = [sig6_py(v) for v in vals]
+    for v, s, d, p in zip(vals, got_spark, got_duck, got_py):
+        assert s == d == p, f"x={v!r}: spark={s} duck={d} py={p}"
