@@ -10,9 +10,10 @@ SURVEY.md), re-expressed idiomatically on Spark DataFrames:
   same algebraic-merge model as the reference's ``StatsPojo.reduce``
   (reference: src/main/java/org/apache/flink/stats/StatsPojo.java:101-155).
 - top-K frequent values / character patterns are ONE multiplexed grouped job
-  over a melted (column, token) frame with salted two-stage grouped top-K
-  (reference runs 2 serial parallelism-1 sorts per string column,
-  ProfileJob.java:195-208 — an anti-pattern at scale).
+  over a melted (column, token) frame, with Spark's WindowGroupLimit
+  rank-limit pushdown bounding the per-column funnel (reference runs 2
+  serial parallelism-1 sorts per string column, ProfileJob.java:195-208 —
+  an anti-pattern at scale).
 - the same aggregate bundle runs under Structured Streaming windows.
 
 Extensions beyond the reference surface: distinct counts, quartiles,

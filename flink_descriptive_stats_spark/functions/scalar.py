@@ -221,8 +221,9 @@ def parses_float_expr(c: Column) -> Column:
 
 
 def duck_parses_float(name: str) -> str:
-    re_sql = FLOAT_RE.replace("\\", "\\")
-    return f"regexp_matches(trim({name}), '{re_sql}')"
+    # FLOAT_RE contains no single quotes and RE2 accepts the same escapes,
+    # so the pattern embeds into the SQL literal verbatim.
+    return f"regexp_matches(trim({name}), '{FLOAT_RE}')"
 
 
 def parses_date_expr(c: Column) -> Column:

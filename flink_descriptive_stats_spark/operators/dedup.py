@@ -71,9 +71,13 @@ def shingle_hashes_long(df: DataFrame, content_col: str = "text",
     (Jaccard). Min-aggregating consumers (MinHash) pass distinct=False:
     min over the multiset equals min over the set, so they stay
     shuffle-free up to their own groupBy.
+
+    NULL-content rows are excluded (mirrored by the oracle's tokens CTE):
+    a NULL document has no content to dedup by.
     """
-    toks = df.select(F.col(id_col).alias("id"),
-                     H.tokens_expr(F.col(content_col)).alias("tk"))
+    toks = df.where(F.col(content_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        H.tokens_expr(F.col(content_col)).alias("tk"))
     idx = F.explode(F.sequence(F.lit(0),
                                F.greatest(F.size("tk") - n, F.lit(0))))
     d = toks.select("id", "tk", idx.alias("i"))
@@ -180,8 +184,10 @@ def simhash_signatures(df: DataFrame, content_col: str = "text",
                        id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """Per-doc SimHash over token hashes (word-level, 32-bit): bit b is set
     iff the signed sum of token-hash bit b over all tokens is >= 0.
-    Output: (id, simhash)."""
-    d = (df.withColumn("__toks", H.tokens_expr(F.col(content_col)))
+    Output: (id, simhash). NULL-content rows are excluded (mirrored by the
+    oracle's tokens CTE)."""
+    d = (df.where(F.col(content_col).isNotNull())
+         .withColumn("__toks", H.tokens_expr(F.col(content_col)))
          .withColumn("__hashes",
                      F.transform(F.col("__toks"), H.token_hash)))
     bit_terms = []
@@ -200,7 +206,13 @@ def simhash_near_pairs(df: DataFrame, content_col: str = "text",
                        max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on half-signature
     bands (a pair within distance d <= 3 shares at least one of 4 8-bit
-    bands unchanged — pigeonhole) to avoid the all-pairs join."""
+    bands unchanged — pigeonhole) to avoid the all-pairs join. The 4-band
+    blocking is exhaustive ONLY for max_hamming <= 3; larger radii would
+    silently miss pairs, so they are rejected."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-band blocking is exhaustive only for max_hamming <= 3; "
+            "use more/narrower bands for a larger radius")
     sig = simhash_signatures(df, content_col, id_col)
     bands = []
     for b in range(4):
@@ -289,14 +301,17 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     B mapInPandas passes (same plan per block), or prefilter candidates with
     operators/similarity.lsh_topk buckets instead of the dense GEMM."""
     from flink_descriptive_stats_spark.operators.similarity import with_norm
-    d = with_norm(df, id_col, vec_col)
     spark = df.sparkSession
-    rows = d.select("id", "v", "norm").collect()
+    # ONE scan of the input: everything downstream (prefilter batches,
+    # broadcast matrix, exact-recheck join sides) reuses the collected
+    # normalized corpus instead of re-deriving the with_norm plan.
+    rows = with_norm(df, id_col, vec_col).collect()
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     mat = mat / np.array([r["norm"] for r in rows], dtype=np.float64)[:, None]
     bc = spark.sparkContext.broadcast((ids, mat))
     eps = 1e-9
+    d = spark.createDataFrame(rows, "id bigint, v array<double>, norm double")
 
     def gen(batches):
         corpus_ids, corpus = bc.value

@@ -78,7 +78,9 @@ def quantiles(df: DataFrame, columns: list[str] | None = None,
     arr = F.array(*[F.lit(p) for p in probs])
     agg = df.agg(*[fn(F.col(c), arr).alias(c) for c in cols])
     row = agg.collect()[0]
-    out = [tuple([c] + [sig6_py(v) for v in row[c]]) for c in cols]
+    out = [tuple([c] + ([None] * len(probs) if row[c] is None
+                        else [sig6_py(v) for v in row[c]]))
+           for c in cols]  # row[c] is NULL for an all-NULL column
     names = ", ".join(f"q_{int(p * 100)} string" for p in probs)
     return df.sparkSession.createDataFrame(out, f"column string, {names}")
 
@@ -120,7 +122,14 @@ def outlier_counts(df: DataFrame,
 
     One stats pass (quartiles + mean/stddev for every column in one agg),
     then ONE counting pass with all the fence predicates — two jobs total
-    regardless of column count."""
+    regardless of column count.
+
+    The fence inputs (q1/q3/mu/sd) are round-tripped through the sig6
+    7-significant-digit rendering before the fences are derived — the
+    oracle does the same — so both engines compare data against
+    bit-identical fence values instead of ULP-divergent raw aggregates.
+    An all-NULL column has undefined fences; its counts are 0 (matching
+    SQL's count-FILTER-over-NULL-predicate semantics)."""
     cols = columns or numeric_columns(df)
     arr = F.array(F.lit(0.25), F.lit(0.75))
     stats_row = df.agg(*(
@@ -129,22 +138,30 @@ def outlier_counts(df: DataFrame,
         + [F.stddev_pop(F.col(c)).alias(f"{c}__sd") for c in cols]
     )).collect()[0]
 
+    def _rt(v):  # sig6 round-trip ('3333333e-1' parses straight back)
+        s = sig6_py(v)
+        return None if s is None else float(s)
+
     count_exprs = []
-    fences = {}
+    no_fence = set()
     for c in cols:
-        q1, q3 = stats_row[f"{c}__q"]
-        mu, sd = stats_row[f"{c}__mu"], stats_row[f"{c}__sd"]
+        q = stats_row[f"{c}__q"]
+        mu, sd = _rt(stats_row[f"{c}__mu"]), _rt(stats_row[f"{c}__sd"])
+        if q is None or mu is None or sd is None:
+            no_fence.add(c)
+            continue
+        q1, q3 = _rt(q[0]), _rt(q[1])
         iqr = q3 - q1
         lo_iqr, hi_iqr = q1 - 1.5 * iqr, q3 + 1.5 * iqr
         lo_sig, hi_sig = mu - 3.0 * sd, mu + 3.0 * sd
-        fences[c] = (lo_iqr, hi_iqr, lo_sig, hi_sig)
         x = F.col(c)
         count_exprs.append(F.count_if(
             (x < F.lit(lo_iqr)) | (x > F.lit(hi_iqr))).alias(f"{c}__iqr"))
         count_exprs.append(F.count_if(
             (x < F.lit(lo_sig)) | (x > F.lit(hi_sig))).alias(f"{c}__sig"))
-    counts = df.agg(*count_exprs).collect()[0]
-    out = [(c, counts[f"{c}__iqr"], counts[f"{c}__sig"]) for c in cols]
+    counts = df.agg(*count_exprs).collect()[0] if count_exprs else {}
+    out = [(c, 0, 0) if c in no_fence
+           else (c, counts[f"{c}__iqr"], counts[f"{c}__sig"]) for c in cols]
     return df.sparkSession.createDataFrame(
         out, "column string, iqr_outliers bigint, sigma3_outliers bigint")
 

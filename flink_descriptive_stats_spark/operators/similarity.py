@@ -4,13 +4,13 @@ Two strategies:
 
 - brute_force_topk: exact cosine top-k. The query side is small and
   broadcast; the corpus side streams partition-parallel, so the plan is
-  scan -> broadcast-nested-loop -> per-partition partial top-k via the
-  salted window pattern. Exact, oracle-checkable (the dot product is a
+  scan -> broadcast join -> ranked window (WindowGroupLimit bounds the
+  per-query funnel). Exact, oracle-checkable (the dot product is a
   left-fold in index order, bit-identical to DuckDB's list_reduce).
-- lsh_topk: random-hyperplane LSH buckets (sign bits of d_hp deterministic
-  pseudo-hyperplanes), candidates restricted to same-bucket (plus optional
-  multi-probe neighbors), then exact re-rank. At 100 TB the bucket join
-  replaces the all-pairs product with per-bucket blocks.
+- lsh_topk: random-hyperplane LSH buckets (sign bits against deterministic
+  pseudo-hyperplanes), candidates restricted to same-bucket, then exact
+  re-rank. At 100 TB the bucket join replaces the all-pairs product with
+  per-bucket blocks.
 
 All vector math uses built-in higher-order array functions (zip_with /
 aggregate) — JVM-side, no Python in the hot path. The IVF alternative

@@ -53,8 +53,10 @@ def _stopword_hits(tokens, words: tuple[str, ...]):
 
 def text_stats(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
-    """Per-doc text statistics + composite quality score."""
+    """Per-doc text statistics + composite quality score. NULL-text rows
+    are excluded (mirrored by the oracle's tokens CTE)."""
     from flink_descriptive_stats_spark.functions.sig import sig6
+    df = df.where(F.col(text_col).isNotNull())
     c = F.col(text_col)
     toks = H.tokens_expr(c)
     n_tok = F.size(toks)
@@ -101,14 +103,15 @@ def text_stats(df: DataFrame, text_col: str = "text",
 def lang_id(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Stopword-hit language scores + predicted language (fixed tie order
-    en > de > fr > es > zh)."""
+    en > de > fr > es > zh). NULL-text rows are excluded (mirrored by the
+    oracle's tokens CTE)."""
+    df = df.where(F.col(text_col).isNotNull())
     c = F.col(text_col)
     toks = H.tokens_expr(c)
     scores = {lang: _stopword_hits(toks, words)
               for lang, words in STOPWORDS.items()}
     scores["zh"] = _count_matches(c, CJK_RE)
 
-    pred = None
     # first maximum in LANG_ORDER wins
     conds = []
     for lang in LANG_ORDER:
@@ -136,7 +139,9 @@ def fingerprints(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: order-insensitive (md5 of sorted distinct
     tokens) and order-sensitive (rolling polynomial hash over the token
-    sequence, mod 2^31-1)."""
+    sequence, mod 2^31-1). NULL-text rows are excluded (mirrored by the
+    oracle's tokens CTE)."""
+    df = df.where(F.col(text_col).isNotNull())
     c = F.col(text_col)
     toks = H.tokens_expr(c)
     bag = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))

@@ -312,6 +312,11 @@ FROM b GROUP BY bucket, mn, mx
 
 
 def outliers_sql(table: str) -> str:
+    # Fence inputs are sig6-round-tripped (render to 7 sig digits, cast
+    # back to DOUBLE) exactly like extras.outlier_counts, so both engines
+    # derive fences from bit-identical values. NULL fences (all-NULL
+    # column) make the FILTER predicates NULL -> counts 0, matching the
+    # Spark side's explicit zeros.
     branches = []
     for c in _numeric_cols(table):
         x = f"CAST({c} AS DOUBLE)"
@@ -324,9 +329,11 @@ SELECT '{c}' AS "column",
                            OR x > mu + 3.0 * sd) AS BIGINT)
     AS sigma3_outliers
 FROM (SELECT {x} AS x FROM {table})
-CROSS JOIN (SELECT quantile_cont({x}, 0.25) AS q1,
-                   quantile_cont({x}, 0.75) AS q3,
-                   avg({x}) AS mu, stddev_pop({x}) AS sd FROM {table})
+CROSS JOIN (SELECT
+    CAST({duck_sig6(f'quantile_cont({x}, 0.25)')} AS DOUBLE) AS q1,
+    CAST({duck_sig6(f'quantile_cont({x}, 0.75)')} AS DOUBLE) AS q3,
+    CAST({duck_sig6(f'avg({x})')} AS DOUBLE) AS mu,
+    CAST({duck_sig6(f'stddev_pop({x})')} AS DOUBLE) AS sd FROM {table})
 GROUP BY q1, q3, mu, sd""")
     return "\nUNION ALL\n".join(branches)
 
@@ -398,7 +405,7 @@ a AS (
          min(x) AS mn, max(x) AS mx, avg(x) AS mean,
          sum(pow(x - mu, 2)) AS m2, sum(pow(x - mu, 3)) AS m3,
          sum(pow(x - mu, 4)) AS m4
-  FROM b JOIN m ON b.k = m.k GROUP BY b.k
+  FROM b JOIN m ON b.k IS NOT DISTINCT FROM m.k GROUP BY b.k
 ),
 p AS (SELECT *, {_PRE_DERIVED_CASES} FROM a)
 SELECT k AS {key},

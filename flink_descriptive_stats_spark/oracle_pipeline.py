@@ -16,8 +16,11 @@ P = H.MERSENNE_P
 
 def _tokens_cte(table: str = "documents", id_col: str = "doc_id",
                 text_col: str = "text") -> str:
+    # NULL-content rows are excluded on both sides (the Spark operators
+    # filter isNotNull): a NULL document has no content to analyze.
     return (f"t AS (SELECT {id_col} AS id, {text_col} AS text, "
-            f"{H.duck_tokens(text_col)} AS toks FROM {table})")
+            f"{H.duck_tokens(text_col)} AS toks FROM {table} "
+            f"WHERE {text_col} IS NOT NULL)")
 
 
 def _shingle_hash_cte(n: int = 3) -> str:

@@ -49,6 +49,36 @@ def test_partitioning_invariance(spark, docs, parts):
     assert stats == sorted(map(tuple, text_ops.text_stats(docs).collect()))
 
 
+def test_null_text_excluded(spark):
+    """Content operators exclude NULL-text rows (mirrored in the oracle's
+    tokens CTE) instead of hashing them like empty strings."""
+    df = spark.createDataFrame(
+        [(1, "the quick fox"), (2, None), (3, "")],
+        "doc_id long, text string")
+    assert {r["id"] for r in dedup.minhash_signatures(df).collect()} == {1, 3}
+    assert {r["id"] for r in dedup.simhash_signatures(df).collect()} == {1, 3}
+    assert {r["id"] for r in text_ops.fingerprints(df).collect()} == {1, 3}
+    assert {r["id"] for r in text_ops.text_stats(df).collect()} == {1, 3}
+
+
+def test_all_null_column_quantiles_outliers(spark):
+    """All-NULL numeric columns: quantiles render NULL, outlier counts are
+    0 (SQL count-FILTER semantics), no crash."""
+    from flink_descriptive_stats_spark.operators import extras
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (100.0, None)],
+        "a double, b double")
+    q = {r["column"]: r for r in extras.quantiles(df).collect()}
+    assert q["a"]["q_50"] is not None and q["b"]["q_50"] is None
+    o = {r["column"]: r for r in extras.outlier_counts(df).collect()}
+    assert o["b"]["iqr_outliers"] == 0 and o["b"]["sigma3_outliers"] == 0
+
+
+def test_simhash_near_pairs_radius_guard(docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_near_pairs(docs, max_hamming=4)
+
+
 def test_minhash_identical_docs_equal_sigs(docs):
     sigs = dedup.minhash_signatures(docs).collect()
     by_id = {}
