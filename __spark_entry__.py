@@ -54,8 +54,9 @@ def _tq(fn, table, **kw):
 
 
 _PROFILE_TABLES = ("lineitem", "orders", "customer", "part", "events",
-                   "documents", "nation")
-_TOPK_TABLES = ("lineitem", "customer", "part", "orders", "events", "nation")
+                   "documents", "nation", "supplier", "region")
+_TOPK_TABLES = ("lineitem", "customer", "part", "orders", "events", "nation",
+                "documents", "supplier", "region")
 _COMPLETENESS_TABLES = ("lineitem", "supplier")
 _DISTINCT_TABLES = ("lineitem", "orders", "events")
 _QUANTILE_TABLES = ("lineitem", "customer", "events")
