@@ -84,6 +84,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for table, col in _HISTOGRAMS:
         q[f"histogram_{table}_{col}"] = _tq(extras.histogram, table,
                                             column=col)
+    # D8 as data: JB normality verdicts over the profile output
+    def _jb(table):
+        def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from flink_descriptive_stats_spark.report import jb_report
+            return jb_report(prof.profile(_load(spark, sf_dir, table)))
+        return q
+    q["jb_report_lineitem"] = _jb("lineitem")
+    q["jb_report_events"] = _jb("events")
+
     # windowed profile (batch mode of the streaming operator; tumbling 6h)
     def _windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         from flink_descriptive_stats_spark.streaming.profile_stream import (
@@ -169,6 +178,9 @@ def oracle_sql() -> dict[str, str]:
         o[f"corr_{table}"] = oracle.correlation_sql(table)
     for table, col in _HISTOGRAMS:
         o[f"histogram_{table}_{col}"] = oracle.histogram_sql(table, col)
+    from flink_descriptive_stats_spark.report import jb_report_sql
+    o["jb_report_lineitem"] = jb_report_sql("lineitem")
+    o["jb_report_events"] = jb_report_sql("events")
     o["windowed_profile_events"] = oracle.windowed_profile_sql()
     o["grouped_profile_events"] = oracle.grouped_profile_sql()
 

@@ -51,6 +51,36 @@ def kurtosis_interpretation(excess: float | None) -> str:
             else "platykurtic (excess < 0)")
 
 
+def jb_report(profile_df: DataFrame) -> DataFrame:
+    """D8 as data: per profiled column, the Jarque-Bera score and the
+    H0-normality verdict at each chi-square(df=2) critical level. Built on
+    profile() output; the sig6-rendered jb_score string parses straight
+    back to DOUBLE identically in both engines, so verdicts can't drift."""
+    from pyspark.sql import functions as F
+    jb = F.col("jb_score").cast("double")
+    cols = [F.col("column"), F.col("jb_score")]
+    for crit, alpha in JB_CRITICAL:
+        verdict = (F.when(jb.isNull(), F.lit(None).cast("string"))
+                   .when(jb > crit, F.lit("REJECTED"))
+                   .otherwise(F.lit("ACCEPTED")))
+        cols.append(verdict.alias(f"h0_at_{alpha.replace('.', '_')}"))
+    return (profile_df.where(F.col("numeric_count") > 0).select(*cols))
+
+
+def jb_report_sql(table: str) -> str:
+    """DuckDB mirror of jb_report over the profile oracle."""
+    from flink_descriptive_stats_spark import oracle
+    inner = oracle.profile_table_sql(table)
+    verdicts = ", ".join(
+        f"CASE WHEN jb IS NULL THEN NULL "
+        f"WHEN jb > {crit} THEN 'REJECTED' ELSE 'ACCEPTED' END "
+        f"AS h0_at_{alpha.replace('.', '_')}"
+        for crit, alpha in JB_CRITICAL)
+    return (f"SELECT \"column\", jb_score, {verdicts} "
+            f"FROM (SELECT *, CAST(jb_score AS DOUBLE) AS jb FROM ({inner})) "
+            f"WHERE numeric_count > 0")
+
+
 def render_profile(profile_df: DataFrame,
                    topk_df: DataFrame | None = None,
                    complete_df: DataFrame | None = None) -> str:
