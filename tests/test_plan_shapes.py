@@ -1,0 +1,58 @@
+"""Physical-plan regression tests: the scale-critical plan properties the
+engine is designed around (README "Execution-shape decisions") must not
+silently regress — a wrong plan can be correct at sf0.01 and catastrophic
+at 100 TB.
+"""
+
+from pyspark.sql import functions as F
+
+from flink_descriptive_stats_spark.operators import profile as prof
+from flink_descriptive_stats_spark.operators import topk
+from flink_descriptive_stats_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def test_profile_agg_single_pass(spark):
+    """Flagship invariant: scan -> partial HashAggregate -> ONE exchange ->
+    final HashAggregate. More exchanges = someone broke the single-pass
+    design; more scans = per-column fan-out crept back in."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    agg_exprs = [F.count(F.lit(1)).alias("row_count")]
+    for i, f in enumerate(li.schema.fields):
+        agg_exprs += prof._agg_exprs_for_column(i, f.name, f.dataType)
+    plan = _formatted_plan(li.agg(*agg_exprs))
+    assert plan.count("Exchange") == 2        # node + detail section
+    assert plan.count("Scan parquet") == 2    # one scan (listed twice)
+    assert plan.count("HashAggregate") >= 2   # partial + final
+
+
+def test_topk_pruned_scan_and_group_limit(spark):
+    """Top-K invariants: parquet scan reads ONLY the string columns
+    (column pruning reaches the reader) and WindowGroupLimit bounds the
+    final window's input (rank-limit pushdown, the no-salting rationale)."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    plan = _formatted_plan(topk.topk_tokens(li))
+    import re
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"l_returnflag", "l_linestatus"}
+    # two WindowGroupLimit nodes (Partial before the exchange + Final),
+    # each listed twice in formatted mode (tree + detail section)
+    assert plan.count("WindowGroupLimit") >= 4, plan
+
+
+def test_completeness_single_agg(spark):
+    """Completeness is one filterless agg pass (count + count_if), not a
+    filter+count second job."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    plan = _formatted_plan(prof.complete_row_count(li))
+    assert plan.count("Scan parquet") == 2    # one scan (listed twice)
+    assert plan.count("Exchange") == 2        # one exchange (single row)
