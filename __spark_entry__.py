@@ -118,6 +118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_near_pairs_documents"] = _tq(dedup.simhash_near_pairs,
                                             "documents")
     q["text_stats_documents"] = _tq(text_ops.text_stats, "documents")
+    q["quality_filter_documents"] = _tq(text_ops.quality_filter, "documents")
+    q["embedding_dim_profile"] = _tq(similarity.embedding_dim_profile,
+                                     "embeddings")
     q["lang_id_documents"] = _tq(text_ops.lang_id, "documents")
     q["fingerprints_documents"] = _tq(text_ops.fingerprints, "documents")
 
@@ -197,6 +200,8 @@ def oracle_sql() -> dict[str, str]:
     o["embedding_neardup_pairs"] = op.embedding_neardup_sql()
     o["ann_cosine_topk"] = op.ann_brute_force_sql()
     o["text_stats_documents"] = op.text_stats_sql()
+    o["quality_filter_documents"] = op.quality_filter_sql()
+    o["embedding_dim_profile"] = op.embedding_dim_profile_sql()
     o["lang_id_documents"] = op.lang_id_sql()
     o["fingerprints_documents"] = op.fingerprints_sql()
     o["simhash_near_pairs_documents"] = op.simhash_near_pairs_sql()

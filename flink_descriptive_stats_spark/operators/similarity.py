@@ -100,6 +100,26 @@ def lsh_bucket_expr(vec: F.Column, planes: list[list[float]]):
     return out
 
 
+def embedding_dim_profile(df: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension statistics of an embedding column — the drift-detection
+    profile for vector datasets: (dim, n, mean, stddev_pop, min, max).
+
+    posexplode keeps the plan scan-local until one groupBy(dim) shuffle
+    with map-side partial aggregation; dim cardinality == vector width, so
+    the final aggregate is tiny at any input scale."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    d = (df.where(F.col(vec_col).isNotNull())
+         .select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                 .alias("dim", "x")))
+    return (d.groupBy("dim")
+            .agg(F.count("x").alias("n"),
+                 sig6(F.avg("x")).alias("mean"),
+                 sig6(F.stddev_pop("x")).alias("stddev_pop"),
+                 F.min("x").alias("min_val"),
+                 F.max("x").alias("max_val")))
+
+
 def lsh_topk(df: DataFrame, k: int = 5, n_planes: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
              max_query_id: int | None = 10, dim: int = 64) -> DataFrame:

@@ -135,6 +135,20 @@ def lang_id(df: DataFrame, text_col: str = "text",
     )
 
 
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_score: float = 0.5) -> DataFrame:
+    """The training-data consumer of text_stats: keep documents whose
+    composite quality score clears ``min_score``, preserving input columns.
+    The score is compared in its sig6 rendering's round-tripped double form
+    on both engines, so the cut is bit-identical (see sig.py)."""
+    scored = text_stats(df, text_col, id_col).select(
+        F.col("id"), F.col("quality_score"))
+    kept = scored.where(
+        F.col("quality_score").cast("double") >= min_score)
+    return df.join(kept.select(F.col("id").alias(id_col)), id_col, "semi")
+
+
 def fingerprints(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: order-insensitive (md5 of sorted distinct

@@ -247,6 +247,29 @@ FROM gi GROUP BY user_id, sid
 """
 
 
+def quality_filter_sql(table: str = "documents",
+                       min_score: float = 0.5) -> str:
+    """Mirror of text.quality_filter: semi-join on the sig6-round-tripped
+    quality score."""
+    return (f"SELECT d.* FROM {table} d WHERE d.doc_id IN "
+            f"(SELECT id FROM ({text_stats_sql(table)}) "
+            f"WHERE CAST(quality_score AS DOUBLE) >= {min_score})")
+
+
+def embedding_dim_profile_sql(table: str = "embeddings") -> str:
+    """Mirror of similarity.embedding_dim_profile (0-based dims)."""
+    return f"""
+WITH e AS (SELECT CAST(i - 1 AS INTEGER) AS dim, embedding[i]::DOUBLE AS x
+           FROM {table}, unnest(generate_series(1, len(embedding))) AS t(i)
+           WHERE embedding IS NOT NULL)
+SELECT dim, CAST(count(x) AS BIGINT) AS n,
+       {duck_sig6('avg(x)')} AS mean,
+       {duck_sig6('stddev_pop(x)')} AS stddev_pop,
+       min(x) AS min_val, max(x) AS max_val
+FROM e GROUP BY dim
+"""
+
+
 def _stop_filter(words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(toks, x -> x IN ({lst})))"
