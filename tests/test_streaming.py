@@ -140,6 +140,30 @@ def test_streaming_windowed_topk_equals_batch(spark):
     assert len(got) > 0
 
 
+def test_streaming_sessionize_subset_of_batch(spark):
+    """Streaming sessionize (session_window + watermark, append mode — the
+    only mode session windows support): every emitted (finalized) session
+    must match a batch session exactly; sessions past the final watermark
+    are withheld, so subset not equality."""
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        sessionize)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = _normalize(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(STREAM_DIR))
+    sess = sessionize(stream, watermark="1 hour")
+    query = (sess.writeStream.format("memory")
+             .queryName("sessions_stream").outputMode("append").start())
+    try:
+        query.processAllAvailable()
+        got = {tuple(r) for r in spark.table("sessions_stream").collect()}
+    finally:
+        query.stop()
+    batch = {tuple(r) for r in
+             sessionize(load_table(spark, SF_DIR, "events")).collect()}
+    assert len(got) > 0
+    assert got <= batch
+
+
 def test_session_window_batch(spark):
     """Session windows (gap-based) in batch mode — plan sanity + row count
     bounded by events."""
