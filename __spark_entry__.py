@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flink_descriptive_stats_spark import oracle
 from flink_descriptive_stats_spark.operators import extras
@@ -105,6 +106,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from flink_descriptive_stats_spark.operators import text as text_ops
     q["dedup_exact_documents"] = _tq(dedup.exact_dedup, "documents")
     q["dedup_keep_first_documents"] = _tq(dedup.keep_first, "documents")
+
+    def _decontam(fuzzy):
+        def qf(spark: SparkSession, sf_dir: str) -> DataFrame:
+            docs = _load(spark, sf_dir, "documents")
+            train = docs.where(F.col("doc_id") % 10 != 0)
+            holdout = docs.where(F.col("doc_id") % 10 == 0)
+            return dedup.decontaminate(train, holdout, fuzzy=fuzzy)
+        return qf
+    q["decontaminate_exact_documents"] = _decontam(False)
+    q["decontaminate_fuzzy_documents"] = _decontam(True)
+    q["corpus_summary_documents"] = _tq(text_ops.corpus_summary, "documents")
     q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
                                             "documents")
     q["minhash_pairs_documents"] = _tq(dedup.minhash_dedup_pairs, "documents")
@@ -189,6 +201,9 @@ def oracle_sql() -> dict[str, str]:
 
     from flink_descriptive_stats_spark import oracle_pipeline as op
     o["dedup_exact_documents"] = op.dedup_exact_sql()
+    o["decontaminate_exact_documents"] = op.decontaminate_exact_sql()
+    o["decontaminate_fuzzy_documents"] = op.decontaminate_fuzzy_sql()
+    o["corpus_summary_documents"] = op.corpus_summary_sql()
     o["dedup_keep_first_documents"] = (
         "SELECT * FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY md5(text) "

@@ -91,6 +91,35 @@ def shingle_hashes_long(df: DataFrame, content_col: str = "text",
                                    F.lit(H.MERSENNE_P)).alias("sh"))
 
 
+def decontaminate(train: DataFrame, holdout: DataFrame,
+                  content_col: str = "text", id_col: str = "doc_id",
+                  fuzzy: bool = False, n: int = 3) -> DataFrame:
+    """Remove from ``train`` every document whose content appears in
+    ``holdout`` (eval-set decontamination).
+
+    exact (default): anti-join on content md5 — one shuffle keyed by the
+    hash (or a broadcast of the holdout hashes when the holdout is small,
+    which AQE picks automatically; eval sets usually are).
+
+    fuzzy=True: anti-join on MinHash LSH band keys — drops any train doc
+    sharing a band bucket with a holdout doc. Band collision at the default
+    parameters (4 bands x 4 rows) fires with probability ~j^4 per band for
+    Jaccard j, so this over-removes aggressive near-duplicates — the right
+    bias for decontamination (prefer losing a training doc to leaking an
+    eval doc)."""
+    if not fuzzy:
+        key = F.md5(F.col(content_col)).alias("__k")
+        return (train.withColumn("__k", key)
+                .join(holdout.select(key).distinct(), "__k", "anti")
+                .drop("__k"))
+    hb = (_banded(holdout, content_col, id_col, n)
+          .select("band", "band_key").distinct())
+    contaminated = (_banded(train, content_col, id_col, n)
+                    .join(hb, ["band", "band_key"], "semi")
+                    .select(F.col("id").alias(id_col)).distinct())
+    return train.join(contaminated, id_col, "anti")
+
+
 def keep_first(df: DataFrame, content_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """The deduplicated corpus: keep the lowest-id row per exact content

@@ -135,6 +135,27 @@ def lang_id(df: DataFrame, text_col: str = "text",
     )
 
 
+def corpus_summary(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   group_cols: tuple[str, ...] = ("lang", "source")
+                   ) -> DataFrame:
+    """Corpus-level rollup by metadata dimensions — the dataset-card
+    numbers: docs, total tokens/chars, mean quality per (lang, source).
+    One text_stats pass + one grouped aggregation; group cardinality is
+    metadata-bounded, so the final agg is tiny at any scale."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    stats = text_stats(df, text_col, id_col)
+    dims = df.select(F.col(id_col).alias("id"),
+                     *[F.col(c) for c in group_cols])
+    return (dims.join(stats, "id")
+            .groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum("n_chars").alias("total_chars"),
+                 sig6(F.avg(F.col("quality_score").cast("double"))
+                      ).alias("mean_quality")))
+
+
 def quality_filter(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
                    min_score: float = 0.5) -> DataFrame:

@@ -247,6 +247,52 @@ FROM gi GROUP BY user_id, sid
 """
 
 
+def decontaminate_exact_sql(table: str = "documents",
+                            mod: int = 10) -> str:
+    """Mirror of dedup.decontaminate (exact): train = doc_id % mod != 0,
+    holdout = doc_id % mod == 0."""
+    return (f"SELECT t.* FROM {table} t WHERE doc_id % {mod} != 0 "
+            f"AND md5(text) NOT IN "
+            f"(SELECT md5(text) FROM {table} WHERE doc_id % {mod} = 0)")
+
+
+def decontaminate_fuzzy_sql(table: str = "documents",
+                            mod: int = 10) -> str:
+    """Mirror of dedup.decontaminate (fuzzy): anti-join on LSH band keys."""
+    sig_cols = ", ".join(f"{_sig_expr(j)} AS sig_{j}"
+                         for j in range(H.MINHASH_K))
+    band_rows = []
+    for b in range(H.LSH_BANDS):
+        key = " || ',' || ".join(
+            f"CAST(sig_{b * H.LSH_ROWS + r} AS VARCHAR)"
+            for r in range(H.LSH_ROWS))
+        band_rows.append(f"SELECT id, {b} AS band, {key} AS band_key FROM sw")
+    return f"""
+WITH {_tokens_cte(table)}, {_shingle_hash_cte()},
+sw AS (SELECT id, {sig_cols} FROM sh),
+bands AS ({' UNION ALL '.join(band_rows)}),
+hb AS (SELECT DISTINCT band, band_key FROM bands
+       WHERE id % {mod} = 0),
+contaminated AS (SELECT DISTINCT b.id FROM bands b
+                 JOIN hb ON b.band = hb.band AND b.band_key = hb.band_key
+                 WHERE b.id % {mod} != 0)
+SELECT t.* FROM {table} t
+WHERE doc_id % {mod} != 0 AND doc_id NOT IN (SELECT id FROM contaminated)
+"""
+
+
+def corpus_summary_sql(table: str = "documents") -> str:
+    """Mirror of text.corpus_summary grouped by (lang, source)."""
+    return (f"WITH s AS ({text_stats_sql(table)}), "
+            f"d AS (SELECT doc_id AS id, lang, source FROM {table}) "
+            f"SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, "
+            f"CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+            f"CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+            f"{duck_sig6('avg(CAST(quality_score AS DOUBLE))')} "
+            f"AS mean_quality "
+            f"FROM d JOIN s USING (id) GROUP BY lang, source")
+
+
 def quality_filter_sql(table: str = "documents",
                        min_score: float = 0.5) -> str:
     """Mirror of text.quality_filter: semi-join on the sig6-round-tripped
