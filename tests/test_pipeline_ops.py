@@ -190,3 +190,43 @@ def test_multimodal_features(spark):
 def test_decode_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_decontaminate_exact(spark, docs):
+    """Exact mode drops only byte-identical leaks: holdout={0}, so the
+    exact dup 3 goes, the near-dup 1 stays."""
+    holdout = docs.where(F.col("doc_id") == 0)
+    train = docs.where(F.col("doc_id") != 0)
+    kept = sorted(r["doc_id"]
+                  for r in dedup.decontaminate(train, holdout).collect())
+    assert kept == [1, 2, 4]
+
+
+def test_decontaminate_fuzzy(spark, docs):
+    """Fuzzy mode also drops the near-duplicate (doc 1 differs from the
+    holdout doc 0 by one token), and keeps unrelated content."""
+    holdout = docs.where(F.col("doc_id") == 0)
+    train = docs.where(F.col("doc_id") != 0)
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.decontaminate(train, holdout, fuzzy=True).collect())
+    assert 3 not in kept                 # exact dup always caught
+    assert 1 not in kept                 # near-dup caught by band collision
+    assert 2 in kept and 4 in kept       # unrelated content survives
+
+
+def test_corpus_summary(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three", "en", "web"),
+         (2, "four five", "en", "web"),
+         (3, "six", "en", "books"),
+         (4, None, "de", "web")],          # NULL text excluded entirely
+        "doc_id long, text string, lang string, source string")
+    rows = {(r["lang"], r["source"]): r
+            for r in text_ops.corpus_summary(df).collect()}
+    assert set(rows) == {("en", "web"), ("en", "books")}
+    assert rows[("en", "web")]["n_docs"] == 2
+    assert rows[("en", "web")]["total_tokens"] == 5
+    assert rows[("en", "web")]["total_chars"] == len("one two three") + len("four five")
+    assert rows[("en", "books")]["n_docs"] == 1
+    assert rows[("en", "books")]["total_tokens"] == 1
