@@ -64,6 +64,9 @@ _QUANTILE_TABLES = ("lineitem", "customer", "events")
 _OUTLIER_TABLES = ("lineitem", "events")
 _CORR_TABLES = ("lineitem", "events")
 _HISTOGRAMS = (("lineitem", "l_extendedprice"), ("events", "value"))
+# dataset-mixing rates for the mixture_sample query (sources outside the
+# map fall back to default_rate=0.25)
+MIX_RATES = (("src0", 1.0), ("src1", 0.5), ("src2", 0.1), ("src3", 0.0))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -135,6 +138,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      "embeddings")
     q["lang_id_documents"] = _tq(text_ops.lang_id, "documents")
     q["fingerprints_documents"] = _tq(text_ops.fingerprints, "documents")
+
+    # sampling / splitting / packing (training-data pipeline)
+    from flink_descriptive_stats_spark.operators import sampling
+    q["hash_split_documents"] = _tq(sampling.hash_split, "documents")
+    q["mixture_sample_documents"] = _tq(
+        lambda df: sampling.mixture_sample(df, rates=MIX_RATES,
+                                           default_rate=0.25), "documents")
+    q["pack_sequences_documents"] = _tq(sampling.pack_sequences, "documents")
 
     # multimodal plumbing: metadata is oracle-checkable; the Arrow-batched
     # feature extraction (mapInPandas) is rows-only
@@ -219,6 +230,10 @@ def oracle_sql() -> dict[str, str]:
     o["embedding_dim_profile"] = op.embedding_dim_profile_sql()
     o["lang_id_documents"] = op.lang_id_sql()
     o["fingerprints_documents"] = op.fingerprints_sql()
+    o["hash_split_documents"] = op.hash_split_sql()
+    o["mixture_sample_documents"] = op.mixture_sample_sql(
+        rates=MIX_RATES, default_rate=0.25)
+    o["pack_sequences_documents"] = op.pack_sequences_sql()
     o["simhash_near_pairs_documents"] = op.simhash_near_pairs_sql()
     o["multimodal_frames_documents"] = (
         "WITH d AS (SELECT doc_id AS id, text, "

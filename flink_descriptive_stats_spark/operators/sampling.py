@@ -1,0 +1,114 @@
+"""Sampling / splitting / packing operators for training-data pipelines.
+
+Everything here is **deterministic and shuffle-free where possible** — at
+100 TB a sampling decision must be a pure function of the row (so it can run
+as a narrow map inside the scan stage, be recomputed on retry, and never
+depend on partitioning or visit order). Randomness comes from the
+md5-derived ``token_hash`` (functions/hashing.py), which is bit-identical in
+DuckDB, so every operator is oracle-verifiable.
+
+- ``hash_split``:     train/val/test assignment by hashing the id into
+                      10,000 buckets and thresholding at the cumulative
+                      weights. Stable under corpus growth: a doc's split
+                      never changes when other docs are added/removed.
+- ``mixture_sample``: per-source weighted downsampling (dataset mixing) —
+                      keep a row iff its hash bucket falls under the
+                      source's rate. Narrow map; no shuffle.
+- ``pack_sequences``: assign docs to fixed token-budget packs (sequence
+                      packing for LLM pretraining). Docs are concatenated in
+                      id order within a shard; a pack is a ``max_tokens``
+                      window of that token stream and a doc belongs to the
+                      pack where it *starts* (docs may straddle a boundary —
+                      streaming-chunking semantics, exactly what a packing
+                      dataloader does with document concatenation). The
+                      window is partitioned by ``shard`` (= id mod
+                      n_shards), never global, so the sort is bounded per
+                      shard and scales out; shard count is the scale knob.
+
+No reference-repo counterpart (the reference is a profiler only —
+ProfileJob.java:78-143); these extend the engine for pipeline use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_descriptive_stats_spark.functions import hashing as H
+
+BUCKETS = 10_000
+
+
+def _bucket(id_col: str, salt: str) -> F.Column:
+    """Deterministic bucket in [0, BUCKETS) from (id, salt)."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit("/" + salt))
+    return H.token_hash(key) % BUCKETS
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               weights: tuple[tuple[str, float], ...] = (
+                   ("train", 0.8), ("val", 0.1), ("test", 0.1)),
+               salt: str = "split") -> DataFrame:
+    """All rows + a ``split`` column assigned by hash-bucket thresholding.
+
+    Bucket thresholds are cumulative-weight fractions of BUCKETS; the last
+    split absorbs rounding remainder so every bucket is assigned.
+    Thresholds are computed as Python ints and embedded as literals (see
+    ``split_thresholds``) — float->int casts round differently across
+    engines (Spark truncates, DuckDB rounds), so no float crosses an engine
+    boundary."""
+    b = _bucket(id_col, salt)
+    expr = F.lit(weights[-1][0])
+    for threshold, name in reversed(split_thresholds(weights)):
+        expr = F.when(b < threshold, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def split_thresholds(weights: tuple[tuple[str, float], ...]
+                     ) -> list[tuple[int, str]]:
+    """[(upper_bucket_threshold, split_name)] for all but the last split."""
+    cum, cases = 0.0, []
+    for name, w in weights[:-1]:
+        cum += w
+        cases.append((int(round(cum * BUCKETS)), name))
+    return cases
+
+
+def mixture_sample(df: DataFrame, rates: tuple[tuple[str, float], ...],
+                   source_col: str = "source", id_col: str = "doc_id",
+                   default_rate: float = 1.0,
+                   salt: str = "mix") -> DataFrame:
+    """Weighted per-source downsampling: keep a row iff
+    bucket(id) < rate(source) * BUCKETS. Sources absent from ``rates`` keep
+    ``default_rate``. Pure row-local filter — pushed into the scan stage.
+    Rate thresholds become Python-int literals (same reason as
+    ``hash_split``: engines disagree on float->int casts)."""
+    thr = F.lit(int(default_rate * BUCKETS))
+    for name, r in reversed(rates):
+        thr = F.when(F.col(source_col) == name,
+                     F.lit(int(r * BUCKETS))).otherwise(thr)
+    return df.where(_bucket(id_col, salt) < thr)
+
+
+def pack_sequences(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", max_tokens: int = 512,
+                   n_shards: int = 8) -> DataFrame:
+    """(id, shard, n_tokens, start_offset, pack_id): sequence-packing
+    assignment. ``start_offset`` is the doc's first token position in its
+    shard's concatenated stream; ``pack_id = start_offset div max_tokens``.
+
+    NULL-text rows are excluded (no tokens to pack). The per-shard window
+    sort is the only wide operation; shards bound its size, and the
+    assignment is invariant to input partitioning because the order key
+    (id) is total within a shard."""
+    n_tok = F.size(H.tokens_expr(F.col(text_col))).cast("bigint")
+    base = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    (F.col(id_col) % n_shards).cast("bigint").alias("shard"),
+                    n_tok.alias("n_tokens")))
+    w = (Window.partitionBy("shard").orderBy("id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    return (base.withColumn("start_offset", cum - F.col("n_tokens"))
+            .withColumn("pack_id",
+                        F.expr(f"start_offset div {max_tokens}")))

@@ -392,3 +392,52 @@ def fingerprints_sql(table: str = "documents") -> str:
             f"list_transform(toks, t -> {th} % {P}), "
             f"(acc, h) -> (acc * 131 + h) % {P}) AS BIGINT) "
             f"AS seq_fingerprint FROM t")
+
+
+def hash_split_sql(table: str = "documents",
+                   weights: tuple = (("train", 0.8), ("val", 0.1),
+                                     ("test", 0.1)),
+                   salt: str = "split") -> str:
+    """Mirror of sampling.hash_split — thresholds come from the same
+    ``split_thresholds`` helper the Spark side uses (shared Python ints)."""
+    from flink_descriptive_stats_spark.operators import sampling as SP
+    bucket = (H.duck_token_hash(f"CAST(doc_id AS VARCHAR) || '/{salt}'")
+              + f" % {SP.BUCKETS}")
+    cases = "".join(f"WHEN {bucket} < {thr} THEN '{name}' "
+                    for thr, name in SP.split_thresholds(weights))
+    return (f"SELECT *, CASE {cases}ELSE '{weights[-1][0]}' END AS split "
+            f"FROM {table}")
+
+
+def mixture_sample_sql(table: str = "documents",
+                       rates: tuple = (), default_rate: float = 1.0,
+                       salt: str = "mix") -> str:
+    """Mirror of sampling.mixture_sample (CASE on source -> int threshold)."""
+    from flink_descriptive_stats_spark.operators import sampling as SP
+    bucket = (H.duck_token_hash(f"CAST(doc_id AS VARCHAR) || '/{salt}'")
+              + f" % {SP.BUCKETS}")
+    cases = "".join(f"WHEN source = '{name}' THEN {int(r * SP.BUCKETS)} "
+                    for name, r in rates)
+    thr = (f"CASE {cases}ELSE {int(default_rate * SP.BUCKETS)} END"
+           if rates else str(int(default_rate * SP.BUCKETS)))
+    return f"SELECT * FROM {table} WHERE {bucket} < ({thr})"
+
+
+def pack_sequences_sql(table: str = "documents", max_tokens: int = 512,
+                       n_shards: int = 8) -> str:
+    """Mirror of sampling.pack_sequences (per-shard running token offsets)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, CAST(doc_id % {n_shards} AS BIGINT) AS shard,
+         CAST(len({H.duck_tokens('text')}) AS BIGINT) AS n_tokens
+  FROM {table} WHERE text IS NOT NULL),
+w AS (
+  SELECT id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS start_offset
+  FROM base)
+SELECT id, shard, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // {max_tokens} AS BIGINT) AS pack_id
+FROM w
+"""

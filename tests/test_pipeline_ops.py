@@ -230,3 +230,59 @@ def test_corpus_summary(spark):
     assert rows[("en", "web")]["total_chars"] == len("one two three") + len("four five")
     assert rows[("en", "books")]["n_docs"] == 1
     assert rows[("en", "books")]["total_tokens"] == 1
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    """A doc's split is a pure function of (id, salt): identical across
+    runs, and unchanged when other rows are added (stable under corpus
+    growth)."""
+    from flink_descriptive_stats_spark.operators import sampling
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"]
+         for r in sampling.hash_split(df).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in sampling.hash_split(df.limit(100)).collect()}
+    assert all(a[k] == v for k, v in b.items())
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 700                 # ~80% of 1000
+    assert 50 < counts["val"] < 150 and 50 < counts["test"] < 150
+
+
+def test_mixture_sample_rates(spark):
+    from flink_descriptive_stats_spark.operators import sampling
+    df = (spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+          .withColumn("source",
+                      F.concat(F.lit("s"), F.col("doc_id") % 2)))
+    out = sampling.mixture_sample(
+        df, rates=(("s0", 0.0), ("s1", 1.0)), default_rate=0.5)
+    srcs = [r["source"] for r in out.collect()]
+    assert "s0" not in srcs                      # rate 0 drops everything
+    assert srcs.count("s1") == 1000              # rate 1 keeps everything
+
+
+def test_pack_sequences(spark):
+    """Offsets are running token sums in id order within a shard; a pack is
+    the max_tokens window where the doc STARTS."""
+    from flink_descriptive_stats_spark.operators import sampling
+    df = spark.createDataFrame(
+        [(0, "a b c"), (2, "d e f g"), (4, "h i j k l m"), (6, None),
+         (1, "x y")],
+        "doc_id long, text string")
+    rows = {r["id"]: r
+            for r in sampling.pack_sequences(
+                df, max_tokens=5, n_shards=2).collect()}
+    assert 6 not in rows                         # NULL text excluded
+    # shard 0: ids 0,2,4 with 3,4,6 tokens -> offsets 0,3,7
+    assert (rows[0]["start_offset"], rows[2]["start_offset"],
+            rows[4]["start_offset"]) == (0, 3, 7)
+    assert (rows[0]["pack_id"], rows[2]["pack_id"],
+            rows[4]["pack_id"]) == (0, 0, 1)
+    assert rows[1]["shard"] == 1 and rows[1]["start_offset"] == 0
+    # partitioning invariance (the window order key is total per shard)
+    again = {r["id"]: tuple(r)
+             for r in sampling.pack_sequences(
+                 df.repartition(16), max_tokens=5, n_shards=2).collect()}
+    assert again == {r["id"]: tuple(r) for r in rows.values()}
