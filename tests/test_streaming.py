@@ -174,3 +174,46 @@ def test_session_window_batch(spark):
     assert 0 < len(rows) <= ev.where(F.col("user_id") == 1).count()
     for r in rows:
         assert r["window_end"] > r["window_start"]
+
+
+def test_stateful_running_profile(spark, tmp_path):
+    """applyInPandasWithState running profile: after N micro-batches the
+    latest emission per key equals the batch groupBy profile of all data.
+    The input is split into 3 files + maxFilesPerTrigger=1 so the
+    cross-micro-batch state merge actually runs."""
+    import numpy as np
+    from flink_descriptive_stats_spark.streaming.stateful import (
+        running_profile)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value")
+    chunks = str(tmp_path / "chunks")
+    ev.repartition(3).write.parquet(chunks)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(chunks))
+    query = (running_profile(stream).writeStream.format("memory")
+             .queryName("running_profile").outputMode("update").start())
+    try:
+        query.processAllAvailable()
+        got = spark.table("running_profile").collect()
+    finally:
+        query.stop()
+
+    # update mode appends one row per key per micro-batch; the final state
+    # is the row with the largest n (n is monotone per key)
+    latest = {}
+    for r in got:
+        if r["event_type"] not in latest or r["n"] > latest[r["event_type"]]["n"]:
+            latest[r["event_type"]] = r
+
+    batch = {r["event_type"]: r for r in ev.groupBy("event_type").agg(
+        F.count("value").alias("n"), F.avg("value").alias("mean"),
+        F.var_pop("value").alias("var_pop"),
+        F.min("value").alias("min"), F.max("value").alias("max")).collect()}
+    assert set(latest) == set(batch)
+    for k, b in batch.items():
+        g = latest[k]
+        assert g["n"] == b["n"] and g["min"] == b["min"] and g["max"] == b["max"]
+        assert np.isclose(g["mean"], b["mean"], rtol=1e-12)
+        assert np.isclose(g["var_pop"], b["var_pop"], rtol=1e-9)
