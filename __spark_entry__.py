@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                        "embeddings")
     q["ann_cosine_topk"] = _tq(similarity.brute_force_topk, "embeddings")
     q["ann_lsh_topk"] = _tq(similarity.lsh_topk, "embeddings")
+    q["ann_ivf_topk"] = _tq(similarity.ivf_topk, "embeddings")
     q["simhash_near_pairs_documents"] = _tq(dedup.simhash_near_pairs,
                                             "documents")
     q["text_stats_documents"] = _tq(text_ops.text_stats, "documents")
@@ -225,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
     o["ngram_jaccard_pairs_documents"] = op.ngram_jaccard_pairs_sql()
     o["embedding_neardup_pairs"] = op.embedding_neardup_sql()
     o["ann_cosine_topk"] = op.ann_brute_force_sql()
+    o["ann_ivf_topk"] = op.ivf_topk_sql()
     o["text_stats_documents"] = op.text_stats_sql()
     o["quality_filter_documents"] = op.quality_filter_sql()
     o["embedding_dim_profile"] = op.embedding_dim_profile_sql()

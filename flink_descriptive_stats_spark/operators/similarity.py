@@ -12,10 +12,16 @@ Two strategies:
   re-rank. At 100 TB the bucket join replaces the all-pairs product with
   per-bucket blocks.
 
+- ivf_topk: IVF-style coarse quantizer — corpus vectors are assigned to
+  their nearest "centroid" cell and queries probe only their n_probe
+  nearest cells. Centroids are seed vectors (the first n_cells ids), not
+  k-means iterates: that keeps the operator a pure two-join dataflow (no
+  iterative driver loop) and fully deterministic, hence oracle-checkable.
+  A k-means refinement would only move the centroids; the search plan —
+  assign / probe / per-cell exact re-rank — is identical.
+
 All vector math uses built-in higher-order array functions (zip_with /
-aggregate) — JVM-side, no Python in the hot path. The IVF alternative
-(k-means coarse quantizer) would need an iterative driver loop; the
-hyperplane variant is preferred because it is a pure single-pass dataflow.
+aggregate) — JVM-side, no Python in the hot path.
 """
 
 from __future__ import annotations
@@ -147,3 +153,49 @@ def lsh_topk(df: DataFrame, k: int = 5, n_planes: int = 8,
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def ivf_topk(df: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             max_query_id: int = 10) -> DataFrame:
+    """IVF search: (query_id, neighbor_id, cos, rank), self excluded.
+
+    Physical shape at scale: centroids (n_cells rows) broadcast against the
+    corpus scan; cell assignment is a WindowGroupLimit funnel partitioned
+    by vector id (argmax over n_cells scores, scan-parallel). Queries probe
+    their n_probe nearest cells, and the candidate join is keyed by
+    cell_id, touching ~n_probe/n_cells of the corpus instead of all of it
+    — recall<1 by design, the standard IVF trade. The probe side is tiny
+    and broadcast."""
+    d = with_norm(df, id_col, vec_col)
+    cents = F.broadcast(
+        d.where(F.col("id") < n_cells)
+        .select(F.col("id").alias("cell_id"), F.col("v").alias("cv"),
+                F.col("norm").alias("cnorm")))
+    cdot = F.aggregate(F.zip_with(F.col("v"), F.col("cv"),
+                                  lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, z: acc + z)
+    scored_c = (d.crossJoin(cents)
+                .withColumn("cos_c", cdot / (F.col("norm") * F.col("cnorm")))
+                .drop("cv", "cnorm"))
+    wa = Window.partitionBy("id").orderBy(F.col("cos_c").desc(),
+                                          F.col("cell_id").asc())
+    ranked = scored_c.withColumn("crank", F.row_number().over(wa))
+    assign = ranked.where(F.col("crank") == 1).select("id", "v", "norm",
+                                                      "cell_id")
+    probes = (ranked.where((F.col("id") < max_query_id)
+                           & (F.col("crank") <= n_probe))
+              .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
+                      F.col("norm").alias("qnorm"), "cell_id"))
+    qdot = F.aggregate(F.zip_with(F.col("qv"), F.col("v"),
+                                  lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, z: acc + z)
+    cand = (assign.join(F.broadcast(probes), "cell_id")
+            .where(F.col("id") != F.col("query_id"))
+            .withColumn("cos", qdot / (F.col("qnorm") * F.col("norm"))))
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                                F.col("id").asc())
+    return (cand.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("id").alias("neighbor_id"), "cos",
+                    "rank"))

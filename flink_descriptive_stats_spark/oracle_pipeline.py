@@ -441,3 +441,33 @@ SELECT id, shard, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
        CAST(start_offset // {max_tokens} AS BIGINT) AS pack_id
 FROM w
 """
+
+
+def ivf_topk_sql(table: str = "embeddings", k: int = 5, n_cells: int = 16,
+                 n_probe: int = 4, max_query_id: int = 10) -> str:
+    """Mirror of similarity.ivf_topk (seed-vector coarse quantizer)."""
+    cdot = _DOT.format(a="n.v", b="cent.cv")
+    qdot = _DOT.format(a="p.qv", b="a.v")
+    return f"""
+WITH {_norm_cte(table)},
+cent AS (SELECT id AS cell_id, v AS cv, norm AS cnorm FROM n
+         WHERE id < {n_cells}),
+sc AS (SELECT n.id, n.v, n.norm, cent.cell_id,
+              ({cdot}) / (n.norm * cent.cnorm) AS cos_c,
+              row_number() OVER (PARTITION BY n.id
+                ORDER BY ({cdot}) / (n.norm * cent.cnorm) DESC,
+                         cent.cell_id ASC) AS crank
+       FROM n CROSS JOIN cent),
+a AS (SELECT id, v, norm, cell_id FROM sc WHERE crank = 1),
+p AS (SELECT id AS query_id, v AS qv, norm AS qnorm, cell_id FROM sc
+      WHERE id < {max_query_id} AND crank <= {n_probe}),
+cand AS (SELECT p.query_id, a.id AS neighbor_id,
+                ({qdot}) / (p.qnorm * a.norm) AS cos
+         FROM a JOIN p USING (cell_id) WHERE a.id != p.query_id)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM cand
+QUALIFY rank <= {k}
+"""

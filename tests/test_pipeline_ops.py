@@ -286,3 +286,17 @@ def test_pack_sequences(spark):
              for r in sampling.pack_sequences(
                  df.repartition(16), max_tokens=5, n_shards=2).collect()}
     assert again == {r["id"]: tuple(r) for r in rows.values()}
+
+
+def test_ivf_topk_recall_and_exactness(spark):
+    """IVF returns true cosines (exact re-rank inside probed cells) and
+    recalls most of the brute-force top-k on the test embeddings."""
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["query_id"], r["neighbor_id"]): r["cos"]
+             for r in similarity.brute_force_topk(df, k=5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"]): r["cos"]
+           for r in similarity.ivf_topk(df, k=5).collect()}
+    hits = set(ivf) & set(exact)
+    assert len(hits) / len(exact) >= 0.5          # probe-limited recall
+    for pair in hits:                             # cosines are exact
+        assert ivf[pair] == exact[pair]
