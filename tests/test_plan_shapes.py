@@ -56,3 +56,27 @@ def test_completeness_single_agg(spark):
     plan = _formatted_plan(prof.complete_row_count(li))
     assert plan.count("Scan parquet") == 2    # one scan (listed twice)
     assert plan.count("Exchange") == 2        # one exchange (single row)
+
+
+def test_sampling_ops_narrow(spark):
+    """hash_split / mixture_sample are pure narrow maps (no Exchange —
+    the sampling decision must run inside the scan stage at 100 TB);
+    pack_sequences has exactly one exchange (the per-shard window)."""
+    from flink_descriptive_stats_spark.operators import sampling
+    docs = load_table(spark, SF_DIR, "documents")
+    assert "Exchange" not in _formatted_plan(sampling.hash_split(docs))
+    assert "Exchange" not in _formatted_plan(
+        sampling.mixture_sample(docs, rates=(("src0", 0.5),)))
+    plan = _formatted_plan(sampling.pack_sequences(docs))
+    assert plan.count("Exchange") == 2        # one exchange (tree + detail)
+    assert "Scan parquet" in plan and plan.count("Scan parquet") == 2
+
+
+def test_ivf_broadcasts_small_sides(spark):
+    """IVF invariants: centroids and probes travel by broadcast (never a
+    shuffle of the corpus against them) — no SortMergeJoin anywhere."""
+    from flink_descriptive_stats_spark.operators import similarity
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _formatted_plan(similarity.ivf_topk(emb))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 2   # centroid + probe sides
