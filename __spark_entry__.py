@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
                                             "documents")
     q["minhash_pairs_documents"] = _tq(dedup.minhash_dedup_pairs, "documents")
+    q["neardup_clusters_documents"] = _tq(dedup.neardup_clusters, "documents")
+    q["dedup_corpus_documents"] = _tq(dedup.dedup_corpus, "documents")
     q["simhash_documents"] = _tq(dedup.simhash_signatures, "documents")
     q["ngram_jaccard_pairs_documents"] = _tq(dedup.ngram_jaccard_pairs,
                                              "documents")
@@ -222,6 +224,8 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY doc_id) = 1")
     o["minhash_signatures_documents"] = op.minhash_signatures_sql()
     o["minhash_pairs_documents"] = op.minhash_pairs_sql()
+    o["neardup_clusters_documents"] = op.neardup_clusters_sql()
+    o["dedup_corpus_documents"] = op.dedup_corpus_sql()
     o["simhash_documents"] = op.simhash_sql()
     o["ngram_jaccard_pairs_documents"] = op.ngram_jaccard_pairs_sql()
     o["embedding_neardup_pairs"] = op.embedding_neardup_sql()

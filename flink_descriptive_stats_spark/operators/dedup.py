@@ -368,3 +368,59 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
             .withColumn("cos", dot / (F.col("na") * F.col("nb")))
             .where(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))
+
+
+def neardup_clusters(df: DataFrame, content_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3,
+                     threshold: float = 0.5,
+                     max_iter: int = 15) -> DataFrame:
+    """(id, cluster_id) for every non-NULL-content doc: connected
+    components of the MinHash near-dup pair graph, labeled by the smallest
+    doc id in the component (singletons label themselves).
+
+    Pairs alone aren't a dedup decision — transitively-linked docs (A~B,
+    B~C) must land in ONE cluster even when A~C misses the threshold.
+    Components come from iterative min-label propagation: each round every
+    node takes the min label among itself and its neighbors; rounds needed
+    = graph diameter, and near-dup components are small and dense (their
+    diameter is a few hops), so the loop converges in a handful of rounds
+    — checked by an exact fixpoint test per round, capped at ``max_iter``.
+    Each round is one join + one groupBy(min) on the (tiny) edge list, not
+    on the corpus. At extreme component sizes, switch the loop body to the
+    large-star/small-star alternation (O(log n) rounds, same join shape).
+    """
+    pairs = minhash_dedup_pairs(df, content_col, id_col, n, threshold)
+    edges = (pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("t"))
+             .union(pairs.select(F.col("id_b").alias("s"),
+                                 F.col("id_a").alias("t"))))
+    edges = edges.localCheckpoint()  # pair generation runs once, not per round
+    labels = (df.where(F.col(content_col).isNotNull())
+              .select(F.col(id_col).alias("id"))
+              .withColumn("comp", F.col("id")))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        prop = (edges.join(labels, edges["s"] == labels["id"])
+                .groupBy(F.col("t").alias("id"))
+                .agg(F.min("comp").alias("ncomp")))
+        merged = (labels.join(prop, "id", "left")
+                  .select("id", F.least("comp", "ncomp").alias("comp"),
+                          (F.col("ncomp") < F.col("comp")).alias("chg")))
+        merged = merged.localCheckpoint()
+        changed = merged.where("chg").count()
+        labels = merged.drop("chg")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("cluster_id"))
+
+
+def dedup_corpus(df: DataFrame, content_col: str = "text",
+                 id_col: str = "doc_id", n: int = 3,
+                 threshold: float = 0.5) -> DataFrame:
+    """The near-dup-deduplicated corpus: the lowest-id representative of
+    each near-dup cluster (subsumes exact dedup — identical docs share all
+    shingles, Jaccard 1). Semi-join of the corpus against cluster labels
+    where id == cluster_id."""
+    reps = (neardup_clusters(df, content_col, id_col, n, threshold)
+            .where(F.col("id") == F.col("cluster_id"))
+            .select(F.col("id").alias(id_col)))
+    return df.join(reps, id_col, "semi")

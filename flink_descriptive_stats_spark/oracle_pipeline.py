@@ -51,8 +51,9 @@ def minhash_signatures_sql(table: str = "documents") -> str:
             + "\nUNION ALL\n".join(branches))
 
 
-def minhash_pairs_sql(table: str = "documents", threshold: float = 0.5,
-                      max_bucket: int = 1000) -> str:
+def _pairs_ctes(table: str = "documents", max_bucket: int = 1000) -> str:
+    """CTE chain ending in ``j (id_a, id_b, jaccard)`` — shared by the
+    pair query and the clustering oracle."""
     sig_cols = ", ".join(f"{_sig_expr(j)} AS sig_{j}"
                          for j in range(H.MINHASH_K))
     band_rows = []
@@ -61,8 +62,7 @@ def minhash_pairs_sql(table: str = "documents", threshold: float = 0.5,
             f"CAST(sig_{b * H.LSH_ROWS + r} AS VARCHAR)"
             for r in range(H.LSH_ROWS))
         band_rows.append(f"SELECT id, {b} AS band, {key} AS band_key FROM sw")
-    return f"""
-WITH {_tokens_cte(table)}, {_shingle_hash_cte()},
+    return f"""{_tokens_cte(table)}, {_shingle_hash_cte()},
 sw AS (SELECT id, hashes, {sig_cols} FROM sh),
 bands_all AS ({' UNION ALL '.join(band_rows)}),
 bands AS (SELECT * FROM bands_all
@@ -76,10 +76,48 @@ j AS (SELECT id_a, id_b,
              AS jaccard
       FROM cand
       JOIN sh ha ON ha.id = cand.id_a
-      JOIN sh hb ON hb.id = cand.id_b)
+      JOIN sh hb ON hb.id = cand.id_b)"""
+
+
+def minhash_pairs_sql(table: str = "documents", threshold: float = 0.5,
+                      max_bucket: int = 1000) -> str:
+    return f"""
+WITH {_pairs_ctes(table, max_bucket)}
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, jaccard
 FROM j WHERE jaccard >= {threshold}
 """
+
+
+def _cluster_ctes(table: str = "documents", threshold: float = 0.5,
+                  max_bucket: int = 1000) -> str:
+    """CTE chain ending in ``lab (id, cluster_id)`` — connected components
+    of the near-dup pair graph via a recursive transitive closure (UNION
+    dedups rows, so the recursion terminates on cyclic graphs), labeled by
+    the component's smallest id. Mirrors dedup.neardup_clusters."""
+    return f"""{_pairs_ctes(table, max_bucket)},
+p AS (SELECT id_a, id_b FROM j WHERE jaccard >= {threshold}),
+edges AS (SELECT id_a AS s, id_b AS t FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach(s, t) AS (SELECT s, t FROM edges
+                UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+comp AS (SELECT s AS id, least(s, min(t)) AS comp FROM reach GROUP BY s),
+docs AS (SELECT doc_id AS id FROM {table} WHERE text IS NOT NULL),
+lab AS (SELECT d.id, COALESCE(c.comp, d.id) AS cluster_id
+        FROM docs d LEFT JOIN comp c USING (id))"""
+
+
+def neardup_clusters_sql(table: str = "documents",
+                         threshold: float = 0.5) -> str:
+    return (f"WITH RECURSIVE {_cluster_ctes(table, threshold)} "
+            f"SELECT CAST(id AS BIGINT) AS id, "
+            f"CAST(cluster_id AS BIGINT) AS cluster_id FROM lab")
+
+
+def dedup_corpus_sql(table: str = "documents",
+                     threshold: float = 0.5) -> str:
+    return (f"WITH RECURSIVE {_cluster_ctes(table, threshold)} "
+            f"SELECT t.* FROM {table} t JOIN lab "
+            f"ON t.doc_id = lab.id AND lab.id = lab.cluster_id")
 
 
 def simhash_sql(table: str = "documents", bits: int = 32) -> str:

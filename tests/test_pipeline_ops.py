@@ -300,3 +300,36 @@ def test_ivf_topk_recall_and_exactness(spark):
     assert len(hits) / len(exact) >= 0.5          # probe-limited recall
     for pair in hits:                             # cosines are exact
         assert ivf[pair] == exact[pair]
+
+
+def test_neardup_clusters_and_corpus(spark, docs):
+    """Docs 0/1 (near-dup) and 0/3 (exact dup) form one cluster labeled by
+    the min id; 2 and 4 stay singletons; the deduped corpus keeps exactly
+    one representative per cluster."""
+    labels = {r["id"]: r["cluster_id"]
+              for r in dedup.neardup_clusters(docs).collect()}
+    assert labels[0] == labels[1] == labels[3] == 0
+    assert labels[2] == 2 and labels[4] == 4
+    kept = sorted(r["doc_id"] for r in dedup.dedup_corpus(docs).collect())
+    assert kept == [0, 2, 4]
+
+
+def test_neardup_clusters_transitive_chain(spark):
+    """A~B and B~C link into ONE component even when A~C alone is below
+    the pair threshold (the reason clustering exists at all)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    toks = base.split()
+    a = " ".join(toks)
+    b = " ".join(toks[:8] + ["mu", "nu"])        # shares 6/14 shingle-ish
+    c = " ".join(toks[:6] + ["mu", "nu", "xi", "omicron"])
+    df = spark.createDataFrame([(10, a), (11, b), (12, c)],
+                               "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_dedup_pairs(df).collect()}
+    labels = {r["id"]: r["cluster_id"]
+              for r in dedup.neardup_clusters(df).collect()}
+    if (10, 11) in pairs and (11, 12) in pairs and (10, 12) not in pairs:
+        assert labels[10] == labels[11] == labels[12] == 10
+    # regardless of which pairs fired, labels must respect the pair graph
+    for x, y in pairs:
+        assert labels[x] == labels[y]
