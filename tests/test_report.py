@@ -32,3 +32,15 @@ def test_render_profile(spark):
     assert "H0 (normal distribution)" in text
     # reference bug fix: numeric count printed, not null count
     assert "Numeric values: 2310" in text
+
+
+def test_cli_main(spark, capsys):
+    """python -m flink_descriptive_stats_spark <table> renders the report
+    (reuses the active session via getOrCreate)."""
+    from flink_descriptive_stats_spark.__main__ import main
+    rc = main(["/root/testdata/sf0.001/region.parquet"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "column 'r_name'" in out
+    assert "Complete rows:" in out
+    assert "H0 (normal distribution)" in out
