@@ -104,6 +104,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return windowed_profile(_load(spark, sf_dir, "events"))
     q["windowed_profile_events"] = _windowed
 
+    def _sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.streaming.profile_stream import (
+            windowed_profile)
+        return windowed_profile(_load(spark, sf_dir, "events"),
+                                window="6 hours", slide="2 hours")
+    q["sliding_profile_events"] = _sliding
+
     # LLM-pipeline operators: dedup / similarity / text analysis
     from flink_descriptive_stats_spark.operators import dedup, similarity
     from flink_descriptive_stats_spark.operators import text as text_ops
@@ -120,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["decontaminate_exact_documents"] = _decontam(False)
     q["decontaminate_fuzzy_documents"] = _decontam(True)
     q["corpus_summary_documents"] = _tq(text_ops.corpus_summary, "documents")
+    q["vocabulary_documents"] = _tq(text_ops.vocabulary, "documents")
     q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
                                             "documents")
     q["minhash_pairs_documents"] = _tq(dedup.minhash_dedup_pairs, "documents")
@@ -211,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
     o["jb_report_lineitem"] = jb_report_sql("lineitem")
     o["jb_report_events"] = jb_report_sql("events")
     o["windowed_profile_events"] = oracle.windowed_profile_sql()
+    o["sliding_profile_events"] = oracle.windowed_profile_sql(slide_hours=2)
     o["grouped_profile_events"] = oracle.grouped_profile_sql()
 
     from flink_descriptive_stats_spark import oracle_pipeline as op
@@ -218,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
     o["decontaminate_exact_documents"] = op.decontaminate_exact_sql()
     o["decontaminate_fuzzy_documents"] = op.decontaminate_fuzzy_sql()
     o["corpus_summary_documents"] = op.corpus_summary_sql()
+    o["vocabulary_documents"] = op.vocabulary_sql()
     o["dedup_keep_first_documents"] = (
         "SELECT * FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY md5(text) "

@@ -188,3 +188,22 @@ def fingerprints(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col).alias("id"),
                      bag.alias("bag_fingerprint"),
                      rolling.alias("seq_fingerprint"))
+
+
+def vocabulary(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", min_count: int = 5) -> DataFrame:
+    """Corpus vocabulary: (token, n_total, n_docs) for tokens appearing at
+    least ``min_count`` times — the tokenizer-training / OOV-analysis view
+    of a corpus.
+
+    explode stays scan-local; one groupBy(token) shuffle with map-side
+    partial aggregation. n_docs uses count(distinct id) per token — at
+    extreme scale swap for approx_count_distinct; min_count prunes the
+    long tail before any result materializes."""
+    toks = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.explode(H.tokens_expr(F.col(text_col))).alias("token")))
+    return (toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.count_distinct("id").alias("n_docs"))
+            .where(F.col("n_total") >= min_count))

@@ -354,20 +354,35 @@ def correlation_sql(table: str) -> str:
 
 def windowed_profile_sql(table: str = "events", ts_col: str = "ts",
                          value_col: str = "value",
-                         window_hours: int = 6) -> str:
+                         window_hours: int = 6,
+                         slide_hours: int | None = None) -> str:
     """Oracle for streaming/profile_stream.windowed_profile run in batch
-    mode with tumbling windows: Spark's window() and DuckDB's time_bucket
-    both align to the epoch for whole-hour durations."""
+    mode: Spark's window() and DuckDB's time_bucket both align to the epoch
+    for whole-hour durations. With ``slide_hours`` (must divide
+    window_hours) each event expands to the window/slide overlapping
+    windows that contain it — exactly Spark's sliding-window membership."""
     from flink_descriptive_stats_spark.streaming.profile_stream import (
         WINDOW_STATS)
     derived = ",\n       ".join(_derived_sql(WINDOW_STATS))
-    return f"""
-WITH b AS (
+    if slide_hours:
+        nk = window_hours // slide_hours
+        b_cte = f"""b AS (
+  SELECT time_bucket(INTERVAL '{slide_hours} hours',
+                     CAST({ts_col} AS TIMESTAMP))
+         - k.k * INTERVAL '{slide_hours} hours' AS ws,
+         CAST({value_col} AS DOUBLE) AS x
+  FROM {table}
+  CROSS JOIN (SELECT unnest(generate_series(0, {nk - 1})) AS k) k
+)"""
+    else:
+        b_cte = f"""b AS (
   SELECT time_bucket(INTERVAL '{window_hours} hours',
                      CAST({ts_col} AS TIMESTAMP)) AS ws,
          CAST({value_col} AS DOUBLE) AS x
   FROM {table}
-),
+)"""
+    return f"""
+WITH {b_cte},
 m AS (SELECT ws, avg(x) AS mu FROM b GROUP BY ws),
 a AS (
   SELECT b.ws, count(*) AS row_count, count(x) AS n,

@@ -509,3 +509,12 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
 FROM cand
 QUALIFY rank <= {k}
 """
+
+
+def vocabulary_sql(table: str = "documents", min_count: int = 5) -> str:
+    """Mirror of text.vocabulary."""
+    return (f"WITH {_tokens_cte(table)}, "
+            f"tok AS (SELECT id, unnest(toks) AS token FROM t) "
+            f"SELECT token, CAST(count(*) AS BIGINT) AS n_total, "
+            f"CAST(count(DISTINCT id) AS BIGINT) AS n_docs "
+            f"FROM tok GROUP BY token HAVING count(*) >= {min_count}")

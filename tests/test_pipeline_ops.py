@@ -333,3 +333,12 @@ def test_neardup_clusters_transitive_chain(spark):
     # regardless of which pairs fired, labels must respect the pair graph
     for x, y in pairs:
         assert labels[x] == labels[y]
+
+
+def test_vocabulary(spark):
+    df = spark.createDataFrame(
+        [(1, "spark spark flink"), (2, "spark beam"), (3, None)],
+        "doc_id long, text string")
+    rows = {r["token"]: (r["n_total"], r["n_docs"])
+            for r in text_ops.vocabulary(df, min_count=2).collect()}
+    assert rows == {"spark": (3, 2)}             # others below min_count
