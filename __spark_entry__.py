@@ -128,6 +128,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["decontaminate_fuzzy_documents"] = _decontam(True)
     q["corpus_summary_documents"] = _tq(text_ops.corpus_summary, "documents")
     q["vocabulary_documents"] = _tq(text_ops.vocabulary, "documents")
+
+    # operator composition: histogram of a derived per-doc statistic
+    def _tok_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return extras.histogram(
+            text_ops.text_stats(_load(spark, sf_dir, "documents")),
+            "n_tokens")
+    q["token_length_histogram_documents"] = _tok_hist
     q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
                                             "documents")
     q["minhash_pairs_documents"] = _tq(dedup.minhash_dedup_pairs, "documents")
@@ -228,6 +235,8 @@ def oracle_sql() -> dict[str, str]:
     o["decontaminate_fuzzy_documents"] = op.decontaminate_fuzzy_sql()
     o["corpus_summary_documents"] = op.corpus_summary_sql()
     o["vocabulary_documents"] = op.vocabulary_sql()
+    o["token_length_histogram_documents"] = oracle.histogram_sql(
+        f"({op.text_stats_sql()})", "n_tokens")
     o["dedup_keep_first_documents"] = (
         "SELECT * FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY md5(text) "
