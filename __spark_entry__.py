@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             text_ops.text_stats(_load(spark, sf_dir, "documents")),
             "n_tokens")
     q["token_length_histogram_documents"] = _tok_hist
+
+    from flink_descriptive_stats_spark.operators import sketch
+    q["countmin_topk_documents"] = _tq(sketch.countmin_topk, "documents")
     q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
                                             "documents")
     q["minhash_pairs_documents"] = _tq(dedup.minhash_dedup_pairs, "documents")
@@ -237,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
     o["vocabulary_documents"] = op.vocabulary_sql()
     o["token_length_histogram_documents"] = oracle.histogram_sql(
         f"({op.text_stats_sql()})", "n_tokens")
+    o["countmin_topk_documents"] = op.countmin_topk_sql()
     o["dedup_keep_first_documents"] = (
         "SELECT * FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY md5(text) "

@@ -518,3 +518,29 @@ def vocabulary_sql(table: str = "documents", min_count: int = 5) -> str:
             f"SELECT token, CAST(count(*) AS BIGINT) AS n_total, "
             f"CAST(count(DISTINCT id) AS BIGINT) AS n_docs "
             f"FROM tok GROUP BY token HAVING count(*) >= {min_count}")
+
+
+def countmin_topk_sql(table: str = "documents", k: int = 20,
+                      depth: int = 4, width: int = 1024) -> str:
+    """Mirror of sketch.countmin_topk (md5-derived bucket hashes)."""
+    def bucket(j: int) -> str:
+        return H.duck_token_hash(f"'cm{j}/' || token") + f" % {width}"
+    grid_rows = " UNION ALL ".join(
+        f"SELECT {j} AS d, {bucket(j)} AS b FROM tok" for j in range(depth))
+    probe_rows = " UNION ALL ".join(
+        f"SELECT token, {j} AS d, {bucket(j)} AS b FROM dist"
+        for j in range(depth))
+    return f"""
+WITH {_tokens_cte(table)},
+tok AS (SELECT unnest(toks) AS token FROM t),
+grid AS ({grid_rows}),
+sketch AS (SELECT d, b, count(*) AS c FROM grid GROUP BY d, b),
+dist AS (SELECT DISTINCT token FROM tok),
+probes AS ({probe_rows}),
+est AS (SELECT token, CAST(min(c) AS BIGINT) AS est
+        FROM probes JOIN sketch USING (d, b) GROUP BY token)
+SELECT token, est,
+       CAST(row_number() OVER (ORDER BY est DESC, token ASC) AS INTEGER)
+       AS rank
+FROM est QUALIFY rank <= {k}
+"""

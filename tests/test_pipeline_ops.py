@@ -342,3 +342,19 @@ def test_vocabulary(spark):
     rows = {r["token"]: (r["n_total"], r["n_docs"])
             for r in text_ops.vocabulary(df, min_count=2).collect()}
     assert rows == {"spark": (3, 2)}             # others below min_count
+
+
+def test_countmin_one_sided_error(spark):
+    """Count-min never underestimates; with a wide grid (no collisions on
+    a tiny vocab) estimates are exact."""
+    from flink_descriptive_stats_spark.operators import sketch
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d"), (3, None)],
+        "doc_id long, text string")
+    exact = {"a": 4, "b": 3, "c": 1, "d": 1}
+    wide = {r["token"]: r["est"]
+            for r in sketch.countmin_topk(df, k=10, width=4096).collect()}
+    assert wide == exact
+    narrow = {r["token"]: r["est"]
+              for r in sketch.countmin_topk(df, k=10, width=2).collect()}
+    assert all(narrow[t] >= exact[t] for t in exact)
