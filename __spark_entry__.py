@@ -138,6 +138,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     from flink_descriptive_stats_spark.operators import sketch
     q["countmin_topk_documents"] = _tq(sketch.countmin_topk, "documents")
+
+    # as-of join: every event + the latest same-user purchase at/before it
+    def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import joins
+        ev = _load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value")
+        purchases = ev.where(F.col("event_type") == "purchase")
+        return joins.asof_join(ev, purchases)
+    q["asof_join_events"] = _asof
     q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
                                             "documents")
     q["minhash_pairs_documents"] = _tq(dedup.minhash_dedup_pairs, "documents")
@@ -241,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
     o["token_length_histogram_documents"] = oracle.histogram_sql(
         f"({op.text_stats_sql()})", "n_tokens")
     o["countmin_topk_documents"] = op.countmin_topk_sql()
+    o["asof_join_events"] = op.asof_join_sql()
     o["dedup_keep_first_documents"] = (
         "SELECT * FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY md5(text) "

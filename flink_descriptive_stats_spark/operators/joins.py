@@ -1,0 +1,59 @@
+"""Temporal join operators Spark's DataFrame API lacks as primitives.
+
+``asof_join``: for every left row, attach the latest right row whose
+timestamp is <= the left row's, within the same key group (the
+point-in-time join of feature stores and market data; "backward"
+direction). The reference has no joins at all (it is a single-table
+profiler), but a training-data pipeline attaching slowly-changing
+metadata or latest-marker events needs this constantly.
+
+Implementation is a composition of built-in operators — the union trick:
+tag left rows side=1 and right rows side=0, union them on the common
+(key, ts) spine, sort each key group once, and carry the right payload
+forward with ``last(ignorenulls=True)`` over an unbounded-preceding
+window. One shuffle keyed by the group column, one sort per group —
+exactly the cost of a sort-merge join, with no per-row Python and no
+range-explosion. Right rows sort before left rows at equal timestamps
+(side 0 < 1), so the match is inclusive (right.ts <= left.ts); equal-ts
+right rows are ordered by their payload ordering column, making "latest"
+deterministic. At 100 TB both sides shuffle once on the key; skewed keys
+are AQE's problem like any other join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
+              by: str = "user_id",
+              right_cols: tuple[str, ...] = ("event_id", "value"),
+              prefix: str = "asof_") -> DataFrame:
+    """left columns + ``{prefix}<c>`` for each right payload column, from
+    the latest right row with right.ts <= left.ts in the same ``by``
+    group; NULLs when no prior right row exists."""
+    rpay = F.struct(*[F.col(c) for c in right_cols]).alias("__r")
+    lpay = F.struct(*[F.col(c) for c in left.columns]).alias("__l")
+    rtyp = right.select(rpay).schema["__r"].dataType
+    ltyp = left.select(lpay).schema["__l"].dataType
+
+    lpart = left.select(
+        F.col(by).alias("__by"), F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"), lpay,
+        F.lit(None).cast(rtyp).alias("__r"))
+    rpart = right.select(
+        F.col(by).alias("__by"), F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(ltyp).alias("__l"), rpay)
+    u = lpart.unionByName(rpart)
+
+    w = (Window.partitionBy("__by")
+         .orderBy(F.col("__ts").asc(), F.col("__side").asc(),
+                  F.col(f"__r.{right_cols[0]}").asc_nulls_last())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = u.withColumn("__rf", F.last("__r", ignorenulls=True).over(w))
+    return (filled.where(F.col("__side") == 1)
+            .select(*[F.col(f"__l.{c}").alias(c) for c in left.columns],
+                    *[F.col(f"__rf.{c}").alias(f"{prefix}{c}")
+                      for c in right_cols]))

@@ -544,3 +544,38 @@ SELECT token, est,
        AS rank
 FROM est QUALIFY rank <= {k}
 """
+
+
+def asof_join_sql(table: str = "events", marker: str = "purchase") -> str:
+    """Mirror of joins.asof_join for the gated query: every event joined
+    to the latest same-user '{marker}' event at or before it. Same union
+    trick: struct payload carried by last_value IGNORE NULLS (struct, not
+    per-field, so a NULL payload FIELD doesn't skip to an older row)."""
+    return f"""
+WITH l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                  event_type, value FROM {table}),
+r AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+      FROM {table} WHERE event_type = '{marker}'),
+u AS (
+  SELECT user_id AS by_k, ts, 1 AS side,
+         {{'event_id': event_id, 'event_type': event_type,
+           'value': value}} AS lpay,
+         CAST(NULL AS STRUCT(event_id BIGINT, value DOUBLE)) AS rpay
+  FROM l
+  UNION ALL
+  SELECT user_id, ts, 0, NULL,
+         {{'event_id': event_id, 'value': value}}
+  FROM r),
+f AS (
+  SELECT *, last_value(rpay IGNORE NULLS) OVER (
+            PARTITION BY by_k ORDER BY ts ASC, side ASC,
+                                       rpay.event_id ASC NULLS LAST
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rf
+  FROM u)
+SELECT CAST(lpay.event_id AS BIGINT) AS event_id, ts,
+       CAST(by_k AS BIGINT) AS user_id, lpay.event_type AS event_type,
+       lpay.value AS value,
+       CAST(rf.event_id AS BIGINT) AS asof_event_id,
+       rf.value AS asof_value
+FROM f WHERE side = 1
+"""

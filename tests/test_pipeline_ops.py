@@ -358,3 +358,22 @@ def test_countmin_one_sided_error(spark):
     narrow = {r["token"]: r["est"]
               for r in sketch.countmin_topk(df, k=10, width=2).collect()}
     assert all(narrow[t] >= exact[t] for t in exact)
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right at-or-before each left ts per key;
+    inclusive boundary; NULLs before the first right row; keys don't mix."""
+    from flink_descriptive_stats_spark.operators import joins
+    left = spark.createDataFrame(
+        [(1, 5, 100, "view", 1.0), (2, 10, 100, "view", 2.0),
+         (3, 20, 100, "view", 3.0), (4, 10, 200, "view", 4.0)],
+        "event_id long, ts long, user_id long, event_type string, value double")
+    right = spark.createDataFrame(
+        [(50, 10, 100, "purchase", 9.0), (51, 15, 100, "purchase", 8.0)],
+        "event_id long, ts long, user_id long, event_type string, value double")
+    got = {r["event_id"]: (r["asof_event_id"], r["asof_value"])
+           for r in joins.asof_join(left, right).collect()}
+    assert got[1] == (None, None)      # before any purchase
+    assert got[2] == (50, 9.0)         # equal ts matches (inclusive)
+    assert got[3] == (51, 8.0)         # latest of the two priors
+    assert got[4] == (None, None)      # other user: no bleed across keys
