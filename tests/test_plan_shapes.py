@@ -80,3 +80,15 @@ def test_ivf_broadcasts_small_sides(spark):
     plan = _formatted_plan(similarity.ivf_topk(emb))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastExchange") >= 2   # centroid + probe sides
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join is one shuffle on the group key (union + window),
+    not a range-exploded join: exactly one Exchange, no Joins at all."""
+    from flink_descriptive_stats_spark.operators import joins
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    plan = _formatted_plan(
+        joins.asof_join(ev, ev.where(F.col("event_type") == "purchase")))
+    assert plan.count("Exchange") == 2          # one (tree + detail)
+    assert "Join" not in plan                   # no join node anywhere
