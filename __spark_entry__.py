@@ -147,6 +147,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         purchases = ev.where(F.col("event_type") == "purchase")
         return joins.asof_join(ev, purchases)
     q["asof_join_events"] = _asof
+
+    # range join: events -> their own gap-sessions (start <= ts < end)
+    def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import joins
+        from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+            sessionize)
+        ev = _load(spark, sf_dir, "events").select("event_id", "user_id",
+                                                   "ts")
+        ses = (sessionize(_load(spark, sf_dir, "events"))
+               .select("user_id", "session_start", "session_end"))
+        return joins.range_join(ev, ses)
+    q["range_join_events"] = _range_join
     q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
                                             "documents")
     q["minhash_pairs_documents"] = _tq(dedup.minhash_dedup_pairs, "documents")
@@ -251,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
         f"({op.text_stats_sql()})", "n_tokens")
     o["countmin_topk_documents"] = op.countmin_topk_sql()
     o["asof_join_events"] = op.asof_join_sql()
+    o["range_join_events"] = op.range_join_sql()
     o["dedup_keep_first_documents"] = (
         "SELECT * FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY md5(text) "

@@ -57,3 +57,33 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
             .select(*[F.col(f"__l.{c}").alias(c) for c in left.columns],
                     *[F.col(f"__rf.{c}").alias(f"{prefix}{c}")
                       for c in right_cols]))
+
+
+def range_join(points: DataFrame, intervals: DataFrame, ts_col: str = "ts",
+               by: str = "user_id", start_col: str = "session_start",
+               end_col: str = "session_end",
+               bucket_seconds: int = 3600) -> DataFrame:
+    """Interval (range) join: each point row joined to every interval of
+    the same key with start <= ts < end.
+
+    A naive non-equi join degenerates to BroadcastNestedLoopJoin in Spark
+    — quadratic and non-scalable. The scale shape is the bucketing trick:
+    quantize time into coarse buckets, explode each interval into the
+    buckets it covers (bounded by interval length / bucket), equi-join on
+    (key, bucket) — hash-partitioned, AQE-managed like any other join —
+    and re-check the exact range on the survivors. A point's single
+    bucket meets each covering interval exactly once, so no dedup step
+    is needed. ``bucket_seconds`` trades explode factor (long intervals)
+    against join selectivity (short ones); match it to the median
+    interval length."""
+    us = 1_000_000 * bucket_seconds
+    pb = points.withColumn(
+        "__b", F.expr(f"unix_micros({ts_col}) div {us}"))
+    ib = intervals.withColumn(
+        "__b", F.explode(F.sequence(
+            F.expr(f"unix_micros({start_col}) div {us}"),
+            F.expr(f"(unix_micros({end_col}) - 1) div {us}"))))
+    return (pb.join(ib, [by, "__b"])
+            .where((F.col(ts_col) >= F.col(start_col))
+                   & (F.col(ts_col) < F.col(end_col)))
+            .drop("__b"))

@@ -579,3 +579,26 @@ SELECT CAST(lpay.event_id AS BIGINT) AS event_id, ts,
        rf.value AS asof_value
 FROM f WHERE side = 1
 """
+
+
+def range_join_sql(table: str = "events", gap_minutes: int = 30) -> str:
+    """Mirror of the range-join gated query: events joined to their own
+    gaps-and-islands sessions (session end = last event + gap, exclusive).
+    Boundary semantics follow Spark session_window: a new session starts
+    only when the inter-event gap is strictly greater than ``gap``."""
+    g = f"INTERVAL '{gap_minutes} minutes'"
+    return f"""
+WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM {table}),
+o AS (SELECT *, CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                          > {g} THEN 1 ELSE 0 END AS brk FROM e),
+gi AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+s AS (SELECT user_id, sid, min(t) AS session_start,
+             max(t) + {g} AS session_end
+      FROM gi GROUP BY user_id, sid)
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(e.user_id AS BIGINT) AS user_id, e.t AS ts,
+       s.session_start, s.session_end
+FROM e JOIN s ON e.user_id = s.user_id
+             AND e.t >= s.session_start AND e.t < s.session_end
+"""

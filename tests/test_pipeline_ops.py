@@ -377,3 +377,22 @@ def test_asof_join_semantics(spark):
     assert got[2] == (50, 9.0)         # equal ts matches (inclusive)
     assert got[3] == (51, 8.0)         # latest of the two priors
     assert got[4] == (None, None)      # other user: no bleed across keys
+
+
+def test_range_join_bucketing(spark):
+    """Intervals spanning many coarse buckets still match (explode covers
+    every bucket); out-of-range points and other keys don't."""
+    from flink_descriptive_stats_spark.operators import joins
+    pts = spark.createDataFrame(
+        [(1, 100, "2024-01-01 00:30:00"), (2, 100, "2024-01-01 09:59:59"),
+         (3, 100, "2024-01-01 10:00:00"), (4, 200, "2024-01-01 00:30:00")],
+        "event_id long, user_id long, ts string").withColumn(
+            "ts", F.to_timestamp("ts"))
+    iv = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:00", "2024-01-01 10:00:00")],
+        "user_id long, session_start string, session_end string"
+        ).withColumn("session_start", F.to_timestamp("session_start")
+        ).withColumn("session_end", F.to_timestamp("session_end"))
+    got = sorted(r["event_id"] for r in
+                 joins.range_join(pts, iv, bucket_seconds=600).collect())
+    assert got == [1, 2]      # 3 is at the exclusive end; 4 is another key
