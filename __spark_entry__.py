@@ -159,6 +159,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                .select("user_id", "session_start", "session_end"))
         return joins.range_join(ev, ses)
     q["range_join_events"] = _range_join
+
+    # source-format parity: the same profile over a CSV round-trip of the
+    # table must match the parquet-based oracle exactly (S1 source breadth;
+    # nation is CSV-lossless: ints + comma-free strings, no NULLs)
+    def _profile_nation_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        src = _load(spark, sf_dir, "nation")
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scratch",
+            f"csv_nation_{os.path.basename(os.path.normpath(sf_dir))}")
+        if not os.path.exists(path):
+            (src.coalesce(1).write.mode("overwrite")
+             .option("header", "true").csv(path))
+        df = (spark.read.option("header", "true").schema(src.schema)
+              .csv(path))
+        return prof.profile(df)
+    q["profile_nation_csv"] = _profile_nation_csv
     q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
                                             "documents")
     q["minhash_pairs_documents"] = _tq(dedup.minhash_dedup_pairs, "documents")
@@ -264,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
     o["countmin_topk_documents"] = op.countmin_topk_sql()
     o["asof_join_events"] = op.asof_join_sql()
     o["range_join_events"] = op.range_join_sql()
+    o["profile_nation_csv"] = oracle.profile_table_sql("nation")
     o["dedup_keep_first_documents"] = (
         "SELECT * FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY md5(text) "
