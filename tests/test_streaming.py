@@ -217,3 +217,31 @@ def test_stateful_running_profile(spark, tmp_path):
         assert g["n"] == b["n"] and g["min"] == b["min"] and g["max"] == b["max"]
         assert np.isclose(g["mean"], b["mean"], rtol=1e-12)
         assert np.isclose(g["var_pop"], b["var_pop"], rtol=1e-9)
+
+
+def test_merge_moments_property():
+    """Pure-python property test: merging per-chunk moment bundles in any
+    split equals numpy over the concatenation (the invariant the stateful
+    running profile rests on)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from flink_descriptive_stats_spark.streaming.stateful import (
+        batch_moments, merge_moments)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                              allow_nan=False), min_size=1, max_size=60),
+           st.integers(min_value=1, max_value=5))
+    def check(xs, n_chunks):
+        arr = np.array(xs, dtype=np.float64)
+        chunks = np.array_split(arr, n_chunks)
+        acc = (0, 0.0, 0.0, float("inf"), float("-inf"))
+        for c in chunks:
+            acc = merge_moments(acc, batch_moments(c))
+        n, mean, m2, mn, mx = acc
+        assert n == arr.size and mn == arr.min() and mx == arr.max()
+        assert np.isclose(mean, arr.mean(), rtol=1e-9, atol=1e-9)
+        assert np.isclose(m2 / n, arr.var(), rtol=1e-6, atol=1e-6)
+
+    check()
