@@ -214,20 +214,33 @@ def simhash_signatures(df: DataFrame, content_col: str = "text",
     """Per-doc SimHash over token hashes (word-level, 32-bit): bit b is set
     iff the signed sum of token-hash bit b over all tokens is >= 0.
     Output: (id, simhash). NULL-content rows are excluded (mirrored by the
-    oracle's tokens CTE)."""
-    d = (df.where(F.col(content_col).isNotNull())
-         .withColumn("__toks", H.tokens_expr(F.col(content_col)))
-         .withColumn("__hashes",
-                     F.transform(F.col("__toks"), H.token_hash)))
-    bit_terms = []
+    oracle's tokens CTE); a doc with ZERO tokens has every per-bit sum 0,
+    so all bits set (2^bits - 1) — preserved here by explode_outer's NULL
+    row contributing 0 to every sum.
+
+    Physical plan: explode tokens long-format, then ONE groupBy(id) with
+    ``bits`` conditional sums — map-side partial aggregation inside
+    whole-stage codegen. Replaces the previous 32 interpreted higher-order
+    ``aggregate`` folds per row (this file's measured finding: interpreted
+    HOF is ~9x slower than the codegen'd long format; bench confirmed
+    11.9s -> long-format territory)."""
+    long = (df.where(F.col(content_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.explode_outer(H.tokens_expr(F.col(content_col)))
+                    .alias("__tok"))
+            .select("id", H.token_hash(F.col("__tok")).alias("h")))
+    aggs = []
     for b in range(bits):
-        w = 1 << b
-        bit_terms.append(
-            f"(CASE WHEN aggregate(__hashes, 0L, (acc, h) -> acc + "
-            f"(CASE WHEN (h div {w}) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 "
-            f"THEN {w}L ELSE 0L END)")
-    sim = F.expr(" + ".join(bit_terms))
-    return d.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+        bit_set = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1
+        signed = (F.when(F.col("h").isNull(), 0)
+                  .when(bit_set, 1).otherwise(-1))
+        aggs.append(F.sum(signed).alias(f"__s{b}"))
+    agg = long.groupBy("id").agg(*aggs)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"__s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("id", sim.cast("bigint").alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, content_col: str = "text",
