@@ -184,8 +184,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_documents"] = _tq(dedup.simhash_signatures, "documents")
     q["ngram_jaccard_pairs_documents"] = _tq(dedup.ngram_jaccard_pairs,
                                              "documents")
+    # threshold 0.45 (not the 0.95 operator default): the synthetic
+    # embeddings top out at cos ~0.51/0.60 (sf0.01/sf0.1), so 0.95 would
+    # make this gate vacuous (0 rows); 0.45 yields 14 pairs at sf0.01
     q["embedding_neardup_pairs"] = _tq(dedup.embedding_near_dup_pairs,
-                                       "embeddings")
+                                       "embeddings", threshold=0.45)
     q["ann_cosine_topk"] = _tq(similarity.brute_force_topk, "embeddings")
     q["ann_lsh_topk"] = _tq(similarity.lsh_topk, "embeddings")
     q["ann_ivf_topk"] = _tq(similarity.ivf_topk, "embeddings")
@@ -292,7 +295,7 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_corpus_documents"] = op.dedup_corpus_sql()
     o["simhash_documents"] = op.simhash_sql()
     o["ngram_jaccard_pairs_documents"] = op.ngram_jaccard_pairs_sql()
-    o["embedding_neardup_pairs"] = op.embedding_neardup_sql()
+    o["embedding_neardup_pairs"] = op.embedding_neardup_sql(threshold=0.45)
     o["ann_cosine_topk"] = op.ann_brute_force_sql()
     o["ann_ivf_topk"] = op.ivf_topk_sql()
     o["text_stats_documents"] = op.text_stats_sql()

@@ -323,53 +323,80 @@ def ngram_jaccard_pairs(df: DataFrame, content_col: str = "text",
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             threshold: float = 0.95) -> DataFrame:
+                             threshold: float = 0.95,
+                             num_blocks: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cos >= threshold).
 
-    Exact all-pairs semantics, two-phase physical plan:
+    Exact all-pairs semantics, two-phase physical plan — fully distributed,
+    nothing ever collected to the driver:
 
-    1. BLAS prefilter — the normalized corpus matrix is broadcast and each
-       Arrow batch computes batch @ corpus.T in one float64 GEMM
-       (mapInPandas), keeping only pairs with cos >= threshold - 1e-9.
-       Candidate volume ~= true near-dup count, tiny by construction.
+    1. Block-sharded BLAS prefilter — rows are hashed into B id-blocks,
+       each block packed into one (blk, rows) record; a tiny driver-built
+       (blk_a, blk_b) index (B(B+1)/2 int pairs — metadata, not data) is
+       equi-joined against the packed blocks, and each block-pair task runs
+       one float64 GEMM over its two sub-matrices (mapInPandas), keeping
+       pairs with cos >= threshold - 1e-9. Every unordered id pair lands in
+       exactly one block-pair task, so no distinct is needed.
     2. Exact re-check — survivors get the index-order left-fold dot product
        (same JVM expression as the oracle), so emitted cos values stay
-       bit-identical to DuckDB while the O(n^2) work runs in BLAS (5x
-       measured at sf0.1; the gap widens with n).
+       bit-identical to DuckDB while the O(n^2) flops run in BLAS.
 
-    Scale: the driver-collected broadcast bounds this to corpora whose
-    normalized matrix fits per-executor memory (~30 GB per 100M x 64-dim
-    float64). Beyond that, shard the corpus into B column-blocks and union
-    B mapInPandas passes (same plan per block), or prefilter candidates with
-    operators/similarity.lsh_topk buckets instead of the dense GEMM."""
+    Scale: per-block memory is bounded (~64 MB of float64 by default; B is
+    derived from a count when not given), tasks are B(B+1)/2-parallel, and
+    shuffle volume is ~(B+1)/2 copies of the corpus — the inherent
+    replication cost of exact all-pairs. For corpora where even that is too
+    much, the sub-quadratic route is an LSH-bucket prefilter
+    (operators/similarity.lsh_topk buckets) instead of the dense GEMM;
+    exact all-pairs at 100 TB is the wrong ask regardless of engine."""
     from flink_descriptive_stats_spark.operators.similarity import with_norm
     spark = df.sparkSession
-    # ONE scan of the input: everything downstream (prefilter batches,
-    # broadcast matrix, exact-recheck join sides) reuses the collected
-    # normalized corpus instead of re-deriving the with_norm plan.
-    rows = with_norm(df, id_col, vec_col).collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    mat = mat / np.array([r["norm"] for r in rows], dtype=np.float64)[:, None]
-    bc = spark.sparkContext.broadcast((ids, mat))
+    d = with_norm(df, id_col, vec_col)
+    if num_blocks is None:
+        n = d.count()
+        first = d.select("v").first()
+        dim = len(first["v"]) if first is not None else 1
+        # ~64 MB of float64 per block, at least 4 blocks so the
+        # B(B+1)/2 block-pair tasks spread across executors
+        num_blocks = max(4, -(-(n * dim * 8) // (64 << 20)))
+    nb = int(num_blocks)
+    packed = (d.withColumn("blk", F.pmod(F.col("id"), F.lit(nb)).cast("int"))
+              .groupBy("blk")
+              .agg(F.collect_list(F.struct("id", "v", "norm")).alias("rows")))
+    pair_idx = spark.createDataFrame(
+        [(i, j) for i in range(nb) for j in range(i, nb)],
+        "blk_a int, blk_b int")
+    pairs = (F.broadcast(pair_idx)
+             .join(packed.select(F.col("blk").alias("blk_a"),
+                                 F.col("rows").alias("rows_a")), "blk_a")
+             .join(packed.select(F.col("blk").alias("blk_b"),
+                                 F.col("rows").alias("rows_b")), "blk_b"))
     eps = 1e-9
-    d = spark.createDataFrame(rows, "id bigint, v array<double>, norm double")
 
     def gen(batches):
-        corpus_ids, corpus = bc.value
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a = np.array(list(pdf["v"]), dtype=np.float64)
-            a = a / pdf["norm"].to_numpy(dtype=np.float64)[:, None]
-            cos = a @ corpus.T
-            ai, bi = np.nonzero(cos >= threshold - eps)
-            qa = pdf["id"].to_numpy(dtype=np.int64)[ai]
-            qb = corpus_ids[bi]
-            keep = qa < qb
-            yield pd.DataFrame({"id_a": qa[keep], "id_b": qb[keep]})
+            for blk_a, blk_b, rows_a, rows_b in zip(
+                    pdf["blk_a"], pdf["blk_b"], pdf["rows_a"], pdf["rows_b"]):
+                ia = np.array([r["id"] for r in rows_a], dtype=np.int64)
+                ib = np.array([r["id"] for r in rows_b], dtype=np.int64)
+                ma = np.array([r["v"] for r in rows_a], dtype=np.float64)
+                mb = np.array([r["v"] for r in rows_b], dtype=np.float64)
+                ma /= np.array([r["norm"] for r in rows_a],
+                               dtype=np.float64)[:, None]
+                mb /= np.array([r["norm"] for r in rows_b],
+                               dtype=np.float64)[:, None]
+                cos = ma @ mb.T
+                x, y = np.nonzero(cos >= threshold - eps)
+                qa, qb = ia[x], ib[y]
+                if blk_a == blk_b:
+                    # both orders present in the square block — keep one
+                    keep = qa < qb
+                    qa, qb = qa[keep], qb[keep]
+                else:
+                    # cross-block hit appears once; order the ids
+                    qa, qb = np.minimum(qa, qb), np.maximum(qa, qb)
+                yield pd.DataFrame({"id_a": qa, "id_b": qb})
 
-    cand = d.mapInPandas(gen, "id_a bigint, id_b bigint")
+    cand = pairs.mapInPandas(gen, "id_a bigint, id_b bigint")
     a = d.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                  F.col("norm").alias("na"))
     b = d.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
