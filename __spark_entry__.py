@@ -162,16 +162,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # source-format parity: the same profile over a CSV round-trip of the
     # table must match the parquet-based oracle exactly (S1 source breadth;
-    # nation is CSV-lossless: ints + comma-free strings, no NULLs)
+    # nation is CSV-lossless: ints + comma-free strings, no NULLs). The
+    # round-trip is materialized under a per-process temp dir and always
+    # rewritten, so running queries() mutates nothing under the repo and a
+    # changed fixture can never be profiled from a stale cache.
     def _profile_nation_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
+        import tempfile
         src = _load(spark, sf_dir, "nation")
         path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "scratch",
+            tempfile.gettempdir(), f"fds_spark_csv_{os.getpid()}",
             f"csv_nation_{os.path.basename(os.path.normpath(sf_dir))}")
-        if not os.path.exists(path):
-            (src.coalesce(1).write.mode("overwrite")
-             .option("header", "true").csv(path))
+        (src.coalesce(1).write.mode("overwrite")
+         .option("header", "true").csv(path))
         df = (spark.read.option("header", "true").schema(src.schema)
               .csv(path))
         return prof.profile(df)

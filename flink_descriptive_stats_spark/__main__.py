@@ -58,7 +58,9 @@ def main(argv: list[str] | None = None) -> int:
     # cache: the profile agg and the top-K pass share one materialized scan
     df = df.cache()
     profile_df = prof.profile(df)
-    topk_df = None if args.no_topk else topk.topk_tokens(df)
+    # all-numeric tables have no token column to rank — skip, don't raise
+    run_topk = not args.no_topk and topk.string_columns(df)
+    topk_df = topk.topk_tokens(df) if run_topk else None
     complete_df = prof.complete_row_count(df)
     print(render_profile(profile_df, topk_df, complete_df))
     df.unpersist()

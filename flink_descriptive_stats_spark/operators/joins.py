@@ -77,12 +77,20 @@ def range_join(points: DataFrame, intervals: DataFrame, ts_col: str = "ts",
     against join selectivity (short ones); match it to the median
     interval length."""
     us = 1_000_000 * bucket_seconds
-    pb = points.withColumn(
-        "__b", F.expr(f"unix_micros({ts_col}) div {us}"))
-    ib = intervals.withColumn(
-        "__b", F.explode(F.sequence(
-            F.expr(f"unix_micros({start_col}) div {us}"),
-            F.expr(f"(unix_micros({end_col}) - 1) div {us}"))))
+    # floor division, not truncating `div`: for pre-epoch (negative) micros
+    # truncation rounds toward zero, putting a point and its covering
+    # interval in different buckets. (x - pmod(x, us)) is exactly divisible,
+    # so the subsequent div IS the floor — all-integer, no double rounding.
+    def _fdiv(expr: str) -> str:
+        return f"(({expr}) - pmod({expr}, {us})) div {us}"
+    pb = points.withColumn("__b", F.expr(_fdiv(f"unix_micros({ts_col})")))
+    ib = (intervals
+          # end <= start can match nothing (start <= ts < end is empty) but
+          # would make F.sequence explode a descending bucket list — drop
+          .where(F.col(end_col) > F.col(start_col))
+          .withColumn("__b", F.explode(F.sequence(
+              F.expr(_fdiv(f"unix_micros({start_col})")),
+              F.expr(_fdiv(f"unix_micros({end_col}) - 1"))))))
     return (pb.join(ib, [by, "__b"])
             .where((F.col(ts_col) >= F.col(start_col))
                    & (F.col(ts_col) < F.col(end_col)))

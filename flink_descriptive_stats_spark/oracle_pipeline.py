@@ -288,10 +288,12 @@ FROM gi GROUP BY user_id, sid
 def decontaminate_exact_sql(table: str = "documents",
                             mod: int = 10) -> str:
     """Mirror of dedup.decontaminate (exact): train = doc_id % mod != 0,
-    holdout = doc_id % mod == 0."""
+    holdout = doc_id % mod == 0. NOT EXISTS (not NOT IN): a NULL text row
+    in the holdout would make NULL-unsafe NOT IN return zero rows, while
+    Spark's anti-join treats NULL keys as non-matching."""
     return (f"SELECT t.* FROM {table} t WHERE doc_id % {mod} != 0 "
-            f"AND md5(text) NOT IN "
-            f"(SELECT md5(text) FROM {table} WHERE doc_id % {mod} = 0)")
+            f"AND NOT EXISTS (SELECT 1 FROM {table} h "
+            f"WHERE h.doc_id % {mod} = 0 AND md5(h.text) = md5(t.text))")
 
 
 def decontaminate_fuzzy_sql(table: str = "documents",
