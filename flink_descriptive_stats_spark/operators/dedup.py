@@ -280,7 +280,8 @@ def simhash_near_pairs(df: DataFrame, content_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, content_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.3) -> DataFrame:
+                        threshold: float = 0.3,
+                        max_df: int | None = None) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs (the non-probabilistic baseline
     for MinHash): group docs per shingle, emit co-occurring pairs inline
     (JVM-side nested transform — no self-join), count shared shingles per
@@ -288,14 +289,22 @@ def ngram_jaccard_pairs(df: DataFrame, content_col: str = "text",
 
     Scale: one shuffle keyed by shingle + one keyed by (id_a, id_b); vs the
     naive explode self-join this halves the shuffled volume (measured 1.5x
-    at sf0.1). Inherently quadratic in per-shingle doc frequency — at 100 TB
-    drop stopword-grams (doc freq above a cutoff) first; here doc freq is
-    bounded (max 25 at sf0.1) so the exact form stands."""
+    at sf0.1). Inherently quadratic in per-shingle doc frequency:
+    ``max_df`` drops stopword-grams (doc frequency > max_df) BEFORE the
+    pair explosion, bounding per-shingle fan-out to max_df^2 — set it at
+    100 TB (a shingle shared by k docs emits k(k-1)/2 pairs; a boilerplate
+    shingle in 1M docs would emit 5e11). Dropping only ubiquitous shingles
+    biases jaccard DOWN for pairs that shared them (denominator keeps both
+    docs' full sizes), so it under-merges — the safe direction for dedup.
+    Default None = exact (doc freq is bounded at bench scale: max 25 at
+    sf0.1)."""
     long = shingle_hashes_long(df, content_col, id_col, n)
     sizes = long.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     grouped = (long.groupBy("sh")
                .agg(F.array_sort(F.collect_list("id")).alias("ids"))
                .where(F.size("ids") > 1))
+    if max_df is not None:
+        grouped = grouped.where(F.size("ids") <= max_df)
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> transform("
         "slice(ids, i + 2, size(ids)), "

@@ -114,6 +114,28 @@ def test_ngram_jaccard(docs):
     assert pairs[(0, 3)] == 1.0 and (0, 1) in pairs
 
 
+def test_ngram_jaccard_max_df_drops_heavy_hitter(spark):
+    """A boilerplate shingle shared by every doc would fan out k(k-1)/2
+    pairs; max_df drops it before the pair explosion. Pairs linked only by
+    the boilerplate vanish; pairs sharing real content survive (their
+    jaccard can only decrease — the safe under-merge direction)."""
+    boiler = "copyright acme corp"
+    rows = [(i, f"{boiler} unique body number {i} here") for i in range(10)]
+    rows += [(100, f"{boiler} shared long tail of matching words"),
+             (101, f"{boiler} shared long tail of matching words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unfiltered = {(r["id_a"], r["id_b"])
+                  for r in dedup.ngram_jaccard_pairs(
+                      df, threshold=0.01).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in dedup.ngram_jaccard_pairs(
+                  df, threshold=0.01, max_df=5).collect()}
+    assert (100, 101) in unfiltered and (100, 101) in capped
+    assert capped < unfiltered          # boilerplate-only pairs dropped
+    # every boilerplate-only pair (both ids < 10) is gone under the cap
+    assert not any(a < 10 and b < 10 for a, b in capped)
+
+
 def test_ann_brute_force(spark):
     vecs = [(i, [1.0 if j == i % 4 else 0.1 * ((i * 7 + j) % 5)
                  for j in range(8)], 0) for i in range(20)]
