@@ -14,15 +14,21 @@ Reference semantics being modeled (file:line cites into /root/reference):
 - F6 int/long/float/double     StatsPojo.java:326-360 (Java parseXxx, not SQL cast)
 - F7 multi-pattern date check  StatsPojo.java:362-400
 
-Documented deviations (SURVEY.md §2.6): NULL instead of NaN sentinels; no
-length stats for float/double (the reference measures a Calcite-specific
-scientific-notation rendering — a display artifact); Java hex-float literals
-not recognized by F6; F6 float/double trims ASCII spaces only (Java trims all
-chars <= U+0020).
+Documented deviations (SURVEY.md §2.6): NULL instead of NaN sentinels; Java
+hex-float literals not recognized by F6; F6 float/double trims ASCII spaces
+only (Java trims all chars <= U+0020). Float/double display length follows
+the reference's Calcite rendering exactly (BigDecimal(x, DECIMAL32/64)
+.stripTrailingZeros().toString() with E+ -> E, CastUtils.java:22-45 — see
+fp_display_len_py), with two micro-deviations: (a) +-Infinity yields length
+0 like NaN where the reference's `new BigDecimal(inf)` would throw;
+(b) DecimalType length measures the engines' plain rendering, so decimals
+with adjusted exponent < -6 (|x| < 1e-7 at positive scale) differ from
+Java's scientific form.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -79,10 +85,72 @@ def duck_numeric_expr(name: str, dt: T.DataType) -> str | None:
 # display length (F2)
 # --------------------------------------------------------------------------
 
+def fp_display_len_py(v: float | None, sig: int) -> int | None:
+    """Python mirror of the Calcite float/double rendering length —
+    ``BigDecimal(x, DECIMAL32|64).stripTrailingZeros().toString()`` with
+    "E+" -> "E" (CastUtils.java:22-45). Python's ``decimal`` (libmpdec) is
+    exact over the binary value and rounds HALF_EVEN with the same
+    plain-vs-scientific toString rule as java.math.BigDecimal, so this IS
+    the reference semantics, digit for digit."""
+    import math
+    from decimal import Context, Decimal
+    if v is None:
+        return None
+    if math.isnan(v) or math.isinf(v):
+        return 0        # NaN renders "" in the reference; Inf would throw
+    if v == 0:
+        return 3        # "0E0"
+    d = Context(prec=sig).create_decimal(Decimal(v)).normalize()
+    return len(str(d).replace("E+", "E"))
+
+
+def _fp_length_expr(c: Column, sig: int) -> Column:
+    """Length of the Calcite scientific rendering of a float/double
+    (CastUtils.getFloatAsStr/getDoubleAsStr, StatsPojo.java:422-427):
+    BigDecimal(x, {DECIMAL32|DECIMAL64}).stripTrailingZeros().toString()
+    with "E+" -> "E"; NaN renders "" (length 0), +-0 renders "0E0".
+
+    THE one Arrow-vectorized (pandas_udf) expression in the profile:
+    BigDecimal exactifies the binary value (671.81d really is
+    671.80999999999994543..., so DECIMAL64 renders "671.8099999999999",
+    length 16) and those exact-expansion digits need >38-digit integer
+    arithmetic — beyond Spark SQL built-ins (format_string/%E pads
+    Double.toString's SHORTEST digits, giving "671.81"; double->decimal
+    casts go through BigDecimal.valueOf = shortest too). Python's decimal
+    is exact and HALF_EVEN like MathContext.DECIMAL64, ~1.1s/600k values
+    single-threaded and partition-parallel under Arrow.
+
+    NULL handling stays JVM-side (Arrow folds NULL and NaN together in a
+    float64 batch; the reference distinguishes them — null -> no length,
+    NaN -> 0)."""
+    @F.pandas_udf("int")
+    def fp_len(s: pd.Series) -> pd.Series:
+        # memoize per distinct value: real columns repeat heavily
+        # (quantities, discounts, rates), making the batch ~free; the
+        # worst case (all-distinct) degrades to one render per row
+        m = {v: fp_display_len_py(v, sig) for v in s.dropna().unique()}
+        out = s.map(m)
+        out[s.isna()] = 0   # true NaN renders ""; real NULLs handled JVM-side
+        return out.astype("Int32")
+
+    return (F.when(c.isNull(), F.lit(None).cast("int"))
+            .otherwise(fp_len(c.cast("double"))))
+
+
+def _decimal_length_expr(c: Column) -> Column:
+    """DecimalType display length (StatsPojo.java:428-430 /
+    getBigDecimalAsStr): plain fixed-scale rendering with ONE leading zero
+    stripped ("0.50" -> ".50", "-0.50" -> "-.50"; the "0"-valued decimal at
+    scale 0 renders "" — the reference quirk, length 0)."""
+    return F.length(F.regexp_replace(c.cast("string"), "^(-?)0", "$1"))
+
+
 def length_expr(name: str, dt: T.DataType) -> Column | None:
     """F2: value display-length. Strings -> char length; integrals -> decimal
-    digit count (incl. sign); booleans -> 4/5 ("true"/"false"); temporal and
-    float/double -> no length (see module docstring)."""
+    digit count (incl. sign); booleans -> 4/5 ("true"/"false");
+    float/double/decimal -> Calcite-rendering length (see _fp_length_expr /
+    _decimal_length_expr); temporal -> no length (reference returns null for
+    java.sql.Date, StatsPojo.java:405-407)."""
     c = F.col(name)
     if isinstance(dt, T.StringType):
         return F.length(c)
@@ -91,7 +159,35 @@ def length_expr(name: str, dt: T.DataType) -> Column | None:
     if isinstance(dt, T.BooleanType):
         return (F.when(c.isNull(), F.lit(None).cast("int"))
                 .when(c, F.lit(4)).otherwise(F.lit(5)))
+    if isinstance(dt, T.FloatType):
+        return _fp_length_expr(c, 7)    # MathContext.DECIMAL32
+    if isinstance(dt, T.DoubleType):
+        return _fp_length_expr(c, 16)   # MathContext.DECIMAL64
+    if isinstance(dt, T.DecimalType):
+        return _decimal_length_expr(c)
     return None
+
+
+def _duck_fp_length(x: str, sig: int) -> str:
+    """DuckDB mirror of _fp_length_expr ('%.{sig-1}e' printf; lowercase)."""
+    s = f"printf('%.{sig - 1}e', CAST({x} AS DOUBLE))"
+    mant = f"split_part({s}, 'e', 1)"
+    a = f"CAST(split_part({s}, 'e', 2) AS INTEGER)"
+    p = f"length(regexp_replace(translate({mant}, '-.', ''), '0+$', ''))"
+    neg = f"(CASE WHEN {x} < 0 THEN 1 ELSE 0 END)"
+    scale = f"({p} - 1 - {a})"
+    plain = (f"(CASE WHEN {scale} = 0 THEN {p} "
+             f"WHEN {a} >= 0 THEN {p} + 1 "
+             f"ELSE {p} + 1 - {a} END)")
+    sci = (f"({p} + (CASE WHEN {p} > 1 THEN 1 ELSE 0 END) + 1 "
+           f"+ (CASE WHEN {a} < 0 THEN 1 ELSE 0 END) "
+           f"+ length(CAST(abs({a}) AS VARCHAR)))")
+    return (f"(CASE WHEN {x} IS NULL THEN NULL "
+            f"WHEN isnan(CAST({x} AS DOUBLE)) "
+            f"OR isinf(CAST({x} AS DOUBLE)) THEN 0 "
+            f"WHEN {x} = 0 THEN 3 "
+            f"WHEN {scale} >= 0 AND {a} >= -6 THEN {plain} + {neg} "
+            f"ELSE {sci} + {neg} END)")
 
 
 def duck_length_expr(name: str, dt: T.DataType) -> str | None:
@@ -102,6 +198,13 @@ def duck_length_expr(name: str, dt: T.DataType) -> str | None:
     if isinstance(dt, T.BooleanType):
         return (f"CASE WHEN {name} IS NULL THEN NULL "
                 f"WHEN {name} THEN 4 ELSE 5 END")
+    if isinstance(dt, T.FloatType):
+        return _duck_fp_length(name, 7)
+    if isinstance(dt, T.DoubleType):
+        return _duck_fp_length(name, 16)
+    if isinstance(dt, T.DecimalType):
+        return (f"length(regexp_replace(CAST({name} AS VARCHAR), "
+                f"'^(-?)0', '\\1'))")
     return None
 
 

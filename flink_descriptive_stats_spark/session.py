@@ -33,6 +33,10 @@ def get_spark(app_name: str = "flink_descriptive_stats_spark",
         # codegen for it (2.5x slower) — raise it
         .config("spark.sql.codegen.maxFields", "500")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fewer, larger Arrow batches for the pandas-UDF paths (F2 length,
+        # GEMM prefilter): per-batch Python/serialization overhead dominates
+        # at the 10k default
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

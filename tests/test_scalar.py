@@ -157,3 +157,77 @@ def test_sig6_three_way_property(spark):
     got_py = [sig6_py(v) for v in vals]
     for v, s, d, p in zip(vals, got_spark, got_duck, got_py):
         assert s == d == p, f"x={v!r}: spark={s} duck={d} py={p}"
+
+
+def test_fp_display_length_three_way_property(spark):
+    """F2 float/double display length (the Calcite BigDecimal rendering,
+    CastUtils.java:22-45): the Spark Arrow expression, the DuckDB printf
+    mirror, and the Python decimal mirror agree on arbitrary doubles —
+    including subnormals, extremes, NaN/Inf and exact-binary-noise values
+    like 671.81 whose DECIMAL64 form is '671.8099999999999'."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import types as T
+
+    collected: list[float] = []
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.floats(allow_nan=False, allow_infinity=False))
+    def gather(x):
+        collected.append(x)
+
+    gather()
+    vals = collected + [0.0, -0.0, 5e-324, 1.7976931348623157e308,
+                        -671.81, 42995.46, 120.0, 100000.0, 1e-6, 1e-7]
+    # NaN/Inf/NULL probed via scalar casts (duckdb's DOUBLE[] parameter
+    # conversion nulls NaN — a binding artifact, not engine semantics)
+    specials = [("'NaN'", float("nan"), 0), ("'Infinity'", float("inf"), 0),
+                ("'-Infinity'", float("-inf"), 0), ("NULL", None, None)]
+
+    df = spark.createDataFrame(
+        [(v,) for v in vals + [v for _, v, _ in specials]], "x double")
+    got_spark = [r[0] for r in
+                 df.select(scalar.length_expr("x", T.DoubleType())).collect()]
+    con = duckdb.connect()
+    dexpr = scalar.duck_length_expr("x", T.DoubleType())
+    got_duck = [r[0] for r in con.execute(
+        f"SELECT {dexpr} FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+        [vals]).fetchall()]
+    got_duck += [con.execute(
+        f"SELECT {dexpr} FROM (SELECT CAST({lit} AS DOUBLE) AS x)"
+        ).fetchone()[0] for lit, _, _ in specials]
+    got_py = ([scalar.fp_display_len_py(v, 16) for v in vals]
+              + [want for _, _, want in specials])
+    all_vals = vals + [v for _, v, _ in specials]
+    for v, s, d, p in zip(all_vals, got_spark, got_duck, got_py):
+        assert s == d == p, f"x={v!r}: spark={s} duck={d} py={p}"
+
+
+def test_fp_display_length_float_and_decimal(spark):
+    """Float rides DECIMAL32 (7 digits); DecimalType strips ONE leading
+    zero ('0.50' -> '.50', '-0.50' -> '-.50' — getBigDecimalAsStr)."""
+    import struct
+
+    import duckdb
+    from pyspark.sql import types as T
+
+    fvals = [struct.unpack("f", struct.pack("f", v))[0] for v in
+             [1.5, 0.1, 123.456, 100000.0, 1e-7, 0.25, 1234567.5,
+              3.4028235e38, 1.1754944e-38, -42.42]]
+    df = spark.createDataFrame([(v,) for v in fvals], "x float")
+    got_spark = [r[0] for r in
+                 df.select(scalar.length_expr("x", T.FloatType())).collect()]
+    con = duckdb.connect()
+    fexpr = scalar.duck_length_expr("x", T.FloatType())
+    for v, s in zip(fvals, got_spark):
+        d = con.execute(f"SELECT {fexpr} FROM (SELECT CAST(? AS FLOAT) AS x)",
+                        [v]).fetchone()[0]
+        p = scalar.fp_display_len_py(v, 7)
+        assert s == d == p, f"x={v!r}: spark={s} duck={d} py={p}"
+
+    ddf = (spark.createDataFrame(
+        [("0.50",), ("-0.50",), ("12.34",), ("0.00",), (None,)], "s string")
+        .selectExpr("cast(s as decimal(10,2)) as x"))
+    got = [r[0] for r in
+           ddf.select(scalar.length_expr("x", T.DecimalType(10, 2))).collect()]
+    assert got == [3, 4, 5, 3, None]
