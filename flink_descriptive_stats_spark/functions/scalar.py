@@ -225,14 +225,35 @@ def duck_is_blank(name: str) -> str:
 # character-pattern generator (F4)
 # --------------------------------------------------------------------------
 
-# Latin accent fold (the reference uses NFD strip-accents; a translate table
-# covers the Latin-1/Latin-Extended-A characters seen in practice and keeps
-# the expression JVM-side instead of a per-row Python UDF).
-ACCENT_SRC = ("ÀÁÂÃÄÅĀĂĄàáâãäåāăąÈÉÊËĒĔĖĘĚèéêëēĕėęěÌÍÎÏĨĪĬĮİìíîïĩīĭįı"
-              "ÒÓÔÕÖØŌŎŐòóôõöøōŏőÙÚÛÜŨŪŬŮŰŲùúûüũūŭůűųÝýÿÑñÇç")
-ACCENT_DST = ("AAAAAAAAAaaaaaaaaaEEEEEEEEEeeeeeeeeeIIIIIIIIIiiiiiiiii"
-              "OOOOOOOOOoooooooooUUUUUUUUUUuuuuuuuuuuYyyNnCc")
-assert len(ACCENT_SRC) == len(ACCENT_DST)
+# Accent fold mirroring commons-lang3 StringUtils.stripAccents (what the
+# reference calls, StringStatsTuple.java:26): NFD-decompose, drop combining
+# marks in U+0300-036F, special-case L-stroke. Re-expressed JVM-side as
+# (a) a translate table generated AT IMPORT from unicodedata — every BMP
+# precomposed char whose NFD is an ASCII letter + combining marks — plus
+# (b) a regex delete of literal combining marks (covers already-decomposed
+# input, which the reference also folds). Chars with no NFD decomposition
+# (o-slash, ae, eth) stay put, exactly like commons-lang (they then hit the
+# '?' class). Non-ASCII bases (Greek/Cyrillic precomposed) are omitted from
+# the table: their stripped base is still non-ASCII, so the emitted pattern
+# char is '?' either way — identical output, smaller table.
+def _gen_accent_table() -> tuple[str, str]:
+    import unicodedata
+    src, dst = [], []
+    # Latin-1 Supplement through Latin Extended-B, Latin Extended Additional
+    for cp in [*range(0x00C0, 0x0250), *range(0x1E00, 0x1F00)]:
+        ch = chr(cp)
+        d = unicodedata.normalize("NFD", ch)
+        if (len(d) >= 2 and all(0x300 <= ord(m) <= 0x36F for m in d[1:])
+                and ("a" <= d[0] <= "z" or "A" <= d[0] <= "Z")):
+            src.append(ch)
+            dst.append(d[0])
+    src += ["Ł", "ł"]     # commons-lang3 special case: Ł/ł -> L/l
+    dst += ["L", "l"]
+    return "".join(src), "".join(dst)
+
+
+ACCENT_SRC, ACCENT_DST = _gen_accent_table()
+COMBINING_MARKS_RE = f"[{chr(0x0300)}-{chr(0x036F)}]"
 
 # Replacement steps, applied in order (order matters: letter/digit classes
 # are consumed before the catch-all '?'); identical regex semantics in Java
@@ -250,6 +271,7 @@ def pattern_expr(c: Column) -> Column:
     """F4: accent-fold then map chars: a-z->a, A-Z->A, 0-9->#, space/tab->b,
     keep ``/ : . - ' #``, anything else -> ?  (StringStatsTuple.java:24-46)."""
     out = F.translate(c, ACCENT_SRC, ACCENT_DST)
+    out = F.regexp_replace(out, COMBINING_MARKS_RE, "")
     for pat, rep in PATTERN_STEPS:
         out = F.regexp_replace(out, pat, rep)
     return out
@@ -257,6 +279,7 @@ def pattern_expr(c: Column) -> Column:
 
 def duck_pattern_expr(expr: str) -> str:
     out = f"translate({expr}, '{ACCENT_SRC}', '{ACCENT_DST}')"
+    out = f"regexp_replace({out}, '{COMBINING_MARKS_RE}', '', 'g')"
     for pat, rep in PATTERN_STEPS:
         pat_sql = pat.replace("\t", "\\t").replace("'", "''")
         out = f"regexp_replace({out}, '{pat_sql}', '{rep}', 'g')"

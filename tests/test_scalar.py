@@ -231,3 +231,51 @@ def test_fp_display_length_float_and_decimal(spark):
     got = [r[0] for r in
            ddf.select(scalar.length_expr("x", T.DecimalType(10, 2))).collect()]
     assert got == [3, 4, 5, 3, None]
+
+
+def test_pattern_accent_fold_matches_stripaccents(spark):
+    """F4 accent folding == commons-lang3 StringUtils.stripAccents (what
+    the reference calls): NFD + drop combining marks U+0300-036F + L-stroke
+    special case. Non-decomposing chars (o-slash, eth, sharp-s) stay and
+    hit '?'; Latin Extended-B/Additional fold to their base class; literal
+    combining marks in already-decomposed input are consumed."""
+    import unicodedata
+
+    import duckdb
+
+    def ref_pattern(v):
+        v = unicodedata.normalize("NFD", v)
+        v = "".join(ch for ch in v if not (0x300 <= ord(ch) <= 0x36F))
+        v = v.replace("Ł", "L").replace("ł", "l")
+        out = []
+        for ch in v:
+            if "a" <= ch <= "z":
+                out.append("a")
+            elif "A" <= ch <= "Z":
+                out.append("A")
+            elif "0" <= ch <= "9":
+                out.append("#")
+            elif ch in " \t":
+                out.append("b")
+            elif ch == "#":
+                out.append("#")
+            elif ch not in "/:.-'":
+                out.append("?")
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    tests = ["Ǎbc", "șț", "ø", "é", "Ḡamma",
+             "ά", "Łódź", "café", "naïve 42",
+             "đźß", "ḗ", "x́̄y",
+             "ǍǏǑǕǞ", "plain text 1.5/x:y-z'q"]
+    df = spark.createDataFrame([(t,) for t in tests], "s string")
+    got_spark = [r[0] for r in
+                 df.select(scalar.pattern_expr(F.col("s"))).collect()]
+    con = duckdb.connect()
+    dexpr = scalar.duck_pattern_expr("s")
+    for t, sp in zip(tests, got_spark):
+        dk = con.execute(f"SELECT {dexpr} FROM (SELECT ? AS s)",
+                         [t]).fetchone()[0]
+        assert sp == dk == ref_pattern(t), (
+            f"{t!r}: spark={sp!r} duck={dk!r} ref={ref_pattern(t)!r}")
