@@ -91,3 +91,28 @@ def rank_topk(counts: DataFrame, k: int = 5) -> DataFrame:
         F.col("cnt").desc(), F.col("token").asc())
     return (counts.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def start_windowed_topk(stream: DataFrame, sink_path: str,
+                        k: int = 5, ts_col: str = "ts",
+                        token_col: str = "event_type",
+                        window: str = "6 hours",
+                        watermark: str | None = "1 hour"):
+    """End-to-end streaming windowed top-K: windowed_token_counts ->
+    foreachBatch(rank_topk -> overwrite ``sink_path``). Returns the started
+    StreamingQuery (caller stops it).
+
+    Ranking (row_number) is not allowed mid-stream, so it runs inside
+    foreachBatch over each epoch's materialized counts — with complete
+    output mode every epoch carries the full per-window counts, so the sink
+    always holds the exact current top-K per window. The ranking input is
+    windows x tokens (already aggregated), tiny relative to the stream, so
+    the per-epoch sort is bounded regardless of input rate."""
+    counts = windowed_token_counts(stream, ts_col, token_col, window,
+                                   watermark)
+
+    def emit(batch_df: DataFrame, _epoch_id: int) -> None:
+        rank_topk(batch_df, k).write.mode("overwrite").parquet(sink_path)
+
+    return (counts.writeStream.outputMode("complete")
+            .foreachBatch(emit).start())

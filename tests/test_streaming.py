@@ -245,3 +245,27 @@ def test_merge_moments_property():
         assert np.isclose(m2 / n, arr.var(), rtol=1e-6, atol=1e-6)
 
     check()
+
+
+def test_streaming_topk_foreachbatch_end_to_end(spark, tmp_path):
+    """North-star: the full streaming top-K pipeline — readStream ->
+    windowed counts -> foreachBatch(rank -> parquet sink) — converges to
+    the batch ranking of the same data."""
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        rank_topk, start_windowed_topk, windowed_token_counts)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink = str(tmp_path / "topk_sink")
+    stream = _normalize(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(STREAM_DIR))
+    query = start_windowed_topk(stream, sink, window="1 day",
+                                watermark="1 hour")
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    batch = rank_topk(windowed_token_counts(
+        load_table(spark, SF_DIR, "events"), window="1 day",
+        watermark=None)).collect()
+    assert got == sorted(map(tuple, batch))
+    assert len(got) > 0
