@@ -70,34 +70,42 @@ MIX_RATES = (("src0", 1.0), ("src1", 0.5), ("src2", 0.1), ("src3", 0.0))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """All engine queries. INSERTION ORDER IS LOAD-BEARING: the driver's
+    correctness gate checks exactly the first 50 entries, so the first 50
+    are one representative per DISTINCT operator family (lineitem/events/
+    documents between them cover every dtype). Per-table repeats of
+    already-gated operators and the rows-only sketch/stub variants follow
+    from position 51."""
+    from flink_descriptive_stats_spark.operators import (dedup, multimodal,
+                                                         sampling, similarity,
+                                                         sketch)
+    from flink_descriptive_stats_spark.operators import text as text_ops
+
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for table in _PROFILE_TABLES:
+
+    # ---- gated window (first 50): one entry per operator family ----------
+    # core profiler over the three dtype-covering tables
+    for table in ("lineitem", "events", "documents"):
         q[f"profile_{table}"] = _profile_table(table)
-    for table in _TOPK_TABLES:
+    for table in ("lineitem", "events", "documents"):
         q[f"topk_{table}"] = _topk_table(table)
-    for table in _COMPLETENESS_TABLES:
-        q[f"completeness_{table}"] = _completeness_table(table)
-    for table in _DISTINCT_TABLES:
-        q[f"distinct_{table}"] = _tq(extras.distinct_counts, table)
-    for table in _QUANTILE_TABLES:
-        q[f"quartiles_{table}"] = _tq(extras.quantiles, table)
-    for table in _OUTLIER_TABLES:
-        q[f"outliers_{table}"] = _tq(extras.outlier_counts, table)
-    for table in _CORR_TABLES:
-        q[f"corr_{table}"] = _tq(extras.correlation_matrix, table)
-    for table, col in _HISTOGRAMS:
-        q[f"histogram_{table}_{col}"] = _tq(extras.histogram, table,
-                                            column=col)
+    q["completeness_lineitem"] = _completeness_table("lineitem")
+    q["distinct_lineitem"] = _tq(extras.distinct_counts, "lineitem")
+    q["quartiles_lineitem"] = _tq(extras.quantiles, "lineitem")
+    q["outliers_lineitem"] = _tq(extras.outlier_counts, "lineitem")
+    q["corr_lineitem"] = _tq(extras.correlation_matrix, "lineitem")
+    q["histogram_lineitem_l_extendedprice"] = _tq(
+        extras.histogram, "lineitem", column="l_extendedprice")
+
     # D8 as data: JB normality verdicts over the profile output
     def _jb(table):
-        def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def qf(spark: SparkSession, sf_dir: str) -> DataFrame:
             from flink_descriptive_stats_spark.report import jb_report
             return jb_report(prof.profile(_load(spark, sf_dir, table)))
-        return q
+        return qf
     q["jb_report_lineitem"] = _jb("lineitem")
-    q["jb_report_events"] = _jb("events")
 
-    # windowed profile (batch mode of the streaming operator; tumbling 6h)
+    # streaming operators, batch mode (same plan minus watermark state)
     def _windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         from flink_descriptive_stats_spark.streaming.profile_stream import (
             windowed_profile)
@@ -111,35 +119,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 window="6 hours", slide="2 hours")
     q["sliding_profile_events"] = _sliding
 
-    # LLM-pipeline operators: dedup / similarity / text analysis
-    from flink_descriptive_stats_spark.operators import dedup, similarity
-    from flink_descriptive_stats_spark.operators import text as text_ops
-    q["dedup_exact_documents"] = _tq(dedup.exact_dedup, "documents")
-    q["dedup_keep_first_documents"] = _tq(dedup.keep_first, "documents")
+    def _grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.streaming.profile_stream import (
+            grouped_profile)
+        return grouped_profile(_load(spark, sf_dir, "events"),
+                               keys=["event_type"])
+    q["grouped_profile_events"] = _grouped_profile
 
-    def _decontam(fuzzy):
-        def qf(spark: SparkSession, sf_dir: str) -> DataFrame:
-            docs = _load(spark, sf_dir, "documents")
-            train = docs.where(F.col("doc_id") % 10 != 0)
-            holdout = docs.where(F.col("doc_id") % 10 == 0)
-            return dedup.decontaminate(train, holdout, fuzzy=fuzzy)
-        return qf
-    q["decontaminate_exact_documents"] = _decontam(False)
-    q["decontaminate_fuzzy_documents"] = _decontam(True)
-    q["corpus_summary_documents"] = _tq(text_ops.corpus_summary, "documents")
-    q["vocabulary_documents"] = _tq(text_ops.vocabulary, "documents")
+    def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+            sessionize)
+        return sessionize(_load(spark, sf_dir, "events"))
+    q["sessionize_events"] = _sessionize
 
-    # operator composition: histogram of a derived per-doc statistic
-    def _tok_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return extras.histogram(
-            text_ops.text_stats(_load(spark, sf_dir, "documents")),
-            "n_tokens")
-    q["token_length_histogram_documents"] = _tok_hist
+    def _windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+            rank_topk, windowed_token_counts)
+        ev = _load(spark, sf_dir, "events")
+        return rank_topk(windowed_token_counts(ev, watermark=None))
+    q["windowed_topk_events"] = _windowed_topk
 
-    from flink_descriptive_stats_spark.operators import sketch
-    q["countmin_topk_documents"] = _tq(sketch.countmin_topk, "documents")
-
-    # as-of join: every event + the latest same-user purchase at/before it
+    # joins
     def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         from flink_descriptive_stats_spark.operators import joins
         ev = _load(spark, sf_dir, "events").select(
@@ -148,7 +148,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return joins.asof_join(ev, purchases)
     q["asof_join_events"] = _asof
 
-    # range join: events -> their own gap-sessions (start <= ts < end)
     def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         from flink_descriptive_stats_spark.operators import joins
         from flink_descriptive_stats_spark.streaming.pipeline_stream import (
@@ -179,12 +178,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               .csv(path))
         return prof.profile(df)
     q["profile_nation_csv"] = _profile_nation_csv
+
+    # dedup / decontamination
+    q["dedup_exact_documents"] = _tq(dedup.exact_dedup, "documents")
+    q["dedup_keep_first_documents"] = _tq(dedup.keep_first, "documents")
+
+    def _decontam(fuzzy):
+        def qf(spark: SparkSession, sf_dir: str) -> DataFrame:
+            docs = _load(spark, sf_dir, "documents")
+            train = docs.where(F.col("doc_id") % 10 != 0)
+            holdout = docs.where(F.col("doc_id") % 10 == 0)
+            return dedup.decontaminate(train, holdout, fuzzy=fuzzy)
+        return qf
+    q["decontaminate_exact_documents"] = _decontam(False)
+    q["decontaminate_fuzzy_documents"] = _decontam(True)
     q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
                                             "documents")
     q["minhash_pairs_documents"] = _tq(dedup.minhash_dedup_pairs, "documents")
     q["neardup_clusters_documents"] = _tq(dedup.neardup_clusters, "documents")
     q["dedup_corpus_documents"] = _tq(dedup.dedup_corpus, "documents")
     q["simhash_documents"] = _tq(dedup.simhash_signatures, "documents")
+    q["simhash_near_pairs_documents"] = _tq(dedup.simhash_near_pairs,
+                                            "documents")
     q["ngram_jaccard_pairs_documents"] = _tq(dedup.ngram_jaccard_pairs,
                                              "documents")
     # threshold 0.45 (not the 0.95 operator default): the synthetic
@@ -192,58 +207,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # make this gate vacuous (0 rows); 0.45 yields 14 pairs at sf0.01
     q["embedding_neardup_pairs"] = _tq(dedup.embedding_near_dup_pairs,
                                        "embeddings", threshold=0.45)
+
+    # similarity search
     q["ann_cosine_topk"] = _tq(similarity.brute_force_topk, "embeddings")
     q["ann_lsh_topk"] = _tq(similarity.lsh_topk, "embeddings")
     q["ann_ivf_topk"] = _tq(similarity.ivf_topk, "embeddings")
-    q["simhash_near_pairs_documents"] = _tq(dedup.simhash_near_pairs,
-                                            "documents")
-    q["text_stats_documents"] = _tq(text_ops.text_stats, "documents")
-    q["quality_filter_documents"] = _tq(text_ops.quality_filter, "documents")
     q["embedding_dim_profile"] = _tq(similarity.embedding_dim_profile,
                                      "embeddings")
+
+    # text analysis
+    q["text_stats_documents"] = _tq(text_ops.text_stats, "documents")
+    q["quality_filter_documents"] = _tq(text_ops.quality_filter, "documents")
     q["lang_id_documents"] = _tq(text_ops.lang_id, "documents")
     q["fingerprints_documents"] = _tq(text_ops.fingerprints, "documents")
+    q["corpus_summary_documents"] = _tq(text_ops.corpus_summary, "documents")
+    q["vocabulary_documents"] = _tq(text_ops.vocabulary, "documents")
+
+    # operator composition: histogram of a derived per-doc statistic
+    def _tok_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return extras.histogram(
+            text_ops.text_stats(_load(spark, sf_dir, "documents")),
+            "n_tokens")
+    q["token_length_histogram_documents"] = _tok_hist
+    q["countmin_topk_documents"] = _tq(sketch.countmin_topk, "documents")
 
     # sampling / splitting / packing (training-data pipeline)
-    from flink_descriptive_stats_spark.operators import sampling
     q["hash_split_documents"] = _tq(sampling.hash_split, "documents")
     q["mixture_sample_documents"] = _tq(
         lambda df: sampling.mixture_sample(df, rates=MIX_RATES,
                                            default_rate=0.25), "documents")
     q["pack_sequences_documents"] = _tq(sampling.pack_sequences, "documents")
 
-    # multimodal plumbing: metadata is oracle-checkable; the Arrow-batched
-    # feature extraction (mapInPandas) is rows-only
-    from flink_descriptive_stats_spark.operators import multimodal
+    # multimodal plumbing (metadata/frames are oracle-checkable)
     q["multimodal_meta_documents"] = _tq(multimodal.payload_metadata,
                                          "documents")
-    q["multimodal_features_documents"] = _tq(multimodal.extract_features,
-                                             "documents")
     q["multimodal_frames_documents"] = _tq(multimodal.sample_frames,
                                            "documents")
+    assert len(q) == 50, f"gated window must hold 50 queries, got {len(q)}"
 
-    # streaming operators, batch mode (same plan minus watermark state)
-    def _windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from flink_descriptive_stats_spark.streaming.pipeline_stream import (
-            rank_topk, windowed_token_counts)
-        ev = _load(spark, sf_dir, "events")
-        return rank_topk(windowed_token_counts(ev, watermark=None))
-    q["windowed_topk_events"] = _windowed_topk
+    # ---- positions 51+: per-table repeats of gated operators -------------
+    for table in _PROFILE_TABLES:
+        if f"profile_{table}" not in q:
+            q[f"profile_{table}"] = _profile_table(table)
+    for table in _TOPK_TABLES:
+        if f"topk_{table}" not in q:
+            q[f"topk_{table}"] = _topk_table(table)
+    q["completeness_supplier"] = _completeness_table("supplier")
+    for table in ("orders", "events"):
+        q[f"distinct_{table}"] = _tq(extras.distinct_counts, table)
+    for table in ("customer", "events"):
+        q[f"quartiles_{table}"] = _tq(extras.quantiles, table)
+    q["outliers_events"] = _tq(extras.outlier_counts, "events")
+    q["corr_events"] = _tq(extras.correlation_matrix, "events")
+    q["histogram_events_value"] = _tq(extras.histogram, "events",
+                                      column="value")
+    q["jb_report_events"] = _jb("events")
 
-    def _grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from flink_descriptive_stats_spark.streaming.profile_stream import (
-            grouped_profile)
-        return grouped_profile(_load(spark, sf_dir, "events"),
-                               keys=["event_type"])
-    q["grouped_profile_events"] = _grouped_profile
-
-    def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from flink_descriptive_stats_spark.streaming.pipeline_stream import (
-            sessionize)
-        return sessionize(_load(spark, sf_dir, "events"))
-    q["sessionize_events"] = _sessionize
-
-    # scale-path variants (sketch-based; no SQL oracle — rows-only check)
+    # rows-only by design: stubbed decode / sketch scale-paths (no oracle)
+    q["multimodal_features_documents"] = _tq(multimodal.extract_features,
+                                             "documents")
     q["approx_distinct_lineitem"] = _tq(extras.approx_distinct_counts,
                                         "lineitem")
     q["quartiles_approx_lineitem"] = _tq(extras.quantiles, "lineitem",
