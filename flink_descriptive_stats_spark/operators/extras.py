@@ -36,6 +36,19 @@ def numeric_columns(df: DataFrame) -> list[str]:
             if scalar.is_numeric_type(f.dataType)]
 
 
+def _exact_stats_row(df: DataFrame, cols: list[str]):
+    """Quartiles + mean + stddev_pop for every column in ONE agg pass,
+    memoized (functions/memo.py): quartiles() and outlier_counts() over the
+    same input share a single percentile job instead of sorting each
+    column's values twice."""
+    from flink_descriptive_stats_spark.functions.memo import agg_row_memoized
+    arr = F.array(*[F.lit(p) for p in QUARTILES])
+    aggs = ([F.percentile(F.col(c), arr).alias(f"{c}__q") for c in cols]
+            + [F.avg(F.col(c)).alias(f"{c}__mu") for c in cols]
+            + [F.stddev_pop(F.col(c)).alias(f"{c}__sd") for c in cols])
+    return agg_row_memoized(df, aggs, ("exact_stats", tuple(cols)))
+
+
 def distinct_counts(df: DataFrame,
                     columns: list[str] | None = None) -> DataFrame:
     """Exact distinct per column — one row per column (long format).
@@ -74,10 +87,13 @@ def quantiles(df: DataFrame, columns: list[str] | None = None,
     full sort buffer per column, the approximate one is a bounded-memory
     single pass."""
     cols = columns or numeric_columns(df)
-    fn = F.percentile if exact else F.percentile_approx
-    arr = F.array(*[F.lit(p) for p in probs])
-    agg = df.agg(*[fn(F.col(c), arr).alias(c) for c in cols])
-    row = agg.collect()[0]
+    if exact and probs == QUARTILES:
+        srow = _exact_stats_row(df, cols)
+        row = {c: srow[f"{c}__q"] for c in cols}
+    else:
+        fn = F.percentile if exact else F.percentile_approx
+        arr = F.array(*[F.lit(p) for p in probs])
+        row = df.agg(*[fn(F.col(c), arr).alias(c) for c in cols]).collect()[0]
     out = [tuple([c] + ([None] * len(probs) if row[c] is None
                         else [sig6_py(v) for v in row[c]]))
            for c in cols]  # row[c] is NULL for an all-NULL column
@@ -131,12 +147,7 @@ def outlier_counts(df: DataFrame,
     An all-NULL column has undefined fences; its counts are 0 (matching
     SQL's count-FILTER-over-NULL-predicate semantics)."""
     cols = columns or numeric_columns(df)
-    arr = F.array(F.lit(0.25), F.lit(0.75))
-    stats_row = df.agg(*(
-        [F.percentile(F.col(c), arr).alias(f"{c}__q") for c in cols]
-        + [F.avg(F.col(c)).alias(f"{c}__mu") for c in cols]
-        + [F.stddev_pop(F.col(c)).alias(f"{c}__sd") for c in cols]
-    )).collect()[0]
+    stats_row = _exact_stats_row(df, cols)
 
     def _rt(v):  # sig6 round-trip ('3333333e-1' parses straight back)
         s = sig6_py(v)
@@ -150,7 +161,7 @@ def outlier_counts(df: DataFrame,
         if q is None or mu is None or sd is None:
             no_fence.add(c)
             continue
-        q1, q3 = _rt(q[0]), _rt(q[1])
+        q1, q3 = _rt(q[0]), _rt(q[2])
         iqr = q3 - q1
         lo_iqr, hi_iqr = q1 - 1.5 * iqr, q3 + 1.5 * iqr
         lo_sig, hi_sig = mu - 3.0 * sd, mu + 3.0 * sd

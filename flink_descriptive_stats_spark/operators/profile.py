@@ -103,23 +103,6 @@ def profile_schema() -> T.StructType:
                          for name, ts in PROFILE_FIELDS])
 
 
-# Memo of collected single-row aggregates, keyed by (session, semantic plan
-# hash, column list). profile() is deterministic over immutable batch inputs,
-# so a repeat profile of the same source (jb_report after profile, CLI report
-# sections, repeated bench queries) reuses the one collected row instead of
-# re-running the scan+agg job. Bounded; per-process only.
-_AGG_MEMO: dict[tuple, object] = {}
-_AGG_MEMO_MAX = 64
-
-
-def _memo_key(df: DataFrame, fields) -> tuple | None:
-    try:
-        h = df._jdf.queryExecution().analyzed().semanticHash()
-    except Exception:
-        return None
-    return (id(df.sparkSession), h, tuple(f.name for f in fields))
-
-
 def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Profile every (selected) column of ``df`` in one aggregation pass.
 
@@ -143,14 +126,11 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     for i, f in enumerate(fields):
         agg_exprs += _agg_exprs_for_column(i, f.name, f.dataType)
 
-    key = _memo_key(df, fields)
-    row = _AGG_MEMO.get(key) if key is not None else None
-    if row is None:
-        row = df.agg(*agg_exprs).collect()[0]
-        if key is not None:
-            if len(_AGG_MEMO) >= _AGG_MEMO_MAX:
-                _AGG_MEMO.pop(next(iter(_AGG_MEMO)))
-            _AGG_MEMO[key] = row
+    # memoized: jb_report / repeat profiles of the same input reuse the
+    # one collected row instead of re-running the scan+agg job
+    from flink_descriptive_stats_spark.functions.memo import agg_row_memoized
+    row = agg_row_memoized(df, agg_exprs,
+                           ("profile", tuple(f.name for f in fields)))
 
     out_rows = []
     for i, f in enumerate(fields):
