@@ -263,6 +263,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       column="value")
     q["jb_report_events"] = _jb("events")
 
+    # JSON source parity (S1 breadth, same contract as the CSV round-trip)
+    def _profile_nation_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+        src = _load(spark, sf_dir, "nation")
+        path = os.path.join(
+            tempfile.gettempdir(), f"fds_spark_json_{os.getpid()}",
+            f"json_nation_{os.path.basename(os.path.normpath(sf_dir))}")
+        src.coalesce(1).write.mode("overwrite").json(path)
+        return prof.profile(spark.read.schema(src.schema).json(path))
+    q["profile_nation_json"] = _profile_nation_json
+
     # rows-only by design: stubbed decode / sketch scale-paths (no oracle)
     q["multimodal_features_documents"] = _tq(multimodal.extract_features,
                                              "documents")
@@ -310,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
     o["asof_join_events"] = op.asof_join_sql()
     o["range_join_events"] = op.range_join_sql()
     o["profile_nation_csv"] = oracle.profile_table_sql("nation")
+    o["profile_nation_json"] = oracle.profile_table_sql("nation")
     o["dedup_keep_first_documents"] = (
         "SELECT * FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY md5(text) "

@@ -92,3 +92,30 @@ def test_asof_join_single_shuffle(spark):
         joins.asof_join(ev, ev.where(F.col("event_type") == "purchase")))
     assert plan.count("Exchange") == 2          # one (tree + detail)
     assert "Join" not in plan                   # no join node anywhere
+
+
+def test_simhash_long_format_codegen(spark):
+    """SimHash invariants (the round-1 perf fix): signatures come from ONE
+    groupBy(id) over exploded token hashes — no interpreted higher-order
+    `aggregate` lambdas anywhere, exactly one exchange, and the conditional
+    sums run with map-side partial aggregation (partial + final)."""
+    from flink_descriptive_stats_spark.operators import dedup
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _formatted_plan(dedup.simhash_signatures(docs))
+    assert "aggregate(" not in plan           # no interpreted HOF folds
+    assert plan.count("Exchange") == 2        # one exchange (tree + detail)
+    assert plan.count("HashAggregate") >= 2   # partial + final
+
+
+def test_embedding_neardup_no_corpus_broadcast_join(spark):
+    """Embedding near-dup invariants (round-1 fix: no driver collect): the
+    block-pair equi-join never degenerates to BroadcastNestedLoopJoin (the
+    non-equi-join trap that would broadcast whole blocks), and the only
+    broadcast is the tiny (blk_a, blk_b) index."""
+    from flink_descriptive_stats_spark.operators import dedup
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _formatted_plan(
+        dedup.embedding_near_dup_pairs(emb, threshold=0.45, num_blocks=4))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
