@@ -119,3 +119,45 @@ def test_embedding_neardup_no_corpus_broadcast_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_bucketed_join_no_exchange(spark):
+    """The bucketed-layout promise: two tables bucketed on the join key
+    join with ZERO Exchange nodes — the scan provides the distribution.
+    (Broadcast disabled so the test exercises the co-located path, not the
+    small-table shortcut.)"""
+    from flink_descriptive_stats_spark.sources import layout
+    docs = load_table(spark, SF_DIR, "documents")
+    scores = docs.selectExpr("doc_id", "length(text) AS score")
+    layout.write_bucketed(docs.select("doc_id", "text"), "t_docs_b",
+                          ["doc_id"], num_buckets=4)
+    layout.write_bucketed(scores, "t_scores_b", ["doc_id"], num_buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = layout.read_table(spark, "t_docs_b").join(
+            layout.read_table(spark, "t_scores_b"), "doc_id")
+        plan = _formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_scores_b")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Directory partitioning: a partition-key predicate shows up as a
+    PartitionFilter (pruned at planning), not a row-level data filter."""
+    from flink_descriptive_stats_spark.sources import layout
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "value", "event_type")
+    path = str(tmp_path / "ev_part")
+    layout.write_partitioned(ev, path, ["event_type"])
+    got = spark.read.parquet(path).where(F.col("event_type") == "purchase")
+    plan = _formatted_plan(got)
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+    batch = ev.where(F.col("event_type") == 'purchase').count()
+    assert got.count() == batch
