@@ -263,6 +263,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       column="value")
     q["jb_report_events"] = _jb("events")
 
+    # Lloyd-refined IVF (same search plan as ann_ivf_topk, k-means cells)
+    q["ann_ivf_kmeans_topk"] = _tq(similarity.ivf_topk, "embeddings",
+                                   refine_iters=2)
+
     # JSON source parity (S1 breadth, same contract as the CSV round-trip)
     def _profile_nation_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
@@ -336,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
     o["embedding_neardup_pairs"] = op.embedding_neardup_sql(threshold=0.45)
     o["ann_cosine_topk"] = op.ann_brute_force_sql()
     o["ann_ivf_topk"] = op.ivf_topk_sql()
+    o["ann_ivf_kmeans_topk"] = op.ivf_kmeans_topk_sql()
     o["text_stats_documents"] = op.text_stats_sql()
     o["quality_filter_documents"] = op.quality_filter_sql()
     o["embedding_dim_profile"] = op.embedding_dim_profile_sql()

@@ -155,9 +155,63 @@ def lsh_topk(df: DataFrame, k: int = 5, n_planes: int = 8,
             .where(F.col("rank") <= k))
 
 
+def kmeans_centroids(df: DataFrame, n_cells: int = 16, iters: int = 2,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Lloyd-refined IVF centroids as a pure DataFrame loop — deterministic
+    (seeded by the first ``n_cells`` ids, fixed iteration count, argmax ties
+    broken by cell id), no RNG, no driver-side vectors.
+
+    Per iteration: (1) assign every vector to its nearest centroid by
+    cosine — corpus scan x broadcast centroids, WindowGroupLimit argmax;
+    (2) recompute each centroid as the per-dimension mean of its members —
+    posexplode to (cell, dim, x), ONE groupBy(cell, dim) with map-side
+    partial avg, regroup to arrays. Both steps are scan-parallel; the only
+    shuffles are keyed by (cell, dim) — cardinality n_cells x dim, tiny at
+    any corpus size. Cells that lose all members drop out (k shrinks),
+    the standard Lloyd degeneracy.
+
+    Returns (cell_id, cv: array<double>, cnorm) ready for the IVF search
+    plan."""
+    d = with_norm(df, id_col, vec_col)
+    cents = (d.where(F.col("id") < n_cells)
+             .select(F.col("id").alias("cell_id"), F.col("v").alias("cv"),
+                     F.col("norm").alias("cnorm")))
+    for _ in range(iters):
+        cdot = F.aggregate(F.zip_with(F.col("v"), F.col("cv"),
+                                      lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, z: acc + z)
+        scored = (d.crossJoin(F.broadcast(cents))
+                  .withColumn("cos_c",
+                              cdot / (F.col("norm") * F.col("cnorm"))))
+        wa = Window.partitionBy("id").orderBy(F.col("cos_c").desc(),
+                                              F.col("cell_id").asc())
+        assign = (scored.withColumn("crank", F.row_number().over(wa))
+                  .where(F.col("crank") == 1).select("cell_id", "v"))
+        # per-dim means round-trip through the 7-sig-digit rendering: FP
+        # summation order (partitioning / engine) can move a mean by ULPs,
+        # and means feed the DISCRETE argmax assignment — rounding pins the
+        # loop to one deterministic trajectory on any engine or layout
+        from flink_descriptive_stats_spark.functions.sig import sig6
+        per_dim = (assign
+                   .select("cell_id", F.posexplode("v").alias("dim", "x"))
+                   .groupBy("cell_id", "dim")
+                   .agg(sig6(F.avg("x")).cast("double").alias("m")))
+        cents = (per_dim.groupBy("cell_id")
+                 .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                      .alias("s"))
+                 .select("cell_id",
+                         F.expr("transform(s, p -> p.m)").alias("cv")))
+        cnorm = F.sqrt(F.aggregate(
+            F.zip_with(F.col("cv"), F.col("cv"), lambda x, y: x * y),
+            F.lit(0.0), lambda acc, z: acc + z))
+        cents = cents.withColumn("cnorm", cnorm)
+    return cents
+
+
 def ivf_topk(df: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             max_query_id: int = 10) -> DataFrame:
+             max_query_id: int = 10, refine_iters: int = 0) -> DataFrame:
     """IVF search: (query_id, neighbor_id, cos, rank), self excluded.
 
     Physical shape at scale: centroids (n_cells rows) broadcast against the
@@ -166,12 +220,19 @@ def ivf_topk(df: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 4,
     their n_probe nearest cells, and the candidate join is keyed by
     cell_id, touching ~n_probe/n_cells of the corpus instead of all of it
     — recall<1 by design, the standard IVF trade. The probe side is tiny
-    and broadcast."""
+    and broadcast.
+
+    ``refine_iters > 0`` swaps the seed centroids for ``refine_iters``
+    Lloyd iterations (kmeans_centroids) — better-centered cells, higher
+    recall at the same n_probe; the search plan is unchanged."""
     d = with_norm(df, id_col, vec_col)
-    cents = F.broadcast(
-        d.where(F.col("id") < n_cells)
-        .select(F.col("id").alias("cell_id"), F.col("v").alias("cv"),
-                F.col("norm").alias("cnorm")))
+    if refine_iters > 0:
+        base = kmeans_centroids(df, n_cells, refine_iters, id_col, vec_col)
+    else:
+        base = (d.where(F.col("id") < n_cells)
+                .select(F.col("id").alias("cell_id"), F.col("v").alias("cv"),
+                        F.col("norm").alias("cnorm")))
+    cents = F.broadcast(base)
     cdot = F.aggregate(F.zip_with(F.col("v"), F.col("cv"),
                                   lambda x, y: x * y),
                        F.lit(0.0), lambda acc, z: acc + z)

@@ -513,6 +513,64 @@ QUALIFY rank <= {k}
 """
 
 
+def ivf_kmeans_topk_sql(table: str = "embeddings", k: int = 5,
+                        n_cells: int = 16, n_probe: int = 4,
+                        max_query_id: int = 10, iters: int = 2,
+                        dim: int = 64) -> str:
+    """Mirror of similarity.ivf_topk(refine_iters=iters): the Lloyd loop
+    unrolled as one CTE chain per iteration (assign -> per-dim mean ->
+    regroup). Per-dim means round-trip through sig6 on BOTH sides — the
+    loop's argmax is discrete, so ULP-level summation-order noise must be
+    rounded away before it can fork the trajectory."""
+    parts = [_norm_cte(table),
+             f"cent0 AS (SELECT id AS cell_id, v AS cv, norm AS cnorm "
+             f"FROM n WHERE id < {n_cells})"]
+    for i in range(iters):
+        cdot = _DOT.format(a="n.v", b="c.cv")
+        parts.append(
+            f"sc{i} AS (SELECT n.id, n.v, n.norm, c.cell_id, "
+            f"row_number() OVER (PARTITION BY n.id "
+            f"ORDER BY ({cdot}) / (n.norm * c.cnorm) DESC, c.cell_id ASC) "
+            f"AS crank FROM n CROSS JOIN cent{i} c)")
+        parts.append(f"a{i} AS (SELECT cell_id, v FROM sc{i} "
+                     f"WHERE crank = 1)")
+        mean_r = duck_sig6("avg(v[u.i])")
+        parts.append(
+            f"pd{i} AS (SELECT cell_id, u.i AS dim, "
+            f"CAST({mean_r} AS DOUBLE) AS m FROM a{i} CROSS JOIN "
+            f"(SELECT unnest(generate_series(1, {dim})) AS i) u "
+            f"GROUP BY cell_id, u.i)")
+        cvdot = _DOT.format(a="cv", b="cv")
+        parts.append(
+            f"cent{i + 1} AS (SELECT cell_id, cv, sqrt({cvdot}) AS cnorm "
+            f"FROM (SELECT cell_id, list(m ORDER BY dim) AS cv "
+            f"FROM pd{i} GROUP BY cell_id))")
+    cdot = _DOT.format(a="n.v", b="cent.cv")
+    qdot = _DOT.format(a="p.qv", b="a.v")
+    parts.append(
+        f"cent AS (SELECT * FROM cent{iters})")
+    parts.append(
+        f"sc AS (SELECT n.id, n.v, n.norm, cent.cell_id, "
+        f"({cdot}) / (n.norm * cent.cnorm) AS cos_c, "
+        f"row_number() OVER (PARTITION BY n.id "
+        f"ORDER BY ({cdot}) / (n.norm * cent.cnorm) DESC, "
+        f"cent.cell_id ASC) AS crank FROM n CROSS JOIN cent)")
+    parts.append("a AS (SELECT id, v, norm, cell_id FROM sc WHERE crank = 1)")
+    parts.append(
+        f"p AS (SELECT id AS query_id, v AS qv, norm AS qnorm, cell_id "
+        f"FROM sc WHERE id < {max_query_id} AND crank <= {n_probe})")
+    parts.append(
+        f"cand AS (SELECT p.query_id, a.id AS neighbor_id, "
+        f"({qdot}) / (p.qnorm * a.norm) AS cos "
+        f"FROM a JOIN p USING (cell_id) WHERE a.id != p.query_id)")
+    return (f"WITH {', '.join(parts)} "
+            f"SELECT CAST(query_id AS BIGINT) AS query_id, "
+            f"CAST(neighbor_id AS BIGINT) AS neighbor_id, cos, "
+            f"CAST(row_number() OVER (PARTITION BY query_id "
+            f"ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank "
+            f"FROM cand QUALIFY rank <= {k}")
+
+
 def vocabulary_sql(table: str = "documents", min_count: int = 5) -> str:
     """Mirror of text.vocabulary."""
     return (f"WITH {_tokens_cte(table)}, "
