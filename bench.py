@@ -57,13 +57,16 @@ def main() -> None:
             print(f"bench {name}: FAILED {e}", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    print(json.dumps({
+    # one COMPACT line (no spaces, 2-decimal times): round 1's driver capture
+    # front-truncated a longer line, losing the total and first queries
+    payload = {
         "metric": "total_runtime_all_queries",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": sf,
-    }))
+    }
+    print(json.dumps(payload, separators=(",", ":")))
 
 
 if __name__ == "__main__":
