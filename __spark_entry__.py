@@ -263,6 +263,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       column="value")
     q["jb_report_events"] = _jb("events")
 
+    # extreme-scale CC path (O(log n) star rounds; same labels, same oracle)
+    q["neardup_clusters_star_documents"] = _tq(dedup.neardup_clusters,
+                                               "documents", method="star")
+
     # Lloyd-refined IVF (same search plan as ann_ivf_topk, k-means cells)
     q["ann_ivf_kmeans_topk"] = _tq(similarity.ivf_topk, "embeddings",
                                    refine_iters=2)
@@ -334,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
     o["minhash_signatures_documents"] = op.minhash_signatures_sql()
     o["minhash_pairs_documents"] = op.minhash_pairs_sql()
     o["neardup_clusters_documents"] = op.neardup_clusters_sql()
+    o["neardup_clusters_star_documents"] = op.neardup_clusters_sql()
     o["dedup_corpus_documents"] = op.dedup_corpus_sql()
     o["simhash_documents"] = op.simhash_sql()
     o["ngram_jaccard_pairs_documents"] = op.ngram_jaccard_pairs_sql()

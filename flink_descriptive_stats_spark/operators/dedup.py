@@ -419,10 +419,71 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
             .select("id_a", "id_b", "cos"))
 
 
+def _edge_signature(edges: DataFrame) -> tuple:
+    """Cheap fixpoint signature of a DISTINCT edge set: (count, xor of
+    xxhash64) — xor cannot overflow and is order-independent."""
+    r = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
+    return (r["n"], r["h"])
+
+
+def connected_components_star(edges: DataFrame, nodes: DataFrame,
+                              max_iter: int = 25) -> DataFrame:
+    """Connected components via large-star/small-star alternation (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") — O(log n)
+    rounds regardless of component DIAMETER, vs min-label propagation's
+    O(diameter) rounds. The extreme-scale path for chain-shaped components
+    (propagation is fine for near-dup clusters, whose diameter is small).
+
+    ``edges``: (u, v) pairs, any orientation. ``nodes``: (id) — every node
+    that must appear in the output (singletons label themselves).
+    Returns (id, cluster_id = component minimum).
+
+    Each round is two groupBy(node) aggregations + joins on the edge list
+    only — never on the corpus. Fixpoint detected by an (count, hash-sum)
+    edge-set signature; ``max_iter`` (default 25 ~ log2 of anything) is the
+    safety bound."""
+    e = (edges.select(F.col("u").cast("bigint"), F.col("v").cast("bigint"))
+         .where(F.col("u") != F.col("v")))
+    sig = None
+    for _ in range(max_iter):
+        # large-star: every neighbor LARGER than u links to m(u) =
+        # min(N(u) + {u})
+        both = e.union(e.select(F.col("v").alias("u"),
+                                F.col("u").alias("v")))
+        mins = (both.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", "u").alias("m")))
+        e = (both.join(mins, "u")
+             .where(F.col("v") > F.col("u"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .where(F.col("u") != F.col("v")).distinct())
+        # small-star: canonicalize (u > v), link every smaller neighbor
+        # (and u itself) to the minimum neighbor
+        canon = (e.select(F.greatest("u", "v").alias("u"),
+                          F.least("u", "v").alias("v")))
+        mins = canon.groupBy("u").agg(F.min("v").alias("mn"))
+        joined = canon.join(mins, "u")
+        e = (joined.select(F.col("v").alias("u"), F.col("mn").alias("v"))
+             .union(mins.select("u", F.col("mn").alias("v")))
+             .where(F.col("u") != F.col("v")).distinct())
+        e = e.localCheckpoint()
+        new_sig = _edge_signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # converged: every edge is (node, component-min)
+    labels = e.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    return (nodes.select(F.col(nodes.columns[0]).alias("id"))
+            .join(labels.withColumnRenamed("u", "id"), "id", "left")
+            .select("id", F.coalesce("cluster_id", "id").alias("cluster_id")))
+
+
 def neardup_clusters(df: DataFrame, content_col: str = "text",
                      id_col: str = "doc_id", n: int = 3,
                      threshold: float = 0.5,
-                     max_iter: int = 15) -> DataFrame:
+                     max_iter: int = 15,
+                     method: str = "propagate") -> DataFrame:
     """(id, cluster_id) for every non-NULL-content doc: connected
     components of the MinHash near-dup pair graph, labeled by the smallest
     doc id in the component (singletons label themselves).
@@ -435,10 +496,17 @@ def neardup_clusters(df: DataFrame, content_col: str = "text",
     diameter is a few hops), so the loop converges in a handful of rounds
     — checked by an exact fixpoint test per round, capped at ``max_iter``.
     Each round is one join + one groupBy(min) on the (tiny) edge list, not
-    on the corpus. At extreme component sizes, switch the loop body to the
-    large-star/small-star alternation (O(log n) rounds, same join shape).
+    on the corpus. At extreme component sizes (long chains), pass
+    method="star" for the large-star/small-star alternation
+    (connected_components_star — O(log n) rounds regardless of diameter).
     """
     pairs = minhash_dedup_pairs(df, content_col, id_col, n, threshold)
+    if method == "star":
+        nodes = (df.where(F.col(content_col).isNotNull())
+                 .select(F.col(id_col).alias("id")))
+        return connected_components_star(
+            pairs.select(F.col("id_a").alias("u"),
+                         F.col("id_b").alias("v")), nodes)
     edges = (pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("t"))
              .union(pairs.select(F.col("id_b").alias("s"),
                                  F.col("id_a").alias("t"))))

@@ -459,3 +459,56 @@ def test_ivf_kmeans_refinement_recovers_bad_seeds(spark):
         df, k=5, n_cells=4, n_probe=1, max_query_id=10,
         refine_iters=2).collect()))
     assert a == b                        # partitioning-invariant
+
+
+def test_connected_components_star(spark):
+    """large-star/small-star CC (the O(log n)-round extreme-scale path)
+    matches union-find ground truth on random graphs, resolves a
+    diameter-99 chain (the case min-label propagation is slow at), and
+    agrees with the propagation-based neardup_clusters on the docs
+    fixture."""
+    import numpy as np
+
+    def brute_cc(n_nodes, edge_list):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edge_list:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        comp = {}
+        for i in range(n_nodes):
+            comp.setdefault(find(i), []).append(i)
+        return {x: min(m) for m in comp.values() for x in m}
+
+    rng = np.random.default_rng(3)
+    for _ in range(2):
+        n = 30
+        edges = [(int(rng.integers(0, n)), int(rng.integers(0, n)))
+                 for _ in range(25)]
+        edges = [(u, v) for u, v in edges if u != v]
+        e = spark.createDataFrame(edges, "u long, v long")
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        got = {r["id"]: r["cluster_id"] for r in
+               dedup.connected_components_star(e, nodes).collect()}
+        assert got == brute_cc(n, edges)
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(99)],
+                                  "u long, v long")
+    nodes = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    got = {r["id"]: r["cluster_id"] for r in
+           dedup.connected_components_star(chain, nodes).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_neardup_clusters_star_equals_propagate(docs):
+    a = sorted(map(tuple, dedup.neardup_clusters(docs).collect()))
+    b = sorted(map(tuple,
+                   dedup.neardup_clusters(docs, method="star").collect()))
+    assert a == b
