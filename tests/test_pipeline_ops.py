@@ -42,6 +42,8 @@ def test_partitioning_invariance(spark, docs, parts):
     d = docs.repartition(parts)
     sigs = sorted(map(tuple, dedup.minhash_signatures(d).collect()))
     assert sigs == sorted(map(tuple, dedup.minhash_signatures(docs).collect()))
+    sh = sorted(map(tuple, dedup.simhash_signatures(d).collect()))
+    assert sh == sorted(map(tuple, dedup.simhash_signatures(docs).collect()))
     pairs = sorted(map(tuple, dedup.ngram_jaccard_pairs(d).collect()))
     assert pairs == sorted(
         map(tuple, dedup.ngram_jaccard_pairs(docs).collect()))
