@@ -45,6 +45,10 @@ def main() -> None:
             except Exception as e:
                 print(f"warmup {name}: FAILED {e}", file=sys.stderr)
         print(f"warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        # drain warmup garbage before timing — a major GC landing inside a
+        # timed query adds seconds of pure noise
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
     times: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
