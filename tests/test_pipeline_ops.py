@@ -514,3 +514,83 @@ def test_neardup_clusters_star_equals_propagate(docs):
     b = sorted(map(tuple,
                    dedup.neardup_clusters(docs, method="star").collect()))
     assert a == b
+
+
+def _make_ppm():
+    import numpy as np
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    return b"P6\n# comment\n3 2\n255\n" + img.tobytes(), img
+
+
+def _make_bmp(img):
+    """Minimal bottom-up 24-bit BMP from a uint8 (H, W, 3) RGB array."""
+    import struct
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for r in range(h - 1, -1, -1):                 # bottom-up
+        row = img[r][:, ::-1].tobytes()            # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                            0, 0, 0, 0))
+    return header + rows
+
+
+def _make_wav():
+    import struct
+
+    import numpy as np
+    rate = 8000
+    t = np.arange(800)
+    samples = (10000 * np.sin(2 * np.pi * 440 * t / rate)).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    payload = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+               + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(data)) + data)
+    return payload, rate, samples
+
+
+def test_decode_image_ppm_bmp_exact():
+    """Uncompressed decode is REAL: PPM and BMP round-trip to exact pixels;
+    nearest-neighbor resize keeps exact source pixels."""
+    import numpy as np
+    ppm, img = _make_ppm()
+    got = multimodal.decode_image(ppm)
+    assert np.array_equal(got, img)
+    assert np.array_equal(multimodal.decode_image(_make_bmp(img)), img)
+    # P3 ascii form decodes identically
+    p3 = (b"P3\n3 2\n255\n"
+          + " ".join(str(x) for x in img.flatten()).encode())
+    assert np.array_equal(multimodal.decode_image(p3), img)
+    resized = multimodal.decode_image(multimodal.resize_image(ppm, 6, 4))
+    assert resized.shape == (4, 6, 3)
+    assert np.array_equal(resized[::2][:, ::2], img)   # NN keeps sources
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_image_audio_features_spark(spark):
+    """The mapInPandas feature extractors: decodable payloads get real
+    features, garbage degrades to decoded=false (never fails the batch)."""
+    import numpy as np
+    ppm, img = _make_ppm()
+    wav, rate, samples = _make_wav()
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(b"not an image"))],
+        "id long, payload binary")
+    rows = {r["id"]: r for r in multimodal.image_features(df).collect()}
+    assert rows[1]["decoded"] and not rows[2]["decoded"]
+    assert (rows[1]["width"], rows[1]["height"]) == (3, 2)
+    assert abs(rows[1]["mean_r"] - img[:, :, 0].mean()) < 1e-9
+
+    adf = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"RIFFxxxx"))],
+        "id long, payload binary")
+    arows = {r["id"]: r for r in multimodal.audio_features(adf).collect()}
+    assert arows[1]["decoded"] and not arows[2]["decoded"]
+    assert arows[1]["sample_rate"] == rate
+    assert abs(arows[1]["duration_s"] - 0.1) < 1e-9
+    want_rms = float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
+    assert abs(arows[1]["rms"] - want_rms) < 1e-6
