@@ -271,6 +271,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_kmeans_topk"] = _tq(similarity.ivf_topk, "embeddings",
                                    refine_iters=2)
 
+    # REAL image decode, oracle-gated: build valid 8x8 P6 PPM payloads
+    # deterministically from text (12 chained md5s = 192 pixel bytes),
+    # decode them with the actual PPM decoder (numpy), and emit per-channel
+    # means. Means are sums of <= 64 ints divided by 64 — bit-exact in
+    # both engines, so no sig6 rendering is needed; the DuckDB oracle
+    # recomputes the identical bytes from the same md5 hex.
+    def _image_features_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        parts = [F.unhex(F.md5(F.concat(F.col("text"), F.lit(str(j)))))
+                 for j in range(12)]
+        d = docs.select(
+            F.col("doc_id").alias("id"),
+            F.concat(F.lit(bytearray(b"P6\n8 8\n255\n")), *parts)
+            .alias("payload"))
+        return multimodal.image_features(d)
+    q["image_features_synthetic"] = _image_features_synth
+
     # JSON source parity (S1 breadth, same contract as the CSV round-trip)
     def _profile_nation_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
@@ -331,6 +349,20 @@ def oracle_sql() -> dict[str, str]:
     o["range_join_events"] = op.range_join_sql()
     o["profile_nation_csv"] = oracle.profile_table_sql("nation")
     o["profile_nation_json"] = oracle.profile_table_sql("nation")
+    # mirror of image_features_synthetic: the P6 pixel block is 12 chained
+    # md5s; channel mean = avg of every 3rd byte parsed from the hex string
+    hex_chain = " || ".join(f"md5(text || '{j}')" for j in range(12))
+    def _chan(off: int) -> str:
+        return (f"list_avg(list_transform(generate_series(0, 63), "
+                f"p -> CAST(('0x' || substr(hx, p * 6 + {2 * off + 1}, 2)) "
+                f"AS INTEGER)))")
+    o["image_features_synthetic"] = (
+        f"WITH d AS (SELECT doc_id AS id, {hex_chain} AS hx "
+        f"FROM documents WHERE text IS NOT NULL) "
+        f"SELECT CAST(id AS BIGINT) AS id, true AS decoded, "
+        f"CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height, "
+        f"{_chan(0)} AS mean_r, {_chan(1)} AS mean_g, {_chan(2)} AS mean_b, "
+        f"CAST(203 AS BIGINT) AS n_bytes FROM d")
     o["dedup_keep_first_documents"] = (
         "SELECT * FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY md5(text) "
