@@ -289,6 +289,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.image_features(d)
     q["image_features_synthetic"] = _image_features_synth
 
+    # REAL audio decode, oracle-gated: synthetic 16-bit PCM WAV payloads
+    # (same 12-md5 chain = 96 LE int16 samples @ 8 kHz mono), decoded by
+    # the actual RIFF parser; RMS (sqrt of an exact integer mean) and
+    # zero-crossing rate are bit-exact across engines.
+    def _audio_features_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import struct as _struct
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        header = (b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + 192)
+                  + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + _struct.pack("<I", 192))
+        parts = [F.unhex(F.md5(F.concat(F.col("text"), F.lit(str(j)))))
+                 for j in range(12)]
+        d = docs.select(
+            F.col("doc_id").alias("id"),
+            F.concat(F.lit(bytearray(header)), *parts).alias("payload"))
+        return multimodal.audio_features(d)
+    q["audio_features_synthetic"] = _audio_features_synth
+
     # JSON source parity (S1 breadth, same contract as the CSV round-trip)
     def _profile_nation_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
@@ -363,6 +383,27 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height, "
         f"{_chan(0)} AS mean_r, {_chan(1)} AS mean_g, {_chan(2)} AS mean_b, "
         f"CAST(203 AS BIGINT) AS n_bytes FROM d")
+    # mirror of audio_features_synthetic: LE int16 samples from hex pairs
+    _byte = "CAST(('0x' || substr(hx, {i} * 2 + 1, 2)) AS INTEGER)"
+    _raw = (f"({_byte.format(i='p * 2')} "
+            f"+ 256 * {_byte.format(i='(p * 2 + 1)')})")
+    _samples = (f"list_transform(generate_series(0, 95), "
+                f"p -> CASE WHEN {_raw} >= 32768 THEN {_raw} - 65536 "
+                f"ELSE {_raw} END)")
+    o["audio_features_synthetic"] = (
+        f"WITH d AS (SELECT doc_id AS id, {hex_chain} AS hx "
+        f"FROM documents WHERE text IS NOT NULL), "
+        f"s AS (SELECT id, {_samples} AS xs FROM d) "
+        f"SELECT CAST(id AS BIGINT) AS id, true AS decoded, "
+        f"CAST(8000 AS INTEGER) AS sample_rate, "
+        f"CAST(1 AS INTEGER) AS n_channels, "
+        f"96.0 / 8000.0 AS duration_s, "
+        f"sqrt(list_avg(list_transform(xs, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS rms, "
+        f"list_avg(list_transform(generate_series(2, 96), "
+        f"p -> CASE WHEN (xs[p] < 0) != (xs[p - 1] < 0) "
+        f"THEN 1.0 ELSE 0.0 END)) AS zero_cross_rate, "
+        f"CAST(236 AS BIGINT) AS n_bytes FROM s")
     o["dedup_keep_first_documents"] = (
         "SELECT * FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY md5(text) "
