@@ -1,12 +1,17 @@
 """CLI entry point — the Spark-first analogue of the reference job's
 ``main()`` (ProfileJob.java:78-143: ParameterTool.fromArgs -> dataflow ->
-console report).
+console report), extended with subcommands for the pipeline operators so
+the engine is usable as a tool, not only a library:
 
-    python -m flink_descriptive_stats_spark INPUT [options]
+    python -m flink_descriptive_stats_spark [profile] INPUT [options]
+    python -m flink_descriptive_stats_spark dedup INPUT --method minhash
+    python -m flink_descriptive_stats_spark decontaminate TRAIN HOLDOUT
+    python -m flink_descriptive_stats_spark text-stats INPUT
+    python -m flink_descriptive_stats_spark ann INPUT --method ivf-kmeans
 
-INPUT is a parquet/csv/json file or directory. Output is the S4-style
-console report: per-column descriptive statistics, latent types, top-K
-values/patterns, JB normality table, and row completeness.
+INPUT is a parquet/csv/json file or directory. ``profile`` prints the
+S4-style console report; the pipeline subcommands write parquet when
+``--output`` is given, else print a 20-row preview.
 """
 
 from __future__ import annotations
@@ -14,20 +19,75 @@ from __future__ import annotations
 import argparse
 import sys
 
+SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
+               "quality-filter", "ann")
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--format", default=None,
+                   help="input format (default: inferred from extension)")
+    p.add_argument("--master", default=None,
+                   help="Spark master (default: local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--output", default=None,
+                   help="write result parquet here instead of previewing")
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m flink_descriptive_stats_spark",
-        description="Single-pass distributed data profile of a table.")
-    p.add_argument("input", help="parquet/csv/json path")
-    p.add_argument("--format", default=None,
-                   help="input format (default: inferred from extension)")
-    p.add_argument("--columns", default=None,
-                   help="comma-separated subset of columns to profile")
-    p.add_argument("--no-topk", action="store_true",
-                   help="skip the top-K values/patterns pass")
-    p.add_argument("--master", default=None,
-                   help="Spark master (default: local[$SPARK_GRAFT_CPUS])")
+        description="Distributed profiling + training-data pipeline ops.")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("profile",
+                        help="single-pass profile + top-K console report")
+    pr.add_argument("input", help="parquet/csv/json path")
+    pr.add_argument("--columns", default=None,
+                    help="comma-separated subset of columns to profile")
+    pr.add_argument("--no-topk", action="store_true",
+                    help="skip the top-K values/patterns pass")
+    _add_common(pr)
+
+    dd = sub.add_parser("dedup", help="dedup the corpus")
+    dd.add_argument("input")
+    dd.add_argument("--method", default="exact",
+                    choices=["exact", "keep-first", "minhash-pairs",
+                             "simhash-pairs", "corpus"])
+    dd.add_argument("--threshold", type=float, default=0.5)
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    _add_common(dd)
+
+    dc = sub.add_parser("decontaminate",
+                        help="remove holdout contamination from train")
+    dc.add_argument("train")
+    dc.add_argument("holdout")
+    dc.add_argument("--fuzzy", action="store_true",
+                    help="LSH band matching instead of exact hashes")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--id-col", default="doc_id")
+    _add_common(dc)
+
+    ts = sub.add_parser("text-stats", help="per-doc text statistics")
+    ts.add_argument("input")
+    ts.add_argument("--text-col", default="text")
+    ts.add_argument("--id-col", default="doc_id")
+    _add_common(ts)
+
+    qf = sub.add_parser("quality-filter",
+                        help="keep docs above the quality threshold")
+    qf.add_argument("input")
+    qf.add_argument("--text-col", default="text")
+    qf.add_argument("--id-col", default="doc_id")
+    _add_common(qf)
+
+    an = sub.add_parser("ann", help="cosine top-k over an embedding column")
+    an.add_argument("input")
+    an.add_argument("--method", default="brute",
+                    choices=["brute", "lsh", "ivf", "ivf-kmeans"])
+    an.add_argument("--k", type=int, default=5)
+    an.add_argument("--vec-col", default="embedding")
+    an.add_argument("--id-col", default="vec_id")
+    _add_common(an)
     return p
 
 
@@ -38,33 +98,102 @@ def infer_format(path: str) -> str:
     return "parquet"
 
 
-def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
-    from flink_descriptive_stats_spark.operators import profile as prof
-    from flink_descriptive_stats_spark.operators import topk
-    from flink_descriptive_stats_spark.report import render_profile
-    from flink_descriptive_stats_spark.session import get_spark
-
-    spark = get_spark(app_name="profile-cli", master=args.master)
-    fmt = args.format or infer_format(args.input)
+def _load(spark, path: str, fmt: str | None):
+    fmt = fmt or infer_format(path)
     reader = spark.read
     if fmt == "csv":
         reader = reader.option("header", "true").option("inferSchema", "true")
-    df = reader.format(fmt).load(args.input)
-    cols = args.columns.split(",") if args.columns else None
-    if cols:
-        df = df.select(*cols)
+    return reader.format(fmt).load(path)
 
-    # cache: the profile agg and the top-K pass share one materialized scan
-    df = df.cache()
-    profile_df = prof.profile(df)
-    # all-numeric tables have no token column to rank — skip, don't raise
-    run_topk = not args.no_topk and topk.string_columns(df)
-    topk_df = topk.topk_tokens(df) if run_topk else None
-    complete_df = prof.complete_row_count(df)
-    print(render_profile(profile_df, topk_df, complete_df))
-    df.unpersist()
-    return 0
+
+def _emit(df, output: str | None) -> None:
+    if output:
+        df.write.mode("overwrite").parquet(output)
+        print(f"wrote {output}")
+    else:
+        df.show(20, truncate=60)
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    # back-compat: a bare INPUT path (no subcommand) means `profile INPUT`
+    if argv and argv[0] not in SUBCOMMANDS and not argv[0].startswith("-"):
+        argv = ["profile", *argv]
+    args = build_parser().parse_args(argv)
+    from flink_descriptive_stats_spark.session import get_spark
+    spark = get_spark(app_name=f"{args.cmd}-cli", master=args.master)
+
+    if args.cmd == "profile":
+        from flink_descriptive_stats_spark.operators import profile as prof
+        from flink_descriptive_stats_spark.operators import topk
+        from flink_descriptive_stats_spark.report import render_profile
+        df = _load(spark, args.input, args.format)
+        cols = args.columns.split(",") if args.columns else None
+        if cols:
+            df = df.select(*cols)
+        # cache: the profile agg and top-K pass share one materialized scan
+        df = df.cache()
+        profile_df = prof.profile(df)
+        # all-numeric tables have no token column to rank — skip, don't raise
+        run_topk = not args.no_topk and topk.string_columns(df)
+        topk_df = topk.topk_tokens(df) if run_topk else None
+        complete_df = prof.complete_row_count(df)
+        if args.output:
+            _emit(profile_df, args.output)
+        else:
+            print(render_profile(profile_df, topk_df, complete_df))
+        df.unpersist()
+        return 0
+
+    if args.cmd == "dedup":
+        from flink_descriptive_stats_spark.operators import dedup
+        df = _load(spark, args.input, args.format)
+        kw = dict(content_col=args.text_col, id_col=args.id_col)
+        out = {
+            "exact": lambda: dedup.exact_dedup(df, **kw),
+            "keep-first": lambda: dedup.keep_first(df, **kw),
+            "minhash-pairs": lambda: dedup.minhash_dedup_pairs(
+                df, threshold=args.threshold, **kw),
+            "simhash-pairs": lambda: dedup.simhash_near_pairs(df, **kw),
+            "corpus": lambda: dedup.dedup_corpus(
+                df, threshold=args.threshold, **kw),
+        }[args.method]()
+        _emit(out, args.output)
+        return 0
+
+    if args.cmd == "decontaminate":
+        from flink_descriptive_stats_spark.operators import dedup
+        train = _load(spark, args.train, args.format)
+        holdout = _load(spark, args.holdout, args.format)
+        _emit(dedup.decontaminate(train, holdout, content_col=args.text_col,
+                                  id_col=args.id_col, fuzzy=args.fuzzy),
+              args.output)
+        return 0
+
+    if args.cmd in ("text-stats", "quality-filter"):
+        from flink_descriptive_stats_spark.operators import text as text_ops
+        df = _load(spark, args.input, args.format)
+        fn = (text_ops.text_stats if args.cmd == "text-stats"
+              else text_ops.quality_filter)
+        _emit(fn(df, text_col=args.text_col, id_col=args.id_col),
+              args.output)
+        return 0
+
+    if args.cmd == "ann":
+        from flink_descriptive_stats_spark.operators import similarity
+        df = _load(spark, args.input, args.format)
+        kw = dict(k=args.k, vec_col=args.vec_col, id_col=args.id_col)
+        out = {
+            "brute": lambda: similarity.brute_force_topk(df, **kw),
+            "lsh": lambda: similarity.lsh_topk(df, **kw),
+            "ivf": lambda: similarity.ivf_topk(df, **kw),
+            "ivf-kmeans": lambda: similarity.ivf_topk(
+                df, refine_iters=2, **kw),
+        }[args.method]()
+        _emit(out, args.output)
+        return 0
+
+    return 2
 
 
 if __name__ == "__main__":

@@ -44,3 +44,21 @@ def test_cli_main(spark, capsys):
     assert "column 'r_name'" in out
     assert "Complete rows:" in out
     assert "H0 (normal distribution)" in out
+
+
+def test_cli_subcommands(spark, capsys, tmp_path):
+    """Pipeline subcommands: dedup writes parquet via --output; ann previews
+    ranked neighbors; the bare-path form still profiles (back-compat)."""
+    from flink_descriptive_stats_spark.__main__ import main
+    out = str(tmp_path / "deduped")
+    rc = main(["dedup", "/root/testdata/sf0.001/documents.parquet",
+               "--method", "keep-first", "--output", out])
+    assert rc == 0
+    kept = spark.read.parquet(out)
+    assert 0 < kept.count() <= 1000
+    assert "text" in kept.columns
+
+    rc = main(["ann", "/root/testdata/sf0.001/embeddings.parquet",
+               "--method", "lsh", "--k", "3"])
+    assert rc == 0
+    assert "query_id" in capsys.readouterr().out
