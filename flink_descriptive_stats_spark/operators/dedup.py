@@ -419,6 +419,18 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
             .select("id_a", "id_b", "cos"))
 
 
+# bounded per-process memo of cluster-label DataFrames (see
+# neardup_clusters); values are localCheckpoint-materialized so reuse is a
+# read of cached blocks, not a recomputation
+_CLUSTER_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _cluster_memo_put(key: tuple, out: DataFrame) -> None:
+    if len(_CLUSTER_MEMO) >= 32:
+        _CLUSTER_MEMO.pop(next(iter(_CLUSTER_MEMO)))
+    _CLUSTER_MEMO[key] = out
+
+
 def _edge_signature(edges: DataFrame) -> tuple:
     """Cheap fixpoint signature of a DISTINCT edge set: (count, xor of
     xxhash64) — xor cannot overflow and is order-independent."""
@@ -500,13 +512,29 @@ def neardup_clusters(df: DataFrame, content_col: str = "text",
     method="star" for the large-star/small-star alternation
     (connected_components_star — O(log n) rounds regardless of diameter).
     """
+    # label memo: the labels DataFrame is localCheckpoint-materialized, so
+    # repeat clustering of the same input (dedup_corpus after
+    # neardup_clusters, multiple consumers in one pipeline) returns the
+    # already-computed labels instead of re-running pair generation + CC
+    try:
+        key = (id(df.sparkSession),
+               df._jdf.queryExecution().analyzed().semanticHash(),
+               (content_col, id_col, n, threshold, method))
+    except Exception:
+        key = None
+    if key is not None and key in _CLUSTER_MEMO:
+        return _CLUSTER_MEMO[key]
+
     pairs = minhash_dedup_pairs(df, content_col, id_col, n, threshold)
     if method == "star":
         nodes = (df.where(F.col(content_col).isNotNull())
                  .select(F.col(id_col).alias("id")))
-        return connected_components_star(
+        out = connected_components_star(
             pairs.select(F.col("id_a").alias("u"),
-                         F.col("id_b").alias("v")), nodes)
+                         F.col("id_b").alias("v")), nodes).localCheckpoint()
+        if key is not None:
+            _cluster_memo_put(key, out)
+        return out
     edges = (pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("t"))
              .union(pairs.select(F.col("id_b").alias("s"),
                                  F.col("id_a").alias("t"))))
@@ -527,7 +555,10 @@ def neardup_clusters(df: DataFrame, content_col: str = "text",
         labels = merged.drop("chg")
         if changed == 0:
             break
-    return labels.select("id", F.col("comp").alias("cluster_id"))
+    out = labels.select("id", F.col("comp").alias("cluster_id"))
+    if key is not None:
+        _cluster_memo_put(key, out)
+    return out
 
 
 def dedup_corpus(df: DataFrame, content_col: str = "text",
