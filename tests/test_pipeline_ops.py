@@ -594,3 +594,45 @@ def test_image_audio_features_spark(spark):
     assert abs(arows[1]["duration_s"] - 0.1) < 1e-9
     want_rms = float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
     assert abs(arows[1]["rms"] - want_rms) < 1e-6
+
+
+def test_range_join_pre_epoch_and_inverted(spark):
+    """The round-2 floor-div fix: pre-epoch (negative-micros) points land
+    in the same bucket as their covering interval (truncating `div` used to
+    round toward zero and silently drop the match); inverted intervals
+    (end <= start) match nothing instead of exploding a descending bucket
+    sequence."""
+    from flink_descriptive_stats_spark.operators import joins
+    pts = spark.createDataFrame(
+        [(1, 100, "1969-12-31 23:30:00"),    # pre-epoch, inside interval
+         (2, 100, "1969-12-31 22:59:59"),    # pre-epoch, before interval
+         (3, 100, "1970-01-01 00:30:00")],   # post-epoch, inside
+        "event_id long, user_id long, ts string").withColumn(
+            "ts", F.to_timestamp("ts"))
+    iv = spark.createDataFrame(
+        [(100, "1969-12-31 23:00:00", "1970-01-01 01:00:00"),
+         (100, "1970-01-01 02:00:00", "1970-01-01 02:00:00")],  # inverted
+        "user_id long, session_start string, session_end string"
+        ).withColumn("session_start", F.to_timestamp("session_start")
+        ).withColumn("session_end", F.to_timestamp("session_end"))
+    got = sorted(r["event_id"] for r in
+                 joins.range_join(pts, iv, bucket_seconds=3600).collect())
+    assert got == [1, 3]
+
+
+def test_minhash_bucket_cap_drops_boilerplate(spark):
+    """The LSH skew guard: a boilerplate cluster wider than max_bucket is
+    dropped from band-join candidate generation (its members still dedup
+    via the exact md5 path); small buckets are unaffected."""
+    rows = [(i, "identical boilerplate page body") for i in range(12)]
+    rows += [(100, "a unique near dup of something"),
+             (101, "a unique near dup of something")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                dedup.minhash_dedup_pairs(df, threshold=0.5).collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in
+              dedup.minhash_dedup_pairs(df, threshold=0.5,
+                                        max_bucket=10).collect()}
+    assert (100, 101) in uncapped and (0, 1) in uncapped
+    assert (100, 101) in capped          # small bucket survives
+    assert not any(a < 100 for a, b in capped)   # boilerplate dropped
