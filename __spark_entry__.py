@@ -243,7 +243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          "documents")
     q["multimodal_frames_documents"] = _tq(multimodal.sample_frames,
                                            "documents")
-    assert len(q) == 50, f"gated window must hold 50 queries, got {len(q)}"
+    # (window size is pinned by tests/test_query_window.py — a runtime
+    # assert here would kill the driver's whole gate on a future drift)
 
     # ---- positions 51+: per-table repeats of gated operators -------------
     for table in _PROFILE_TABLES:
