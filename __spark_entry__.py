@@ -272,6 +272,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_kmeans_topk"] = _tq(similarity.ivf_topk, "embeddings",
                                    refine_iters=2)
 
+    # whole-table windowed profile: every numeric column per window in ONE
+    # aggregation pass (the reference's all-columns semantics under a
+    # time-window key), long format
+    def _windowed_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.streaming.profile_stream import (
+            windowed_profile_multi)
+        return windowed_profile_multi(_load(spark, sf_dir, "events"))
+    q["windowed_profile_multi_events"] = _windowed_multi
+
     # REAL image decode, oracle-gated: build valid 8x8 P6 PPM payloads
     # deterministically from text (12 chained md5s = 192 pixel bytes),
     # decode them with the actual PPM decoder (numpy), and emit per-channel
@@ -370,6 +379,10 @@ def oracle_sql() -> dict[str, str]:
     o["range_join_events"] = op.range_join_sql()
     o["profile_nation_csv"] = oracle.profile_table_sql("nation")
     o["profile_nation_json"] = oracle.profile_table_sql("nation")
+    o["windowed_profile_multi_events"] = " UNION ALL ".join(
+        f'SELECT \'{c}\' AS "column", * '
+        f"FROM ({oracle.windowed_profile_sql(value_col=c)})"
+        for c in ("event_id", "user_id", "value"))
     # mirror of image_features_synthetic: the P6 pixel block is 12 chained
     # md5s; channel mean = avg of every 3rd byte parsed from the hex string
     hex_chain = " || ".join(f"md5(text || '{j}')" for j in range(12))

@@ -68,6 +68,59 @@ def windowed_profile(df: DataFrame, ts_col: str = "ts",
     return agg.select(*out)
 
 
+def windowed_profile_multi(df: DataFrame, ts_col: str = "ts",
+                           value_cols: list[str] | None = None,
+                           window: str = "6 hours",
+                           watermark: str | None = None) -> DataFrame:
+    """Per-window profile of SEVERAL numeric columns in ONE aggregation
+    pass (the reference profiles every column; the single-column
+    windowed_profile is its per-metric slice). Output long format: one row
+    per (window, column) with the same stat set as windowed_profile.
+
+    Physical shape: one groupBy(window) carrying per-column moment bundles
+    (map-side partial agg, exactly the batch profile's philosophy under a
+    window key), then an explode of per-column structs — the melt happens
+    AFTER aggregation on windows x columns rows, which is tiny at any input
+    scale."""
+    from flink_descriptive_stats_spark.functions import scalar
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    if value_cols is None:
+        value_cols = [f.name for f in df.schema.fields
+                      if f.name != ts_col
+                      and scalar.is_numeric_type(f.dataType)]
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for i, c in enumerate(value_cols):
+        x = F.col(c).cast("double")
+        p = f"c{i}__"
+        aggs.append(F.count_if(x.isNull()).alias(f"{p}null_count"))
+        aggs += moments.numeric_agg_exprs(x, p)
+    agg = df.groupBy(F.window(F.col(ts_col), window).alias("win")).agg(*aggs)
+
+    structs = []
+    for i, c in enumerate(value_cols):
+        p = f"c{i}__"
+        d = moments.derived_stats(
+            F.col(f"{p}n"), F.col("row_count"), F.col(f"{p}mean"),
+            F.col(f"{p}var_pop"), F.col(f"{p}var_samp"),
+            F.col(f"{p}skew_raw"), F.col(f"{p}kurt_raw"))
+        structs.append(F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{p}null_count").alias("null_count"),
+            F.col(f"{p}n").alias("numeric_count"),
+            F.col(f"{p}min").alias("min_val"),
+            F.col(f"{p}max").alias("max_val"),
+            *[sig6(d[s]).alias(s) for s in WINDOW_STATS]))
+    out = agg.select(F.col("win.start").alias("window_start"),
+                     F.col("win.end").alias("window_end"),
+                     F.col("row_count"),
+                     F.explode(F.array(*structs)).alias("s"))
+    return out.select("window_start", "window_end", F.col("s.column"),
+                      "row_count", "s.null_count", "s.numeric_count",
+                      "s.min_val", "s.max_val",
+                      *[F.col(f"s.{s}") for s in WINDOW_STATS])
+
+
 def grouped_profile(df: DataFrame, keys: list[str],
                     value_col: str = "value") -> DataFrame:
     """The windowed profile's aggregate bundle keyed by arbitrary dimension

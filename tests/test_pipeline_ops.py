@@ -636,3 +636,21 @@ def test_minhash_bucket_cap_drops_boilerplate(spark):
     assert (100, 101) in uncapped and (0, 1) in uncapped
     assert (100, 101) in capped          # small bucket survives
     assert not any(a < 100 for a, b in capped)   # boilerplate dropped
+
+
+def test_empty_input_graceful(spark):
+    """Zero-row inputs: profile emits one row per column with NULL stats,
+    grouped/top-K/dedup operators emit zero rows, nothing raises."""
+    from flink_descriptive_stats_spark.operators import extras
+    from flink_descriptive_stats_spark.operators import profile as prof
+    from flink_descriptive_stats_spark.operators import topk
+    empty = spark.createDataFrame([], "doc_id long, text string, x double")
+    p = {r["column"]: r for r in prof.profile(empty).collect()}
+    assert set(p) == {"doc_id", "text", "x"}
+    assert p["x"]["row_count"] == 0 and p["x"]["mean"] is None
+    assert topk.topk_tokens(empty).count() == 0
+    assert dedup.exact_dedup(empty).count() == 0
+    assert dedup.minhash_signatures(empty).count() == 0
+    q = {r["column"]: r for r in extras.quantiles(empty).collect()}
+    assert q["x"]["q_50"] is None
+    assert prof.complete_row_count(empty).collect()[0]["complete_count"] == 0
