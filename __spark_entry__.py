@@ -272,6 +272,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_kmeans_topk"] = _tq(similarity.ivf_topk, "embeddings",
                                    refine_iters=2)
 
+    # snapshot drift: PSI between the doc_id%2 halves of documents over
+    # n_chars (comparative profiling — the refresh-monitoring operator)
+    def _psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _load(spark, sf_dir, "documents")
+        return extras.psi_drift(docs.where(F.col("doc_id") % 2 == 0),
+                                docs.where(F.col("doc_id") % 2 == 1),
+                                "n_chars")
+    q["psi_drift_documents"] = _psi
+
     # whole-table windowed profile: every numeric column per window in ONE
     # aggregation pass (the reference's all-columns semantics under a
     # time-window key), long format
@@ -379,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
     o["range_join_events"] = op.range_join_sql()
     o["profile_nation_csv"] = oracle.profile_table_sql("nation")
     o["profile_nation_json"] = oracle.profile_table_sql("nation")
+    o["psi_drift_documents"] = op.psi_drift_sql()
     o["windowed_profile_multi_events"] = " UNION ALL ".join(
         f'SELECT \'{c}\' AS "column", * '
         f"FROM ({oracle.windowed_profile_sql(value_col=c)})"

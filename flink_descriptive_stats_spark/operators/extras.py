@@ -177,6 +177,58 @@ def outlier_counts(df: DataFrame,
         out, "column string, iqr_outliers bigint, sigma3_outliers bigint")
 
 
+def psi_drift(df_a: DataFrame, df_b: DataFrame, column: str,
+              bins: int = 10, eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift check when a corpus is refreshed: bucket
+    edges come from snapshot A (the reference distribution, equal-width
+    over its min/max with +-inf edge buckets), both snapshots are counted
+    per bucket, and each bucket contributes
+    ``(pa - pb) * ln(pa / pb)`` with proportions floored at ``eps``
+    (PSI > 0.2 conventionally = significant drift, sum over buckets).
+
+    Output long format: (bucket, lo, hi, n_a, n_b, pct_a, pct_b, psi_term)
+    — sig6-rendered floats, one row per non-empty bucket; total PSI =
+    sum of psi_term.
+
+    Physical shape: one 1-row min/max agg on A, then ONE grouped count per
+    snapshot keyed by bucket index (bounded cardinality = bins + 2) — the
+    same two-phase plan as histogram(), twice. No joins of the raw data."""
+    c = F.col(column)
+    mm = df_a.agg(F.min(c).alias("mn"), F.max(c).alias("mx")).collect()[0]
+    mn, mx = mm["mn"], mm["mx"]
+    if mn is None or mx == mn:
+        raise ValueError(f"column {column!r}: snapshot A has no numeric "
+                         f"spread to bucket (min={mn!r}, max={mx!r})")
+    width = (mx - mn) / float(bins)
+
+    def bucket_counts(df: DataFrame) -> dict[int, int]:
+        b = F.when(c < mn, F.lit(-1)).when(
+            c >= mx, F.lit(bins - 1) + F.when(c > mx, 1).otherwise(0)
+        ).otherwise(F.floor((c - F.lit(mn)) / F.lit(width)).cast("int"))
+        # clamp x == mx into the last bucket; x > mx into the overflow
+        rows = (df.where(c.isNotNull())
+                .groupBy(b.alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+        return {r["bucket"]: r["n"] for r in rows}
+
+    na, nb = bucket_counts(df_a), bucket_counts(df_b)
+    ta, tb = sum(na.values()), sum(nb.values())
+    out = []
+    for b in sorted(set(na) | set(nb)):
+        lo = None if b < 0 else mn + b * width
+        hi = None if b > bins - 1 else (mn + (b + 1) * width
+                                        if b >= 0 else mn)
+        pa = max(na.get(b, 0) / ta, eps) if ta else eps
+        pb = max(nb.get(b, 0) / tb, eps) if tb else eps
+        term = (pa - pb) * math.log(pa / pb)
+        out.append((b, sig6_py(lo), sig6_py(hi), na.get(b, 0), nb.get(b, 0),
+                    sig6_py(pa), sig6_py(pb), sig6_py(term)))
+    return df_a.sparkSession.createDataFrame(
+        out, "bucket int, lo string, hi string, n_a bigint, n_b bigint, "
+             "pct_a string, pct_b string, psi_term string")
+
+
 def correlation_matrix(df: DataFrame,
                        columns: list[str] | None = None) -> DataFrame:
     """All-pairs Pearson correlation in ONE aggregation pass (long format:

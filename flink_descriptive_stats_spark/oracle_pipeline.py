@@ -571,6 +571,44 @@ def ivf_kmeans_topk_sql(table: str = "embeddings", k: int = 5,
             f"FROM cand QUALIFY rank <= {k}")
 
 
+def psi_drift_sql(table: str = "documents", column: str = "n_chars",
+                  mod: int = 2, bins: int = 10, eps: float = 1e-6) -> str:
+    """Mirror of extras.psi_drift over the doc_id%mod split: bucket edges
+    from snapshot A's min/max, Laplace-floored proportions, sig6-rendered
+    terms (ln differs in ULPs across engines; the rendering absorbs it)."""
+    bucket = (f"CASE WHEN x < mn THEN -1 WHEN x > mx THEN {bins} "
+              f"WHEN x >= mx THEN {bins - 1} "
+              f"ELSE CAST(floor((x - mn) / w) AS INTEGER) END")
+    pa = f"greatest(CAST(n_a AS DOUBLE) / ta, {eps})"
+    pb = f"greatest(CAST(n_b AS DOUBLE) / tb, {eps})"
+    lo = f"CASE WHEN bucket < 0 THEN NULL ELSE mn + bucket * w END"
+    hi = (f"CASE WHEN bucket > {bins - 1} THEN NULL "
+          f"WHEN bucket < 0 THEN mn ELSE mn + (bucket + 1) * w END")
+    return f"""
+WITH sa AS (SELECT CAST({column} AS DOUBLE) AS x FROM {table}
+            WHERE doc_id % {mod} = 0 AND {column} IS NOT NULL),
+sb AS (SELECT CAST({column} AS DOUBLE) AS x FROM {table}
+       WHERE doc_id % {mod} = 1 AND {column} IS NOT NULL),
+m AS (SELECT min(x) AS mn, max(x) AS mx,
+             (max(x) - min(x)) / {float(bins)} AS w FROM sa),
+ca AS (SELECT {bucket} AS bucket, count(*) AS n
+       FROM sa CROSS JOIN m GROUP BY 1),
+cb AS (SELECT {bucket} AS bucket, count(*) AS n
+       FROM sb CROSS JOIN m GROUP BY 1),
+j AS (SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+             COALESCE(ca.n, 0) AS n_a, COALESCE(cb.n, 0) AS n_b
+      FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket),
+t AS (SELECT (SELECT sum(n_a) FROM j) AS ta,
+             (SELECT sum(n_b) FROM j) AS tb)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       {duck_sig6(lo)} AS lo, {duck_sig6(hi)} AS hi,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       {duck_sig6(pa)} AS pct_a, {duck_sig6(pb)} AS pct_b,
+       {duck_sig6(f"({pa} - {pb}) * ln({pa} / {pb})")} AS psi_term
+FROM j CROSS JOIN m CROSS JOIN t
+"""
+
+
 def vocabulary_sql(table: str = "documents", min_count: int = 5) -> str:
     """Mirror of text.vocabulary."""
     return (f"WITH {_tokens_cte(table)}, "

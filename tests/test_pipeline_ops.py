@@ -654,3 +654,24 @@ def test_empty_input_graceful(spark):
     q = {r["column"]: r for r in extras.quantiles(empty).collect()}
     assert q["x"]["q_50"] is None
     assert prof.complete_row_count(empty).collect()[0]["complete_count"] == 0
+
+
+def test_psi_drift_semantics(spark):
+    """PSI is ~0 for identical snapshots and clearly positive for a
+    shifted one; underflow/overflow buckets catch out-of-range drift."""
+    from flink_descriptive_stats_spark.operators import extras
+    a = spark.createDataFrame([(i, float(i % 100)) for i in range(1000)],
+                              "doc_id long, x double")
+    same = extras.psi_drift(a, a, "x")
+    total_same = sum(float(r["psi_term"].replace("e", "E"))
+                     for r in same.collect())
+    assert abs(total_same) < 1e-9
+    b = spark.createDataFrame(
+        [(i, float(i % 100) + 60.0) for i in range(1000)],
+        "doc_id long, x double")
+    drifted = extras.psi_drift(a, b, "x")
+    rows = {r["bucket"]: r for r in drifted.collect()}
+    total = sum(float(r["psi_term"].replace("e", "E"))
+                for r in rows.values())
+    assert total > 0.2                      # conventional "significant"
+    assert rows[10]["n_b"] > 0 and rows[10]["n_a"] == 0   # overflow bucket

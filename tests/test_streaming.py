@@ -269,3 +269,26 @@ def test_streaming_topk_foreachbatch_end_to_end(spark, tmp_path):
         watermark=None)).collect()
     assert got == sorted(map(tuple, batch))
     assert len(got) > 0
+
+
+def test_streaming_multi_profile_equals_batch(spark):
+    """windowed_profile_multi (all numeric columns, one agg) is streaming-
+    safe: readStream result == batch result over the same data."""
+    from flink_descriptive_stats_spark.streaming.profile_stream import (
+        windowed_profile_multi)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = _normalize(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(STREAM_DIR))
+    got_df = windowed_profile_multi(stream, window="1 day",
+                                    watermark="1 hour")
+    query = (got_df.writeStream.format("memory").queryName("multi_prof")
+             .outputMode("complete").start())
+    try:
+        query.processAllAvailable()
+        got = sorted(map(tuple, spark.table("multi_prof").collect()))
+    finally:
+        query.stop()
+    batch = windowed_profile_multi(load_table(spark, SF_DIR, "events"),
+                                   window="1 day")
+    assert got == sorted(map(tuple, batch.collect()))
+    assert len(got) > 0
