@@ -272,6 +272,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_kmeans_topk"] = _tq(similarity.ivf_topk, "embeddings",
                                    refine_iters=2)
 
+    # PII scan/redact over documents augmented with DETERMINISTIC synthetic
+    # PII derived from doc_id (the fixture text has none — augmentation
+    # makes the gate non-vacuous; the oracle rebuilds the same strings)
+    def _pii_augment(df: DataFrame) -> DataFrame:
+        extra = F.concat(
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 000-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"),
+                   4, "0"),
+            F.when(F.col("doc_id") % 3 == 0, F.concat(
+                F.lit(" ssn 123-45-6789 card 4111 1111 1111 1111 ip 10.0."),
+                F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+                F.lit(".1"))).otherwise(F.lit("")))
+        return df.withColumn("text", F.concat(F.col("text"), extra))
+
+    def _pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import text as t_ops
+        return t_ops.pii_scan(_pii_augment(_load(spark, sf_dir, "documents")))
+    q["pii_scan_documents"] = _pii_scan
+
+    def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import text as t_ops
+        return t_ops.pii_redact(
+            _pii_augment(_load(spark, sf_dir, "documents")))
+    q["pii_redact_documents"] = _pii_redact
+
     # snapshot drift: PSI between the doc_id%2 halves of documents over
     # n_chars (comparative profiling — the refresh-monitoring operator)
     def _psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,6 +415,31 @@ def oracle_sql() -> dict[str, str]:
     o["profile_nation_csv"] = oracle.profile_table_sql("nation")
     o["profile_nation_json"] = oracle.profile_table_sql("nation")
     o["psi_drift_documents"] = op.psi_drift_sql()
+    from flink_descriptive_stats_spark.operators.text import PII_PATTERNS
+    _aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) "
+        "|| '@example.com or +1 555 000-' "
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+        "|| CASE WHEN doc_id % 3 = 0 THEN "
+        "' ssn 123-45-6789 card 4111 1111 1111 1111 ip 10.0.' "
+        "|| CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END")
+    _pii_counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS)
+    _pii_total = " + ".join(
+        f"len(regexp_extract_all(t, '{pat}'))" for _, pat in PII_PATTERNS)
+    o["pii_scan_documents"] = (
+        f"WITH d AS (SELECT doc_id AS id, {_aug} AS t FROM documents "
+        f"WHERE text IS NOT NULL) "
+        f"SELECT CAST(id AS BIGINT) AS id, {_pii_counts}, "
+        f"CAST({_pii_total} AS BIGINT) AS n_pii FROM d")
+    _red = "t"
+    for name, pat in PII_PATTERNS:
+        _red = f"regexp_replace({_red}, '{pat}', '<{name.upper()}>', 'g')"
+    o["pii_redact_documents"] = (
+        f"WITH d AS (SELECT doc_id AS id, {_aug} AS t FROM documents "
+        f"WHERE text IS NOT NULL) "
+        f"SELECT CAST(id AS BIGINT) AS id, {_red} AS text FROM d")
     o["windowed_profile_multi_events"] = " UNION ALL ".join(
         f'SELECT \'{c}\' AS "column", * '
         f"FROM ({oracle.windowed_profile_sql(value_col=c)})"

@@ -34,6 +34,46 @@ CJK_RE = "[一-鿿]"
 # BPE-ish: runs of up to 4 word chars, or one non-space symbol
 SUBWORD_RE = "\\w{1,4}|[^\\w\\s]"
 
+# PII patterns — ASCII-only, lookahead-free so Java regex (Spark) and RE2
+# (DuckDB) match identically. REDACTION ORDER MATTERS: credit cards before
+# phones (a card body would otherwise match the looser phone shape), SSNs
+# before phones likewise.
+PII_PATTERNS = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("credit_card", "\\b(?:[0-9]{4}[ -]){3}[0-9]{4}\\b"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"),
+    ("ipv4", "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"),
+    ("phone", "\\+[0-9][0-9 ()-]{7,}[0-9]"),
+]
+
+
+def pii_scan(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Per-doc PII hit counts (email/credit_card/ssn/ipv4/phone) + total —
+    the filter-or-route signal of a scrubbing stage. All JVM regexp over
+    one scan; NULL-text rows excluded."""
+    d = df.where(F.col(text_col).isNotNull())
+    cols = [F.col(id_col).alias("id")]
+    total = None
+    for name, pat in PII_PATTERNS:
+        cnt = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+        cols.append(cnt.cast("bigint").alias(f"n_{name}"))
+        total = cnt if total is None else total + cnt
+    return d.select(*cols, total.cast("bigint").alias("n_pii"))
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Replace each PII class with a typed placeholder (<EMAIL>, ...);
+    applied in PII_PATTERNS order so broader patterns can't eat inside
+    already-redacted spans. Output: (id, text) with text redacted."""
+    out = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"), out.alias("text")))
+
+
 STOPWORDS = {
     "en": ("the", "and", "of", "to", "a", "in", "is", "for"),
     "de": ("der", "die", "das", "und", "ist", "ein", "zu", "nicht"),

@@ -675,3 +675,24 @@ def test_psi_drift_semantics(spark):
                 for r in rows.values())
     assert total > 0.2                      # conventional "significant"
     assert rows[10]["n_b"] > 0 and rows[10]["n_a"] == 0   # overflow bucket
+
+
+def test_pii_scan_and_redact(spark):
+    """PII regexes: exact hit counts per class; redaction replaces each
+    class with its typed placeholder in order (cards before phones so the
+    looser phone shape can't eat a card body)."""
+    txt = ("mail a@b.co and c.d+x@e-f.org, card 4111 1111 1111 1111, "
+           "ssn 123-45-6789, ip 10.0.0.1, call +1 555 000-1234 now")
+    df = spark.createDataFrame([(1, txt), (2, "clean text"), (3, None)],
+                               "doc_id long, text string")
+    scan = {r["id"]: r for r in text_ops.pii_scan(df).collect()}
+    assert set(scan) == {1, 2}                      # NULL text excluded
+    r = scan[1]
+    assert r["n_email"] == 2 and r["n_credit_card"] == 1
+    assert r["n_ssn"] == 1 and r["n_ipv4"] == 1 and r["n_phone"] == 1
+    assert r["n_pii"] == 6
+    assert scan[2]["n_pii"] == 0
+    red = {r["id"]: r["text"] for r in text_ops.pii_redact(df).collect()}
+    assert red[1] == ("mail <EMAIL> and <EMAIL>, card <CREDIT_CARD>, "
+                      "ssn <SSN>, ip <IPV4>, call <PHONE> now")
+    assert red[2] == "clean text"
