@@ -32,6 +32,11 @@ def get_spark(app_name: str = "flink_descriptive_stats_spark",
         # column; the default maxFields=100 silently disables whole-stage
         # codegen for it (2.5x slower) — raise it
         .config("spark.sql.codegen.maxFields", "500")
+        # the generated-class cache defaults to 100 entries; this repo's
+        # query surface compiles several hundred codegen units, so warmup
+        # compilations were evicted before reuse (re-paying ~6s on the
+        # largest aggs). Static conf — takes effect at session creation.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # fewer, larger Arrow batches for the pandas-UDF paths (F2 length,
         # GEMM prefilter): per-batch Python/serialization overhead dominates
