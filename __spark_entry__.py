@@ -316,6 +316,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return windowed_profile_multi(_load(spark, sf_dir, "events"))
     q["windowed_profile_multi_events"] = _windowed_multi
 
+    def _grouped_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.streaming.profile_stream import (
+            grouped_profile_multi)
+        return grouped_profile_multi(_load(spark, sf_dir, "events"),
+                                     keys=["event_type"])
+    q["grouped_profile_multi_events"] = _grouped_multi
+
     # REAL image decode, oracle-gated: build valid 8x8 P6 PPM payloads
     # deterministically from text (12 chained md5s = 192 pixel bytes),
     # decode them with the actual PPM decoder (numpy), and emit per-channel
@@ -443,6 +450,10 @@ def oracle_sql() -> dict[str, str]:
     o["windowed_profile_multi_events"] = " UNION ALL ".join(
         f'SELECT \'{c}\' AS "column", * '
         f"FROM ({oracle.windowed_profile_sql(value_col=c)})"
+        for c in ("event_id", "user_id", "value"))
+    o["grouped_profile_multi_events"] = " UNION ALL ".join(
+        f'SELECT \'{c}\' AS "column", * '
+        f"FROM ({oracle.grouped_profile_sql(value_col=c)})"
         for c in ("event_id", "user_id", "value"))
     # mirror of image_features_synthetic: the P6 pixel block is 12 chained
     # md5s; channel mean = avg of every 3rd byte parsed from the hex string

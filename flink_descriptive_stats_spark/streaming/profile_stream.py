@@ -121,6 +121,46 @@ def windowed_profile_multi(df: DataFrame, ts_col: str = "ts",
                       *[F.col(f"s.{s}") for s in WINDOW_STATS])
 
 
+def grouped_profile_multi(df: DataFrame, keys: list[str],
+                          value_cols: list[str] | None = None) -> DataFrame:
+    """Per-group profile of SEVERAL numeric columns in one aggregation pass
+    (grouped analogue of windowed_profile_multi): long format, one row per
+    (group, column)."""
+    from flink_descriptive_stats_spark.functions import scalar
+    if value_cols is None:
+        value_cols = [f.name for f in df.schema.fields
+                      if f.name not in keys
+                      and scalar.is_numeric_type(f.dataType)]
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for i, c in enumerate(value_cols):
+        x = F.col(c).cast("double")
+        p = f"c{i}__"
+        aggs.append(F.count_if(x.isNull()).alias(f"{p}null_count"))
+        aggs += moments.numeric_agg_exprs(x, p)
+    agg = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+    structs = []
+    for i, c in enumerate(value_cols):
+        p = f"c{i}__"
+        d = moments.derived_stats(
+            F.col(f"{p}n"), F.col("row_count"), F.col(f"{p}mean"),
+            F.col(f"{p}var_pop"), F.col(f"{p}var_samp"),
+            F.col(f"{p}skew_raw"), F.col(f"{p}kurt_raw"))
+        structs.append(F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{p}null_count").alias("null_count"),
+            F.col(f"{p}n").alias("numeric_count"),
+            F.col(f"{p}min").alias("min_val"),
+            F.col(f"{p}max").alias("max_val"),
+            *[sig6(d[s]).alias(s) for s in WINDOW_STATS]))
+    out = agg.select(*[F.col(k) for k in keys], F.col("row_count"),
+                     F.explode(F.array(*structs)).alias("s"))
+    return out.select(*keys, F.col("s.column"), "row_count",
+                      "s.null_count", "s.numeric_count",
+                      "s.min_val", "s.max_val",
+                      *[F.col(f"s.{s}") for s in WINDOW_STATS])
+
+
 def grouped_profile(df: DataFrame, keys: list[str],
                     value_col: str = "value") -> DataFrame:
     """The windowed profile's aggregate bundle keyed by arbitrary dimension
