@@ -298,6 +298,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _pii_augment(_load(spark, sf_dir, "documents")))
     q["pii_redact_documents"] = _pii_redact
 
+    # Gopher-style repetition filters (duplicate-token / top-bigram ratios)
+    def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import text as t_ops
+        return t_ops.repetition_stats(_load(spark, sf_dir, "documents"))
+    q["repetition_stats_documents"] = _repetition
+
     # snapshot drift: PSI between the doc_id%2 halves of documents over
     # n_chars (comparative profiling — the refresh-monitoring operator)
     def _psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
     o["profile_nation_csv"] = oracle.profile_table_sql("nation")
     o["profile_nation_json"] = oracle.profile_table_sql("nation")
     o["psi_drift_documents"] = op.psi_drift_sql()
+    o["repetition_stats_documents"] = op.repetition_stats_sql()
     from flink_descriptive_stats_spark.operators.text import PII_PATTERNS
     _aug = (
         "text || ' contact user' || CAST(doc_id AS VARCHAR) "

@@ -47,6 +47,40 @@ PII_PATTERNS = [
 ]
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals (public filter
+    rules: Rae et al. 2021 use duplicate-line/ngram fractions to drop
+    boilerplate-heavy docs): per doc,
+    ``dup_token_frac`` = 1 - distinct/total tokens and
+    ``top_bigram_frac`` = occurrences of the most frequent bigram / total
+    bigrams. Output: (id, n_tokens, dup_token_frac, top_bigram_frac).
+
+    Built on the codegen'd long-format shingle machinery (explode + two
+    keyed groupBys per n-gram order, map-side combined — no interpreted
+    array folds); ratios are exact integer divisions, bit-identical across
+    engines, so they gate raw (no sig6 needed)."""
+    from flink_descriptive_stats_spark.operators.dedup import (
+        shingle_hashes_long)
+    uni = (shingle_hashes_long(df, text_col, id_col, n=1, distinct=False)
+           .groupBy("id", "sh").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("id")
+           .agg(F.sum("c").alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_distinct")))
+    bi = (shingle_hashes_long(df, text_col, id_col, n=2, distinct=False)
+          .groupBy("id", "sh").agg(F.count(F.lit(1)).alias("c"))
+          .groupBy("id")
+          .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bi")))
+    return (uni.join(bi, "id")
+            .select("id", F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    (F.lit(1.0) - F.col("n_distinct").cast("double")
+                     / F.col("n_tokens").cast("double"))
+                    .alias("dup_token_frac"),
+                    (F.col("top_bi").cast("double")
+                     / F.col("n_bigrams").cast("double"))
+                    .alias("top_bigram_frac")))
+
+
 def pii_scan(df: DataFrame, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """Per-doc PII hit counts (email/credit_card/ssn/ipv4/phone) + total —

@@ -571,6 +571,31 @@ def ivf_kmeans_topk_sql(table: str = "embeddings", k: int = 5,
             f"FROM cand QUALIFY rank <= {k}")
 
 
+def repetition_stats_sql(table: str = "documents") -> str:
+    """Mirror of text.repetition_stats (Gopher-style repetition signals):
+    multiset unigram/bigram hash counts — NOT list_distinct, repetition is
+    the point — with exact integer-ratio outputs."""
+    th = H.duck_token_hash("s")
+    sh1 = H.duck_shingles("toks", 1)
+    sh2 = H.duck_shingles("toks", 2)
+    return f"""
+WITH {_tokens_cte(table)},
+u AS (SELECT id, unnest(list_transform({sh1}, s -> {th} % {P})) AS h FROM t),
+uc AS (SELECT id, h, count(*) AS c FROM u GROUP BY id, h),
+us AS (SELECT id, sum(c) AS n_tokens, count(*) AS n_distinct
+       FROM uc GROUP BY id),
+b AS (SELECT id, unnest(list_transform({sh2}, s -> {th} % {P})) AS h FROM t),
+bc AS (SELECT id, h, count(*) AS c FROM b GROUP BY id, h),
+bs AS (SELECT id, sum(c) AS n_bigrams, max(c) AS top_bi FROM bc GROUP BY id)
+SELECT CAST(us.id AS BIGINT) AS id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS dup_token_frac,
+       CAST(top_bi AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         AS top_bigram_frac
+FROM us JOIN bs ON us.id = bs.id
+"""
+
+
 def psi_drift_sql(table: str = "documents", column: str = "n_chars",
                   mod: int = 2, bins: int = 10, eps: float = 1e-6) -> str:
     """Mirror of extras.psi_drift over the doc_id%mod split: bucket edges

@@ -696,3 +696,19 @@ def test_pii_scan_and_redact(spark):
     assert red[1] == ("mail <EMAIL> and <EMAIL>, card <CREDIT_CARD>, "
                       "ssn <SSN>, ip <IPV4>, call <PHONE> now")
     assert red[2] == "clean text"
+
+
+def test_repetition_stats(spark):
+    """Gopher-style repetition: a doc that repeats one phrase has high
+    dup-token and top-bigram fractions; an all-unique doc has zero dup
+    fraction and uniform bigrams."""
+    df = spark.createDataFrame(
+        [(1, "buy now " * 10), (2, "one two three four five")],
+        "doc_id long, text string")
+    r = {x["id"]: x for x in text_ops.repetition_stats(df).collect()}
+    assert r[1]["n_tokens"] == 20
+    assert abs(r[1]["dup_token_frac"] - 0.9) < 1e-12      # 2 distinct of 20
+    # bigrams of "buy now buy now...": "buy now" x10, "now buy" x9 -> 10/19
+    assert abs(r[1]["top_bigram_frac"] - 10.0 / 19.0) < 1e-12
+    assert r[2]["dup_token_frac"] == 0.0
+    assert abs(r[2]["top_bigram_frac"] - 0.25) < 1e-12    # 4 uniform bigrams
