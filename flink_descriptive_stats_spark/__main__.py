@@ -20,7 +20,7 @@ import argparse
 import sys
 
 SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
-               "quality-filter", "ann")
+               "quality-filter", "ann", "pii-scan", "pii-redact")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -79,6 +79,14 @@ def build_parser() -> argparse.ArgumentParser:
     qf.add_argument("--text-col", default="text")
     qf.add_argument("--id-col", default="doc_id")
     _add_common(qf)
+
+    for name, hlp in (("pii-scan", "per-doc PII hit counts"),
+                      ("pii-redact", "typed-placeholder PII redaction")):
+        pp = sub.add_parser(name, help=hlp)
+        pp.add_argument("input")
+        pp.add_argument("--text-col", default="text")
+        pp.add_argument("--id-col", default="doc_id")
+        _add_common(pp)
 
     an = sub.add_parser("ann", help="cosine top-k over an embedding column")
     an.add_argument("input")
@@ -170,11 +178,14 @@ def main(argv: list[str] | None = None) -> int:
               args.output)
         return 0
 
-    if args.cmd in ("text-stats", "quality-filter"):
+    if args.cmd in ("text-stats", "quality-filter", "pii-scan",
+                    "pii-redact"):
         from flink_descriptive_stats_spark.operators import text as text_ops
         df = _load(spark, args.input, args.format)
-        fn = (text_ops.text_stats if args.cmd == "text-stats"
-              else text_ops.quality_filter)
+        fn = {"text-stats": text_ops.text_stats,
+              "quality-filter": text_ops.quality_filter,
+              "pii-scan": text_ops.pii_scan,
+              "pii-redact": text_ops.pii_redact}[args.cmd]
         _emit(fn(df, text_col=args.text_col, id_col=args.id_col),
               args.output)
         return 0
