@@ -14,9 +14,15 @@ unavailable.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame
 
-_MEMO: dict[tuple, object] = {}
+# key -> (session weakref, collected row). The weakref guards against id()
+# reuse: if the original session was torn down and a NEW session object
+# happens to land at the same address, the dead/mismatched ref invalidates
+# the entry instead of serving another session's (stale) aggregates.
+_MEMO: dict[tuple, tuple] = {}
 _MEMO_MAX = 128
 
 
@@ -25,16 +31,20 @@ def agg_row_memoized(df: DataFrame, agg_exprs: list[Column], tag: tuple):
 
     ``tag`` must uniquely identify the aggregate bundle shape (caller name +
     column list + parameters) — the plan hash covers only the INPUT."""
+    sess = df.sparkSession
     try:
         h = df._jdf.queryExecution().analyzed().semanticHash()
-        key = (id(df.sparkSession), h, tag)
+        key = (id(sess), h, tag)
     except Exception:
         key = None
     if key is not None and key in _MEMO:
-        return _MEMO[key]
+        ref, row = _MEMO[key]
+        if ref() is sess:
+            return row
+        del _MEMO[key]          # dead or different session at this address
     row = df.agg(*agg_exprs).collect()[0]
     if key is not None:
         if len(_MEMO) >= _MEMO_MAX:
             _MEMO.pop(next(iter(_MEMO)))
-        _MEMO[key] = row
+        _MEMO[key] = (weakref.ref(sess), row)
     return row

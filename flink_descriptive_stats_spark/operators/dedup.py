@@ -421,14 +421,27 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
 
 # bounded per-process memo of cluster-label DataFrames (see
 # neardup_clusters); values are localCheckpoint-materialized so reuse is a
-# read of cached blocks, not a recomputation
-_CLUSTER_MEMO: dict[tuple, DataFrame] = {}
+# read of cached blocks, not a recomputation. Entries carry a session
+# weakref so id()-address reuse by a NEW session can't serve stale labels.
+_CLUSTER_MEMO: dict[tuple, tuple] = {}
 
 
-def _cluster_memo_put(key: tuple, out: DataFrame) -> None:
+def _cluster_memo_put(key: tuple, sess, out: DataFrame) -> None:
+    import weakref
     if len(_CLUSTER_MEMO) >= 32:
         _CLUSTER_MEMO.pop(next(iter(_CLUSTER_MEMO)))
-    _CLUSTER_MEMO[key] = out
+    _CLUSTER_MEMO[key] = (weakref.ref(sess), out)
+
+
+def _cluster_memo_get(key: tuple, sess) -> DataFrame | None:
+    hit = _CLUSTER_MEMO.get(key)
+    if hit is None:
+        return None
+    ref, out = hit
+    if ref() is sess:
+        return out
+    del _CLUSTER_MEMO[key]
+    return None
 
 
 def _edge_signature(edges: DataFrame) -> tuple:
@@ -522,8 +535,10 @@ def neardup_clusters(df: DataFrame, content_col: str = "text",
                (content_col, id_col, n, threshold, method))
     except Exception:
         key = None
-    if key is not None and key in _CLUSTER_MEMO:
-        return _CLUSTER_MEMO[key]
+    if key is not None:
+        hit = _cluster_memo_get(key, df.sparkSession)
+        if hit is not None:
+            return hit
 
     pairs = minhash_dedup_pairs(df, content_col, id_col, n, threshold)
     if method == "star":
@@ -533,7 +548,7 @@ def neardup_clusters(df: DataFrame, content_col: str = "text",
             pairs.select(F.col("id_a").alias("u"),
                          F.col("id_b").alias("v")), nodes).localCheckpoint()
         if key is not None:
-            _cluster_memo_put(key, out)
+            _cluster_memo_put(key, df.sparkSession, out)
         return out
     edges = (pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("t"))
              .union(pairs.select(F.col("id_b").alias("s"),
@@ -557,7 +572,7 @@ def neardup_clusters(df: DataFrame, content_col: str = "text",
             break
     out = labels.select("id", F.col("comp").alias("cluster_id"))
     if key is not None:
-        _cluster_memo_put(key, out)
+        _cluster_memo_put(key, df.sparkSession, out)
     return out
 
 

@@ -712,3 +712,73 @@ def test_repetition_stats(spark):
     assert abs(r[1]["top_bigram_frac"] - 10.0 / 19.0) < 1e-12
     assert r[2]["dup_token_frac"] == 0.0
     assert abs(r[2]["top_bigram_frac"] - 0.25) < 1e-12    # 4 uniform bigrams
+
+
+def test_range_join_differential_random(spark):
+    """Differential check: range_join == brute-force O(n*m) membership on
+    random data spanning the epoch (negative timestamps included) with
+    random bucket sizes — the bucketing must be invisible in the result."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    from flink_descriptive_stats_spark.operators import joins
+    base = -50_000  # seconds; spans pre/post epoch
+    pts = [(i, int(rng.integers(0, 3)), int(rng.integers(base, 100_000)))
+           for i in range(120)]
+    ivs = []
+    for j in range(40):
+        s = int(rng.integers(base, 100_000))
+        ivs.append((int(rng.integers(0, 3)), s,
+                    s + int(rng.integers(-1000, 50_000))))  # some inverted
+    want = sorted((p_id, k, s, e) for p_id, k, t in pts
+                  for (ik, s, e) in ivs if ik == k and s <= t < e)
+    pdf = spark.createDataFrame(pts, "event_id long, user_id long, sec long") \
+        .selectExpr("event_id", "user_id",
+                    "timestamp_seconds(sec) AS ts")
+    idf = spark.createDataFrame(ivs, "user_id long, s long, e long") \
+        .selectExpr("user_id", "timestamp_seconds(s) AS session_start",
+                    "timestamp_seconds(e) AS session_end")
+    for bucket in (7, 3600, 100_000):
+        got = sorted((r["event_id"], r["user_id"],
+                      int(r["session_start"].timestamp()),
+                      int(r["session_end"].timestamp()))
+                     for r in joins.range_join(
+                         pdf, idf, bucket_seconds=bucket).collect())
+        assert got == want, f"bucket_seconds={bucket}"
+
+
+def test_asof_join_differential_random(spark):
+    """Differential check: as-of join == brute-force latest-at-or-before
+    per key on random data with duplicate timestamps across sides."""
+    import numpy as np
+    rng = np.random.default_rng(13)
+    from flink_descriptive_stats_spark.operators import joins
+    left = [(i, int(rng.integers(0, 50)), int(rng.integers(0, 4)),
+             "view", float(i)) for i in range(150)]
+    right = [(1000 + j, int(rng.integers(0, 50)), int(rng.integers(0, 4)),
+              "purchase", float(j)) for j in range(60)]
+
+    def brute(eid, ts, uid):
+        cands = [(r_ts, r_eid, r_val) for r_eid, r_ts, r_uid, _, r_val
+                 in right if r_uid == uid and r_ts <= ts]
+        if not cands:
+            return (None, None)
+        # operator tie-break: latest ts, then highest event id
+        r_ts, r_eid, r_val = max(cands)
+        return (r_eid, r_val)
+
+    ldf = spark.createDataFrame(
+        [(e, t, u, k, v) for e, t, u, k, v in left],
+        "event_id long, sec long, user_id long, event_type string, "
+        "value double").selectExpr(
+            "event_id", "timestamp_seconds(sec) AS ts", "user_id",
+            "event_type", "value")
+    rdf = spark.createDataFrame(
+        [(e, t, u, k, v) for e, t, u, k, v in right],
+        "event_id long, sec long, user_id long, event_type string, "
+        "value double").selectExpr(
+            "event_id", "timestamp_seconds(sec) AS ts", "user_id",
+            "event_type", "value")
+    got = {r["event_id"]: (r["asof_event_id"], r["asof_value"])
+           for r in joins.asof_join(ldf, rdf).collect()}
+    for e, t, u, _, _ in left:
+        assert got[e] == brute(e, t, u), (e, t, u, got[e], brute(e, t, u))
