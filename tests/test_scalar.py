@@ -279,3 +279,33 @@ def test_pattern_accent_fold_matches_stripaccents(spark):
                          [t]).fetchone()[0]
         assert sp == dk == ref_pattern(t), (
             f"{t!r}: spark={sp!r} duck={dk!r} ref={ref_pattern(t)!r}")
+
+
+def test_fp_display_length_float_property(spark):
+    """Hypothesis floats narrowed to float32: the DECIMAL32 (7-digit)
+    length agrees three ways, like the double path."""
+    import struct
+
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import types as T
+
+    collected: list[float] = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.floats(allow_nan=False, allow_infinity=False, width=32))
+    def gather(x):
+        collected.append(struct.unpack("f", struct.pack("f", x))[0])
+
+    gather()
+    df = spark.createDataFrame([(v,) for v in collected], "x float")
+    got_spark = [r[0] for r in
+                 df.select(scalar.length_expr("x", T.FloatType())).collect()]
+    con = duckdb.connect()
+    fexpr = scalar.duck_length_expr("x", T.FloatType())
+    got_duck = [r[0] for r in con.execute(
+        f"SELECT {fexpr} FROM (SELECT unnest(?::FLOAT[]) AS x)",
+        [collected]).fetchall()]
+    for v, s, d in zip(collected, got_spark, got_duck):
+        p = scalar.fp_display_len_py(v, 7)
+        assert s == d == p, f"x={v!r}: spark={s} duck={d} py={p}"
