@@ -23,6 +23,57 @@ MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine), similarity search,
 text analysis, multimodal column plumbing.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from flink_descriptive_stats_spark.session import get_spark  # noqa: F401
+
+# Lazy top-level API (PEP 562): the engine's headline operators are
+# importable as `from flink_descriptive_stats_spark import profile, ...`
+# without paying every submodule's import cost up front.
+_API = {
+    "profile": ("operators.profile", "profile"),
+    "complete_row_count": ("operators.profile", "complete_row_count"),
+    "topk_tokens": ("operators.topk", "topk_tokens"),
+    "jb_report": ("report", "jb_report"),
+    "render_profile": ("report", "render_profile"),
+    "distinct_counts": ("operators.extras", "distinct_counts"),
+    "quantiles": ("operators.extras", "quantiles"),
+    "histogram": ("operators.extras", "histogram"),
+    "outlier_counts": ("operators.extras", "outlier_counts"),
+    "correlation_matrix": ("operators.extras", "correlation_matrix"),
+    "psi_drift": ("operators.extras", "psi_drift"),
+    "exact_dedup": ("operators.dedup", "exact_dedup"),
+    "keep_first": ("operators.dedup", "keep_first"),
+    "decontaminate": ("operators.dedup", "decontaminate"),
+    "minhash_dedup_pairs": ("operators.dedup", "minhash_dedup_pairs"),
+    "neardup_clusters": ("operators.dedup", "neardup_clusters"),
+    "dedup_corpus": ("operators.dedup", "dedup_corpus"),
+    "embedding_near_dup_pairs": ("operators.dedup",
+                                 "embedding_near_dup_pairs"),
+    "brute_force_topk": ("operators.similarity", "brute_force_topk"),
+    "lsh_topk": ("operators.similarity", "lsh_topk"),
+    "ivf_topk": ("operators.similarity", "ivf_topk"),
+    "text_stats": ("operators.text", "text_stats"),
+    "quality_filter": ("operators.text", "quality_filter"),
+    "pii_scan": ("operators.text", "pii_scan"),
+    "pii_redact": ("operators.text", "pii_redact"),
+    "repetition_stats": ("operators.text", "repetition_stats"),
+    "hash_split": ("operators.sampling", "hash_split"),
+    "mixture_sample": ("operators.sampling", "mixture_sample"),
+    "pack_sequences": ("operators.sampling", "pack_sequences"),
+    "asof_join": ("operators.joins", "asof_join"),
+    "range_join": ("operators.joins", "range_join"),
+    "windowed_profile": ("streaming.profile_stream", "windowed_profile"),
+    "write_bucketed": ("sources.layout", "write_bucketed"),
+    "write_partitioned": ("sources.layout", "write_partitioned"),
+}
+
+__all__ = ["get_spark", *sorted(_API)]
+
+
+def __getattr__(name: str):
+    if name in _API:
+        import importlib
+        mod, attr = _API[name]
+        return getattr(importlib.import_module(f"{__name__}.{mod}"), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
