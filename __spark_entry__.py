@@ -298,6 +298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _pii_augment(_load(spark, sf_dir, "documents")))
     q["pii_redact_documents"] = _pii_redact
 
+    # deterministic stratified sampling (exact k per language)
+    q["stratified_sample_documents"] = _tq(
+        sampling.stratified_sample, "documents", strata_col="lang", k=10)
+
     # Gopher-style repetition filters (duplicate-token / top-bigram ratios)
     def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         from flink_descriptive_stats_spark.operators import text as t_ops
@@ -429,6 +433,10 @@ def oracle_sql() -> dict[str, str]:
     o["profile_nation_json"] = oracle.profile_table_sql("nation")
     o["psi_drift_documents"] = op.psi_drift_sql()
     o["repetition_stats_documents"] = op.repetition_stats_sql()
+    o["stratified_sample_documents"] = (
+        "SELECT * FROM documents QUALIFY row_number() OVER ("
+        "PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id"
+        ") <= 10")
     from flink_descriptive_stats_spark.operators.text import PII_PATTERNS
     _aug = (
         "text || ' contact user' || CAST(doc_id AS VARCHAR) "

@@ -112,3 +112,19 @@ def pack_sequences(df: DataFrame, text_col: str = "text",
     return (base.withColumn("start_offset", cum - F.col("n_tokens"))
             .withColumn("pack_id",
                         F.expr(f"start_offset div {max_tokens}")))
+
+
+def stratified_sample(df: DataFrame, strata_col: str = "lang",
+                      k: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic exact-k per-stratum sample: rows rank within their
+    stratum by md5(id) — a stable pseudo-random order — and the first k
+    survive. Balanced class subsets (eval slices, per-language probes)
+    without RNG state: rerun-, retry- and partitioning-invariant.
+
+    Scale: Spark >= 3.5 plans the rank filter as WindowGroupLimit, so each
+    partition forwards at most k rows per stratum before the single
+    stratum-keyed exchange — the same no-salting funnel as top-K."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))

@@ -782,3 +782,25 @@ def test_asof_join_differential_random(spark):
            for r in joins.asof_join(ldf, rdf).collect()}
     for e, t, u, _, _ in left:
         assert got[e] == brute(e, t, u), (e, t, u, got[e], brute(e, t, u))
+
+
+def test_stratified_sample(spark):
+    """Exact k per stratum (clipped to stratum size), deterministic and
+    partitioning-invariant; plan uses WindowGroupLimit (no full sort)."""
+    from flink_descriptive_stats_spark.operators import sampling
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(60)]
+    rows += [(1000, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = sampling.stratified_sample(df, "lang", k=5).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["lang"], []).append(r["doc_id"])
+    assert {s: len(v) for s, v in by.items()} == {
+        "en": 5, "de": 5, "fr": 5, "rare": 1}
+    again = sampling.stratified_sample(df.repartition(64), "lang",
+                                       k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    plan = df.sparkSession._jvm.PythonSQLUtils  # noqa: F841  (import guard)
+    p = sampling.stratified_sample(df, "lang", k=5)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p
