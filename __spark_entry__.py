@@ -308,6 +308,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return t_ops.repetition_stats(_load(spark, sf_dir, "documents"))
     q["repetition_stats_documents"] = _repetition
 
+    # token-window chunking with overlap (context-window prep)
+    def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import text as t_ops
+        return t_ops.chunk_documents(_load(spark, sf_dir, "documents"),
+                                     max_tokens=64, overlap=16)
+    q["chunk_documents"] = _chunks
+
     # snapshot drift: PSI between the doc_id%2 halves of documents over
     # n_chars (comparative profiling — the refresh-monitoring operator)
     def _psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,6 +440,20 @@ def oracle_sql() -> dict[str, str]:
     o["profile_nation_json"] = oracle.profile_table_sql("nation")
     o["psi_drift_documents"] = op.psi_drift_sql()
     o["repetition_stats_documents"] = op.repetition_stats_sql()
+    # chunking mirror: stride 48 (64 - 16), DuckDB 1-based list slicing
+    o["chunk_documents"] = (
+        "WITH t AS (SELECT doc_id AS id, "
+        "regexp_extract_all(lower(text), '\\w+') AS toks FROM documents "
+        "WHERE text IS NOT NULL), "
+        "e AS (SELECT id, toks, unnest(generate_series(0, "
+        "CAST(ceil(CAST(len(toks) AS DOUBLE) / 48.0) AS INTEGER) - 1)) "
+        "AS chunk_idx FROM t WHERE len(toks) > 0), "
+        "c AS (SELECT id, chunk_idx, "
+        "toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS chunk FROM e) "
+        "SELECT CAST(id AS BIGINT) AS id, "
+        "CAST(chunk_idx AS INTEGER) AS chunk_idx, "
+        "CAST(len(chunk) AS BIGINT) AS n_tokens, "
+        "array_to_string(chunk, ' ') AS chunk_text FROM c")
     o["stratified_sample_documents"] = (
         "SELECT * FROM documents QUALIFY row_number() OVER ("
         "PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id"

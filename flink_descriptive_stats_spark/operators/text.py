@@ -47,6 +47,40 @@ PII_PATTERNS = [
 ]
 
 
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", max_tokens: int = 128,
+                    overlap: int = 32) -> DataFrame:
+    """Token-window chunking with overlap — the context-window prep step
+    for embedding/indexing pipelines: chunk i covers tokens
+    [i*stride, i*stride + max_tokens) with stride = max_tokens - overlap,
+    so consecutive chunks share ``overlap`` tokens and every token is
+    covered. Output: (id, chunk_idx, n_tokens, chunk_text) where
+    chunk_text is the space-joined token window (tokenizer-normalized,
+    identical in the DuckDB mirror). Zero-token docs emit no chunks; when
+    n % stride <= overlap the final window can be a suffix of the previous
+    one (kept — simple, deterministic arithmetic).
+
+    Scale: pure narrow plan — tokenize, explode a bounded index sequence,
+    slice. No shuffle anywhere."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    d = (df.where(F.col(text_col).isNotNull())
+         .select(F.col(id_col).alias("id"),
+                 H.tokens_expr(F.col(text_col)).alias("__toks")))
+    n = F.size("__toks")
+    d = (d.where(n > 0)
+         .select("id", "__toks",
+                 F.explode(F.sequence(
+                     F.lit(0),
+                     F.ceil(n.cast("double") / F.lit(float(stride)))
+                     .cast("int") - 1)).alias("chunk_idx")))
+    chunk = F.slice("__toks", F.col("chunk_idx") * stride + 1, max_tokens)
+    return d.select("id", "chunk_idx",
+                    F.size(chunk).cast("bigint").alias("n_tokens"),
+                    F.array_join(chunk, " ").alias("chunk_text"))
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Gopher-style within-document repetition signals (public filter

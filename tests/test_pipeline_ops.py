@@ -804,3 +804,30 @@ def test_stratified_sample(spark):
     p = sampling.stratified_sample(df, "lang", k=5)._jdf \
         .queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in p
+
+
+def test_chunk_documents(spark):
+    """Chunking covers every token; consecutive chunks share exactly
+    `overlap` tokens; short docs yield one chunk; empty/NULL docs none."""
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, words), (2, "just four little words"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    out = text_ops.chunk_documents(df, max_tokens=40, overlap=10)
+    rows = sorted(((r["id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+                   for r in out.collect()))
+    by_id = {}
+    for i, ci, n, t in rows:
+        by_id.setdefault(i, []).append((ci, n, t.split()))
+    # doc 1: 100 tokens, stride 30 -> 4 chunks at 0/30/60/90
+    assert [c[0] for c in by_id[1]] == [0, 1, 2, 3]
+    assert [c[1] for c in by_id[1]] == [40, 40, 40, 10]
+    covered = set()
+    for _, _, toks in by_id[1]:
+        covered.update(toks)
+    assert covered == {f"w{i}" for i in range(100)}
+    assert by_id[1][0][2][-10:] == by_id[1][1][2][:10]   # 10-token overlap
+    assert by_id[2] == [(0, 4, ["just", "four", "little", "words"])]
+    assert 3 not in by_id and 4 not in by_id
+    with pytest.raises(ValueError):
+        text_ops.chunk_documents(df, max_tokens=10, overlap=10)
