@@ -161,3 +161,43 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert m and "event_type" in m.group(1), plan
     batch = ev.where(F.col("event_type") == 'purchase').count()
     assert got.count() == batch
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The skew story: joins delegate hot-key handling to AQE skew-join.
+    With one key holding ~98% of rows, the executed adaptive plan must
+    mark the sort-merge join skew-handled (skew=true) — proving the
+    runtime re-plan engages rather than one task dragging the stage."""
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16KB")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # pad must DEPEND on id: a constant pad would fold into a literal,
+        # get projected after the join, and leave the shuffle carrying only
+        # 8-byte keys — below any skew threshold
+        left = spark.range(50_000).selectExpr(
+            "CASE WHEN id < 49000 THEN 0 ELSE id % 100 END AS k",
+            "concat(repeat('x', 60), CAST(id AS STRING)) AS pad")
+        right = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+        j = left.join(right, "k")
+        # execute j's OWN query execution (count() would build another)
+        assert len(j.collect()) == 50_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
