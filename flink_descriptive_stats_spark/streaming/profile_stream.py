@@ -28,6 +28,57 @@ from flink_descriptive_stats_spark.operators import moments
 WINDOW_STATS = ("mean", "var_pop", "var_samp", "stddev_pop", "stddev_samp",
                 "skew_pop", "skew_samp", "kurt_pop", "kurt_samp", "jb_score")
 
+# Raw slot fields carried through the melt (post-agg, pre-derivation).
+_RAW_SLOTS = ("null_count", "n", "min", "max", "mean", "var_pop", "var_samp",
+              "skew_raw", "kurt_raw")
+
+
+def _raw_struct(col_name: str, p: str) -> Column:
+    """Struct of RAW aggregate slots for one profiled column (no derived
+    stats here — see _finish_long for why)."""
+    return F.struct(F.lit(col_name).alias("column"),
+                    *[F.col(f"{p}{s}").alias(s) for s in _RAW_SLOTS])
+
+
+def _finish_long(melted: DataFrame, lead_cols: list[str]) -> DataFrame:
+    """Derive + sig6 over the melted (one row per group x column) frame.
+
+    Staged on purpose: an earlier version inlined sig6(derived_stats(...))
+    per source column inside the pre-explode structs, and since sig6
+    references its input ~7x and the derived trees nest when-chains inside
+    when-chains, the ANALYZED plan blew up combinatorially — Catalyst
+    optimization alone cost ~4.5s of driver CPU per planning at 3 columns
+    (the two slowest bench queries in round 2). Three small selects instead:
+    flatten raw slots -> derive (each tree appears ONCE, over plain
+    attribute refs) -> sig6 (duplicates only attribute refs). Catalyst keeps
+    the stages as separate Projects because the producer expressions are
+    non-cheap and multiply-referenced, so the tree never re-inlines; the
+    projections run over windows x columns rows, which is tiny at any scale.
+    """
+    flat = melted.select(
+        *lead_cols,
+        F.col("s.column").alias("column"),
+        "row_count",
+        F.col("s.null_count").alias("null_count"),
+        F.col("s.n").alias("numeric_count"),
+        F.col("s.min").alias("min_val"),
+        F.col("s.max").alias("max_val"),
+        F.col("s.mean").alias("__mean"),
+        F.col("s.var_pop").alias("__var_pop"),
+        F.col("s.var_samp").alias("__var_samp"),
+        F.col("s.skew_raw").alias("__skew_raw"),
+        F.col("s.kurt_raw").alias("__kurt_raw"))
+    d = moments.derived_stats(F.col("numeric_count"), F.col("row_count"),
+                              F.col("__mean"), F.col("__var_pop"),
+                              F.col("__var_samp"), F.col("__skew_raw"),
+                              F.col("__kurt_raw"))
+    keep = [*lead_cols, "column", "row_count", "null_count", "numeric_count",
+            "min_val", "max_val"]
+    staged = flat.select(*keep, *[d[s].alias(f"__d_{s}") for s in WINDOW_STATS])
+    return staged.select(*keep,
+                         *[sig6(F.col(f"__d_{s}")).alias(s)
+                           for s in WINDOW_STATS])
+
 
 def windowed_profile(df: DataFrame, ts_col: str = "ts",
                      value_col: str = "value",
@@ -58,14 +109,21 @@ def windowed_profile(df: DataFrame, ts_col: str = "ts",
     d = moments.derived_stats(F.col("n"), F.col("row_count"), F.col("mean"),
                               F.col("var_pop"), F.col("var_samp"),
                               F.col("skew_raw"), F.col("kurt_raw"))
-    out = [F.col("win.start").alias("window_start"),
-           F.col("win.end").alias("window_end"),
-           *[F.col(k) for k in (extra_keys or [])],
-           F.col("row_count"), F.col("null_count"),
-           F.col("n").alias("numeric_count"),
-           F.col("min").alias("min_val"), F.col("max").alias("max_val"),
-           *[sig6(d[s]).alias(s) for s in WINDOW_STATS]]
-    return agg.select(*out)
+    keep = [F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *[F.col(k) for k in (extra_keys or [])],
+            F.col("row_count"), F.col("null_count"),
+            F.col("n").alias("numeric_count"),
+            F.col("min").alias("min_val"), F.col("max").alias("max_val")]
+    keep_names = ["window_start", "window_end", *(extra_keys or []),
+                  "row_count", "null_count", "numeric_count",
+                  "min_val", "max_val"]
+    # staged derive -> sig6 (see _finish_long for the planning-cost rationale)
+    staged = agg.select(*keep,
+                        *[d[s].alias(f"__d_{s}") for s in WINDOW_STATS])
+    return staged.select(*keep_names,
+                         *[sig6(F.col(f"__d_{s}")).alias(s)
+                           for s in WINDOW_STATS])
 
 
 def windowed_profile_multi(df: DataFrame, ts_col: str = "ts",
@@ -97,28 +155,13 @@ def windowed_profile_multi(df: DataFrame, ts_col: str = "ts",
         aggs += moments.numeric_agg_exprs(x, p)
     agg = df.groupBy(F.window(F.col(ts_col), window).alias("win")).agg(*aggs)
 
-    structs = []
-    for i, c in enumerate(value_cols):
-        p = f"c{i}__"
-        d = moments.derived_stats(
-            F.col(f"{p}n"), F.col("row_count"), F.col(f"{p}mean"),
-            F.col(f"{p}var_pop"), F.col(f"{p}var_samp"),
-            F.col(f"{p}skew_raw"), F.col(f"{p}kurt_raw"))
-        structs.append(F.struct(
-            F.lit(c).alias("column"),
-            F.col(f"{p}null_count").alias("null_count"),
-            F.col(f"{p}n").alias("numeric_count"),
-            F.col(f"{p}min").alias("min_val"),
-            F.col(f"{p}max").alias("max_val"),
-            *[sig6(d[s]).alias(s) for s in WINDOW_STATS]))
-    out = agg.select(F.col("win.start").alias("window_start"),
-                     F.col("win.end").alias("window_end"),
-                     F.col("row_count"),
-                     F.explode(F.array(*structs)).alias("s"))
-    return out.select("window_start", "window_end", F.col("s.column"),
-                      "row_count", "s.null_count", "s.numeric_count",
-                      "s.min_val", "s.max_val",
-                      *[F.col(f"s.{s}") for s in WINDOW_STATS])
+    melted = agg.select(F.col("win.start").alias("window_start"),
+                        F.col("win.end").alias("window_end"),
+                        F.col("row_count"),
+                        F.explode(F.array(
+                            *[_raw_struct(c, f"c{i}__")
+                              for i, c in enumerate(value_cols)])).alias("s"))
+    return _finish_long(melted, ["window_start", "window_end"])
 
 
 def grouped_profile_multi(df: DataFrame, keys: list[str],
@@ -139,26 +182,11 @@ def grouped_profile_multi(df: DataFrame, keys: list[str],
         aggs += moments.numeric_agg_exprs(x, p)
     agg = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
 
-    structs = []
-    for i, c in enumerate(value_cols):
-        p = f"c{i}__"
-        d = moments.derived_stats(
-            F.col(f"{p}n"), F.col("row_count"), F.col(f"{p}mean"),
-            F.col(f"{p}var_pop"), F.col(f"{p}var_samp"),
-            F.col(f"{p}skew_raw"), F.col(f"{p}kurt_raw"))
-        structs.append(F.struct(
-            F.lit(c).alias("column"),
-            F.col(f"{p}null_count").alias("null_count"),
-            F.col(f"{p}n").alias("numeric_count"),
-            F.col(f"{p}min").alias("min_val"),
-            F.col(f"{p}max").alias("max_val"),
-            *[sig6(d[s]).alias(s) for s in WINDOW_STATS]))
-    out = agg.select(*[F.col(k) for k in keys], F.col("row_count"),
-                     F.explode(F.array(*structs)).alias("s"))
-    return out.select(*keys, F.col("s.column"), "row_count",
-                      "s.null_count", "s.numeric_count",
-                      "s.min_val", "s.max_val",
-                      *[F.col(f"s.{s}") for s in WINDOW_STATS])
+    melted = agg.select(*[F.col(k) for k in keys], F.col("row_count"),
+                        F.explode(F.array(
+                            *[_raw_struct(c, f"c{i}__")
+                              for i, c in enumerate(value_cols)])).alias("s"))
+    return _finish_long(melted, list(keys))
 
 
 def grouped_profile(df: DataFrame, keys: list[str],
@@ -176,12 +204,17 @@ def grouped_profile(df: DataFrame, keys: list[str],
     d = moments.derived_stats(F.col("n"), F.col("row_count"), F.col("mean"),
                               F.col("var_pop"), F.col("var_samp"),
                               F.col("skew_raw"), F.col("kurt_raw"))
-    return agg.select(
-        *[F.col(k) for k in keys],
-        F.col("row_count"), F.col("null_count"),
-        F.col("n").alias("numeric_count"),
-        F.col("min").alias("min_val"), F.col("max").alias("max_val"),
-        *[sig6(d[s]).alias(s) for s in WINDOW_STATS])
+    keep = [*[F.col(k) for k in keys],
+            F.col("row_count"), F.col("null_count"),
+            F.col("n").alias("numeric_count"),
+            F.col("min").alias("min_val"), F.col("max").alias("max_val")]
+    keep_names = [*keys, "row_count", "null_count", "numeric_count",
+                  "min_val", "max_val"]
+    staged = agg.select(*keep,
+                        *[d[s].alias(f"__d_{s}") for s in WINDOW_STATS])
+    return staged.select(*keep_names,
+                         *[sig6(F.col(f"__d_{s}")).alias(s)
+                           for s in WINDOW_STATS])
 
 
 def streaming_windowed_profile(spark, source_dir: str, schema,
