@@ -14,16 +14,15 @@ Reference semantics being modeled (file:line cites into /root/reference):
 - F6 int/long/float/double     StatsPojo.java:326-360 (Java parseXxx, not SQL cast)
 - F7 multi-pattern date check  StatsPojo.java:362-400
 
-Documented deviations (SURVEY.md §2.6): NULL instead of NaN sentinels; Java
-hex-float literals not recognized by F6; F6 float/double trims ASCII spaces
-only (Java trims all chars <= U+0020). Float/double display length follows
-the reference's Calcite rendering exactly (BigDecimal(x, DECIMAL32/64)
-.stripTrailingZeros().toString() with E+ -> E, CastUtils.java:22-45 — see
-fp_display_len_py), with two micro-deviations: (a) +-Infinity yields length
-0 like NaN where the reference's `new BigDecimal(inf)` would throw;
-(b) DecimalType length measures the engines' plain rendering, so decimals
-with adjusted exponent < -6 (|x| < 1e-7 at positive scale) differ from
-Java's scientific form.
+Documented deviations (SURVEY.md §2.6): NULL instead of NaN sentinels.
+Float/double display length follows the reference's Calcite rendering
+exactly (BigDecimal(x, DECIMAL32/64).stripTrailingZeros().toString() with
+E+ -> E, CastUtils.java:22-45 — see fp_display_len_py), with one
+micro-deviation: +-Infinity yields length 0 like NaN where the reference's
+`new BigDecimal(inf)` would throw. DecimalType length replicates Java
+BigDecimal.toString() including the scientific form at adjusted exponent
+< -6 (see _decimal_length_expr). F6 accepts Java hex-float literals and
+trims all chars <= U+0020 like Java's parseDouble (JAVA_TRIM_RE).
 """
 
 from __future__ import annotations
@@ -137,12 +136,37 @@ def _fp_length_expr(c: Column, sig: int) -> Column:
             .otherwise(fp_len(c.cast("double"))))
 
 
-def _decimal_length_expr(c: Column) -> Column:
+def _decimal_length_expr(c: Column, scale: int) -> Column:
     """DecimalType display length (StatsPojo.java:428-430 /
-    getBigDecimalAsStr): plain fixed-scale rendering with ONE leading zero
-    stripped ("0.50" -> ".50", "-0.50" -> "-.50"; the "0"-valued decimal at
-    scale 0 renders "" — the reference quirk, length 0)."""
-    return F.length(F.regexp_replace(c.cast("string"), "^(-?)0", "$1"))
+    getBigDecimalAsStr = BigDecimal.toString() with ONE leading zero
+    stripped: "0.50" -> ".50", "-0.50" -> "-.50"; the "0"-valued decimal at
+    scale 0 renders "" — the reference quirk, length 0).
+
+    BigDecimal.toString() switches to scientific form when the adjusted
+    exponent (precision - 1 - scale) is < -6, e.g. Decimal(20,10) value
+    1E-9 renders "1.0E-9" (trailing zeros kept — no stripTrailingZeros in
+    this path, unlike float/double), and zero at scale 10 renders "0E-10"
+    -> leading-zero strip -> "E-10". Both Spark and DuckDB cast
+    decimal->string as PLAIN fixed-scale always (probed empirically), so
+    the scientific length is computed by string arithmetic over the plain
+    rendering: p = digits of the unscaled value, exponent = scale + 1 - p.
+    Columns with scale <= 6 can never hit the scientific branch
+    (adjusted exponent >= -scale >= -6), so they keep the single cheap
+    regexp — no extra codegen in the common case."""
+    plain = c.cast("string")
+    plain_len = F.length(F.regexp_replace(plain, "^(-?)0", "$1"))
+    if scale <= 6:
+        return plain_len
+    # precision of the unscaled value; 0 marks the zero value
+    p = F.length(F.regexp_replace(F.translate(plain, "-.", ""), "^0+", ""))
+    neg = F.when(c < 0, F.lit(1)).otherwise(F.lit(0))
+    exp_digits = F.length((F.lit(scale + 1) - p).cast("string"))
+    # [-] d [. d{p-1}] "E-" exp
+    sci_len = (neg + F.when(p == F.lit(1), F.lit(1)).otherwise(p + F.lit(1))
+               + F.lit(2) + exp_digits)
+    return (F.when(p == F.lit(0), F.lit(2 + len(str(scale))))  # "E-<scale>"
+            .when(p < F.lit(scale - 5), sci_len)
+            .otherwise(plain_len))
 
 
 def length_expr(name: str, dt: T.DataType) -> Column | None:
@@ -164,7 +188,7 @@ def length_expr(name: str, dt: T.DataType) -> Column | None:
     if isinstance(dt, T.DoubleType):
         return _fp_length_expr(c, 16)   # MathContext.DECIMAL64
     if isinstance(dt, T.DecimalType):
-        return _decimal_length_expr(c)
+        return _decimal_length_expr(c, dt.scale)
     return None
 
 
@@ -203,9 +227,26 @@ def duck_length_expr(name: str, dt: T.DataType) -> str | None:
     if isinstance(dt, T.DoubleType):
         return _duck_fp_length(name, 16)
     if isinstance(dt, T.DecimalType):
-        return (f"length(regexp_replace(CAST({name} AS VARCHAR), "
-                f"'^(-?)0', '\\1'))")
+        return _duck_decimal_length(name, dt.scale)
     return None
+
+
+def _duck_decimal_length(name: str, scale: int) -> str:
+    """DuckDB mirror of _decimal_length_expr (same plain-rendering string
+    arithmetic; DuckDB also casts decimal->varchar as plain fixed-scale)."""
+    plain_len = (f"length(regexp_replace(CAST({name} AS VARCHAR), "
+                 f"'^(-?)0', '\\1'))")
+    if scale <= 6:
+        return plain_len
+    p = (f"length(regexp_replace(translate(CAST({name} AS VARCHAR), "
+         f"'-.', ''), '^0+', ''))")
+    neg = f"(CASE WHEN {name} < 0 THEN 1 ELSE 0 END)"
+    exp_digits = f"length(CAST({scale + 1} - {p} AS VARCHAR))"
+    sci = (f"({neg} + (CASE WHEN {p} = 1 THEN 1 ELSE {p} + 1 END) "
+           f"+ 2 + {exp_digits})")
+    return (f"(CASE WHEN {p} = 0 THEN {2 + len(str(scale))} "
+            f"WHEN {p} < {scale - 5} THEN {sci} "
+            f"ELSE {plain_len} END)")
 
 
 # --------------------------------------------------------------------------
@@ -291,10 +332,19 @@ def duck_pattern_expr(expr: str) -> str:
 # --------------------------------------------------------------------------
 
 INT_RE = "^[+-]?[0-9]+$"
-# Java Double/Float.parseXxx grammar minus hex-float literals: optional sign,
-# NaN / Infinity, or decimal literal with optional exponent and f/F/d/D suffix.
+# Java Double/Float.parseXxx grammar: optional sign, NaN / Infinity, decimal
+# literal with optional exponent and f/F/d/D suffix, or a hex-float literal
+# (HexSignificand = 0x HexDigits "."? | 0x HexDigits? "." HexDigits, with a
+# REQUIRED binary exponent pP SignedInteger — Double.valueOf javadoc grammar).
+# Identical semantics in Java regex (Spark) and RE2 (DuckDB); no quotes.
 FLOAT_RE = ("^[+-]?(NaN|Infinity|"
-            "([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?[fFdD]?)$")
+            "([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?[fFdD]?|"
+            "0[xX]([0-9a-fA-F]+\\.?|[0-9a-fA-F]*\\.[0-9a-fA-F]+)"
+            "[pP][+-]?[0-9]+[fFdD]?)$")
+# Java String.trim() strips every char <= U+0020 from both ends (that is
+# what parseFloat/parseDouble apply before the grammar); SQL trim() strips
+# the ASCII space only, hence the regex.
+JAVA_TRIM_RE = "^[\\x00-\\x20]+|[\\x00-\\x20]+$"
 
 # (spark_fmt, duckdb_fmt, shape_regex) — shape regex pins digit counts so the
 # two engines' lenient parsers can't disagree; the parser then validates the
@@ -340,16 +390,17 @@ def duck_parses_long(name: str) -> str:
 
 
 def parses_float_expr(c: Column) -> Column:
-    """F6: Java Float/Double.parseXxx (they trim whitespace; overflow goes to
-    Infinity so there is no range check). Float and double acceptance are
-    identical by construction."""
-    return F.trim(c).rlike(FLOAT_RE)
+    """F6: Java Float/Double.parseXxx (they trim chars <= U+0020 via
+    String.trim; overflow goes to Infinity so there is no range check).
+    Float and double acceptance are identical by construction."""
+    return F.regexp_replace(c, JAVA_TRIM_RE, "").rlike(FLOAT_RE)
 
 
 def duck_parses_float(name: str) -> str:
-    # FLOAT_RE contains no single quotes and RE2 accepts the same escapes,
-    # so the pattern embeds into the SQL literal verbatim.
-    return f"regexp_matches(trim({name}), '{FLOAT_RE}')"
+    # FLOAT_RE / JAVA_TRIM_RE contain no single quotes and RE2 accepts the
+    # same escapes, so the patterns embed into the SQL literal verbatim.
+    return (f"regexp_matches(regexp_replace({name}, "
+            f"'{JAVA_TRIM_RE}', '', 'g'), '{FLOAT_RE}')")
 
 
 def parses_date_expr(c: Column) -> Column:

@@ -66,8 +66,36 @@ def test_float_parse(spark):
             "Infinity", "-Infinity", " 3.5 ", "abc", "", "3,5", "0x1.8p1"]
     got = _eval(spark, scalar.parses_float_expr(F.col("s")), vals)
     want = [True, True, True, True, True, True, True, True, True,
-            True, True, True, False, False, False, False]
+            True, True, True, False, False, False, True]
     assert got == want
+
+
+def test_float_parse_hex_and_trim(spark):
+    """F6 micro-parity: Java hex-float literals (Double.valueOf grammar —
+    binary exponent REQUIRED) and Java String.trim (strips every char
+    <= U+0020, so tab/newline/NUL-padded numbers parse but a U+00A0
+    non-breaking space does not). Spark and DuckDB must agree."""
+    import duckdb
+    cases = {
+        "0x1.8p1": True, "0X1.8P1": True, "-0x1p-3": True, "+0xA.Fp+2f": True,
+        "0x.8p1": True, "0x8.p1": True, "0xAp0d": True,
+        "0x1.8": False,       # binary exponent is required
+        "0xp1": False,        # no hex digits
+        "0x.p1": False,       # dot with no digits either side
+        "0x1.8e1": False,     # e is a hex digit, not an exponent marker
+        "\t3.5\n": True, "\r\n 42 \t": True, "\x0b1.5\x00": True,
+        "\u00a03.5": False,  # NBSP > U+0020: Java does not trim it
+        "3\x1f5": False,     # interior control char never trimmed
+    }
+    vals = list(cases)
+    got = _eval(spark, scalar.parses_float_expr(F.col("s")), vals)
+    assert got == list(cases.values())
+    con = duckdb.connect()
+    expr = scalar.duck_parses_float("s")
+    got_duck = [bool(con.execute(
+        f"SELECT {expr} FROM (SELECT ? AS s)", [v]).fetchone()[0])
+        for v in vals]
+    assert got_duck == list(cases.values())
 
 
 def test_date_parse(spark):
@@ -309,3 +337,74 @@ def test_fp_display_length_float_property(spark):
     for v, s, d in zip(collected, got_spark, got_duck):
         p = scalar.fp_display_len_py(v, 7)
         assert s == d == p, f"x={v!r}: spark={s} duck={d} py={p}"
+
+
+def java_bigdecimal_len_py(unscaled: int, scale: int) -> int:
+    """Python mirror of getBigDecimalAsStr (CastUtils.java:9-20):
+    java.math.BigDecimal(unscaled, scale).toString() — plain when scale==0
+    or adjusted exponent >= -6, scientific otherwise (trailing zeros KEPT,
+    exponent always negative in the reachable branch) — then ONE leading
+    zero stripped."""
+    sign = "-" if unscaled < 0 else ""
+    digits = str(abs(unscaled))
+    p = len(digits)            # precision; str(0) == "0" -> p == 1, as Java
+    adj = p - 1 - scale
+    if scale == 0:
+        s = sign + digits
+    elif adj >= -6:
+        if p > scale:
+            s = sign + digits[:-scale] + "." + digits[-scale:]
+        else:
+            s = sign + "0." + "0" * (scale - p) + digits
+    elif unscaled == 0:
+        s = "0E-" + str(scale)
+    elif p == 1:
+        s = sign + digits + "E" + str(adj)
+    else:
+        s = sign + digits[0] + "." + digits[1:] + "E" + str(adj)
+    if s.startswith("0"):
+        s = s[1:]
+    elif s.startswith("-0"):
+        s = "-" + s[2:]
+    return len(s)
+
+
+def test_decimal_length_scientific_three_way(spark):
+    """F2 DecimalType length replicates Java BigDecimal.toString()
+    including the scientific form at adjusted exponent < -6
+    (StatsPojo.java:428-430): 1E-9 at scale 10 -> "1.0E-9" (len 6),
+    zero at scale 10 -> "0E-10" -> strip -> "E-10" (len 4). Spark, the
+    DuckDB mirror, and the Python Java-mirror agree on hypothesis-driven
+    unscaled values across scales straddling the 6 cutoff."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import types as T
+
+    collected: list[int] = []
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.integers(min_value=-10**18 + 1, max_value=10**18 - 1))
+    def gather(u):
+        collected.append(u)
+
+    gather()
+    con = duckdb.connect()
+    for scale in [0, 2, 6, 7, 10, 18]:
+        unscaled = collected + [0, 1, -1, 10, -10, 1000, 10**17,
+                                10 ** max(scale - 6, 0),
+                                10 ** max(scale - 5, 0)]
+        dt = T.DecimalType(38, scale)
+        from decimal import Decimal
+        pyvals = [Decimal(u).scaleb(-scale) for u in unscaled]
+        df = spark.createDataFrame([(v,) for v in pyvals],
+                                   T.StructType([T.StructField("x", dt)]))
+        got_spark = [r[0] for r in
+                     df.select(scalar.length_expr("x", dt)).collect()]
+        dexpr = scalar.duck_length_expr("x", dt)
+        got_duck = [r[0] for r in con.execute(
+            f"SELECT {dexpr} FROM (SELECT unnest(?::DECIMAL(38,{scale})[]) "
+            f"AS x)", [pyvals]).fetchall()]
+        got_py = [java_bigdecimal_len_py(u, scale) for u in unscaled]
+        for u, s, d, p in zip(unscaled, got_spark, got_duck, got_py):
+            assert s == d == p, (
+                f"unscaled={u} scale={scale}: spark={s} duck={d} py={p}")
