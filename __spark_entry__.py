@@ -87,7 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # core profiler over the three dtype-covering tables
     for table in ("lineitem", "events", "documents"):
         q[f"profile_{table}"] = _profile_table(table)
-    for table in ("lineitem", "events", "documents"):
+    # lineitem (numerics/decimals/dates) + documents (strings) cover the
+    # value-rendering dtypes; topk_events is the 51+ per-table repeat
+    for table in ("lineitem", "documents"):
         q[f"topk_{table}"] = _topk_table(table)
     q["completeness_lineitem"] = _completeness_table("lineitem")
     q["distinct_lineitem"] = _tq(extras.distinct_counts, "lineitem")
@@ -117,7 +119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             windowed_profile)
         return windowed_profile(_load(spark, sf_dir, "events"),
                                 window="6 hours", slide="2 hours")
-    q["sliding_profile_events"] = _sliding
+    # (sliding is gated at 51+ — same windowed_profile code path, only the
+    # slide parameter differs from the gated windowed_profile_events)
 
     def _grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         from flink_descriptive_stats_spark.streaming.profile_stream import (
@@ -192,12 +195,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return qf
     q["decontaminate_exact_documents"] = _decontam(False)
     q["decontaminate_fuzzy_documents"] = _decontam(True)
-    q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
-                                            "documents")
+    # (minhash_signatures / simhash_signatures gate at 51+ — the gated
+    # *_pairs queries consume those signatures, so a signature bug fails
+    # the gated window transitively)
     q["minhash_pairs_documents"] = _tq(dedup.minhash_dedup_pairs, "documents")
     q["neardup_clusters_documents"] = _tq(dedup.neardup_clusters, "documents")
     q["dedup_corpus_documents"] = _tq(dedup.dedup_corpus, "documents")
-    q["simhash_documents"] = _tq(dedup.simhash_signatures, "documents")
     q["simhash_near_pairs_documents"] = _tq(dedup.simhash_near_pairs,
                                             "documents")
     q["ngram_jaccard_pairs_documents"] = _tq(dedup.ngram_jaccard_pairs,
@@ -243,6 +246,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          "documents")
     q["multimodal_frames_documents"] = _tq(multimodal.sample_frames,
                                            "documents")
+
+    # PII scan over documents augmented with DETERMINISTIC synthetic PII
+    # derived from doc_id (the fixture text has none — augmentation makes
+    # the gate non-vacuous; the oracle rebuilds the same strings)
+    def _pii_augment(df: DataFrame) -> DataFrame:
+        extra = F.concat(
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 000-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"),
+                   4, "0"),
+            F.when(F.col("doc_id") % 3 == 0, F.concat(
+                F.lit(" ssn 123-45-6789 card 4111 1111 1111 1111 ip 10.0."),
+                F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+                F.lit(".1"))).otherwise(F.lit("")))
+        return df.withColumn("text", F.concat(F.col("text"), extra))
+
+    def _pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import text as t_ops
+        return t_ops.pii_scan(_pii_augment(_load(spark, sf_dir, "documents")))
+    q["pii_scan_documents"] = _pii_scan
+
+    # Gopher-style repetition filters (duplicate-token / top-bigram ratios)
+    def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import text as t_ops
+        return t_ops.repetition_stats(_load(spark, sf_dir, "documents"))
+    q["repetition_stats_documents"] = _repetition
+
+    # token-window chunking with overlap (context-window prep)
+    def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import text as t_ops
+        return t_ops.chunk_documents(_load(spark, sf_dir, "documents"),
+                                     max_tokens=64, overlap=16)
+    q["chunk_documents"] = _chunks
+
+    # snapshot drift: PSI between the doc_id%2 halves of documents over
+    # n_chars (comparative profiling — the refresh-monitoring operator)
+    def _psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _load(spark, sf_dir, "documents")
+        return extras.psi_drift(docs.where(F.col("doc_id") % 2 == 0),
+                                docs.where(F.col("doc_id") % 2 == 1),
+                                "n_chars")
+    q["psi_drift_documents"] = _psi
     # (window size is pinned by tests/test_query_window.py — a runtime
     # assert here would kill the driver's whole gate on a future drift)
 
@@ -272,25 +317,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_kmeans_topk"] = _tq(similarity.ivf_topk, "embeddings",
                                    refine_iters=2)
 
-    # PII scan/redact over documents augmented with DETERMINISTIC synthetic
-    # PII derived from doc_id (the fixture text has none — augmentation
-    # makes the gate non-vacuous; the oracle rebuilds the same strings)
-    def _pii_augment(df: DataFrame) -> DataFrame:
-        extra = F.concat(
-            F.lit(" contact user"), F.col("doc_id").cast("string"),
-            F.lit("@example.com or +1 555 000-"),
-            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"),
-                   4, "0"),
-            F.when(F.col("doc_id") % 3 == 0, F.concat(
-                F.lit(" ssn 123-45-6789 card 4111 1111 1111 1111 ip 10.0."),
-                F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
-                F.lit(".1"))).otherwise(F.lit("")))
-        return df.withColumn("text", F.concat(F.col("text"), extra))
-
-    def _pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from flink_descriptive_stats_spark.operators import text as t_ops
-        return t_ops.pii_scan(_pii_augment(_load(spark, sf_dir, "documents")))
-    q["pii_scan_documents"] = _pii_scan
+    # signature outputs of the gated *_pairs operators (see note in the
+    # gated window) and the slide-parameter variant of windowed_profile
+    q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
+                                            "documents")
+    q["simhash_documents"] = _tq(dedup.simhash_signatures, "documents")
+    q["sliding_profile_events"] = _sliding
 
     def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         from flink_descriptive_stats_spark.operators import text as t_ops
@@ -301,28 +333,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deterministic stratified sampling (exact k per language)
     q["stratified_sample_documents"] = _tq(
         sampling.stratified_sample, "documents", strata_col="lang", k=10)
-
-    # Gopher-style repetition filters (duplicate-token / top-bigram ratios)
-    def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from flink_descriptive_stats_spark.operators import text as t_ops
-        return t_ops.repetition_stats(_load(spark, sf_dir, "documents"))
-    q["repetition_stats_documents"] = _repetition
-
-    # token-window chunking with overlap (context-window prep)
-    def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from flink_descriptive_stats_spark.operators import text as t_ops
-        return t_ops.chunk_documents(_load(spark, sf_dir, "documents"),
-                                     max_tokens=64, overlap=16)
-    q["chunk_documents"] = _chunks
-
-    # snapshot drift: PSI between the doc_id%2 halves of documents over
-    # n_chars (comparative profiling — the refresh-monitoring operator)
-    def _psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = _load(spark, sf_dir, "documents")
-        return extras.psi_drift(docs.where(F.col("doc_id") % 2 == 0),
-                                docs.where(F.col("doc_id") % 2 == 1),
-                                "n_chars")
-    q["psi_drift_documents"] = _psi
 
     # whole-table windowed profile: every numeric column per window in ONE
     # aggregation pass (the reference's all-columns semantics under a

@@ -49,15 +49,32 @@ def _exact_stats_row(df: DataFrame, cols: list[str]):
     return agg_row_memoized(df, aggs, ("exact_stats", tuple(cols)))
 
 
-def distinct_counts(df: DataFrame,
-                    columns: list[str] | None = None) -> DataFrame:
-    """Exact distinct per column — one row per column (long format).
+# Above this many columns, distinct_counts(exact=None) auto-routes to the
+# HLL++ sketch: the exact plan's Expand multiplies shuffle volume by the
+# column count, so wide tables pay quadratic-feeling cost for exactness.
+EXACT_DISTINCT_MAX_COLUMNS = 16
 
-    Multiple count_distinct aggs in one agg() make Spark expand to N
-    shuffles; per-column 2-level agg is the same cost here, so keep the
-    single agg with all count_distinct expressions (Catalyst plans one
-    Expand + one aggregation pass)."""
+
+def distinct_counts(df: DataFrame, columns: list[str] | None = None,
+                    exact: bool | None = None) -> DataFrame:
+    """Distinct values per column — one row per column (long format).
+
+    The exact plan puts N ``count_distinct`` aggs in one ``agg()``;
+    Catalyst plans ONE Expand node that replicates EVERY input row N_cols
+    times into the shuffle (shuffle volume = rows x columns — not "the
+    same cost" as a single agg, it is N x the scan in shuffled bytes).
+    That is acceptable as the oracle-comparable path on narrow tables,
+    and at 100 TB it is the variant you stop running: exact=None (the
+    default) therefore auto-routes tables wider than
+    EXACT_DISTINCT_MAX_COLUMNS to approx_distinct_counts (HLL++ — single
+    pass, no Expand, mergeable sketch state; output column is named
+    approx_distinct_count so the switch is visible to the caller).
+    Pass exact=True/False to force a path."""
     cols = columns or [f.name for f in df.schema.fields]
+    if exact is None:
+        exact = len(cols) <= EXACT_DISTINCT_MAX_COLUMNS
+    if not exact:
+        return approx_distinct_counts(df, columns=cols)
     agg = df.agg(*[F.count_distinct(F.col(c)).alias(c) for c in cols])
     row = agg.collect()[0]
     out = [(c, row[c]) for c in cols]

@@ -80,11 +80,28 @@ def brute_force_topk(df: DataFrame, query_ids: list[int] | None = None,
 
 
 # Deterministic pseudo-hyperplanes: hp[j][i] derived from a fixed integer mix
-# (no RNG, reproducible across engines/rounds).
+# (no RNG, reproducible across engines/rounds — the oracle imports these
+# same functions, so both engines always see identical plane literals).
+#
+# The mixer must actually decorrelate planes: the first-round affine mix
+# ((j*1000003 + i*7919 + 12345) % p) never wrapped the modulus for i < dim,
+# so every "plane" was the same line a_j + 7919*i — 128 planes with
+# pairwise |cos| = 1.0, i.e. ONE effective plane and ~n/2 sized buckets.
+# splitmix64 finalization gives measured pairwise |cos| ~ N(0, 1/sqrt(dim))
+# and per-bit bucket balance.
+_M64 = (1 << 64) - 1
+
+
+def _mix64(z: int) -> int:
+    z = (z + 0x9E3779B97F4A7C15) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return z ^ (z >> 31)
+
+
 def _hp_component(j: int, i: int) -> float:
-    x = (j * 1_000_003 + i * 7919 + 12345) % 1_000_000_007
-    # map to [-1, 1)
-    return (x / 500_000_003.5) - 1.0
+    # top 52 bits -> [0, 1) exactly representable, then map to [-1, 1)
+    return (_mix64(j * 0x10001 + i) >> 12) / float(1 << 52) * 2.0 - 1.0
 
 
 def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:

@@ -831,3 +831,28 @@ def test_chunk_documents(spark):
     assert 3 not in by_id and 4 not in by_id
     with pytest.raises(ValueError):
         text_ops.chunk_documents(df, max_tokens=10, overlap=10)
+
+
+def test_distinct_counts_auto_routes_wide_tables(spark):
+    """distinct_counts(exact=None) keeps the exact Expand plan on narrow
+    tables but auto-routes tables wider than EXACT_DISTINCT_MAX_COLUMNS to
+    the HLL++ path (visible via the approx_distinct_count column name)."""
+    from flink_descriptive_stats_spark.operators import extras
+
+    narrow = spark.range(100).selectExpr("id a", "id % 7 b")
+    got = extras.distinct_counts(narrow)
+    assert got.columns == ["column", "distinct_count"]
+    assert {r["column"]: r["distinct_count"] for r in got.collect()} == {
+        "a": 100, "b": 7}
+
+    wide = spark.range(100).select(
+        *[(F.col("id") % (i + 2)).alias(f"c{i}")
+          for i in range(extras.EXACT_DISTINCT_MAX_COLUMNS + 1)])
+    routed = extras.distinct_counts(wide)
+    assert routed.columns == ["column", "approx_distinct_count"]
+    assert routed.count() == extras.EXACT_DISTINCT_MAX_COLUMNS + 1
+    # forcing exact overrides the width routing
+    forced = extras.distinct_counts(wide, exact=True)
+    assert forced.columns == ["column", "distinct_count"]
+    assert {r["column"]: r["distinct_count"]
+            for r in forced.collect()}["c0"] == 2

@@ -18,11 +18,15 @@ def test_gated_window_holds_all_operator_families():
     # unless its family representative is gated earlier
     families = {n.rsplit("_", 1)[0] for n in first50}
     assert "profile_lineitem" in first50 and "topk_documents" in first50
-    for must in ("simhash_documents", "ngram_jaccard_pairs_documents",
+    for must in ("simhash_near_pairs_documents",
+                 "ngram_jaccard_pairs_documents",
                  "embedding_neardup_pairs", "ann_ivf_topk",
                  "text_stats_documents", "hash_split_documents",
                  "multimodal_meta_documents", "sessionize_events",
-                 "dedup_corpus_documents", "windowed_topk_events"):
+                 "dedup_corpus_documents", "windowed_topk_events",
+                 # round-3 promotions (VERDICT r2 item #7)
+                 "pii_scan_documents", "repetition_stats_documents",
+                 "chunk_documents", "psi_drift_documents"):
         assert must in first50, must
     assert len(families) >= 40          # 50 slots, near-zero repeats
     # oracle keys all resolve to queries
