@@ -16,19 +16,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # defensive: driver-owned sessions don't come through get_spark(); keep
-    # wide aggs inside whole-stage codegen (see session.py)
-    spark.conf.set("spark.sql.codegen.maxFields", "500")
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    # Normalize known nanos-timestamp columns (read as long under the legacy
-    # conf) back to TimestampType.
+def normalize_table(df: DataFrame, table: str) -> DataFrame:
+    """Normalize physical-encoding drift to the logical table schema.
+
+    The testdata fixtures have re-encoded timestamp columns across rounds
+    (TIMESTAMP(NANOS) read as long under the legacy conf, TIMESTAMP_NTZ,
+    plain TIMESTAMP(MICROS)); this is the single place that maps whatever
+    the parquet footer says onto the logical TimestampType the operators
+    expect. Works on both batch and streaming DataFrames (pure select).
+    """
     from flink_descriptive_stats_spark.oracle import TABLE_SCHEMAS
     expected = dict(TABLE_SCHEMAS.get(table, []))
     cols = []
     for f in df.schema.fields:
         if expected.get(f.name) == "timestamp" and isinstance(f.dataType, T.LongType):
+            # nanos-as-long: integer division (nanos exceed double's 53-bit
+            # mantissa, FP division would corrupt timestamps)
             cols.append(F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
                         .alias(f.name))
         elif isinstance(f.dataType, T.TimestampNTZType):
@@ -38,3 +41,29 @@ def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         else:
             cols.append(F.col(f.name))
     return df.select(*cols)
+
+
+def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # defensive: driver-owned sessions don't come through get_spark(); keep
+    # wide aggs inside whole-stage codegen (see session.py)
+    spark.conf.set("spark.sql.codegen.maxFields", "500")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return normalize_table(df, table)
+
+
+def stream_table(spark: SparkSession, src_dir: str, table: str,
+                 **reader_options) -> DataFrame:
+    """``readStream`` analogue of :func:`load_table`.
+
+    readStream requires an explicit schema; deriving it from a batch read of
+    the same directory (instead of hard-coding one) means a testdata
+    re-encoding of the physical timestamp unit changes one code path, not
+    every streaming consumer. Normalization is shared with the batch path.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(src_dir).schema
+    reader = spark.readStream.schema(raw_schema)
+    for k, v in reader_options.items():
+        reader = reader.option(k, v)
+    return normalize_table(reader.parquet(src_dir), table)

@@ -5,9 +5,9 @@ by construction, so streaming state must reproduce the batch result exactly.
 
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from flink_descriptive_stats_spark.sources.tables import load_table
+from flink_descriptive_stats_spark.sources.tables import (
+    load_table, stream_table)
 from flink_descriptive_stats_spark.streaming.profile_stream import (
     windowed_profile)
 
@@ -16,18 +16,12 @@ SF_DIR = "/root/testdata/sf0.001"
 # through a gitignored scratch dir via symlink.
 STREAM_DIR = "/root/repo/scratch/stream_events"
 
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
 
-
-def _normalize(df):
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+def _events_stream(spark):
+    """Streaming events source; schema + timestamp normalization derived
+    from the parquet footer (stream_table), not hard-coded — fixture
+    re-encodings of the ts physical unit hit sources/tables.py, not here."""
+    return stream_table(spark, STREAM_DIR, "events")
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -41,10 +35,7 @@ def stream_dir():
 
 
 def test_streaming_equals_batch(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = _normalize(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(STREAM_DIR))
+    stream = _events_stream(spark)
     assert stream.isStreaming
 
     prof_stream = windowed_profile(stream, window="12 hours",
@@ -70,10 +61,7 @@ def test_streaming_equals_batch(spark):
 def test_streaming_grouped_by_type(spark):
     """Windowed profile with an extra grouping key (per event_type) — the
     streaming analogue of the per-column fan-out, one state store."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = _normalize(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(STREAM_DIR))
+    stream = _events_stream(spark)
     prof = windowed_profile(stream, window="1 day", watermark="1 hour",
                             extra_keys=["event_type"])
     query = (prof.writeStream.format("memory")
@@ -121,9 +109,7 @@ def test_streaming_windowed_topk_equals_batch(spark):
     batch ranking over the same data."""
     from flink_descriptive_stats_spark.streaming.pipeline_stream import (
         rank_topk, windowed_token_counts)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = _normalize(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(STREAM_DIR))
+    stream = _events_stream(spark)
     counts = windowed_token_counts(stream, window="1 day", watermark="1 hour")
     query = (counts.writeStream.format("memory")
              .queryName("win_counts").outputMode("complete").start())
@@ -147,9 +133,7 @@ def test_streaming_sessionize_subset_of_batch(spark):
     are withheld, so subset not equality."""
     from flink_descriptive_stats_spark.streaming.pipeline_stream import (
         sessionize)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = _normalize(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(STREAM_DIR))
+    stream = _events_stream(spark)
     sess = sessionize(stream, watermark="1 hour")
     query = (sess.writeStream.format("memory")
              .queryName("sessions_stream").outputMode("append").start())
@@ -253,10 +237,8 @@ def test_streaming_topk_foreachbatch_end_to_end(spark, tmp_path):
     the batch ranking of the same data."""
     from flink_descriptive_stats_spark.streaming.pipeline_stream import (
         rank_topk, start_windowed_topk, windowed_token_counts)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     sink = str(tmp_path / "topk_sink")
-    stream = _normalize(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(STREAM_DIR))
+    stream = _events_stream(spark)
     query = start_windowed_topk(stream, sink, window="1 day",
                                 watermark="1 hour")
     try:
@@ -276,9 +258,7 @@ def test_streaming_multi_profile_equals_batch(spark):
     safe: readStream result == batch result over the same data."""
     from flink_descriptive_stats_spark.streaming.profile_stream import (
         windowed_profile_multi)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = _normalize(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(STREAM_DIR))
+    stream = _events_stream(spark)
     got_df = windowed_profile_multi(stream, window="1 day",
                                     watermark="1 hour")
     query = (got_df.writeStream.format("memory").queryName("multi_prof")
