@@ -100,8 +100,11 @@ def _mix64(z: int) -> int:
 
 
 def _hp_component(j: int, i: int) -> float:
+    # Seed (j << 32) | i: disjoint bit ranges, so no (j, i) aliasing at any
+    # realistic dim (the old j*0x10001 + i seed aliased (j, i) with
+    # (j+1, i-65537) for dim >= 65537 — silent plane correlation).
     # top 52 bits -> [0, 1) exactly representable, then map to [-1, 1)
-    return (_mix64(j * 0x10001 + i) >> 12) / float(1 << 52) * 2.0 - 1.0
+    return (_mix64((j << 32) | i) >> 12) / float(1 << 52) * 2.0 - 1.0
 
 
 def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
@@ -143,29 +146,62 @@ def embedding_dim_profile(df: DataFrame, id_col: str = "vec_id",
                  F.max("x").alias("max_val")))
 
 
-def lsh_topk(df: DataFrame, k: int = 5, n_planes: int = 8,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             max_query_id: int | None = 10, dim: int = 64) -> DataFrame:
-    """Approximate cosine top-k via random-hyperplane buckets: candidates
-    share the query's bucket; exact re-rank inside. Recall is traded for
-    touching ~1/2^n_planes of the corpus per query."""
-    planes = hyperplanes(n_planes, dim)
+def lsh_table_codes(vec: F.Column, n_tables: int, bits_per_table: int,
+                    dim: int) -> F.Column:
+    """array<int> of per-table LSH codes: table t's code packs the sign bits
+    of the vector against planes [t*b, (t+1)*b) — the banding scheme MinHash
+    LSH uses (dedup.py band keys), applied to hyperplane bits."""
+    codes = []
+    for t in range(n_tables):
+        planes = [[_hp_component(t * bits_per_table + j, i)
+                   for i in range(dim)]
+                  for j in range(bits_per_table)]
+        codes.append(lsh_bucket_expr(vec, planes))
+    return F.array(*codes)
+
+
+def lsh_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
+             bits_per_table: int = 5, id_col: str = "vec_id",
+             vec_col: str = "embedding", max_query_id: int | None = 10,
+             dim: int = 64) -> DataFrame:
+    """Approximate cosine top-k via banded multi-table hyperplane LSH.
+
+    A single b-bit table has collision probability p_bit^b for a neighbor
+    (p_bit = 1 - theta/pi), which collapses for any useful b — the round-3
+    single 8-plane table bucketed a 500-vector corpus into ~256 near-
+    singletons (recall 0.03). The standard fix (Indyk-Motwani; same banding
+    MinHash LSH uses in dedup.py:162-209) is L independent tables of b
+    planes each: a candidate needs to collide in ANY table, so recall is
+    1-(1-p_bit^b)^L while the touched corpus fraction stays ~L/2^b for
+    random non-neighbors.
+
+    Physical shape: corpus scan -> posexplode to (table, bucket) long form
+    (L rows per vector, vectors carried by reference) -> bucket join against
+    the broadcast exploded queries -> distinct pair dedup -> exact cosine
+    re-rank under a per-query WindowGroupLimit funnel. At 100 TB the join
+    is keyed by (table, bucket) — bounded-size buckets, never all-pairs —
+    and only the candidate union is ranked. Deterministic planes, so the
+    DuckDB oracle mirrors bit-for-bit."""
     d = with_norm(df, id_col, vec_col).withColumn(
-        "bucket", lsh_bucket_expr(F.col("v"), planes))
+        "codes", lsh_table_codes(F.col("v"), n_tables, bits_per_table, dim))
     q = d
     if max_query_id is not None:
         q = q.where(F.col("id") < max_query_id)
+    expl = lambda c: F.posexplode(c).alias("tbl", "bucket")
+    dl = d.select("id", "v", "norm", expl("codes"))
     qa = q.select(F.col("id").alias("qid"), F.col("v").alias("qv"),
-                  F.col("norm").alias("qnorm"), F.col("bucket"))
-    joined = d.join(F.broadcast(qa), "bucket").where(
+                  F.col("norm").alias("qnorm"), expl("codes"))
+    joined = dl.join(F.broadcast(qa), ["tbl", "bucket"]).where(
         F.col("id") != F.col("qid"))
     dot = F.aggregate(F.zip_with(F.col("qv"), F.col("v"),
                                  lambda x, y: x * y),
                       F.lit(0.0), lambda acc, z: acc + z)
     cos = dot / (F.col("qnorm") * F.col("norm"))
+    # same pair from two tables computes the identical double; distinct on
+    # the scored triple unions the per-table candidate sets
     scored = joined.select(F.col("qid").alias("query_id"),
                            F.col("id").alias("neighbor_id"),
-                           cos.alias("cos"))
+                           cos.alias("cos")).distinct()
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -168,27 +168,38 @@ def simhash_near_pairs_sql(table: str = "documents", bits: int = 32,
             f"FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}")
 
 
-def ann_lsh_sql(table: str = "embeddings", k: int = 5, n_planes: int = 8,
-                max_query_id: int = 10, dim: int = 64) -> str:
-    """Mirror of similarity.lsh_topk: sign-bit hyperplane buckets (same
-    deterministic plane constants, embedded as round-trip float literals on
-    both sides), same-bucket candidates, exact left-fold cosine re-rank."""
-    from flink_descriptive_stats_spark.operators.similarity import hyperplanes
-    planes = hyperplanes(n_planes, dim)
-    terms = []
-    for j, hp in enumerate(planes):
-        arr = "[" + ", ".join(repr(c) for c in hp) + "]"
-        dot = _DOT.format(a="v", b=f"({arr}::DOUBLE[])")
-        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
-    bucket = " + ".join(terms)
+def ann_lsh_sql(table: str = "embeddings", k: int = 5, n_tables: int = 8,
+                bits_per_table: int = 5, max_query_id: int = 10,
+                dim: int = 64) -> str:
+    """Mirror of similarity.lsh_topk: banded multi-table hyperplane LSH
+    (same deterministic plane constants, embedded as round-trip float
+    literals on both sides), per-table bucket join unioned via DISTINCT,
+    exact left-fold cosine re-rank."""
+    from flink_descriptive_stats_spark.operators.similarity import (
+        _hp_component)
+    code_terms = []
+    for t in range(n_tables):
+        terms = []
+        for j in range(bits_per_table):
+            hp = [_hp_component(t * bits_per_table + j, i)
+                  for i in range(dim)]
+            arr = "[" + ", ".join(repr(c) for c in hp) + "]"
+            dot = _DOT.format(a="v", b=f"({arr}::DOUBLE[])")
+            terms.append(
+                f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+        code_terms.append(" + ".join(terms))
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, v, norm, {t} AS tbl, ({code_terms[t]}) AS bucket FROM n"
+        for t in range(n_tables))
     dot_qc = _DOT.format(a="q.v", b="c.v")
     return f"""
 WITH {_norm_cte(table)},
-nb AS (SELECT id, v, norm, ({bucket}) AS bucket FROM n),
+nb AS ({band_rows}),
 q AS (SELECT * FROM nb WHERE id < {max_query_id}),
-scored AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+scored AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id,
                   ({dot_qc}) / (q.norm * c.norm) AS cos
-           FROM nb c JOIN q ON c.bucket = q.bucket AND c.id != q.id)
+           FROM nb c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+           AND c.id != q.id)
 SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(neighbor_id AS BIGINT) AS neighbor_id, cos,
        CAST(row_number() OVER (PARTITION BY query_id

@@ -161,10 +161,13 @@ def test_lsh_ann_recall(spark):
              for r in similarity.brute_force_topk(emb, k=3).collect()}
     approx = {(r["query_id"], r["neighbor_id"])
               for r in similarity.lsh_topk(emb, k=3).collect()}
-    # LSH with 8 planes on 64-dim data: expect meaningful (not total) recall
+    # banded 8x5 multi-table LSH on near-random 64-dim data (top-3 cos only
+    # ~0.35, the hard case for any LSH): measured recall 0.63 at ~22%
+    # candidate fraction; bar 0.5 catches structural regressions like the
+    # round-3 single-table collapse (recall 0.03)
     assert len(approx) > 0
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+    assert recall >= 0.5, f"LSH recall collapsed: {recall}"
 
 
 def test_text_stats_counts(spark):
