@@ -92,7 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for table in ("lineitem", "documents"):
         q[f"topk_{table}"] = _topk_table(table)
     q["completeness_lineitem"] = _completeness_table("lineitem")
-    q["distinct_lineitem"] = _tq(extras.distinct_counts, "lineitem")
+    q["distinct_lineitem"] = _tq(extras.distinct_counts, "lineitem",
+                                 exact=True)
     q["quartiles_lineitem"] = _tq(extras.quantiles, "lineitem")
     q["outliers_lineitem"] = _tq(extras.outlier_counts, "lineitem")
     q["corr_lineitem"] = _tq(extras.correlation_matrix, "lineitem")
@@ -300,7 +301,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q[f"topk_{table}"] = _topk_table(table)
     q["completeness_supplier"] = _completeness_table("supplier")
     for table in ("orders", "events"):
-        q[f"distinct_{table}"] = _tq(extras.distinct_counts, table)
+        # exact=True pinned at every oracle-compared site: the width
+        # heuristic (>16 cols -> HLL++) must never flip a gated query
+        q[f"distinct_{table}"] = _tq(extras.distinct_counts, table,
+                                     exact=True)
     for table in ("customer", "events"):
         q[f"quartiles_{table}"] = _tq(extras.quantiles, table)
     q["outliers_events"] = _tq(extras.outlier_counts, "events")
