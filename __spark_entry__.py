@@ -37,6 +37,28 @@ def _completeness_table(table: str):
     return q
 
 
+def _profile_multitask(table: str = "lineitem", n_files: int = 32):
+    """Profile a multi-file repartitioned copy of the table.
+
+    The sf0.1 fixture writes each table as ONE parquet row-group, so a scan
+    is a single task and the bench measures serial I/O, not the plan. This
+    variant materializes a 32-file copy once (scratch/, marker-guarded) and
+    profiles that — the bench number reflects the parallel scan a real
+    multi-file dataset gets. Gated against the SAME oracle as the
+    single-file profile, which doubles as a partitioning-invariance proof
+    for the whole aggregate bundle."""
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+        base = f"/root/repo/scratch/multitask/{name}"
+        out = f"{base}/{table}.parquet"
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            (_load(spark, sf_dir, table).repartition(n_files)
+             .write.mode("overwrite").parquet(out))
+        return prof.profile(_load(spark, base, table))
+    return q
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full single-pass profile of lineitem at sf0.001."""
     return prof.profile(_load(spark, "/root/testdata/sf0.001", "lineitem"))
@@ -92,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for table in ("lineitem", "documents"):
         q[f"topk_{table}"] = _topk_table(table)
     q["completeness_lineitem"] = _completeness_table("lineitem")
+    q["profile_lineitem_multitask"] = _profile_multitask("lineitem")
     q["distinct_lineitem"] = _tq(extras.distinct_counts, "lineitem",
                                  exact=True)
     q["quartiles_lineitem"] = _tq(extras.quantiles, "lineitem")
@@ -418,6 +441,9 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     for table in _PROFILE_TABLES:
         o[f"profile_{table}"] = oracle.profile_table_sql(table)
+    # multi-file copy has identical rows, so the single-file oracle applies:
+    # green == the profile bundle is partitioning-invariant
+    o["profile_lineitem_multitask"] = oracle.profile_table_sql("lineitem")
     for table in _TOPK_TABLES:
         o[f"topk_{table}"] = oracle.topk_sql(table)
     for table in _COMPLETENESS_TABLES:

@@ -49,16 +49,25 @@ def main() -> None:
         # timed query adds seconds of pure noise
         spark.sparkContext._jvm.System.gc()
         time.sleep(1)
+    # Two timed passes, report the per-query MIN: a single-run bench showed
+    # >30% round-over-round swings on queries whose code had not changed
+    # (GC landing mid-query, JIT recompilation, OS page cache) — min-of-2
+    # distinguishes real plan movement from noise at 2x wall cost.
     times: dict[str, float] = {}
-    for name, fn in qs.items():
-        t0 = time.perf_counter()
-        try:
-            n = len(fn(spark, sf_dir).collect())
-            times[name] = round(time.perf_counter() - t0, 3)
-            print(f"bench {name}: {times[name]}s rows={n}", file=sys.stderr)
-        except Exception as e:  # a failing query must not kill the bench
-            times[name] = -1.0
-            print(f"bench {name}: FAILED {e}", file=sys.stderr)
+    for pass_no in (1, 2):
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            try:
+                n = len(fn(spark, sf_dir).collect())
+                dt = round(time.perf_counter() - t0, 3)
+                prev = times.get(name)
+                times[name] = dt if prev is None or prev < 0 else min(prev, dt)
+                print(f"bench {name} p{pass_no}: {dt}s rows={n}",
+                      file=sys.stderr)
+            except Exception as e:  # a failing query must not kill the bench
+                if times.get(name) is None or times[name] < 0:
+                    times[name] = -1.0
+                print(f"bench {name} p{pass_no}: FAILED {e}", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     # The driver's capture keeps the TAIL of the line, and two rounds running
