@@ -234,6 +234,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # make this gate vacuous (0 rows); 0.45 yields 14 pairs at sf0.01
     q["embedding_neardup_pairs"] = _tq(dedup.embedding_near_dup_pairs,
                                        "embeddings", threshold=0.45)
+    # sub-quadratic LSH-prefilter variant; 16x4 tables because the fixture
+    # "near dups" sit at cos 0.45-0.51 (near-isotropic, the hard regime) —
+    # finds 13/14 of the exact pairs, oracle mirrors the banding exactly
+    q["embedding_neardup_lsh"] = _tq(dedup.embedding_near_dup_pairs_lsh,
+                                     "embeddings", threshold=0.45,
+                                     n_tables=16, bits_per_table=4)
 
     # similarity search
     q["ann_cosine_topk"] = _tq(similarity.brute_force_topk, "embeddings")
@@ -578,6 +584,8 @@ def oracle_sql() -> dict[str, str]:
     o["simhash_documents"] = op.simhash_sql()
     o["ngram_jaccard_pairs_documents"] = op.ngram_jaccard_pairs_sql()
     o["embedding_neardup_pairs"] = op.embedding_neardup_sql(threshold=0.45)
+    o["embedding_neardup_lsh"] = op.embedding_neardup_lsh_sql(
+        threshold=0.45, n_tables=16, bits_per_table=4)
     o["ann_cosine_topk"] = op.ann_brute_force_sql()
     o["ann_ivf_topk"] = op.ivf_topk_sql()
     o["ann_ivf_kmeans_topk"] = op.ivf_kmeans_topk_sql()

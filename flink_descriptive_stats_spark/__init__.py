@@ -50,6 +50,8 @@ _API = {
     "dedup_corpus": ("operators.dedup", "dedup_corpus"),
     "embedding_near_dup_pairs": ("operators.dedup",
                                  "embedding_near_dup_pairs"),
+    "embedding_near_dup_pairs_lsh": ("operators.dedup",
+                                     "embedding_near_dup_pairs_lsh"),
     "brute_force_topk": ("operators.similarity", "brute_force_topk"),
     "lsh_topk": ("operators.similarity", "lsh_topk"),
     "ivf_topk": ("operators.similarity", "ivf_topk"),

@@ -406,6 +406,14 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                 yield pd.DataFrame({"id_a": qa, "id_b": qb})
 
     cand = pairs.mapInPandas(gen, "id_a bigint, id_b bigint")
+    return _exact_cos_recheck(d, cand, threshold)
+
+
+def _exact_cos_recheck(d: DataFrame, cand: DataFrame,
+                       threshold: float) -> DataFrame:
+    """Join candidate (id_a, id_b) pairs back to their vectors and keep
+    those with exact index-order left-fold cosine >= threshold (the same
+    JVM expression the oracle uses, so values are bit-identical)."""
     a = d.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                  F.col("norm").alias("na"))
     b = d.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
@@ -417,6 +425,48 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
             .withColumn("cos", dot / (F.col("na") * F.col("nb")))
             .where(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))
+
+
+def embedding_near_dup_pairs_lsh(df: DataFrame, id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 threshold: float = 0.95,
+                                 n_tables: int = 8, bits_per_table: int = 8,
+                                 dim: int = 64,
+                                 max_bucket: int | None = None) -> DataFrame:
+    """Sub-quadratic embedding near-dup: banded hyperplane-LSH candidate
+    generation + exact cosine recheck — the scale path next to the exact
+    block-GEMM ``embedding_near_dup_pairs``.
+
+    Candidates are pairs colliding in ANY of L tables of b sign-bits
+    (probability 1-(1-p^b)^L for a pair with bit-agreement p = 1-theta/pi),
+    so recall < 1 by design — the standard LSH trade. Defaults (8x8) fit
+    the realistic regime (threshold ~0.95 -> ~99% recall touching ~3% of
+    pairs); LOW thresholds on near-isotropic data need wider/looser tables
+    (the 0.45-threshold fixture gate uses 16x4 -> 13/14 pairs) because
+    near-random pairs simply don't concentrate in buckets.
+
+    Physical shape at 100 TB: the self-join is keyed by (table, bucket) and
+    carries ONLY ids — vectors are joined back after the DISTINCT pair
+    dedup. No block-pair cross join, no all-pairs anywhere; ``max_bucket``
+    drops degenerate buckets (dead-center vectors) the same way the MinHash
+    band join caps boilerplate clusters."""
+    from flink_descriptive_stats_spark.operators.similarity import (
+        lsh_table_codes, with_norm)
+    d = with_norm(df, id_col, vec_col)
+    coded = d.withColumn(
+        "codes", lsh_table_codes(F.col("v"), n_tables, bits_per_table, dim))
+    dl = coded.select("id", F.posexplode("codes").alias("tbl", "bucket"))
+    if max_bucket is not None:
+        w = F.count("*").over(
+            Window.partitionBy("tbl", "bucket"))
+        dl = (dl.withColumn("bsz", w).where(F.col("bsz") <= max_bucket)
+              .drop("bsz"))
+    a = dl.select("tbl", "bucket", F.col("id").alias("id_a"))
+    b = dl.select("tbl", "bucket", F.col("id").alias("id_b"))
+    cand = (a.join(b, ["tbl", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    return _exact_cos_recheck(d, cand, threshold)
 
 
 # bounded per-process memo of cluster-label DataFrames (see

@@ -270,6 +270,43 @@ WHERE ({dot}) / (a.norm * b.norm) >= {threshold}
 """
 
 
+def embedding_neardup_lsh_sql(table: str = "embeddings",
+                              threshold: float = 0.95, n_tables: int = 8,
+                              bits_per_table: int = 8,
+                              dim: int = 64) -> str:
+    """Mirror of dedup.embedding_near_dup_pairs_lsh: same deterministic
+    banded tables, DISTINCT candidate pairs from any-table collision, exact
+    left-fold cosine recheck."""
+    from flink_descriptive_stats_spark.operators.similarity import (
+        _hp_component)
+    code_terms = []
+    for t in range(n_tables):
+        terms = []
+        for j in range(bits_per_table):
+            hp = [_hp_component(t * bits_per_table + j, i)
+                  for i in range(dim)]
+            arr = "[" + ", ".join(repr(c) for c in hp) + "]"
+            dot = _DOT.format(a="v", b=f"({arr}::DOUBLE[])")
+            terms.append(
+                f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+        code_terms.append(" + ".join(terms))
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {t} AS tbl, ({code_terms[t]}) AS bucket FROM n"
+        for t in range(n_tables))
+    dot_ab = _DOT.format(a="a.v", b="b.v")
+    return f"""
+WITH {_norm_cte(table)},
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         FROM bands x JOIN bands y
+         ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.id < y.id)
+SELECT CAST(cand.id_a AS BIGINT) AS id_a, CAST(cand.id_b AS BIGINT) AS id_b,
+       ({dot_ab}) / (a.norm * b.norm) AS cos
+FROM cand JOIN n a ON a.id = cand.id_a JOIN n b ON b.id = cand.id_b
+WHERE ({dot_ab}) / (a.norm * b.norm) >= {threshold}
+"""
+
+
 def sessionize_sql(table: str = "events", gap_minutes: int = 30) -> str:
     """Gaps-and-islands mirror of pipeline_stream.sessionize. Boundary
     semantics verified against Spark's session_window: events exactly

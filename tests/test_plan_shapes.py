@@ -121,6 +121,27 @@ def test_embedding_neardup_no_corpus_broadcast_join(spark):
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
 
 
+def test_embedding_neardup_lsh_subquadratic(spark):
+    """LSH-prefilter near-dup invariants: candidate generation is a
+    (table, bucket)-keyed equi-join carrying ids only — no block-pair cross
+    join, no GEMM mapInPandas, no nested-loop fallback — and the result is
+    a high-recall subset of the exact block-GEMM pairs."""
+    from flink_descriptive_stats_spark.operators import dedup
+    emb = load_table(spark, SF_DIR, "embeddings")
+    lsh = dedup.embedding_near_dup_pairs_lsh(
+        emb, threshold=0.45, n_tables=16, bits_per_table=4)
+    plan = _formatted_plan(lsh)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    exact = {(r["id_a"], r["id_b"])
+             for r in dedup.embedding_near_dup_pairs(
+                 emb, threshold=0.45, num_blocks=4).collect()}
+    got = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert got <= exact          # recheck is exact, so no false positives
+    assert len(got) >= 0.85 * len(exact), (len(got), len(exact))
+
+
 def test_bucketed_join_no_exchange(spark):
     """The bucketed-layout promise: two tables bucketed on the join key
     join with ZERO Exchange nodes — the scan provides the distribution.
