@@ -54,6 +54,29 @@ def countmin_sketch(df: DataFrame, text_col: str = "text",
     return allrows.groupBy("d", "b").agg(F.count(F.lit(1)).alias("c"))
 
 
+def estimate_tokens(sketch: DataFrame, tokens: DataFrame,
+                    depth: int = CM_DEPTH, width: int = CM_WIDTH
+                    ) -> DataFrame:
+    """(token, est): count-min estimate min_j grid[j][h_j(t)] for each
+    candidate token against a (d, b, c) grid DataFrame."""
+    probes = tokens.select(
+        "token",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("d"),
+                     _bucket(F.col("token"), j, width).alias("b"))
+            for j in range(depth)])).alias("p")
+    ).select("token", "p.d", "p.b")
+    return (probes.join(F.broadcast(sketch), ["d", "b"])
+            .groupBy("token").agg(F.min("c").alias("est")))
+
+
+def rank_estimates(est: DataFrame, k: int) -> DataFrame:
+    """(token, est, rank): deterministic ranking (est desc, token asc)."""
+    w = Window.orderBy(F.col("est").desc(), F.col("token").asc())
+    return (est.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def countmin_topk(df: DataFrame, text_col: str = "text", k: int = 20,
                   depth: int = CM_DEPTH, width: int = CM_WIDTH
                   ) -> DataFrame:
@@ -61,15 +84,4 @@ def countmin_topk(df: DataFrame, text_col: str = "text", k: int = 20,
     by token asc. est >= true count always (one-sided error)."""
     sketch = countmin_sketch(df, text_col, depth, width)
     dist = _token_occurrences(df, text_col).distinct()
-    probes = dist.select(
-        "token",
-        F.explode(F.array(*[
-            F.struct(F.lit(j).alias("d"),
-                     _bucket(F.col("token"), j, width).alias("b"))
-            for j in range(depth)])).alias("p")
-    ).select("token", "p.d", "p.b")
-    est = (probes.join(F.broadcast(sketch), ["d", "b"])
-           .groupBy("token").agg(F.min("c").alias("est")))
-    w = Window.orderBy(F.col("est").desc(), F.col("token").asc())
-    return (est.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    return rank_estimates(estimate_tokens(sketch, dist, depth, width), k)

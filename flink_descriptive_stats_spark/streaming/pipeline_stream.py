@@ -116,3 +116,60 @@ def start_windowed_topk(stream: DataFrame, sink_path: str,
 
     return (counts.writeStream.outputMode("complete")
             .foreachBatch(emit).start())
+
+
+def start_global_topk_sketch(stream: DataFrame, sink_path: str,
+                             text_col: str = "text", k: int = 20,
+                             depth: int | None = None,
+                             width: int | None = None,
+                             max_candidates: int = 10_000):
+    """Cross-window GLOBAL top-K over an unbounded stream via count-min
+    merge — the sketch path windowed_token_counts documents as the only
+    scalable answer to global ranking on a stream.
+
+    Each micro-batch contributes its own count-min grid (computed
+    distributed, operators/sketch.countmin_sketch); foreachBatch folds it
+    into a driver-held accumulator. The grid is a commutative monoid of
+    bounded size (<= depth x width cells, a few KB — this is sketch state,
+    not data, so the per-epoch collect is legitimate), hence the merged
+    grid after N batches is IDENTICAL to the batch grid over the
+    concatenated data: streaming == batch exactly, asserted in tests.
+    Candidate tokens are the union of per-batch distincts, pruned to the
+    top ``max_candidates`` by current estimate when they overflow (the
+    standard heavy-hitters candidate cap; exact for vocabularies under the
+    cap). Each epoch re-ranks candidates against the merged grid with the
+    same Spark expressions as the batch operator and overwrites
+    ``sink_path`` with the current (token, est, rank) top-K."""
+    from flink_descriptive_stats_spark.operators import sketch as sk
+    depth = sk.CM_DEPTH if depth is None else depth
+    width = sk.CM_WIDTH if width is None else width
+    grid: dict[tuple[int, int], int] = {}
+    tokens: set[str] = set()
+
+    def emit(batch_df: DataFrame, _epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        for r in sk.countmin_sketch(batch_df, text_col, depth,
+                                    width).collect():
+            key = (r["d"], r["b"])
+            grid[key] = grid.get(key, 0) + r["c"]
+        for r in (sk._token_occurrences(batch_df, text_col)
+                  .distinct().collect()):
+            tokens.add(r["token"])
+        grid_df = spark.createDataFrame(
+            [(d, b, c) for (d, b), c in grid.items()], "d int, b int, c bigint")
+        tok_df = spark.createDataFrame([(t,) for t in sorted(tokens)],
+                                       "token string")
+        est = sk.estimate_tokens(grid_df, tok_df, depth, width)
+        if len(tokens) > max_candidates:
+            keep = sk.rank_estimates(est, max_candidates)
+            tokens.intersection_update(
+                r["token"] for r in keep.select("token").collect())
+            est = sk.estimate_tokens(
+                grid_df, spark.createDataFrame(
+                    [(t,) for t in sorted(tokens)], "token string"),
+                depth, width)
+        (sk.rank_estimates(est, k)
+         .write.mode("overwrite").parquet(sink_path))
+
+    return (stream.writeStream.outputMode("append")
+            .foreachBatch(emit).start())

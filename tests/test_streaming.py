@@ -253,6 +253,33 @@ def test_streaming_topk_foreachbatch_end_to_end(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_streaming_global_topk_sketch_equals_batch(spark, tmp_path):
+    """Cross-window global top-K via count-min merge: after N micro-batches
+    (3 files, maxFilesPerTrigger=1, so the cross-batch grid merge actually
+    runs) the sink equals the batch countmin_topk over all data EXACTLY —
+    the grid is a commutative monoid, so the merged sketch is identical to
+    the one-shot sketch."""
+    from flink_descriptive_stats_spark.operators.sketch import countmin_topk
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        start_global_topk_sketch)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    chunks = str(tmp_path / "chunks")
+    docs.repartition(3).write.parquet(chunks)
+    sink = str(tmp_path / "topk_sink")
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(chunks))
+    query = start_global_topk_sketch(stream, sink, text_col="text", k=20)
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    batch = sorted(map(tuple, countmin_topk(docs, "text", k=20).collect()))
+    assert got == batch
+    assert len(got) == 20
+
+
 def test_streaming_multi_profile_equals_batch(spark):
     """windowed_profile_multi (all numeric columns, one agg) is streaming-
     safe: readStream result == batch result over the same data."""
