@@ -267,13 +267,17 @@ def ivf_topk(df: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 4,
              max_query_id: int = 10, refine_iters: int = 0) -> DataFrame:
     """IVF search: (query_id, neighbor_id, cos, rank), self excluded.
 
-    Physical shape at scale: centroids (n_cells rows) broadcast against the
-    corpus scan; cell assignment is a WindowGroupLimit funnel partitioned
-    by vector id (argmax over n_cells scores, scan-parallel). Queries probe
-    their n_probe nearest cells, and the candidate join is keyed by
-    cell_id, touching ~n_probe/n_cells of the corpus instead of all of it
-    — recall<1 by design, the standard IVF trade. The probe side is tiny
-    and broadcast.
+    Physical shape at scale: the centroid table is bounded (n_cells rows —
+    metadata, not data), so it is collected once and inlined as literal
+    arrays; cell assignment is then a NARROW expression — per-cell cosines
+    in one array column, argmax via an array_sort comparator — with zero
+    exchange and zero join on the corpus side (the round-3 plan shuffled
+    every vector through a Window.partitionBy(id) exchange here). Queries
+    probe their n_probe nearest cells (slice of the same sorted array), and
+    the candidate join is keyed by cell_id, touching ~n_probe/n_cells of
+    the corpus instead of all of it — recall<1 by design, the standard IVF
+    trade. The probe side is tiny and broadcast; the only corpus exchange
+    left is the final per-query ranking window.
 
     ``refine_iters > 0`` swaps the seed centroids for ``refine_iters``
     Lloyd iterations (kmeans_centroids) — better-centered cells, higher
@@ -285,22 +289,37 @@ def ivf_topk(df: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 4,
         base = (d.where(F.col("id") < n_cells)
                 .select(F.col("id").alias("cell_id"), F.col("v").alias("cv"),
                         F.col("norm").alias("cnorm")))
-    cents = F.broadcast(base)
-    cdot = F.aggregate(F.zip_with(F.col("v"), F.col("cv"),
-                                  lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, z: acc + z)
-    scored_c = (d.crossJoin(cents)
-                .withColumn("cos_c", cdot / (F.col("norm") * F.col("cnorm")))
-                .drop("cv", "cnorm"))
-    wa = Window.partitionBy("id").orderBy(F.col("cos_c").desc(),
-                                          F.col("cell_id").asc())
-    ranked = scored_c.withColumn("crank", F.row_number().over(wa))
-    assign = ranked.where(F.col("crank") == 1).select("id", "v", "norm",
-                                                      "cell_id")
-    probes = (ranked.where((F.col("id") < max_query_id)
-                           & (F.col("crank") <= n_probe))
+    # n_cells rows of plan constants — the same bounded-collect pattern as
+    # memoized stats rows; values are exact doubles, so the oracle's math
+    # is unchanged
+    crows = sorted(base.collect(), key=lambda r: r["cell_id"])
+
+    def cell_score(r):
+        arr = F.array(*[F.lit(float(c)) for c in r["cv"]])
+        dot = F.aggregate(F.zip_with(F.col("v"), arr, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, z: acc + z)
+        return F.struct(
+            (dot / (F.col("norm") * F.lit(float(r["cnorm"]))))
+            .alias("cos_c"),
+            F.lit(int(r["cell_id"])).cast("long").alias("cell_id"))
+
+    def cmp(x, y):
+        return (F.when(x["cos_c"] > y["cos_c"], F.lit(-1))
+                .when(x["cos_c"] < y["cos_c"], F.lit(1))
+                .when(x["cell_id"] < y["cell_id"], F.lit(-1))
+                .when(x["cell_id"] > y["cell_id"], F.lit(1))
+                .otherwise(F.lit(0)))
+
+    ranked_cells = F.array_sort(F.array(*[cell_score(r) for r in crows]),
+                                cmp)
+    scored = d.withColumn("cells", ranked_cells)
+    assign = scored.select(
+        "id", "v", "norm", F.col("cells")[0]["cell_id"].alias("cell_id"))
+    probes = (scored.where(F.col("id") < max_query_id)
               .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
-                      F.col("norm").alias("qnorm"), "cell_id"))
+                      F.col("norm").alias("qnorm"),
+                      F.explode(F.slice(F.col("cells"), 1, n_probe).getField(
+                          "cell_id")).alias("cell_id")))
     qdot = F.aggregate(F.zip_with(F.col("qv"), F.col("v"),
                                   lambda x, y: x * y),
                        F.lit(0.0), lambda acc, z: acc + z)

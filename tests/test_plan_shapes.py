@@ -142,6 +142,37 @@ def test_embedding_neardup_lsh_subquadratic(spark):
     assert len(got) >= 0.85 * len(exact), (len(got), len(exact))
 
 
+def test_multi_profile_one_shuffle(spark):
+    """The round-3 multi-profile rewrite (staged derive/sig6 projections)
+    must keep the physical contract: ONE grouped aggregation shuffle —
+    partial HashAggregate -> Exchange -> final HashAggregate -> narrow
+    projections — and no Python nodes."""
+    from flink_descriptive_stats_spark.streaming.profile_stream import (
+        grouped_profile_multi, windowed_profile_multi)
+    ev = load_table(spark, SF_DIR, "events")
+    for df in (windowed_profile_multi(ev, window="1 day"),
+               grouped_profile_multi(ev, keys=["event_type"])):
+        plan = _formatted_plan(df)
+        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert shuffles == 2          # one exchange (tree + detail lines)
+        assert plan.count("HashAggregate") >= 2   # partial + final
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ivf_assignment_no_corpus_exchange(spark):
+    """IVF cell assignment is a narrow argmax over inlined centroid
+    literals (round-4 fix): the ONLY shuffle in the whole search is the
+    final per-query ranking window — no exchange keyed by vector id, no
+    cross join against a centroid table."""
+    from flink_descriptive_stats_spark.operators import similarity
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _formatted_plan(similarity.ivf_topk(emb))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 2              # one exchange (tree + detail lines)
+    assert "hashpartitioning(id#" not in plan     # no vector-id shuffle
+    assert "CartesianProduct" not in plan
+
+
 def test_bucketed_join_no_exchange(spark):
     """The bucketed-layout promise: two tables bucketed on the join key
     join with ZERO Exchange nodes — the scan provides the distribution.

@@ -79,6 +79,43 @@ def main() -> None:
         fmt(spark, dedup.embedding_near_dup_pairs(
             emb, threshold=0.45, num_blocks=4))))
 
+    from flink_descriptive_stats_spark.operators import similarity
+    sections.append((
+        "IVF ANN search (narrow cell assignment)",
+        "Centroids are bounded metadata (n_cells rows), collected once and "
+        "inlined\nas literal arrays: cell assignment and query probing are "
+        "NARROW\n(array_sort argmax over per-cell cosines) — zero exchange "
+        "on the corpus\nuntil the final per-query ranking window. The "
+        "candidate join is keyed by\ncell_id with the tiny probe side "
+        "broadcast.",
+        fmt(spark, similarity.ivf_topk(emb))))
+
+    sections.append((
+        "Banded multi-table LSH ANN",
+        "posexplode to (table, bucket) long form, bucket-keyed join "
+        "against the\nbroadcast exploded queries, DISTINCT candidate "
+        "union, exact cosine\nre-rank under a per-query WindowGroupLimit "
+        "funnel. Never all-pairs; the\njoin key bounds every task by its "
+        "bucket size.",
+        fmt(spark, similarity.lsh_topk(emb))))
+
+    from flink_descriptive_stats_spark.streaming.profile_stream import (
+        grouped_profile_multi, windowed_profile_multi)
+    sections.append((
+        "Windowed multi-column profile (one agg)",
+        "All numeric columns profiled per window in ONE grouped "
+        "aggregation —\npartial HashAggregate, one Exchange keyed by "
+        "window, final\nHashAggregate, then narrow derive/sig6 projection "
+        "stages (the round-3\nplanning-cost fix). Streaming-safe: the "
+        "identical tree runs under\nreadStream with watermarked state.",
+        fmt(spark, windowed_profile_multi(ev, window="1 day"))))
+
+    sections.append((
+        "Grouped multi-column profile (one agg)",
+        "Same contract keyed by group columns instead of the window: one "
+        "shuffle,\nmap-side combine, no Python nodes.",
+        fmt(spark, grouped_profile_multi(ev, keys=["event_type"]))))
+
     layout.write_bucketed(docs.select("doc_id", "text"), "t_docs_x",
                           ["doc_id"], num_buckets=4)
     layout.write_bucketed(
