@@ -114,7 +114,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for table in ("lineitem", "documents"):
         q[f"topk_{table}"] = _topk_table(table)
     q["completeness_lineitem"] = _completeness_table("lineitem")
-    q["profile_lineitem_multitask"] = _profile_multitask("lineitem")
     q["distinct_lineitem"] = _tq(extras.distinct_counts, "lineitem",
                                  exact=True)
     q["quartiles_lineitem"] = _tq(extras.quantiles, "lineitem")
@@ -208,7 +207,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # dedup / decontamination
     q["dedup_exact_documents"] = _tq(dedup.exact_dedup, "documents")
-    q["dedup_keep_first_documents"] = _tq(dedup.keep_first, "documents")
 
     def _decontam(fuzzy):
         def qf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,6 +320,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # assert here would kill the driver's whole gate on a future drift)
 
     # ---- positions 51+: per-table repeats of gated operators -------------
+    # (oracle-backed, verified by tools/verify_local.py; kept out of the
+    # 50-slot driver gate so every distinct operator family stays inside it)
+    q["profile_lineitem_multitask"] = _profile_multitask("lineitem")
+    q["dedup_keep_first_documents"] = _tq(dedup.keep_first, "documents")
     for table in _PROFILE_TABLES:
         if f"profile_{table}" not in q:
             q[f"profile_{table}"] = _profile_table(table)
