@@ -26,6 +26,15 @@ _MEMO: dict[tuple, tuple] = {}
 _MEMO_MAX = 128
 
 
+def clear_all_memos() -> None:
+    """Drop every per-process memo (stats rows here, cluster labels in
+    operators/dedup). Bench hygiene: a repeat timed pass must measure
+    execution, not the previous pass's memo hits."""
+    _MEMO.clear()
+    from flink_descriptive_stats_spark.operators import dedup
+    dedup._CLUSTER_MEMO.clear()
+
+
 def agg_row_memoized(df: DataFrame, agg_exprs: list[Column], tag: tuple):
     """df.agg(*agg_exprs).collect()[0], memoized per (session, plan, tag).
 
