@@ -351,6 +351,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Lloyd-refined IVF (same search plan as ann_ivf_topk, k-means cells)
     q["ann_ivf_kmeans_topk"] = _tq(similarity.ivf_topk, "embeddings",
                                    refine_iters=2)
+    # Hamming-1 multiprobe variant of the gated banded LSH (query-side
+    # probe expansion only; same index)
+    q["ann_lsh_multiprobe_topk"] = _tq(similarity.lsh_topk, "embeddings",
+                                       multiprobe=True)
 
     # signature outputs of the gated *_pairs operators (see note in the
     # gated window) and the slide-parameter variant of windowed_profile
@@ -589,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
     o["embedding_neardup_lsh"] = op.embedding_neardup_lsh_sql(
         threshold=0.45, n_tables=16, bits_per_table=4)
     o["ann_cosine_topk"] = op.ann_brute_force_sql()
+    o["ann_lsh_multiprobe_topk"] = op.ann_lsh_sql(multiprobe=True)
     o["ann_ivf_topk"] = op.ivf_topk_sql()
     o["ann_ivf_kmeans_topk"] = op.ivf_kmeans_topk_sql()
     o["text_stats_documents"] = op.text_stats_sql()

@@ -163,7 +163,7 @@ def lsh_table_codes(vec: F.Column, n_tables: int, bits_per_table: int,
 def lsh_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
              bits_per_table: int = 5, id_col: str = "vec_id",
              vec_col: str = "embedding", max_query_id: int | None = 10,
-             dim: int = 64) -> DataFrame:
+             dim: int = 64, multiprobe: bool = False) -> DataFrame:
     """Approximate cosine top-k via banded multi-table hyperplane LSH.
 
     A single b-bit table has collision probability p_bit^b for a neighbor
@@ -181,7 +181,13 @@ def lsh_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
     re-rank under a per-query WindowGroupLimit funnel. At 100 TB the join
     is keyed by (table, bucket) — bounded-size buckets, never all-pairs —
     and only the candidate union is ranked. Deterministic planes, so the
-    DuckDB oracle mirrors bit-for-bit."""
+    DuckDB oracle mirrors bit-for-bit.
+
+    ``multiprobe=True`` additionally probes, per table, the b buckets at
+    Hamming distance 1 from the query's code (query-side expansion only —
+    the corpus index is untouched). Standard multiprobe trade: the same
+    recall with fewer tables, i.e. L× less index space, at (b+1)× more
+    bucket lookups per query."""
     d = with_norm(df, id_col, vec_col).withColumn(
         "codes", lsh_table_codes(F.col("v"), n_tables, bits_per_table, dim))
     q = d
@@ -191,6 +197,14 @@ def lsh_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
     dl = d.select("id", "v", "norm", expl("codes"))
     qa = q.select(F.col("id").alias("qid"), F.col("v").alias("qv"),
                   F.col("norm").alias("qnorm"), expl("codes"))
+    if multiprobe:
+        flips = F.array(F.lit(0), *[F.lit(1 << j)
+                                    for j in range(bits_per_table)])
+        qa = (qa.select("qid", "qv", "qnorm", "tbl", "bucket",
+                        F.explode(flips).alias("flip"))
+              .select("qid", "qv", "qnorm", "tbl",
+                      F.col("bucket").bitwiseXOR(F.col("flip"))
+                      .alias("bucket")))
     joined = dl.join(F.broadcast(qa), ["tbl", "bucket"]).where(
         F.col("id") != F.col("qid"))
     dot = F.aggregate(F.zip_with(F.col("qv"), F.col("v"),

@@ -170,14 +170,15 @@ def simhash_near_pairs_sql(table: str = "documents", bits: int = 32,
 
 def ann_lsh_sql(table: str = "embeddings", k: int = 5, n_tables: int = 8,
                 bits_per_table: int = 5, max_query_id: int = 10,
-                dim: int = 64) -> str:
+                dim: int = 64, multiprobe: bool = False) -> str:
     """Mirror of similarity.lsh_topk: banded multi-table hyperplane LSH
     (same deterministic plane constants, embedded as round-trip float
     literals on both sides), per-table bucket join unioned via DISTINCT,
-    exact left-fold cosine re-rank."""
+    exact left-fold cosine re-rank. multiprobe=True expands each query
+    bucket with its b Hamming-1 neighbors, like the Spark side."""
     from flink_descriptive_stats_spark.operators.similarity import (
         _hp_component)
-    code_terms = []
+    code_cols = []
     for t in range(n_tables):
         terms = []
         for j in range(bits_per_table):
@@ -187,15 +188,22 @@ def ann_lsh_sql(table: str = "embeddings", k: int = 5, n_tables: int = 8,
             dot = _DOT.format(a="v", b=f"({arr}::DOUBLE[])")
             terms.append(
                 f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
-        code_terms.append(" + ".join(terms))
-    band_rows = " UNION ALL ".join(
-        f"SELECT id, v, norm, {t} AS tbl, ({code_terms[t]}) AS bucket FROM n"
+        code_cols.append("(" + " + ".join(terms) + f") AS c{t}")
+    corpus_rows = " UNION ALL ".join(
+        f"SELECT id, v, norm, {t} AS tbl, c{t} AS bucket FROM nc"
         for t in range(n_tables))
+    flips = [0] + ([1 << j for j in range(bits_per_table)]
+                   if multiprobe else [])
+    query_rows = " UNION ALL ".join(
+        f"SELECT id, v, norm, {t} AS tbl, xor(c{t}, {f}) AS bucket FROM nc "
+        f"WHERE id < {max_query_id}"
+        for t in range(n_tables) for f in flips)
     dot_qc = _DOT.format(a="q.v", b="c.v")
     return f"""
 WITH {_norm_cte(table)},
-nb AS ({band_rows}),
-q AS (SELECT * FROM nb WHERE id < {max_query_id}),
+nc AS (SELECT id, v, norm, {', '.join(code_cols)} FROM n),
+nb AS ({corpus_rows}),
+q AS ({query_rows}),
 scored AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id,
                   ({dot_qc}) / (q.norm * c.norm) AS cos
            FROM nb c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket

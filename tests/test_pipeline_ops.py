@@ -168,6 +168,14 @@ def test_lsh_ann_recall(spark):
     assert len(approx) > 0
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+    # Hamming-1 multiprobe (query-side expansion, same index): measured
+    # recall 1.0 on this fixture; bar 0.9 allows minor fixture drift
+    probed = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.lsh_topk(emb, k=3,
+                                           multiprobe=True).collect()}
+    mp_recall = len(exact & probed) / len(exact)
+    assert mp_recall >= 0.9, f"multiprobe recall: {mp_recall}"
+    assert mp_recall >= recall
 
 
 def test_text_stats_counts(spark):
