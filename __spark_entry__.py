@@ -358,6 +358,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # signature outputs of the gated *_pairs operators (see note in the
     # gated window) and the slide-parameter variant of windowed_profile
+    # containment (asymmetric) + per-doc duplicated-text fraction — the
+    # quote/template detectors next to the gated pairwise Jaccard
+    q["ngram_containment_pairs_documents"] = _tq(
+        dedup.ngram_containment_pairs, "documents", threshold=0.5)
+    q["duplicated_ngram_fraction_documents"] = _tq(
+        dedup.duplicated_ngram_fraction, "documents")
     q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
                                             "documents")
     q["simhash_documents"] = _tq(dedup.simhash_signatures, "documents")
@@ -592,6 +598,10 @@ def oracle_sql() -> dict[str, str]:
     o["embedding_neardup_pairs"] = op.embedding_neardup_sql(threshold=0.45)
     o["embedding_neardup_lsh"] = op.embedding_neardup_lsh_sql(
         threshold=0.45, n_tables=16, bits_per_table=4)
+    o["ngram_containment_pairs_documents"] = op.ngram_containment_pairs_sql(
+        threshold=0.5)
+    o["duplicated_ngram_fraction_documents"] = (
+        op.duplicated_ngram_fraction_sql())
     o["ann_cosine_topk"] = op.ann_brute_force_sql()
     o["ann_lsh_multiprobe_topk"] = op.ann_lsh_sql(multiprobe=True)
     o["ann_ivf_topk"] = op.ivf_topk_sql()

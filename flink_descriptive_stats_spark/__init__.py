@@ -52,6 +52,10 @@ _API = {
                                  "embedding_near_dup_pairs"),
     "embedding_near_dup_pairs_lsh": ("operators.dedup",
                                      "embedding_near_dup_pairs_lsh"),
+    "ngram_containment_pairs": ("operators.dedup",
+                                "ngram_containment_pairs"),
+    "duplicated_ngram_fraction": ("operators.dedup",
+                                  "duplicated_ngram_fraction"),
     "brute_force_topk": ("operators.similarity", "brute_force_topk"),
     "lsh_topk": ("operators.similarity", "lsh_topk"),
     "ivf_topk": ("operators.similarity", "ivf_topk"),

@@ -330,6 +330,84 @@ def ngram_jaccard_pairs(df: DataFrame, content_col: str = "text",
     return out
 
 
+def ngram_containment_pairs(df: DataFrame, content_col: str = "text",
+                            id_col: str = "doc_id", n: int = 3,
+                            threshold: float = 0.5,
+                            max_df: int | None = None) -> DataFrame:
+    """Asymmetric n-gram containment pairs: c(A in B) = |A∩B| / |A| — the
+    quote/subset detector Jaccard misses (a short doc fully contained in a
+    long one has high containment but low Jaccard; Broder's original
+    resemblance/containment pair). Emits (id_a, id_b, containment_a,
+    containment_b, jaccard) for pairs where EITHER direction reaches the
+    threshold.
+
+    Same physical shape as ngram_jaccard_pairs (shared-shingle counting via
+    per-shingle inline pair generation — one shuffle keyed by shingle, one
+    by pair; ``max_df`` bounds per-shingle fan-out), so the 100 TB notes
+    there apply unchanged."""
+    long = shingle_hashes_long(df, content_col, id_col, n)
+    sizes = long.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    grouped = (long.groupBy("sh")
+               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+               .where(F.size("ids") > 1))
+    if max_df is not None:
+        grouped = grouped.where(F.size("ids") <= max_df)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> transform("
+        "slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b))))")
+    shared = (grouped.select(F.explode(pair_expr).alias("p"))
+              .select("p.id_a", "p.id_b")
+              .where(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    sh_d = F.col("shared").cast("double")
+    return (shared
+            .join(sizes.withColumnsRenamed(
+                {"id": "id_a", "sz": "sz_a"}), "id_a")
+            .join(sizes.withColumnsRenamed(
+                {"id": "id_b", "sz": "sz_b"}), "id_b")
+            .withColumn("containment_a", sh_d / F.col("sz_a"))
+            .withColumn("containment_b", sh_d / F.col("sz_b"))
+            .withColumn("jaccard",
+                        sh_d / (F.col("sz_a") + F.col("sz_b")
+                                - F.col("shared")).cast("double"))
+            .where((F.col("containment_a") >= threshold)
+                   | (F.col("containment_b") >= threshold))
+            .select("id_a", "id_b", "containment_a", "containment_b",
+                    "jaccard"))
+
+
+def duplicated_ngram_fraction(df: DataFrame, content_col: str = "text",
+                              id_col: str = "doc_id",
+                              n: int = 3) -> DataFrame:
+    """Per-document cross-corpus duplicated-text measure: the fraction of a
+    doc's distinct n-gram shingles that appear in at least one OTHER doc —
+    the scalable groupBy proxy for suffix-array substring dedup (Lee et al.
+    2021): docs with high duplicated fraction are copies, templates, or
+    heavy quoters even when no single pair crosses a Jaccard threshold.
+
+    Output: (doc_id, n_shingles, dup_fraction). Plan: distinct (id,
+    shingle-hash) long format -> ONE groupBy(shingle) doc-frequency count
+    (map-side combined, bounded keys) -> join back on shingle -> per-doc
+    mean of the df>1 flag. Shuffles are keyed by shingle and id — both
+    skew-capped by construction (a shingle's row count is its doc
+    frequency, a doc's row count its shingle count)."""
+    long = (shingle_hashes_long(df, content_col, id_col, n)
+            .select("id", "sh").distinct())
+    # (id, sh) is distinct above, so plain count == distinct doc count
+    # without the expand/distinct aggregation state
+    docfreq = long.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("df_docs"))
+    return (long.join(docfreq, "sh")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.avg((F.col("df_docs") > 1).cast("double"))
+                 .alias("dup_fraction"))
+            .select(F.col("id").alias(id_col), "n_shingles",
+                    "dup_fraction"))
+
+
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.95,

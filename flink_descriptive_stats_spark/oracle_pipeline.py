@@ -237,6 +237,44 @@ FROM j WHERE jaccard >= {threshold}
 """
 
 
+def ngram_containment_pairs_sql(table: str = "documents",
+                                threshold: float = 0.5) -> str:
+    """Mirror of dedup.ngram_containment_pairs."""
+    return f"""
+WITH {_tokens_cte(table)}, {_shingle_hash_cte()},
+sizes AS (SELECT id, len(hashes) AS sz FROM sh),
+expl AS (SELECT id, unnest(hashes) AS shingle FROM sh),
+shared AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+           FROM expl a JOIN expl b ON a.shingle = b.shingle AND a.id < b.id
+           GROUP BY a.id, b.id),
+c AS (SELECT id_a, id_b,
+             CAST(shared AS DOUBLE) / sa.sz AS containment_a,
+             CAST(shared AS DOUBLE) / sb.sz AS containment_b,
+             CAST(shared AS DOUBLE)
+             / CAST(sa.sz + sb.sz - shared AS DOUBLE) AS jaccard
+      FROM shared
+      JOIN sizes sa ON sa.id = shared.id_a
+      JOIN sizes sb ON sb.id = shared.id_b)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       containment_a, containment_b, jaccard
+FROM c WHERE containment_a >= {threshold} OR containment_b >= {threshold}
+"""
+
+
+def duplicated_ngram_fraction_sql(table: str = "documents") -> str:
+    """Mirror of dedup.duplicated_ngram_fraction."""
+    return f"""
+WITH {_tokens_cte(table)}, {_shingle_hash_cte()},
+expl AS (SELECT DISTINCT id, unnest(hashes) AS shingle FROM sh),
+df AS (SELECT shingle, count(*) AS df_docs FROM expl GROUP BY shingle)
+SELECT CAST(e.id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       avg(CASE WHEN df.df_docs > 1 THEN 1.0 ELSE 0.0 END) AS dup_fraction
+FROM expl e JOIN df ON df.shingle = e.shingle
+GROUP BY e.id
+"""
+
+
 _DOT = ("list_reduce(list_transform(generate_series(1, len({a})), "
         "i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
 

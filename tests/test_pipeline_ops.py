@@ -116,6 +116,41 @@ def test_ngram_jaccard(docs):
     assert pairs[(0, 3)] == 1.0 and (0, 1) in pairs
 
 
+def test_ngram_containment_detects_subset(spark):
+    """A short doc fully quoted inside a long one: containment(short in
+    long) = 1.0 while jaccard stays low — the asymmetric detector's whole
+    point. Unrelated docs emit nothing."""
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " plus a very much longer tail of many other words " \
+                    "continuing on and on with unrelated content entirely"
+    df = spark.createDataFrame(
+        [(0, short), (1, long_), (2, "totally different text about cats")],
+        "doc_id long, text string")
+    rows = {(r["id_a"], r["id_b"]): r
+            for r in dedup.ngram_containment_pairs(
+                df, threshold=0.9).collect()}
+    assert (0, 1) in rows
+    r = rows[(0, 1)]
+    assert r["containment_a"] == 1.0      # all of doc 0 inside doc 1
+    assert r["containment_b"] < 0.5
+    assert r["jaccard"] < 0.5
+    assert not any(2 in k for k in rows)
+
+
+def test_duplicated_ngram_fraction(spark):
+    """Exact copies score dup_fraction 1.0; a unique doc scores 0.0."""
+    df = spark.createDataFrame(
+        [(0, "the same repeated body of text here"),
+         (1, "the same repeated body of text here"),
+         (2, "completely unique words nobody else uses anywhere")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.duplicated_ngram_fraction(df).collect()}
+    assert got[0]["dup_fraction"] == 1.0 == got[1]["dup_fraction"]
+    assert got[2]["dup_fraction"] == 0.0
+    assert got[0]["n_shingles"] == got[1]["n_shingles"] > 0
+
+
 def test_ngram_jaccard_max_df_drops_heavy_hitter(spark):
     """A boilerplate shingle shared by every doc would fan out k(k-1)/2
     pairs; max_df drops it before the pair explosion. Pairs linked only by
