@@ -245,16 +245,32 @@ def kmeans_centroids(df: DataFrame, n_cells: int = 16, iters: int = 2,
              .select(F.col("id").alias("cell_id"), F.col("v").alias("cv"),
                      F.col("norm").alias("cnorm")))
     for _ in range(iters):
-        cdot = F.aggregate(F.zip_with(F.col("v"), F.col("cv"),
-                                      lambda x, y: x * y),
-                           F.lit(0.0), lambda acc, z: acc + z)
-        scored = (d.crossJoin(F.broadcast(cents))
-                  .withColumn("cos_c",
-                              cdot / (F.col("norm") * F.col("cnorm"))))
-        wa = Window.partitionBy("id").orderBy(F.col("cos_c").desc(),
-                                              F.col("cell_id").asc())
-        assign = (scored.withColumn("crank", F.row_number().over(wa))
-                  .where(F.col("crank") == 1).select("cell_id", "v"))
+        # centroids are bounded metadata (<= n_cells rows): collect and
+        # inline as literals, so the assignment is a NARROW argmax over the
+        # corpus scan — no per-iteration crossJoin + Window exchange keyed
+        # by vector id (the round-3 shape shuffled the corpus every Lloyd
+        # round)
+        crows = sorted(cents.collect(), key=lambda r: r["cell_id"])
+
+        def cell_cos(r):
+            arr = F.array(*[F.lit(float(c)) for c in r["cv"]])
+            dot = F.aggregate(F.zip_with(F.col("v"), arr,
+                                         lambda x, y: x * y),
+                              F.lit(0.0), lambda acc, z: acc + z)
+            return F.struct(
+                (dot / (F.col("norm") * F.lit(float(r["cnorm"]))))
+                .alias("cos_c"),
+                F.lit(int(r["cell_id"])).cast("long").alias("cell_id"))
+
+        def cmp(x, y):
+            return (F.when(x["cos_c"] > y["cos_c"], F.lit(-1))
+                    .when(x["cos_c"] < y["cos_c"], F.lit(1))
+                    .when(x["cell_id"] < y["cell_id"], F.lit(-1))
+                    .when(x["cell_id"] > y["cell_id"], F.lit(1))
+                    .otherwise(F.lit(0)))
+
+        best = F.array_sort(F.array(*[cell_cos(r) for r in crows]), cmp)[0]
+        assign = d.select(best["cell_id"].alias("cell_id"), "v")
         # per-dim means round-trip through the 7-sig-digit rendering: FP
         # summation order (partitioning / engine) can move a mean by ULPs,
         # and means feed the DISCRETE argmax assignment — rounding pins the
