@@ -51,7 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("input")
     dd.add_argument("--method", default="exact",
                     choices=["exact", "keep-first", "minhash-pairs",
-                             "simhash-pairs", "corpus"])
+                             "simhash-pairs", "corpus", "jaccard-pairs",
+                             "containment-pairs", "dup-fraction"])
     dd.add_argument("--threshold", type=float, default=0.5)
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--id-col", default="doc_id")
@@ -91,7 +92,8 @@ def build_parser() -> argparse.ArgumentParser:
     an = sub.add_parser("ann", help="cosine top-k over an embedding column")
     an.add_argument("input")
     an.add_argument("--method", default="brute",
-                    choices=["brute", "lsh", "ivf", "ivf-kmeans"])
+                    choices=["brute", "lsh", "lsh-multiprobe", "ivf",
+                             "ivf-kmeans"])
     an.add_argument("--k", type=int, default=5)
     an.add_argument("--vec-col", default="embedding")
     an.add_argument("--id-col", default="vec_id")
@@ -165,6 +167,12 @@ def main(argv: list[str] | None = None) -> int:
             "simhash-pairs": lambda: dedup.simhash_near_pairs(df, **kw),
             "corpus": lambda: dedup.dedup_corpus(
                 df, threshold=args.threshold, **kw),
+            "jaccard-pairs": lambda: dedup.ngram_jaccard_pairs(
+                df, threshold=args.threshold, **kw),
+            "containment-pairs": lambda: dedup.ngram_containment_pairs(
+                df, threshold=args.threshold, **kw),
+            "dup-fraction": lambda: dedup.duplicated_ngram_fraction(
+                df, **kw),
         }[args.method]()
         _emit(out, args.output)
         return 0
@@ -197,6 +205,8 @@ def main(argv: list[str] | None = None) -> int:
         out = {
             "brute": lambda: similarity.brute_force_topk(df, **kw),
             "lsh": lambda: similarity.lsh_topk(df, **kw),
+            "lsh-multiprobe": lambda: similarity.lsh_topk(
+                df, multiprobe=True, **kw),
             "ivf": lambda: similarity.ivf_topk(df, **kw),
             "ivf-kmeans": lambda: similarity.ivf_topk(
                 df, refine_iters=2, **kw),
