@@ -523,27 +523,50 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, id_col: str = "vec_id",
     (the 0.45-threshold fixture gate uses 16x4 -> 13/14 pairs) because
     near-random pairs simply don't concentrate in buckets.
 
-    Physical shape at 100 TB: the self-join is keyed by (table, bucket) and
-    carries ONLY ids — vectors are joined back after the DISTINCT pair
-    dedup. No block-pair cross join, no all-pairs anywhere; ``max_bucket``
-    drops degenerate buckets (dead-center vectors) the same way the MinHash
-    band join caps boilerplate clusters."""
+    Physical shape at 100 TB: vectors shuffle ONCE keyed by (table,
+    bucket); each bucket is one BLAS GEMM task (mapInPandas) that emits
+    only its pairs above threshold — the same vectorized kernel as the
+    exact block-GEMM operator, but over LSH buckets instead of all block
+    pairs, so total flops ~= sum of bucket sizes squared, not n^2. The
+    tiny surviving pair set is DISTINCT'ed (cross-table dupes) and
+    re-checked with the exact JVM left-fold cosine so emitted values stay
+    bit-identical to the oracle. (A pure-JVM variant — id-only bucket
+    self-join + per-pair higher-order-function cosine — measured 8.6s vs
+    ~2s at sf0.1: interpreted HOF folds over millions of candidate pairs
+    lose to Arrow-batched BLAS by far.) ``max_bucket`` drops degenerate
+    buckets (dead-center vectors) the same way the MinHash band join caps
+    boilerplate clusters, and bounds per-task memory."""
     from flink_descriptive_stats_spark.operators.similarity import (
         lsh_table_codes, with_norm)
     d = with_norm(df, id_col, vec_col)
     coded = d.withColumn(
         "codes", lsh_table_codes(F.col("v"), n_tables, bits_per_table, dim))
-    dl = coded.select("id", F.posexplode("codes").alias("tbl", "bucket"))
+    dl = coded.select("id", "v", "norm",
+                      F.posexplode("codes").alias("tbl", "bucket"))
+    packed = (dl.groupBy("tbl", "bucket")
+              .agg(F.collect_list(F.struct("id", "v", "norm"))
+                   .alias("rows"))
+              .where(F.size("rows") > 1))
     if max_bucket is not None:
-        w = F.count("*").over(
-            Window.partitionBy("tbl", "bucket"))
-        dl = (dl.withColumn("bsz", w).where(F.col("bsz") <= max_bucket)
-              .drop("bsz"))
-    a = dl.select("tbl", "bucket", F.col("id").alias("id_a"))
-    b = dl.select("tbl", "bucket", F.col("id").alias("id_b"))
-    cand = (a.join(b, ["tbl", "bucket"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+        packed = packed.where(F.size("rows") <= max_bucket)
+    eps = 1e-9
+
+    def gen(batches):
+        for pdf in batches:
+            for rows in pdf["rows"]:
+                ids = np.array([r["id"] for r in rows], dtype=np.int64)
+                m = np.array([r["v"] for r in rows], dtype=np.float64)
+                m /= np.array([r["norm"] for r in rows],
+                              dtype=np.float64)[:, None]
+                cos = m @ m.T
+                # triu(k=1): each unordered row pair once, no diagonal
+                x, y = np.nonzero(np.triu(cos >= threshold - eps, k=1))
+                qa, qb = ids[x], ids[y]
+                yield pd.DataFrame({"id_a": np.minimum(qa, qb),
+                                    "id_b": np.maximum(qa, qb)})
+
+    cand = (packed.mapInPandas(gen, "id_a bigint, id_b bigint")
+            .distinct())
     return _exact_cos_recheck(d, cand, threshold)
 
 
