@@ -241,6 +241,12 @@ def kmeans_centroids(df: DataFrame, n_cells: int = 16, iters: int = 2,
     Returns (cell_id, cv: array<double>, cnorm) ready for the IVF search
     plan."""
     d = with_norm(df, id_col, vec_col)
+    # each Lloyd round materializes (collect of the next centroid table),
+    # so without a persist the corpus scan + norm reruns per iteration —
+    # standard practice is caching the working set across rounds
+    # (MEMORY_AND_DISK: spills rather than OOMs on big corpora)
+    from pyspark import StorageLevel
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
     cents = (d.where(F.col("id") < n_cells)
              .select(F.col("id").alias("cell_id"), F.col("v").alias("cv"),
                      F.col("norm").alias("cnorm")))
@@ -289,6 +295,10 @@ def kmeans_centroids(df: DataFrame, n_cells: int = 16, iters: int = 2,
             F.zip_with(F.col("cv"), F.col("cv"), lambda x, y: x * y),
             F.lit(0.0), lambda acc, z: acc + z))
         cents = cents.withColumn("cnorm", cnorm)
+    # materialize the final centroids (n_cells rows) so the cached corpus
+    # can be released without the caller's later actions re-deriving it
+    cents = cents.localCheckpoint(eager=True)
+    d.unpersist()
     return cents
 
 
