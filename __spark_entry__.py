@@ -364,6 +364,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup.ngram_containment_pairs, "documents", threshold=0.5)
     q["duplicated_ngram_fraction_documents"] = _tq(
         dedup.duplicated_ngram_fraction, "documents")
+
+    # contamination audit: doc_id%10==0 holdout measured against the rest
+    def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _load(spark, sf_dir, "documents")
+        return dedup.contamination_report(
+            docs.where(F.col("doc_id") % 10 != 0),
+            docs.where(F.col("doc_id") % 10 == 0))
+    q["contamination_report_documents"] = _contamination
     q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
                                             "documents")
     q["simhash_documents"] = _tq(dedup.simhash_signatures, "documents")
@@ -602,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
         threshold=0.5)
     o["duplicated_ngram_fraction_documents"] = (
         op.duplicated_ngram_fraction_sql())
+    o["contamination_report_documents"] = op.contamination_report_sql()
     o["ann_cosine_topk"] = op.ann_brute_force_sql()
     o["ann_lsh_multiprobe_topk"] = op.ann_lsh_sql(multiprobe=True)
     o["ann_ivf_topk"] = op.ivf_topk_sql()

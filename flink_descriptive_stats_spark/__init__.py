@@ -56,6 +56,7 @@ _API = {
                                 "ngram_containment_pairs"),
     "duplicated_ngram_fraction": ("operators.dedup",
                                   "duplicated_ngram_fraction"),
+    "contamination_report": ("operators.dedup", "contamination_report"),
     "brute_force_topk": ("operators.similarity", "brute_force_topk"),
     "lsh_topk": ("operators.similarity", "lsh_topk"),
     "ivf_topk": ("operators.similarity", "ivf_topk"),

@@ -408,6 +408,35 @@ def duplicated_ngram_fraction(df: DataFrame, content_col: str = "text",
                     "dup_fraction"))
 
 
+def contamination_report(train: DataFrame, holdout: DataFrame,
+                         content_col: str = "text",
+                         id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Per-holdout-doc n-gram overlap against the training corpus — the
+    GPT-3-appendix-style contamination MEASUREMENT next to the binary
+    ``decontaminate`` filter: (doc_id, n_shingles, matched_fraction) where
+    matched_fraction is the share of the holdout doc's distinct shingles
+    that occur anywhere in train. Rank by it to audit what leaked before
+    deciding a removal threshold.
+
+    Plan: both sides go through the same distinct (id, shingle-hash) long
+    format; train collapses to a distinct shingle SET (one groupBy,
+    map-side combined), and the holdout side LEFT-joins it (AQE broadcasts
+    when the train shingle set is small enough, shuffle-hash otherwise,
+    keyed by shingle — skew-free). One row per holdout doc comes back."""
+    h_long = (shingle_hashes_long(holdout, content_col, id_col, n)
+              .select("id", "sh").distinct())
+    t_sh = (shingle_hashes_long(train, content_col, id_col, n)
+            .select("sh").distinct()
+            .withColumn("__hit", F.lit(1)))
+    return (h_long.join(t_sh, "sh", "left")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.avg(F.coalesce(F.col("__hit"), F.lit(0))
+                       .cast("double")).alias("matched_fraction"))
+            .select(F.col("id").alias(id_col), "n_shingles",
+                    "matched_fraction"))
+
+
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.95,

@@ -261,6 +261,31 @@ FROM c WHERE containment_a >= {threshold} OR containment_b >= {threshold}
 """
 
 
+def contamination_report_sql(table: str = "documents",
+                             mod: int = 10) -> str:
+    """Mirror of dedup.contamination_report over the doc_id%mod==0 holdout
+    split of ``table`` (train = the rest)."""
+    th = H.duck_token_hash("s")
+    sh = H.duck_shingles("toks", 3)
+    return f"""
+WITH t AS (SELECT doc_id AS id, text,
+                  {H.duck_tokens('text')} AS toks FROM {table}
+           WHERE text IS NOT NULL),
+hashed AS (SELECT id, list_transform(list_distinct({sh}),
+                  s -> {th} % {P}) AS hashes FROM t),
+h_expl AS (SELECT DISTINCT id, unnest(hashes) AS shingle FROM hashed
+           WHERE id % {mod} = 0),
+t_sh AS (SELECT DISTINCT unnest(hashes) AS shingle FROM hashed
+         WHERE id % {mod} != 0)
+SELECT CAST(h.id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       avg(CASE WHEN t_sh.shingle IS NOT NULL THEN 1.0 ELSE 0.0 END)
+           AS matched_fraction
+FROM h_expl h LEFT JOIN t_sh ON t_sh.shingle = h.shingle
+GROUP BY h.id
+"""
+
+
 def duplicated_ngram_fraction_sql(table: str = "documents") -> str:
     """Mirror of dedup.duplicated_ngram_fraction."""
     return f"""

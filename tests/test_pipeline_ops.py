@@ -151,6 +151,24 @@ def test_duplicated_ngram_fraction(spark):
     assert got[0]["n_shingles"] == got[1]["n_shingles"] > 0
 
 
+def test_contamination_report(spark):
+    """A holdout doc copied verbatim from train scores matched_fraction
+    1.0; a holdout doc with no shared shingles scores 0.0."""
+    train = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "some other training document body")],
+        "doc_id long, text string")
+    holdout = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "entirely novel holdout material nothing shared")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.contamination_report(train, holdout).collect()}
+    assert got[100]["matched_fraction"] == 1.0
+    assert got[101]["matched_fraction"] == 0.0
+    assert got[100]["n_shingles"] > 0
+
+
 def test_ngram_jaccard_max_df_drops_heavy_hitter(spark):
     """A boilerplate shingle shared by every doc would fan out k(k-1)/2
     pairs; max_df drops it before the pair explosion. Pairs linked only by
