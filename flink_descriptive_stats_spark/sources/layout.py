@@ -47,6 +47,25 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     w.saveAsTable(table)
 
 
+def write_sorted_shards(df: DataFrame, path: str, sort_cols: list[str],
+                        num_shards: int = 8,
+                        mode: str = "overwrite") -> None:
+    """Globally-sorted sharded parquet — the training-shard layout: shard
+    i's every key precedes shard i+1's, and rows are sorted inside each
+    shard file.
+
+    ``repartitionByRange`` samples the sort keys to build balanced range
+    bounds (one RangePartitioning exchange — skewed keys get split across
+    shards by the sampler, unlike hash bucketing), then
+    ``sortWithinPartitions`` sorts shard-locally with NO extra exchange —
+    a global sort's output layout at a partial sort's shuffle cost. Readers
+    that process shards in filename order stream the corpus in key order;
+    min/max parquet footer stats make key-range scans prune whole shards."""
+    (df.repartitionByRange(num_shards, *sort_cols)
+     .sortWithinPartitions(*sort_cols)
+     .write.mode(mode).parquet(path))
+
+
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back (bucket metadata applies automatically)."""
     return spark.table(table)

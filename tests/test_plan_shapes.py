@@ -174,6 +174,35 @@ def test_ivf_assignment_no_corpus_exchange(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_sorted_shards_global_order(spark, tmp_path):
+    """write_sorted_shards: exactly one RangePartitioning exchange + a
+    shard-local sort, and the written files are globally ordered — every
+    key in shard i precedes every key in shard i+1, rows sorted within."""
+    import os
+    from flink_descriptive_stats_spark.sources import layout
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    plan = _formatted_plan(
+        docs.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id"))
+    assert "rangepartitioning" in plan.lower()
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 2              # one exchange (tree + detail lines)
+
+    out = str(tmp_path / "shards")
+    layout.write_sorted_shards(docs, out, ["doc_id"], num_shards=4)
+    import pyarrow.parquet as pq
+    parts = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert len(parts) == 4
+    prev_max = None
+    for f in parts:
+        ids = pq.read_table(os.path.join(out, f),
+                            columns=["doc_id"])["doc_id"].to_pylist()
+        assert ids == sorted(ids)             # sorted within shard
+        if prev_max is not None and ids:
+            assert ids[0] >= prev_max         # shards ordered by filename
+        if ids:
+            prev_max = ids[-1]
+
+
 def test_bucketed_join_no_exchange(spark):
     """The bucketed-layout promise: two tables bucketed on the join key
     join with ZERO Exchange nodes — the scan provides the distribution.
