@@ -52,7 +52,14 @@ def _profile_multitask(table: str = "lineitem", n_files: int = 32):
         name = os.path.basename(sf_dir.rstrip("/")) or "sf"
         base = f"/root/repo/scratch/multitask/{name}"
         out = f"{base}/{table}.parquet"
-        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        src = f"{sf_dir}/{table}.parquet"
+        marker = os.path.join(out, "_SUCCESS")
+        # staleness guard: the testdata fixtures get regenerated between
+        # rounds, so a marker older than the source means the copy holds
+        # last round's rows and would diverge from the oracle
+        fresh = (os.path.exists(marker)
+                 and os.path.getmtime(marker) >= os.path.getmtime(src))
+        if not fresh:
             (_load(spark, sf_dir, table).repartition(n_files)
              .write.mode("overwrite").parquet(out))
         return prof.profile(_load(spark, base, table))

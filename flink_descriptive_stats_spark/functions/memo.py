@@ -29,9 +29,17 @@ _MEMO_MAX = 128
 def clear_all_memos() -> None:
     """Drop every per-process memo (stats rows here, cluster labels in
     operators/dedup). Bench hygiene: a repeat timed pass must measure
-    execution, not the previous pass's memo hits."""
+    execution, not the previous pass's memo hits. Cluster-label entries
+    are localCheckpoint-materialized DataFrames — unpersist their cached
+    blocks instead of leaving them to nondeterministic JVM GC."""
     _MEMO.clear()
     from flink_descriptive_stats_spark.operators import dedup
+    for ref, df in dedup._CLUSTER_MEMO.values():
+        try:
+            if ref() is not None:
+                df.unpersist()
+        except Exception:
+            pass            # session already stopped; blocks died with it
     dedup._CLUSTER_MEMO.clear()
 
 

@@ -278,6 +278,38 @@ def simhash_near_pairs(df: DataFrame, content_col: str = "text",
             .select("id_a", "id_b", "hamming"))
 
 
+def _shared_shingle_counts(df: DataFrame, content_col: str, id_col: str,
+                           n: int, max_df: int | None):
+    """(shared, sizes): per-pair shared-shingle counts and per-doc distinct
+    shingle counts — the common subplan of ngram_jaccard_pairs and
+    ngram_containment_pairs. Pairs are generated inline per shingle group
+    (JVM nested transform, no self-join); ``max_df`` drops stopword-grams
+    whose doc frequency exceeds it BEFORE the k(k-1)/2 pair explosion."""
+    long = shingle_hashes_long(df, content_col, id_col, n)
+    sizes = long.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    grouped = (long.groupBy("sh")
+               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+               .where(F.size("ids") > 1))
+    if max_df is not None:
+        grouped = grouped.where(F.size("ids") <= max_df)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> transform("
+        "slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b))))")
+    shared = (grouped.select(F.explode(pair_expr).alias("p"))
+              .select("p.id_a", "p.id_b")
+              .where(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    # no broadcast hint on sizes: one row per doc, so only AQE should decide
+    # (it will broadcast at bench scale, shuffle-join at 100 TB)
+    return (shared
+            .join(sizes.withColumnsRenamed(
+                {"id": "id_a", "sz": "sz_a"}), "id_a")
+            .join(sizes.withColumnsRenamed(
+                {"id": "id_b", "sz": "sz_b"}), "id_b"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, content_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.3,
@@ -298,36 +330,13 @@ def ngram_jaccard_pairs(df: DataFrame, content_col: str = "text",
     docs' full sizes), so it under-merges — the safe direction for dedup.
     Default None = exact (doc freq is bounded at bench scale: max 25 at
     sf0.1)."""
-    long = shingle_hashes_long(df, content_col, id_col, n)
-    sizes = long.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    grouped = (long.groupBy("sh")
-               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-               .where(F.size("ids") > 1))
-    if max_df is not None:
-        grouped = grouped.where(F.size("ids") <= max_df)
-    pair_expr = F.expr(
-        "flatten(transform(ids, (x, i) -> transform("
-        "slice(ids, i + 2, size(ids)), "
-        "y -> struct(x AS id_a, y AS id_b))))")
-    shared = (grouped.select(F.explode(pair_expr).alias("p"))
-              .select("p.id_a", "p.id_b")
-              .where(F.col("id_a") < F.col("id_b"))
-              .groupBy("id_a", "id_b")
-              .agg(F.count(F.lit(1)).alias("shared")))
-    # no broadcast hint on sizes: one row per doc, so only AQE should decide
-    # (it will broadcast at bench scale, shuffle-join at 100 TB)
-    out = (shared
-           .join(sizes.withColumnsRenamed(
-               {"id": "id_a", "sz": "sz_a"}), "id_a")
-           .join(sizes.withColumnsRenamed(
-               {"id": "id_b", "sz": "sz_b"}), "id_b")
-           .withColumn("jaccard",
-                       F.col("shared").cast("double")
-                       / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))
-                       .cast("double"))
-           .where(F.col("jaccard") >= threshold)
-           .select("id_a", "id_b", "jaccard"))
-    return out
+    return (_shared_shingle_counts(df, content_col, id_col, n, max_df)
+            .withColumn("jaccard",
+                        F.col("shared").cast("double")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+                        .cast("double"))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
 
 
 def ngram_containment_pairs(df: DataFrame, content_col: str = "text",
@@ -341,32 +350,12 @@ def ngram_containment_pairs(df: DataFrame, content_col: str = "text",
     containment_b, jaccard) for pairs where EITHER direction reaches the
     threshold.
 
-    Same physical shape as ngram_jaccard_pairs (shared-shingle counting via
-    per-shingle inline pair generation — one shuffle keyed by shingle, one
-    by pair; ``max_df`` bounds per-shingle fan-out), so the 100 TB notes
-    there apply unchanged."""
-    long = shingle_hashes_long(df, content_col, id_col, n)
-    sizes = long.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    grouped = (long.groupBy("sh")
-               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-               .where(F.size("ids") > 1))
-    if max_df is not None:
-        grouped = grouped.where(F.size("ids") <= max_df)
-    pair_expr = F.expr(
-        "flatten(transform(ids, (x, i) -> transform("
-        "slice(ids, i + 2, size(ids)), "
-        "y -> struct(x AS id_a, y AS id_b))))")
-    shared = (grouped.select(F.explode(pair_expr).alias("p"))
-              .select("p.id_a", "p.id_b")
-              .where(F.col("id_a") < F.col("id_b"))
-              .groupBy("id_a", "id_b")
-              .agg(F.count(F.lit(1)).alias("shared")))
+    Same physical shape as ngram_jaccard_pairs (shared subplan
+    ``_shared_shingle_counts`` — one shuffle keyed by shingle, one by pair;
+    ``max_df`` bounds per-shingle fan-out), so the 100 TB notes there apply
+    unchanged."""
     sh_d = F.col("shared").cast("double")
-    return (shared
-            .join(sizes.withColumnsRenamed(
-                {"id": "id_a", "sz": "sz_a"}), "id_a")
-            .join(sizes.withColumnsRenamed(
-                {"id": "id_b", "sz": "sz_b"}), "id_b")
+    return (_shared_shingle_counts(df, content_col, id_col, n, max_df)
             .withColumn("containment_a", sh_d / F.col("sz_a"))
             .withColumn("containment_b", sh_d / F.col("sz_b"))
             .withColumn("jaccard",

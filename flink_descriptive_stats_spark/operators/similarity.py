@@ -107,9 +107,34 @@ def _hp_component(j: int, i: int) -> float:
     return (_mix64((j << 32) | i) >> 12) / float(1 << 52) * 2.0 - 1.0
 
 
-def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
-    return [[_hp_component(j, i) for i in range(dim)]
-            for j in range(n_planes)]
+def ranked_cells_expr(crows) -> F.Column:
+    """array<struct<cos_c, cell_id>> of per-cell cosines against inlined
+    centroid literals, sorted (cos desc, cell_id asc) — the NARROW argmax
+    shared by IVF search assignment/probing and the Lloyd loop (one
+    implementation so the deterministic tie-break and the literal inlining
+    cannot drift between them or from the unrolled SQL oracle).
+
+    ``crows`` are collected Rows with cell_id/cv/cnorm — bounded metadata
+    (<= n_cells); F.lit(float(...)) is an exact double round-trip."""
+    def cell_score(r):
+        arr = F.array(*[F.lit(float(c)) for c in r["cv"]])
+        dot = F.aggregate(F.zip_with(F.col("v"), arr, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, z: acc + z)
+        return F.struct(
+            (dot / (F.col("norm") * F.lit(float(r["cnorm"]))))
+            .alias("cos_c"),
+            F.lit(int(r["cell_id"])).cast("long").alias("cell_id"))
+
+    def cmp(x, y):
+        return (F.when(x["cos_c"] > y["cos_c"], F.lit(-1))
+                .when(x["cos_c"] < y["cos_c"], F.lit(1))
+                .when(x["cell_id"] < y["cell_id"], F.lit(-1))
+                .when(x["cell_id"] > y["cell_id"], F.lit(1))
+                .otherwise(F.lit(0)))
+
+    return F.array_sort(
+        F.array(*[cell_score(r)
+                  for r in sorted(crows, key=lambda r: r["cell_id"])]), cmp)
 
 
 def lsh_bucket_expr(vec: F.Column, planes: list[list[float]]):
@@ -256,26 +281,7 @@ def kmeans_centroids(df: DataFrame, n_cells: int = 16, iters: int = 2,
         # corpus scan — no per-iteration crossJoin + Window exchange keyed
         # by vector id (the round-3 shape shuffled the corpus every Lloyd
         # round)
-        crows = sorted(cents.collect(), key=lambda r: r["cell_id"])
-
-        def cell_cos(r):
-            arr = F.array(*[F.lit(float(c)) for c in r["cv"]])
-            dot = F.aggregate(F.zip_with(F.col("v"), arr,
-                                         lambda x, y: x * y),
-                              F.lit(0.0), lambda acc, z: acc + z)
-            return F.struct(
-                (dot / (F.col("norm") * F.lit(float(r["cnorm"]))))
-                .alias("cos_c"),
-                F.lit(int(r["cell_id"])).cast("long").alias("cell_id"))
-
-        def cmp(x, y):
-            return (F.when(x["cos_c"] > y["cos_c"], F.lit(-1))
-                    .when(x["cos_c"] < y["cos_c"], F.lit(1))
-                    .when(x["cell_id"] < y["cell_id"], F.lit(-1))
-                    .when(x["cell_id"] > y["cell_id"], F.lit(1))
-                    .otherwise(F.lit(0)))
-
-        best = F.array_sort(F.array(*[cell_cos(r) for r in crows]), cmp)[0]
+        best = ranked_cells_expr(cents.collect())[0]
         assign = d.select(best["cell_id"].alias("cell_id"), "v")
         # per-dim means round-trip through the 7-sig-digit rendering: FP
         # summation order (partitioning / engine) can move a mean by ULPs,
@@ -332,27 +338,7 @@ def ivf_topk(df: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 4,
     # n_cells rows of plan constants — the same bounded-collect pattern as
     # memoized stats rows; values are exact doubles, so the oracle's math
     # is unchanged
-    crows = sorted(base.collect(), key=lambda r: r["cell_id"])
-
-    def cell_score(r):
-        arr = F.array(*[F.lit(float(c)) for c in r["cv"]])
-        dot = F.aggregate(F.zip_with(F.col("v"), arr, lambda x, y: x * y),
-                          F.lit(0.0), lambda acc, z: acc + z)
-        return F.struct(
-            (dot / (F.col("norm") * F.lit(float(r["cnorm"]))))
-            .alias("cos_c"),
-            F.lit(int(r["cell_id"])).cast("long").alias("cell_id"))
-
-    def cmp(x, y):
-        return (F.when(x["cos_c"] > y["cos_c"], F.lit(-1))
-                .when(x["cos_c"] < y["cos_c"], F.lit(1))
-                .when(x["cell_id"] < y["cell_id"], F.lit(-1))
-                .when(x["cell_id"] > y["cell_id"], F.lit(1))
-                .otherwise(F.lit(0)))
-
-    ranked_cells = F.array_sort(F.array(*[cell_score(r) for r in crows]),
-                                cmp)
-    scored = d.withColumn("cells", ranked_cells)
+    scored = d.withColumn("cells", ranked_cells_expr(base.collect()))
     assign = scored.select(
         "id", "v", "norm", F.col("cells")[0]["cell_id"].alias("cell_id"))
     probes = (scored.where(F.col("id") < max_query_id)

@@ -40,11 +40,10 @@ def _token_occurrences(df: DataFrame, text_col: str) -> DataFrame:
                     .alias("token")))
 
 
-def countmin_sketch(df: DataFrame, text_col: str = "text",
-                    depth: int = CM_DEPTH, width: int = CM_WIDTH
-                    ) -> DataFrame:
-    """(d, b, c): the counter grid over all token occurrences."""
-    tok = _token_occurrences(df, text_col)
+def countmin_grid_from_occurrences(tok: DataFrame, depth: int = CM_DEPTH,
+                                   width: int = CM_WIDTH) -> DataFrame:
+    """(d, b, c) grid over an existing (token) occurrence DataFrame —
+    lets callers that also need the token set tokenize once."""
     rows = [tok.select(F.lit(j).alias("d"),
                        _bucket(F.col("token"), j, width).alias("b"))
             for j in range(depth)]
@@ -52,6 +51,14 @@ def countmin_sketch(df: DataFrame, text_col: str = "text",
     for r in rows[1:]:
         allrows = allrows.unionAll(r)
     return allrows.groupBy("d", "b").agg(F.count(F.lit(1)).alias("c"))
+
+
+def countmin_sketch(df: DataFrame, text_col: str = "text",
+                    depth: int = CM_DEPTH, width: int = CM_WIDTH
+                    ) -> DataFrame:
+    """(d, b, c): the counter grid over all token occurrences."""
+    return countmin_grid_from_occurrences(
+        _token_occurrences(df, text_col), depth, width)
 
 
 def estimate_tokens(sketch: DataFrame, tokens: DataFrame,

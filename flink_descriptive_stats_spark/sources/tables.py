@@ -53,6 +53,7 @@ def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def stream_table(spark: SparkSession, src_dir: str, table: str,
+                 schema: T.StructType | None = None,
                  **reader_options) -> DataFrame:
     """``readStream`` analogue of :func:`load_table`.
 
@@ -60,9 +61,14 @@ def stream_table(spark: SparkSession, src_dir: str, table: str,
     the same directory (instead of hard-coding one) means a testdata
     re-encoding of the physical timestamp unit changes one code path, not
     every streaming consumer. Normalization is shared with the batch path.
+
+    The batch-derived schema requires at least one file present; for a
+    cold-start landing directory (empty until the first file arrives) pass
+    ``schema`` explicitly — it goes through the same normalization.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(src_dir).schema
+    raw_schema = schema if schema is not None \
+        else spark.read.parquet(src_dir).schema
     reader = spark.readStream.schema(raw_schema)
     for k, v in reader_options.items():
         reader = reader.option(k, v)

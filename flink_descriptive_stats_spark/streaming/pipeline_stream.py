@@ -139,22 +139,37 @@ def start_global_topk_sketch(stream: DataFrame, sink_path: str,
     standard heavy-hitters candidate cap; exact for vocabularies under the
     cap). Each epoch re-ranks candidates against the merged grid with the
     same Spark expressions as the batch operator and overwrites
-    ``sink_path`` with the current (token, est, rank) top-K."""
+    ``sink_path`` with the current (token, est, rank) top-K.
+
+    The accumulator lives in this process for the lifetime of the returned
+    query — it is NOT checkpoint-durable: after a driver restart the merged
+    grid restarts empty while a checkpointed source would skip already-read
+    files, so restart-with-checkpoint needs a persisted-grid variant (read
+    the sink's companion state on start). Retried epochs ARE handled: the
+    fold is keyed by epoch id, so a foreachBatch replay (sink write failed
+    after the fold) cannot double-count."""
     from flink_descriptive_stats_spark.operators import sketch as sk
     depth = sk.CM_DEPTH if depth is None else depth
     width = sk.CM_WIDTH if width is None else width
     grid: dict[tuple[int, int], int] = {}
     tokens: set[str] = set()
+    folded_epochs: set[int] = set()
 
-    def emit(batch_df: DataFrame, _epoch_id: int) -> None:
+    def emit(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        for r in sk.countmin_sketch(batch_df, text_col, depth,
-                                    width).collect():
-            key = (r["d"], r["b"])
-            grid[key] = grid.get(key, 0) + r["c"]
-        for r in (sk._token_occurrences(batch_df, text_col)
-                  .distinct().collect()):
-            tokens.add(r["token"])
+        if epoch_id not in folded_epochs:
+            folded_epochs.add(epoch_id)
+            # one tokenize pass feeds both the grid and the candidate set
+            occ = sk._token_occurrences(batch_df, text_col).persist()
+            try:
+                for r in sk.countmin_grid_from_occurrences(
+                        occ, depth, width).collect():
+                    key = (r["d"], r["b"])
+                    grid[key] = grid.get(key, 0) + r["c"]
+                for r in occ.distinct().collect():
+                    tokens.add(r["token"])
+            finally:
+                occ.unpersist()
         grid_df = spark.createDataFrame(
             [(d, b, c) for (d, b), c in grid.items()], "d int, b int, c bigint")
         tok_df = spark.createDataFrame([(t,) for t in sorted(tokens)],
