@@ -264,3 +264,59 @@ def correlation_matrix(df: DataFrame,
         out.append((a, b, sig6_py(v)))
     return df.sparkSession.createDataFrame(
         out, "col_a string, col_b string, corr string")
+
+
+def rolling_stats(df: DataFrame, ts_col: str = "ts",
+                  key_col: str = "user_id", value_col: str = "value",
+                  window_seconds: int = 3600) -> DataFrame:
+    """Per-event trailing-window statistics: for each row, count/mean/min/
+    max of ``value_col`` over the key's events in the preceding
+    ``window_seconds`` (inclusive of the current event) — the ordered
+    RANGE-window time-series analytic (rolling rates, per-user activity
+    features) that the groupBy-window profiles cannot express, because the
+    frame slides per EVENT, not per fixed bucket.
+
+    Physical shape: ONE exchange keyed by ``key_col``, then a per-key sort
+    and a linear frame scan (Spark's RangeFrame) — no self-join, no
+    explode. Hot keys are bounded by a single key's event volume, same
+    skew story as sessionize. Mean goes through sig6: a sliding-frame sum
+    is order-sensitive across engines."""
+    from pyspark.sql import Window
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    e = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (Window.partitionBy(key_col).orderBy(e)
+         .rangeBetween(-window_seconds * 1_000_000, 0))
+    x = F.col(value_col).cast("double")
+    return (df.select(
+        F.col(key_col), F.col(ts_col).cast("timestamp").alias(ts_col),
+        x.alias(value_col),
+        F.count(x).over(w).alias("roll_n"),
+        sig6(F.avg(x).over(w)).alias("roll_mean"),
+        F.min(x).over(w).alias("roll_min"),
+        F.max(x).over(w).alias("roll_max")))
+
+
+def grouped_zscore_outliers(df: DataFrame, key_col: str = "event_type",
+                            value_col: str = "value",
+                            z: float = 3.0) -> DataFrame:
+    """Rows whose value is more than ``z`` population stddevs from their
+    GROUP's mean — per-segment anomaly flags, where the global 3-sigma
+    fence (outlier_counts) would mask group-level structure.
+
+    Two-phase like histogram: a tiny per-group stats aggregate (one
+    map-side-combined groupBy, |groups| rows) joined back against the scan
+    (AQE broadcasts it), then a narrow filter. The z-score itself goes
+    through sig6 for cross-engine comparability."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    x = F.col(value_col).cast("double")
+    stats = (df.groupBy(key_col)
+             .agg(F.avg(x).alias("__mu"), F.stddev_pop(x).alias("__sd")))
+    # the DISCRETE keep/drop decision is made on the sig6-ROUNDED score:
+    # group mean/stddev differ across engines in the last ulp, and a raw
+    # fence would flip borderline rows between Spark and the oracle
+    score = sig6((x - F.col("__mu")) / F.col("__sd"))
+    return (df.join(stats, key_col)
+            .where(F.col("__sd") > 0)
+            .where(F.abs(score.cast("double")) > z)
+            .select(F.col(key_col), x.alias(value_col),
+                    score.alias("zscore")))

@@ -378,6 +378,47 @@ WHERE ({dot_ab}) / (a.norm * b.norm) >= {threshold}
 """
 
 
+def rolling_stats_sql(table: str = "events",
+                      window_seconds: int = 3600) -> str:
+    """Mirror of extras.rolling_stats: trailing RANGE window keyed by
+    user over epoch-micros event time."""
+    # windowed aggregates live in the inner subquery: duck_sig6 expands to
+    # a correlated scalar subquery, and window refs cannot cross into it
+    return f"""
+SELECT user_id, ts, value,
+       CAST(roll_n AS BIGINT) AS roll_n,
+       {duck_sig6('rm')} AS roll_mean,
+       roll_min, roll_max
+FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(value AS DOUBLE) AS value,
+             count(CAST(value AS DOUBLE)) OVER w AS roll_n,
+             avg(CAST(value AS DOUBLE)) OVER w AS rm,
+             min(CAST(value AS DOUBLE)) OVER w AS roll_min,
+             max(CAST(value AS DOUBLE)) OVER w AS roll_max
+      FROM {table}
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                   RANGE BETWEEN {window_seconds * 1_000_000} PRECEDING
+                   AND CURRENT ROW))
+"""
+
+
+def grouped_zscore_sql(table: str = "events", z: float = 3.0) -> str:
+    """Mirror of extras.grouped_zscore_outliers: keep/drop fence applied
+    to the sig6-rounded score on both sides."""
+    # alias must not be "e": duck_sig6's expansion defines its own column e
+    score = duck_sig6("(CAST(ev.value AS DOUBLE) - s.mu) / s.sd")
+    return f"""
+WITH s AS (SELECT event_type, avg(CAST(value AS DOUBLE)) AS mu,
+                  stddev_pop(CAST(value AS DOUBLE)) AS sd
+           FROM {table} GROUP BY event_type)
+SELECT ev.event_type, CAST(ev.value AS DOUBLE) AS value,
+       {score} AS zscore
+FROM {table} ev JOIN s USING (event_type)
+WHERE s.sd > 0 AND abs(CAST({score} AS DOUBLE)) > {z}
+"""
+
+
 def sessionize_sql(table: str = "events", gap_minutes: int = 30) -> str:
     """Gaps-and-islands mirror of pipeline_stream.sessionize. Boundary
     semantics verified against Spark's session_window: events exactly
