@@ -174,6 +174,18 @@ def test_ivf_assignment_no_corpus_exchange(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_rolling_stats_one_exchange(spark):
+    """rolling_stats: one hashpartitioning exchange on the key, a per-key
+    sort, and a RangeFrame window — no join, no explode, no Python."""
+    from flink_descriptive_stats_spark.operators import extras
+    ev = load_table(spark, SF_DIR, "events")
+    plan = _formatted_plan(extras.rolling_stats(ev))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 2              # one exchange (tree + detail lines)
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_sorted_shards_global_order(spark, tmp_path):
     """write_sorted_shards: exactly one RangePartitioning exchange + a
     shard-local sort, and the written files are globally ordered — every
