@@ -122,7 +122,9 @@ def start_global_topk_sketch(stream: DataFrame, sink_path: str,
                              text_col: str = "text", k: int = 20,
                              depth: int | None = None,
                              width: int | None = None,
-                             max_candidates: int = 10_000):
+                             max_candidates: int = 10_000,
+                             state_path: str | None = None,
+                             checkpoint_path: str | None = None):
     """Cross-window GLOBAL top-K over an unbounded stream via count-min
     merge — the sketch path windowed_token_counts documents as the only
     scalable answer to global ranking on a stream.
@@ -141,19 +143,61 @@ def start_global_topk_sketch(stream: DataFrame, sink_path: str,
     same Spark expressions as the batch operator and overwrites
     ``sink_path`` with the current (token, est, rank) top-K.
 
-    The accumulator lives in this process for the lifetime of the returned
-    query — it is NOT checkpoint-durable: after a driver restart the merged
-    grid restarts empty while a checkpointed source would skip already-read
-    files, so restart-with-checkpoint needs a persisted-grid variant (read
-    the sink's companion state on start). Retried epochs ARE handled: the
-    fold is keyed by epoch id, so a foreachBatch replay (sink write failed
-    after the fold) cannot double-count."""
+    Retried epochs are handled: the fold is keyed by epoch id, so a
+    foreachBatch replay (sink write failed after the fold) cannot
+    double-count within one process. Without ``state_path`` the
+    accumulator lives only in this process — after a driver restart the
+    merged grid restarts empty while a checkpointed source skips
+    already-read files. Pass ``state_path`` AND ``checkpoint_path``
+    together to make the query restart-durable: the merged grid +
+    candidate tokens + folded epoch ids snapshot to parquet after every
+    fold and reload on the next start, and the checkpoint keeps epoch
+    numbering monotone across restarts (the persisted epoch-id guard
+    assumes it — without a checkpoint a restarted query reuses epoch 0
+    and would skip its first batches as already-folded)."""
+    import json as _json
+    import os
     from flink_descriptive_stats_spark.operators import sketch as sk
     depth = sk.CM_DEPTH if depth is None else depth
     width = sk.CM_WIDTH if width is None else width
     grid: dict[tuple[int, int], int] = {}
     tokens: set[str] = set()
     folded_epochs: set[int] = set()
+    def _versions() -> list[int]:
+        if not (state_path and os.path.isdir(state_path)):
+            return []
+        return sorted(
+            int(n[1:]) for n in os.listdir(state_path)
+            if n.startswith("v") and n[1:].isdigit()
+            and os.path.exists(os.path.join(state_path, n, "_SUCCESS")))
+
+    latest = _versions()
+    if latest:
+        # snapshots are versioned dirs (v<epoch>); a crash mid-write leaves
+        # a _SUCCESS-less dir that is simply ignored, never a lost state
+        first = stream.sparkSession.read.parquet(
+            os.path.join(state_path, f"v{latest[-1]}"))
+        for r in first.collect():
+            if r["kind"] == "cell":
+                grid[(r["d"], r["b"])] = r["c"]
+            elif r["kind"] == "token":
+                tokens.add(r["token"])
+            else:
+                folded_epochs.update(_json.loads(r["token"]))
+
+    def _snapshot(spark, epoch_id: int) -> None:
+        import shutil
+        rows = ([("cell", d, b, c, None) for (d, b), c in grid.items()]
+                + [("token", None, None, None, t) for t in sorted(tokens)]
+                + [("meta", None, None, None,
+                    _json.dumps(sorted(folded_epochs)))])
+        (spark.createDataFrame(
+            rows, "kind string, d int, b int, c bigint, token string")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(state_path, f"v{epoch_id}")))
+        for v in _versions()[:-1]:      # keep only the newest snapshot
+            shutil.rmtree(os.path.join(state_path, f"v{v}"),
+                          ignore_errors=True)
 
     def emit(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -170,6 +214,8 @@ def start_global_topk_sketch(stream: DataFrame, sink_path: str,
                     tokens.add(r["token"])
             finally:
                 occ.unpersist()
+            if state_path:
+                _snapshot(spark, epoch_id)
         grid_df = spark.createDataFrame(
             [(d, b, c) for (d, b), c in grid.items()], "d int, b int, c bigint")
         tok_df = spark.createDataFrame([(t,) for t in sorted(tokens)],
@@ -186,5 +232,7 @@ def start_global_topk_sketch(stream: DataFrame, sink_path: str,
         (sk.rank_estimates(est, k)
          .write.mode("overwrite").parquet(sink_path))
 
-    return (stream.writeStream.outputMode("append")
-            .foreachBatch(emit).start())
+    writer = stream.writeStream.outputMode("append").foreachBatch(emit)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

@@ -280,6 +280,41 @@ def test_streaming_global_topk_sketch_equals_batch(spark, tmp_path):
     assert len(got) == 20
 
 
+def test_streaming_global_topk_sketch_restart_durable(spark, tmp_path):
+    """state_path + checkpoint_path make the sketch merge survive a query
+    restart: fold two files, stop, add a third file, start a NEW query
+    (fresh closure, same state + checkpoint) — the checkpoint skips files
+    1-2, the state reload restores their counts, and the final sink equals
+    batch countmin_topk over all three. Without the reload the restarted
+    grid would hold only file 3."""
+    from flink_descriptive_stats_spark.operators.sketch import countmin_topk
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        start_global_topk_sketch)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    chunks = str(tmp_path / "chunks")
+    docs.where(F.col("doc_id") % 3 != 2).repartition(2).write.parquet(chunks)
+    sink, state = str(tmp_path / "sink"), str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(chunks))
+        q = start_global_topk_sketch(stream, sink, text_col="text", k=20,
+                                     state_path=state, checkpoint_path=ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()                                     # files 1-2 folded, state saved
+    (docs.where(F.col("doc_id") % 3 == 2).repartition(1)
+     .write.mode("append").parquet(chunks))   # a third file lands
+    run()                                     # restart: ckpt skips 1-2
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    batch = sorted(map(tuple, countmin_topk(docs, "text", k=20).collect()))
+    assert got == batch
+
+
 def test_streaming_multi_profile_equals_batch(spark):
     """windowed_profile_multi (all numeric columns, one agg) is streaming-
     safe: readStream result == batch result over the same data."""
