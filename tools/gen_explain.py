@@ -99,6 +99,14 @@ def main() -> None:
         "bucket size.",
         fmt(spark, similarity.lsh_topk(emb))))
 
+    from flink_descriptive_stats_spark.operators import extras
+    sections.append((
+        "Rolling time-series stats (RANGE frame)",
+        "One hashpartitioning exchange on the key, per-key sort, linear "
+        "RangeFrame\nscan — the per-event trailing window without a "
+        "self-join or explode.",
+        fmt(spark, extras.rolling_stats(ev))))
+
     from flink_descriptive_stats_spark.streaming.profile_stream import (
         grouped_profile_multi, windowed_profile_multi)
     sections.append((
