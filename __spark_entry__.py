@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rolling_stats_events"] = _tq(extras.rolling_stats, "events")
     q["grouped_zscore_events"] = _tq(extras.grouped_zscore_outliers,
                                      "events")
+    q["grouped_quantiles_events"] = _tq(extras.grouped_quantiles, "events")
     q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
                                             "documents")
     q["simhash_documents"] = _tq(dedup.simhash_signatures, "documents")
@@ -625,6 +626,7 @@ def oracle_sql() -> dict[str, str]:
     o["contamination_report_documents"] = op.contamination_report_sql()
     o["rolling_stats_events"] = op.rolling_stats_sql()
     o["grouped_zscore_events"] = op.grouped_zscore_sql()
+    o["grouped_quantiles_events"] = op.grouped_quantiles_sql()
     o["ann_cosine_topk"] = op.ann_brute_force_sql()
     o["ann_lsh_multiprobe_topk"] = op.ann_lsh_sql(multiprobe=True)
     o["ann_ivf_topk"] = op.ivf_topk_sql()

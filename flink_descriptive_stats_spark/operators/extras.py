@@ -320,3 +320,25 @@ def grouped_zscore_outliers(df: DataFrame, key_col: str = "event_type",
             .where(F.abs(score.cast("double")) > z)
             .select(F.col(key_col), x.alias(value_col),
                     score.alias("zscore")))
+
+
+def grouped_quantiles(df: DataFrame, key_col: str = "event_type",
+                      value_col: str = "value",
+                      probs: tuple[float, ...] = QUARTILES,
+                      exact: bool = True) -> DataFrame:
+    """Per-GROUP percentiles in one grouped aggregation — the segment-level
+    companion to the per-column quantiles(): (key, q_25, q_50, q_75).
+
+    One shuffle keyed by the group column with map-side partial percentile
+    buffers; per-group exact percentile implies a per-group sort buffer, so
+    exact=False swaps in approx_percentile (GK, bounded memory) — at 100 TB
+    with heavy groups the sketch is the one you run."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    fn = F.percentile if exact else F.percentile_approx
+    arr = F.array(*[F.lit(p) for p in probs])
+    agg = (df.groupBy(key_col)
+           .agg(fn(F.col(value_col).cast("double"), arr).alias("__q")))
+    return agg.select(
+        F.col(key_col),
+        *[sig6(F.col("__q")[i]).alias(f"q_{int(p * 100)}")
+          for i, p in enumerate(probs)])

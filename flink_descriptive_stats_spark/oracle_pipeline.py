@@ -419,6 +419,18 @@ WHERE s.sd > 0 AND abs(CAST({score} AS DOUBLE)) > {z}
 """
 
 
+def grouped_quantiles_sql(table: str = "events",
+                          key_col: str = "event_type",
+                          value_col: str = "value",
+                          probs=(0.25, 0.5, 0.75)) -> str:
+    """Mirror of extras.grouped_quantiles (exact path)."""
+    qs = ", ".join(
+        f"{duck_sig6(f'quantile_cont(CAST({value_col} AS DOUBLE), {p})')} "
+        f"AS q_{int(p * 100)}" for p in probs)
+    return (f"SELECT {key_col}, {qs} FROM {table} "
+            f"GROUP BY {key_col}")
+
+
 def sessionize_sql(table: str = "events", gap_minutes: int = 30) -> str:
     """Gaps-and-islands mirror of pipeline_stream.sessionize. Boundary
     semantics verified against Spark's session_window: events exactly
