@@ -143,26 +143,35 @@ def start_global_topk_sketch(stream: DataFrame, sink_path: str,
     same Spark expressions as the batch operator and overwrites
     ``sink_path`` with the current (token, est, rank) top-K.
 
-    Retried epochs are handled: the fold is keyed by epoch id, so a
-    foreachBatch replay (sink write failed after the fold) cannot
-    double-count within one process. Without ``state_path`` the
-    accumulator lives only in this process — after a driver restart the
-    merged grid restarts empty while a checkpointed source skips
-    already-read files. Pass ``state_path`` AND ``checkpoint_path``
-    together to make the query restart-durable: the merged grid +
-    candidate tokens + folded epoch ids snapshot to parquet after every
-    fold and reload on the next start, and the checkpoint keeps epoch
-    numbering monotone across restarts (the persisted epoch-id guard
-    assumes it — without a checkpoint a restarted query reuses epoch 0
-    and would skip its first batches as already-folded)."""
+    Retried epochs are handled: batch ids are monotone within a run, so
+    folding only epochs above a ``last_folded`` watermark makes a
+    foreachBatch replay (sink write failed after the fold) a no-op.
+    Without ``state_path`` the accumulator lives only in this process —
+    after a driver restart the merged grid restarts empty while a
+    checkpointed source skips already-read files. Pass ``state_path`` AND
+    ``checkpoint_path`` together (enforced: either alone silently loses
+    data on restart) to make the query restart-durable: the merged grid +
+    candidate tokens + watermark snapshot to parquet after every fold and
+    reload on the next start; the checkpoint keeps epoch numbering
+    monotone across restarts, which the watermark guard relies on. The
+    snapshot records the sketch geometry and refuses to reload under a
+    different depth/width (merging grids of different shapes would
+    silently corrupt every estimate)."""
     import json as _json
     import os
     from flink_descriptive_stats_spark.operators import sketch as sk
+    if (state_path is None) != (checkpoint_path is None):
+        raise ValueError(
+            "state_path and checkpoint_path must be passed together: a "
+            "checkpointed source with no persisted grid loses pre-restart "
+            "counts; a persisted grid with no checkpoint replays epoch ids "
+            "the watermark guard would skip")
     depth = sk.CM_DEPTH if depth is None else depth
     width = sk.CM_WIDTH if width is None else width
     grid: dict[tuple[int, int], int] = {}
     tokens: set[str] = set()
-    folded_epochs: set[int] = set()
+    last_folded = -1
+
     def _versions() -> list[int]:
         if not (state_path and os.path.isdir(state_path)):
             return []
@@ -183,14 +192,21 @@ def start_global_topk_sketch(stream: DataFrame, sink_path: str,
             elif r["kind"] == "token":
                 tokens.add(r["token"])
             else:
-                folded_epochs.update(_json.loads(r["token"]))
+                meta = _json.loads(r["token"])
+                if (meta["depth"], meta["width"]) != (depth, width):
+                    raise ValueError(
+                        f"snapshot at {state_path} was built with "
+                        f"depth={meta['depth']} width={meta['width']}; "
+                        f"refusing to merge into a {depth}x{width} grid")
+                last_folded = meta["last_folded"]
 
     def _snapshot(spark, epoch_id: int) -> None:
         import shutil
+        meta = _json.dumps({"depth": depth, "width": width,
+                            "last_folded": epoch_id})
         rows = ([("cell", d, b, c, None) for (d, b), c in grid.items()]
                 + [("token", None, None, None, t) for t in sorted(tokens)]
-                + [("meta", None, None, None,
-                    _json.dumps(sorted(folded_epochs)))])
+                + [("meta", None, None, None, meta)])
         (spark.createDataFrame(
             rows, "kind string, d int, b int, c bigint, token string")
          .coalesce(1).write.mode("overwrite")
@@ -200,9 +216,10 @@ def start_global_topk_sketch(stream: DataFrame, sink_path: str,
                           ignore_errors=True)
 
     def emit(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal last_folded
         spark = batch_df.sparkSession
-        if epoch_id not in folded_epochs:
-            folded_epochs.add(epoch_id)
+        if epoch_id > last_folded:
+            last_folded = epoch_id
             # one tokenize pass feeds both the grid and the candidate set
             occ = sk._token_occurrences(batch_df, text_col).persist()
             try:
