@@ -385,6 +385,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["grouped_zscore_events"] = _tq(extras.grouped_zscore_outliers,
                                      "events")
     q["grouped_quantiles_events"] = _tq(extras.grouped_quantiles, "events")
+
+    def _windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.streaming.profile_stream import (
+            windowed_distinct)
+        return windowed_distinct(_load(spark, sf_dir, "events"))
+    q["windowed_distinct_events"] = _windowed_distinct
     q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
                                             "documents")
     q["simhash_documents"] = _tq(dedup.simhash_signatures, "documents")
@@ -627,6 +633,7 @@ def oracle_sql() -> dict[str, str]:
     o["rolling_stats_events"] = op.rolling_stats_sql()
     o["grouped_zscore_events"] = op.grouped_zscore_sql()
     o["grouped_quantiles_events"] = op.grouped_quantiles_sql()
+    o["windowed_distinct_events"] = op.windowed_distinct_sql()
     o["ann_cosine_topk"] = op.ann_brute_force_sql()
     o["ann_lsh_multiprobe_topk"] = op.ann_lsh_sql(multiprobe=True)
     o["ann_ivf_topk"] = op.ivf_topk_sql()

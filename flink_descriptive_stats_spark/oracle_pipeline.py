@@ -419,6 +419,25 @@ WHERE s.sd > 0 AND abs(CAST({score} AS DOUBLE)) > {z}
 """
 
 
+def windowed_distinct_sql(table: str = "events", ts_col: str = "ts",
+                          key_col: str = "user_id",
+                          window_hours: int = 24) -> str:
+    """Mirror of profile_stream.windowed_distinct (exact batch path):
+    Spark's window() and DuckDB's time_bucket both align whole-hour
+    durations to the epoch."""
+    return f"""
+SELECT time_bucket(INTERVAL '{window_hours} hours',
+                   CAST({ts_col} AS TIMESTAMP)) AS window_start,
+       time_bucket(INTERVAL '{window_hours} hours',
+                   CAST({ts_col} AS TIMESTAMP))
+       + INTERVAL '{window_hours} hours' AS window_end,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {key_col}) AS BIGINT) AS distinct_keys
+FROM {table}
+GROUP BY 1, 2
+"""
+
+
 def grouped_quantiles_sql(table: str = "events",
                           key_col: str = "event_type",
                           value_col: str = "value",

@@ -227,3 +227,28 @@ def streaming_windowed_profile(spark, source_dir: str, schema,
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return windowed_profile(stream, ts_col=ts_col, value_col=value_col,
                             window=window, watermark=watermark, **kwargs)
+
+
+def windowed_distinct(df: DataFrame, ts_col: str = "ts",
+                      key_col: str = "user_id",
+                      window: str = "1 day",
+                      watermark: str | None = None,
+                      exact: bool = True) -> DataFrame:
+    """Distinct keys per time window (unique users/day, the canonical
+    engagement metric): (window_start, window_end, n_rows, distinct_keys).
+
+    exact=True uses count_distinct — correct in batch (the oracle path)
+    but requires full per-window key state in streaming. exact=False uses
+    approx_count_distinct (HLL++), whose sketch state is BOUNDED and
+    MERGEABLE — the only shape that runs under watermarked streaming
+    aggregation at 100 TB; Spark rejects exact distinct aggregates on
+    streams for exactly this reason."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    fn = F.count_distinct if exact else F.approx_count_distinct
+    agg = (df.groupBy(F.window(F.col(ts_col), window).alias("win"))
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                fn(F.col(key_col)).alias("distinct_keys")))
+    return agg.select(F.col("win.start").alias("window_start"),
+                      F.col("win.end").alias("window_end"),
+                      "n_rows", "distinct_keys")

@@ -253,6 +253,31 @@ def test_streaming_topk_foreachbatch_end_to_end(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_streaming_windowed_distinct_approx(spark):
+    """exact distinct is rejected on streams (unbounded per-window key
+    state); the HLL path runs under readStream + watermark and lands
+    within the sketch's error bound of the exact batch answer."""
+    from flink_descriptive_stats_spark.streaming.profile_stream import (
+        windowed_distinct)
+    stream = _events_stream(spark)
+    got_df = windowed_distinct(stream, window="1 day", watermark="1 hour",
+                               exact=False)
+    query = (got_df.writeStream.format("memory").queryName("win_distinct")
+             .outputMode("complete").start())
+    try:
+        query.processAllAvailable()
+        got = {r["window_start"]: r["distinct_keys"]
+               for r in spark.table("win_distinct").collect()}
+    finally:
+        query.stop()
+    exact = {r["window_start"]: r["distinct_keys"]
+             for r in windowed_distinct(load_table(spark, SF_DIR, "events"),
+                                        window="1 day").collect()}
+    assert set(got) == set(exact) and len(got) > 0
+    for w, n in exact.items():
+        assert abs(got[w] - n) <= max(2, 0.1 * n), (w, got[w], n)
+
+
 def test_streaming_global_topk_sketch_equals_batch(spark, tmp_path):
     """Cross-window global top-K via count-min merge: after N micro-batches
     (3 files, maxFilesPerTrigger=1, so the cross-batch grid merge actually
