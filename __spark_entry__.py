@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             windowed_distinct)
         return windowed_distinct(_load(spark, sf_dir, "events"))
     q["windowed_distinct_events"] = _windowed_distinct
+    q["json_profile_events"] = _tq(extras.json_profile, "events")
     q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
                                             "documents")
     q["simhash_documents"] = _tq(dedup.simhash_signatures, "documents")
@@ -634,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
     o["grouped_zscore_events"] = op.grouped_zscore_sql()
     o["grouped_quantiles_events"] = op.grouped_quantiles_sql()
     o["windowed_distinct_events"] = op.windowed_distinct_sql()
+    o["json_profile_events"] = op.json_profile_sql()
     o["ann_cosine_topk"] = op.ann_brute_force_sql()
     o["ann_lsh_multiprobe_topk"] = op.ann_lsh_sql(multiprobe=True)
     o["ann_ivf_topk"] = op.ivf_topk_sql()

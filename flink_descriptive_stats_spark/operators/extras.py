@@ -342,3 +342,30 @@ def grouped_quantiles(df: DataFrame, key_col: str = "event_type",
         F.col(key_col),
         *[sig6(F.col("__q")[i]).alias(f"q_{int(p * 100)}")
           for i, p in enumerate(probs)])
+
+
+def json_profile(df: DataFrame, json_col: str = "props") -> DataFrame:
+    """Profile a semi-structured JSON-string column by KEY: one row per
+    distinct key with presence count, numeric count, and numeric min/max/
+    mean — the schema-on-read profiler for event-property bags where the
+    key set is data, not schema.
+
+    Spark-first shape: ``from_json`` to ``map<string,string>`` (no driver
+    key discovery, no per-key expressions), explode to (key, value) long
+    format — scan-local — then ONE groupBy(key) with map-side combine.
+    Key cardinality bounds the final aggregate at any input scale.
+    Numeric stats are computed on the double-castable subset; the mean
+    goes through sig6 (cross-engine summation order)."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    kv = (df.where(F.col(json_col).isNotNull())
+          .select(F.explode(
+              F.from_json(F.col(json_col), "map<string,string>"))
+              .alias("key", "value")))
+    # try_cast, not cast: ANSI mode (Spark 4 default) throws on
+    # non-numeric strings; the oracle's TRY_CAST nulls them identically
+    x = F.col("value").try_cast("double")
+    return (kv.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("present"),
+                 F.count(x).alias("numeric_n"),
+                 F.min(x).alias("min_val"), F.max(x).alias("max_val"),
+                 sig6(F.avg(x)).alias("mean_val")))

@@ -419,6 +419,29 @@ WHERE s.sd > 0 AND abs(CAST({score} AS DOUBLE)) > {z}
 """
 
 
+def json_profile_sql(table: str = "events",
+                     json_col: str = "props") -> str:
+    """Mirror of extras.json_profile: json_keys unnest + dynamic-path
+    json_extract_string (this DuckDB lacks the json_each table function).
+    json_extract_string strips quotes, matching Spark's
+    map<string,string> values; numeric stats use TRY_CAST of that text on
+    both sides."""
+    v = "TRY_CAST(json_extract_string(props, '$.\"' || key || '\"') " \
+        "AS DOUBLE)"
+    return f"""
+WITH kv AS (SELECT unnest(json_keys({json_col})) AS key, {json_col} AS props
+            FROM {table} WHERE {json_col} IS NOT NULL)
+SELECT key,
+       CAST(count(*) AS BIGINT) AS present,
+       CAST(count({v}) AS BIGINT) AS numeric_n,
+       min({v}) AS min_val,
+       max({v}) AS max_val,
+       {duck_sig6(f'avg({v})')} AS mean_val
+FROM kv
+GROUP BY key
+"""
+
+
 def windowed_distinct_sql(table: str = "events", ts_col: str = "ts",
                           key_col: str = "user_id",
                           window_hours: int = 24) -> str:

@@ -151,6 +151,25 @@ def test_duplicated_ngram_fraction(spark):
     assert got[0]["n_shingles"] == got[1]["n_shingles"] > 0
 
 
+def test_json_profile_mixed_keys(spark):
+    """Ragged key sets and mixed value types: presence counts per key,
+    numeric stats only over the castable subset, non-JSON rows ignored."""
+    from flink_descriptive_stats_spark.operators import extras
+    df = spark.createDataFrame(
+        [(1, '{"a": 1, "b": "x"}'),
+         (2, '{"a": 2.5}'),
+         (3, '{"b": "y", "c": 7}'),
+         (4, None)],
+        "id long, props string")
+    got = {r["key"]: r for r in extras.json_profile(df).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"]["present"] == 2 and got["a"]["numeric_n"] == 2
+    assert got["a"]["min_val"] == 1.0 and got["a"]["max_val"] == 2.5
+    assert got["b"]["present"] == 2 and got["b"]["numeric_n"] == 0
+    assert got["b"]["mean_val"] is None
+    assert got["c"]["present"] == 1 and got["c"]["min_val"] == 7.0
+
+
 def test_contamination_report(spark):
     """A holdout doc copied verbatim from train scores matched_fraction
     1.0; a holdout doc with no shared shingles scores 0.0."""
