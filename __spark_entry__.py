@@ -392,6 +392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return windowed_distinct(_load(spark, sf_dir, "events"))
     q["windowed_distinct_events"] = _windowed_distinct
     q["json_profile_events"] = _tq(extras.json_profile, "events")
+    q["grouped_topk_tokens_documents"] = _tq(topk.grouped_topk_tokens,
+                                             "documents")
     q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
                                             "documents")
     q["simhash_documents"] = _tq(dedup.simhash_signatures, "documents")
@@ -636,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
     o["grouped_quantiles_events"] = op.grouped_quantiles_sql()
     o["windowed_distinct_events"] = op.windowed_distinct_sql()
     o["json_profile_events"] = op.json_profile_sql()
+    o["grouped_topk_tokens_documents"] = op.grouped_topk_tokens_sql()
     o["ann_cosine_topk"] = op.ann_brute_force_sql()
     o["ann_lsh_multiprobe_topk"] = op.ann_lsh_sql(multiprobe=True)
     o["ann_ivf_topk"] = op.ivf_topk_sql()

@@ -79,3 +79,27 @@ def topk_as_maps(df: DataFrame, columns: list[str] | None = None,
     return (top.groupBy("kind", "column")
             .agg(F.map_from_entries(
                 F.collect_list(F.struct("token", "cnt"))).alias("top")))
+
+
+def grouped_topk_tokens(df: DataFrame, key_col: str = "lang",
+                        text_col: str = "text", k: int = 5) -> DataFrame:
+    """Top-K whitespace/punct tokens per GROUP (e.g. top tokens per
+    language): (key, token, cnt, rank), rank by (cnt desc, token asc).
+
+    Per-segment ranking over tokenized text — explode is scan-local, one
+    grouped count keyed by (key, token) with map-side combine, then the
+    same WindowGroupLimit funnel as the global top-K: partial limits bound
+    each partition's contribution to K rows per group BEFORE the ranking
+    exchange, so a hot group never concentrates its raw token stream."""
+    from flink_descriptive_stats_spark.functions import hashing as H
+    tok = (df.where(F.col(text_col).isNotNull()
+                    & F.col(key_col).isNotNull())
+           .select(F.col(key_col).alias("key"),
+                   F.explode(H.tokens_expr(F.col(text_col)))
+                   .alias("token")))
+    counts = tok.groupBy("key", "token").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("key").orderBy(F.col("cnt").desc(),
+                                          F.col("token").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

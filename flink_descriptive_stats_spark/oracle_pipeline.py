@@ -419,6 +419,22 @@ WHERE s.sd > 0 AND abs(CAST({score} AS DOUBLE)) > {z}
 """
 
 
+def grouped_topk_tokens_sql(table: str = "documents",
+                            key_col: str = "lang", k: int = 5) -> str:
+    """Mirror of topk.grouped_topk_tokens."""
+    return f"""
+WITH tok AS (SELECT {key_col} AS key, unnest({H.duck_tokens('text')}) AS token
+             FROM {table}
+             WHERE text IS NOT NULL AND {key_col} IS NOT NULL),
+c AS (SELECT key, token, count(*) AS cnt FROM tok GROUP BY key, token)
+SELECT key, token, CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (PARTITION BY key
+            ORDER BY cnt DESC, token ASC) AS INTEGER) AS rank
+FROM c
+QUALIFY rank <= {k}
+"""
+
+
 def json_profile_sql(table: str = "events",
                      json_col: str = "props") -> str:
     """Mirror of extras.json_profile: json_keys unnest + dynamic-path
