@@ -62,11 +62,7 @@ def topk_tokens(df: DataFrame, columns: list[str] | None = None,
 
     counts = melted.groupBy("kind", "column", "token").agg(
         F.count(F.lit(1)).alias("cnt"))
-
-    w = Window.partitionBy("kind", "column").orderBy(
-        F.col("cnt").desc(), F.col("token").asc())
-    return (counts.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    return _rank_topk(counts, ["kind", "column"], k)
 
 
 def topk_as_maps(df: DataFrame, columns: list[str] | None = None,
@@ -79,6 +75,19 @@ def topk_as_maps(df: DataFrame, columns: list[str] | None = None,
     return (top.groupBy("kind", "column")
             .agg(F.map_from_entries(
                 F.collect_list(F.struct("token", "cnt"))).alias("top")))
+
+
+def _rank_topk(counts: DataFrame, partition_cols: list[str],
+               k: int) -> DataFrame:
+    """The shared top-K funnel: deterministic (cnt desc, token asc) ties,
+    row_number + rank filter — Spark >= 3.5 plans it as a partial
+    WindowGroupLimit before the exchange, bounding every partition's
+    contribution to K rows per group. One implementation so the global and
+    grouped top-K can never diverge on tie-break or pushdown shape."""
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.col("cnt").desc(), F.col("token").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
 
 
 def grouped_topk_tokens(df: DataFrame, key_col: str = "lang",
@@ -99,7 +108,4 @@ def grouped_topk_tokens(df: DataFrame, key_col: str = "lang",
                    .alias("token")))
     counts = tok.groupBy("key", "token").agg(
         F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy("key").orderBy(F.col("cnt").desc(),
-                                          F.col("token").asc())
-    return (counts.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    return _rank_topk(counts, ["key"], k)

@@ -437,16 +437,20 @@ QUALIFY rank <= {k}
 
 def json_profile_sql(table: str = "events",
                      json_col: str = "props") -> str:
-    """Mirror of extras.json_profile: json_keys unnest + dynamic-path
-    json_extract_string (this DuckDB lacks the json_each table function).
-    json_extract_string strips quotes, matching Spark's
-    map<string,string> values; numeric stats use TRY_CAST of that text on
-    both sides."""
-    v = "TRY_CAST(json_extract_string(props, '$.\"' || key || '\"') " \
-        "AS DOUBLE)"
+    """Mirror of extras.json_profile via JSON -> MAP(VARCHAR, VARCHAR)
+    cast + map_entries unnest — no JSON-path string building, so keys
+    containing quotes/backslashes cannot break the query. Verified
+    equivalences with Spark's from_json(map<string,string>): malformed or
+    non-object JSON -> NULL map -> row dropped (TRY_CAST x2); duplicate
+    keys KEPT as separate entries on both engines; string values
+    unquoted; numeric stats via TRY_CAST on both sides."""
+    v = "TRY_CAST(value AS DOUBLE)"
     return f"""
-WITH kv AS (SELECT unnest(json_keys({json_col})) AS key, {json_col} AS props
-            FROM {table} WHERE {json_col} IS NOT NULL)
+WITH m AS (SELECT TRY_CAST(TRY_CAST({json_col} AS JSON)
+                           AS MAP(VARCHAR, VARCHAR)) AS mp
+           FROM {table} WHERE {json_col} IS NOT NULL),
+kv AS (SELECT unnest(map_entries(mp), recursive := true)
+       FROM m WHERE mp IS NOT NULL)
 SELECT key,
        CAST(count(*) AS BIGINT) AS present,
        CAST(count({v}) AS BIGINT) AS numeric_n,
@@ -473,6 +477,7 @@ SELECT time_bucket(INTERVAL '{window_hours} hours',
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT {key_col}) AS BIGINT) AS distinct_keys
 FROM {table}
+WHERE {ts_col} IS NOT NULL
 GROUP BY 1, 2
 """
 

@@ -153,18 +153,23 @@ def test_duplicated_ngram_fraction(spark):
 
 def test_json_profile_mixed_keys(spark):
     """Ragged key sets and mixed value types: presence counts per key,
-    numeric stats only over the castable subset, non-JSON rows ignored."""
+    numeric stats only over the castable subset, NULL and malformed rows
+    dropped, duplicate keys kept as separate entries (from_json map
+    semantics, mirrored by the DuckDB MAP cast)."""
     from flink_descriptive_stats_spark.operators import extras
     df = spark.createDataFrame(
         [(1, '{"a": 1, "b": "x"}'),
          (2, '{"a": 2.5}'),
          (3, '{"b": "y", "c": 7}'),
-         (4, None)],
+         (4, None),
+         (5, 'not json at all'),
+         (6, '{"a": 10, "a": 20}')],
         "id long, props string")
     got = {r["key"]: r for r in extras.json_profile(df).collect()}
     assert set(got) == {"a", "b", "c"}
-    assert got["a"]["present"] == 2 and got["a"]["numeric_n"] == 2
-    assert got["a"]["min_val"] == 1.0 and got["a"]["max_val"] == 2.5
+    # row 6 contributes TWO 'a' entries (duplicates kept)
+    assert got["a"]["present"] == 4 and got["a"]["numeric_n"] == 4
+    assert got["a"]["min_val"] == 1.0 and got["a"]["max_val"] == 20.0
     assert got["b"]["present"] == 2 and got["b"]["numeric_n"] == 0
     assert got["b"]["mean_val"] is None
     assert got["c"]["present"] == 1 and got["c"]["min_val"] == 7.0
