@@ -394,6 +394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["json_profile_events"] = _tq(extras.json_profile, "events")
     q["grouped_topk_tokens_documents"] = _tq(topk.grouped_topk_tokens,
                                              "documents")
+    q["distinct_rows_documents"] = _tq(extras.distinct_row_stats,
+                                       "documents")
     q["minhash_signatures_documents"] = _tq(dedup.minhash_signatures,
                                             "documents")
     q["simhash_documents"] = _tq(dedup.simhash_signatures, "documents")
@@ -639,6 +641,7 @@ def oracle_sql() -> dict[str, str]:
     o["windowed_distinct_events"] = op.windowed_distinct_sql()
     o["json_profile_events"] = op.json_profile_sql()
     o["grouped_topk_tokens_documents"] = op.grouped_topk_tokens_sql()
+    o["distinct_rows_documents"] = op.distinct_row_stats_sql()
     o["ann_cosine_topk"] = op.ann_brute_force_sql()
     o["ann_lsh_multiprobe_topk"] = op.ann_lsh_sql(multiprobe=True)
     o["ann_ivf_topk"] = op.ivf_topk_sql()

@@ -369,3 +369,21 @@ def json_profile(df: DataFrame, json_col: str = "props") -> DataFrame:
                  F.count(x).alias("numeric_n"),
                  F.min(x).alias("min_val"), F.max(x).alias("max_val"),
                  sig6(F.avg(x)).alias("mean_val")))
+
+
+def distinct_row_stats(df: DataFrame,
+                       columns: list[str] | None = None) -> DataFrame:
+    """Whole-row (or column-tuple) distinctness — the reference roadmap's
+    'distinct rows' (ProfileJob.java:67): one row with (n_rows,
+    distinct_rows, duplicate_rows).
+
+    count_distinct over a struct of the columns — one aggregation, NULL
+    fields compare equal inside the tuple on both engines. At 100 TB the
+    exact tuple-distinct is a full shuffle of the projected tuple space;
+    pair with approx_distinct_counts for the sketch answer."""
+    cols = columns or [f.name for f in df.schema.fields]
+    return (df.agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.count_distinct(F.struct(*[F.col(c) for c in cols]))
+                   .alias("distinct_rows"))
+            .withColumn("duplicate_rows",
+                        F.col("n_rows") - F.col("distinct_rows")))

@@ -419,6 +419,18 @@ WHERE s.sd > 0 AND abs(CAST({score} AS DOUBLE)) > {z}
 """
 
 
+def distinct_row_stats_sql(table: str = "documents",
+                           columns: tuple[str, ...] = ()) -> str:
+    """Mirror of extras.distinct_row_stats."""
+    from flink_descriptive_stats_spark.oracle import TABLE_SCHEMAS
+    cols = list(columns) or [c for c, _ in TABLE_SCHEMAS[table]]
+    tup = ", ".join(cols)
+    return (f"SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(DISTINCT ({tup})) AS BIGINT) AS distinct_rows, "
+            f"CAST(count(*) - count(DISTINCT ({tup})) AS BIGINT) "
+            f"AS duplicate_rows FROM {table}")
+
+
 def grouped_topk_tokens_sql(table: str = "documents",
                             key_col: str = "lang", k: int = 5) -> str:
     """Mirror of topk.grouped_topk_tokens."""

@@ -151,6 +151,20 @@ def test_duplicated_ngram_fraction(spark):
     assert got[0]["n_shingles"] == got[1]["n_shingles"] > 0
 
 
+def test_distinct_row_stats(spark):
+    """Whole-row duplicates counted; NULL fields compare equal inside the
+    tuple; column subset restricts the tuple."""
+    from flink_descriptive_stats_spark.operators import extras
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, None), (2, None), (3, "c")],
+        "x long, y string")
+    r = extras.distinct_row_stats(df).collect()[0]
+    assert r["n_rows"] == 5 and r["distinct_rows"] == 3
+    assert r["duplicate_rows"] == 2
+    r2 = extras.distinct_row_stats(df, columns=["x"]).collect()[0]
+    assert r2["distinct_rows"] == 3 and r2["duplicate_rows"] == 2
+
+
 def test_json_profile_mixed_keys(spark):
     """Ragged key sets and mixed value types: presence counts per key,
     numeric stats only over the castable subset, NULL and malformed rows
