@@ -62,3 +62,18 @@ def test_cli_subcommands(spark, capsys, tmp_path):
                "--method", "lsh", "--k", "3"])
     assert rc == 0
     assert "query_id" in capsys.readouterr().out
+
+    rc = main(["ann", "/root/testdata/sf0.001/embeddings.parquet",
+               "--method", "lsh-multiprobe", "--k", "3"])
+    assert rc == 0
+    assert "query_id" in capsys.readouterr().out
+
+    rc = main(["dedup", "/root/testdata/sf0.001/documents.parquet",
+               "--method", "dup-fraction"])
+    assert rc == 0
+    assert "dup_fraction" in capsys.readouterr().out
+
+    rc = main(["dedup", "/root/testdata/sf0.001/documents.parquet",
+               "--method", "containment-pairs", "--threshold", "0.5"])
+    assert rc == 0
+    assert "containment_a" in capsys.readouterr().out
