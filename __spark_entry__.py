@@ -53,15 +53,26 @@ def _profile_multitask(table: str = "lineitem", n_files: int = 32):
         base = f"/root/repo/scratch/multitask/{name}"
         out = f"{base}/{table}.parquet"
         src = f"{sf_dir}/{table}.parquet"
-        marker = os.path.join(out, "_SUCCESS")
+        stamp = os.path.join(base, f"{table}.srcstamp")
         # staleness guard: the testdata fixtures get regenerated between
-        # rounds, so a marker older than the source means the copy holds
-        # last round's rows and would diverge from the oracle
-        fresh = (os.path.exists(marker)
-                 and os.path.getmtime(marker) >= os.path.getmtime(src))
-        if not fresh:
+        # rounds, so a stale copy would hold last round's rows and diverge
+        # from the oracle. Keyed on source CONTENT identity (size + mtime_ns
+        # recorded at copy time), not a bare mtime comparison — a fixture
+        # regenerated with a preserved/older timestamp (archive extraction,
+        # clock skew) still changes the recorded tuple and forces a rebuild.
+        # SPARK_GRAFT_MULTITASK_REBUILD=1 force-rebuilds unconditionally.
+        st = os.stat(src)
+        want = f"{st.st_size}:{st.st_mtime_ns}"
+        have = None
+        if os.path.exists(stamp):
+            with open(stamp) as fh:
+                have = fh.read().strip()
+        if (have != want or os.environ.get("SPARK_GRAFT_MULTITASK_REBUILD")
+                or not os.path.exists(os.path.join(out, "_SUCCESS"))):
             (_load(spark, sf_dir, table).repartition(n_files)
              .write.mode("overwrite").parquet(out))
+            with open(stamp, "w") as fh:
+                fh.write(want)
         return prof.profile(_load(spark, base, table))
     return q
 
@@ -97,14 +108,64 @@ _HISTOGRAMS = (("lineitem", "l_extendedprice"), ("events", "value"))
 # map fall back to default_rate=0.25)
 MIX_RATES = (("src0", 1.0), ("src1", 0.5), ("src2", 0.1), ("src3", 0.0))
 
+# The driver's correctness gate checks exactly the FIRST 50 entries of
+# queries() (insertion order). This tuple IS the window: one representative
+# per DISTINCT operator family, rotated each round so newly added families
+# get a hard driver-enforced signal. Round-5 rotation (VERDICT r4 item #1):
+# ten per-family duplicates demoted to 51+ (each family keeps a gated
+# sibling — see the demotion notes at the 51+ section) in favor of the ten
+# round-4 families that previously sat outside the window.
+GATED_50 = (
+    # core profiler + per-column stats (lineitem = numerics/decimals/dates,
+    # events = timestamps/strings; string rendering also via topk/documents
+    # operators below)
+    "profile_lineitem", "profile_events",
+    "topk_lineitem",
+    "completeness_lineitem",
+    "quartiles_lineitem", "outliers_lineitem", "corr_lineitem",
+    "histogram_lineitem_l_extendedprice",
+    "jb_report_lineitem",
+    # streaming operators (batch-mode plans)
+    "windowed_profile_events", "sessionize_events", "windowed_topk_events",
+    "windowed_distinct_events",
+    # joins + source parity
+    "asof_join_events", "range_join_events", "profile_nation_csv",
+    # dedup / decontamination family
+    "dedup_exact_documents", "decontaminate_fuzzy_documents",
+    "minhash_pairs_documents", "neardup_clusters_documents",
+    "simhash_near_pairs_documents", "ngram_jaccard_pairs_documents",
+    "ngram_containment_pairs_documents",
+    "duplicated_ngram_fraction_documents", "contamination_report_documents",
+    "embedding_neardup_pairs", "embedding_neardup_lsh",
+    # similarity search
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "embedding_dim_profile",
+    # text analysis
+    "text_stats_documents", "quality_filter_documents", "lang_id_documents",
+    "fingerprints_documents", "vocabulary_documents",
+    "grouped_topk_tokens_documents",
+    # sketches / sampling
+    "countmin_topk_documents", "hash_split_documents",
+    "mixture_sample_documents",
+    # multimodal plumbing
+    "multimodal_frames_documents",
+    # cleaning / drift / prep
+    "pii_scan_documents", "repetition_stats_documents", "chunk_documents",
+    "psi_drift_documents",
+    # round-4 families promoted this round
+    "rolling_stats_events", "grouped_zscore_events",
+    "grouped_quantiles_events", "json_profile_events",
+    "distinct_rows_documents",
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All engine queries. INSERTION ORDER IS LOAD-BEARING: the driver's
-    correctness gate checks exactly the first 50 entries, so the first 50
-    are one representative per DISTINCT operator family (lineitem/events/
-    documents between them cover every dtype). Per-table repeats of
-    already-gated operators and the rows-only sketch/stub variants follow
-    from position 51."""
+    correctness gate checks exactly the first 50 entries. The returned dict
+    is reordered so ``GATED_50`` (one representative per DISTINCT operator
+    family; lineitem/events/documents between them cover every dtype) comes
+    first, in that order; per-table repeats of already-gated operators and
+    the rows-only sketch/stub variants follow from position 51."""
     from flink_descriptive_stats_spark.operators import (dedup, multimodal,
                                                          sampling, similarity,
                                                          sketch)
@@ -112,7 +173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    # ---- gated window (first 50): one entry per operator family ----------
+    # NOTE: definition order below is historical; the ACTUAL gate window is
+    # the GATED_50 reorder applied at the end of this function.
     # core profiler over the three dtype-covering tables
     for table in ("lineitem", "events", "documents"):
         q[f"profile_{table}"] = _profile_table(table)
@@ -326,7 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (window size is pinned by tests/test_query_window.py — a runtime
     # assert here would kill the driver's whole gate on a future drift)
 
-    # ---- positions 51+: per-table repeats of gated operators -------------
+    # ---- per-table repeats of gated operators ----------------------------
     # (oracle-backed, verified by tools/verify_local.py; kept out of the
     # 50-slot driver gate so every distinct operator family stays inside it)
     q["profile_lineitem_multitask"] = _profile_multitask("lineitem")
@@ -484,7 +546,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                         "lineitem")
     q["quartiles_approx_lineitem"] = _tq(extras.quantiles, "lineitem",
                                          exact=False)
-    return q
+
+    # Reorder: GATED_50 first (the driver-enforced window), everything else
+    # after in original insertion order. Round-5 demotions to 51+, each
+    # still oracle-backed and family-covered inside the window:
+    #   profile_documents / topk_documents  (profile_lineitem+events, topk_
+    #     lineitem gate the families; documents strings exercised by the
+    #     gated text/dedup operators)
+    #   decontaminate_exact      (fuzzy sibling gates the family)
+    #   distinct_lineitem        (distinct_rows + windowed_distinct gate
+    #     distinctness; per-column exact path still verified locally)
+    #   dedup_corpus             (composition of gated exact_dedup +
+    #     neardup_clusters)
+    #   token_length_histogram   (composition of gated text_stats +
+    #     histogram)
+    #   multimodal_meta          (frames sibling gates the family)
+    #   grouped_profile_events   (windowed_profile gates the keyed-profile
+    #     aggregate bundle)
+    #   pack_sequences           (hash_split + mixture gate sampling/prep)
+    #   corpus_summary           (five text-analysis siblings stay gated)
+    assert all(n in q for n in GATED_50), [n for n in GATED_50 if n not in q]
+    return ({n: q[n] for n in GATED_50}
+            | {n: f for n, f in q.items() if n not in GATED_50})
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,10 +1,22 @@
 """The driver's correctness gate checks exactly the FIRST 50 entries of
 queries() (insertion order). These invariants keep every distinct operator
-family inside that window and fully oracle-backed."""
+family inside that window and fully oracle-backed.
+
+Round-5 rotation (VERDICT r4 item #1): the ten round-4 operator families
+are promoted into the window; ten per-family duplicates are demoted to 51+
+(each family keeps a gated sibling — see the demotion notes in
+``__spark_entry__.queries``)."""
 
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+
+def test_gated_window_is_exactly_gated50():
+    import __spark_entry__ as m
+    q = m.queries()
+    assert list(q)[:50] == list(m.GATED_50)
+    assert len(m.GATED_50) == len(set(m.GATED_50)) == 50
 
 
 def test_gated_window_holds_all_operator_families():
@@ -14,20 +26,36 @@ def test_gated_window_holds_all_operator_families():
     first50 = names[:50]
     # every gated slot is oracle-backed (no rows-only query wastes a slot)
     assert all(n in o for n in first50), [n for n in first50 if n not in o]
-    # one representative per family: no operator name appears only at 51+
-    # unless its family representative is gated earlier
-    families = {n.rsplit("_", 1)[0] for n in first50}
-    assert "profile_lineitem" in first50 and "topk_documents" in first50
-    for must in ("simhash_near_pairs_documents",
+    # round-5 promotions (VERDICT r4 item #1) are inside the window
+    for must in ("rolling_stats_events", "grouped_zscore_events",
+                 "grouped_quantiles_events", "windowed_distinct_events",
+                 "json_profile_events", "grouped_topk_tokens_documents",
+                 "distinct_rows_documents",
+                 "ngram_containment_pairs_documents",
+                 "duplicated_ngram_fraction_documents",
+                 "contamination_report_documents",
+                 # carried family representatives
+                 "profile_lineitem", "topk_lineitem",
+                 "simhash_near_pairs_documents",
                  "ngram_jaccard_pairs_documents",
-                 "embedding_neardup_pairs", "ann_ivf_topk",
+                 "embedding_neardup_pairs", "embedding_neardup_lsh",
+                 "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
                  "text_stats_documents", "hash_split_documents",
-                 "multimodal_meta_documents", "sessionize_events",
-                 "dedup_corpus_documents", "windowed_topk_events",
-                 # round-3 promotions (VERDICT r2 item #7)
-                 "pii_scan_documents", "repetition_stats_documents",
-                 "chunk_documents", "psi_drift_documents"):
+                 "multimodal_frames_documents", "sessionize_events",
+                 "windowed_topk_events", "pii_scan_documents",
+                 "repetition_stats_documents", "chunk_documents",
+                 "psi_drift_documents", "countmin_topk_documents"):
         assert must in first50, must
+    # every demoted duplicate still exists at 51+ with its oracle intact
+    for demoted in ("profile_documents", "topk_documents",
+                    "decontaminate_exact_documents", "distinct_lineitem",
+                    "dedup_corpus_documents",
+                    "token_length_histogram_documents",
+                    "multimodal_meta_documents", "grouped_profile_events",
+                    "pack_sequences_documents", "corpus_summary_documents"):
+        assert demoted in names[50:], demoted
+        assert demoted in o, demoted
+    families = {n.rsplit("_", 1)[0] for n in first50}
     assert len(families) >= 40          # 50 slots, near-zero repeats
     # oracle keys all resolve to queries
     assert not [k for k in o if k not in q]
