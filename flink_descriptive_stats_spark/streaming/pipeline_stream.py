@@ -124,7 +124,8 @@ def start_global_topk_sketch(stream: DataFrame, sink_path: str,
                              width: int | None = None,
                              max_candidates: int = 10_000,
                              state_path: str | None = None,
-                             checkpoint_path: str | None = None):
+                             checkpoint_path: str | None = None,
+                             _collect_probe=None):
     """Cross-window GLOBAL top-K over an unbounded stream via count-min
     merge — the sketch path windowed_token_counts documents as the only
     scalable answer to global ranking on a stream.
@@ -137,11 +138,15 @@ def start_global_topk_sketch(stream: DataFrame, sink_path: str,
     grid after N batches is IDENTICAL to the batch grid over the
     concatenated data: streaming == batch exactly, asserted in tests.
     Candidate tokens are the union of per-batch distincts, pruned to the
-    top ``max_candidates`` by current estimate when they overflow (the
-    standard heavy-hitters candidate cap; exact for vocabularies under the
-    cap). Each epoch re-ranks candidates against the merged grid with the
-    same Spark expressions as the batch operator and overwrites
-    ``sink_path`` with the current (token, est, rank) top-K.
+    top ``max_candidates`` by current estimate (the standard heavy-hitters
+    candidate cap; exact for vocabularies under the cap). The pruning runs
+    IN SPARK: each epoch unions the carried (bounded) candidate set with
+    the epoch's distinct tokens, ranks the union by count-min estimate
+    with the same expressions as the batch operator, and collects only the
+    top ``max_candidates`` rows — the driver never holds an epoch's full
+    vocabulary, so candidate state is O(max_candidates) regardless of
+    stream vocabulary size. The sink gets the current (token, est, rank)
+    top-K from the same ranked result, overwritten every epoch.
 
     Retried epochs are handled: batch ids are monotone within a run, so
     folding only epochs above a ``last_folded`` watermark makes a
@@ -218,36 +223,52 @@ def start_global_topk_sketch(stream: DataFrame, sink_path: str,
     def emit(batch_df: DataFrame, epoch_id: int) -> None:
         nonlocal last_folded
         spark = batch_df.sparkSession
+
+        def _grid_df() -> DataFrame:
+            return spark.createDataFrame(
+                [(d, b, c) for (d, b), c in grid.items()],
+                "d int, b int, c bigint")
+
+        def _tok_df() -> DataFrame:
+            return spark.createDataFrame([(t,) for t in sorted(tokens)],
+                                         "token string")
+
         if epoch_id > last_folded:
             last_folded = epoch_id
-            # one tokenize pass feeds both the grid and the candidate set
+            # one tokenize pass feeds both the grid and the candidate rank
             occ = sk._token_occurrences(batch_df, text_col).persist()
             try:
                 for r in sk.countmin_grid_from_occurrences(
                         occ, depth, width).collect():
                     key = (r["d"], r["b"])
                     grid[key] = grid.get(key, 0) + r["c"]
-                for r in occ.distinct().collect():
-                    tokens.add(r["token"])
+                # candidate pruning IN Spark: carried bounded set UNION the
+                # epoch's distinct tokens, ranked by current estimate; only
+                # the top max_candidates rows ever reach the driver
+                cand = _tok_df().unionAll(occ.distinct()).distinct()
+                est = sk.estimate_tokens(_grid_df(), cand, depth, width)
+                kept = sk.rank_estimates(est, max_candidates).collect()
+                tokens.clear()
+                tokens.update(r["token"] for r in kept)
             finally:
                 occ.unpersist()
+            if _collect_probe is not None:
+                _collect_probe(len(kept))
             if state_path:
                 _snapshot(spark, epoch_id)
-        grid_df = spark.createDataFrame(
-            [(d, b, c) for (d, b), c in grid.items()], "d int, b int, c bigint")
-        tok_df = spark.createDataFrame([(t,) for t in sorted(tokens)],
-                                       "token string")
-        est = sk.estimate_tokens(grid_df, tok_df, depth, width)
-        if len(tokens) > max_candidates:
-            keep = sk.rank_estimates(est, max_candidates)
-            tokens.intersection_update(
-                r["token"] for r in keep.select("token").collect())
-            est = sk.estimate_tokens(
-                grid_df, spark.createDataFrame(
-                    [(t,) for t in sorted(tokens)], "token string"),
-                depth, width)
-        (sk.rank_estimates(est, k)
-         .write.mode("overwrite").parquet(sink_path))
+            # sink from the already-ranked rows (rank <= k is a prefix of
+            # the rank <= max_candidates ordering — no recomputation)
+            (spark.createDataFrame(
+                [(r["token"], r["est"], r["rank"])
+                 for r in kept if r["rank"] <= k],
+                "token string, est bigint, rank int")
+             .write.mode("overwrite").parquet(sink_path))
+        else:
+            # replayed epoch (sink write failed after the fold): re-rank
+            # the bounded candidate set against the already-merged grid
+            est = sk.estimate_tokens(_grid_df(), _tok_df(), depth, width)
+            (sk.rank_estimates(est, k)
+             .write.mode("overwrite").parquet(sink_path))
 
     writer = stream.writeStream.outputMode("append").foreachBatch(emit)
     if checkpoint_path:

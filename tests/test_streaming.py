@@ -305,6 +305,53 @@ def test_streaming_global_topk_sketch_equals_batch(spark, tmp_path):
     assert len(got) == 20
 
 
+def test_streaming_global_topk_sketch_bounded_collect(spark, tmp_path):
+    """The candidate path is distributed (VERDICT r4 item #2): pruning
+    runs in Spark and the driver collects at most max_candidates rows per
+    epoch, even when the stream vocabulary is far larger than the cap. With
+    the cap above k the sink still ranks the true heavy hitters (candidates
+    are ranked by the merged grid's estimate each epoch)."""
+    from flink_descriptive_stats_spark.operators.sketch import countmin_topk
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        start_global_topk_sketch)
+    # synthetic corpus: 20 heavy hitters (~90 occurrences each) + ~1800
+    # one-off filler tokens — the fixture documents vocab (31 tokens) is
+    # too small for a candidate cap to ever bind
+    docs = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("hot"), (F.col("id") % 20).cast("string")),
+            F.concat(F.lit("hot"), (F.col("id") % 20).cast("string")),
+            F.concat(F.lit("hot"), (F.col("id") % 20).cast("string")),
+            F.concat(F.lit("ua"), F.col("id").cast("string")),
+            F.concat(F.lit("ub"), F.col("id").cast("string")),
+            F.concat(F.lit("uc"), F.col("id").cast("string"))).alias("text"))
+    cap = 40
+    chunks = str(tmp_path / "chunks")
+    docs.repartition(3).write.parquet(chunks)
+    sink = str(tmp_path / "topk_sink")
+    sizes: list[int] = []
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(chunks))
+    query = start_global_topk_sketch(stream, sink, text_col="text", k=20,
+                                     max_candidates=cap,
+                                     _collect_probe=sizes.append)
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    assert len(sizes) >= 3                    # one probe per folded epoch
+    assert all(s <= cap for s in sizes), sizes
+    got = {r["token"] for r in spark.read.parquet(sink).collect()}
+    assert len(got) == 20
+    batch = {r["token"]
+             for r in countmin_topk(docs, "text", k=20).collect()}
+    # the heavy hitters appear in every epoch, so ranking the bounded
+    # candidate set by merged-grid estimate recovers them exactly
+    assert got == batch, (got, batch)
+
+
 def test_streaming_global_topk_sketch_restart_durable(spark, tmp_path):
     """state_path + checkpoint_path make the sketch merge survive a query
     restart: fold two files, stop, add a third file, start a NEW query
