@@ -528,7 +528,7 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, id_col: str = "vec_id",
                                  threshold: float = 0.95,
                                  n_tables: int = 8, bits_per_table: int = 8,
                                  dim: int = 64,
-                                 max_bucket: int | None = None) -> DataFrame:
+                                 max_bucket: int | None = 65536) -> DataFrame:
     """Sub-quadratic embedding near-dup: banded hyperplane-LSH candidate
     generation + exact cosine recheck — the scale path next to the exact
     block-GEMM ``embedding_near_dup_pairs``.
@@ -553,12 +553,21 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, id_col: str = "vec_id",
     ~2s at sf0.1: interpreted HOF folds over millions of candidate pairs
     lose to Arrow-batched BLAS by far.) ``max_bucket`` drops degenerate
     buckets (dead-center vectors) the same way the MinHash band join caps
-    boilerplate clusters, and bounds per-task memory."""
+    boilerplate clusters, and bounds per-task memory. The default (65536
+    vectors ~ 32 MB of float64 at dim=64, a comfortable single-task GEMM)
+    is finite on purpose: with few buckets (small bits_per_table) one
+    bucket's collect_list plus its O(bucket^2) GEMM would otherwise grow
+    with corpus size in a single task. Dropping loses that bucket's pairs
+    — when recall over dense clusters matters, raise bits_per_table so
+    buckets subdivide (or salt-split the bucket and accept intra-split
+    recall only) instead of raising max_bucket unboundedly; exact md5
+    dedup upstream already removes the identical-text mass that creates
+    degenerate buckets."""
     from flink_descriptive_stats_spark.operators.similarity import (
         lsh_table_codes, with_norm)
     d = with_norm(df, id_col, vec_col)
     coded = d.withColumn(
-        "codes", lsh_table_codes(F.col("v"), n_tables, bits_per_table, dim))
+        "codes", lsh_table_codes("v", n_tables, bits_per_table, dim))
     dl = coded.select("id", "v", "norm",
                       F.posexplode("codes").alias("tbl", "bucket"))
     packed = (dl.groupBy("tbl", "bucket")

@@ -34,12 +34,21 @@ from pyspark.sql import functions as F
 
 def with_norm(df: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:
-    """(id, v: array<double>, norm). Norm = sqrt(sum v_i^2), left-fold."""
+    """(id, v: array<double>, norm). Norm = sqrt(sum v_i^2), left-fold.
+
+    NULL and zero-norm vectors are dropped: cosine against a zero vector is
+    0/0 = NaN, and NaN ordering DIVERGES between engines (Spark comparators
+    fall through to the tiebreak, DuckDB ORDER BY sorts NaN largest), so a
+    degenerate vector would get engine-dependent IVF cell assignment and
+    ranks. Filtering makes every downstream cosine well-defined on both.
+    The synthetic fixtures contain no such vectors, so gated outputs are
+    unchanged."""
     v = F.col(vec_col).cast("array<double>")
     dot_self = F.aggregate(F.zip_with(v, v, lambda x, y: x * y),
                            F.lit(0.0), lambda acc, z: acc + z)
-    return df.select(F.col(id_col).alias("id"), v.alias("v"),
-                     F.sqrt(dot_self).alias("norm"))
+    return (df.select(F.col(id_col).alias("id"), v.alias("v"),
+                      F.sqrt(dot_self).alias("norm"))
+            .where(F.col("norm") > 0))
 
 
 def cosine_expr(a: str, b: str):
@@ -107,6 +116,22 @@ def _hp_component(j: int, i: int) -> float:
     return (_mix64((j << 32) | i) >> 12) / float(1 << 52) * 2.0 - 1.0
 
 
+def _dlit(x: float) -> str:
+    """Exact double literal for Spark SQL text. repr() emits the shortest
+    decimal that round-trips to the same double in Python; the JVM's
+    parseDouble of the same text is also correctly rounded, so the parsed
+    value is bit-identical — same exactness as F.lit(float(...))."""
+    return repr(float(x)) + "D"
+
+
+def _dot_sql(vec_sql: str, comps) -> str:
+    """SQL text for the index-order left-fold dot product of a vector
+    column against inlined literal components."""
+    arr = ",".join(_dlit(c) for c in comps)
+    return (f"aggregate(zip_with({vec_sql}, array({arr}), "
+            f"(x, y) -> x * y), 0.0D, (acc, z) -> acc + z)")
+
+
 def ranked_cells_expr(crows) -> F.Column:
     """array<struct<cos_c, cell_id>> of per-cell cosines against inlined
     centroid literals, sorted (cos desc, cell_id asc) — the NARROW argmax
@@ -115,40 +140,40 @@ def ranked_cells_expr(crows) -> F.Column:
     cannot drift between them or from the unrolled SQL oracle).
 
     ``crows`` are collected Rows with cell_id/cv/cnorm — bounded metadata
-    (<= n_cells); F.lit(float(...)) is an exact double round-trip."""
-    def cell_score(r):
-        arr = F.array(*[F.lit(float(c)) for c in r["cv"]])
-        dot = F.aggregate(F.zip_with(F.col("v"), arr, lambda x, y: x * y),
-                          F.lit(0.0), lambda acc, z: acc + z)
-        return F.struct(
-            (dot / (F.col("norm") * F.lit(float(r["cnorm"]))))
-            .alias("cos_c"),
-            F.lit(int(r["cell_id"])).cast("long").alias("cell_id"))
-
-    def cmp(x, y):
-        return (F.when(x["cos_c"] > y["cos_c"], F.lit(-1))
-                .when(x["cos_c"] < y["cos_c"], F.lit(1))
-                .when(x["cell_id"] < y["cell_id"], F.lit(-1))
-                .when(x["cell_id"] > y["cell_id"], F.lit(1))
-                .otherwise(F.lit(0)))
-
-    return F.array_sort(
-        F.array(*[cell_score(r)
-                  for r in sorted(crows, key=lambda r: r["cell_id"])]), cmp)
+    (<= n_cells). Built as ONE SQL string parsed JVM-side: constructing
+    the same tree through the Column API costs ~1.5s of Py4J round-trips
+    per build at 16 cells x 64 dims (measured — it was most of the
+    ann_ivf_kmeans bench regression, built once per Lloyd round plus once
+    for the search), vs milliseconds for text. NaN cannot arise: with_norm
+    guarantees norm > 0 and centroid norms are norms of nonempty member
+    means."""
+    cells = ", ".join(
+        f"named_struct('cos_c', {_dot_sql('v', r['cv'])} / "
+        f"(norm * {_dlit(r['cnorm'])}), "
+        f"'cell_id', CAST({int(r['cell_id'])} AS BIGINT))"
+        for r in sorted(crows, key=lambda r: r["cell_id"]))
+    cmp = ("(a, b) -> CASE WHEN a.cos_c > b.cos_c THEN -1 "
+           "WHEN a.cos_c < b.cos_c THEN 1 "
+           "WHEN a.cell_id < b.cell_id THEN -1 "
+           "WHEN a.cell_id > b.cell_id THEN 1 ELSE 0 END")
+    return F.expr(f"array_sort(array({cells}), {cmp})")
 
 
-def lsh_bucket_expr(vec: F.Column, planes: list[list[float]]):
-    """Bucket id = sign-bit code of the vector against each hyperplane."""
-    terms = []
-    for j, hp in enumerate(planes):
-        arr = F.array(*[F.lit(c) for c in hp])
-        dot = F.aggregate(F.zip_with(vec, arr, lambda x, y: x * y),
-                          F.lit(0.0), lambda acc, z: acc + z)
-        terms.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+def lsh_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL text for a bucket id = sign-bit code of the vector against each
+    hyperplane (text for the same Py4J-cost reason as ranked_cells_expr:
+    plane literals are n_planes x dim doubles)."""
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_sql(vec_sql, hp)} >= 0.0D "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, hp in enumerate(planes))
+    return f"({terms})"
+
+
+def lsh_bucket_expr(vec_sql: str, planes: list[list[float]]) -> F.Column:
+    """Column view of ``lsh_bucket_sql`` (``vec_sql`` is the vector
+    column's SQL name/expression, e.g. ``"v"``)."""
+    return F.expr(lsh_bucket_sql(vec_sql, planes))
 
 
 def embedding_dim_profile(df: DataFrame, id_col: str = "vec_id",
@@ -171,18 +196,20 @@ def embedding_dim_profile(df: DataFrame, id_col: str = "vec_id",
                  F.max("x").alias("max_val")))
 
 
-def lsh_table_codes(vec: F.Column, n_tables: int, bits_per_table: int,
+def lsh_table_codes(vec_sql: str, n_tables: int, bits_per_table: int,
                     dim: int) -> F.Column:
     """array<int> of per-table LSH codes: table t's code packs the sign bits
     of the vector against planes [t*b, (t+1)*b) — the banding scheme MinHash
-    LSH uses (dedup.py band keys), applied to hyperplane bits."""
+    LSH uses (dedup.py band keys), applied to hyperplane bits. ``vec_sql``
+    is the vector column's SQL name (one parsed SQL string; the Column API
+    costs seconds of Py4J round-trips at n_tables x bits x dim literals)."""
     codes = []
     for t in range(n_tables):
         planes = [[_hp_component(t * bits_per_table + j, i)
                    for i in range(dim)]
                   for j in range(bits_per_table)]
-        codes.append(lsh_bucket_expr(vec, planes))
-    return F.array(*codes)
+        codes.append(lsh_bucket_sql(vec_sql, planes))
+    return F.expr(f"array({', '.join(codes)})")
 
 
 def lsh_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
@@ -214,7 +241,7 @@ def lsh_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
     recall with fewer tables, i.e. L× less index space, at (b+1)× more
     bucket lookups per query."""
     d = with_norm(df, id_col, vec_col).withColumn(
-        "codes", lsh_table_codes(F.col("v"), n_tables, bits_per_table, dim))
+        "codes", lsh_table_codes("v", n_tables, bits_per_table, dim))
     q = d
     if max_query_id is not None:
         q = q.where(F.col("id") < max_query_id)
@@ -247,47 +274,48 @@ def lsh_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
             .where(F.col("rank") <= k))
 
 
-def kmeans_centroids(df: DataFrame, n_cells: int = 16, iters: int = 2,
-                     id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
-    """Lloyd-refined IVF centroids as a pure DataFrame loop — deterministic
-    (seeded by the first ``n_cells`` ids, fixed iteration count, argmax ties
-    broken by cell id), no RNG, no driver-side vectors.
+def kmeans_centroid_rows(df: DataFrame, n_cells: int = 16, iters: int = 2,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> list:
+    """Lloyd-refined IVF centroids, returned as COLLECTED (cell_id, cv,
+    cnorm) rows — deterministic (seeded by the first ``n_cells`` ids, fixed
+    iteration count, argmax ties broken by cell id), no RNG.
 
     Per iteration: (1) assign every vector to its nearest centroid by
-    cosine — corpus scan x broadcast centroids, WindowGroupLimit argmax;
-    (2) recompute each centroid as the per-dimension mean of its members —
-    posexplode to (cell, dim, x), ONE groupBy(cell, dim) with map-side
-    partial avg, regroup to arrays. Both steps are scan-parallel; the only
-    shuffles are keyed by (cell, dim) — cardinality n_cells x dim, tiny at
-    any corpus size. Cells that lose all members drop out (k shrinks),
-    the standard Lloyd degeneracy.
+    cosine — centroids are bounded metadata (<= n_cells rows) inlined as
+    literals, so the assignment is a NARROW argmax over the corpus scan
+    with zero exchange on the corpus side; (2) recompute each centroid as
+    the per-dimension mean of its members — posexplode to (cell, dim, x),
+    ONE groupBy(cell, dim) with map-side partial avg, regroup to arrays.
+    The only shuffles are keyed by (cell, dim) — cardinality n_cells x dim,
+    tiny at any corpus size. Cells that lose all members drop out (k
+    shrinks), the standard Lloyd degeneracy.
 
-    Returns (cell_id, cv: array<double>, cnorm) ready for the IVF search
-    plan."""
-    d = with_norm(df, id_col, vec_col)
-    # each Lloyd round materializes (collect of the next centroid table),
-    # so without a persist the corpus scan + norm reruns per iteration —
-    # standard practice is caching the working set across rounds
-    # (MEMORY_AND_DISK: spills rather than OOMs on big corpora)
+    Returning rows (not a DataFrame) keeps the job count at exactly
+    iters + 1: one bounded collect per refinement round and one for the
+    seeds. The round-4 shape materialized the final centroid pipeline
+    TWICE more — an eager localCheckpoint re-ran the last refinement end
+    to end, then the caller's ``base.collect()`` added another job — which
+    is what regressed the sf0.1 bench 3.15s -> 5.95s (the per-job cost is
+    dominated by codegen of the inlined-centroid argmax, so redundant jobs
+    are expensive even on a tiny corpus)."""
+    # each Lloyd round materializes (bounded collect of the next centroid
+    # table), so without a persist the corpus scan + norm reruns per
+    # iteration — standard practice is caching the working set across
+    # rounds (MEMORY_AND_DISK: spills rather than OOMs on big corpora)
     from pyspark import StorageLevel
-    d = d.persist(StorageLevel.MEMORY_AND_DISK)
-    cents = (d.where(F.col("id") < n_cells)
-             .select(F.col("id").alias("cell_id"), F.col("v").alias("cv"),
-                     F.col("norm").alias("cnorm")))
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    d = with_norm(df, id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    rows = (d.where(F.col("id") < n_cells)
+            .select(F.col("id").alias("cell_id"), F.col("v").alias("cv"),
+                    F.col("norm").alias("cnorm")).collect())
     for _ in range(iters):
-        # centroids are bounded metadata (<= n_cells rows): collect and
-        # inline as literals, so the assignment is a NARROW argmax over the
-        # corpus scan — no per-iteration crossJoin + Window exchange keyed
-        # by vector id (the round-3 shape shuffled the corpus every Lloyd
-        # round)
-        best = ranked_cells_expr(cents.collect())[0]
+        best = ranked_cells_expr(rows)[0]
         assign = d.select(best["cell_id"].alias("cell_id"), "v")
         # per-dim means round-trip through the 7-sig-digit rendering: FP
         # summation order (partitioning / engine) can move a mean by ULPs,
         # and means feed the DISCRETE argmax assignment — rounding pins the
         # loop to one deterministic trajectory on any engine or layout
-        from flink_descriptive_stats_spark.functions.sig import sig6
         per_dim = (assign
                    .select("cell_id", F.posexplode("v").alias("dim", "x"))
                    .groupBy("cell_id", "dim")
@@ -300,12 +328,21 @@ def kmeans_centroids(df: DataFrame, n_cells: int = 16, iters: int = 2,
         cnorm = F.sqrt(F.aggregate(
             F.zip_with(F.col("cv"), F.col("cv"), lambda x, y: x * y),
             F.lit(0.0), lambda acc, z: acc + z))
-        cents = cents.withColumn("cnorm", cnorm)
-    # materialize the final centroids (n_cells rows) so the cached corpus
-    # can be released without the caller's later actions re-deriving it
-    cents = cents.localCheckpoint(eager=True)
+        rows = cents.withColumn("cnorm", cnorm).collect()
     d.unpersist()
-    return cents
+    return rows
+
+
+def kmeans_centroids(df: DataFrame, n_cells: int = 16, iters: int = 2,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """DataFrame view of ``kmeans_centroid_rows`` (compat wrapper):
+    (cell_id, cv: array<double>, cnorm)."""
+    rows = kmeans_centroid_rows(df, n_cells, iters, id_col, vec_col)
+    return df.sparkSession.createDataFrame(
+        [(int(r["cell_id"]), list(r["cv"]), float(r["cnorm"]))
+         for r in rows],
+        "cell_id bigint, cv array<double>, cnorm double")
 
 
 def ivf_topk(df: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 4,
@@ -329,16 +366,18 @@ def ivf_topk(df: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 4,
     Lloyd iterations (kmeans_centroids) — better-centered cells, higher
     recall at the same n_probe; the search plan is unchanged."""
     d = with_norm(df, id_col, vec_col)
-    if refine_iters > 0:
-        base = kmeans_centroids(df, n_cells, refine_iters, id_col, vec_col)
-    else:
-        base = (d.where(F.col("id") < n_cells)
-                .select(F.col("id").alias("cell_id"), F.col("v").alias("cv"),
-                        F.col("norm").alias("cnorm")))
     # n_cells rows of plan constants — the same bounded-collect pattern as
     # memoized stats rows; values are exact doubles, so the oracle's math
     # is unchanged
-    scored = d.withColumn("cells", ranked_cells_expr(base.collect()))
+    if refine_iters > 0:
+        crows = kmeans_centroid_rows(df, n_cells, refine_iters, id_col,
+                                     vec_col)
+    else:
+        crows = (d.where(F.col("id") < n_cells)
+                 .select(F.col("id").alias("cell_id"),
+                         F.col("v").alias("cv"),
+                         F.col("norm").alias("cnorm")).collect())
+    scored = d.withColumn("cells", ranked_cells_expr(crows))
     assign = scored.select(
         "id", "v", "norm", F.col("cells")[0]["cell_id"].alias("cell_id"))
     probes = (scored.where(F.col("id") < max_query_id)
