@@ -189,6 +189,44 @@ def test_json_profile_mixed_keys(spark):
     assert got["c"]["present"] == 1 and got["c"]["min_val"] == 7.0
 
 
+def test_json_profile_nested_values_cross_engine(spark, tmp_path):
+    """ADVICE r4 (d): pin nested-value behavior on BOTH engines. Spark's
+    from_json(map<string,string>) re-renders nested objects/arrays as
+    compact JSON text; DuckDB's MAP(VARCHAR,VARCHAR) cast renders the
+    same compact form (verified: number normalization 1.50->1.5 /
+    1e2->100.0, \\u escapes decoded, booleans/nulls literal). The one
+    known rendering divergence — integers beyond double precision keep
+    their digits in Spark but render as a double in DuckDB — is invisible
+    to the PROFILE because values only reach the output through
+    TRY_CAST(double), which maps both renderings to the same double (and
+    nested non-scalars to NULL on both). This test runs the full profile
+    on both engines over a fixture exercising all of those shapes."""
+    import duckdb
+    from flink_descriptive_stats_spark.operators import extras
+    from flink_descriptive_stats_spark.oracle_pipeline import (
+        json_profile_sql)
+    rows = [
+        (1, '{"a": {"x": 1.50, "y": [2,3]}, "n": 1.50}'),
+        (2, '{"a": { "x" :  1e2 , "s":"q\\"z" }, "n": 1e2}'),
+        (3, '{"a": [1.0, 2.5e-3, "s"], "u": "\\u0041"}'),
+        (4, '{"a": [true, null], "big": 123456789012345678901234567890}'),
+        (5, '{"a": 007}'),                    # malformed -> dropped
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, props string")
+    path = str(tmp_path / "events")
+    df.write.parquet(path)
+    got = sorted(map(tuple, extras.json_profile(df).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM read_parquet('{path}/*.parquet')")
+    want = sorted(map(tuple, con.execute(
+        json_profile_sql("events", "props")).fetchall()))
+    assert got == want
+    keys = {t[0] for t in got}
+    assert keys == {"a", "n", "u", "big"}     # nested 'a' profiled too
+
+
 def test_contamination_report(spark):
     """A holdout doc copied verbatim from train scores matched_fraction
     1.0; a holdout doc with no shared shingles scores 0.0."""
