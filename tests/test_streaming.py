@@ -387,6 +387,30 @@ def test_streaming_global_topk_sketch_restart_durable(spark, tmp_path):
     assert got == batch
 
 
+def test_streaming_throughput_and_bounded_state(spark, tmp_path):
+    """BASELINE.md streaming target, measured (VERDICT r4 item #4): an
+    in-event-time-order file replay of sf0.01 events through the two
+    stateful operators completes with every row processed, sustained
+    throughput above a conservative floor, and — the actual scale claim —
+    state bounded by the watermark: the profile holds ~open-windows rows
+    and the dedup holds only the keys inside its 1-hour horizon, both
+    orders of magnitude below the input row count. tools/stream_bench.py
+    runs the same harness at sf0.1 for the recorded numbers."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.stream_bench import run_stream_bench
+    res = run_stream_bench(spark, "/root/testdata/sf0.01",
+                           str(tmp_path), n_files=4, files_per_trigger=2)
+    for op in ("windowed_profile", "exact_dedup"):
+        m = res[op]
+        assert m["rows"] == 10000, m          # every replayed row processed
+        assert m["n_epochs"] >= 2, m          # the cross-epoch merge ran
+        assert m["rows_per_sec"] and m["rows_per_sec"] > 500, m
+        # state bounded by watermark, not by input volume
+        assert m["state_rows_peak"] < 1000, m
+    assert res["exact_dedup"]["state_rows_final"] < 200, res
+
+
 def test_streaming_multi_profile_equals_batch(spark):
     """windowed_profile_multi (all numeric columns, one agg) is streaming-
     safe: readStream result == batch result over the same data."""

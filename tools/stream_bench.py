@@ -1,0 +1,135 @@
+"""Streaming throughput bench (VERDICT r4 item #4; BASELINE.md streaming
+target "sustained >= input rate, state bounded by watermark").
+
+Replays the events table as a rate-limited file stream — repartitionByRange
+on ts into N sequential files whose mtimes increase with event time, so
+FileStreamSource (oldest-first) delivers an IN-ORDER replay and the
+watermark advances exactly as it would against a live source — through two
+stateful operators:
+
+- ``windowed_profile`` (windowed aggregation state, append mode): state is
+  one row per OPEN window, bounded by watermark eviction, independent of
+  input volume.
+- ``streaming_exact_dedup`` (dropDuplicatesWithinWatermark key state):
+  state is the keys inside the watermark horizon, evicted as event time
+  advances — NOT the full key history.
+
+Reported per operator: sustained processed rows/sec (total rows / total
+trigger-execution time), per-epoch state rows/bytes, and the peak state
+size. Run as a script for the sf0.1 numbers (one JSON line on stdout);
+tests import ``run_stream_bench`` at a smaller scale for the regression
+bar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _replay_dir(spark, sf_dir: str, out_dir: str, n_files: int):
+    """Materialize the events table as n_files time-ordered parquet files
+    with strictly increasing mtimes (the file source's discovery order)."""
+    from pyspark.sql import functions as F
+    from flink_descriptive_stats_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    (ev.repartitionByRange(n_files, F.col("ts"))
+     .write.mode("overwrite").parquet(out_dir))
+    parts = sorted(p for p in os.listdir(out_dir) if p.endswith(".parquet"))
+    base = time.time() - len(parts) - 10
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(out_dir, p), (base + i, base + i))
+    return ev.schema
+
+
+def _drain(query) -> dict:
+    """Process the whole replay and fold recentProgress into metrics."""
+    query.processAllAvailable()
+    rows = 0
+    exec_ms = 0.0
+    state_rows: list[int] = []
+    state_bytes: list[int] = []
+    for p in query.recentProgress:
+        if p is None:
+            continue
+        if p["numInputRows"]:
+            rows += p["numInputRows"]
+            exec_ms += p["durationMs"].get("triggerExecution", 0)
+        for so in p.get("stateOperators") or []:
+            state_rows.append(so["numRowsTotal"])
+            state_bytes.append(so["memoryUsedBytes"])
+    return {
+        "rows": rows,
+        "exec_sec": round(exec_ms / 1000.0, 3),
+        "rows_per_sec": round(rows / (exec_ms / 1000.0), 1) if exec_ms
+        else None,
+        "n_epochs": sum(1 for p in query.recentProgress
+                        if p and p["numInputRows"]),
+        "state_rows_peak": max(state_rows, default=0),
+        "state_rows_final": state_rows[-1] if state_rows else 0,
+        "state_mb_peak": round(max(state_bytes, default=0) / 2**20, 2),
+    }
+
+
+def run_stream_bench(spark, sf_dir: str, scratch: str,
+                     n_files: int = 20, files_per_trigger: int = 2) -> dict:
+    from flink_descriptive_stats_spark.sources.tables import stream_table
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        streaming_exact_dedup)
+    from flink_descriptive_stats_spark.streaming.profile_stream import (
+        windowed_profile)
+
+    replay = os.path.join(scratch, "events_replay")
+    _replay_dir(spark, sf_dir, replay, n_files)
+
+    def stream():
+        return stream_table(spark, replay, "events",
+                            maxFilesPerTrigger=files_per_trigger)
+
+    out: dict[str, dict] = {}
+
+    prof = windowed_profile(stream(), window="6 hours", watermark="1 hour")
+    q = (prof.writeStream.format("memory").queryName("sb_profile")
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(scratch, "ckpt_prof"))
+         .start())
+    try:
+        out["windowed_profile"] = _drain(q)
+    finally:
+        q.stop()
+
+    ded = streaming_exact_dedup(stream(), content_col="props", ts_col="ts",
+                                delay="1 hour")
+    q = (ded.writeStream.format("noop")
+         .option("checkpointLocation", os.path.join(scratch, "ckpt_dedup"))
+         .start())
+    try:
+        out["exact_dedup"] = _drain(q)
+    finally:
+        q.stop()
+    return out
+
+
+def main() -> None:
+    import shutil
+    import tempfile
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from flink_descriptive_stats_spark.session import get_spark
+    spark = get_spark(app_name="stream-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    scratch = tempfile.mkdtemp(prefix="fds_stream_bench_")
+    try:
+        res = run_stream_bench(spark, sf_dir, scratch)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    res["sf_dir"] = sf_dir
+    print(json.dumps(res, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
