@@ -539,6 +539,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return prof.profile(spark.read.schema(src.schema).json(path))
     q["profile_nation_json"] = _profile_nation_json
 
+    # round-5 additions: value-distribution / cross-table quality /
+    # IR-salience families (oracle-backed at 51+; the gate window already
+    # holds one row per existing family)
+    q["column_entropy_events"] = _tq(extras.column_entropy, "events")
+
+    def _refint(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # dim filtered to half its keys so the orphan path is non-vacuous
+        return extras.referential_integrity(
+            _load(spark, sf_dir, "lineitem"),
+            _load(spark, sf_dir, "orders").where(
+                F.col("o_orderkey") % 2 == 0),
+            fk="l_orderkey", pk="o_orderkey")
+    q["refint_lineitem_orders"] = _refint
+    # l_partkey (bigint): the fixture renders l_extendedprice as DOUBLE,
+    # which benford_digits rejects by design (engine-specific rendering)
+    q["benford_lineitem_partkey"] = _tq(
+        extras.benford_digits, "lineitem", column="l_partkey")
+    q["tfidf_top_terms_documents"] = _tq(text_ops.tfidf_top_terms,
+                                         "documents")
+    q["histogram_equidepth_lineitem"] = _tq(
+        extras.histogram_equidepth, "lineitem", column="l_extendedprice")
+
     # rows-only by design: stubbed decode / sketch scale-paths (no oracle)
     q["multimodal_features_documents"] = _tq(multimodal.extract_features,
                                              "documents")
@@ -765,6 +787,18 @@ def oracle_sql() -> dict[str, str]:
         "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, "
         "'application/octet-stream' AS mime, md5(text) AS checksum "
         "FROM documents")
+    o["column_entropy_events"] = op.column_entropy_sql(
+        "events", ["event_id", "ts", "user_id", "event_type", "value",
+                   "props"])
+    o["refint_lineitem_orders"] = op.referential_integrity_sql(
+        "lineitem",
+        "SELECT * FROM orders WHERE o_orderkey % 2 = 0",
+        fk="l_orderkey", pk="o_orderkey")
+    o["benford_lineitem_partkey"] = op.benford_sql(
+        "lineitem", "l_partkey")
+    o["tfidf_top_terms_documents"] = op.tfidf_top_terms_sql()
+    o["histogram_equidepth_lineitem"] = op.histogram_equidepth_sql(
+        "lineitem", "l_extendedprice")
     # multimodal_features (stubbed UDF decode) and the sketch-based variants
     # (approx_distinct, quartiles_approx) are rows-only by design
     return o

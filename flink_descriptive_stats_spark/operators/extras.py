@@ -387,3 +387,163 @@ def distinct_row_stats(df: DataFrame,
                    .alias("distinct_rows"))
             .withColumn("duplicate_rows",
                         F.col("n_rows") - F.col("distinct_rows")))
+
+
+def column_entropy(df: DataFrame,
+                   columns: list[str] | None = None) -> DataFrame:
+    """Per-column value-distribution profile: (column, n_non_null,
+    null_count, distinct_values, top_freq, entropy, entropy_norm) —
+    Shannon entropy (nats), its [0,1] normalization by ln(distinct), and
+    the modal value's frequency share. The uniqueness/dispersion stats a
+    descriptive profiler reports next to distinct counts.
+
+    Spark-first shape: melt every column to (column, value) long format
+    (values carried as their string cast — injective per engine, and only
+    aggregates leave this plan, so engine rendering differences cannot
+    surface), ONE groupBy(column, value) count with map-side combine, then
+    a per-column rollup using H = ln(n) - (sum cnt*ln cnt)/n, which needs
+    no per-row probabilities. Shuffles are keyed by (column, value) then
+    column — the same cost shape as the top-K melt; no driver loops."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    cols = columns or [f.name for f in df.schema.fields]
+    structs = [F.struct(F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v")) for c in cols]
+    melted = (df.select(F.explode(F.array(*structs)).alias("s"))
+              .select("s.*"))
+    counts = melted.groupBy("column", "v").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    nn = F.col("v").isNotNull()
+    agg = counts.groupBy("column").agg(
+        F.coalesce(F.sum(F.when(nn, F.col("cnt"))), F.lit(0))
+        .alias("n_non_null"),
+        F.coalesce(F.sum(F.when(~nn, F.col("cnt"))), F.lit(0))
+        .alias("null_count"),
+        F.count(F.when(nn, F.lit(1))).alias("distinct_values"),
+        F.max(F.when(nn, F.col("cnt"))).alias("__top"),
+        F.sum(F.when(nn, F.col("cnt").cast("double")
+                     * F.log(F.col("cnt").cast("double")))).alias("__s"))
+    n = F.col("n_non_null").cast("double")
+    ent = F.when(F.col("n_non_null") > 0,
+                 F.log(n) - F.col("__s") / n)
+    return agg.select(
+        "column", "n_non_null", "null_count", "distinct_values",
+        sig6(F.col("__top").cast("double") / n).alias("top_freq"),
+        sig6(ent).alias("entropy"),
+        sig6(F.when(F.col("distinct_values") > 1,
+                    ent / F.log(F.col("distinct_values").cast("double")))
+             .when(F.col("n_non_null") > 0, F.lit(0.0))).alias(
+                 "entropy_norm"))
+
+
+def referential_integrity(fact: DataFrame, dim: DataFrame, fk: str,
+                          pk: str) -> DataFrame:
+    """Foreign-key integrity between two tables: one row with
+    (fk_rows, null_fk, matched, orphans, orphan_fraction,
+    distinct_orphan_keys) — the cross-table data-quality check a profiler
+    runs before any join-dependent metric is trusted.
+
+    Shape: the dim side collapses to DISTINCT keys before the join (a
+    key-only projection, never dim payload), then one left join keyed by
+    the fk + a single aggregate. AQE broadcasts the key set when small;
+    at 100 TB with a big dim both sides shuffle once on the key — the
+    minimal cost for an exact answer. NULL fks are counted separately
+    (SQL semantics: NULL matches nothing but usually means 'absent', not
+    'broken')."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    keys = dim.select(F.col(pk).alias("__k")).distinct() \
+              .withColumn("__hit", F.lit(1))
+    j = fact.select(F.col(fk).alias("__fk")).join(
+        keys, F.col("__fk") == F.col("__k"), "left")
+    fknn = F.col("__fk").isNotNull()
+    orphan = fknn & F.col("__hit").isNull()
+    agg = j.agg(
+        F.count(F.when(fknn, F.lit(1))).alias("fk_rows"),
+        F.count(F.when(~fknn, F.lit(1))).alias("null_fk"),
+        F.count(F.when(fknn & F.col("__hit").isNotNull(), F.lit(1)))
+        .alias("matched"),
+        F.count(F.when(orphan, F.lit(1))).alias("orphans"),
+        F.count_distinct(F.when(orphan, F.col("__fk")))
+        .alias("distinct_orphan_keys"))
+    return agg.select(
+        "fk_rows", "null_fk", "matched", "orphans",
+        sig6(F.when(F.col("fk_rows") > 0,
+                    F.col("orphans").cast("double")
+                    / F.col("fk_rows").cast("double")))
+        .alias("orphan_fraction"),
+        "distinct_orphan_keys")
+
+
+def benford_digits(df: DataFrame, column: str) -> DataFrame:
+    """Leading-digit distribution vs Benford's law for an exact-decimal /
+    integer column: (digit, n, frac, expected, abs_dev) for digits 1-9 —
+    the classic fabricated-data / drift screen for accounting-shaped
+    columns.
+
+    The leading digit is taken from the value's STRING form (first [1-9]
+    of the decimal text), which is exact for int/decimal columns on both
+    engines — this operator deliberately does not accept float/double
+    columns, whose text rendering is engine-specific (and whose binary
+    rounding already perturbs the digit distribution). Zero and NULL
+    values carry no leading digit and are excluded. Narrow extract + one
+    groupBy over <= 9 keys; expected = log10(1 + 1/d)."""
+    from pyspark.sql import types as T
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    dt = df.schema[column].dataType
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        raise ValueError(
+            f"benford_digits({column}): float/double rendering is "
+            "engine-specific; cast to decimal first")
+    digit = F.regexp_extract(F.col(column).cast("string"),
+                             "([1-9])", 1)
+    d = (df.where(F.col(column).isNotNull())
+         .select(digit.alias("digit"))
+         .where(F.col("digit") != "")
+         .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    tot = d.agg(F.sum("n").alias("tot"))
+    j = d.crossJoin(F.broadcast(tot))
+    dd = F.col("digit").cast("double")
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / dd)
+    frac = F.col("n").cast("double") / F.col("tot").cast("double")
+    return (j.select(F.col("digit").cast("int").alias("digit"),
+                     "n", sig6(frac).alias("frac"),
+                     sig6(expected).alias("expected"),
+                     sig6(F.abs(frac - expected)).alias("abs_dev"))
+            .orderBy("digit"))
+
+
+def histogram_equidepth(df: DataFrame, column: str,
+                        buckets: int = 10) -> DataFrame:
+    """Equi-depth (quantile-bucket) histogram: (bucket, lo, hi, cnt) with
+    boundaries at the exact 1/buckets percentiles — the histogram that
+    stays informative on skewed columns where equal-width bins collapse
+    into one bar.
+
+    Two phases like the equal-width histogram: a 1-row exact percentile
+    aggregate (boundaries are bounded metadata, inlined as literals after
+    sig6 rounding so both engines bucket by the identical cutpoints), then
+    one narrow bucket assignment + grouped count over <= buckets keys.
+    At 100 TB swap the boundary pass to approx_percentile (same contract
+    as quantiles(exact=False))."""
+    probs = [i / buckets for i in range(1, buckets)]
+    row = df.agg(F.percentile(F.col(column), F.array(
+        *[F.lit(p) for p in probs])).alias("qs")).collect()[0]
+    if row["qs"] is None:                      # all-NULL column
+        return df.sparkSession.createDataFrame(
+            [], "bucket int, lo double, hi double, cnt bigint")
+    cuts = [float(sig6_py(v)) for v in row["qs"]]
+    x = F.col(column).cast("double")
+    b = F.lit(0)
+    for c in cuts:
+        b = b + F.when(x > F.lit(c), 1).otherwise(0)
+    mm = df.agg(F.min(x).alias("mn"), F.max(x).alias("mx")).collect()[0]
+    lo_arr = [float(mm["mn"])] + cuts
+    hi_arr = cuts + [float(mm["mx"])]
+    lo = F.element_at(F.array(*[F.lit(v) for v in lo_arr]),
+                      F.col("bucket") + 1)
+    hi = F.element_at(F.array(*[F.lit(v) for v in hi_arr]),
+                      F.col("bucket") + 1)
+    return (df.where(x.isNotNull())
+            .select(b.cast("int").alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+            .select("bucket", lo.alias("lo"), hi.alias("hi"), "cnt")
+            .orderBy("bucket"))

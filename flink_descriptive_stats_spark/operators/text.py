@@ -315,3 +315,40 @@ def vocabulary(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("n_total"),
                  F.count_distinct("id").alias("n_docs"))
             .where(F.col("n_total") >= min_count))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Per-document top-k terms by tf-idf: (id, token, tf, df_docs, tfidf,
+    rank) — the keyword/salience view of a corpus (what makes THIS document
+    different), next to vocabulary()'s corpus-global view.
+
+    idf = ln((N + 1) / (df_t + 1)) + 1 (the smoothed form; N = documents
+    with at least one token), score = tf * idf, rank per doc by (score
+    desc, token asc). Plan: one explode -> groupBy(id, token) for tf
+    (map-side combine), a groupBy(token) rollup of the SAME frame for
+    document frequencies, a token-keyed join back (both sides already hash
+    by token), N as a 1-row broadcast, and the WindowGroupLimit funnel per
+    doc — no driver loops, every shuffle keyed by token or id."""
+    from pyspark.sql import Window
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    toks = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.explode(H.tokens_expr(F.col(text_col))).alias("token")))
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    ndocs = tf.select(F.count_distinct("id").alias("n_docs"))
+    j = tf.join(dfreq, "token").crossJoin(F.broadcast(ndocs))
+    idf = (F.log((F.col("n_docs").cast("double") + 1.0)
+                 / (F.col("df_docs").cast("double") + 1.0)) + 1.0)
+    # rank on the sig6-ROUNDED score: idf contains ln(), whose last-ulp
+    # differences between engines could flip near-tied ranks; 7-sig-digit
+    # rounding pins the discrete ordering (ties broken by token asc), the
+    # same determinism trick the Lloyd loop uses for argmax
+    scored = j.select(
+        "id", "token", "tf", "df_docs",
+        sig6(F.col("tf").cast("double") * idf).alias("tfidf"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").cast("double").desc(), F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

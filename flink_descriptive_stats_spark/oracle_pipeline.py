@@ -972,3 +972,129 @@ SELECT CAST(e.event_id AS BIGINT) AS event_id,
 FROM e JOIN s ON e.user_id = s.user_id
              AND e.t >= s.session_start AND e.t < s.session_end
 """
+
+
+def column_entropy_sql(table: str, columns: list[str]) -> str:
+    """Mirror of extras.column_entropy. DuckDB groups by the NATIVE value
+    where Spark groups by the string cast — both injective per engine, and
+    only aggregates (counts, entropy) leave the query, so the rendering
+    difference cannot surface."""
+    branches = []
+    for c in columns:
+        ent = "ln(CAST(n AS DOUBLE)) - s / n"
+        branches.append(f"""
+(WITH c AS (SELECT {c} AS v, count(*) AS cnt FROM {table} GROUP BY 1),
+a AS (SELECT
+  coalesce(sum(cnt) FILTER (v IS NOT NULL), 0) AS n,
+  coalesce(sum(cnt) FILTER (v IS NULL), 0) AS nulls,
+  count(*) FILTER (v IS NOT NULL) AS dv,
+  max(cnt) FILTER (v IS NOT NULL) AS topc,
+  sum(CASE WHEN v IS NOT NULL THEN cnt * ln(cnt) END) AS s
+ FROM c)
+SELECT '{c}' AS "column", CAST(n AS BIGINT) AS n_non_null,
+  CAST(nulls AS BIGINT) AS null_count,
+  CAST(dv AS BIGINT) AS distinct_values,
+  {duck_sig6('topc / CAST(n AS DOUBLE)')} AS top_freq,
+  {duck_sig6(f'CASE WHEN n > 0 THEN {ent} END')} AS entropy,
+  {duck_sig6(f'CASE WHEN dv > 1 THEN ({ent}) / ln(CAST(dv AS DOUBLE)) '
+             'WHEN n > 0 THEN 0.0 END')} AS entropy_norm
+FROM a)""")
+    return "\nUNION ALL\n".join(branches)
+
+
+def referential_integrity_sql(fact: str, dim_sql: str, fk: str,
+                              pk: str) -> str:
+    """Mirror of extras.referential_integrity (``dim_sql`` is a full
+    SELECT so gated queries can use a filtered dim)."""
+    return f"""
+WITH k AS (SELECT DISTINCT {pk} AS kk FROM ({dim_sql})),
+j AS (SELECT f.{fk} AS fk, k.kk FROM {fact} f
+      LEFT JOIN k ON f.{fk} = k.kk),
+a AS (SELECT
+  count(*) FILTER (fk IS NOT NULL) AS fk_rows,
+  count(*) FILTER (fk IS NULL) AS null_fk,
+  count(*) FILTER (fk IS NOT NULL AND kk IS NOT NULL) AS matched,
+  count(*) FILTER (fk IS NOT NULL AND kk IS NULL) AS orphans,
+  count(DISTINCT fk) FILTER (fk IS NOT NULL AND kk IS NULL)
+    AS distinct_orphan_keys
+ FROM j)
+SELECT CAST(fk_rows AS BIGINT) AS fk_rows,
+  CAST(null_fk AS BIGINT) AS null_fk, CAST(matched AS BIGINT) AS matched,
+  CAST(orphans AS BIGINT) AS orphans,
+  {duck_sig6('CASE WHEN fk_rows > 0 '
+             'THEN orphans / CAST(fk_rows AS DOUBLE) END')}
+    AS orphan_fraction,
+  CAST(distinct_orphan_keys AS BIGINT) AS distinct_orphan_keys
+FROM a"""
+
+
+def benford_sql(table: str, column: str) -> str:
+    """Mirror of extras.benford_digits: leading digit from the exact
+    decimal/integer STRING form (engine-identical for non-float types)."""
+    return f"""
+WITH d AS (SELECT regexp_extract(CAST({column} AS VARCHAR), '([1-9])', 1)
+             AS dg FROM {table} WHERE {column} IS NOT NULL),
+g AS (SELECT dg, count(*) AS n FROM d WHERE dg <> '' GROUP BY dg),
+t AS (SELECT sum(n) AS tot FROM g)
+SELECT CAST(dg AS INTEGER) AS digit, CAST(n AS BIGINT) AS n,
+  {duck_sig6('n / CAST(tot AS DOUBLE)')} AS frac,
+  {duck_sig6('log10(1.0 + 1.0 / CAST(dg AS DOUBLE))')} AS expected,
+  {duck_sig6('abs(n / CAST(tot AS DOUBLE) '
+             '- log10(1.0 + 1.0 / CAST(dg AS DOUBLE)))')} AS abs_dev
+FROM g, t"""
+
+
+def tfidf_top_terms_sql(table: str = "documents", k: int = 5) -> str:
+    """Mirror of text.tfidf_top_terms: smoothed idf, rank on the
+    sig6-ROUNDED score (see the Spark docstring — raw ln() ulps could
+    flip near-ties), ties by token asc."""
+    score = ("tf * (ln((nd + 1.0) / (df_docs + 1.0)) + 1.0)")
+    return f"""
+WITH {_tokens_cte(table)},
+tok AS (SELECT id, unnest(toks) AS token FROM t),
+tf AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY id, token),
+dfq AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY token),
+nd AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS nd FROM tf),
+s AS (SELECT tf.id, tf.token, tf.tf, dfq.df_docs,
+        {duck_sig6(score)} AS tfidf
+      FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN nd)
+SELECT CAST(id AS BIGINT) AS id, token, CAST(tf AS BIGINT) AS tf,
+  CAST(df_docs AS BIGINT) AS df_docs, tfidf,
+  CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY id
+        ORDER BY CAST(tfidf AS DOUBLE) DESC, token ASC) AS rn FROM s)
+WHERE rn <= {k}"""
+
+
+def histogram_equidepth_sql(table: str, column: str,
+                            buckets: int = 10) -> str:
+    """Mirror of extras.histogram_equidepth: boundaries are the exact
+    percentiles sig6-rounded THEN cast back to double (identical literal
+    cutpoints on both engines), bucket = count of cutpoints below x."""
+    probs = [i / buckets for i in range(1, buckets)]
+    plist = ", ".join(repr(p) for p in probs)
+    cut = (lambda i:
+           f"CAST({duck_sig6(f'qs[{i + 1}]')} AS DOUBLE)")
+    bucket = " + ".join(
+        f"(CASE WHEN x > {cut(i)} THEN 1 ELSE 0 END)"
+        for i in range(len(probs)))
+    lo_case = " ".join(
+        [f"WHEN b = 0 THEN mn"]
+        + [f"WHEN b = {i + 1} THEN {cut(i)}" for i in range(len(probs))])
+    hi_case = " ".join(
+        [f"WHEN b = {i} THEN {cut(i)}" for i in range(len(probs))]
+        + [f"WHEN b = {len(probs)} THEN mx"])
+    return f"""
+WITH q AS (SELECT quantile_cont(CAST({column} AS DOUBLE),
+                                [{plist}]) AS qs,
+                  min(CAST({column} AS DOUBLE)) AS mn,
+                  max(CAST({column} AS DOUBLE)) AS mx
+           FROM {table}),
+d AS (SELECT CAST({column} AS DOUBLE) AS x FROM {table}
+      WHERE {column} IS NOT NULL),
+b AS (SELECT ({bucket}) AS b FROM d, q),
+g AS (SELECT b, count(*) AS cnt FROM b GROUP BY b)
+SELECT CAST(g.b AS INTEGER) AS bucket,
+  (CASE {lo_case} END) AS lo, (CASE {hi_case} END) AS hi,
+  CAST(cnt AS BIGINT) AS cnt
+FROM g, q"""

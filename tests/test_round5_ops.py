@@ -1,0 +1,113 @@
+"""Round-5 operator families: column entropy, referential integrity,
+Benford leading digits, tf-idf top terms, equi-depth histogram. Oracle
+parity is covered by the driver gate / tools/verify_local.py; these tests
+pin the statistical semantics on constructed inputs."""
+
+import math
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from flink_descriptive_stats_spark.operators import extras
+from flink_descriptive_stats_spark.operators import text as text_ops
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .appName("round5-ops").getOrCreate())
+    yield s
+
+
+def _f(x):
+    return float(x.replace("e", "E")) if isinstance(x, str) else x
+
+
+def test_column_entropy_semantics(spark):
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 1, None), ("b", 1, None), ("b", 1, None)],
+        "s string, c int, z string")
+    got = {r["column"]: r for r in extras.column_entropy(df).collect()}
+    # two equiprobable values: H = ln 2, normalized 1.0, modal share 0.5
+    assert math.isclose(_f(got["s"]["entropy"]), math.log(2), rel_tol=1e-5)
+    assert math.isclose(_f(got["s"]["entropy_norm"]), 1.0, rel_tol=1e-5)
+    assert math.isclose(_f(got["s"]["top_freq"]), 0.5, rel_tol=1e-5)
+    assert got["s"]["distinct_values"] == 2
+    # constant column: zero entropy, norm defined as 0, modal share 1
+    assert math.isclose(_f(got["c"]["entropy"]), 0.0, abs_tol=1e-9)
+    assert _f(got["c"]["entropy_norm"]) == 0.0
+    assert math.isclose(_f(got["c"]["top_freq"]), 1.0, rel_tol=1e-5)
+    # all-NULL column: counts only, stats NULL
+    assert got["z"]["n_non_null"] == 0 and got["z"]["null_count"] == 4
+    assert got["z"]["entropy"] is None
+
+
+def test_referential_integrity_semantics(spark):
+    fact = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "fk bigint")
+    dim = spark.createDataFrame([(1,), (2,), (2,)], "pk bigint")
+    r = extras.referential_integrity(fact, dim, "fk", "pk").collect()[0]
+    assert r["fk_rows"] == 4 and r["null_fk"] == 1
+    assert r["matched"] == 3 and r["orphans"] == 1
+    assert r["distinct_orphan_keys"] == 1
+    assert math.isclose(_f(r["orphan_fraction"]), 0.25, rel_tol=1e-5)
+
+
+def test_benford_digits_semantics(spark):
+    rows = [(123,), (145,), (199,), (201,), (0,), (None,), (-307,), (912,)]
+    df = spark.createDataFrame(rows, "x bigint")
+    got = {r["digit"]: r for r in extras.benford_digits(df, "x").collect()}
+    # 0 and NULL excluded; sign ignored; counts by first nonzero digit
+    assert {d: got[d]["n"] for d in got} == {1: 3, 2: 1, 3: 1, 9: 1}
+    assert math.isclose(_f(got[1]["expected"]), math.log10(2), rel_tol=1e-5)
+    assert math.isclose(_f(got[1]["frac"]), 0.5, rel_tol=1e-5)
+    # float columns are rejected by design (engine-specific rendering)
+    fdf = spark.createDataFrame([(1.5,)], "x double")
+    with pytest.raises(ValueError):
+        extras.benford_digits(fdf, "x")
+
+
+def test_tfidf_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "apple apple banana shared"),
+         (2, "cherry shared shared"),
+         (3, "banana cherry shared")],
+        "doc_id long, text string")
+    out = text_ops.tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    # doc 1's top term is its doubled exclusive token
+    top1 = sorted(by_doc[1], key=lambda r: r["rank"])[0]
+    assert top1["token"] == "apple" and top1["tf"] == 2
+    assert top1["df_docs"] == 1
+    # idf math: N=3 docs, smoothed — apple score = 2*(ln(4/2)+1)
+    assert math.isclose(_f(top1["tfidf"]),
+                        2 * (math.log(4 / 2) + 1), rel_tol=1e-5)
+    # doc 2: tf dominance — doubled 'shared' (idf exactly 1) beats the
+    # single exclusive 'cherry' (2*1 > 1*(ln(4/3)+1))
+    top2 = sorted(by_doc[2], key=lambda r: r["rank"])[0]
+    assert top2["token"] == "shared" and _f(top2["tfidf"]) == 2.0
+    # doc 3: equal tfs, so the rarer terms outrank ubiquitous 'shared'
+    top3 = sorted(by_doc[3], key=lambda r: r["rank"])[0]
+    assert top3["token"] in ("banana", "cherry")
+    assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_histogram_equidepth_semantics(spark):
+    # heavily skewed data: equal-width would dump ~everything in bucket 0;
+    # equi-depth buckets stay balanced
+    vals = [(float(i),) for i in range(100)] + [(1e6,)]
+    df = spark.createDataFrame(vals, "x double")
+    rows = extras.histogram_equidepth(df, "x", buckets=5).collect()
+    assert len(rows) == 5
+    counts = [r["cnt"] for r in sorted(rows, key=lambda r: r["bucket"])]
+    assert sum(counts) == 101
+    assert max(counts) <= 25          # no collapsed mega-bucket
+    lo = [r["lo"] for r in sorted(rows, key=lambda r: r["bucket"])]
+    assert lo[0] == 0.0 and lo == sorted(lo)
+    # all-NULL column degrades to an empty frame
+    empty = spark.createDataFrame([(None,)], "x double")
+    assert extras.histogram_equidepth(empty, "x").count() == 0
