@@ -560,6 +560,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          "documents")
     q["histogram_equidepth_lineitem"] = _tq(
         extras.histogram_equidepth, "lineitem", column="l_extendedprice")
+    q["categorical_association_documents"] = _tq(
+        extras.categorical_association, "documents",
+        col_a="lang", col_b="source")
+    q["char_entropy_documents"] = _tq(text_ops.char_entropy, "documents")
+    q["cluster_size_histogram_documents"] = _tq(
+        dedup.cluster_size_histogram, "documents")
+
+    def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # data-dependent keep probability derived deterministically from
+        # n_chars so the gate is non-vacuous at any SF
+        docs = _load(spark, sf_dir, "documents").withColumn(
+            "__w", (F.col("n_chars") % 100).cast("double") / 100.0)
+        return sampling.weighted_sample(docs, "__w").drop("__w")
+    q["weighted_sample_documents"] = _weighted_sample
 
     # rows-only by design: stubbed decode / sketch scale-paths (no oracle)
     q["multimodal_features_documents"] = _tq(multimodal.extract_features,
@@ -799,6 +813,12 @@ def oracle_sql() -> dict[str, str]:
     o["tfidf_top_terms_documents"] = op.tfidf_top_terms_sql()
     o["histogram_equidepth_lineitem"] = op.histogram_equidepth_sql(
         "lineitem", "l_extendedprice")
+    o["categorical_association_documents"] = op.categorical_association_sql(
+        "documents", "lang", "source")
+    o["char_entropy_documents"] = op.char_entropy_sql()
+    o["cluster_size_histogram_documents"] = op.cluster_size_histogram_sql()
+    o["weighted_sample_documents"] = op.weighted_sample_sql(
+        "documents", "(n_chars % 100) / 100.0")
     # multimodal_features (stubbed UDF decode) and the sketch-based variants
     # (approx_distinct, quartiles_approx) are rows-only by design
     return o

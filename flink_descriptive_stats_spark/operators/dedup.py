@@ -765,3 +765,22 @@ def dedup_corpus(df: DataFrame, content_col: str = "text",
             .where(F.col("id") == F.col("cluster_id"))
             .select(F.col("id").alias(id_col)))
     return df.join(reps, id_col, "semi")
+
+
+def cluster_size_histogram(df: DataFrame, content_col: str = "text",
+                           id_col: str = "doc_id", n: int = 3,
+                           threshold: float = 0.5) -> DataFrame:
+    """Distribution of near-dup cluster sizes: (cluster_size, n_clusters,
+    n_docs) — the corpus-health summary a dedup pass reports (size 1 =
+    unique docs; a fat tail of large clusters means boilerplate).
+
+    Composition over the memoized ``neardup_clusters`` labels: one
+    groupBy(cluster_id) count, then a grouped count over the bounded size
+    domain — both aggregations over label rows, never the text."""
+    labels = neardup_clusters(df, content_col, id_col, n, threshold)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .withColumn("n_docs",
+                        F.col("cluster_size") * F.col("n_clusters")))

@@ -547,3 +547,57 @@ def histogram_equidepth(df: DataFrame, column: str,
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
             .select("bucket", lo.alias("lo"), hi.alias("hi"), "cnt")
             .orderBy("bucket"))
+
+
+def categorical_association(df: DataFrame, col_a: str,
+                            col_b: str) -> DataFrame:
+    """Association between two categorical columns: one row with (n,
+    distinct_a, distinct_b, chi2, cramers_v, mutual_info) — the
+    column-pair dependence screen next to the numeric correlation matrix
+    (a profiler answers 'is lang independent of source?' with exactly
+    this).
+
+    Shape: ONE groupBy(a, b) count over the data (map-side combine);
+    marginals, the chi-squared grid (cross join of the marginals, bounded
+    by the category cardinalities — that product being small is what
+    'categorical' means), and both statistics derive from that joint
+    table without touching the raw data again. NULL categories are
+    excluded (a NULL carries no category). MI in nats over observed
+    cells; chi2 over the full expected grid; V = sqrt(chi2 / (n *
+    (min(k_a, k_b) - 1)))."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    joint = (df.where(F.col(col_a).isNotNull()
+                      & F.col(col_b).isNotNull())
+             .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+             .agg(F.count(F.lit(1)).alias("o")))
+    ma = joint.groupBy("a").agg(F.sum("o").alias("ra"))
+    mb = joint.groupBy("b").agg(F.sum("o").alias("rb"))
+    tot = joint.agg(F.sum("o").alias("n"),
+                    F.count_distinct("a").alias("ka"),
+                    F.count_distinct("b").alias("kb"))
+    grid = (ma.crossJoin(mb).crossJoin(F.broadcast(tot))
+            .join(joint, ["a", "b"], "left")
+            .withColumn("o", F.coalesce(F.col("o"), F.lit(0))))
+    e = (F.col("ra").cast("double") * F.col("rb").cast("double")
+         / F.col("n").cast("double"))
+    od = F.col("o").cast("double")
+    chi_term = (od - e) * (od - e) / e
+    mi_term = F.when(
+        F.col("o") > 0,
+        od / F.col("n").cast("double")
+        * F.log(od * F.col("n").cast("double")
+                / (F.col("ra").cast("double")
+                   * F.col("rb").cast("double")))).otherwise(F.lit(0.0))
+    agg = grid.groupBy("n", "ka", "kb").agg(
+        F.sum(chi_term).alias("__chi2"), F.sum(mi_term).alias("__mi"))
+    minkm1 = F.least(F.col("ka"), F.col("kb")) - F.lit(1)
+    v = F.when(minkm1 > 0,
+               F.sqrt(F.col("__chi2")
+                      / (F.col("n").cast("double")
+                         * minkm1.cast("double"))))
+    return agg.select(
+        F.col("n"), F.col("ka").alias("distinct_a"),
+        F.col("kb").alias("distinct_b"),
+        sig6(F.col("__chi2")).alias("chi2"),
+        sig6(v).alias("cramers_v"),
+        sig6(F.col("__mi")).alias("mutual_info"))

@@ -128,3 +128,24 @@ def stratified_sample(df: DataFrame, strata_col: str = "lang",
         F.md5(F.col(id_col).cast("string")), F.col(id_col))
     return (df.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= k).drop("__rk"))
+
+
+def weighted_sample(df: DataFrame, weight_col: str,
+                    id_col: str = "doc_id",
+                    salt: str = "wsample") -> DataFrame:
+    """Deterministic per-row Bernoulli sampling with a DATA-DEPENDENT keep
+    probability: row kept iff hash_frac(id) < clamp(weight, 0, 1) — the
+    quality-weighted resampling step of a curation pipeline (keep
+    high-quality docs with probability ~quality score), reproducible
+    across runs/engines because the coin is the id hash, not an RNG.
+
+    Same integer-bucket comparison discipline as hash_split: the weight is
+    scaled to integer buckets and compared as bigint, so no float
+    truncation-vs-rounding divergence crosses an engine boundary. Purely
+    narrow — no shuffle, no state."""
+    b = _bucket(id_col, salt)
+    w = F.col(weight_col).cast("double")
+    thresh = F.floor(
+        F.greatest(F.lit(0.0), F.least(w, F.lit(1.0)))
+        * F.lit(float(BUCKETS))).cast("bigint")
+    return df.where(b < thresh)

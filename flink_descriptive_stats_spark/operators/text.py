@@ -352,3 +352,34 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
         F.col("tfidf").cast("double").desc(), F.col("token").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document character-unigram entropy: (id, n_chars,
+    distinct_chars, char_entropy) in nats — the cheap perplexity proxy for
+    quality filtering (gibberish and single-character spam sit at the
+    extremes of this distribution; natural text clusters by language).
+
+    Long-format shape: explode the text to (id, char) — scan-local, rows =
+    total characters, same cost class as the token explode — then
+    groupBy(id, char) with map-side combine and a per-doc rollup via
+    H = ln(n) - (sum c ln c)/n. Both shuffles are keyed by id(+char), so
+    a hot document only concentrates its own characters."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    chars = (df.where(F.col(text_col).isNotNull()
+                      & (F.length(F.col(text_col)) > 0))
+             .select(F.col(id_col).alias("id"),
+                     F.explode(F.split(F.col(text_col), "(?!^)"))
+                     .alias("ch"))
+             .where(F.col("ch") != ""))
+    counts = chars.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy("id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.sum(F.col("c").cast("double")
+              * F.log(F.col("c").cast("double"))).alias("__s"))
+    n = F.col("n_chars").cast("double")
+    return agg.select(
+        "id", "n_chars", "distinct_chars",
+        sig6(F.log(n) - F.col("__s") / n).alias("char_entropy"))

@@ -1098,3 +1098,83 @@ SELECT CAST(g.b AS INTEGER) AS bucket,
   (CASE {lo_case} END) AS lo, (CASE {hi_case} END) AS hi,
   CAST(cnt AS BIGINT) AS cnt
 FROM g, q"""
+
+
+def categorical_association_sql(table: str, col_a: str,
+                                col_b: str) -> str:
+    """Mirror of extras.categorical_association (chi2 over the full
+    expected grid, MI over observed cells, both in one joint-table
+    rollup)."""
+    return f"""
+WITH joint AS (SELECT {col_a} AS a, {col_b} AS b, count(*) AS o
+               FROM {table}
+               WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+               GROUP BY 1, 2),
+ma AS (SELECT a, sum(o) AS ra FROM joint GROUP BY a),
+mb AS (SELECT b, sum(o) AS rb FROM joint GROUP BY b),
+tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS ka,
+               count(DISTINCT b) AS kb FROM joint),
+grid AS (SELECT ma.a, mb.b, ma.ra, mb.rb, tot.n, tot.ka, tot.kb,
+                coalesce(joint.o, 0) AS o
+         FROM ma CROSS JOIN mb CROSS JOIN tot
+         LEFT JOIN joint ON joint.a = ma.a AND joint.b = mb.b),
+terms AS (SELECT n, ka, kb,
+  (o - ra * rb / CAST(n AS DOUBLE)) * (o - ra * rb / CAST(n AS DOUBLE))
+    / (ra * rb / CAST(n AS DOUBLE)) AS chi_t,
+  CASE WHEN o > 0 THEN o / CAST(n AS DOUBLE)
+       * ln(o * CAST(n AS DOUBLE) / (CAST(ra AS DOUBLE) * rb))
+       ELSE 0.0 END AS mi_t
+  FROM grid),
+a AS (SELECT n, ka, kb, sum(chi_t) AS chi2, sum(mi_t) AS mi
+      FROM terms GROUP BY n, ka, kb)
+SELECT CAST(n AS BIGINT) AS n, CAST(ka AS BIGINT) AS distinct_a,
+  CAST(kb AS BIGINT) AS distinct_b,
+  {duck_sig6('chi2')} AS chi2,
+  {duck_sig6('CASE WHEN least(ka, kb) > 1 THEN '
+             'sqrt(chi2 / (CAST(n AS DOUBLE) * (least(ka, kb) - 1))) '
+             'END')} AS cramers_v,
+  {duck_sig6('mi')} AS mutual_info
+FROM a"""
+
+
+def char_entropy_sql(table: str = "documents") -> str:
+    """Mirror of text.char_entropy: H = ln(n) - (sum c ln c)/n over
+    character unigrams (string_split '' == the Spark per-codepoint split
+    on this ASCII fixture)."""
+    return f"""
+WITH d AS (SELECT doc_id AS id, unnest(string_split(text, '')) AS ch
+           FROM {table} WHERE text IS NOT NULL AND length(text) > 0),
+c AS (SELECT id, ch, count(*) AS c FROM d GROUP BY id, ch),
+a AS (SELECT id, sum(c) AS n, count(*) AS dc,
+             sum(c * ln(c)) AS s FROM c GROUP BY id)
+SELECT CAST(id AS BIGINT) AS id, CAST(n AS BIGINT) AS n_chars,
+  CAST(dc AS BIGINT) AS distinct_chars,
+  {duck_sig6('ln(CAST(n AS DOUBLE)) - s / n')} AS char_entropy
+FROM a"""
+
+
+def cluster_size_histogram_sql(table: str = "documents",
+                               threshold: float = 0.5) -> str:
+    """Mirror of dedup.cluster_size_histogram over the recursive-CC
+    cluster labels."""
+    return f"""
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+  CAST(count(*) AS BIGINT) AS n_clusters,
+  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM (SELECT cluster_id, count(*) AS cluster_size
+      FROM ({neardup_clusters_sql(table, threshold)})
+      GROUP BY cluster_id)
+GROUP BY cluster_size"""
+
+
+def weighted_sample_sql(table: str, weight_sql: str,
+                        id_col: str = "doc_id",
+                        salt: str = "wsample") -> str:
+    """Mirror of sampling.weighted_sample: integer-bucket comparison, the
+    per-row threshold floor()ed from the same double on both engines."""
+    from flink_descriptive_stats_spark.operators import sampling as SP
+    bucket = (H.duck_token_hash(f"CAST({id_col} AS VARCHAR) || '/{salt}'")
+              + f" % {SP.BUCKETS}")
+    thresh = (f"CAST(floor(greatest(0.0, least({weight_sql}, 1.0)) "
+              f"* {float(SP.BUCKETS)}) AS BIGINT)")
+    return f"SELECT * FROM {table} WHERE {bucket} < {thresh}"

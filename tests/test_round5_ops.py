@@ -111,3 +111,63 @@ def test_histogram_equidepth_semantics(spark):
     # all-NULL column degrades to an empty frame
     empty = spark.createDataFrame([(None,)], "x double")
     assert extras.histogram_equidepth(empty, "x").count() == 0
+
+
+def test_categorical_association_semantics(spark):
+    # perfectly dependent pair: V = 1, MI = ln(2); independent pair: ~0
+    dep = spark.createDataFrame(
+        [("x", "p")] * 5 + [("y", "q")] * 5, "a string, b string")
+    r = extras.categorical_association(dep, "a", "b").collect()[0]
+    assert r["n"] == 10 and r["distinct_a"] == r["distinct_b"] == 2
+    assert math.isclose(_f(r["cramers_v"]), 1.0, rel_tol=1e-5)
+    assert math.isclose(_f(r["mutual_info"]), math.log(2), rel_tol=1e-5)
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq" for _ in range(5)],
+        "a string, b string")
+    r2 = extras.categorical_association(ind, "a", "b").collect()[0]
+    assert abs(_f(r2["chi2"])) < 1e-9
+    assert abs(_f(r2["mutual_info"])) < 1e-9
+
+
+def test_char_entropy_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    got = {r["id"]: r for r in text_ops.char_entropy(df).collect()}
+    assert set(got) == {1, 2}            # empty/NULL docs excluded
+    assert _f(got[1]["char_entropy"]) == 0.0
+    assert got[1]["n_chars"] == 4 and got[1]["distinct_chars"] == 1
+    assert math.isclose(_f(got[2]["char_entropy"]), math.log(2),
+                        rel_tol=1e-5)
+
+
+def test_cluster_size_histogram_semantics(spark):
+    from flink_descriptive_stats_spark.operators import dedup
+    base = " ".join(f"tok{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, base + " tail"),     # one 3-cluster
+         (10, "entirely different content about something else here"),
+         (11, "another unrelated unique document body entirely")],
+        "doc_id long, text string")
+    got = {r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+           for r in dedup.cluster_size_histogram(df).collect()}
+    assert got == {3: (1, 3), 1: (2, 2)}
+
+
+def test_weighted_sample_semantics(spark):
+    from flink_descriptive_stats_spark.operators import sampling
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, 0.0).otherwise(0.5).alias("w"))
+    kept = sampling.weighted_sample(df, "w").collect()
+    ids = {r["doc_id"] for r in kept}
+    assert not any(i < 1000 for i in ids)         # weight 0 -> never kept
+    frac = len(ids) / 1000.0                      # weight .5 -> ~half kept
+    assert 0.4 < frac < 0.6
+    # deterministic: same input, same sample
+    again = {r["doc_id"] for r in sampling.weighted_sample(df, "w").collect()}
+    assert ids == again
+    # weights outside [0,1] clamp rather than explode
+    wild = df.withColumn("w", F.col("w") * 10)
+    n = sampling.weighted_sample(wild, "w").count()
+    assert n == 1000                              # clamped to keep-all
