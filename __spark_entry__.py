@@ -575,6 +575,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sampling.weighted_sample(docs, "__w").drop("__w")
     q["weighted_sample_documents"] = _weighted_sample
 
+    # snapshot comparison (refresh monitoring) + distribution drift +
+    # outlier-taming transform, over the user_id-parity halves of events
+    def _snapshots(spark: SparkSession, sf_dir: str):
+        ev = _load(spark, sf_dir, "events")
+        return (ev.where(F.col("user_id") % 2 == 0),
+                ev.where(F.col("user_id") % 2 == 1))
+
+    def _profile_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+        a, b = _snapshots(spark, sf_dir)
+        return extras.profile_compare(
+            a, b, columns=["event_id", "user_id", "value"])
+    q["profile_compare_events"] = _profile_compare
+
+    def _ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        a, b = _snapshots(spark, sf_dir)
+        return extras.ks_drift(a, b, "value")
+    q["ks_drift_events_value"] = _ks_drift
+
+    def _winsorize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.functions.sig import sig6
+        w = extras.winsorize(_load(spark, sf_dir, "events"), "value")
+        x = F.col("value")
+        return w.agg(F.count(x).alias("n"), F.min(x).alias("min_val"),
+                     F.max(x).alias("max_val"),
+                     sig6(F.avg(x)).alias("mean_val"))
+    q["winsorize_summary_events"] = _winsorize_summary
+
     # rows-only by design: stubbed decode / sketch scale-paths (no oracle)
     q["multimodal_features_documents"] = _tq(multimodal.extract_features,
                                              "documents")
@@ -819,6 +846,12 @@ def oracle_sql() -> dict[str, str]:
     o["cluster_size_histogram_documents"] = op.cluster_size_histogram_sql()
     o["weighted_sample_documents"] = op.weighted_sample_sql(
         "documents", "(n_chars % 100) / 100.0")
+    o["profile_compare_events"] = op.profile_compare_sql(
+        "events", ["event_id", "user_id", "value"],
+        "user_id % 2 = 0", "user_id % 2 = 1")
+    o["ks_drift_events_value"] = op.ks_drift_sql(
+        "events", "value", "user_id % 2 = 0", "user_id % 2 = 1")
+    o["winsorize_summary_events"] = op.winsorize_mean_sql("events", "value")
     # multimodal_features (stubbed UDF decode) and the sketch-based variants
     # (approx_distinct, quartiles_approx) are rows-only by design
     return o

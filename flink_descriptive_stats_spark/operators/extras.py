@@ -601,3 +601,129 @@ def categorical_association(df: DataFrame, col_a: str,
         sig6(F.col("__chi2")).alias("chi2"),
         sig6(v).alias("cramers_v"),
         sig6(F.col("__mi")).alias("mutual_info"))
+
+
+def profile_compare(df_a: DataFrame, df_b: DataFrame,
+                    columns: list[str] | None = None) -> DataFrame:
+    """Snapshot drift report between two versions of a table: one row per
+    numeric column with both snapshots' (n, null_rate, mean, stddev) and
+    the derived drift signals — mean_shift_sigmas (|mean_b - mean_a| in
+    pooled-stddev units) and null_rate_delta. The refresh-monitoring
+    companion to psi_drift: PSI flags distribution shape change, this
+    flags moment/completeness change with a per-column magnitude.
+
+    One aggregation pass per snapshot (all columns in a single agg — the
+    reference's one-job-per-table discipline), then a columns-sized join;
+    no raw-data join anywhere."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    cols = columns or [c for c in numeric_columns(df_a)
+                       if c in set(numeric_columns(df_b))]
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        aggs = []
+        for c in cols:
+            x = F.col(c).cast("double")
+            aggs += [F.count(F.lit(1)).alias(f"{c}__rows"),
+                     F.count(x).alias(f"{c}__n"),
+                     F.avg(x).alias(f"{c}__mu"),
+                     F.stddev_pop(x).alias(f"{c}__sd")]
+        row = df.agg(*aggs)
+        branches = [
+            F.struct(F.lit(c).alias("column"),
+                     F.col(f"{c}__rows").alias("rows"),
+                     F.col(f"{c}__n").alias("n"),
+                     F.col(f"{c}__mu").alias("mu"),
+                     F.col(f"{c}__sd").alias("sd")) for c in cols]
+        return (row.select(F.explode(F.array(*branches)).alias("s"))
+                .select("s.column",
+                        F.col("s.rows").alias(f"rows_{tag}"),
+                        F.col("s.n").alias(f"n_{tag}"),
+                        F.col("s.mu").alias(f"mu_{tag}"),
+                        F.col("s.sd").alias(f"sd_{tag}")))
+
+    j = side(df_a, "a").join(side(df_b, "b"), "column")
+    nr = lambda t: (F.lit(1.0) - F.col(f"n_{t}").cast("double")
+                    / F.col(f"rows_{t}").cast("double"))
+    pooled = F.sqrt((F.col("sd_a") * F.col("sd_a")
+                     + F.col("sd_b") * F.col("sd_b")) / F.lit(2.0))
+    shift = F.when(pooled > 0,
+                   F.abs(F.col("mu_b") - F.col("mu_a")) / pooled)
+    return j.select(
+        "column", F.col("n_a"), F.col("n_b"),
+        sig6(nr("a")).alias("null_rate_a"),
+        sig6(nr("b")).alias("null_rate_b"),
+        sig6(F.col("mu_a")).alias("mean_a"),
+        sig6(F.col("mu_b")).alias("mean_b"),
+        sig6(F.col("sd_a")).alias("stddev_a"),
+        sig6(F.col("sd_b")).alias("stddev_b"),
+        sig6(shift).alias("mean_shift_sigmas"),
+        sig6(nr("b") - nr("a")).alias("null_rate_delta"))
+
+
+def ks_drift(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between two snapshots
+    of a numeric column: one row (n_a, n_b, ks_stat) with
+    ks = max_x |F_a(x) - F_b(x)|.
+
+    Engine-exact by construction: per distinct value the cumulative
+    counts are integers, and the sup is maximized over the INTEGER
+    quantity |cum_a * n_b - cum_b * n_a| (one division at the very end),
+    so no floating-point ordering is involved until the final sig6.
+
+    Scale note: the cumulative distribution needs a global ordered
+    running sum over the distinct values — Spark executes that window
+    range-partitioned but the semantics are a global sort, the textbook
+    non-scalable exact path. This is the oracle/audit variant; at 100 TB
+    use psi_drift (bounded grouped counts) or a quantile-sketch distance
+    for the same question."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    from pyspark.sql import Window
+
+    def counted(df: DataFrame, tag: str) -> DataFrame:
+        return (df.where(F.col(column).isNotNull())
+                .select(F.col(column).cast("double").alias("x"))
+                .groupBy("x")
+                .agg(F.count(F.lit(1)).alias(f"c_{tag}")))
+
+    merged = (counted(df_a, "a").join(counted(df_b, "b"), "x", "full")
+              .select("x",
+                      F.coalesce("c_a", F.lit(0)).alias("c_a"),
+                      F.coalesce("c_b", F.lit(0)).alias("c_b")))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        F.sum("c_a").over(w).alias("cum_a"),
+        F.sum("c_b").over(w).alias("cum_b"))
+    # the sup over |cum_a * n_b - cum_b * n_a| needs the totals first: a
+    # 1-row aggregate broadcast back over the distinct-value frame
+    tot = (merged.agg(F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")))
+    sup = (cum.crossJoin(F.broadcast(tot))
+           .agg(F.max(F.abs(F.col("cum_a") * F.col("n_b")
+                            - F.col("cum_b") * F.col("n_a"))).alias("sup"),
+                F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b")))
+    return sup.select(
+        "n_a", "n_b",
+        sig6(F.col("sup").cast("double")
+             / (F.col("n_a").cast("double") * F.col("n_b").cast("double")))
+        .alias("ks_stat"))
+
+
+def winsorize(df: DataFrame, column: str, lower: float = 0.01,
+              upper: float = 0.99) -> DataFrame:
+    """Winsorization/clipping cleaner: every value of ``column`` clamped
+    into its [lower, upper] exact-percentile band (other columns pass
+    through) — the standard outlier-taming transform before moment-based
+    stats on heavy-tailed columns.
+
+    The two cutpoints are a 1-row aggregate inlined as sig6-rounded
+    literals (identical clamps on both engines); the clamp itself is
+    narrow. At 100 TB use approx_percentile for the cutpoint pass."""
+    row = df.agg(F.percentile(
+        F.col(column), F.array(F.lit(lower), F.lit(upper))).alias("q")
+    ).collect()[0]
+    if row["q"] is None:
+        return df
+    lo, hi = (float(sig6_py(v)) for v in row["q"])
+    x = F.col(column).cast("double")
+    # NULLs fall through every when() to the otherwise(x) = NULL branch
+    clamped = F.when(x < lo, lo).when(x > hi, hi).otherwise(x)
+    return df.withColumn(column, clamped)

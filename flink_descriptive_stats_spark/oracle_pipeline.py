@@ -1178,3 +1178,68 @@ def weighted_sample_sql(table: str, weight_sql: str,
     thresh = (f"CAST(floor(greatest(0.0, least({weight_sql}, 1.0)) "
               f"* {float(SP.BUCKETS)}) AS BIGINT)")
     return f"SELECT * FROM {table} WHERE {bucket} < {thresh}"
+
+
+def profile_compare_sql(table: str, columns: list[str],
+                        pred_a: str, pred_b: str) -> str:
+    """Mirror of extras.profile_compare between two predicate-defined
+    snapshots of one table."""
+    def side(pred: str, tag: str) -> str:
+        branches = " UNION ALL ".join(
+            f"SELECT '{c}' AS \"column\", count(*) AS rows_{tag}, "
+            f"count({c}) AS n_{tag}, avg(CAST({c} AS DOUBLE)) AS mu_{tag}, "
+            f"stddev_pop(CAST({c} AS DOUBLE)) AS sd_{tag} "
+            f"FROM {table} WHERE {pred}" for c in columns)
+        return f"({branches})"
+    nr = lambda t: f"(1.0 - n_{t} / CAST(rows_{t} AS DOUBLE))"
+    pooled = "sqrt((sd_a * sd_a + sd_b * sd_b) / 2.0)"
+    return f"""
+SELECT a."column", CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  {duck_sig6(nr('a'))} AS null_rate_a, {duck_sig6(nr('b'))} AS null_rate_b,
+  {duck_sig6('mu_a')} AS mean_a, {duck_sig6('mu_b')} AS mean_b,
+  {duck_sig6('sd_a')} AS stddev_a, {duck_sig6('sd_b')} AS stddev_b,
+  {duck_sig6(f'CASE WHEN {pooled} > 0 '
+             f'THEN abs(mu_b - mu_a) / {pooled} END')} AS mean_shift_sigmas,
+  {duck_sig6(f"{nr('b')} - {nr('a')}")} AS null_rate_delta
+FROM {side(pred_a, 'a')} a JOIN {side(pred_b, 'b')} b USING ("column")"""
+
+
+def ks_drift_sql(table: str, column: str, pred_a: str, pred_b: str) -> str:
+    """Mirror of extras.ks_drift: integer sup of
+    |cum_a * n_b - cum_b * n_a|, one terminal division."""
+    return f"""
+WITH va AS (SELECT CAST({column} AS DOUBLE) AS x, count(*) AS c_a
+            FROM {table} WHERE {pred_a} AND {column} IS NOT NULL
+            GROUP BY 1),
+vb AS (SELECT CAST({column} AS DOUBLE) AS x, count(*) AS c_b
+       FROM {table} WHERE {pred_b} AND {column} IS NOT NULL GROUP BY 1),
+m AS (SELECT coalesce(va.x, vb.x) AS x, coalesce(c_a, 0) AS c_a,
+             coalesce(c_b, 0) AS c_b
+      FROM va FULL OUTER JOIN vb ON va.x = vb.x),
+c AS (SELECT sum(c_a) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_a,
+             sum(c_b) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM m),
+t AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM m)
+SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+  {duck_sig6('max(abs(cum_a * t.n_b - cum_b * t.n_a)) '
+             '/ (CAST(t.n_a AS DOUBLE) * t.n_b)')} AS ks_stat
+FROM c, t GROUP BY t.n_a, t.n_b"""
+
+
+def winsorize_mean_sql(table: str, column: str, lower: float = 0.01,
+                       upper: float = 0.99) -> str:
+    """Oracle for the winsorize gate: clamp to the sig6-rounded exact
+    percentiles, then aggregate (count, min, max, mean) — comparing the
+    transform through a bounded summary instead of hash-matching a full
+    transformed copy of the table."""
+    cut = lambda p: (
+        f"CAST({duck_sig6(f'quantile_cont(CAST({column} AS DOUBLE), {p})')} "
+        f"AS DOUBLE)")
+    return f"""
+WITH q AS (SELECT {cut(lower)} AS lo, {cut(upper)} AS hi FROM {table}),
+d AS (SELECT CASE WHEN x < lo THEN lo WHEN x > hi THEN hi ELSE x END AS cx
+      FROM (SELECT CAST({column} AS DOUBLE) AS x FROM {table}), q)
+SELECT CAST(count(cx) AS BIGINT) AS n,
+  min(cx) AS min_val, max(cx) AS max_val,
+  {duck_sig6('avg(cx)')} AS mean_val
+FROM d"""

@@ -171,3 +171,53 @@ def test_weighted_sample_semantics(spark):
     wild = df.withColumn("w", F.col("w") * 10)
     n = sampling.weighted_sample(wild, "w").count()
     assert n == 1000                              # clamped to keep-all
+
+
+def test_profile_compare_semantics(spark):
+    a = spark.createDataFrame([(float(i),) for i in range(100)],
+                              "x double")
+    b = spark.createDataFrame(
+        [(float(i) + 10.0,) for i in range(100)] + [(None,)] * 100,
+        "x double")
+    r = extras.profile_compare(a, b, columns=["x"]).collect()[0]
+    assert r["n_a"] == 100 and r["n_b"] == 100
+    assert _f(r["null_rate_a"]) == 0.0
+    assert math.isclose(_f(r["null_rate_b"]), 0.5, rel_tol=1e-5)
+    # identical stddevs, mean shifted by 10 => shift = 10 / stddev
+    sd = float(_f(r["stddev_a"]))
+    assert math.isclose(_f(r["mean_shift_sigmas"]), 10.0 / sd,
+                        rel_tol=1e-4)
+    assert math.isclose(_f(r["null_rate_delta"]), 0.5, rel_tol=1e-5)
+
+
+def test_ks_drift_semantics(spark):
+    a = spark.createDataFrame([(float(i),) for i in range(100)],
+                              "x double")
+    # identical distributions: KS = 0
+    r0 = extras.ks_drift(a, a, "x").collect()[0]
+    assert _f(r0["ks_stat"]) == 0.0
+    # disjoint supports: KS = 1
+    b = spark.createDataFrame([(float(i) + 1000.0,) for i in range(50)],
+                              "x double")
+    r1 = extras.ks_drift(a, b, "x").collect()[0]
+    assert r1["n_a"] == 100 and r1["n_b"] == 50
+    assert _f(r1["ks_stat"]) == 1.0
+    # half-shifted: exact rational sup survives the integer formulation
+    c = spark.createDataFrame([(float(i) + 50.0,) for i in range(100)],
+                              "x double")
+    r2 = extras.ks_drift(a, c, "x").collect()[0]
+    assert math.isclose(_f(r2["ks_stat"]), 0.5, rel_tol=1e-6)
+
+
+def test_winsorize_semantics(spark):
+    vals = [(float(i),) for i in range(1, 100)] + [(1e9,), (-1e9,), (None,)]
+    df = spark.createDataFrame(vals, "x double")
+    out = extras.winsorize(df, "x", lower=0.05, upper=0.95)
+    rows = [r["x"] for r in out.collect()]
+    assert sum(v is None for v in rows) == 1      # NULL passes through
+    nn = [v for v in rows if v is not None]
+    assert len(nn) == 101
+    # the two injected extremes are clamped inside the percentile band
+    assert max(nn) < 100.0 and min(nn) > -10.0
+    # interior values untouched
+    assert 50.0 in nn
