@@ -20,7 +20,8 @@ import argparse
 import sys
 
 SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
-               "quality-filter", "ann", "pii-scan", "pii-redact")
+               "quality-filter", "ann", "pii-scan", "pii-redact",
+               "entropy", "refint", "benford", "tfidf", "compare")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -98,6 +99,42 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--vec-col", default="embedding")
     an.add_argument("--id-col", default="vec_id")
     _add_common(an)
+
+    en = sub.add_parser("entropy",
+                        help="per-column value-distribution entropy")
+    en.add_argument("input")
+    en.add_argument("--columns", default=None)
+    _add_common(en)
+
+    ri = sub.add_parser("refint",
+                        help="FK orphan check between fact and dim")
+    ri.add_argument("fact")
+    ri.add_argument("dim")
+    ri.add_argument("--fk", required=True)
+    ri.add_argument("--pk", required=True)
+    _add_common(ri)
+
+    bf = sub.add_parser("benford",
+                        help="leading-digit distribution vs Benford")
+    bf.add_argument("input")
+    bf.add_argument("--column", required=True)
+    _add_common(bf)
+
+    tf = sub.add_parser("tfidf", help="per-doc top-k terms by tf-idf")
+    tf.add_argument("input")
+    tf.add_argument("--k", type=int, default=5)
+    tf.add_argument("--text-col", default="text")
+    tf.add_argument("--id-col", default="doc_id")
+    _add_common(tf)
+
+    cp = sub.add_parser("compare",
+                        help="snapshot drift report between two tables")
+    cp.add_argument("input_a")
+    cp.add_argument("input_b")
+    cp.add_argument("--columns", default=None)
+    cp.add_argument("--ks-column", default=None,
+                    help="also print the exact KS statistic for this column")
+    _add_common(cp)
     return p
 
 
@@ -212,6 +249,45 @@ def main(argv: list[str] | None = None) -> int:
                 df, refine_iters=2, **kw),
         }[args.method]()
         _emit(out, args.output)
+        return 0
+
+    if args.cmd == "entropy":
+        from flink_descriptive_stats_spark.operators import extras
+        df = _load(spark, args.input, args.format)
+        cols = args.columns.split(",") if args.columns else None
+        _emit(extras.column_entropy(df, columns=cols), args.output)
+        return 0
+
+    if args.cmd == "refint":
+        from flink_descriptive_stats_spark.operators import extras
+        fact = _load(spark, args.fact, args.format)
+        dim = _load(spark, args.dim, args.format)
+        _emit(extras.referential_integrity(fact, dim, args.fk, args.pk),
+              args.output)
+        return 0
+
+    if args.cmd == "benford":
+        from flink_descriptive_stats_spark.operators import extras
+        df = _load(spark, args.input, args.format)
+        _emit(extras.benford_digits(df, args.column), args.output)
+        return 0
+
+    if args.cmd == "tfidf":
+        from flink_descriptive_stats_spark.operators import text as text_ops
+        df = _load(spark, args.input, args.format)
+        _emit(text_ops.tfidf_top_terms(df, text_col=args.text_col,
+                                       id_col=args.id_col, k=args.k),
+              args.output)
+        return 0
+
+    if args.cmd == "compare":
+        from flink_descriptive_stats_spark.operators import extras
+        a = _load(spark, args.input_a, args.format)
+        b = _load(spark, args.input_b, args.format)
+        cols = args.columns.split(",") if args.columns else None
+        _emit(extras.profile_compare(a, b, columns=cols), args.output)
+        if args.ks_column:
+            extras.ks_drift(a, b, args.ks_column).show()
         return 0
 
     return 2

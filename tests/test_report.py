@@ -77,3 +77,35 @@ def test_cli_subcommands(spark, capsys, tmp_path):
                "--method", "containment-pairs", "--threshold", "0.5"])
     assert rc == 0
     assert "containment_a" in capsys.readouterr().out
+
+
+def test_cli_round5_subcommands(spark, capsys):
+    """Round-5 subcommands: entropy/refint/benford/tfidf/compare preview
+    their result frames."""
+    from flink_descriptive_stats_spark.__main__ import main
+    ev = "/root/testdata/sf0.001/events.parquet"
+    docs = "/root/testdata/sf0.001/documents.parquet"
+
+    rc = main(["entropy", ev, "--columns", "event_type,user_id"])
+    assert rc == 0
+    assert "entropy_norm" in capsys.readouterr().out
+
+    rc = main(["refint", "/root/testdata/sf0.001/lineitem.parquet",
+               "/root/testdata/sf0.001/orders.parquet",
+               "--fk", "l_orderkey", "--pk", "o_orderkey"])
+    assert rc == 0
+    assert "orphan_fraction" in capsys.readouterr().out
+
+    rc = main(["benford", "/root/testdata/sf0.001/lineitem.parquet",
+               "--column", "l_partkey"])
+    assert rc == 0
+    assert "abs_dev" in capsys.readouterr().out
+
+    rc = main(["tfidf", docs, "--k", "2"])
+    assert rc == 0
+    assert "tfidf" in capsys.readouterr().out
+
+    rc = main(["compare", ev, ev, "--ks-column", "value"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mean_shift_sigmas" in out and "ks_stat" in out
