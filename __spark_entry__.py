@@ -602,6 +602,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      sig6(F.avg(x)).alias("mean_val"))
     q["winsorize_summary_events"] = _winsorize_summary
 
+    # event-sequence analytics (behavioral queries over the events table)
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    q["funnel_events"] = _tq(ev_ops.funnel, "events")
+    q["retention_cohorts_events"] = _tq(ev_ops.retention_cohorts, "events",
+                                        max_offset=4)
+
     # rows-only by design: stubbed decode / sketch scale-paths (no oracle)
     q["multimodal_features_documents"] = _tq(multimodal.extract_features,
                                              "documents")
@@ -852,6 +858,8 @@ def oracle_sql() -> dict[str, str]:
     o["ks_drift_events_value"] = op.ks_drift_sql(
         "events", "value", "user_id % 2 = 0", "user_id % 2 = 1")
     o["winsorize_summary_events"] = op.winsorize_mean_sql("events", "value")
+    o["funnel_events"] = op.funnel_sql()
+    o["retention_cohorts_events"] = op.retention_cohorts_sql(max_offset=4)
     # multimodal_features (stubbed UDF decode) and the sketch-based variants
     # (approx_distinct, quartiles_approx) are rows-only by design
     return o

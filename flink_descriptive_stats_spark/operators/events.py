@@ -1,0 +1,107 @@
+"""Event-sequence analytics: ordered funnels and retention cohorts.
+
+The behavioral-analytics companions to sessionize (streaming/
+pipeline_stream.py): a funnel measures ORDERED step completion per user
+(a purchase only counts if it follows a click that followed a view);
+retention buckets users by first-activity week and measures how many come
+back k weeks later. Both are classic warehouse queries a profiler-adjacent
+engine is expected to answer, and both reduce to per-key aggregates +
+key-equi-joins — no windows over raw event streams, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(df: DataFrame, steps: tuple[str, ...] = ("view", "click",
+                                                    "purchase"),
+           key_col: str = "user_id", type_col: str = "event_type",
+           ts_col: str = "ts") -> DataFrame:
+    """Strictly-ordered funnel: (step_idx, step, n_users, pct_of_first,
+    pct_of_prev). A user completes step i at the EARLIEST event of that
+    type occurring strictly after their step i-1 completion time.
+
+    Shape: step 1 is one grouped min per user; each later step is one
+    key-equi-join (user) against the previous step's completion times
+    followed by a grouped min — steps-1 shuffles, all keyed by the user
+    id, each carrying one timestamp per user, never raw event payloads.
+    Conversion fractions are exact integer ratios rendered via sig6."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    from pyspark import StorageLevel
+    ev = df.select(F.col(key_col).alias("k"),
+                   F.col(type_col).alias("t"), F.col(ts_col).alias("ts"))
+    completed = (ev.where(F.col("t") == steps[0])
+                 .groupBy("k").agg(F.min("ts").alias("ct")))
+    # persist each step's (user, completion_ts) frame: the next step joins
+    # it AND we count it, and without the persist step i would recompute
+    # the whole i-deep join chain (counts are scalar metadata — the only
+    # driver-side values in the operator)
+    held = []
+    completed = completed.persist(StorageLevel.MEMORY_AND_DISK)
+    held.append(completed)
+    counts = [completed.count()]
+    for step in steps[1:]:
+        completed = (ev.where(F.col("t") == step)
+                     .join(completed.select("k", F.col("ct").alias("prev")),
+                           "k")
+                     .where(F.col("ts") > F.col("prev"))
+                     .groupBy("k").agg(F.min("ts").alias("ct"))
+                     .persist(StorageLevel.MEMORY_AND_DISK))
+        held.append(completed)
+        counts.append(completed.count())
+    for h in held:
+        h.unpersist()
+    spark = df.sparkSession
+    rows = [(i + 1, s, counts[i]) for i, s in enumerate(steps)]
+    out = spark.createDataFrame(
+        rows, "step_idx int, step string, n_users bigint")
+    first = F.lit(counts[0]).cast("double")
+    prev = F.element_at(
+        F.array(*[F.lit(c) for c in [counts[0]] + counts[:-1]]),
+        F.col("step_idx")).cast("double")
+    return out.select(
+        "step_idx", "step", "n_users",
+        sig6(F.when(first > 0, F.col("n_users") / first))
+        .alias("pct_of_first"),
+        sig6(F.when(prev > 0, F.col("n_users") / prev))
+        .alias("pct_of_prev"))
+
+
+def retention_cohorts(df: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts",
+                      max_offset: int | None = None) -> DataFrame:
+    """Weekly retention: (cohort_week, week_offset, n_active,
+    retention_frac) — of the users whose FIRST event falls in
+    cohort_week, how many were active week_offset weeks later.
+
+    Shape: first-activity week per user (one grouped min), the distinct
+    (user, week) activity matrix (one grouped distinct), one user-keyed
+    join, then a bounded (cohort, offset) aggregate. Week arithmetic uses
+    date_trunc('week') and exact integer day division, identical on both
+    engines."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    # weeks carried as timestamps (not DATE): the driver's pandas compare
+    # maps Spark DATE and DuckDB DATE to different dtypes, while both
+    # engines' date_trunc timestamps land as datetime64
+    ev = df.select(F.col(key_col).alias("k"),
+                   F.date_trunc("week", F.col(ts_col)).alias("w"))
+    first = ev.groupBy("k").agg(F.min("w").alias("cohort_week"))
+    active = ev.distinct()
+    j = (active.join(first, "k")
+         .withColumn("week_offset",
+                     (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+                     .cast("int")))
+    if max_offset is not None:
+        j = j.where(F.col("week_offset") <= max_offset)
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    ret = (j.groupBy("cohort_week", "week_offset")
+           .agg(F.count_distinct("k").alias("n_active"))
+           .join(sizes, "cohort_week"))
+    return ret.select(
+        "cohort_week", "week_offset", "n_active",
+        sig6(F.col("n_active").cast("double")
+             / F.col("cohort_size").cast("double"))
+        .alias("retention_frac"))

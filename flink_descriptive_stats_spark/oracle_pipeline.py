@@ -1243,3 +1243,58 @@ SELECT CAST(count(cx) AS BIGINT) AS n,
   min(cx) AS min_val, max(cx) AS max_val,
   {duck_sig6('avg(cx)')} AS mean_val
 FROM d"""
+
+
+def funnel_sql(table: str = "events",
+               steps: tuple = ("view", "click", "purchase")) -> str:
+    """Mirror of events.funnel (ordered completion, strict > chaining)."""
+    ctes = [f"s1 AS (SELECT user_id AS k, min(CAST(ts AS TIMESTAMP)) AS ct "
+            f"FROM {table} WHERE event_type = '{steps[0]}' GROUP BY 1)"]
+    for i, step in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id AS k, "
+            f"min(CAST(e.ts AS TIMESTAMP)) AS ct "
+            f"FROM {table} e JOIN s{i - 1} ON e.user_id = s{i - 1}.k "
+            f"WHERE e.event_type = '{step}' "
+            f"AND CAST(e.ts AS TIMESTAMP) > s{i - 1}.ct GROUP BY 1)")
+    counts = " UNION ALL ".join(
+        f"SELECT {i} AS step_idx, '{s}' AS step, "
+        f"(SELECT count(*) FROM s{i}) AS n FROM (VALUES (1))"
+        for i, s in enumerate(steps, start=1))
+    return f"""
+WITH {', '.join(ctes)},
+c AS ({counts}),
+f AS (SELECT n AS fn FROM c WHERE step_idx = 1)
+SELECT c.step_idx, c.step, CAST(c.n AS BIGINT) AS n_users,
+  {duck_sig6('CASE WHEN f.fn > 0 THEN c.n / CAST(f.fn AS DOUBLE) END')}
+    AS pct_of_first,
+  {duck_sig6('CASE WHEN coalesce(p.n, f.fn) > 0 '
+             'THEN c.n / CAST(coalesce(p.n, f.fn) AS DOUBLE) END')}
+    AS pct_of_prev
+FROM c CROSS JOIN f LEFT JOIN c p ON p.step_idx = c.step_idx - 1"""
+
+
+def retention_cohorts_sql(table: str = "events",
+                          max_offset: int | None = None) -> str:
+    """Mirror of events.retention_cohorts (Monday-start weeks on both
+    engines; offset via floor integer division of day deltas)."""
+    lim = (f"WHERE week_offset <= {max_offset}" if max_offset is not None
+           else "")
+    return f"""
+WITH ev AS (SELECT user_id AS k,
+              date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+            FROM {table}),
+f AS (SELECT k, min(w) AS cohort_week FROM ev GROUP BY k),
+a AS (SELECT DISTINCT k, w FROM ev),
+j0 AS (SELECT a.k, f.cohort_week,
+         CAST(datediff('day', f.cohort_week, a.w) // 7 AS INTEGER)
+           AS week_offset
+       FROM a JOIN f ON a.k = f.k),
+j AS (SELECT * FROM j0 {lim}),
+sz AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY 1)
+SELECT j.cohort_week, j.week_offset,
+  CAST(count(DISTINCT j.k) AS BIGINT) AS n_active,
+  {duck_sig6('count(DISTINCT j.k) / CAST(sz.cohort_size AS DOUBLE)')}
+    AS retention_frac
+FROM j JOIN sz USING (cohort_week)
+GROUP BY j.cohort_week, j.week_offset, sz.cohort_size"""

@@ -221,3 +221,50 @@ def test_winsorize_semantics(spark):
     assert max(nn) < 100.0 and min(nn) > -10.0
     # interior values untouched
     assert 50.0 in nn
+
+
+def test_funnel_semantics(spark):
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    import datetime as dt
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1 completes the full ordered funnel
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # user 2 clicks BEFORE viewing: click must not count
+        (2, "click", t(0)), (2, "view", t(1)),
+        # user 3 views only
+        (3, "view", t(0)),
+        # user 4 purchases without any view: nothing counts
+        (4, "purchase", t(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, "
+                                     "ts timestamp")
+    got = {r["step"]: r for r in ev_ops.funnel(df).collect()}
+    assert got["view"]["n_users"] == 3
+    assert got["click"]["n_users"] == 1       # only user 1's ordered click
+    assert got["purchase"]["n_users"] == 1
+    assert _f(got["view"]["pct_of_first"]) == 1.0
+    assert math.isclose(_f(got["click"]["pct_of_prev"]), 1 / 3,
+                        rel_tol=1e-5)
+    assert _f(got["purchase"]["pct_of_prev"]) == 1.0
+
+
+def test_retention_cohorts_semantics(spark):
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)          # a Monday
+    wk = lambda w: base + dt.timedelta(weeks=w)
+    rows = [
+        (1, wk(0)), (1, wk(1)), (1, wk(2)),   # cohort 0, retained wk 1+2
+        (2, wk(0)), (2, wk(2)),               # cohort 0, back in wk 2
+        (3, wk(1)),                           # cohort 1, never returns
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r["cohort_week"], r["week_offset"]):
+           (r["n_active"], _f(r["retention_frac"]))
+           for r in ev_ops.retention_cohorts(df).collect()}
+    assert got[(base, 0)][0] == 2 and got[(base, 0)][1] == 1.0
+    assert got[(base, 1)] == (1, 0.5)
+    assert got[(base, 2)][0] == 2
+    assert got[(wk(1), 0)] == (1, 1.0)
+    assert (wk(1), 1) not in got
