@@ -607,6 +607,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["funnel_events"] = _tq(ev_ops.funnel, "events")
     q["retention_cohorts_events"] = _tq(ev_ops.retention_cohorts, "events",
                                         max_offset=4)
+    q["resample_events"] = _tq(ev_ops.resample, "events",
+                               every_minutes=360)
+    q["bigram_entropy_documents"] = _tq(
+        text_ops.bigram_conditional_entropy, "documents")
 
     # rows-only by design: stubbed decode / sketch scale-paths (no oracle)
     q["multimodal_features_documents"] = _tq(multimodal.extract_features,
@@ -860,6 +864,8 @@ def oracle_sql() -> dict[str, str]:
     o["winsorize_summary_events"] = op.winsorize_mean_sql("events", "value")
     o["funnel_events"] = op.funnel_sql()
     o["retention_cohorts_events"] = op.retention_cohorts_sql(max_offset=4)
+    o["resample_events"] = op.resample_sql(every_minutes=360)
+    o["bigram_entropy_documents"] = op.bigram_conditional_entropy_sql()
     # multimodal_features (stubbed UDF decode) and the sketch-based variants
     # (approx_distinct, quartiles_approx) are rows-only by design
     return o

@@ -105,3 +105,42 @@ def retention_cohorts(df: DataFrame, key_col: str = "user_id",
         sig6(F.col("n_active").cast("double")
              / F.col("cohort_size").cast("double"))
         .alias("retention_frac"))
+
+
+def resample(df: DataFrame, every_minutes: int = 60,
+             ts_col: str = "ts", value_col: str = "value",
+             fill: str = "locf") -> DataFrame:
+    """Fixed-interval downsampling with gap fill: (bucket_ts, n, avg_val,
+    filled) — one row per ``every_minutes`` bucket from the first to the
+    last observed bucket, empty buckets carried forward (LOCF) or left
+    NULL (``fill="null"``). The time_bucket_gapfill/LOCF primitive of
+    time-series stores, as a DataFrame composition.
+
+    Shape: one grouped aggregate keyed by bucket (bounded keys = span /
+    interval); the complete bucket grid is GENERATED from the 1-row
+    min/max aggregate (sequence explode — grid size is bounded metadata,
+    not data); the carry-forward is one last(ignorenulls) window ordered
+    by bucket over grid-sized input. Nothing re-touches raw rows after
+    the first aggregate."""
+    from pyspark.sql import Window
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    step = every_minutes * 60
+    bucket = (F.floor(F.unix_timestamp(F.col(ts_col))
+                      / F.lit(step)) * step).cast("bigint")
+    agg = (df.where(F.col(ts_col).isNotNull())
+           .groupBy(bucket.alias("b"))
+           .agg(F.count(F.col(value_col)).alias("n"),
+                F.avg(F.col(value_col)).alias("v")))
+    mm = agg.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    grid = mm.select(F.explode(F.sequence(
+        F.col("lo"), F.col("hi"), F.lit(step))).alias("b"))
+    j = grid.join(agg, "b", "left")
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    filled = F.last("v", ignorenulls=True).over(w) if fill == "locf" \
+        else F.col("v")
+    return j.select(
+        F.timestamp_seconds(F.col("b")).alias("bucket_ts"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        sig6(filled).alias("avg_val"),
+        F.col("n").isNull().alias("filled"))
+

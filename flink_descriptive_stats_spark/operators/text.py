@@ -383,3 +383,41 @@ def char_entropy(df: DataFrame, text_col: str = "text",
     return agg.select(
         "id", "n_chars", "distinct_chars",
         sig6(F.log(n) - F.col("__s") / n).alias("char_entropy"))
+
+
+def bigram_conditional_entropy(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level bigram conditional entropy: one row with (n_bigrams,
+    n_distinct_bigrams, n_distinct_tokens, cond_entropy) where
+    cond_entropy = H(next | prev) = -sum p(prev,next) ln p(next|prev) in
+    nats — the cheap language-model-flavored corpus statistic (low =
+    repetitive/templated corpus, high = diverse continuations); the
+    corpus-global companion to the per-doc repetition stats.
+
+    Using H(next|prev) = [sum_bg c ln c(prev) - sum_bg c ln c] / N over
+    bigram counts c and prev-unigram counts c(prev): one bigram groupBy,
+    one prev rollup derived FROM the bigram counts (no second scan), a
+    prev-keyed join of two count tables, and a 1-row aggregate."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    toks = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    H.tokens_expr(F.col(text_col)).alias("tk")))
+    idx = F.explode(F.sequence(F.lit(0), F.size("tk") - 2))
+    bg = (toks.where(F.size("tk") >= 2)
+          .select("id", "tk", idx.alias("i"))
+          .select(F.element_at("tk", F.col("i") + 1).alias("prev"),
+                  F.element_at("tk", F.col("i") + 2).alias("nxt")))
+    bc = bg.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    pc = bc.groupBy("prev").agg(F.sum("c").alias("cp"))
+    j = bc.join(pc, "prev")
+    cd = F.col("c").cast("double")
+    agg = j.agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.count_distinct("prev").alias("n_distinct_tokens"),
+        F.sum(cd * F.log(F.col("cp").cast("double"))
+              - cd * F.log(cd)).alias("__h"))
+    return agg.select(
+        "n_bigrams", "n_distinct_bigrams", "n_distinct_tokens",
+        sig6(F.col("__h") / F.col("n_bigrams").cast("double"))
+        .alias("cond_entropy"))

@@ -1298,3 +1298,49 @@ SELECT j.cohort_week, j.week_offset,
     AS retention_frac
 FROM j JOIN sz USING (cohort_week)
 GROUP BY j.cohort_week, j.week_offset, sz.cohort_size"""
+
+
+def resample_sql(table: str = "events", every_minutes: int = 60,
+                 fill: str = "locf") -> str:
+    """Mirror of events.resample (epoch-second buckets, generate_series
+    grid, IGNORE NULLS carry-forward)."""
+    step = every_minutes * 60
+    filled = ("last_value(v IGNORE NULLS) OVER "
+              "(ORDER BY b ROWS UNBOUNDED PRECEDING)"
+              if fill == "locf" else "v")
+    return f"""
+WITH a AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / {step})
+                       * {step} AS BIGINT) AS b,
+                  count(value) AS n, avg(value) AS v
+           FROM {table} WHERE ts IS NOT NULL GROUP BY 1),
+mm AS (SELECT min(b) AS lo, max(b) AS hi FROM a),
+g AS (SELECT unnest(generate_series(lo, hi, {step})) AS b FROM mm),
+j AS (SELECT g.b, a.n, a.v FROM g LEFT JOIN a ON g.b = a.b),
+w AS (SELECT b, n, {filled} AS fv FROM j)
+SELECT to_timestamp(b) AT TIME ZONE 'UTC' AS bucket_ts,
+  CAST(coalesce(n, 0) AS BIGINT) AS n,
+  {duck_sig6('fv')} AS avg_val,
+  (n IS NULL) AS filled
+FROM w"""
+
+
+def bigram_conditional_entropy_sql(table: str = "documents") -> str:
+    """Mirror of text.bigram_conditional_entropy over the shared token
+    CTE."""
+    return f"""
+WITH {_tokens_cte(table)},
+t2 AS (SELECT toks FROM t WHERE len(toks) >= 2),
+bg AS (SELECT toks[i] AS prev, toks[i + 1] AS nxt
+       FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+             FROM t2)),
+bc AS (SELECT prev, nxt, count(*) AS c FROM bg GROUP BY prev, nxt),
+pc AS (SELECT prev, sum(c) AS cp FROM bc GROUP BY prev),
+a AS (SELECT sum(c) AS nb, count(*) AS ndb,
+             count(DISTINCT bc.prev) AS ndt,
+             sum(c * ln(cp) - c * ln(c)) AS h
+      FROM bc JOIN pc ON bc.prev = pc.prev)
+SELECT CAST(nb AS BIGINT) AS n_bigrams,
+  CAST(ndb AS BIGINT) AS n_distinct_bigrams,
+  CAST(ndt AS BIGINT) AS n_distinct_tokens,
+  {duck_sig6('h / CAST(nb AS DOUBLE)')} AS cond_entropy
+FROM a"""

@@ -268,3 +268,43 @@ def test_retention_cohorts_semantics(spark):
     assert got[(base, 2)][0] == 2
     assert got[(wk(1), 0)] == (1, 1.0)
     assert (wk(1), 1) not in got
+
+
+def test_resample_gapfill_semantics(spark):
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    import datetime as dt
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rows = [(t(0, 10), 10.0), (t(0, 50), 20.0),   # bucket 0: avg 15
+            (t(3, 5), 40.0)]                      # buckets 1-2 empty
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = sorted(ev_ops.resample(df, every_minutes=60).collect(),
+                 key=lambda r: r["bucket_ts"])
+    assert len(out) == 4                          # complete grid 0..3h
+    assert out[0]["n"] == 2 and _f(out[0]["avg_val"]) == 15.0
+    assert not out[0]["filled"]
+    # gap buckets carried forward, flagged as filled
+    for gap in out[1:3]:
+        assert gap["n"] == 0 and gap["filled"]
+        assert _f(gap["avg_val"]) == 15.0
+    assert _f(out[3]["avg_val"]) == 40.0
+    # fill="null" leaves the gaps NULL
+    out2 = sorted(ev_ops.resample(df, every_minutes=60,
+                                  fill="null").collect(),
+                  key=lambda r: r["bucket_ts"])
+    assert out2[1]["avg_val"] is None
+
+
+def test_bigram_conditional_entropy_semantics(spark):
+    # deterministic continuations (every token always followed by the
+    # same next token) => H(next|prev) = 0
+    det = spark.createDataFrame(
+        [(1, "a b c a b c a b c")], "doc_id long, text string")
+    r = text_ops.bigram_conditional_entropy(det).collect()[0]
+    assert _f(r["cond_entropy"]) == 0.0
+    assert r["n_bigrams"] == 8 and r["n_distinct_bigrams"] == 3
+    # 'a' followed by b/c equally => H = ln 2 weighted by p(prev='a')=1
+    mixed = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "a b"), (4, "a c")],
+        "doc_id long, text string")
+    r2 = text_ops.bigram_conditional_entropy(mixed).collect()[0]
+    assert math.isclose(_f(r2["cond_entropy"]), math.log(2), rel_tol=1e-5)
