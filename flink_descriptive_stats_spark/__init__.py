@@ -73,6 +73,26 @@ _API = {
     "windowed_profile": ("streaming.profile_stream", "windowed_profile"),
     "write_bucketed": ("sources.layout", "write_bucketed"),
     "write_partitioned": ("sources.layout", "write_partitioned"),
+    # round-5 families
+    "column_entropy": ("operators.extras", "column_entropy"),
+    "referential_integrity": ("operators.extras", "referential_integrity"),
+    "benford_digits": ("operators.extras", "benford_digits"),
+    "histogram_equidepth": ("operators.extras", "histogram_equidepth"),
+    "categorical_association": ("operators.extras",
+                                "categorical_association"),
+    "profile_compare": ("operators.extras", "profile_compare"),
+    "ks_drift": ("operators.extras", "ks_drift"),
+    "winsorize": ("operators.extras", "winsorize"),
+    "tfidf_top_terms": ("operators.text", "tfidf_top_terms"),
+    "char_entropy": ("operators.text", "char_entropy"),
+    "bigram_conditional_entropy": ("operators.text",
+                                   "bigram_conditional_entropy"),
+    "cluster_size_histogram": ("operators.dedup", "cluster_size_histogram"),
+    "weighted_sample": ("operators.sampling", "weighted_sample"),
+    "funnel": ("operators.events", "funnel"),
+    "retention_cohorts": ("operators.events", "retention_cohorts"),
+    "resample": ("operators.events", "resample"),
+    "countmin_topk": ("operators.sketch", "countmin_topk"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]
