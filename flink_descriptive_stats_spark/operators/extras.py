@@ -525,17 +525,21 @@ def histogram_equidepth(df: DataFrame, column: str,
     At 100 TB swap the boundary pass to approx_percentile (same contract
     as quantiles(exact=False))."""
     probs = [i / buckets for i in range(1, buckets)]
-    row = df.agg(F.percentile(F.col(column), F.array(
-        *[F.lit(p) for p in probs])).alias("qs")).collect()[0]
+    x = F.col(column).cast("double")
+    # cutpoints AND min/max in ONE 1-row aggregate pass (they were two
+    # separate jobs; the boundary metadata should cost one scan)
+    row = df.agg(
+        F.percentile(F.col(column), F.array(
+            *[F.lit(p) for p in probs])).alias("qs"),
+        F.min(x).alias("mn"), F.max(x).alias("mx")).collect()[0]
     if row["qs"] is None:                      # all-NULL column
         return df.sparkSession.createDataFrame(
             [], "bucket int, lo double, hi double, cnt bigint")
     cuts = [float(sig6_py(v)) for v in row["qs"]]
-    x = F.col(column).cast("double")
     b = F.lit(0)
     for c in cuts:
         b = b + F.when(x > F.lit(c), 1).otherwise(0)
-    mm = df.agg(F.min(x).alias("mn"), F.max(x).alias("mx")).collect()[0]
+    mm = row
     lo_arr = [float(mm["mn"])] + cuts
     hi_arr = cuts + [float(mm["mx"])]
     lo = F.element_at(F.array(*[F.lit(v) for v in lo_arr]),
