@@ -308,3 +308,47 @@ def test_bigram_conditional_entropy_semantics(spark):
         "doc_id long, text string")
     r2 = text_ops.bigram_conditional_entropy(mixed).collect()[0]
     assert math.isclose(_f(r2["cond_entropy"]), math.log(2), rel_tol=1e-5)
+
+
+def test_ks_and_entropy_property_vs_python(spark):
+    """Property check vs an exact pure-Python mirror: on hypothesis-driven
+    integer samples, ks_drift equals the exact rational KS statistic and
+    column_entropy equals the direct -sum p ln p — the engine's rollup
+    algebra (ln n - sum c ln c / n; integer sup formulation) introduces no
+    drift beyond sig6 rendering."""
+    from hypothesis import given, settings, strategies as st
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+
+    cases: list[tuple[list[int], list[int]]] = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.integers(0, 9), min_size=1, max_size=30),
+           st.lists(st.integers(0, 9), min_size=1, max_size=30))
+    def gather(a, b):
+        cases.append((a, b))
+
+    gather()
+
+    import math as m
+
+    def py_ks(a, b):
+        xs = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        sup = max(abs(sum(1 for v in a if v <= x) * nb
+                      - sum(1 for v in b if v <= x) * na) for x in xs)
+        return sup / (na * nb)
+
+    def py_entropy(vals):
+        from collections import Counter
+        c = Counter(vals)
+        n = len(vals)
+        return -sum(k / n * m.log(k / n) for k in c.values())
+
+    for a, b in cases[:12]:                  # 12 Spark jobs is plenty
+        da = spark.createDataFrame([(float(v),) for v in a], "x double")
+        db = spark.createDataFrame([(float(v),) for v in b], "x double")
+        r = extras.ks_drift(da, db, "x").collect()[0]
+        assert r["ks_stat"] == sig6_py(py_ks(a, b)), (a, b)
+        e = {row["column"]: row
+             for row in extras.column_entropy(da).collect()}["x"]
+        assert e["entropy"] == sig6_py(py_entropy(a)), a
