@@ -340,3 +340,48 @@ def test_weighted_sample_pure_narrow(spark):
         "__w", (F.col("n_chars") % 100).cast("double") / 100.0)
     plan = _formatted_plan(sampling.weighted_sample(docs, "__w"))
     assert "Exchange" not in plan, plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The skew story beyond bucket caps: session defaults enable AQE, and
+    on a join whose left side concentrates ~90% of rows in ONE key, AQE's
+    runtime re-plan splits the hot partition (skew=true in the executed
+    SortMergeJoin) instead of serializing it into a single straggler task.
+    Thresholds are lowered to demonstrate the mechanism at test scale; the
+    defaults fire at real-partition sizes on a cluster."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(100_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"))
+        right = spark.range(1_000).select(F.col("id").alias("k"),
+                                          (F.col("id") * 2).alias("w"))
+        j = left.join(right, "k")
+        # collect() (not count(): that builds a DIFFERENT plan) so THIS
+        # DataFrame's adaptive plan executes and finalizes
+        assert len(j.collect()) == 90_001 + 99   # hot key 0 + ids 10..990
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
