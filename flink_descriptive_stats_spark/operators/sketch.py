@@ -129,7 +129,11 @@ def candidate_floor(occ: DataFrame, grid_rows, k: int,
     cells = _cells_of(grid_rows)
     row0 = sorted((c for (j, _), c in cells.items() if j == 0),
                   reverse=True)
-    if len(row0) < k:
+    # a small vocabulary can't be pruned meaningfully (everything is near
+    # the top-k anyway) and the floor would cost two extra jobs; nonzero
+    # row-0 cells lower-bound the vocabulary, so skip until it clears 8k.
+    # At real vocabularies row 0 saturates toward `width` cells >> 8k.
+    if len(row0) < 8 * k:
         return 0
     thresh = row0[k - 1]
     est_c = estimate_expr(grid_rows, depth, width)
