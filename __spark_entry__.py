@@ -602,6 +602,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      sig6(F.avg(x)).alias("mean_val"))
     q["winsorize_summary_events"] = _winsorize_summary
 
+    # robust (median/MAD) outliers + functional-dependency discovery
+    _LINEITEM_NUM = ["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_linenumber", "l_quantity", "l_extendedprice",
+                     "l_discount", "l_tax"]
+    q["robust_outliers_lineitem"] = _tq(
+        extras.robust_outlier_counts, "lineitem", columns=_LINEITEM_NUM)
+    # o_orderkey is the PK (the FD holds); the reverse direction fails —
+    # both directions gated so fd_holds true AND false paths are checked
+    _FD_PAIRS = [("o_orderkey", "o_custkey"), ("o_custkey", "o_orderkey")]
+    q["fd_candidates_orders"] = _tq(extras.fd_candidates, "orders",
+                                    pairs=_FD_PAIRS)
+
     # event-sequence analytics (behavioral queries over the events table)
     from flink_descriptive_stats_spark.operators import events as ev_ops
     q["funnel_events"] = _tq(ev_ops.funnel, "events")
@@ -866,6 +878,13 @@ def oracle_sql() -> dict[str, str]:
     o["retention_cohorts_events"] = op.retention_cohorts_sql(max_offset=4)
     o["resample_events"] = op.resample_sql(every_minutes=360)
     o["bigram_entropy_documents"] = op.bigram_conditional_entropy_sql()
+    o["robust_outliers_lineitem"] = op.robust_outliers_sql(
+        "lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_linenumber", "l_quantity", "l_extendedprice",
+                     "l_discount", "l_tax"])
+    o["fd_candidates_orders"] = op.fd_candidates_sql(
+        "orders", [("o_orderkey", "o_custkey"),
+                   ("o_custkey", "o_orderkey")])
     # multimodal_features (stubbed UDF decode) and the sketch-based variants
     # (approx_distinct, quartiles_approx) are rows-only by design
     return o

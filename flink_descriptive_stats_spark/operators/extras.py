@@ -731,3 +731,73 @@ def winsorize(df: DataFrame, column: str, lower: float = 0.01,
     # NULLs fall through every when() to the otherwise(x) = NULL branch
     clamped = F.when(x < lo, lo).when(x > hi, hi).otherwise(x)
     return df.withColumn(column, clamped)
+
+
+def robust_outlier_counts(df: DataFrame,
+                          columns: list[str] | None = None,
+                          threshold: float = 3.5) -> DataFrame:
+    """Median/MAD-based outlier counts: (column, median, mad, n_outliers)
+    with an outlier = |x - median| > threshold * MAD (the modified
+    z-score screen, robust where the IQR/3-sigma fences in
+    ``outlier_counts`` are themselves dragged by the outliers).
+
+    Two bounded passes: one percentile aggregate for the medians (all
+    columns at once), one for the MADs (medians inlined as literals), then
+    a single counting aggregate. MAD == 0 (constant-majority column)
+    flags nothing, the standard degenerate-case convention. Fence
+    comparisons use sig6-rounded median/MAD literals so the discrete
+    counts cannot fork across engines."""
+    cols = columns or numeric_columns(df)
+    med_row = df.agg(*[F.percentile(F.col(c), F.lit(0.5)).alias(c)
+                       for c in cols]).collect()[0]
+    meds = {c: (None if med_row[c] is None else float(sig6_py(med_row[c])))
+            for c in cols}
+    live = [c for c in cols if meds[c] is not None]
+    mad_row = df.agg(*[
+        F.percentile(F.abs(F.col(c).cast("double") - F.lit(meds[c])),
+                     F.lit(0.5)).alias(c) for c in live]).collect()[0] \
+        if live else {}
+    mads = {c: float(sig6_py(mad_row[c])) for c in live}
+    cnt_exprs = []
+    for c in live:
+        if mads[c] > 0:
+            dev = F.abs(F.col(c).cast("double") - F.lit(meds[c]))
+            cnt_exprs.append(
+                F.count(F.when(dev > F.lit(threshold) * F.lit(mads[c]),
+                               F.lit(1))).alias(c))
+    cnt_row = df.agg(*cnt_exprs).collect()[0] if cnt_exprs else {}
+    out = []
+    for c in cols:
+        if meds[c] is None:
+            out.append((c, None, None, 0))
+        else:
+            n = int(cnt_row[c]) if mads[c] > 0 else 0
+            out.append((c, sig6_py(meds[c]), sig6_py(mads[c]), n))
+    return df.sparkSession.createDataFrame(
+        out, "column string, median string, mad string, n_outliers bigint")
+
+
+def fd_candidates(df: DataFrame,
+                  pairs: list[tuple[str, str]]) -> DataFrame:
+    """Functional-dependency check for declared column pairs: one row per
+    (determinant, dependent) with distinct determinant values, distinct
+    value pairs, violation count (pairs - determinants; 0 means a -> b
+    HOLDS), and fd_holds — the schema-discovery profiling primitive
+    (does order id determine customer? does zip determine city?).
+
+    ONE aggregation pass for all pairs (count_distinct per struct); NULLs
+    compare equal inside the tuples on both engines, so a NULL determinant
+    is one determinant value."""
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        aggs += [F.count_distinct(F.struct(F.col(a))).alias(f"__a{i}"),
+                 F.count_distinct(F.struct(F.col(a), F.col(b)))
+                 .alias(f"__ab{i}")]
+    row = df.agg(*aggs).collect()[0]
+    out = [(a, b, int(row[f"__a{i}"]), int(row[f"__ab{i}"]),
+            int(row[f"__ab{i}"] - row[f"__a{i}"]),
+            bool(row[f"__ab{i}"] == row[f"__a{i}"]))
+           for i, (a, b) in enumerate(pairs)]
+    return df.sparkSession.createDataFrame(
+        out, "determinant string, dependent string, n_determinant bigint, "
+             "n_pairs bigint, n_violations bigint, fd_holds boolean")

@@ -1344,3 +1344,44 @@ SELECT CAST(nb AS BIGINT) AS n_bigrams,
   CAST(ndt AS BIGINT) AS n_distinct_tokens,
   {duck_sig6('h / CAST(nb AS DOUBLE)')} AS cond_entropy
 FROM a"""
+
+
+def robust_outliers_sql(table: str, columns: list[str],
+                        threshold: float = 3.5) -> str:
+    """Mirror of extras.robust_outlier_counts: the median and MAD are
+    sig6-rounded then re-inlined (as in the Spark op) so the discrete
+    fence counts match exactly."""
+    branches = []
+    med = lambda c: duck_sig6(f"quantile_cont(CAST({c} AS DOUBLE), 0.5)")
+    for c in columns:
+        branches.append(f"""
+(WITH m AS (SELECT CAST({med(c)} AS DOUBLE) AS md FROM {table}),
+ d AS (SELECT CAST({duck_sig6(
+     f'quantile_cont(abs(CAST({c} AS DOUBLE) - m.md), 0.5)')} AS DOUBLE)
+         AS mad, any_value(m.md) AS md
+       FROM {table}, m GROUP BY ALL)
+SELECT '{c}' AS "column",
+  CASE WHEN md IS NOT NULL THEN {duck_sig6('md')} END AS median,
+  CASE WHEN md IS NOT NULL THEN {duck_sig6('mad')} END AS mad,
+  CAST(CASE WHEN md IS NULL OR mad = 0 THEN 0 ELSE
+    (SELECT count(*) FROM {table}, d
+     WHERE abs(CAST({c} AS DOUBLE) - d.md) > {threshold} * d.mad) END
+    AS BIGINT) AS n_outliers
+FROM d)""")
+    return "\nUNION ALL\n".join(branches)
+
+
+def fd_candidates_sql(table: str, pairs: list[tuple[str, str]]) -> str:
+    """Mirror of extras.fd_candidates (ROW() tuples make NULLs compare
+    equal, matching count_distinct over a struct)."""
+    branches = []
+    for a, b in pairs:
+        branches.append(f"""
+SELECT '{a}' AS determinant, '{b}' AS dependent,
+  CAST(count(DISTINCT ROW({a})) AS BIGINT) AS n_determinant,
+  CAST(count(DISTINCT ROW({a}, {b})) AS BIGINT) AS n_pairs,
+  CAST(count(DISTINCT ROW({a}, {b})) - count(DISTINCT ROW({a}))
+       AS BIGINT) AS n_violations,
+  (count(DISTINCT ROW({a}, {b})) = count(DISTINCT ROW({a}))) AS fd_holds
+FROM {table}""")
+    return "\nUNION ALL\n".join(branches)

@@ -352,3 +352,39 @@ def test_ks_and_entropy_property_vs_python(spark):
         e = {row["column"]: row
              for row in extras.column_entropy(da).collect()}["x"]
         assert e["entropy"] == sig6_py(py_entropy(a)), a
+
+
+def test_robust_outliers_semantics(spark):
+    # 99 values at 0..98 plus one absurd spike: the spike is the single
+    # MAD outlier; an IQR dragged by it would still flag it, but a
+    # constant column (MAD=0) must flag NOTHING
+    vals = [(float(i), 5.0) for i in range(99)] + [(1e9, 5.0)]
+    df = spark.createDataFrame(vals, "x double, c double")
+    got = {r["column"]: r
+           for r in extras.robust_outlier_counts(df).collect()}
+    assert got["x"]["n_outliers"] == 1
+    assert math.isclose(_f(got["x"]["median"]), 49.5, rel_tol=1e-5)
+    assert got["c"]["n_outliers"] == 0 and _f(got["c"]["mad"]) == 0.0
+    # all-NULL column: NULL stats, zero count
+    nn = spark.createDataFrame([(None,)], "z double")
+    r = extras.robust_outlier_counts(nn).collect()[0]
+    assert r["median"] is None and r["n_outliers"] == 0
+
+
+def test_fd_candidates_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "a"), (3, 20, "b"), (3, 20, "b"),
+         (4, None, "c"), (5, None, "c")],
+        "pk long, grp long, name string")
+    got = {(r["determinant"], r["dependent"]): r
+           for r in extras.fd_candidates(
+               df, pairs=[("pk", "grp"), ("grp", "name"),
+                          ("name", "pk")]).collect()}
+    # pk -> grp holds (each pk maps to one grp; NULL grp is a value)
+    assert got[("pk", "grp")]["fd_holds"] is True
+    assert got[("pk", "grp")]["n_violations"] == 0
+    # grp -> name holds too (10->a, 20->b, NULL->c)
+    assert got[("grp", "name")]["fd_holds"] is True
+    # name -> pk fails: 'a' maps to pks 1 and 2
+    r = got[("name", "pk")]
+    assert r["fd_holds"] is False and r["n_violations"] == 2
