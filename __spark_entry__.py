@@ -539,6 +539,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return prof.profile(spark.read.schema(src.schema).json(path))
     q["profile_nation_json"] = _profile_nation_json
 
+    # ORC source parity (Spark bundles the ORC reader; DuckDB cannot read
+    # ORC, so the gate compares the ORC round-trip against the SAME
+    # parquet-derived oracle — identical rows, different container)
+    def _profile_nation_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+        src = _load(spark, sf_dir, "nation")
+        path = os.path.join(
+            tempfile.gettempdir(), f"fds_spark_orc_{os.getpid()}",
+            f"orc_nation_{os.path.basename(os.path.normpath(sf_dir))}")
+        src.coalesce(1).write.mode("overwrite").orc(path)
+        return prof.profile(spark.read.schema(src.schema).orc(path))
+    q["profile_nation_orc"] = _profile_nation_orc
+
     # round-5 additions: value-distribution / cross-table quality /
     # IR-salience families (oracle-backed at 51+; the gate window already
     # holds one row per existing family)
@@ -696,6 +710,7 @@ def oracle_sql() -> dict[str, str]:
     o["range_join_events"] = op.range_join_sql()
     o["profile_nation_csv"] = oracle.profile_table_sql("nation")
     o["profile_nation_json"] = oracle.profile_table_sql("nation")
+    o["profile_nation_orc"] = oracle.profile_table_sql("nation")
     o["psi_drift_documents"] = op.psi_drift_sql()
     o["repetition_stats_documents"] = op.repetition_stats_sql()
     # chunking mirror: stride 48 (64 - 16), DuckDB 1-based list slicing
