@@ -21,7 +21,8 @@ import sys
 
 SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "quality-filter", "ann", "pii-scan", "pii-redact",
-               "entropy", "refint", "benford", "tfidf", "compare")
+               "entropy", "refint", "benford", "tfidf", "compare",
+               "funnel", "retention", "resample", "robust-outliers", "fd")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -135,6 +136,44 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--ks-column", default=None,
                     help="also print the exact KS statistic for this column")
     _add_common(cp)
+
+    fu = sub.add_parser("funnel", help="strictly-ordered event funnel")
+    fu.add_argument("input")
+    fu.add_argument("--steps", default="view,click,purchase")
+    fu.add_argument("--key-col", default="user_id")
+    fu.add_argument("--type-col", default="event_type")
+    fu.add_argument("--ts-col", default="ts")
+    _add_common(fu)
+
+    re_ = sub.add_parser("retention", help="weekly retention cohorts")
+    re_.add_argument("input")
+    re_.add_argument("--key-col", default="user_id")
+    re_.add_argument("--ts-col", default="ts")
+    re_.add_argument("--max-offset", type=int, default=None)
+    _add_common(re_)
+
+    rs = sub.add_parser("resample",
+                        help="fixed-interval downsample with LOCF gap fill")
+    rs.add_argument("input")
+    rs.add_argument("--every-minutes", type=int, default=60)
+    rs.add_argument("--ts-col", default="ts")
+    rs.add_argument("--value-col", default="value")
+    rs.add_argument("--fill", default="locf", choices=["locf", "null"])
+    _add_common(rs)
+
+    ro = sub.add_parser("robust-outliers",
+                        help="median/MAD modified z-score outlier counts")
+    ro.add_argument("input")
+    ro.add_argument("--columns", default=None)
+    ro.add_argument("--threshold", type=float, default=3.5)
+    _add_common(ro)
+
+    fd = sub.add_parser("fd",
+                        help="functional-dependency check for column pairs")
+    fd.add_argument("input")
+    fd.add_argument("--pairs", required=True,
+                    help="comma-separated a->b pairs, e.g. 'zip->city,id->name'")
+    _add_common(fd)
     return p
 
 
@@ -278,6 +317,47 @@ def main(argv: list[str] | None = None) -> int:
         _emit(text_ops.tfidf_top_terms(df, text_col=args.text_col,
                                        id_col=args.id_col, k=args.k),
               args.output)
+        return 0
+
+    if args.cmd == "funnel":
+        from flink_descriptive_stats_spark.operators import events as ev_ops
+        df = _load(spark, args.input, args.format)
+        _emit(ev_ops.funnel(df, steps=tuple(args.steps.split(",")),
+                            key_col=args.key_col, type_col=args.type_col,
+                            ts_col=args.ts_col), args.output)
+        return 0
+
+    if args.cmd == "retention":
+        from flink_descriptive_stats_spark.operators import events as ev_ops
+        df = _load(spark, args.input, args.format)
+        _emit(ev_ops.retention_cohorts(df, key_col=args.key_col,
+                                       ts_col=args.ts_col,
+                                       max_offset=args.max_offset),
+              args.output)
+        return 0
+
+    if args.cmd == "resample":
+        from flink_descriptive_stats_spark.operators import events as ev_ops
+        df = _load(spark, args.input, args.format)
+        _emit(ev_ops.resample(df, every_minutes=args.every_minutes,
+                              ts_col=args.ts_col, value_col=args.value_col,
+                              fill=args.fill), args.output)
+        return 0
+
+    if args.cmd == "robust-outliers":
+        from flink_descriptive_stats_spark.operators import extras
+        df = _load(spark, args.input, args.format)
+        cols = args.columns.split(",") if args.columns else None
+        _emit(extras.robust_outlier_counts(df, columns=cols,
+                                           threshold=args.threshold),
+              args.output)
+        return 0
+
+    if args.cmd == "fd":
+        from flink_descriptive_stats_spark.operators import extras
+        df = _load(spark, args.input, args.format)
+        pairs = [tuple(p.split("->")) for p in args.pairs.split(",")]
+        _emit(extras.fd_candidates(df, pairs=pairs), args.output)
         return 0
 
     if args.cmd == "compare":

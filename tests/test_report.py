@@ -109,3 +109,31 @@ def test_cli_round5_subcommands(spark, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "mean_shift_sigmas" in out and "ks_stat" in out
+
+
+def test_cli_round5_event_subcommands(spark, capsys):
+    """funnel/retention/resample/robust-outliers/fd preview their frames."""
+    from flink_descriptive_stats_spark.__main__ import main
+    ev = "/root/testdata/sf0.001/events.parquet"
+
+    rc = main(["funnel", ev])
+    assert rc == 0
+    assert "pct_of_prev" in capsys.readouterr().out
+
+    rc = main(["retention", ev, "--max-offset", "2"])
+    assert rc == 0
+    assert "retention_frac" in capsys.readouterr().out
+
+    rc = main(["resample", ev, "--every-minutes", "720"])
+    assert rc == 0
+    assert "avg_val" in capsys.readouterr().out
+
+    rc = main(["robust-outliers", "/root/testdata/sf0.001/lineitem.parquet",
+               "--columns", "l_quantity,l_extendedprice"])
+    assert rc == 0
+    assert "mad" in capsys.readouterr().out
+
+    rc = main(["fd", "/root/testdata/sf0.001/orders.parquet",
+               "--pairs", "o_orderkey->o_custkey"])
+    assert rc == 0
+    assert "fd_holds" in capsys.readouterr().out
