@@ -122,11 +122,11 @@ GATED_50 = (
     "profile_lineitem", "profile_events",
     "topk_lineitem",
     "completeness_lineitem",
-    "quartiles_lineitem", "outliers_lineitem", "corr_lineitem",
+    "corr_lineitem",
     "histogram_lineitem_l_extendedprice",
     "jb_report_lineitem",
     # streaming operators (batch-mode plans)
-    "windowed_profile_events", "sessionize_events", "windowed_topk_events",
+    "windowed_profile_events", "sessionize_events",
     "windowed_distinct_events",
     # joins + source parity
     "asof_join_events", "range_join_events", "profile_nation_csv",
@@ -141,21 +141,26 @@ GATED_50 = (
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "embedding_dim_profile",
     # text analysis
-    "text_stats_documents", "quality_filter_documents", "lang_id_documents",
-    "fingerprints_documents", "vocabulary_documents",
+    "text_stats_documents", "quality_filter_documents",
     "grouped_topk_tokens_documents",
     # sketches / sampling
     "countmin_topk_documents", "hash_split_documents",
-    "mixture_sample_documents",
     # multimodal plumbing
     "multimodal_frames_documents",
     # cleaning / drift / prep
-    "pii_scan_documents", "repetition_stats_documents", "chunk_documents",
+    "pii_scan_documents", "repetition_stats_documents",
     "psi_drift_documents",
-    # round-4 families promoted this round
+    # round-4 families (promoted at the r5 rotation, judge-named)
     "rolling_stats_events", "grouped_zscore_events",
     "grouped_quantiles_events", "json_profile_events",
     "distinct_rows_documents",
+    # round-5 families (second intra-round rotation — newest families get
+    # the hard driver signal; every demoted slot's family keeps a gated
+    # sibling, see the demotion notes below)
+    "column_entropy_events", "refint_lineitem_orders",
+    "tfidf_top_terms_documents", "funnel_events",
+    "ks_drift_events_value", "fd_candidates_orders",
+    "categorical_association_documents", "resample_events",
 )
 
 
@@ -664,6 +669,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     aggregate bundle)
     #   pack_sequences           (hash_split + mixture gate sampling/prep)
     #   corpus_summary           (five text-analysis siblings stay gated)
+    # Second (round-5-families) rotation demotions, same family-keeps-a-
+    # gated-sibling rule using the verdict's own family groupings:
+    #   quartiles_lineitem       (quantile family: grouped_quantiles gated;
+    #     the exact global path stays locally verified)
+    #   outliers_lineitem        (outlier family: grouped_zscore gated)
+    #   windowed_topk_events     (streaming-ranking family: sessionize +
+    #     windowed_profile + topk cover the pieces)
+    #   lang_id / fingerprints / vocabulary  (text-analysis family keeps
+    #     text_stats + quality_filter)
+    #   mixture_sample           (sampling family keeps hash_split)
+    #   chunk_documents          (prep family keeps repetition_stats)
     assert all(n in q for n in GATED_50), [n for n in GATED_50 if n not in q]
     return ({n: q[n] for n in GATED_50}
             | {n: f for n, f in q.items() if n not in GATED_50})

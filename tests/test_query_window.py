@@ -26,7 +26,7 @@ def test_gated_window_holds_all_operator_families():
     first50 = names[:50]
     # every gated slot is oracle-backed (no rows-only query wastes a slot)
     assert all(n in o for n in first50), [n for n in first50 if n not in o]
-    # round-5 promotions (VERDICT r4 item #1) are inside the window
+    # round-4 promotions (VERDICT r4 item #1) are inside the window
     for must in ("rolling_stats_events", "grouped_zscore_events",
                  "grouped_quantiles_events", "windowed_distinct_events",
                  "json_profile_events", "grouped_topk_tokens_documents",
@@ -34,6 +34,11 @@ def test_gated_window_holds_all_operator_families():
                  "ngram_containment_pairs_documents",
                  "duplicated_ngram_fraction_documents",
                  "contamination_report_documents",
+                 # round-5 families (second intra-round rotation)
+                 "column_entropy_events", "refint_lineitem_orders",
+                 "tfidf_top_terms_documents", "funnel_events",
+                 "ks_drift_events_value", "fd_candidates_orders",
+                 "categorical_association_documents", "resample_events",
                  # carried family representatives
                  "profile_lineitem", "topk_lineitem",
                  "simhash_near_pairs_documents",
@@ -42,8 +47,7 @@ def test_gated_window_holds_all_operator_families():
                  "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
                  "text_stats_documents", "hash_split_documents",
                  "multimodal_frames_documents", "sessionize_events",
-                 "windowed_topk_events", "pii_scan_documents",
-                 "repetition_stats_documents", "chunk_documents",
+                 "pii_scan_documents", "repetition_stats_documents",
                  "psi_drift_documents", "countmin_topk_documents"):
         assert must in first50, must
     # every demoted duplicate still exists at 51+ with its oracle intact
@@ -52,7 +56,12 @@ def test_gated_window_holds_all_operator_families():
                     "dedup_corpus_documents",
                     "token_length_histogram_documents",
                     "multimodal_meta_documents", "grouped_profile_events",
-                    "pack_sequences_documents", "corpus_summary_documents"):
+                    "pack_sequences_documents", "corpus_summary_documents",
+                    # second-rotation demotions
+                    "quartiles_lineitem", "outliers_lineitem",
+                    "windowed_topk_events", "lang_id_documents",
+                    "fingerprints_documents", "vocabulary_documents",
+                    "mixture_sample_documents", "chunk_documents"):
         assert demoted in names[50:], demoted
         assert demoted in o, demoted
     families = {n.rsplit("_", 1)[0] for n in first50}
