@@ -643,6 +643,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bigram_entropy_documents"] = _tq(
         text_ops.bigram_conditional_entropy, "documents")
 
+    # Deequ-style declarative constraint suite: one agg pass evaluates the
+    # whole rule list; the lineitem suite exercises every rule kind with
+    # both passing and failing rules (l_discount tops out at 0.1 -> the
+    # tight 0.05 range FAILS; l_orderkey repeats across lines -> unique
+    # FAILS; the regex/set/not-null rules PASS)
+    from flink_descriptive_stats_spark.operators import quality
+    _LINEITEM_RULES = [
+        ("not_null", "l_orderkey"),
+        ("unique", "l_orderkey"),
+        ("in_range", "l_discount", 0.0, 0.1),
+        ("in_range", "l_discount", 0.0, 0.05),
+        ("matches", "l_returnflag", "^[ANR]$"),
+        ("in_set", "l_linestatus", ("F", "O")),
+        ("not_null", "l_shipdate"),
+    ]
+    q["check_constraints_lineitem"] = _tq(
+        quality.check_constraints, "lineitem", rules=_LINEITEM_RULES)
+
+    # time-series / sequence analytics additions
+    q["acf_events"] = _tq(ev_ops.autocorrelation, "events", max_lag=5)
+    q["transition_matrix_events"] = _tq(ev_ops.transition_matrix, "events")
+    q["rollup_profile_events"] = _tq(ev_ops.rollup_profile, "events")
+
+    # SymSpell deletion-neighborhood typo pairs (vocabulary-level
+    # edit-distance join; the oracle runs the exhaustive O(V^2) spec)
+    q["typo_pairs_documents"] = _tq(text_ops.typo_pairs, "documents",
+                                    max_dist=2)
+
     # rows-only by design: stubbed decode / sketch scale-paths (no oracle)
     q["multimodal_features_documents"] = _tq(multimodal.extract_features,
                                              "documents")
@@ -916,6 +944,20 @@ def oracle_sql() -> dict[str, str]:
     o["fd_candidates_orders"] = op.fd_candidates_sql(
         "orders", [("o_orderkey", "o_custkey"),
                    ("o_custkey", "o_orderkey")])
+    o["check_constraints_lineitem"] = op.check_constraints_sql(
+        "lineitem", [
+            ("not_null", "l_orderkey"),
+            ("unique", "l_orderkey"),
+            ("in_range", "l_discount", 0.0, 0.1),
+            ("in_range", "l_discount", 0.0, 0.05),
+            ("matches", "l_returnflag", "^[ANR]$"),
+            ("in_set", "l_linestatus", ("F", "O")),
+            ("not_null", "l_shipdate"),
+        ])
+    o["acf_events"] = op.autocorrelation_sql(max_lag=5)
+    o["transition_matrix_events"] = op.transition_matrix_sql()
+    o["rollup_profile_events"] = op.rollup_profile_sql()
+    o["typo_pairs_documents"] = op.typo_pairs_sql(max_dist=2)
     # multimodal_features (stubbed UDF decode) and the sketch-based variants
     # (approx_distinct, quartiles_approx) are rows-only by design
     return o

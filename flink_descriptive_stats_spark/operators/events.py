@@ -144,3 +144,113 @@ def resample(df: DataFrame, every_minutes: int = 60,
         sig6(filled).alias("avg_val"),
         F.col("n").isNull().alias("filled"))
 
+
+
+def autocorrelation(df: DataFrame, key_col: str = "event_type",
+                    ts_col: str = "ts", id_col: str = "event_id",
+                    value_col: str = "value",
+                    max_lag: int = 5) -> DataFrame:
+    """Per-series autocorrelation function: (series, lag, n_pairs, acf)
+    for lag = 1..max_lag, the standard biased estimator
+    r_k = sum((x_t - mean)(x_{t-k} - mean)) / sum((x_t - mean)^2)
+    over each series ordered by (ts, id) — id breaks timestamp ties so
+    the ordering (and therefore every lagged pair) is total and
+    deterministic on any engine.
+
+    Shape: one exchange keyed by the series for the lag window, the
+    per-series mean joined back as a broadcast (series count is bounded),
+    and one grouped aggregate on the SAME key — Catalyst reuses the
+    window's hash partitioning for the final groupBy, so raw rows shuffle
+    once. All max_lag numerators ride in that single aggregate."""
+    from pyspark.sql import Window
+    from flink_descriptive_stats_spark.functions.sig import sig6
+
+    x = F.col(value_col).cast("double")
+    base = df.select(F.col(key_col).alias("series"),
+                     F.col(ts_col).alias("__ts"),
+                     F.col(id_col).alias("__id"), x.alias("x"))
+    mu = base.groupBy("series").agg(F.avg("x").alias("mu"))
+    w = Window.partitionBy("series").orderBy("__ts", "__id")
+    lagged = base.select(
+        "series", "x",
+        *[F.lag("x", k).over(w).alias(f"x{k}")
+          for k in range(1, max_lag + 1)])
+    cen = lagged.join(F.broadcast(mu), "series")
+    aggs = [F.sum((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")))
+            .alias("den")]
+    for k in range(1, max_lag + 1):
+        prod = (F.col("x") - F.col("mu")) * (F.col(f"x{k}") - F.col("mu"))
+        aggs += [F.sum(prod).alias(f"num{k}"),
+                 F.count(F.col(f"x{k}")).alias(f"n{k}")]
+    g = cen.groupBy("series").agg(*aggs)
+    branches = [g.select("series", F.lit(k).alias("lag"),
+                         F.col(f"n{k}").alias("n_pairs"),
+                         sig6(F.col(f"num{k}") / F.col("den")).alias("acf"))
+                for k in range(1, max_lag + 1)]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+def transition_matrix(df: DataFrame, key_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      id_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition counts over per-user event sequences:
+    (cur_type, next_type, n, prob) with prob = P(next | cur) among
+    observed transitions. The sequence order is (ts, id) per user — total
+    and deterministic.
+
+    Shape: one exchange keyed by user for the lead() window, then a
+    grouped count on (cur, next) — type-pair keys are bounded — and the
+    row-normalization is a window sum over that bounded aggregate, never
+    over raw events."""
+    from pyspark.sql import Window
+    from flink_descriptive_stats_spark.functions.sig import sig6
+
+    w = Window.partitionBy("__k").orderBy("__ts", "__id")
+    pairs = (df.select(F.col(key_col).alias("__k"),
+                       F.col(ts_col).alias("__ts"),
+                       F.col(id_col).alias("__id"),
+                       F.col(type_col).alias("cur_type"))
+             .withColumn("next_type", F.lead("cur_type").over(w))
+             .where(F.col("next_type").isNotNull()))
+    counts = pairs.groupBy("cur_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("cur_type")
+    return counts.select(
+        "cur_type", "next_type", "n",
+        sig6(F.col("n").cast("double") / F.sum("n").over(tot))
+        .alias("prob"))
+
+
+def rollup_profile(df: DataFrame, key_col: str = "event_type",
+                   ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """Multi-granularity profile via ROLLUP(key, day): per (key, day)
+    cell, per key, and grand total in ONE pass — (key, day, gid, n,
+    avg_val, min_val, max_val). ``gid`` is the grouping id
+    (0 = finest cell, 1 = per-key subtotal, 3 = grand total), which
+    disambiguates a genuinely-NULL key from a rolled-up one.
+
+    Shape: Spark plans rollup as Expand (3 replicas tagged by grouping
+    id) + one grouped aggregate — partial aggregation still applies, so
+    the exchange carries one partial row per (replica key), never raw
+    rows; the output is bounded by 3 x |keys x days|."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+
+    # day is rendered as a nullable 'yyyy-MM-dd' STRING: rolled-up rows
+    # carry NULL, and NULL strings compare identically on every engine
+    # while NULL timestamps (NaT) are comparator quicksand
+    day = F.date_trunc("DAY", F.col(ts_col)).alias("d")
+    x = F.col(value_col).cast("double")
+    rolled = (df.select(F.col(key_col).alias("key"), day, x.alias("x"))
+              .rollup("key", "d")
+              .agg(F.grouping_id().alias("gid"),
+                   F.count(F.lit(1)).alias("n"),
+                   sig6(F.avg("x")).alias("avg_val"),
+                   F.min("x").alias("min_val"),
+                   F.max("x").alias("max_val")))
+    return rolled.select(
+        "key", F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "gid", "n", "avg_val", "min_val", "max_val")

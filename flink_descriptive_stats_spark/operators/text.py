@@ -421,3 +421,59 @@ def bigram_conditional_entropy(df: DataFrame, text_col: str = "text",
         "n_bigrams", "n_distinct_bigrams", "n_distinct_tokens",
         sig6(F.col("__h") / F.col("n_bigrams").cast("double"))
         .alias("cond_entropy"))
+
+
+def typo_pairs(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", max_dist: int = 2,
+               min_count: int = 1, max_token_len: int = 24) -> DataFrame:
+    """Vocabulary-level near-spelling pairs via SymSpell deletion
+    neighborhoods: (token_a, token_b, n_a, n_b, dist) for distinct token
+    pairs with Levenshtein distance 1..max_dist (max_dist in {1, 2}) —
+    the OCR-noise / typo-variant detector a corpus-cleaning pipeline runs
+    before merging token statistics.
+
+    SymSpell blocking (Garbe's symmetric-delete algorithm, public): if
+    lev(a, b) <= d then a and b share some variant obtained by deleting
+    <= d characters from each, so equi-joining tokens on their delete-
+    neighborhood keys yields a candidate superset, and one exact
+    JVM `levenshtein()` recheck per candidate keeps only true pairs —
+    never an all-pairs O(V^2) compare. Shapes at 100 TB: tokens collapse
+    to a VOCABULARY first (one groupBy shuffle with map-side combine);
+    the neighborhood explode is vocabulary-scale * O(len^2) keys; the
+    self-join is an equi-join on the variant key. Tokens longer than
+    ``max_token_len`` are dropped (neighborhood size is quadratic in
+    length; 24 covers natural-language words).
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2")
+    toks = (df.where(F.col(text_col).isNotNull())
+            .select(F.explode(H.tokens_expr(F.col(text_col)))
+                    .alias("token")))
+    vocab = (toks.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .where((F.col("n") >= min_count)
+                    & (F.length("token") <= max_token_len)))
+    d1 = ("transform(sequence(1, length(token)), i -> "
+          "concat(substring(token, 1, i-1), "
+          f"substring(token, i+1, {max_token_len})))")
+    if max_dist == 1:
+        keys = f"array_distinct(concat(array(token), {d1}))"
+    else:
+        d2 = (f"flatten(transform({d1}, s -> "
+              "transform(sequence(1, length(s)), j -> "
+              "concat(substring(s, 1, j-1), "
+              f"substring(s, j+1, {max_token_len})))))")
+        keys = f"array_distinct(concat(array(token), {d1}, {d2}))"
+    keyed = vocab.select("token", "n",
+                         F.explode(F.expr(keys)).alias("k"))
+    a = keyed.select(F.col("k"), F.col("token").alias("token_a"),
+                     F.col("n").alias("n_a"))
+    b = keyed.select(F.col("k"), F.col("token").alias("token_b"),
+                     F.col("n").alias("n_b"))
+    cand = (a.join(b, "k")
+            .where(F.col("token_a") < F.col("token_b"))
+            .select("token_a", "token_b", "n_a", "n_b")
+            .distinct())
+    dist = F.levenshtein("token_a", "token_b")
+    return (cand.withColumn("dist", dist)
+            .where(F.col("dist") <= max_dist))

@@ -1385,3 +1385,128 @@ SELECT '{a}' AS determinant, '{b}' AS dependent,
   (count(DISTINCT ROW({a}, {b})) = count(DISTINCT ROW({a}))) AS fd_holds
 FROM {table}""")
     return "\nUNION ALL\n".join(branches)
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return repr(v)
+
+
+def check_constraints_sql(table: str, rules: list[tuple]) -> str:
+    """Mirror of quality.check_constraints: every rule folded into ONE
+    aggregate scan (a CTE), then one literal row per rule referencing it.
+    Rule labels are produced by the same quality.rule_label helper the
+    Spark op uses, so the report keys are identical by construction."""
+    from flink_descriptive_stats_spark.operators.quality import rule_label
+    exprs = []
+    for i, r in enumerate(rules):
+        kind, c = r[0], r[1]
+        if kind == "not_null":
+            e = f"count(CASE WHEN {c} IS NULL THEN 1 END)"
+        elif kind == "unique":
+            e = f"count({c}) - count(DISTINCT {c})"
+        elif kind == "in_range":
+            e = (f"count(CASE WHEN NOT ({c} BETWEEN {_sql_lit(r[2])} "
+                 f"AND {_sql_lit(r[3])}) THEN 1 END)")
+        elif kind == "matches":
+            e = (f"count(CASE WHEN {c} IS NOT NULL AND NOT "
+                 f"regexp_matches(CAST({c} AS VARCHAR), {_sql_lit(r[2])})"
+                 f" THEN 1 END)")
+        elif kind == "in_set":
+            vals = ", ".join(_sql_lit(v) for v in r[2])
+            e = (f"count(CASE WHEN {c} IS NOT NULL AND {c} NOT IN "
+                 f"({vals}) THEN 1 END)")
+        else:
+            raise ValueError(f"unknown constraint kind: {kind!r}")
+        exprs.append(f"{e} AS v{i}")
+    branches = []
+    for i, r in enumerate(rules):
+        branches.append(
+            f"SELECT {_sql_lit(rule_label(r))} AS rule, "
+            f"{_sql_lit(r[1])} AS \"column\", n AS n_rows, "
+            f"CAST(v{i} AS BIGINT) AS n_violations, "
+            f"v{i} = 0 AS passed FROM agg")
+    return (f"WITH agg AS (SELECT count(*) AS n, {', '.join(exprs)} "
+            f"FROM {table})\n" + "\nUNION ALL\n".join(branches))
+
+
+def autocorrelation_sql(table: str = "events", key: str = "event_type",
+                        ts: str = "ts", id_col: str = "event_id",
+                        value: str = "value", max_lag: int = 5) -> str:
+    """Mirror of events.autocorrelation: same (ts, id)-total-ordered lags,
+    same single grouped pass computing den + all lag numerators."""
+    lags = ", ".join(
+        f"lag(x, {k}) OVER win AS x{k}" for k in range(1, max_lag + 1))
+    nums = ", ".join(
+        f"sum((x - mu) * (x{k} - mu)) AS num{k}, count(x{k}) AS n{k}"
+        for k in range(1, max_lag + 1))
+    branches = [
+        f"SELECT series, {k} AS lag, CAST(n{k} AS BIGINT) AS n_pairs, "
+        f"{duck_sig6(f'num{k} / den')} AS acf FROM g"
+        for k in range(1, max_lag + 1)]
+    return f"""
+WITH m AS (SELECT {key} AS series, avg(CAST({value} AS DOUBLE)) AS mu
+           FROM {table} GROUP BY 1),
+ l AS (SELECT {key} AS series, CAST({value} AS DOUBLE) AS x, {lags}
+       FROM {table}
+       WINDOW win AS (PARTITION BY {key} ORDER BY {ts}, {id_col})),
+ g AS (SELECT l.series, sum((x - mu) * (x - mu)) AS den, {nums}
+       FROM l JOIN m ON l.series = m.series GROUP BY 1)
+""" + "\nUNION ALL\n".join(branches)
+
+
+def transition_matrix_sql(table: str = "events", key: str = "user_id",
+                          type_col: str = "event_type", ts: str = "ts",
+                          id_col: str = "event_id") -> str:
+    """Mirror of events.transition_matrix (lead over the same total
+    per-user order, bounded (cur, next) counts, window normalization)."""
+    return f"""
+WITH p AS (SELECT {type_col} AS cur_type,
+                  lead({type_col}) OVER (PARTITION BY {key}
+                                         ORDER BY {ts}, {id_col})
+                    AS next_type
+           FROM {table}),
+ c AS (SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n
+       FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+ r AS (SELECT cur_type, next_type, n,
+              CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur_type)
+                AS praw
+       FROM c)
+SELECT cur_type, next_type, n, {duck_sig6('praw')} AS prob FROM r"""
+
+
+def rollup_profile_sql(table: str = "events", key: str = "event_type",
+                       ts: str = "ts", value: str = "value") -> str:
+    """Mirror of events.rollup_profile: GROUP BY ROLLUP with the same
+    grouping-id encoding (0 cell / 1 key subtotal / 3 grand total)."""
+    return f"""
+SELECT {key} AS key, strftime(date_trunc('day', {ts}), '%Y-%m-%d') AS day,
+  CAST(GROUPING({key}, date_trunc('day', {ts})) AS BIGINT) AS gid,
+  CAST(count(*) AS BIGINT) AS n,
+  {duck_sig6(f'avg(CAST({value} AS DOUBLE))')} AS avg_val,
+  min(CAST({value} AS DOUBLE)) AS min_val,
+  max(CAST({value} AS DOUBLE)) AS max_val
+FROM {table}
+GROUP BY ROLLUP ({key}, date_trunc('day', {ts}))"""
+
+
+def typo_pairs_sql(table: str = "documents", text_col: str = "text",
+                   max_dist: int = 2, min_count: int = 1,
+                   max_token_len: int = 24) -> str:
+    """Mirror of text.typo_pairs — the oracle is the SPEC (exhaustive
+    vocabulary self-join + levenshtein), the Spark op is the SymSpell
+    scale path; both must emit identical pairs."""
+    return f"""
+WITH v AS (SELECT w AS token, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest({H.duck_tokens(text_col)}) AS w
+                 FROM {table} WHERE {text_col} IS NOT NULL)
+           GROUP BY 1
+           HAVING count(*) >= {min_count}),
+ vv AS (SELECT * FROM v WHERE length(token) <= {max_token_len})
+SELECT a.token AS token_a, b.token AS token_b, a.n AS n_a, b.n AS n_b,
+       CAST(levenshtein(a.token, b.token) AS INTEGER) AS dist
+FROM vv a, vv b
+WHERE a.token < b.token AND levenshtein(a.token, b.token) <= {max_dist}"""

@@ -388,3 +388,110 @@ def test_fd_candidates_semantics(spark):
     # name -> pk fails: 'a' maps to pks 1 and 2
     r = got[("name", "pk")]
     assert r["fd_holds"] is False and r["n_violations"] == 2
+
+
+def test_check_constraints_semantics(spark):
+    from flink_descriptive_stats_spark.operators import quality
+    df = spark.createDataFrame(
+        [(1, 0.05, "A"), (1, 0.20, "B"), (2, None, None), (3, 0.00, "A")],
+        "k bigint, d double, s string")
+    rules = [("not_null", "d"), ("unique", "k"),
+             ("in_range", "d", 0.0, 0.1), ("matches", "s", "^[A-C]$"),
+             ("in_set", "s", ("A", "C"))]
+    got = {(r["rule"], r["column"]): r
+           for r in quality.check_constraints(df, rules).collect()}
+    assert all(r["n_rows"] == 4 for r in got.values())
+    # one NULL d
+    r = got[("not_null", "d")]
+    assert r["n_violations"] == 1 and not r["passed"]
+    # k = 1 twice -> one extra occurrence
+    assert got[("unique", "k")]["n_violations"] == 1
+    # 0.20 out of range; NULL d not double-counted
+    assert got[("in_range[0.0,0.1]", "d")]["n_violations"] == 1
+    # all present s match the regex
+    rr = got[("matches[^[A-C]$]", "s")]
+    assert rr["n_violations"] == 0 and rr["passed"]
+    # "B" not in the allowed set; NULL skipped
+    assert got[("in_set[A,C]", "s")]["n_violations"] == 1
+
+
+def test_autocorrelation_semantics(spark):
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    # alternating series 1,-1,1,-1,... -> acf(1) = -1, acf(2) = +1 as
+    # n -> inf; with n=8 the biased estimator gives -7/8 and 6/8
+    rows = [("a", i, i, 1.0 if i % 2 == 0 else -1.0) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts bigint, event_id bigint, value double")
+    got = {r["lag"]: r for r in ev_ops.autocorrelation(
+        df, max_lag=2).collect()}
+    assert got[1]["n_pairs"] == 7 and got[2]["n_pairs"] == 6
+    assert math.isclose(_f(got[1]["acf"]), -7 / 8, rel_tol=1e-5)
+    assert math.isclose(_f(got[2]["acf"]), 6 / 8, rel_tol=1e-5)
+
+
+def test_transition_matrix_semantics(spark):
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    # user 1: a->b->a ; user 2: a->b  => from 'a': {b:2}; from 'b': {a:1, b-end dropped}
+    rows = [(1, 0, 1, "a"), (1, 1, 2, "b"), (1, 2, 3, "a"),
+            (2, 0, 4, "a"), (2, 1, 5, "b")]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts bigint, event_id bigint, event_type string")
+    got = {(r["cur_type"], r["next_type"]): r
+           for r in ev_ops.transition_matrix(df).collect()}
+    assert got[("a", "b")]["n"] == 2
+    assert math.isclose(_f(got[("a", "b")]["prob"]), 1.0, rel_tol=1e-5)
+    assert got[("b", "a")]["n"] == 1
+    assert math.isclose(_f(got[("b", "a")]["prob"]), 1.0, rel_tol=1e-5)
+    assert len(got) == 2  # terminal events contribute no transition
+
+
+def test_rollup_profile_semantics(spark):
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1, 5)
+    t1 = dt.datetime(2026, 1, 2, 6)
+    rows = [("a", t0, 1.0), ("a", t0, 3.0), ("b", t1, 5.0)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = ev_ops.rollup_profile(df).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # 2 fine cells, 2 per-key subtotals, 1 grand total
+    assert len(by_gid[0]) == 2 and len(by_gid[1]) == 2 and len(by_gid[3]) == 1
+    cell = {(r["key"], r["day"]): r for r in by_gid[0]}
+    a = cell[("a", "2026-01-01")]
+    assert a["n"] == 2 and a["min_val"] == 1.0 and a["max_val"] == 3.0
+    assert math.isclose(_f(a["avg_val"]), 2.0, rel_tol=1e-5)
+    total = by_gid[3][0]
+    assert total["key"] is None and total["day"] is None and total["n"] == 3
+
+
+def test_typo_pairs_symspell_complete(spark):
+    # the SymSpell delete-neighborhood blocking must find EVERY pair with
+    # lev <= 2 that an exhaustive compare finds (candidate superset +
+    # exact recheck), including substitution-only, insert, and transposed-
+    # as-two-subs cases
+    docs = [(1, "cat bat cart scat xyzzy cat"), (2, "chat cta frog")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {(r["token_a"], r["token_b"]): r["dist"]
+           for r in text_ops.typo_pairs(df, max_dist=2).collect()}
+    import itertools
+    vocab = {"cat": 2, "bat": 1, "cart": 1, "scat": 1, "xyzzy": 1,
+             "chat": 1, "cta": 1, "frog": 1}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {(a, b): lev(a, b) for a, b in
+            itertools.combinations(sorted(vocab), 2) if lev(a, b) <= 2}
+    assert got == want
+    # counts ride through the blocking untouched
+    row = [r for r in text_ops.typo_pairs(df, max_dist=1).collect()
+           if (r["token_a"], r["token_b"]) == ("bat", "cat")][0]
+    assert (row["n_a"], row["n_b"]) == (1, 2)
