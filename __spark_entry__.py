@@ -127,29 +127,26 @@ GATED_50 = (
     "jb_report_lineitem",
     # streaming operators (batch-mode plans)
     "windowed_profile_events", "sessionize_events",
-    "windowed_distinct_events",
-    # joins + source parity
+    # joins + source parity + partitioned-sink round-trip
     "asof_join_events", "range_join_events", "profile_nation_csv",
+    "daily_profile_partitioned_events",
     # dedup / decontamination family
     "dedup_exact_documents", "decontaminate_fuzzy_documents",
     "minhash_pairs_documents", "neardup_clusters_documents",
     "simhash_near_pairs_documents", "ngram_jaccard_pairs_documents",
-    "ngram_containment_pairs_documents",
-    "duplicated_ngram_fraction_documents", "contamination_report_documents",
-    "embedding_neardup_pairs", "embedding_neardup_lsh",
+    "embedding_neardup_lsh", "semdedup_embeddings",
     # similarity search
-    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_lsh_topk", "ann_ivf_topk",
     "embedding_dim_profile",
     # text analysis
     "text_stats_documents", "quality_filter_documents",
-    "grouped_topk_tokens_documents",
+    "grouped_topk_tokens_documents", "typo_pairs_documents",
     # sketches / sampling
     "countmin_topk_documents", "hash_split_documents",
     # multimodal plumbing
     "multimodal_frames_documents",
     # cleaning / drift / prep
     "pii_scan_documents", "repetition_stats_documents",
-    "psi_drift_documents",
     # round-4 families (promoted at the r5 rotation, judge-named)
     "rolling_stats_events", "grouped_zscore_events",
     "grouped_quantiles_events", "json_profile_events",
@@ -161,6 +158,16 @@ GATED_50 = (
     "tfidf_top_terms_documents", "funnel_events",
     "ks_drift_events_value", "fd_candidates_orders",
     "categorical_association_documents", "resample_events",
+    # round-5 session-2 families (third rotation). Demoted to make room,
+    # each family keeping a gated sibling: windowed_distinct_events
+    # (streaming family: windowed_profile + sessionize), psi_drift
+    # (drift family: ks_drift), ngram_containment + duplicated_ngram_
+    # fraction (shingle-pair family: ngram_jaccard; dup-measure family:
+    # repetition_stats), contamination_report (decontaminate_fuzzy),
+    # embedding_neardup_pairs (exact path; LSH sibling gated),
+    # ann_cosine_topk (brute-force baseline; LSH + IVF gated).
+    "check_constraints_lineitem", "acf_events",
+    "transition_matrix_events", "rollup_profile_events",
 )
 
 
@@ -671,6 +678,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["typo_pairs_documents"] = _tq(text_ops.typo_pairs, "documents",
                                     max_dist=2)
 
+    # SemDeDup (cell-bucketed semantic dedup; 0.45 on the near-isotropic
+    # fixture -> 4 dropped vectors, non-vacuous — realistic corpora use
+    # ~0.95 where true semantic dupes concentrate)
+    q["semdedup_embeddings"] = _tq(similarity.semdedup, "embeddings",
+                                   threshold=0.45)
+
+    def _daily_profile_partitioned(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+        # partitioned-sink round-trip: write events hive-partitioned by
+        # day, read back through a PARTITION-PRUNED scan (10 of 30 day
+        # dirs; the pruning itself is plan-pinned in test_plan_shapes),
+        # and aggregate per day — gated against the oracle running the
+        # same filter over the raw parquet, so layout.write_partitioned's
+        # directory encoding is proven value-faithful, not just fast
+        import os
+        import tempfile
+        from flink_descriptive_stats_spark.functions.sig import sig6
+        from flink_descriptive_stats_spark.sources import layout
+        ev = _load(spark, sf_dir, "events").withColumn(
+            "day", F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd"))
+        path = os.path.join(
+            tempfile.gettempdir(), f"fds_spark_part_{os.getpid()}",
+            f"events_by_day_{os.path.basename(os.path.normpath(sf_dir))}")
+        layout.write_partitioned(ev, path, ["day"])
+        back = (spark.read.parquet(path)
+                .where(F.col("day").between("2024-01-10", "2024-01-19")))
+        x = F.col("value").cast("double")
+        return (back.groupBy(F.col("day").cast("string").alias("day"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     sig6(F.avg(x)).alias("avg_val"),
+                     F.min(x).alias("min_val"), F.max(x).alias("max_val")))
+    q["daily_profile_partitioned_events"] = _daily_profile_partitioned
+
     # rows-only by design: stubbed decode / sketch scale-paths (no oracle)
     q["multimodal_features_documents"] = _tq(multimodal.extract_features,
                                              "documents")
@@ -958,6 +998,8 @@ def oracle_sql() -> dict[str, str]:
     o["transition_matrix_events"] = op.transition_matrix_sql()
     o["rollup_profile_events"] = op.rollup_profile_sql()
     o["typo_pairs_documents"] = op.typo_pairs_sql(max_dist=2)
+    o["semdedup_embeddings"] = op.semdedup_sql(threshold=0.45)
+    o["daily_profile_partitioned_events"] = op.daily_profile_sql()
     # multimodal_features (stubbed UDF decode) and the sketch-based variants
     # (approx_distinct, quartiles_approx) are rows-only by design
     return o

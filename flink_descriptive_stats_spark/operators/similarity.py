@@ -397,3 +397,49 @@ def ivf_topk(df: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 4,
             .where(F.col("rank") <= k)
             .select("query_id", F.col("id").alias("neighbor_id"), "cos",
                     "rank"))
+
+
+def semdedup(df: DataFrame, threshold: float = 0.95, n_cells: int = 16,
+             refine_iters: int = 0, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:
+    2303.09540): cluster embeddings into k cells, then WITHIN each cell
+    drop every vector that has an earlier-id neighbor above the cosine
+    threshold. Output: (vec_id, cell_id, kept, dup_of) where dup_of is
+    the smallest same-cell earlier id with cos >= threshold (NULL for
+    kept rows) — a deterministic keep-first policy, same convention as
+    dedup.exact_dedup.
+
+    Physical shape at 100 TB: cell assignment is the NARROW inlined-
+    centroid argmax shared with ivf_topk (zero corpus exchange); the
+    within-cell pair search is ONE self-equi-join keyed by cell_id, so
+    compare cost is sum(cell^2), not n^2 — cells are what make SemDeDup
+    sub-quadratic, and more cells = smaller cells = less work at the cost
+    of cross-cell recall (the published trade). The dot product is the
+    same index-order left-fold as the DuckDB oracle, so the >= threshold
+    decision cannot fork on summation order."""
+    d = with_norm(df, id_col, vec_col)
+    if refine_iters > 0:
+        crows = kmeans_centroid_rows(df, n_cells, refine_iters, id_col,
+                                     vec_col)
+    else:
+        crows = (d.where(F.col("id") < n_cells)
+                 .select(F.col("id").alias("cell_id"),
+                         F.col("v").alias("cv"),
+                         F.col("norm").alias("cnorm")).collect())
+    assign = d.withColumn(
+        "cell_id", ranked_cells_expr(crows)[0]["cell_id"])
+    a = assign.select("cell_id", F.col("id").alias("ida"),
+                      F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = assign.select("cell_id", F.col("id").alias("idb"),
+                      F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, z: acc + z)
+    dup = (a.join(b, "cell_id")
+           .where(F.col("idb") < F.col("ida"))
+           .where(dot / (F.col("na") * F.col("nb")) >= F.lit(threshold))
+           .groupBy("ida").agg(F.min("idb").alias("dup_of")))
+    return (assign.join(dup, assign["id"] == dup["ida"], "left")
+            .select(F.col("id").alias("vec_id"), "cell_id",
+                    F.col("dup_of").isNull().alias("kept"), "dup_of"))

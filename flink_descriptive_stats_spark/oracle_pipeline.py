@@ -1510,3 +1510,45 @@ SELECT a.token AS token_a, b.token AS token_b, a.n AS n_a, b.n AS n_b,
        CAST(levenshtein(a.token, b.token) AS INTEGER) AS dist
 FROM vv a, vv b
 WHERE a.token < b.token AND levenshtein(a.token, b.token) <= {max_dist}"""
+
+
+def semdedup_sql(table: str = "embeddings", threshold: float = 0.95,
+                 n_cells: int = 16) -> str:
+    """Mirror of similarity.semdedup (seed-vector cells): same crank=1
+    assignment as ivf_topk_sql, then the within-cell earlier-id neighbor
+    rule with the identical left-fold dot product."""
+    cdot = _DOT.format(a="n.v", b="cent.cv")
+    pdot = _DOT.format(a="x.v", b="y.v")
+    return f"""
+WITH {_norm_cte(table)},
+cent AS (SELECT id AS cell_id, v AS cv, norm AS cnorm FROM n
+         WHERE id < {n_cells}),
+sc AS (SELECT n.id, n.v, n.norm, cent.cell_id,
+              row_number() OVER (PARTITION BY n.id
+                ORDER BY ({cdot}) / (n.norm * cent.cnorm) DESC,
+                         cent.cell_id ASC) AS crank
+       FROM n CROSS JOIN cent),
+a AS (SELECT id, v, norm, cell_id FROM sc WHERE crank = 1),
+dup AS (SELECT x.id, min(y.id) AS dup_of
+        FROM a x JOIN a y ON x.cell_id = y.cell_id AND y.id < x.id
+        WHERE ({pdot}) / (x.norm * y.norm) >= {threshold!r}
+        GROUP BY x.id)
+SELECT CAST(a.id AS BIGINT) AS vec_id, CAST(a.cell_id AS BIGINT) AS cell_id,
+       dup.dup_of IS NULL AS kept, CAST(dup.dup_of AS BIGINT) AS dup_of
+FROM a LEFT JOIN dup ON a.id = dup.id"""
+
+
+def daily_profile_sql(table: str = "events", lo: str = "2024-01-10",
+                      hi: str = "2024-01-19", value: str = "value") -> str:
+    """Mirror of the partitioned-sink round-trip gate: the same day-range
+    filter evaluated over the RAW table (no partitioning) — values must be
+    identical whichever layout served the scan."""
+    day = "strftime(date_trunc('day', ts), '%Y-%m-%d')"
+    return f"""
+SELECT {day} AS day, CAST(count(*) AS BIGINT) AS n,
+  {duck_sig6(f'avg(CAST({value} AS DOUBLE))')} AS avg_val,
+  min(CAST({value} AS DOUBLE)) AS min_val,
+  max(CAST({value} AS DOUBLE)) AS max_val
+FROM {table}
+WHERE {day} BETWEEN '{lo}' AND '{hi}'
+GROUP BY 1"""

@@ -28,27 +28,29 @@ def test_gated_window_holds_all_operator_families():
     assert all(n in o for n in first50), [n for n in first50 if n not in o]
     # round-4 promotions (VERDICT r4 item #1) are inside the window
     for must in ("rolling_stats_events", "grouped_zscore_events",
-                 "grouped_quantiles_events", "windowed_distinct_events",
+                 "grouped_quantiles_events",
                  "json_profile_events", "grouped_topk_tokens_documents",
                  "distinct_rows_documents",
-                 "ngram_containment_pairs_documents",
-                 "duplicated_ngram_fraction_documents",
-                 "contamination_report_documents",
                  # round-5 families (second intra-round rotation)
                  "column_entropy_events", "refint_lineitem_orders",
                  "tfidf_top_terms_documents", "funnel_events",
                  "ks_drift_events_value", "fd_candidates_orders",
                  "categorical_association_documents", "resample_events",
+                 # round-5 session-2 families (third rotation)
+                 "check_constraints_lineitem", "acf_events",
+                 "transition_matrix_events", "rollup_profile_events",
+                 "typo_pairs_documents", "semdedup_embeddings",
+                 "daily_profile_partitioned_events",
                  # carried family representatives
                  "profile_lineitem", "topk_lineitem",
                  "simhash_near_pairs_documents",
                  "ngram_jaccard_pairs_documents",
-                 "embedding_neardup_pairs", "embedding_neardup_lsh",
-                 "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+                 "embedding_neardup_lsh",
+                 "ann_lsh_topk", "ann_ivf_topk",
                  "text_stats_documents", "hash_split_documents",
                  "multimodal_frames_documents", "sessionize_events",
                  "pii_scan_documents", "repetition_stats_documents",
-                 "psi_drift_documents", "countmin_topk_documents"):
+                 "countmin_topk_documents"):
         assert must in first50, must
     # every demoted duplicate still exists at 51+ with its oracle intact
     for demoted in ("profile_documents", "topk_documents",
@@ -61,7 +63,13 @@ def test_gated_window_holds_all_operator_families():
                     "quartiles_lineitem", "outliers_lineitem",
                     "windowed_topk_events", "lang_id_documents",
                     "fingerprints_documents", "vocabulary_documents",
-                    "mixture_sample_documents", "chunk_documents"):
+                    "mixture_sample_documents", "chunk_documents",
+                    # third-rotation demotions
+                    "windowed_distinct_events", "psi_drift_documents",
+                    "ngram_containment_pairs_documents",
+                    "duplicated_ngram_fraction_documents",
+                    "contamination_report_documents",
+                    "embedding_neardup_pairs", "ann_cosine_topk"):
         assert demoted in names[50:], demoted
         assert demoted in o, demoted
     families = {n.rsplit("_", 1)[0] for n in first50}

@@ -495,3 +495,21 @@ def test_typo_pairs_symspell_complete(spark):
     row = [r for r in text_ops.typo_pairs(df, max_dist=1).collect()
            if (r["token_a"], r["token_b"]) == ("bat", "cat")][0]
     assert (row["n_a"], row["n_b"]) == (1, 2)
+
+
+def test_semdedup_semantics(spark):
+    from flink_descriptive_stats_spark.operators import similarity
+    # ids 0,1 seed two orthogonal cells; 2 ~ cell0 near-dup of 0;
+    # 3 ~ cell1 but below threshold; 4 near-dup of BOTH 0 and 2 -> dup_of
+    # must be the smallest earlier neighbor (0)
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]), (3, [0.5, 0.8, 0.0]),
+            (4, [0.998, 0.02, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {r["vec_id"]: r for r in
+           similarity.semdedup(df, threshold=0.95, n_cells=2).collect()}
+    assert got[0]["kept"] and got[1]["kept"]
+    assert not got[2]["kept"] and got[2]["dup_of"] == 0
+    assert got[3]["kept"] and got[3]["cell_id"] == 1
+    assert not got[4]["kept"] and got[4]["dup_of"] == 0
+    assert got[2]["cell_id"] == 0 and got[4]["cell_id"] == 0
