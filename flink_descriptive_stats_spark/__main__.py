@@ -22,7 +22,9 @@ import sys
 SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "quality-filter", "ann", "pii-scan", "pii-redact",
                "entropy", "refint", "benford", "tfidf", "compare",
-               "funnel", "retention", "resample", "robust-outliers", "fd")
+               "funnel", "retention", "resample", "robust-outliers", "fd",
+               "check", "acf", "transitions", "rollup", "typos",
+               "semdedup")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -174,7 +176,79 @@ def build_parser() -> argparse.ArgumentParser:
     fd.add_argument("--pairs", required=True,
                     help="comma-separated a->b pairs, e.g. 'zip->city,id->name'")
     _add_common(fd)
+
+    ck = sub.add_parser("check",
+                        help="declarative constraint suite (one agg pass)")
+    ck.add_argument("input")
+    ck.add_argument("--rules", required=True,
+                    help="';'-separated rules: not_null:col | unique:col | "
+                         "in_range:col:lo:hi | matches:col:regex | "
+                         "in_set:col:v1|v2")
+    _add_common(ck)
+
+    ac = sub.add_parser("acf", help="per-series autocorrelation function")
+    ac.add_argument("input")
+    ac.add_argument("--key-col", default="event_type")
+    ac.add_argument("--ts-col", default="ts")
+    ac.add_argument("--id-col", default="event_id")
+    ac.add_argument("--value-col", default="value")
+    ac.add_argument("--max-lag", type=int, default=5)
+    _add_common(ac)
+
+    tm = sub.add_parser("transitions",
+                        help="first-order Markov event-type transitions")
+    tm.add_argument("input")
+    tm.add_argument("--key-col", default="user_id")
+    tm.add_argument("--type-col", default="event_type")
+    tm.add_argument("--ts-col", default="ts")
+    tm.add_argument("--id-col", default="event_id")
+    _add_common(tm)
+
+    rl = sub.add_parser("rollup",
+                        help="ROLLUP(key, day) multi-granularity profile")
+    rl.add_argument("input")
+    rl.add_argument("--key-col", default="event_type")
+    rl.add_argument("--ts-col", default="ts")
+    rl.add_argument("--value-col", default="value")
+    _add_common(rl)
+
+    ty = sub.add_parser("typos",
+                        help="SymSpell edit-distance<=d vocabulary pairs")
+    ty.add_argument("input")
+    ty.add_argument("--text-col", default="text")
+    ty.add_argument("--max-dist", type=int, default=2)
+    ty.add_argument("--min-count", type=int, default=1)
+    _add_common(ty)
+
+    sd = sub.add_parser("semdedup",
+                        help="semantic dedup over an embedding column")
+    sd.add_argument("input")
+    sd.add_argument("--threshold", type=float, default=0.95)
+    sd.add_argument("--n-cells", type=int, default=16)
+    sd.add_argument("--refine-iters", type=int, default=0)
+    sd.add_argument("--vec-col", default="embedding")
+    sd.add_argument("--id-col", default="vec_id")
+    _add_common(sd)
     return p
+
+
+def parse_rules(spec: str) -> list[tuple]:
+    """'not_null:c;in_range:c:0:1;in_set:c:A|B' -> quality rule tuples."""
+    rules: list[tuple] = []
+    for part in spec.split(";"):
+        bits = part.split(":")
+        kind = bits[0]
+        if kind in ("not_null", "unique"):
+            rules.append((kind, bits[1]))
+        elif kind == "in_range":
+            rules.append((kind, bits[1], float(bits[2]), float(bits[3])))
+        elif kind == "matches":
+            rules.append((kind, bits[1], ":".join(bits[2:])))
+        elif kind == "in_set":
+            rules.append((kind, bits[1], tuple(bits[2].split("|"))))
+        else:
+            raise SystemExit(f"unknown rule kind: {kind}")
+    return rules
 
 
 def infer_format(path: str) -> str:
@@ -358,6 +432,57 @@ def main(argv: list[str] | None = None) -> int:
         df = _load(spark, args.input, args.format)
         pairs = [tuple(p.split("->")) for p in args.pairs.split(",")]
         _emit(extras.fd_candidates(df, pairs=pairs), args.output)
+        return 0
+
+    if args.cmd == "check":
+        from flink_descriptive_stats_spark.operators import quality
+        df = _load(spark, args.input, args.format)
+        _emit(quality.check_constraints(df, parse_rules(args.rules)),
+              args.output)
+        return 0
+
+    if args.cmd == "acf":
+        from flink_descriptive_stats_spark.operators import events as ev
+        df = _load(spark, args.input, args.format)
+        _emit(ev.autocorrelation(df, key_col=args.key_col,
+                                 ts_col=args.ts_col, id_col=args.id_col,
+                                 value_col=args.value_col,
+                                 max_lag=args.max_lag), args.output)
+        return 0
+
+    if args.cmd == "transitions":
+        from flink_descriptive_stats_spark.operators import events as ev
+        df = _load(spark, args.input, args.format)
+        _emit(ev.transition_matrix(df, key_col=args.key_col,
+                                   type_col=args.type_col,
+                                   ts_col=args.ts_col,
+                                   id_col=args.id_col), args.output)
+        return 0
+
+    if args.cmd == "rollup":
+        from flink_descriptive_stats_spark.operators import events as ev
+        df = _load(spark, args.input, args.format)
+        _emit(ev.rollup_profile(df, key_col=args.key_col,
+                                ts_col=args.ts_col,
+                                value_col=args.value_col), args.output)
+        return 0
+
+    if args.cmd == "typos":
+        from flink_descriptive_stats_spark.operators import text as text_ops
+        df = _load(spark, args.input, args.format)
+        _emit(text_ops.typo_pairs(df, text_col=args.text_col,
+                                  max_dist=args.max_dist,
+                                  min_count=args.min_count), args.output)
+        return 0
+
+    if args.cmd == "semdedup":
+        from flink_descriptive_stats_spark.operators import similarity
+        df = _load(spark, args.input, args.format)
+        _emit(similarity.semdedup(df, threshold=args.threshold,
+                                  n_cells=args.n_cells,
+                                  refine_iters=args.refine_iters,
+                                  id_col=args.id_col,
+                                  vec_col=args.vec_col), args.output)
         return 0
 
     if args.cmd == "compare":

@@ -137,3 +137,26 @@ def test_cli_round5_event_subcommands(spark, capsys):
                "--pairs", "o_orderkey->o_custkey"])
     assert rc == 0
     assert "fd_holds" in capsys.readouterr().out
+
+
+def test_cli_parse_rules_roundtrip():
+    from flink_descriptive_stats_spark.__main__ import parse_rules
+    rules = parse_rules("not_null:a;unique:b;in_range:c:0:0.5;"
+                        "matches:d:^x:y$;in_set:e:A|B|C")
+    assert rules == [("not_null", "a"), ("unique", "b"),
+                     ("in_range", "c", 0.0, 0.5),
+                     ("matches", "d", "^x:y$"),
+                     ("in_set", "e", ("A", "B", "C"))]
+
+
+def test_cli_new_subcommands_parse():
+    from flink_descriptive_stats_spark.__main__ import build_parser
+    p = build_parser()
+    for argv in (["check", "x.parquet", "--rules", "not_null:a"],
+                 ["acf", "x.parquet", "--max-lag", "3"],
+                 ["transitions", "x.parquet"],
+                 ["rollup", "x.parquet"],
+                 ["typos", "x.parquet", "--max-dist", "1"],
+                 ["semdedup", "x.parquet", "--threshold", "0.9"]):
+        args = p.parse_args(argv)
+        assert args.cmd == argv[0]
