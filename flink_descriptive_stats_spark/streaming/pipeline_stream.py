@@ -274,3 +274,109 @@ def start_global_topk_sketch(stream: DataFrame, sink_path: str,
     if checkpoint_path:
         writer = writer.option("checkpointLocation", checkpoint_path)
     return writer.start()
+
+
+def start_constraint_monitor(stream: DataFrame, rules: list[tuple],
+                             sink_path: str,
+                             state_path: str | None = None,
+                             checkpoint_path: str | None = None):
+    """Continuous data-quality monitoring: evaluate a declarative
+    constraint suite (operators/quality.py) over an unbounded stream and
+    keep RUNNING totals — the sink always holds the cumulative
+    (rule, column, n_rows, n_violations, passed) report over everything
+    seen so far.
+
+    Row-local rule counts (not_null / in_range / matches / in_set) are
+    sums, i.e. a commutative monoid: each micro-batch contributes ONE
+    distributed aggregate (same `_violation_expr` codegen as the batch
+    operator) whose 1-row result folds into the driver-held totals, so
+    after N batches the report is IDENTICAL to batch check_constraints
+    over the concatenated data (asserted in tests). `unique` rules are
+    REJECTED here: exact cross-batch distinctness is not a bounded
+    monoid — at stream scale that family belongs to
+    `dropDuplicatesWithinWatermark` (bounded-lateness dedup) or an HLL
+    sketch, both already shipped, not to a silent wrong count.
+
+    Durability follows start_global_topk_sketch: versioned one-row
+    parquet snapshots (v<epoch>/_SUCCESS) + an epoch watermark make
+    restarts lossless and foreachBatch replays no-ops; state is
+    O(rules), a few hundred bytes, regardless of stream size."""
+    import json as _json
+    import os
+    from flink_descriptive_stats_spark.operators.quality import (
+        _violation_expr, rule_label)
+    for r in rules:
+        if r[0] == "unique":
+            raise ValueError(
+                "unique rules are not streamable (cross-batch distinctness "
+                "is not a bounded monoid); use "
+                "dropDuplicatesWithinWatermark or the HLL distinct path")
+    if (state_path is None) != (checkpoint_path is None):
+        raise ValueError(
+            "state_path and checkpoint_path must be passed together (see "
+            "start_global_topk_sketch)")
+    labels = [(rule_label(r), r[1]) for r in rules]
+    totals = {"__n": 0, **{f"__v{i}": 0 for i in range(len(rules))}}
+    last_folded = -1
+
+    def _versions() -> list[int]:
+        if not (state_path and os.path.isdir(state_path)):
+            return []
+        return sorted(
+            int(n[1:]) for n in os.listdir(state_path)
+            if n.startswith("v") and n[1:].isdigit()
+            and os.path.exists(os.path.join(state_path, n, "_SUCCESS")))
+
+    latest = _versions()
+    if latest:
+        snap = stream.sparkSession.read.parquet(
+            os.path.join(state_path, f"v{latest[-1]}")).collect()[0]
+        meta = _json.loads(snap["meta"])
+        if meta["labels"] != [list(p) for p in labels]:
+            raise ValueError(
+                f"snapshot at {state_path} was built for a different rule "
+                f"suite {meta['labels']}; refusing to merge")
+        last_folded = meta["last_folded"]
+        for k in totals:
+            totals[k] = int(snap[k])
+
+    def _write_report(spark) -> None:
+        rows = [(lbl, col, totals["__n"], totals[f"__v{i}"],
+                 totals[f"__v{i}"] == 0)
+                for i, (lbl, col) in enumerate(labels)]
+        (spark.createDataFrame(
+            rows, "rule string, column string, n_rows bigint, "
+                  "n_violations bigint, passed boolean")
+         .coalesce(1).write.mode("overwrite").parquet(sink_path))
+
+    def emit(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal last_folded
+        spark = batch_df.sparkSession
+        if epoch_id > last_folded:
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            aggs += [_violation_expr(r).alias(f"__v{i}")
+                     for i, r in enumerate(rules)]
+            row = batch_df.agg(*aggs).collect()[0]
+            for k in totals:
+                totals[k] += int(row[k])
+            last_folded = epoch_id
+            if state_path:
+                import shutil
+                meta = _json.dumps({
+                    "labels": [list(p) for p in labels],
+                    "last_folded": epoch_id})
+                (spark.createDataFrame(
+                    [(*[totals[k] for k in sorted(totals)], meta)],
+                    ", ".join(f"`{k}` bigint" for k in sorted(totals))
+                    + ", meta string")
+                 .coalesce(1).write.mode("overwrite")
+                 .parquet(os.path.join(state_path, f"v{epoch_id}")))
+                for v in _versions()[:-1]:
+                    shutil.rmtree(os.path.join(state_path, f"v{v}"),
+                                  ignore_errors=True)
+        _write_report(spark)
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(emit)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

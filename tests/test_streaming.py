@@ -430,3 +430,62 @@ def test_streaming_multi_profile_equals_batch(spark):
                                    window="1 day")
     assert got == sorted(map(tuple, batch.collect()))
     assert len(got) > 0
+
+
+def test_streaming_constraint_monitor_equals_batch(spark, tmp_path):
+    """Running constraint totals after N micro-batches == batch
+    check_constraints over all data (violation counts are sums — a
+    commutative monoid), and a restart with state+checkpoint is lossless."""
+    from flink_descriptive_stats_spark.operators.quality import (
+        check_constraints)
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        start_constraint_monitor)
+    rules = [("not_null", "value"), ("in_range", "value", 0.0, 50.0),
+             ("in_set", "event_type", ("view", "click", "purchase"))]
+    ev = load_table(spark, SF_DIR, "events").select("event_id",
+                                                    "event_type", "value")
+    chunks = str(tmp_path / "chunks")
+    ev.repartition(3).write.parquet(chunks)
+    sink = str(tmp_path / "cc_sink")
+    state = str(tmp_path / "cc_state")
+    ckpt = str(tmp_path / "cc_ckpt")
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(chunks))
+    q = start_constraint_monitor(stream, rules, sink, state_path=state,
+                                 checkpoint_path=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    batch = sorted(map(tuple, check_constraints(ev, rules).collect()))
+    assert got == batch
+    # non-vacuous on the fixture: at least one rule fails
+    assert any(not t[-1] for t in got)
+
+    # restart durability: new data lands, a FRESH closure (totals start
+    # from the snapshot) folds only the new file, and the report equals
+    # batch over old+new
+    more = ev.limit(500).withColumn("value", F.col("value") + 100.0)
+    more.coalesce(1).write.mode("append").parquet(chunks)
+    stream2 = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(chunks))
+    q2 = start_constraint_monitor(stream2, rules, sink, state_path=state,
+                                  checkpoint_path=ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got2 = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    batch2 = sorted(map(tuple, check_constraints(
+        ev.unionAll(more), rules).collect()))
+    assert got2 == batch2
+
+
+def test_streaming_constraint_monitor_rejects_unique(spark):
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        start_constraint_monitor)
+    with pytest.raises(ValueError, match="not streamable"):
+        start_constraint_monitor(
+            _events_stream(spark), [("unique", "event_id")], "/tmp/x")
