@@ -673,6 +673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transition_matrix_events"] = _tq(ev_ops.transition_matrix, "events")
     q["rollup_profile_events"] = _tq(ev_ops.rollup_profile, "events")
 
+    # per-series least-squares trend (closed-form normal equations,
+    # one grouped pass over the 6 sufficient sums)
+    q["trend_events"] = _tq(ev_ops.trend, "events")
+
     # SymSpell deletion-neighborhood typo pairs (vocabulary-level
     # edit-distance join; the oracle runs the exhaustive O(V^2) spec)
     q["typo_pairs_documents"] = _tq(text_ops.typo_pairs, "documents",
@@ -998,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
     o["transition_matrix_events"] = op.transition_matrix_sql()
     o["rollup_profile_events"] = op.rollup_profile_sql()
     o["typo_pairs_documents"] = op.typo_pairs_sql(max_dist=2)
+    o["trend_events"] = op.trend_sql()
     o["semdedup_embeddings"] = op.semdedup_sql(threshold=0.45)
     o["daily_profile_partitioned_events"] = op.daily_profile_sql()
     # multimodal_features (stubbed UDF decode) and the sketch-based variants

@@ -254,3 +254,44 @@ def rollup_profile(df: DataFrame, key_col: str = "event_type",
     return rolled.select(
         "key", F.date_format("d", "yyyy-MM-dd").alias("day"),
         "gid", "n", "avg_val", "min_val", "max_val")
+
+
+def trend(df: DataFrame, key_col: str = "event_type", ts_col: str = "ts",
+          value_col: str = "value") -> DataFrame:
+    """Per-series least-squares linear trend: (series, n, slope_per_hour,
+    intercept, r2). slope = cov(t, x) / var(t) with t in HOURS since the
+    global minimum timestamp (hours keep the sufficient statistics within
+    double range at month spans; anchoring at the global min makes the
+    intercept comparable across series).
+
+    ONE aggregation pass per series over the 5 sufficient sums (n, St,
+    Sx, Stx, Stt — plus Sxx for R²); no window, no sort — the closed-form
+    normal equations, so the only exchange is the bounded per-series
+    aggregate. Degenerate series (single point, zero time variance)
+    return NULL slope/intercept/r2 rather than engine-dependent NaN
+    artifacts; R² of a constant-x series is NULL (0/0)."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+
+    t0 = df.agg(F.min(ts_col)).collect()[0][0]
+    t = (F.unix_timestamp(F.col(ts_col))
+         - F.lit(int(t0.timestamp()))).cast("double") / 3600.0
+    x = F.col(value_col).cast("double")
+    g = (df.where(F.col(ts_col).isNotNull() & x.isNotNull())
+         .select(F.col(key_col).alias("series"), t.alias("t"), x.alias("x"))
+         .groupBy("series")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("t").alias("st"),
+              F.sum("x").alias("sx"),
+              F.sum(F.col("t") * F.col("x")).alias("stx"),
+              F.sum(F.col("t") * F.col("t")).alias("stt"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    n = F.col("n").cast("double")
+    cov = F.col("stx") - F.col("st") * F.col("sx") / n
+    vart = F.col("stt") - F.col("st") * F.col("st") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    slope = F.when(vart > 0, cov / vart)
+    intercept = F.when(vart > 0,
+                       (F.col("sx") - slope * F.col("st")) / n)
+    r2 = F.when((vart > 0) & (varx > 0), cov * cov / (vart * varx))
+    return g.select("series", "n", sig6(slope).alias("slope_per_hour"),
+                    sig6(intercept).alias("intercept"),
+                    sig6(r2).alias("r2"))

@@ -1552,3 +1552,32 @@ SELECT {day} AS day, CAST(count(*) AS BIGINT) AS n,
 FROM {table}
 WHERE {day} BETWEEN '{lo}' AND '{hi}'
 GROUP BY 1"""
+
+
+def trend_sql(table: str = "events", key: str = "event_type",
+              ts: str = "ts", value: str = "value") -> str:
+    """Mirror of events.trend. Spark's unix_timestamp truncates to whole
+    seconds; floor(epoch(..)) reproduces that exactly for post-1970
+    timestamps, so per-row t is bit-identical and only the summation
+    order differs — absorbed by the sig6 rendering of the ratios."""
+    t = (f"(floor(epoch({ts})) - "
+         f"(SELECT floor(epoch(min({ts}))) FROM {table})) / 3600.0")
+    return f"""
+WITH b AS (SELECT {key} AS series, {t} AS t, CAST({value} AS DOUBLE) AS x
+           FROM {table}
+           WHERE {ts} IS NOT NULL AND {value} IS NOT NULL),
+ g AS (SELECT series, CAST(count(*) AS BIGINT) AS n, sum(t) AS st,
+              sum(x) AS sx, sum(t * x) AS stx, sum(t * t) AS stt,
+              sum(x * x) AS sxx
+       FROM b GROUP BY 1),
+ d AS (SELECT series, n, stx - st * sx / n AS cov,
+              stt - st * st / n AS vart, sxx - sx * sx / n AS varx,
+              st, sx
+       FROM g)
+SELECT series, n,
+  CASE WHEN vart > 0 THEN {duck_sig6('cov / vart')} END AS slope_per_hour,
+  CASE WHEN vart > 0 THEN
+    {duck_sig6('(sx - (cov / vart) * st) / n')} END AS intercept,
+  CASE WHEN vart > 0 AND varx > 0 THEN
+    {duck_sig6('cov * cov / (vart * varx)')} END AS r2
+FROM d"""
