@@ -673,6 +673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transition_matrix_events"] = _tq(ev_ops.transition_matrix, "events")
     q["rollup_profile_events"] = _tq(ev_ops.rollup_profile, "events")
 
+    # per-doc bigram LM cross-entropy (CCNet-style perplexity-filter
+    # proxy, zero-dependency)
+    q["lm_score_documents"] = _tq(text_ops.lm_score, "documents")
+
     # per-series least-squares trend (closed-form normal equations,
     # one grouped pass over the 6 sufficient sums)
     q["trend_events"] = _tq(ev_ops.trend, "events")
@@ -1003,6 +1007,7 @@ def oracle_sql() -> dict[str, str]:
     o["rollup_profile_events"] = op.rollup_profile_sql()
     o["typo_pairs_documents"] = op.typo_pairs_sql(max_dist=2)
     o["trend_events"] = op.trend_sql()
+    o["lm_score_documents"] = op.lm_score_sql()
     o["semdedup_embeddings"] = op.semdedup_sql(threshold=0.45)
     o["daily_profile_partitioned_events"] = op.daily_profile_sql()
     # multimodal_features (stubbed UDF decode) and the sketch-based variants

@@ -477,3 +477,42 @@ def typo_pairs(df: DataFrame, text_col: str = "text",
     dist = F.levenshtein("token_a", "token_b")
     return (cand.withColumn("dist", dist)
             .where(F.col("dist") <= max_dist))
+
+
+def lm_score(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Per-document language-model quality score: (id, n_bigrams,
+    lm_score) where lm_score is the doc's average bigram cross-entropy
+    -avg ln p(next | prev) in nats under an add-1-smoothed bigram model
+    fit on the corpus itself — the zero-dependency stand-in for the
+    CCNet/KenLM perplexity filter (low = templated/predictable text,
+    high = unusual continuations; both tails are what pipeline curation
+    inspects). p(next|prev) = (c(prev,next) + 1) / (c(prev) + V).
+
+    Shape: corpus bigram counts (one groupBy with map-side combine),
+    prev-unigram counts derived FROM those counts (no second scan), the
+    doc bigram stream joins the model on its (prev, next) key — model
+    rows are vocabulary-scale, docs never shuffle whole — then one
+    grouped per-doc aggregate. V (vocabulary size) is a 1-row exact
+    count collected as a plan literal."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    toks = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    H.tokens_expr(F.col(text_col)).alias("tk")))
+    idx = F.explode(F.sequence(F.lit(0), F.size("tk") - 2))
+    bg = (toks.where(F.size("tk") >= 2)
+          .select("id", "tk", idx.alias("i"))
+          .select("id",
+                  F.element_at("tk", F.col("i") + 1).alias("prev"),
+                  F.element_at("tk", F.col("i") + 2).alias("nxt")))
+    bc = bg.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    pc = bc.groupBy("prev").agg(F.sum("c").alias("cp"))
+    vocab = int(toks.select(F.explode("tk").alias("w"))
+                .agg(F.count_distinct("w")).collect()[0][0])
+    model = bc.join(pc, "prev")
+    j = bg.join(model, ["prev", "nxt"])
+    logp = F.log((F.col("c") + 1).cast("double")
+                 / (F.col("cp") + F.lit(vocab)).cast("double"))
+    return (j.groupBy(F.col("id").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 sig6(-F.avg(logp)).alias("lm_score")))

@@ -1581,3 +1581,25 @@ SELECT series, n,
   CASE WHEN vart > 0 AND varx > 0 THEN
     {duck_sig6('cov * cov / (vart * varx)')} END AS r2
 FROM d"""
+
+
+def lm_score_sql(table: str = "documents", text_col: str = "text",
+                 id_col: str = "doc_id") -> str:
+    """Mirror of text.lm_score (same tokenizer, same add-1 bigram model,
+    same nats)."""
+    return f"""
+WITH {_tokens_cte(table, id_col, text_col)},
+ bgd AS (SELECT id, toks[u.i] AS prev, toks[u.i + 1] AS nxt
+         FROM t, LATERAL (SELECT unnest(generate_series(
+                1, len(toks) - 1)) AS i) u
+         WHERE len(toks) >= 2),
+ bc AS (SELECT prev, nxt, count(*) AS c FROM bgd GROUP BY 1, 2),
+ pc AS (SELECT prev, sum(c) AS cp FROM bc GROUP BY 1),
+ v AS (SELECT count(DISTINCT w) AS vocab
+       FROM (SELECT unnest(toks) AS w FROM t)),
+ j AS (SELECT bgd.id, ln((bc.c + 1) / (pc.cp + v.vocab)) AS logp
+       FROM bgd JOIN bc USING (prev, nxt) JOIN pc USING (prev)
+       CROSS JOIN v)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       {duck_sig6('-avg(logp)')} AS lm_score
+FROM j GROUP BY 1"""

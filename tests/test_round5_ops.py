@@ -513,3 +513,43 @@ def test_semdedup_semantics(spark):
     assert got[3]["kept"] and got[3]["cell_id"] == 1
     assert not got[4]["kept"] and got[4]["dup_of"] == 0
     assert got[2]["cell_id"] == 0 and got[4]["cell_id"] == 0
+
+
+def test_trend_semantics(spark):
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1)
+    # series 'a': x = 2*hours + 1 exactly -> slope 2, intercept 1, r2 = 1
+    rows = [("a", t0 + dt.timedelta(hours=h), 2.0 * h + 1.0)
+            for h in range(5)]
+    # series 'b': constant x -> slope 0, r2 NULL (varx = 0)
+    rows += [("b", t0 + dt.timedelta(hours=h), 7.0) for h in range(3)]
+    # series 'c': single point -> vart = 0 -> all NULL
+    rows += [("c", t0, 1.0)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {r["series"]: r for r in ev_ops.trend(df).collect()}
+    assert math.isclose(_f(got["a"]["slope_per_hour"]), 2.0, rel_tol=1e-5)
+    assert math.isclose(_f(got["a"]["intercept"]), 1.0, rel_tol=1e-5)
+    assert math.isclose(_f(got["a"]["r2"]), 1.0, rel_tol=1e-5)
+    assert _f(got["b"]["slope_per_hour"]) == 0.0
+    assert got["b"]["r2"] is None
+    assert got["c"]["slope_per_hour"] is None and got["c"]["n"] == 1
+
+
+def test_lm_score_semantics(spark):
+    from flink_descriptive_stats_spark.operators import text as t_ops
+    # corpus: "a b" x3 and "a c" x1 -> V = 3, c(a,b)=3, c(a,c)=1, cp(a)=4
+    docs = [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c"), (5, "a")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in t_ops.lm_score(df).collect()}
+    # doc 5 has no bigram -> absent
+    assert set(got) == {1, 2, 3, 4}
+    p_ab = (3 + 1) / (4 + 3)
+    p_ac = (1 + 1) / (4 + 3)
+    assert math.isclose(_f(got[1]["lm_score"]), -math.log(p_ab),
+                        rel_tol=1e-5)
+    assert math.isclose(_f(got[4]["lm_score"]), -math.log(p_ac),
+                        rel_tol=1e-5)
+    # predictable text scores LOWER cross-entropy than the rare variant
+    assert _f(got[1]["lm_score"]) < _f(got[4]["lm_score"])
+    assert got[1]["n_bigrams"] == 1
