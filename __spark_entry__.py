@@ -673,6 +673,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transition_matrix_events"] = _tq(ev_ops.transition_matrix, "events")
     q["rollup_profile_events"] = _tq(ev_ops.rollup_profile, "events")
 
+    # declared-vs-predicted language confusion matrix (mislabel audit)
+    q["lang_confusion_documents"] = _tq(text_ops.lang_confusion,
+                                        "documents")
+    # joint 2-D density histogram
+    q["histogram2d_lineitem"] = _tq(extras.histogram2d, "lineitem",
+                                    col_x="l_extendedprice",
+                                    col_y="l_discount")
+
     # per-doc bigram LM cross-entropy (CCNet-style perplexity-filter
     # proxy, zero-dependency)
     q["lm_score_documents"] = _tq(text_ops.lm_score, "documents")
@@ -1008,6 +1016,9 @@ def oracle_sql() -> dict[str, str]:
     o["typo_pairs_documents"] = op.typo_pairs_sql(max_dist=2)
     o["trend_events"] = op.trend_sql()
     o["lm_score_documents"] = op.lm_score_sql()
+    o["lang_confusion_documents"] = op.lang_confusion_sql()
+    o["histogram2d_lineitem"] = op.histogram2d_sql(
+        "lineitem", "l_extendedprice", "l_discount")
     o["semdedup_embeddings"] = op.semdedup_sql(threshold=0.45)
     o["daily_profile_partitioned_events"] = op.daily_profile_sql()
     # multimodal_features (stubbed UDF decode) and the sketch-based variants

@@ -801,3 +801,34 @@ def fd_candidates(df: DataFrame,
     return df.sparkSession.createDataFrame(
         out, "determinant string, dependent string, n_determinant bigint, "
              "n_pairs bigint, n_violations bigint, fd_holds boolean")
+
+
+def histogram2d(df: DataFrame, col_x: str, col_y: str,
+                bins: int = 10) -> DataFrame:
+    """Joint equal-width 2-D histogram (the heatmap behind scatter-density
+    profiling): (bx, by, cnt) for bx, by in [0, bins) over rows where BOTH
+    columns are present; values at a max land in the last bucket and a
+    constant axis collapses to bucket 0 — the same edge conventions as the
+    1-D ``histogram``.
+
+    Same cost shape too: one 1-row min/max aggregate broadcast into a
+    narrow bucket assignment, then one grouped count with at most bins^2
+    keys. Bucket edges are reconstructable from the companion 1-D
+    histograms; emitting only (bx, by, cnt) keeps the output a pure
+    density grid."""
+    x, y = F.col(col_x), F.col(col_y)
+    mm = df.agg(F.min(x).alias("mnx"), F.max(x).alias("mxx"),
+                F.min(y).alias("mny"), F.max(y).alias("mxy"))
+    pts = (df.select(x.alias("x"), y.alias("y"))
+           .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+           .crossJoin(F.broadcast(mm)))
+
+    def bucket(v, mn, mx):
+        w = (F.col(mx) - F.col(mn)) / F.lit(float(bins))
+        raw = F.least(F.floor((F.col(v) - F.col(mn)) / w).cast("int"),
+                      F.lit(bins - 1))
+        return F.when(F.col(mx) == F.col(mn), F.lit(0)).otherwise(raw)
+
+    return (pts.select(bucket("x", "mnx", "mxx").alias("bx"),
+                       bucket("y", "mny", "mxy").alias("by"))
+            .groupBy("bx", "by").agg(F.count(F.lit(1)).alias("cnt")))

@@ -208,19 +208,17 @@ def text_stats(df: DataFrame, text_col: str = "text",
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
-    """Stopword-hit language scores + predicted language (fixed tie order
-    en > de > fr > es > zh). NULL-text rows are excluded (mirrored by the
-    oracle's tokens CTE)."""
-    df = df.where(F.col(text_col).isNotNull())
-    c = F.col(text_col)
+def _lang_scores(c):
+    """Per-language stopword-hit score expressions for a text Column."""
     toks = H.tokens_expr(c)
     scores = {lang: _stopword_hits(toks, words)
               for lang, words in STOPWORDS.items()}
     scores["zh"] = _count_matches(c, CJK_RE)
+    return scores
 
-    # first maximum in LANG_ORDER wins
+
+def _predicted_lang_expr(scores):
+    """First maximum in LANG_ORDER wins — the deterministic tie policy."""
     conds = []
     for lang in LANG_ORDER:
         cond = None
@@ -233,14 +231,48 @@ def lang_id(df: DataFrame, text_col: str = "text",
     expr = F.when(conds[0][1], F.lit(conds[0][0]))
     for lang, cond in conds[1:-1]:
         expr = expr.when(cond, F.lit(lang))
-    expr = expr.otherwise(F.lit(conds[-1][0]))
+    return expr.otherwise(F.lit(conds[-1][0]))
 
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language scores + predicted language (fixed tie order
+    en > de > fr > es > zh). NULL-text rows are excluded (mirrored by the
+    oracle's tokens CTE)."""
+    df = df.where(F.col(text_col).isNotNull())
+    scores = _lang_scores(F.col(text_col))
     return df.select(
         F.col(id_col).alias("id"),
         *[scores[lang].cast("bigint").alias(f"score_{lang}")
           for lang in LANG_ORDER],
-        expr.alias("predicted_lang"),
+        _predicted_lang_expr(scores).alias("predicted_lang"),
     )
+
+
+def lang_confusion(df: DataFrame, text_col: str = "text",
+                   lang_col: str = "lang") -> DataFrame:
+    """Confusion matrix of declared vs predicted language: (declared,
+    predicted, n, share) with share = n / rows-with-that-declared-lang —
+    the metadata-vs-content audit a multilingual corpus runs to find
+    mislabeled or code-switched documents.
+
+    The prediction is the same narrow expression as lang_id (no join —
+    declared label and predicted label ride the same scan), the count is
+    one bounded (declared, predicted) aggregate, and the normalization
+    window runs over that bounded matrix, never raw rows."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    from pyspark.sql import Window
+    base = df.where(F.col(text_col).isNotNull())
+    scores = _lang_scores(F.col(text_col))
+    p = base.select(F.col(lang_col).alias("declared"),
+                    _predicted_lang_expr(scores).alias("predicted"))
+    counts = p.groupBy("declared", "predicted").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("declared")
+    return counts.select(
+        "declared", "predicted", "n",
+        sig6(F.col("n").cast("double") / F.sum("n").over(tot))
+        .alias("share"))
 
 
 def corpus_summary(df: DataFrame, text_col: str = "text",

@@ -1603,3 +1603,55 @@ WITH {_tokens_cte(table, id_col, text_col)},
 SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        {duck_sig6('-avg(logp)')} AS lm_score
 FROM j GROUP BY 1"""
+
+
+def histogram2d_sql(table: str, col_x: str, col_y: str,
+                    bins: int = 10) -> str:
+    """Mirror of extras.histogram2d (same edge conventions as the 1-D
+    histogram oracle)."""
+    def bucket(v, mn, mx):
+        return (f"CASE WHEN {mx} = {mn} THEN 0 ELSE "
+                f"least(CAST(floor(({v} - {mn}) / "
+                f"(({mx} - {mn}) / {float(bins)})) AS INTEGER), "
+                f"{bins - 1}) END")
+    return f"""
+WITH mm AS (SELECT min({col_x}) AS mnx, max({col_x}) AS mxx,
+                   min({col_y}) AS mny, max({col_y}) AS mxy
+            FROM {table}),
+ pts AS (SELECT {col_x} AS x, {col_y} AS y, mnx, mxx, mny, mxy
+         FROM {table} CROSS JOIN mm
+         WHERE {col_x} IS NOT NULL AND {col_y} IS NOT NULL)
+SELECT {bucket('x', 'mnx', 'mxx')} AS bx,
+       {bucket('y', 'mny', 'mxy')} AS by,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM pts GROUP BY 1, 2"""
+
+
+def lang_confusion_sql(table: str = "documents", text_col: str = "text",
+                       lang_col: str = "lang") -> str:
+    """Mirror of text.lang_confusion (same scores + tie order as
+    lang_id_sql, declared label carried through the same scan)."""
+    scores = {lang: _stop_filter(words)
+              for lang, words in TX.STOPWORDS.items()}
+    scores["zh"] = f"len(regexp_extract_all(text, '{TX.CJK_RE}'))"
+    score_cols = ", ".join(f"{scores[lang]} AS s_{lang}"
+                           for lang in TX.LANG_ORDER)
+    whens = []
+    for lang in TX.LANG_ORDER[:-1]:
+        cond = " AND ".join(f"s_{lang} >= s_{other}"
+                            for other in TX.LANG_ORDER if other != lang)
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    pred = f"CASE {' '.join(whens)} ELSE '{TX.LANG_ORDER[-1]}' END"
+    return f"""
+WITH t AS (SELECT {lang_col} AS declared, {text_col} AS text,
+                  {H.duck_tokens(text_col)} AS toks
+           FROM {table} WHERE {text_col} IS NOT NULL),
+ m AS (SELECT declared, {score_cols} FROM t),
+ p AS (SELECT declared, {pred} AS predicted FROM m),
+ c AS (SELECT declared, predicted, CAST(count(*) AS BIGINT) AS n
+       FROM p GROUP BY 1, 2),
+ r AS (SELECT declared, predicted, n,
+              CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY declared)
+                AS sh
+       FROM c)
+SELECT declared, predicted, n, {duck_sig6('sh')} AS share FROM r"""

@@ -553,3 +553,34 @@ def test_lm_score_semantics(spark):
     # predictable text scores LOWER cross-entropy than the rare variant
     assert _f(got[1]["lm_score"]) < _f(got[4]["lm_score"])
     assert got[1]["n_bigrams"] == 1
+
+
+def test_histogram2d_semantics(spark):
+    rows = [(0.0, 0.0), (0.0, 9.0), (9.0, 9.0), (9.0, 9.0),
+            (None, 1.0), (5.0, None)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = {(r["bx"], r["by"]): r["cnt"]
+           for r in extras.histogram2d(df, "x", "y", bins=3).collect()}
+    # max values land in the LAST bucket; null-in-either rows excluded
+    assert got == {(0, 0): 1, (0, 2): 1, (2, 2): 2}
+
+
+def test_histogram2d_constant_axis(spark):
+    df = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], "x double, y double")
+    got = {(r["bx"], r["by"]): r["cnt"]
+           for r in extras.histogram2d(df, "x", "y", bins=4).collect()}
+    # constant y collapses to bucket 0
+    assert got == {(0, 0): 1, (3, 0): 1}
+
+
+def test_lang_confusion_semantics(spark):
+    docs = [(1, "the and of to is", "en"),      # predicted en, declared en
+            (2, "der die das und ist", "en"),   # predicted de, declared en
+            (3, "le la les et est", "fr")]      # predicted fr, declared fr
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, lang string")
+    got = {(r["declared"], r["predicted"]): r
+           for r in text_ops.lang_confusion(df).collect()}
+    assert got[("en", "en")]["n"] == 1
+    assert got[("en", "de")]["n"] == 1
+    assert math.isclose(_f(got[("en", "de")]["share"]), 0.5, rel_tol=1e-5)
+    assert math.isclose(_f(got[("fr", "fr")]["share"]), 1.0, rel_tol=1e-5)
