@@ -385,3 +385,63 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_semdedup_equi_join_never_cartesian(spark):
+    """SemDeDup's within-cell pair search must be an EQUI-join keyed by
+    cell_id (sum(cell^2) compares) and the cell assignment a narrow
+    inlined-centroid expression — no cartesian/nested-loop fallback, no
+    exchange before the assignment."""
+    from flink_descriptive_stats_spark.operators import similarity
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _formatted_plan(similarity.semdedup(emb, threshold=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the cosine-threshold pair filter rides the cell_id equi-join
+    assert "cell_id" in plan
+
+
+def test_typo_pairs_blocked_join_never_cartesian(spark):
+    """SymSpell blocking must surface as an equi-join on the deletion-
+    variant key, never an all-pairs O(V^2) compare (that shape is the
+    ORACLE's job, not the engine's)."""
+    from flink_descriptive_stats_spark.operators import text as text_ops
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _formatted_plan(text_ops.typo_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_check_constraints_single_scan():
+    """The whole rule suite folds into one aggregation pass: a suite with
+    only row-local rules scans the table ONCE and exchanges one row."""
+    from pyspark.sql import SparkSession
+    from flink_descriptive_stats_spark.operators.quality import (
+        _violation_expr)
+    spark = SparkSession.getActiveSession() or SparkSession.builder \
+        .master("local[4]").getOrCreate()
+    li = load_table(spark, SF_DIR, "lineitem")
+    rules = [("not_null", "l_orderkey"), ("in_range", "l_discount", 0, 1),
+             ("matches", "l_returnflag", "^[ANR]$"),
+             ("in_set", "l_linestatus", ("F", "O"))]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs += [_violation_expr(r).alias(f"__v{i}")
+             for i, r in enumerate(rules)]
+    plan = _formatted_plan(li.agg(*aggs))
+    assert plan.count("Scan parquet") == 2    # one scan (listed twice)
+    assert plan.count("Exchange") == 2        # one 1-row exchange
+
+
+def test_acf_single_series_exchange(spark):
+    """ACF's lag window and its final grouped aggregate share the series
+    key: one exchange for the raw rows plus the broadcast of the bounded
+    per-series means — the window's partitioning must be reused, not
+    re-shuffled."""
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    ev = load_table(spark, SF_DIR, "events")
+    plan = _formatted_plan(ev_ops.autocorrelation(ev, max_lag=3))
+    assert "BroadcastExchange" in plan        # the means join
+    # hash exchanges: one for the window, one for the tiny means groupBy
+    # (each listed twice in formatted mode); the post-window groupBy must
+    # NOT add a third raw-data shuffle
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
