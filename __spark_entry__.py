@@ -140,7 +140,7 @@ GATED_50 = (
     "embedding_dim_profile",
     # text analysis
     "text_stats_documents", "quality_filter_documents",
-    "grouped_topk_tokens_documents", "typo_pairs_documents",
+    "typo_pairs_documents",
     # sketches / sampling
     "countmin_topk_documents", "hash_split_documents",
     # multimodal plumbing
@@ -155,9 +155,9 @@ GATED_50 = (
     # the hard driver signal; every demoted slot's family keeps a gated
     # sibling, see the demotion notes below)
     "column_entropy_events", "refint_lineitem_orders",
-    "tfidf_top_terms_documents", "funnel_events",
+    "tfidf_top_terms_documents",
     "ks_drift_events_value", "fd_candidates_orders",
-    "categorical_association_documents", "resample_events",
+    "categorical_association_documents",
     # round-5 session-2 families (third rotation). Demoted to make room,
     # each family keeping a gated sibling: windowed_distinct_events
     # (streaming family: windowed_profile + sessionize), psi_drift
@@ -168,6 +168,12 @@ GATED_50 = (
     # ann_cosine_topk (brute-force baseline; LSH + IVF gated).
     "check_constraints_lineitem", "acf_events",
     "transition_matrix_events", "rollup_profile_events",
+    # fourth rotation: trend (regression family), lm_score (LM-quality),
+    # lang_confusion (label-audit) promoted; demoted with family cover:
+    # funnel_events (event-sequence: transition_matrix + retention at
+    # 51+), resample_events (time-series: rolling_stats + trend),
+    # grouped_topk_tokens (ranking: topk_lineitem + countmin).
+    "trend_events", "lm_score_documents", "lang_confusion_documents",
 )
 
 

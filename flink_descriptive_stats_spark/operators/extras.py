@@ -741,16 +741,21 @@ def robust_outlier_counts(df: DataFrame,
     z-score screen, robust where the IQR/3-sigma fences in
     ``outlier_counts`` are themselves dragged by the outliers).
 
-    Two bounded passes: one percentile aggregate for the medians (all
-    columns at once), one for the MADs (medians inlined as literals), then
-    a single counting aggregate. MAD == 0 (constant-majority column)
-    flags nothing, the standard degenerate-case convention. Fence
-    comparisons use sig6-rounded median/MAD literals so the discrete
-    counts cannot fork across engines."""
+    Two bounded passes (the medians ride the SHARED memoized quartile
+    aggregate — `_exact_stats_row`'s percentile array already contains
+    0.5, so after quartiles()/outlier_counts() over the same input the
+    median "pass" is a memo hit and costs zero scans): one percentile
+    aggregate for the MADs (medians inlined as literals), then a single
+    counting aggregate. MAD == 0 (constant-majority column) flags
+    nothing, the standard degenerate-case convention. Fence comparisons
+    use sig6-rounded median/MAD literals so the discrete counts cannot
+    fork across engines."""
     cols = columns or numeric_columns(df)
-    med_row = df.agg(*[F.percentile(F.col(c), F.lit(0.5)).alias(c)
-                       for c in cols]).collect()[0]
-    meds = {c: (None if med_row[c] is None else float(sig6_py(med_row[c])))
+    stats = _exact_stats_row(df, cols)
+    med_of = {c: (None if stats[f"{c}__q"] is None
+                  else stats[f"{c}__q"][QUARTILES.index(0.5)])
+              for c in cols}
+    meds = {c: (None if med_of[c] is None else float(sig6_py(med_of[c])))
             for c in cols}
     live = [c for c in cols if meds[c] is not None]
     mad_row = df.agg(*[

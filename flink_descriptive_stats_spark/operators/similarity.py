@@ -401,7 +401,8 @@ def ivf_topk(df: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 4,
 
 def semdedup(df: DataFrame, threshold: float = 0.95, n_cells: int = 16,
              refine_iters: int = 0, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             max_cell: int | None = 65536) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:
     2303.09540): cluster embeddings into k cells, then WITHIN each cell
     drop every vector that has an earlier-id neighbor above the cosine
@@ -429,9 +430,17 @@ def semdedup(df: DataFrame, threshold: float = 0.95, n_cells: int = 16,
                          F.col("norm").alias("cnorm")).collect())
     assign = d.withColumn(
         "cell_id", ranked_cells_expr(crows)[0]["cell_id"])
-    a = assign.select("cell_id", F.col("id").alias("ida"),
+    paired = assign
+    if max_cell is not None:
+        oversized = [int(r["cell_id"]) for r in
+                     assign.groupBy("cell_id")
+                     .agg(F.count(F.lit(1)).alias("n"))
+                     .where(F.col("n") > max_cell).collect()]
+        if oversized:
+            paired = assign.where(~F.col("cell_id").isin(oversized))
+    a = paired.select("cell_id", F.col("id").alias("ida"),
                       F.col("v").alias("va"), F.col("norm").alias("na"))
-    b = assign.select("cell_id", F.col("id").alias("idb"),
+    b = paired.select("cell_id", F.col("id").alias("idb"),
                       F.col("v").alias("vb"), F.col("norm").alias("nb"))
     dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"),
                                  lambda x, y: x * y),

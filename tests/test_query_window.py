@@ -29,18 +29,21 @@ def test_gated_window_holds_all_operator_families():
     # round-4 promotions (VERDICT r4 item #1) are inside the window
     for must in ("rolling_stats_events", "grouped_zscore_events",
                  "grouped_quantiles_events",
-                 "json_profile_events", "grouped_topk_tokens_documents",
+                 "json_profile_events",
                  "distinct_rows_documents",
                  # round-5 families (second intra-round rotation)
                  "column_entropy_events", "refint_lineitem_orders",
-                 "tfidf_top_terms_documents", "funnel_events",
+                 "tfidf_top_terms_documents",
                  "ks_drift_events_value", "fd_candidates_orders",
-                 "categorical_association_documents", "resample_events",
+                 "categorical_association_documents",
                  # round-5 session-2 families (third rotation)
                  "check_constraints_lineitem", "acf_events",
                  "transition_matrix_events", "rollup_profile_events",
                  "typo_pairs_documents", "semdedup_embeddings",
                  "daily_profile_partitioned_events",
+                 # fourth rotation
+                 "trend_events", "lm_score_documents",
+                 "lang_confusion_documents",
                  # carried family representatives
                  "profile_lineitem", "topk_lineitem",
                  "simhash_near_pairs_documents",
@@ -69,7 +72,10 @@ def test_gated_window_holds_all_operator_families():
                     "ngram_containment_pairs_documents",
                     "duplicated_ngram_fraction_documents",
                     "contamination_report_documents",
-                    "embedding_neardup_pairs", "ann_cosine_topk"):
+                    "embedding_neardup_pairs", "ann_cosine_topk",
+                    # fourth-rotation demotions
+                    "funnel_events", "resample_events",
+                    "grouped_topk_tokens_documents"):
         assert demoted in names[50:], demoted
         assert demoted in o, demoted
     families = {n.rsplit("_", 1)[0] for n in first50}

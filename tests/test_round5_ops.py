@@ -584,3 +584,17 @@ def test_lang_confusion_semantics(spark):
     assert got[("en", "de")]["n"] == 1
     assert math.isclose(_f(got[("en", "de")]["share"]), 0.5, rel_tol=1e-5)
     assert math.isclose(_f(got[("fr", "fr")]["share"]), 1.0, rel_tol=1e-5)
+
+
+def test_semdedup_max_cell_skew_guard(spark):
+    from flink_descriptive_stats_spark.operators import similarity
+    # all five vectors land in one cell; with the cap below the cell size
+    # dup detection is skipped there (everything kept), with the default
+    # cap the near-dups are caught
+    rows = [(0, [1.0, 0.0]), (1, [0.99, 0.01]), (2, [0.98, 0.02]),
+            (3, [0.97, 0.03]), (4, [0.96, 0.04])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    capped = similarity.semdedup(df, threshold=0.9, n_cells=1, max_cell=3)
+    assert all(r["kept"] for r in capped.collect())
+    full = similarity.semdedup(df, threshold=0.9, n_cells=1)
+    assert sum(not r["kept"] for r in full.collect()) == 4

@@ -183,6 +183,38 @@ def main() -> None:
         "shuffle and the ranking\nwindow (VERDICT r4 item #6).",
         fmt(spark, sketch.countmin_topk(docs))))
 
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    from flink_descriptive_stats_spark.operators import similarity
+    from flink_descriptive_stats_spark.operators import text as text_ops
+    emb = load_table(spark, SF, "embeddings")
+    ev = load_table(spark, SF, "events")
+
+    sections.append((
+        "SemDeDup (narrow cell assignment + cell-keyed pair join)",
+        "Cell assignment is the same inlined-centroid argmax as IVF — no\n"
+        "exchange on the corpus side before cells exist; the within-cell\n"
+        "neighbor rule is ONE equi-join keyed by cell_id (sum(cell^2)\n"
+        "compares, never n^2) followed by a grouped min and a left join\n"
+        "back. No cartesian/nested-loop node anywhere.",
+        fmt(spark, similarity.semdedup(emb, threshold=0.9))))
+
+    sections.append((
+        "SymSpell typo pairs (deletion-neighborhood blocking)",
+        "Tokens collapse to a vocabulary first (one groupBy with map-side\n"
+        "combine); the delete-variant explode is vocabulary-scale; the\n"
+        "candidate search is an equi-join on the variant key with an exact\n"
+        "JVM levenshtein recheck — the O(V^2) all-pairs shape exists only\n"
+        "in the DuckDB oracle.",
+        fmt(spark, text_ops.typo_pairs(docs))))
+
+    sections.append((
+        "ACF (one series exchange shared by window and aggregate)",
+        "The lag window partitions by series; the final grouped aggregate\n"
+        "groups by the SAME key, so Catalyst reuses the window's hash\n"
+        "partitioning — raw rows shuffle once; the per-series means join\n"
+        "is a broadcast of a bounded aggregate.",
+        fmt(spark, ev_ops.autocorrelation(ev, max_lag=3))))
+
     with open("EXPLAIN.md", "w") as f:
         f.write(
             '# Plan audit — `.explain("formatted")` of the flagship '
