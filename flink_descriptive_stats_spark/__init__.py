@@ -93,6 +93,19 @@ _API = {
     "retention_cohorts": ("operators.events", "retention_cohorts"),
     "resample": ("operators.events", "resample"),
     "countmin_topk": ("operators.sketch", "countmin_topk"),
+    # round-5 session-2 families
+    "check_constraints": ("operators.quality", "check_constraints"),
+    "autocorrelation": ("operators.events", "autocorrelation"),
+    "transition_matrix": ("operators.events", "transition_matrix"),
+    "rollup_profile": ("operators.events", "rollup_profile"),
+    "trend": ("operators.events", "trend"),
+    "typo_pairs": ("operators.text", "typo_pairs"),
+    "lm_score": ("operators.text", "lm_score"),
+    "lang_confusion": ("operators.text", "lang_confusion"),
+    "semdedup": ("operators.similarity", "semdedup"),
+    "histogram2d": ("operators.extras", "histogram2d"),
+    "start_constraint_monitor": ("streaming.pipeline_stream",
+                                 "start_constraint_monitor"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

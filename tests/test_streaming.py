@@ -401,12 +401,14 @@ def test_streaming_throughput_and_bounded_state(spark, tmp_path):
     from tools.stream_bench import run_stream_bench
     res = run_stream_bench(spark, "/root/testdata/sf0.01",
                            str(tmp_path), n_files=4, files_per_trigger=2)
-    for op in ("windowed_profile", "exact_dedup"):
+    for op in ("windowed_profile", "exact_dedup", "constraint_monitor"):
         m = res[op]
         assert m["rows"] == 10000, m          # every replayed row processed
         assert m["n_epochs"] >= 2, m          # the cross-epoch merge ran
         assert m["rows_per_sec"] and m["rows_per_sec"] > 500, m
-        # state bounded by watermark, not by input volume
+        # state bounded by watermark, not by input volume (the constraint
+        # monitor holds NO store-managed state at all — O(rules) driver
+        # totals)
         assert m["state_rows_peak"] < 1000, m
     assert res["exact_dedup"]["state_rows_final"] < 200, res
 

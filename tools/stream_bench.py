@@ -109,6 +109,23 @@ def run_stream_bench(spark, sf_dir: str, scratch: str,
         out["exact_dedup"] = _drain(q)
     finally:
         q.stop()
+
+    # continuous data-quality monitoring: one distributed aggregate per
+    # micro-batch folded into O(rules) driver totals — the streaming
+    # operator whose state does NOT grow with keys or windows at all
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        start_constraint_monitor)
+    rules = [("not_null", "value"), ("in_range", "value", 0.0, 50.0),
+             ("in_set", "event_type",
+              ("view", "click", "purchase", "signup", "error"))]
+    q = start_constraint_monitor(
+        stream(), rules, os.path.join(scratch, "cc_sink"),
+        state_path=os.path.join(scratch, "cc_state"),
+        checkpoint_path=os.path.join(scratch, "ckpt_cc"))
+    try:
+        out["constraint_monitor"] = _drain(q)
+    finally:
+        q.stop()
     return out
 
 
