@@ -679,6 +679,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transition_matrix_events"] = _tq(ev_ops.transition_matrix, "events")
     q["rollup_profile_events"] = _tq(ev_ops.rollup_profile, "events")
 
+    # corpus-level session engagement rollup (composition over the same
+    # session_window grouping as sessionize)
+    from flink_descriptive_stats_spark.streaming import pipeline_stream
+    q["session_summary_events"] = _tq(pipeline_stream.session_summary,
+                                      "events")
+
     # declared-vs-predicted language confusion matrix (mislabel audit)
     q["lang_confusion_documents"] = _tq(text_ops.lang_confusion,
                                         "documents")
@@ -1023,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
     o["trend_events"] = op.trend_sql()
     o["lm_score_documents"] = op.lm_score_sql()
     o["lang_confusion_documents"] = op.lang_confusion_sql()
+    o["session_summary_events"] = op.session_summary_sql()
     o["histogram2d_lineitem"] = op.histogram2d_sql(
         "lineitem", "l_extendedprice", "l_discount")
     o["semdedup_embeddings"] = op.semdedup_sql(threshold=0.45)

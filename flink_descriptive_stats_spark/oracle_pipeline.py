@@ -1655,3 +1655,28 @@ WITH t AS (SELECT {lang_col} AS declared, {text_col} AS text,
                 AS sh
        FROM c)
 SELECT declared, predicted, n, {duck_sig6('sh')} AS share FROM r"""
+
+
+def session_summary_sql(table: str = "events",
+                        gap_minutes: int = 30) -> str:
+    """Mirror of pipeline_stream.session_summary (same gaps-and-islands
+    session boundaries as sessionize_sql, then one outer aggregate)."""
+    g = f"INTERVAL '{gap_minutes} minutes'"
+    return f"""
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM {table}),
+l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM e),
+s AS (SELECT *, CASE WHEN pt IS NULL OR t - pt > {g} THEN 1 ELSE 0 END AS ns
+      FROM l),
+gi AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+per AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n,
+               epoch(max(t) + {g}) - epoch(min(t)) AS dur
+        FROM gi GROUP BY user_id, sid)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_users,
+       {duck_sig6('avg(n)')} AS avg_events,
+       CAST(max(n) AS BIGINT) AS max_events,
+       {duck_sig6('avg(dur)')} AS avg_duration_s,
+       {duck_sig6('avg(CASE WHEN n = 1 THEN 1.0 ELSE 0.0 END)')}
+         AS bounce_rate
+FROM per"""

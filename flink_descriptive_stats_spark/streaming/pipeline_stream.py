@@ -84,6 +84,34 @@ def sessionize(df: DataFrame, ts_col: str = "ts",
         "min_val", "max_val", sig6(F.col("__mean")).alias("mean_val"))
 
 
+def session_summary(df: DataFrame, ts_col: str = "ts",
+                    key_col: str = "user_id",
+                    gap: str = "30 minutes") -> DataFrame:
+    """Corpus-level engagement summary over gap-based sessions: ONE row
+    (n_sessions, n_users, avg_events, max_events, avg_duration_s,
+    bounce_rate) where bounce_rate is the share of single-event sessions
+    — the rollup a product-analytics dashboard reads off sessionize's
+    per-session table.
+
+    Same session_window grouping as sessionize (one keyed shuffle), then
+    a 1-row aggregate over the bounded per-session frame; durations are
+    aggregated RAW and only the final averages go through sig6."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    per = (df.groupBy(F.session_window(F.col(ts_col), gap).alias("win"),
+                      F.col(key_col).alias("k"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    dur = (F.unix_micros(F.col("win.end"))
+           - F.unix_micros(F.col("win.start"))) / F.lit(1_000_000.0)
+    return (per.select("k", "n", dur.alias("dur"))
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.count_distinct("k").alias("n_users"),
+                 sig6(F.avg("n")).alias("avg_events"),
+                 F.max("n").alias("max_events"),
+                 sig6(F.avg("dur")).alias("avg_duration_s"),
+                 sig6(F.avg(F.when(F.col("n") == 1, 1.0).otherwise(0.0)))
+                 .alias("bounce_rate")))
+
+
 def rank_topk(counts: DataFrame, k: int = 5) -> DataFrame:
     """Rank materialized windowed counts into per-window top-K
     (deterministic ties: cnt desc, token asc)."""

@@ -491,3 +491,24 @@ def test_streaming_constraint_monitor_rejects_unique(spark):
     with pytest.raises(ValueError, match="not streamable"):
         start_constraint_monitor(
             _events_stream(spark), [("unique", "event_id")], "/tmp/x")
+
+
+def test_session_summary_semantics(spark):
+    """bounce = single-event session; sessions split on gaps > 30 min."""
+    import datetime as dt
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        session_summary)
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(minutes=10)),     # session A (2 ev)
+        (1, t0 + dt.timedelta(hours=2)),                 # session B (bounce)
+        (2, t0),                                         # session C (bounce)
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    r = session_summary(df).collect()[0]
+    assert r["n_sessions"] == 3 and r["n_users"] == 2
+    assert r["max_events"] == 2
+    assert abs(float(r["bounce_rate"].replace("e", "E")) - 2 / 3) < 1e-5
+    # session A duration = 10 min span + 30 min gap tail = 2400 s
+    # bounces = 0 + 30 min = 1800 s; avg = (2400 + 1800 + 1800) / 3 = 2000
+    assert abs(float(r["avg_duration_s"].replace("e", "E")) - 2000.0) < 1e-2
