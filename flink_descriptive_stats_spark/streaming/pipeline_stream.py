@@ -12,6 +12,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _pa_write_dir(path: str, table) -> None:
+    """Write a TINY driver-local pyarrow table as a parquet directory that
+    spark.read.parquet accepts (part file + _SUCCESS), atomically (temp
+    dir + rename). Spark's createDataFrame -> parquet committer costs
+    1.5-2.5s per write regardless of size (measured) — for O(rules) or
+    O(sketch-cells) state that overhead IS the epoch time, so monitor
+    state/sinks bypass Spark on the write side."""
+    import os
+    import shutil
+    import pyarrow.parquet as pq
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-0.parquet"))
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+
+
 def streaming_exact_dedup(stream: DataFrame, content_col: str = "text",
                           ts_col: str | None = None,
                           delay: str = "1 hour") -> DataFrame:
@@ -235,15 +254,22 @@ def start_global_topk_sketch(stream: DataFrame, sink_path: str,
 
     def _snapshot(spark, epoch_id: int) -> None:
         import shutil
+        import pyarrow as pa
         meta = _json.dumps({"depth": depth, "width": width,
                             "last_folded": epoch_id})
         rows = ([("cell", d, b, c, None) for (d, b), c in grid.items()]
                 + [("token", None, None, None, t) for t in sorted(tokens)]
                 + [("meta", None, None, None, meta)])
-        (spark.createDataFrame(
-            rows, "kind string, d int, b int, c bigint, token string")
-         .coalesce(1).write.mode("overwrite")
-         .parquet(os.path.join(state_path, f"v{epoch_id}")))
+        # grid + candidate state is <= depth*width + max_candidates rows of
+        # driver-local scalars — pyarrow-write it (see _pa_write_dir)
+        _pa_write_dir(
+            os.path.join(state_path, f"v{epoch_id}"),
+            pa.table({
+                "kind": [r[0] for r in rows],
+                "d": pa.array([r[1] for r in rows], pa.int32()),
+                "b": pa.array([r[2] for r in rows], pa.int32()),
+                "c": pa.array([r[3] for r in rows], pa.int64()),
+                "token": [r[4] for r in rows]}))
         for v in _versions()[:-1]:      # keep only the newest snapshot
             shutil.rmtree(os.path.join(state_path, f"v{v}"),
                           ignore_errors=True)
@@ -286,11 +312,13 @@ def start_global_topk_sketch(stream: DataFrame, sink_path: str,
                 _snapshot(spark, epoch_id)
             # sink from the already-ranked rows (rank <= k is a prefix of
             # the rank <= max_candidates ordering — no recomputation)
-            (spark.createDataFrame(
-                [(r["token"], r["est"], r["rank"])
-                 for r in kept if r["rank"] <= k],
-                "token string, est bigint, rank int")
-             .write.mode("overwrite").parquet(sink_path))
+            import pyarrow as pa
+            topk_rows = [(r["token"], r["est"], r["rank"])
+                         for r in kept if r["rank"] <= k]
+            _pa_write_dir(sink_path, pa.table({
+                "token": [r[0] for r in topk_rows],
+                "est": pa.array([r[1] for r in topk_rows], pa.int64()),
+                "rank": pa.array([r[2] for r in topk_rows], pa.int32())}))
         else:
             # replayed epoch (sink write failed after the fold): re-rank
             # the bounded candidate set against the already-merged grid
@@ -368,29 +396,12 @@ def start_constraint_monitor(stream: DataFrame, rules: list[tuple],
         for k in totals:
             totals[k] = int(snap[k])
 
-    def _pa_write(path: str, table) -> None:
-        # O(rules)-sized driver-local rows: a Spark createDataFrame +
-        # parquet-committer round trip costs 1.5-2.5s PER WRITE (measured
-        # — it capped the monitor at ~1k rows/s in the stream bench), so
-        # tiny state goes through pyarrow directly: write to a temp dir,
-        # atomic rename, explicit _SUCCESS. spark.read.parquet reads the
-        # result identically.
-        import shutil
-        import pyarrow.parquet as pq
-        tmp = path + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp)
-        pq.write_table(table, os.path.join(tmp, "part-0.parquet"))
-        open(os.path.join(tmp, "_SUCCESS"), "w").close()
-        shutil.rmtree(path, ignore_errors=True)
-        os.rename(tmp, path)
-
     def _write_report() -> None:
         import pyarrow as pa
         rows = [(lbl, col, totals["__n"], totals[f"__v{i}"],
                  totals[f"__v{i}"] == 0)
                 for i, (lbl, col) in enumerate(labels)]
-        _pa_write(sink_path, pa.table(
+        _pa_write_dir(sink_path, pa.table(
             {"rule": [r[0] for r in rows],
              "column": [r[1] for r in rows],
              "n_rows": pa.array([r[2] for r in rows], pa.int64()),
@@ -416,8 +427,8 @@ def start_constraint_monitor(stream: DataFrame, rules: list[tuple],
                 cols = {k: pa.array([totals[k]], pa.int64())
                         for k in sorted(totals)}
                 cols["meta"] = [meta]
-                _pa_write(os.path.join(state_path, f"v{epoch_id}"),
-                          pa.table(cols))
+                _pa_write_dir(os.path.join(state_path, f"v{epoch_id}"),
+                              pa.table(cols))
                 for v in _versions()[:-1]:
                     shutil.rmtree(os.path.join(state_path, f"v{v}"),
                                   ignore_errors=True)
