@@ -598,3 +598,55 @@ def test_semdedup_max_cell_skew_guard(spark):
     assert all(r["kept"] for r in capped.collect())
     full = similarity.semdedup(df, threshold=0.9, n_cells=1)
     assert sum(not r["kept"] for r in full.collect()) == 4
+
+
+def test_new_ops_partitioning_invariance(spark):
+    """acf / transition_matrix / trend / lm_score must give identical
+    results at 1 vs 64 input partitions: the window order keys are total
+    (ts, id), and every FP statistic goes through sig6 so summation-order
+    ULP noise cannot surface."""
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    from flink_descriptive_stats_spark.sources.tables import load_table
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for fn, df in ((lambda d: ev_ops.autocorrelation(d, max_lag=3), ev),
+                   (ev_ops.transition_matrix, ev),
+                   (ev_ops.trend, ev),
+                   (text_ops.lm_score, docs),
+                   (lambda d: text_ops.typo_pairs(d, max_dist=2), docs)):
+        a = sorted(map(tuple, fn(df.coalesce(1)).collect()))
+        b = sorted(map(tuple, fn(df.repartition(64)).collect()))
+        assert a == b, fn
+
+
+def test_acf_and_trend_property_vs_numpy(spark):
+    """Statistical correctness on random series: ACF matches the numpy
+    estimator and trend matches numpy.polyfit to float tolerance."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    n = 200
+    xs = rng.randn(n).cumsum()           # a correlated random walk
+    rows = [("s", i, i, float(xs[i])) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts bigint, event_id bigint, value double")
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    got = {r["lag"]: _f(r["acf"])
+           for r in ev_ops.autocorrelation(df, max_lag=4).collect()}
+    mu = xs.mean()
+    den = ((xs - mu) ** 2).sum()
+    for k in range(1, 5):
+        want = ((xs[k:] - mu) * (xs[:-k] - mu)).sum() / den
+        assert abs(got[k] - want) < 1e-5, (k, got[k], want)
+
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1)
+    rows2 = [("s", t0 + dt.timedelta(hours=i), float(xs[i]))
+             for i in range(n)]
+    df2 = spark.createDataFrame(rows2,
+                                "event_type string, ts timestamp, value double")
+    r = ev_ops.trend(df2).collect()[0]
+    slope, intercept = np.polyfit(np.arange(n, dtype=float), xs, 1)
+    assert abs(_f(r["slope_per_hour"]) - slope) < 1e-5 * max(1, abs(slope))
+    assert abs(_f(r["intercept"]) - intercept) < 1e-4 * max(1, abs(intercept))
+    corr = np.corrcoef(np.arange(n, dtype=float), xs)[0, 1]
+    assert abs(_f(r["r2"]) - corr ** 2) < 1e-5
