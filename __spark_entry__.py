@@ -679,6 +679,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["transition_matrix_events"] = _tq(ev_ops.transition_matrix, "events")
     q["rollup_profile_events"] = _tq(ev_ops.rollup_profile, "events")
 
+    # hashed-TF document clustering (cluster-then-curate; narrow
+    # inlined-centroid assignment, corpus never shuffles)
+    q["doc_clusters_documents"] = _tq(text_ops.doc_clusters, "documents",
+                                      k=8)
+
     # corpus-level session engagement rollup (composition over the same
     # session_window grouping as sessionize)
     from flink_descriptive_stats_spark.streaming import pipeline_stream
@@ -1030,6 +1035,7 @@ def oracle_sql() -> dict[str, str]:
     o["lm_score_documents"] = op.lm_score_sql()
     o["lang_confusion_documents"] = op.lang_confusion_sql()
     o["session_summary_events"] = op.session_summary_sql()
+    o["doc_clusters_documents"] = op.doc_clusters_sql(k=8)
     o["histogram2d_lineitem"] = op.histogram2d_sql(
         "lineitem", "l_extendedprice", "l_discount")
     o["semdedup_embeddings"] = op.semdedup_sql(threshold=0.45)

@@ -548,3 +548,65 @@ def lm_score(df: DataFrame, text_col: str = "text",
     return (j.groupBy(F.col("id").alias("doc_id"))
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  sig6(-F.avg(logp)).alias("lm_score")))
+
+
+def doc_feature_vectors(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", dim: int = 64) -> DataFrame:
+    """Hashed term-frequency vectors (the HashingTF trick): (id, v) where
+    v[i] = count of tokens whose md5-hash lands in bucket i — the
+    fixed-width, vocabulary-free featurization that turns text into
+    input for the vector operators (clustering, ANN, semantic dedup).
+    Counts stay RAW: downstream similarity is cosine, which is
+    scale-invariant, so normalization would only add FP noise to the
+    cross-engine compare. Zero-token docs emit a zero vector (dropped by
+    with_norm downstream, the documented degenerate-vector policy).
+
+    Shape: explode stays scan-local; one groupBy (id, bucket) with
+    map-side combine, one groupBy id regrouping <= dim entries per doc
+    into the dense array."""
+    toks = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.explode(H.tokens_expr(F.col(text_col)))
+                    .alias("w")))
+    counts = (toks.groupBy("id", (H.token_hash(F.col("w")) % dim)
+                           .cast("int").alias("b"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    m = F.map_from_entries(F.collect_list(F.struct("b", "c")))
+    dense = counts.groupBy("id").agg(m.alias("m"))
+    # token-less docs have no count rows; the left join + the coalesce in
+    # the densifier give them the documented zero vector
+    base = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id")))
+    v = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: F.coalesce(F.element_at(F.col("m"), i),
+                                         F.lit(0)).cast("double"))
+    return base.join(dense, "id", "left").select("id", v.alias("v"))
+
+
+def doc_clusters(df: DataFrame, k: int = 8, text_col: str = "text",
+                 id_col: str = "doc_id", dim: int = 64,
+                 refine_iters: int = 0) -> DataFrame:
+    """Corpus topic-lite clustering: hashed-TF vectors + cosine cell
+    assignment — the cluster-then-curate step of pipeline curation
+    (sample per cluster, drop boilerplate clusters, balance topics).
+    Output: (doc_id, cluster_id).
+
+    Reuses the similarity machinery end to end: seed centroids are the
+    first k doc vectors (or Lloyd-refined with refine_iters > 0), and
+    assignment is the NARROW inlined-centroid argmax — the corpus never
+    shuffles. Zero-token docs (zero vectors) are excluded, the same
+    degenerate-vector policy as every cosine operator."""
+    from flink_descriptive_stats_spark.operators.similarity import (
+        kmeans_centroid_rows, ranked_cells_expr, with_norm)
+    feats = doc_feature_vectors(df, text_col, id_col, dim)
+    d = with_norm(feats, "id", "v")
+    if refine_iters > 0:
+        crows = kmeans_centroid_rows(feats, k, refine_iters, "id", "v")
+    else:
+        crows = (d.where(F.col("id") < k)
+                 .select(F.col("id").alias("cell_id"),
+                         F.col("v").alias("cv"),
+                         F.col("norm").alias("cnorm")).collect())
+    return d.select(
+        F.col("id").alias("doc_id"),
+        ranked_cells_expr(crows)[0]["cell_id"].alias("cluster_id"))

@@ -1680,3 +1680,44 @@ SELECT CAST(count(*) AS BIGINT) AS n_sessions,
        {duck_sig6('avg(CASE WHEN n = 1 THEN 1.0 ELSE 0.0 END)')}
          AS bounce_rate
 FROM per"""
+
+
+def _doc_vec_ctes(table: str = "documents", text_col: str = "text",
+                  id_col: str = "doc_id", dim: int = 64) -> str:
+    """CTE chain producing (id, v, norm) hashed-TF vectors — the mirror of
+    text.doc_feature_vectors + similarity.with_norm."""
+    th = H.duck_token_hash("w")
+    dot = _DOT.format(a="v", b="v")
+    return f"""
+{_tokens_cte(table, id_col, text_col)},
+ tok AS (SELECT id, unnest(toks) AS w FROM t),
+ cnt AS (SELECT id, CAST({th} % {dim} AS INTEGER) AS b, count(*) AS c
+         FROM tok GROUP BY 1, 2),
+ ids AS (SELECT id FROM t),
+ g AS (SELECT ids.id, u.i AS b
+       FROM ids CROSS JOIN
+            (SELECT unnest(generate_series(0, {dim - 1})) AS i) u),
+ dv AS (SELECT g.id, list(CAST(coalesce(cnt.c, 0) AS DOUBLE)
+                          ORDER BY g.b) AS v
+        FROM g LEFT JOIN cnt ON g.id = cnt.id AND g.b = cnt.b
+        GROUP BY g.id),
+ n AS (SELECT id, v, sqrt({dot}) AS norm FROM dv
+       WHERE sqrt({dot}) > 0)"""
+
+
+def doc_clusters_sql(table: str = "documents", k: int = 8,
+                     dim: int = 64) -> str:
+    """Mirror of text.doc_clusters (seed centroids = first k doc vectors,
+    same crank=1 cosine argmax as ivf_topk_sql)."""
+    cdot = _DOT.format(a="n.v", b="cent.cv")
+    return f"""
+WITH {_doc_vec_ctes(table, dim=dim)},
+cent AS (SELECT id AS cell_id, v AS cv, norm AS cnorm FROM n
+         WHERE id < {k}),
+sc AS (SELECT n.id, cent.cell_id,
+              row_number() OVER (PARTITION BY n.id
+                ORDER BY ({cdot}) / (n.norm * cent.cnorm) DESC,
+                         cent.cell_id ASC) AS crank
+       FROM n CROSS JOIN cent)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(cell_id AS BIGINT) AS cluster_id
+FROM sc WHERE crank = 1"""

@@ -650,3 +650,34 @@ def test_acf_and_trend_property_vs_numpy(spark):
     assert abs(_f(r["intercept"]) - intercept) < 1e-4 * max(1, abs(intercept))
     corr = np.corrcoef(np.arange(n, dtype=float), xs)[0, 1]
     assert abs(_f(r["r2"]) - corr ** 2) < 1e-5
+
+
+def test_doc_feature_vectors_semantics(spark):
+    from flink_descriptive_stats_spark.functions.hashing import (
+        _gen_minhash_params)  # noqa: F401  (import proves module path)
+    import hashlib
+    docs = [(1, "cat cat dog"), (2, ""), (3, None)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["id"]: r["v"]
+           for r in text_ops.doc_feature_vectors(df, dim=8).collect()}
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 8
+
+    want = [0.0] * 8
+    want[bucket("cat")] += 2
+    want[bucket("dog")] += 1
+    assert got[1] == want
+    assert got[2] == [0.0] * 8          # empty doc -> zero vector
+    assert 3 not in got                 # NULL text excluded
+
+
+def test_doc_clusters_groups_similar_docs(spark):
+    # doc 0 and 1 seed the two cells; 2 shares vocabulary with 0, 3 with 1
+    docs = [(0, "spark table join"), (1, "frog pond lily"),
+            (2, "spark join spark table"), (3, "pond frog pond")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in text_ops.doc_clusters(df, k=2, dim=32).collect()}
+    assert got[2] == got[0] == 0
+    assert got[3] == got[1] == 1
