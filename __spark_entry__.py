@@ -139,7 +139,7 @@ GATED_50 = (
     "ann_lsh_topk", "ann_ivf_topk",
     "embedding_dim_profile",
     # text analysis
-    "text_stats_documents", "quality_filter_documents",
+    "text_stats_documents",
     "typo_pairs_documents",
     # sketches / sampling
     "countmin_topk_documents", "hash_split_documents",
@@ -174,6 +174,10 @@ GATED_50 = (
     # 51+), resample_events (time-series: rolling_stats + trend),
     # grouped_topk_tokens (ranking: topk_lineitem + countmin).
     "trend_events", "lm_score_documents", "lang_confusion_documents",
+    # doc_clusters is its own family (text -> vector -> clustering);
+    # quality_filter demoted — it is a thresholded composition of the
+    # gated text_stats features
+    "doc_clusters_documents",
 )
 
 

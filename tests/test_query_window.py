@@ -43,7 +43,7 @@ def test_gated_window_holds_all_operator_families():
                  "daily_profile_partitioned_events",
                  # fourth rotation
                  "trend_events", "lm_score_documents",
-                 "lang_confusion_documents",
+                 "lang_confusion_documents", "doc_clusters_documents",
                  # carried family representatives
                  "profile_lineitem", "topk_lineitem",
                  "simhash_near_pairs_documents",
@@ -75,7 +75,8 @@ def test_gated_window_holds_all_operator_families():
                     "embedding_neardup_pairs", "ann_cosine_topk",
                     # fourth-rotation demotions
                     "funnel_events", "resample_events",
-                    "grouped_topk_tokens_documents"):
+                    "grouped_topk_tokens_documents",
+                    "quality_filter_documents"):
         assert demoted in names[50:], demoted
         assert demoted in o, demoted
     families = {n.rsplit("_", 1)[0] for n in first50}
