@@ -688,6 +688,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_clusters_documents"] = _tq(text_ops.doc_clusters, "documents",
                                       k=8)
 
+    # topic-balanced curation sample (cluster-then-sample composition)
+    q["cluster_sample_documents"] = _tq(
+        sampling.cluster_balanced_sample, "documents", k_per_cluster=5,
+        n_clusters=8)
+
     # corpus-level session engagement rollup (composition over the same
     # session_window grouping as sessionize)
     from flink_descriptive_stats_spark.streaming import pipeline_stream
@@ -1040,6 +1045,8 @@ def oracle_sql() -> dict[str, str]:
     o["lang_confusion_documents"] = op.lang_confusion_sql()
     o["session_summary_events"] = op.session_summary_sql()
     o["doc_clusters_documents"] = op.doc_clusters_sql(k=8)
+    o["cluster_sample_documents"] = op.cluster_balanced_sample_sql(
+        k_per_cluster=5, k=8)
     o["histogram2d_lineitem"] = op.histogram2d_sql(
         "lineitem", "l_extendedprice", "l_discount")
     o["semdedup_embeddings"] = op.semdedup_sql(threshold=0.45)

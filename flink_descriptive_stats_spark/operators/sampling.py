@@ -149,3 +149,26 @@ def weighted_sample(df: DataFrame, weight_col: str,
         F.greatest(F.lit(0.0), F.least(w, F.lit(1.0)))
         * F.lit(float(BUCKETS))).cast("bigint")
     return df.where(b < thresh)
+
+
+def cluster_balanced_sample(df: DataFrame, k_per_cluster: int = 5,
+                            n_clusters: int = 8, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            dim: int = 64) -> DataFrame:
+    """Cluster-then-sample (topic-balanced curation): hash-TF cluster the
+    corpus (text.doc_clusters) and keep a deterministic exact-k sample
+    PER CLUSTER — the standard counter to majority-topic domination when
+    downsampling a crawl. Output: (doc_id, cluster_id).
+
+    The per-cluster pick is the same md5-ordered WindowGroupLimit funnel
+    as stratified_sample (partitioning/retry-invariant, no RNG); the
+    cluster assignment join is id-keyed. Token-less docs have no cluster
+    (zero vector) and are excluded, the documented degenerate policy."""
+    from pyspark.sql import Window as W
+    from flink_descriptive_stats_spark.operators.text import doc_clusters
+    clusters = doc_clusters(df, k=n_clusters, text_col=text_col,
+                            id_col=id_col, dim=dim)
+    w = W.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (clusters.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k_per_cluster).drop("__rk"))

@@ -1721,3 +1721,28 @@ sc AS (SELECT n.id, cent.cell_id,
        FROM n CROSS JOIN cent)
 SELECT CAST(id AS BIGINT) AS doc_id, CAST(cell_id AS BIGINT) AS cluster_id
 FROM sc WHERE crank = 1"""
+
+
+def cluster_balanced_sample_sql(table: str = "documents",
+                                k_per_cluster: int = 5, k: int = 8,
+                                dim: int = 64) -> str:
+    """Mirror of sampling.cluster_balanced_sample (doc_clusters_sql +
+    the md5-ordered exact-k window)."""
+    cdot = _DOT.format(a="n.v", b="cent.cv")
+    return f"""
+WITH {_doc_vec_ctes(table, dim=dim)},
+cent AS (SELECT id AS cell_id, v AS cv, norm AS cnorm FROM n
+         WHERE id < {k}),
+sc AS (SELECT n.id, cent.cell_id,
+              row_number() OVER (PARTITION BY n.id
+                ORDER BY ({cdot}) / (n.norm * cent.cnorm) DESC,
+                         cent.cell_id ASC) AS crank
+       FROM n CROSS JOIN cent),
+cl AS (SELECT CAST(id AS BIGINT) AS doc_id,
+              CAST(cell_id AS BIGINT) AS cluster_id
+       FROM sc WHERE crank = 1)
+SELECT doc_id, cluster_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM cl)
+WHERE rk <= {k_per_cluster}"""

@@ -681,3 +681,24 @@ def test_doc_clusters_groups_similar_docs(spark):
            for r in text_ops.doc_clusters(df, k=2, dim=32).collect()}
     assert got[2] == got[0] == 0
     assert got[3] == got[1] == 1
+
+
+def test_cluster_balanced_sample_semantics(spark):
+    from flink_descriptive_stats_spark.operators import sampling
+    # 2 clusters with 5 docs each; k=2 per cluster -> exactly 4 rows,
+    # 2 per cluster, deterministic across reruns
+    docs = ([(i, "spark table join scan") for i in range(0, 5)]
+            + [(i, "frog pond lily leaf") for i in range(5, 10)])
+    # seed doc 1 must anchor the second cluster: make doc ids 0 and 1
+    # vocabulary-distinct
+    docs[1] = (1, "frog pond lily leaf")
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = sampling.cluster_balanced_sample(df, k_per_cluster=2,
+                                           n_clusters=2, dim=32).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    assert sorted(len(v) for v in by_cluster.values()) == [2, 2]
+    again = sampling.cluster_balanced_sample(df, k_per_cluster=2,
+                                             n_clusters=2, dim=32).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
