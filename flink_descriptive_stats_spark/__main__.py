@@ -24,7 +24,9 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "entropy", "refint", "benford", "tfidf", "compare",
                "funnel", "retention", "resample", "robust-outliers", "fd",
                "check", "acf", "transitions", "rollup", "typos",
-               "semdedup")
+               "semdedup", "trend", "lm-score", "lang-confusion",
+               "histogram2d", "doc-clusters", "cluster-sample",
+               "session-summary")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -229,6 +231,61 @@ def build_parser() -> argparse.ArgumentParser:
     sd.add_argument("--vec-col", default="embedding")
     sd.add_argument("--id-col", default="vec_id")
     _add_common(sd)
+
+    tr = sub.add_parser("trend", help="per-series least-squares trend")
+    tr.add_argument("input")
+    tr.add_argument("--key-col", default="event_type")
+    tr.add_argument("--ts-col", default="ts")
+    tr.add_argument("--value-col", default="value")
+    _add_common(tr)
+
+    lm = sub.add_parser("lm-score",
+                        help="per-doc bigram LM cross-entropy score")
+    lm.add_argument("input")
+    lm.add_argument("--text-col", default="text")
+    lm.add_argument("--id-col", default="doc_id")
+    _add_common(lm)
+
+    lc = sub.add_parser("lang-confusion",
+                        help="declared vs predicted language matrix")
+    lc.add_argument("input")
+    lc.add_argument("--text-col", default="text")
+    lc.add_argument("--lang-col", default="lang")
+    _add_common(lc)
+
+    h2 = sub.add_parser("histogram2d", help="joint 2-D density histogram")
+    h2.add_argument("input")
+    h2.add_argument("--x", required=True)
+    h2.add_argument("--y", required=True)
+    h2.add_argument("--bins", type=int, default=10)
+    _add_common(h2)
+
+    dc = sub.add_parser("doc-clusters",
+                        help="hashed-TF corpus clustering")
+    dc.add_argument("input")
+    dc.add_argument("--k", type=int, default=8)
+    dc.add_argument("--dim", type=int, default=64)
+    dc.add_argument("--refine-iters", type=int, default=0)
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--id-col", default="doc_id")
+    _add_common(dc)
+
+    cs = sub.add_parser("cluster-sample",
+                        help="topic-balanced exact-k per-cluster sample")
+    cs.add_argument("input")
+    cs.add_argument("--k-per-cluster", type=int, default=5)
+    cs.add_argument("--n-clusters", type=int, default=8)
+    cs.add_argument("--text-col", default="text")
+    cs.add_argument("--id-col", default="doc_id")
+    _add_common(cs)
+
+    ss = sub.add_parser("session-summary",
+                        help="corpus-level session engagement rollup")
+    ss.add_argument("input")
+    ss.add_argument("--key-col", default="user_id")
+    ss.add_argument("--ts-col", default="ts")
+    ss.add_argument("--gap", default="30 minutes")
+    _add_common(ss)
     return p
 
 
@@ -483,6 +540,61 @@ def main(argv: list[str] | None = None) -> int:
                                   refine_iters=args.refine_iters,
                                   id_col=args.id_col,
                                   vec_col=args.vec_col), args.output)
+        return 0
+
+    if args.cmd == "trend":
+        from flink_descriptive_stats_spark.operators import events as ev
+        df = _load(spark, args.input, args.format)
+        _emit(ev.trend(df, key_col=args.key_col, ts_col=args.ts_col,
+                       value_col=args.value_col), args.output)
+        return 0
+
+    if args.cmd == "lm-score":
+        from flink_descriptive_stats_spark.operators import text as text_ops
+        df = _load(spark, args.input, args.format)
+        _emit(text_ops.lm_score(df, text_col=args.text_col,
+                                id_col=args.id_col), args.output)
+        return 0
+
+    if args.cmd == "lang-confusion":
+        from flink_descriptive_stats_spark.operators import text as text_ops
+        df = _load(spark, args.input, args.format)
+        _emit(text_ops.lang_confusion(df, text_col=args.text_col,
+                                      lang_col=args.lang_col), args.output)
+        return 0
+
+    if args.cmd == "histogram2d":
+        from flink_descriptive_stats_spark.operators import extras
+        df = _load(spark, args.input, args.format)
+        _emit(extras.histogram2d(df, args.x, args.y, bins=args.bins),
+              args.output)
+        return 0
+
+    if args.cmd == "doc-clusters":
+        from flink_descriptive_stats_spark.operators import text as text_ops
+        df = _load(spark, args.input, args.format)
+        _emit(text_ops.doc_clusters(df, k=args.k, dim=args.dim,
+                                    refine_iters=args.refine_iters,
+                                    text_col=args.text_col,
+                                    id_col=args.id_col), args.output)
+        return 0
+
+    if args.cmd == "cluster-sample":
+        from flink_descriptive_stats_spark.operators import sampling
+        df = _load(spark, args.input, args.format)
+        _emit(sampling.cluster_balanced_sample(
+            df, k_per_cluster=args.k_per_cluster,
+            n_clusters=args.n_clusters, text_col=args.text_col,
+            id_col=args.id_col), args.output)
+        return 0
+
+    if args.cmd == "session-summary":
+        from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+            session_summary)
+        df = _load(spark, args.input, args.format)
+        _emit(session_summary(df, ts_col=args.ts_col,
+                              key_col=args.key_col, gap=args.gap),
+              args.output)
         return 0
 
     if args.cmd == "compare":

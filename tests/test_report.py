@@ -157,6 +157,13 @@ def test_cli_new_subcommands_parse():
                  ["transitions", "x.parquet"],
                  ["rollup", "x.parquet"],
                  ["typos", "x.parquet", "--max-dist", "1"],
-                 ["semdedup", "x.parquet", "--threshold", "0.9"]):
+                 ["semdedup", "x.parquet", "--threshold", "0.9"],
+                 ["trend", "x.parquet"],
+                 ["lm-score", "x.parquet"],
+                 ["lang-confusion", "x.parquet"],
+                 ["histogram2d", "x.parquet", "--x", "a", "--y", "b"],
+                 ["doc-clusters", "x.parquet", "--k", "4"],
+                 ["cluster-sample", "x.parquet"],
+                 ["session-summary", "x.parquet"]):
         args = p.parse_args(argv)
         assert args.cmd == argv[0]
