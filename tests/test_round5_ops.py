@@ -702,3 +702,25 @@ def test_cluster_balanced_sample_semantics(spark):
     again = sampling.cluster_balanced_sample(df, k_per_cluster=2,
                                              n_clusters=2, dim=32).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_profile_wide_schema_codegen_fallback(spark):
+    """120-column profile: the aggregate bundle exceeds whole-stage
+    codegen's method/field limits, forcing Spark's interpreted/split
+    fallback — values must be identical to the narrow path. Pins the
+    wide-table correctness the 64KB-codegen gotcha note warns about."""
+    from flink_descriptive_stats_spark.operators import profile as prof
+    n_cols = 120
+    df = spark.range(500).select(
+        *[(F.col("id") * (i + 1)).cast("double").alias(f"c{i}")
+          for i in range(n_cols)])
+    out = {r["column"]: r for r in prof.profile(df).collect()}
+    assert len(out) == n_cols
+    # spot-check against closed forms: c_i = (i+1) * (0..499)
+    for i in (0, 59, 119):
+        r = out[f"c{i}"]
+        assert r["row_count"] == 500
+        assert r["null_count"] == 0
+        assert _f(r["min_val"]) == 0.0
+        assert _f(r["max_val"]) == float((i + 1) * 499)
+        assert abs(_f(r["mean"]) - (i + 1) * 249.5) < 1e-3 * (i + 1)
