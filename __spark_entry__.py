@@ -688,6 +688,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_clusters_documents"] = _tq(text_ops.doc_clusters, "documents",
                                       k=8)
 
+    # missing-data pattern analysis (fixtures are null-free, so both
+    # sides inject the SAME deterministic nulls: value nulled above 45,
+    # props nulled for every 7th user — the pii-injection trick)
+    def _null_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = _load(spark, sf_dir, "events").select(
+            "event_id",
+            F.when(F.col("value") > 45, F.lit(None))
+            .otherwise(F.col("value")).alias("value"),
+            F.when(F.col("user_id") % 7 == 0, F.lit(None))
+            .otherwise(F.col("props")).alias("props"))
+        return extras.null_pattern_report(
+            ev, columns=["event_id", "value", "props"])
+    q["null_patterns_events"] = _null_patterns
+
+    # behavioral path analysis (order-2 generalization of transitions)
+    q["event_paths_events"] = _tq(ev_ops.event_paths, "events", depth=3)
+
     # topic-balanced curation sample (cluster-then-sample composition)
     q["cluster_sample_documents"] = _tq(
         sampling.cluster_balanced_sample, "documents", k_per_cluster=5,
@@ -1047,6 +1064,13 @@ def oracle_sql() -> dict[str, str]:
     o["doc_clusters_documents"] = op.doc_clusters_sql(k=8)
     o["cluster_sample_documents"] = op.cluster_balanced_sample_sql(
         k_per_cluster=5, k=8)
+    o["null_patterns_events"] = op.null_pattern_sql(
+        "(SELECT event_id, "
+        "CASE WHEN value > 45 THEN NULL ELSE value END AS value, "
+        "CASE WHEN user_id % 7 = 0 THEN NULL ELSE props END AS props "
+        "FROM events)",
+        ["event_id", "value", "props"])
+    o["event_paths_events"] = op.event_paths_sql(depth=3)
     o["histogram2d_lineitem"] = op.histogram2d_sql(
         "lineitem", "l_extendedprice", "l_discount")
     o["semdedup_embeddings"] = op.semdedup_sql(threshold=0.45)

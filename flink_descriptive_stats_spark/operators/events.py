@@ -295,3 +295,33 @@ def trend(df: DataFrame, key_col: str = "event_type", ts_col: str = "ts",
     return g.select("series", "n", sig6(slope).alias("slope_per_hour"),
                     sig6(intercept).alias("intercept"),
                     sig6(r2).alias("r2"))
+
+
+def event_paths(df: DataFrame, depth: int = 3, key_col: str = "user_id",
+                type_col: str = "event_type", ts_col: str = "ts",
+                id_col: str = "event_id", k: int = 20) -> DataFrame:
+    """Top-k frequent event paths (behavioral path analysis): the most
+    common ``depth``-step ordered event-type sequences across users —
+    (path, n, rank), path rendered 'a>b>c'. Generalizes the order-1
+    transition matrix to order depth-1.
+
+    Shape: one exchange keyed by user for the lead windows (all depth-1
+    leads share one window spec), a bounded (type^depth) grouped count,
+    and the rank window runs over that bounded aggregate with the
+    WindowGroupLimit pushdown; deterministic ties (n desc, path asc)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__k").orderBy("__ts", "__id")
+    base = df.select(F.col(key_col).alias("__k"),
+                     F.col(ts_col).alias("__ts"),
+                     F.col(id_col).alias("__id"),
+                     F.col(type_col).alias("t0"))
+    for i in range(1, depth):
+        base = base.withColumn(f"t{i}", F.lead("t0", i).over(w))
+    steps = [F.col(f"t{i}") for i in range(depth)]
+    full = base.where(F.col(f"t{depth - 1}").isNotNull())
+    counts = (full.select(F.concat_ws(">", *steps).alias("path"))
+              .groupBy("path").agg(F.count(F.lit(1)).alias("n")))
+    rk = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (counts.withColumn("rank", F.row_number().over(rk))
+            .where(F.col("rank") <= k))

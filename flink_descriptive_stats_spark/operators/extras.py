@@ -837,3 +837,28 @@ def histogram2d(df: DataFrame, col_x: str, col_y: str,
     return (pts.select(bucket("x", "mnx", "mxx").alias("bx"),
                        bucket("y", "mny", "mxy").alias("by"))
             .groupBy("bx", "by").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def null_pattern_report(df: DataFrame,
+                        columns: list[str] | None = None) -> DataFrame:
+    """Missing-data pattern analysis (the missingno-style view): one row
+    per OBSERVED null-combination — (pattern, n, pct) where pattern is a
+    '01'-string over ``columns`` ('1' = null) — which columns go missing
+    TOGETHER, the question single-column null counts cannot answer.
+
+    One pass: the pattern string is a narrow concat of null flags, then a
+    grouped count whose key cardinality is the number of observed
+    patterns (<= 2^k in theory, a handful in practice). pct is an exact
+    integer ratio rendered via sig6."""
+    from pyspark.sql import Window
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    cols = columns or [f.name for f in df.schema.fields]
+    pat = F.concat(*[F.when(F.col(c).isNull(), F.lit("1"))
+                     .otherwise(F.lit("0")) for c in cols])
+    counts = (df.select(pat.alias("pattern"))
+              .groupBy("pattern").agg(F.count(F.lit(1)).alias("n")))
+    # the normalization window runs over the bounded pattern counts
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select(
+        "pattern", "n",
+        sig6(F.col("n").cast("double") / total).alias("pct"))

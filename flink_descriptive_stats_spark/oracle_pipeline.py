@@ -1746,3 +1746,38 @@ SELECT doc_id, cluster_id FROM (
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
   FROM cl)
 WHERE rk <= {k_per_cluster}"""
+
+
+def null_pattern_sql(table_expr: str, columns: list[str]) -> str:
+    """Mirror of extras.null_pattern_report; ``table_expr`` may be a
+    subquery (the gate injects synthetic nulls on both sides)."""
+    pat = " || ".join(
+        f"CASE WHEN {c} IS NULL THEN '1' ELSE '0' END" for c in columns)
+    return f"""
+WITH c AS (SELECT {pat} AS pattern, CAST(count(*) AS BIGINT) AS n
+           FROM {table_expr} GROUP BY 1),
+ r AS (SELECT pattern, n, CAST(n AS DOUBLE) / sum(n) OVER () AS praw
+       FROM c)
+SELECT pattern, n, {duck_sig6('praw')} AS pct FROM r"""
+
+
+def event_paths_sql(table: str = "events", depth: int = 3,
+                    key: str = "user_id", type_col: str = "event_type",
+                    ts: str = "ts", id_col: str = "event_id",
+                    k: int = 20) -> str:
+    """Mirror of events.event_paths (same total per-user order, same
+    deterministic rank ties)."""
+    leads = ", ".join(
+        f"lead({type_col}, {i}) OVER win AS t{i}" for i in range(1, depth))
+    concat = " || '>' || ".join(f"t{i}" for i in range(depth))
+    return f"""
+WITH b AS (SELECT {type_col} AS t0, {leads}
+           FROM {table}
+           WINDOW win AS (PARTITION BY {key} ORDER BY {ts}, {id_col})),
+ c AS (SELECT {concat} AS path, CAST(count(*) AS BIGINT) AS n
+       FROM b WHERE t{depth - 1} IS NOT NULL GROUP BY 1)
+SELECT path, n,
+       CAST(row_number() OVER (ORDER BY n DESC, path ASC) AS INTEGER)
+         AS rank
+FROM c
+QUALIFY rank <= {k}"""

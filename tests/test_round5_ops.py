@@ -724,3 +724,27 @@ def test_profile_wide_schema_codegen_fallback(spark):
         assert _f(r["min_val"]) == 0.0
         assert _f(r["max_val"]) == float((i + 1) * 499)
         assert abs(_f(r["mean"]) - (i + 1) * 249.5) < 1e-3 * (i + 1)
+
+
+def test_null_pattern_report_semantics(spark):
+    rows = [(1, None), (2, None), (3, 3.0), (None, None)]
+    df = spark.createDataFrame(rows, "a bigint, b double")
+    got = {r["pattern"]: r for r in
+           extras.null_pattern_report(df, ["a", "b"]).collect()}
+    assert got["01"]["n"] == 2
+    assert got["00"]["n"] == 1 and got["11"]["n"] == 1
+    assert abs(_f(got["01"]["pct"]) - 0.5) < 1e-6
+
+
+def test_event_paths_semantics(spark):
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    # user 1: a,b,c,b,c ; user 2: a,b,c  — trigrams: abc x2, bcb, cbc
+    seq1 = ["a", "b", "c", "b", "c"]
+    rows = [(1, i, i, t) for i, t in enumerate(seq1)]
+    rows += [(2, i, 10 + i, t) for i, t in enumerate(["a", "b", "c"])]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts bigint, event_id bigint, event_type string")
+    got = {r["path"]: r for r in ev_ops.event_paths(df, depth=3).collect()}
+    assert got["a>b>c"]["n"] == 2 and got["a>b>c"]["rank"] == 1
+    assert got["b>c>b"]["n"] == 1 and got["c>b>c"]["n"] == 1
+    assert len(got) == 3   # sequences never cross user boundaries
