@@ -688,6 +688,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_clusters_documents"] = _tq(text_ops.doc_clusters, "documents",
                                       k=8)
 
+    # Spearman rank correlation (robust association next to Pearson)
+    q["spearman_lineitem"] = _tq(
+        extras.spearman_matrix, "lineitem",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
     # missing-data pattern analysis (fixtures are null-free, so both
     # sides inject the SAME deterministic nulls: value nulled above 45,
     # props nulled for every 7th user — the pii-injection trick)
@@ -1064,6 +1069,9 @@ def oracle_sql() -> dict[str, str]:
     o["doc_clusters_documents"] = op.doc_clusters_sql(k=8)
     o["cluster_sample_documents"] = op.cluster_balanced_sample_sql(
         k_per_cluster=5, k=8)
+    o["spearman_lineitem"] = op.spearman_sql(
+        "lineitem", ["l_quantity", "l_extendedprice", "l_discount",
+                     "l_tax"])
     o["null_patterns_events"] = op.null_pattern_sql(
         "(SELECT event_id, "
         "CASE WHEN value > 45 THEN NULL ELSE value END AS value, "

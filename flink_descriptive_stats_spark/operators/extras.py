@@ -862,3 +862,28 @@ def null_pattern_report(df: DataFrame,
     return counts.select(
         "pattern", "n",
         sig6(F.col("n").cast("double") / total).alias("pct"))
+
+
+def spearman_matrix(df: DataFrame,
+                    columns: list[str] | None = None) -> DataFrame:
+    """All-pairs Spearman rank correlation (long format: col_a, col_b,
+    rho): Pearson over AVERAGE ranks (the standard tie policy —
+    avg_rank = min_rank + (ties - 1) / 2), listwise deletion of rows
+    with a NULL in any selected column. The robust association measure
+    next to correlation_matrix's Pearson — monotone-nonlinear
+    relationships and heavy tails stop hiding.
+
+    Cost shape: ranks are exact half-integers, so the correlation pass
+    is the same single k(k-1)/2-buffer aggregate as Pearson; the ranks
+    themselves cost one GLOBAL sort per column — the exact/oracle path
+    by construction. At 100 TB swap ranks for approx percentile bins
+    (the same trade documented for quartiles)."""
+    from pyspark.sql import Window
+    cols = columns or numeric_columns(df)
+    base = df.select(*cols).dropna()
+    ranked = base.select(*[
+        (F.rank().over(Window.orderBy(c))
+         + (F.count(F.lit(1)).over(Window.partitionBy(c)) - 1) / 2.0)
+        .alias(c) for c in cols])
+    out = correlation_matrix(ranked, cols)
+    return out.select("col_a", "col_b", F.col("corr").alias("rho"))

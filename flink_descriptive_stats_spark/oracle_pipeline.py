@@ -1781,3 +1781,25 @@ SELECT path, n,
          AS rank
 FROM c
 QUALIFY rank <= {k}"""
+
+
+def spearman_sql(table: str, columns: list[str]) -> str:
+    """Mirror of extras.spearman_matrix (same average-rank tie policy,
+    same near-zero snap + sig6 as the Pearson oracle)."""
+    ranks = ", ".join(
+        f"rank() OVER (ORDER BY {c}) + "
+        f"(count(*) OVER (PARTITION BY {c}) - 1) / 2.0 AS {c}"
+        for c in columns)
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in columns)
+    pairs = [(a, b) for i, a in enumerate(columns)
+             for b in columns[i + 1:]]
+    branches = []
+    for a, b in pairs:
+        raw = f"corr({a}, {b})"
+        snapped = (f"CASE WHEN {raw} IS NOT NULL AND NOT isnan({raw}) "
+                   f"AND abs({raw}) < 1e-9 THEN 0.0 ELSE {raw} END")
+        branches.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"{duck_sig6(snapped)} AS rho FROM r")
+    return (f"WITH r AS (SELECT {ranks} FROM {table} WHERE {notnull})\n"
+            + "\nUNION ALL\n".join(branches))

@@ -748,3 +748,38 @@ def test_event_paths_semantics(spark):
     assert got["a>b>c"]["n"] == 2 and got["a>b>c"]["rank"] == 1
     assert got["b>c>b"]["n"] == 1 and got["c>b>c"]["n"] == 1
     assert len(got) == 3   # sequences never cross user boundaries
+
+
+def test_spearman_semantics(spark):
+    # y = x^3 is monotone-nonlinear: Spearman rho must be exactly 1 while
+    # Pearson is < 1; z is a tied column exercising the average-rank policy
+    rows = [(float(i), float(i) ** 3, float(i // 3)) for i in range(12)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {(r["col_a"], r["col_b"]): _f(r["rho"])
+           for r in extras.spearman_matrix(df, ["x", "y", "z"]).collect()}
+    assert abs(got[("x", "y")] - 1.0) < 1e-6
+    pearson = {(r["col_a"], r["col_b"]): _f(r["corr"])
+               for r in extras.correlation_matrix(df, ["x", "y"]).collect()}
+    assert pearson[("x", "y")] < 0.999
+    # tied column: still a valid rho in [-1, 1], matches scipy's value
+    import numpy as np
+    from numpy import corrcoef
+
+    def avg_ranks(v):
+        v = np.asarray(v)
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), dtype=float)
+        sorted_v = v[order]
+        i = 0
+        while i < len(v):
+            j = i
+            while j < len(v) and sorted_v[j] == sorted_v[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        return ranks
+
+    xs = [r[0] for r in rows]
+    zs = [r[2] for r in rows]
+    want = corrcoef(avg_ranks(xs), avg_ranks(zs))[0, 1]
+    assert abs(got[("x", "z")] - want) < 1e-6
