@@ -688,6 +688,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_clusters_documents"] = _tq(text_ops.doc_clusters, "documents",
                                       k=8)
 
+    # WOE / information value: value deciles vs the purchase label
+    def _woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = _load(spark, sf_dir, "events")
+        return extras.woe_iv(
+            ev, "value", (F.col("event_type") == "purchase").cast("int"),
+            bins=10)
+    q["woe_iv_events"] = _woe_iv
+
     # Spearman rank correlation (robust association next to Pearson)
     q["spearman_lineitem"] = _tq(
         extras.spearman_matrix, "lineitem",
@@ -1069,6 +1077,9 @@ def oracle_sql() -> dict[str, str]:
     o["doc_clusters_documents"] = op.doc_clusters_sql(k=8)
     o["cluster_sample_documents"] = op.cluster_balanced_sample_sql(
         k_per_cluster=5, k=8)
+    o["woe_iv_events"] = op.woe_iv_sql(
+        "events", "value",
+        "CAST(event_type = 'purchase' AS INTEGER)", bins=10)
     o["spearman_lineitem"] = op.spearman_sql(
         "lineitem", ["l_quantity", "l_extendedprice", "l_discount",
                      "l_tax"])

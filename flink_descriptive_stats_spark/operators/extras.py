@@ -887,3 +887,44 @@ def spearman_matrix(df: DataFrame,
         .alias(c) for c in cols])
     out = correlation_matrix(ranked, cols)
     return out.select("col_a", "col_b", F.col("corr").alias("rho"))
+
+
+def woe_iv(df: DataFrame, feature_col: str, label_col,
+           bins: int = 10) -> DataFrame:
+    """Weight-of-evidence / information-value report for a numeric
+    feature against a binary label — the feature-screening diagnostic of
+    scorecard/curation pipelines: per equal-width feature bin,
+    (bin, n, n_pos, woe, iv_term), with woe = ln((pos share)/(neg
+    share)) under +0.5 Laplace smoothing (so empty cells stay finite)
+    and total IV = sum(iv_term). ``label_col`` is a Column or column
+    name that must evaluate to 0/1.
+
+    Shape: the same broadcast min/max + bounded grouped count as
+    histogram (the label rides the same pass as two conditional sums);
+    pos/neg totals derive FROM the bin counts via a window over <= bins
+    rows — one scan total."""
+    from pyspark.sql import Window
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    x = F.col(feature_col)
+    mm = df.agg(F.min(x).alias("mn"), F.max(x).alias("mx"))
+    pts = (df.select(x.alias("x"), lab.cast("double").alias("y"))
+           .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+           .crossJoin(F.broadcast(mm)))
+    w = (F.col("mx") - F.col("mn")) / F.lit(float(bins))
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(F.floor((F.col("x") - F.col("mn")) / w).cast("int"),
+                F.lit(bins - 1)))
+    g = (pts.select(bucket.alias("bin"), "y")
+         .groupBy("bin")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("y").cast("bigint").alias("n_pos")))
+    tot = Window.partitionBy()
+    pos_t = F.sum("n_pos").over(tot).cast("double")
+    neg_t = (F.sum("n").over(tot) - F.sum("n_pos").over(tot)) \
+        .cast("double")
+    ps = (F.col("n_pos") + F.lit(0.5)) / (pos_t + F.lit(0.5))
+    ns = (F.col("n") - F.col("n_pos") + F.lit(0.5)) / (neg_t + F.lit(0.5))
+    woe = F.log(ps / ns)
+    return g.select("bin", "n", "n_pos", sig6(woe).alias("woe"),
+                    sig6((ps - ns) * woe).alias("iv_term"))

@@ -1803,3 +1803,30 @@ def spearman_sql(table: str, columns: list[str]) -> str:
             f"{duck_sig6(snapped)} AS rho FROM r")
     return (f"WITH r AS (SELECT {ranks} FROM {table} WHERE {notnull})\n"
             + "\nUNION ALL\n".join(branches))
+
+
+def woe_iv_sql(table: str, feature: str, label_expr: str,
+               bins: int = 10) -> str:
+    """Mirror of extras.woe_iv (same histogram bucketing conventions,
+    same +0.5 smoothing)."""
+    return f"""
+WITH mm AS (SELECT min({feature}) AS mn, max({feature}) AS mx
+            FROM {table}),
+ pts AS (SELECT {feature} AS x, CAST(({label_expr}) AS DOUBLE) AS y,
+                mn, mx
+         FROM {table} CROSS JOIN mm
+         WHERE {feature} IS NOT NULL AND ({label_expr}) IS NOT NULL),
+ g AS (SELECT CASE WHEN mx = mn THEN 0 ELSE
+              least(CAST(floor((x - mn) / ((mx - mn) / {float(bins)}))
+                    AS INTEGER), {bins - 1}) END AS bin,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(y) AS BIGINT) AS n_pos
+       FROM pts GROUP BY 1),
+ t AS (SELECT bin, n, n_pos,
+              (n_pos + 0.5) / (sum(n_pos) OVER () + 0.5) AS ps,
+              (n - n_pos + 0.5)
+                / (sum(n) OVER () - sum(n_pos) OVER () + 0.5) AS ns
+       FROM g)
+SELECT bin, n, n_pos, {duck_sig6('ln(ps / ns)')} AS woe,
+       {duck_sig6('(ps - ns) * ln(ps / ns)')} AS iv_term
+FROM t"""

@@ -783,3 +783,19 @@ def test_spearman_semantics(spark):
     zs = [r[2] for r in rows]
     want = corrcoef(avg_ranks(xs), avg_ranks(zs))[0, 1]
     assert abs(got[("x", "z")] - want) < 1e-6
+
+
+def test_woe_iv_semantics(spark):
+    import math as m
+    # feature perfectly separates the label across two bins
+    rows = [(float(i), 1 if i >= 5 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "x double, y int")
+    got = {r["bin"]: r for r in extras.woe_iv(df, "x", "y", bins=2).collect()}
+    # bin 0: x in [0, 4.5) -> 5 rows all neg; bin 1: 5 rows all pos
+    assert got[0]["n"] == 5 and got[0]["n_pos"] == 0
+    assert got[1]["n"] == 5 and got[1]["n_pos"] == 5
+    ps0, ns0 = 0.5 / 5.5, 5.5 / 5.5
+    assert abs(_f(got[0]["woe"]) - m.log(ps0 / ns0)) < 1e-5
+    assert _f(got[0]["woe"]) < 0 < _f(got[1]["woe"])
+    # iv terms positive for informative bins
+    assert _f(got[0]["iv_term"]) > 0 and _f(got[1]["iv_term"]) > 0
