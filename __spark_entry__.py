@@ -653,6 +653,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # event-sequence analytics (behavioral queries over the events table)
     from flink_descriptive_stats_spark.operators import events as ev_ops
     q["funnel_events"] = _tq(ev_ops.funnel, "events")
+    # conversion-window variant: steps must land within 12h of step 1
+    # (at sf0.01: 150 -> 37 -> 3 users — the window binds at every step
+    # and all three code paths stay non-vacuous)
+    q["funnel_within_events"] = _tq(ev_ops.funnel, "events",
+                                    within_minutes=720)
     q["retention_cohorts_events"] = _tq(ev_ops.retention_cohorts, "events",
                                         max_offset=4)
     q["resample_events"] = _tq(ev_ops.resample, "events",
@@ -1046,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "events", "value", "user_id % 2 = 0", "user_id % 2 = 1")
     o["winsorize_summary_events"] = op.winsorize_mean_sql("events", "value")
     o["funnel_events"] = op.funnel_sql()
+    o["funnel_within_events"] = op.funnel_sql(within_minutes=720)
     o["retention_cohorts_events"] = op.retention_cohorts_sql(max_offset=4)
     o["resample_events"] = op.resample_sql(every_minutes=360)
     o["bigram_entropy_documents"] = op.bigram_conditional_entropy_sql()

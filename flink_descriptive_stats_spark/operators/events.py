@@ -18,22 +18,35 @@ from pyspark.sql import functions as F
 def funnel(df: DataFrame, steps: tuple[str, ...] = ("view", "click",
                                                     "purchase"),
            key_col: str = "user_id", type_col: str = "event_type",
-           ts_col: str = "ts") -> DataFrame:
+           ts_col: str = "ts",
+           within_minutes: int | None = None) -> DataFrame:
     """Strictly-ordered funnel: (step_idx, step, n_users, pct_of_first,
     pct_of_prev). A user completes step i at the EARLIEST event of that
-    type occurring strictly after their step i-1 completion time.
+    type occurring strictly after their step i-1 completion time —
+    and, when ``within_minutes`` is set, no later than that many minutes
+    after their FIRST-step completion (the conversion-window semantics
+    of product analytics: a purchase a week after the view doesn't
+    count).
 
     Shape: step 1 is one grouped min per user; each later step is one
     key-equi-join (user) against the previous step's completion times
     followed by a grouped min — steps-1 shuffles, all keyed by the user
-    id, each carrying one timestamp per user, never raw event payloads.
-    Conversion fractions are exact integer ratios rendered via sig6."""
+    id, each carrying one or two timestamps per user, never raw event
+    payloads. Conversion fractions are exact integer ratios rendered via
+    sig6."""
     from flink_descriptive_stats_spark.functions.sig import sig6
     from pyspark import StorageLevel
     ev = df.select(F.col(key_col).alias("k"),
                    F.col(type_col).alias("t"), F.col(ts_col).alias("ts"))
     completed = (ev.where(F.col("t") == steps[0])
                  .groupBy("k").agg(F.min("ts").alias("ct")))
+    # the conversion deadline is anchored at the FIRST step's completion
+    # and carried through the chain (functionally determined by the key,
+    # so min() in each regroup is exact pass-through)
+    if within_minutes is not None:
+        completed = completed.withColumn(
+            "deadline",
+            F.col("ct") + F.expr(f"INTERVAL {int(within_minutes)} MINUTES"))
     # persist each step's (user, completion_ts) frame: the next step joins
     # it AND we count it, and without the persist step i would recompute
     # the whole i-deep join chain (counts are scalar metadata — the only
@@ -43,12 +56,21 @@ def funnel(df: DataFrame, steps: tuple[str, ...] = ("view", "click",
     held.append(completed)
     counts = [completed.count()]
     for step in steps[1:]:
-        completed = (ev.where(F.col("t") == step)
-                     .join(completed.select("k", F.col("ct").alias("prev")),
-                           "k")
-                     .where(F.col("ts") > F.col("prev"))
-                     .groupBy("k").agg(F.min("ts").alias("ct"))
-                     .persist(StorageLevel.MEMORY_AND_DISK))
+        prev_cols = ["k", F.col("ct").alias("prev")]
+        if within_minutes is not None:
+            prev_cols.append("deadline")
+        nxt = (ev.where(F.col("t") == step)
+               .join(completed.select(*prev_cols), "k")
+               .where(F.col("ts") > F.col("prev")))
+        if within_minutes is not None:
+            nxt = nxt.where(F.col("ts") <= F.col("deadline"))
+            completed = (nxt.groupBy("k")
+                         .agg(F.min("ts").alias("ct"),
+                              F.min("deadline").alias("deadline"))
+                         .persist(StorageLevel.MEMORY_AND_DISK))
+        else:
+            completed = (nxt.groupBy("k").agg(F.min("ts").alias("ct"))
+                         .persist(StorageLevel.MEMORY_AND_DISK))
         held.append(completed)
         counts.append(completed.count())
     for h in held:

@@ -1246,17 +1246,27 @@ FROM d"""
 
 
 def funnel_sql(table: str = "events",
-               steps: tuple = ("view", "click", "purchase")) -> str:
-    """Mirror of events.funnel (ordered completion, strict > chaining)."""
-    ctes = [f"s1 AS (SELECT user_id AS k, min(CAST(ts AS TIMESTAMP)) AS ct "
-            f"FROM {table} WHERE event_type = '{steps[0]}' GROUP BY 1)"]
+               steps: tuple = ("view", "click", "purchase"),
+               within_minutes: int | None = None) -> str:
+    """Mirror of events.funnel (ordered completion, strict > chaining;
+    optional first-step-anchored conversion window)."""
+    dl = (f", min(CAST(ts AS TIMESTAMP)) "
+          f"+ INTERVAL {within_minutes} MINUTES AS deadline"
+          if within_minutes is not None else "")
+    ctes = [f"s1 AS (SELECT user_id AS k, min(CAST(ts AS TIMESTAMP)) AS ct"
+            f"{dl} FROM {table} WHERE event_type = '{steps[0]}' "
+            f"GROUP BY 1)"]
     for i, step in enumerate(steps[1:], start=2):
+        win = (f"AND CAST(e.ts AS TIMESTAMP) <= s{i - 1}.deadline "
+               if within_minutes is not None else "")
+        dl2 = (f", min(s{i - 1}.deadline) AS deadline"
+               if within_minutes is not None else "")
         ctes.append(
             f"s{i} AS (SELECT e.user_id AS k, "
-            f"min(CAST(e.ts AS TIMESTAMP)) AS ct "
+            f"min(CAST(e.ts AS TIMESTAMP)) AS ct{dl2} "
             f"FROM {table} e JOIN s{i - 1} ON e.user_id = s{i - 1}.k "
             f"WHERE e.event_type = '{step}' "
-            f"AND CAST(e.ts AS TIMESTAMP) > s{i - 1}.ct GROUP BY 1)")
+            f"AND CAST(e.ts AS TIMESTAMP) > s{i - 1}.ct {win}GROUP BY 1)")
     counts = " UNION ALL ".join(
         f"SELECT {i} AS step_idx, '{s}' AS step, "
         f"(SELECT count(*) FROM s{i}) AS n FROM (VALUES (1))"

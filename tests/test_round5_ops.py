@@ -799,3 +799,25 @@ def test_woe_iv_semantics(spark):
     assert _f(got[0]["woe"]) < 0 < _f(got[1]["woe"])
     # iv terms positive for informative bins
     assert _f(got[0]["iv_term"]) > 0 and _f(got[1]["iv_term"]) > 0
+
+
+def test_funnel_conversion_window(spark):
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1, 12, 0)
+    mk = lambda mins: t0 + dt.timedelta(minutes=mins)
+    rows = [
+        # user 1 converts inside the 60-min window
+        (1, "view", mk(0)), (1, "click", mk(10)), (1, "purchase", mk(50)),
+        # user 2's purchase lands after the deadline (90 > 60)
+        (2, "view", mk(0)), (2, "click", mk(20)), (2, "purchase", mk(90)),
+        # user 3's click is already outside -> neither step counts
+        (3, "view", mk(0)), (3, "click", mk(70)), (3, "purchase", mk(80)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+    out = {r["step"]: r["n_users"]
+           for r in ev_ops.funnel(df, within_minutes=60).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+    # without the window everyone converts
+    full = {r["step"]: r["n_users"] for r in ev_ops.funnel(df).collect()}
+    assert full == {"view": 3, "click": 3, "purchase": 3}
