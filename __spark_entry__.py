@@ -157,7 +157,6 @@ GATED_50 = (
     "column_entropy_events", "refint_lineitem_orders",
     "tfidf_top_terms_documents",
     "ks_drift_events_value", "fd_candidates_orders",
-    "categorical_association_documents",
     # round-5 session-2 families (third rotation). Demoted to make room,
     # each family keeping a gated sibling: windowed_distinct_events
     # (streaming family: windowed_profile + sessionize), psi_drift
@@ -166,8 +165,8 @@ GATED_50 = (
     # repetition_stats), contamination_report (decontaminate_fuzzy),
     # embedding_neardup_pairs (exact path; LSH sibling gated),
     # ann_cosine_topk (brute-force baseline; LSH + IVF gated).
-    "check_constraints_lineitem", "acf_events",
-    "transition_matrix_events", "rollup_profile_events",
+    "check_constraints_lineitem",
+    "transition_matrix_events",
     # fourth rotation: trend (regression family), lm_score (LM-quality),
     # lang_confusion (label-audit) promoted; demoted with family cover:
     # funnel_events (event-sequence: transition_matrix + retention at
@@ -178,6 +177,13 @@ GATED_50 = (
     # quality_filter demoted — it is a thresholded composition of the
     # gated text_stats features
     "doc_clusters_documents",
+    # fifth (final) rotation: three new STATISTICAL families in —
+    # spearman (rank association; categorical_association demoted, the
+    # association family keeps this slot), woe_iv (feature-vs-label
+    # diagnostics; rollup_profile demoted, profile family has three
+    # gated reps), null_patterns (missingness structure; acf demoted,
+    # time-series family keeps rolling_stats + trend)
+    "spearman_lineitem", "woe_iv_events", "null_patterns_events",
 )
 
 

@@ -26,7 +26,8 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "check", "acf", "transitions", "rollup", "typos",
                "semdedup", "trend", "lm-score", "lang-confusion",
                "histogram2d", "doc-clusters", "cluster-sample",
-               "session-summary")
+               "session-summary", "spearman", "woe", "null-patterns",
+               "paths")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -286,6 +287,37 @@ def build_parser() -> argparse.ArgumentParser:
     ss.add_argument("--ts-col", default="ts")
     ss.add_argument("--gap", default="30 minutes")
     _add_common(ss)
+
+    sp = sub.add_parser("spearman", help="rank correlation matrix")
+    sp.add_argument("input")
+    sp.add_argument("--columns", default=None,
+                    help="comma-separated numeric columns")
+    _add_common(sp)
+
+    wv = sub.add_parser("woe",
+                        help="WOE / information value per feature bin")
+    wv.add_argument("input")
+    wv.add_argument("--feature", required=True)
+    wv.add_argument("--label", required=True,
+                    help="0/1 column or SQL expression")
+    wv.add_argument("--bins", type=int, default=10)
+    _add_common(wv)
+
+    np_ = sub.add_parser("null-patterns",
+                         help="null-combination pattern report")
+    np_.add_argument("input")
+    np_.add_argument("--columns", default=None)
+    _add_common(np_)
+
+    pa = sub.add_parser("paths", help="top-k event-type paths per user")
+    pa.add_argument("input")
+    pa.add_argument("--depth", type=int, default=3)
+    pa.add_argument("--k", type=int, default=20)
+    pa.add_argument("--key-col", default="user_id")
+    pa.add_argument("--type-col", default="event_type")
+    pa.add_argument("--ts-col", default="ts")
+    pa.add_argument("--id-col", default="event_id")
+    _add_common(pa)
     return p
 
 
@@ -594,6 +626,37 @@ def main(argv: list[str] | None = None) -> int:
         df = _load(spark, args.input, args.format)
         _emit(session_summary(df, ts_col=args.ts_col,
                               key_col=args.key_col, gap=args.gap),
+              args.output)
+        return 0
+
+    if args.cmd == "spearman":
+        from flink_descriptive_stats_spark.operators import extras
+        df = _load(spark, args.input, args.format)
+        cols = args.columns.split(",") if args.columns else None
+        _emit(extras.spearman_matrix(df, columns=cols), args.output)
+        return 0
+
+    if args.cmd == "woe":
+        from pyspark.sql import functions as F
+        from flink_descriptive_stats_spark.operators import extras
+        df = _load(spark, args.input, args.format)
+        _emit(extras.woe_iv(df, args.feature, F.expr(args.label),
+                            bins=args.bins), args.output)
+        return 0
+
+    if args.cmd == "null-patterns":
+        from flink_descriptive_stats_spark.operators import extras
+        df = _load(spark, args.input, args.format)
+        cols = args.columns.split(",") if args.columns else None
+        _emit(extras.null_pattern_report(df, columns=cols), args.output)
+        return 0
+
+    if args.cmd == "paths":
+        from flink_descriptive_stats_spark.operators import events as ev
+        df = _load(spark, args.input, args.format)
+        _emit(ev.event_paths(df, depth=args.depth, k=args.k,
+                             key_col=args.key_col, type_col=args.type_col,
+                             ts_col=args.ts_col, id_col=args.id_col),
               args.output)
         return 0
 

@@ -35,15 +35,17 @@ def test_gated_window_holds_all_operator_families():
                  "column_entropy_events", "refint_lineitem_orders",
                  "tfidf_top_terms_documents",
                  "ks_drift_events_value", "fd_candidates_orders",
-                 "categorical_association_documents",
                  # round-5 session-2 families (third rotation)
-                 "check_constraints_lineitem", "acf_events",
-                 "transition_matrix_events", "rollup_profile_events",
+                 "check_constraints_lineitem",
+                 "transition_matrix_events",
                  "typo_pairs_documents", "semdedup_embeddings",
                  "daily_profile_partitioned_events",
                  # fourth rotation
                  "trend_events", "lm_score_documents",
                  "lang_confusion_documents", "doc_clusters_documents",
+                 # fifth rotation
+                 "spearman_lineitem", "woe_iv_events",
+                 "null_patterns_events",
                  # carried family representatives
                  "profile_lineitem", "topk_lineitem",
                  "simhash_near_pairs_documents",
@@ -76,7 +78,10 @@ def test_gated_window_holds_all_operator_families():
                     # fourth-rotation demotions
                     "funnel_events", "resample_events",
                     "grouped_topk_tokens_documents",
-                    "quality_filter_documents"):
+                    "quality_filter_documents",
+                    # fifth-rotation demotions
+                    "categorical_association_documents",
+                    "rollup_profile_events", "acf_events"):
         assert demoted in names[50:], demoted
         assert demoted in o, demoted
     families = {n.rsplit("_", 1)[0] for n in first50}

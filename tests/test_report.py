@@ -164,6 +164,11 @@ def test_cli_new_subcommands_parse():
                  ["histogram2d", "x.parquet", "--x", "a", "--y", "b"],
                  ["doc-clusters", "x.parquet", "--k", "4"],
                  ["cluster-sample", "x.parquet"],
-                 ["session-summary", "x.parquet"]):
+                 ["session-summary", "x.parquet"],
+                 ["spearman", "x.parquet"],
+                 ["woe", "x.parquet", "--feature", "v",
+                  "--label", "y = 1"],
+                 ["null-patterns", "x.parquet"],
+                 ["paths", "x.parquet", "--depth", "2"]):
         args = p.parse_args(argv)
         assert args.cmd == argv[0]

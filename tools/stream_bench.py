@@ -4,8 +4,8 @@ target "sustained >= input rate, state bounded by watermark").
 Replays the events table as a rate-limited file stream — repartitionByRange
 on ts into N sequential files whose mtimes increase with event time, so
 FileStreamSource (oldest-first) delivers an IN-ORDER replay and the
-watermark advances exactly as it would against a live source — through two
-stateful operators:
+watermark advances exactly as it would against a live source — through
+three continuous operators:
 
 - ``windowed_profile`` (windowed aggregation state, append mode): state is
   one row per OPEN window, bounded by watermark eviction, independent of
@@ -13,6 +13,9 @@ stateful operators:
 - ``streaming_exact_dedup`` (dropDuplicatesWithinWatermark key state):
   state is the keys inside the watermark horizon, evicted as event time
   advances — NOT the full key history.
+- ``start_constraint_monitor`` (foreachBatch running totals): no
+  store-managed state at all — one distributed aggregate per epoch folds
+  into O(rules) driver counters.
 
 Reported per operator: sustained processed rows/sec (total rows / total
 trigger-execution time), per-epoch state rows/bytes, and the peak state
