@@ -699,6 +699,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_clusters_documents"] = _tq(text_ops.doc_clusters, "documents",
                                       k=8)
 
+    # calendar seasonality + CUSUM mean-shift screen (time-series v2)
+    q["seasonality_events"] = _tq(ev_ops.seasonality_profile, "events")
+    q["cusum_events"] = _tq(ev_ops.cusum_changepoint, "events")
+
     # WOE / information value: value deciles vs the purchase label
     def _woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = _load(spark, sf_dir, "events")
@@ -1089,6 +1093,8 @@ def oracle_sql() -> dict[str, str]:
     o["doc_clusters_documents"] = op.doc_clusters_sql(k=8)
     o["cluster_sample_documents"] = op.cluster_balanced_sample_sql(
         k_per_cluster=5, k=8)
+    o["seasonality_events"] = op.seasonality_sql()
+    o["cusum_events"] = op.cusum_sql()
     o["woe_iv_events"] = op.woe_iv_sql(
         "events", "value",
         "CAST(event_type = 'purchase' AS INTEGER)", bins=10)

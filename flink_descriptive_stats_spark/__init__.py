@@ -106,6 +106,15 @@ _API = {
     "histogram2d": ("operators.extras", "histogram2d"),
     "start_constraint_monitor": ("streaming.pipeline_stream",
                                  "start_constraint_monitor"),
+    "spearman_matrix": ("operators.extras", "spearman_matrix"),
+    "woe_iv": ("operators.extras", "woe_iv"),
+    "null_pattern_report": ("operators.extras", "null_pattern_report"),
+    "event_paths": ("operators.events", "event_paths"),
+    "session_summary": ("streaming.pipeline_stream", "session_summary"),
+    "doc_feature_vectors": ("operators.text", "doc_feature_vectors"),
+    "doc_clusters": ("operators.text", "doc_clusters"),
+    "cluster_balanced_sample": ("operators.sampling",
+                                "cluster_balanced_sample"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

@@ -347,3 +347,77 @@ def event_paths(df: DataFrame, depth: int = 3, key_col: str = "user_id",
     rk = Window.orderBy(F.col("n").desc(), F.col("path").asc())
     return (counts.withColumn("rank", F.row_number().over(rk))
             .where(F.col("rank") <= k))
+
+
+def seasonality_profile(df: DataFrame, ts_col: str = "ts",
+                        value_col: str = "value") -> DataFrame:
+    """Calendar seasonality view: (dimension, bucket, n, avg_val) for
+    dimension in {hour_of_day (0-23), day_of_week (1=Mon..7)} — the
+    when-does-load/value-concentrate profile behind capacity and
+    anomaly baselines.
+
+    One scan: both dimensions ride a single grouped aggregate over the
+    unioned (dimension, bucket) key — bounded (31 keys) — instead of two
+    jobs. Extraction functions are pinned to ISO conventions identical
+    across engines (dayofweek is locale-dependent; weekday()+1 is not)."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    x = F.col(value_col).cast("double")
+    base = df.where(F.col(ts_col).isNotNull()).select(
+        F.hour(ts_col).cast("bigint").alias("hour_of_day"),
+        (F.weekday(ts_col) + 1).cast("bigint").alias("day_of_week"),
+        x.alias("x"))
+    melted = base.selectExpr(
+        "stack(2, 'hour_of_day', hour_of_day, "
+        "'day_of_week', day_of_week) AS (dimension, bucket)", "x")
+    return (melted.groupBy("dimension", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 sig6(F.avg("x")).alias("avg_val")))
+
+
+def cusum_changepoint(df: DataFrame, key_col: str = "event_type",
+                      ts_col: str = "ts", value_col: str = "value",
+                      bucket_minutes: int = 360) -> DataFrame:
+    """CUSUM mean-shift screen per series: bucket the series, accumulate
+    S_t = sum_{i<=t} (bucket_mean_i - series_mean), and report where
+    |S_t| peaks — (series, n_buckets, peak_bucket_ts, peak_cusum,
+    cusum_threshold, shifted) with the standard heuristic threshold
+    5 * sd(bucket means) (Page's CUSUM as a one-shot batch screen; a
+    peak |S| above it flags a sustained mean shift, and the peak's
+    LOCATION is the changepoint estimate).
+
+    Shape: one grouped aggregate to buckets (bounded keys = span /
+    interval per series), the running sum + peak windows run over that
+    bounded bucket frame, never raw events."""
+    from pyspark.sql import Window
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    step = bucket_minutes * 60
+    b = (F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(step))
+         * step).cast("bigint")
+    x = F.col(value_col).cast("double")
+    buckets = (df.where(F.col(ts_col).isNotNull() & x.isNotNull())
+               .groupBy(F.col(key_col).alias("series"), b.alias("b"))
+               .agg(F.avg(x).alias("m")))
+    per = Window.partitionBy("series")
+    wrun = per.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    # series mean/sd materialize BEFORE the running sum (window functions
+    # cannot nest); s and the peak decision round-trip through sig6 so
+    # the discrete comparisons cannot fork on summation-order ULPs
+    stats = buckets.select(
+        "series", "b", "m",
+        F.avg("m").over(per).alias("mu"),
+        F.stddev_pop("m").over(per).alias("sd"),
+        F.count(F.lit(1)).over(per).alias("n_buckets"))
+    scored = stats.withColumn(
+        "s", sig6(F.sum(F.col("m") - F.col("mu")).over(wrun))
+        .cast("double"))
+    wpk = Window.partitionBy("series").orderBy(
+        F.abs(F.col("s")).desc(), F.col("b").asc())
+    peak = (scored.withColumn("__rk", F.row_number().over(wpk))
+            .where(F.col("__rk") == 1))
+    thr = (sig6(F.lit(5.0) * F.col("sd")).cast("double"))
+    return peak.select(
+        "series", "n_buckets",
+        F.timestamp_seconds(F.col("b")).alias("peak_bucket_ts"),
+        sig6(F.col("s")).alias("peak_cusum"),
+        sig6(thr).alias("cusum_threshold"),
+        (F.abs(F.col("s")) > thr).alias("shifted"))

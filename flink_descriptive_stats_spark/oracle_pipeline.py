@@ -1840,3 +1840,57 @@ WITH mm AS (SELECT min({feature}) AS mn, max({feature}) AS mx
 SELECT bin, n, n_pos, {duck_sig6('ln(ps / ns)')} AS woe,
        {duck_sig6('(ps - ns) * ln(ps / ns)')} AS iv_term
 FROM t"""
+
+
+def seasonality_sql(table: str = "events", ts: str = "ts",
+                    value: str = "value") -> str:
+    """Mirror of events.seasonality_profile (ISO weekday + 1)."""
+    return f"""
+WITH b AS (SELECT CAST(hour({ts}) AS BIGINT) AS hour_of_day,
+                  CAST(isodow({ts}) AS BIGINT) AS day_of_week,
+                  CAST({value} AS DOUBLE) AS x
+           FROM {table} WHERE {ts} IS NOT NULL),
+ m AS (SELECT 'hour_of_day' AS dimension, hour_of_day AS bucket, x FROM b
+       UNION ALL
+       SELECT 'day_of_week' AS dimension, day_of_week AS bucket, x FROM b)
+SELECT dimension, bucket, CAST(count(*) AS BIGINT) AS n,
+       {duck_sig6('avg(x)')} AS avg_val
+FROM m GROUP BY 1, 2"""
+
+
+def cusum_sql(table: str = "events", key: str = "event_type",
+              ts: str = "ts", value: str = "value",
+              bucket_minutes: int = 360) -> str:
+    """Mirror of events.cusum_changepoint (same sig6 round-trips before
+    the discrete peak/threshold decisions)."""
+    step = bucket_minutes * 60
+    thr6 = duck_sig6("5.0 * sd")
+    return f"""
+WITH bu AS (SELECT {key} AS series,
+                   CAST(floor(floor(epoch({ts})) / {step}) * {step}
+                        AS BIGINT) AS b,
+                   avg(CAST({value} AS DOUBLE)) AS m
+            FROM {table}
+            WHERE {ts} IS NOT NULL AND {value} IS NOT NULL
+            GROUP BY 1, 2),
+ st AS (SELECT series, b, m,
+               avg(m) OVER (PARTITION BY series) AS mu,
+               stddev_pop(m) OVER (PARTITION BY series) AS sd,
+               CAST(count(*) OVER (PARTITION BY series) AS BIGINT)
+                 AS n_buckets
+        FROM bu),
+ sc0 AS (SELECT series, b, n_buckets, sd,
+                sum(m - mu) OVER (PARTITION BY series ORDER BY b
+                                  ROWS UNBOUNDED PRECEDING) AS sraw
+         FROM st),
+ sc AS (SELECT series, b, n_buckets, sd,
+               CAST(CASE WHEN CAST((sraw) AS DOUBLE) IS NULL OR isnan(CAST((sraw) AS DOUBLE)) THEN NULL WHEN CAST((sraw) AS DOUBLE) = 0 OR abs(CAST((sraw) AS DOUBLE)) < 1e-300 THEN '0e0' WHEN CAST((sraw) AS DOUBLE) > 1e300 THEN 'inf' WHEN CAST((sraw) AS DOUBLE) < -1e300 THEN '-inf' ELSE (SELECT CASE WHEN abs(m) >= 10000000       THEN printf('%de%d', CAST(m / 10 AS BIGINT), e + 1 - 6)       ELSE printf('%de%d', m, e - 6) END       FROM (SELECT e, CAST(round((CASE WHEN CAST((sraw) AS DOUBLE) IS NULL OR CAST((sraw) AS DOUBLE) = 0 OR isnan(CAST((sraw) AS DOUBLE)) OR NOT isfinite(CAST((sraw) AS DOUBLE)) OR abs(CAST((sraw) AS DOUBLE)) < 1e-300 OR abs(CAST((sraw) AS DOUBLE)) > 1e300 THEN 1.0 ELSE CAST((sraw) AS DOUBLE) * 1.0000000000009095 END) / pow(10.0, CAST(e - 6 AS DOUBLE)), 0) AS BIGINT) AS m             FROM (SELECT CAST(floor(log10(abs((CASE WHEN CAST((sraw) AS DOUBLE) IS NULL OR CAST((sraw) AS DOUBLE) = 0 OR isnan(CAST((sraw) AS DOUBLE)) OR NOT isfinite(CAST((sraw) AS DOUBLE)) OR abs(CAST((sraw) AS DOUBLE)) < 1e-300 OR abs(CAST((sraw) AS DOUBLE)) > 1e300 THEN 1.0 ELSE CAST((sraw) AS DOUBLE) * 1.0000000000009095 END)))) AS BIGINT) AS e))) END AS DOUBLE) AS s
+        FROM sc0),
+ pk AS (SELECT *, row_number() OVER (PARTITION BY series
+                  ORDER BY abs(s) DESC, b ASC) AS rk
+        FROM sc)
+SELECT series, n_buckets, to_timestamp(b) AS peak_bucket_ts,
+       {duck_sig6('s')} AS peak_cusum,
+       {duck_sig6(f'CAST({thr6} AS DOUBLE)')} AS cusum_threshold,
+       abs(s) > CAST({thr6} AS DOUBLE) AS shifted
+FROM pk WHERE rk = 1"""

@@ -821,3 +821,41 @@ def test_funnel_conversion_window(spark):
     # without the window everyone converts
     full = {r["step"]: r["n_users"] for r in ev_ops.funnel(df).collect()}
     assert full == {"view": 3, "click": 3, "purchase": 3}
+
+
+def test_seasonality_profile_semantics(spark):
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    import datetime as dt
+    # Mon 2026-01-05 09:xx twice (values 1, 3), Tue 14:xx once (value 5)
+    rows = [(dt.datetime(2026, 1, 5, 9, 0), 1.0),
+            (dt.datetime(2026, 1, 5, 9, 30), 3.0),
+            (dt.datetime(2026, 1, 6, 14, 0), 5.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {(r["dimension"], r["bucket"]): r
+           for r in ev_ops.seasonality_profile(df).collect()}
+    assert got[("hour_of_day", 9)]["n"] == 2
+    assert abs(_f(got[("hour_of_day", 9)]["avg_val"]) - 2.0) < 1e-6
+    assert got[("day_of_week", 1)]["n"] == 2      # Monday = 1
+    assert got[("day_of_week", 2)]["n"] == 1      # Tuesday = 2
+    assert got[("hour_of_day", 14)]["n"] == 1
+
+
+def test_cusum_changepoint_semantics(spark):
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1)
+    # series 'a': mean 0 for 10 buckets then mean 10 for 10 buckets —
+    # |CUSUM| peaks exactly at the shift boundary and clears 5*sd(means)?
+    # sd of bucket means here is 5, threshold 25, peak |S| = 50 -> shifted
+    rows = [("a", t0 + dt.timedelta(hours=6 * i), 0.0 if i < 10 else 10.0)
+            for i in range(20)]
+    # series 'b': constant -> peak 0, sd 0, not shifted
+    rows += [("b", t0 + dt.timedelta(hours=6 * i), 7.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {r["series"]: r for r in ev_ops.cusum_changepoint(df).collect()}
+    a = got["a"]
+    assert a["n_buckets"] == 20 and a["shifted"]
+    assert abs(abs(_f(a["peak_cusum"])) - 50.0) < 1e-3
+    # the peak sits at the last pre-shift bucket (index 9)
+    assert a["peak_bucket_ts"] == t0 + dt.timedelta(hours=54)
+    assert not got["b"]["shifted"]
