@@ -413,6 +413,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 docs.where(F.col("doc_id") % 2 == 1),
                                 "n_chars")
     q["psi_drift_documents"] = _psi
+
+    def _jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _load(spark, sf_dir, "documents")
+        return extras.js_drift(docs.where(F.col("doc_id") % 2 == 0),
+                               docs.where(F.col("doc_id") % 2 == 1),
+                               "n_chars")
+    q["js_drift_documents"] = _jsd
     # (window size is pinned by tests/test_query_window.py — a runtime
     # assert here would kill the driver's whole gate on a future drift)
 
@@ -1093,6 +1100,7 @@ def oracle_sql() -> dict[str, str]:
     o["doc_clusters_documents"] = op.doc_clusters_sql(k=8)
     o["cluster_sample_documents"] = op.cluster_balanced_sample_sql(
         k_per_cluster=5, k=8)
+    o["js_drift_documents"] = op.js_drift_sql()
     o["seasonality_events"] = op.seasonality_sql()
     o["cusum_events"] = op.cusum_sql()
     o["woe_iv_events"] = op.woe_iv_sql(

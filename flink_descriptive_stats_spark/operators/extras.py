@@ -194,23 +194,11 @@ def outlier_counts(df: DataFrame,
         out, "column string, iqr_outliers bigint, sigma3_outliers bigint")
 
 
-def psi_drift(df_a: DataFrame, df_b: DataFrame, column: str,
-              bins: int = 10, eps: float = 1e-6) -> DataFrame:
-    """Population Stability Index between two snapshots of a numeric
-    column — the standard drift check when a corpus is refreshed: bucket
-    edges come from snapshot A (the reference distribution, equal-width
-    over its min/max with +-inf edge buckets), both snapshots are counted
-    per bucket, and each bucket contributes
-    ``(pa - pb) * ln(pa / pb)`` with proportions floored at ``eps``
-    (PSI > 0.2 conventionally = significant drift, sum over buckets).
-
-    Output long format: (bucket, lo, hi, n_a, n_b, pct_a, pct_b, psi_term)
-    — sig6-rendered floats, one row per non-empty bucket; total PSI =
-    sum of psi_term.
-
-    Physical shape: one 1-row min/max agg on A, then ONE grouped count per
-    snapshot keyed by bucket index (bounded cardinality = bins + 2) — the
-    same two-phase plan as histogram(), twice. No joins of the raw data."""
+def _snapshot_bucket_counts(df_a: DataFrame, df_b: DataFrame,
+                            column: str, bins: int):
+    """Shared two-snapshot bucketing for the drift measures (PSI / JSD):
+    equal-width edges from snapshot A with ±inf edge buckets, ONE grouped
+    count per snapshot (bounded keys = bins + 2)."""
     c = F.col(column)
     mm = df_a.agg(F.min(c).alias("mn"), F.max(c).alias("mx")).collect()[0]
     mn, mx = mm["mn"], mm["mx"]
@@ -230,7 +218,28 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, column: str,
         return {r["bucket"]: r["n"] for r in rows}
 
     na, nb = bucket_counts(df_a), bucket_counts(df_b)
-    ta, tb = sum(na.values()), sum(nb.values())
+    return mn, width, na, nb, sum(na.values()), sum(nb.values())
+
+
+def psi_drift(df_a: DataFrame, df_b: DataFrame, column: str,
+              bins: int = 10, eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift check when a corpus is refreshed: bucket
+    edges come from snapshot A (the reference distribution, equal-width
+    over its min/max with +-inf edge buckets), both snapshots are counted
+    per bucket, and each bucket contributes
+    ``(pa - pb) * ln(pa / pb)`` with proportions floored at ``eps``
+    (PSI > 0.2 conventionally = significant drift, sum over buckets).
+
+    Output long format: (bucket, lo, hi, n_a, n_b, pct_a, pct_b, psi_term)
+    — sig6-rendered floats, one row per non-empty bucket; total PSI =
+    sum of psi_term.
+
+    Physical shape: one 1-row min/max agg on A, then ONE grouped count per
+    snapshot keyed by bucket index (bounded cardinality = bins + 2) — the
+    same two-phase plan as histogram(), twice. No joins of the raw data."""
+    mn, width, na, nb, ta, tb = _snapshot_bucket_counts(
+        df_a, df_b, column, bins)
     out = []
     for b in sorted(set(na) | set(nb)):
         lo = None if b < 0 else mn + b * width
@@ -244,6 +253,38 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, column: str,
     return df_a.sparkSession.createDataFrame(
         out, "bucket int, lo string, hi string, n_a bigint, n_b bigint, "
              "pct_a string, pct_b string, psi_term string")
+
+
+def js_drift(df_a: DataFrame, df_b: DataFrame, column: str,
+             bins: int = 10) -> DataFrame:
+    """Jensen-Shannon divergence between two snapshots of a numeric
+    column — the BOUNDED, symmetric companion to PSI (JSD in [0, ln 2];
+    PSI is unbounded and blows up on empty cells, JSD does not need an
+    epsilon floor): per bucket,
+    jsd_term = (pa*ln(pa/m) + pb*ln(pb/m)) / 2 with m = (pa+pb)/2, and
+    0-count cells contribute their one-sided half exactly (x ln(x/m) -> 0
+    as x -> 0). Output: (bucket, n_a, n_b, pct_a, pct_b, jsd_term);
+    total JSD = sum of jsd_term.
+
+    Same physical shape as psi_drift (shared bucketing helper): one 1-row
+    min/max on A + one bounded grouped count per snapshot."""
+    mn, width, na, nb, ta, tb = _snapshot_bucket_counts(
+        df_a, df_b, column, bins)
+    out = []
+    for b in sorted(set(na) | set(nb)):
+        pa = na.get(b, 0) / ta if ta else 0.0
+        pb = nb.get(b, 0) / tb if tb else 0.0
+        m = (pa + pb) / 2.0
+        term = 0.0
+        if pa > 0:
+            term += pa * math.log(pa / m) / 2.0
+        if pb > 0:
+            term += pb * math.log(pb / m) / 2.0
+        out.append((b, na.get(b, 0), nb.get(b, 0),
+                    sig6_py(pa), sig6_py(pb), sig6_py(term)))
+    return df_a.sparkSession.createDataFrame(
+        out, "bucket int, n_a bigint, n_b bigint, pct_a string, "
+             "pct_b string, jsd_term string")
 
 
 def correlation_matrix(df: DataFrame,

@@ -1894,3 +1894,41 @@ SELECT series, n_buckets, to_timestamp(b) AS peak_bucket_ts,
        {duck_sig6(f'CAST({thr6} AS DOUBLE)')} AS cusum_threshold,
        abs(s) > CAST({thr6} AS DOUBLE) AS shifted
 FROM pk WHERE rk = 1"""
+
+
+def js_drift_sql(table: str = "documents", column: str = "n_chars",
+                 mod: int = 2, bins: int = 10) -> str:
+    """Mirror of extras.js_drift (same snapshot-A bucket edges as PSI;
+    zero cells contribute their one-sided half exactly, no epsilon)."""
+    bucket = (f"CASE WHEN x < mn THEN -1 WHEN x > mx THEN {bins} "
+              f"WHEN x >= mx THEN {bins - 1} "
+              f"ELSE CAST(floor((x - mn) / w) AS INTEGER) END")
+    pa = "CAST(n_a AS DOUBLE) / ta"
+    pb = "CAST(n_b AS DOUBLE) / tb"
+    mid = f"(({pa}) + ({pb})) / 2.0"
+    term = (f"(CASE WHEN n_a > 0 THEN ({pa}) * ln(({pa}) / ({mid})) / 2.0 "
+            f"ELSE 0.0 END) + "
+            f"(CASE WHEN n_b > 0 THEN ({pb}) * ln(({pb}) / ({mid})) / 2.0 "
+            f"ELSE 0.0 END)")
+    return f"""
+WITH sa AS (SELECT CAST({column} AS DOUBLE) AS x FROM {table}
+            WHERE doc_id % {mod} = 0 AND {column} IS NOT NULL),
+sb AS (SELECT CAST({column} AS DOUBLE) AS x FROM {table}
+       WHERE doc_id % {mod} = 1 AND {column} IS NOT NULL),
+m AS (SELECT min(x) AS mn, max(x) AS mx,
+             (max(x) - min(x)) / {float(bins)} AS w FROM sa),
+ca AS (SELECT {bucket} AS bucket, count(*) AS n
+       FROM sa CROSS JOIN m GROUP BY 1),
+cb AS (SELECT {bucket} AS bucket, count(*) AS n
+       FROM sb CROSS JOIN m GROUP BY 1),
+j AS (SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+             COALESCE(ca.n, 0) AS n_a, COALESCE(cb.n, 0) AS n_b
+      FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket),
+t AS (SELECT (SELECT sum(n_a) FROM j) AS ta,
+             (SELECT sum(n_b) FROM j) AS tb)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       {duck_sig6(pa)} AS pct_a, {duck_sig6(pb)} AS pct_b,
+       {duck_sig6(term)} AS jsd_term
+FROM j CROSS JOIN t
+"""

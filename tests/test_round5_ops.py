@@ -859,3 +859,24 @@ def test_cusum_changepoint_semantics(spark):
     # the peak sits at the last pre-shift bucket (index 9)
     assert a["peak_bucket_ts"] == t0 + dt.timedelta(hours=54)
     assert not got["b"]["shifted"]
+
+
+def test_js_drift_semantics(spark):
+    import math as m
+    # identical snapshots -> JSD exactly 0 in every bucket
+    a = spark.createDataFrame([(float(i),) for i in range(20)], "x double")
+    same = {r["bucket"]: _f(r["jsd_term"])
+            for r in extras.js_drift(a, a, "x", bins=4).collect()}
+    assert all(abs(v) < 1e-12 for v in same.values())
+    # disjoint supports -> total JSD = ln 2 (the upper bound)
+    b = spark.createDataFrame([(float(i),) for i in range(100, 120)],
+                              "x double")
+    total = sum(_f(r["jsd_term"])
+                for r in extras.js_drift(a, b, "x", bins=4).collect())
+    assert abs(total - m.log(2)) < 1e-9
+    # one-sided buckets contribute exactly p/2 * ln 2 with no epsilon
+    rows = {r["bucket"]: r for r in
+            extras.js_drift(a, b, "x", bins=4).collect()}
+    over = rows[5]                      # the +inf overflow bucket: only B
+    assert over["n_a"] == 0 and over["n_b"] == 20
+    assert abs(_f(over["jsd_term"]) - m.log(2) / 2) < 1e-9
