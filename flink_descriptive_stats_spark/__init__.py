@@ -115,6 +115,11 @@ _API = {
     "doc_clusters": ("operators.text", "doc_clusters"),
     "cluster_balanced_sample": ("operators.sampling",
                                 "cluster_balanced_sample"),
+    "js_drift": ("operators.extras", "js_drift"),
+    "seasonality_profile": ("operators.events", "seasonality_profile"),
+    "cusum_changepoint": ("operators.events", "cusum_changepoint"),
+    "start_drift_monitor": ("streaming.pipeline_stream",
+                            "start_drift_monitor"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

@@ -438,3 +438,136 @@ def start_constraint_monitor(stream: DataFrame, rules: list[tuple],
     if checkpoint_path:
         writer = writer.option("checkpointLocation", checkpoint_path)
     return writer.start()
+
+
+def start_drift_monitor(stream: DataFrame, ref_df: DataFrame, column: str,
+                        sink_path: str, bins: int = 10,
+                        state_path: str | None = None,
+                        checkpoint_path: str | None = None):
+    """Continuous distribution-drift monitoring: bucket edges come from a
+    FIXED reference snapshot (same ±inf edge-bucket convention as
+    extras.psi_drift); each micro-batch contributes one bounded grouped
+    bucket count (bins + 2 keys) folded into running live counts — a sum
+    monoid, so the report after N batches equals the batch js_drift /
+    psi_drift of the reference against everything seen (tested). The
+    sink always holds the current per-bucket
+    (bucket, n_ref, n_live, pct_ref, pct_live, psi_term, jsd_term);
+    total drift = the column sums.
+
+    State is O(bins); snapshots/report writes go through the pyarrow
+    fast path (_pa_write_dir), same durability contract as the other
+    monitors (versioned v<epoch> dirs + epoch watermark)."""
+    import json as _json
+    import os
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    if (state_path is None) != (checkpoint_path is None):
+        raise ValueError(
+            "state_path and checkpoint_path must be passed together (see "
+            "start_global_topk_sketch)")
+    c = F.col(column)
+    mm = ref_df.agg(F.min(c).alias("mn"), F.max(c).alias("mx")).collect()[0]
+    mn, mx = mm["mn"], mm["mx"]
+    if mn is None or mx == mn:
+        raise ValueError(f"column {column!r}: reference has no numeric "
+                         f"spread to bucket")
+    width = (float(mx) - float(mn)) / float(bins)
+
+    def bucket_expr():
+        return (F.when(c < mn, F.lit(-1))
+                .when(c > mx, F.lit(bins))
+                .when(c >= mx, F.lit(bins - 1))
+                .otherwise(F.floor((c - F.lit(mn)) / F.lit(width))
+                           .cast("int")))
+
+    def counts_of(df: DataFrame) -> dict[int, int]:
+        rows = (df.where(c.isNotNull())
+                .groupBy(bucket_expr().alias("b"))
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+        return {int(r["b"]): int(r["n"]) for r in rows}
+
+    ref = counts_of(ref_df)
+    t_ref = sum(ref.values())
+    live: dict[int, int] = {}
+    last_folded = -1
+
+    def _versions() -> list[int]:
+        if not (state_path and os.path.isdir(state_path)):
+            return []
+        return sorted(
+            int(n[1:]) for n in os.listdir(state_path)
+            if n.startswith("v") and n[1:].isdigit()
+            and os.path.exists(os.path.join(state_path, n, "_SUCCESS")))
+
+    latest = _versions()
+    if latest:
+        snap = stream.sparkSession.read.parquet(
+            os.path.join(state_path, f"v{latest[-1]}")).collect()
+        meta = _json.loads(snap[0]["meta"])
+        if (meta["column"], meta["bins"]) != (column, bins):
+            raise ValueError(
+                f"snapshot at {state_path} monitors "
+                f"{meta['column']}/{meta['bins']} bins; refusing to merge")
+        last_folded = meta["last_folded"]
+        for r in snap:
+            if r["b"] is not None:
+                live[int(r["b"])] = int(r["n"])
+
+    import math as _math
+
+    def _report() -> None:
+        import pyarrow as pa
+        t_live = sum(live.values())
+        rows = []
+        eps = 1e-6
+        for b in sorted(set(ref) | set(live)):
+            pr = ref.get(b, 0) / t_ref if t_ref else 0.0
+            pl = live.get(b, 0) / t_live if t_live else 0.0
+            pre, ple = max(pr, eps), max(pl, eps)
+            psi = (pre - ple) * _math.log(pre / ple)
+            m = (pr + pl) / 2.0
+            jsd = 0.0
+            if pr > 0:
+                jsd += pr * _math.log(pr / m) / 2.0
+            if pl > 0:
+                jsd += pl * _math.log(pl / m) / 2.0
+            rows.append((b, ref.get(b, 0), live.get(b, 0), sig6_py(pr),
+                         sig6_py(pl), sig6_py(psi), sig6_py(jsd)))
+        _pa_write_dir(sink_path, pa.table({
+            "bucket": pa.array([r[0] for r in rows], pa.int32()),
+            "n_ref": pa.array([r[1] for r in rows], pa.int64()),
+            "n_live": pa.array([r[2] for r in rows], pa.int64()),
+            "pct_ref": [r[3] for r in rows],
+            "pct_live": [r[4] for r in rows],
+            "psi_term": [r[5] for r in rows],
+            "jsd_term": [r[6] for r in rows]}))
+
+    def emit(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal last_folded
+        if epoch_id > last_folded:
+            for b, n in counts_of(batch_df).items():
+                live[b] = live.get(b, 0) + n
+            last_folded = epoch_id
+            if state_path:
+                import shutil
+                import pyarrow as pa
+                meta = _json.dumps({"column": column, "bins": bins,
+                                    "last_folded": epoch_id})
+                # an all-NULL epoch leaves live empty: write one
+                # NULL-bucket row so the meta column still has a carrier
+                bs = sorted(live) or [None]
+                ns = [live[b] for b in bs] if bs != [None] else [None]
+                _pa_write_dir(
+                    os.path.join(state_path, f"v{epoch_id}"),
+                    pa.table({
+                        "b": pa.array(bs, pa.int32()),
+                        "n": pa.array(ns, pa.int64()),
+                        "meta": [meta] * len(bs)}))
+                for v in _versions()[:-1]:
+                    shutil.rmtree(os.path.join(state_path, f"v{v}"),
+                                  ignore_errors=True)
+        _report()
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(emit)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

@@ -512,3 +512,60 @@ def test_session_summary_semantics(spark):
     # session A duration = 10 min span + 30 min gap tail = 2400 s
     # bounces = 0 + 30 min = 1800 s; avg = (2400 + 1800 + 1800) / 3 = 2000
     assert abs(float(r["avg_duration_s"].replace("e", "E")) - 2000.0) < 1e-2
+
+
+def test_streaming_drift_monitor_equals_batch(spark, tmp_path):
+    """Running drift report after N micro-batches == batch js_drift /
+    psi_drift of the reference vs everything replayed (bucket counts are
+    a sum monoid), including across a restart."""
+    from flink_descriptive_stats_spark.operators.extras import (
+        js_drift, psi_drift)
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        start_drift_monitor)
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "value")
+    ref = ev.where(F.col("event_id") % 2 == 0)
+    live = ev.where(F.col("event_id") % 2 == 1)
+    chunks = str(tmp_path / "chunks")
+    live.repartition(3).write.parquet(chunks)
+    sink = str(tmp_path / "drift_sink")
+    state = str(tmp_path / "drift_state")
+    ckpt = str(tmp_path / "drift_ckpt")
+
+    stream = (spark.readStream.schema(live.schema)
+              .option("maxFilesPerTrigger", 1).parquet(chunks))
+    q = start_drift_monitor(stream, ref, "value", sink, bins=8,
+                            state_path=state, checkpoint_path=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["bucket"]: r for r in spark.read.parquet(sink).collect()}
+    want_jsd = {r["bucket"]: r for r in
+                js_drift(ref, live, "value", bins=8).collect()}
+    want_psi = {r["bucket"]: r for r in
+                psi_drift(ref, live, "value", bins=8).collect()}
+    assert set(got) == set(want_jsd)
+    for b in want_jsd:
+        assert got[b]["n_live"] == want_jsd[b]["n_b"]
+        assert got[b]["jsd_term"] == want_jsd[b]["jsd_term"]
+        assert got[b]["psi_term"] == want_psi[b]["psi_term"]
+
+    # restart with more data: fresh closure resumes from the snapshot
+    more = live.limit(300).withColumn("value", F.col("value") + 60.0)
+    more.coalesce(1).write.mode("append").parquet(chunks)
+    stream2 = (spark.readStream.schema(live.schema)
+               .option("maxFilesPerTrigger", 1).parquet(chunks))
+    q2 = start_drift_monitor(stream2, ref, "value", sink, bins=8,
+                             state_path=state, checkpoint_path=ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got2 = {r["bucket"]: r for r in spark.read.parquet(sink).collect()}
+    want2 = {r["bucket"]: r for r in
+             js_drift(ref, live.unionAll(more), "value", bins=8).collect()}
+    assert set(got2) == set(want2)
+    for b in want2:
+        assert got2[b]["jsd_term"] == want2[b]["jsd_term"]
+    # the +60 shift pushed rows past the reference max -> overflow bucket
+    assert got2[8]["n_live"] > 0
