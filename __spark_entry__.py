@@ -706,6 +706,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_clusters_documents"] = _tq(text_ops.doc_clusters, "documents",
                                       k=8)
 
+    # incremental profiling: split -> mergeable state -> Pebay merge ->
+    # finalize, gated against the ONE-SHOT moments of the full table (the
+    # StatsPojo monoid surfaced as an API; at 100 TB this is how a
+    # partitioned corpus is profiled without rescanning old data)
+    _LI_NUM = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+               "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def _incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import moments as mo
+        li = _load(spark, sf_dir, "lineitem")
+        sa = mo.profile_state(li.where(F.col("l_orderkey") % 2 == 0),
+                              _LI_NUM)
+        sb = mo.profile_state(li.where(F.col("l_orderkey") % 2 == 1),
+                              _LI_NUM)
+        return mo.finalize_profile_state(mo.merge_profile_states(sa, sb))
+    q["incremental_profile_lineitem"] = _incremental_profile
+
     # calendar seasonality + CUSUM mean-shift screen (time-series v2)
     q["seasonality_events"] = _tq(ev_ops.seasonality_profile, "events")
     q["cusum_events"] = _tq(ev_ops.cusum_changepoint, "events")
@@ -1101,6 +1118,10 @@ def oracle_sql() -> dict[str, str]:
     o["cluster_sample_documents"] = op.cluster_balanced_sample_sql(
         k_per_cluster=5, k=8)
     o["js_drift_documents"] = op.js_drift_sql()
+    o["incremental_profile_lineitem"] = op.incremental_profile_sql(
+        "lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_linenumber", "l_quantity", "l_extendedprice",
+                     "l_discount", "l_tax"])
     o["seasonality_events"] = op.seasonality_sql()
     o["cusum_events"] = op.cusum_sql()
     o["woe_iv_events"] = op.woe_iv_sql(

@@ -120,6 +120,10 @@ _API = {
     "cusum_changepoint": ("operators.events", "cusum_changepoint"),
     "start_drift_monitor": ("streaming.pipeline_stream",
                             "start_drift_monitor"),
+    "profile_state": ("operators.moments", "profile_state"),
+    "merge_profile_states": ("operators.moments", "merge_profile_states"),
+    "finalize_profile_state": ("operators.moments",
+                               "finalize_profile_state"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

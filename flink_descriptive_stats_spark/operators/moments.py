@@ -211,3 +211,115 @@ def derived_stats_py(n: int, row_count: int, mean, var_pop, var_samp,
         scott = base_width
     out["scott_bin_width"] = scott
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental profiling: explicit mergeable per-column state (the reference's
+# StatsPojo monoid — StatsPojo.java:101-155 — surfaced as an API, so a 100 TB
+# corpus can be profiled partition-by-partition / day-by-day and the states
+# combined without ever rescanning old data).
+
+def profile_state(df, columns: list[str] | None = None):
+    """Mergeable sufficient statistics per numeric column: (column, n,
+    mean, m2, m3, m4, min_val, max_val) with M2..M4 the central-moment
+    sums Spark's CentralMomentAgg maintains internally — recovered
+    exactly from the built-in one-pass aggregates (skewness = M3 sqrt(n)
+    / M2^1.5, kurtosis = n M4 / M2^2 - 3; M2 = var_pop * n), so the
+    state costs ONE scan with full codegen, not a custom UDAF."""
+    from pyspark.sql import functions as F
+    from flink_descriptive_stats_spark.operators.extras import (
+        numeric_columns)
+    cols = columns or numeric_columns(df)
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs += numeric_agg_exprs(x, f"{c}__")
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for c in cols:
+        n = int(row[f"{c}__n"])
+        if n == 0:
+            out.append((c, 0, 0.0, 0.0, 0.0, 0.0, None, None))
+            continue
+        mean = float(row[f"{c}__mean"])
+        m2 = float(row[f"{c}__var_pop"]) * n
+        if m2 > 0:
+            m3 = float(row[f"{c}__skew_raw"]) * m2 ** 1.5 / n ** 0.5
+            m4 = (float(row[f"{c}__kurt_raw"]) + 3.0) * m2 * m2 / n
+        else:
+            m3 = m4 = 0.0
+        out.append((c, n, mean, m2, m3, m4,
+                    float(row[f"{c}__min"]), float(row[f"{c}__max"])))
+    return df.sparkSession.createDataFrame(
+        out, "column string, n bigint, mean double, m2 double, m3 double, "
+             "m4 double, min_val double, max_val double")
+
+
+def merge_profile_states(a, b):
+    """Pairwise merge of two state frames (Pébay 2008 update formulas —
+    the same algebra as the reference's StatsPojo.reduce and Spark's
+    partial+final combine). Pure column arithmetic over a column-keyed
+    equi-join of two <=n_cols-row frames; associative and commutative up
+    to FP rounding, which the sig6 finalize absorbs."""
+    from pyspark.sql import functions as F
+    an = [F.col(f"a.{c}").alias(f"a_{c}")
+          for c in ("n", "mean", "m2", "m3", "m4", "min_val", "max_val")]
+    bn = [F.col(f"b.{c}").alias(f"b_{c}")
+          for c in ("n", "mean", "m2", "m3", "m4", "min_val", "max_val")]
+    j = (a.alias("a").join(b.alias("b"), F.col("a.column") == F.col("b.column"),
+                           "full")
+         .select(F.coalesce(F.col("a.column"), F.col("b.column"))
+                 .alias("column"), *an, *bn))
+    na, nb = F.coalesce("a_n", F.lit(0)), F.coalesce("b_n", F.lit(0))
+    n = (na + nb).cast("double")
+    d = F.coalesce("b_mean", F.lit(0.0)) - F.coalesce("a_mean", F.lit(0.0))
+    naf, nbf = na.cast("double"), nb.cast("double")
+    za = [F.coalesce(f"a_{c}", F.lit(0.0)) for c in ("m2", "m3", "m4")]
+    zb = [F.coalesce(f"b_{c}", F.lit(0.0)) for c in ("m2", "m3", "m4")]
+    mean = F.when(n > 0, (naf * F.coalesce("a_mean", F.lit(0.0))
+                          + nbf * F.coalesce("b_mean", F.lit(0.0))) / n) \
+        .otherwise(F.lit(0.0))
+    m2 = za[0] + zb[0] + F.when(n > 0, d * d * naf * nbf / n) \
+        .otherwise(F.lit(0.0))
+    m3 = (za[1] + zb[1]
+          + F.when(n > 0, d * d * d * naf * nbf * (naf - nbf) / (n * n))
+          .otherwise(F.lit(0.0))
+          + F.when(n > 0, 3.0 * d * (naf * zb[0] - nbf * za[0]) / n)
+          .otherwise(F.lit(0.0)))
+    m4 = (za[2] + zb[2]
+          + F.when(n > 0, d * d * d * d * naf * nbf
+                   * (naf * naf - naf * nbf + nbf * nbf) / (n * n * n))
+          .otherwise(F.lit(0.0))
+          + F.when(n > 0, 6.0 * d * d
+                   * (naf * naf * zb[0] + nbf * nbf * za[0]) / (n * n))
+          .otherwise(F.lit(0.0))
+          + F.when(n > 0, 4.0 * d * (naf * zb[1] - nbf * za[1]) / n)
+          .otherwise(F.lit(0.0)))
+    return j.select(
+        "column", (na + nb).alias("n"), mean.alias("mean"),
+        m2.alias("m2"), m3.alias("m3"), m4.alias("m4"),
+        F.least("a_min_val", "b_min_val").alias("min_val"),
+        F.greatest("a_max_val", "b_max_val").alias("max_val"))
+
+
+def finalize_profile_state(state):
+    """State -> presentable stats (column, n, mean, var_pop, skewness,
+    kurtosis, min_val, max_val) with the FP stats sig6-rendered and the
+    same degenerate-case conventions as the one-shot profile (M2 == 0 ->
+    skew/kurt 0; n == 0 -> NULLs)."""
+    from pyspark.sql import functions as F
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    n = F.col("n").cast("double")
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    var_pop = F.when(F.col("n") > 0, m2 / n)
+    skew = F.when((F.col("n") > 0) & (m2 > 0),
+                  m3 * F.sqrt(n) / F.pow(m2, 1.5)) \
+        .when(F.col("n") > 0, F.lit(0.0))
+    kurt = F.when((F.col("n") > 0) & (m2 > 0),
+                  n * m4 / (m2 * m2) - 3.0) \
+        .when(F.col("n") > 0, F.lit(0.0))
+    mean = F.when(F.col("n") > 0, F.col("mean"))
+    return state.select(
+        "column", "n", sig6(mean).alias("mean"),
+        sig6(var_pop).alias("var_pop"), sig6(skew).alias("skewness"),
+        sig6(kurt).alias("kurtosis"), "min_val", "max_val")

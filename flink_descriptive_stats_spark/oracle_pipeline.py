@@ -1932,3 +1932,32 @@ SELECT CAST(bucket AS INTEGER) AS bucket,
        {duck_sig6(term)} AS jsd_term
 FROM j CROSS JOIN t
 """
+
+
+def incremental_profile_sql(table: str, columns: list[str]) -> str:
+    """Oracle for the incremental (split -> state -> merge -> finalize)
+    profile: moments of the FULL table computed two-pass — if the merged
+    states don't reproduce the one-shot statistics, the Pébay merge is
+    wrong."""
+    branches = []
+    for c in columns:
+        sk = duck_sig6("CASE WHEN m2 > 0 THEN m3 * sqrt(n) / m2 ** 1.5 "
+                       "ELSE 0.0 END")
+        ku = duck_sig6("CASE WHEN m2 > 0 THEN n * m4 / (m2 * m2) - 3.0 "
+                       "ELSE 0.0 END")
+        branches.append(f"""
+(WITH s AS (SELECT CAST({c} AS DOUBLE) AS x FROM {table}
+            WHERE {c} IS NOT NULL),
+ m AS (SELECT avg(x) AS mu, CAST(count(*) AS DOUBLE) AS n,
+              min(x) AS mn, max(x) AS mx FROM s),
+ cm AS (SELECT any_value(n) AS n, any_value(mu) AS mu,
+               any_value(mn) AS mn, any_value(mx) AS mx,
+               sum((x - mu) ** 2) AS m2, sum((x - mu) ** 3) AS m3,
+               sum((x - mu) ** 4) AS m4
+        FROM s, m)
+SELECT '{c}' AS "column", CAST(n AS BIGINT) AS n,
+       {duck_sig6('mu')} AS mean, {duck_sig6('m2 / n')} AS var_pop,
+       {sk} AS skewness, {ku} AS kurtosis,
+       mn AS min_val, mx AS max_val
+FROM cm)""")
+    return "\nUNION ALL\n".join(branches)

@@ -173,3 +173,65 @@ def test_timestamp_epoch_stats(spark):
     assert row["min_val"] == epoch0
     assert row["max_val"] == epoch0 + 47 * 3600 * 1000
     assert row["min_len"] is None  # dates contribute no length stats
+
+
+def test_incremental_profile_state_merge(spark):
+    """The explicit state API: states of N chunks merged in ANY order
+    finalize to the same statistics as the one-shot state, and the
+    statistics match numpy on the concatenated data."""
+    import numpy as np
+    from flink_descriptive_stats_spark.operators import moments as mo
+    rng = np.random.RandomState(11)
+    xs = np.concatenate([rng.randn(40) * 3 + 1, rng.randn(60) * 0.5 - 2,
+                         rng.randn(25) + 10, rng.randn(35)])
+    chunks = [xs[:40], xs[40:100], xs[100:125], xs[125:]]
+    dfs = [spark.createDataFrame([(float(v),) for v in ch], "x double")
+           for ch in chunks]
+    states = [mo.profile_state(d, ["x"]) for d in dfs]
+
+    def fold(order):
+        acc = states[order[0]]
+        for i in order[1:]:
+            acc = mo.merge_profile_states(acc, states[i])
+        return {r["column"]: r for r in
+                mo.finalize_profile_state(acc).collect()}
+
+    a = fold([0, 1, 2, 3])
+    b = fold([3, 1, 0, 2])
+    assert a["x"].asDict() == b["x"].asDict()      # order-independent
+
+    one_shot = {r["column"]: r for r in mo.finalize_profile_state(
+        mo.profile_state(spark.createDataFrame(
+            [(float(v),) for v in xs], "x double"), ["x"])).collect()}
+    assert a["x"].asDict() == one_shot["x"].asDict()
+
+    def f(s):
+        return float(s.replace("e", "E"))
+
+    r = a["x"]
+    assert r["n"] == len(xs)
+    assert abs(f(r["mean"]) - xs.mean()) < 1e-5 * max(1, abs(xs.mean()))
+    assert abs(f(r["var_pop"]) - xs.var()) < 1e-5 * xs.var()
+    m2 = ((xs - xs.mean()) ** 2).sum()
+    m3 = ((xs - xs.mean()) ** 3).sum()
+    m4 = ((xs - xs.mean()) ** 4).sum()
+    n = len(xs)
+    skew = m3 * np.sqrt(n) / m2 ** 1.5
+    kurt = n * m4 / m2 ** 2 - 3
+    assert abs(f(r["skewness"]) - skew) < 1e-5 * max(1, abs(skew))
+    assert abs(f(r["kurtosis"]) - kurt) < 1e-5 * max(1, abs(kurt))
+    assert r["min_val"] == xs.min() and r["max_val"] == xs.max()
+
+
+def test_incremental_profile_state_degenerate(spark):
+    from flink_descriptive_stats_spark.operators import moments as mo
+    empty = mo.profile_state(
+        spark.createDataFrame([], "x double"), ["x"])
+    one = mo.profile_state(
+        spark.createDataFrame([(7.0,)], "x double"), ["x"])
+    merged = {r["column"]: r for r in mo.finalize_profile_state(
+        mo.merge_profile_states(empty, one)).collect()}
+    r = merged["x"]
+    # empty is the monoid identity; constant data -> skew/kurt 0
+    assert r["n"] == 1 and r["min_val"] == r["max_val"] == 7.0
+    assert float(r["skewness"].replace("e", "E")) == 0.0
