@@ -119,7 +119,7 @@ GATED_50 = (
     # core profiler + per-column stats (lineitem = numerics/decimals/dates,
     # events = timestamps/strings; string rendering also via topk/documents
     # operators below)
-    "profile_lineitem", "profile_events",
+    "profile_lineitem",
     "topk_lineitem",
     "completeness_lineitem",
     "corr_lineitem",
@@ -184,6 +184,10 @@ GATED_50 = (
     # gated reps), null_patterns (missingness structure; acf demoted,
     # time-series family keeps rolling_stats + trend)
     "spearman_lineitem", "woe_iv_events", "null_patterns_events",
+    # incremental (state-merge) profile — the StatsPojo-monoid API proven
+    # against one-shot moments; profile_events demoted (the identical
+    # aggregate bundle over events stays gated via windowed_profile)
+    "incremental_profile_lineitem",
 )
 
 

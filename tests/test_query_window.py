@@ -45,7 +45,7 @@ def test_gated_window_holds_all_operator_families():
                  "lang_confusion_documents", "doc_clusters_documents",
                  # fifth rotation
                  "spearman_lineitem", "woe_iv_events",
-                 "null_patterns_events",
+                 "null_patterns_events", "incremental_profile_lineitem",
                  # carried family representatives
                  "profile_lineitem", "topk_lineitem",
                  "simhash_near_pairs_documents",
@@ -81,7 +81,8 @@ def test_gated_window_holds_all_operator_families():
                     "quality_filter_documents",
                     # fifth-rotation demotions
                     "categorical_association_documents",
-                    "rollup_profile_events", "acf_events"):
+                    "rollup_profile_events", "acf_events",
+                    "profile_events"):
         assert demoted in names[50:], demoted
         assert demoted in o, demoted
     families = {n.rsplit("_", 1)[0] for n in first50}
