@@ -124,6 +124,8 @@ _API = {
     "merge_profile_states": ("operators.moments", "merge_profile_states"),
     "finalize_profile_state": ("operators.moments",
                                "finalize_profile_state"),
+    "start_profile_monitor": ("streaming.pipeline_stream",
+                              "start_profile_monitor"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

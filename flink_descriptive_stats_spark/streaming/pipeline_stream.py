@@ -571,3 +571,165 @@ def start_drift_monitor(stream: DataFrame, ref_df: DataFrame, column: str,
     if checkpoint_path:
         writer = writer.option("checkpointLocation", checkpoint_path)
     return writer.start()
+
+
+def _merge_state_rows(a: dict, b: dict) -> dict:
+    """Driver-side Pébay merge of two per-column state dicts (n, mean,
+    m2, m3, m4, min_val, max_val) — the same algebra as
+    operators.moments.merge_profile_states, specialized for the monitor's
+    O(columns) driver fold."""
+    if a["n"] == 0:
+        return dict(b)
+    if b["n"] == 0:
+        return dict(a)
+    na, nb = a["n"], b["n"]
+    n = float(na + nb)
+    d = b["mean"] - a["mean"]
+    m2 = a["m2"] + b["m2"] + d * d * na * nb / n
+    m3 = (a["m3"] + b["m3"]
+          + d ** 3 * na * nb * (na - nb) / n ** 2
+          + 3.0 * d * (na * b["m2"] - nb * a["m2"]) / n)
+    m4 = (a["m4"] + b["m4"]
+          + d ** 4 * na * nb * (na * na - na * nb + nb * nb) / n ** 3
+          + 6.0 * d * d * (na * na * b["m2"] + nb * nb * a["m2"]) / n ** 2
+          + 4.0 * d * (na * b["m3"] - nb * a["m3"]) / n)
+    return {"n": na + nb, "mean": a["mean"] + d * nb / n,
+            "m2": m2, "m3": m3, "m4": m4,
+            "min_val": min(a["min_val"], b["min_val"]),
+            "max_val": max(a["max_val"], b["max_val"])}
+
+
+def start_profile_monitor(stream: DataFrame, columns: list[str],
+                          sink_path: str,
+                          state_path: str | None = None,
+                          checkpoint_path: str | None = None):
+    """Continuous corpus-wide profile: each micro-batch contributes ONE
+    distributed moment-bundle aggregate (operators.moments.profile_state
+    — the explicit StatsPojo-monoid state), folded driver-side with the
+    same Pébay merge, so the sink's (column, n, mean, var_pop, skewness,
+    kurtosis, min_val, max_val) after N batches equals the batch
+    incremental profile of everything seen (finalize rendering included
+    — asserted in tests). State is O(columns); snapshots and the report
+    go through the pyarrow fast path with the usual versioned-epoch
+    durability contract."""
+    import json as _json
+    import math as _math
+    import os
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    from flink_descriptive_stats_spark.operators import moments as mo
+    if (state_path is None) != (checkpoint_path is None):
+        raise ValueError(
+            "state_path and checkpoint_path must be passed together (see "
+            "start_global_topk_sketch)")
+    zero = {"n": 0, "mean": 0.0, "m2": 0.0, "m3": 0.0, "m4": 0.0,
+            "min_val": _math.inf, "max_val": -_math.inf}
+    state = {c: dict(zero) for c in columns}
+    last_folded = -1
+
+    def _versions() -> list[int]:
+        if not (state_path and os.path.isdir(state_path)):
+            return []
+        return sorted(
+            int(n[1:]) for n in os.listdir(state_path)
+            if n.startswith("v") and n[1:].isdigit()
+            and os.path.exists(os.path.join(state_path, n, "_SUCCESS")))
+
+    latest = _versions()
+    if latest:
+        snap = stream.sparkSession.read.parquet(
+            os.path.join(state_path, f"v{latest[-1]}")).collect()
+        meta = _json.loads(snap[0]["meta"])
+        if meta["columns"] != list(columns):
+            raise ValueError(
+                f"snapshot at {state_path} profiles {meta['columns']}; "
+                f"refusing to merge")
+        last_folded = meta["last_folded"]
+        for r in snap:
+            state[r["column"]] = {
+                "n": int(r["n"]), "mean": float(r["mean"]),
+                "m2": float(r["m2"]), "m3": float(r["m3"]),
+                "m4": float(r["m4"]),
+                "min_val": float(r["min_val"]),
+                "max_val": float(r["max_val"])}
+
+    def _report() -> None:
+        import pyarrow as pa
+        rows = []
+        for c in columns:
+            st = state[c]
+            n = st["n"]
+            if n == 0:
+                rows.append((c, 0, None, None, None, None, None, None))
+                continue
+            m2 = st["m2"]
+            var_pop = m2 / n
+            if m2 > 0:
+                skew = st["m3"] * _math.sqrt(n) / m2 ** 1.5
+                kurt = n * st["m4"] / (m2 * m2) - 3.0
+            else:
+                skew = kurt = 0.0
+            rows.append((c, n, sig6_py(st["mean"]), sig6_py(var_pop),
+                         sig6_py(skew), sig6_py(kurt),
+                         st["min_val"], st["max_val"]))
+        _pa_write_dir(sink_path, pa.table({
+            "column": [r[0] for r in rows],
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "mean": [r[2] for r in rows],
+            "var_pop": [r[3] for r in rows],
+            "skewness": [r[4] for r in rows],
+            "kurtosis": [r[5] for r in rows],
+            "min_val": pa.array([r[6] for r in rows], pa.float64()),
+            "max_val": pa.array([r[7] for r in rows], pa.float64())}))
+
+    def emit(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal last_folded
+        if epoch_id > last_folded:
+            batch_rows = mo.profile_state(batch_df, columns).collect()
+            for r in batch_rows:
+                inc = {"n": int(r["n"]), "mean": float(r["mean"]),
+                       "m2": float(r["m2"]), "m3": float(r["m3"]),
+                       "m4": float(r["m4"]),
+                       "min_val": (float(r["min_val"])
+                                   if r["min_val"] is not None
+                                   else _math.inf),
+                       "max_val": (float(r["max_val"])
+                                   if r["max_val"] is not None
+                                   else -_math.inf)}
+                state[r["column"]] = _merge_state_rows(state[r["column"]],
+                                                       inc)
+            last_folded = epoch_id
+            if state_path:
+                import shutil
+                import pyarrow as pa
+                meta = _json.dumps({"columns": list(columns),
+                                    "last_folded": epoch_id})
+                _pa_write_dir(
+                    os.path.join(state_path, f"v{epoch_id}"),
+                    pa.table({
+                        "column": list(columns),
+                        "n": pa.array([state[c]["n"] for c in columns],
+                                      pa.int64()),
+                        "mean": pa.array([state[c]["mean"]
+                                          for c in columns], pa.float64()),
+                        "m2": pa.array([state[c]["m2"] for c in columns],
+                                       pa.float64()),
+                        "m3": pa.array([state[c]["m3"] for c in columns],
+                                       pa.float64()),
+                        "m4": pa.array([state[c]["m4"] for c in columns],
+                                       pa.float64()),
+                        "min_val": pa.array([state[c]["min_val"]
+                                             for c in columns],
+                                            pa.float64()),
+                        "max_val": pa.array([state[c]["max_val"]
+                                             for c in columns],
+                                            pa.float64()),
+                        "meta": [meta] * len(columns)}))
+                for v in _versions()[:-1]:
+                    shutil.rmtree(os.path.join(state_path, f"v{v}"),
+                                  ignore_errors=True)
+        _report()
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(emit)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

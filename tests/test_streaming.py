@@ -569,3 +569,50 @@ def test_streaming_drift_monitor_equals_batch(spark, tmp_path):
         assert got2[b]["jsd_term"] == want2[b]["jsd_term"]
     # the +60 shift pushed rows past the reference max -> overflow bucket
     assert got2[8]["n_live"] > 0
+
+
+def test_streaming_profile_monitor_equals_batch(spark, tmp_path):
+    """The streaming corpus profile folds per-epoch moment bundles with
+    the same Pébay merge as the batch incremental API — after N
+    micro-batches the sink equals finalize(profile_state(all data)),
+    sig6 rendering included, and a restart resumes losslessly."""
+    from flink_descriptive_stats_spark.operators import moments as mo
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        start_profile_monitor)
+    cols = ["value", "user_id"]
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id",
+                                                    "value")
+    chunks = str(tmp_path / "chunks")
+    ev.repartition(3).write.parquet(chunks)
+    sink = str(tmp_path / "pm_sink")
+    state = str(tmp_path / "pm_state")
+    ckpt = str(tmp_path / "pm_ckpt")
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(chunks))
+    q = start_profile_monitor(stream, cols, sink, state_path=state,
+                              checkpoint_path=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    want = sorted(map(tuple, mo.finalize_profile_state(
+        mo.profile_state(ev, cols)).collect()))
+    assert got == want
+
+    # restart: new shifted data arrives; fresh closure resumes from state
+    more = ev.limit(400).withColumn("value", F.col("value") * 3.0)
+    more.coalesce(1).write.mode("append").parquet(chunks)
+    stream2 = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(chunks))
+    q2 = start_profile_monitor(stream2, cols, sink, state_path=state,
+                               checkpoint_path=ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got2 = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    want2 = sorted(map(tuple, mo.finalize_profile_state(
+        mo.profile_state(ev.unionAll(more), cols)).collect()))
+    assert got2 == want2
