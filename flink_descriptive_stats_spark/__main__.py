@@ -27,7 +27,7 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "semdedup", "trend", "lm-score", "lang-confusion",
                "histogram2d", "doc-clusters", "cluster-sample",
                "session-summary", "spearman", "woe", "null-patterns",
-               "paths")
+               "paths", "monitor-profile", "monitor-drift")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -318,6 +318,33 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--ts-col", default="ts")
     pa.add_argument("--id-col", default="event_id")
     _add_common(pa)
+
+    mp = sub.add_parser(
+        "monitor-profile",
+        help="incremental corpus profile over a growing directory: "
+             "processes all available files then exits; repeated "
+             "invocations resume from --state/--checkpoint")
+    mp.add_argument("input", help="parquet DIRECTORY (streaming source)")
+    mp.add_argument("--columns", required=True)
+    mp.add_argument("--sink", required=True)
+    mp.add_argument("--state", default=None)
+    mp.add_argument("--checkpoint", default=None)
+    mp.add_argument("--master", default=None)
+    mp.add_argument("--format", default=None)
+
+    md = sub.add_parser(
+        "monitor-drift",
+        help="incremental PSI/JSD of a growing directory against a "
+             "fixed reference parquet")
+    md.add_argument("input", help="parquet DIRECTORY (streaming source)")
+    md.add_argument("--reference", required=True)
+    md.add_argument("--column", required=True)
+    md.add_argument("--bins", type=int, default=10)
+    md.add_argument("--sink", required=True)
+    md.add_argument("--state", default=None)
+    md.add_argument("--checkpoint", default=None)
+    md.add_argument("--master", default=None)
+    md.add_argument("--format", default=None)
     return p
 
 
@@ -658,6 +685,27 @@ def main(argv: list[str] | None = None) -> int:
                              key_col=args.key_col, type_col=args.type_col,
                              ts_col=args.ts_col, id_col=args.id_col),
               args.output)
+        return 0
+
+    if args.cmd in ("monitor-profile", "monitor-drift"):
+        from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+            start_drift_monitor, start_profile_monitor)
+        schema = spark.read.parquet(args.input).schema
+        stream = spark.readStream.schema(schema).parquet(args.input)
+        if args.cmd == "monitor-profile":
+            q = start_profile_monitor(
+                stream, args.columns.split(","), args.sink,
+                state_path=args.state, checkpoint_path=args.checkpoint)
+        else:
+            ref = spark.read.parquet(args.reference)
+            q = start_drift_monitor(
+                stream, ref, args.column, args.sink, bins=args.bins,
+                state_path=args.state, checkpoint_path=args.checkpoint)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        spark.read.parquet(args.sink).show(50, truncate=False)
         return 0
 
     if args.cmd == "compare":

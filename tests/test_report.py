@@ -169,6 +169,10 @@ def test_cli_new_subcommands_parse():
                  ["woe", "x.parquet", "--feature", "v",
                   "--label", "y = 1"],
                  ["null-patterns", "x.parquet"],
-                 ["paths", "x.parquet", "--depth", "2"]):
+                 ["paths", "x.parquet", "--depth", "2"],
+                 ["monitor-profile", "d/", "--columns", "a,b",
+                  "--sink", "s/"],
+                 ["monitor-drift", "d/", "--reference", "r.parquet",
+                  "--column", "v", "--sink", "s/"]):
         args = p.parse_args(argv)
         assert args.cmd == argv[0]
