@@ -710,6 +710,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_clusters_documents"] = _tq(text_ops.doc_clusters, "documents",
                                       k=8)
 
+    # embedding-space monitoring: O(n) diversity identity + centroid
+    # drift between snapshot halves
+    q["embedding_diversity"] = _tq(similarity.embedding_diversity,
+                                   "embeddings")
+
+    def _embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _load(spark, sf_dir, "embeddings")
+        return similarity.embedding_drift(
+            emb.where(F.col("vec_id") % 2 == 0),
+            emb.where(F.col("vec_id") % 2 == 1))
+    q["embedding_drift"] = _embedding_drift
+
     # incremental profiling: split -> mergeable state -> Pebay merge ->
     # finalize, gated against the ONE-SHOT moments of the full table (the
     # StatsPojo monoid surfaced as an API; at 100 TB this is how a
@@ -1122,6 +1134,8 @@ def oracle_sql() -> dict[str, str]:
     o["cluster_sample_documents"] = op.cluster_balanced_sample_sql(
         k_per_cluster=5, k=8)
     o["js_drift_documents"] = op.js_drift_sql()
+    o["embedding_diversity"] = op.embedding_diversity_sql()
+    o["embedding_drift"] = op.embedding_drift_sql()
     o["incremental_profile_lineitem"] = op.incremental_profile_sql(
         "lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
                      "l_linenumber", "l_quantity", "l_extendedprice",

@@ -452,3 +452,72 @@ def semdedup(df: DataFrame, threshold: float = 0.95, n_cells: int = 16,
     return (assign.join(dup, assign["id"] == dup["ida"], "left")
             .select(F.col("id").alias("vec_id"), "cell_id",
                     F.col("dup_of").isNull().alias("kept"), "dup_of"))
+
+
+def embedding_diversity(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Corpus-level embedding diversity WITHOUT materializing any pair:
+    for unit-normalized vectors u_i, sum_{i != j} cos(u_i, u_j)
+    = ||sum u_i||^2 - n, so mean pairwise cosine =
+    (||S||^2 - n) / (n (n - 1)) from ONE aggregation of the per-dimension
+    sums — the O(n) identity that replaces the O(n^2) compare a naive
+    diversity probe would run (low mean cos = diverse corpus, high =
+    collapsed/templated embeddings). Output: (n, dim, mean_pairwise_cos,
+    mean_norm) — mean_norm of the RAW vectors (a drifting embedder often
+    shows up in norms first).
+
+    Shape: normalize per row (narrow), posexplode to (dim, u_i) pairs,
+    one groupBy(dim) sum — bounded by the dimension — then a 1-row
+    driver combination. Zero-norm vectors are excluded (with_norm
+    policy)."""
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    d = with_norm(df, id_col, vec_col)
+    u = F.transform(F.col("v"), lambda x: x / F.col("norm"))
+    base = d.select(u.alias("u"), "norm")
+    nrow = base.agg(F.count(F.lit(1)).alias("n"),
+                    F.avg("norm").alias("mean_norm")).collect()[0]
+    n = int(nrow["n"])
+    dims = (base.select(F.posexplode("u").alias("dim", "x"))
+            .groupBy("dim").agg(F.sum("x").alias("s")).collect())
+    dim = len(dims)
+    s2 = sum(float(r["s"]) ** 2 for r in dims)
+    mean_cos = (s2 - n) / (n * (n - 1)) if n > 1 else None
+    return df.sparkSession.createDataFrame(
+        [(n, dim, sig6_py(mean_cos) if mean_cos is not None else None,
+          sig6_py(float(nrow["mean_norm"])))],
+        "n bigint, dim int, mean_pairwise_cos string, mean_norm string")
+
+
+def embedding_drift(df_a: DataFrame, df_b: DataFrame,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space drift between two snapshots: cosine between the
+    two MEAN vectors plus each side's n and mean norm — the cheapest
+    embedder-regression / corpus-shift alarm (a re-trained encoder or a
+    topic shift moves the centroid long before individual neighbors
+    change). One bounded per-dimension aggregate per side; the centroid
+    cosine is a driver-side dot of two dim-length lists."""
+    import math
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+
+    def side(df):
+        d = with_norm(df, id_col, vec_col)
+        nrow = d.agg(F.count(F.lit(1)).alias("n"),
+                     F.avg("norm").alias("mn")).collect()[0]
+        dims = (d.select(F.posexplode("v").alias("dim", "x"))
+                .groupBy("dim").agg(F.avg("x").alias("m"))
+                .orderBy("dim").collect())
+        return int(nrow["n"]), float(nrow["mn"]), [float(r["m"])
+                                                   for r in dims]
+
+    na, norm_a, ca = side(df_a)
+    nb, norm_b, cb = side(df_b)
+    dot = sum(x * y for x, y in zip(ca, cb))
+    la = math.sqrt(sum(x * x for x in ca))
+    lb = math.sqrt(sum(x * x for x in cb))
+    cos = dot / (la * lb) if la > 0 and lb > 0 else None
+    return df_a.sparkSession.createDataFrame(
+        [(na, nb, sig6_py(cos) if cos is not None else None,
+          sig6_py(norm_a), sig6_py(norm_b))],
+        "n_a bigint, n_b bigint, centroid_cos string, "
+        "mean_norm_a string, mean_norm_b string")

@@ -1961,3 +1961,58 @@ SELECT '{c}' AS "column", CAST(n AS BIGINT) AS n,
        mn AS min_val, mx AS max_val
 FROM cm)""")
     return "\nUNION ALL\n".join(branches)
+
+
+def embedding_diversity_sql(table: str = "embeddings") -> str:
+    """Mirror of similarity.embedding_diversity (same ||sum u||^2 - n
+    identity over the same normalized vectors)."""
+    dot = _DOT.format(a="v", b="v")
+    return f"""
+WITH {_norm_cte(table)},
+ u AS (SELECT list_transform(v, x -> x / norm) AS uv, norm FROM n),
+ t AS (SELECT CAST(count(*) AS BIGINT) AS nn, avg(norm) AS mean_norm
+       FROM u),
+ dims AS (SELECT d.i AS dim, sum(uv[d.i]) AS s
+          FROM u CROSS JOIN
+               (SELECT unnest(generate_series(1, len(uv))) AS i
+                FROM (SELECT uv FROM u LIMIT 1)) d
+          GROUP BY 1),
+ agg AS (SELECT sum(s * s) AS s2, CAST(count(*) AS INTEGER) AS dim
+         FROM dims)
+SELECT t.nn AS n, agg.dim,
+       CASE WHEN t.nn > 1 THEN
+         {duck_sig6('(agg.s2 - t.nn) / (t.nn * (t.nn - 1))')} END
+         AS mean_pairwise_cos,
+       {duck_sig6('t.mean_norm')} AS mean_norm
+FROM t CROSS JOIN agg"""
+
+
+def embedding_drift_sql(table: str = "embeddings", mod: int = 2) -> str:
+    """Mirror of similarity.embedding_drift over the vec_id%mod split."""
+    dot = _DOT.format(a="v", b="v")
+    cdot = _DOT.format(a="ca.c", b="cb.c")
+    cself = _DOT.format(a="c", b="c")
+    side = """
+ n{S} AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                 sqrt({DOT}) AS norm
+          FROM {T} WHERE vec_id % {MOD} = {R}),
+ f{S} AS (SELECT * FROM n{S} WHERE norm > 0),
+ t{S} AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(norm) AS mn
+          FROM f{S}),
+ d{S} AS (SELECT d.i AS dim, avg(v[d.i]) AS m
+          FROM f{S} CROSS JOIN
+               (SELECT unnest(generate_series(1, len(v))) AS i
+                FROM (SELECT v FROM f{S} LIMIT 1)) d
+          GROUP BY 1),
+ c{S} AS (SELECT list(m ORDER BY dim) AS c FROM d{S})"""
+    a = side.format(S="a", T=table, MOD=mod, R=0, DOT=dot)
+    b = side.format(S="b", T=table, MOD=mod, R=1, DOT=dot)
+    return f"""
+WITH {a.lstrip()},{b}
+SELECT ta.n AS n_a, tb.n AS n_b,
+       {duck_sig6(f'({cdot}) / (sqrt({_DOT.format(a="ca.c", b="ca.c")}) * '
+                  f'sqrt({_DOT.format(a="cb.c", b="cb.c")}))')}
+         AS centroid_cos,
+       {duck_sig6('ta.mn')} AS mean_norm_a,
+       {duck_sig6('tb.mn')} AS mean_norm_b
+FROM ta CROSS JOIN tb CROSS JOIN ca CROSS JOIN cb"""

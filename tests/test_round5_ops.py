@@ -880,3 +880,39 @@ def test_js_drift_semantics(spark):
     over = rows[4]                      # the +inf overflow bucket: only B
     assert over["n_a"] == 0 and over["n_b"] == 20
     assert abs(_f(over["jsd_term"]) - m.log(2) / 2) < 1e-6
+
+
+def test_embedding_diversity_identity(spark):
+    import itertools
+    import numpy as np
+    from flink_descriptive_stats_spark.operators import similarity
+    rng = np.random.RandomState(3)
+    vs = rng.randn(30, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vs)],
+        "vec_id bigint, embedding array<double>")
+    r = similarity.embedding_diversity(df).collect()[0]
+    # brute-force mean pairwise cosine must match the O(n) identity
+    un = vs / np.linalg.norm(vs, axis=1, keepdims=True)
+    pairs = [float(un[i] @ un[j])
+             for i, j in itertools.combinations(range(len(vs)), 2)]
+    want = sum(pairs) / len(pairs)
+    assert abs(_f(r["mean_pairwise_cos"]) - want) < 1e-5
+    assert r["n"] == 30 and r["dim"] == 8
+
+
+def test_embedding_drift_semantics(spark):
+    from flink_descriptive_stats_spark.operators import similarity
+    # identical snapshots -> centroid cosine exactly 1
+    rows = [(i, [1.0, float(i % 3)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    r = similarity.embedding_drift(df, df).collect()[0]
+    assert abs(_f(r["centroid_cos"]) - 1.0) < 1e-6
+    # orthogonal centroids -> cosine 0
+    a = spark.createDataFrame([(0, [1.0, 0.0]), (1, [1.0, 0.0])],
+                              "vec_id bigint, embedding array<double>")
+    b = spark.createDataFrame([(0, [0.0, 1.0]), (1, [0.0, 2.0])],
+                              "vec_id bigint, embedding array<double>")
+    r2 = similarity.embedding_drift(a, b).collect()[0]
+    assert abs(_f(r2["centroid_cos"])) < 1e-9
+    assert r2["n_a"] == 2 and r2["n_b"] == 2
