@@ -710,6 +710,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_clusters_documents"] = _tq(text_ops.doc_clusters, "documents",
                                       k=8)
 
+    # entity compaction + concentration (skew) report
+    q["latest_by_key_events"] = _tq(ev_ops.latest_by_key, "events")
+    q["pareto_share_events"] = _tq(ev_ops.pareto_share, "events")
+
     # embedding-space monitoring: O(n) diversity identity + centroid
     # drift between snapshot halves
     q["embedding_diversity"] = _tq(similarity.embedding_diversity,
@@ -1134,6 +1138,8 @@ def oracle_sql() -> dict[str, str]:
     o["cluster_sample_documents"] = op.cluster_balanced_sample_sql(
         k_per_cluster=5, k=8)
     o["js_drift_documents"] = op.js_drift_sql()
+    o["latest_by_key_events"] = op.latest_by_key_sql()
+    o["pareto_share_events"] = op.pareto_share_sql()
     o["embedding_diversity"] = op.embedding_diversity_sql()
     o["embedding_drift"] = op.embedding_drift_sql()
     o["incremental_profile_lineitem"] = op.incremental_profile_sql(

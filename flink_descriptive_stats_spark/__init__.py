@@ -126,6 +126,10 @@ _API = {
                                "finalize_profile_state"),
     "start_profile_monitor": ("streaming.pipeline_stream",
                               "start_profile_monitor"),
+    "embedding_diversity": ("operators.similarity", "embedding_diversity"),
+    "embedding_drift": ("operators.similarity", "embedding_drift"),
+    "latest_by_key": ("operators.events", "latest_by_key"),
+    "pareto_share": ("operators.events", "pareto_share"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

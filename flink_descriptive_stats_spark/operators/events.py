@@ -421,3 +421,63 @@ def cusum_changepoint(df: DataFrame, key_col: str = "event_type",
         sig6(F.col("s")).alias("peak_cusum"),
         sig6(thr).alias("cusum_threshold"),
         (F.abs(F.col("s")) > thr).alias("shifted"))
+
+
+def latest_by_key(df: DataFrame, key_col: str = "user_id",
+                  ts_col: str = "ts",
+                  id_col: str = "event_id") -> DataFrame:
+    """Latest record per entity (the SCD/compaction primitive: collapse
+    an append-only event log to each key's current state). Deterministic
+    ties via the id column. One key-partitioned rank — Spark plans the
+    rank<=1 filter as WindowGroupLimit, so each partition forwards at
+    most one row per key before the single keyed exchange (same
+    no-salting funnel as top-K)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc(),
+                                            F.col(id_col).desc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1).drop("__rk"))
+
+
+def pareto_share(df: DataFrame, key_col: str = "user_id",
+                 value_col: str = "value",
+                 checkpoints: tuple = (1, 5, 10, 20, 50)) -> DataFrame:
+    """Concentration (Pareto/80-20) report: what share of total value do
+    the top X% of keys hold, for X in ``checkpoints`` — the skew
+    quantifier behind both business questions (whale users) and ENGINE
+    questions (how bad is this join key?). Output: (top_pct, n_keys,
+    value_share).
+
+    Shape: one grouped sum per key (map-side combined), then rank +
+    cumulative-sum windows over the AGGREGATED key totals — the exact
+    path sorts key totals, the documented trade (at extreme key
+    cardinality swap the rank for approx percentile thresholds). The
+    checkpoint row count is fixed and tiny."""
+    from pyspark.sql import Window
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    x = F.col(value_col).cast("double")
+    totals = (df.where(x.isNotNull())
+              .groupBy(F.col(key_col).alias("k"))
+              .agg(F.sum(x).alias("v")))
+    w = Window.orderBy(F.col("v").desc(), F.col("k").asc())
+    ranked = totals.select(
+        "v", F.row_number().over(w).alias("r"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"))
+    ranked = ranked.persist()
+    try:
+        agg = ranked.agg(F.count(F.lit(1)).alias("n_keys"),
+                         F.sum("v").alias("total")).collect()[0]
+        n_keys, total = int(agg["n_keys"]), float(agg["total"])
+        ks = {pct: max(1, int(n_keys * pct / 100)) for pct in checkpoints}
+        # ONE job fetches every checkpoint's cumulative sum
+        cums = {int(r["r"]): float(r["cum"]) for r in
+                ranked.where(F.col("r").isin(list(set(ks.values()))))
+                .select("r", "cum").collect()}
+    finally:
+        ranked.unpersist()
+    out = [(int(pct), ks[pct],
+            sig6_py(cums[ks[pct]] / total) if total else None)
+           for pct in checkpoints]
+    return df.sparkSession.createDataFrame(
+        out, "top_pct int, n_top_keys bigint, value_share string")

@@ -2016,3 +2016,38 @@ SELECT ta.n AS n_a, tb.n AS n_b,
        {duck_sig6('ta.mn')} AS mean_norm_a,
        {duck_sig6('tb.mn')} AS mean_norm_b
 FROM ta CROSS JOIN tb CROSS JOIN ca CROSS JOIN cb"""
+
+
+def latest_by_key_sql(table: str = "events", key: str = "user_id",
+                      ts: str = "ts", id_col: str = "event_id") -> str:
+    """Mirror of events.latest_by_key (same deterministic tie order)."""
+    return f"""
+SELECT * EXCLUDE (rk) FROM (
+  SELECT *, row_number() OVER (PARTITION BY {key}
+            ORDER BY {ts} DESC, {id_col} DESC) AS rk
+  FROM {table})
+WHERE rk = 1"""
+
+
+def pareto_share_sql(table: str = "events", key: str = "user_id",
+                     value: str = "value",
+                     checkpoints: tuple = (1, 5, 10, 20, 50)) -> str:
+    """Mirror of events.pareto_share (same rank ties, same floor-int
+    checkpoint indices)."""
+    branches = []
+    for pct in checkpoints:
+        branches.append(f"""
+SELECT {pct} AS top_pct,
+  CAST(greatest(1, CAST(floor((SELECT count(*) FROM t) * {pct} / 100.0)
+       AS BIGINT)) AS BIGINT) AS n_top_keys,
+  (SELECT {duck_sig6('cum / (SELECT sum(v) FROM t)')} FROM r
+   WHERE r = greatest(1, CAST(floor((SELECT count(*) FROM t)
+        * {pct} / 100.0) AS BIGINT))) AS value_share""")
+    return f"""
+WITH t AS (SELECT {key} AS k, sum(CAST({value} AS DOUBLE)) AS v
+           FROM {table} WHERE {value} IS NOT NULL GROUP BY 1),
+ r AS (SELECT v, row_number() OVER (ORDER BY v DESC, k ASC) AS r,
+              sum(v) OVER (ORDER BY v DESC, k ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum
+       FROM t)
+""" + "\nUNION ALL\n".join(branches)

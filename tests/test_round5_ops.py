@@ -916,3 +916,27 @@ def test_embedding_drift_semantics(spark):
     r2 = similarity.embedding_drift(a, b).collect()[0]
     assert abs(_f(r2["centroid_cos"])) < 1e-9
     assert r2["n_a"] == 2 and r2["n_b"] == 2
+
+
+def test_latest_by_key_semantics(spark):
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    rows = [(1, 10, 1, "a"), (1, 20, 2, "b"),       # user 1: latest = b
+            (2, 5, 3, "c"), (2, 5, 4, "d")]         # tie on ts: max id wins
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts bigint, event_id bigint, event_type string")
+    got = {r["user_id"]: r["event_type"]
+           for r in ev_ops.latest_by_key(df).collect()}
+    assert got == {1: "b", 2: "d"}
+
+
+def test_pareto_share_semantics(spark):
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    # 10 users: one whale holds 91 of 100 total value
+    rows = [(0, 91.0)] + [(i, 1.0) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "user_id bigint, value double")
+    got = {r["top_pct"]: r for r in ev_ops.pareto_share(
+        df, checkpoints=(10, 50)).collect()}
+    assert got[10]["n_top_keys"] == 1
+    assert abs(_f(got[10]["value_share"]) - 0.91) < 1e-6
+    assert got[50]["n_top_keys"] == 5
+    assert abs(_f(got[50]["value_share"]) - 0.95) < 1e-6
