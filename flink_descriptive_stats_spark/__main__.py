@@ -27,7 +27,8 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "semdedup", "trend", "lm-score", "lang-confusion",
                "histogram2d", "doc-clusters", "cluster-sample",
                "session-summary", "spearman", "woe", "null-patterns",
-               "paths", "monitor-profile", "monitor-drift")
+               "paths", "monitor-profile", "monitor-drift", "explain",
+               "list-queries")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -345,6 +346,19 @@ def build_parser() -> argparse.ArgumentParser:
     md.add_argument("--checkpoint", default=None)
     md.add_argument("--master", default=None)
     md.add_argument("--format", default=None)
+
+    ex = sub.add_parser(
+        "explain",
+        help="print the formatted physical plan of a named engine query "
+             "(plan introspection — see EXPLAIN.md for the annotated set)")
+    ex.add_argument("query", help="a queries() name; see list-queries")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.add_argument("--master", default=None)
+
+    lq = sub.add_parser("list-queries",
+                        help="list every named engine query (the driver-"
+                             "gated surface)")
+    lq.add_argument("--master", default=None)
     return p
 
 
@@ -396,8 +410,32 @@ def main(argv: list[str] | None = None) -> int:
     if argv and argv[0] not in SUBCOMMANDS and not argv[0].startswith("-"):
         argv = ["profile", *argv]
     args = build_parser().parse_args(argv)
+
+    if args.cmd == "list-queries":
+        # no Spark needed: queries() builds closures without a session
+        import __spark_entry__ as entrymod
+        q, o = entrymod.queries(), entrymod.oracle_sql()
+        for i, name in enumerate(q):
+            gate = "gated " if i < 50 else ("oracle" if name in o
+                                            else "rows  ")
+            print(f"{i + 1:4d}  [{gate}]  {name}")
+        return 0
+
     from flink_descriptive_stats_spark.session import get_spark
     spark = get_spark(app_name=f"{args.cmd}-cli", master=args.master)
+
+    if args.cmd == "explain":
+        import __spark_entry__ as entrymod
+        q = entrymod.queries()
+        if args.query not in q:
+            print(f"unknown query {args.query!r}; see list-queries",
+                  file=sys.stderr)
+            return 2
+        df = q[args.query](spark, args.sf_dir)
+        print(df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")))
+        return 0
 
     if args.cmd == "profile":
         from flink_descriptive_stats_spark.operators import profile as prof

@@ -173,6 +173,8 @@ def test_cli_new_subcommands_parse():
                  ["monitor-profile", "d/", "--columns", "a,b",
                   "--sink", "s/"],
                  ["monitor-drift", "d/", "--reference", "r.parquet",
-                  "--column", "v", "--sink", "s/"]):
+                  "--column", "v", "--sink", "s/"],
+                 ["explain", "profile_lineitem"],
+                 ["list-queries"]):
         args = p.parse_args(argv)
         assert args.cmd == argv[0]
