@@ -137,7 +137,6 @@ GATED_50 = (
     "embedding_neardup_lsh", "semdedup_embeddings",
     # similarity search
     "ann_lsh_topk", "ann_ivf_topk",
-    "embedding_dim_profile",
     # text analysis
     "text_stats_documents",
     "typo_pairs_documents",
@@ -188,6 +187,9 @@ GATED_50 = (
     # against one-shot moments; profile_events demoted (the identical
     # aggregate bundle over events stays gated via windowed_profile)
     "incremental_profile_lineitem",
+    # sixth (micro) rotation: the O(n) pairwise-structure probe replaces
+    # the per-dimension stats as the embedding-profiling representative
+    "embedding_diversity",
 )
 
 

@@ -46,6 +46,7 @@ def test_gated_window_holds_all_operator_families():
                  # fifth rotation
                  "spearman_lineitem", "woe_iv_events",
                  "null_patterns_events", "incremental_profile_lineitem",
+                 "embedding_diversity",
                  # carried family representatives
                  "profile_lineitem", "topk_lineitem",
                  "simhash_near_pairs_documents",
@@ -82,7 +83,7 @@ def test_gated_window_holds_all_operator_families():
                     # fifth-rotation demotions
                     "categorical_association_documents",
                     "rollup_profile_events", "acf_events",
-                    "profile_events"):
+                    "profile_events", "embedding_dim_profile"):
         assert demoted in names[50:], demoted
         assert demoted in o, demoted
     families = {n.rsplit("_", 1)[0] for n in first50}

@@ -940,3 +940,41 @@ def test_pareto_share_semantics(spark):
     assert abs(_f(got[10]["value_share"]) - 0.91) < 1e-6
     assert got[50]["n_top_keys"] == 5
     assert abs(_f(got[50]["value_share"]) - 0.95) < 1e-6
+
+
+def test_lm_score_property_vs_python(spark):
+    """Random corpora: lm_score matches a pure-Python mirror of the add-1
+    bigram model to sig6 precision (tokenizer, smoothing, and nats all
+    pinned)."""
+    import math as m
+    import random
+    rng = random.Random(5)
+    words = ["ab", "cd", "ef", "gh", "ij"]
+    docs = [(i, " ".join(rng.choice(words)
+                         for _ in range(rng.randint(0, 8))))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"]: (_f(r["lm_score"]), r["n_bigrams"])
+           for r in text_ops.lm_score(df).collect()}
+
+    toks = {i: t.split() for i, t in docs}
+    bc: dict = {}
+    pc: dict = {}
+    vocab = set()
+    for t in toks.values():
+        vocab.update(t)
+        for a, b in zip(t, t[1:]):
+            bc[(a, b)] = bc.get((a, b), 0) + 1
+            pc[a] = pc.get(a, 0) + 1
+    V = len(vocab)
+    for i, t in toks.items():
+        bgs = list(zip(t, t[1:]))
+        if not bgs:
+            assert i not in got
+            continue
+        want = -sum(m.log((bc[(a, b)] + 1) / (pc[a] + V))
+                    for a, b in bgs) / len(bgs)
+        score, nbg = got[i]
+        assert nbg == len(bgs)
+        assert abs(score - want) < 1e-5 * max(1.0, abs(want)), (i, score,
+                                                                want)
