@@ -844,6 +844,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.min(x).alias("min_val"), F.max(x).alias("max_val")))
     q["daily_profile_partitioned_events"] = _daily_profile_partitioned
 
+    # rows-only by design: FFT spectral features (no SQL FFT oracle; the
+    # pure-tone/noise pytest pins the DSP against numpy ground truth)
+    def _audio_spectral_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import struct as _struct
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        header = (b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + 192)
+                  + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + _struct.pack("<I", 192))
+        parts = [F.unhex(F.md5(F.concat(F.col("text"), F.lit(str(j)))))
+                 for j in range(12)]
+        d = docs.select(
+            F.col("doc_id").alias("id"),
+            F.concat(F.lit(bytearray(header)), *parts).alias("payload"))
+        return multimodal.audio_spectral_features(d, n_fft=64)
+    q["audio_spectral_synthetic"] = _audio_spectral_synth
+
     # rows-only by design: stubbed decode / sketch scale-paths (no oracle)
     q["multimodal_features_documents"] = _tq(multimodal.extract_features,
                                              "documents")

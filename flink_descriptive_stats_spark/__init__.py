@@ -130,6 +130,8 @@ _API = {
     "embedding_drift": ("operators.similarity", "embedding_drift"),
     "latest_by_key": ("operators.events", "latest_by_key"),
     "pareto_share": ("operators.events", "pareto_share"),
+    "audio_spectral_features": ("operators.multimodal",
+                                "audio_spectral_features"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

@@ -294,3 +294,63 @@ def extract_features(df: DataFrame, content_col: str = "text",
                                               "feature"])
 
     return d.select("id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+SPECTRAL_FEATURE_SCHEMA = (
+    "id bigint, decoded boolean, sample_rate int, n_fft int, "
+    "spectral_centroid_hz double, spectral_rolloff_hz double, "
+    "spectral_bandwidth_hz double, dominant_freq_hz double")
+
+
+def audio_spectral_features(df: DataFrame, payload_col: str = "payload",
+                            id_col: str = "id",
+                            n_fft: int = 1024) -> DataFrame:
+    """Arrow-batched REAL spectral features over 16-bit PCM WAV payloads
+    (numpy rFFT — no external DSP libs): spectral centroid (brightness),
+    85% rolloff, bandwidth (spread around the centroid), and the dominant
+    frequency — the speech/music/noise triage features an audio-curation
+    pipeline screens on before expensive ASR. The first ``n_fft`` mono
+    samples feed one rFFT per clip (deterministic — no windowing RNG);
+    clips shorter than n_fft are zero-padded; undecodable payloads
+    degrade to decoded=false rows (never a task failure).
+
+    Scale shape: identical to audio_features — binary columns stay
+    columnar, the UDF is Arrow-batched mapInPandas, per-row cost is one
+    O(n_fft log n_fft) transform."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                try:
+                    rate, ch, samples = decode_wav(b)
+                    mono = samples.astype(np.float64).mean(axis=1)
+                    seg = np.zeros(n_fft)
+                    seg[:min(len(mono), n_fft)] = mono[:n_fft]
+                    mag = np.abs(np.fft.rfft(seg))
+                    freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
+                    tot = mag.sum()
+                    if tot <= 0:
+                        rows.append((int(i), True, int(rate), n_fft,
+                                     0.0, 0.0, 0.0, 0.0))
+                        continue
+                    centroid = float((freqs * mag).sum() / tot)
+                    cum = np.cumsum(mag)
+                    roll = float(freqs[int(np.searchsorted(
+                        cum, 0.85 * tot))])
+                    bw = float(np.sqrt(
+                        (((freqs - centroid) ** 2) * mag).sum() / tot))
+                    dom = float(freqs[int(mag.argmax())])
+                    rows.append((int(i), True, int(rate), n_fft,
+                                 centroid, roll, bw, dom))
+                except (NotImplementedError, ValueError, struct.error,
+                        IndexError):
+                    rows.append((int(i), False, None, None, None, None,
+                                 None, None))
+            yield pd.DataFrame(rows, columns=[
+                "id", "decoded", "sample_rate", "n_fft",
+                "spectral_centroid_hz", "spectral_rolloff_hz",
+                "spectral_bandwidth_hz", "dominant_freq_hz"])
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(batches, SPECTRAL_FEATURE_SCHEMA))
