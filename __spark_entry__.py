@@ -844,6 +844,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.min(x).alias("min_val"), F.max(x).alias("max_val")))
     q["daily_profile_partitioned_events"] = _daily_profile_partitioned
 
+    # rows-only: numpy gradient/entropy texture features over REAL
+    # synthetic PPM payloads (the image sibling of the spectral screen)
+    def _image_texture_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        # valid 8x8 P6 payloads from md5 bytes (same construction as the
+        # gated image_features_synthetic)
+        parts = [F.unhex(F.md5(F.concat(F.col("text"), F.lit(str(j)))))
+                 for j in range(12)]
+        d = docs.select(
+            F.col("doc_id").alias("id"),
+            F.concat(F.lit(bytearray(b"P6\n8 8\n255\n")),
+                     *parts).alias("payload"))
+        return multimodal.image_texture_features(d)
+    q["image_texture_synthetic"] = _image_texture_synth
+
     # rows-only by design: FFT spectral features (no SQL FFT oracle; the
     # pure-tone/noise pytest pins the DSP against numpy ground truth)
     def _audio_spectral_synth(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -132,6 +132,8 @@ _API = {
     "pareto_share": ("operators.events", "pareto_share"),
     "audio_spectral_features": ("operators.multimodal",
                                 "audio_spectral_features"),
+    "image_texture_features": ("operators.multimodal",
+                               "image_texture_features"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

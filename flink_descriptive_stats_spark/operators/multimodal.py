@@ -354,3 +354,59 @@ def audio_spectral_features(df: DataFrame, payload_col: str = "payload",
 
     return (df.select(id_col, payload_col)
             .mapInPandas(batches, SPECTRAL_FEATURE_SCHEMA))
+
+
+TEXTURE_FEATURE_SCHEMA = (
+    "id bigint, decoded boolean, width int, height int, "
+    "edge_density double, mean_gradient double, luma_entropy double, "
+    "luma_contrast double")
+
+
+def image_texture_features(df: DataFrame, payload_col: str = "payload",
+                           id_col: str = "id",
+                           edge_threshold: float = 24.0) -> DataFrame:
+    """Arrow-batched REAL texture/complexity features over decodable
+    (PPM/BMP) images — the blank-scan / screenshot / photo triage an
+    image-curation pipeline runs before expensive captioning:
+
+    - edge_density: fraction of pixels whose gradient magnitude exceeds
+      ``edge_threshold`` (finite-difference gradients, no kernels libs)
+    - mean_gradient: average gradient magnitude (overall busyness)
+    - luma_entropy: Shannon entropy (bits) of the 256-bin luma histogram
+      (near 0 = flat/synthetic fill, high = natural texture)
+    - luma_contrast: std of luma
+
+    Same production-robust shape as image_features: numpy only,
+    undecodable payloads degrade to decoded=false rows."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                try:
+                    img = decode_image(b).astype(np.float64)
+                    luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                            + 0.114 * img[..., 2])
+                    gy, gx = np.gradient(luma)
+                    gmag = np.hypot(gx, gy)
+                    hist = np.bincount(
+                        np.clip(luma, 0, 255).astype(np.int64).ravel(),
+                        minlength=256)
+                    ps = hist / hist.sum()
+                    ps = ps[ps > 0]
+                    rows.append((
+                        int(i), True, int(luma.shape[1]),
+                        int(luma.shape[0]),
+                        float((gmag > edge_threshold).mean()),
+                        float(gmag.mean()),
+                        float(-(ps * np.log2(ps)).sum()),
+                        float(luma.std())))
+                except (NotImplementedError, ValueError, IndexError):
+                    rows.append((int(i), False, None, None, None, None,
+                                 None, None))
+            yield pd.DataFrame(rows, columns=[
+                "id", "decoded", "width", "height", "edge_density",
+                "mean_gradient", "luma_entropy", "luma_contrast"])
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(batches, TEXTURE_FEATURE_SCHEMA))

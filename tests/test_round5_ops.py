@@ -1014,3 +1014,35 @@ def test_audio_spectral_features_pure_tone(spark):
     assert noise_r["spectral_bandwidth_hz"] > \
         2 * tone_r["spectral_bandwidth_hz"]
     assert not got[3]["decoded"]
+
+
+def test_image_texture_features_semantics(spark):
+    """Flat fill vs checkerboard, numpy ground truth: the checkerboard
+    must show high edge density / entropy ~1 bit; the flat image zero
+    gradients and zero entropy."""
+    import numpy as np
+    from flink_descriptive_stats_spark.operators import multimodal
+
+    def ppm(img: np.ndarray) -> bytes:
+        h, w, _ = img.shape
+        return (f"P6\n{w} {h}\n255\n".encode()
+                + img.astype(np.uint8).tobytes())
+
+    flat = np.full((16, 16, 3), 128)
+    # width-2 vertical stripes (period 4): central differences see the
+    # transitions (a period-2 checkerboard would cancel to zero in the
+    # interior — classic finite-difference aliasing)
+    stripes = np.zeros((16, 16, 3))
+    stripes[:, (np.arange(16) // 2) % 2 == 1] = 255
+    rows = [(1, bytearray(ppm(flat))), (2, bytearray(ppm(stripes))),
+            (3, bytearray(b"JFIF..."))]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    got = {r["id"]: r for r in
+           multimodal.image_texture_features(df).collect()}
+    f, c = got[1], got[2]
+    assert f["decoded"] and f["edge_density"] == 0.0
+    assert f["luma_entropy"] == 0.0 and f["luma_contrast"] == 0.0
+    assert c["edge_density"] > 0.3        # stripe boundaries
+    assert 0.9 < c["luma_entropy"] < 1.1  # two equiprobable luma values
+    assert c["luma_contrast"] > 100
+    assert not got[3]["decoded"]
