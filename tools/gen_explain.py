@@ -215,6 +215,32 @@ def main() -> None:
         "is a broadcast of a bounded aggregate.",
         fmt(spark, ev_ops.autocorrelation(ev, max_lag=3))))
 
+    from flink_descriptive_stats_spark.operators import moments as mo
+    li2 = load_table(spark, SF, "lineitem")
+    sa = mo.profile_state(li2.where(F.col("l_orderkey") % 2 == 0),
+                          ["l_quantity", "l_discount"])
+    sb = mo.profile_state(li2.where(F.col("l_orderkey") % 2 == 1),
+                          ["l_quantity", "l_discount"])
+    sections.append((
+        "Incremental profile merge (bounded-state join)",
+        "The mergeable-state API: each side's state is the result of ONE\n"
+        "codegen aggregate scan (collected, <= n_cols rows); the Pébay\n"
+        "merge is pure column arithmetic over a column-keyed join of two\n"
+        "bounded local relations — no scan, no exchange of data rows\n"
+        "anywhere in the merge plan.",
+        fmt(spark, mo.finalize_profile_state(
+            mo.merge_profile_states(sa, sb)))))
+
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    ev2 = load_table(spark, SF, "events")
+    sections.append((
+        "Entity compaction: latest_by_key (WindowGroupLimit)",
+        "Latest record per entity: the rank<=1 filter pushes down as\n"
+        "Partial WindowGroupLimit, so each input partition forwards at\n"
+        "most ONE row per key into the single keyed exchange — compaction\n"
+        "cost tracks distinct keys, not event volume.",
+        fmt(spark, ev_ops.latest_by_key(ev2))))
+
     with open("EXPLAIN.md", "w") as f:
         f.write(
             '# Plan audit — `.explain("formatted")` of the flagship '
