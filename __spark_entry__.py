@@ -110,11 +110,11 @@ MIX_RATES = (("src0", 1.0), ("src1", 0.5), ("src2", 0.1), ("src3", 0.0))
 
 # The driver's correctness gate checks exactly the FIRST 50 entries of
 # queries() (insertion order). This tuple IS the window: one representative
-# per DISTINCT operator family, rotated each round so newly added families
-# get a hard driver-enforced signal. Round-5 rotation (VERDICT r4 item #1):
-# ten per-family duplicates demoted to 51+ (each family keeps a gated
-# sibling — see the demotion notes at the 51+ section) in favor of the ten
-# round-4 families that previously sat outside the window.
+# per DISTINCT operator family, rotated whenever new families land so each
+# gets a hard driver-enforced signal (six rotations through round 5 —
+# every demotion is annotated inline with the sibling that keeps its
+# family gated; every demoted query stays oracle-verified at 51+ via
+# tools/verify_local.py).
 GATED_50 = (
     # core profiler + per-column stats (lineitem = numerics/decimals/dates,
     # events = timestamps/strings; string rendering also via topk/documents
