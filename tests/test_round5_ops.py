@@ -1046,3 +1046,34 @@ def test_image_texture_features_semantics(spark):
     assert 0.9 < c["luma_entropy"] < 1.1  # two equiprobable luma values
     assert c["luma_contrast"] > 100
     assert not got[3]["decoded"]
+
+
+def test_typo_pairs_randomized_vs_exhaustive(spark):
+    """Randomized SymSpell completeness: on random short words over a
+    small alphabet (dense distance-1/2 structure), the blocked join must
+    find EXACTLY the pairs an exhaustive O(V^2) Python compare finds."""
+    import itertools
+    import random
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    rng = random.Random(17)
+    for trial in range(3):
+        vocab = {"".join(rng.choice("abc")
+                         for _ in range(rng.randint(1, 5)))
+                 for _ in range(25)}
+        docs = [(i, w) for i, w in enumerate(sorted(vocab))]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {(r["token_a"], r["token_b"]): r["dist"]
+               for r in text_ops.typo_pairs(df, max_dist=2).collect()}
+        want = {(a, b): lev(a, b)
+                for a, b in itertools.combinations(sorted(vocab), 2)
+                if lev(a, b) <= 2}
+        assert got == want, (trial, got.keys() ^ want.keys())
