@@ -712,6 +712,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_clusters_documents"] = _tq(text_ops.doc_clusters, "documents",
                                       k=8)
 
+    # readability + encoding-health screens (text-cleaning v2)
+    q["readability_documents"] = _tq(text_ops.readability, "documents")
+    q["charset_audit_documents"] = _tq(text_ops.charset_audit,
+                                       "documents")
+
     # entity compaction + concentration (skew) report
     q["latest_by_key_events"] = _tq(ev_ops.latest_by_key, "events")
     q["pareto_share_events"] = _tq(ev_ops.pareto_share, "events")
@@ -1174,6 +1179,8 @@ def oracle_sql() -> dict[str, str]:
     o["cluster_sample_documents"] = op.cluster_balanced_sample_sql(
         k_per_cluster=5, k=8)
     o["js_drift_documents"] = op.js_drift_sql()
+    o["readability_documents"] = op.readability_sql()
+    o["charset_audit_documents"] = op.charset_audit_sql()
     o["latest_by_key_events"] = op.latest_by_key_sql()
     o["pareto_share_events"] = op.pareto_share_sql()
     o["embedding_diversity"] = op.embedding_diversity_sql()

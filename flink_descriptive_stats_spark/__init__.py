@@ -134,6 +134,8 @@ _API = {
                                 "audio_spectral_features"),
     "image_texture_features": ("operators.multimodal",
                                "image_texture_features"),
+    "readability": ("operators.text", "readability"),
+    "charset_audit": ("operators.text", "charset_audit"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

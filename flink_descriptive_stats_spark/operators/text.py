@@ -610,3 +610,77 @@ def doc_clusters(df: DataFrame, k: int = 8, text_col: str = "text",
     return d.select(
         F.col("id").alias("doc_id"),
         ranked_cells_expr(crows)[0]["cell_id"].alias("cluster_id"))
+
+
+VOWEL_GROUP_RE = "[aeiouyAEIOUY]+"
+NON_ASCII_RE = "[^\\x00-\\x7f]"
+CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+def readability(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Readability proxies per document: (id, n_words, n_syllables,
+    words_per_sentence, syllables_per_word, long_word_ratio, flesch) —
+    the simple-English / gibberish screen of a text-quality pipeline.
+    Syllables are approximated by VOWEL GROUPS (the standard
+    dictionary-free proxy), sentences by terminal-punctuation runs
+    (min 1 so the formula stays defined on fragment-only docs), and
+    flesch = 206.835 - 1.015 * words/sentence - 84.6 * syllables/word
+    (Flesch 1948 — published constants).
+
+    All JVM regexp counts over one scan, zero Python; ratios are exact
+    integer divisions rendered via sig6."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    c = F.col(text_col)
+    words = F.size(H.tokens_expr(c)).cast("double")
+    syll = F.size(F.regexp_extract_all(c, F.lit(VOWEL_GROUP_RE), 0)) \
+        .cast("double")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit("[.!?]+"), 0)),
+        F.lit(1)).cast("double")
+    longw = F.size(F.filter(H.tokens_expr(c),
+                            lambda t: F.length(t) >= 7)).cast("double")
+    wps = F.when(words > 0, words / sents)
+    spw = F.when(words > 0, syll / words)
+    flesch = F.when(words > 0,
+                    F.lit(206.835) - F.lit(1.015) * (words / sents)
+                    - F.lit(84.6) * (syll / words))
+    return (df.where(c.isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    words.cast("bigint").alias("n_words"),
+                    syll.cast("bigint").alias("n_syllables"),
+                    sig6(wps).alias("words_per_sentence"),
+                    sig6(spw).alias("syllables_per_word"),
+                    sig6(F.when(words > 0, longw / words))
+                    .alias("long_word_ratio"),
+                    sig6(flesch).alias("flesch")))
+
+
+def charset_audit(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Encoding-health audit per document: (id, n_chars, n_non_ascii,
+    n_control, n_replacement, non_ascii_ratio, suspect) — the mojibake /
+    binary-contamination screen a crawl-cleaning pipeline runs before
+    any language processing. ``suspect`` flags docs with replacement
+    characters (U+FFFD — a decode already failed upstream), any control
+    characters, or >30% non-ASCII in a corpus expected to be mostly
+    Latin. Narrow regexp counts, one scan."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    c = F.col(text_col)
+    n = F.length(c).cast("bigint")
+    non_ascii = F.size(F.regexp_extract_all(
+        c, F.lit(NON_ASCII_RE), 0)).cast("bigint")
+    control = F.size(F.regexp_extract_all(
+        c, F.lit(CONTROL_RE), 0)).cast("bigint")
+    repl = F.size(F.regexp_extract_all(
+        c, F.lit("�"), 0)).cast("bigint")
+    ratio = F.when(n > 0, non_ascii.cast("double") / n.cast("double"))
+    suspect = ((repl > 0) | (control > 0)
+               | F.coalesce(ratio > 0.3, F.lit(False)))
+    return (df.where(c.isNotNull())
+            .select(F.col(id_col).alias("id"), n.alias("n_chars"),
+                    non_ascii.alias("n_non_ascii"),
+                    control.alias("n_control"),
+                    repl.alias("n_replacement"),
+                    sig6(ratio).alias("non_ascii_ratio"),
+                    suspect.alias("suspect")))

@@ -2051,3 +2051,50 @@ WITH t AS (SELECT {key} AS k, sum(CAST({value} AS DOUBLE)) AS v
                            ROWS UNBOUNDED PRECEDING) AS cum
        FROM t)
 """ + "\nUNION ALL\n".join(branches)
+
+
+def readability_sql(table: str = "documents", text_col: str = "text",
+                    id_col: str = "doc_id") -> str:
+    """Mirror of text.readability (same regex classes + Flesch 1948
+    constants)."""
+    words = f"len({H.duck_tokens(text_col)})"
+    syll = (f"len(regexp_extract_all({text_col}, "
+            f"'{TX.VOWEL_GROUP_RE}'))")
+    sents = (f"greatest(len(regexp_extract_all({text_col}, '[.!?]+')), 1)")
+    longw = (f"len(list_filter({H.duck_tokens(text_col)}, "
+             f"t -> length(t) >= 7))")
+    w = f"CAST({words} AS DOUBLE)"
+    sy = f"CAST({syll} AS DOUBLE)"
+    se = f"CAST({sents} AS DOUBLE)"
+    lw = f"CAST({longw} AS DOUBLE)"
+    def guard(expr):
+        return f"CASE WHEN {w} > 0 THEN {duck_sig6(expr)} END"
+    return f"""
+SELECT {id_col} AS id, CAST({words} AS BIGINT) AS n_words,
+  CAST({syll} AS BIGINT) AS n_syllables,
+  {guard(f'{w} / {se}')} AS words_per_sentence,
+  {guard(f'{sy} / {w}')} AS syllables_per_word,
+  {guard(f'{lw} / {w}')} AS long_word_ratio,
+  {guard(f'206.835 - 1.015 * ({w} / {se}) - 84.6 * ({sy} / {w})')}
+    AS flesch
+FROM {table} WHERE {text_col} IS NOT NULL"""
+
+
+def charset_audit_sql(table: str = "documents", text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    """Mirror of text.charset_audit."""
+    n = f"CAST(length({text_col}) AS BIGINT)"
+    na = (f"CAST(len(regexp_extract_all({text_col}, "
+          f"'{TX.NON_ASCII_RE}')) AS BIGINT)")
+    ctl = (f"CAST(len(regexp_extract_all({text_col}, "
+           f"'{TX.CONTROL_RE}')) AS BIGINT)")
+    rp = (f"CAST(len(regexp_extract_all({text_col}, "
+          f"'{chr(0xFFFD)}')) AS BIGINT)")
+    ratio = f"CASE WHEN {n} > 0 THEN CAST({na} AS DOUBLE) / {n} END"
+    return f"""
+SELECT {id_col} AS id, {n} AS n_chars, {na} AS n_non_ascii,
+  {ctl} AS n_control, {rp} AS n_replacement,
+  CASE WHEN {n} > 0 THEN {duck_sig6(f'CAST({na} AS DOUBLE) / {n}')} END
+    AS non_ascii_ratio,
+  ({rp} > 0 OR {ctl} > 0 OR coalesce(({ratio}) > 0.3, FALSE)) AS suspect
+FROM {table} WHERE {text_col} IS NOT NULL"""

@@ -1077,3 +1077,36 @@ def test_typo_pairs_randomized_vs_exhaustive(spark):
                 for a, b in itertools.combinations(sorted(vocab), 2)
                 if lev(a, b) <= 2}
         assert got == want, (trial, got.keys() ^ want.keys())
+
+
+def test_readability_semantics(spark):
+    docs = [(1, "The cat sat. The dog ran away!"),
+            (2, "incomprehensibility notwithstanding"),   # long words
+            (3, "")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["id"]: r for r in text_ops.readability(df).collect()}
+    r1 = got[1]
+    assert r1["n_words"] == 7
+    # vowel groups: e,a,a | e,o,a,a,ay -> 8 total
+    assert r1["n_syllables"] == 8
+    assert abs(_f(r1["words_per_sentence"]) - 3.5) < 1e-6
+    # simple text scores HIGHER flesch than long-word jargon
+    assert _f(got[1]["flesch"]) > _f(got[2]["flesch"])
+    assert _f(got[2]["long_word_ratio"]) == 1.0
+    # empty doc: counts 0, ratios NULL
+    assert got[3]["n_words"] == 0 and got[3]["flesch"] is None
+
+
+def test_charset_audit_semantics(spark):
+    docs = [(1, "plain ascii text"),
+            (2, "café naïve résumé"),
+            (3, "bad\x01control"),
+            (4, "lost�bytes"),
+            (5, "中文文本")]     # all non-ascii
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["id"]: r for r in text_ops.charset_audit(df).collect()}
+    assert got[1]["n_non_ascii"] == 0 and not got[1]["suspect"]
+    assert got[2]["n_non_ascii"] == 4 and not got[2]["suspect"]
+    assert got[3]["n_control"] == 1 and got[3]["suspect"]
+    assert got[4]["n_replacement"] == 1 and got[4]["suspect"]
+    assert got[5]["suspect"]              # >30% non-ascii
