@@ -1110,3 +1110,34 @@ def test_charset_audit_semantics(spark):
     assert got[3]["n_control"] == 1 and got[3]["suspect"]
     assert got[4]["n_replacement"] == 1 and got[4]["suspect"]
     assert got[5]["suspect"]              # >30% non-ascii
+
+
+def test_approx_paths_measured_accuracy(spark):
+    """The documented scale paths carry measured accuracy bars, not just
+    claims: HLL++ distinct within 3x its configured rsd on every lineitem
+    column, and GK approximate quartiles within 2% relative of exact on
+    the skewed continuous columns."""
+    from flink_descriptive_stats_spark.sources.tables import load_table
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_extendedprice"]
+
+    exact = {r["column"]: r["distinct_count"] for r in
+             extras.distinct_counts(li, columns=cols,
+                                    exact=True).collect()}
+    approx = {r["column"]: r["approx_distinct_count"] for r in
+              extras.approx_distinct_counts(li, rsd=0.05,
+                                            columns=cols).collect()}
+    for c in cols:
+        rel = abs(approx[c] - exact[c]) / exact[c]
+        assert rel < 0.15, (c, exact[c], approx[c])
+
+    qe = {r["column"]: r for r in
+          extras.quantiles(li, columns=["l_extendedprice"],
+                           exact=True).collect()}
+    qa = {r["column"]: r for r in
+          extras.quantiles(li, columns=["l_extendedprice"],
+                           exact=False).collect()}
+    for q in ("q_25", "q_50", "q_75"):
+        e = _f(qe["l_extendedprice"][q])
+        a = _f(qa["l_extendedprice"][q])
+        assert abs(a - e) / abs(e) < 0.02, (q, e, a)
