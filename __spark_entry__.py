@@ -712,6 +712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_clusters_documents"] = _tq(text_ops.doc_clusters, "documents",
                                       k=8)
 
+    # PMI collocation mining (phrase detection for tokenizer prep)
+    q["collocations_documents"] = _tq(text_ops.collocations, "documents")
+
     # readability + encoding-health screens (text-cleaning v2)
     q["readability_documents"] = _tq(text_ops.readability, "documents")
     q["charset_audit_documents"] = _tq(text_ops.charset_audit,
@@ -1179,6 +1182,7 @@ def oracle_sql() -> dict[str, str]:
     o["cluster_sample_documents"] = op.cluster_balanced_sample_sql(
         k_per_cluster=5, k=8)
     o["js_drift_documents"] = op.js_drift_sql()
+    o["collocations_documents"] = op.collocations_sql()
     o["readability_documents"] = op.readability_sql()
     o["charset_audit_documents"] = op.charset_audit_sql()
     o["latest_by_key_events"] = op.latest_by_key_sql()

@@ -136,6 +136,7 @@ _API = {
                                "image_texture_features"),
     "readability": ("operators.text", "readability"),
     "charset_audit": ("operators.text", "charset_audit"),
+    "collocations": ("operators.text", "collocations"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

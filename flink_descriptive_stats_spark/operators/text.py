@@ -684,3 +684,54 @@ def charset_audit(df: DataFrame, text_col: str = "text",
                     repl.alias("n_replacement"),
                     sig6(ratio).alias("non_ascii_ratio"),
                     suspect.alias("suspect")))
+
+
+def collocations(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", min_count: int = 5,
+                 k: int = 20) -> DataFrame:
+    """Collocation (phrase) mining: top-k adjacent token pairs by PMI —
+    pmi = ln(p(a,b) / (p(a) p(b))) over bigram/unigram corpus counts,
+    the word2vec-phrases primitive that decides which token pairs should
+    merge before tokenizer training. ``min_count`` filters rare bigrams
+    BEFORE scoring (rare pairs have wildly inflated PMI — the standard
+    guard). Output: (token_a, token_b, n_pair, n_a, n_b, pmi, rank),
+    deterministic ties (pmi desc via its sig6 rendering, then pair asc).
+
+    Shape: one bigram groupBy + one unigram groupBy (both map-side
+    combined), two vocabulary-keyed joins of bounded count tables, and
+    the rank window runs over the min_count-filtered bigram set with
+    WindowGroupLimit. Totals are 1-row aggregates inlined as literals."""
+    from pyspark.sql import Window
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    toks = (df.where(F.col(text_col).isNotNull())
+            .select(H.tokens_expr(F.col(text_col)).alias("tk")))
+    idx = F.explode(F.sequence(F.lit(0), F.size("tk") - 2))
+    bg = (toks.where(F.size("tk") >= 2)
+          .select("tk", idx.alias("i"))
+          .select(F.element_at("tk", F.col("i") + 1).alias("a"),
+                  F.element_at("tk", F.col("i") + 2).alias("b")))
+    bc = (bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_pair"))
+          .where(F.col("n_pair") >= min_count))
+    uni = (toks.select(F.explode("tk").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("n_w")))
+    totals = bg.agg(F.count(F.lit(1)).alias("nb")).collect()[0]
+    n_bigrams = int(totals["nb"])
+    n_tokens = int(toks.select(F.explode("tk")).count())
+    j = (bc.join(uni.select(F.col("w").alias("a"),
+                            F.col("n_w").alias("n_a")), "a")
+         .join(uni.select(F.col("w").alias("b"),
+                          F.col("n_w").alias("n_b")), "b"))
+    pmi = F.log(
+        (F.col("n_pair").cast("double") / F.lit(float(n_bigrams)))
+        / ((F.col("n_a").cast("double") / F.lit(float(n_tokens)))
+           * (F.col("n_b").cast("double") / F.lit(float(n_tokens)))))
+    scored = j.select(F.col("a").alias("token_a"),
+                      F.col("b").alias("token_b"),
+                      "n_pair", "n_a", "n_b", sig6(pmi).alias("pmi"))
+    # rank on the RENDERED pmi so the discrete ordering cannot fork on
+    # ln() ULPs across engines; sig6 strings of same-sign same-exponent
+    # values do not sort lexicographically, so order by the parsed value
+    w = Window.orderBy(F.col("pmi").cast("double").desc(),
+                       F.col("token_a").asc(), F.col("token_b").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

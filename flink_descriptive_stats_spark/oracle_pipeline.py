@@ -2098,3 +2098,35 @@ SELECT {id_col} AS id, {n} AS n_chars, {na} AS n_non_ascii,
     AS non_ascii_ratio,
   ({rp} > 0 OR {ctl} > 0 OR coalesce(({ratio}) > 0.3, FALSE)) AS suspect
 FROM {table} WHERE {text_col} IS NOT NULL"""
+
+
+def collocations_sql(table: str = "documents", text_col: str = "text",
+                     min_count: int = 5, k: int = 20) -> str:
+    """Mirror of text.collocations (same min_count guard, same rank on
+    the sig6-rendered PMI parsed back to double)."""
+    return f"""
+WITH t AS (SELECT {H.duck_tokens(text_col)} AS tk FROM {table}
+           WHERE {text_col} IS NOT NULL),
+ bg AS (SELECT tk[u.i] AS a, tk[u.i + 1] AS b
+        FROM t, LATERAL (SELECT unnest(generate_series(
+               1, len(tk) - 1)) AS i) u
+        WHERE len(tk) >= 2),
+ bc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_pair FROM bg
+        GROUP BY 1, 2 HAVING count(*) >= {min_count}),
+ uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w
+         FROM (SELECT unnest(tk) AS w FROM t) GROUP BY 1),
+ tot AS (SELECT (SELECT count(*) FROM bg) AS nb,
+                (SELECT sum(len(tk)) FROM t) AS nt),
+ sc AS (SELECT bc.a AS token_a, bc.b AS token_b, bc.n_pair,
+               ua.n_w AS n_a, ub.n_w AS n_b,
+               {duck_sig6('ln((CAST(bc.n_pair AS DOUBLE) / tot.nb) / '
+                          '((CAST(ua.n_w AS DOUBLE) / tot.nt) * '
+                          '(CAST(ub.n_w AS DOUBLE) / tot.nt)))')} AS pmi
+        FROM bc JOIN uni ua ON bc.a = ua.w
+                JOIN uni ub ON bc.b = ub.w
+        CROSS JOIN tot)
+SELECT token_a, token_b, n_pair, n_a, n_b, pmi,
+       CAST(row_number() OVER (ORDER BY CAST(pmi AS DOUBLE) DESC,
+            token_a ASC, token_b ASC) AS INTEGER) AS rank
+FROM sc
+QUALIFY rank <= {k}"""

@@ -1141,3 +1141,24 @@ def test_approx_paths_measured_accuracy(spark):
         e = _f(qe["l_extendedprice"][q])
         a = _f(qa["l_extendedprice"][q])
         assert abs(a - e) / abs(e) < 0.02, (q, e, a)
+
+
+def test_collocations_semantics(spark):
+    import math as m
+    # "new york" always co-occurs (a true phrase); "the" also appears
+    # in unrelated contexts, so its pairs carry lower PMI
+    docs = [(i, "new york the cat") if i % 2 == 0
+            else (i, "new york the dog") for i in range(10)]
+    docs += [(100 + i, "the fish") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {(r["token_a"], r["token_b"]): r
+           for r in text_ops.collocations(df, min_count=3, k=10).collect()}
+    ny = got[("new", "york")]
+    assert ny["n_pair"] == 10 and ny["rank"] == 1
+    # exact PMI: 34 bigrams, 48 tokens; p(new,york)=10/34,
+    # p(new)=p(york)=10/48
+    want = m.log((10 / 34) / ((10 / 48) * (10 / 48)))
+    assert abs(_f(ny["pmi"]) - want) < 1e-5
+    assert _f(ny["pmi"]) > _f(got[("the", "cat")]["pmi"])
+    # rare pairs below min_count never appear
+    assert all(r["n_pair"] >= 3 for r in got.values())
