@@ -712,6 +712,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_clusters_documents"] = _tq(text_ops.doc_clusters, "documents",
                                       k=8)
 
+    # schema tightening: the ACTION layer over the reference's latent-
+    # type counters; typed columns stringified on both sides so every
+    # suggestion branch (bigint / double / date / string) is exercised
+    def _schema_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = _load(spark, sf_dir, "lineitem")
+        d = li.select(
+            F.col("l_orderkey").cast("string").alias("order_id_str"),
+            F.col("l_quantity").cast("string").alias("qty_str"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_str"),
+            F.col("l_returnflag").alias("flag_str"))
+        return extras.schema_suggestions(d)
+    q["schema_suggestions_lineitem"] = _schema_suggestions
+
     # PMI collocation mining (phrase detection for tokenizer prep)
     q["collocations_documents"] = _tq(text_ops.collocations, "documents")
 
@@ -1182,6 +1195,12 @@ def oracle_sql() -> dict[str, str]:
     o["cluster_sample_documents"] = op.cluster_balanced_sample_sql(
         k_per_cluster=5, k=8)
     o["js_drift_documents"] = op.js_drift_sql()
+    o["schema_suggestions_lineitem"] = op.schema_suggestions_sql(
+        "(SELECT CAST(l_orderkey AS VARCHAR) AS order_id_str, "
+        "CAST(l_quantity AS VARCHAR) AS qty_str, "
+        "strftime(l_shipdate, '%Y-%m-%d') AS ship_str, "
+        "l_returnflag AS flag_str FROM lineitem)",
+        ["order_id_str", "qty_str", "ship_str", "flag_str"])
     o["collocations_documents"] = op.collocations_sql()
     o["readability_documents"] = op.readability_sql()
     o["charset_audit_documents"] = op.charset_audit_sql()

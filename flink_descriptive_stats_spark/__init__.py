@@ -137,6 +137,7 @@ _API = {
     "readability": ("operators.text", "readability"),
     "charset_audit": ("operators.text", "charset_audit"),
     "collocations": ("operators.text", "collocations"),
+    "schema_suggestions": ("operators.extras", "schema_suggestions"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

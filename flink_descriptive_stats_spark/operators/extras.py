@@ -969,3 +969,60 @@ def woe_iv(df: DataFrame, feature_col: str, label_col,
     woe = F.log(ps / ns)
     return g.select("bin", "n", "n_pos", sig6(woe).alias("woe"),
                     sig6((ps - ns) * woe).alias("iv_term"))
+
+
+def schema_suggestions(df: DataFrame) -> DataFrame:
+    """Schema-tightening report: for every STRING column, what type do
+    the VALUES actually carry — (column, current_type, suggested_type,
+    n_non_null, parse_rate). The action layer over the reference's
+    latent-type counters (StatsPojo.java:306-371 counts how many values
+    parse as bool/int/long/float/date; this turns those counts into a
+    migration suggestion): suggested_type is the STRICTEST type that
+    EVERY non-null value parses as (boolean > bigint > double > date >
+    string, same Java-strict parse expressions as the profile), and
+    parse_rate is that type's share (1.0 for a clean suggestion; < 1
+    only for the 'string' fallback, where it reports the best partial
+    candidate's share).
+
+    ONE aggregation pass over all string columns (the same fold-into-
+    one-agg shape as profile/check_constraints)."""
+    from pyspark.sql import types as T
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    cols = [f.name for f in df.schema.fields
+            if isinstance(f.dataType, T.StringType)]
+    if not cols:
+        return df.sparkSession.createDataFrame(
+            [], "column string, current_type string, "
+                "suggested_type string, n_non_null bigint, "
+                "parse_rate string")
+    aggs = []
+    for c in cols:
+        x = F.col(c)
+        aggs += [
+            F.count(x).alias(f"{c}__n"),
+            F.count_if(scalar.parses_bool_expr(x)).alias(f"{c}__bool"),
+            F.count_if(scalar.parses_long_expr(x)).alias(f"{c}__long"),
+            F.count_if(scalar.parses_float_expr(x)).alias(f"{c}__dbl"),
+            F.count_if(scalar.parses_date_expr(x)).alias(f"{c}__date"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for c in cols:
+        n = int(row[f"{c}__n"])
+        counts = [("boolean", int(row[f"{c}__bool"])),
+                  ("bigint", int(row[f"{c}__long"])),
+                  ("double", int(row[f"{c}__dbl"])),
+                  ("date", int(row[f"{c}__date"]))]
+        suggested, rate = "string", None
+        if n > 0:
+            for t, k in counts:
+                if k == n:
+                    suggested, rate = t, 1.0
+                    break
+            else:
+                best = max(k for _, k in counts)
+                rate = best / n
+        out.append((c, "string", suggested, n, sig6_py(rate)))
+    return df.sparkSession.createDataFrame(
+        out, "column string, current_type string, suggested_type string, "
+             "n_non_null bigint, parse_rate string")

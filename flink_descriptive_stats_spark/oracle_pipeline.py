@@ -2130,3 +2130,42 @@ SELECT token_a, token_b, n_pair, n_a, n_b, pmi,
             token_a ASC, token_b ASC) AS INTEGER) AS rank
 FROM sc
 QUALIFY rank <= {k}"""
+
+
+def schema_suggestions_sql(table_expr: str, columns: list[str]) -> str:
+    """Mirror of extras.schema_suggestions over the given string columns
+    (same Java-strict parse SQL as the profile oracle; the table_expr may
+    be a subquery — the gate stringifies typed columns on both sides)."""
+    from flink_descriptive_stats_spark.functions import scalar as SC
+    exprs = []
+    for c in columns:
+        exprs += [
+            f"count({c}) AS {c}__n",
+            f"count(*) FILTER (WHERE {SC.duck_parses_bool(c)}) "
+            f"AS {c}__bool",
+            f"count(*) FILTER (WHERE {SC.duck_parses_long(c)}) "
+            f"AS {c}__long",
+            f"count(*) FILTER (WHERE {SC.duck_parses_float(c)}) "
+            f"AS {c}__dbl",
+            f"count(*) FILTER (WHERE {SC.duck_parses_date(c)}) "
+            f"AS {c}__date"]
+    branches = []
+    for c in columns:
+        n = f"{c}__n"
+        sug = (f"CASE WHEN {n} = 0 THEN 'string' "
+               f"WHEN {c}__bool = {n} THEN 'boolean' "
+               f"WHEN {c}__long = {n} THEN 'bigint' "
+               f"WHEN {c}__dbl = {n} THEN 'double' "
+               f"WHEN {c}__date = {n} THEN 'date' "
+               f"ELSE 'string' END")
+        best = (f"greatest({c}__bool, {c}__long, {c}__dbl, {c}__date)")
+        rate = (f"CASE WHEN {n} = 0 THEN NULL "
+                f"WHEN {sug} != 'string' THEN 1.0 "
+                f"ELSE CAST({best} AS DOUBLE) / {n} END")
+        branches.append(
+            f"SELECT '{c}' AS \"column\", 'string' AS current_type, "
+            f"{sug} AS suggested_type, CAST({n} AS BIGINT) AS n_non_null, "
+            f"CASE WHEN {n} > 0 THEN {duck_sig6(rate)} END AS parse_rate "
+            f"FROM agg")
+    return (f"WITH agg AS (SELECT {', '.join(exprs)} FROM {table_expr})\n"
+            + "\nUNION ALL\n".join(branches))

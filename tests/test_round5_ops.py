@@ -1162,3 +1162,31 @@ def test_collocations_semantics(spark):
     assert _f(ny["pmi"]) > _f(got[("the", "cat")]["pmi"])
     # rare pairs below min_count never appear
     assert all(r["n_pair"] >= 3 for r in got.values())
+
+
+def test_schema_suggestions_semantics(spark):
+    # NOTE the bools fixture is all-"true": the suggestion reuses the
+    # PROFILE's reference-faithful counter (Boolean.parseBoolean quirk —
+    # only "true" increments, StatsPojo.java:306-313), so a true/false
+    # column correctly stays string under that contract
+    df = spark.createDataFrame(
+        [("1", "true", "2024-01-02", "1", None),
+         ("22", "TRUE", "2024-02-03", "x", None),
+         ("-3", "true", "2024-12-31", "2", None)],
+        "ints string, bools string, dates string, mixed string, "
+        "allnull string")
+    got = {r["column"]: r for r in
+           extras.schema_suggestions(df).collect()}
+    assert got["ints"]["suggested_type"] == "bigint"
+    assert got["bools"]["suggested_type"] == "boolean"
+    assert got["dates"]["suggested_type"] == "date"
+    # partial parses stay string, best candidate's share reported
+    m = got["mixed"]
+    assert m["suggested_type"] == "string"
+    assert abs(_f(m["parse_rate"]) - 2 / 3) < 1e-5
+    # all-NULL column: no evidence, no suggestion
+    assert got["allnull"]["suggested_type"] == "string"
+    assert got["allnull"]["parse_rate"] is None
+    # a non-string-typed frame yields an empty report
+    num = spark.createDataFrame([(1,)], "x bigint")
+    assert extras.schema_suggestions(num).count() == 0
