@@ -712,6 +712,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_clusters_documents"] = _tq(text_ops.doc_clusters, "documents",
                                       k=8)
 
+    # per-segment constraint report (which SOURCE violates): text
+    # length and lang rules evaluated per documents.source
+    _DOC_RULES = [
+        ("not_null", "text"),
+        ("in_range", "n_chars", 0, 200),
+        ("in_set", "lang", ("en", "de", "fr")),
+    ]
+    q["check_constraints_by_source"] = _tq(
+        quality.check_constraints_by, "documents", rules=_DOC_RULES,
+        group_col="source")
+
     # schema tightening: the ACTION layer over the reference's latent-
     # type counters; typed columns stringified on both sides so every
     # suggestion branch (bigint / double / date / string) is exercised
@@ -1195,6 +1206,12 @@ def oracle_sql() -> dict[str, str]:
     o["cluster_sample_documents"] = op.cluster_balanced_sample_sql(
         k_per_cluster=5, k=8)
     o["js_drift_documents"] = op.js_drift_sql()
+    o["check_constraints_by_source"] = op.check_constraints_by_sql(
+        "documents", [
+            ("not_null", "text"),
+            ("in_range", "n_chars", 0, 200),
+            ("in_set", "lang", ("en", "de", "fr")),
+        ], "source")
     o["schema_suggestions_lineitem"] = op.schema_suggestions_sql(
         "(SELECT CAST(l_orderkey AS VARCHAR) AS order_id_str, "
         "CAST(l_quantity AS VARCHAR) AS qty_str, "

@@ -138,6 +138,7 @@ _API = {
     "charset_audit": ("operators.text", "charset_audit"),
     "collocations": ("operators.text", "collocations"),
     "schema_suggestions": ("operators.extras", "schema_suggestions"),
+    "check_constraints_by": ("operators.quality", "check_constraints_by"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

@@ -80,3 +80,32 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
     return df.sparkSession.createDataFrame(
         out, "rule string, column string, n_rows bigint, "
              "n_violations bigint, passed boolean")
+
+
+def check_constraints_by(df: DataFrame, rules: list[Rule],
+                         group_col: str) -> DataFrame:
+    """Per-segment constraint report: the same declarative rule suite
+    evaluated PER GROUP — (group, rule, column, n_rows, n_violations,
+    passed) — the which-source-is-dirty view that turns a failing
+    corpus-level check into an actionable upstream ticket.
+
+    ONE grouped aggregation pass (the conditional-count expressions ride
+    a groupBy instead of a global agg); `unique` rules become per-group
+    exact count_distincts. Output is bounded by groups x rules; the
+    melt from wide aggregate columns to rule rows happens on that
+    bounded frame, never on data."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs += [_violation_expr(r).alias(f"__v{i}")
+             for i, r in enumerate(rules)]
+    g = df.groupBy(F.col(group_col).alias("group")).agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(rule_label(r)).alias("rule"),
+                 F.lit(r[1]).alias("column"),
+                 F.col(f"__v{i}").alias("n_violations"))
+        for i, r in enumerate(rules)])
+    return (g.select("group", F.col("__n").alias("n_rows"),
+                     F.explode(rows).alias("r"))
+            .select("group", F.col("r.rule").alias("rule"),
+                    F.col("r.column").alias("column"), "n_rows",
+                    F.col("r.n_violations").alias("n_violations"),
+                    (F.col("r.n_violations") == 0).alias("passed")))

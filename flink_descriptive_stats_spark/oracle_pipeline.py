@@ -2169,3 +2169,40 @@ def schema_suggestions_sql(table_expr: str, columns: list[str]) -> str:
             f"FROM agg")
     return (f"WITH agg AS (SELECT {', '.join(exprs)} FROM {table_expr})\n"
             + "\nUNION ALL\n".join(branches))
+
+
+def check_constraints_by_sql(table: str, rules: list[tuple],
+                             group_col: str) -> str:
+    """Mirror of quality.check_constraints_by (same per-group fold)."""
+    from flink_descriptive_stats_spark.operators.quality import rule_label
+    exprs = []
+    for i, r in enumerate(rules):
+        kind, c = r[0], r[1]
+        if kind == "not_null":
+            e = f"count(CASE WHEN {c} IS NULL THEN 1 END)"
+        elif kind == "unique":
+            e = f"count({c}) - count(DISTINCT {c})"
+        elif kind == "in_range":
+            e = (f"count(CASE WHEN NOT ({c} BETWEEN {_sql_lit(r[2])} "
+                 f"AND {_sql_lit(r[3])}) THEN 1 END)")
+        elif kind == "matches":
+            e = (f"count(CASE WHEN {c} IS NOT NULL AND NOT "
+                 f"regexp_matches(CAST({c} AS VARCHAR), {_sql_lit(r[2])})"
+                 f" THEN 1 END)")
+        elif kind == "in_set":
+            vals = ", ".join(_sql_lit(v) for v in r[2])
+            e = (f"count(CASE WHEN {c} IS NOT NULL AND {c} NOT IN "
+                 f"({vals}) THEN 1 END)")
+        else:
+            raise ValueError(f"unknown constraint kind: {kind!r}")
+        exprs.append(f"{e} AS v{i}")
+    branches = []
+    for i, r in enumerate(rules):
+        branches.append(
+            f"SELECT \"group\", {_sql_lit(rule_label(r))} AS rule, "
+            f"{_sql_lit(r[1])} AS \"column\", n AS n_rows, "
+            f"CAST(v{i} AS BIGINT) AS n_violations, "
+            f"v{i} = 0 AS passed FROM agg")
+    return (f"WITH agg AS (SELECT {group_col} AS \"group\", "
+            f"count(*) AS n, {', '.join(exprs)} FROM {table} "
+            f"GROUP BY 1)\n" + "\nUNION ALL\n".join(branches))

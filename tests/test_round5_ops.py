@@ -1190,3 +1190,23 @@ def test_schema_suggestions_semantics(spark):
     # a non-string-typed frame yields an empty report
     num = spark.createDataFrame([(1,)], "x bigint")
     assert extras.schema_suggestions(num).count() == 0
+
+
+def test_check_constraints_by_semantics(spark):
+    from flink_descriptive_stats_spark.operators import quality
+    df = spark.createDataFrame(
+        [("a", 1, 0.5), ("a", 1, 2.0), ("b", 2, 0.1), ("b", None, 0.2)],
+        "src string, k bigint, v double")
+    rules = [("not_null", "k"), ("unique", "k"),
+             ("in_range", "v", 0.0, 1.0)]
+    got = {(r["group"], r["rule"]): r for r in
+           quality.check_constraints_by(df, rules, "src").collect()}
+    # group a: k duplicated, one v out of range, no nulls
+    assert got[("a", "unique")]["n_violations"] == 1
+    assert got[("a", "in_range[0.0,1.0]")]["n_violations"] == 1
+    assert got[("a", "not_null")]["passed"]
+    # group b: one null k, unique among present values, all v in range
+    assert got[("b", "not_null")]["n_violations"] == 1
+    assert got[("b", "unique")]["passed"]
+    assert got[("b", "in_range[0.0,1.0]")]["passed"]
+    assert all(r["n_rows"] == 2 for r in got.values())
