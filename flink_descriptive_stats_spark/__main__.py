@@ -188,6 +188,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="';'-separated rules: not_null:col | unique:col | "
                          "in_range:col:lo:hi | matches:col:regex | "
                          "in_set:col:v1|v2")
+    ck.add_argument("--by", default=None,
+                    help="evaluate the suite per value of this column")
     _add_common(ck)
 
     ac = sub.add_parser("acf", help="per-series autocorrelation function")
@@ -591,8 +593,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "check":
         from flink_descriptive_stats_spark.operators import quality
         df = _load(spark, args.input, args.format)
-        _emit(quality.check_constraints(df, parse_rules(args.rules)),
-              args.output)
+        rules = parse_rules(args.rules)
+        out = (quality.check_constraints_by(df, rules, args.by)
+               if args.by else quality.check_constraints(df, rules))
+        _emit(out, args.output)
         return 0
 
     if args.cmd == "acf":
