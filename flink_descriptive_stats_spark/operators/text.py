@@ -632,28 +632,33 @@ def readability(df: DataFrame, text_col: str = "text",
     integer divisions rendered via sig6."""
     from flink_descriptive_stats_spark.functions.sig import sig6
     c = F.col(text_col)
-    words = F.size(H.tokens_expr(c)).cast("double")
-    syll = F.size(F.regexp_extract_all(c, F.lit(VOWEL_GROUP_RE), 0)) \
+    # tokenize ONCE (a projection boundary; the word count and the
+    # long-word filter both read the materialized array instead of
+    # re-running the extraction regex)
+    base = (df.where(c.isNotNull())
+            .select(F.col(id_col).alias("id"), c.alias("__t"),
+                    H.tokens_expr(c).alias("__tk")))
+    t = F.col("__t")
+    words = F.size("__tk").cast("double")
+    syll = F.size(F.regexp_extract_all(t, F.lit(VOWEL_GROUP_RE), 0)) \
         .cast("double")
     sents = F.greatest(
-        F.size(F.regexp_extract_all(c, F.lit("[.!?]+"), 0)),
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), 0)),
         F.lit(1)).cast("double")
-    longw = F.size(F.filter(H.tokens_expr(c),
-                            lambda t: F.length(t) >= 7)).cast("double")
+    longw = F.size(F.filter(F.col("__tk"),
+                            lambda w: F.length(w) >= 7)).cast("double")
     wps = F.when(words > 0, words / sents)
     spw = F.when(words > 0, syll / words)
     flesch = F.when(words > 0,
                     F.lit(206.835) - F.lit(1.015) * (words / sents)
                     - F.lit(84.6) * (syll / words))
-    return (df.where(c.isNotNull())
-            .select(F.col(id_col).alias("id"),
-                    words.cast("bigint").alias("n_words"),
-                    syll.cast("bigint").alias("n_syllables"),
-                    sig6(wps).alias("words_per_sentence"),
-                    sig6(spw).alias("syllables_per_word"),
-                    sig6(F.when(words > 0, longw / words))
-                    .alias("long_word_ratio"),
-                    sig6(flesch).alias("flesch")))
+    return base.select(
+        "id", words.cast("bigint").alias("n_words"),
+        syll.cast("bigint").alias("n_syllables"),
+        sig6(wps).alias("words_per_sentence"),
+        sig6(spw).alias("syllables_per_word"),
+        sig6(F.when(words > 0, longw / words)).alias("long_word_ratio"),
+        sig6(flesch).alias("flesch"))
 
 
 def charset_audit(df: DataFrame, text_col: str = "text",
