@@ -23,7 +23,7 @@ MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine), similarity search,
 text analysis, multimodal column plumbing.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.5.0"
 
 from flink_descriptive_stats_spark.session import get_spark  # noqa: F401
 
