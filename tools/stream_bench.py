@@ -129,6 +129,19 @@ def run_stream_bench(spark, sf_dir: str, scratch: str,
         out["constraint_monitor"] = _drain(q)
     finally:
         q.stop()
+
+    # session-window state: merged-session rows, evicted past the
+    # watermark — the fourth stateful-operator class measured
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        sessionize)
+    sess = sessionize(stream(), watermark="1 hour")
+    q = (sess.writeStream.format("noop").outputMode("append")
+         .option("checkpointLocation", os.path.join(scratch, "ckpt_sess"))
+         .start())
+    try:
+        out["sessionize"] = _drain(q)
+    finally:
+        q.stop()
     return out
 
 
