@@ -744,6 +744,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["charset_audit_documents"] = _tq(text_ops.charset_audit,
                                        "documents")
 
+    # market-basket affinity between event types (level-1 association
+    # rules; the behavioral sibling of token PMI)
+    q["type_affinity_events"] = _tq(ev_ops.type_affinity, "events")
+
     # entity compaction + concentration (skew) report
     q["latest_by_key_events"] = _tq(ev_ops.latest_by_key, "events")
     q["pareto_share_events"] = _tq(ev_ops.pareto_share, "events")
@@ -1219,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
         "l_returnflag AS flag_str FROM lineitem)",
         ["order_id_str", "qty_str", "ship_str", "flag_str"])
     o["collocations_documents"] = op.collocations_sql()
+    o["type_affinity_events"] = op.type_affinity_sql()
     o["readability_documents"] = op.readability_sql()
     o["charset_audit_documents"] = op.charset_audit_sql()
     o["latest_by_key_events"] = op.latest_by_key_sql()

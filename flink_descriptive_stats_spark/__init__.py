@@ -139,6 +139,7 @@ _API = {
     "collocations": ("operators.text", "collocations"),
     "schema_suggestions": ("operators.extras", "schema_suggestions"),
     "check_constraints_by": ("operators.quality", "check_constraints_by"),
+    "type_affinity": ("operators.events", "type_affinity"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

@@ -481,3 +481,40 @@ def pareto_share(df: DataFrame, key_col: str = "user_id",
            for pct in checkpoints]
     return df.sparkSession.createDataFrame(
         out, "top_pct int, n_top_keys bigint, value_share string")
+
+
+def type_affinity(df: DataFrame, key_col: str = "user_id",
+                  type_col: str = "event_type") -> DataFrame:
+    """Market-basket affinity between event types: for each unordered
+    type pair, (type_a, type_b, n_both, support, lift) over per-user
+    baskets — lift = P(a,b) / (P(a) P(b)) with probabilities over users;
+    lift > 1 = the behaviors attract, < 1 = they repel. The level-1
+    association-rule (Apriori) primitive, and the behavioral sibling of
+    the token-level PMI collocations.
+
+    Shape: one distinct (user, type) projection (grouped, map-side
+    combined), a self-equi-join keyed by user whose fan-out is bounded
+    by types-per-user squared, a bounded (a, b) count, and single-row
+    totals inlined as literals. Raw events never shuffle twice."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    ut = (df.select(F.col(key_col).alias("k"),
+                    F.col(type_col).alias("t")).distinct())
+    n_users = int(ut.select("k").distinct().count())
+    per_type = ut.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    pairs = (ut.alias("x").join(ut.alias("y"), "k")
+             .where(F.col("x.t") < F.col("y.t"))
+             .groupBy(F.col("x.t").alias("type_a"),
+                      F.col("y.t").alias("type_b"))
+             .agg(F.count(F.lit(1)).alias("n_both")))
+    j = (pairs
+         .join(per_type.select(F.col("t").alias("type_a"),
+                               F.col("n_t").alias("n_a")), "type_a")
+         .join(per_type.select(F.col("t").alias("type_b"),
+                               F.col("n_t").alias("n_b")), "type_b"))
+    nu = F.lit(float(n_users))
+    support = F.col("n_both").cast("double") / nu
+    lift = (F.col("n_both").cast("double") * nu
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")))
+    return j.select("type_a", "type_b", "n_both",
+                    sig6(support).alias("support"),
+                    sig6(lift).alias("lift"))

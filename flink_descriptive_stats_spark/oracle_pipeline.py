@@ -2206,3 +2206,23 @@ def check_constraints_by_sql(table: str, rules: list[tuple],
     return (f"WITH agg AS (SELECT {group_col} AS \"group\", "
             f"count(*) AS n, {', '.join(exprs)} FROM {table} "
             f"GROUP BY 1)\n" + "\nUNION ALL\n".join(branches))
+
+
+def type_affinity_sql(table: str = "events", key: str = "user_id",
+                      type_col: str = "event_type") -> str:
+    """Mirror of events.type_affinity (same per-user baskets, same
+    user-probability lift)."""
+    return f"""
+WITH ut AS (SELECT DISTINCT {key} AS k, {type_col} AS t FROM {table}),
+ nu AS (SELECT CAST(count(DISTINCT k) AS DOUBLE) AS n FROM ut),
+ pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM ut GROUP BY 1),
+ pr AS (SELECT x.t AS type_a, y.t AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM ut x JOIN ut y ON x.k = y.k AND x.t < y.t
+        GROUP BY 1, 2)
+SELECT pr.type_a, pr.type_b, pr.n_both,
+       {duck_sig6('pr.n_both / nu.n')} AS support,
+       {duck_sig6('pr.n_both * nu.n / (pa.n_t * pb.n_t)')} AS lift
+FROM pr JOIN pt pa ON pr.type_a = pa.t
+        JOIN pt pb ON pr.type_b = pb.t
+CROSS JOIN nu"""

@@ -1210,3 +1210,23 @@ def test_check_constraints_by_semantics(spark):
     assert got[("b", "unique")]["passed"]
     assert got[("b", "in_range[0.0,1.0]")]["passed"]
     assert all(r["n_rows"] == 2 for r in got.values())
+
+
+def test_type_affinity_semantics(spark):
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    # 4 users: a+b always together (perfect attraction), a+c never
+    # co-occur (repulsion); c alone for two users
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"),
+            (3, "c"), (4, "c"), (3, "d"), (1, "a")]   # dup event ignored
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string")
+    got = {(r["type_a"], r["type_b"]): r
+           for r in ev_ops.type_affinity(df).collect()}
+    ab = got[("a", "b")]
+    # P(a)=P(b)=2/4, P(a,b)=2/4 -> lift = 0.5/(0.5*0.5) = 2
+    assert ab["n_both"] == 2
+    assert abs(_f(ab["support"]) - 0.5) < 1e-6
+    assert abs(_f(ab["lift"]) - 2.0) < 1e-6
+    assert ("a", "c") not in got          # never co-occur: no row
+    cd = got[("c", "d")]
+    # P(c)=2/4, P(d)=1/4, P(c,d)=1/4 -> lift = 2
+    assert abs(_f(cd["lift"]) - 2.0) < 1e-6
