@@ -744,6 +744,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["charset_audit_documents"] = _tq(text_ops.charset_audit,
                                        "documents")
 
+    # log-spaced histogram for the heavy-tailed price column
+    q["histogram_log_lineitem"] = _tq(extras.histogram_log, "lineitem",
+                                      column="l_extendedprice")
+
     # market-basket affinity between event types (level-1 association
     # rules; the behavioral sibling of token PMI)
     q["type_affinity_events"] = _tq(ev_ops.type_affinity, "events")
@@ -1223,6 +1227,8 @@ def oracle_sql() -> dict[str, str]:
         "l_returnflag AS flag_str FROM lineitem)",
         ["order_id_str", "qty_str", "ship_str", "flag_str"])
     o["collocations_documents"] = op.collocations_sql()
+    o["histogram_log_lineitem"] = op.histogram_log_sql(
+        "lineitem", "l_extendedprice")
     o["type_affinity_events"] = op.type_affinity_sql()
     o["readability_documents"] = op.readability_sql()
     o["charset_audit_documents"] = op.charset_audit_sql()

@@ -140,6 +140,7 @@ _API = {
     "schema_suggestions": ("operators.extras", "schema_suggestions"),
     "check_constraints_by": ("operators.quality", "check_constraints_by"),
     "type_affinity": ("operators.events", "type_affinity"),
+    "histogram_log": ("operators.extras", "histogram_log"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

@@ -1026,3 +1026,43 @@ def schema_suggestions(df: DataFrame) -> DataFrame:
     return df.sparkSession.createDataFrame(
         out, "column string, current_type string, suggested_type string, "
              "n_non_null bigint, parse_rate string")
+
+
+def histogram_log(df: DataFrame, column: str, bins: int = 10) -> DataFrame:
+    """Log-spaced histogram for heavy-tailed positive columns — where
+    equal-width bins put 99% of rows in bucket 0 (file sizes, token
+    counts, revenues), log bins resolve the tail: bucket i covers
+    [min * r^i, min * r^(i+1)) with r = (max/min)^(1/bins) over the
+    POSITIVE values; non-positive values land in bucket -1 (reported,
+    not dropped). Output: (bucket, lo, hi, cnt), lo/hi sig6-rendered.
+
+    Same cost shape as histogram(): a 1-row min/max aggregate over
+    positives inlined as literals, then ONE grouped count with <= bins+1
+    keys. The bucket index uses ln ratios of sig6-rounded bounds so the
+    discrete assignment cannot fork on transcendental ULPs."""
+    c = F.col(column).cast("double")
+    mm = (df.where(c > 0)
+          .agg(F.min(c).alias("mn"), F.max(c).alias("mx")).collect()[0])
+    if mm["mn"] is None:
+        raise ValueError(f"column {column!r} has no positive values")
+    mn = float(sig6_py(float(mm["mn"])))
+    mx = float(sig6_py(float(mm["mx"])))
+    span = math.log(mx) - math.log(mn)
+    bucket = (F.when(c <= 0, F.lit(-1))
+              .when(F.lit(span) <= 0, F.lit(0))
+              .otherwise(F.least(
+                  F.floor((F.log(c) - F.lit(math.log(mn)))
+                          / F.lit(span) * F.lit(float(bins))).cast("int"),
+                  F.lit(bins - 1))))
+    counts = (df.where(c.isNotNull())
+              .groupBy(bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("cnt")).collect())
+    out = []
+    r = (mx / mn) ** (1.0 / bins) if span > 0 else 1.0
+    for row in counts:
+        b = int(row["bucket"])
+        lo = None if b < 0 else sig6_py(mn * r ** b)
+        hi = None if b < 0 else sig6_py(mn * r ** (b + 1))
+        out.append((b, lo, hi, int(row["cnt"])))
+    return df.sparkSession.createDataFrame(
+        sorted(out), "bucket int, lo string, hi string, cnt bigint")

@@ -2226,3 +2226,33 @@ SELECT pr.type_a, pr.type_b, pr.n_both,
 FROM pr JOIN pt pa ON pr.type_a = pa.t
         JOIN pt pb ON pr.type_b = pb.t
 CROSS JOIN nu"""
+
+
+def histogram_log_sql(table: str, column: str, bins: int = 10) -> str:
+    """Mirror of extras.histogram_log (same sig6-rounded bounds feeding
+    the ln-ratio bucket index)."""
+    x = f"CAST({column} AS DOUBLE)"
+    mn6 = duck_sig6(f"(SELECT min({x}) FROM {table} WHERE {x} > 0)")
+    mx6 = duck_sig6(f"(SELECT max({x}) FROM {table} WHERE {x} > 0)")
+    return f"""
+WITH m AS (SELECT CAST({mn6} AS DOUBLE) AS mn,
+                  CAST({mx6} AS DOUBLE) AS mx),
+ b AS (SELECT CASE WHEN {x} <= 0 THEN -1
+              WHEN ln(mx) - ln(mn) <= 0 THEN 0
+              ELSE least(CAST(floor((ln({x}) - ln(mn))
+                   / (ln(mx) - ln(mn)) * {float(bins)}) AS INTEGER),
+                   {bins - 1}) END AS bucket,
+              mn, mx
+       FROM {table} CROSS JOIN m WHERE {x} IS NOT NULL),
+ c AS (SELECT bucket, any_value(mn) AS mn, any_value(mx) AS mx,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM b GROUP BY 1)
+SELECT bucket,
+  CASE WHEN bucket >= 0 THEN
+    {duck_sig6(f'mn * pow(pow(mx / mn, 1.0 / {bins}), bucket)')} END
+    AS lo,
+  CASE WHEN bucket >= 0 THEN
+    {duck_sig6(f'mn * pow(pow(mx / mn, 1.0 / {bins}), bucket + 1)')} END
+    AS hi,
+  cnt
+FROM c"""

@@ -1230,3 +1230,23 @@ def test_type_affinity_semantics(spark):
     cd = got[("c", "d")]
     # P(c)=2/4, P(d)=1/4, P(c,d)=1/4 -> lift = 2
     assert abs(_f(cd["lift"]) - 2.0) < 1e-6
+
+
+def test_histogram_log_semantics(spark):
+    # span 1..10^4 with bins=4 -> decade bins; probe values sit in bin
+    # INTERIORS (exact decade boundaries land on FP floor edges — either
+    # side is consistent across engines but brittle to assert);
+    # non-positive values land in bucket -1
+    rows = [(1.0,), (2.0,), (20.0,), (200.0,), (2000.0,), (10000.0,),
+            (0.0,), (-5.0,), (None,)]
+    df = spark.createDataFrame(rows, "x double")
+    got = {r["bucket"]: r for r in
+           extras.histogram_log(df, "x", bins=4).collect()}
+    assert got[-1]["cnt"] == 2 and got[-1]["lo"] is None
+    # min + its decade-mate in bucket 0; the max joins bucket 3
+    assert got[0]["cnt"] == 2
+    assert got[1]["cnt"] == 1 and got[2]["cnt"] == 1
+    assert got[3]["cnt"] == 2
+    # bucket 1 covers [10, 100): bounds are exact decades
+    assert abs(_f(got[1]["lo"]) - 10.0) < 1e-3
+    assert abs(_f(got[1]["hi"]) - 100.0) < 1e-2
