@@ -744,6 +744,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["charset_audit_documents"] = _tq(text_ops.charset_audit,
                                        "documents")
 
+    # quantile-normalization transform (per-row percentile ranks)
+    q["percentile_rank_events"] = _tq(
+        extras.percentile_rank_transform, "events", column="value",
+        id_col="event_id")
+
     # log-spaced histogram for the heavy-tailed price column
     q["histogram_log_lineitem"] = _tq(extras.histogram_log, "lineitem",
                                       column="l_extendedprice")
@@ -1227,6 +1232,8 @@ def oracle_sql() -> dict[str, str]:
         "l_returnflag AS flag_str FROM lineitem)",
         ["order_id_str", "qty_str", "ship_str", "flag_str"])
     o["collocations_documents"] = op.collocations_sql()
+    o["percentile_rank_events"] = op.percentile_rank_sql(
+        "events", "value", "event_id")
     o["histogram_log_lineitem"] = op.histogram_log_sql(
         "lineitem", "l_extendedprice")
     o["type_affinity_events"] = op.type_affinity_sql()

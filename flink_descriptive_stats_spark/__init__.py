@@ -141,6 +141,8 @@ _API = {
     "check_constraints_by": ("operators.quality", "check_constraints_by"),
     "type_affinity": ("operators.events", "type_affinity"),
     "histogram_log": ("operators.extras", "histogram_log"),
+    "percentile_rank_transform": ("operators.extras",
+                                  "percentile_rank_transform"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

@@ -1066,3 +1066,28 @@ def histogram_log(df: DataFrame, column: str, bins: int = 10) -> DataFrame:
         out.append((b, lo, hi, int(row["cnt"])))
     return df.sparkSession.createDataFrame(
         sorted(out), "bucket int, lo string, hi string, cnt bigint")
+
+
+def percentile_rank_transform(df: DataFrame, column: str,
+                              id_col: str) -> DataFrame:
+    """Quantile-normalization transform: (id, value, pct_rank) with
+    pct_rank = percent_rank() over the value order — maps any
+    distribution onto [0, 1] uniformly (the feature-scaling step that
+    makes heavy-tailed columns comparable, and the exact counterpart of
+    histogram_equidepth's bucket view). Ties share the standard
+    (rank - 1) / (n - 1) value on both engines; NULL values are
+    excluded (no rank is defined for them).
+
+    The exact path is a global sort of the projected (id, value) pairs —
+    same trade as exact quantiles; at 100 TB swap for bucketed
+    percentile_approx thresholds (histogram_equidepth ships that
+    shape)."""
+    from pyspark.sql import Window
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    x = F.col(column).cast("double")
+    # percent_rank must be tie-aware on VALUE only (ordering by
+    # (value, id) would hand ties distinct ranks)
+    wv = Window.orderBy(x)
+    return (df.where(x.isNotNull())
+            .select(F.col(id_col).alias("id"), x.alias("value"),
+                    sig6(F.percent_rank().over(wv)).alias("pct_rank")))

@@ -2256,3 +2256,13 @@ SELECT bucket,
     AS hi,
   cnt
 FROM c"""
+
+
+def percentile_rank_sql(table: str, column: str, id_col: str) -> str:
+    """Mirror of extras.percentile_rank_transform."""
+    x = f"CAST({column} AS DOUBLE)"
+    return f"""
+WITH r AS (SELECT {id_col} AS id, {x} AS value,
+                  percent_rank() OVER (ORDER BY {x}) AS pr
+           FROM {table} WHERE {x} IS NOT NULL)
+SELECT id, value, {duck_sig6('pr')} AS pct_rank FROM r"""

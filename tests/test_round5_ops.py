@@ -1250,3 +1250,16 @@ def test_histogram_log_semantics(spark):
     # bucket 1 covers [10, 100): bounds are exact decades
     assert abs(_f(got[1]["lo"]) - 10.0) < 1e-3
     assert abs(_f(got[1]["hi"]) - 100.0) < 1e-2
+
+
+def test_percentile_rank_transform_semantics(spark):
+    rows = [(1, 10.0), (2, 20.0), (3, 20.0), (4, 40.0), (5, None)]
+    df = spark.createDataFrame(rows, "event_id bigint, value double")
+    got = {r["id"]: _f(r["pct_rank"]) for r in
+           extras.percentile_rank_transform(
+               df, "value", "event_id").collect()}
+    # (rank-1)/(n-1) with ties sharing the min rank: n=4
+    assert got[1] == 0.0
+    assert abs(got[2] - 1 / 3) < 1e-6 and got[2] == got[3]  # tie
+    assert got[4] == 1.0
+    assert 5 not in got                    # NULL excluded
