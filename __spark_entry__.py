@@ -744,6 +744,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["charset_audit_documents"] = _tq(text_ops.charset_audit,
                                        "documents")
 
+    # corpus-level shingle overlap between the documents halves (the
+    # go/no-go estimate before cross-corpus dedup / decontamination)
+    def _corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _load(spark, sf_dir, "documents")
+        return dedup.corpus_overlap(
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1))
+    q["corpus_overlap_documents"] = _corpus_overlap
+
     # quantile-normalization transform (per-row percentile ranks)
     q["percentile_rank_events"] = _tq(
         extras.percentile_rank_transform, "events", column="value",
@@ -1232,6 +1241,7 @@ def oracle_sql() -> dict[str, str]:
         "l_returnflag AS flag_str FROM lineitem)",
         ["order_id_str", "qty_str", "ship_str", "flag_str"])
     o["collocations_documents"] = op.collocations_sql()
+    o["corpus_overlap_documents"] = op.corpus_overlap_sql()
     o["percentile_rank_events"] = op.percentile_rank_sql(
         "events", "value", "event_id")
     o["histogram_log_lineitem"] = op.histogram_log_sql(

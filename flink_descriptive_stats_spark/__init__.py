@@ -143,6 +143,7 @@ _API = {
     "histogram_log": ("operators.extras", "histogram_log"),
     "percentile_rank_transform": ("operators.extras",
                                   "percentile_rank_transform"),
+    "corpus_overlap": ("operators.dedup", "corpus_overlap"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

@@ -784,3 +784,36 @@ def cluster_size_histogram(df: DataFrame, content_col: str = "text",
             .agg(F.count(F.lit(1)).alias("n_clusters"))
             .withColumn("n_docs",
                         F.col("cluster_size") * F.col("n_clusters")))
+
+
+def corpus_overlap(df_a: DataFrame, df_b: DataFrame,
+                   content_col: str = "text", id_col: str = "doc_id",
+                   n: int = 3) -> DataFrame:
+    """Corpus-level content overlap BEFORE any pairwise dedup: one row
+    (n_shingles_a, n_shingles_b, n_common, jaccard, containment_a_in_b)
+    over the two corpora's DISTINCT n-gram shingle sets — the go/no-go
+    estimate for cross-corpus dedup and the decontamination-risk number
+    for a train/eval pair ("how much of A's content exists in B at
+    all"), at set level rather than document level.
+
+    Shape: each corpus collapses to its distinct shingle-hash set (one
+    groupBy each, map-side combined — the same collapse decontaminate
+    uses), one hash-keyed join for the intersection, three 1-row counts.
+    Nothing pairwise, nothing quadratic; document payloads never move."""
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    sa = (shingle_hashes_long(df_a, content_col, id_col, n=n)
+          .select("sh").distinct())
+    sb = (shingle_hashes_long(df_b, content_col, id_col, n=n)
+          .select("sh").distinct())
+    na = int(sa.count())
+    nb = int(sb.count())
+    common = int(sa.join(sb, "sh").count())
+    union = na + nb - common
+    jac = common / union if union else None
+    cont = common / na if na else None
+    return df_a.sparkSession.createDataFrame(
+        [(na, nb, common,
+          sig6_py(jac) if jac is not None else None,
+          sig6_py(cont) if cont is not None else None)],
+        "n_shingles_a bigint, n_shingles_b bigint, n_common bigint, "
+        "jaccard string, containment_a_in_b string")

@@ -2266,3 +2266,30 @@ WITH r AS (SELECT {id_col} AS id, {x} AS value,
                   percent_rank() OVER (ORDER BY {x}) AS pr
            FROM {table} WHERE {x} IS NOT NULL)
 SELECT id, value, {duck_sig6('pr')} AS pct_rank FROM r"""
+
+
+def corpus_overlap_sql(table: str = "documents", mod: int = 2,
+                       n: int = 3) -> str:
+    """Mirror of dedup.corpus_overlap over the doc_id%mod halves (same
+    shingle hash + whole-text fallback as the pair oracles)."""
+    sh = H.duck_shingles("toks", n)
+    th = H.duck_token_hash("s")
+    side = """
+ t{S} AS (SELECT doc_id AS id, text, {DT} AS toks FROM {T}
+          WHERE text IS NOT NULL AND doc_id % {MOD} = {R}),
+ s{S} AS (SELECT DISTINCT {TH} % {P} AS sh
+          FROM (SELECT unnest({SH}) AS s FROM t{S}))"""
+    a = side.format(S="a", T=table, MOD=mod, R=0,
+                    DT=H.duck_tokens("text"), SH=sh, TH=th, P=P)
+    b = side.format(S="b", T=table, MOD=mod, R=1,
+                    DT=H.duck_tokens("text"), SH=sh, TH=th, P=P)
+    return f"""
+WITH {a.lstrip()},{b},
+ ca AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sa),
+ cb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sb),
+ cc AS (SELECT CAST(count(*) AS BIGINT) AS n
+        FROM sa JOIN sb USING (sh))
+SELECT ca.n AS n_shingles_a, cb.n AS n_shingles_b, cc.n AS n_common,
+  {duck_sig6('CAST(cc.n AS DOUBLE) / (ca.n + cb.n - cc.n)')} AS jaccard,
+  {duck_sig6('CAST(cc.n AS DOUBLE) / ca.n')} AS containment_a_in_b
+FROM ca CROSS JOIN cb CROSS JOIN cc"""

@@ -1081,3 +1081,20 @@ def test_distinct_counts_auto_routes_wide_tables(spark):
     assert forced.columns == ["column", "distinct_count"]
     assert {r["column"]: r["distinct_count"]
             for r in forced.collect()}["c0"] == 2
+
+
+def test_corpus_overlap_semantics(spark):
+    from flink_descriptive_stats_spark.operators import dedup
+    a = spark.createDataFrame(
+        [(1, "w x y z"), (2, "p q r s")], "doc_id bigint, text string")
+    # b shares doc 1's content exactly, nothing else
+    b = spark.createDataFrame(
+        [(10, "w x y z"), (11, "m n o p q")], "doc_id bigint, text string")
+    r = dedup.corpus_overlap(a, b).collect()[0]
+    # trigram shingles: a has {wxy, xyz, pqr, qrs}; b has {wxy, xyz,
+    # mno, nop, opq} -> common = 2, union = 7
+    assert r["n_shingles_a"] == 4 and r["n_shingles_b"] == 5
+    assert r["n_common"] == 2
+    assert abs(float(r["jaccard"].replace("e", "E")) - 2 / 7) < 1e-6
+    assert abs(float(r["containment_a_in_b"].replace("e", "E")) - 0.5) \
+        < 1e-6
