@@ -744,6 +744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["charset_audit_documents"] = _tq(text_ops.charset_audit,
                                        "documents")
 
+    # inter-arrival cadence profile (burstiness; session-gap tuning)
+    q["interarrival_events"] = _tq(ev_ops.interarrival_profile, "events")
+
     # corpus-level shingle overlap between the documents halves (the
     # go/no-go estimate before cross-corpus dedup / decontamination)
     def _corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1241,6 +1244,7 @@ def oracle_sql() -> dict[str, str]:
         "l_returnflag AS flag_str FROM lineitem)",
         ["order_id_str", "qty_str", "ship_str", "flag_str"])
     o["collocations_documents"] = op.collocations_sql()
+    o["interarrival_events"] = op.interarrival_sql()
     o["corpus_overlap_documents"] = op.corpus_overlap_sql()
     o["percentile_rank_events"] = op.percentile_rank_sql(
         "events", "value", "event_id")

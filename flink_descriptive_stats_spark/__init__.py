@@ -144,6 +144,7 @@ _API = {
     "percentile_rank_transform": ("operators.extras",
                                   "percentile_rank_transform"),
     "corpus_overlap": ("operators.dedup", "corpus_overlap"),
+    "interarrival_profile": ("operators.events", "interarrival_profile"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

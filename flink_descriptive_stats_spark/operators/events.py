@@ -518,3 +518,38 @@ def type_affinity(df: DataFrame, key_col: str = "user_id",
     return j.select("type_a", "type_b", "n_both",
                     sig6(support).alias("support"),
                     sig6(lift).alias("lift"))
+
+
+def interarrival_profile(df: DataFrame, key_col: str = "user_id",
+                         ts_col: str = "ts",
+                         id_col: str = "event_id") -> DataFrame:
+    """Inter-arrival time profile: ONE row (n_deltas, mean_s, p50_s,
+    p90_s, max_s, burstiness) over the per-user gaps between consecutive
+    events — the burstiness/cadence diagnostic behind session-gap tuning
+    (is 30 minutes the right sessionize gap for THIS corpus?) and
+    bot-vs-human triage. burstiness = (sd - mean)/(sd + mean) in [-1, 1]
+    (Goh & Barabási 2008): -1 = periodic, 0 = Poisson, -> 1 = bursty.
+
+    Shape: one exchange keyed by user for the lag window (deltas are
+    whole seconds — exact integers on both engines), then a single
+    1-row aggregate; exact percentiles over the deltas are the oracle
+    path (percentile_approx is the scale swap, as everywhere)."""
+    from pyspark.sql import Window
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    w = Window.partitionBy("__k").orderBy("__ts", "__id")
+    d = (df.select(F.col(key_col).alias("__k"),
+                   F.col(ts_col).alias("__ts"),
+                   F.col(id_col).alias("__id"))
+         .withColumn("__prev", F.lag("__ts").over(w))
+         .where(F.col("__prev").isNotNull())
+         .select((F.unix_timestamp("__ts")
+                  - F.unix_timestamp("__prev")).cast("double")
+                 .alias("dt")))
+    mean, sd = F.avg("dt"), F.stddev_pop("dt")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_deltas"),
+        sig6(mean).alias("mean_s"),
+        sig6(F.percentile(F.col("dt"), F.lit(0.5))).alias("p50_s"),
+        sig6(F.percentile(F.col("dt"), F.lit(0.9))).alias("p90_s"),
+        F.max("dt").alias("max_s"),
+        sig6((sd - mean) / (sd + mean)).alias("burstiness"))

@@ -2293,3 +2293,22 @@ SELECT ca.n AS n_shingles_a, cb.n AS n_shingles_b, cc.n AS n_common,
   {duck_sig6('CAST(cc.n AS DOUBLE) / (ca.n + cb.n - cc.n)')} AS jaccard,
   {duck_sig6('CAST(cc.n AS DOUBLE) / ca.n')} AS containment_a_in_b
 FROM ca CROSS JOIN cb CROSS JOIN cc"""
+
+
+def interarrival_sql(table: str = "events", key: str = "user_id",
+                     ts: str = "ts", id_col: str = "event_id") -> str:
+    """Mirror of events.interarrival_profile (whole-second deltas via
+    floor(epoch), same total per-user order)."""
+    return f"""
+WITH l AS (SELECT floor(epoch({ts})) - floor(epoch(lag({ts}) OVER (
+             PARTITION BY {key} ORDER BY {ts}, {id_col}))) AS dt
+           FROM {table}),
+ d AS (SELECT CAST(dt AS DOUBLE) AS dt FROM l WHERE dt IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_deltas,
+  {duck_sig6('avg(dt)')} AS mean_s,
+  {duck_sig6('quantile_cont(dt, 0.5)')} AS p50_s,
+  {duck_sig6('quantile_cont(dt, 0.9)')} AS p90_s,
+  max(dt) AS max_s,
+  {duck_sig6('(stddev_pop(dt) - avg(dt)) / (stddev_pop(dt) + avg(dt))')}
+    AS burstiness
+FROM d"""

@@ -1263,3 +1263,26 @@ def test_percentile_rank_transform_semantics(spark):
     assert abs(got[2] - 1 / 3) < 1e-6 and got[2] == got[3]  # tie
     assert got[4] == 1.0
     assert 5 not in got                    # NULL excluded
+
+
+def test_interarrival_profile_semantics(spark):
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1)
+    # user 1: perfectly periodic 60s gaps -> burstiness -1
+    rows = [(1, t0 + dt.timedelta(seconds=60 * i), i) for i in range(5)]
+    # user 2 contributes one 120s gap
+    rows += [(2, t0, 100), (2, t0 + dt.timedelta(seconds=120), 101)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint")
+    r = ev_ops.interarrival_profile(df).collect()[0]
+    assert r["n_deltas"] == 5            # 4 from user 1 + 1 from user 2
+    assert abs(_f(r["mean_s"]) - 72.0) < 1e-6     # (60*4 + 120) / 5
+    assert abs(_f(r["p50_s"]) - 60.0) < 1e-6
+    assert r["max_s"] == 120.0
+    # sd = 24, mean = 72 -> burstiness = (24-72)/(24+72) = -0.5
+    assert abs(_f(r["burstiness"]) + 0.5) < 1e-6
+    # a single periodic user alone: sd = 0 -> burstiness exactly -1
+    solo = ev_ops.interarrival_profile(
+        df.where(F.col("user_id") == 1)).collect()[0]
+    assert abs(_f(solo["burstiness"]) + 1.0) < 1e-9
