@@ -744,6 +744,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["charset_audit_documents"] = _tq(text_ops.charset_audit,
                                        "documents")
 
+    # boilerplate-header groups (shared leading-prefix template
+    # detection — k=2 over the fixture's 31-word vocabulary so prefix
+    # collisions are non-vacuous)
+    q["shared_prefix_documents"] = _tq(dedup.shared_prefix_groups,
+                                       "documents", k_tokens=2)
+
     # inter-arrival cadence profile (burstiness; session-gap tuning)
     q["interarrival_events"] = _tq(ev_ops.interarrival_profile, "events")
 
@@ -1244,6 +1250,7 @@ def oracle_sql() -> dict[str, str]:
         "l_returnflag AS flag_str FROM lineitem)",
         ["order_id_str", "qty_str", "ship_str", "flag_str"])
     o["collocations_documents"] = op.collocations_sql()
+    o["shared_prefix_documents"] = op.shared_prefix_sql(k_tokens=2)
     o["interarrival_events"] = op.interarrival_sql()
     o["corpus_overlap_documents"] = op.corpus_overlap_sql()
     o["percentile_rank_events"] = op.percentile_rank_sql(

@@ -145,6 +145,7 @@ _API = {
                                   "percentile_rank_transform"),
     "corpus_overlap": ("operators.dedup", "corpus_overlap"),
     "interarrival_profile": ("operators.events", "interarrival_profile"),
+    "shared_prefix_groups": ("operators.dedup", "shared_prefix_groups"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

@@ -817,3 +817,28 @@ def corpus_overlap(df_a: DataFrame, df_b: DataFrame,
           sig6_py(cont) if cont is not None else None)],
         "n_shingles_a bigint, n_shingles_b bigint, n_common bigint, "
         "jaccard string, containment_a_in_b string")
+
+
+def shared_prefix_groups(df: DataFrame, content_col: str = "text",
+                         id_col: str = "doc_id", k_tokens: int = 2,
+                         min_docs: int = 2) -> DataFrame:
+    """Boilerplate-header detection: groups of documents sharing their
+    first ``k_tokens`` tokens — the template/scraper signature that exact
+    and near dedup both miss when bodies differ (mirror pages, form
+    letters, licence headers). Output: (prefix, n_docs, example_id) with
+    example_id = the smallest doc id in the group (a stable
+    representative to inspect).
+
+    One narrow prefix projection + one grouped count keyed by the
+    prefix; only groups of ``min_docs``+ survive. Document bodies never
+    shuffle — the prefix string (k tokens) is all that moves."""
+    toks = H.tokens_expr(F.col(content_col))
+    prefix = F.array_join(F.slice(toks, 1, k_tokens), " ")
+    return (df.where(F.col(content_col).isNotNull())
+            .select(prefix.alias("prefix"),
+                    F.col(id_col).alias("id"))
+            .where(F.length("prefix") > 0)
+            .groupBy("prefix")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("id").alias("example_id"))
+            .where(F.col("n_docs") >= min_docs))

@@ -2312,3 +2312,18 @@ SELECT CAST(count(*) AS BIGINT) AS n_deltas,
   {duck_sig6('(stddev_pop(dt) - avg(dt)) / (stddev_pop(dt) + avg(dt))')}
     AS burstiness
 FROM d"""
+
+
+def shared_prefix_sql(table: str = "documents", text_col: str = "text",
+                      id_col: str = "doc_id", k_tokens: int = 2,
+                      min_docs: int = 2) -> str:
+    """Mirror of dedup.shared_prefix_groups (1-based list slice)."""
+    toks = H.duck_tokens(text_col)
+    return f"""
+WITH p AS (SELECT array_to_string({toks}[1:{k_tokens}], ' ') AS prefix,
+                  {id_col} AS id
+           FROM {table} WHERE {text_col} IS NOT NULL)
+SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(id) AS BIGINT) AS example_id
+FROM p WHERE length(prefix) > 0
+GROUP BY 1 HAVING count(*) >= {min_docs}"""

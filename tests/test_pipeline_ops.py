@@ -1098,3 +1098,18 @@ def test_corpus_overlap_semantics(spark):
     assert abs(float(r["jaccard"].replace("e", "E")) - 2 / 7) < 1e-6
     assert abs(float(r["containment_a_in_b"].replace("e", "E")) - 0.5) \
         < 1e-6
+
+
+def test_shared_prefix_groups_semantics(spark):
+    from flink_descriptive_stats_spark.operators import dedup
+    docs = [(3, "dear customer your account needs attention"),
+            (1, "dear customer we value your feedback"),
+            (2, "hello world unrelated body"),
+            (4, None), (5, "")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["prefix"]: r for r in
+           dedup.shared_prefix_groups(df, k_tokens=2).collect()}
+    # only the form-letter template groups; representative = min id
+    assert set(got) == {"dear customer"}
+    assert got["dear customer"]["n_docs"] == 2
+    assert got["dear customer"]["example_id"] == 1
