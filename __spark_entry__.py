@@ -750,6 +750,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["shared_prefix_documents"] = _tq(dedup.shared_prefix_groups,
                                        "documents", k_tokens=2)
 
+    # out-of-order arrival audit (sizes the streaming watermark: the
+    # events fixture's ids are not time-ordered, so lateness is real)
+    q["late_arrival_events"] = _tq(ev_ops.late_arrival_audit, "events")
+
     # inter-arrival cadence profile (burstiness; session-gap tuning)
     q["interarrival_events"] = _tq(ev_ops.interarrival_profile, "events")
 
@@ -1251,6 +1255,7 @@ def oracle_sql() -> dict[str, str]:
         ["order_id_str", "qty_str", "ship_str", "flag_str"])
     o["collocations_documents"] = op.collocations_sql()
     o["shared_prefix_documents"] = op.shared_prefix_sql(k_tokens=2)
+    o["late_arrival_events"] = op.late_arrival_sql()
     o["interarrival_events"] = op.interarrival_sql()
     o["corpus_overlap_documents"] = op.corpus_overlap_sql()
     o["percentile_rank_events"] = op.percentile_rank_sql(

@@ -146,6 +146,7 @@ _API = {
     "corpus_overlap": ("operators.dedup", "corpus_overlap"),
     "interarrival_profile": ("operators.events", "interarrival_profile"),
     "shared_prefix_groups": ("operators.dedup", "shared_prefix_groups"),
+    "late_arrival_audit": ("operators.events", "late_arrival_audit"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

@@ -553,3 +553,41 @@ def interarrival_profile(df: DataFrame, key_col: str = "user_id",
         sig6(F.percentile(F.col("dt"), F.lit(0.9))).alias("p90_s"),
         F.max("dt").alias("max_s"),
         sig6((sd - mean) / (sd + mean)).alias("burstiness"))
+
+
+def late_arrival_audit(df: DataFrame, seq_col: str = "event_id",
+                       ts_col: str = "ts",
+                       key_col: str | None = None) -> DataFrame:
+    """Out-of-order-arrival audit: ONE row (n_pairs, n_late,
+    late_rate, max_lateness_s, p99_lateness_s) over consecutive events
+    in ARRIVAL order (``seq_col`` — the ingestion sequence), measuring
+    how far event time runs backwards — exactly the number that sizes a
+    streaming WATERMARK: `withWatermark(ts, max_lateness)` loses nothing
+    on this feed, p99 bounds the loss of a tighter delay. The batch
+    diagnostic that configures the streaming operators.
+
+    lateness of event i = max(0, running-max(ts) before i - ts_i),
+    computed with a running-max window in arrival order (per key if
+    ``key_col`` is given — per-key watermarks are what session/dedup
+    state actually sees); then one 1-row aggregate with an exact p99
+    (percentile_approx is the scale swap, as everywhere)."""
+    from pyspark.sql import Window
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    w = (Window.partitionBy(key_col) if key_col else
+         Window.partitionBy()).orderBy("__s") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    t = F.unix_timestamp(F.col(ts_col)).cast("double")
+    d = (df.select(F.col(seq_col).alias("__s"), t.alias("__t"),
+                   *( [F.col(key_col)] if key_col else [] ))
+         .withColumn("__prevmax", F.max("__t").over(w))
+         .where(F.col("__prevmax").isNotNull())
+         .select(F.greatest(F.col("__prevmax") - F.col("__t"),
+                            F.lit(0.0)).alias("late")))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_if(F.col("late") > 0).alias("n_late"),
+        sig6(F.avg((F.col("late") > 0).cast("double")))
+        .alias("late_rate"),
+        F.max("late").alias("max_lateness_s"),
+        sig6(F.percentile(F.col("late"), F.lit(0.99)))
+        .alias("p99_lateness_s"))

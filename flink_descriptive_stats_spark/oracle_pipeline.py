@@ -2327,3 +2327,22 @@ SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(id) AS BIGINT) AS example_id
 FROM p WHERE length(prefix) > 0
 GROUP BY 1 HAVING count(*) >= {min_docs}"""
+
+
+def late_arrival_sql(table: str = "events", seq: str = "event_id",
+                     ts: str = "ts") -> str:
+    """Mirror of events.late_arrival_audit (global arrival order)."""
+    return f"""
+WITH l AS (SELECT max(floor(epoch({ts}))) OVER (ORDER BY {seq}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm,
+                  floor(epoch({ts})) AS t
+           FROM {table}),
+ d AS (SELECT CAST(greatest(pm - t, 0.0) AS DOUBLE) AS late
+       FROM l WHERE pm IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(count(*) FILTER (WHERE late > 0) AS BIGINT) AS n_late,
+  {duck_sig6('avg(CASE WHEN late > 0 THEN 1.0 ELSE 0.0 END)')}
+    AS late_rate,
+  max(late) AS max_lateness_s,
+  {duck_sig6('quantile_cont(late, 0.99)')} AS p99_lateness_s
+FROM d"""

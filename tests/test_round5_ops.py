@@ -1286,3 +1286,23 @@ def test_interarrival_profile_semantics(spark):
     solo = ev_ops.interarrival_profile(
         df.where(F.col("user_id") == 1)).collect()[0]
     assert abs(_f(solo["burstiness"]) + 1.0) < 1e-9
+
+
+def test_late_arrival_audit_semantics(spark):
+    from flink_descriptive_stats_spark.operators import events as ev_ops
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1)
+    sec = lambda x: t0 + dt.timedelta(seconds=x)
+    # arrival order (event_id): ts goes 0, 100, 40, 200 — event 3 arrives
+    # 60s late relative to the running max
+    rows = [(1, sec(0)), (2, sec(100)), (3, sec(40)), (4, sec(200))]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+    r = ev_ops.late_arrival_audit(df).collect()[0]
+    assert r["n_pairs"] == 3 and r["n_late"] == 1
+    assert r["max_lateness_s"] == 60.0
+    assert abs(_f(r["late_rate"]) - 1 / 3) < 1e-6
+    # fully ordered feed: zero lateness everywhere
+    ordered = spark.createDataFrame(
+        [(i, sec(10 * i)) for i in range(5)], "event_id bigint, ts timestamp")
+    r2 = ev_ops.late_arrival_audit(ordered).collect()[0]
+    assert r2["n_late"] == 0 and r2["max_lateness_s"] == 0.0
