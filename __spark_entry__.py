@@ -750,6 +750,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["shared_prefix_documents"] = _tq(dedup.shared_prefix_groups,
                                        "documents", k_tokens=2)
 
+    # pre-join cardinality/fan-out audit (the 100 TB join-safety check)
+    def _join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import joins
+        return joins.join_cardinality_estimate(
+            _load(spark, sf_dir, "lineitem"),
+            _load(spark, sf_dir, "orders"),
+            key_a="l_orderkey", key_b="o_orderkey")
+    q["join_cardinality_lineitem_orders"] = _join_cardinality
+
     # out-of-order arrival audit (sizes the streaming watermark: the
     # events fixture's ids are not time-ordered, so lateness is real)
     q["late_arrival_events"] = _tq(ev_ops.late_arrival_audit, "events")
@@ -1255,6 +1264,8 @@ def oracle_sql() -> dict[str, str]:
         ["order_id_str", "qty_str", "ship_str", "flag_str"])
     o["collocations_documents"] = op.collocations_sql()
     o["shared_prefix_documents"] = op.shared_prefix_sql(k_tokens=2)
+    o["join_cardinality_lineitem_orders"] = op.join_cardinality_sql(
+        "lineitem", "l_orderkey", "orders", "o_orderkey")
     o["late_arrival_events"] = op.late_arrival_sql()
     o["interarrival_events"] = op.interarrival_sql()
     o["corpus_overlap_documents"] = op.corpus_overlap_sql()

@@ -147,6 +147,8 @@ _API = {
     "interarrival_profile": ("operators.events", "interarrival_profile"),
     "shared_prefix_groups": ("operators.dedup", "shared_prefix_groups"),
     "late_arrival_audit": ("operators.events", "late_arrival_audit"),
+    "join_cardinality_estimate": ("operators.joins",
+                                  "join_cardinality_estimate"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

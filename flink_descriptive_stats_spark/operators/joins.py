@@ -95,3 +95,45 @@ def range_join(points: DataFrame, intervals: DataFrame, ts_col: str = "ts",
             .where((F.col(ts_col) >= F.col(start_col))
                    & (F.col(ts_col) < F.col(end_col)))
             .drop("__b"))
+
+
+def join_cardinality_estimate(df_a, df_b, key_a: str,
+                              key_b: str | None = None):
+    """Pre-join audit: what would A JOIN B on this key produce — ONE row
+    (n_left, n_right, n_keys_left, n_keys_right, n_keys_common,
+    est_rows, max_key_fanout) with est_rows = sum over common keys of
+    count_a * count_b (the EXACT inner-join output size, computed
+    WITHOUT running the join) and max_key_fanout the worst single key's
+    contribution. The sanity check that catches an accidental
+    many-to-many blow-up before it happens at 100 TB — if est_rows is
+    orders of magnitude above max(n_left, n_right), the key is wrong or
+    needs pre-aggregation.
+
+    Shape: one grouped count per side (map-side combined), one
+    key-keyed join of the two BOUNDED count tables, a 1-row aggregate.
+    Row payloads never move — only (key, count) pairs."""
+    from pyspark.sql import functions as F
+    kb = key_b or key_a
+    ca = (df_a.where(F.col(key_a).isNotNull())
+          .groupBy(F.col(key_a).alias("k"))
+          .agg(F.count(F.lit(1)).alias("na")))
+    cb = (df_b.where(F.col(kb).isNotNull())
+          .groupBy(F.col(kb).alias("k"))
+          .agg(F.count(F.lit(1)).alias("nb")))
+    tot_a = df_a.where(F.col(key_a).isNotNull()).count()
+    tot_b = df_b.where(F.col(kb).isNotNull()).count()
+    j = ca.join(cb, "k")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_keys_common"),
+        F.sum(F.col("na") * F.col("nb")).alias("est_rows"),
+        F.max(F.col("na") * F.col("nb")).alias("max_key_fanout")
+    ).collect()[0]
+    ka = int(ca.count())
+    kb_n = int(cb.count())
+    return df_a.sparkSession.createDataFrame(
+        [(tot_a, tot_b, ka, kb_n,
+          int(agg["n_keys_common"] or 0), int(agg["est_rows"] or 0),
+          int(agg["max_key_fanout"] or 0))],
+        "n_left bigint, n_right bigint, n_keys_left bigint, "
+        "n_keys_right bigint, n_keys_common bigint, est_rows bigint, "
+        "max_key_fanout bigint")

@@ -2346,3 +2346,24 @@ SELECT CAST(count(*) AS BIGINT) AS n_pairs,
   max(late) AS max_lateness_s,
   {duck_sig6('quantile_cont(late, 0.99)')} AS p99_lateness_s
 FROM d"""
+
+
+def join_cardinality_sql(table_a: str, key_a: str, table_b: str,
+                         key_b: str) -> str:
+    """Mirror of joins.join_cardinality_estimate."""
+    return f"""
+WITH ca AS (SELECT {key_a} AS k, CAST(count(*) AS BIGINT) AS na
+            FROM {table_a} WHERE {key_a} IS NOT NULL GROUP BY 1),
+ cb AS (SELECT {key_b} AS k, CAST(count(*) AS BIGINT) AS nb
+        FROM {table_b} WHERE {key_b} IS NOT NULL GROUP BY 1),
+ j AS (SELECT ca.na, cb.nb FROM ca JOIN cb USING (k))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM {table_a}
+        WHERE {key_a} IS NOT NULL) AS n_left,
+       (SELECT CAST(count(*) AS BIGINT) FROM {table_b}
+        WHERE {key_b} IS NOT NULL) AS n_right,
+       (SELECT CAST(count(*) AS BIGINT) FROM ca) AS n_keys_left,
+       (SELECT CAST(count(*) AS BIGINT) FROM cb) AS n_keys_right,
+       CAST(coalesce(count(*), 0) AS BIGINT) AS n_keys_common,
+       CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS est_rows,
+       CAST(coalesce(max(na * nb), 0) AS BIGINT) AS max_key_fanout
+FROM j"""

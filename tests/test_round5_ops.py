@@ -1306,3 +1306,20 @@ def test_late_arrival_audit_semantics(spark):
         [(i, sec(10 * i)) for i in range(5)], "event_id bigint, ts timestamp")
     r2 = ev_ops.late_arrival_audit(ordered).collect()[0]
     assert r2["n_late"] == 0 and r2["max_lateness_s"] == 0.0
+
+
+def test_join_cardinality_estimate_semantics(spark):
+    from flink_descriptive_stats_spark.operators import joins
+    a = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "ka bigint")
+    b = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (9,)], "kb bigint")
+    r = joins.join_cardinality_estimate(a, b, "ka", "kb").collect()[0]
+    assert r["n_left"] == 4 and r["n_right"] == 5   # NULL key excluded
+    assert r["n_keys_left"] == 3 and r["n_keys_right"] == 3
+    assert r["n_keys_common"] == 2                  # keys 1 and 2
+    # est = 2*3 (key 1) + 1*1 (key 2) = 7 — verify against the real join
+    assert r["est_rows"] == 7
+    assert r["max_key_fanout"] == 6
+    real = a.join(b, a["ka"] == b["kb"]).count()
+    assert real == r["est_rows"]
