@@ -178,3 +178,29 @@ def test_cli_new_subcommands_parse():
                  ["list-queries"]):
         args = p.parse_args(argv)
         assert args.cmd == argv[0]
+
+
+def test_cli_monitor_drift_end_to_end(tmp_path):
+    """monitor-drift CLI over a growing directory: processes available
+    files, writes the cumulative PSI/JSD report, exits 0."""
+    import shutil
+    import subprocess
+    import sys
+    src = tmp_path / "live"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                src / "p1.parquet")
+    r = subprocess.run(
+        [sys.executable, "-m", "flink_descriptive_stats_spark",
+         "monitor-drift", str(src),
+         "--reference", "/root/testdata/sf0.001/events.parquet",
+         "--column", "value", "--bins", "6",
+         "--sink", str(tmp_path / "sink"),
+         "--state", str(tmp_path / "state"),
+         "--checkpoint", str(tmp_path / "ckpt")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    # reference == live -> every psi/jsd term is exactly zero
+    assert "0e0" in r.stdout
+    out = (tmp_path / "sink")
+    assert (out / "_SUCCESS").exists()
