@@ -434,6 +434,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-slot driver gate so every distinct operator family stays inside it)
     q["profile_lineitem_multitask"] = _profile_multitask("lineitem")
     q["dedup_keep_first_documents"] = _tq(dedup.keep_first, "documents")
+    # canonical (normalize-then-hash) dedup family: the formatting-variant
+    # pass between exact md5 and near-dup LSH
+    q["dedup_canonical_documents"] = _tq(dedup.canonical_dedup, "documents")
+    q["dedup_keep_best_documents"] = _tq(dedup.keep_best_canonical,
+                                         "documents")
+    # PPJoin-style prefix-filtered exact Jaccard: SAME oracle as the plain
+    # path (the filter is lossless) — the sub-quadratic candidate
+    # generation that survives boilerplate-heavy corpora
+    q["ngram_jaccard_prefix_documents"] = _tq(
+        dedup.ngram_jaccard_pairs_prefix, "documents")
     for table in _PROFILE_TABLES:
         if f"profile_{table}" not in q:
             q[f"profile_{table}"] = _profile_table(table)
@@ -1130,6 +1140,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY md5(text) "
         "ORDER BY doc_id) = 1")
+    o["dedup_canonical_documents"] = op.canonical_dedup_sql()
+    o["dedup_keep_best_documents"] = op.keep_best_canonical_sql()
+    # lossless prefix filter => byte-identical output to the plain path
+    o["ngram_jaccard_prefix_documents"] = op.ngram_jaccard_pairs_sql()
     o["minhash_signatures_documents"] = op.minhash_signatures_sql()
     o["minhash_pairs_documents"] = op.minhash_pairs_sql()
     o["neardup_clusters_documents"] = op.neardup_clusters_sql()

@@ -842,3 +842,138 @@ def shared_prefix_groups(df: DataFrame, content_col: str = "text",
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("id").alias("example_id"))
             .where(F.col("n_docs") >= min_docs))
+
+
+def _canonical_expr(content_col: str) -> F.Column:
+    """The canonical form used by canonical_dedup / keep_best_canonical:
+    lowercase, then collapse every run of non-alphanumerics (whitespace,
+    punctuation, symbols) to a single space, then trim. Both engines
+    apply the same regex class to the same lowered string, so the form
+    is cross-engine deterministic."""
+    return F.trim(F.regexp_replace(F.lower(F.col(content_col)),
+                                   "[^a-z0-9]+", " "))
+
+
+def canonical_dedup(df: DataFrame, content_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Normalization-aware exact dedup: group by md5 of the CANONICAL
+    form (lowercased, punctuation/whitespace runs collapsed) instead of
+    the raw bytes — the standard first pass of web-corpus cleaning
+    (exact dedup misses ``"Hello,  World!"`` vs ``"hello world"``;
+    near-dup LSH is overkill for them and pays a shingle pass).
+
+    Output: (canon_md5, rep_id = min id, dup_count, n_variants = count
+    of distinct RAW forms inside the group — 1 means exact dedup would
+    have caught it, >1 is the formatting-variant surplus this operator
+    adds).
+
+    Scale: identical shape to exact_dedup — one shuffle keyed by a
+    32-char md5 (the full text never shuffles; the canonical string is
+    hashed scan-side). The canonicalization is a codegen'd regex over
+    the scan, no extra pass. Reference parity: the reference has no
+    dedup at all — this extends its hash-groupBy idiom
+    (ProfileJob.java's groupBy(0) pattern) to content identity."""
+    canon = _canonical_expr(content_col)
+    return (df.where(F.col(content_col).isNotNull())
+            .select(F.md5(canon).alias("canon_md5"),
+                    F.md5(F.col(content_col)).alias("__raw_md5"),
+                    F.col(id_col).alias("__id"))
+            .groupBy("canon_md5")
+            .agg(F.min("__id").alias("rep_id"),
+                 F.count(F.lit(1)).alias("dup_count"),
+                 F.count_distinct(F.col("__raw_md5")).alias("n_variants")))
+
+
+def keep_best_canonical(df: DataFrame, content_col: str = "text",
+                        id_col: str = "doc_id",
+                        score_col: str | None = None) -> DataFrame:
+    """Quality-aware dedup: keep the BEST row per canonical-content group
+    (highest score, ties broken by lowest id), preserving every input
+    column — the curation-grade upgrade of keep_first, which keeps
+    whichever copy happens to have the lowest id even when a later copy
+    is longer / cleaner. ``score_col`` defaults to the raw content
+    length (keep the most complete variant; a trailing-truncated copy
+    canonicalizes equal but scores shorter).
+
+    Scale: one shuffle keyed by the canonical md5 (same note as
+    keep_first: a boilerplate mega-group concentrates only its own
+    copies, and row_number within a group is a linear scan — no
+    quadratic step)."""
+    score = (F.col(score_col) if score_col is not None
+             else F.length(F.col(content_col)))
+    w = (Window.partitionBy(F.md5(_canonical_expr(content_col)))
+         .orderBy(score.desc(), F.col(id_col).asc()))
+    return (df.where(F.col(content_col).isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def ngram_jaccard_pairs_prefix(df: DataFrame, content_col: str = "text",
+                               id_col: str = "doc_id", n: int = 3,
+                               threshold: float = 0.3) -> DataFrame:
+    """PPJoin-style PREFIX-FILTERED exact n-gram Jaccard pairs — the
+    same output as ngram_jaccard_pairs (it gates against the SAME
+    oracle SQL), but candidate pairs are generated only from each
+    document's rarest shingles instead of all of them.
+
+    Prefix filter (Chaudhuri et al. SSJoin / Xiao et al. PPJoin,
+    symmetric form): order shingles globally by (doc frequency, hash) —
+    rarest first — and keep each doc's first
+    ``p = sz - ceil(t/(1+t) * sz) + 1`` shingles. For jaccard >= t the
+    overlap o satisfies o >= ceil(t/(1+t) * (|A|+|B|)) >=
+    alpha_A + alpha_B - 1 with alpha_X = ceil(t/(1+t) * |X|), so at
+    least one common shingle falls in BOTH prefixes (at most
+    alpha_A - 1 common shingles can miss A's prefix and alpha_B - 1
+    miss B's) — the filter is LOSSLESS; a pytest pins equality with
+    the unfiltered path. Candidates then pass a size filter
+    (t * |B| <= |A|, necessary for jaccard >= t) and are verified
+    exactly by intersecting the two docs' full shingle-hash arrays.
+
+    Why this is THE 100 TB shape: the quadratic blowup of the plain
+    path lives in high-doc-frequency shingles (a shingle shared by k
+    docs emits k(k-1)/2 pairs), and rarest-first prefixes exclude
+    exactly those — unlike ``max_df``, which bounds the blowup by
+    DROPPING frequent shingles and biasing jaccard down, the prefix
+    filter is exact. Shuffles: shingle long-format (distinct), one
+    doc-frequency groupBy + join back keyed by shingle, one window
+    keyed by id, the bucket pair generation keyed by shingle (prefix
+    rows only), and the verification join keyed by id against per-doc
+    sorted hash arrays (array length = doc shingle count, bounded by
+    doc length — the full corpus never cross-joins)."""
+    r = threshold / (1.0 + threshold)
+    long = shingle_hashes_long(df, content_col, id_col, n)
+    docfreq = long.groupBy("sh").agg(F.count(F.lit(1)).alias("df_docs"))
+    w = (Window.partitionBy("id")
+         .orderBy(F.col("df_docs").asc(), F.col("sh").asc()))
+    wsz = Window.partitionBy("id")
+    ranked = (long.join(docfreq, "sh")
+              .select("id", "sh", F.row_number().over(w).alias("rk"),
+                      F.count(F.lit(1)).over(wsz).alias("sz")))
+    prefix_len = (F.col("sz")
+                  - F.ceil(F.lit(r) * F.col("sz")).cast("int") + 1)
+    prefix = ranked.where(F.col("rk") <= prefix_len)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> transform("
+        "slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b))))")
+    cands = (prefix.groupBy("sh")
+             .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+             .where(F.size("ids") > 1)
+             .select(F.explode(pair_expr).alias("p"))
+             .select("p.id_a", "p.id_b").distinct())
+    sets = long.groupBy("id").agg(
+        F.array_sort(F.collect_list("sh")).alias("hs"),
+        F.count(F.lit(1)).alias("sz"))
+    a = sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),
+                    F.col("sz").alias("sz_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"),
+                    F.col("sz").alias("sz_b"))
+    t = F.lit(threshold)
+    shared = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    return (cands.join(a, "id_a").join(b, "id_b")
+            .where((t * F.col("sz_b") <= F.col("sz_a"))
+                   & (t * F.col("sz_a") <= F.col("sz_b")))
+            .withColumn("jaccard",
+                        shared / (F.col("sz_a") + F.col("sz_b") - shared))
+            .where(F.col("jaccard") >= t)
+            .select("id_a", "id_b", "jaccard"))

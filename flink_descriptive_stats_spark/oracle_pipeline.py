@@ -2367,3 +2367,23 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM {table_a}
        CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS est_rows,
        CAST(coalesce(max(na * nb), 0) AS BIGINT) AS max_key_fanout
 FROM j"""
+
+
+_CANON = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+
+
+def canonical_dedup_sql(table: str = "documents") -> str:
+    """Mirror of dedup.canonical_dedup: group by the md5 of the canonical
+    (lowercased, non-alnum runs collapsed) form."""
+    return (f"SELECT {_CANON} AS canon_md5, "
+            f"CAST(min(doc_id) AS BIGINT) AS rep_id, "
+            f"CAST(count(*) AS BIGINT) AS dup_count, "
+            f"CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_variants "
+            f"FROM {table} WHERE text IS NOT NULL GROUP BY 1")
+
+
+def keep_best_canonical_sql(table: str = "documents") -> str:
+    """Mirror of dedup.keep_best_canonical (default score = raw length)."""
+    return (f"SELECT * FROM {table} WHERE text IS NOT NULL "
+            f"QUALIFY row_number() OVER (PARTITION BY {_CANON} "
+            f"ORDER BY length(text) DESC, doc_id ASC) = 1")

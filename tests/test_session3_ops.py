@@ -1,0 +1,126 @@
+"""Round-5 session-3 operators: canonical dedup, keep-best dedup, and the
+PPJoin-style prefix-filtered exact Jaccard join."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from flink_descriptive_stats_spark.operators import dedup  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from flink_descriptive_stats_spark.session import get_spark
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+def test_canonical_dedup_catches_formatting_variants(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "HELLO WORLD."),
+         (4, "goodbye world"), (5, "goodbye world"), (6, None)],
+        "doc_id bigint, text string")
+    rows = {r["rep_id"]: r for r in dedup.canonical_dedup(df).collect()}
+    # three formatting variants of "hello world" collapse to one group
+    assert rows[1]["dup_count"] == 3 and rows[1]["n_variants"] == 3
+    # two byte-identical copies: canonical dedup degrades to exact dedup
+    assert rows[4]["dup_count"] == 2 and rows[4]["n_variants"] == 1
+    # NULL content contributes no group
+    assert len(rows) == 2
+
+
+def test_keep_best_keeps_longest_variant_not_first(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "Hello,  World!  "), (3, "unique doc")],
+        "doc_id bigint, text string")
+    kept = sorted(r["doc_id"]
+                  for r in dedup.keep_best_canonical(df).collect())
+    # keep_first would keep doc 1; keep_best keeps the LONGER variant 2
+    assert kept == [2, 3]
+    first = sorted(r["doc_id"] for r in dedup.keep_first(df).collect())
+    assert first == [1, 2, 3]  # exact dedup sees three distinct texts
+
+
+def test_keep_best_tie_breaks_on_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(7, "same text"), (3, "same text"), (5, "SAME TEXT")],
+        "doc_id bigint, text string")
+    kept = [r["doc_id"] for r in dedup.keep_best_canonical(df).collect()]
+    assert kept == [3]  # equal score (len 9) -> lowest id among 7,3,5*
+
+
+def test_prefix_filter_is_lossless_vs_plain_path(spark, docs=None):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for t in (0.2, 0.3, 0.6):
+        plain = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            docs, threshold=t).collect()))
+        pref = sorted(map(tuple, dedup.ngram_jaccard_pairs_prefix(
+            docs, threshold=t).collect()))
+        assert pref == plain, f"threshold {t}"
+
+
+def test_prefix_filter_lossless_on_boilerplate_heavy_corpus(spark):
+    # 40 docs sharing a boilerplate header (high-df shingles) + pairwise
+    # near-dup bodies: the regime where the plain path's pair explosion
+    # lives. The prefix filter must still find every qualifying pair.
+    rows = []
+    for i in range(40):
+        body = f"alpha{i // 2} beta{i // 2} gamma{i // 2} delta{i % 2}"
+        rows.append((i, f"terms of service apply to all users always {body}"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    plain = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        df, threshold=0.3).collect()))
+    pref = sorted(map(tuple, dedup.ngram_jaccard_pairs_prefix(
+        df, threshold=0.3).collect()))
+    assert pref == plain and len(plain) >= 20
+
+
+def test_prefix_filter_generates_fewer_candidates(spark):
+    # the point of the operator: candidate pairs from prefix shingles only
+    # (rarest-first) must undercut the plain path's all-shingle pairs on a
+    # boilerplate-heavy corpus. Count both candidate sets directly.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    # 9-token boilerplate head + 30 unique body tokens: the shared
+    # shingles are the most frequent, so rarest-first prefixes (which
+    # drop the top ~23% for t=0.3) exclude all of them
+    rows = [(i, "the quick brown fox jumps over the lazy dog "
+             + " ".join(f"w{i}x{j}" for j in range(30)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    long = dedup.shingle_hashes_long(df)
+    plain_cands = (long.groupBy("sh")
+                   .agg(F.count(F.lit(1)).alias("k"))
+                   .agg(F.sum(F.col("k") * (F.col("k") - 1) / 2))
+                   .collect()[0][0])
+    t = 0.3
+    r = t / (1 + t)
+    docfreq = long.groupBy("sh").agg(F.count(F.lit(1)).alias("df_docs"))
+    w = (Window.partitionBy("id")
+         .orderBy(F.col("df_docs").asc(), F.col("sh").asc()))
+    wsz = Window.partitionBy("id")
+    ranked = (long.join(docfreq, "sh")
+              .select("id", "sh", F.row_number().over(w).alias("rk"),
+                      F.count(F.lit(1)).over(wsz).alias("sz")))
+    pref = ranked.where(
+        F.col("rk") <= F.col("sz")
+        - F.ceil(F.lit(r) * F.col("sz")).cast("int") + 1)
+    pref_cands = (pref.groupBy("sh")
+                  .agg(F.count(F.lit(1)).alias("k"))
+                  .agg(F.sum(F.col("k") * (F.col("k") - 1) / 2))
+                  .collect()[0][0])
+    assert pref_cands < plain_cands / 2, (pref_cands, plain_cands)
+
+
+def test_canonical_ops_partitioning_invariance(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for nparts in (1, 16):
+        d = docs.repartition(nparts)
+        a = sorted(map(tuple, dedup.canonical_dedup(d).collect()))
+        b = sorted(map(tuple, dedup.keep_best_canonical(d).collect()))
+        if nparts == 1:
+            ref_a, ref_b = a, b
+        else:
+            assert a == ref_a and b == ref_b
