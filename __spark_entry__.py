@@ -965,6 +965,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["audio_spectral_synthetic"] = _audio_spectral_synth
 
     # rows-only by design: stubbed decode / sketch scale-paths (no oracle)
+    # PQ-ADC ANN: codebooks from a bounded driver-side k-means (float
+    # trajectories not SQL-expressible); recall 0.92 vs brute force and
+    # run-to-run determinism are pytest-pinned instead
+    q["ann_pq_topk"] = _tq(similarity.pq_topk, "embeddings")
+    # zlib quality screen: no DEFLATE in DuckDB SQL; byte-exact vs the
+    # Python zlib mirror in pytest instead
+    q["compression_ratio_documents"] = _tq(text_ops.compression_ratio,
+                                           "documents")
     q["multimodal_features_documents"] = _tq(multimodal.extract_features,
                                              "documents")
     q["approx_distinct_lineitem"] = _tq(extras.approx_distinct_counts,
