@@ -984,35 +984,39 @@ def schema_suggestions(df: DataFrame) -> DataFrame:
     only for the 'string' fallback, where it reports the best partial
     candidate's share).
 
-    ONE aggregation pass over all string columns (the same fold-into-
-    one-agg shape as profile/check_constraints)."""
+    SHARES the profile's memoized single-pass aggregate row: the
+    latent-type counters here (Java-strict parse count_ifs) are exactly
+    the profile's A11 counters, so when ``profile(df)`` has already run
+    in this process this is a zero-job driver-side re-read of that row —
+    and when it has NOT, running this pre-warms the profile's memo (the
+    agg bundle is byte-identical, same memo key). Cold cost is one
+    aggregation pass either way."""
     from pyspark.sql import types as T
+    from flink_descriptive_stats_spark.functions.memo import \
+        agg_row_memoized
     from flink_descriptive_stats_spark.functions.sig import sig6_py
-    cols = [f.name for f in df.schema.fields
+    from flink_descriptive_stats_spark.operators.profile import \
+        _agg_exprs_for_column
+    fields = list(df.schema.fields)
+    cols = [(i, f.name) for i, f in enumerate(fields)
             if isinstance(f.dataType, T.StringType)]
     if not cols:
         return df.sparkSession.createDataFrame(
             [], "column string, current_type string, "
                 "suggested_type string, n_non_null bigint, "
                 "parse_rate string")
-    aggs = []
-    for c in cols:
-        x = F.col(c)
-        aggs += [
-            F.count(x).alias(f"{c}__n"),
-            F.count_if(scalar.parses_bool_expr(x)).alias(f"{c}__bool"),
-            F.count_if(scalar.parses_long_expr(x)).alias(f"{c}__long"),
-            F.count_if(scalar.parses_float_expr(x)).alias(f"{c}__dbl"),
-            F.count_if(scalar.parses_date_expr(x)).alias(f"{c}__date"),
-        ]
-    row = df.agg(*aggs).collect()[0]
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for i, f in enumerate(fields):
+        aggs += _agg_exprs_for_column(i, f.name, f.dataType)
+    row = agg_row_memoized(df, aggs,
+                           ("profile", tuple(f.name for f in fields)))
     out = []
-    for c in cols:
-        n = int(row[f"{c}__n"])
-        counts = [("boolean", int(row[f"{c}__bool"])),
-                  ("bigint", int(row[f"{c}__long"])),
-                  ("double", int(row[f"{c}__dbl"])),
-                  ("date", int(row[f"{c}__date"]))]
+    for i, c in cols:
+        n = int(row["row_count"]) - int(row[f"c{i}__nulls"])
+        counts = [("boolean", int(row[f"c{i}__bool_count"])),
+                  ("bigint", int(row[f"c{i}__long_count"])),
+                  ("double", int(row[f"c{i}__float_count"])),
+                  ("date", int(row[f"c{i}__date_count"]))]
         suggested, rate = "string", None
         if n > 0:
             for t, k in counts:
