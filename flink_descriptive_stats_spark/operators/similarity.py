@@ -709,3 +709,57 @@ def pq_topk(df: DataFrame, k: int = 5, m: int = 16, ksub: int = 32,
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def label_separation(df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     label_col: str = "label") -> DataFrame:
+    """Embedding-space class-separability diagnostic: per label,
+    (label, n, within_ss, between_ss, fisher_ratio) where within_ss is
+    the average squared distance of the label's vectors to their own
+    centroid (sum over dims of per-dim variance), between_ss the squared
+    distance of the label centroid to the GLOBAL centroid, and
+    fisher_ratio = between_ss / within_ss — the per-class view of
+    Fisher's discriminant criterion. Low ratios mean the labels are not
+    linearly separable in this embedding space (a curation signal:
+    cluster-balanced sampling or a classifier head on these vectors will
+    underperform); it is also the scale-out replacement for silhouette
+    scores, which need O(n^2) pairwise distances.
+
+    Plan: ONE posexplode to (label, dim, x) long format, one
+    groupBy(label, dim) with map-side partial aggregation (bounded keys:
+    labels x dim), the global centroid derived from the SAME per-label
+    rows by weighted mean (no second corpus pass), and bounded per-label
+    regroups. The corpus is touched once; every shuffle key space is
+    metadata-sized. Per-dim moments round-trip through sig6 before the
+    dim-sum so engine summation order cannot leak into the gated values
+    (same discipline as the Lloyd per-dim means)."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    v = F.col(vec_col).cast("array<double>")
+    e = (df.where(v.isNotNull())
+         .select(F.col(label_col).alias("label"),
+                 F.posexplode(v).alias("dim", "x")))
+    per = (e.groupBy("label", "dim")
+           .agg(sig6(F.avg("x")).cast("double").alias("m"),
+                sig6(F.avg(F.col("x") * F.col("x")))
+                .cast("double").alias("m2"),
+                F.count(F.lit(1)).alias("n")))
+    # global per-dim centroid = n-weighted mean of the label means (the
+    # label x dim table is bounded — this is metadata math, not a corpus
+    # repass). sig6-rounded for the same order-independence reason.
+    glob = (per.groupBy("dim")
+            .agg(sig6(F.sum(F.col("m") * F.col("n")) / F.sum("n"))
+                 .cast("double").alias("g")))
+    within_d = sig6(F.col("m2") - F.col("m") * F.col("m")).cast("double")
+    between_d = sig6((F.col("m") - F.col("g"))
+                     * (F.col("m") - F.col("g"))).cast("double")
+    lab = (per.join(glob, "dim")
+           .groupBy("label")
+           .agg(F.max("n").alias("n"),
+                F.sum(within_d).alias("w"),
+                F.sum(between_d).alias("b")))
+    return (lab.select(F.col("label").cast("bigint").alias("label"),
+                       F.col("n").cast("bigint").alias("n"),
+                       sig6(F.col("w")).alias("within_ss"),
+                       sig6(F.col("b")).alias("between_ss"),
+                       sig6(F.col("b") / F.col("w")).alias("fisher_ratio")))

@@ -2387,3 +2387,29 @@ def keep_best_canonical_sql(table: str = "documents") -> str:
     return (f"SELECT * FROM {table} WHERE text IS NOT NULL "
             f"QUALIFY row_number() OVER (PARTITION BY {_CANON} "
             f"ORDER BY length(text) DESC, doc_id ASC) = 1")
+
+
+def label_separation_sql(table: str = "embeddings") -> str:
+    """Mirror of similarity.label_separation (same sig6 round-points)."""
+    s = duck_sig6
+    return f"""
+WITH e AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+                  embedding[i]::DOUBLE AS x
+           FROM {table}, unnest(generate_series(1, len(embedding))) AS t(i)
+           WHERE embedding IS NOT NULL),
+per AS (SELECT label, dim,
+               CAST({s('avg(x)')} AS DOUBLE) AS mu,
+               CAST({s('avg(x * x)')} AS DOUBLE) AS msq,
+               count(*) AS n
+        FROM e GROUP BY label, dim),
+gcent AS (SELECT dim, CAST({s('sum(mu * n) / sum(n)')} AS DOUBLE) AS g
+          FROM per GROUP BY dim),
+lab AS (SELECT label, max(n) AS n,
+               sum(CAST({s('msq - mu * mu')} AS DOUBLE)) AS w,
+               sum(CAST({s('(mu - g) * (mu - g)')} AS DOUBLE)) AS b
+        FROM per JOIN gcent USING (dim) GROUP BY label)
+SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n,
+       {s('w')} AS within_ss, {s('b')} AS between_ss,
+       {s('b / w')} AS fisher_ratio
+FROM lab
+"""

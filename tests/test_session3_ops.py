@@ -187,3 +187,30 @@ def test_pq_encode_shapes_and_code_range(spark):
     arr = np.asarray([r["codes"] for r in codes])
     assert arr.shape == (n_vec, 16)
     assert arr.min() >= 0 and arr.max() < 32
+
+
+def test_label_separation_vs_numpy(spark):
+    import numpy as np
+    from flink_descriptive_stats_spark.operators import similarity as S
+
+    def f(x):
+        return float(x.replace("e", "E")) if isinstance(x, str) else x
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas()
+    X = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+    y = pdf["label"].to_numpy()
+    got = {r["label"]: r for r in S.label_separation(emb).collect()}
+    gmean = X.mean(axis=0)
+    assert set(got) == set(np.unique(y).tolist())
+    for lbl in np.unique(y):
+        M = X[y == lbl]
+        c = M.mean(axis=0)
+        within = ((M - c) ** 2).sum(axis=1).mean()
+        between = ((c - gmean) ** 2).sum()
+        r = got[int(lbl)]
+        assert r["n"] == len(M)
+        assert abs(f(r["within_ss"]) - within) < 1e-3 * max(within, 1)
+        assert abs(f(r["between_ss"]) - between) < 2e-3 * max(between, 1e-9)
+        assert abs(f(r["fisher_ratio"]) - between / within) \
+            < 5e-3 * max(between / within, 1e-9)
