@@ -134,9 +134,16 @@ GATED_50 = (
     "dedup_exact_documents", "decontaminate_fuzzy_documents",
     "minhash_pairs_documents", "neardup_clusters_documents",
     "simhash_near_pairs_documents", "ngram_jaccard_pairs_documents",
-    "embedding_neardup_lsh", "semdedup_embeddings",
+    "embedding_neardup_lsh",
+    # seventh rotation: canonical (normalize-then-hash) dedup in;
+    # semdedup demoted (embedding-space dedup family keeps
+    # embedding_neardup_lsh gated; semdedup verified at 51+)
+    "dedup_canonical_documents",
     # similarity search
-    "ann_lsh_topk", "ann_ivf_topk",
+    # seventh rotation: label_separation (class-separability
+    # diagnostics — a new family) in; ann_ivf_topk demoted (ANN family
+    # keeps ann_lsh_topk gated; ivf + ivf_kmeans verified at 51+)
+    "ann_lsh_topk", "label_separation_embeddings",
     # text analysis
     "text_stats_documents",
     "typo_pairs_documents",

@@ -38,7 +38,7 @@ def test_gated_window_holds_all_operator_families():
                  # round-5 session-2 families (third rotation)
                  "check_constraints_lineitem",
                  "transition_matrix_events",
-                 "typo_pairs_documents", "semdedup_embeddings",
+                 "typo_pairs_documents",
                  "daily_profile_partitioned_events",
                  # fourth rotation
                  "trend_events", "lm_score_documents",
@@ -47,12 +47,15 @@ def test_gated_window_holds_all_operator_families():
                  "spearman_lineitem", "woe_iv_events",
                  "null_patterns_events", "incremental_profile_lineitem",
                  "embedding_diversity",
+                 # seventh rotation (session 3)
+                 "dedup_canonical_documents",
+                 "label_separation_embeddings",
                  # carried family representatives
                  "profile_lineitem", "topk_lineitem",
                  "simhash_near_pairs_documents",
                  "ngram_jaccard_pairs_documents",
                  "embedding_neardup_lsh",
-                 "ann_lsh_topk", "ann_ivf_topk",
+                 "ann_lsh_topk",
                  "text_stats_documents", "hash_split_documents",
                  "multimodal_frames_documents", "sessionize_events",
                  "pii_scan_documents", "repetition_stats_documents",
