@@ -28,7 +28,7 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "histogram2d", "doc-clusters", "cluster-sample",
                "session-summary", "spearman", "woe", "null-patterns",
                "paths", "monitor-profile", "monitor-drift", "explain",
-               "list-queries")
+               "list-queries", "compression", "label-separation")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -60,7 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--method", default="exact",
                     choices=["exact", "keep-first", "minhash-pairs",
                              "simhash-pairs", "corpus", "jaccard-pairs",
-                             "containment-pairs", "dup-fraction"])
+                             "containment-pairs", "dup-fraction",
+                             "canonical", "keep-best", "jaccard-prefix"])
     dd.add_argument("--threshold", type=float, default=0.5)
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--id-col", default="doc_id")
@@ -101,11 +102,26 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("input")
     an.add_argument("--method", default="brute",
                     choices=["brute", "lsh", "lsh-multiprobe", "ivf",
-                             "ivf-kmeans"])
+                             "ivf-kmeans", "pq"])
     an.add_argument("--k", type=int, default=5)
     an.add_argument("--vec-col", default="embedding")
     an.add_argument("--id-col", default="vec_id")
     _add_common(an)
+
+    cr = sub.add_parser("compression",
+                        help="per-doc zlib compression-ratio quality screen")
+    cr.add_argument("input")
+    cr.add_argument("--text-col", default="text")
+    cr.add_argument("--id-col", default="doc_id")
+    _add_common(cr)
+
+    ls = sub.add_parser("label-separation",
+                        help="per-label Fisher separability over embeddings")
+    ls.add_argument("input")
+    ls.add_argument("--vec-col", default="embedding")
+    ls.add_argument("--id-col", default="vec_id")
+    ls.add_argument("--label-col", default="label")
+    _add_common(ls)
 
     en = sub.add_parser("entropy",
                         help="per-column value-distribution entropy")
@@ -479,6 +495,10 @@ def main(argv: list[str] | None = None) -> int:
                 df, threshold=args.threshold, **kw),
             "dup-fraction": lambda: dedup.duplicated_ngram_fraction(
                 df, **kw),
+            "canonical": lambda: dedup.canonical_dedup(df, **kw),
+            "keep-best": lambda: dedup.keep_best_canonical(df, **kw),
+            "jaccard-prefix": lambda: dedup.ngram_jaccard_pairs_prefix(
+                df, threshold=args.threshold, **kw),
         }[args.method]()
         _emit(out, args.output)
         return 0
@@ -516,8 +536,25 @@ def main(argv: list[str] | None = None) -> int:
             "ivf": lambda: similarity.ivf_topk(df, **kw),
             "ivf-kmeans": lambda: similarity.ivf_topk(
                 df, refine_iters=2, **kw),
+            "pq": lambda: similarity.pq_topk(df, **kw),
         }[args.method]()
         _emit(out, args.output)
+        return 0
+
+    if args.cmd == "compression":
+        from flink_descriptive_stats_spark.operators import text as text_ops
+        df = _load(spark, args.input, args.format)
+        _emit(text_ops.compression_ratio(df, text_col=args.text_col,
+                                         id_col=args.id_col), args.output)
+        return 0
+
+    if args.cmd == "label-separation":
+        from flink_descriptive_stats_spark.operators import similarity
+        df = _load(spark, args.input, args.format)
+        _emit(similarity.label_separation(df, id_col=args.id_col,
+                                          vec_col=args.vec_col,
+                                          label_col=args.label_col),
+              args.output)
         return 0
 
     if args.cmd == "entropy":

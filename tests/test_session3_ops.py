@@ -214,3 +214,28 @@ def test_label_separation_vs_numpy(spark):
         assert abs(f(r["between_ss"]) - between) < 2e-3 * max(between, 1e-9)
         assert abs(f(r["fisher_ratio"]) - between / within) \
             < 5e-3 * max(between / within, 1e-9)
+
+
+def test_cli_session3_subcommands(capsys):
+    from flink_descriptive_stats_spark.__main__ import main
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+
+    rc = main(["dedup", docs, "--method", "canonical"])
+    assert rc == 0 and "canon_md5" in capsys.readouterr().out
+
+    rc = main(["dedup", docs, "--method", "keep-best"])
+    assert rc == 0 and "text" in capsys.readouterr().out
+
+    rc = main(["dedup", docs, "--method", "jaccard-prefix",
+               "--threshold", "0.3"])
+    assert rc == 0 and "jaccard" in capsys.readouterr().out
+
+    rc = main(["compression", docs])
+    assert rc == 0 and "compression_ratio" in capsys.readouterr().out
+
+    rc = main(["label-separation", emb])
+    assert rc == 0 and "fisher_ratio" in capsys.readouterr().out
+
+    rc = main(["ann", emb, "--method", "pq", "--k", "3"])
+    assert rc == 0 and "query_id" in capsys.readouterr().out
