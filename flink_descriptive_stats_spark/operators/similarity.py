@@ -695,9 +695,11 @@ def pq_topk(df: DataFrame, k: int = 5, m: int = 16, ksub: int = 32,
     qa = (d.where(F.col("id") < max_query_id)
           .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
                   F.col("norm").alias("qnorm")))
-    joined = (shortlist
-              .join(d.select(F.col("id").alias("neighbor_id"), "v", "norm"),
-                    "neighbor_id")
+    # broadcast the SHORTLIST (refine*k*n_queries rows — bounded metadata)
+    # so the true-vector lookup streams the corpus scan in place: no
+    # corpus exchange anywhere in the operator
+    joined = (d.select(F.col("id").alias("neighbor_id"), "v", "norm")
+              .join(F.broadcast(shortlist), "neighbor_id")
               .join(F.broadcast(qa), "query_id"))
     dot = F.aggregate(F.zip_with(F.col("qv"), F.col("v"),
                                  lambda x, y: x * y),

@@ -241,6 +241,35 @@ def main() -> None:
         "cost tracks distinct keys, not event volume.",
         fmt(spark, ev_ops.latest_by_key(ev2))))
 
+    docs2 = load_table(spark, SF, "documents")
+    sections.append((
+        "Canonical dedup: one md5(canonical-form) exchange",
+        "The canonicalization (lower + collapse non-alnum runs) is a\n"
+        "codegen'd regex evaluated scan-side; the only exchange is keyed\n"
+        "by the 32-char canonical md5 — full text never shuffles, same\n"
+        "shape as exact dedup.",
+        fmt(spark, dedup.canonical_dedup(docs2))))
+    sections.append((
+        "Prefix-filtered Jaccard: lossless sub-quadratic candidates",
+        "Candidate pairs come only from each document's rarest shingles\n"
+        "(the PPJoin prefix bound) — the high-doc-frequency shingles\n"
+        "where the k(k-1)/2 pair blowup lives never reach the pair\n"
+        "generator; verification intersects per-doc sorted hash arrays,\n"
+        "bounded by doc length. Output equals the plain path exactly\n"
+        "(same oracle SQL).",
+        fmt(spark, dedup.ngram_jaccard_pairs_prefix(docs2))))
+    from flink_descriptive_stats_spark.operators import similarity as sim
+    emb2 = load_table(spark, SF, "embeddings")
+    sections.append((
+        "PQ-ADC ANN: narrow fused encode+scan, bounded candidate funnel",
+        "The corpus is scanned once through ONE ArrowEvalPython\n"
+        "(mapInPandas) node that encodes to m-byte PQ codes and emits at\n"
+        "most refine*k ADC candidates per query per batch; the only\n"
+        "exchanges are the per-query candidate window and the exact\n"
+        "re-rank join of the shortlist — the corpus itself never\n"
+        "shuffles.",
+        fmt(spark, sim.pq_topk(emb2, k=5))))
+
     with open("EXPLAIN.md", "w") as f:
         f.write(
             '# Plan audit — `.explain("formatted")` of the flagship '
