@@ -363,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprints_documents"] = _tq(text_ops.fingerprints, "documents")
     q["corpus_summary_documents"] = _tq(text_ops.corpus_summary, "documents")
     q["vocabulary_documents"] = _tq(text_ops.vocabulary, "documents")
+    q["token_fertility_documents"] = _tq(text_ops.token_fertility,
+                                         "documents")
 
     # operator composition: histogram of a derived per-doc statistic
     def _tok_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,6 +516,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             windowed_distinct)
         return windowed_distinct(_load(spark, sf_dir, "events"))
     q["windowed_distinct_events"] = _windowed_distinct
+
+    def _windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.streaming.profile_stream import (
+            windowed_quantiles)
+        return windowed_quantiles(_load(spark, sf_dir, "events"))
+    q["windowed_quantiles_events"] = _windowed_quantiles
     q["json_profile_events"] = _tq(extras.json_profile, "events")
     q["grouped_topk_tokens_documents"] = _tq(topk.grouped_topk_tokens,
                                              "documents")
@@ -1159,6 +1167,8 @@ def oracle_sql() -> dict[str, str]:
         "QUALIFY row_number() OVER (PARTITION BY md5(text) "
         "ORDER BY doc_id) = 1")
     o["dedup_canonical_documents"] = op.canonical_dedup_sql()
+    o["windowed_quantiles_events"] = op.windowed_quantiles_sql()
+    o["token_fertility_documents"] = op.token_fertility_sql()
     o["dedup_keep_best_documents"] = op.keep_best_canonical_sql()
     # lossless prefix filter => byte-identical output to the plain path
     o["ngram_jaccard_prefix_documents"] = op.ngram_jaccard_pairs_sql()

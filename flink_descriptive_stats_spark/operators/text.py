@@ -783,3 +783,36 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
             .mapInPandas(batches,
                          "doc_id bigint, n_bytes bigint, "
                          "n_compressed bigint, compression_ratio double"))
+
+
+def token_fertility(df: DataFrame, text_col: str = "text",
+                    group_col: str = "lang") -> DataFrame:
+    """Tokenizer-fertility profile per group (language): how many BPE-ish
+    subword units a word costs, and how many bytes/chars a token carries —
+    the pre-training budget planner (a language whose subwords_per_token
+    runs high is under-served by the tokenizer; bytes_per_token calibrates
+    corpus-size-in-tokens estimates from corpus-size-in-bytes). Output:
+    (group, n_docs, n_tokens, n_subwords, n_bytes, chars_per_token,
+    bytes_per_token, subwords_per_token), ratios sig6-rendered.
+
+    ONE grouped aggregation; the token/subword counters are the same
+    codegen'd regexp_extract_all counts text_stats uses — narrow until
+    the bounded per-group exchange."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    t = F.col(text_col)
+    toks = F.size(H.tokens_expr(t))
+    subs = F.size(F.regexp_extract_all(t, F.lit(SUBWORD_RE), 0))
+    agg = (df.where(t.isNotNull())
+           .groupBy(F.col(group_col).alias("grp"))
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(toks).alias("n_tokens"),
+                F.sum(subs).alias("n_subwords"),
+                F.sum(F.length(t)).alias("n_chars"),
+                F.sum(F.octet_length(t)).alias("n_bytes")))
+    tok_d = F.col("n_tokens").cast("double")
+    return agg.select(
+        F.col("grp").alias(group_col), "n_docs", "n_tokens", "n_subwords",
+        "n_bytes",
+        sig6(F.col("n_chars") / tok_d).alias("chars_per_token"),
+        sig6(F.col("n_bytes") / tok_d).alias("bytes_per_token"),
+        sig6(F.col("n_subwords") / tok_d).alias("subwords_per_token"))

@@ -2413,3 +2413,48 @@ SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n,
        {s('b / w')} AS fisher_ratio
 FROM lab
 """
+
+
+def windowed_quantiles_sql(table: str = "events", ts_col: str = "ts",
+                           value_col: str = "value",
+                           window_hours: int = 24,
+                           probs=(0.25, 0.5, 0.75)) -> str:
+    """Mirror of profile_stream.windowed_quantiles (exact batch path)."""
+    qs = ", ".join(
+        f"{duck_sig6(f'quantile_cont(CAST({value_col} AS DOUBLE), {p})')} "
+        f"AS q_{int(p * 100)}" for p in probs)
+    return f"""
+SELECT time_bucket(INTERVAL '{window_hours} hours',
+                   CAST({ts_col} AS TIMESTAMP)) AS window_start,
+       time_bucket(INTERVAL '{window_hours} hours',
+                   CAST({ts_col} AS TIMESTAMP))
+       + INTERVAL '{window_hours} hours' AS window_end,
+       CAST(count(*) AS BIGINT) AS n_rows, {qs}
+FROM {table}
+WHERE {ts_col} IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def token_fertility_sql(table: str = "documents",
+                        group_col: str = "lang") -> str:
+    """Mirror of text.token_fertility (same regexes, strlen = UTF-8
+    bytes in DuckDB as octet_length is in Spark)."""
+    toks = "len(regexp_extract_all(lower(text), '\\w+'))"
+    subs = f"len(regexp_extract_all(text, '{TX.SUBWORD_RE}'))"
+    return f"""
+WITH g AS (SELECT {group_col} AS grp, count(*) AS n_docs,
+                  sum({toks}) AS n_tokens, sum({subs}) AS n_subwords,
+                  sum(length(text)) AS n_chars,
+                  sum(strlen(text)) AS n_bytes
+           FROM {table} WHERE text IS NOT NULL GROUP BY 1)
+SELECT grp AS {group_col}, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_subwords AS BIGINT) AS n_subwords,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       {duck_sig6('n_chars / CAST(n_tokens AS DOUBLE)')} AS chars_per_token,
+       {duck_sig6('n_bytes / CAST(n_tokens AS DOUBLE)')} AS bytes_per_token,
+       {duck_sig6('n_subwords / CAST(n_tokens AS DOUBLE)')}
+           AS subwords_per_token
+FROM g
+"""

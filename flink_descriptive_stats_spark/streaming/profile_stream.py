@@ -252,3 +252,32 @@ def windowed_distinct(df: DataFrame, ts_col: str = "ts",
     return agg.select(F.col("win.start").alias("window_start"),
                       F.col("win.end").alias("window_end"),
                       "n_rows", "distinct_keys")
+
+
+def windowed_quantiles(df: DataFrame, ts_col: str = "ts",
+                       value_col: str = "value",
+                       window: str = "1 day",
+                       probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                       watermark: str | None = None,
+                       exact: bool = True) -> DataFrame:
+    """Percentiles per time window — the latency-SLO / value-distribution
+    monitor (p50/p75 per day): (window_start, window_end, n_rows, q_25,
+    q_50, q_75). The windowed companion to extras.grouped_quantiles, same
+    exact/approx split: exact=True is the oracle path (per-window sort
+    buffer); exact=False swaps in approx_percentile (GK sketch) — bounded
+    MERGEABLE state, the only shape a watermarked streaming aggregation
+    can carry at 100 TB, same scale note as windowed_distinct's HLL++
+    path. One shuffle keyed by the time window (bounded keys)."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    fn = F.percentile if exact else F.percentile_approx
+    arr = F.array(*[F.lit(p) for p in probs])
+    agg = (df.groupBy(F.window(F.col(ts_col), window).alias("win"))
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                fn(F.col(value_col).cast("double"), arr).alias("__q")))
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"), "n_rows",
+        *[sig6(F.col("__q")[i]).alias(f"q_{int(p * 100)}")
+          for i, p in enumerate(probs)])

@@ -239,3 +239,28 @@ def test_cli_session3_subcommands(capsys):
 
     rc = main(["ann", emb, "--method", "pq", "--k", "3"])
     assert rc == 0 and "query_id" in capsys.readouterr().out
+
+
+def test_token_fertility_semantics(spark):
+    from flink_descriptive_stats_spark.operators import text as text_ops
+
+    def f(x):
+        return float(x.replace("e", "E"))
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "internationalization", "en"),
+         (3, "a b", "xx"), (4, None, "yy")],
+        "doc_id bigint, text string, lang string")
+    got = {r["lang"]: r for r in text_ops.token_fertility(df).collect()}
+    assert "yy" not in got  # NULL text contributes nothing
+    en = got["en"]
+    # "hello world" = 2 tokens/3 subwords (hel+lo, wor+ld -> 4? no:
+    # \w{1,4} greedy: hell+o, worl+d = 4 subwords), the 20-char word =
+    # 1 token / 5 subwords
+    assert en["n_docs"] == 2 and en["n_tokens"] == 3
+    assert en["n_subwords"] == 9
+    assert abs(f(en["chars_per_token"]) - (11 + 20) / 3) < 1e-4
+    assert abs(f(en["subwords_per_token"]) - 3.0) < 1e-4
+    xx = got["xx"]
+    assert xx["n_tokens"] == 2 and xx["n_subwords"] == 2
+    assert f(xx["chars_per_token"]) == 1.5  # "a b" = 3 chars / 2 tokens

@@ -621,3 +621,43 @@ def test_streaming_profile_monitor_equals_batch(spark, tmp_path):
     want2 = sorted(map(tuple, mo.finalize_profile_state(
         mo.profile_state(ev.unionAll(more), cols)).collect()))
     assert got2 == want2
+
+
+def test_streaming_windowed_quantiles_approx(spark):
+    """windowed percentiles under readStream + watermark via the GK
+    approx_percentile path (bounded mergeable state); each window's
+    p25/p50/p75 lands within the sketch tolerance of the exact batch
+    answer, and the exact path stays the oracle-gated batch shape."""
+    from flink_descriptive_stats_spark.streaming.profile_stream import (
+        windowed_quantiles)
+
+    def f(x):
+        return float(x.replace("e", "E"))
+
+    stream = _events_stream(spark)
+    got_df = windowed_quantiles(stream, window="1 day", watermark="1 hour",
+                                exact=False)
+    query = (got_df.writeStream.format("memory").queryName("win_q")
+             .outputMode("complete").start())
+    try:
+        query.processAllAvailable()
+        got = {r["window_start"]: r for r in
+               spark.table("win_q").collect()}
+    finally:
+        query.stop()
+    exact = {r["window_start"]: r for r in
+             windowed_quantiles(load_table(spark, SF_DIR, "events"),
+                                window="1 day").collect()}
+    assert set(got) == set(exact) and len(got) > 0
+    # thin windows diverge by construction (exact percentile INTERPOLATES
+    # between order stats, GK returns an actual element — on a 5-row
+    # window those differ by half an element gap); compare where the
+    # estimator is meaningful
+    fat = {w for w, ex in exact.items() if ex["n_rows"] >= 50}
+    assert fat, "fixture has no fat windows"
+    for w in fat:
+        ex = exact[w]
+        spread = f(ex["q_75"]) - f(ex["q_25"]) or 1.0
+        for q in ("q_25", "q_50", "q_75"):
+            assert abs(f(got[w][q]) - f(ex[q])) <= 0.25 * spread, \
+                (w, q, got[w][q], ex[q])
