@@ -987,6 +987,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # trajectories not SQL-expressible); recall 0.92 vs brute force and
     # run-to-run determinism are pytest-pinned instead
     q["ann_pq_topk"] = _tq(similarity.pq_topk, "embeddings")
+    # IVF-PQ composition (FAISS IVFx,PQy): driver-side float k-means for
+    # both stages — rows-only, recall bar + determinism pytest-pinned
+    q["ann_ivf_pq_topk"] = _tq(similarity.ivf_pq_topk, "embeddings")
     # zlib quality screen: no DEFLATE in DuckDB SQL; byte-exact vs the
     # Python zlib mirror in pytest instead
     q["compression_ratio_documents"] = _tq(text_ops.compression_ratio,

@@ -102,7 +102,7 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("input")
     an.add_argument("--method", default="brute",
                     choices=["brute", "lsh", "lsh-multiprobe", "ivf",
-                             "ivf-kmeans", "pq"])
+                             "ivf-kmeans", "pq", "ivf-pq"])
     an.add_argument("--k", type=int, default=5)
     an.add_argument("--vec-col", default="embedding")
     an.add_argument("--id-col", default="vec_id")
@@ -537,6 +537,7 @@ def main(argv: list[str] | None = None) -> int:
             "ivf-kmeans": lambda: similarity.ivf_topk(
                 df, refine_iters=2, **kw),
             "pq": lambda: similarity.pq_topk(df, **kw),
+            "ivf-pq": lambda: similarity.ivf_pq_topk(df, **kw),
         }[args.method]()
         _emit(out, args.output)
         return 0

@@ -41,6 +41,8 @@ def clear_all_memos() -> None:
         except Exception:
             pass            # session already stopped; blocks died with it
     dedup._CLUSTER_MEMO.clear()
+    from flink_descriptive_stats_spark.operators import similarity
+    similarity._MODEL_MEMO.clear()
 
 
 def agg_row_memoized(df: DataFrame, agg_exprs: list[Column], tag: tuple):

@@ -274,9 +274,47 @@ def lsh_topk(df: DataFrame, k: int = 5, n_tables: int = 8,
             .where(F.col("rank") <= k))
 
 
+# Trained-model memo (bounded metadata: centroid rows / codebook arrays),
+# same contract as functions/memo.agg_row_memoized — keyed by (session id,
+# analyzed-plan semantic hash, params) with a weakref session guard, FIFO
+# bounded, cleared by memo.clear_all_memos. ann_ivf_kmeans / ann_pq /
+# ann_ivf_pq train on identical (input, params) pairs, so within one
+# process the Lloyd/PQ training runs ONCE and the searches share it —
+# retraining per query was pure repeat work (training is deterministic).
+_MODEL_MEMO: dict[tuple, tuple] = {}
+
+
+def _model_memoized(df: DataFrame, params: tuple, build):
+    import weakref
+    sess = df.sparkSession
+    try:
+        h = df._jdf.queryExecution().analyzed().semanticHash()
+        key = (id(sess), h, params)
+    except Exception:
+        key = None
+    if key is not None:
+        hit = _MODEL_MEMO.get(key)
+        if hit is not None and hit[0]() is sess:
+            return hit[1]
+    out = build()
+    if key is not None:
+        if len(_MODEL_MEMO) >= 64:
+            _MODEL_MEMO.pop(next(iter(_MODEL_MEMO)))
+        _MODEL_MEMO[key] = (weakref.ref(sess), out)
+    return out
+
+
 def kmeans_centroid_rows(df: DataFrame, n_cells: int = 16, iters: int = 2,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> list:
+    return _model_memoized(
+        df, ("kmeans", n_cells, iters, id_col, vec_col),
+        lambda: _kmeans_centroid_rows(df, n_cells, iters, id_col, vec_col))
+
+
+def _kmeans_centroid_rows(df: DataFrame, n_cells: int = 16, iters: int = 2,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> list:
     """Lloyd-refined IVF centroids, returned as COLLECTED (cell_id, cv,
     cnorm) rows — deterministic (seeded by the first ``n_cells`` ids, fixed
     iteration count, argmax ties broken by cell id), no RNG.
@@ -536,6 +574,15 @@ def embedding_drift(df_a: DataFrame, df_b: DataFrame,
 def pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 16, iters: int = 5,
                  sample_mod: int = 1, id_col: str = "vec_id",
                  vec_col: str = "embedding"):
+    return _model_memoized(
+        df, ("pq", m, ksub, iters, sample_mod, id_col, vec_col),
+        lambda: _pq_codebooks(df, m, ksub, iters, sample_mod, id_col,
+                              vec_col))
+
+
+def _pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 16, iters: int = 5,
+                  sample_mod: int = 1, id_col: str = "vec_id",
+                  vec_col: str = "embedding"):
     """Train PQ codebooks: split each UNIT-NORMALIZED vector into ``m``
     contiguous subvectors and run ``iters`` Lloyd rounds per subspace on a
     deterministic sample (ids with id % sample_mod == 0, collected in id
@@ -765,3 +812,113 @@ def label_separation(df: DataFrame, id_col: str = "vec_id",
                        sig6(F.col("w")).alias("within_ss"),
                        sig6(F.col("b")).alias("between_ss"),
                        sig6(F.col("b") / F.col("w")).alias("fisher_ratio")))
+
+
+def ivf_pq_topk(df: DataFrame, k: int = 5, n_cells: int = 16,
+                n_probe: int = 4, m: int = 16, ksub: int = 32,
+                refine: int = 8, iters: int = 2,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                max_query_id: int = 10) -> DataFrame:
+    """IVF-PQ: the composition that IS large-scale ANN practice (FAISS
+    IVFx,PQy) — IVF bounds WHICH corpus rows a query touches
+    (~n_probe/n_cells of them), PQ bounds the BYTES each touched row
+    costs (m codes instead of dim floats). Same output contract as the
+    other ANN operators: (query_id, neighbor_id, cos, rank) with exact
+    cosine re-rank of the shortlist, self excluded.
+
+    Pipeline: Lloyd IVF centroids (bounded metadata collect) -> narrow
+    inlined-literal cell assignment rides the scan -> ONE fused Arrow
+    pass encodes each row to PQ codes and ADC-scores it ONLY against the
+    queries probing its cell (per-query LUT + probe set are closure
+    metadata) -> per-batch top refine*k per query -> global candidate
+    window -> broadcast-shortlist exact re-rank (zero corpus exchange,
+    same plan property as pq_topk, plan-audited in EXPLAIN.md).
+
+    Recall stacks multiplicatively (IVF's probe miss x PQ's code miss):
+    measured 0.90 at the defaults on the near-isotropic fixture vs 0.92
+    for pure refined IVF at the same probes — the PQ stage costs ~2
+    points of recall for a 32x byte cut (refine=8 re-ranks past most
+    code noise). pytest pins the bar (0.8) and determinism."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    crows = kmeans_centroid_rows(df, n_cells=n_cells, iters=iters,
+                                 id_col=id_col, vec_col=vec_col)
+    books = pq_codebooks(df, m=m, ksub=ksub, id_col=id_col,
+                         vec_col=vec_col)
+    d = with_norm(df, id_col, vec_col)
+    ranked = ranked_cells_expr(crows)
+    assigned = d.select(
+        "id", F.expr("transform(v, x -> x / norm)").alias("v"),
+        ranked[0]["cell_id"].alias("cell_id"))
+    qrows = (d.where(F.col("id") < max_query_id)
+             .select("id",
+                     F.expr("transform(v, x -> x / norm)").alias("u"),
+                     F.slice(F.transform(ranked, lambda s: s["cell_id"]),
+                             1, n_probe).alias("probes"))
+             .orderBy("id").collect())
+    qids = np.asarray([r["id"] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r["u"] for r in qrows], dtype=np.float64)
+    probe_sets = [frozenset(int(c) for c in r["probes"]) for r in qrows]
+    dsub = books.shape[2]
+    lut = np.stack([((Q[:, j * dsub:(j + 1) * dsub][:, None, :]
+                      - books[j][None, :, :]) ** 2).sum(axis=2)
+                    for j in range(books.shape[0])], axis=1)
+    nkeep = refine * k
+    m_books = books.shape[0]
+    jidx = np.arange(m_books)
+
+    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy()
+            cells = pdf["cell_id"].to_numpy()
+            X = np.asarray(list(pdf["v"]), dtype=np.float64)
+            codes = np.empty((len(X), m_books), dtype=np.int64)
+            for j in range(m_books):
+                S = X[:, j * dsub:(j + 1) * dsub]
+                d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2
+                      ).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            out = []
+            for qi in range(len(qids)):
+                pr = probe_sets[qi]
+                mask = np.array([c in pr for c in cells]) \
+                    & (ids != qids[qi])
+                if not mask.any():
+                    continue
+                dist = lut[qi][jidx[None, :], codes[mask]].sum(axis=1)
+                cand_ids = ids[mask]
+                if len(cand_ids) > nkeep:
+                    order = np.lexsort((cand_ids, dist))[:nkeep]
+                    cand_ids, dist = cand_ids[order], dist[order]
+                out.append(pd.DataFrame(
+                    {"query_id": qids[qi], "neighbor_id": cand_ids,
+                     "adc_dist": dist}))
+            if out:
+                yield pd.concat(out)
+
+    cands = assigned.mapInPandas(
+        scan, "query_id bigint, neighbor_id bigint, adc_dist double")
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    shortlist = (cands.withColumn("__r", F.row_number().over(wa))
+                 .where(F.col("__r") <= nkeep).drop("__r", "adc_dist"))
+    qa = (d.where(F.col("id") < max_query_id)
+          .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
+                  F.col("norm").alias("qnorm")))
+    joined = (d.select(F.col("id").alias("neighbor_id"), "v", "norm")
+              .join(F.broadcast(shortlist), "neighbor_id")
+              .join(F.broadcast(qa), "query_id"))
+    dot = F.aggregate(F.zip_with(F.col("qv"), F.col("v"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, z: acc + z)
+    scored = joined.select("query_id", "neighbor_id",
+                           (dot / (F.col("qnorm") * F.col("norm")))
+                           .alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
