@@ -331,6 +331,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # *_pairs queries consume those signatures, so a signature bug fails
     # the gated window transitively)
     q["minhash_pairs_documents"] = _tq(dedup.minhash_dedup_pairs, "documents")
+    q["minhash_calibration_documents"] = _tq(dedup.minhash_calibration,
+                                             "documents")
+    def _cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the fixture's duplicates never cross sources, which would make
+        # this gate vacuous (0 rows) — augment with a deterministic
+        # 'mirror' source republishing every 7th doc (same pattern as the
+        # injected-PII gate: both engines construct the identical input)
+        docs = _load(spark, sf_dir, "documents")
+        mirror = (docs.where(F.col("doc_id") % 7 == 0)
+                  .withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+                  .withColumn("source", F.lit("mirror")))
+        return dedup.cross_source_dups(docs.unionByName(mirror))
+    q["cross_source_dups_documents"] = _cross_source_dups
     q["neardup_clusters_documents"] = _tq(dedup.neardup_clusters, "documents")
     q["dedup_corpus_documents"] = _tq(dedup.dedup_corpus, "documents")
     q["simhash_near_pairs_documents"] = _tq(dedup.simhash_near_pairs,
@@ -1177,6 +1190,11 @@ def oracle_sql() -> dict[str, str]:
     o["ngram_jaccard_prefix_documents"] = op.ngram_jaccard_pairs_sql()
     o["minhash_signatures_documents"] = op.minhash_signatures_sql()
     o["minhash_pairs_documents"] = op.minhash_pairs_sql()
+    o["minhash_calibration_documents"] = op.minhash_calibration_sql()
+    o["cross_source_dups_documents"] = op.cross_source_dups_sql(
+        "(SELECT * FROM documents UNION ALL "
+        "SELECT doc_id + 1000000, text, lang, 'mirror', n_chars "
+        "FROM documents WHERE doc_id % 7 = 0)")
     o["neardup_clusters_documents"] = op.neardup_clusters_sql()
     o["neardup_clusters_star_documents"] = op.neardup_clusters_sql()
     o["dedup_corpus_documents"] = op.dedup_corpus_sql()

@@ -977,3 +977,84 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, content_col: str = "text",
                         shared / (F.col("sz_a") + F.col("sz_b") - shared))
             .where(F.col("jaccard") >= t)
             .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_calibration(df: DataFrame, content_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        max_bucket: int = 1000) -> DataFrame:
+    """MinHash estimator calibration over the LSH candidate pairs:
+    (id_a, id_b, est_jaccard, jaccard, abs_err) where est_jaccard is the
+    fraction of the K=16 signature slots that agree (the unbiased MinHash
+    estimate of Jaccard) and jaccard is the exact shingle-set value. The
+    parameter-tuning diagnostic the pair operators themselves can't give
+    you: if abs_err runs high at your operating threshold, K is too small
+    (estimator stderr = sqrt(j(1-j)/K) ~ 0.125 at j=0.5, K=16) and the
+    band/row split needs re-planning BEFORE a 100 TB dedup run commits to
+    it; pairs generated per band geometry are the same ones the real run
+    would see.
+
+    Cost shape: the banded candidate join and the per-doc signature /
+    shingle-set builds are the SAME subplans minhash_dedup_pairs uses
+    (one shuffle keyed by (band, key), per-doc groupBys keyed by id);
+    the signature comparison adds 16 equality terms on the joined row."""
+    banded = _banded(df, content_col, id_col, n)
+    sized = banded.withColumn(
+        "bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "band_key")))
+    banded = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, ["band", "band_key"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+    wide = _minhash_wide(df, content_col, id_col, n)
+    k = len(H.MINHASH_PARAMS)
+    wa = wide.select(F.col("id").alias("id_a"),
+                     *[F.col(f"sig_{j}").alias(f"a_{j}") for j in range(k)])
+    wb = wide.select(F.col("id").alias("id_b"),
+                     *[F.col(f"sig_{j}").alias(f"b_{j}") for j in range(k)])
+    sets = (shingle_hashes_long(df, content_col, id_col, n)
+            .groupBy("id").agg(F.array_sort(F.collect_list("sh"))
+                               .alias("hset")))
+    joined = (cand.join(wa, "id_a").join(wb, "id_b")
+              .join(sets.withColumnsRenamed(
+                  {"id": "id_a", "hset": "hset_a"}), "id_a")
+              .join(sets.withColumnsRenamed(
+                  {"id": "id_b", "hset": "hset_b"}), "id_b"))
+    agree = sum((F.col(f"a_{j}") == F.col(f"b_{j}")).cast("int")
+                for j in range(k))
+    inter = F.size(F.array_intersect("hset_a", "hset_b"))
+    union = F.size(F.array_union("hset_a", "hset_b"))
+    est = agree.cast("double") / F.lit(float(k))
+    true_j = inter.cast("double") / union.cast("double")
+    return joined.select(
+        "id_a", "id_b", est.alias("est_jaccard"),
+        true_j.alias("jaccard"),
+        F.abs(est - true_j).alias("abs_err"))
+
+
+def cross_source_dups(df: DataFrame, content_col: str = "text",
+                      id_col: str = "doc_id",
+                      source_col: str = "source") -> DataFrame:
+    """Cross-source duplication matrix: for every unordered source pair,
+    how many distinct content hashes appear in BOTH — which scrapes/dumps
+    overlap (the provenance question behind every dedup campaign: is
+    source B a mirror of A, and which one should the keep-rule prefer?).
+    Output: (source_a, source_b, n_shared) with source_a < source_b.
+
+    Plan: distinct (md5, source) pairs — one shuffle keyed by the hash —
+    then a self-join keyed by the hash whose per-key fan-out is bounded
+    by the number of SOURCES carrying that content (not by copies within
+    a source, which the distinct collapsed), and a bounded
+    (sources x sources) grouped count."""
+    hs = (df.where(F.col(content_col).isNotNull())
+          .select(F.md5(F.col(content_col)).alias("h"),
+                  F.col(source_col).alias("src"))
+          .distinct())
+    a = hs.select("h", F.col("src").alias("source_a"))
+    b = hs.select("h", F.col("src").alias("source_b"))
+    return (a.join(b, "h")
+            .where(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_shared")))

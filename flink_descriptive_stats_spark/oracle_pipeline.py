@@ -2458,3 +2458,33 @@ SELECT grp AS {group_col}, CAST(n_docs AS BIGINT) AS n_docs,
            AS subwords_per_token
 FROM g
 """
+
+
+def minhash_calibration_sql(table: str = "documents",
+                            max_bucket: int = 1000) -> str:
+    """Mirror of dedup.minhash_calibration: the same banded candidate CTEs
+    as minhash_pairs_sql plus the 16-slot signature agreement fraction."""
+    k = H.MINHASH_K
+    agree = " + ".join(
+        f"CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END"
+        for j in range(k))
+    return f"""
+WITH {_pairs_ctes(table, max_bucket)}
+SELECT CAST(j.id_a AS BIGINT) AS id_a, CAST(j.id_b AS BIGINT) AS id_b,
+       CAST(({agree}) AS DOUBLE) / {float(k)} AS est_jaccard,
+       j.jaccard AS jaccard,
+       abs(CAST(({agree}) AS DOUBLE) / {float(k)} - j.jaccard) AS abs_err
+FROM j JOIN sw sa ON sa.id = j.id_a JOIN sw sb ON sb.id = j.id_b
+"""
+
+
+def cross_source_dups_sql(table: str = "documents") -> str:
+    """Mirror of dedup.cross_source_dups."""
+    return f"""
+WITH hs AS (SELECT DISTINCT md5(text) AS h, source AS src
+            FROM {table} WHERE text IS NOT NULL)
+SELECT a.src AS source_a, b.src AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM hs a JOIN hs b ON a.h = b.h AND a.src < b.src
+GROUP BY 1, 2
+"""

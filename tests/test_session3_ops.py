@@ -280,3 +280,37 @@ def test_ivf_pq_topk_recall_and_determinism(spark):
     # 0.90 measured (pure refined IVF: 0.92) — the PQ byte cut costs ~2
     # points at refine=8; bar 0.8 for fixture-regen headroom
     assert len(brute & got) / len(brute) >= 0.8
+
+
+def test_minhash_calibration_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),   # exact copy
+         (3, "alpha beta gamma delta epsilon other"),  # near dup
+         (4, "completely different text entirely here")],
+        "doc_id bigint, text string")
+    rows = {(r["id_a"], r["id_b"]): r
+            for r in dedup.minhash_calibration(df).collect()}
+    # exact copies: identical signatures AND identical shingle sets
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r["est_jaccard"] == 1.0 and r["jaccard"] == 1.0
+    assert r["abs_err"] == 0.0
+    # every estimate is a multiple of 1/16 in [0, 1]
+    for r in rows.values():
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert abs(r["est_jaccard"] * 16 - round(r["est_jaccard"] * 16)) \
+            < 1e-9
+
+
+def test_cross_source_dups_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "shared doc", "a"), (2, "shared doc", "b"),
+         (3, "shared doc", "b"),     # within-source copy: counted once
+         (4, "a only", "a"), (5, "b only", "b"),
+         (6, "tri doc", "a"), (7, "tri doc", "b"), (8, "tri doc", "c")],
+        "doc_id bigint, text string, source string")
+    got = {(r["source_a"], r["source_b"]): r["n_shared"]
+           for r in dedup.cross_source_dups(df).collect()}
+    assert got == {("a", "b"): 2,   # "shared doc" + "tri doc"
+                   ("a", "c"): 1, ("b", "c"): 1}
