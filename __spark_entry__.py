@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .withColumn("source", F.lit("mirror")))
         return dedup.cross_source_dups(docs.unionByName(mirror))
     q["cross_source_dups_documents"] = _cross_source_dups
+    q["paragraph_dedup_documents"] = _tq(dedup.paragraph_dedup,
+                                         "documents")
     q["neardup_clusters_documents"] = _tq(dedup.neardup_clusters, "documents")
     q["dedup_corpus_documents"] = _tq(dedup.dedup_corpus, "documents")
     q["simhash_near_pairs_documents"] = _tq(dedup.simhash_near_pairs,
@@ -800,6 +802,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             key_a="l_orderkey", key_b="o_orderkey")
     q["join_cardinality_lineitem_orders"] = _join_cardinality
 
+    def _join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import joins
+        return joins.join_advisor(
+            _load(spark, sf_dir, "lineitem"),
+            _load(spark, sf_dir, "orders"),
+            key_a="l_orderkey", key_b="o_orderkey")
+    q["join_advisor_lineitem_orders"] = _join_advisor
+
     # out-of-order arrival audit (sizes the streaming watermark: the
     # events fixture's ids are not time-ordered, so lateness is real)
     q["late_arrival_events"] = _tq(ev_ops.late_arrival_audit, "events")
@@ -1191,6 +1201,21 @@ def oracle_sql() -> dict[str, str]:
     o["minhash_signatures_documents"] = op.minhash_signatures_sql()
     o["minhash_pairs_documents"] = op.minhash_pairs_sql()
     o["minhash_calibration_documents"] = op.minhash_calibration_sql()
+    o["paragraph_dedup_documents"] = (
+        "WITH t AS (SELECT doc_id AS id, "
+        "regexp_extract_all(lower(text), '\\w+') AS toks FROM documents "
+        "WHERE text IS NOT NULL), "
+        "e AS (SELECT id, toks, unnest(generate_series(0, "
+        "CAST(ceil(CAST(len(toks) AS DOUBLE) / 64.0) AS INTEGER) - 1)) "
+        "AS chunk_idx FROM t WHERE len(toks) > 0), "
+        "c AS (SELECT id, "
+        "toks[chunk_idx * 64 + 1 : chunk_idx * 64 + 64] AS chunk FROM e) "
+        "SELECT md5(array_to_string(chunk, ' ')) AS chunk_md5, "
+        "CAST(count(DISTINCT id) AS BIGINT) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_occurrences, "
+        "CAST(min(id) AS BIGINT) AS example_doc, "
+        "CAST(max(len(chunk)) AS BIGINT) AS n_tokens "
+        "FROM c GROUP BY 1 HAVING count(DISTINCT id) > 1")
     o["cross_source_dups_documents"] = op.cross_source_dups_sql(
         "(SELECT * FROM documents UNION ALL "
         "SELECT doc_id + 1000000, text, lang, 'mirror', n_chars "
@@ -1329,6 +1354,8 @@ def oracle_sql() -> dict[str, str]:
     o["collocations_documents"] = op.collocations_sql()
     o["shared_prefix_documents"] = op.shared_prefix_sql(k_tokens=2)
     o["join_cardinality_lineitem_orders"] = op.join_cardinality_sql(
+        "lineitem", "l_orderkey", "orders", "o_orderkey")
+    o["join_advisor_lineitem_orders"] = op.join_advisor_sql(
         "lineitem", "l_orderkey", "orders", "o_orderkey")
     o["late_arrival_events"] = op.late_arrival_sql()
     o["interarrival_events"] = op.interarrival_sql()

@@ -1058,3 +1058,34 @@ def cross_source_dups(df: DataFrame, content_col: str = "text",
             .where(F.col("source_a") < F.col("source_b"))
             .groupBy("source_a", "source_b")
             .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+def paragraph_dedup(df: DataFrame, content_col: str = "text",
+                    id_col: str = "doc_id",
+                    window_tokens: int = 64) -> DataFrame:
+    """Sub-document (paragraph-level) duplicated-passage groups: split
+    every document into NON-overlapping ``window_tokens`` windows
+    (text.chunk_documents with overlap=0 — the deterministic paragraph
+    proxy for fixture text without layout), hash each window, and report
+    every window appearing in MORE THAN ONE document: (chunk_md5,
+    n_docs, n_occurrences, example_doc, n_tokens). The granularity
+    between whole-doc dedup (misses a copied paragraph inside an
+    otherwise-unique doc) and shingle dup-fraction (per-doc score, no
+    extractable passage): what comes back here IS the boilerplate
+    passage, addressable by hash for a removal pass.
+
+    Scale: narrow chunking (tokenize + explode a bounded index), ONE
+    shuffle keyed by the 32-char window hash with map-side combine —
+    window text itself never shuffles twice (min() carries one example).
+    n_occurrences counts every placement, n_docs distinct documents."""
+    from flink_descriptive_stats_spark.operators.text import \
+        chunk_documents
+    chunks = chunk_documents(df, text_col=content_col, id_col=id_col,
+                             max_tokens=window_tokens, overlap=0)
+    return (chunks
+            .groupBy(F.md5(F.col("chunk_text")).alias("chunk_md5"))
+            .agg(F.count_distinct("id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"),
+                 F.min("id").alias("example_doc"),
+                 F.max("n_tokens").alias("n_tokens"))
+            .where(F.col("n_docs") > 1))

@@ -137,3 +137,57 @@ def join_cardinality_estimate(df_a, df_b, key_a: str,
         "n_left bigint, n_right bigint, n_keys_left bigint, "
         "n_keys_right bigint, n_keys_common bigint, est_rows bigint, "
         "max_key_fanout bigint")
+
+
+# join_advisor thresholds — deterministic plan-choice rules over the
+# cardinality audit. Spark's own autoBroadcastJoinThreshold is 10MB of
+# SERIALIZED build side; 100k rows of typical dimension width sits near
+# it, and using a row bound keeps the rule engine-checkable (byte size
+# isn't SQL-derivable). Skew rule: one key carrying > SKEW_RATIO x the
+# mean per-key output marks a salted join.
+ADVISOR_BROADCAST_MAX_ROWS = 100_000
+ADVISOR_SKEW_RATIO = 20.0
+
+
+def join_advisor(df_a, df_b, key_a: str, key_b: str | None = None):
+    """Join-strategy advisor: the cardinality audit plus a deterministic
+    recommendation — ONE row (the join_cardinality_estimate columns +
+    strategy, skew_key_share). Rules, applied in order:
+
+    - ``broadcast(right)`` / ``broadcast(left)``: a side with <=
+      ADVISOR_BROADCAST_MAX_ROWS rows ships to every executor and the
+      join never shuffles the big side (what AQE would pick; stating it
+      ahead of time lets a pipeline pin the hint and skip the runtime
+      re-plan).
+    - ``salted_shuffle``: both sides big AND the worst key contributes >
+      ADVISOR_SKEW_RATIO x the mean per-common-key output — the straggler
+      regime; salt the hot keys (AQE skew-join split handles moderate
+      cases, explicit salting survives the extreme ones).
+    - ``sort_merge_shuffle`` otherwise: both sides exchange on the key.
+
+    skew_key_share = max_key_fanout / est_rows (sig6-rendered) — how much
+    of the join's output the single worst key produces; 1/n_keys is the
+    balanced baseline.
+
+    Same cost shape as join_cardinality_estimate: only (key, count)
+    pairs move."""
+    from pyspark.sql import functions as F
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    base = join_cardinality_estimate(df_a, df_b, key_a, key_b).collect()[0]
+    est, fan = base["est_rows"], base["max_key_fanout"]
+    nk = base["n_keys_common"]
+    mean_fan = (est / nk) if nk else 0.0
+    if base["n_right"] <= ADVISOR_BROADCAST_MAX_ROWS:
+        strat = "broadcast(right)"
+    elif base["n_left"] <= ADVISOR_BROADCAST_MAX_ROWS:
+        strat = "broadcast(left)"
+    elif mean_fan > 0 and fan > ADVISOR_SKEW_RATIO * mean_fan:
+        strat = "salted_shuffle"
+    else:
+        strat = "sort_merge_shuffle"
+    share = (fan / est) if est else None
+    return df_a.sparkSession.createDataFrame(
+        [(*base, strat, sig6_py(share))],
+        "n_left bigint, n_right bigint, n_keys_left bigint, "
+        "n_keys_right bigint, n_keys_common bigint, est_rows bigint, "
+        "max_key_fanout bigint, strategy string, skew_key_share string")

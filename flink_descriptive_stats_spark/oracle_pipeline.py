@@ -2488,3 +2488,25 @@ SELECT a.src AS source_a, b.src AS source_b,
 FROM hs a JOIN hs b ON a.h = b.h AND a.src < b.src
 GROUP BY 1, 2
 """
+
+
+def join_advisor_sql(table_a: str, key_a: str, table_b: str, key_b: str,
+                     broadcast_max: int = 100_000,
+                     skew_ratio: float = 20.0) -> str:
+    """Mirror of joins.join_advisor: the cardinality audit + the same
+    deterministic rule CASE."""
+    return f"""
+WITH base AS ({join_cardinality_sql(table_a, key_a, table_b, key_b)})
+SELECT *,
+       CASE WHEN n_right <= {broadcast_max} THEN 'broadcast(right)'
+            WHEN n_left <= {broadcast_max} THEN 'broadcast(left)'
+            WHEN n_keys_common > 0 AND est_rows > 0
+                 AND max_key_fanout
+                     > {skew_ratio} * (CAST(est_rows AS DOUBLE)
+                                       / n_keys_common)
+                 THEN 'salted_shuffle'
+            ELSE 'sort_merge_shuffle' END AS strategy,
+       CASE WHEN est_rows > 0 THEN {duck_sig6(
+           'CAST(max_key_fanout AS DOUBLE) / est_rows')}
+            ELSE NULL END AS skew_key_share
+FROM base"""

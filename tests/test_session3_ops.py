@@ -314,3 +314,51 @@ def test_cross_source_dups_semantics(spark):
            for r in dedup.cross_source_dups(df).collect()}
     assert got == {("a", "b"): 2,   # "shared doc" + "tri doc"
                    ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_join_advisor_strategies(spark):
+    from flink_descriptive_stats_spark.operators import joins
+
+    def adv(a, b):
+        return joins.join_advisor(a, b, "k").collect()[0]
+
+    small = spark.createDataFrame([(i,) for i in range(4)], "k bigint")
+    # emulate "big" sides by lowering the threshold instead of 100k rows
+    old = joins.ADVISOR_BROADCAST_MAX_ROWS
+    joins.ADVISOR_BROADCAST_MAX_ROWS = 5
+    try:
+        big_a = spark.createDataFrame([(i % 7,) for i in range(50)],
+                                      "k bigint")
+        big_b = spark.createDataFrame([(i % 7,) for i in range(40)],
+                                      "k bigint")
+        r = adv(big_a, big_b)
+        assert r["strategy"] == "sort_merge_shuffle"
+        # one mega-hot key on both sides -> salted
+        hot_a = spark.createDataFrame(
+            [(0,)] * 60 + [(i,) for i in range(1, 30)], "k bigint")
+        hot_b = spark.createDataFrame(
+            [(0,)] * 60 + [(i,) for i in range(1, 30)], "k bigint")
+        r = adv(hot_a, hot_b)
+        assert r["strategy"] == "salted_shuffle"
+        assert float(r["skew_key_share"].replace("e", "E")) > 0.9
+        r = adv(big_a, small)
+        assert r["strategy"] == "broadcast(right)"
+        r = adv(small, big_b)
+        # right side big, left small -> broadcast(left)
+        assert r["strategy"] == "broadcast(left)"
+    finally:
+        joins.ADVISOR_BROADCAST_MAX_ROWS = old
+
+
+def test_paragraph_dedup_finds_copied_passage(spark):
+    para = " ".join(f"boiler{i}" for i in range(64))
+    rows = [(1, para + " " + " ".join(f"ua{i}" for i in range(64))),
+            (2, para + " " + " ".join(f"ub{i}" for i in range(64))),
+            (3, " ".join(f"uc{i}" for i in range(128)))]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = dedup.paragraph_dedup(df).collect()
+    # exactly the shared leading 64-token window is reported
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_docs"] == 2 and r["n_occurrences"] == 2
+    assert r["example_doc"] == 1 and r["n_tokens"] == 64
