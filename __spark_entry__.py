@@ -502,6 +502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Fisher-style class-separability over the labeled embeddings
     q["label_separation_embeddings"] = _tq(similarity.label_separation,
                                            "embeddings")
+    q["label_purity_embeddings"] = _tq(similarity.label_purity,
+                                       "embeddings")
 
     # signature outputs of the gated *_pairs operators (see note in the
     # gated window) and the slide-parameter variant of windowed_profile
@@ -1245,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
     o["ann_ivf_topk"] = op.ivf_topk_sql()
     o["ann_ivf_kmeans_topk"] = op.ivf_kmeans_topk_sql()
     o["label_separation_embeddings"] = op.label_separation_sql()
+    o["label_purity_embeddings"] = op.label_purity_sql()
     o["text_stats_documents"] = op.text_stats_sql()
     o["quality_filter_documents"] = op.quality_filter_sql()
     o["embedding_dim_profile"] = op.embedding_dim_profile_sql()

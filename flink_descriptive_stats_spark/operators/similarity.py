@@ -922,3 +922,51 @@ def ivf_pq_topk(df: DataFrame, k: int = 5, n_cells: int = 16,
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def label_purity(df: DataFrame, n_cells: int = 16,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label") -> DataFrame:
+    """Label-noise screen: cluster the embeddings into seed-vector cells
+    (the same deterministic crank=1 assignment ivf_topk and semdedup
+    use) and report per cell (cell_id, n, majority_label, purity,
+    label_entropy) — purity = majority share, entropy in nats over the
+    cell's label distribution. Cells whose purity runs low against the
+    corpus baseline hold either genuinely mixed content or MISLABELED
+    points; the members disagreeing with their cell's majority are the
+    relabel/review queue. The per-cell companion to label_separation's
+    per-label Fisher view.
+
+    Plan: narrow inlined-centroid argmax rides the corpus scan (zero
+    exchange), one groupBy(cell, label) with bounded keys (cells x
+    labels), bounded per-cell windows/regroups. sig6-rendered FP."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    d = with_norm(df, id_col, vec_col)
+    crows = (d.where(F.col("id") < n_cells)
+             .select(F.col("id").alias("cell_id"), F.col("v").alias("cv"),
+                     F.col("norm").alias("cnorm")).collect())
+    best = ranked_cells_expr(crows)[0]
+    lab = df.select(F.col(id_col).alias("id"),
+                    F.col(label_col).alias("label"))
+    assigned = (d.select("id", best["cell_id"].alias("cell_id"))
+                .join(lab, "id"))
+    cl = (assigned.groupBy("cell_id", "label")
+          .agg(F.count(F.lit(1)).alias("n")))
+    wcell = Window.partitionBy("cell_id")
+    wrank = Window.partitionBy("cell_id").orderBy(
+        F.col("n").desc(), F.col("label").asc())
+    t = (cl.withColumn("ncell", F.sum("n").over(wcell))
+         .withColumn("rk", F.row_number().over(wrank)))
+    p = F.col("n").cast("double") / F.col("ncell").cast("double")
+    out = (t.groupBy("cell_id")
+           .agg(F.max("ncell").alias("n"),
+                F.max(F.when(F.col("rk") == 1, F.col("label")))
+                .alias("majority_label"),
+                F.max(F.when(F.col("rk") == 1, p)).alias("__purity"),
+                F.sum(-p * F.log(p)).alias("__ent")))
+    return out.select(
+        F.col("cell_id").cast("bigint").alias("cell_id"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("majority_label").cast("bigint").alias("majority_label"),
+        sig6(F.col("__purity")).alias("purity"),
+        sig6(F.col("__ent")).alias("label_entropy"))

@@ -2510,3 +2510,36 @@ SELECT *,
            'CAST(max_key_fanout AS DOUBLE) / est_rows')}
             ELSE NULL END AS skew_key_share
 FROM base"""
+
+
+def label_purity_sql(table: str = "embeddings", n_cells: int = 16) -> str:
+    """Mirror of similarity.label_purity: the seed-cell crank=1
+    assignment CTE (as semdedup_sql) + per-cell label distribution."""
+    cdot = _DOT.format(a="n.v", b="cent.cv")
+    return f"""
+WITH {_norm_cte(table)},
+cent AS (SELECT id AS cell_id, v AS cv, norm AS cnorm FROM n
+         WHERE id < {n_cells}),
+sc AS (SELECT n.id, cent.cell_id,
+              row_number() OVER (PARTITION BY n.id
+                ORDER BY ({cdot}) / (n.norm * cent.cnorm) DESC,
+                         cent.cell_id ASC) AS crank
+       FROM n CROSS JOIN cent),
+a AS (SELECT id, cell_id FROM sc WHERE crank = 1),
+cl AS (SELECT a.cell_id, e.label, count(*) AS cnt
+       FROM a JOIN {table} e ON e.vec_id = a.id GROUP BY 1, 2),
+t AS (SELECT *, sum(cnt) OVER (PARTITION BY cell_id) AS ncell,
+             row_number() OVER (PARTITION BY cell_id
+               ORDER BY cnt DESC, label ASC) AS rk
+      FROM cl),
+g AS (SELECT cell_id, max(ncell) AS n,
+             max(CASE WHEN rk = 1 THEN label END) AS majority_label,
+             max(CASE WHEN rk = 1
+                 THEN CAST(cnt AS DOUBLE) / ncell END) AS pur,
+             sum(-(CAST(cnt AS DOUBLE) / ncell)
+                 * ln(CAST(cnt AS DOUBLE) / ncell)) AS ent
+      FROM t GROUP BY 1)
+SELECT CAST(cell_id AS BIGINT) AS cell_id, CAST(n AS BIGINT) AS n,
+       CAST(majority_label AS BIGINT) AS majority_label,
+       {duck_sig6('pur')} AS purity, {duck_sig6('ent')} AS label_entropy
+FROM g"""

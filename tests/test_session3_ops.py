@@ -362,3 +362,35 @@ def test_paragraph_dedup_finds_copied_passage(spark):
     r = got[0]
     assert r["n_docs"] == 2 and r["n_occurrences"] == 2
     assert r["example_doc"] == 1 and r["n_tokens"] == 64
+
+
+def test_label_purity_semantics(spark):
+    from flink_descriptive_stats_spark.operators import similarity as S
+
+    def f(x):
+        return float(x.replace("e", "E"))
+
+    # 4 seed vectors along distinct axes -> 4 cells; members cluster with
+    # a seed; one member of cell 0 carries the WRONG label
+    rows = []
+    axes = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0], [0, 0, 0, 1.0]]
+    # ids interleaved (vid = cell + 4*j) so seeds 0..3 are one per axis
+    for cell, ax in enumerate(axes):
+        for j in range(5):
+            vid = cell + 4 * j
+            v = [x * 10 + (0.01 * ((vid * 7) % 5)) for x in ax]
+            label = cell if not (cell == 0 and j == 4) else 3
+            rows.append((vid, v, label))
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<float>, "
+                               "label int")
+    got = {r["cell_id"]: r for r in S.label_purity(df, n_cells=4).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    import math
+    assert got[0]["majority_label"] == 0 and got[0]["n"] == 5
+    assert abs(f(got[0]["purity"]) - 0.8) < 1e-6
+    expect_ent = -(0.8 * math.log(0.8) + 0.2 * math.log(0.2))
+    assert abs(f(got[0]["label_entropy"]) - expect_ent) < 1e-5
+    for c in (1, 2, 3):
+        assert f(got[c]["purity"]) == 1.0
+        assert f(got[c]["label_entropy"]) == 0.0
