@@ -28,7 +28,8 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "histogram2d", "doc-clusters", "cluster-sample",
                "session-summary", "spearman", "woe", "null-patterns",
                "paths", "monitor-profile", "monitor-drift", "explain",
-               "list-queries", "compression", "label-separation")
+               "list-queries", "compression", "label-separation",
+               "join-advisor", "paragraph-dedup", "label-purity")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -122,6 +123,31 @@ def build_parser() -> argparse.ArgumentParser:
     ls.add_argument("--id-col", default="vec_id")
     ls.add_argument("--label-col", default="label")
     _add_common(ls)
+
+    ja = sub.add_parser("join-advisor",
+                        help="pre-join cardinality audit + strategy pick")
+    ja.add_argument("left")
+    ja.add_argument("right")
+    ja.add_argument("--key", required=True,
+                    help="join key (KEY or KEY_LEFT,KEY_RIGHT)")
+    _add_common(ja)
+
+    pd_ = sub.add_parser("paragraph-dedup",
+                         help="duplicated 64-token passages across docs")
+    pd_.add_argument("input")
+    pd_.add_argument("--window-tokens", type=int, default=64)
+    pd_.add_argument("--text-col", default="text")
+    pd_.add_argument("--id-col", default="doc_id")
+    _add_common(pd_)
+
+    lp = sub.add_parser("label-purity",
+                        help="per-cell label purity over embeddings")
+    lp.add_argument("input")
+    lp.add_argument("--n-cells", type=int, default=16)
+    lp.add_argument("--vec-col", default="embedding")
+    lp.add_argument("--id-col", default="vec_id")
+    lp.add_argument("--label-col", default="label")
+    _add_common(lp)
 
     en = sub.add_parser("entropy",
                         help="per-column value-distribution entropy")
@@ -555,6 +581,34 @@ def main(argv: list[str] | None = None) -> int:
         _emit(similarity.label_separation(df, id_col=args.id_col,
                                           vec_col=args.vec_col,
                                           label_col=args.label_col),
+              args.output)
+        return 0
+
+    if args.cmd == "join-advisor":
+        from flink_descriptive_stats_spark.operators import joins
+        left = _load(spark, args.left, args.format)
+        right = _load(spark, args.right, args.format)
+        keys = args.key.split(",")
+        ka, kb = (keys[0], keys[1]) if len(keys) == 2 else (keys[0], None)
+        _emit(joins.join_advisor(left, right, ka, kb), args.output)
+        return 0
+
+    if args.cmd == "paragraph-dedup":
+        from flink_descriptive_stats_spark.operators import dedup
+        df = _load(spark, args.input, args.format)
+        _emit(dedup.paragraph_dedup(df, content_col=args.text_col,
+                                    id_col=args.id_col,
+                                    window_tokens=args.window_tokens),
+              args.output)
+        return 0
+
+    if args.cmd == "label-purity":
+        from flink_descriptive_stats_spark.operators import similarity
+        df = _load(spark, args.input, args.format)
+        _emit(similarity.label_purity(df, n_cells=args.n_cells,
+                                      id_col=args.id_col,
+                                      vec_col=args.vec_col,
+                                      label_col=args.label_col),
               args.output)
         return 0
 

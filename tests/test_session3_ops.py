@@ -394,3 +394,15 @@ def test_label_purity_semantics(spark):
     for c in (1, 2, 3):
         assert f(got[c]["purity"]) == 1.0
         assert f(got[c]["label_entropy"]) == 0.0
+
+
+def test_cli_session3_wave2_subcommands(capsys):
+    from flink_descriptive_stats_spark.__main__ import main
+    sf = "/root/testdata/sf0.001"
+    rc = main(["join-advisor", f"{sf}/lineitem.parquet",
+               f"{sf}/orders.parquet", "--key", "l_orderkey,o_orderkey"])
+    assert rc == 0 and "strategy" in capsys.readouterr().out
+    rc = main(["paragraph-dedup", f"{sf}/documents.parquet"])
+    assert rc == 0 and "chunk_md5" in capsys.readouterr().out
+    rc = main(["label-purity", f"{sf}/embeddings.parquet"])
+    assert rc == 0 and "purity" in capsys.readouterr().out
