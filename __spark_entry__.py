@@ -132,7 +132,11 @@ GATED_50 = (
     "daily_profile_partitioned_events",
     # dedup / decontamination family
     "dedup_exact_documents", "decontaminate_fuzzy_documents",
-    "minhash_pairs_documents", "neardup_clusters_documents",
+    # eighth rotation: paragraph (sub-document) dedup in — the passage
+    # granularity neither whole-doc nor pair operators gate; minhash_pairs
+    # demoted (neardup_clusters consumes the SAME banded-pair subplan, so
+    # a pairs bug still fails the gated clusters row; pairs verified 51+)
+    "paragraph_dedup_documents", "neardup_clusters_documents",
     "simhash_near_pairs_documents", "ngram_jaccard_pairs_documents",
     "embedding_neardup_lsh",
     # seventh rotation: canonical (normalize-then-hash) dedup in;

@@ -50,6 +50,8 @@ def test_gated_window_holds_all_operator_families():
                  # seventh rotation (session 3)
                  "dedup_canonical_documents",
                  "label_separation_embeddings",
+                 # eighth rotation
+                 "paragraph_dedup_documents",
                  # carried family representatives
                  "profile_lineitem", "topk_lineitem",
                  "simhash_near_pairs_documents",
