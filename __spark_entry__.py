@@ -350,6 +350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cross_source_dups_documents"] = _cross_source_dups
     q["paragraph_dedup_documents"] = _tq(dedup.paragraph_dedup,
                                          "documents")
+    q["dup_rate_by_source_documents"] = _tq(dedup.dup_rate_by_source,
+                                            "documents")
+    q["temporal_split_events"] = _tq(sampling.temporal_split, "events")
     q["neardup_clusters_documents"] = _tq(dedup.neardup_clusters, "documents")
     q["dedup_corpus_documents"] = _tq(dedup.dedup_corpus, "documents")
     q["simhash_near_pairs_documents"] = _tq(dedup.simhash_near_pairs,
@@ -1015,6 +1018,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PQ-ADC ANN: codebooks from a bounded driver-side k-means (float
     # trajectories not SQL-expressible); recall 0.92 vs brute force and
     # run-to-run determinism are pytest-pinned instead
+    # BFD bin-state is not SQL-expressible; invariants + an optimality
+    # fixture are pytest-pinned (rows-only)
+    q["pack_sequences_bfd_documents"] = _tq(sampling.pack_sequences_bfd,
+                                            "documents")
     q["ann_pq_topk"] = _tq(similarity.pq_topk, "embeddings")
     # IVF-PQ composition (FAISS IVFx,PQy): driver-side float k-means for
     # both stages — rows-only, recall bar + determinism pytest-pinned
@@ -1207,6 +1214,8 @@ def oracle_sql() -> dict[str, str]:
     o["minhash_signatures_documents"] = op.minhash_signatures_sql()
     o["minhash_pairs_documents"] = op.minhash_pairs_sql()
     o["minhash_calibration_documents"] = op.minhash_calibration_sql()
+    o["dup_rate_by_source_documents"] = op.dup_rate_by_source_sql()
+    o["temporal_split_events"] = op.temporal_split_sql()
     o["paragraph_dedup_documents"] = (
         "WITH t AS (SELECT doc_id AS id, "
         "regexp_extract_all(lower(text), '\\w+') AS toks FROM documents "

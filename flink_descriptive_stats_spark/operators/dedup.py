@@ -1089,3 +1089,36 @@ def paragraph_dedup(df: DataFrame, content_col: str = "text",
                  F.min("id").alias("example_doc"),
                  F.max("n_tokens").alias("n_tokens"))
             .where(F.col("n_docs") > 1))
+
+
+def dup_rate_by_source(df: DataFrame, content_col: str = "text",
+                       id_col: str = "doc_id",
+                       source_col: str = "source") -> DataFrame:
+    """Per-source duplication scoreboard: (source, n_docs, n_unique_exact,
+    n_unique_canonical, exact_dup_rate, canonical_dup_rate) — which feed
+    is rotting the corpus, and how much of its "volume" is copies. The
+    rate is 1 - unique/docs within the source; the canonical column adds
+    the formatting-variant surplus exact hashing misses. Reading this
+    table per ingest is how a 100 TB pipeline decides which sources get
+    the expensive near-dup pass at all.
+
+    ONE grouped aggregation keyed by source (bounded keys) over two
+    scan-side hash projections — count_distinct partials carry hash sets
+    per source, the full text never shuffles."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    canon = _canonical_expr(content_col)
+    d = (df.where(F.col(content_col).isNotNull())
+         .select(F.col(source_col).alias("source"),
+                 F.md5(F.col(content_col)).alias("__h"),
+                 F.md5(canon).alias("__c")))
+    agg = (d.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.count_distinct("__h").alias("n_unique_exact"),
+                F.count_distinct("__c").alias("n_unique_canonical")))
+    nd = F.col("n_docs").cast("double")
+    return agg.select(
+        "source", "n_docs", "n_unique_exact", "n_unique_canonical",
+        sig6(F.lit(1.0) - F.col("n_unique_exact") / nd)
+        .alias("exact_dup_rate"),
+        sig6(F.lit(1.0) - F.col("n_unique_canonical") / nd)
+        .alias("canonical_dup_rate"))

@@ -172,3 +172,85 @@ def cluster_balanced_sample(df: DataFrame, k_per_cluster: int = 5,
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
     return (clusters.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= k_per_cluster).drop("__rk"))
+
+
+def temporal_split(df: DataFrame, ts_col: str = "ts",
+                   holdout_frac: float = 0.1) -> DataFrame:
+    """Chronological train/holdout split: rows at or after the
+    (1 - holdout_frac) event-time quantile become the holdout — the
+    leakage-safe split for anything time-ordered (hash_split would put
+    tomorrow's rows in train and today's in eval, inflating every
+    forecasting metric). Output: every input column + ``split``
+    ('train' | 'holdout').
+
+    The cutoff is ONE 1-row percentile aggregate over the epoch-cast
+    timestamps, sig6-rounded and inlined as a literal — the split
+    predicate is then a narrow scan-side comparison (partition-pruning
+    friendly on date-partitioned layouts), deterministic and
+    rerun-stable. Rows with NULL timestamps go to train (they cannot
+    leak the future)."""
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    e = F.col(ts_col).cast("double")
+    row = df.agg(F.percentile(e, F.lit(1.0 - holdout_frac))
+                 .alias("cut")).collect()[0]
+    if row["cut"] is None:
+        return df.withColumn("split", F.lit("train"))
+    cut = float(sig6_py(float(row["cut"])))
+    return df.withColumn(
+        "split",
+        F.when(e >= F.lit(cut), F.lit("holdout")).otherwise(F.lit("train")))
+
+
+def pack_sequences_bfd(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_tokens: int = 512,
+                       n_shards: int = 8) -> DataFrame:
+    """Best-fit-decreasing sequence packing: assign whole documents to
+    token-budget packs with the classic offline BFD heuristic (sort items
+    by size descending, place each in the TIGHTEST bin it fits, open a
+    new bin otherwise) — fewer packs / less padding waste than
+    pack_sequences' streaming-chunk shape, for pipelines that keep
+    documents atomic instead of splitting them across boundaries.
+    Output: (id, shard, pack_id, n_tokens); docs longer than
+    ``max_tokens`` are counted at the cap (they fill a pack alone).
+
+    Scale: the narrow token-count projection rides the scan; packing is
+    inherently sequential PER SHARD (bin state), so it runs as ONE
+    applyInPandas over shard = id % n_shards — shard count is the
+    parallelism knob exactly as in pack_sequences, and each shard's
+    Python loop is O(docs_in_shard x open_bins). Deterministic: sort by
+    (size desc, id asc), tie-break bins by lowest pack_id; rows-only
+    gate (bin state is not SQL-expressible), invariants + an optimality
+    fixture are pytest-pinned."""
+    import pandas as pd
+
+    from flink_descriptive_stats_spark.functions import hashing as H
+    toks = F.size(H.tokens_expr(F.col(text_col)))
+    d = (df.where(F.col(text_col).isNotNull())
+         .select(F.col(id_col).alias("id"),
+                 F.least(toks, F.lit(max_tokens)).alias("n_tokens"),
+                 (F.col(id_col) % n_shards).alias("shard"))
+         .where(F.col("n_tokens") > 0))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", "id"],
+                              ascending=[False, True])
+        remaining: list[int] = []
+        assign = []
+        for sz in pdf["n_tokens"]:
+            sz = int(sz)
+            best, best_rem = -1, max_tokens + 1
+            for b, rem in enumerate(remaining):
+                if sz <= rem < best_rem:
+                    best, best_rem = b, rem
+            if best < 0:
+                best = len(remaining)
+                remaining.append(max_tokens)
+            remaining[best] -= sz
+            assign.append(best)
+        out = pdf.copy()
+        out["pack_id"] = assign
+        return out[["id", "shard", "pack_id", "n_tokens"]]
+
+    return (d.groupBy("shard")
+            .applyInPandas(pack, "id bigint, shard bigint, "
+                                 "pack_id bigint, n_tokens bigint"))

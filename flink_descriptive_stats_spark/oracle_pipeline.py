@@ -2543,3 +2543,39 @@ SELECT CAST(cell_id AS BIGINT) AS cell_id, CAST(n AS BIGINT) AS n,
        CAST(majority_label AS BIGINT) AS majority_label,
        {duck_sig6('pur')} AS purity, {duck_sig6('ent')} AS label_entropy
 FROM g"""
+
+
+def dup_rate_by_source_sql(table: str = "documents") -> str:
+    """Mirror of dedup.dup_rate_by_source."""
+    return f"""
+WITH d AS (SELECT source, md5(text) AS h, {_CANON} AS c
+           FROM {table} WHERE text IS NOT NULL),
+g AS (SELECT source, count(*) AS n_docs,
+             count(DISTINCT h) AS n_unique_exact,
+             count(DISTINCT c) AS n_unique_canonical
+      FROM d GROUP BY 1)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_unique_exact AS BIGINT) AS n_unique_exact,
+       CAST(n_unique_canonical AS BIGINT) AS n_unique_canonical,
+       {duck_sig6('1.0 - n_unique_exact / CAST(n_docs AS DOUBLE)')}
+           AS exact_dup_rate,
+       {duck_sig6('1.0 - n_unique_canonical / CAST(n_docs AS DOUBLE)')}
+           AS canonical_dup_rate
+FROM g"""
+
+
+def temporal_split_sql(table: str = "events",
+                       holdout_frac: float = 0.1,
+                       cut: float | None = None) -> str:
+    """Mirror of sampling.temporal_split; ``cut`` is the sig6-rounded
+    epoch-seconds cutoff computed by the Spark side (inlined so both
+    engines compare against the identical literal — the Spark operator
+    does exactly this with its own collected percentile)."""
+    e = "epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0"
+    if cut is None:
+        q6 = duck_sig6(f"quantile_cont({e}, {1.0 - holdout_frac})")
+        cond = (f"{e} >= (SELECT CAST({q6} AS DOUBLE) FROM {table})")
+    else:
+        cond = f"{e} >= {cut!r}"
+    return (f"SELECT *, CASE WHEN {cond} THEN 'holdout' ELSE 'train' END "
+            f"AS split FROM {table}")

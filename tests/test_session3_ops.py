@@ -406,3 +406,46 @@ def test_cli_session3_wave2_subcommands(capsys):
     assert rc == 0 and "chunk_md5" in capsys.readouterr().out
     rc = main(["label-purity", f"{sf}/embeddings.parquet"])
     assert rc == 0 and "purity" in capsys.readouterr().out
+
+
+def test_pack_bfd_invariants_and_optimal_fixture(spark):
+    from flink_descriptive_stats_spark.operators import sampling
+    # sizes 300, 212, 200, 180, 120, 12 with cap 512, one shard:
+    # BFD packs [300+212], [200+180+120+12] = 2 packs (optimal)
+    rows = [(0, "w " * 0 + " ".join(f"a{i}" for i in range(300))),
+            (8, " ".join(f"b{i}" for i in range(212))),
+            (16, " ".join(f"c{i}" for i in range(200))),
+            (24, " ".join(f"d{i}" for i in range(180))),
+            (32, " ".join(f"e{i}" for i in range(120))),
+            (40, " ".join(f"f{i}" for i in range(12)))]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sampling.pack_sequences_bfd(df, max_tokens=512,
+                                      n_shards=8).collect()
+    assert len(got) == 6
+    packs = {}
+    for r in got:
+        packs.setdefault((r["shard"], r["pack_id"]), []).append(
+            r["n_tokens"])
+    assert len(packs) == 2
+    for sizes in packs.values():
+        assert sum(sizes) <= 512
+    assert sorted(sorted(v) for v in packs.values()) \
+        == [[12, 120, 180, 200], [212, 300]]
+    # determinism across partitioning
+    a = sorted(map(tuple, sampling.pack_sequences_bfd(
+        df.repartition(1), max_tokens=512).collect()))
+    b = sorted(map(tuple, sampling.pack_sequences_bfd(
+        df.repartition(7), max_tokens=512).collect()))
+    assert a == b
+
+
+def test_pack_bfd_beats_streaming_chunk_on_docs(spark):
+    from flink_descriptive_stats_spark.operators import sampling
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bfd = sampling.pack_sequences_bfd(docs, max_tokens=128,
+                                      n_shards=4).collect()
+    n_packs_bfd = len({(r["shard"], r["pack_id"]) for r in bfd})
+    total_tokens = sum(r["n_tokens"] for r in bfd)
+    lower_bound = -(-total_tokens // 128)
+    # every pack within budget; pack count within 15% of the LP bound
+    assert n_packs_bfd <= 1.15 * lower_bound + 4  # +4: per-shard slack
