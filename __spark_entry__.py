@@ -352,6 +352,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          "documents")
     q["dup_rate_by_source_documents"] = _tq(dedup.dup_rate_by_source,
                                             "documents")
+
+    def _k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators.quality import \
+            k_anonymity
+        return k_anonymity(_load(spark, sf_dir, "documents"),
+                           ["lang", "source"], k=5)
+    q["k_anonymity_documents"] = _k_anonymity
+
+    def _quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators.quality import \
+            quality_ensemble
+        return quality_ensemble(_load(spark, sf_dir, "documents"))
+    q["quality_ensemble_documents"] = _quality_ensemble
     q["temporal_split_events"] = _tq(sampling.temporal_split, "events")
     q["neardup_clusters_documents"] = _tq(dedup.neardup_clusters, "documents")
     q["dedup_corpus_documents"] = _tq(dedup.dedup_corpus, "documents")
@@ -1215,6 +1228,9 @@ def oracle_sql() -> dict[str, str]:
     o["minhash_pairs_documents"] = op.minhash_pairs_sql()
     o["minhash_calibration_documents"] = op.minhash_calibration_sql()
     o["dup_rate_by_source_documents"] = op.dup_rate_by_source_sql()
+    o["k_anonymity_documents"] = op.k_anonymity_sql(
+        "documents", ["lang", "source"], k=5)
+    o["quality_ensemble_documents"] = op.quality_ensemble_sql()
     o["temporal_split_events"] = op.temporal_split_sql()
     o["paragraph_dedup_documents"] = (
         "WITH t AS (SELECT doc_id AS id, "

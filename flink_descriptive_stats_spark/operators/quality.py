@@ -109,3 +109,92 @@ def check_constraints_by(df: DataFrame, rules: list[Rule],
                     F.col("r.column").alias("column"), "n_rows",
                     F.col("r.n_violations").alias("n_violations"),
                     (F.col("r.n_violations") == 0).alias("passed")))
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str],
+                k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: ONE row
+    (k, n_rows, n_groups, n_groups_below_k, n_rows_below_k,
+    min_group_size, at_risk_rate) where a "group" is one distinct
+    quasi-identifier value combination and a row is AT RISK when its
+    group has fewer than ``k`` members — the re-identification screen
+    run before releasing or joining quasi-public attributes
+    (Sweeney 2002). at_risk_rate = n_rows_below_k / n_rows,
+    sig6-rendered.
+
+    Cost shape: one groupBy over the quasi columns (map-side combined;
+    cardinality = the combination count, which is the quantity being
+    audited) and a bounded 1-row rollup. NULLs form their own group —
+    a NULL quasi-identifier still identifies its carrier if rare."""
+    from pyspark.sql import functions as F
+
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n"))
+    below = F.col("n") < k
+    agg = g.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count_if(below).alias("n_groups_below_k"),
+        F.coalesce(F.sum(F.when(below, F.col("n"))), F.lit(0))
+        .alias("n_rows_below_k"),
+        F.min("n").alias("min_group_size"))
+    return agg.select(
+        F.lit(k).cast("bigint").alias("k"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_groups").cast("bigint").alias("n_groups"),
+        F.col("n_groups_below_k").cast("bigint").alias("n_groups_below_k"),
+        F.col("n_rows_below_k").cast("bigint").alias("n_rows_below_k"),
+        F.col("min_group_size").cast("bigint").alias("min_group_size"),
+        sig6(F.col("n_rows_below_k").cast("double")
+             / F.col("n_rows").cast("double")).alias("at_risk_rate"))
+
+
+def quality_ensemble(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Rank-ensemble curation score per document: percentile ranks of
+    three independent quality signals — the regex quality_score (higher
+    better), the bigram LM cross-entropy (lower better), and the
+    duplicated-ngram fraction (lower better) — averaged into ONE
+    ensemble in [0, 1]. Rank fusion sidesteps the units/calibration
+    problem of weighted raw scores (a cross-entropy of 5.1 and a
+    quality of 0.62 share no scale; their percentile ranks do), which
+    is why retrieval uses reciprocal-rank-style fusion for the same
+    job. Output: (doc_id, q_rank, lm_rank, dup_rank, ensemble),
+    sig6-rendered; sort ascending and the head is the cut list.
+
+    Scale note: percent_rank is a global ordered window per signal —
+    the audit-scale shape (same trade documented for KS drift /
+    percentile_rank); at 100 TB swap the window for approx-quantile
+    bucket ranks. Signal subplans are the gated operators' own
+    (one scan each + bounded joins keyed by doc id); sig6-string
+    scores CAST back to double identically on both engines."""
+    from pyspark.sql import Window
+
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    from flink_descriptive_stats_spark.operators.dedup import \
+        duplicated_ngram_fraction
+    from flink_descriptive_stats_spark.operators.text import (lm_score,
+                                                              text_stats)
+    q = text_stats(df, text_col=text_col, id_col=id_col).select(
+        F.col("id").alias(id_col),
+        F.col("quality_score").cast("double").alias("__q"))
+    lm = lm_score(df, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("lm_score").cast("double").alias("__lm"))
+    dup = duplicated_ngram_fraction(df, content_col=text_col,
+                                    id_col=id_col).select(
+        id_col, F.col("dup_fraction").alias("__dup"))
+    j = q.join(lm, id_col).join(dup, id_col)
+    rq = F.percent_rank().over(Window.orderBy(F.col("__q").asc(),
+                                              F.col(id_col).asc()))
+    rl = F.percent_rank().over(Window.orderBy(F.col("__lm").desc(),
+                                              F.col(id_col).asc()))
+    rd = F.percent_rank().over(Window.orderBy(F.col("__dup").desc(),
+                                              F.col(id_col).asc()))
+    t = j.select(id_col, rq.alias("__rq"), rl.alias("__rl"),
+                 rd.alias("__rd"))
+    return t.select(
+        id_col, sig6(F.col("__rq")).alias("q_rank"),
+        sig6(F.col("__rl")).alias("lm_rank"),
+        sig6(F.col("__rd")).alias("dup_rank"),
+        sig6((F.col("__rq") + F.col("__rl") + F.col("__rd")) / 3.0)
+        .alias("ensemble"))

@@ -2579,3 +2579,49 @@ def temporal_split_sql(table: str = "events",
         cond = f"{e} >= {cut!r}"
     return (f"SELECT *, CASE WHEN {cond} THEN 'holdout' ELSE 'train' END "
             f"AS split FROM {table}")
+
+
+def k_anonymity_sql(table: str, quasi_cols: list[str], k: int = 5) -> str:
+    """Mirror of quality.k_anonymity."""
+    keys = ", ".join(quasi_cols)
+    return f"""
+WITH g AS (SELECT {keys}, count(*) AS n FROM {table} GROUP BY {keys}),
+a AS (SELECT sum(n) AS n_rows, count(*) AS n_groups,
+             count(*) FILTER (n < {k}) AS n_groups_below_k,
+             coalesce(sum(n) FILTER (n < {k}), 0) AS n_rows_below_k,
+             min(n) AS min_group_size
+      FROM g)
+SELECT CAST({k} AS BIGINT) AS k, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(n_groups_below_k AS BIGINT) AS n_groups_below_k,
+       CAST(n_rows_below_k AS BIGINT) AS n_rows_below_k,
+       CAST(min_group_size AS BIGINT) AS min_group_size,
+       {duck_sig6('n_rows_below_k / CAST(n_rows AS DOUBLE)')}
+           AS at_risk_rate
+FROM a"""
+
+
+def quality_ensemble_sql(table: str = "documents") -> str:
+    """Mirror of quality.quality_ensemble: the three gated signal
+    queries as CTEs, identical rank windows (id tie-break makes every
+    rank unique, so tie semantics cannot diverge)."""
+    s = duck_sig6
+    return f"""
+WITH qs AS ({text_stats_sql(table)}),
+lms AS ({lm_score_sql(table)}),
+dups AS ({duplicated_ngram_fraction_sql(table)}),
+j AS (SELECT qs.id AS doc_id,
+             CAST(qs.quality_score AS DOUBLE) AS q,
+             CAST(lms.lm_score AS DOUBLE) AS lm,
+             dups.dup_fraction AS dup
+      FROM qs JOIN lms ON lms.doc_id = qs.id
+              JOIN dups ON dups.doc_id = qs.id),
+r AS (SELECT doc_id,
+             percent_rank() OVER (ORDER BY q ASC, doc_id ASC) AS rq,
+             percent_rank() OVER (ORDER BY lm DESC, doc_id ASC) AS rl,
+             percent_rank() OVER (ORDER BY dup DESC, doc_id ASC) AS rd
+      FROM j)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {s('rq')} AS q_rank,
+       {s('rl')} AS lm_rank, {s('rd')} AS dup_rank,
+       {s('(rq + rl + rd) / 3.0')} AS ensemble
+FROM r"""

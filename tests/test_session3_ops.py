@@ -449,3 +449,37 @@ def test_pack_bfd_beats_streaming_chunk_on_docs(spark):
     lower_bound = -(-total_tokens // 128)
     # every pack within budget; pack count within 15% of the LP bound
     assert n_packs_bfd <= 1.15 * lower_bound + 4  # +4: per-shard slack
+
+
+def test_k_anonymity_semantics(spark):
+    from flink_descriptive_stats_spark.operators.quality import k_anonymity
+
+    def f(x):
+        return float(x.replace("e", "E"))
+
+    df = spark.createDataFrame(
+        [(1, "en", "a"), (2, "en", "a"), (3, "en", "a"),
+         (4, "fr", "a"), (5, "fr", "b"), (6, None, "b")],
+        "doc_id bigint, lang string, source string")
+    r = k_anonymity(df, ["lang", "source"], k=3).collect()[0]
+    # groups: (en,a)=3, (fr,a)=1, (fr,b)=1, (NULL,b)=1
+    assert r["n_rows"] == 6 and r["n_groups"] == 4
+    assert r["n_groups_below_k"] == 3 and r["n_rows_below_k"] == 3
+    assert r["min_group_size"] == 1
+    assert abs(f(r["at_risk_rate"]) - 0.5) < 1e-9
+
+
+def test_quality_ensemble_orders_junk_last(spark):
+    from flink_descriptive_stats_spark.operators.quality import (
+        quality_ensemble)
+
+    def f(x):
+        return float(x.replace("e", "E"))
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r["doc_id"]: f(r["ensemble"])
+           for r in quality_ensemble(docs).collect()}
+    assert len(got) > 0
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    # rank fusion must produce a non-degenerate ordering
+    assert len(set(got.values())) > len(got) // 4
