@@ -29,7 +29,9 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "session-summary", "spearman", "woe", "null-patterns",
                "paths", "monitor-profile", "monitor-drift", "explain",
                "list-queries", "compression", "label-separation",
-               "join-advisor", "paragraph-dedup", "label-purity")
+               "join-advisor", "paragraph-dedup", "label-purity",
+               "dup-rate", "temporal-split", "pack-bfd", "k-anonymity",
+               "quality-ensemble")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -148,6 +150,44 @@ def build_parser() -> argparse.ArgumentParser:
     lp.add_argument("--id-col", default="vec_id")
     lp.add_argument("--label-col", default="label")
     _add_common(lp)
+
+    dr = sub.add_parser("dup-rate",
+                        help="per-source exact/canonical duplication rates")
+    dr.add_argument("input")
+    dr.add_argument("--text-col", default="text")
+    dr.add_argument("--source-col", default="source")
+    _add_common(dr)
+
+    tsp = sub.add_parser("temporal-split",
+                         help="chronological train/holdout split")
+    tsp.add_argument("input")
+    tsp.add_argument("--ts-col", default="ts")
+    tsp.add_argument("--holdout-frac", type=float, default=0.1)
+    _add_common(tsp)
+
+    pb = sub.add_parser("pack-bfd",
+                        help="best-fit-decreasing sequence packing")
+    pb.add_argument("input")
+    pb.add_argument("--max-tokens", type=int, default=512)
+    pb.add_argument("--n-shards", type=int, default=8)
+    pb.add_argument("--text-col", default="text")
+    pb.add_argument("--id-col", default="doc_id")
+    _add_common(pb)
+
+    ka = sub.add_parser("k-anonymity",
+                        help="k-anonymity audit over quasi-identifiers")
+    ka.add_argument("input")
+    ka.add_argument("--cols", required=True,
+                    help="comma-separated quasi-identifier columns")
+    ka.add_argument("--k", type=int, default=5)
+    _add_common(ka)
+
+    qe = sub.add_parser("quality-ensemble",
+                        help="rank-fusion curation score per document")
+    qe.add_argument("input")
+    qe.add_argument("--text-col", default="text")
+    qe.add_argument("--id-col", default="doc_id")
+    _add_common(qe)
 
     en = sub.add_parser("entropy",
                         help="per-column value-distribution entropy")
@@ -610,6 +650,46 @@ def main(argv: list[str] | None = None) -> int:
                                       vec_col=args.vec_col,
                                       label_col=args.label_col),
               args.output)
+        return 0
+
+    if args.cmd == "dup-rate":
+        from flink_descriptive_stats_spark.operators import dedup
+        df = _load(spark, args.input, args.format)
+        _emit(dedup.dup_rate_by_source(df, content_col=args.text_col,
+                                       source_col=args.source_col),
+              args.output)
+        return 0
+
+    if args.cmd == "temporal-split":
+        from flink_descriptive_stats_spark.operators import sampling
+        df = _load(spark, args.input, args.format)
+        _emit(sampling.temporal_split(df, ts_col=args.ts_col,
+                                      holdout_frac=args.holdout_frac),
+              args.output)
+        return 0
+
+    if args.cmd == "pack-bfd":
+        from flink_descriptive_stats_spark.operators import sampling
+        df = _load(spark, args.input, args.format)
+        _emit(sampling.pack_sequences_bfd(
+            df, text_col=args.text_col, id_col=args.id_col,
+            max_tokens=args.max_tokens, n_shards=args.n_shards),
+            args.output)
+        return 0
+
+    if args.cmd == "k-anonymity":
+        from flink_descriptive_stats_spark.operators.quality import \
+            k_anonymity
+        df = _load(spark, args.input, args.format)
+        _emit(k_anonymity(df, args.cols.split(","), k=args.k), args.output)
+        return 0
+
+    if args.cmd == "quality-ensemble":
+        from flink_descriptive_stats_spark.operators.quality import \
+            quality_ensemble
+        df = _load(spark, args.input, args.format)
+        _emit(quality_ensemble(df, text_col=args.text_col,
+                               id_col=args.id_col), args.output)
         return 0
 
     if args.cmd == "entropy":

@@ -189,8 +189,15 @@ def temporal_split(df: DataFrame, ts_col: str = "ts",
     friendly on date-partitioned layouts), deterministic and
     rerun-stable. Rows with NULL timestamps go to train (they cannot
     leak the future)."""
+    from pyspark.sql import types as T
+
     from flink_descriptive_stats_spark.functions.sig import sig6_py
-    e = F.col(ts_col).cast("double")
+    c = F.col(ts_col)
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        # session TZ is pinned UTC, so NTZ wall time == the UTC instant;
+        # TIMESTAMP casts to epoch-seconds double, NTZ does not
+        c = c.cast("timestamp")
+    e = c.cast("double")
     row = df.agg(F.percentile(e, F.lit(1.0 - holdout_frac))
                  .alias("cut")).collect()[0]
     if row["cut"] is None:

@@ -483,3 +483,19 @@ def test_quality_ensemble_orders_junk_last(spark):
     assert all(0.0 <= v <= 1.0 for v in got.values())
     # rank fusion must produce a non-degenerate ordering
     assert len(set(got.values())) > len(got) // 4
+
+
+def test_cli_session3_wave3_subcommands(capsys):
+    from flink_descriptive_stats_spark.__main__ import main
+    sf = "/root/testdata/sf0.001"
+    for argv, token in [
+        (["dup-rate", f"{sf}/documents.parquet"], "exact_dup_rate"),
+        (["temporal-split", f"{sf}/events.parquet"], "split"),
+        (["pack-bfd", f"{sf}/documents.parquet", "--max-tokens", "128"],
+         "pack_id"),
+        (["k-anonymity", f"{sf}/documents.parquet", "--cols",
+          "lang,source"], "at_risk_rate"),
+        (["quality-ensemble", f"{sf}/documents.parquet"], "ensemble"),
+    ]:
+        rc = main(argv)
+        assert rc == 0 and token in capsys.readouterr().out, argv
