@@ -867,10 +867,11 @@ def canonical_dedup(df: DataFrame, content_col: str = "text",
     have caught it, >1 is the formatting-variant surplus this operator
     adds).
 
-    Scale: identical shape to exact_dedup — one shuffle keyed by a
-    32-char md5 (the full text never shuffles; the canonical string is
-    hashed scan-side). The canonicalization is a codegen'd regex over
-    the scan, no extra pass. Reference parity: the reference has no
+    Scale: exact_dedup's shape plus the standard partial-distinct
+    phase for n_variants — two exchanges, keyed by (canon, raw) md5
+    pairs then canon md5; the full text never shuffles (both keys are
+    32-char hashes computed scan-side) and the canonicalization is a
+    codegen'd regex over the scan, no extra pass. Reference parity: the reference has no
     dedup at all — this extends its hash-groupBy idiom
     (ProfileJob.java's groupBy(0) pattern) to content identity."""
     canon = _canonical_expr(content_col)
@@ -1074,10 +1075,13 @@ def paragraph_dedup(df: DataFrame, content_col: str = "text",
     extractable passage): what comes back here IS the boilerplate
     passage, addressable by hash for a removal pass.
 
-    Scale: narrow chunking (tokenize + explode a bounded index), ONE
-    shuffle keyed by the 32-char window hash with map-side combine —
-    window text itself never shuffles twice (min() carries one example).
-    n_occurrences counts every placement, n_docs distinct documents."""
+    Scale: narrow chunking (tokenize + explode a bounded index), then
+    the standard two-phase exact-distinct aggregation — a partial
+    distinct keyed by (window hash, doc id) and the final rollup keyed
+    by the hash (count_distinct(id) needs both; plan-pinned). Window
+    text crosses the wire once as its md5 group key; min() carries one
+    example id. n_occurrences counts every placement, n_docs distinct
+    documents."""
     from flink_descriptive_stats_spark.operators.text import \
         chunk_documents
     chunks = chunk_documents(df, text_col=content_col, id_col=id_col,

