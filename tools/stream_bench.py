@@ -130,6 +130,20 @@ def run_stream_bench(spark, sf_dir: str, scratch: str,
     finally:
         q.stop()
 
+    # windowed quantiles on the GK approx_percentile path — the bounded
+    # mergeable sketch state the operator ships for streams
+    from flink_descriptive_stats_spark.streaming.profile_stream import (
+        windowed_quantiles)
+    wq = windowed_quantiles(stream(), window="6 hours", watermark="1 hour",
+                            exact=False)
+    q = (wq.writeStream.format("noop").outputMode("append")
+         .option("checkpointLocation", os.path.join(scratch, "ckpt_wq"))
+         .start())
+    try:
+        out["windowed_quantiles_gk"] = _drain(q)
+    finally:
+        q.stop()
+
     # session-window state: merged-session rows, evicted past the
     # watermark — the fourth stateful-operator class measured
     from flink_descriptive_stats_spark.streaming.pipeline_stream import (
