@@ -1035,6 +1035,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fixture are pytest-pinned (rows-only)
     q["pack_sequences_bfd_documents"] = _tq(sampling.pack_sequences_bfd,
                                             "documents")
+    # Datasketches HLL rollup: per-day sketches unioned to the total —
+    # sketch bytes differ from any SQL engine's, so the gate is rows-only;
+    # estimates are pytest-pinned against exact distincts within tolerance
+    q["distinct_rollup_hll_events"] = _tq(extras.distinct_rollup_hll,
+                                          "events")
     q["ann_pq_topk"] = _tq(similarity.pq_topk, "embeddings")
     # IVF-PQ composition (FAISS IVFx,PQy): driver-side float k-means for
     # both stages — rows-only, recall bar + determinism pytest-pinned

@@ -1115,3 +1115,35 @@ def percentile_rank_transform(df: DataFrame, column: str,
     return (df.where(x.isNotNull())
             .select(F.col(id_col).alias("id"), x.alias("value"),
                     sig6(F.percent_rank().over(wv)).alias("pct_rank")))
+
+
+def distinct_rollup_hll(df: DataFrame, ts_col: str = "ts",
+                        key_col: str = "user_id") -> DataFrame:
+    """Mergeable distinct-count rollup via Datasketches HLL: one sketch
+    per day (hll_sketch_agg), the corpus total from UNIONING the daily
+    sketches (hll_union_agg) — NOT from a second scan. This is the
+    incremental pattern exact distinct cannot do at 100 TB: daily
+    partitions build their sketches once, and any rollup (week, month,
+    total, ad-hoc unions across tenants) is sketch algebra over a few KB
+    per partition. Output: one row per day (day, n_rows, distinct_est)
+    plus a total row (day NULL) whose estimate comes from the union —
+    pytest pins both against exact distincts within HLL tolerance.
+
+    Plan: ONE grouped sketch build keyed by day (map-side combined —
+    sketches merge in the partial aggregate), then a bounded union agg
+    over the days-sized sketch table. The raw data is scanned once."""
+    day = F.to_date(ts_col).alias("day")
+    daily = (df.where(F.col(ts_col).isNotNull())
+             .groupBy(day)
+             .agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.hll_sketch_agg(F.col(key_col).cast("string"))
+                  .alias("__sk")))
+    per_day = daily.select(
+        "day", "n_rows",
+        F.hll_sketch_estimate("__sk").alias("distinct_est"))
+    total = daily.agg(
+        F.lit(None).cast("date").alias("day"),
+        F.sum("n_rows").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("__sk"))
+        .alias("distinct_est"))
+    return per_day.unionByName(total)

@@ -499,3 +499,26 @@ def test_cli_session3_wave3_subcommands(capsys):
     ]:
         rc = main(argv)
         assert rc == 0 and token in capsys.readouterr().out, argv
+
+
+def test_distinct_rollup_hll_vs_exact(spark):
+    from pyspark.sql import functions as F
+    from flink_descriptive_stats_spark.operators import extras
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    got = extras.distinct_rollup_hll(ev).collect()
+    per_day = {r["day"]: r for r in got if r["day"] is not None}
+    total = [r for r in got if r["day"] is None]
+    assert len(total) == 1 and len(per_day) > 3
+    exact_day = {r["day"]: r["d"] for r in
+                 ev.groupBy(F.to_date("ts").alias("day"))
+                 .agg(F.count_distinct("user_id").alias("d")).collect()}
+    assert set(per_day) == set(exact_day)
+    for d, ex in exact_day.items():
+        est = per_day[d]["distinct_est"]
+        assert abs(est - ex) <= max(3, 0.05 * ex), (d, est, ex)
+    exact_total = ev.select("user_id").distinct().count()
+    est_total = total[0]["distinct_est"]
+    # the union estimate must track the exact global distinct, and the
+    # total row's n_rows must be the sum of the daily rows
+    assert abs(est_total - exact_total) <= max(3, 0.05 * exact_total)
+    assert total[0]["n_rows"] == sum(r["n_rows"] for r in per_day.values())
