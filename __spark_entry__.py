@@ -182,7 +182,12 @@ GATED_50 = (
     # funnel_events (event-sequence: transition_matrix + retention at
     # 51+), resample_events (time-series: rolling_stats + trend),
     # grouped_topk_tokens (ranking: topk_lineitem + countmin).
-    "trend_events", "lm_score_documents", "lang_confusion_documents",
+    # ninth rotation: the rank-fusion ensemble in — one gated row that
+    # transitively exercises text_stats + lm_score + duplicated-ngram
+    # fraction (a bug in any component fails it); lm_score demoted with
+    # that transitive cover (still verified at 51+)
+    "trend_events", "quality_ensemble_documents",
+    "lang_confusion_documents",
     # doc_clusters is its own family (text -> vector -> clustering);
     # quality_filter demoted — it is a thresholded composition of the
     # gated text_stats features
@@ -365,6 +370,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             quality_ensemble
         return quality_ensemble(_load(spark, sf_dir, "documents"))
     q["quality_ensemble_documents"] = _quality_ensemble
+
+    def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators.quality import \
+            curate_corpus
+        docs = _load(spark, sf_dir, "documents")
+        return curate_corpus(docs.where(F.col("doc_id") % 10 != 0),
+                             docs.where(F.col("doc_id") % 10 == 0))
+    q["curate_corpus_documents"] = _curate_corpus
     q["temporal_split_events"] = _tq(sampling.temporal_split, "events")
     q["neardup_clusters_documents"] = _tq(dedup.neardup_clusters, "documents")
     q["dedup_corpus_documents"] = _tq(dedup.dedup_corpus, "documents")
@@ -1236,6 +1249,7 @@ def oracle_sql() -> dict[str, str]:
     o["k_anonymity_documents"] = op.k_anonymity_sql(
         "documents", ["lang", "source"], k=5)
     o["quality_ensemble_documents"] = op.quality_ensemble_sql()
+    o["curate_corpus_documents"] = op.curate_corpus_sql()
     o["temporal_split_events"] = op.temporal_split_sql()
     o["paragraph_dedup_documents"] = (
         "WITH t AS (SELECT doc_id AS id, "

@@ -31,7 +31,7 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "list-queries", "compression", "label-separation",
                "join-advisor", "paragraph-dedup", "label-purity",
                "dup-rate", "temporal-split", "pack-bfd", "k-anonymity",
-               "quality-ensemble")
+               "quality-ensemble", "curate")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -188,6 +188,19 @@ def build_parser() -> argparse.ArgumentParser:
     qe.add_argument("--text-col", default="text")
     qe.add_argument("--id-col", default="doc_id")
     _add_common(qe)
+
+    cu = sub.add_parser("curate",
+                        help="full curation pipeline: keep-best dedup -> "
+                             "decontaminate -> quality filter -> "
+                             "per-stratum cap")
+    cu.add_argument("train")
+    cu.add_argument("holdout")
+    cu.add_argument("--min-score", type=float, default=0.5)
+    cu.add_argument("--strata-col", default="lang")
+    cu.add_argument("--cap", type=int, default=10)
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    _add_common(cu)
 
     en = sub.add_parser("entropy",
                         help="per-column value-distribution entropy")
@@ -649,6 +662,17 @@ def main(argv: list[str] | None = None) -> int:
                                       id_col=args.id_col,
                                       vec_col=args.vec_col,
                                       label_col=args.label_col),
+              args.output)
+        return 0
+
+    if args.cmd == "curate":
+        from flink_descriptive_stats_spark.operators.quality import \
+            curate_corpus
+        train = _load(spark, args.train, args.format)
+        holdout = _load(spark, args.holdout, args.format)
+        _emit(curate_corpus(train, holdout, text_col=args.text_col,
+                            id_col=args.id_col, min_score=args.min_score,
+                            strata_col=args.strata_col, cap=args.cap),
               args.output)
         return 0
 

@@ -198,3 +198,37 @@ def quality_ensemble(df: DataFrame, text_col: str = "text",
         sig6(F.col("__rd")).alias("dup_rank"),
         sig6((F.col("__rq") + F.col("__rl") + F.col("__rd")) / 3.0)
         .alias("ensemble"))
+
+
+def curate_corpus(df: DataFrame, holdout: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  min_score: float = 0.5, strata_col: str = "lang",
+                  cap: int = 10) -> DataFrame:
+    """The end-to-end curation pipeline as ONE dataflow — what a user of
+    this engine actually runs per corpus drop:
+
+    1. keep_best_canonical: collapse exact AND formatting-variant
+       duplicates, keeping the most complete copy per group;
+    2. decontaminate (exact): remove anything whose content appears in
+       the eval holdout;
+    3. quality_filter: drop documents below the composite quality score;
+    4. stratified cap: at most ``cap`` docs per ``strata_col`` value
+       (md5-deterministic), so no language/source dominates the output.
+
+    Each stage is the already-gated operator — this composition is
+    itself oracle-gated end to end, so stage INTERACTIONS (e.g. the
+    dedup keeping a copy the quality filter then drops) are pinned too.
+    One logical plan: Catalyst fuses the stages into two window passes,
+    an anti-join, and the quality semi-join — no intermediate
+    materialization."""
+    from flink_descriptive_stats_spark.operators.dedup import (
+        decontaminate, keep_best_canonical)
+    from flink_descriptive_stats_spark.operators.sampling import \
+        stratified_sample
+    from flink_descriptive_stats_spark.operators.text import quality_filter
+    kb = keep_best_canonical(df, content_col=text_col, id_col=id_col)
+    dec = decontaminate(kb, holdout, content_col=text_col, id_col=id_col)
+    qf = quality_filter(dec, text_col=text_col, id_col=id_col,
+                        min_score=min_score)
+    return stratified_sample(qf, strata_col=strata_col, k=cap,
+                             id_col=id_col)

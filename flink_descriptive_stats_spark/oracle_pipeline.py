@@ -2625,3 +2625,26 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, {s('rq')} AS q_rank,
        {s('rl')} AS lm_rank, {s('rd')} AS dup_rank,
        {s('(rq + rl + rd) / 3.0')} AS ensemble
 FROM r"""
+
+
+def curate_corpus_sql(table: str = "documents",
+                      holdout_pred: str = "doc_id % 10 = 0",
+                      min_score: float = 0.5, cap: int = 10) -> str:
+    """Mirror of quality.curate_corpus with train = NOT holdout_pred and
+    holdout = holdout_pred over ``table`` (the gated split). NOT EXISTS
+    (not NOT IN) for the decontamination anti-join — NULL-safe on both
+    engines."""
+    return f"""
+WITH train AS (SELECT * FROM {table} WHERE NOT ({holdout_pred})),
+kb AS (SELECT * FROM train WHERE text IS NOT NULL
+       QUALIFY row_number() OVER (PARTITION BY {_CANON}
+         ORDER BY length(text) DESC, doc_id ASC) = 1),
+dec AS (SELECT kb.* FROM kb WHERE NOT EXISTS (
+          SELECT 1 FROM {table} h
+          WHERE ({holdout_pred.replace('doc_id', 'h.doc_id')})
+            AND h.text IS NOT NULL AND md5(h.text) = md5(kb.text))),
+qf AS (SELECT d.* FROM dec d WHERE d.doc_id IN
+         (SELECT id FROM ({text_stats_sql('dec')})
+          WHERE CAST(quality_score AS DOUBLE) >= {min_score}))
+SELECT * FROM qf QUALIFY row_number() OVER (PARTITION BY lang
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= {cap}"""

@@ -41,7 +41,7 @@ def test_gated_window_holds_all_operator_families():
                  "typo_pairs_documents",
                  "daily_profile_partitioned_events",
                  # fourth rotation
-                 "trend_events", "lm_score_documents",
+                 "trend_events", "quality_ensemble_documents",
                  "lang_confusion_documents", "doc_clusters_documents",
                  # fifth rotation
                  "spearman_lineitem", "woe_iv_events",

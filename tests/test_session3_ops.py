@@ -522,3 +522,30 @@ def test_distinct_rollup_hll_vs_exact(spark):
     # total row's n_rows must be the sum of the daily rows
     assert abs(est_total - exact_total) <= max(3, 0.05 * exact_total)
     assert total[0]["n_rows"] == sum(r["n_rows"] for r in per_day.values())
+
+
+def test_curate_corpus_stage_interactions(spark):
+    from pyspark.sql import functions as F
+    from flink_descriptive_stats_spark.operators.quality import (
+        curate_corpus)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    holdout = docs.where(F.col("doc_id") % 10 == 0)
+    out = curate_corpus(train, holdout, cap=10).collect()
+    assert 0 < len(out) <= 10 * docs.select("lang").distinct().count()
+    ids = {r["doc_id"] for r in out}
+    texts = [r["text"] for r in out]
+    # stage 4: per-lang cap respected
+    from collections import Counter
+    assert max(Counter(r["lang"] for r in out).values()) <= 10
+    # stage 2: nothing whose content appears in the holdout survives
+    holdout_texts = {r["text"] for r in holdout.collect()}
+    assert not (set(texts) & holdout_texts)
+    # stage 1: no two survivors share a canonical form
+    import re
+    canon = [re.sub(r"[^a-z0-9]+", " ", (t or "").lower()).strip()
+             for t in texts]
+    assert len(canon) == len(set(canon))
+    # survivors come from train only
+    train_ids = {r["doc_id"] for r in train.collect()}
+    assert ids <= train_ids
