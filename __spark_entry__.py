@@ -357,6 +357,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          "documents")
     q["dup_rate_by_source_documents"] = _tq(dedup.dup_rate_by_source,
                                             "documents")
+    # bucket_docs=2: the synthetic 31-word vocabulary saturates by doc 8,
+    # so the default 50-doc buckets collapse to one row — 2-doc buckets
+    # keep the cumulative-window path non-vacuous (4 buckets)
+    q["vocab_growth_documents"] = _tq(text_ops.vocab_growth, "documents",
+                                      bucket_docs=2)
+
+    def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _load(spark, sf_dir, "documents")
+        return dedup.incremental_dedup_report(
+            docs.where(F.col("doc_id") % 3 != 0),   # "old" corpus
+            docs.where(F.col("doc_id") % 3 == 0))   # "new" ingest
+    q["incremental_dedup_documents"] = _incremental_dedup
 
     def _k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         from flink_descriptive_stats_spark.operators.quality import \
@@ -1246,6 +1258,9 @@ def oracle_sql() -> dict[str, str]:
     o["minhash_pairs_documents"] = op.minhash_pairs_sql()
     o["minhash_calibration_documents"] = op.minhash_calibration_sql()
     o["dup_rate_by_source_documents"] = op.dup_rate_by_source_sql()
+    o["vocab_growth_documents"] = op.vocab_growth_sql(bucket_docs=2)
+    o["incremental_dedup_documents"] = op.incremental_dedup_report_sql(
+        "doc_id % 3 <> 0", "doc_id % 3 = 0")
     o["k_anonymity_documents"] = op.k_anonymity_sql(
         "documents", ["lang", "source"], k=5)
     o["quality_ensemble_documents"] = op.quality_ensemble_sql()

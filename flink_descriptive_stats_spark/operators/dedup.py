@@ -1126,3 +1126,38 @@ def dup_rate_by_source(df: DataFrame, content_col: str = "text",
         .alias("exact_dup_rate"),
         sig6(F.lit(1.0) - F.col("n_unique_canonical") / nd)
         .alias("canonical_dup_rate"))
+
+
+def incremental_dedup_report(old: DataFrame, new: DataFrame,
+                             content_col: str = "text",
+                             id_col: str = "doc_id",
+                             source_col: str = "source") -> DataFrame:
+    """Daily-ingest dedup triage: per source of the NEW batch,
+    (source, n_new, n_dup_of_old, n_internal_dup, n_novel) where
+    dup_of_old counts new docs whose content already exists in the OLD
+    corpus, internal_dup counts further copies within the batch itself
+    (beyond each group's first), and novel is the remainder — the
+    numbers that decide whether an ingest lands, gets skimmed, or gets
+    dropped before any expensive near-dup pass.
+
+    Plan: the old corpus collapses to a distinct content-hash set (one
+    groupBy, map-side combined); the new batch left-joins it keyed by
+    the hash and aggregates per (source, hash) then per source — every
+    shuffle keyed by md5 or the bounded source. Text never moves."""
+    oldh = (old.where(F.col(content_col).isNotNull())
+            .select(F.md5(F.col(content_col)).alias("__h")).distinct()
+            .withColumn("__in_old", F.lit(1)))
+    d = (new.where(F.col(content_col).isNotNull())
+         .select(F.col(source_col).alias("source"),
+                 F.md5(F.col(content_col)).alias("__h")))
+    per_hash = (d.groupBy("source", "__h")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .join(oldh, "__h", "left"))
+    is_old = F.col("__in_old").isNotNull()
+    return (per_hash.groupBy("source")
+            .agg(F.sum("n").alias("n_new"),
+                 F.coalesce(F.sum(F.when(is_old, F.col("n"))), F.lit(0))
+                 .alias("n_dup_of_old"),
+                 F.coalesce(F.sum(F.when(~is_old, F.col("n") - 1)),
+                            F.lit(0)).alias("n_internal_dup"),
+                 F.count_if(~is_old).alias("n_novel")))

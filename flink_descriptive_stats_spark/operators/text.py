@@ -816,3 +816,36 @@ def token_fertility(df: DataFrame, text_col: str = "text",
         sig6(F.col("n_chars") / tok_d).alias("chars_per_token"),
         sig6(F.col("n_bytes") / tok_d).alias("bytes_per_token"),
         sig6(F.col("n_subwords") / tok_d).alias("subwords_per_token"))
+
+
+def vocab_growth(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 bucket_docs: int = 50) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: processing documents in id
+    order, how many NEVER-SEEN-BEFORE tokens each bucket of
+    ``bucket_docs`` documents contributes, and the cumulative vocabulary
+    — the corpus-saturation diagnostic (a flattening curve says more of
+    the same source adds little lexical novelty; a straight line says
+    the corpus is still growing vocabulary and undertrained tokenizers
+    will suffer). Output: (bucket, first_doc, n_new_tokens, cum_vocab).
+
+    Plan: distinct (token, id) long format, ONE groupBy(token) taking
+    min(id) (map-side combined — each token reduces to its first
+    appearance), a bounded groupBy(bucket) count, and a cumulative
+    window over the BUCKET table (corpus-size/bucket_docs rows, not
+    corpus rows). No per-row cumulative distinct anywhere."""
+    toks = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.explode(H.tokens_expr(F.col(text_col)))
+                    .alias("tok"))
+            .distinct())
+    first = toks.groupBy("tok").agg(F.min("id").alias("first_doc"))
+    b = (first.groupBy((F.col("first_doc") / bucket_docs).cast("bigint")
+                       .alias("bucket"))
+         .agg(F.count(F.lit(1)).alias("n_new_tokens"),
+              F.min("first_doc").alias("first_doc")))
+    from pyspark.sql import Window
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return b.select("bucket", "first_doc", "n_new_tokens",
+                    F.sum("n_new_tokens").over(w).alias("cum_vocab"))

@@ -2648,3 +2648,42 @@ qf AS (SELECT d.* FROM dec d WHERE d.doc_id IN
           WHERE CAST(quality_score AS DOUBLE) >= {min_score}))
 SELECT * FROM qf QUALIFY row_number() OVER (PARTITION BY lang
   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= {cap}"""
+
+
+def vocab_growth_sql(table: str = "documents",
+                     bucket_docs: int = 50) -> str:
+    """Mirror of text.vocab_growth."""
+    return f"""
+WITH t AS (SELECT DISTINCT doc_id AS id, unnest(
+             regexp_extract_all(lower(text), '\\w+')) AS tok
+           FROM {table} WHERE text IS NOT NULL),
+f AS (SELECT tok, min(id) AS first_doc FROM t GROUP BY tok),
+b AS (SELECT CAST(first_doc / {bucket_docs} AS BIGINT) AS bucket,
+             count(*) AS n_new_tokens, min(first_doc) AS first_doc
+      FROM f GROUP BY 1)
+SELECT bucket, CAST(first_doc AS BIGINT) AS first_doc,
+       CAST(n_new_tokens AS BIGINT) AS n_new_tokens,
+       CAST(sum(n_new_tokens) OVER (ORDER BY bucket
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM b"""
+
+
+def incremental_dedup_report_sql(old_pred: str, new_pred: str,
+                                 table: str = "documents") -> str:
+    """Mirror of dedup.incremental_dedup_report over one table split by
+    predicates (the gated form)."""
+    return f"""
+WITH oldh AS (SELECT DISTINCT md5(text) AS h FROM {table}
+              WHERE ({old_pred}) AND text IS NOT NULL),
+d AS (SELECT source, md5(text) AS h FROM {table}
+      WHERE ({new_pred}) AND text IS NOT NULL),
+ph AS (SELECT d.source, d.h, count(*) AS n,
+              EXISTS (SELECT 1 FROM oldh WHERE oldh.h = d.h) AS in_old
+       FROM d GROUP BY 1, 2)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_new,
+       CAST(coalesce(sum(n) FILTER (in_old), 0) AS BIGINT)
+           AS n_dup_of_old,
+       CAST(coalesce(sum(n - 1) FILTER (NOT in_old), 0) AS BIGINT)
+           AS n_internal_dup,
+       CAST(count(*) FILTER (NOT in_old) AS BIGINT) AS n_novel
+FROM ph GROUP BY 1"""

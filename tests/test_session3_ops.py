@@ -549,3 +549,37 @@ def test_curate_corpus_stage_interactions(spark):
     # survivors come from train only
     train_ids = {r["doc_id"] for r in train.collect()}
     assert ids <= train_ids
+
+
+def test_vocab_growth_semantics(spark):
+    from flink_descriptive_stats_spark.operators import text as text_ops
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a c"), (2, "a b c"),      # bucket 0: a b c
+         (3, "d e"), (4, "a d"),                    # bucket 1 (docs 3-5): d e
+         (6, "f")],                                 # bucket 2: f
+        "doc_id bigint, text string")
+    got = {r["bucket"]: r for r in
+           text_ops.vocab_growth(df, bucket_docs=3).collect()}
+    assert got[0]["n_new_tokens"] == 3 and got[0]["cum_vocab"] == 3
+    assert got[1]["n_new_tokens"] == 2 and got[1]["cum_vocab"] == 5
+    assert got[2]["n_new_tokens"] == 1 and got[2]["cum_vocab"] == 6
+    assert got[2]["first_doc"] == 6
+
+
+def test_incremental_dedup_report_semantics(spark):
+    old = spark.createDataFrame(
+        [(1, "known doc", "x"), (2, "other known", "x")],
+        "doc_id bigint, text string, source string")
+    new = spark.createDataFrame(
+        [(10, "known doc", "a"),      # dup of old
+         (11, "fresh one", "a"), (12, "fresh one", "a"),  # novel + copy
+         (13, "fresh two", "b")],
+        "doc_id bigint, text string, source string")
+    got = {r["source"]: r for r in
+           dedup.incremental_dedup_report(old, new).collect()}
+    a = got["a"]
+    assert a["n_new"] == 3 and a["n_dup_of_old"] == 1
+    assert a["n_internal_dup"] == 1 and a["n_novel"] == 1
+    b = got["b"]
+    assert (b["n_new"], b["n_dup_of_old"], b["n_internal_dup"],
+            b["n_novel"]) == (1, 0, 0, 1)
