@@ -270,6 +270,19 @@ def main() -> None:
         "shuffles.",
         fmt(spark, sim.pq_topk(emb2, k=5))))
 
+    from flink_descriptive_stats_spark.operators.quality import (
+        curate_corpus)
+    sections.append((
+        "Curation pipeline: four stages fused into one logical plan",
+        "keep-best dedup -> decontaminate -> quality filter -> stratified\n"
+        "cap, written as operator composition: Catalyst plans the whole\n"
+        "chain as two window passes, one broadcast anti-join on the\n"
+        "holdout hashes, the quality semi-join, and the final cap window\n"
+        "- no intermediate materialization between stages.",
+        fmt(spark, curate_corpus(
+            docs2.where(F.col("doc_id") % 10 != 0),
+            docs2.where(F.col("doc_id") % 10 == 0)))))
+
     with open("EXPLAIN.md", "w") as f:
         f.write(
             '# Plan audit — `.explain("formatted")` of the flagship '
