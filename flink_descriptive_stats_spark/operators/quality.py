@@ -150,7 +150,8 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str],
 
 
 def quality_ensemble(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id", exact: bool = True,
+                     n_buckets: int = 100) -> DataFrame:
     """Rank-ensemble curation score per document: percentile ranks of
     three independent quality signals — the regex quality_score (higher
     better), the bigram LM cross-entropy (lower better), and the
@@ -162,12 +163,16 @@ def quality_ensemble(df: DataFrame, text_col: str = "text",
     job. Output: (doc_id, q_rank, lm_rank, dup_rank, ensemble),
     sig6-rendered; sort ascending and the head is the cut list.
 
-    Scale note: percent_rank is a global ordered window per signal —
-    the audit-scale shape (same trade documented for KS drift /
-    percentile_rank); at 100 TB swap the window for approx-quantile
-    bucket ranks. Signal subplans are the gated operators' own
-    (one scan each + bounded joins keyed by doc id); sig6-string
-    scores CAST back to double identically on both engines."""
+    exact=True (the oracle path) ranks with percent_rank — a global
+    ordered window per signal, the audit-scale shape. exact=False is
+    the 100 TB path: each signal is bucketed by ``n_buckets``
+    approx_percentile cutpoints (one 1-row aggregate, inlined as
+    literals) and the rank is the bucket index / n_buckets — NO global
+    sort anywhere, every step narrow after the bounded cutpoint
+    collect; a pytest pins rank agreement with the exact path. Signal
+    subplans are the gated operators' own (one scan each + bounded
+    joins keyed by doc id); sig6-string scores CAST back to double
+    identically on both engines."""
     from pyspark.sql import Window
 
     from flink_descriptive_stats_spark.functions.sig import sig6
@@ -184,14 +189,40 @@ def quality_ensemble(df: DataFrame, text_col: str = "text",
                                     id_col=id_col).select(
         id_col, F.col("dup_fraction").alias("__dup"))
     j = q.join(lm, id_col).join(dup, id_col)
-    rq = F.percent_rank().over(Window.orderBy(F.col("__q").asc(),
-                                              F.col(id_col).asc()))
-    rl = F.percent_rank().over(Window.orderBy(F.col("__lm").desc(),
-                                              F.col(id_col).asc()))
-    rd = F.percent_rank().over(Window.orderBy(F.col("__dup").desc(),
-                                              F.col(id_col).asc()))
-    t = j.select(id_col, rq.alias("__rq"), rl.alias("__rl"),
-                 rd.alias("__rd"))
+    if exact:
+        rq = F.percent_rank().over(Window.orderBy(F.col("__q").asc(),
+                                                  F.col(id_col).asc()))
+        rl = F.percent_rank().over(Window.orderBy(F.col("__lm").desc(),
+                                                  F.col(id_col).asc()))
+        rd = F.percent_rank().over(Window.orderBy(F.col("__dup").desc(),
+                                                  F.col(id_col).asc()))
+        t = j.select(id_col, rq.alias("__rq"), rl.alias("__rl"),
+                     rd.alias("__rd"))
+    else:
+        # bounded cutpoint collect (3 x n_buckets doubles), then narrow
+        # bucket-index ranks: rank = #cutpoints below the value / B,
+        # inverted for the lower-is-better signals
+        probs = F.array(*[F.lit((i + 1) / n_buckets)
+                          for i in range(n_buckets - 1)])
+        cuts = j.agg(
+            F.percentile_approx("__q", probs).alias("q"),
+            F.percentile_approx("__lm", probs).alias("lm"),
+            F.percentile_approx("__dup", probs).alias("dup")
+        ).collect()[0]
+
+        def bucket_rank(col, cutpoints, invert):
+            arr = F.array(*[F.lit(float(c)) for c in cutpoints])
+            idx = F.aggregate(
+                arr, F.lit(0),
+                lambda acc, c: acc + F.when(col > c, 1).otherwise(0))
+            r = idx.cast("double") / F.lit(float(n_buckets))
+            return (F.lit(1.0) - F.lit(1.0 / n_buckets) - r) if invert                 else r
+
+        t = j.select(
+            id_col,
+            bucket_rank(F.col("__q"), cuts["q"], False).alias("__rq"),
+            bucket_rank(F.col("__lm"), cuts["lm"], True).alias("__rl"),
+            bucket_rank(F.col("__dup"), cuts["dup"], True).alias("__rd"))
     return t.select(
         id_col, sig6(F.col("__rq")).alias("q_rank"),
         sig6(F.col("__rl")).alias("lm_rank"),

@@ -583,3 +583,29 @@ def test_incremental_dedup_report_semantics(spark):
     b = got["b"]
     assert (b["n_new"], b["n_dup_of_old"], b["n_internal_dup"],
             b["n_novel"]) == (1, 0, 0, 1)
+
+
+def test_quality_ensemble_approx_tracks_exact(spark):
+    from flink_descriptive_stats_spark.operators.quality import (
+        quality_ensemble)
+
+    def f(x):
+        return float(x.replace("e", "E"))
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ex = {r["doc_id"]: f(r["ensemble"])
+          for r in quality_ensemble(docs).collect()}
+    ap = {r["doc_id"]: f(r["ensemble"])
+          for r in quality_ensemble(docs, exact=False).collect()}
+    assert set(ex) == set(ap)
+    import math
+    n = len(ex)
+    # rank agreement: mean absolute ensemble difference within a few
+    # bucket widths, and the orderings strongly correlated (Spearman)
+    mad = sum(abs(ex[k] - ap[k]) for k in ex) / n
+    assert mad < 0.08, mad
+    exr = {k: i for i, k in enumerate(sorted(ex, key=lambda k: ex[k]))}
+    apr = {k: i for i, k in enumerate(sorted(ap, key=lambda k: ap[k]))}
+    d2 = sum((exr[k] - apr[k]) ** 2 for k in ex)
+    rho = 1 - 6 * d2 / (n * (n * n - 1))
+    assert rho > 0.9, rho
