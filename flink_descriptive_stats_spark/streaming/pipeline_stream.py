@@ -744,3 +744,149 @@ def start_profile_monitor(stream: DataFrame, columns: list[str],
     if checkpoint_path:
         writer = writer.option("checkpointLocation", checkpoint_path)
     return writer.start()
+
+
+def start_ingest_dedup_monitor(stream: DataFrame, old: DataFrame,
+                               sink_path: str,
+                               state_path: str,
+                               checkpoint_path: str | None = None,
+                               content_col: str = "text",
+                               source_col: str = "source"):
+    """Continuous ingest-dedup triage: the streaming twin of
+    dedup.incremental_dedup_report. Each micro-batch is scored per
+    source against everything seen before — the initial ``old`` corpus
+    PLUS every prior epoch's novel content — and the sink always holds
+    the cumulative (source, n_new, n_dup_of_old, n_internal_dup,
+    n_novel) table.
+
+    State is the seen-content HASH SET, kept as a parquet dataset under
+    ``state_path/hashes`` (one 32-char md5 per distinct content — the
+    bounded-per-item form of exact cross-batch dedup; there is no
+    smaller exact representation, and it lives distributed, never on
+    the driver). Per epoch: one distributed (source, hash) count, one
+    hash-keyed left join against the state dataset, a bounded per-source
+    fold into driver totals, and a distributed append of the epoch's
+    novel hashes. Epoch attribution: a copy of PRE-STREAM or
+    PRIOR-EPOCH content counts as dup_of_old; extra copies WITHIN the
+    batch count as internal_dup — summed over epochs the
+    (dup_of_old + internal_dup) and novel totals equal the one-shot
+    batch report over the concatenated ingest (tested). Restarts follow
+    the versioned-snapshot convention (totals + epoch watermark);
+    replayed epochs no-op, and the per-epoch hash append is keyed by
+    epoch so a replay overwrites its own directory instead of
+    double-counting."""
+    import json as _json
+    import os
+
+    totals: dict[str, list[int]] = {}
+    last_folded = -1
+    spark = stream.sparkSession
+
+    def _versions() -> list[int]:
+        base = os.path.join(state_path, "totals")
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            int(n[1:]) for n in os.listdir(base)
+            if n.startswith("v") and n[1:].isdigit()
+            and os.path.exists(os.path.join(base, n, "_SUCCESS")))
+
+    latest = _versions()
+    if latest:
+        snap = spark.read.parquet(
+            os.path.join(state_path, "totals", f"v{latest[-1]}"))
+        for r in snap.collect():
+            if r["source"] == "__meta__":
+                last_folded = _json.loads(r["meta"])["last_folded"]
+            else:
+                totals[r["source"]] = [int(r["n_new"]),
+                                       int(r["n_dup_of_old"]),
+                                       int(r["n_internal_dup"]),
+                                       int(r["n_novel"])]
+
+    hashes_dir = os.path.join(state_path, "hashes")
+    if not os.path.isdir(os.path.join(hashes_dir, "epoch=init")):
+        (old.where(F.col(content_col).isNotNull())
+         .select(F.md5(F.col(content_col)).alias("h")).distinct()
+         .write.mode("overwrite")
+         .parquet(os.path.join(hashes_dir, "epoch=init")))
+
+    def _write_report() -> None:
+        import pyarrow as pa
+        from flink_descriptive_stats_spark.streaming.pipeline_stream \
+            import _pa_write_dir
+        srcs = sorted(totals)
+        _pa_write_dir(sink_path, pa.table(
+            {"source": srcs,
+             "n_new": pa.array([totals[s][0] for s in srcs], pa.int64()),
+             "n_dup_of_old": pa.array([totals[s][1] for s in srcs],
+                                      pa.int64()),
+             "n_internal_dup": pa.array([totals[s][2] for s in srcs],
+                                        pa.int64()),
+             "n_novel": pa.array([totals[s][3] for s in srcs],
+                                 pa.int64())}))
+
+    def emit(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal last_folded
+        if epoch_id > last_folded:
+            seen = spark.read.parquet(
+                *(os.path.join(hashes_dir, d)
+                  for d in os.listdir(hashes_dir))).withColumn(
+                "__in_old", F.lit(1))
+            d = (batch_df.where(F.col(content_col).isNotNull())
+                 .select(F.col(source_col).alias("source"),
+                         F.md5(F.col(content_col)).alias("h")))
+            per_hash = (d.groupBy("source", "h")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .join(seen, "h", "left"))
+            is_old = F.col("__in_old").isNotNull()
+            rows = (per_hash.groupBy("source")
+                    .agg(F.sum("n").alias("a"),
+                         F.coalesce(F.sum(F.when(is_old, F.col("n"))),
+                                    F.lit(0)).alias("b"),
+                         F.coalesce(F.sum(F.when(~is_old,
+                                                 F.col("n") - 1)),
+                                    F.lit(0)).alias("c"),
+                         F.count_if(~is_old).alias("dd"))).collect()
+            novel = (per_hash.where(~is_old).select("h").distinct())
+            novel.write.mode("overwrite").parquet(
+                os.path.join(hashes_dir, f"epoch={epoch_id}"))
+            for r in rows:
+                t = totals.setdefault(r["source"], [0, 0, 0, 0])
+                t[0] += int(r["a"]); t[1] += int(r["b"])
+                t[2] += int(r["c"]); t[3] += int(r["dd"])
+            last_folded = epoch_id
+            import pyarrow as pa
+            from flink_descriptive_stats_spark.streaming.pipeline_stream \
+                import _pa_write_dir
+            srcs = sorted(totals) + ["__meta__"]
+            meta = _json.dumps({"last_folded": epoch_id})
+            _pa_write_dir(
+                os.path.join(state_path, "totals", f"v{epoch_id}"),
+                pa.table({
+                    "source": srcs,
+                    "n_new": pa.array(
+                        [totals.get(s, [0] * 4)[0] for s in srcs],
+                        pa.int64()),
+                    "n_dup_of_old": pa.array(
+                        [totals.get(s, [0] * 4)[1] for s in srcs],
+                        pa.int64()),
+                    "n_internal_dup": pa.array(
+                        [totals.get(s, [0] * 4)[2] for s in srcs],
+                        pa.int64()),
+                    "n_novel": pa.array(
+                        [totals.get(s, [0] * 4)[3] for s in srcs],
+                        pa.int64()),
+                    "meta": [meta if s == "__meta__" else ""
+                             for s in srcs]}))
+            import shutil
+            for v in _versions()[:-1]:
+                shutil.rmtree(
+                    os.path.join(state_path, "totals", f"v{v}"),
+                    ignore_errors=True)
+        _write_report()
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(emit)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

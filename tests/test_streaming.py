@@ -690,3 +690,81 @@ def test_streaming_canonical_dedup(spark, tmp_path_factory):
     texts = {r["text"].lower().strip(" .!,") .replace(",", "")
              for r in kept}
     assert len(texts) == 2
+
+
+def test_streaming_ingest_dedup_monitor_equals_batch(spark, tmp_path):
+    """After N micro-batches, (dup_of_old + internal_dup) and novel per
+    source equal the ONE-SHOT incremental_dedup_report over the
+    concatenated ingest — epoch attribution shifts counts between the
+    two dup columns but their sum and the novel count are invariants."""
+    import os
+    from flink_descriptive_stats_spark.operators.dedup import (
+        incremental_dedup_report)
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        start_ingest_dedup_monitor)
+    docs = load_table(spark, SF_DIR, "documents")
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    src = str(tmp_path / "ingest")
+    new.repartition(3).write.parquet(src)  # 3 files -> 3 micro-batches
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    sink = str(tmp_path / "sink")
+    state = str(tmp_path / "state")
+    q = start_ingest_dedup_monitor(
+        stream, old, sink_path=sink, state_path=state,
+        checkpoint_path=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["source"]: r for r in spark.read.parquet(sink).collect()}
+    want = {r["source"]: r for r in
+            incremental_dedup_report(old, new).collect()}
+    assert set(got) == set(want)
+    for s in want:
+        g, w = got[s], want[s]
+        assert g["n_new"] == w["n_new"], s
+        assert g["n_novel"] == w["n_novel"], s
+        assert (g["n_dup_of_old"] + g["n_internal_dup"]
+                == w["n_dup_of_old"] + w["n_internal_dup"]), s
+    # state holds one hash per distinct content seen (old + novel new)
+    n_hashes = spark.read.parquet(
+        *(os.path.join(state, "hashes", d)
+          for d in os.listdir(os.path.join(state, "hashes")))).count()
+    exact = (old.select("text").union(new.select("text"))
+             .where(F.col("text").isNotNull()).distinct().count())
+    assert n_hashes == exact
+
+
+def test_streaming_ingest_dedup_monitor_restart_no_double_count(
+        spark, tmp_path):
+    """Re-running the monitor over the SAME ingest with the same state
+    (fresh checkpoint — the worst case: every epoch replays) must leave
+    the totals unchanged: the epoch watermark no-ops replays and the
+    per-epoch hash append overwrites its own directory."""
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        start_ingest_dedup_monitor)
+    docs = load_table(spark, SF_DIR, "documents")
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    src = str(tmp_path / "ingest")
+    new.repartition(2).write.parquet(src)
+    sink = str(tmp_path / "sink")
+    state = str(tmp_path / "state")
+
+    def run(ckpt):
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_ingest_dedup_monitor(
+            stream, old, sink_path=sink, state_path=state,
+            checkpoint_path=str(tmp_path / ckpt))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(map(tuple, spark.read.parquet(sink).collect()))
+
+    first = run("ckpt1")
+    second = run("ckpt2")          # full replay against live state
+    assert first == second
