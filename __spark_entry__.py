@@ -369,6 +369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.where(F.col("doc_id") % 3 != 0),   # "old" corpus
             docs.where(F.col("doc_id") % 3 == 0))   # "new" ingest
     q["incremental_dedup_documents"] = _incremental_dedup
+    q["dedup_corpus_keep_best_documents"] = _tq(
+        dedup.dedup_corpus_keep_best, "documents")
+    q["key_candidates_orders"] = _tq(extras.key_candidates, "orders")
 
     def _k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         from flink_descriptive_stats_spark.operators.quality import \
@@ -1261,6 +1264,12 @@ def oracle_sql() -> dict[str, str]:
     o["vocab_growth_documents"] = op.vocab_growth_sql(bucket_docs=2)
     o["incremental_dedup_documents"] = op.incremental_dedup_report_sql(
         "doc_id % 3 <> 0", "doc_id % 3 = 0")
+    o["dedup_corpus_keep_best_documents"] = op.dedup_corpus_keep_best_sql()
+    import pyarrow.parquet as _pq
+    _ORDERS_COLS = [f.name for f in _pq.read_schema(
+        "/root/testdata/sf0.01/orders.parquet")]
+    o["key_candidates_orders"] = op.key_candidates_sql(
+        "orders", _ORDERS_COLS)
     o["k_anonymity_documents"] = op.k_anonymity_sql(
         "documents", ["lang", "source"], k=5)
     o["quality_ensemble_documents"] = op.quality_ensemble_sql()

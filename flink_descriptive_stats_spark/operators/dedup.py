@@ -1161,3 +1161,32 @@ def incremental_dedup_report(old: DataFrame, new: DataFrame,
                  F.coalesce(F.sum(F.when(~is_old, F.col("n") - 1)),
                             F.lit(0)).alias("n_internal_dup"),
                  F.count_if(~is_old).alias("n_novel")))
+
+
+def dedup_corpus_keep_best(df: DataFrame, content_col: str = "text",
+                           id_col: str = "doc_id", n: int = 3,
+                           threshold: float = 0.5) -> DataFrame:
+    """Quality-aware near-dup corpus dedup: keep the HIGHEST-QUALITY
+    member of each near-dup cluster (regex quality_score from
+    text_stats; ties by lowest id) instead of dedup_corpus's
+    lowest-id-wins — on web corpora the near-dup group often contains
+    one clean copy and N mangled scrapes, and id order has no opinion
+    about which is which. The cluster labels are the memoized
+    neardup_clusters pass (shared with dedup_corpus/cluster histograms
+    in-process); the quality join adds one scan-shaped text_stats
+    subplan keyed by doc id and a per-cluster rank window — cluster
+    sizes bound the window partitions."""
+    from pyspark.sql import Window
+
+    from flink_descriptive_stats_spark.operators.text import text_stats
+    labels = neardup_clusters(df, content_col, id_col, n, threshold)
+    score = text_stats(df, text_col=content_col, id_col=id_col).select(
+        F.col("id"),
+        F.col("quality_score").cast("double").alias("__score"))
+    lab = (labels.join(score, "id")
+           .withColumn("__rn", F.row_number().over(
+               Window.partitionBy("cluster_id")
+               .orderBy(F.col("__score").desc(), F.col("id").asc())))
+           .where(F.col("__rn") == 1)
+           .select(F.col("id").alias(id_col)))
+    return df.join(lab, id_col, "semi")

@@ -1147,3 +1147,35 @@ def distinct_rollup_hll(df: DataFrame, ts_col: str = "ts",
         F.hll_sketch_estimate(F.hll_union_agg("__sk"))
         .alias("distinct_est"))
     return per_day.unionByName(total)
+
+
+def key_candidates(df: DataFrame,
+                   columns: list[str] | None = None) -> DataFrame:
+    """Primary-key discovery: per column (column, n_rows, n_non_null,
+    n_distinct, uniqueness, is_key) where is_key means every row carries
+    a distinct NON-NULL value — the single-column key test (pair with
+    fd_candidates for the dependency view). uniqueness = n_distinct /
+    n_non_null, sig6-rendered.
+
+    ONE aggregation pass (count + count_distinct per column — the same
+    Expand shape as distinct_counts, with the same width caveat: on
+    tables wider than ~16 columns run it on a candidate subset; the
+    HLL approx path is distinct_counts(exact=False))."""
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    cols = columns or [f.name for f in df.schema.fields]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [F.count(F.col(c)).alias(f"{c}__nn"),
+                 F.count_distinct(F.col(c)).alias(f"{c}__d")]
+    row = df.agg(*aggs).collect()[0]
+    n = int(row["__n"])
+    out = []
+    for c in cols:
+        nn, d = int(row[f"{c}__nn"]), int(row[f"{c}__d"])
+        uniq = (d / nn) if nn else None
+        out.append((c, n, nn, d,
+                    sig6_py(uniq) if uniq is not None else None,
+                    nn == n and d == n))
+    return df.sparkSession.createDataFrame(
+        out, "column string, n_rows bigint, n_non_null bigint, "
+             "n_distinct bigint, uniqueness string, is_key boolean")

@@ -2687,3 +2687,32 @@ SELECT source, CAST(sum(n) AS BIGINT) AS n_new,
            AS n_internal_dup,
        CAST(count(*) FILTER (NOT in_old) AS BIGINT) AS n_novel
 FROM ph GROUP BY 1"""
+
+
+def dedup_corpus_keep_best_sql(table: str = "documents",
+                               threshold: float = 0.5) -> str:
+    """Mirror of dedup.dedup_corpus_keep_best: cluster CTEs + quality
+    argmax per cluster."""
+    return (f"WITH RECURSIVE {_cluster_ctes(table, threshold)}, "
+            f"sc AS ({text_stats_sql(table)}), "
+            f"best AS (SELECT lab.id FROM lab JOIN sc ON sc.id = lab.id "
+            f"QUALIFY row_number() OVER (PARTITION BY lab.cluster_id "
+            f"ORDER BY CAST(sc.quality_score AS DOUBLE) DESC, "
+            f"lab.id ASC) = 1) "
+            f"SELECT t.* FROM {table} t JOIN best ON t.doc_id = best.id")
+
+
+def key_candidates_sql(table: str, columns: list[str]) -> str:
+    """Mirror of extras.key_candidates."""
+    branches = []
+    for c in columns:
+        u = f"count(DISTINCT {c}) / CAST(count({c}) AS DOUBLE)"
+        branches.append(
+            f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) "
+            f"AS n_rows, CAST(count({c}) AS BIGINT) AS n_non_null, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"CASE WHEN count({c}) > 0 THEN {duck_sig6(u)} END "
+            f"AS uniqueness, "
+            f"count({c}) = count(*) AND count(DISTINCT {c}) = count(*) "
+            f"AS is_key FROM {table}")
+    return " UNION ALL ".join(branches)

@@ -609,3 +609,36 @@ def test_quality_ensemble_approx_tracks_exact(spark):
     d2 = sum((exr[k] - apr[k]) ** 2 for k in ex)
     rho = 1 - 6 * d2 / (n * (n * n - 1))
     assert rho > 0.9, rho
+
+
+def test_dedup_corpus_keep_best_prefers_clean_copy(spark):
+    # doc 1 and 2 near-dup (one punct-mangled), doc 3 unrelated; the
+    # mangled copy has LOWER id, so lowest-id-wins would keep the junk
+    clean = "alpha beta gamma delta epsilon zeta eta theta"
+    noisy = "alpha beta gamma delta epsilon zeta eta theta !!! ??? !!!"
+    df = spark.createDataFrame(
+        [(1, noisy), (2, clean), (3, "totally different content here")],
+        "doc_id bigint, text string")
+    best = sorted(r["doc_id"]
+                  for r in dedup.dedup_corpus_keep_best(df).collect())
+    first = sorted(r["doc_id"] for r in dedup.dedup_corpus(df).collect())
+    assert first == [1, 3]   # id order keeps the noisy copy
+    assert best == [2, 3]    # quality order keeps the clean one
+
+
+def test_key_candidates_semantics(spark):
+    from flink_descriptive_stats_spark.operators import extras
+
+    def f(x):
+        return float(x.replace("e", "E"))
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", None), (4, "a", 20)],
+        "pk bigint, half string, grp int")
+    got = {r["column"]: r for r in extras.key_candidates(df).collect()}
+    assert got["pk"]["is_key"] and f(got["pk"]["uniqueness"]) == 1.0
+    assert not got["half"]["is_key"]
+    assert f(got["half"]["uniqueness"]) == 0.75   # 3 distinct / 4
+    # NULL disqualifies even when non-null values are distinct
+    assert not got["grp"]["is_key"]
+    assert got["grp"]["n_non_null"] == 3 and got["grp"]["n_distinct"] == 2
