@@ -31,7 +31,7 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "list-queries", "compression", "label-separation",
                "join-advisor", "paragraph-dedup", "label-purity",
                "dup-rate", "temporal-split", "pack-bfd", "k-anonymity",
-               "quality-ensemble", "curate")
+               "quality-ensemble", "curate", "keys")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -64,7 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["exact", "keep-first", "minhash-pairs",
                              "simhash-pairs", "corpus", "jaccard-pairs",
                              "containment-pairs", "dup-fraction",
-                             "canonical", "keep-best", "jaccard-prefix"])
+                             "canonical", "keep-best", "jaccard-prefix",
+                             "corpus-keep-best"])
     dd.add_argument("--threshold", type=float, default=0.5)
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--id-col", default="doc_id")
@@ -201,6 +202,12 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--text-col", default="text")
     cu.add_argument("--id-col", default="doc_id")
     _add_common(cu)
+
+    ky = sub.add_parser("keys",
+                        help="single-column primary-key candidates")
+    ky.add_argument("input")
+    ky.add_argument("--columns", default=None)
+    _add_common(ky)
 
     en = sub.add_parser("entropy",
                         help="per-column value-distribution entropy")
@@ -578,6 +585,8 @@ def main(argv: list[str] | None = None) -> int:
             "keep-best": lambda: dedup.keep_best_canonical(df, **kw),
             "jaccard-prefix": lambda: dedup.ngram_jaccard_pairs_prefix(
                 df, threshold=args.threshold, **kw),
+            "corpus-keep-best": lambda: dedup.dedup_corpus_keep_best(
+                df, threshold=args.threshold, **kw),
         }[args.method]()
         _emit(out, args.output)
         return 0
@@ -663,6 +672,13 @@ def main(argv: list[str] | None = None) -> int:
                                       vec_col=args.vec_col,
                                       label_col=args.label_col),
               args.output)
+        return 0
+
+    if args.cmd == "keys":
+        from flink_descriptive_stats_spark.operators import extras
+        df = _load(spark, args.input, args.format)
+        cols = args.columns.split(",") if args.columns else None
+        _emit(extras.key_candidates(df, columns=cols), args.output)
         return 0
 
     if args.cmd == "curate":

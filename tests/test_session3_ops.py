@@ -642,3 +642,13 @@ def test_key_candidates_semantics(spark):
     # NULL disqualifies even when non-null values are distinct
     assert not got["grp"]["is_key"]
     assert got["grp"]["n_non_null"] == 3 and got["grp"]["n_distinct"] == 2
+
+
+def test_cli_keys_and_corpus_keep_best(capsys):
+    from flink_descriptive_stats_spark.__main__ import main
+    sf = "/root/testdata/sf0.001"
+    rc = main(["keys", f"{sf}/orders.parquet"])
+    assert rc == 0 and "is_key" in capsys.readouterr().out
+    rc = main(["dedup", f"{sf}/documents.parquet",
+               "--method", "corpus-keep-best"])
+    assert rc == 0 and "text" in capsys.readouterr().out
