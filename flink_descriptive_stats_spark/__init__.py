@@ -149,6 +149,40 @@ _API = {
     "late_arrival_audit": ("operators.events", "late_arrival_audit"),
     "join_cardinality_estimate": ("operators.joins",
                                   "join_cardinality_estimate"),
+    # round-5 session-3 operators
+    "canonical_dedup": ("operators.dedup", "canonical_dedup"),
+    "keep_best_canonical": ("operators.dedup", "keep_best_canonical"),
+    "ngram_jaccard_pairs_prefix": ("operators.dedup",
+                                   "ngram_jaccard_pairs_prefix"),
+    "minhash_calibration": ("operators.dedup", "minhash_calibration"),
+    "cross_source_dups": ("operators.dedup", "cross_source_dups"),
+    "paragraph_dedup": ("operators.dedup", "paragraph_dedup"),
+    "dup_rate_by_source": ("operators.dedup", "dup_rate_by_source"),
+    "incremental_dedup_report": ("operators.dedup",
+                                 "incremental_dedup_report"),
+    "dedup_corpus_keep_best": ("operators.dedup",
+                               "dedup_corpus_keep_best"),
+    "pq_codebooks": ("operators.similarity", "pq_codebooks"),
+    "pq_encode": ("operators.similarity", "pq_encode"),
+    "pq_topk": ("operators.similarity", "pq_topk"),
+    "ivf_pq_topk": ("operators.similarity", "ivf_pq_topk"),
+    "label_separation": ("operators.similarity", "label_separation"),
+    "label_purity": ("operators.similarity", "label_purity"),
+    "compression_ratio": ("operators.text", "compression_ratio"),
+    "token_fertility": ("operators.text", "token_fertility"),
+    "vocab_growth": ("operators.text", "vocab_growth"),
+    "windowed_quantiles": ("streaming.profile_stream",
+                           "windowed_quantiles"),
+    "start_ingest_dedup_monitor": ("streaming.pipeline_stream",
+                                   "start_ingest_dedup_monitor"),
+    "join_advisor": ("operators.joins", "join_advisor"),
+    "temporal_split": ("operators.sampling", "temporal_split"),
+    "pack_sequences_bfd": ("operators.sampling", "pack_sequences_bfd"),
+    "k_anonymity": ("operators.quality", "k_anonymity"),
+    "quality_ensemble": ("operators.quality", "quality_ensemble"),
+    "curate_corpus": ("operators.quality", "curate_corpus"),
+    "distinct_rollup_hll": ("operators.extras", "distinct_rollup_hll"),
+    "key_candidates": ("operators.extras", "key_candidates"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]
