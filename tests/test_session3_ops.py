@@ -652,3 +652,58 @@ def test_cli_keys_and_corpus_keep_best(capsys):
     rc = main(["dedup", f"{sf}/documents.parquet",
                "--method", "corpus-keep-best"])
     assert rc == 0 and "text" in capsys.readouterr().out
+
+
+def test_prefix_filter_lossless_property_randomized(spark):
+    """Randomized losslessness: over seeded random corpora mixing shared
+    boilerplate fragments and unique tokens, the prefix-filtered pairs
+    equal the plain path's EXACTLY at several thresholds — the pigeonhole
+    bound exercised across cluster sizes, doc lengths, and df skews."""
+    import random
+    rng = random.Random(0xC0FFEE)
+    frags = [" ".join(f"frag{f}w{j}" for j in range(rng.randint(3, 8)))
+             for f in range(6)]
+    for trial in range(3):
+        rows = []
+        for i in range(35):
+            parts = [frags[rng.randrange(len(frags))]
+                     for _ in range(rng.randint(0, 3))]
+            parts += [f"u{trial}x{i}y{j}"
+                      for j in range(rng.randint(1, 12))]
+            rng.shuffle(parts)
+            rows.append((i, " ".join(parts)))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        for t in (0.15, 0.4, 0.7):
+            plain = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+                df, threshold=t).collect()))
+            pref = sorted(map(tuple, dedup.ngram_jaccard_pairs_prefix(
+                df, threshold=t).collect()))
+            assert pref == plain, (trial, t)
+
+
+def test_canonical_form_invariant_under_formatting_noise(spark):
+    """Property: canonical_dedup groups a document with any
+    formatting-noise variant of itself (case flips, punctuation
+    insertion, whitespace runs) — the exact invariance the operator
+    promises, over seeded random perturbations."""
+    import random
+    rng = random.Random(42)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+
+    def perturb(t):
+        out = []
+        for ch in t:
+            if ch == " ":
+                out.append(" " * rng.randint(1, 3)
+                           + (rng.choice(",.;:!?-") + " "
+                              if rng.random() < 0.4 else ""))
+            else:
+                out.append(ch.upper() if rng.random() < 0.5 else ch)
+        return ("  " if rng.random() < 0.5 else "") + "".join(out) \
+            + (" .. " if rng.random() < 0.5 else "")
+
+    rows = [(0, base)] + [(i, perturb(base)) for i in range(1, 12)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    groups = dedup.canonical_dedup(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 12
