@@ -139,10 +139,13 @@ GATED_50 = (
     "paragraph_dedup_documents", "neardup_clusters_documents",
     "simhash_near_pairs_documents", "ngram_jaccard_pairs_documents",
     "embedding_neardup_lsh",
-    # seventh rotation: canonical (normalize-then-hash) dedup in;
-    # semdedup demoted (embedding-space dedup family keeps
-    # embedding_neardup_lsh gated; semdedup verified at 51+)
-    "dedup_canonical_documents",
+    # seventh rotation seated canonical dedup here; the tenth swaps in
+    # the CURATION COMPOSITION — one row transitively gating keep-best
+    # canonical dedup (same _canonical_expr as dedup_canonical, which
+    # moves to 51+), exact decontamination, the quality filter, and the
+    # stratified cap, plus their interactions (semdedup demoted at the
+    # seventh: embedding-dedup family keeps embedding_neardup_lsh)
+    "curate_corpus_documents",
     # similarity search
     # seventh rotation: label_separation (class-separability
     # diagnostics — a new family) in; ann_ivf_topk demoted (ANN family

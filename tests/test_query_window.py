@@ -48,7 +48,7 @@ def test_gated_window_holds_all_operator_families():
                  "null_patterns_events", "incremental_profile_lineitem",
                  "embedding_diversity",
                  # seventh rotation (session 3)
-                 "dedup_canonical_documents",
+                 "curate_corpus_documents",
                  "label_separation_embeddings",
                  # eighth rotation
                  "paragraph_dedup_documents",
