@@ -111,7 +111,7 @@ MIX_RATES = (("src0", 1.0), ("src1", 0.5), ("src2", 0.1), ("src3", 0.0))
 # The driver's correctness gate checks exactly the FIRST 50 entries of
 # queries() (insertion order). This tuple IS the window: one representative
 # per DISTINCT operator family, rotated whenever new families land so each
-# gets a hard driver-enforced signal (six rotations through round 5 —
+# gets a hard driver-enforced signal (ten rotations through round 5 —
 # every demotion is annotated inline with the sibling that keeps its
 # family gated; every demoted query stays oracle-verified at 51+ via
 # tools/verify_local.py).
