@@ -73,3 +73,30 @@ def stream_table(spark: SparkSession, src_dir: str, table: str,
     for k, v in reader_options.items():
         reader = reader.option(k, v)
     return normalize_table(reader.parquet(src_dir), table)
+
+
+def load_binary_dir(spark: SparkSession, path: str,
+                    glob: str | None = None) -> DataFrame:
+    """Binary-file ingestion for the multimodal operators: read a
+    directory of payload files (images, audio, arbitrary blobs) through
+    Spark's built-in ``binaryFile`` source into the (id, payload,
+    n_bytes, path) shape the decode/feature operators consume — id is a
+    deterministic 63-bit hash of the file path (stable across runs and
+    listings; the path column keeps the human mapping).
+
+    This is how multimodal corpora actually arrive (one file per asset,
+    not parquet); the source is scan-parallel across files, supports
+    ``pathGlobFilter`` pushdown (``glob``), and prunes the ``content``
+    column when a query only touches metadata — the same columnar
+    discipline as the parquet path."""
+    from pyspark.sql import functions as F
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    pid = F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10) \
+        .cast("bigint")
+    return df.select(pid.alias("id"),
+                     F.col("content").alias("payload"),
+                     F.col("length").alias("n_bytes"),
+                     F.col("path").alias("path"))

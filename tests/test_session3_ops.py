@@ -707,3 +707,44 @@ def test_canonical_form_invariant_under_formatting_noise(spark):
     groups = dedup.canonical_dedup(df).collect()
     assert len(groups) == 1
     assert groups[0]["dup_count"] == 12
+
+
+def test_binary_file_source_feeds_multimodal_ops(spark, tmp_path):
+    """End-to-end file ingestion: PPM files on disk -> binaryFile source
+    -> image_features decode, byte-exact vs decoding the same payloads
+    directly; metadata-only queries must not read file contents
+    (ReadSchema pruning)."""
+    import numpy as np
+    from flink_descriptive_stats_spark.operators.multimodal import (
+        decode_image, image_features)
+    from flink_descriptive_stats_spark.sources.tables import (
+        load_binary_dir)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    payloads = {}
+    for i in range(4):
+        px = bytes(((i * 37 + j) % 256) for j in range(2 * 2 * 3))
+        p = b"P6\n2 2\n255\n" + px
+        (d / f"img_{i}.ppm").write_bytes(p)
+        payloads[f"img_{i}.ppm"] = p
+    (d / "notes.txt").write_text("not an image")
+
+    df = load_binary_dir(spark, str(d), glob="*.ppm")
+    rows = df.collect()
+    assert len(rows) == 4  # glob filter excluded the txt
+    assert all(r["n_bytes"] == len(payloads[r["path"].rsplit("/", 1)[-1]])
+               for r in rows)
+    feats = {r["id"]: r for r in image_features(df).collect()}
+    for r in rows:
+        img = decode_image(payloads[r["path"].rsplit("/", 1)[-1]])
+        f = feats[r["id"]]
+        assert f["decoded"] and (f["width"], f["height"]) == (2, 2)
+        m = np.asarray(img, dtype=np.float64).reshape(-1, 3).mean(axis=0)
+        assert abs(f["mean_r"] - m[0]) < 1e-9
+    # column pruning: a metadata-only projection must not read content
+    plan = df.select("path", "n_bytes")._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("formatted"))
+    import re
+    mm = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert mm and "content" not in mm.group(1), plan
