@@ -748,3 +748,28 @@ def test_binary_file_source_feeds_multimodal_ops(spark, tmp_path):
     import re
     mm = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert mm and "content" not in mm.group(1), plan
+
+
+def test_text_dir_source_feeds_text_ops(spark, tmp_path):
+    from flink_descriptive_stats_spark.operators import text as text_ops
+    from flink_descriptive_stats_spark.sources.tables import load_text_dir
+    d = tmp_path / "corpus"
+    d.mkdir()
+    texts = {f"doc_{i}.txt": f"hello world document number {i}\nsecond line"
+             for i in range(3)}
+    for name, t in texts.items():
+        (d / name).write_text(t)
+    (d / "skip.dat").write_text("binary-ish")
+    df = load_text_dir(spark, str(d), glob="*.txt")
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {r["source"] for r in rows} == {"corpus"}
+    got_texts = {r["path"].rsplit("/", 1)[-1]: r["text"] for r in rows}
+    assert got_texts == texts           # wholetext: newline preserved
+    assert all(r["n_chars"] == len(texts[r["path"].rsplit("/", 1)[-1]])
+               for r in rows)
+    # the standard operators run unmodified over the ingested shape
+    stats = text_ops.text_stats(df).collect()
+    assert len(stats) == 3 and all(r["n_tokens"] > 0 for r in stats)
+    groups = len(dedup.canonical_dedup(df).collect())
+    assert groups == 3                   # all distinct documents
