@@ -36,7 +36,9 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
 
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--format", default=None,
-                   help="input format (default: inferred from extension)")
+                   help="input format (default: inferred from extension; "
+                        "'textdir' = one-file-per-document text corpus, "
+                        "'binarydir' = directory of binary assets)")
     p.add_argument("--master", default=None,
                    help="Spark master (default: local[$SPARK_GRAFT_CPUS])")
     p.add_argument("--output", default=None,
@@ -494,6 +496,16 @@ def infer_format(path: str) -> str:
 
 def _load(spark, path: str, fmt: str | None):
     fmt = fmt or infer_format(path)
+    if fmt == "textdir":
+        # directory of one-file-per-document text: documents shape
+        from flink_descriptive_stats_spark.sources.tables import \
+            load_text_dir
+        return load_text_dir(spark, path)
+    if fmt == "binarydir":
+        # directory of binary assets: multimodal payload shape
+        from flink_descriptive_stats_spark.sources.tables import \
+            load_binary_dir
+        return load_binary_dir(spark, path)
     reader = spark.read
     if fmt == "csv":
         reader = reader.option("header", "true").option("inferSchema", "true")

@@ -773,3 +773,16 @@ def test_text_dir_source_feeds_text_ops(spark, tmp_path):
     assert len(stats) == 3 and all(r["n_tokens"] > 0 for r in stats)
     groups = len(dedup.canonical_dedup(df).collect())
     assert groups == 3                   # all distinct documents
+
+
+def test_cli_textdir_format(capsys, tmp_path):
+    from flink_descriptive_stats_spark.__main__ import main
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for i in range(3):
+        (d / f"doc{i}.txt").write_text(f"cli corpus document {i}")
+    rc = main(["text-stats", str(d), "--format", "textdir"])
+    assert rc == 0 and "n_tokens" in capsys.readouterr().out
+    rc = main(["dedup", str(d), "--format", "textdir",
+               "--method", "canonical"])
+    assert rc == 0 and "canon_md5" in capsys.readouterr().out
