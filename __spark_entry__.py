@@ -863,6 +863,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             key_a="l_orderkey", key_b="o_orderkey")
     q["join_advisor_lineitem_orders"] = _join_advisor
 
+    def _fuzzy_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import joins
+        nat = _load(spark, sf_dir, "nation")
+        # deterministic distance-1 typos: every 3rd nation loses its
+        # first character (the injected-perturbation gate pattern)
+        typo = nat.select(
+            F.when(F.col("n_nationkey") % 3 == 0,
+                   F.expr("substring(n_name, 2)"))
+            .otherwise(F.col("n_name")).alias("n_name"))
+        return joins.fuzzy_key_join(nat, typo, "n_name", max_dist=1)
+    q["fuzzy_key_join_nation"] = _fuzzy_key_join
+
     # out-of-order arrival audit (sizes the streaming watermark: the
     # events fixture's ids are not time-ordered, so lateness is real)
     q["late_arrival_events"] = _tq(ev_ops.late_arrival_audit, "events")
@@ -1435,6 +1447,10 @@ def oracle_sql() -> dict[str, str]:
         "lineitem", "l_orderkey", "orders", "o_orderkey")
     o["join_advisor_lineitem_orders"] = op.join_advisor_sql(
         "lineitem", "l_orderkey", "orders", "o_orderkey")
+    o["fuzzy_key_join_nation"] = op.fuzzy_key_join_sql(
+        "SELECT n_name FROM nation",
+        "SELECT CASE WHEN n_nationkey % 3 = 0 THEN substring(n_name, 2) "
+        "ELSE n_name END FROM nation")
     o["late_arrival_events"] = op.late_arrival_sql()
     o["interarrival_events"] = op.interarrival_sql()
     o["corpus_overlap_documents"] = op.corpus_overlap_sql()

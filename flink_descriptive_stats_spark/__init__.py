@@ -183,6 +183,9 @@ _API = {
     "curate_corpus": ("operators.quality", "curate_corpus"),
     "distinct_rollup_hll": ("operators.extras", "distinct_rollup_hll"),
     "key_candidates": ("operators.extras", "key_candidates"),
+    "fuzzy_key_join": ("operators.joins", "fuzzy_key_join"),
+    "load_binary_dir": ("sources.tables", "load_binary_dir"),
+    "load_text_dir": ("sources.tables", "load_text_dir"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

@@ -31,7 +31,7 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "list-queries", "compression", "label-separation",
                "join-advisor", "paragraph-dedup", "label-purity",
                "dup-rate", "temporal-split", "pack-bfd", "k-anonymity",
-               "quality-ensemble", "curate", "keys")
+               "quality-ensemble", "curate", "keys", "fuzzy-join")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -210,6 +210,15 @@ def build_parser() -> argparse.ArgumentParser:
     ky.add_argument("input")
     ky.add_argument("--columns", default=None)
     _add_common(ky)
+
+    fj = sub.add_parser("fuzzy-join",
+                        help="record linkage on approximately-equal keys")
+    fj.add_argument("left")
+    fj.add_argument("right")
+    fj.add_argument("--key", required=True,
+                    help="key column (KEY or KEY_LEFT,KEY_RIGHT)")
+    fj.add_argument("--max-dist", type=int, default=1)
+    _add_common(fj)
 
     en = sub.add_parser("entropy",
                         help="per-column value-distribution entropy")
@@ -684,6 +693,16 @@ def main(argv: list[str] | None = None) -> int:
                                       vec_col=args.vec_col,
                                       label_col=args.label_col),
               args.output)
+        return 0
+
+    if args.cmd == "fuzzy-join":
+        from flink_descriptive_stats_spark.operators import joins
+        left = _load(spark, args.left, args.format)
+        right = _load(spark, args.right, args.format)
+        keys = args.key.split(",")
+        ka, kb = (keys[0], keys[1]) if len(keys) == 2 else (keys[0], None)
+        _emit(joins.fuzzy_key_join(left, right, ka, kb,
+                                   max_dist=args.max_dist), args.output)
         return 0
 
     if args.cmd == "keys":

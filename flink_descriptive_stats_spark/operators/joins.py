@@ -191,3 +191,58 @@ def join_advisor(df_a, df_b, key_a: str, key_b: str | None = None):
         "n_left bigint, n_right bigint, n_keys_left bigint, "
         "n_keys_right bigint, n_keys_common bigint, est_rows bigint, "
         "max_key_fanout bigint, strategy string, skew_key_share string")
+
+
+def fuzzy_key_join(df_a, df_b, key_a: str, key_b: str | None = None,
+                   max_dist: int = 1, max_key_len: int = 48):
+    """Record linkage: join two tables on APPROXIMATELY-equal string keys
+    (Levenshtein distance <= ``max_dist``, case-normalized) — the
+    entity-resolution primitive for joining scraped/hand-entered keys
+    that exact equi-joins miss (misspelled vendor names, OCR'd ids).
+    Output: (key_left, key_right, dist) distinct key-level matches;
+    semi-join either table against it to materialize the linked rows.
+
+    Never an all-pairs compare: SymSpell symmetric-delete blocking (the
+    same public algorithm as text.typo_pairs) — if lev(a, b) <= d the
+    two keys share a variant obtained by deleting <= d characters, so
+    the candidate generation is an EQUI-join on exploded
+    delete-neighborhood keys (distinct keys x O(len^d) variants), and
+    one exact JVM ``levenshtein()`` recheck per candidate keeps true
+    matches. Both sides collapse to DISTINCT keys first (map-side
+    combined), so cost tracks key cardinality, not row counts. Keys
+    longer than ``max_key_len`` fall back to exact-match-only (their
+    neighborhood would be quadratic in length; exact join still finds
+    dist=0)."""
+    from pyspark.sql import functions as F
+    if max_dist not in (0, 1, 2):
+        raise ValueError("max_dist must be 0, 1 or 2")
+    kb = key_b or key_a
+
+    def keyed(df, key, side):
+        ks = (df.where(F.col(key).isNotNull())
+              .select(F.lower(F.col(key).cast("string")).alias("k"))
+              .distinct())
+        d1 = ("transform(sequence(1, length(k)), i -> "
+              "concat(substring(k, 1, i-1), "
+              f"substring(k, i+1, {max_key_len})))")
+        if max_dist == 0:
+            keys = "array(k)"
+        elif max_dist == 1:
+            keys = f"array_distinct(concat(array(k), {d1}))"
+        else:
+            d2 = (f"flatten(transform({d1}, s -> "
+                  "transform(sequence(1, length(s)), j -> "
+                  "concat(substring(s, 1, j-1), "
+                  f"substring(s, j+1, {max_key_len})))))")
+            keys = f"array_distinct(concat(array(k), {d1}, {d2}))"
+        var = F.when(F.length("k") <= max_key_len,
+                     F.expr(keys)).otherwise(F.array(F.col("k")))
+        return ks.select(F.col("k").alias(f"key_{side}"),
+                         F.explode(var).alias("__v"))
+
+    cand = (keyed(df_a, key_a, "left")
+            .join(keyed(df_b, kb, "right"), "__v")
+            .select("key_left", "key_right").distinct())
+    dist = F.levenshtein("key_left", "key_right")
+    return (cand.withColumn("dist", dist)
+            .where(F.col("dist") <= max_dist))

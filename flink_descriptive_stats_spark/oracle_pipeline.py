@@ -2716,3 +2716,19 @@ def key_candidates_sql(table: str, columns: list[str]) -> str:
             f"count({c}) = count(*) AND count(DISTINCT {c}) = count(*) "
             f"AS is_key FROM {table}")
     return " UNION ALL ".join(branches)
+
+
+def fuzzy_key_join_sql(left_expr: str, right_expr: str,
+                       max_dist: int = 1) -> str:
+    """Mirror of joins.fuzzy_key_join: the ORACLE runs the exhaustive
+    O(n*m) levenshtein cross join the SymSpell blocking must reproduce
+    exactly (same spec-vs-blocking relationship as typo_pairs)."""
+    return f"""
+WITH la AS (SELECT DISTINCT lower(CAST(k AS VARCHAR)) AS k
+            FROM ({left_expr}) t(k) WHERE k IS NOT NULL),
+rb AS (SELECT DISTINCT lower(CAST(k AS VARCHAR)) AS k
+       FROM ({right_expr}) t(k) WHERE k IS NOT NULL)
+SELECT la.k AS key_left, rb.k AS key_right,
+       levenshtein(la.k, rb.k) AS dist
+FROM la CROSS JOIN rb
+WHERE levenshtein(la.k, rb.k) <= {max_dist}"""

@@ -786,3 +786,37 @@ def test_cli_textdir_format(capsys, tmp_path):
     rc = main(["dedup", str(d), "--format", "textdir",
                "--method", "canonical"])
     assert rc == 0 and "canon_md5" in capsys.readouterr().out
+
+
+def test_fuzzy_key_join_semantics(spark):
+    from flink_descriptive_stats_spark.operators import joins
+    a = spark.createDataFrame(
+        [("ACME Corp",), ("Globex",), ("Initech",)], "name string")
+    b = spark.createDataFrame(
+        [("acme corp",), ("globex!",), ("initch",), ("unrelated",)],
+        "name string")
+    got = {(r["key_left"], r["key_right"]): r["dist"]
+           for r in joins.fuzzy_key_join(a, b, "name").collect()}
+    assert got[("acme corp", "acme corp")] == 0   # case-normalized exact
+    assert got[("globex", "globex!")] == 1
+    assert got[("initech", "initch")] == 1        # deletion typo
+    assert all(kr != "unrelated" for _, kr in got)
+    assert len(got) == 3
+    # blocking completeness vs the exhaustive spec at max_dist=2
+    got2 = {(r["key_left"], r["key_right"]) for r in
+            joins.fuzzy_key_join(a, b, "name", max_dist=2).collect()}
+    import itertools
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (cx != cy)))
+            prev = cur
+        return prev[-1]
+    want2 = {(x.lower(), y.lower())
+             for x in ("ACME Corp", "Globex", "Initech")
+             for y in ("acme corp", "globex!", "initch", "unrelated")
+             if lev(x.lower(), y.lower()) <= 2}
+    assert got2 == want2
