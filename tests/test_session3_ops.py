@@ -820,3 +820,11 @@ def test_fuzzy_key_join_semantics(spark):
              for y in ("acme corp", "globex!", "initch", "unrelated")
              if lev(x.lower(), y.lower()) <= 2}
     assert got2 == want2
+
+
+def test_cli_fuzzy_join(capsys):
+    from flink_descriptive_stats_spark.__main__ import main
+    sf = "/root/testdata/sf0.001"
+    rc = main(["fuzzy-join", f"{sf}/nation.parquet",
+               f"{sf}/nation.parquet", "--key", "n_name"])
+    assert rc == 0 and "key_left" in capsys.readouterr().out
