@@ -110,105 +110,74 @@ MIX_RATES = (("src0", 1.0), ("src1", 0.5), ("src2", 0.1), ("src3", 0.0))
 
 # The driver's correctness gate checks exactly the FIRST 50 entries of
 # queries() (insertion order). This tuple IS the window: one representative
-# per DISTINCT operator family, rotated whenever new families land so each
-# gets a hard driver-enforced signal (ten rotations through round 5 —
-# every demotion is annotated inline with the sibling that keeps its
-# family gated; every demoted query stays oracle-verified at 51+ via
-# tools/verify_local.py).
+# per DISTINCT operator family. The full rotation/demotion LEDGER (which
+# query was swapped out at each of the ten rotations, and which gated
+# sibling keeps its family covered) lives in SURVEY.md §5.7 — every
+# demoted query stays oracle-verified at position 51+ via
+# tools/verify_local.py.
 GATED_50 = (
-    # core profiler + per-column stats (lineitem = numerics/decimals/dates,
-    # events = timestamps/strings; string rendering also via topk/documents
-    # operators below)
+    # -- core profiler + per-column stats (lineitem = numerics/decimals/
+    #    dates; events = timestamps/strings)
     "profile_lineitem",
     "topk_lineitem",
     "completeness_lineitem",
     "corr_lineitem",
     "histogram_lineitem_l_extendedprice",
     "jb_report_lineitem",
-    # streaming operators (batch-mode plans)
-    "windowed_profile_events", "sessionize_events",
-    # joins + source parity + partitioned-sink round-trip
-    "asof_join_events", "range_join_events", "profile_nation_csv",
+    "incremental_profile_lineitem",      # StatsPojo-monoid merge API
+    # -- streaming operators (batch-mode plans)
+    "windowed_profile_events",
+    "sessionize_events",
+    # -- joins, source parity, partitioned-sink round-trip
+    "asof_join_events",
+    "range_join_events",
+    "profile_nation_csv",
     "daily_profile_partitioned_events",
-    # dedup / decontamination family
-    "dedup_exact_documents", "decontaminate_fuzzy_documents",
-    # eighth rotation: paragraph (sub-document) dedup in — the passage
-    # granularity neither whole-doc nor pair operators gate; minhash_pairs
-    # demoted (neardup_clusters consumes the SAME banded-pair subplan, so
-    # a pairs bug still fails the gated clusters row; pairs verified 51+)
-    "paragraph_dedup_documents", "neardup_clusters_documents",
-    "simhash_near_pairs_documents", "ngram_jaccard_pairs_documents",
+    # -- dedup / decontamination
+    "dedup_exact_documents",
+    "decontaminate_fuzzy_documents",
+    "paragraph_dedup_documents",         # sub-document granularity
+    "neardup_clusters_documents",        # consumes the banded-pair subplan
+    "simhash_near_pairs_documents",
+    "ngram_jaccard_pairs_documents",
     "embedding_neardup_lsh",
-    # seventh rotation seated canonical dedup here; the tenth swaps in
-    # the CURATION COMPOSITION — one row transitively gating keep-best
-    # canonical dedup (same _canonical_expr as dedup_canonical, which
-    # moves to 51+), exact decontamination, the quality filter, and the
-    # stratified cap, plus their interactions (semdedup demoted at the
-    # seventh: embedding-dedup family keeps embedding_neardup_lsh)
-    "curate_corpus_documents",
-    # similarity search
-    # seventh rotation: label_separation (class-separability
-    # diagnostics — a new family) in; ann_ivf_topk demoted (ANN family
-    # keeps ann_lsh_topk gated; ivf + ivf_kmeans verified at 51+)
-    "ann_lsh_topk", "label_separation_embeddings",
-    # text analysis
+    "curate_corpus_documents",           # end-to-end curation composition
+    # -- similarity search / embedding diagnostics
+    "ann_lsh_topk",
+    "label_separation_embeddings",
+    "embedding_diversity",
+    # -- text analysis
     "text_stats_documents",
     "typo_pairs_documents",
-    # sketches / sampling
-    "countmin_topk_documents", "hash_split_documents",
-    # multimodal plumbing
-    "multimodal_frames_documents",
-    # cleaning / drift / prep
-    "pii_scan_documents", "repetition_stats_documents",
-    # round-4 families (promoted at the r5 rotation, judge-named)
-    "rolling_stats_events", "grouped_zscore_events",
-    "grouped_quantiles_events", "json_profile_events",
-    "distinct_rows_documents",
-    # round-5 families (second intra-round rotation — newest families get
-    # the hard driver signal; every demoted slot's family keeps a gated
-    # sibling, see the demotion notes below)
-    "column_entropy_events", "refint_lineitem_orders",
     "tfidf_top_terms_documents",
-    "ks_drift_events_value", "fd_candidates_orders",
-    # round-5 session-2 families (third rotation). Demoted to make room,
-    # each family keeping a gated sibling: windowed_distinct_events
-    # (streaming family: windowed_profile + sessionize), psi_drift
-    # (drift family: ks_drift), ngram_containment + duplicated_ngram_
-    # fraction (shingle-pair family: ngram_jaccard; dup-measure family:
-    # repetition_stats), contamination_report (decontaminate_fuzzy),
-    # embedding_neardup_pairs (exact path; LSH sibling gated),
-    # ann_cosine_topk (brute-force baseline; LSH + IVF gated).
-    "check_constraints_lineitem",
-    "transition_matrix_events",
-    # fourth rotation: trend (regression family), lm_score (LM-quality),
-    # lang_confusion (label-audit) promoted; demoted with family cover:
-    # funnel_events (event-sequence: transition_matrix + retention at
-    # 51+), resample_events (time-series: rolling_stats + trend),
-    # grouped_topk_tokens (ranking: topk_lineitem + countmin).
-    # ninth rotation: the rank-fusion ensemble in — one gated row that
-    # transitively exercises text_stats + lm_score + duplicated-ngram
-    # fraction (a bug in any component fails it); lm_score demoted with
-    # that transitive cover (still verified at 51+)
-    "trend_events", "quality_ensemble_documents",
     "lang_confusion_documents",
-    # doc_clusters is its own family (text -> vector -> clustering);
-    # quality_filter demoted — it is a thresholded composition of the
-    # gated text_stats features
-    "doc_clusters_documents",
-    # fifth (final) rotation: three new STATISTICAL families in —
-    # spearman (rank association; categorical_association demoted, the
-    # association family keeps this slot), woe_iv (feature-vs-label
-    # diagnostics; rollup_profile demoted, profile family has three
-    # gated reps), null_patterns (missingness structure; acf demoted,
-    # time-series family keeps rolling_stats + trend)
-    "spearman_lineitem", "woe_iv_events", "null_patterns_events",
-    # incremental (state-merge) profile — the StatsPojo-monoid API proven
-    # against one-shot moments; profile_events demoted (the identical
-    # aggregate bundle over events stays gated via windowed_profile)
-    "incremental_profile_lineitem",
-    # sixth (micro) rotation: the O(n) pairwise-structure probe replaces
-    # the per-dimension stats as the embedding-profiling representative
-    "embedding_diversity",
+    "quality_ensemble_documents",        # rank-fusion ensemble
+    "doc_clusters_documents",            # text -> vector -> clustering
+    "column_entropy_events",
+    # -- sketches / sampling / prep
+    "countmin_topk_documents",
+    "hash_split_documents",
+    # -- multimodal plumbing
+    "multimodal_frames_documents",
+    # -- cleaning / constraints / drift
+    "pii_scan_documents",
+    "repetition_stats_documents",
+    "check_constraints_lineitem",
+    "ks_drift_events_value",
+    "null_patterns_events",
+    # -- grouped / windowed / event analytics
+    "rolling_stats_events",
+    "grouped_zscore_events",
+    "grouped_quantiles_events",
+    "json_profile_events",
+    "distinct_rows_documents",
+    "transition_matrix_events",
+    "trend_events",
+    # -- relational diagnostics / associations
+    "refint_lineitem_orders",
+    "fd_candidates_orders",
+    "spearman_lineitem",
+    "woe_iv_events",
 )
 
 
@@ -1087,6 +1056,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # IVF-PQ composition (FAISS IVFx,PQy): driver-side float k-means for
     # both stages — rows-only, recall bar + determinism pytest-pinned
     q["ann_ivf_pq_topk"] = _tq(similarity.ivf_pq_topk, "embeddings")
+    # PQ codebook calibration (est-vs-exact ADC cosine error on a bounded
+    # probe sample — the pre-encode quality check): numpy codebook state,
+    # rows-only; error bounds + determinism pytest-pinned
+    q["pq_calibration_embeddings"] = _tq(similarity.pq_calibration,
+                                         "embeddings")
+    # 100 TB scale-path siblings of gated exact operators: cutpoints come
+    # from Spark-side GK sketches (percentile_approx), so no SQL engine
+    # reproduces them — rows-only; agreement-vs-exact pytest-pinned
+    q["spearman_approx_lineitem"] = _tq(
+        extras.spearman_matrix, "lineitem",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        exact=False)
+
+    def _ks_drift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+        a, b = _snapshots(spark, sf_dir)
+        return extras.ks_drift_approx(a, b, "value")
+    q["ks_drift_approx_events_value"] = _ks_drift_approx
     # zlib quality screen: no DEFLATE in DuckDB SQL; byte-exact vs the
     # Python zlib mirror in pytest instead
     q["compression_ratio_documents"] = _tq(text_ops.compression_ratio,

@@ -108,7 +108,8 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("input")
     an.add_argument("--method", default="brute",
                     choices=["brute", "lsh", "lsh-multiprobe", "ivf",
-                             "ivf-kmeans", "pq", "ivf-pq"])
+                             "ivf-kmeans", "pq", "ivf-pq",
+                             "pq-calibration"])
     an.add_argument("--k", type=int, default=5)
     an.add_argument("--vec-col", default="embedding")
     an.add_argument("--id-col", default="vec_id")
@@ -254,6 +255,9 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--columns", default=None)
     cp.add_argument("--ks-column", default=None,
                     help="also print the exact KS statistic for this column")
+    cp.add_argument("--ks-approx", action="store_true",
+                    help="sketch-grid KS instead of the exact global "
+                         "sort (the 100 TB path)")
     _add_common(cp)
 
     fu = sub.add_parser("funnel", help="strictly-ordered event funnel")
@@ -408,6 +412,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("input")
     sp.add_argument("--columns", default=None,
                     help="comma-separated numeric columns")
+    sp.add_argument("--approx", action="store_true",
+                    help="bucket-index ranks (no global sort — the "
+                         "100 TB path)")
+    sp.add_argument("--buckets", type=int, default=200)
     _add_common(sp)
 
     wv = sub.add_parser("woe",
@@ -647,6 +655,9 @@ def main(argv: list[str] | None = None) -> int:
                 df, refine_iters=2, **kw),
             "pq": lambda: similarity.pq_topk(df, **kw),
             "ivf-pq": lambda: similarity.ivf_pq_topk(df, **kw),
+            # est-vs-exact ADC cosine error: the pre-encode codebook check
+            "pq-calibration": lambda: similarity.pq_calibration(
+                df, vec_col=args.vec_col, id_col=args.id_col),
         }[args.method]()
         _emit(out, args.output)
         return 0
@@ -945,7 +956,10 @@ def main(argv: list[str] | None = None) -> int:
         from flink_descriptive_stats_spark.operators import extras
         df = _load(spark, args.input, args.format)
         cols = args.columns.split(",") if args.columns else None
-        _emit(extras.spearman_matrix(df, columns=cols), args.output)
+        _emit(extras.spearman_matrix(df, columns=cols,
+                                     exact=not args.approx,
+                                     n_buckets=args.buckets),
+              args.output)
         return 0
 
     if args.cmd == "woe":
@@ -1000,7 +1014,9 @@ def main(argv: list[str] | None = None) -> int:
         cols = args.columns.split(",") if args.columns else None
         _emit(extras.profile_compare(a, b, columns=cols), args.output)
         if args.ks_column:
-            extras.ks_drift(a, b, args.ks_column).show()
+            ks = (extras.ks_drift_approx if args.ks_approx
+                  else extras.ks_drift)
+            ks(a, b, args.ks_column).show()
         return 0
 
     return 2

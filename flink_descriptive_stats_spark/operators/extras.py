@@ -752,6 +752,59 @@ def ks_drift(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
         .alias("ks_stat"))
 
 
+def ks_drift_approx(df_a: DataFrame, df_b: DataFrame, column: str,
+                    n_cuts: int = 256) -> DataFrame:
+    """Sketch-grid two-sample KS distance — the 100 TB sibling of the
+    exact ``ks_drift`` (which needs a global ordered cumulative sum):
+    one row (n_a, n_b, ks_stat) with ks = max over a merged quantile
+    GRID of |F_a(t) - F_b(t)|.
+
+    Shape: both sides are tagged and unioned, and the WHOLE operator is
+    ONE grouped aggregate over that union — per side, the ``n_cuts``
+    GK cutpoints (percentile_approx: mergeable sketches, map-side
+    combined, never a sort) plus the row count. Everything after is
+    driver math over <= 2*n_cuts floats: each side's empirical CDF is
+    evaluated at every merged cutpoint straight FROM its quantile grid
+    (CDF_side(v) ~ #{own cutpoints <= v} / (n_cuts + 1) — the grid IS
+    the inverse CDF sampled uniformly in rank space), and the sup runs
+    over the merged grid. No second data pass, nothing per-row beyond
+    the sketch update. Each CDF estimate errs by <= ~1/n_cuts (rank
+    discretization) + the GK accuracy, so |ks_approx - ks_exact| <=
+    ~2/n_cuts + sketch error — pytest-pinned against ks_drift on the
+    fixtures."""
+    from bisect import bisect_right
+
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    probs = F.array(*[F.lit((i + 1) / (n_cuts + 1))
+                      for i in range(n_cuts)])
+
+    def side(df, tag):
+        return (df.where(F.col(column).isNotNull())
+                .select(F.col(column).cast("double").alias("x"),
+                        F.lit(tag).alias("__t")))
+
+    tagged = side(df_a, 0).union(side(df_b, 1))
+    rows = {r["__t"]: r for r in tagged.groupBy("__t").agg(
+        F.percentile_approx("x", probs).alias("q"),
+        F.count(F.lit(1)).alias("n")).collect()}
+    n_a = int(rows[0]["n"]) if 0 in rows else 0
+    n_b = int(rows[1]["n"]) if 1 in rows else 0
+    spark = df_a.sparkSession
+    if n_a == 0 or n_b == 0:
+        # a side is empty/all-NULL: KS undefined — report counts, NULL stat
+        return spark.createDataFrame(
+            [(n_a, n_b, None)], "n_a bigint, n_b bigint, ks_stat string")
+    cuts_a = sorted(float(v) for v in rows[0]["q"])
+    cuts_b = sorted(float(v) for v in rows[1]["q"])
+    grid = sorted({*cuts_a, *cuts_b})
+    denom = float(n_cuts + 1)
+    ks = max(abs(bisect_right(cuts_a, g) - bisect_right(cuts_b, g))
+             for g in grid) / denom
+    out = spark.createDataFrame([(n_a, n_b, ks)],
+                                "n_a bigint, n_b bigint, ks double")
+    return out.select("n_a", "n_b", sig6(F.col("ks")).alias("ks_stat"))
+
+
 def winsorize(df: DataFrame, column: str, lower: float = 0.01,
               upper: float = 0.99) -> DataFrame:
     """Winsorization/clipping cleaner: every value of ``column`` clamped
@@ -906,7 +959,9 @@ def null_pattern_report(df: DataFrame,
 
 
 def spearman_matrix(df: DataFrame,
-                    columns: list[str] | None = None) -> DataFrame:
+                    columns: list[str] | None = None,
+                    exact: bool = True,
+                    n_buckets: int = 200) -> DataFrame:
     """All-pairs Spearman rank correlation (long format: col_a, col_b,
     rho): Pearson over AVERAGE ranks (the standard tie policy —
     avg_rank = min_rank + (ties - 1) / 2), listwise deletion of rows
@@ -914,20 +969,56 @@ def spearman_matrix(df: DataFrame,
     next to correlation_matrix's Pearson — monotone-nonlinear
     relationships and heavy tails stop hiding.
 
-    Cost shape: ranks are exact half-integers, so the correlation pass
-    is the same single k(k-1)/2-buffer aggregate as Pearson; the ranks
-    themselves cost one GLOBAL sort per column — the exact/oracle path
-    by construction. At 100 TB swap ranks for approx percentile bins
-    (the same trade documented for quartiles)."""
-    from pyspark.sql import Window
+    exact=True (the gated/oracle path): ranks are exact half-integers,
+    so the correlation pass is the same single k(k-1)/2-buffer aggregate
+    as Pearson, but the ranks themselves cost one GLOBAL sort per column
+    — the audit-scale shape by construction.
+
+    exact=False is the 100 TB path (the same exact/approx pairing as
+    quartiles and the quality ensemble): each column is bucketed by
+    ``n_buckets`` approx_percentile cutpoints (ONE 1-row aggregate for
+    all columns, inlined as plan literals) and the rank surrogate is the
+    equi-frequency bucket index — a monotone transform of the value, so
+    Pearson over the indices converges to Spearman's rho as buckets
+    shrink. NO global sort anywhere; every step after the bounded
+    cutpoint collect is narrow + the one bounded correlation aggregate.
+    A pytest pins |rho_approx - rho_exact| on the fixtures."""
     cols = columns or numeric_columns(df)
-    base = df.select(*cols).dropna()
-    ranked = base.select(*[
-        (F.rank().over(Window.orderBy(c))
-         + (F.count(F.lit(1)).over(Window.partitionBy(c)) - 1) / 2.0)
-        .alias(c) for c in cols])
+    ranked = _spearman_ranked(df.select(*cols).dropna(), cols, exact,
+                              n_buckets)
     out = correlation_matrix(ranked, cols)
     return out.select("col_a", "col_b", F.col("corr").alias("rho"))
+
+
+def _spearman_ranked(base: DataFrame, cols: list[str], exact: bool,
+                     n_buckets: int) -> DataFrame:
+    """The rank-surrogate frame spearman_matrix correlates — factored out
+    so plan tests / the EXPLAIN audit can pin that the exact path costs
+    one global-sort Window per column while the approx path has NO window
+    or sort anywhere (narrow bucket-index projection)."""
+    from pyspark.sql import Window
+    if exact:
+        return base.select(*[
+            (F.rank().over(Window.orderBy(c))
+             + (F.count(F.lit(1)).over(Window.partitionBy(c)) - 1) / 2.0)
+            .alias(c) for c in cols])
+    probs = F.array(*[F.lit((i + 1) / n_buckets)
+                      for i in range(n_buckets - 1)])
+    cuts = base.agg(*[
+        F.percentile_approx(F.col(c).cast("double"), probs).alias(c)
+        for c in cols]).collect()[0]
+
+    def bucket_idx(c):
+        if cuts[c] is None:  # empty frame after listwise deletion
+            return F.lit(0.0)
+        arr = F.array(*[F.lit(float(v)) for v in cuts[c]])
+        return F.aggregate(
+            arr, F.lit(0),
+            lambda acc, t: acc + F.when(
+                F.col(c).cast("double") > t, 1).otherwise(0)
+        ).cast("double")
+
+    return base.select(*[bucket_idx(c).alias(c) for c in cols])
 
 
 def woe_iv(df: DataFrame, feature_col: str, label_col,

@@ -209,10 +209,16 @@ def fuzzy_key_join(df_a, df_b, key_a: str, key_b: str | None = None,
     delete-neighborhood keys (distinct keys x O(len^d) variants), and
     one exact JVM ``levenshtein()`` recheck per candidate keeps true
     matches. Both sides collapse to DISTINCT keys first (map-side
-    combined), so cost tracks key cardinality, not row counts. Keys
-    longer than ``max_key_len`` fall back to exact-match-only (their
-    neighborhood would be quadratic in length; exact join still finds
-    dist=0)."""
+    combined), so cost tracks key cardinality, not row counts.
+
+    Key-length CONTRACT (mirrored verbatim by fuzzy_key_join_sql, so
+    spec and blocking agree): keys longer than ``max_key_len`` generate
+    no delete-neighborhood (it would be quadratic in length), so a pair
+    at dist >= 1 is reported only when BOTH keys are <= max_key_len;
+    dist = 0 matches are always found via the identity variant. The cut
+    is deliberate — at 100 TB an unbounded neighborhood on one
+    pathological key is a task OOM, and near-matches between
+    beyond-cap keys are out of the operator's declared scope."""
     from pyspark.sql import functions as F
     if max_dist not in (0, 1, 2):
         raise ValueError("max_dist must be 0, 1 or 2")

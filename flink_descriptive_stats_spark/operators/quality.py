@@ -172,7 +172,14 @@ def quality_ensemble(df: DataFrame, text_col: str = "text",
     collect; a pytest pins rank agreement with the exact path. Signal
     subplans are the gated operators' own (one scan each + bounded
     joins keyed by doc id); sig6-string scores CAST back to double
-    identically on both engines."""
+    identically on both engines.
+
+    Membership contract (mirrored by quality_ensemble_sql): the signal
+    joins are INNER, so only documents carrying all three signals are
+    ranked — a doc with < 2 tokens has no bigram LM score and is out of
+    scope by definition (rank fusion over a signal a doc cannot have
+    would need an arbitrary neutral rank; callers wanting those docs
+    filter them on text_stats first)."""
     from pyspark.sql import Window
 
     from flink_descriptive_stats_spark.functions.sig import sig6

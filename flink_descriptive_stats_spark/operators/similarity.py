@@ -572,32 +572,62 @@ def embedding_drift(df_a: DataFrame, df_b: DataFrame,
 # at all until the per-query candidate funnel.
 
 def pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 16, iters: int = 5,
-                 sample_mod: int = 1, id_col: str = "vec_id",
-                 vec_col: str = "embedding"):
+                 sample_mod: int = 0, id_col: str = "vec_id",
+                 vec_col: str = "embedding", max_train: int = 1 << 16):
     return _model_memoized(
-        df, ("pq", m, ksub, iters, sample_mod, id_col, vec_col),
+        df, ("pq", m, ksub, iters, sample_mod, id_col, vec_col, max_train),
         lambda: _pq_codebooks(df, m, ksub, iters, sample_mod, id_col,
-                              vec_col))
+                              vec_col, max_train))
+
+
+def _pq_train_sample(d: DataFrame, sample_mod: int,
+                     max_train: int) -> DataFrame:
+    """The deterministic bounded training sample for PQ codebooks.
+
+    sample_mod >= 1 is the explicit override: keep ids with
+    id % sample_mod == 0 (sample_mod=1 = whole-corpus training, an
+    explicit opt-in — it collects the corpus to the driver).
+    sample_mod == 0 (the default) derives the stride from the id RANGE so
+    the collected sample holds at most ``max_train`` rows for ANY id
+    distribution: stride = ceil((max_id - min_id + 1) / max_train) and the
+    kept residue is min_id's, so the sample is never empty. One 1-row
+    (min, max) aggregate — the stride becomes a plan literal; no corpus
+    movement happens before the bounded collect."""
+    import math
+    if sample_mod >= 1:
+        if sample_mod > 1:
+            d = d.where(F.col("id") % sample_mod == 0)
+        return d
+    lo, hi = d.agg(F.min("id"), F.max("id")).collect()[0]
+    if lo is None:
+        return d
+    stride = max(1, math.ceil((int(hi) - int(lo) + 1) / max_train))
+    if stride == 1:
+        return d
+    return d.where((F.col("id") - F.lit(int(lo))) % stride
+                   == F.lit(0))
 
 
 def _pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 16, iters: int = 5,
-                  sample_mod: int = 1, id_col: str = "vec_id",
-                  vec_col: str = "embedding"):
+                  sample_mod: int = 0, id_col: str = "vec_id",
+                  vec_col: str = "embedding", max_train: int = 1 << 16):
     """Train PQ codebooks: split each UNIT-NORMALIZED vector into ``m``
     contiguous subvectors and run ``iters`` Lloyd rounds per subspace on a
-    deterministic sample (ids with id % sample_mod == 0, collected in id
-    order). Returns a float64 numpy array of shape (m, ksub, dim/m).
+    deterministic BOUNDED sample (<= ``max_train`` vectors by default —
+    see _pq_train_sample; pass sample_mod explicitly to override, with
+    sample_mod=1 the whole-corpus opt-in). Returns a float64 numpy array
+    of shape (m, ksub, dim/m).
 
     Determinism: init = first ksub sample subvectors in id order; argmin
     ties resolve to the lowest code (numpy argmin); float64 accumulation
     over a fixed row order. Empty cells keep their previous centroid (the
     FAISS convention) so shapes never change. The sample collect is the
-    bounded-metadata pattern (sample_n x dim doubles), NOT a corpus
-    collect — at 100 TB you train on ~1e5 vectors and encode 1e10."""
+    bounded-metadata pattern (<= max_train x dim doubles), NOT a corpus
+    collect — at 100 TB you train on ~6e4 vectors and encode 1e10, and
+    that bound now holds BY DEFAULT, not by caller discipline."""
     import numpy as np
-    d = with_norm(df, id_col, vec_col)
-    if sample_mod > 1:
-        d = d.where(F.col("id") % sample_mod == 0)
+    d = _pq_train_sample(with_norm(df, id_col, vec_col), sample_mod,
+                         max_train)
     rows = (d.select("id", F.expr("transform(v, x -> x / norm)").alias("u"))
             .orderBy("id").collect())
     X = np.asarray([r["u"] for r in rows], dtype=np.float64)
@@ -654,7 +684,7 @@ def pq_encode(df: DataFrame, books, id_col: str = "vec_id",
 def pq_topk(df: DataFrame, k: int = 5, m: int = 16, ksub: int = 32,
             refine: int = 8, id_col: str = "vec_id",
             vec_col: str = "embedding",
-            max_query_id: int = 10) -> DataFrame:
+            max_query_id: int = 10, max_train: int = 1 << 16) -> DataFrame:
     """PQ-ADC approximate top-k: (query_id, neighbor_id, cos, rank) — the
     same output contract as brute_force_topk (self excluded, final rank by
     exact cosine desc / id asc), but the corpus is scanned as m-byte PQ
@@ -684,7 +714,7 @@ def pq_topk(df: DataFrame, k: int = 5, m: int = 16, ksub: int = 32,
     from typing import Iterator
 
     books = pq_codebooks(df, m=m, ksub=ksub, id_col=id_col,
-                         vec_col=vec_col)
+                         vec_col=vec_col, max_train=max_train)
     d = with_norm(df, id_col, vec_col)
     qrows = (d.where(F.col("id") < max_query_id)
              .select("id", F.expr("transform(v, x -> x / norm)").alias("u"))
@@ -760,6 +790,100 @@ def pq_topk(df: DataFrame, k: int = 5, m: int = 16, ksub: int = 32,
             .where(F.col("rank") <= k))
 
 
+def pq_calibration(df: DataFrame, m: int = 16, ksub: int = 32,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_query_id: int = 10, max_probe: int = 1 << 14,
+                   max_train: int = 1 << 16) -> DataFrame:
+    """Codebook-quality diagnostic: per query, how far the PQ-ADC cosine
+    ESTIMATE sits from the exact cosine over a bounded deterministic
+    probe sample of the corpus — the pre-flight check a 100 TB run does
+    BEFORE committing to the full encode pass (the MinHash-calibration
+    analogue for the PQ family: dedup.lsh_calibration validates band
+    thresholds the same way). On unit vectors ADC L2^2 = 2 - 2 cos, so
+    est_cos = 1 - adc/2. Output per query (query_id, n_pairs,
+    mean_abs_err, max_abs_err, mean_exact_cos, mean_est_cos); mean
+    |est - exact| at the defaults is the pytest-pinned bar.
+
+    Shape: codebooks train on the bounded default sample (pq_codebooks);
+    the probe set is stride-sampled to <= max_probe rows by the SAME id-
+    range rule (never a corpus pass); ONE fused Arrow pass encodes each
+    probe row, takes its ADC estimate AND its exact dot against every
+    query (both from data already in the batch), and emits per-batch
+    PARTIAL sums — the rows that shuffle number n_batches x n_queries,
+    never the probe set. Self-pairs excluded. Rows-only (the codebooks
+    are numpy state no SQL engine can mirror); pytest pins the bound."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    from flink_descriptive_stats_spark.functions.sig import sig6
+
+    books = pq_codebooks(df, m=m, ksub=ksub, id_col=id_col,
+                         vec_col=vec_col, max_train=max_train)
+    d = with_norm(df, id_col, vec_col)
+    qrows = (d.where(F.col("id") < max_query_id)
+             .select("id", F.expr("transform(v, x -> x / norm)").alias("u"))
+             .orderBy("id").collect())
+    qids = np.asarray([r["id"] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r["u"] for r in qrows], dtype=np.float64)
+    dsub = books.shape[2]
+    lut = np.stack([((Q[:, j * dsub:(j + 1) * dsub][:, None, :]
+                      - books[j][None, :, :]) ** 2).sum(axis=2)
+                    for j in range(books.shape[0])], axis=1)
+    m_books = books.shape[0]
+    jidx = np.arange(m_books)
+    probe = _pq_train_sample(d, 0, max_probe)
+
+    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy()
+            X = np.asarray(list(pdf["v"]), dtype=np.float64)
+            codes = np.empty((len(X), m_books), dtype=np.int64)
+            for j in range(m_books):
+                S = X[:, j * dsub:(j + 1) * dsub]
+                d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2
+                      ).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            exact = X @ Q.T  # (n_rows, n_queries) exact cosines
+            out = []
+            for qi in range(len(qids)):
+                mask = ids != qids[qi]
+                if not mask.any():
+                    continue
+                est = 1.0 - lut[qi][jidx[None, :], codes[mask]
+                                    ].sum(axis=1) / 2.0
+                err = np.abs(est - exact[mask, qi])
+                out.append({"query_id": int(qids[qi]),
+                            "n": int(mask.sum()),
+                            "s_err": float(err.sum()),
+                            "mx_err": float(err.max()),
+                            "s_exact": float(exact[mask, qi].sum()),
+                            "s_est": float(est.sum())})
+            if out:
+                yield pd.DataFrame(out)
+
+    unit = probe.select(
+        "id", F.expr("transform(v, x -> x / norm)").alias("v"))
+    parts = unit.mapInPandas(
+        scan, "query_id bigint, n bigint, s_err double, mx_err double, "
+              "s_exact double, s_est double")
+    agg = (parts.groupBy("query_id")
+           .agg(F.sum("n").alias("n_pairs"),
+                F.sum("s_err").alias("s_err"),
+                F.max("mx_err").alias("mx"),
+                F.sum("s_exact").alias("s_ex"),
+                F.sum("s_est").alias("s_es")))
+    nd = F.col("n_pairs").cast("double")
+    return agg.select(
+        "query_id", "n_pairs",
+        sig6(F.col("s_err") / nd).alias("mean_abs_err"),
+        sig6(F.col("mx")).alias("max_abs_err"),
+        sig6(F.col("s_ex") / nd).alias("mean_exact_cos"),
+        sig6(F.col("s_es") / nd).alias("mean_est_cos"))
+
+
 def label_separation(df: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      label_col: str = "label") -> DataFrame:
@@ -818,7 +942,8 @@ def ivf_pq_topk(df: DataFrame, k: int = 5, n_cells: int = 16,
                 n_probe: int = 4, m: int = 16, ksub: int = 32,
                 refine: int = 8, iters: int = 2,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                max_query_id: int = 10) -> DataFrame:
+                max_query_id: int = 10,
+                max_train: int = 1 << 16) -> DataFrame:
     """IVF-PQ: the composition that IS large-scale ANN practice (FAISS
     IVFx,PQy) — IVF bounds WHICH corpus rows a query touches
     (~n_probe/n_cells of them), PQ bounds the BYTES each touched row
@@ -846,7 +971,7 @@ def ivf_pq_topk(df: DataFrame, k: int = 5, n_cells: int = 16,
     crows = kmeans_centroid_rows(df, n_cells=n_cells, iters=iters,
                                  id_col=id_col, vec_col=vec_col)
     books = pq_codebooks(df, m=m, ksub=ksub, id_col=id_col,
-                         vec_col=vec_col)
+                         vec_col=vec_col, max_train=max_train)
     d = with_norm(df, id_col, vec_col)
     ranked = ranked_cells_expr(crows)
     assigned = d.select(

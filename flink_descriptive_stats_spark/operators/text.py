@@ -545,7 +545,7 @@ def lm_score(df: DataFrame, text_col: str = "text",
     j = bg.join(model, ["prev", "nxt"])
     logp = F.log((F.col("c") + 1).cast("double")
                  / (F.col("cp") + F.lit(vocab)).cast("double"))
-    return (j.groupBy(F.col("id").alias("doc_id"))
+    return (j.groupBy(F.col("id").alias(id_col))
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  sig6(-F.avg(logp)).alias("lm_score")))
 
@@ -839,9 +839,13 @@ def vocab_growth(df: DataFrame, text_col: str = "text",
                     F.explode(H.tokens_expr(F.col(text_col)))
                     .alias("tok"))
             .distinct())
+    # explicit floor (not a truncating cast) so the bucket rule is the
+    # same function on every engine — double->bigint CAST truncates in
+    # Spark but rounds half-to-even in DuckDB, and floor == truncation
+    # only holds for the non-negative ids this operator assumes anyway
     first = toks.groupBy("tok").agg(F.min("id").alias("first_doc"))
-    b = (first.groupBy((F.col("first_doc") / bucket_docs).cast("bigint")
-                       .alias("bucket"))
+    b = (first.groupBy(F.floor(F.col("first_doc") / bucket_docs)
+                       .cast("bigint").alias("bucket"))
          .agg(F.count(F.lit(1)).alias("n_new_tokens"),
               F.min("first_doc").alias("first_doc")))
     from pyspark.sql import Window

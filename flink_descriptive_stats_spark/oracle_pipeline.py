@@ -2658,7 +2658,7 @@ WITH t AS (SELECT DISTINCT doc_id AS id, unnest(
              regexp_extract_all(lower(text), '\\w+')) AS tok
            FROM {table} WHERE text IS NOT NULL),
 f AS (SELECT tok, min(id) AS first_doc FROM t GROUP BY tok),
-b AS (SELECT CAST(first_doc / {bucket_docs} AS BIGINT) AS bucket,
+b AS (SELECT CAST(floor(first_doc / {bucket_docs}) AS BIGINT) AS bucket,
              count(*) AS n_new_tokens, min(first_doc) AS first_doc
       FROM f GROUP BY 1)
 SELECT bucket, CAST(first_doc AS BIGINT) AS first_doc,
@@ -2719,10 +2719,14 @@ def key_candidates_sql(table: str, columns: list[str]) -> str:
 
 
 def fuzzy_key_join_sql(left_expr: str, right_expr: str,
-                       max_dist: int = 1) -> str:
+                       max_dist: int = 1, max_key_len: int = 48) -> str:
     """Mirror of joins.fuzzy_key_join: the ORACLE runs the exhaustive
     O(n*m) levenshtein cross join the SymSpell blocking must reproduce
-    exactly (same spec-vs-blocking relationship as typo_pairs)."""
+    exactly (same spec-vs-blocking relationship as typo_pairs) — under
+    the SAME documented key-length contract: a pair at dist >= 1 is in
+    scope only when BOTH keys are <= max_key_len chars (over-length
+    keys are exact-match-only in the operator, so the spec carries the
+    identical cutoff; dist = 0 matches are always found)."""
     return f"""
 WITH la AS (SELECT DISTINCT lower(CAST(k AS VARCHAR)) AS k
             FROM ({left_expr}) t(k) WHERE k IS NOT NULL),
@@ -2731,4 +2735,6 @@ rb AS (SELECT DISTINCT lower(CAST(k AS VARCHAR)) AS k
 SELECT la.k AS key_left, rb.k AS key_right,
        levenshtein(la.k, rb.k) AS dist
 FROM la CROSS JOIN rb
-WHERE levenshtein(la.k, rb.k) <= {max_dist}"""
+WHERE levenshtein(la.k, rb.k) <= {max_dist}
+  AND (la.k = rb.k OR (length(la.k) <= {max_key_len}
+                       AND length(rb.k) <= {max_key_len}))"""

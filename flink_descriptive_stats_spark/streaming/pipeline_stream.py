@@ -751,7 +751,8 @@ def start_ingest_dedup_monitor(stream: DataFrame, old: DataFrame,
                                state_path: str,
                                checkpoint_path: str | None = None,
                                content_col: str = "text",
-                               source_col: str = "source"):
+                               source_col: str = "source",
+                               compact_every: int = 8):
     """Continuous ingest-dedup triage: the streaming twin of
     dedup.incremental_dedup_report. Each micro-batch is scored per
     source against everything seen before — the initial ``old`` corpus
@@ -774,7 +775,20 @@ def start_ingest_dedup_monitor(stream: DataFrame, old: DataFrame,
     the versioned-snapshot convention (totals + epoch watermark);
     replayed epochs no-op, and the per-epoch hash append is keyed by
     epoch so a replay overwrites its own directory instead of
-    double-counting."""
+    double-counting. The seen-set build EXCLUDES the current epoch's own
+    directory, so the hash write is idempotent even when a crash lands
+    between the hash write and the totals snapshot (the replayed epoch
+    re-scores against exactly the pre-epoch state).
+
+    State compaction: every ``compact_every`` epochs the per-epoch
+    directories fold into ONE compacted generation
+    (``epoch=initg{N}`` — N is the highest epoch folded in), written
+    BEFORE any superseded directory is removed: readers always pick the
+    newest generation carrying a _SUCCESS marker plus only the epoch
+    dirs above its boundary, so a crash at any point of the fold leaves
+    a consistent view. This bounds both the directory count and the
+    per-epoch union re-read at ~compact_every datasets regardless of
+    stream lifetime."""
     import json as _json
     import os
 
@@ -805,7 +819,39 @@ def start_ingest_dedup_monitor(stream: DataFrame, old: DataFrame,
                                        int(r["n_novel"])]
 
     hashes_dir = os.path.join(state_path, "hashes")
-    if not os.path.isdir(os.path.join(hashes_dir, "epoch=init")):
+
+    def _state_dirs(exclude_epoch: int | None = None):
+        """(boundary, paths): the newest valid compacted generation
+        (``epoch=init`` = boundary -1, ``epoch=initg{N}`` = boundary N)
+        plus every valid per-epoch dir ABOVE that boundary, in epoch
+        order, excluding ``exclude_epoch`` (the epoch being scored, so
+        its own replayed write never feeds its seen set). Validity =
+        the _SUCCESS marker — half-written dirs are invisible."""
+        names = os.listdir(hashes_dir) if os.path.isdir(hashes_dir) else []
+
+        def ok(n: str) -> bool:
+            return os.path.exists(os.path.join(hashes_dir, n, "_SUCCESS"))
+
+        gens: dict[int, str] = {}
+        if "epoch=init" in names and ok("epoch=init"):
+            gens[-1] = "epoch=init"
+        for n in names:
+            tail = n[len("epoch=initg"):]
+            if n.startswith("epoch=initg") and tail.isdigit() and ok(n):
+                gens[int(tail)] = n
+        boundary = max(gens) if gens else None
+        paths = [gens[boundary]] if boundary is not None else []
+        epochs = []
+        for n in names:
+            tail = n[len("epoch="):]
+            if (n.startswith("epoch=") and tail.isdigit() and ok(n)
+                    and (boundary is None or int(tail) > boundary)
+                    and int(tail) != exclude_epoch):
+                epochs.append((int(tail), n))
+        paths += [n for _, n in sorted(epochs)]
+        return boundary, [os.path.join(hashes_dir, p) for p in paths]
+
+    if _state_dirs()[0] is None:
         (old.where(F.col(content_col).isNotNull())
          .select(F.md5(F.col(content_col)).alias("h")).distinct()
          .write.mode("overwrite")
@@ -830,8 +876,7 @@ def start_ingest_dedup_monitor(stream: DataFrame, old: DataFrame,
         nonlocal last_folded
         if epoch_id > last_folded:
             seen = spark.read.parquet(
-                *(os.path.join(hashes_dir, d)
-                  for d in os.listdir(hashes_dir))).withColumn(
+                *_state_dirs(exclude_epoch=epoch_id)[1]).withColumn(
                 "__in_old", F.lit(1))
             d = (batch_df.where(F.col(content_col).isNotNull())
                  .select(F.col(source_col).alias("source"),
@@ -884,6 +929,21 @@ def start_ingest_dedup_monitor(stream: DataFrame, old: DataFrame,
                 shutil.rmtree(
                     os.path.join(state_path, "totals", f"v{v}"),
                     ignore_errors=True)
+            # generational compaction: once the epoch-dir count crosses
+            # the bound, fold generation + epochs (current included)
+            # into one new generation; only after its _SUCCESS lands do
+            # the superseded dirs go away (best-effort — leftovers are
+            # below the new boundary and invisible to readers)
+            boundary, paths = _state_dirs()
+            if compact_every and len(paths) - 1 >= compact_every:
+                gen_dir = os.path.join(hashes_dir,
+                                       f"epoch=initg{epoch_id}")
+                (spark.read.parquet(*paths).select("h").distinct()
+                 .write.mode("overwrite").parquet(gen_dir))
+                for n in os.listdir(hashes_dir):
+                    if n != f"epoch=initg{epoch_id}":
+                        shutil.rmtree(os.path.join(hashes_dir, n),
+                                      ignore_errors=True)
         _write_report()
 
     writer = stream.writeStream.outputMode("append").foreachBatch(emit)

@@ -283,6 +283,38 @@ def main() -> None:
             docs2.where(F.col("doc_id") % 10 != 0),
             docs2.where(F.col("doc_id") % 10 == 0)))))
 
+    from flink_descriptive_stats_spark.operators import extras
+    sections.append((
+        "Approx Spearman (bucket-index ranks — round 6)",
+        "The scale sibling of the exact rank path: NO Window and NO\n"
+        "global Sort anywhere in the tree — the exact variant carries one\n"
+        "'Window [rank]' + global Sort PER COLUMN. Cutpoints come from a\n"
+        "single 1-row approx_percentile aggregate (inlined as literals\n"
+        "before this plan is built), the bucket index is a narrow\n"
+        "aggregate() over the literal array, and the correlation is the\n"
+        "same one-pass k(k-1)/2-buffer aggregate Pearson uses.",
+        fmt(spark, extras._spearman_ranked(
+            li.select("l_quantity", "l_extendedprice", "l_discount")
+            .dropna(),
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            exact=False, n_buckets=200).agg(
+                F.corr("l_quantity", "l_extendedprice"),
+                F.corr("l_quantity", "l_discount"),
+                F.corr("l_extendedprice", "l_discount")))))
+
+    from flink_descriptive_stats_spark.operators import similarity
+    emb = load_table(spark, SF, "embeddings")
+    sections.append((
+        "PQ calibration (bounded probe, partial-sum funnel — round 6)",
+        "The pre-encode codebook check: the probe set is stride-sampled\n"
+        "(filter rides the scan), ONE fused Arrow pass encodes + scores\n"
+        "each probe row against every query and emits per-batch PARTIAL\n"
+        "sums, and the only exchange moves n_batches x n_queries partial\n"
+        "rows into a bounded per-query HashAggregate. The corpus never\n"
+        "exchanges; codebooks train on a <=2^16-vector bounded sample\n"
+        "(the round-6 default).",
+        fmt(spark, similarity.pq_calibration(emb))))
+
     with open("EXPLAIN.md", "w") as f:
         f.write(
             '# Plan audit — `.explain("formatted")` of the flagship '
