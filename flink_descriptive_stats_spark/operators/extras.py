@@ -1011,12 +1011,26 @@ def _spearman_ranked(base: DataFrame, cols: list[str], exact: bool,
     def bucket_idx(c):
         if cuts[c] is None:  # empty frame after listwise deletion
             return F.lit(0.0)
-        arr = F.array(*[F.lit(float(v)) for v in cuts[c]])
-        return F.aggregate(
-            arr, F.lit(0),
-            lambda acc, t: acc + F.when(
-                F.col(c).cast("double") > t, 1).otherwise(0)
-        ).cast("double")
+        # The bucket index is #{cutpoints < x}, computed by a BINARY-
+        # SEARCH CASE tree over the sorted deduped cutpoints — O(log B)
+        # comparisons per row, built as ONE SQL string. Both obvious
+        # alternatives are linear per row and measurably bad at scale:
+        # an aggregate() HOF fold boxes every element lambda (12s+ at
+        # sf0.1) and a flat CASE-sum still evaluates all B comparisons
+        # (the fixture scans in ~1 task, so per-row cost serializes).
+        # The tree is ~8 primitive compares for B=200.
+        vals = sorted({float(v) for v in cuts[c]})
+        x = f"CAST(`{c}` AS DOUBLE)"
+
+        def rec(vs, offset):
+            if not vs:
+                return str(offset)
+            mid = len(vs) // 2
+            return (f"(CASE WHEN {x} > {vs[mid]!r} THEN "
+                    f"{rec(vs[mid + 1:], offset + mid + 1)} ELSE "
+                    f"{rec(vs[:mid], offset)} END)")
+
+        return F.expr(f"CAST({rec(vals, 0)} AS DOUBLE)")
 
     return base.select(*[bucket_idx(c).alias(c) for c in cols])
 
