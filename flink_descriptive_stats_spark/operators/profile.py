@@ -103,7 +103,8 @@ def profile_schema() -> T.StructType:
                          for name, ts in PROFILE_FIELDS])
 
 
-def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile(df: DataFrame, columns: list[str] | None = None,
+            max_exprs_per_pass: int = 4000) -> DataFrame:
     """Profile every (selected) column of ``df`` in one aggregation pass.
 
     Execution shape: ONE Spark job — scan -> partial HashAggregate ->
@@ -116,21 +117,48 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     expression forms still exist (moments.derived_stats) and drive the
     streaming/windowed variant, where there IS one result row per window.
 
+    Ultra-wide schemas: a single pass holds through a few hundred columns
+    (a 250-column frame is plan-pinned to one exchange in
+    tests/test_round6_ops.py), but the generated projection SOURCE grows
+    with the expression count and its compilation memory faster — so past
+    ``max_exprs_per_pass`` aggregate slots the columns are CHUNKED into
+    ceil(n/max) passes, each still the same narrow scan->partial->1-row
+    shape. Each chunk memoizes independently, results merge by column
+    name (the aggregates are per-column independent, so chunked ==
+    single-pass exactly; pytest-pinned). The default keeps ~400 columns
+    in one pass.
+
     Returns a long-format DataFrame, one row per column, schema
     ``PROFILE_FIELDS``.
     """
     fields = [f for f in df.schema.fields
               if columns is None or f.name in columns]
 
-    agg_exprs: list[Column] = [F.count(F.lit(1)).alias("row_count")]
-    for i, f in enumerate(fields):
-        agg_exprs += _agg_exprs_for_column(i, f.name, f.dataType)
+    per_field = [(i, f, _agg_exprs_for_column(i, f.name, f.dataType))
+                 for i, f in enumerate(fields)]
+    chunks: list[list] = []
+    cur: list = []
+    cur_n = 1
+    for item in per_field:
+        if cur and cur_n + len(item[2]) > max_exprs_per_pass:
+            chunks.append(cur)
+            cur, cur_n = [], 1
+        cur.append(item)
+        cur_n += len(item[2])
+    chunks.append(cur)          # also the empty-schema single chunk
 
     # memoized: jb_report / repeat profiles of the same input reuse the
-    # one collected row instead of re-running the scan+agg job
+    # collected row(s) instead of re-running the scan+agg job
     from flink_descriptive_stats_spark.functions.memo import agg_row_memoized
-    row = agg_row_memoized(df, agg_exprs,
-                           ("profile", tuple(f.name for f in fields)))
+    row: dict = {}
+    for chunk in chunks:
+        agg_exprs: list[Column] = [F.count(F.lit(1)).alias("row_count")]
+        for _, _, exprs in chunk:
+            agg_exprs += exprs
+        r = agg_row_memoized(
+            df, agg_exprs,
+            ("profile", tuple(f.name for _, f, _ in chunk)))
+        row.update(r.asDict())
 
     out_rows = []
     for i, f in enumerate(fields):
