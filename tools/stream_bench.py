@@ -156,6 +156,43 @@ def run_stream_bench(spark, sf_dir: str, scratch: str,
         out["sessionize"] = _drain(q)
     finally:
         q.stop()
+
+    # ingest-dedup monitor with generational state compaction: the
+    # distributed hash-set state is folded every compact_every epochs, so
+    # the per-epoch union re-read stays bounded for any stream lifetime —
+    # the first-half vs second-half mean epoch duration is reported to
+    # show the per-epoch cost staying flat as epochs accumulate
+    from pyspark.sql import functions as F
+
+    from flink_descriptive_stats_spark.sources.tables import load_table
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        start_ingest_dedup_monitor)
+    docs = load_table(spark, sf_dir, "documents")
+    docs_replay = os.path.join(scratch, "docs_replay")
+    (docs.where(F.col("doc_id") % 3 == 0).repartition(n_files)
+     .write.parquet(docs_replay))
+    dstream = (spark.readStream.schema(docs.schema)
+               .option("maxFilesPerTrigger", 1).parquet(docs_replay))
+    q = start_ingest_dedup_monitor(
+        dstream, docs.where(F.col("doc_id") % 3 != 0),
+        sink_path=os.path.join(scratch, "ing_sink"),
+        state_path=os.path.join(scratch, "ing_state"),
+        checkpoint_path=os.path.join(scratch, "ckpt_ing"),
+        compact_every=5)
+    try:
+        m = _drain(q)
+        durs = [p["durationMs"].get("triggerExecution", 0)
+                for p in q.recentProgress
+                if p and p["numInputRows"]]
+        if len(durs) >= 4:
+            h = len(durs) // 2
+            m["epoch_sec_first_half"] = round(
+                sum(durs[:h]) / h / 1000.0, 3)
+            m["epoch_sec_second_half"] = round(
+                sum(durs[h:]) / (len(durs) - h) / 1000.0, 3)
+        out["ingest_dedup_monitor"] = m
+    finally:
+        q.stop()
     return out
 
 
