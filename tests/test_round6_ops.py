@@ -379,6 +379,26 @@ def test_quality_ensemble_custom_id_col(spark):
     assert default == custom
 
 
+def test_cli_round6_subcommands(capsys):
+    """CLI smoke for the round-6 surfaces: approx Spearman, sketch-grid
+    KS via compare --ks-approx, and the PQ calibration method."""
+    from flink_descriptive_stats_spark.__main__ import main
+    li = "/root/testdata/sf0.001/lineitem.parquet"
+    ev = "/root/testdata/sf0.001/events.parquet"
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+
+    rc = main(["spearman", li, "--columns", "l_quantity,l_tax",
+               "--approx"])
+    assert rc == 0 and "rho" in capsys.readouterr().out
+
+    rc = main(["compare", ev, ev, "--columns", "value",
+               "--ks-column", "value", "--ks-approx"])
+    assert rc == 0 and "ks_stat" in capsys.readouterr().out
+
+    rc = main(["ann", emb, "--method", "pq-calibration"])
+    assert rc == 0 and "mean_abs_err" in capsys.readouterr().out
+
+
 def test_fuzzy_key_join_overlength_contract(spark):
     """The documented key-length contract, on BOTH engines: dist>=1
     pairs exist only when both keys are <= max_key_len; dist=0 matches
