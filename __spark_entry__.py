@@ -1061,6 +1061,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows-only; error bounds + determinism pytest-pinned
     q["pq_calibration_embeddings"] = _tq(similarity.pq_calibration,
                                          "embeddings")
+
+    # persisted-index round trip: build the parquet code table + codebook
+    # sidecar, then search the STORED codes (no re-encode) — rows-only;
+    # exact equality with the fused pq_topk is pytest-pinned
+    def _pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+        emb = _load(spark, sf_dir, "embeddings")
+        path = os.path.join(
+            tempfile.gettempdir(), f"fds_spark_pqidx_{os.getpid()}",
+            os.path.basename(os.path.normpath(sf_dir)))
+        similarity.write_pq_index(emb, path)
+        return similarity.pq_index_topk(emb, path)
+    q["ann_pq_index_topk"] = _pq_index
     # 100 TB scale-path siblings of gated exact operators: cutpoints come
     # from Spark-side GK sketches (percentile_approx), so no SQL engine
     # reproduces them — rows-only; agreement-vs-exact pytest-pinned

@@ -109,10 +109,13 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--method", default="brute",
                     choices=["brute", "lsh", "lsh-multiprobe", "ivf",
                              "ivf-kmeans", "pq", "ivf-pq",
-                             "pq-calibration"])
+                             "pq-calibration", "pq-index"])
     an.add_argument("--k", type=int, default=5)
     an.add_argument("--vec-col", default="embedding")
     an.add_argument("--id-col", default="vec_id")
+    an.add_argument("--index-path", default=None,
+                    help="pq-index: where the code table + codebook "
+                         "sidecar live (built if absent)")
     _add_common(an)
 
     cr = sub.add_parser("compression",
@@ -645,6 +648,16 @@ def main(argv: list[str] | None = None) -> int:
         from flink_descriptive_stats_spark.operators import similarity
         df = _load(spark, args.input, args.format)
         kw = dict(k=args.k, vec_col=args.vec_col, id_col=args.id_col)
+
+        def _ann_pq_index():
+            import os
+            import tempfile
+            path = args.index_path or os.path.join(
+                tempfile.gettempdir(), "fds_pq_index")
+            if not os.path.exists(os.path.join(path, "meta.json")):
+                similarity.write_pq_index(df, path, id_col=args.id_col,
+                                          vec_col=args.vec_col)
+            return similarity.pq_index_topk(df, path, **kw)
         out = {
             "brute": lambda: similarity.brute_force_topk(df, **kw),
             "lsh": lambda: similarity.lsh_topk(df, **kw),
@@ -658,6 +671,7 @@ def main(argv: list[str] | None = None) -> int:
             # est-vs-exact ADC cosine error: the pre-encode codebook check
             "pq-calibration": lambda: similarity.pq_calibration(
                 df, vec_col=args.vec_col, id_col=args.id_col),
+            "pq-index": lambda: _ann_pq_index(),
         }[args.method]()
         _emit(out, args.output)
         return 0

@@ -765,6 +765,17 @@ def pq_topk(df: DataFrame, k: int = 5, m: int = 16, ksub: int = 32,
     unit = d.select("id", F.expr("transform(v, x -> x / norm)").alias("v"))
     cands = unit.mapInPandas(
         scan, "query_id bigint, neighbor_id bigint, adc_dist double")
+    return _adc_rerank(d, cands, nkeep, k, max_query_id)
+
+
+def _adc_rerank(d: DataFrame, cands: DataFrame, nkeep: int, k: int,
+                max_query_id: int) -> DataFrame:
+    """The shared ADC-candidate funnel tail of every PQ search variant:
+    global window keeps the nkeep best (adc_dist, id) candidates per
+    query, then the SHORTLIST (refine*k*n_queries rows — bounded
+    metadata) is broadcast so the true-vector lookup streams the corpus
+    scan in place — no corpus exchange anywhere; exact cosine re-rank
+    restores exact scores with deterministic (cos desc, id asc) ties."""
     wa = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc())
     shortlist = (cands.withColumn("__r", F.row_number().over(wa))
@@ -772,9 +783,6 @@ def pq_topk(df: DataFrame, k: int = 5, m: int = 16, ksub: int = 32,
     qa = (d.where(F.col("id") < max_query_id)
           .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
                   F.col("norm").alias("qnorm")))
-    # broadcast the SHORTLIST (refine*k*n_queries rows — bounded metadata)
-    # so the true-vector lookup streams the corpus scan in place: no
-    # corpus exchange anywhere in the operator
     joined = (d.select(F.col("id").alias("neighbor_id"), "v", "norm")
               .join(F.broadcast(shortlist), "neighbor_id")
               .join(F.broadcast(qa), "query_id"))
@@ -788,6 +796,99 @@ def pq_topk(df: DataFrame, k: int = 5, m: int = 16, ksub: int = 32,
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def write_pq_index(df: DataFrame, path: str, m: int = 16, ksub: int = 32,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_train: int = 1 << 16) -> None:
+    """Encode once, search many: persist the PQ index as a parquet code
+    table (id, codes — m uint8-range ints per vector, the 32x byte cut)
+    plus a tiny JSON codebook sidecar. At 100 TB the encode pass is the
+    expensive step (one narrow Arrow scan of the full corpus); this
+    writes its result so every subsequent pq_index_topk SEARCHES the
+    stored codes without re-encoding — the build-index/search split
+    every production ANN deployment uses (FAISS index files, re-expressed
+    as a Spark-native parquet layout).
+
+    The sidecar write is write-then-rename (atomic): a crashed build
+    leaves no half-readable index. Codebooks train on the bounded
+    default sample (pq_codebooks)."""
+    import json
+    import os
+    books = pq_codebooks(df, m=m, ksub=ksub, id_col=id_col,
+                         vec_col=vec_col, max_train=max_train)
+    (pq_encode(df, books, id_col=id_col, vec_col=vec_col)
+     .write.mode("overwrite").parquet(os.path.join(path, "codes")))
+    meta = {"m": int(books.shape[0]), "ksub": int(books.shape[1]),
+            "dsub": int(books.shape[2]), "books": books.tolist()}
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def pq_index_topk(df: DataFrame, path: str, k: int = 5, refine: int = 8,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  max_query_id: int = 10) -> DataFrame:
+    """ADC top-k over a PERSISTED PQ index (write_pq_index): same output
+    contract as pq_topk — (query_id, neighbor_id, cos, rank), self
+    excluded, exact cosine re-rank — but the corpus scan reads the
+    STORED m-int code table, never the vectors, and nothing re-encodes.
+    Queries and the exact re-rank still come from ``df`` (the source
+    table owns the true vectors; the index stores only codes).
+
+    Given the same (df, m, ksub) the codebooks memoize identically, so
+    pq_index_topk == pq_topk EXACTLY (pytest-pinned): the stored codes
+    are the same deterministic argmins the fused scan computes, and the
+    candidate funnel is batch-layout-independent (per-batch local prune
+    can only drop candidates outside the global top nkeep)."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    books = np.asarray(meta["books"], dtype=np.float64)
+    dsub = books.shape[2]
+    d = with_norm(df, id_col, vec_col)
+    qrows = (d.where(F.col("id") < max_query_id)
+             .select("id", F.expr("transform(v, x -> x / norm)").alias("u"))
+             .orderBy("id").collect())
+    qids = np.asarray([r["id"] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r["u"] for r in qrows], dtype=np.float64)
+    lut = np.stack([((Q[:, j * dsub:(j + 1) * dsub][:, None, :]
+                      - books[j][None, :, :]) ** 2).sum(axis=2)
+                    for j in range(books.shape[0])], axis=1)
+    nkeep = refine * k
+    jidx = np.arange(books.shape[0])
+
+    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy()
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            out = []
+            for qi in range(len(qids)):
+                dist = lut[qi][jidx[None, :], codes].sum(axis=1)
+                mask = ids != qids[qi]
+                cand_ids, cand_d = ids[mask], dist[mask]
+                if len(cand_ids) > nkeep:
+                    order = np.lexsort((cand_ids, cand_d))[:nkeep]
+                    cand_ids, cand_d = cand_ids[order], cand_d[order]
+                out.append(pd.DataFrame(
+                    {"query_id": qids[qi], "neighbor_id": cand_ids,
+                     "adc_dist": cand_d}))
+            if out:
+                yield pd.concat(out)
+
+    codes_df = df.sparkSession.read.parquet(os.path.join(path, "codes"))
+    cands = codes_df.mapInPandas(
+        scan, "query_id bigint, neighbor_id bigint, adc_dist double")
+    return _adc_rerank(d, cands, nkeep, k, max_query_id)
 
 
 def pq_calibration(df: DataFrame, m: int = 16, ksub: int = 32,
@@ -1027,26 +1128,7 @@ def ivf_pq_topk(df: DataFrame, k: int = 5, n_cells: int = 16,
 
     cands = assigned.mapInPandas(
         scan, "query_id bigint, neighbor_id bigint, adc_dist double")
-    wa = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id").asc())
-    shortlist = (cands.withColumn("__r", F.row_number().over(wa))
-                 .where(F.col("__r") <= nkeep).drop("__r", "adc_dist"))
-    qa = (d.where(F.col("id") < max_query_id)
-          .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
-                  F.col("norm").alias("qnorm")))
-    joined = (d.select(F.col("id").alias("neighbor_id"), "v", "norm")
-              .join(F.broadcast(shortlist), "neighbor_id")
-              .join(F.broadcast(qa), "query_id"))
-    dot = F.aggregate(F.zip_with(F.col("qv"), F.col("v"),
-                                 lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, z: acc + z)
-    scored = joined.select("query_id", "neighbor_id",
-                           (dot / (F.col("qnorm") * F.col("norm")))
-                           .alias("cos"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
-                                               F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    return _adc_rerank(d, cands, nkeep, k, max_query_id)
 
 
 def label_purity(df: DataFrame, n_cells: int = 16,

@@ -71,6 +71,25 @@ def test_pq_topk_recall_with_bounded_training(spark):
     assert len(brute & got) / len(brute) >= 0.85
 
 
+def test_pq_index_roundtrip_equals_fused(spark, tmp_path):
+    """The persisted index is value-faithful: searching the stored code
+    table returns EXACTLY pq_topk's output (same memoized codebooks,
+    same deterministic code argmins, batch-layout-independent candidate
+    funnel), the code table holds one row per corpus vector, and a
+    repeat search is deterministic."""
+    import os
+    emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
+    idx = str(tmp_path / "pq_index")
+    S.write_pq_index(emb, idx)
+    assert os.path.exists(os.path.join(idx, "meta.json"))
+    n_codes = spark.read.parquet(os.path.join(idx, "codes")).count()
+    assert n_codes == S.with_norm(emb).count()
+    got = sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
+    want = sorted(map(tuple, S.pq_topk(emb, k=5).collect()))
+    assert got == want
+    assert got == sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
+
+
 def test_pq_calibration_bounds(spark):
     """The pre-encode codebook check: per query the mean |ADC-estimate -
     exact| cosine error at the default codebook size stays under 0.2 on
@@ -397,6 +416,12 @@ def test_cli_round6_subcommands(capsys):
 
     rc = main(["ann", emb, "--method", "pq-calibration"])
     assert rc == 0 and "mean_abs_err" in capsys.readouterr().out
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as idx:
+        rc = main(["ann", emb, "--method", "pq-index",
+                   "--index-path", f"{idx}/i", "--k", "3"])
+        assert rc == 0 and "query_id" in capsys.readouterr().out
 
 
 def test_fuzzy_key_join_overlength_contract(spark):
