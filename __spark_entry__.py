@@ -1075,6 +1075,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity.write_pq_index(emb, path)
         return similarity.pq_index_topk(emb, path)
     q["ann_pq_index_topk"] = _pq_index
+
+    # cell-partitioned IVF-PQ index: the probe bound becomes partition
+    # pruning on the stored code table (plan-pinned); rows-only, exact
+    # equality with the fused ivf_pq_topk pytest-pinned
+    def _ivf_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+        emb = _load(spark, sf_dir, "embeddings")
+        path = os.path.join(
+            tempfile.gettempdir(), f"fds_spark_ivfpqidx_{os.getpid()}",
+            os.path.basename(os.path.normpath(sf_dir)))
+        similarity.write_ivf_pq_index(emb, path)
+        return similarity.ivf_pq_index_topk(emb, path)
+    q["ann_ivf_pq_index_topk"] = _ivf_pq_index
     # 100 TB scale-path siblings of gated exact operators: cutpoints come
     # from Spark-side GK sketches (percentile_approx), so no SQL engine
     # reproduces them — rows-only; agreement-vs-exact pytest-pinned

@@ -109,7 +109,8 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--method", default="brute",
                     choices=["brute", "lsh", "lsh-multiprobe", "ivf",
                              "ivf-kmeans", "pq", "ivf-pq",
-                             "pq-calibration", "pq-index"])
+                             "pq-calibration", "pq-index",
+                             "ivf-pq-index"])
     an.add_argument("--k", type=int, default=5)
     an.add_argument("--vec-col", default="embedding")
     an.add_argument("--id-col", default="vec_id")
@@ -658,6 +659,16 @@ def main(argv: list[str] | None = None) -> int:
                 similarity.write_pq_index(df, path, id_col=args.id_col,
                                           vec_col=args.vec_col)
             return similarity.pq_index_topk(df, path, **kw)
+
+        def _ann_ivf_pq_index():
+            import os
+            import tempfile
+            path = args.index_path or os.path.join(
+                tempfile.gettempdir(), "fds_ivf_pq_index")
+            if not os.path.exists(os.path.join(path, "meta.json")):
+                similarity.write_ivf_pq_index(
+                    df, path, id_col=args.id_col, vec_col=args.vec_col)
+            return similarity.ivf_pq_index_topk(df, path, **kw)
         out = {
             "brute": lambda: similarity.brute_force_topk(df, **kw),
             "lsh": lambda: similarity.lsh_topk(df, **kw),
@@ -672,6 +683,7 @@ def main(argv: list[str] | None = None) -> int:
             "pq-calibration": lambda: similarity.pq_calibration(
                 df, vec_col=args.vec_col, id_col=args.id_col),
             "pq-index": lambda: _ann_pq_index(),
+            "ivf-pq-index": lambda: _ann_ivf_pq_index(),
         }[args.method]()
         _emit(out, args.output)
         return 0

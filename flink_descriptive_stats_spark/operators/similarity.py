@@ -891,6 +891,144 @@ def pq_index_topk(df: DataFrame, path: str, k: int = 5, refine: int = 8,
     return _adc_rerank(d, cands, nkeep, k, max_query_id)
 
 
+def write_ivf_pq_index(df: DataFrame, path: str, n_cells: int = 16,
+                       m: int = 16, ksub: int = 32, iters: int = 2,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       max_train: int = 1 << 16) -> None:
+    """Persist the full IVF-PQ index: the code table written PARTITIONED
+    BY cell_id (one directory per IVF cell), plus a JSON sidecar holding
+    the PQ codebooks AND the sig6-rounded centroids. Partitioning by
+    cell turns the IVF probe bound into DISK-level pruning: a search
+    with n_probe=4 of 16 cells reads 1/4 of the index FILES — the scan's
+    PartitionFilters row is the plan-visible proof (pytest-pinned). This
+    is the FAISS IVFx,PQy index file re-expressed as a Spark-native
+    layout: build once (one narrow assign+encode Arrow pass over the
+    corpus), search many.
+
+    Sidecar write is write-then-rename; a crashed build leaves no
+    half-readable index. Centroid floats JSON-round-trip exactly
+    (shortest-repr doubles), so reloaded searches inline the SAME
+    literals as the fused operator."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+    crows = kmeans_centroid_rows(df, n_cells=n_cells, iters=iters,
+                                 id_col=id_col, vec_col=vec_col)
+    books = pq_codebooks(df, m=m, ksub=ksub, id_col=id_col,
+                         vec_col=vec_col, max_train=max_train)
+    d = with_norm(df, id_col, vec_col)
+    ranked = ranked_cells_expr(crows)
+    assigned = d.select(
+        "id", F.expr("transform(v, x -> x / norm)").alias("v"),
+        ranked[0]["cell_id"].alias("cell_id"))
+    m_books, _, dsub = books.shape
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf["v"]), dtype=np.float64)
+            codes = np.empty((len(X), m_books), dtype=np.int32)
+            for j in range(m_books):
+                S = X[:, j * dsub:(j + 1) * dsub]
+                d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2
+                      ).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf["id"].astype("int64"),
+                                "cell_id": pdf["cell_id"].astype("int64"),
+                                "codes": list(codes)})
+
+    enc = assigned.mapInPandas(
+        batches, "id bigint, cell_id bigint, codes array<int>")
+    (enc.write.mode("overwrite").partitionBy("cell_id")
+     .parquet(os.path.join(path, "codes")))
+    meta = {"m": int(m_books), "ksub": int(books.shape[1]),
+            "dsub": int(dsub), "books": books.tolist(),
+            "cells": [{"cell_id": int(r["cell_id"]),
+                       "cv": [float(x) for x in r["cv"]],
+                       "cnorm": float(r["cnorm"])} for r in crows]}
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def ivf_pq_index_topk(df: DataFrame, path: str, k: int = 5,
+                      n_probe: int = 4, refine: int = 8,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      max_query_id: int = 10) -> DataFrame:
+    """IVF-PQ search over a PERSISTED index (write_ivf_pq_index): same
+    contract as ivf_pq_topk, but the corpus scan reads ONLY the probed
+    cells' partitions of the stored code table — partition pruning makes
+    the probe bound a disk-I/O bound, and nothing re-assigns or
+    re-encodes. Queries probe via the SAME ranked_cells_expr over the
+    sidecar centroids the fused operator uses (identical inlined
+    literals), so index search == fused search EXACTLY (pytest-pinned)."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    books = np.asarray(meta["books"], dtype=np.float64)
+    dsub = books.shape[2]
+    d = with_norm(df, id_col, vec_col)
+    ranked = ranked_cells_expr(meta["cells"])
+    qrows = (d.where(F.col("id") < max_query_id)
+             .select("id",
+                     F.expr("transform(v, x -> x / norm)").alias("u"),
+                     F.slice(F.transform(ranked, lambda s: s["cell_id"]),
+                             1, n_probe).alias("probes"))
+             .orderBy("id").collect())
+    qids = np.asarray([r["id"] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r["u"] for r in qrows], dtype=np.float64)
+    probe_sets = [frozenset(int(c) for c in r["probes"]) for r in qrows]
+    probe_union = sorted({c for s in probe_sets for c in s})
+    lut = np.stack([((Q[:, j * dsub:(j + 1) * dsub][:, None, :]
+                      - books[j][None, :, :]) ** 2).sum(axis=2)
+                    for j in range(books.shape[0])], axis=1)
+    nkeep = refine * k
+    jidx = np.arange(books.shape[0])
+
+    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy()
+            cells = pdf["cell_id"].to_numpy()
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            out = []
+            for qi in range(len(qids)):
+                pr = probe_sets[qi]
+                mask = np.array([c in pr for c in cells]) \
+                    & (ids != qids[qi])
+                if not mask.any():
+                    continue
+                dist = lut[qi][jidx[None, :], codes[mask]].sum(axis=1)
+                cand_ids = ids[mask]
+                if len(cand_ids) > nkeep:
+                    order = np.lexsort((cand_ids, dist))[:nkeep]
+                    cand_ids, dist = cand_ids[order], dist[order]
+                out.append(pd.DataFrame(
+                    {"query_id": qids[qi], "neighbor_id": cand_ids,
+                     "adc_dist": dist}))
+            if out:
+                yield pd.concat(out)
+
+    codes_df = (df.sparkSession.read
+                .parquet(os.path.join(path, "codes"))
+                .where(F.col("cell_id").isin(probe_union)))
+    cands = codes_df.mapInPandas(
+        scan, "query_id bigint, neighbor_id bigint, adc_dist double")
+    return _adc_rerank(d, cands, nkeep, k, max_query_id)
+
+
 def pq_calibration(df: DataFrame, m: int = 16, ksub: int = 32,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    max_query_id: int = 10, max_probe: int = 1 << 14,

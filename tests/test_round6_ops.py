@@ -90,6 +90,30 @@ def test_pq_index_roundtrip_equals_fused(spark, tmp_path):
     assert got == sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
 
 
+def test_ivf_pq_index_roundtrip_and_partition_pruning(spark, tmp_path):
+    """The persisted IVF-PQ index equals the fused ivf_pq_topk exactly
+    (same memoized centroids/codebooks, same probe expression over the
+    sidecar), the code table is laid out one directory per IVF cell, and
+    the probed-cells read carries PartitionFilters — the disk-level
+    probe bound, visible in the plan."""
+    import os
+    emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
+    idx = str(tmp_path / "ivfpq_index")
+    S.write_ivf_pq_index(emb, idx)
+    got = sorted(map(tuple, S.ivf_pq_index_topk(emb, idx).collect()))
+    want = sorted(map(tuple, S.ivf_pq_topk(emb).collect()))
+    assert got == want
+    cell_dirs = [n for n in os.listdir(os.path.join(idx, "codes"))
+                 if n.startswith("cell_id=")]
+    assert len(cell_dirs) > 1
+    pruned = (spark.read.parquet(os.path.join(idx, "codes"))
+              .where(F.col("cell_id").isin([0, 1])))
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "PartitionFilters" in plan and "cell_id" in plan
+
+
 def test_pq_calibration_bounds(spark):
     """The pre-encode codebook check: per query the mean |ADC-estimate -
     exact| cosine error at the default codebook size stays under 0.2 on
@@ -421,6 +445,9 @@ def test_cli_round6_subcommands(capsys):
     with tempfile.TemporaryDirectory() as idx:
         rc = main(["ann", emb, "--method", "pq-index",
                    "--index-path", f"{idx}/i", "--k", "3"])
+        assert rc == 0 and "query_id" in capsys.readouterr().out
+        rc = main(["ann", emb, "--method", "ivf-pq-index",
+                   "--index-path", f"{idx}/i2", "--k", "3"])
         assert rc == 0 and "query_id" in capsys.readouterr().out
 
 
