@@ -891,6 +891,72 @@ def pq_index_topk(df: DataFrame, path: str, k: int = 5, refine: int = 8,
     return _adc_rerank(d, cands, nkeep, k, max_query_id)
 
 
+def append_pq_index(df_new: DataFrame, path: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Incremental index growth: encode ONLY the new vectors with the
+    index's EXISTING codebooks and append their codes — the daily-ingest
+    path. Codebooks are deliberately NOT retrained (the standard
+    practice: an encode is cheap per batch, a codebook change would
+    force re-encoding everything already stored; codebook drift against
+    newer data is what pq_calibration measures). Caller contract: new
+    ids are disjoint from the stored ids (e.g. monotone ingest ids) —
+    the index does not dedupe."""
+    import json
+    import os
+
+    import numpy as np
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    books = np.asarray(meta["books"], dtype=np.float64)
+    (pq_encode(df_new, books, id_col=id_col, vec_col=vec_col)
+     .write.mode("append").parquet(os.path.join(path, "codes")))
+
+
+def append_ivf_pq_index(df_new: DataFrame, path: str,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> None:
+    """Incremental growth of a cell-partitioned IVF-PQ index: assign the
+    new vectors to cells with the index's STORED centroids (the same
+    ranked_cells_expr literals searches use), encode with the stored
+    codebooks, and append into the per-cell partition directories. Same
+    no-retrain / disjoint-ids contract as append_pq_index."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    books = np.asarray(meta["books"], dtype=np.float64)
+    m_books, _, dsub = books.shape
+    d = with_norm(df_new, id_col, vec_col)
+    ranked = ranked_cells_expr(meta["cells"])
+    assigned = d.select(
+        "id", F.expr("transform(v, x -> x / norm)").alias("v"),
+        ranked[0]["cell_id"].alias("cell_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf["v"]), dtype=np.float64)
+            codes = np.empty((len(X), m_books), dtype=np.int32)
+            for j in range(m_books):
+                S = X[:, j * dsub:(j + 1) * dsub]
+                d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2
+                      ).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf["id"].astype("int64"),
+                                "cell_id": pdf["cell_id"].astype("int64"),
+                                "codes": list(codes)})
+
+    enc = assigned.mapInPandas(
+        batches, "id bigint, cell_id bigint, codes array<int>")
+    (enc.write.mode("append").partitionBy("cell_id")
+     .parquet(os.path.join(path, "codes")))
+
+
 def write_ivf_pq_index(df: DataFrame, path: str, n_cells: int = 16,
                        m: int = 16, ksub: int = 32, iters: int = 2,
                        id_col: str = "vec_id", vec_col: str = "embedding",

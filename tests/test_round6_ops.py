@@ -90,6 +90,62 @@ def test_pq_index_roundtrip_equals_fused(spark, tmp_path):
     assert got == sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
 
 
+def test_append_pq_index_equals_reference_encode(spark, tmp_path):
+    """Appending a delta encodes it with the index's EXISTING codebooks
+    (no retrain): an index built on half the corpus then appended with
+    the other half must search identically to a hand-built index whose
+    codes are the half-trained books applied to the full corpus."""
+    import os
+    import shutil
+    emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "grown")
+    S.write_pq_index(a, idx)
+    S.append_pq_index(b, idx)
+    n = spark.read.parquet(os.path.join(idx, "codes")).count()
+    assert n == S.with_norm(emb).count()
+    # reference: same (A-trained) books applied to the whole corpus
+    books_a = S.pq_codebooks(a, m=16, ksub=32)
+    ref = str(tmp_path / "ref")
+    (S.pq_encode(emb, books_a).write.mode("overwrite")
+     .parquet(os.path.join(ref, "codes")))
+    os.makedirs(ref, exist_ok=True)
+    shutil.copy(os.path.join(idx, "meta.json"),
+                os.path.join(ref, "meta.json"))
+    got = sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
+    want = sorted(map(tuple, S.pq_index_topk(emb, ref).collect()))
+    assert got == want
+
+
+def test_append_ivf_pq_index_grows_partitions(spark, tmp_path):
+    """IVF-PQ append assigns the delta with the STORED centroids and
+    lands codes in the per-cell partition dirs; the grown index searches
+    the full corpus (every neighbor id reachable) without retraining."""
+    import os
+    emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf_grown")
+    S.write_ivf_pq_index(a, idx)
+    S.append_ivf_pq_index(b, idx)
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    assert codes.count() == S.with_norm(emb).count()
+    # appended rows use the stored centroids: every cell dir is a known
+    # cell id from the sidecar
+    import json
+    with open(os.path.join(idx, "meta.json")) as f:
+        known = {c["cell_id"] for c in json.load(f)["cells"]}
+    got_cells = {int(r["cell_id"]) for r in
+                 codes.select("cell_id").distinct().collect()}
+    assert got_cells <= known
+    res = S.ivf_pq_index_topk(emb, idx).collect()
+    ids = {r["neighbor_id"] for r in res}
+    assert any(i % 2 == 1 for i in ids)   # appended half is searchable
+    assert sorted(map(tuple, res)) == sorted(
+        map(tuple, S.ivf_pq_index_topk(emb, idx).collect()))
+
+
 def test_ivf_pq_index_roundtrip_and_partition_pruning(spark, tmp_path):
     """The persisted IVF-PQ index equals the fused ivf_pq_topk exactly
     (same memoized centroids/codebooks, same probe expression over the
