@@ -414,6 +414,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mixture_sample_documents"] = _tq(
         lambda df: sampling.mixture_sample(df, rates=MIX_RATES,
                                            default_rate=0.25), "documents")
+    # temperature mixture (n^alpha source upsampling — the multilingual
+    # LM mixing recipe); rates are DATA-derived, sig6-rounded before the
+    # integer threshold so the discrete keep rule matches the oracle
+    q["temperature_mixture_documents"] = _tq(
+        sampling.temperature_mixture_sample, "documents")
     q["pack_sequences_documents"] = _tq(sampling.pack_sequences, "documents")
 
     # multimodal plumbing (metadata/frames are oracle-checkable)
@@ -1357,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
     o["hash_split_documents"] = op.hash_split_sql()
     o["mixture_sample_documents"] = op.mixture_sample_sql(
         rates=MIX_RATES, default_rate=0.25)
+    o["temperature_mixture_documents"] = op.temperature_mixture_sql()
     o["pack_sequences_documents"] = op.pack_sequences_sql()
     o["simhash_near_pairs_documents"] = op.simhash_near_pairs_sql()
     o["multimodal_frames_documents"] = (

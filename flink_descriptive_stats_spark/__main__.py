@@ -31,7 +31,8 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "list-queries", "compression", "label-separation",
                "join-advisor", "paragraph-dedup", "label-purity",
                "dup-rate", "temporal-split", "pack-bfd", "k-anonymity",
-               "quality-ensemble", "curate", "keys", "fuzzy-join")
+               "quality-ensemble", "curate", "keys", "fuzzy-join",
+               "temperature-mix")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -215,6 +216,16 @@ def build_parser() -> argparse.ArgumentParser:
     ky.add_argument("input")
     ky.add_argument("--columns", default=None)
     _add_common(ky)
+
+    tmx = sub.add_parser("temperature-mix",
+                         help="n^alpha temperature mixture sampling "
+                              "across sources")
+    tmx.add_argument("input")
+    tmx.add_argument("--alpha", type=float, default=0.5)
+    tmx.add_argument("--target-fraction", type=float, default=0.5)
+    tmx.add_argument("--source-col", default="source")
+    tmx.add_argument("--id-col", default="doc_id")
+    _add_common(tmx)
 
     fj = sub.add_parser("fuzzy-join",
                         help="record linkage on approximately-equal keys")
@@ -730,6 +741,14 @@ def main(argv: list[str] | None = None) -> int:
                                       vec_col=args.vec_col,
                                       label_col=args.label_col),
               args.output)
+        return 0
+
+    if args.cmd == "temperature-mix":
+        from flink_descriptive_stats_spark.operators import sampling
+        df = _load(spark, args.input, args.format)
+        _emit(sampling.temperature_mixture_sample(
+            df, alpha=args.alpha, target_fraction=args.target_fraction,
+            source_col=args.source_col, id_col=args.id_col), args.output)
         return 0
 
     if args.cmd == "fuzzy-join":

@@ -90,6 +90,53 @@ def mixture_sample(df: DataFrame, rates: tuple[tuple[str, float], ...],
     return df.where(_bucket(id_col, salt) < thr)
 
 
+def temperature_mixture_sample(df: DataFrame, alpha: float = 0.5,
+                               target_fraction: float = 0.5,
+                               source_col: str = "source",
+                               id_col: str = "doc_id",
+                               salt: str = "tmix") -> DataFrame:
+    """Temperature-weighted mixture sampling — the multilingual/multi-
+    source LM data-mixing recipe (sample source s with probability
+    proportional to n_s^alpha): alpha=1 keeps natural proportions,
+    alpha=0 uniform across sources; in between, low-resource sources are
+    UPsampled relative to their share. Keep rate per source:
+    r_s = min(1, target_fraction * N * p_s / n_s) with
+    p_s = n_s^alpha / sum_t n_t^alpha — expected output is
+    ~target_fraction * N rows distributed ~p_s (exactly r_s*n_s per
+    source up to hash-bucket granularity, since the keep decision is
+    the deterministic md5 bucket rule shared with mixture_sample).
+    When a low-resource source's implied rate exceeds 1 it simply keeps
+    everything — the clamp does NOT redistribute its unmet mass to
+    other sources (rerun with a higher target_fraction if the exact
+    output size matters more than the per-source law).
+
+    Shape: ONE bounded groupBy(source) count, window math over that
+    bounded frame only, then a broadcast join of the (source, threshold)
+    map and the row-local bucket filter riding the scan — the corpus
+    never shuffles. Cross-engine determinism: the rate rounds through
+    sig6 BEFORE the floor to integer bucket threshold, so the discrete
+    keep decision cannot fork on pow()/division last-ulp differences
+    (the established FP-boundary discipline). NULL-source rows are out
+    of scope (no mixture weight to apply) and are dropped."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    cnt = (df.where(F.col(source_col).isNotNull())
+           .groupBy(F.col(source_col).alias("__s"))
+           .agg(F.count(F.lit(1)).alias("__n")))
+    w = Window.partitionBy()
+    nd = F.col("__n").cast("double")
+    p = F.pow(nd, F.lit(float(alpha)))
+    raw = (F.lit(float(target_fraction))
+           * F.sum("__n").over(w).cast("double") * p / F.sum(p).over(w)
+           / nd)
+    rate = F.least(F.lit(1.0), sig6(raw).cast("double"))
+    thr = F.floor(rate * F.lit(float(BUCKETS))).cast("bigint")
+    rates = cnt.select("__s", thr.alias("__thr"))
+    return (df.join(F.broadcast(rates),
+                    F.col(source_col) == F.col("__s"))
+            .where(_bucket(id_col, salt) < F.col("__thr"))
+            .drop("__s", "__thr"))
+
+
 def pack_sequences(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", max_tokens: int = 512,
                    n_shards: int = 8) -> DataFrame:

@@ -710,6 +710,34 @@ def mixture_sample_sql(table: str = "documents",
     return f"SELECT * FROM {table} WHERE {bucket} < ({thr})"
 
 
+def temperature_mixture_sql(table: str = "documents", alpha: float = 0.5,
+                            target_fraction: float = 0.5,
+                            salt: str = "tmix") -> str:
+    """Mirror of sampling.temperature_mixture_sample: same bounded
+    per-source counts, the identical left-to-right rate arithmetic, the
+    sig6 round BEFORE the floor-to-threshold (so pow/division last-ulp
+    differences cannot flip the discrete keep decision), and the shared
+    md5 bucket rule."""
+    from flink_descriptive_stats_spark.operators import sampling as SP
+    bucket = (H.duck_token_hash(f"CAST(doc_id AS VARCHAR) || '/{salt}'")
+              + f" % {SP.BUCKETS}")
+    raw = (f"{float(target_fraction)!r} * tn * p / tp "
+           f"/ CAST(n AS DOUBLE)")
+    return f"""
+WITH c AS (SELECT source AS s, count(*) AS n FROM {table}
+           WHERE source IS NOT NULL GROUP BY 1),
+r AS (SELECT s, n, pow(CAST(n AS DOUBLE), {float(alpha)!r}) AS p,
+             sum(pow(CAST(n AS DOUBLE), {float(alpha)!r})) OVER () AS tp,
+             CAST(sum(n) OVER () AS DOUBLE) AS tn
+      FROM c),
+t AS (SELECT s, CAST(floor(least(1.0,
+             CAST({duck_sig6(raw)} AS DOUBLE)) * {SP.BUCKETS}.0)
+             AS BIGINT) AS thr
+      FROM r)
+SELECT x.* FROM {table} x JOIN t ON x.source = t.s
+WHERE {bucket} < t.thr"""
+
+
 def pack_sequences_sql(table: str = "documents", max_tokens: int = 512,
                        n_shards: int = 8) -> str:
     """Mirror of sampling.pack_sequences (per-shard running token offsets)."""

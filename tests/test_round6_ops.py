@@ -478,6 +478,40 @@ def test_quality_ensemble_custom_id_col(spark):
     assert default == custom
 
 
+def test_temperature_mixture_semantics(spark):
+    """The n^alpha mixing law: at alpha<1 the low-resource source keeps
+    a HIGHER fraction of its rows than the high-resource one; at alpha=1
+    every source keeps ~target_fraction; total output tracks
+    target_fraction * N; determinism across calls."""
+    from flink_descriptive_stats_spark.operators.sampling import (
+        temperature_mixture_sample)
+    rows = ([(i, "big") for i in range(900)]
+            + [(i + 1000, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    def keep_rates(alpha):
+        out = temperature_mixture_sample(df, alpha=alpha,
+                                         target_fraction=0.5)
+        kept = {r["source"]: r["n"] for r in
+                out.groupBy("source").agg(
+                    F.count(F.lit(1)).alias("n")).collect()}
+        return (kept.get("big", 0) / 900, kept.get("small", 0) / 100,
+                sum(kept.values()))
+
+    big_r, small_r, total = keep_rates(0.3)
+    assert small_r > big_r                  # low-resource upsampled
+    # clamped expectation: r_small caps at 1 (keep all 100), r_big =
+    # 0.5*1000*p_big/900 ~ 0.366 -> ~429 total (the clamp deliberately
+    # does not redistribute its lost mass)
+    assert small_r == 1.0
+    assert abs(total - 429) < 60
+    b1, s1, t1 = keep_rates(1.0)            # natural proportions
+    assert abs(b1 - 0.5) < 0.08 and abs(s1 - 0.5) < 0.15
+    out_a = sorted(map(tuple, temperature_mixture_sample(df).collect()))
+    out_b = sorted(map(tuple, temperature_mixture_sample(df).collect()))
+    assert out_a == out_b
+
+
 def test_cli_round6_subcommands(capsys):
     """CLI smoke for the round-6 surfaces: approx Spearman, sketch-grid
     KS via compare --ks-approx, and the PQ calibration method."""
@@ -505,6 +539,10 @@ def test_cli_round6_subcommands(capsys):
         rc = main(["ann", emb, "--method", "ivf-pq-index",
                    "--index-path", f"{idx}/i2", "--k", "3"])
         assert rc == 0 and "query_id" in capsys.readouterr().out
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    rc = main(["temperature-mix", docs, "--alpha", "0.3"])
+    assert rc == 0 and "doc_id" in capsys.readouterr().out
 
 
 def test_fuzzy_key_join_overlength_contract(spark):
