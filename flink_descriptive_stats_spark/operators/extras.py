@@ -1011,28 +1011,43 @@ def _spearman_ranked(base: DataFrame, cols: list[str], exact: bool,
     def bucket_idx(c):
         if cuts[c] is None:  # empty frame after listwise deletion
             return F.lit(0.0)
-        # The bucket index is #{cutpoints < x}, computed by a BINARY-
-        # SEARCH CASE tree over the sorted deduped cutpoints — O(log B)
-        # comparisons per row, built as ONE SQL string. Both obvious
-        # alternatives are linear per row and measurably bad at scale:
-        # an aggregate() HOF fold boxes every element lambda (12s+ at
-        # sf0.1) and a flat CASE-sum still evaluates all B comparisons
-        # (the fixture scans in ~1 task, so per-row cost serializes).
-        # The tree is ~8 primitive compares for B=200.
-        vals = sorted({float(v) for v in cuts[c]})
-        x = f"CAST(`{c}` AS DOUBLE)"
-
-        def rec(vs, offset):
-            if not vs:
-                return str(offset)
-            mid = len(vs) // 2
-            return (f"(CASE WHEN {x} > {vs[mid]!r} THEN "
-                    f"{rec(vs[mid + 1:], offset + mid + 1)} ELSE "
-                    f"{rec(vs[:mid], offset)} END)")
-
-        return F.expr(f"CAST({rec(vals, 0)} AS DOUBLE)")
+        return _cut_index_expr(f"CAST(`{c}` AS DOUBLE)", cuts[c])
 
     return base.select(*[bucket_idx(c).alias(c) for c in cols])
+
+
+def _cut_index_expr(x_sql: str, cutpoints) -> "F.Column":
+    """#{cutpoints < x}, MULTIPLICITY-AWARE, as a BINARY-SEARCH CASE
+    tree over the sorted distinct cutpoints — O(log B) comparisons per
+    row, built as ONE SQL string. Duplicate cutpoints (heavy-tie
+    columns: one value can occupy many quantile slots) keep their full
+    weight in the count, so the rank estimate doesn't collapse a tie
+    plateau into one bucket (measured 0.049 rank error on the events
+    fixture before the weighting; ~1/B after). Both obvious
+    alternatives are linear per row and measurably bad at scale: an
+    aggregate() HOF fold boxes every element lambda (12s+ at sf0.1)
+    and a flat CASE-sum still evaluates all B comparisons. Equal values
+    land in equal cells, so tie structure survives — the property both
+    the Spearman rank surrogate and the approx percent-rank transform
+    depend on."""
+    from collections import Counter
+    cnt = Counter(float(v) for v in cutpoints)
+    uniq = sorted(cnt)
+    pre = []                      # pre[i] = #original cutpoints < uniq[i]
+    run = 0
+    for v in uniq:
+        pre.append(run)
+        run += cnt[v]
+    total = run
+
+    def rec(lo, hi):
+        if lo >= hi:
+            return str(total if lo >= len(uniq) else pre[lo])
+        mid = (lo + hi) // 2
+        return (f"(CASE WHEN {x_sql} > {uniq[mid]!r} THEN "
+                f"{rec(mid + 1, hi)} ELSE {rec(lo, mid)} END)")
+
+    return F.expr(f"CAST({rec(0, len(uniq))} AS DOUBLE)")
 
 
 def woe_iv(df: DataFrame, feature_col: str, label_col,
@@ -1198,7 +1213,8 @@ def histogram_log(df: DataFrame, column: str, bins: int = 10) -> DataFrame:
 
 
 def percentile_rank_transform(df: DataFrame, column: str,
-                              id_col: str) -> DataFrame:
+                              id_col: str, exact: bool = True,
+                              n_buckets: int = 1000) -> DataFrame:
     """Quantile-normalization transform: (id, value, pct_rank) with
     pct_rank = percent_rank() over the value order — maps any
     distribution onto [0, 1] uniformly (the feature-scaling step that
@@ -1207,19 +1223,34 @@ def percentile_rank_transform(df: DataFrame, column: str,
     (rank - 1) / (n - 1) value on both engines; NULL values are
     excluded (no rank is defined for them).
 
-    The exact path is a global sort of the projected (id, value) pairs —
-    same trade as exact quantiles; at 100 TB swap for bucketed
-    percentile_approx thresholds (histogram_equidepth ships that
-    shape)."""
+    exact=True (the gated/oracle path) is a global sort of the
+    projected (id, value) pairs — same trade as exact quantiles.
+    exact=False is the 100 TB path: one approx_percentile cutpoint
+    aggregate, then pct_rank ~ (#cutpoints < x) / n_buckets via the
+    O(log B) binary-search CASE tree — NO sort, NO window, narrow after
+    the bounded cutpoint collect; |approx - exact| <= ~1/n_buckets +
+    sketch error (pytest-pinned), ties still share a value."""
     from pyspark.sql import Window
     from flink_descriptive_stats_spark.functions.sig import sig6
     x = F.col(column).cast("double")
-    # percent_rank must be tie-aware on VALUE only (ordering by
-    # (value, id) would hand ties distinct ranks)
-    wv = Window.orderBy(x)
-    return (df.where(x.isNotNull())
-            .select(F.col(id_col).alias("id"), x.alias("value"),
-                    sig6(F.percent_rank().over(wv)).alias("pct_rank")))
+    base = df.where(x.isNotNull())
+    if exact:
+        # percent_rank must be tie-aware on VALUE only (ordering by
+        # (value, id) would hand ties distinct ranks)
+        wv = Window.orderBy(x)
+        return base.select(F.col(id_col).alias("id"), x.alias("value"),
+                           sig6(F.percent_rank().over(wv))
+                           .alias("pct_rank"))
+    probs = F.array(*[F.lit((i + 1) / n_buckets)
+                      for i in range(n_buckets - 1)])
+    cuts = base.agg(F.percentile_approx(x, probs)).collect()[0][0]
+    if not cuts:
+        return base.select(F.col(id_col).alias("id"), x.alias("value"),
+                           sig6(F.lit(0.0)).alias("pct_rank"))
+    idx = _cut_index_expr(f"CAST(`{column}` AS DOUBLE)", cuts)
+    return base.select(
+        F.col(id_col).alias("id"), x.alias("value"),
+        sig6(idx / F.lit(float(n_buckets))).alias("pct_rank"))
 
 
 def distinct_rollup_hll(df: DataFrame, ts_col: str = "ts",

@@ -478,6 +478,27 @@ def test_quality_ensemble_custom_id_col(spark):
     assert default == custom
 
 
+def test_percentile_rank_approx_tracks_exact(spark):
+    """The no-sort approx percent-rank stays within ~1/n_buckets of the
+    exact transform per row, and equal values still share one rank."""
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {r["id"]: float(r["pct_rank"]) for r in
+             X.percentile_rank_transform(ev, "value", "event_id")
+             .collect()}
+    approx = {r["id"]: float(r["pct_rank"]) for r in
+              X.percentile_rank_transform(ev, "value", "event_id",
+                                          exact=False).collect()}
+    assert set(exact) == set(approx)
+    worst = max(abs(exact[i] - approx[i]) for i in exact)
+    assert worst <= 1 / 1000 + 0.01, worst
+    # tie structure: same value -> same approx rank
+    by_val = {}
+    for r in X.percentile_rank_transform(ev, "value", "event_id",
+                                         exact=False).collect():
+        by_val.setdefault(r["value"], set()).add(r["pct_rank"])
+    assert all(len(s) == 1 for s in by_val.values())
+
+
 def test_temperature_mixture_semantics(spark):
     """The n^alpha mixing law: at alpha<1 the low-resource source keeps
     a HIGHER fraction of its rows than the high-resource one; at alpha=1
