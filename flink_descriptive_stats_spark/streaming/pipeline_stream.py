@@ -881,9 +881,16 @@ def start_ingest_dedup_monitor(stream: DataFrame, old: DataFrame,
             d = (batch_df.where(F.col(content_col).isNotNull())
                  .select(F.col(source_col).alias("source"),
                          F.md5(F.col(content_col)).alias("h")))
+            # per_hash feeds BOTH the totals aggregate and the novel-hash
+            # write; persisted for the epoch so the batch scan + seen
+            # join run once, not twice (MEMORY_AND_DISK: spills, never
+            # OOMs — state is (source, hash, n) rows, bounded by the
+            # batch's distinct content)
+            from pyspark import StorageLevel
             per_hash = (d.groupBy("source", "h")
                         .agg(F.count(F.lit(1)).alias("n"))
-                        .join(seen, "h", "left"))
+                        .join(seen, "h", "left")
+                        .persist(StorageLevel.MEMORY_AND_DISK))
             is_old = F.col("__in_old").isNotNull()
             rows = (per_hash.groupBy("source")
                     .agg(F.sum("n").alias("a"),
@@ -896,6 +903,7 @@ def start_ingest_dedup_monitor(stream: DataFrame, old: DataFrame,
             novel = (per_hash.where(~is_old).select("h").distinct())
             novel.write.mode("overwrite").parquet(
                 os.path.join(hashes_dir, f"epoch={epoch_id}"))
+            per_hash.unpersist()
             for r in rows:
                 t = totals.setdefault(r["source"], [0, 0, 0, 0])
                 t[0] += int(r["a"]); t[1] += int(r["b"])
