@@ -186,6 +186,18 @@ _API = {
     "fuzzy_key_join": ("operators.joins", "fuzzy_key_join"),
     "load_binary_dir": ("sources.tables", "load_binary_dir"),
     "load_text_dir": ("sources.tables", "load_text_dir"),
+    # round 6: scale-path siblings, PQ index lifecycle, mixing
+    "ks_drift_approx": ("operators.extras", "ks_drift_approx"),
+    "pq_calibration": ("operators.similarity", "pq_calibration"),
+    "write_pq_index": ("operators.similarity", "write_pq_index"),
+    "pq_index_topk": ("operators.similarity", "pq_index_topk"),
+    "append_pq_index": ("operators.similarity", "append_pq_index"),
+    "write_ivf_pq_index": ("operators.similarity", "write_ivf_pq_index"),
+    "ivf_pq_index_topk": ("operators.similarity", "ivf_pq_index_topk"),
+    "append_ivf_pq_index": ("operators.similarity",
+                            "append_ivf_pq_index"),
+    "temperature_mixture_sample": ("operators.sampling",
+                                   "temperature_mixture_sample"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]
