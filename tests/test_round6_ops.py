@@ -478,6 +478,16 @@ def test_quality_ensemble_custom_id_col(spark):
     assert default == custom
 
 
+def test_package_exports_resolve():
+    """Every name in the package __all__ resolves to a real callable —
+    the no-padding guarantee for the lazy export map (a typo'd module
+    or attribute would otherwise surface only when a user touches it)."""
+    import flink_descriptive_stats_spark as M
+    for name in M.__all__:
+        obj = getattr(M, name)
+        assert callable(obj), name
+
+
 def test_percentile_rank_approx_tracks_exact(spark):
     """The no-sort approx percent-rank stays within ~1/n_buckets of the
     exact transform per row, and equal values still share one rank."""
