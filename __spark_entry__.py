@@ -365,6 +365,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate_corpus(docs.where(F.col("doc_id") % 10 != 0),
                              docs.where(F.col("doc_id") % 10 == 0))
     q["curate_corpus_documents"] = _curate_corpus
+
+    # the read-only sibling of curate_corpus: one card per corpus drop,
+    # oracle-gated end to end (transitively exercises text_stats,
+    # lang_id, pii_scan, canonical dedup and the distinct machinery)
+    def _dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators.quality import \
+            dataset_card
+        return dataset_card(_load(spark, sf_dir, "documents"))
+    q["dataset_card_documents"] = _dataset_card
     q["temporal_split_events"] = _tq(sampling.temporal_split, "events")
     q["neardup_clusters_documents"] = _tq(dedup.neardup_clusters, "documents")
     q["dedup_corpus_documents"] = _tq(dedup.dedup_corpus, "documents")
@@ -1308,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
         "documents", ["lang", "source"], k=5)
     o["quality_ensemble_documents"] = op.quality_ensemble_sql()
     o["curate_corpus_documents"] = op.curate_corpus_sql()
+    o["dataset_card_documents"] = op.dataset_card_sql()
     o["temporal_split_events"] = op.temporal_split_sql()
     o["paragraph_dedup_documents"] = (
         "WITH t AS (SELECT doc_id AS id, "

@@ -198,6 +198,7 @@ _API = {
                             "append_ivf_pq_index"),
     "temperature_mixture_sample": ("operators.sampling",
                                    "temperature_mixture_sample"),
+    "dataset_card": ("operators.quality", "dataset_card"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

@@ -32,7 +32,7 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "join-advisor", "paragraph-dedup", "label-purity",
                "dup-rate", "temporal-split", "pack-bfd", "k-anonymity",
                "quality-ensemble", "curate", "keys", "fuzzy-join",
-               "temperature-mix")
+               "temperature-mix", "dataset-card")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -216,6 +216,15 @@ def build_parser() -> argparse.ArgumentParser:
     ky.add_argument("input")
     ky.add_argument("--columns", default=None)
     _add_common(ky)
+
+    dca = sub.add_parser("dataset-card",
+                         help="one-call corpus datasheet (size, dedup, "
+                              "quality, language, PII)")
+    dca.add_argument("input")
+    dca.add_argument("--text-col", default="text")
+    dca.add_argument("--id-col", default="doc_id")
+    dca.add_argument("--source-col", default="source")
+    _add_common(dca)
 
     tmx = sub.add_parser("temperature-mix",
                          help="n^alpha temperature mixture sampling "
@@ -741,6 +750,15 @@ def main(argv: list[str] | None = None) -> int:
                                       vec_col=args.vec_col,
                                       label_col=args.label_col),
               args.output)
+        return 0
+
+    if args.cmd == "dataset-card":
+        from flink_descriptive_stats_spark.operators.quality import \
+            dataset_card
+        df = _load(spark, args.input, args.format)
+        _emit(dataset_card(df, text_col=args.text_col,
+                           id_col=args.id_col,
+                           source_col=args.source_col), args.output)
         return 0
 
     if args.cmd == "temperature-mix":

@@ -238,6 +238,81 @@ def quality_ensemble(df: DataFrame, text_col: str = "text",
         .alias("ensemble"))
 
 
+def dataset_card(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 source_col: str = "source") -> DataFrame:
+    """One-call corpus datasheet — the LLM-pipeline analogue of the
+    reference's console report: (section, metric, value) rows, in a
+    fixed order, covering size (docs/sources/tokens/chars + the max
+    source share, i.e. dominance skew), duplication (exact and
+    canonical duplicate fractions), quality (mean + below-0.5 share of
+    the composite score, exact median token count), language (top
+    language, its share, distinct languages), and PII exposure
+    (fraction of docs with >= 1 match). The first thing to run on a
+    new corpus drop; every number is the already-gated operator's own,
+    so the card is oracle-verified END TO END as one composition
+    (transitively exercising text_stats, lang_id, pii_scan, canonical
+    dedup, and the distinct machinery).
+
+    Value rendering: counts as plain integer strings, labels verbatim,
+    everything fractional through sig6 — one string column keeps the
+    mixed-type card schema-stable and engine-identical.
+
+    Cost shape: five bounded aggregates over one corpus scan each (the
+    per-doc subframes are scan-local projections; no joins, nothing
+    wide); outputs are O(1) driver rows. NULL-text docs are out of
+    scope for every metric (the same contract as the component ops)."""
+    from flink_descriptive_stats_spark.functions.sig import sig6, sig6_py
+    from flink_descriptive_stats_spark.operators.dedup import \
+        _canonical_expr
+    from flink_descriptive_stats_spark.operators.text import (lang_id,
+                                                              pii_scan,
+                                                              text_stats)
+    d = df.where(F.col(text_col).isNotNull())
+    q = F.col("quality_score").cast("double")
+    r1 = text_stats(df, text_col=text_col, id_col=id_col).agg(
+        F.sum("n_tokens").alias("ntok"),
+        F.sum("n_chars").alias("nch"),
+        sig6(F.avg(q)).alias("mq"),
+        sig6(F.count_if(q < 0.5).cast("double")
+             / F.count(F.lit(1))).alias("lowq"),
+        sig6(F.percentile(F.col("n_tokens").cast("double"),
+                          F.lit(0.5))).alias("med")).collect()[0]
+    r2 = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.md5(F.col(text_col))).alias("cd"),
+        F.count_distinct(F.md5(_canonical_expr(text_col))).alias("cc"),
+        F.count_distinct(F.col(source_col)).alias("ns")).collect()[0]
+    n = int(r2["n"])
+    smax = (d.groupBy(source_col).agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c")).collect()[0][0])
+    lrows = (lang_id(df, text_col=text_col, id_col=id_col)
+             .groupBy("predicted_lang")
+             .agg(F.count(F.lit(1)).alias("c")).collect())
+    lrows.sort(key=lambda r: (-r["c"], r["predicted_lang"]))
+    pf = pii_scan(df, text_col=text_col, id_col=id_col).agg(
+        F.count_if(F.col("n_pii") > 0).alias("p")).collect()[0]
+    rows = [
+        ("corpus", "n_docs", str(n)),
+        ("corpus", "n_sources", str(int(r2["ns"]))),
+        ("corpus", "n_tokens", str(int(r1["ntok"]))),
+        ("corpus", "n_chars", str(int(r1["nch"]))),
+        ("corpus", "max_source_share", sig6_py(int(smax) / n)),
+        ("dedup", "exact_dup_fraction", sig6_py(1.0 - int(r2["cd"]) / n)),
+        ("dedup", "canonical_dup_fraction",
+         sig6_py(1.0 - int(r2["cc"]) / n)),
+        ("quality", "mean_quality", r1["mq"]),
+        ("quality", "low_quality_fraction", r1["lowq"]),
+        ("quality", "median_tokens", r1["med"]),
+        ("lang", "top_lang", lrows[0]["predicted_lang"]),
+        ("lang", "top_lang_share", sig6_py(int(lrows[0]["c"]) / n)),
+        ("lang", "n_langs", str(len(lrows))),
+        ("pii", "pii_doc_fraction", sig6_py(int(pf["p"]) / n)),
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "section string, metric string, value string")
+
+
 def curate_corpus(df: DataFrame, holdout: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   min_score: float = 0.5, strata_col: str = "lang",

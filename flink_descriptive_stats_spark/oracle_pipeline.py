@@ -2655,6 +2655,61 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, {s('rq')} AS q_rank,
 FROM r"""
 
 
+def dataset_card_sql(table: str = "documents") -> str:
+    """Mirror of quality.dataset_card: the component mirrors as CTEs,
+    each card row a one-value aggregate, counts cast to VARCHAR and
+    fractions through duck_sig6 — the same rendering split the Spark
+    side uses, so the mixed-type value column compares exactly."""
+    from flink_descriptive_stats_spark.operators.text import PII_PATTERNS
+    s = duck_sig6
+    pii_total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for _, pat in PII_PATTERNS)
+    return f"""
+WITH ts AS ({text_stats_sql(table)}),
+li AS ({lang_id_sql(table)}),
+d AS (SELECT * FROM {table} WHERE text IS NOT NULL),
+base AS (SELECT count(*) AS n, count(DISTINCT md5(text)) AS cd,
+                count(DISTINCT {_CANON}) AS cc,
+                count(DISTINCT source) AS ns FROM d),
+tsa0 AS (SELECT sum(n_tokens) AS ntok, sum(n_chars) AS nch,
+                avg(CAST(quality_score AS DOUBLE)) AS mq_raw,
+                CAST(count(*) FILTER (CAST(quality_score AS DOUBLE)
+                  < 0.5) AS DOUBLE) / count(*) AS lowq_raw,
+                quantile_cont(CAST(n_tokens AS DOUBLE), 0.5) AS med_raw
+         FROM ts),
+tsa AS (SELECT ntok, nch, {s('mq_raw')} AS mq, {s('lowq_raw')} AS lowq,
+               {s('med_raw')} AS med FROM tsa0),
+smax AS (SELECT max(c) AS mx FROM
+           (SELECT count(*) AS c FROM d GROUP BY source)),
+lc AS (SELECT predicted_lang AS lang, count(*) AS c FROM li GROUP BY 1),
+ltop AS (SELECT lang, c FROM lc ORDER BY c DESC, lang ASC LIMIT 1),
+nl AS (SELECT count(*) AS k FROM lc),
+pii AS (SELECT count(*) FILTER (({pii_total}) > 0) AS p FROM d)
+SELECT 'corpus' AS section, 'n_docs' AS metric,
+       CAST(n AS VARCHAR) AS value FROM base
+UNION ALL SELECT 'corpus', 'n_sources', CAST(ns AS VARCHAR) FROM base
+UNION ALL SELECT 'corpus', 'n_tokens',
+       CAST(CAST(ntok AS BIGINT) AS VARCHAR) FROM tsa
+UNION ALL SELECT 'corpus', 'n_chars',
+       CAST(CAST(nch AS BIGINT) AS VARCHAR) FROM tsa
+UNION ALL SELECT 'corpus', 'max_source_share',
+       {s('CAST(smax.mx AS DOUBLE) / base.n')} FROM smax, base
+UNION ALL SELECT 'dedup', 'exact_dup_fraction',
+       {s('1.0 - CAST(cd AS DOUBLE) / n')} FROM base
+UNION ALL SELECT 'dedup', 'canonical_dup_fraction',
+       {s('1.0 - CAST(cc AS DOUBLE) / n')} FROM base
+UNION ALL SELECT 'quality', 'mean_quality', mq FROM tsa
+UNION ALL SELECT 'quality', 'low_quality_fraction', lowq FROM tsa
+UNION ALL SELECT 'quality', 'median_tokens', med FROM tsa
+UNION ALL SELECT 'lang', 'top_lang', lang FROM ltop
+UNION ALL SELECT 'lang', 'top_lang_share',
+       {s('CAST(ltop.c AS DOUBLE) / base.n')} FROM ltop, base
+UNION ALL SELECT 'lang', 'n_langs', CAST(k AS VARCHAR) FROM nl
+UNION ALL SELECT 'pii', 'pii_doc_fraction',
+       {s('CAST(p AS DOUBLE) / base.n')} FROM pii, base"""
+
+
 def curate_corpus_sql(table: str = "documents",
                       holdout_pred: str = "doc_id % 10 = 0",
                       min_score: float = 0.5, cap: int = 10) -> str:

@@ -543,6 +543,35 @@ def test_temperature_mixture_semantics(spark):
     assert out_a == out_b
 
 
+def test_dataset_card_semantics(spark):
+    """The card's numbers are the component operators' own: duplicate
+    fractions match direct distinct counts, the section/metric order is
+    fixed, and a corpus with a known injected duplicate moves exactly
+    the dedup rows."""
+    from flink_descriptive_stats_spark.operators.quality import (
+        dataset_card)
+    docs = load_table(spark, SF_DIR, "documents")
+    card = {(r["section"], r["metric"]): r["value"]
+            for r in dataset_card(docs).collect()}
+    n = docs.where(F.col("text").isNotNull()).count()
+    assert card[("corpus", "n_docs")] == str(n)
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    cd = (docs.where(F.col("text").isNotNull())
+          .select(F.md5("text")).distinct().count())
+    assert card[("dedup", "exact_dup_fraction")] == sig6_py(1.0 - cd / n)
+    # inject one exact duplicate -> fraction rises by exactly 1/(n+1)
+    dup = docs.limit(1).withColumn("doc_id", F.lit(10 ** 9))
+    card2 = {(r["section"], r["metric"]): r["value"]
+             for r in dataset_card(docs.unionByName(dup)).collect()}
+    assert float(card2[("dedup", "exact_dup_fraction")]) > \
+        float(card[("dedup", "exact_dup_fraction")])
+    order = [(r["section"], r["metric"])
+             for r in dataset_card(docs).collect()]
+    assert order[0] == ("corpus", "n_docs")
+    assert order[-1] == ("pii", "pii_doc_fraction")
+    assert len(order) == 14
+
+
 def test_cli_round6_subcommands(capsys):
     """CLI smoke for the round-6 surfaces: approx Spearman, sketch-grid
     KS via compare --ks-approx, and the PQ calibration method."""
@@ -574,6 +603,9 @@ def test_cli_round6_subcommands(capsys):
     docs = "/root/testdata/sf0.001/documents.parquet"
     rc = main(["temperature-mix", docs, "--alpha", "0.3"])
     assert rc == 0 and "doc_id" in capsys.readouterr().out
+
+    rc = main(["dataset-card", docs])
+    assert rc == 0 and "exact_dup_fraction" in capsys.readouterr().out
 
 
 def test_fuzzy_key_join_overlength_contract(spark):
