@@ -146,8 +146,11 @@ GATED_50 = (
     "ann_lsh_topk",
     "label_separation_embeddings",
     "embedding_diversity",
-    # -- text analysis
-    "text_stats_documents",
+    # -- text analysis / corpus reporting (r6 #11: dataset_card in —
+    #    the one-call datasheet composition; text_stats demoted with
+    #    transitive cover from the gated quality_ensemble AND the card,
+    #    still oracle-verified at 51+ — see SURVEY §5.7)
+    "dataset_card_documents",
     "typo_pairs_documents",
     "tfidf_top_terms_documents",
     "lang_confusion_documents",

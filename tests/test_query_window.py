@@ -58,13 +58,15 @@ def test_gated_window_holds_all_operator_families():
                  "ngram_jaccard_pairs_documents",
                  "embedding_neardup_lsh",
                  "ann_lsh_topk",
-                 "text_stats_documents", "hash_split_documents",
+                 "dataset_card_documents",   # r6 #11 composition row
+                 "hash_split_documents",
                  "multimodal_frames_documents", "sessionize_events",
                  "pii_scan_documents", "repetition_stats_documents",
                  "countmin_topk_documents"):
         assert must in first50, must
     # every demoted duplicate still exists at 51+ with its oracle intact
-    for demoted in ("profile_documents", "topk_documents",
+    for demoted in ("text_stats_documents",   # r6 #11 (ensemble + card cover)
+                    "profile_documents", "topk_documents",
                     "decontaminate_exact_documents", "distinct_lineitem",
                     "dedup_corpus_documents",
                     "token_length_histogram_documents",
