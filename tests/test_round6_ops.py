@@ -488,6 +488,32 @@ def test_package_exports_resolve():
         assert callable(obj), name
 
 
+def test_cut_index_expr_matches_bisect(spark):
+    """Property: the binary-search CASE tree computes exactly
+    #{cutpoints < x} (bisect_left on the multiset) for arbitrary
+    cutpoint lists — duplicates, negatives, probes at/next to the cuts
+    themselves — the contract both the Spearman surrogate and the
+    approx percent-rank lean on."""
+    import random
+    from bisect import bisect_left
+    rng = random.Random(0xC0FFEE)
+    for trial in range(6):
+        k = rng.randint(1, 60)
+        cuts = [round(rng.uniform(-5, 5), 2) for _ in range(k)]
+        cuts += rng.choices(cuts, k=min(10, k))     # force duplicates
+        probes = sorted({*cuts,
+                         *(c + d for c in cuts for d in (-0.005, 0.005)),
+                         *(rng.uniform(-6, 6) for _ in range(30))})
+        df = spark.createDataFrame([(float(p),) for p in probes],
+                                   "x double")
+        got = {r["x"]: r["i"] for r in df.select(
+            "x", X._cut_index_expr("CAST(`x` AS DOUBLE)", cuts)
+            .alias("i")).collect()}
+        sc = sorted(cuts)
+        for p in probes:
+            assert got[p] == float(bisect_left(sc, p)), (trial, p)
+
+
 def test_percentile_rank_approx_tracks_exact(spark):
     """The no-sort approx percent-rank stays within ~1/n_buckets of the
     exact transform per row, and equal values still share one rank."""
