@@ -670,11 +670,19 @@ def main(argv: list[str] | None = None) -> int:
         df = _load(spark, args.input, args.format)
         kw = dict(k=args.k, vec_col=args.vec_col, id_col=args.id_col)
 
-        def _ann_pq_index():
+        def _default_index_path(kind: str) -> str:
+            # input-keyed default so two datasets never share a stale
+            # index; an explicit --index-path overrides
+            import hashlib
             import os
             import tempfile
-            path = args.index_path or os.path.join(
-                tempfile.gettempdir(), "fds_pq_index")
+            tag = hashlib.md5(args.input.encode()).hexdigest()[:12]
+            return os.path.join(tempfile.gettempdir(),
+                                f"fds_{kind}_{tag}")
+
+        def _ann_pq_index():
+            import os
+            path = args.index_path or _default_index_path("pq_index")
             if not os.path.exists(os.path.join(path, "meta.json")):
                 similarity.write_pq_index(df, path, id_col=args.id_col,
                                           vec_col=args.vec_col)
@@ -682,9 +690,7 @@ def main(argv: list[str] | None = None) -> int:
 
         def _ann_ivf_pq_index():
             import os
-            import tempfile
-            path = args.index_path or os.path.join(
-                tempfile.gettempdir(), "fds_ivf_pq_index")
+            path = args.index_path or _default_index_path("ivf_pq_index")
             if not os.path.exists(os.path.join(path, "meta.json")):
                 similarity.write_ivf_pq_index(
                     df, path, id_col=args.id_col, vec_col=args.vec_col)
