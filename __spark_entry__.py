@@ -377,6 +377,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dataset_card
         return dataset_card(_load(spark, sf_dir, "documents"))
     q["dataset_card_documents"] = _dataset_card
+
+    def _dataset_card_by_source(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators.quality import \
+            dataset_card_by_source
+        return dataset_card_by_source(_load(spark, sf_dir, "documents"))
+    q["dataset_card_by_source_documents"] = _dataset_card_by_source
     q["temporal_split_events"] = _tq(sampling.temporal_split, "events")
     q["neardup_clusters_documents"] = _tq(dedup.neardup_clusters, "documents")
     q["dedup_corpus_documents"] = _tq(dedup.dedup_corpus, "documents")
@@ -1321,6 +1328,7 @@ def oracle_sql() -> dict[str, str]:
     o["quality_ensemble_documents"] = op.quality_ensemble_sql()
     o["curate_corpus_documents"] = op.curate_corpus_sql()
     o["dataset_card_documents"] = op.dataset_card_sql()
+    o["dataset_card_by_source_documents"] = op.dataset_card_by_source_sql()
     o["temporal_split_events"] = op.temporal_split_sql()
     o["paragraph_dedup_documents"] = (
         "WITH t AS (SELECT doc_id AS id, "

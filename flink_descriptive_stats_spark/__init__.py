@@ -199,6 +199,8 @@ _API = {
     "temperature_mixture_sample": ("operators.sampling",
                                    "temperature_mixture_sample"),
     "dataset_card": ("operators.quality", "dataset_card"),
+    "dataset_card_by_source": ("operators.quality",
+                               "dataset_card_by_source"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

@@ -224,6 +224,9 @@ def build_parser() -> argparse.ArgumentParser:
     dca.add_argument("--text-col", default="text")
     dca.add_argument("--id-col", default="doc_id")
     dca.add_argument("--source-col", default="source")
+    dca.add_argument("--by-source", action="store_true",
+                     help="per-source triage view instead of the "
+                          "corpus-level card")
     _add_common(dca)
 
     tmx = sub.add_parser("temperature-mix",
@@ -759,12 +762,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "dataset-card":
-        from flink_descriptive_stats_spark.operators.quality import \
-            dataset_card
+        from flink_descriptive_stats_spark.operators.quality import (
+            dataset_card, dataset_card_by_source)
         df = _load(spark, args.input, args.format)
-        _emit(dataset_card(df, text_col=args.text_col,
-                           id_col=args.id_col,
-                           source_col=args.source_col), args.output)
+        fn = dataset_card_by_source if args.by_source else dataset_card
+        _emit(fn(df, text_col=args.text_col, id_col=args.id_col,
+                 source_col=args.source_col), args.output)
         return 0
 
     if args.cmd == "temperature-mix":

@@ -313,6 +313,71 @@ def dataset_card(df: DataFrame, text_col: str = "text",
         rows, "section string, metric string, value string")
 
 
+def dataset_card_by_source(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           source_col: str = "source") -> DataFrame:
+    """Per-source datasheet — the which-source-is-dirty triage view of
+    dataset_card (the same relationship check_constraints_by has to
+    check_constraints): (source, metric, value) per source for n_docs,
+    n_tokens, within-source exact_dup_fraction, mean_quality,
+    low_quality_fraction, top_lang, and pii_doc_fraction. A source
+    whose dup fraction or low-quality share runs far above the corpus
+    line is the upstream ticket.
+
+    Shape: the same bounded grouped aggregates as the corpus card, keyed
+    by source (per-doc signal frames join back to (id, source) on the
+    doc id — a doc-scale equi-join, nothing wide); outputs are
+    sources x metrics driver rows, value rendering identical to
+    dataset_card (counts as integer strings, fractions sig6, labels
+    verbatim)."""
+    from flink_descriptive_stats_spark.functions.sig import sig6, sig6_py
+    from flink_descriptive_stats_spark.operators.text import (lang_id,
+                                                              pii_scan,
+                                                              text_stats)
+    d = df.where(F.col(text_col).isNotNull())
+    base = d.select(F.col(id_col).alias("id"),
+                    F.col(source_col).alias("source"),
+                    F.md5(F.col(text_col)).alias("h"))
+    ids = base.select("id", "source")
+    per1 = {r["source"]: r for r in base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("h").alias("cd")).collect()}
+    q = F.col("quality_score").cast("double")
+    per2 = {r["source"]: r for r in
+            text_stats(df, text_col=text_col, id_col=id_col)
+            .join(ids, "id").groupBy("source").agg(
+                F.sum("n_tokens").alias("ntok"),
+                sig6(F.avg(q)).alias("mq"),
+                sig6(F.count_if(q < 0.5).cast("double")
+                     / F.count(F.lit(1))).alias("lowq")).collect()}
+    lrows = (lang_id(df, text_col=text_col, id_col=id_col)
+             .join(ids, "id").groupBy("source", "predicted_lang")
+             .agg(F.count(F.lit(1)).alias("c")).collect())
+    top_lang: dict = {}
+    for r in sorted(lrows, key=lambda r: (r["source"], -r["c"],
+                                          r["predicted_lang"])):
+        top_lang.setdefault(r["source"], r["predicted_lang"])
+    per4 = {r["source"]: r for r in
+            pii_scan(df, text_col=text_col, id_col=id_col)
+            .join(ids, "id").groupBy("source").agg(
+                F.count_if(F.col("n_pii") > 0).alias("p")).collect()}
+    rows = []
+    for s in sorted(per1):
+        n = int(per1[s]["n"])
+        rows += [
+            (s, "n_docs", str(n)),
+            (s, "n_tokens", str(int(per2[s]["ntok"]))),
+            (s, "exact_dup_fraction",
+             sig6_py(1.0 - int(per1[s]["cd"]) / n)),
+            (s, "mean_quality", per2[s]["mq"]),
+            (s, "low_quality_fraction", per2[s]["lowq"]),
+            (s, "top_lang", top_lang[s]),
+            (s, "pii_doc_fraction", sig6_py(int(per4[s]["p"]) / n)),
+        ]
+    return df.sparkSession.createDataFrame(
+        rows, "source string, metric string, value string")
+
+
 def curate_corpus(df: DataFrame, holdout: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   min_score: float = 0.5, strata_col: str = "lang",

@@ -2710,6 +2710,47 @@ UNION ALL SELECT 'pii', 'pii_doc_fraction',
        {s('CAST(p AS DOUBLE) / base.n')} FROM pii, base"""
 
 
+def dataset_card_by_source_sql(table: str = "documents") -> str:
+    """Mirror of quality.dataset_card_by_source: the same per-source
+    grouped aggregates, per-source top language via QUALIFY, identical
+    value rendering."""
+    from flink_descriptive_stats_spark.operators.text import PII_PATTERNS
+    s = duck_sig6
+    pii_total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for _, pat in PII_PATTERNS)
+    return f"""
+WITH ts AS ({text_stats_sql(table)}),
+li AS ({lang_id_sql(table)}),
+d AS (SELECT * FROM {table} WHERE text IS NOT NULL),
+p1 AS (SELECT source, count(*) AS n,
+              count(DISTINCT md5(text)) AS cd FROM d GROUP BY 1),
+p2r AS (SELECT d.source, sum(ts.n_tokens) AS ntok,
+               avg(CAST(ts.quality_score AS DOUBLE)) AS mq_raw,
+               CAST(count(*) FILTER (CAST(ts.quality_score AS DOUBLE)
+                 < 0.5) AS DOUBLE) / count(*) AS lowq_raw
+        FROM ts JOIN d ON d.doc_id = ts.id GROUP BY 1),
+p2 AS (SELECT source, ntok, {s('mq_raw')} AS mq,
+              {s('lowq_raw')} AS lowq FROM p2r),
+lt AS (SELECT d.source, li.predicted_lang AS lang, count(*) AS c
+       FROM li JOIN d ON d.doc_id = li.id GROUP BY 1, 2
+       QUALIFY row_number() OVER (PARTITION BY d.source
+         ORDER BY count(*) DESC, li.predicted_lang ASC) = 1),
+p4 AS (SELECT source,
+              count(*) FILTER (({pii_total}) > 0) AS p
+       FROM d GROUP BY 1)
+SELECT source, 'n_docs' AS metric, CAST(n AS VARCHAR) AS value FROM p1
+UNION ALL SELECT source, 'n_tokens',
+       CAST(CAST(ntok AS BIGINT) AS VARCHAR) FROM p2
+UNION ALL SELECT source, 'exact_dup_fraction',
+       {s('1.0 - CAST(cd AS DOUBLE) / n')} FROM p1
+UNION ALL SELECT source, 'mean_quality', mq FROM p2
+UNION ALL SELECT source, 'low_quality_fraction', lowq FROM p2
+UNION ALL SELECT source, 'top_lang', lang FROM lt
+UNION ALL SELECT p4.source, 'pii_doc_fraction',
+       {s('CAST(p4.p AS DOUBLE) / p1.n')} FROM p4 JOIN p1 USING (source)"""
+
+
 def curate_corpus_sql(table: str = "documents",
                       holdout_pred: str = "doc_id % 10 = 0",
                       min_score: float = 0.5, cap: int = 10) -> str:

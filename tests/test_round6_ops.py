@@ -598,6 +598,31 @@ def test_dataset_card_semantics(spark):
     assert len(order) == 14
 
 
+def test_dataset_card_by_source_semantics(spark):
+    """The per-source triage view: n_docs sums to the corpus count, and
+    injecting a duplicate into ONE source moves only that source's
+    exact_dup_fraction."""
+    from flink_descriptive_stats_spark.operators.quality import (
+        dataset_card_by_source)
+    docs = load_table(spark, SF_DIR, "documents")
+    card = {(r["source"], r["metric"]): r["value"]
+            for r in dataset_card_by_source(docs).collect()}
+    sources = {s for s, _ in card}
+    total = sum(int(card[(s, "n_docs")]) for s in sources)
+    assert total == docs.where(F.col("text").isNotNull()).count()
+    victim = sorted(sources)[0]
+    dup = (docs.where(F.col("source") == victim).limit(1)
+           .withColumn("doc_id", F.lit(10 ** 9)))
+    card2 = {(r["source"], r["metric"]): r["value"]
+             for r in dataset_card_by_source(
+                 docs.unionByName(dup)).collect()}
+    assert (float(card2[(victim, "exact_dup_fraction")])
+            > float(card[(victim, "exact_dup_fraction")]))
+    for s in sources - {victim}:
+        assert card2[(s, "exact_dup_fraction")] == \
+            card[(s, "exact_dup_fraction")], s
+
+
 def test_cli_round6_subcommands(capsys):
     """CLI smoke for the round-6 surfaces: approx Spearman, sketch-grid
     KS via compare --ks-approx, and the PQ calibration method."""
@@ -632,6 +657,8 @@ def test_cli_round6_subcommands(capsys):
 
     rc = main(["dataset-card", docs])
     assert rc == 0 and "exact_dup_fraction" in capsys.readouterr().out
+    rc = main(["dataset-card", docs, "--by-source"])
+    assert rc == 0 and "source" in capsys.readouterr().out
 
 
 def test_fuzzy_key_join_overlength_contract(spark):
