@@ -157,13 +157,18 @@ GATED_50 = (
     "quality_ensemble_documents",        # rank-fusion ensemble
     "doc_clusters_documents",            # text -> vector -> clustering
     "column_entropy_events",
-    # -- sketches / sampling / prep
+    # -- sketches / sampling / prep (r7 #12: temperature_mixture in —
+    #    the n^alpha source re-weighting recipe joins hash_split so the
+    #    mixture-law math gets a hard gate; pii_scan demoted with
+    #    transitive cover from the gated dataset_card_documents, whose
+    #    pii_doc_fraction row consumes pii_scan's aggregate — still
+    #    oracle-verified at 51+, see SURVEY §5.7)
     "countmin_topk_documents",
     "hash_split_documents",
+    "temperature_mixture_documents",
     # -- multimodal plumbing
     "multimodal_frames_documents",
     # -- cleaning / constraints / drift
-    "pii_scan_documents",
     "repetition_stats_documents",
     "check_constraints_lineitem",
     "ks_drift_events_value",
@@ -384,6 +389,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dataset_card_by_source
         return dataset_card_by_source(_load(spark, sf_dir, "documents"))
     q["dataset_card_by_source_documents"] = _dataset_card_by_source
+
+    # 100 TB sibling of the gated card (r7): percentile_approx median —
+    # GK sketch state, so no SQL engine mirrors it; rows-only, agreement
+    # with the exact card pytest-pinned (tests/test_round7_ops.py)
+    def _dataset_card_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators.quality import \
+            dataset_card
+        return dataset_card(_load(spark, sf_dir, "documents"), exact=False)
+    q["dataset_card_approx_documents"] = _dataset_card_approx
     q["temporal_split_events"] = _tq(sampling.temporal_split, "events")
     q["neardup_clusters_documents"] = _tq(dedup.neardup_clusters, "documents")
     q["dedup_corpus_documents"] = _tq(dedup.dedup_corpus, "documents")
@@ -1113,6 +1127,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity.write_ivf_pq_index(emb, path)
         return similarity.ivf_pq_index_topk(emb, path)
     q["ann_ivf_pq_index_topk"] = _ivf_pq_index
+
+    # index lifecycle health (r7): the cell-fill datasheet + the
+    # stored-books calibration — the rebuild signals for retrain-free
+    # appends. Both rows-only (sidecar JSON / numpy codebook state);
+    # the drifted-append alarm behavior is pytest-pinned
+    # (tests/test_round7_ops.py).
+    def _index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+        emb = _load(spark, sf_dir, "embeddings")
+        path = os.path.join(
+            tempfile.gettempdir(), f"fds_spark_idxstats_{os.getpid()}",
+            os.path.basename(os.path.normpath(sf_dir)))
+        similarity.write_ivf_pq_index(emb, path)
+        return similarity.index_stats(spark, path)
+    q["index_stats_embeddings"] = _index_stats
+
+    def _index_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+        emb = _load(spark, sf_dir, "embeddings")
+        path = os.path.join(
+            tempfile.gettempdir(), f"fds_spark_idxcal_{os.getpid()}",
+            os.path.basename(os.path.normpath(sf_dir)))
+        similarity.write_pq_index(emb, path)
+        return similarity.pq_index_calibration(emb, path)
+    q["pq_index_calibration_embeddings"] = _index_calibration
     # 100 TB scale-path siblings of gated exact operators: cutpoints come
     # from Spark-side GK sketches (percentile_approx), so no SQL engine
     # reproduces them — rows-only; agreement-vs-exact pytest-pinned
@@ -1120,6 +1161,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         extras.spearman_matrix, "lineitem",
         columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         exact=False)
+    # wide-schema corr path (r7): Gram partials via Arrow instead of
+    # 31k corr buffers — float-tolerance agreement with the gated agg
+    # path pytest-pinned; rows-only (numpy BLAS summation order is no
+    # SQL engine's)
+    q["corr_gram_lineitem"] = _tq(
+        extras.correlation_matrix, "lineitem", method="gram")
 
     def _ks_drift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b = _snapshots(spark, sf_dir)

@@ -54,8 +54,10 @@ def main() -> None:
     # (GC landing mid-query, JIT recompilation, OS page cache) — min-of-2
     # distinguishes real plan movement from noise at 2x wall cost.
     from flink_descriptive_stats_spark.functions.memo import clear_all_memos
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     times: dict[str, float] = {}
-    for pass_no in (1, 2):
+    bands: dict[str, list[float]] = {}   # per-query [min, max] across passes
+    for pass_no in range(1, n_passes + 1):
         # memo hits would make pass 2 measure cache lookups, not execution;
         # WITHIN a pass memos stay live (that sharing is the designed
         # production behavior, e.g. jb_report reusing the profile pass)
@@ -67,6 +69,8 @@ def main() -> None:
                 dt = round(time.perf_counter() - t0, 3)
                 prev = times.get(name)
                 times[name] = dt if prev is None or prev < 0 else min(prev, dt)
+                b = bands.setdefault(name, [dt, dt])
+                b[0], b[1] = min(b[0], dt), max(b[1], dt)
                 print(f"bench {name} p{pass_no}: {dt}s rows={n}",
                       file=sys.stderr)
             except Exception as e:  # a failing query must not kill the bench
@@ -99,9 +103,18 @@ def main() -> None:
                             ".benchmarks")
     os.makedirs(hist_dir, exist_ok=True)
     stamp = time.strftime("%Y%m%d_%H%M%S")
+    # The snapshot (not the driver line) also carries the per-query
+    # [min, max] band across the N passes: one file now answers both
+    # "did this query move?" (min vs min) and "or was that run-to-run
+    # noise?" (is the delta inside the band) — round 6 needed hand-
+    # picked snapshots to separate page-cache warmth from real movement.
+    snapshot = dict(payload)
+    snapshot["bands"] = {k: [round(v[0], 2), round(v[1], 2)]
+                         for k, v in bands.items()}
+    snapshot["n_passes"] = n_passes
     with open(os.path.join(hist_dir, f"bench_{stamp}_sf{sf}.json"),
               "w") as fh:
-        json.dump(payload, fh, indent=1, sort_keys=True)
+        json.dump(snapshot, fh, indent=1, sort_keys=True)
     # Belt and braces: a SECOND, short line after the full one.  Tail-capture
     # preserves the last line intact; this one is ~400 bytes and carries the
     # total plus the 10 slowest queries, which is everything a grader needs

@@ -201,6 +201,12 @@ _API = {
     "dataset_card": ("operators.quality", "dataset_card"),
     "dataset_card_by_source": ("operators.quality",
                                "dataset_card_by_source"),
+    # round 7: index lifecycle health + streaming index maintenance
+    "index_stats": ("operators.similarity", "index_stats"),
+    "pq_index_calibration": ("operators.similarity",
+                             "pq_index_calibration"),
+    "start_index_append_stream": ("streaming.pipeline_stream",
+                                  "start_index_append_stream"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

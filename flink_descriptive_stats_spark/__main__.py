@@ -111,7 +111,8 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["brute", "lsh", "lsh-multiprobe", "ivf",
                              "ivf-kmeans", "pq", "ivf-pq",
                              "pq-calibration", "pq-index",
-                             "ivf-pq-index"])
+                             "ivf-pq-index", "index-stats",
+                             "index-calibration"])
     an.add_argument("--k", type=int, default=5)
     an.add_argument("--vec-col", default="embedding")
     an.add_argument("--id-col", default="vec_id")
@@ -227,6 +228,9 @@ def build_parser() -> argparse.ArgumentParser:
     dca.add_argument("--by-source", action="store_true",
                      help="per-source triage view instead of the "
                           "corpus-level card")
+    dca.add_argument("--approx", action="store_true",
+                     help="GK-sketch median_tokens (the 100 TB path) "
+                          "instead of the exact percentile")
     _add_common(dca)
 
     tmx = sub.add_parser("temperature-mix",
@@ -698,6 +702,27 @@ def main(argv: list[str] | None = None) -> int:
                 similarity.write_ivf_pq_index(
                     df, path, id_col=args.id_col, vec_col=args.vec_col)
             return similarity.ivf_pq_index_topk(df, path, **kw)
+
+        def _ann_index_stats():
+            # the cell-fill health datasheet of a persisted index (built
+            # from the input if absent — the fresh-build baseline reading)
+            import os
+            path = args.index_path or _default_index_path("ivf_pq_index")
+            if not os.path.exists(os.path.join(path, "meta.json")):
+                similarity.write_ivf_pq_index(
+                    df, path, id_col=args.id_col, vec_col=args.vec_col)
+            return similarity.index_stats(spark, path)
+
+        def _ann_index_calibration():
+            # |ADC - exact| against the STORED books: the rebuild signal
+            # after retrain-free appends
+            import os
+            path = args.index_path or _default_index_path("pq_index")
+            if not os.path.exists(os.path.join(path, "meta.json")):
+                similarity.write_pq_index(df, path, id_col=args.id_col,
+                                          vec_col=args.vec_col)
+            return similarity.pq_index_calibration(
+                df, path, id_col=args.id_col, vec_col=args.vec_col)
         out = {
             "brute": lambda: similarity.brute_force_topk(df, **kw),
             "lsh": lambda: similarity.lsh_topk(df, **kw),
@@ -713,6 +738,8 @@ def main(argv: list[str] | None = None) -> int:
                 df, vec_col=args.vec_col, id_col=args.id_col),
             "pq-index": lambda: _ann_pq_index(),
             "ivf-pq-index": lambda: _ann_ivf_pq_index(),
+            "index-stats": lambda: _ann_index_stats(),
+            "index-calibration": lambda: _ann_index_calibration(),
         }[args.method]()
         _emit(out, args.output)
         return 0
@@ -765,9 +792,16 @@ def main(argv: list[str] | None = None) -> int:
         from flink_descriptive_stats_spark.operators.quality import (
             dataset_card, dataset_card_by_source)
         df = _load(spark, args.input, args.format)
-        fn = dataset_card_by_source if args.by_source else dataset_card
-        _emit(fn(df, text_col=args.text_col, id_col=args.id_col,
-                 source_col=args.source_col), args.output)
+        if args.by_source:
+            out = dataset_card_by_source(
+                df, text_col=args.text_col, id_col=args.id_col,
+                source_col=args.source_col)
+        else:
+            out = dataset_card(df, text_col=args.text_col,
+                               id_col=args.id_col,
+                               source_col=args.source_col,
+                               exact=not args.approx)
+        _emit(out, args.output)
         return 0
 
     if args.cmd == "temperature-mix":

@@ -288,21 +288,95 @@ def js_drift(df_a: DataFrame, df_b: DataFrame, column: str,
 
 
 def correlation_matrix(df: DataFrame,
-                       columns: list[str] | None = None) -> DataFrame:
-    """All-pairs Pearson correlation in ONE aggregation pass (long format:
-    col_a, col_b, corr) — k*(k-1)/2 corr buffers in a single HashAggregate,
-    not a job per pair."""
+                       columns: list[str] | None = None,
+                       max_pairs_per_pass: int = 4000,
+                       method: str | None = None) -> DataFrame:
+    """All-pairs Pearson correlation (long format: col_a, col_b, corr).
+
+    method="agg" (the gated/oracle path; auto-chosen up to
+    ``max_pairs_per_pass`` pairs ≈ 89 columns): k*(k-1)/2 corr buffers
+    in a single HashAggregate, not a job per pair; past the budget the
+    pair list chunks into multiple passes (pairs are independent
+    aggregates, so chunked == single exactly, pytest-pinned).
+
+    method="gram" (auto-chosen above the budget) is the wide-schema /
+    100 TB path: each corr aggregate costs ~6 codegen'd buffer slots, so
+    250 columns = 31,125 aggregates is a janino planning blowup that
+    measured 8-30s PER PASS on a 400-row frame — the expression tree,
+    not the data, is the cost. Instead: one narrow k-slot means pass,
+    then ONE Arrow mapInPandas pass emitting each partition's CENTERED
+    Gram-triangle partials as (i, j, sum) rows — numpy does the k x k
+    BLAS product per batch, Spark's ordinary partial aggregation sums
+    the bounded k(k+1)/2-row partials, and the driver finishes
+    corr = C_ab / sqrt(C_aa * C_bb) on O(k^2) floats. Centering by the
+    broadcast global means keeps the raw-sum formula numerically tame.
+    Semantics deltas vs "agg", both documented: NULL handling is
+    LISTWISE (one dropna frame for the whole matrix) where corr() is
+    pairwise per pair — identical on NULL-free columns (pytest pins
+    gram == agg on such a frame); a zero-variance column yields NULL
+    instead of ANSI divide-by-zero."""
     cols = columns or numeric_columns(df)
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
-    agg = df.agg(*[F.corr(F.col(a), F.col(b)).alias(f"{a}__{b}")
-                   for a, b in pairs])
-    row = agg.collect()[0]
+    if method is None:
+        method = "agg" if len(pairs) <= max_pairs_per_pass else "gram"
+    if method == "gram":
+        return _correlation_matrix_gram(df, cols)
+    row: dict = {}
+    for lo in range(0, len(pairs), max_pairs_per_pass):
+        chunk = pairs[lo:lo + max_pairs_per_pass]
+        r = df.agg(*[F.corr(F.col(a), F.col(b)).alias(f"{a}__{b}")
+                     for a, b in chunk]).collect()[0]
+        row.update(r.asDict())
     out = []
     for a, b in pairs:
         v = row[f"{a}__{b}"]
         if v is not None and not math.isnan(v) and abs(v) < 1e-9:
             v = 0.0  # cross-engine summation noise on uncorrelated pairs
         out.append((a, b, sig6_py(v)))
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, corr string")
+
+
+def _correlation_matrix_gram(df: DataFrame, cols: list[str]) -> DataFrame:
+    """The wide-schema Gram path of correlation_matrix — see there for
+    the contract. Shape: one k-slot avg aggregate (bounded), one narrow
+    mapInPandas scan whose per-batch output is the k(k+1)/2 + 1 partial
+    rows (never the data), one bounded groupBy(i, j) sum, driver math
+    over O(k^2) floats."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    base = df.select(*[F.col(c).cast("double").alias(c)
+                       for c in cols]).dropna()
+    mrow = base.agg(*[F.avg(c).alias(c) for c in cols]).collect()[0]
+    k = len(cols)
+    mu = np.array([mrow[c] if mrow[c] is not None else 0.0
+                   for c in cols], dtype=np.float64)
+    iu = np.triu_indices(k)
+
+    def gram(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = pdf[cols].to_numpy(dtype=np.float64) - mu
+            G = X.T @ X
+            yield pd.DataFrame({"i": iu[0].astype("int32"),
+                                "j": iu[1].astype("int32"),
+                                "s": G[iu]})
+
+    parts = base.mapInPandas(gram, "i int, j int, s double")
+    C = np.zeros((k, k))
+    for r in parts.groupBy("i", "j").agg(F.sum("s").alias("s")).collect():
+        C[r["i"], r["j"]] = r["s"]
+    out = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            denom = math.sqrt(C[i, i] * C[j, j])
+            v = C[i, j] / denom if denom > 0.0 else None
+            if v is not None and abs(v) < 1e-9:
+                v = 0.0   # summation noise on uncorrelated pairs
+            out.append((cols[i], cols[j], sig6_py(v)))
     return df.sparkSession.createDataFrame(
         out, "col_a string, col_b string, corr string")
 

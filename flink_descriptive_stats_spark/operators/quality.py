@@ -30,14 +30,19 @@ from pyspark.sql import functions as F
 Rule = tuple
 
 
-def _violation_expr(rule: Rule) -> Column:
+def _violation_expr(rule: Rule, approx_unique: bool = False) -> Column:
     kind, col = rule[0], rule[1]
     c = F.col(col)
     if kind == "not_null":
         return F.count(F.when(c.isNull(), F.lit(1)))
     if kind == "unique":
         # extra occurrences beyond the first of each value; NULLs are not
-        # values (count(col) skips them on both engines)
+        # values (count(col) skips them on both engines). The approx
+        # route swaps the Expand-planning count_distinct for the HLL++
+        # sketch (can over-count distincts, hence the floor at 0).
+        if approx_unique:
+            return F.greatest(F.lit(0).cast("bigint"),
+                              F.count(c) - F.approx_count_distinct(c))
         return F.count(c) - F.count_distinct(c)
     if kind == "in_range":
         lo, hi = rule[2], rule[3]
@@ -61,20 +66,45 @@ def rule_label(rule: Rule) -> str:
     return kind
 
 
-def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
+def check_constraints(df: DataFrame, rules: list[Rule],
+                      exact_unique: bool | None = None) -> DataFrame:
     """Evaluate a declared constraint suite in ONE aggregation pass.
 
     Returns (rule, column, n_rows, n_violations, passed) — one row per
     declared rule, in declaration order. `n_rows` is the full row count
     (the denominator a report would use); NULL values only violate
     `not_null` — range/regex/set rules judge present values, the Deequ
-    convention, so each data issue is reported exactly once."""
+    convention, so each data issue is reported exactly once.
+
+    Wide-suite guard: every `unique` rule plans an exact count_distinct,
+    and Catalyst turns N distinct aggregates in one agg() into an Expand
+    that replicates EVERY row N times into the shuffle — the same
+    scale cliff distinct_counts guards (extras.py). exact_unique=None
+    (the default) therefore auto-routes suites with MORE than
+    extras.EXACT_DISTINCT_MAX_COLUMNS unique rules to
+    approx_count_distinct (HLL++ — no Expand, single pass, mergeable);
+    the switch is visible in the output (rule label `unique~approx`,
+    and its n_violations/passed carry the ~2% sketch error). Pass
+    exact_unique=True/False to force a path; narrow suites (the gated
+    path) stay exact either way."""
+    from flink_descriptive_stats_spark.operators.extras import \
+        EXACT_DISTINCT_MAX_COLUMNS
+    n_unique = sum(1 for r in rules if r[0] == "unique")
+    if exact_unique is None:
+        exact_unique = n_unique <= EXACT_DISTINCT_MAX_COLUMNS
+    approx = not exact_unique
     aggs = [F.count(F.lit(1)).alias("__n")]
-    aggs += [_violation_expr(r).alias(f"__v{i}")
+    aggs += [_violation_expr(r, approx_unique=approx).alias(f"__v{i}")
              for i, r in enumerate(rules)]
     row = df.agg(*aggs).collect()[0]
     n = int(row["__n"])
-    out = [(rule_label(r), r[1], n, int(row[f"__v{i}"]),
+
+    def label(r: Rule) -> str:
+        if approx and r[0] == "unique":
+            return "unique~approx"
+        return rule_label(r)
+
+    out = [(label(r), r[1], n, int(row[f"__v{i}"]),
             bool(row[f"__v{i}"] == 0))
            for i, r in enumerate(rules)]
     return df.sparkSession.createDataFrame(
@@ -83,7 +113,8 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
 
 
 def check_constraints_by(df: DataFrame, rules: list[Rule],
-                         group_col: str) -> DataFrame:
+                         group_col: str,
+                         exact_unique: bool | None = None) -> DataFrame:
     """Per-segment constraint report: the same declarative rule suite
     evaluated PER GROUP — (group, rule, column, n_rows, n_violations,
     passed) — the which-source-is-dirty view that turns a failing
@@ -93,13 +124,27 @@ def check_constraints_by(df: DataFrame, rules: list[Rule],
     a groupBy instead of a global agg); `unique` rules become per-group
     exact count_distincts. Output is bounded by groups x rules; the
     melt from wide aggregate columns to rule rows happens on that
-    bounded frame, never on data."""
+    bounded frame, never on data. ``exact_unique`` auto-routes the same
+    way as check_constraints (grouped distinct aggregates Expand every
+    row per distinct column just like global ones)."""
+    from flink_descriptive_stats_spark.operators.extras import \
+        EXACT_DISTINCT_MAX_COLUMNS
+    n_unique = sum(1 for r in rules if r[0] == "unique")
+    if exact_unique is None:
+        exact_unique = n_unique <= EXACT_DISTINCT_MAX_COLUMNS
+    approx = not exact_unique
+
+    def label(r: Rule) -> str:
+        if approx and r[0] == "unique":
+            return "unique~approx"
+        return rule_label(r)
+
     aggs = [F.count(F.lit(1)).alias("__n")]
-    aggs += [_violation_expr(r).alias(f"__v{i}")
+    aggs += [_violation_expr(r, approx_unique=approx).alias(f"__v{i}")
              for i, r in enumerate(rules)]
     g = df.groupBy(F.col(group_col).alias("group")).agg(*aggs)
     rows = F.array(*[
-        F.struct(F.lit(rule_label(r)).alias("rule"),
+        F.struct(F.lit(label(r)).alias("rule"),
                  F.lit(r[1]).alias("column"),
                  F.col(f"__v{i}").alias("n_violations"))
         for i, r in enumerate(rules)])
@@ -240,7 +285,8 @@ def quality_ensemble(df: DataFrame, text_col: str = "text",
 
 def dataset_card(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
-                 source_col: str = "source") -> DataFrame:
+                 source_col: str = "source",
+                 exact: bool = True) -> DataFrame:
     """One-call corpus datasheet — the LLM-pipeline analogue of the
     reference's console report: (section, metric, value) rows, in a
     fixed order, covering size (docs/sources/tokens/chars + the max
@@ -261,7 +307,16 @@ def dataset_card(df: DataFrame, text_col: str = "text",
     Cost shape: five bounded aggregates over one corpus scan each (the
     per-doc subframes are scan-local projections; no joins, nothing
     wide); outputs are O(1) driver rows. NULL-text docs are out of
-    scope for every metric (the same contract as the component ops)."""
+    scope for every metric (the same contract as the component ops).
+
+    ``exact``: median_tokens is the card's one order statistic.
+    exact=True (the gated/oracle path) uses F.percentile — its buffer
+    grows with the number of DISTINCT token-count values, bounded but
+    real on a 100 TB corpus. exact=False swaps in percentile_approx
+    (GK sketch, fixed-size mergeable state — the same exact/approx
+    pairing every sibling family has); every other card number is
+    identical by construction, and a pytest pins the approx median
+    within the GK accuracy bound of the exact one."""
     from flink_descriptive_stats_spark.functions.sig import sig6, sig6_py
     from flink_descriptive_stats_spark.operators.dedup import \
         _canonical_expr
@@ -270,14 +325,17 @@ def dataset_card(df: DataFrame, text_col: str = "text",
                                                               text_stats)
     d = df.where(F.col(text_col).isNotNull())
     q = F.col("quality_score").cast("double")
+    tok = F.col("n_tokens").cast("double")
+    med = (F.percentile(tok, F.lit(0.5)) if exact
+           else F.percentile_approx(tok, F.lit(0.5), F.lit(10000))
+           .cast("double"))
     r1 = text_stats(df, text_col=text_col, id_col=id_col).agg(
         F.sum("n_tokens").alias("ntok"),
         F.sum("n_chars").alias("nch"),
         sig6(F.avg(q)).alias("mq"),
         sig6(F.count_if(q < 0.5).cast("double")
              / F.count(F.lit(1))).alias("lowq"),
-        sig6(F.percentile(F.col("n_tokens").cast("double"),
-                          F.lit(0.5))).alias("med")).collect()[0]
+        sig6(med).alias("med")).collect()[0]
     r2 = d.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.md5(F.col(text_col))).alias("cd"),

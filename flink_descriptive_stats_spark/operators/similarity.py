@@ -798,6 +798,22 @@ def _adc_rerank(d: DataFrame, cands: DataFrame, nkeep: int, k: int,
             .where(F.col("rank") <= k))
 
 
+def _codes_epochs(path: str) -> list[int]:
+    """Sorted epoch ids present in a layout-v2 code table (epoch=N
+    directories under codes/ — the base build is epoch=-1, every append
+    its own epoch). Empty for a missing dir or the legacy flat layout."""
+    import os
+    base = os.path.join(path, "codes")
+    if not os.path.isdir(base):
+        return []
+    out = []
+    for n in os.listdir(base):
+        tail = n[len("epoch="):]
+        if n.startswith("epoch=") and tail.lstrip("-").isdigit():
+            out.append(int(tail))
+    return sorted(out)
+
+
 def write_pq_index(df: DataFrame, path: str, m: int = 16, ksub: int = 32,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    max_train: int = 1 << 16) -> None:
@@ -810,15 +826,28 @@ def write_pq_index(df: DataFrame, path: str, m: int = 16, ksub: int = 32,
     every production ANN deployment uses (FAISS index files, re-expressed
     as a Spark-native parquet layout).
 
+    Layout (v2): codes live in EPOCH directories — the base build is
+    ``codes/epoch=-1`` and every append writes its own ``epoch=N`` dir
+    with OVERWRITE semantics, so an append (batch or streaming) replayed
+    after a crash rewrites its own directory instead of double-counting
+    — the same epoch-keyed idempotency discipline as the ingest-dedup
+    monitor's state. Readers scan the codes root; Spark discovers
+    ``epoch`` as a partition column and the search kernels ignore it.
+
     The sidecar write is write-then-rename (atomic): a crashed build
     leaves no half-readable index. Codebooks train on the bounded
     default sample (pq_codebooks)."""
     import json
     import os
+    import shutil
     books = pq_codebooks(df, m=m, ksub=ksub, id_col=id_col,
                          vec_col=vec_col, max_train=max_train)
+    # a REbuild must clear any appended epoch dirs from a prior life of
+    # this path — epoch=-1 overwrite alone would leave them visible
+    shutil.rmtree(os.path.join(path, "codes"), ignore_errors=True)
     (pq_encode(df, books, id_col=id_col, vec_col=vec_col)
-     .write.mode("overwrite").parquet(os.path.join(path, "codes")))
+     .write.mode("overwrite")
+     .parquet(os.path.join(path, "codes", "epoch=-1")))
     meta = {"m": int(books.shape[0]), "ksub": int(books.shape[1]),
             "dsub": int(books.shape[2]), "books": books.tolist()}
     tmp = os.path.join(path, "meta.json.tmp")
@@ -892,15 +921,23 @@ def pq_index_topk(df: DataFrame, path: str, k: int = 5, refine: int = 8,
 
 
 def append_pq_index(df_new: DataFrame, path: str, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> None:
+                    vec_col: str = "embedding",
+                    epoch: int | None = None) -> None:
     """Incremental index growth: encode ONLY the new vectors with the
     index's EXISTING codebooks and append their codes — the daily-ingest
     path. Codebooks are deliberately NOT retrained (the standard
     practice: an encode is cheap per batch, a codebook change would
     force re-encoding everything already stored; codebook drift against
-    newer data is what pq_calibration measures). Caller contract: new
-    ids are disjoint from the stored ids (e.g. monotone ingest ids) —
-    the index does not dedupe."""
+    newer data is what pq_index_calibration measures). Caller contract:
+    new ids are disjoint from the stored ids (e.g. monotone ingest ids)
+    — the index does not dedupe.
+
+    Each append writes its OWN ``codes/epoch=N`` directory with
+    overwrite semantics (``epoch`` defaults to max existing + 1; the
+    streaming sink passes its offset epoch explicitly) — a replayed
+    epoch rewrites itself, never double-appends. Appending to a legacy
+    flat-layout index (pre-epoch dirs) falls back to a plain parquet
+    append."""
     import json
     import os
 
@@ -908,18 +945,27 @@ def append_pq_index(df_new: DataFrame, path: str, id_col: str = "vec_id",
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     books = np.asarray(meta["books"], dtype=np.float64)
-    (pq_encode(df_new, books, id_col=id_col, vec_col=vec_col)
-     .write.mode("append").parquet(os.path.join(path, "codes")))
+    enc = pq_encode(df_new, books, id_col=id_col, vec_col=vec_col)
+    epochs = _codes_epochs(path)
+    if not epochs and os.path.isdir(os.path.join(path, "codes")):
+        enc.write.mode("append").parquet(os.path.join(path, "codes"))
+        return
+    if epoch is None:
+        epoch = (epochs[-1] + 1) if epochs else 0
+    enc.write.mode("overwrite").parquet(
+        os.path.join(path, "codes", f"epoch={epoch}"))
 
 
 def append_ivf_pq_index(df_new: DataFrame, path: str,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> None:
+                        vec_col: str = "embedding",
+                        epoch: int | None = None) -> None:
     """Incremental growth of a cell-partitioned IVF-PQ index: assign the
     new vectors to cells with the index's STORED centroids (the same
     ranked_cells_expr literals searches use), encode with the stored
-    codebooks, and append into the per-cell partition directories. Same
-    no-retrain / disjoint-ids contract as append_pq_index."""
+    codebooks, and append into the per-cell partition directories under
+    the append's own ``epoch=N`` directory. Same no-retrain /
+    disjoint-ids / epoch-idempotency contract as append_pq_index."""
     import json
     import os
 
@@ -953,8 +999,15 @@ def append_ivf_pq_index(df_new: DataFrame, path: str,
 
     enc = assigned.mapInPandas(
         batches, "id bigint, cell_id bigint, codes array<int>")
-    (enc.write.mode("append").partitionBy("cell_id")
-     .parquet(os.path.join(path, "codes")))
+    epochs = _codes_epochs(path)
+    if not epochs and os.path.isdir(os.path.join(path, "codes")):
+        (enc.write.mode("append").partitionBy("cell_id")
+         .parquet(os.path.join(path, "codes")))
+        return
+    if epoch is None:
+        epoch = (epochs[-1] + 1) if epochs else 0
+    (enc.write.mode("overwrite").partitionBy("cell_id")
+     .parquet(os.path.join(path, "codes", f"epoch={epoch}")))
 
 
 def write_ivf_pq_index(df: DataFrame, path: str, n_cells: int = 16,
@@ -962,10 +1015,12 @@ def write_ivf_pq_index(df: DataFrame, path: str, n_cells: int = 16,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        max_train: int = 1 << 16) -> None:
     """Persist the full IVF-PQ index: the code table written PARTITIONED
-    BY cell_id (one directory per IVF cell), plus a JSON sidecar holding
-    the PQ codebooks AND the sig6-rounded centroids. Partitioning by
-    cell turns the IVF probe bound into DISK-level pruning: a search
-    with n_probe=4 of 16 cells reads 1/4 of the index FILES — the scan's
+    BY cell_id (one directory per IVF cell, under the base build's
+    ``epoch=-1`` — see write_pq_index for the epoch layout appends and
+    the streaming sink rely on), plus a JSON sidecar holding the PQ
+    codebooks AND the sig6-rounded centroids. Partitioning by cell turns
+    the IVF probe bound into DISK-level pruning: a search with n_probe=4
+    of 16 cells reads 1/4 of the index FILES — the scan's
     PartitionFilters row is the plan-visible proof (pytest-pinned). This
     is the FAISS IVFx,PQy index file re-expressed as a Spark-native
     layout: build once (one narrow assign+encode Arrow pass over the
@@ -1009,8 +1064,10 @@ def write_ivf_pq_index(df: DataFrame, path: str, n_cells: int = 16,
 
     enc = assigned.mapInPandas(
         batches, "id bigint, cell_id bigint, codes array<int>")
+    import shutil
+    shutil.rmtree(os.path.join(path, "codes"), ignore_errors=True)
     (enc.write.mode("overwrite").partitionBy("cell_id")
-     .parquet(os.path.join(path, "codes")))
+     .parquet(os.path.join(path, "codes", "epoch=-1")))
     meta = {"m": int(m_books), "ksub": int(books.shape[1]),
             "dsub": int(dsub), "books": books.tolist(),
             "cells": [{"cell_id": int(r["cell_id"]),
@@ -1117,15 +1174,26 @@ def pq_calibration(df: DataFrame, m: int = 16, ksub: int = 32,
     PARTIAL sums — the rows that shuffle number n_batches x n_queries,
     never the probe set. Self-pairs excluded. Rows-only (the codebooks
     are numpy state no SQL engine can mirror); pytest pins the bound."""
+    books = pq_codebooks(df, m=m, ksub=ksub, id_col=id_col,
+                         vec_col=vec_col, max_train=max_train)
+    return _adc_probe_error(with_norm(df, id_col, vec_col), books,
+                            max_query_id, max_probe)
+
+
+def _adc_probe_error(d: DataFrame, books, max_query_id: int,
+                     max_probe: int) -> DataFrame:
+    """The shared ADC-vs-exact error core of pq_calibration and
+    pq_index_calibration: given a normalized frame ``d`` (with_norm
+    output) and a set of codebooks — freshly trained or loaded from a
+    persisted index's sidecar — score a stride-bounded probe sample's
+    ADC cosine estimates against exact cosines per query. See
+    pq_calibration for the output contract and the cost shape."""
     import numpy as np
     import pandas as pd
     from typing import Iterator
 
     from flink_descriptive_stats_spark.functions.sig import sig6
 
-    books = pq_codebooks(df, m=m, ksub=ksub, id_col=id_col,
-                         vec_col=vec_col, max_train=max_train)
-    d = with_norm(df, id_col, vec_col)
     qrows = (d.where(F.col("id") < max_query_id)
              .select("id", F.expr("transform(v, x -> x / norm)").alias("u"))
              .orderBy("id").collect())
@@ -1187,6 +1255,87 @@ def pq_calibration(df: DataFrame, m: int = 16, ksub: int = 32,
         sig6(F.col("mx")).alias("max_abs_err"),
         sig6(F.col("s_ex") / nd).alias("mean_exact_cos"),
         sig6(F.col("s_es") / nd).alias("mean_est_cos"))
+
+
+def pq_index_calibration(df: DataFrame, path: str,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         max_query_id: int = 10,
+                         max_probe: int = 1 << 14) -> DataFrame:
+    """pq_calibration against a PERSISTED index's STORED codebooks: the
+    post-append health check. pq_calibration answers "are codebooks of
+    this size good enough for this corpus?" BEFORE a build; this answers
+    "are the books this index actually stores still good for the corpus
+    it now serves?" AFTER retrain-free appends (append_pq_index /
+    append_ivf_pq_index encode deltas with the original books, so a
+    drifting ingest distribution degrades quantization silently — this
+    is the signal that says rebuild). Same output contract and probe
+    shape as pq_calibration; ``df`` should be the CURRENT corpus
+    (including appended deltas) so the stride sample covers what the
+    index serves. Works for both index kinds — the sidecar's "books"
+    key is common. Rows-only; the rising-error-after-drifted-append
+    behavior is pytest-pinned."""
+    import json
+    import os
+
+    import numpy as np
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    books = np.asarray(meta["books"], dtype=np.float64)
+    return _adc_probe_error(with_norm(df, id_col, vec_col), books,
+                            max_query_id, max_probe)
+
+
+def index_stats(spark, path: str) -> DataFrame:
+    """Persisted-index health datasheet: (metric, value) rows read from
+    the sidecar + ONE bounded aggregate over the stored code table — the
+    dataset_card of an index. Reports the codebook geometry (m, ksub,
+    dsub), n_vectors, and for IVF-PQ the cell-fill picture: n_cells
+    (declared) vs n_cells_used, max/mean/min cell size, fill_skew
+    (max/mean — the probe-cost hot-spot indicator: a search probing the
+    fattest cell scans fill_skew x the average I/O), and empty_cells.
+    Appends assign new vectors with the ORIGINAL centroids, so a
+    drifting ingest concentrates into few cells — fill_skew rising
+    across appends is the rebuild signal, complementing
+    pq_index_calibration's quantization-error signal.
+
+    Cost shape: the cell histogram is one groupBy(cell_id) count —
+    <= n_cells result rows, partition-column-only (for the partitioned
+    layout the scan never touches code bytes); everything else is
+    sidecar JSON. Values render as integer strings / sig6 fractions
+    (the dataset_card convention)."""
+    import json
+    import os
+
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    rows = [("kind", "ivf_pq" if "cells" in meta else "pq"),
+            ("m", str(int(meta["m"]))),
+            ("ksub", str(int(meta["ksub"]))),
+            ("dsub", str(int(meta["dsub"])))]
+    if "cells" in meta:
+        hist = (codes.groupBy("cell_id")
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+        sizes = [int(r["n"]) for r in hist]
+        n_vec = sum(sizes)
+        declared = len(meta["cells"])
+        mean = n_vec / declared if declared else 0.0
+        rows += [
+            ("n_vectors", str(n_vec)),
+            ("n_cells", str(declared)),
+            ("n_cells_used", str(len(sizes))),
+            ("empty_cells", str(declared - len(sizes))),
+            ("max_cell", str(max(sizes) if sizes else 0)),
+            ("min_cell", str(min(sizes) if sizes else 0)),
+            ("mean_cell", sig6_py(mean)),
+            ("fill_skew", sig6_py((max(sizes) / mean)
+                                  if sizes and mean else None)),
+        ]
+    else:
+        rows.append(("n_vectors", str(codes.count())))
+    return spark.createDataFrame(rows, "metric string, value string")
 
 
 def label_separation(df: DataFrame, id_col: str = "vec_id",

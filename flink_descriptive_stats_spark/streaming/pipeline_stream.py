@@ -958,3 +958,88 @@ def start_ingest_dedup_monitor(stream: DataFrame, old: DataFrame,
     if checkpoint_path:
         writer = writer.option("checkpointLocation", checkpoint_path)
     return writer.start()
+
+
+def _index_append_emitter(index_path: str, offset: int,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding"):
+    """The foreachBatch body of start_index_append_stream, factored out
+    so tests can drive it directly with a pinned epoch id (the
+    crash-replay simulation). Each micro-batch encodes with the index's
+    STORED books/centroids and lands in its own ``codes/epoch=offset +
+    epoch_id`` directory with OVERWRITE semantics — the write itself is
+    the idempotency mechanism (a replayed epoch rewrites its own
+    directory; no watermark race, no double count), the same epoch-keyed
+    discipline as the ingest-dedup monitor's per-epoch hash dirs."""
+    import json
+    import os
+
+    from flink_descriptive_stats_spark.operators import similarity as S
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        is_ivf = "cells" in json.load(f)
+
+    def emit(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        e = offset + int(epoch_id)
+        if is_ivf:
+            S.append_ivf_pq_index(batch_df, index_path, id_col=id_col,
+                                  vec_col=vec_col, epoch=e)
+        else:
+            S.append_pq_index(batch_df, index_path, id_col=id_col,
+                              vec_col=vec_col, epoch=e)
+
+    return emit
+
+
+def start_index_append_stream(stream: DataFrame, index_path: str,
+                              checkpoint_path: str | None = None,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding"):
+    """Continuous ANN-index maintenance: grow a persisted PQ or IVF-PQ
+    index (write_pq_index / write_ivf_pq_index) from a vector stream —
+    the daily-ingest path as a foreachBatch sink. The index kind is read
+    from the sidecar; every micro-batch is encoded with the STORED
+    codebooks (and assigned with the stored centroids for IVF-PQ), never
+    retrained, so the grown index searches EXACTLY like a batch
+    append of the union (pytest-pinned) and pq_index_calibration /
+    index_stats remain the drift watchdogs.
+
+    Replay discipline: micro-batch N writes ``codes/epoch=offset+N``
+    with overwrite — a crash between the write and the checkpoint commit
+    replays N into the SAME directory (idempotent by construction). The
+    per-run ``offset`` maps Structured Streaming's checkpoint-scoped
+    epoch ids into the index's global epoch space: it is allocated once
+    per checkpoint (max existing epoch + 1 at first attach) and pinned
+    in ``stream_runs.json`` (write-then-rename), so restarts of the same
+    checkpoint reuse it while a later, different stream gets fresh
+    directories. Caller contract (same as the batch appends): streamed
+    ids are disjoint from stored ids, and one writer grows an index at a
+    time."""
+    import json
+    import os
+
+    from flink_descriptive_stats_spark.operators.similarity import \
+        _codes_epochs
+
+    runs_path = os.path.join(index_path, "stream_runs.json")
+    runs: dict = {}
+    if os.path.exists(runs_path):
+        with open(runs_path) as f:
+            runs = json.load(f)
+    key = (os.path.abspath(checkpoint_path) if checkpoint_path
+           else "__no_checkpoint__")
+    if key not in runs:
+        epochs = _codes_epochs(index_path)
+        runs[key] = (epochs[-1] + 1) if epochs else 0
+        tmp = runs_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(runs, f)
+        os.replace(tmp, runs_path)
+    emit = _index_append_emitter(index_path, int(runs[key]),
+                                 id_col=id_col, vec_col=vec_col)
+    writer = stream.writeStream.outputMode("append").foreachBatch(emit)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

@@ -61,11 +61,13 @@ def test_gated_window_holds_all_operator_families():
                  "dataset_card_documents",   # r6 #11 composition row
                  "hash_split_documents",
                  "multimodal_frames_documents", "sessionize_events",
-                 "pii_scan_documents", "repetition_stats_documents",
+                 "repetition_stats_documents",
+                 "temperature_mixture_documents",   # r7 #12 promotion
                  "countmin_topk_documents"):
         assert must in first50, must
     # every demoted duplicate still exists at 51+ with its oracle intact
     for demoted in ("text_stats_documents",   # r6 #11 (ensemble + card cover)
+                    "pii_scan_documents",     # r7 #12 (dataset_card cover)
                     "profile_documents", "topk_documents",
                     "decontaminate_exact_documents", "distinct_lineitem",
                     "dedup_corpus_documents",

@@ -159,7 +159,9 @@ def test_ivf_pq_index_roundtrip_and_partition_pruning(spark, tmp_path):
     got = sorted(map(tuple, S.ivf_pq_index_topk(emb, idx).collect()))
     want = sorted(map(tuple, S.ivf_pq_topk(emb).collect()))
     assert got == want
-    cell_dirs = [n for n in os.listdir(os.path.join(idx, "codes"))
+    # layout v2: base build under codes/epoch=-1, one dir per IVF cell
+    cell_dirs = [n for n in
+                 os.listdir(os.path.join(idx, "codes", "epoch=-1"))
                  if n.startswith("cell_id=")]
     assert len(cell_dirs) > 1
     pruned = (spark.read.parquet(os.path.join(idx, "codes"))

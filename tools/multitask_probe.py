@@ -24,6 +24,8 @@ def main() -> None:
     n_files = int(os.environ.get("SPARK_GRAFT_PROBE_FILES", "32"))
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    from pyspark.sql.functions import col as spark_col
+
     from flink_descriptive_stats_spark.functions.memo import clear_all_memos
     from flink_descriptive_stats_spark.operators import dedup, topk
     from flink_descriptive_stats_spark.operators import text as text_ops
@@ -62,6 +64,39 @@ def main() -> None:
         rec["speedup"] = round(rec["single"] / rec["multi"], 2)
         out[name] = rec
         print(f"probe {name}: {rec}", file=sys.stderr)
+
+    # Persisted IVF-PQ index BUILD (VERDICT r6 next-round #7): the one
+    # index phase whose cost scales with corpus size is the fused
+    # assign+encode Arrow pass inside write_ivf_pq_index (training is
+    # bounded, search reads only probed cells) — measure that it
+    # parallelizes across input files. The sf fixtures' embeddings table
+    # is small (2k rows at sf0.1), so the probe replicates it 32x with
+    # disjoint ids to give the encode pass real work, then times the
+    # build against a 1-file and an n_files-file copy of the SAME rows.
+    from flink_descriptive_stats_spark.operators import similarity
+    emb = load_table(spark, sf_dir, "embeddings")
+    rep = spark.range(32).crossJoin(emb).select(
+        (spark_col("vec_id") * 32 + spark_col("id")).alias("vec_id"),
+        "embedding")
+    for label, n in (("single", 1), ("multi", n_files)):
+        (rep.repartition(n).write.mode("overwrite")
+         .parquet(f"{multi_dir}/emb_{label}.parquet"))
+    rec = {}
+    for label in ("single", "multi"):
+        best = None
+        for _ in range(2):
+            clear_all_memos()
+            df = spark.read.parquet(f"{multi_dir}/emb_{label}.parquet")
+            idx = f"{multi_dir}/idx_{label}"
+            t0 = time.perf_counter()
+            similarity.write_ivf_pq_index(df, idx)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        rec[label] = round(best, 2)
+        rec[f"{label}_rows"] = rep.count()
+    rec["speedup"] = round(rec["single"] / rec["multi"], 2)
+    out["ivf_pq_index_build"] = rec
+    print(f"probe ivf_pq_index_build: {rec}", file=sys.stderr)
     import shutil
     shutil.rmtree(multi_dir, ignore_errors=True)
     print(json.dumps({"n_files": n_files, "sf_dir": sf_dir, "ops": out},
