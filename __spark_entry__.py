@@ -1167,6 +1167,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SQL engine's)
     q["corr_gram_lineitem"] = _tq(
         extras.correlation_matrix, "lineitem", method="gram")
+    # all-pairs sample covariance (r7): the unnormalized association
+    # sibling — oracle-backed (DuckDB covar_samp mirrors the agg path
+    # under sig6); the gram method is pytest-pinned against it
+    for table in _CORR_TABLES:
+        q[f"covariance_{table}"] = _tq(extras.covariance_matrix, table)
 
     def _ks_drift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b = _snapshots(spark, sf_dir)
@@ -1236,6 +1241,7 @@ def oracle_sql() -> dict[str, str]:
         o[f"outliers_{table}"] = oracle.outliers_sql(table)
     for table in _CORR_TABLES:
         o[f"corr_{table}"] = oracle.correlation_sql(table)
+        o[f"covariance_{table}"] = oracle.covariance_sql(table)
     for table, col in _HISTOGRAMS:
         o[f"histogram_{table}_{col}"] = oracle.histogram_sql(table, col)
     from flink_descriptive_stats_spark.report import jb_report_sql

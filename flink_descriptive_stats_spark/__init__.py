@@ -207,6 +207,7 @@ _API = {
                              "pq_index_calibration"),
     "start_index_append_stream": ("streaming.pipeline_stream",
                                   "start_index_append_stream"),
+    "covariance_matrix": ("operators.extras", "covariance_matrix"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

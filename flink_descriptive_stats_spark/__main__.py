@@ -32,7 +32,7 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "join-advisor", "paragraph-dedup", "label-purity",
                "dup-rate", "temporal-split", "pack-bfd", "k-anonymity",
                "quality-ensemble", "curate", "keys", "fuzzy-join",
-               "temperature-mix", "dataset-card")
+               "temperature-mix", "dataset-card", "covariance")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -448,6 +448,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "100 TB path)")
     sp.add_argument("--buckets", type=int, default=200)
     _add_common(sp)
+
+    cv = sub.add_parser("covariance",
+                        help="all-pairs sample covariance matrix")
+    cv.add_argument("input")
+    cv.add_argument("--columns", default=None,
+                    help="comma-separated numeric columns")
+    cv.add_argument("--gram", action="store_true",
+                    help="force the centered-Gram Arrow path (auto-picked "
+                         "for wide schemas)")
+    _add_common(cv)
 
     wv = sub.add_parser("woe",
                         help="WOE / information value per feature bin")
@@ -1066,6 +1076,15 @@ def main(argv: list[str] | None = None) -> int:
                                      exact=not args.approx,
                                      n_buckets=args.buckets),
               args.output)
+        return 0
+
+    if args.cmd == "covariance":
+        from flink_descriptive_stats_spark.operators import extras
+        df = _load(spark, args.input, args.format)
+        cols = args.columns.split(",") if args.columns else None
+        _emit(extras.covariance_matrix(
+            df, columns=cols, method="gram" if args.gram else None),
+            args.output)
         return 0
 
     if args.cmd == "woe":

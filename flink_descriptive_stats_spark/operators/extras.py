@@ -337,12 +337,13 @@ def correlation_matrix(df: DataFrame,
         out, "col_a string, col_b string, corr string")
 
 
-def _correlation_matrix_gram(df: DataFrame, cols: list[str]) -> DataFrame:
-    """The wide-schema Gram path of correlation_matrix — see there for
-    the contract. Shape: one k-slot avg aggregate (bounded), one narrow
-    mapInPandas scan whose per-batch output is the k(k+1)/2 + 1 partial
-    rows (never the data), one bounded groupBy(i, j) sum, driver math
-    over O(k^2) floats."""
+def _gram_matrix(df: DataFrame, cols: list[str]):
+    """The shared Gram core of the wide-schema correlation / covariance
+    paths: returns (C, n) where C is the k x k CENTERED cross-product
+    matrix sum((x_a - mu_a)(x_b - mu_b)) over the listwise-complete rows
+    and n their count. Shape: one k-slot avg aggregate (bounded), one
+    narrow mapInPandas scan whose per-batch output is the k(k+1)/2 + 1
+    partial rows (never the data), one bounded groupBy(i, j) sum."""
     import numpy as np
     import pandas as pd
     from typing import Iterator
@@ -354,6 +355,8 @@ def _correlation_matrix_gram(df: DataFrame, cols: list[str]) -> DataFrame:
     mu = np.array([mrow[c] if mrow[c] is not None else 0.0
                    for c in cols], dtype=np.float64)
     iu = np.triu_indices(k)
+    ii = np.concatenate([iu[0], [-1]]).astype("int32")
+    jj = np.concatenate([iu[1], [-1]]).astype("int32")
 
     def gram(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -361,14 +364,28 @@ def _correlation_matrix_gram(df: DataFrame, cols: list[str]) -> DataFrame:
                 continue
             X = pdf[cols].to_numpy(dtype=np.float64) - mu
             G = X.T @ X
-            yield pd.DataFrame({"i": iu[0].astype("int32"),
-                                "j": iu[1].astype("int32"),
-                                "s": G[iu]})
+            # the (-1,-1) row carries the batch's row count, so n rides
+            # the same bounded partial-sum aggregate as the products
+            yield pd.DataFrame(
+                {"i": ii, "j": jj,
+                 "s": np.concatenate([G[iu], [float(len(X))]])})
 
     parts = base.mapInPandas(gram, "i int, j int, s double")
     C = np.zeros((k, k))
+    n = 0
     for r in parts.groupBy("i", "j").agg(F.sum("s").alias("s")).collect():
-        C[r["i"], r["j"]] = r["s"]
+        if r["i"] < 0:
+            n = int(r["s"])
+        else:
+            C[r["i"], r["j"]] = r["s"]
+    return C, n
+
+
+def _correlation_matrix_gram(df: DataFrame, cols: list[str]) -> DataFrame:
+    """The wide-schema Gram path of correlation_matrix — see there for
+    the contract; driver math over O(k^2) floats."""
+    C, _ = _gram_matrix(df, cols)
+    k = len(cols)
     out = []
     for i in range(k):
         for j in range(i + 1, k):
@@ -379,6 +396,50 @@ def _correlation_matrix_gram(df: DataFrame, cols: list[str]) -> DataFrame:
             out.append((cols[i], cols[j], sig6_py(v)))
     return df.sparkSession.createDataFrame(
         out, "col_a string, col_b string, corr string")
+
+
+def covariance_matrix(df: DataFrame,
+                      columns: list[str] | None = None,
+                      max_pairs_per_pass: int = 4000,
+                      method: str | None = None) -> DataFrame:
+    """All-pairs SAMPLE covariance (long format: col_a, col_b, cov) —
+    the unnormalized sibling of correlation_matrix, the input a feature
+    pipeline needs for whitening / portfolio math where the scale of
+    co-movement matters, not just its direction. Same two routes with
+    the same auto-pick: "agg" (k(k-1)/2 covar_samp buffers, chunked past
+    ``max_pairs_per_pass``; the ORACLE-comparable path — DuckDB's
+    covar_samp mirrors it exactly under sig6) and "gram" (the shared
+    centered-Gram Arrow pass; cov = C_ab / (n-1)). Gram-vs-agg deltas
+    are the same as correlation_matrix's: listwise vs pairwise NULL
+    deletion, identical on NULL-free columns (pytest-pinned)."""
+    cols = columns or numeric_columns(df)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    if method is None:
+        method = "agg" if len(pairs) <= max_pairs_per_pass else "gram"
+    if method == "gram":
+        C, n = _gram_matrix(df, cols)
+        out = []
+        for i in range(len(cols)):
+            for j in range(i + 1, len(cols)):
+                v = C[i, j] / (n - 1) if n > 1 else None
+                out.append((cols[i], cols[j], sig6_py(v)))
+        return df.sparkSession.createDataFrame(
+            out, "col_a string, col_b string, cov string")
+    row: dict = {}
+    for lo in range(0, len(pairs), max_pairs_per_pass):
+        chunk = pairs[lo:lo + max_pairs_per_pass]
+        r = df.agg(*[
+            F.covar_samp(F.col(a).cast("double"), F.col(b).cast("double"))
+            .alias(f"{a}__{b}") for a, b in chunk]).collect()[0]
+        row.update(r.asDict())
+    out = []
+    for a, b in pairs:
+        v = row[f"{a}__{b}"]
+        if v is not None and math.isnan(v):
+            v = None
+        out.append((a, b, sig6_py(v)))
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, cov string")
 
 
 def rolling_stats(df: DataFrame, ts_col: str = "ts",

@@ -352,6 +352,22 @@ def correlation_sql(table: str) -> str:
     return "\nUNION ALL\n".join(branches)
 
 
+def covariance_sql(table: str) -> str:
+    """Oracle for extras.covariance_matrix (the agg path): DuckDB's
+    covar_samp over the same double-cast pairs; NaN (degenerate n<=1)
+    maps to NULL like the Spark side."""
+    cols = _numeric_cols(table)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    branches = []
+    for a, b in pairs:
+        raw = f"covar_samp(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE))"
+        safe = f"CASE WHEN isnan({raw}) THEN NULL ELSE {raw} END"
+        branches.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"{duck_sig6(safe)} AS cov FROM {table}")
+    return "\nUNION ALL\n".join(branches)
+
+
 def windowed_profile_sql(table: str = "events", ts_col: str = "ts",
                          value_col: str = "value",
                          window_hours: int = 6,

@@ -403,3 +403,29 @@ def test_index_append_replay_idempotent(spark, tmp_path):
     with open(os.path.join(idx, "stream_runs.json")) as f:
         runs = json.load(f)
     assert len(runs) == 1 and list(runs.values()) == [2]
+
+
+# ---------------------------------------------------------------- covariance
+# matrix (r7 sibling of the correlation family)
+
+def test_covariance_matrix_gram_equals_agg_and_numpy(spark):
+    """covariance_matrix: the covar_samp agg path (oracle-gated) and the
+    shared centered-Gram path agree to float tolerance on NULL-free
+    columns, and both match numpy.cov ground truth."""
+    import numpy as np
+    li = load_table(spark, SF_DIR, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    agg = {(r["col_a"], r["col_b"]): float(r["cov"])
+           for r in X.covariance_matrix(li, cols, method="agg").collect()}
+    gram = {(r["col_a"], r["col_b"]): float(r["cov"])
+            for r in X.covariance_matrix(li, cols,
+                                         method="gram").collect()}
+    assert set(agg) == set(gram)
+    M = np.array(li.select(*[F.col(c).cast("double") for c in cols])
+                 .collect(), dtype=np.float64)
+    W = np.cov(M, rowvar=False)
+    for (a, b), v in agg.items():
+        i, j = cols.index(a), cols.index(b)
+        rel = max(1e-12, abs(W[i, j]) * 1e-5)
+        assert abs(v - W[i, j]) <= rel, (a, b, v, W[i, j])
+        assert abs(gram[(a, b)] - W[i, j]) <= rel, (a, b)
