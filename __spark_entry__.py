@@ -316,6 +316,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return qf
     q["decontaminate_exact_documents"] = _decontam(False)
     q["decontaminate_fuzzy_documents"] = _decontam(True)
+
+    # Bloom-prefiltered exact decontamination (r7): same OUTPUT as the
+    # exact path (the anti-join recheck kills false positives), so it
+    # shares decontaminate_exact's oracle — only the 100 TB plan differs
+    # (the whole-corpus shuffle shrinks to the bloom-positive sliver)
+    def _decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _load(spark, sf_dir, "documents")
+        train = docs.where(F.col("doc_id") % 10 != 0)
+        holdout = docs.where(F.col("doc_id") % 10 == 0)
+        return dedup.decontaminate_bloom(train, holdout)
+    q["decontaminate_bloom_documents"] = _decontam_bloom
     # (minhash_signatures / simhash_signatures gate at 51+ — the gated
     # *_pairs queries consume those signatures, so a signature bug fails
     # the gated window transitively)
@@ -1254,6 +1265,7 @@ def oracle_sql() -> dict[str, str]:
     from flink_descriptive_stats_spark import oracle_pipeline as op
     o["dedup_exact_documents"] = op.dedup_exact_sql()
     o["decontaminate_exact_documents"] = op.decontaminate_exact_sql()
+    o["decontaminate_bloom_documents"] = op.decontaminate_exact_sql()
     o["decontaminate_fuzzy_documents"] = op.decontaminate_fuzzy_sql()
     o["corpus_summary_documents"] = op.corpus_summary_sql()
     o["vocabulary_documents"] = op.vocabulary_sql()

@@ -208,6 +208,7 @@ _API = {
     "start_index_append_stream": ("streaming.pipeline_stream",
                                   "start_index_append_stream"),
     "covariance_matrix": ("operators.extras", "covariance_matrix"),
+    "decontaminate_bloom": ("operators.dedup", "decontaminate_bloom"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

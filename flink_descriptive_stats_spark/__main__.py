@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("holdout")
     dc.add_argument("--fuzzy", action="store_true",
                     help="LSH band matching instead of exact hashes")
+    dc.add_argument("--bloom", action="store_true",
+                    help="Bloom-prefiltered exact path: same output, the "
+                         "corpus-side shuffle shrinks to the bloom-"
+                         "positive sliver (the 100 TB middle regime)")
     dc.add_argument("--text-col", default="text")
     dc.add_argument("--id-col", default="doc_id")
     _add_common(dc)
@@ -665,9 +669,15 @@ def main(argv: list[str] | None = None) -> int:
         from flink_descriptive_stats_spark.operators import dedup
         train = _load(spark, args.train, args.format)
         holdout = _load(spark, args.holdout, args.format)
-        _emit(dedup.decontaminate(train, holdout, content_col=args.text_col,
-                                  id_col=args.id_col, fuzzy=args.fuzzy),
-              args.output)
+        if args.bloom:
+            out = dedup.decontaminate_bloom(
+                train, holdout, content_col=args.text_col,
+                id_col=args.id_col)
+        else:
+            out = dedup.decontaminate(train, holdout,
+                                      content_col=args.text_col,
+                                      id_col=args.id_col, fuzzy=args.fuzzy)
+        _emit(out, args.output)
         return 0
 
     if args.cmd in ("text-stats", "quality-filter", "pii-scan",
