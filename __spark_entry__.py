@@ -327,6 +327,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         holdout = docs.where(F.col("doc_id") % 10 == 0)
         return dedup.decontaminate_bloom(train, holdout)
     q["decontaminate_bloom_documents"] = _decontam_bloom
+
+    # BPE vocabulary induction (r7): iterative argmax merge loop over the
+    # bounded word-frequency table — rows-only (no SQL engine mirrors an
+    # iterative loop); merges pytest-pinned against an independent
+    # from-scratch implementation, per-doc stats vs a Python mirror
+    q["bpe_merges_documents"] = _tq(text_ops.bpe_learn, "documents",
+                                    n_merges=30)
+    q["bpe_token_stats_documents"] = _tq(text_ops.bpe_token_stats,
+                                         "documents", n_merges=30)
     # (minhash_signatures / simhash_signatures gate at 51+ — the gated
     # *_pairs queries consume those signatures, so a signature bug fails
     # the gated window transitively)

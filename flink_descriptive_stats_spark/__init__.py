@@ -209,6 +209,8 @@ _API = {
                                   "start_index_append_stream"),
     "covariance_matrix": ("operators.extras", "covariance_matrix"),
     "decontaminate_bloom": ("operators.dedup", "decontaminate_bloom"),
+    "bpe_learn": ("operators.text", "bpe_learn"),
+    "bpe_token_stats": ("operators.text", "bpe_token_stats"),
 }
 
 __all__ = ["get_spark", *sorted(_API)]

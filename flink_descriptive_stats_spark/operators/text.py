@@ -853,3 +853,150 @@ def vocab_growth(df: DataFrame, text_col: str = "text",
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return b.select("bucket", "first_doc", "n_new_tokens",
                     F.sum("n_new_tokens").over(w).alias("cum_vocab"))
+
+
+def _bpe_merge_loop(word_counts: list[tuple[str, int]],
+                    n_merges: int) -> list[tuple[int, str, str, str, int]]:
+    """The vocabulary-scale BPE merge loop (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units",
+    arXiv:1508.07909 — the published algorithm, driver-side because its
+    input is the BOUNDED word-frequency table, never the corpus).
+    Deterministic: best pair by (count desc, pair lexicographic asc);
+    stops early when no pair remains. Returns
+    (rank, left, right, merged, pair_count) rows."""
+    seqs: list[tuple[list[str], int]] = [
+        (list(w) + ["</w>"], int(c)) for w, c in word_counts if w]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, c in seqs:
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), n = best
+        merged = left + right
+        merges.append((rank, left, right, merged, n))
+        for i, (sym, c) in enumerate(seqs):
+            j, out = 0, []
+            while j < len(sym):
+                if (j + 1 < len(sym) and sym[j] == left
+                        and sym[j + 1] == right):
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(sym[j])
+                    j += 1
+            seqs[i] = (out, c)
+    return merges
+
+
+def bpe_learn(df: DataFrame, n_merges: int = 50, text_col: str = "text",
+              id_col: str = "doc_id",
+              max_vocab_words: int = 1 << 15) -> DataFrame:
+    """Learn a byte-pair-encoding merge table from the corpus — the
+    tokenizer-induction primitive next to token_fertility's
+    tokenizer-FIT diagnostics: (rank, left, right, merged, pair_count),
+    rank 0 = first merge learned.
+
+    Execution shape follows the k-means/PQ training discipline: the
+    CORPUS-scale work is one distributed pass (explode lowercased word
+    tokens -> groupBy(word) count — map-side combined, the same
+    vocabulary shuffle vocabulary() runs), bounded to the top
+    ``max_vocab_words`` words by (count desc, word asc) BEFORE the
+    collect, and the merge loop itself is driver-side Python over that
+    bounded (word, count) table — BPE training is inherently
+    vocabulary-scale (the standard implementations all train on the
+    word-frequency table), so nothing corpus-sized ever reaches the
+    driver. Deterministic end to end: the word cap breaks count ties by
+    word, the merge loop breaks pair-count ties lexicographically.
+    Rows-only (an iterative argmax loop is no SQL engine's); a pytest
+    pins the merges against an independent from-scratch BPE
+    implementation on a hand-checked fixture."""
+    wc = (df.where(F.col(text_col).isNotNull())
+          .select(F.explode(H.tokens_expr(F.col(text_col))).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+          .orderBy(F.col("c").desc(), F.col("w").asc())
+          .limit(max_vocab_words))
+    rows = [(r["w"], int(r["c"])) for r in wc.collect()]
+    merges = _bpe_merge_loop(rows, n_merges)
+    return df.sparkSession.createDataFrame(
+        merges, "rank int, left string, right string, merged string, "
+                "pair_count bigint")
+
+
+def bpe_token_stats(df: DataFrame, merges: list | None = None,
+                    n_merges: int = 50, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document subword statistics under a learned BPE merge table:
+    (id, n_words, n_bpe_tokens, tokens_per_word) — the direct answer to
+    "how many training tokens is this corpus under MY tokenizer", where
+    token_fertility answers it for a fixed generic subword rule.
+
+    ``merges`` is the (left, right) list in rank order (learned via
+    bpe_learn when omitted). The corpus pass is ONE Arrow mapInPandas
+    scan; within each batch the merge loop runs once per DISTINCT word
+    (memoized dict), so the Python cost is vocabulary-shaped per batch,
+    not word-occurrence-shaped."""
+    import pandas as pd
+    from typing import Iterator
+
+    if merges is None:
+        merges = [(r["left"], r["right"])
+                  for r in bpe_learn(df, n_merges=n_merges,
+                                     text_col=text_col,
+                                     id_col=id_col).collect()]
+    pairs = list(merges)
+
+    def n_tokens(word: str, cache: dict) -> int:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        sym = list(word) + ["</w>"]
+        for left, right in pairs:
+            j, out = 0, []
+            while j < len(sym):
+                if (j + 1 < len(sym) and sym[j] == left
+                        and sym[j + 1] == right):
+                    out.append(left + right)
+                    j += 2
+                else:
+                    out.append(sym[j])
+                    j += 1
+            sym = out
+            if len(sym) == 1:
+                break
+        cache[word] = len(sym)
+        return len(sym)
+
+    import re
+    # the same \w+ lowercased token rule as tokens_expr/bpe_learn —
+    # re.ASCII because Java's \w is ASCII-only, and the stats must be
+    # computed under the vocabulary the merges were learned on
+    tok_re = re.compile(r"\w+", re.ASCII)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = []
+            for i, t in zip(pdf["id"], pdf["t"]):
+                words = tok_re.findall(t.lower()) if t is not None else []
+                total = sum(n_tokens(w, cache) for w in words)
+                out.append((int(i), len(words), total,
+                            total / len(words) if words else None))
+            yield pd.DataFrame(out, columns=["id", "n_words",
+                                             "n_bpe_tokens",
+                                             "tokens_per_word"])
+
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("t"))
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    res = base.mapInPandas(
+        batches, "id bigint, n_words bigint, n_bpe_tokens bigint, "
+                 "tokens_per_word double")
+    return res.select("id", "n_words", "n_bpe_tokens",
+                      sig6(F.col("tokens_per_word"))
+                      .alias("tokens_per_word"))

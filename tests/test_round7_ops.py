@@ -486,3 +486,110 @@ def test_decontaminate_bloom_prefilter_selectivity(spark):
     # with 16 bits/item the expected false-positive count on ~4500
     # clean rows is << 2% of the corpus
     assert len(hrows) > 0
+
+
+# ---------------------------------------------------------------- BPE
+# vocabulary induction (r7)
+
+def _bpe_reference(texts, n_merges):
+    """Independent from-scratch BPE (Sennrich 2016) for the pin: its own
+    tokenization, pair counting, and tie policy — shares no code with
+    the operator."""
+    import re
+    from collections import Counter
+    words = Counter()
+    for t in texts:
+        if t is not None:
+            words.update(re.findall(r"\w+", t.lower(), re.ASCII))
+    seqs = {w: tuple(w) + ("</w>",) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, c in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, a + b, n))
+        for w in words:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    return merges
+
+
+def test_bpe_learn_matches_independent_reference(spark):
+    """bpe_learn's merge table equals the independent implementation on
+    the real fixture — rank order, merged symbols, AND pair counts; the
+    deterministic tie policy (count desc, pair asc) is what makes the
+    two meet exactly. Repeat run identical."""
+    from flink_descriptive_stats_spark.operators import text as T
+    docs = load_table(spark, SF_DIR, "documents")
+    got = [(r["left"], r["right"], r["merged"], r["pair_count"])
+           for r in sorted(T.bpe_learn(docs, n_merges=25).collect(),
+                           key=lambda r: r["rank"])]
+    texts = [r["text"] for r in docs.select("text").collect()]
+    want = _bpe_reference(texts, 25)
+    assert got == want
+    again = [(r["left"], r["right"], r["merged"], r["pair_count"])
+             for r in sorted(T.bpe_learn(docs, n_merges=25).collect(),
+                             key=lambda r: r["rank"])]
+    assert got == again
+
+
+def test_bpe_learn_hand_fixture(spark):
+    """Hand-checked corpus: 'low low lower' -> first merges build 'low'
+    then extend it — the textbook walk-through, pinned exactly."""
+    from flink_descriptive_stats_spark.operators import text as T
+    docs = spark.createDataFrame(
+        [(1, "low low lower")], "doc_id bigint, text string")
+    rows = sorted(T.bpe_learn(docs, n_merges=3).collect(),
+                  key=lambda r: r["rank"])
+    # pair counts: (l,o)=3, (o,w)=3, (w,</w>)=2, (w,e)=1 ... ties break
+    # lexicographically: (l,o) before (o,w)
+    assert (rows[0]["left"], rows[0]["right"],
+            rows[0]["pair_count"]) == ("l", "o", 3)
+    assert (rows[1]["left"], rows[1]["right"],
+            rows[1]["pair_count"]) == ("lo", "w", 3)
+    assert (rows[2]["left"], rows[2]["right"],
+            rows[2]["pair_count"]) == ("low", "</w>", 2)
+
+
+def test_bpe_token_stats_mirror(spark):
+    """Per-doc subword counts under the learned merges equal a pure-
+    Python application of the SAME merge table (the corpus-pass pin:
+    batching and the per-batch word cache change nothing)."""
+    from flink_descriptive_stats_spark.operators import text as T
+    docs = load_table(spark, SF_DIR, "documents")
+    merges = [(r["left"], r["right"])
+              for r in sorted(T.bpe_learn(docs, n_merges=20).collect(),
+                              key=lambda r: r["rank"])]
+    got = {r["id"]: (r["n_words"], r["n_bpe_tokens"])
+           for r in T.bpe_token_stats(docs, merges=merges).collect()}
+    import re
+    for r in docs.select("doc_id", "text").collect():
+        words = (re.findall(r"\w+", r["text"].lower(), re.ASCII)
+                 if r["text"] is not None else [])
+        total = 0
+        for w in words:
+            s = list(w) + ["</w>"]
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            total += len(s)
+        assert got[r["doc_id"]] == (len(words), total), r["doc_id"]
