@@ -1192,6 +1192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # under sig6); the gram method is pytest-pinned against it
     for table in _CORR_TABLES:
         q[f"covariance_{table}"] = _tq(extras.covariance_matrix, table)
+    # per-segment correlation (r7): the which-segment-flipped view;
+    # fully oracle-verified (DuckDB grouped corr under the same snap)
+    q["grouped_corr_events"] = _tq(extras.grouped_correlation, "events",
+                                   group_col="event_type")
 
     def _ks_drift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b = _snapshots(spark, sf_dir)
@@ -1262,6 +1266,8 @@ def oracle_sql() -> dict[str, str]:
     for table in _CORR_TABLES:
         o[f"corr_{table}"] = oracle.correlation_sql(table)
         o[f"covariance_{table}"] = oracle.covariance_sql(table)
+    o["grouped_corr_events"] = oracle.grouped_correlation_sql(
+        "events", "event_type")
     for table, col in _HISTOGRAMS:
         o[f"histogram_{table}_{col}"] = oracle.histogram_sql(table, col)
     from flink_descriptive_stats_spark.report import jb_report_sql

@@ -209,6 +209,7 @@ _API = {
                                   "start_index_append_stream"),
     "covariance_matrix": ("operators.extras", "covariance_matrix"),
     "decontaminate_bloom": ("operators.dedup", "decontaminate_bloom"),
+    "grouped_correlation": ("operators.extras", "grouped_correlation"),
     "bpe_learn": ("operators.text", "bpe_learn"),
     "bpe_token_stats": ("operators.text", "bpe_token_stats"),
 }

@@ -398,6 +398,52 @@ def _correlation_matrix_gram(df: DataFrame, cols: list[str]) -> DataFrame:
         out, "col_a string, col_b string, corr string")
 
 
+def grouped_correlation(df: DataFrame, group_col: str,
+                        columns: list[str] | None = None,
+                        max_pairs_per_pass: int = 4000) -> DataFrame:
+    """Per-segment Pearson correlation — (group, col_a, col_b, corr),
+    the which-segment-has-different-structure view of
+    correlation_matrix (the same relationship check_constraints_by has
+    to check_constraints): a pair whose correlation flips sign or
+    collapses in one source/segment is a data-integration bug the
+    corpus-level matrix averages away.
+
+    ONE grouped aggregation pass (the k(k-1)/2 corr buffers ride a
+    groupBy instead of a global agg; chunked past ``max_pairs_per_pass``
+    exactly like correlation_matrix, merged on the bounded
+    groups x pairs frame). Output is bounded by groups x pairs. NULL
+    groups form their own segment, like every grouped operator here.
+    corr of a within-group constant column is NULL (not an error — the
+    aggregate's divide guard, try_divide semantics)."""
+    cols = columns or [c for c in numeric_columns(df) if c != group_col]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    rows: dict = {}
+    for lo in range(0, len(pairs), max_pairs_per_pass):
+        chunk = pairs[lo:lo + max_pairs_per_pass]
+        g = (df.groupBy(F.col(group_col).alias("group"))
+             .agg(*[F.try_divide(
+                 F.covar_samp(F.col(a).cast("double"),
+                              F.col(b).cast("double")),
+                 F.stddev_samp(F.col(a).cast("double"))
+                 * F.stddev_samp(F.col(b).cast("double")))
+                 .alias(f"{a}__{b}") for a, b in chunk]))
+        for r in g.collect():
+            rows.setdefault(r["group"], {}).update(
+                {k: r[k] for k in r.asDict() if k != "group"})
+    out = []
+    for grp in sorted(rows, key=lambda x: (x is None, str(x))):
+        for a, b in pairs:
+            v = rows[grp].get(f"{a}__{b}")
+            if v is not None and not math.isnan(v) and abs(v) < 1e-9:
+                v = 0.0
+            if v is not None and math.isnan(v):
+                v = None
+            out.append((None if grp is None else str(grp),
+                        a, b, sig6_py(v)))
+    return df.sparkSession.createDataFrame(
+        out, "group string, col_a string, col_b string, corr string")
+
+
 def covariance_matrix(df: DataFrame,
                       columns: list[str] | None = None,
                       max_pairs_per_pass: int = 4000,

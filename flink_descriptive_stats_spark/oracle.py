@@ -352,6 +352,26 @@ def correlation_sql(table: str) -> str:
     return "\nUNION ALL\n".join(branches)
 
 
+def grouped_correlation_sql(table: str, group_col: str) -> str:
+    """Oracle for extras.grouped_correlation: per-group corr over the
+    same double-cast pairs (DuckDB corr returns NULL on zero variance,
+    matching the Spark side's try_divide), group rendered as VARCHAR,
+    the same <1e-9 zero snap as correlation_sql."""
+    cols = [c for c in _numeric_cols(table) if c != group_col]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    branches = []
+    for a, b in pairs:
+        raw = f"corr(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE))"
+        snapped = (f"CASE WHEN {raw} IS NOT NULL AND NOT isnan({raw}) "
+                   f"AND abs({raw}) < 1e-9 THEN 0.0 ELSE {raw} END")
+        branches.append(
+            f"SELECT CAST({group_col} AS VARCHAR) AS \"group\", "
+            f"'{a}' AS col_a, '{b}' AS col_b, "
+            f"{duck_sig6(snapped)} AS corr FROM {table} "
+            f"GROUP BY {group_col}")
+    return "\nUNION ALL\n".join(branches)
+
+
 def covariance_sql(table: str) -> str:
     """Oracle for extras.covariance_matrix (the agg path): DuckDB's
     covar_samp over the same double-cast pairs; NaN (degenerate n<=1)

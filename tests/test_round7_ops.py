@@ -593,3 +593,43 @@ def test_bpe_token_stats_mirror(spark):
                 s = out
             total += len(s)
         assert got[r["doc_id"]] == (len(words), total), r["doc_id"]
+
+
+def test_grouped_correlation_matches_global_on_single_group(spark):
+    """A frame with one group value reduces grouped_correlation to
+    correlation_matrix exactly; per-group values match a numpy
+    per-segment computation; a within-group constant column yields NULL
+    (try_divide), never an ANSI divide-by-zero."""
+    import numpy as np
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    ev = load_table(spark, SF_DIR, "events")
+    cols = ["value", "user_id"]
+    one = ev.withColumn("g", F.lit("all"))
+    got = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in X.grouped_correlation(one, "g", cols).collect()}
+    want = {(r["col_a"], r["col_b"]): r["corr"]
+            for r in X.correlation_matrix(ev, cols).collect()}
+    assert got == want
+    # per-group vs numpy
+    rows = ev.select("event_type", *cols).dropna().collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["event_type"], []).append(
+            (float(r[cols[0]]), float(r[cols[1]])))
+    got_g = {(r["group"], r["col_a"], r["col_b"]): r["corr"]
+             for r in X.grouped_correlation(ev, "event_type",
+                                            cols).collect()}
+    for g, vals in by.items():
+        M = np.array(vals)
+        want_v = float(np.corrcoef(M[:, 0], M[:, 1])[0, 1])
+        if abs(want_v) < 1e-9:
+            want_v = 0.0
+        assert got_g[(g, cols[0], cols[1])] == sig6_py(want_v), g
+    # constant column in a group -> NULL, no ANSI error
+    cdf = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 1.0, 3.0), ("b", 1.0, 2.0),
+         ("b", 2.0, 4.0)], "g string, x double, y double")
+    out = {(r["group"],): r["corr"] for r in
+           X.grouped_correlation(cdf, "g", ["x", "y"]).collect()}
+    assert out[("a",)] is None        # x constant within group a
+    assert out[("b",)] is not None
