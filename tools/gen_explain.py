@@ -324,13 +324,18 @@ def main() -> None:
     pruned = (spark.read.parquet(os.path.join(idx, "codes"))
               .where(F.col("cell_id").isin([0, 1, 2, 3])))
     sections.append((
-        "Persisted IVF-PQ index: probed-cells scan (round 6)",
+        "Persisted IVF-PQ index: probed-cells scan (round 6; epoch layout "
+        "round 7)",
         "The stored code table is partitioned by IVF cell, so the\n"
         "n_probe cell filter lands in PartitionFilters — the probe bound\n"
         "is enforced by the FILE LISTING, before any byte of data is\n"
         "read. At n_probe=4 of 16 cells a search reads 1/4 of the index\n"
         "files; the vectors themselves are touched only by the bounded\n"
-        "broadcast-shortlist exact re-rank.",
+        "broadcast-shortlist exact re-rank. (Round 7 adds an ``epoch``\n"
+        "partition level above ``cell_id`` — base build epoch=-1, each\n"
+        "append its own epoch dir, the crash-replay idempotency layout —\n"
+        "which changes nothing here: cell_id stays a partition column\n"
+        "and the filter still prunes at the listing.)",
         fmt(spark, pruned)
         + "\n\nPartitionFilters line (from the node detail):\n"
         + next((ln.strip() for ln in
@@ -338,6 +343,56 @@ def main() -> None:
                     spark._jvm.org.apache.spark.sql.execution.ExplainMode
                     .fromString("formatted")).splitlines()
                 if "PartitionFilters" in ln), "")))
+
+    # round 7: wide-schema Gram pass (corr/covariance)
+    import numpy as np
+    import pandas as pd
+    gcols = ["l_quantity", "l_extendedprice", "l_discount"]
+    gbase = li.select(*[F.col(c).cast("double").alias(c)
+                        for c in gcols]).dropna()
+    gmrow = gbase.agg(*[F.avg(c).alias(c) for c in gcols]).collect()[0]
+    gmu = np.array([gmrow[c] for c in gcols])
+    giu = np.triu_indices(len(gcols))
+
+    def _gram(it):
+        for pdf in it:
+            Xm = pdf[gcols].to_numpy() - gmu
+            G = Xm.T @ Xm
+            yield pd.DataFrame({"i": giu[0].astype("int32"),
+                                "j": giu[1].astype("int32"),
+                                "s": G[giu]})
+
+    sections.append((
+        "Wide-schema correlation/covariance: the Gram pass (round 7)",
+        "Why it exists: the all-pairs AGGREGATE path is k(k-1)/2\n"
+        "`corr`/`covar_samp` buffers — at 250 columns that is 31,125\n"
+        "aggregate expressions, and the cost is janino PLANNING, not\n"
+        "data (measured 8-30s per pass on a 400-row frame). The Gram\n"
+        "route moves the pair math into one Arrow batch kernel (numpy\n"
+        "X.T @ X on globally-mean-centered batches) and lets Spark\n"
+        "aggregate only the bounded k(k+1)/2+1 partial rows each batch\n"
+        "emits. The corpus scan stays narrow; the one exchange carries\n"
+        "partials, never data.",
+        fmt(spark, gbase.mapInPandas(_gram, "i int, j int, s double")
+            .groupBy("i", "j").agg(F.sum("s")))))
+
+    # round 7: bloom-prefiltered decontamination
+    from flink_descriptive_stats_spark.operators import dedup as dedup_ops
+    sections.append((
+        "Bloom-prefiltered decontamination (round 7)",
+        "Both branches re-run the cheap narrow flag pass\n"
+        "(ArrowEvalPython over xxhash64(text)) rather than materializing\n"
+        "the corpus; the bloom-NEGATIVE branch is filter-only — those\n"
+        "rows never meet a join. Only the bloom-POSITIVE sliver (true\n"
+        "matches + ~0.06% false positives) reaches the exact md5\n"
+        "anti-join. On the fixture the holdout hash set broadcasts; at\n"
+        "the scale the operator exists for (holdout too big to\n"
+        "broadcast) the anti-join becomes a shuffle OF THE SLIVER —\n"
+        "that is the whole win vs the plain exact path, whose anti-join\n"
+        "shuffles the entire corpus.",
+        fmt(spark, dedup_ops.decontaminate_bloom(
+            docs2.where(F.col("doc_id") % 10 != 0),
+            docs2.where(F.col("doc_id") % 10 == 0)))))
 
     with open("EXPLAIN.md", "w") as f:
         f.write(
