@@ -671,6 +671,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.image_features(d)
     q["image_features_synthetic"] = _image_features_synth
 
+    # image near-dup via DCT perceptual hash (r7): PPM payloads derived
+    # from doc_id // 2, so every adjacent id pair is the SAME picture up
+    # to a 1-byte parity perturbation — a built-in near-dup cluster per
+    # pair (bounded n/2 output), proving NEAR (not just exact) matching;
+    # rows-only (no DCT in SQL), banding recall + perturbation tolerance
+    # pytest-pinned
+    def _image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        base = F.floor(F.col("doc_id") / 2).cast("string")
+        parts = [F.unhex(F.md5(F.concat(F.lit("img"), base, F.lit(str(j)))))
+                 for j in range(12)]
+        tweak = F.when(F.col("doc_id") % 2 == 0, F.lit(bytearray(b"\x00"))
+                       ).otherwise(F.lit(bytearray(b"\x07")))
+        d = docs.select(
+            F.col("doc_id").alias("id"),
+            F.concat(F.lit(bytearray(b"P6\n8 8\n255\n")), tweak,
+                     F.substr(F.concat(*parts), F.lit(2), F.lit(191)))
+            .alias("payload"))
+        return multimodal.image_neardup_pairs(d)
+    q["image_neardup_synthetic"] = _image_neardup
+
     # REAL audio decode, oracle-gated: synthetic 16-bit PCM WAV payloads
     # (same 12-md5 chain = 96 LE int16 samples @ 8 kHz mono), decoded by
     # the actual RIFF parser; RMS (sqrt of an exact integer mean) and

@@ -210,6 +210,8 @@ _API = {
     "covariance_matrix": ("operators.extras", "covariance_matrix"),
     "decontaminate_bloom": ("operators.dedup", "decontaminate_bloom"),
     "grouped_correlation": ("operators.extras", "grouped_correlation"),
+    "image_phash": ("operators.multimodal", "image_phash"),
+    "image_neardup_pairs": ("operators.multimodal", "image_neardup_pairs"),
     "bpe_learn": ("operators.text", "bpe_learn"),
     "bpe_token_stats": ("operators.text", "bpe_token_stats"),
 }

@@ -410,3 +410,115 @@ def image_texture_features(df: DataFrame, payload_col: str = "payload",
 
     return (df.select(id_col, payload_col)
             .mapInPandas(batches, TEXTURE_FEATURE_SCHEMA))
+
+
+# ---------------------------------------------------------------- image
+# perceptual hashing (round 7): the DEDUP primitive for the image
+# modality — text has MinHash/SimHash, embeddings have LSH/SemDeDup,
+# images get the published DCT perceptual hash (pHash; same construction
+# as the open imagehash library: resize -> luma -> 2-D DCT-II -> top-left
+# 8x8 low-frequency block -> median threshold -> 64-bit code). Re-encoded
+# or lightly-edited copies of an image land within a few Hamming bits.
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the direct O(n^3) matrix form — n=32
+    here, trivial next to Arrow batch transfer)."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    C = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    C[0] /= np.sqrt(2.0)
+    return C
+
+
+def phash64(img: np.ndarray, hash_size: int = 8,
+            highfreq_factor: int = 4) -> int:
+    """64-bit DCT perceptual hash of an (h, w, 3) uint8 image. Pure
+    numpy, deterministic: luma -> nearest-neighbor resize to
+    (hash_size*highfreq_factor)^2 -> DCT-II -> top-left hash_size^2
+    block -> bit = coefficient > median. Returned as a SIGNED 64-bit
+    value so it stores in a Spark bigint."""
+    n = hash_size * highfreq_factor
+    luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2])
+    ys = np.linspace(0, luma.shape[0] - 1, n).round().astype(int)
+    xs = np.linspace(0, luma.shape[1] - 1, n).round().astype(int)
+    small = luma[np.ix_(ys, xs)]
+    C = _dct_matrix(n)
+    low = (C @ small @ C.T)[:hash_size, :hash_size]
+    bits = (low > np.median(low)).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_phash(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "id") -> DataFrame:
+    """(id, decoded, phash) over a binary image column: the 64-bit DCT
+    perceptual hash for every decodable payload (PPM/BMP — the honest
+    no-PIL decode boundary), decoded=false degradation for the rest.
+    ONE Arrow mapInPandas pass, nothing shuffles; the hash is the
+    content-defined key every downstream image-dedup step joins on."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rows.append((int(i), True,
+                                 phash64(decode_image(bytes(p)))))
+                except (NotImplementedError, ValueError, IndexError):
+                    rows.append((int(i), False, None))
+            yield pd.DataFrame(rows, columns=["id", "decoded", "phash"])
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(batches, "id bigint, decoded boolean, "
+                                  "phash bigint"))
+
+
+def image_neardup_pairs(df: DataFrame, max_hamming: int = 6,
+                        n_bands: int = 4, max_bucket: int = 1024,
+                        payload_col: str = "payload",
+                        id_col: str = "id") -> DataFrame:
+    """Near-duplicate image pairs: (id_a, id_b, hamming) for decodable
+    payloads whose pHashes differ in <= ``max_hamming`` of 64 bits —
+    re-encodes, slight crops/noise of the same picture.
+
+    Shape is the family-standard banded-candidate funnel (the SimHash
+    near-pair plan re-expressed for the image hash): split the 64-bit
+    code into ``n_bands`` contiguous bands, equi-join ids sharing a
+    band value (by pigeonhole this is EXHAUSTIVE for hamming <=
+    n_bands-1; above that it is the same high-recall heuristic every
+    banded-LSH step here uses), cap pathological bands at
+    ``max_bucket`` ids (all-black thumbnails — the boilerplate skew
+    cap, visible as dropped buckets, not silent O(n^2)), then the
+    EXACT bit_count(xor) recheck JVM-side. Only (id, 64-bit) rows ever
+    shuffle."""
+    hs = image_phash(df, payload_col=payload_col, id_col=id_col) \
+        .where(F.col("decoded")).select("id", "phash")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = hs.select(
+        "id", "phash", F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.expr(f"shiftrightunsigned(phash, {b * width}) "
+                            f"& {mask}").alias("val"))
+            for b in range(n_bands)])).alias("bk")) \
+        .select("id", "phash", F.col("bk.band").alias("band"),
+                F.col("bk.val").alias("val"))
+    ok = (bands.groupBy("band", "val")
+          .agg(F.count(F.lit(1)).alias("__n"))
+          .where(F.col("__n") <= max_bucket)
+          .select("band", "val"))
+    bands = bands.join(ok, ["band", "val"], "semi")
+    a = bands.select(F.col("id").alias("id_a"),
+                     F.col("phash").alias("pa"), "band", "val")
+    b = bands.select(F.col("id").alias("id_b"),
+                     F.col("phash").alias("pb"), "band", "val")
+    cand = (a.join(b, ["band", "val"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "pa", "pb").distinct())
+    return (cand.withColumn("hamming",
+                            F.expr("bit_count(pa ^ pb)"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+            .orderBy("id_a", "id_b"))

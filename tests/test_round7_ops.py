@@ -633,3 +633,70 @@ def test_grouped_correlation_matches_global_on_single_group(spark):
            X.grouped_correlation(cdf, "g", ["x", "y"]).collect()}
     assert out[("a",)] is None        # x constant within group a
     assert out[("b",)] is not None
+
+
+# ---------------------------------------------------------------- image
+# perceptual-hash near-dup (r7)
+
+def test_image_phash_properties(spark):
+    """pHash invariants on real decoded images: identical payloads hash
+    identically; a 1-byte pixel perturbation moves only a few of the 64
+    bits (near-dup closeness); an independent random image sits far in
+    Hamming distance; undecodable payloads degrade to decoded=false."""
+    import numpy as np
+    from flink_descriptive_stats_spark.operators import multimodal as M
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    tweaked = base.copy()
+    tweaked[0, 0, 0] ^= 7
+    other = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    rows = [(1, bytearray(M.encode_ppm(base))),
+            (2, bytearray(M.encode_ppm(base))),
+            (3, bytearray(M.encode_ppm(tweaked))),
+            (4, bytearray(M.encode_ppm(other))),
+            (5, bytearray(b"JUNK-not-an-image"))]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    got = {r["id"]: r for r in M.image_phash(df).collect()}
+    assert got[5]["decoded"] is False and got[5]["phash"] is None
+    assert got[1]["phash"] == got[2]["phash"]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    near = ham(got[1]["phash"], got[3]["phash"])
+    far = ham(got[1]["phash"], got[4]["phash"])
+    assert near <= 6, near
+    assert far > 10, far
+    # python mirror of the hash itself
+    assert got[1]["phash"] == M.phash64(base)
+
+
+def test_image_neardup_pairs_funnel(spark):
+    """The banded funnel finds exactly the constructed near-dup pairs
+    (same base image, 1-byte apart), no cross-pairs between independent
+    images, and the max_bucket skew cap visibly drops a flooded bucket
+    instead of going quadratic."""
+    import numpy as np
+    from flink_descriptive_stats_spark.operators import multimodal as M
+    rng = np.random.RandomState(42)
+    rows = []
+    for k in range(6):               # 6 clusters of 2 near-dup images
+        img = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+        tw = img.copy()
+        tw[1, 1, 2] ^= 5
+        rows.append((2 * k, bytearray(M.encode_ppm(img))))
+        rows.append((2 * k + 1, bytearray(M.encode_ppm(tw))))
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in M.image_neardup_pairs(df).collect()}
+    assert set(got) == {(2 * k, 2 * k + 1) for k in range(6)}
+    assert all(h <= 6 for h in got.values())
+    # skew cap: 30 IDENTICAL images flood every band bucket past
+    # max_bucket -> dropped (documented cap), not a 435-pair blowup
+    flood = spark.createDataFrame(
+        [(i, bytearray(M.encode_ppm(
+            np.full((8, 8, 3), 128, dtype=np.uint8)))) for i in range(30)],
+        "id bigint, payload binary")
+    capped = M.image_neardup_pairs(flood, max_bucket=10).count()
+    assert capped == 0
+    uncapped = M.image_neardup_pairs(flood, max_bucket=1000).count()
+    assert uncapped == 30 * 29 // 2
