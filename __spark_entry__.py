@@ -693,6 +693,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.image_neardup_pairs(d)
     q["image_neardup_synthetic"] = _image_neardup
 
+    # audio near-dup via the Haitsma-Kalker fingerprint (r7): WAV
+    # payloads from doc_id // 2 with a parity noise overlay — adjacent
+    # ids are the same clip re-noised; rows-only (no FFT in SQL),
+    # fingerprint robustness pytest-pinned
+    def _audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import struct as _struct
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        base = F.floor(F.col("doc_id") / 2).cast("string")
+        # 200 chained md5s = 3200 bytes = 1600 samples: long enough that
+        # the 17-frame x 5-band energy grid is non-degenerate (the
+        # 96-sample clips the decode queries use collapse to 3 FFT bins
+        # and cross-match)
+        parts = [F.unhex(F.md5(F.concat(F.lit("wav"), base, F.lit(str(j)))))
+                 for j in range(200)]
+        n_bytes = 3200
+        fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        header = (b"RIFF"
+                  + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + n_bytes)
+                  + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + _struct.pack("<I", n_bytes))
+        # parity overlay: flip one LOW byte at the clip start for odd
+        # ids — a tiny amplitude change the sign-of-difference bits
+        # survive
+        tweak = F.when(F.col("doc_id") % 2 == 0, F.lit(bytearray(b"\x10"))
+                       ).otherwise(F.lit(bytearray(b"\x17")))
+        d = docs.select(
+            F.col("doc_id").alias("id"),
+            F.concat(F.lit(bytearray(header)), tweak,
+                     F.substr(F.concat(*parts), F.lit(2),
+                              F.lit(n_bytes - 1)))
+            .alias("payload"))
+        return multimodal.audio_neardup_pairs(d)
+    q["audio_neardup_synthetic"] = _audio_neardup
+
     # REAL audio decode, oracle-gated: synthetic 16-bit PCM WAV payloads
     # (same 12-md5 chain = 96 LE int16 samples @ 8 kHz mono), decoded by
     # the actual RIFF parser; RMS (sqrt of an exact integer mean) and

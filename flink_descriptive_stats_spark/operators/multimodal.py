@@ -475,29 +475,23 @@ def image_phash(df: DataFrame, payload_col: str = "payload",
                                   "phash bigint"))
 
 
-def image_neardup_pairs(df: DataFrame, max_hamming: int = 6,
-                        n_bands: int = 4, max_bucket: int = 1024,
-                        payload_col: str = "payload",
-                        id_col: str = "id") -> DataFrame:
-    """Near-duplicate image pairs: (id_a, id_b, hamming) for decodable
-    payloads whose pHashes differ in <= ``max_hamming`` of 64 bits —
-    re-encodes, slight crops/noise of the same picture.
-
-    Shape is the family-standard banded-candidate funnel (the SimHash
-    near-pair plan re-expressed for the image hash): split the 64-bit
-    code into ``n_bands`` contiguous bands, equi-join ids sharing a
-    band value (by pigeonhole this is EXHAUSTIVE for hamming <=
-    n_bands-1; above that it is the same high-recall heuristic every
+def hamming_neardup_pairs(hashes: DataFrame, max_hamming: int = 6,
+                          n_bands: int = 4,
+                          max_bucket: int = 1024) -> DataFrame:
+    """The shared banded Hamming candidate funnel over any (id, phash)
+    64-bit signature frame (the SimHash near-pair plan re-expressed as
+    a reusable step — image pHash and the audio fingerprint both feed
+    it): split the code into ``n_bands`` contiguous bands, equi-join
+    ids sharing a band value (by pigeonhole EXHAUSTIVE for hamming <=
+    n_bands-1; above that the same high-recall heuristic every
     banded-LSH step here uses), cap pathological bands at
-    ``max_bucket`` ids (all-black thumbnails — the boilerplate skew
-    cap, visible as dropped buckets, not silent O(n^2)), then the
-    EXACT bit_count(xor) recheck JVM-side. Only (id, 64-bit) rows ever
-    shuffle."""
-    hs = image_phash(df, payload_col=payload_col, id_col=id_col) \
-        .where(F.col("decoded")).select("id", "phash")
+    ``max_bucket`` ids (all-black thumbnails / silence — the
+    boilerplate skew cap, visible as dropped buckets, not silent
+    O(n^2)), then the EXACT bit_count(xor) recheck JVM-side. Only
+    (id, 64-bit) rows ever shuffle."""
     width = 64 // n_bands
     mask = (1 << width) - 1
-    bands = hs.select(
+    bands = hashes.select(
         "id", "phash", F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.expr(f"shiftrightunsigned(phash, {b * width}) "
@@ -522,3 +516,88 @@ def image_neardup_pairs(df: DataFrame, max_hamming: int = 6,
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming")
             .orderBy("id_a", "id_b"))
+
+
+def image_neardup_pairs(df: DataFrame, max_hamming: int = 6,
+                        n_bands: int = 4, max_bucket: int = 1024,
+                        payload_col: str = "payload",
+                        id_col: str = "id") -> DataFrame:
+    """Near-duplicate image pairs: (id_a, id_b, hamming) for decodable
+    payloads whose pHashes differ in <= ``max_hamming`` of 64 bits —
+    re-encodes, slight crops/noise of the same picture. One Arrow hash
+    pass, then the shared hamming_neardup_pairs funnel."""
+    hs = image_phash(df, payload_col=payload_col, id_col=id_col) \
+        .where(F.col("decoded")).select("id", "phash")
+    return hamming_neardup_pairs(hs, max_hamming=max_hamming,
+                                 n_bands=n_bands, max_bucket=max_bucket)
+
+
+def audio_fingerprint64(rate: int, samples: np.ndarray) -> int:
+    """64-bit audio fingerprint: the Haitsma-Kalker sign-of-energy-
+    difference construction ("A Highly Robust Audio Fingerprint
+    System", ISMIR 2002) on a 17-frame x 5-band energy grid —
+    bit(n, m) = [ (E[n+1,m] - E[n+1,m+1]) - (E[n,m] - E[n,m+1]) > 0 ],
+    16 x 4 = 64 bits. Signs of band-energy differences survive
+    re-encoding and additive noise; absolute levels do not. Pure
+    numpy; deterministic."""
+    mono = samples.astype(np.float64).mean(axis=1)
+    n_frames, n_bands_ = 17, 5
+    if len(mono) < n_frames * 2:
+        mono = np.pad(mono, (0, n_frames * 2 - len(mono)))
+    flen = len(mono) // n_frames
+    E = np.empty((n_frames, n_bands_))
+    for f in range(n_frames):
+        seg = mono[f * flen:(f + 1) * flen]
+        mag = np.abs(np.fft.rfft(seg))
+        edges = np.unique(np.round(
+            np.logspace(0, np.log10(len(mag)), n_bands_ + 1)
+        ).astype(int))
+        while len(edges) < n_bands_ + 1:       # degenerate tiny frames
+            edges = np.append(edges, edges[-1] + 1)
+        for m in range(n_bands_):
+            lo, hi = edges[m], max(edges[m + 1], edges[m] + 1)
+            E[f, m] = (mag[lo:hi] ** 2).sum()
+    v = 0
+    for f in range(n_frames - 1):
+        for m in range(n_bands_ - 1):
+            d = (E[f + 1, m] - E[f + 1, m + 1]) - (E[f, m] - E[f, m + 1])
+            v = (v << 1) | int(d > 0)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_fingerprint(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "id") -> DataFrame:
+    """(id, decoded, phash) over a binary audio column: the 64-bit
+    Haitsma-Kalker fingerprint for every decodable WAV payload,
+    decoded=false degradation for the rest. ONE Arrow pass; the
+    column is named ``phash`` so the frame feeds the shared
+    hamming_neardup_pairs funnel directly."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rate, _, samples = decode_wav(bytes(p))
+                    rows.append((int(i), True,
+                                 audio_fingerprint64(rate, samples)))
+                except (NotImplementedError, ValueError, IndexError,
+                        struct.error):
+                    rows.append((int(i), False, None))
+            yield pd.DataFrame(rows, columns=["id", "decoded", "phash"])
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(batches, "id bigint, decoded boolean, "
+                                  "phash bigint"))
+
+
+def audio_neardup_pairs(df: DataFrame, max_hamming: int = 8,
+                        n_bands: int = 4, max_bucket: int = 1024,
+                        payload_col: str = "payload",
+                        id_col: str = "id") -> DataFrame:
+    """Near-duplicate audio pairs — re-encoded / noise-overlaid copies
+    of the same clip: the audio twin of image_neardup_pairs, one Arrow
+    fingerprint pass into the shared banded Hamming funnel."""
+    hs = audio_fingerprint(df, payload_col=payload_col, id_col=id_col) \
+        .where(F.col("decoded")).select("id", "phash")
+    return hamming_neardup_pairs(hs, max_hamming=max_hamming,
+                                 n_bands=n_bands, max_bucket=max_bucket)

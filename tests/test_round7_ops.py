@@ -700,3 +700,47 @@ def test_image_neardup_pairs_funnel(spark):
     assert capped == 0
     uncapped = M.image_neardup_pairs(flood, max_bucket=1000).count()
     assert uncapped == 30 * 29 // 2
+
+
+def test_audio_fingerprint_and_neardup(spark):
+    """Haitsma-Kalker fingerprint invariants on real decoded WAVs:
+    identical clips hash identically, an additive-noise overlay moves
+    only a few of the 64 sign bits, an independent clip sits far; the
+    shared Hamming funnel recovers exactly the constructed near-dup
+    pairs; junk payloads degrade to decoded=false."""
+    import struct as _struct
+
+    import numpy as np
+    from flink_descriptive_stats_spark.operators import multimodal as M
+
+    def wav(samples):
+        data = samples.astype("<i2").tobytes()
+        fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        return (b"RIFF"
+                + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(data)) + data)
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for k in range(5):
+        base = rng.randint(-8000, 8000, 1600).astype(np.int16)
+        noisy = (base + rng.randint(-200, 200, 1600)).astype(np.int16)
+        rows.append((2 * k, bytearray(wav(base))))
+        rows.append((2 * k + 1, bytearray(wav(noisy))))
+    rows.append((99, bytearray(b"not-audio")))
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    fps = {r["id"]: r for r in M.audio_fingerprint(df).collect()}
+    assert fps[99]["decoded"] is False
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    for k in range(5):
+        assert ham(fps[2 * k]["phash"], fps[2 * k + 1]["phash"]) <= 8, k
+    assert ham(fps[0]["phash"], fps[2]["phash"]) > 12
+    got = {(r["id_a"], r["id_b"]) for r in
+           M.audio_neardup_pairs(df).collect()}
+    assert got == {(2 * k, 2 * k + 1) for k in range(5)}
+    # python mirror of the fingerprint itself
+    rate, _, samples = M.decode_wav(bytes(rows[0][1]))
+    assert fps[0]["phash"] == M.audio_fingerprint64(rate, samples)
