@@ -702,28 +702,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = (_load(spark, sf_dir, "documents")
                 .where(F.col("text").isNotNull()))
         base = F.floor(F.col("doc_id") / 2).cast("string")
-        # 200 chained md5s = 3200 bytes = 1600 samples: long enough that
+        # 48 chained md5s = 768 bytes = 384 samples: long enough that
         # the 17-frame x 5-band energy grid is non-degenerate (the
         # 96-sample clips the decode queries use collapse to 3 FFT bins
-        # and cross-match)
+        # and cross-match; measured separation at 48 parts: near-pair
+        # hamming 0-3, cross-pair >= 18), short enough that the md5
+        # payload construction stays cheap at bench scale
         parts = [F.unhex(F.md5(F.concat(F.lit("wav"), base, F.lit(str(j)))))
-                 for j in range(200)]
-        n_bytes = 3200
+                 for j in range(48)]
+        n_bytes = 48 * 16
         fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
         header = (b"RIFF"
                   + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + n_bytes)
                   + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
                   + b"data" + _struct.pack("<I", n_bytes))
-        # parity overlay: flip one LOW byte at the clip start for odd
-        # ids — a tiny amplitude change the sign-of-difference bits
-        # survive
-        tweak = F.when(F.col("doc_id") % 2 == 0, F.lit(bytearray(b"\x10"))
-                       ).otherwise(F.lit(bytearray(b"\x17")))
+        # parity overlay: the first 16 data bytes (8 samples) come from
+        # a parity-keyed md5 — a short noise burst the sign-of-
+        # difference bits mostly survive (near-pair hamming 0-3),
+        # proving NEAR matching, not just exact
+        tweak = F.unhex(F.md5(F.concat(F.lit("ov"),
+                                       (F.col("doc_id") % 2)
+                                       .cast("string"))))
         d = docs.select(
             F.col("doc_id").alias("id"),
             F.concat(F.lit(bytearray(header)), tweak,
-                     F.substr(F.concat(*parts), F.lit(2),
-                              F.lit(n_bytes - 1)))
+                     F.substr(F.concat(*parts), F.lit(17),
+                              F.lit(n_bytes - 16)))
             .alias("payload"))
         return multimodal.audio_neardup_pairs(d)
     q["audio_neardup_synthetic"] = _audio_neardup

@@ -545,23 +545,25 @@ def audio_fingerprint64(rate: int, samples: np.ndarray) -> int:
     if len(mono) < n_frames * 2:
         mono = np.pad(mono, (0, n_frames * 2 - len(mono)))
     flen = len(mono) // n_frames
-    E = np.empty((n_frames, n_bands_))
-    for f in range(n_frames):
-        seg = mono[f * flen:(f + 1) * flen]
-        mag = np.abs(np.fft.rfft(seg))
-        edges = np.unique(np.round(
-            np.logspace(0, np.log10(len(mag)), n_bands_ + 1)
-        ).astype(int))
-        while len(edges) < n_bands_ + 1:       # degenerate tiny frames
-            edges = np.append(edges, edges[-1] + 1)
-        for m in range(n_bands_):
-            lo, hi = edges[m], max(edges[m + 1], edges[m] + 1)
-            E[f, m] = (mag[lo:hi] ** 2).sum()
+    # all 17 frames in ONE batched rfft (the per-frame loop was the
+    # measured hot spot at corpus scale), band sums via one matmul
+    frames = mono[:n_frames * flen].reshape(n_frames, flen)
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    n_bins = power.shape[1]
+    edges = np.unique(np.round(
+        np.logspace(0, np.log10(n_bins), n_bands_ + 1)).astype(int))
+    while len(edges) < n_bands_ + 1:           # degenerate tiny frames
+        edges = np.append(edges, edges[-1] + 1)
+    ind = np.zeros((n_bins, n_bands_))
+    for m in range(n_bands_):
+        lo, hi = edges[m], max(edges[m + 1], edges[m] + 1)
+        ind[lo:min(hi, n_bins), m] = 1.0
+    E = power @ ind                            # (n_frames, n_bands)
+    D = E[:, :-1] - E[:, 1:]                   # in-frame band diffs
+    bits = ((D[1:] - D[:-1]) > 0).flatten()    # 16 x 4 sign bits
     v = 0
-    for f in range(n_frames - 1):
-        for m in range(n_bands_ - 1):
-            d = (E[f + 1, m] - E[f + 1, m + 1]) - (E[f, m] - E[f, m + 1])
-            v = (v << 1) | int(d > 0)
+    for b in bits:
+        v = (v << 1) | int(b)
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
