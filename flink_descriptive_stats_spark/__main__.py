@@ -32,7 +32,8 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "join-advisor", "paragraph-dedup", "label-purity",
                "dup-rate", "temporal-split", "pack-bfd", "k-anonymity",
                "quality-ensemble", "curate", "keys", "fuzzy-join",
-               "temperature-mix", "dataset-card", "covariance")
+               "temperature-mix", "dataset-card", "covariance",
+               "media-neardup")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -124,6 +125,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="pq-index: where the code table + codebook "
                          "sidecar live (built if absent)")
     _add_common(an)
+
+    mn = sub.add_parser("media-neardup",
+                        help="near-duplicate image/audio pairs via "
+                             "perceptual hashing (DCT pHash / "
+                             "Haitsma-Kalker fingerprint)")
+    mn.add_argument("input", help="parquet with (id, payload binary)")
+    mn.add_argument("--kind", default="image",
+                    choices=["image", "audio"])
+    mn.add_argument("--max-hamming", type=int, default=None,
+                    help="bit threshold (default 6 image / 8 audio)")
+    mn.add_argument("--id-col", default="id")
+    mn.add_argument("--payload-col", default="payload")
+    _add_common(mn)
 
     cr = sub.add_parser("compression",
                         help="per-doc zlib compression-ratio quality screen")
@@ -761,6 +775,20 @@ def main(argv: list[str] | None = None) -> int:
             "index-stats": lambda: _ann_index_stats(),
             "index-calibration": lambda: _ann_index_calibration(),
         }[args.method]()
+        _emit(out, args.output)
+        return 0
+
+    if args.cmd == "media-neardup":
+        from flink_descriptive_stats_spark.operators import multimodal
+        df = _load(spark, args.input, args.format)
+        if args.kind == "image":
+            out = multimodal.image_neardup_pairs(
+                df, max_hamming=args.max_hamming or 6,
+                payload_col=args.payload_col, id_col=args.id_col)
+        else:
+            out = multimodal.audio_neardup_pairs(
+                df, max_hamming=args.max_hamming or 8,
+                payload_col=args.payload_col, id_col=args.id_col)
         _emit(out, args.output)
         return 0
 

@@ -744,3 +744,69 @@ def test_audio_fingerprint_and_neardup(spark):
     # python mirror of the fingerprint itself
     rate, _, samples = M.decode_wav(bytes(rows[0][1]))
     assert fps[0]["phash"] == M.audio_fingerprint64(rate, samples)
+
+
+# ---------------------------------------------------------------- round-7
+# CLI smokes
+
+def test_cli_round7_subcommands(spark, capsys, tmp_path):
+    """Round-7 CLI surface: covariance, dataset-card --approx,
+    decontaminate --bloom, media-neardup (image + audio), and the ann
+    index health methods all parse, run, and preview their frames."""
+    import struct as _struct
+
+    import numpy as np
+    from flink_descriptive_stats_spark.__main__ import main
+    from flink_descriptive_stats_spark.operators import multimodal as M
+    li = "/root/testdata/sf0.001/lineitem.parquet"
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+
+    rc = main(["covariance", li, "--columns",
+               "l_quantity,l_extendedprice"])
+    assert rc == 0 and "cov" in capsys.readouterr().out
+
+    rc = main(["dataset-card", docs, "--approx"])
+    assert rc == 0 and "median_tokens" in capsys.readouterr().out
+
+    rc = main(["decontaminate", docs, docs, "--bloom"])
+    assert rc == 0
+    capsys.readouterr()
+
+    # media-neardup over a tiny image parquet
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    tw = img.copy()
+    tw[0, 0, 0] ^= 3
+    ipath = str(tmp_path / "imgs.parquet")
+    spark.createDataFrame(
+        [(1, bytearray(M.encode_ppm(img))),
+         (2, bytearray(M.encode_ppm(tw)))],
+        "id bigint, payload binary").write.parquet(ipath)
+    rc = main(["media-neardup", ipath, "--kind", "image"])
+    assert rc == 0 and "hamming" in capsys.readouterr().out
+
+    def wav(samples):
+        data = samples.astype("<i2").tobytes()
+        fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        return (b"RIFF"
+                + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(data)) + data)
+    base = rng.randint(-8000, 8000, 800).astype(np.int16)
+    apath = str(tmp_path / "auds.parquet")
+    spark.createDataFrame(
+        [(1, bytearray(wav(base))),
+         (2, bytearray(wav((base + 50).astype(np.int16))))],
+        "id bigint, payload binary").write.parquet(apath)
+    rc = main(["media-neardup", apath, "--kind", "audio"])
+    assert rc == 0 and "hamming" in capsys.readouterr().out
+
+    idx = str(tmp_path / "idx")
+    rc = main(["ann", emb, "--method", "index-stats",
+               "--index-path", idx])
+    assert rc == 0 and "fill_skew" in capsys.readouterr().out
+    idx2 = str(tmp_path / "idx2")
+    rc = main(["ann", emb, "--method", "index-calibration",
+               "--index-path", idx2])
+    assert rc == 0 and "mean_abs_err" in capsys.readouterr().out
