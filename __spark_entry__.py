@@ -677,7 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair (bounded n/2 output), proving NEAR (not just exact) matching;
     # rows-only (no DCT in SQL), banding recall + perturbation tolerance
     # pytest-pinned
-    def _image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _image_payload_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = (_load(spark, sf_dir, "documents")
                 .where(F.col("text").isNotNull()))
         base = F.floor(F.col("doc_id") / 2).cast("string")
@@ -685,12 +685,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  for j in range(12)]
         tweak = F.when(F.col("doc_id") % 2 == 0, F.lit(bytearray(b"\x00"))
                        ).otherwise(F.lit(bytearray(b"\x07")))
-        d = docs.select(
+        return docs.select(
             F.col("doc_id").alias("id"),
             F.concat(F.lit(bytearray(b"P6\n8 8\n255\n")), tweak,
                      F.substr(F.concat(*parts), F.lit(2), F.lit(191)))
             .alias("payload"))
-        return multimodal.image_neardup_pairs(d)
+
+    def _image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return multimodal.image_neardup_pairs(
+            _image_payload_frame(spark, sf_dir))
     q["image_neardup_synthetic"] = _image_neardup
 
     # audio near-dup via the Haitsma-Kalker fingerprint (r7): WAV
@@ -731,6 +734,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("payload"))
         return multimodal.audio_neardup_pairs(d)
     q["audio_neardup_synthetic"] = _audio_neardup
+
+    # pairs -> keep set: the media twin of dedup_corpus (star CC over
+    # the perceptual pair graph, lowest-id representative); rows-only,
+    # cluster/singleton/undecodable behavior pytest-pinned
+    def _image_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _image_payload_frame(spark, sf_dir)
+        return multimodal.media_dedup_corpus(d, kind="image")             .select("id")
+    q["image_dedup_corpus_synthetic"] = _image_dedup_corpus
 
     # REAL audio decode, oracle-gated: synthetic 16-bit PCM WAV payloads
     # (same 12-md5 chain = 96 LE int16 samples @ 8 kHz mono), decoded by

@@ -603,3 +603,42 @@ def audio_neardup_pairs(df: DataFrame, max_hamming: int = 8,
         .where(F.col("decoded")).select("id", "phash")
     return hamming_neardup_pairs(hs, max_hamming=max_hamming,
                                  n_bands=n_bands, max_bucket=max_bucket)
+
+
+def media_dedup_corpus(df: DataFrame, kind: str = "image",
+                       max_hamming: int | None = None,
+                       n_bands: int = 4, max_bucket: int = 1024,
+                       payload_col: str = "payload",
+                       id_col: str = "id") -> DataFrame:
+    """The near-dup-DEDUPLICATED media corpus: one representative (the
+    lowest id) per perceptual-hash near-dup cluster — the image/audio
+    twin of dedup.dedup_corpus, closing the pipeline from pairs to an
+    actionable keep set. Pairs come from the modality's fingerprint +
+    the shared Hamming funnel; transitive links collapse via the same
+    large-star/small-star connected-components step text dedup uses
+    (O(log n) rounds, edge-list-sized work); undecodable payloads are
+    their own singletons (kept — failing to decode is a triage signal,
+    not a dedup decision)."""
+    from flink_descriptive_stats_spark.operators.dedup import \
+        connected_components_star
+    if kind == "image":
+        hs = image_phash(df, payload_col=payload_col, id_col=id_col)
+        mh = 6 if max_hamming is None else max_hamming
+    elif kind == "audio":
+        hs = audio_fingerprint(df, payload_col=payload_col,
+                               id_col=id_col)
+        mh = 8 if max_hamming is None else max_hamming
+    else:
+        raise ValueError(f"unknown media kind: {kind!r}")
+    dec = hs.where(F.col("decoded")).select("id", "phash")
+    pairs = hamming_neardup_pairs(dec, max_hamming=mh, n_bands=n_bands,
+                                  max_bucket=max_bucket)
+    labels = connected_components_star(
+        pairs.select(F.col("id_a").alias("u"),
+                     F.col("id_b").alias("v")),
+        dec.select("id"))
+    reps = (labels.where(F.col("id") == F.col("cluster_id"))
+            .select(F.col("id").alias(id_col)))
+    undecodable = hs.where(~F.col("decoded")) \
+        .select(F.col("id").alias(id_col))
+    return df.join(reps.unionByName(undecodable), id_col, "semi")

@@ -1311,10 +1311,16 @@ def index_stats(spark, path: str) -> DataFrame:
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     codes = spark.read.parquet(os.path.join(path, "codes"))
+    epochs = _codes_epochs(path)
     rows = [("kind", "ivf_pq" if "cells" in meta else "pq"),
             ("m", str(int(meta["m"]))),
             ("ksub", str(int(meta["ksub"]))),
-            ("dsub", str(int(meta["dsub"])))]
+            ("dsub", str(int(meta["dsub"]))),
+            # lifecycle: base build is epoch -1, every (batch or
+            # streaming) append its own epoch dir — n_appends rising
+            # is the cue to read fill_skew and the calibration error
+            ("n_epochs", str(len(epochs))),
+            ("n_appends", str(max(0, len(epochs) - 1)))]
     if "cells" in meta:
         hist = (codes.groupBy("cell_id")
                 .agg(F.count(F.lit(1)).alias("n")).collect())

@@ -251,9 +251,11 @@ def test_index_stats_and_drifted_append_raises_alarms(spark, tmp_path):
     skew1, m1 = skew(idx_a)
     assert int(m1["n_vectors"]) == emb.count()
     assert skew1 > skew0, (skew0, skew1)
-    assert set(m1) == {"kind", "m", "ksub", "dsub", "n_vectors",
+    assert set(m1) == {"kind", "m", "ksub", "dsub", "n_epochs",
+                       "n_appends", "n_vectors",
                        "n_cells", "n_cells_used", "empty_cells",
                        "max_cell", "min_cell", "mean_cell", "fill_skew"}
+    assert (m0["n_appends"], m1["n_appends"]) == ("0", "1")
 
     # (b) distribution stretch -> stored-books calibration alarm
     idx_b = build("ivf_stretch")
@@ -284,7 +286,9 @@ def test_index_stats_pq_kind(spark, tmp_path):
          for r in S.index_stats(spark, idx).collect()}
     assert m["kind"] == "pq"
     assert int(m["n_vectors"]) == emb.count()
-    assert set(m) == {"kind", "m", "ksub", "dsub", "n_vectors"}
+    assert set(m) == {"kind", "m", "ksub", "dsub", "n_epochs",
+                      "n_appends", "n_vectors"}
+    assert m["n_appends"] == "0"
 
 
 # ---------------------------------------------------------------- streaming
@@ -810,3 +814,45 @@ def test_cli_round7_subcommands(spark, capsys, tmp_path):
     rc = main(["ann", emb, "--method", "index-calibration",
                "--index-path", idx2])
     assert rc == 0 and "mean_abs_err" in capsys.readouterr().out
+
+
+def test_media_dedup_corpus(spark):
+    """media_dedup_corpus keeps exactly one representative (lowest id)
+    per perceptual near-dup cluster, transitive links collapse via the
+    star CC step, and undecodable payloads survive as singletons."""
+    import numpy as np
+    from flink_descriptive_stats_spark.operators import multimodal as M
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    a = img.copy(); a[0, 0, 0] ^= 3          # near img
+    b = img.copy(); b[1, 0, 0] ^= 5          # near img (and near a)
+    other = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    rows = [(1, bytearray(M.encode_ppm(img))),
+            (2, bytearray(M.encode_ppm(a))),
+            (3, bytearray(M.encode_ppm(b))),
+            (4, bytearray(M.encode_ppm(other))),
+            (5, bytearray(b"JUNK"))]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    kept = sorted(r["id"] for r in
+                  M.media_dedup_corpus(df, kind="image").collect())
+    assert kept == [1, 4, 5]
+    # audio kind routes through the fingerprint
+    import struct as _struct
+
+    def wav(samples):
+        data = samples.astype("<i2").tobytes()
+        fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        return (b"RIFF"
+                + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"data" + _struct.pack("<I", len(data)) + data)
+    base = rng.randint(-8000, 8000, 800).astype(np.int16)
+    adf = spark.createDataFrame(
+        [(1, bytearray(wav(base))),
+         (2, bytearray(wav((base + 30).astype(np.int16)))),
+         (3, bytearray(wav(rng.randint(-8000, 8000, 800)
+                           .astype(np.int16))))],
+        "id bigint, payload binary")
+    akept = sorted(r["id"] for r in
+                   M.media_dedup_corpus(adf, kind="audio").collect())
+    assert akept == [1, 3]
