@@ -317,6 +317,9 @@ def correlation_matrix(df: DataFrame,
     instead of ANSI divide-by-zero."""
     cols = columns or numeric_columns(df)
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    if not pairs:      # 0/1 columns: nothing to correlate, not an error
+        return df.sparkSession.createDataFrame(
+            [], "col_a string, col_b string, corr string")
     if method is None:
         method = "agg" if len(pairs) <= max_pairs_per_pass else "gram"
     if method == "gram":
@@ -417,6 +420,9 @@ def grouped_correlation(df: DataFrame, group_col: str,
     aggregate's divide guard, try_divide semantics)."""
     cols = columns or [c for c in numeric_columns(df) if c != group_col]
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    if not pairs:
+        return df.sparkSession.createDataFrame(
+            [], "group string, col_a string, col_b string, corr string")
     rows: dict = {}
     for lo in range(0, len(pairs), max_pairs_per_pass):
         chunk = pairs[lo:lo + max_pairs_per_pass]
@@ -460,6 +466,9 @@ def covariance_matrix(df: DataFrame,
     deletion, identical on NULL-free columns (pytest-pinned)."""
     cols = columns or numeric_columns(df)
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    if not pairs:
+        return df.sparkSession.createDataFrame(
+            [], "col_a string, col_b string, cov string")
     if method is None:
         method = "agg" if len(pairs) <= max_pairs_per_pass else "gram"
     if method == "gram":

@@ -489,6 +489,10 @@ def hamming_neardup_pairs(hashes: DataFrame, max_hamming: int = 6,
     boilerplate skew cap, visible as dropped buckets, not silent
     O(n^2)), then the EXACT bit_count(xor) recheck JVM-side. Only
     (id, 64-bit) rows ever shuffle."""
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64 (got {n_bands}): "
+                         "uneven bands would leave uncovered bits and "
+                         "silently drop candidates")
     width = 64 // n_bands
     mask = (1 << width) - 1
     bands = hashes.select(

@@ -856,3 +856,19 @@ def test_media_dedup_corpus(spark):
     akept = sorted(r["id"] for r in
                    M.media_dedup_corpus(adf, kind="audio").collect())
     assert akept == [1, 3]
+
+
+def test_round7_edge_guards(spark):
+    """Edge contracts: a 1-column frame correlates/covaries to an EMPTY
+    result (not an agg error); an n_bands that does not divide 64 is a
+    loud ValueError (uneven bands would silently drop candidates)."""
+    import pytest as _pytest
+    from flink_descriptive_stats_spark.operators import multimodal as M
+    one = spark.range(5).select(F.col("id").cast("double").alias("x"))
+    assert X.correlation_matrix(one, ["x"]).count() == 0
+    assert X.covariance_matrix(one, ["x"]).count() == 0
+    g = one.withColumn("g", F.lit("a"))
+    assert X.grouped_correlation(g, "g", ["x"]).count() == 0
+    hs = spark.createDataFrame([(1, 5)], "id bigint, phash bigint")
+    with _pytest.raises(ValueError, match="divide 64"):
+        M.hamming_neardup_pairs(hs, n_bands=3)
