@@ -403,7 +403,8 @@ def _correlation_matrix_gram(df: DataFrame, cols: list[str]) -> DataFrame:
 
 def grouped_correlation(df: DataFrame, group_col: str,
                         columns: list[str] | None = None,
-                        max_pairs_per_pass: int = 4000) -> DataFrame:
+                        max_pairs_per_pass: int = 4000,
+                        method: str | None = None) -> DataFrame:
     """Per-segment Pearson correlation — (group, col_a, col_b, corr),
     the which-segment-has-different-structure view of
     correlation_matrix (the same relationship check_constraints_by has
@@ -411,28 +412,48 @@ def grouped_correlation(df: DataFrame, group_col: str,
     collapses in one source/segment is a data-integration bug the
     corpus-level matrix averages away.
 
-    ONE grouped aggregation pass (the k(k-1)/2 corr buffers ride a
-    groupBy instead of a global agg; chunked past ``max_pairs_per_pass``
-    exactly like correlation_matrix, merged on the bounded
-    groups x pairs frame). Output is bounded by groups x pairs. NULL
-    groups form their own segment, like every grouped operator here.
-    corr of a within-group constant column is NULL (not an error — the
-    aggregate's divide guard, try_divide semantics)."""
+    method="agg" (the oracle path; auto-chosen up to
+    ``max_pairs_per_pass`` pairs): the k(k-1)/2 corr() buffers ride a
+    groupBy instead of a global agg — PAIRWISE-complete NULL handling,
+    exactly DuckDB's grouped corr() (each pair uses the rows where BOTH
+    its columns are non-null; a covar/stddev composition would mix
+    per-column row sets on misaligned NULLs and stop being Pearson).
+    Chunked past the budget exactly like correlation_matrix, merged on
+    the bounded groups x pairs frame.
+
+    method="gram" (auto-chosen above the budget) is the wide-schema
+    route: the SAME centered-Gram Arrow kernel as correlation_matrix,
+    extended to emit (group, i, j, sum) partials per batch — per-group
+    means from ONE bounded grouped k-slot aggregate, numpy's k x k BLAS
+    product per (batch, group), bounded groupBy(group, i, j) partial
+    sums, driver math on groups x O(k^2) floats. A 250-column grouped
+    call never meets the per-chunk-per-group janino planning cliff the
+    agg route would re-meet. Same documented deltas as the global gram
+    path: NULL handling is LISTWISE per group (one dropna over the k
+    columns), identical to "agg" on NULL-free columns (pytest-pinned);
+    within-group constant columns yield NULL, never an ANSI error; the
+    group key renders via SQL CAST(.. AS STRING) rather than Python
+    str() — identical for string/int keys.
+
+    Output is bounded by groups x pairs. NULL groups form their own
+    segment, like every grouped operator here. corr of a within-group
+    constant column is NULL (not an error)."""
     cols = columns or [c for c in numeric_columns(df) if c != group_col]
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     if not pairs:
         return df.sparkSession.createDataFrame(
             [], "group string, col_a string, col_b string, corr string")
+    if method is None:
+        method = "agg" if len(pairs) <= max_pairs_per_pass else "gram"
+    if method == "gram":
+        return _grouped_correlation_gram(df, group_col, cols)
     rows: dict = {}
     for lo in range(0, len(pairs), max_pairs_per_pass):
         chunk = pairs[lo:lo + max_pairs_per_pass]
         g = (df.groupBy(F.col(group_col).alias("group"))
-             .agg(*[F.try_divide(
-                 F.covar_samp(F.col(a).cast("double"),
-                              F.col(b).cast("double")),
-                 F.stddev_samp(F.col(a).cast("double"))
-                 * F.stddev_samp(F.col(b).cast("double")))
-                 .alias(f"{a}__{b}") for a, b in chunk]))
+             .agg(*[F.corr(F.col(a).cast("double"),
+                           F.col(b).cast("double"))
+                    .alias(f"{a}__{b}") for a, b in chunk]))
         for r in g.collect():
             rows.setdefault(r["group"], {}).update(
                 {k: r[k] for k in r.asDict() if k != "group"})
@@ -446,6 +467,81 @@ def grouped_correlation(df: DataFrame, group_col: str,
                 v = None
             out.append((None if grp is None else str(grp),
                         a, b, sig6_py(v)))
+    return df.sparkSession.createDataFrame(
+        out, "group string, col_a string, col_b string, corr string")
+
+
+def _grouped_gram(df: DataFrame, group_col: str, cols: list[str]):
+    """Grouped extension of _gram_matrix: returns {group_key: (C, n)}
+    where C is the group's k x k centered cross-product sum over its
+    listwise-complete rows and n their count; the NULL group's key is
+    None. Shape: one grouped k-slot avg aggregate (bounded: groups x k
+    — k avg buffers, nothing pairwise, no janino cliff), one narrow
+    mapInPandas scan emitting per-(batch, group) triangle partials
+    (k(k+1)/2 + 1 rows each — never the data), one bounded
+    groupBy(group, i, j) sum. Rows arriving at the driver number
+    groups x (k(k+1)/2 + 1)."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    k = len(cols)
+    base = (df.select(F.col(group_col).cast("string").alias("__g"),
+                      *[F.col(c).cast("double").alias(c) for c in cols])
+            .dropna(subset=list(cols)))
+    mu = {r["__g"]: np.array([r[c] if r[c] is not None else 0.0
+                              for c in cols], dtype=np.float64)
+          for r in (base.groupBy("__g")
+                    .agg(*[F.avg(c).alias(c) for c in cols]).collect())}
+    iu = np.triu_indices(k)
+    ii = np.concatenate([iu[0], [-1]]).astype("int32")
+    jj = np.concatenate([iu[1], [-1]]).astype("int32")
+    # NULL-group sentinel for the in-batch pandas groupby (pandas folds
+    # None into NaN); the \x00 prefix cannot collide with cast-to-string
+    # output of any Spark type
+    SENT = "\x00__null_group__"
+
+    def gram(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            keys = pdf["__g"].fillna(SENT)
+            for g, sub in pdf.groupby(keys, sort=False):
+                X = (sub[cols].to_numpy(dtype=np.float64)
+                     - mu[None if g == SENT else g])
+                G = X.T @ X
+                yield pd.DataFrame(
+                    {"g": None if g == SENT else g, "i": ii, "j": jj,
+                     "s": np.concatenate([G[iu], [float(len(X))]])})
+
+    parts = base.mapInPandas(gram, "g string, i int, j int, s double")
+    out: dict = {}
+    for r in (parts.groupBy("g", "i", "j")
+              .agg(F.sum("s").alias("s")).collect()):
+        C, n = out.setdefault(r["g"], [np.zeros((k, k)), 0])
+        if r["i"] < 0:
+            out[r["g"]][1] = int(r["s"])
+        else:
+            C[r["i"], r["j"]] = r["s"]
+    return {g: (C, n) for g, (C, n) in out.items()}
+
+
+def _grouped_correlation_gram(df: DataFrame, group_col: str,
+                              cols: list[str]) -> DataFrame:
+    """The wide-schema Gram route of grouped_correlation — see there
+    for the contract; driver math over groups x O(k^2) floats."""
+    mats = _grouped_gram(df, group_col, cols)
+    k = len(cols)
+    out = []
+    for grp in sorted(mats, key=lambda x: (x is None, str(x))):
+        C, _ = mats[grp]
+        for i in range(k):
+            for j in range(i + 1, k):
+                denom = math.sqrt(C[i, i] * C[j, j])
+                v = C[i, j] / denom if denom > 0.0 else None
+                if v is not None and abs(v) < 1e-9:
+                    v = 0.0   # summation noise on uncorrelated pairs
+                out.append((grp, cols[i], cols[j], sig6_py(v)))
     return df.sparkSession.createDataFrame(
         out, "group string, col_a string, col_b string, corr string")
 
