@@ -122,6 +122,14 @@ GATED_50 = (
     "topk_lineitem",
     "completeness_lineitem",
     "corr_lineitem",
+    # r8 #13: covariance in — round 7's strongest new oracle-gated family
+    # (DuckDB covar_samp mirror); dedup_exact demoted with transitive
+    # cover from the gated curate_corpus composition (keep-best CANONICAL
+    # dedup + exact md5 decontamination exercise the same md5-keyed
+    # exact-content machinery) and the gated distinct_rows_documents
+    # (md5 whole-row distinctness) — still oracle-verified at 51+,
+    # see SURVEY §5.7
+    "covariance_lineitem",
     "histogram_lineitem_l_extendedprice",
     "jb_report_lineitem",
     "incremental_profile_lineitem",      # StatsPojo-monoid merge API
@@ -134,7 +142,6 @@ GATED_50 = (
     "profile_nation_csv",
     "daily_profile_partitioned_events",
     # -- dedup / decontamination
-    "dedup_exact_documents",
     "decontaminate_fuzzy_documents",
     "paragraph_dedup_documents",         # sub-document granularity
     "neardup_clusters_documents",        # consumes the banded-pair subplan

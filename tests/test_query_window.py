@@ -63,11 +63,14 @@ def test_gated_window_holds_all_operator_families():
                  "multimodal_frames_documents", "sessionize_events",
                  "repetition_stats_documents",
                  "temperature_mixture_documents",   # r7 #12 promotion
+                 "covariance_lineitem",             # r8 #13 promotion
                  "countmin_topk_documents"):
         assert must in first50, must
     # every demoted duplicate still exists at 51+ with its oracle intact
     for demoted in ("text_stats_documents",   # r6 #11 (ensemble + card cover)
                     "pii_scan_documents",     # r7 #12 (dataset_card cover)
+                    "dedup_exact_documents",  # r8 #13 (curate_corpus +
+                                              # distinct_rows cover)
                     "profile_documents", "topk_documents",
                     "decontaminate_exact_documents", "distinct_lineitem",
                     "dedup_corpus_documents",
