@@ -13,8 +13,33 @@ import sys
 import time
 
 
+def _machine_state() -> dict:
+    """Load average + count of ALREADY-RUNNING JVMs, captured BEFORE this
+    bench starts its own. The round-7 driver run landed 18% above the
+    builder's clean close and only the per-query bands proved it was
+    environmental (stray JVMs from timed-out pytest runs inflate the
+    whole suite ~25% uniformly) — stamping the machine state into the
+    snapshot makes totals adjudicable without cross-referencing runs."""
+    try:
+        load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load = None
+    n_java = 0
+    for pid in os.listdir("/proc"):
+        if pid.isdigit():
+            try:
+                with open(f"/proc/{pid}/comm") as f:
+                    if f.read().strip() == "java":
+                        n_java += 1
+            except OSError:
+                pass
+    return {"loadavg_1m_5m_15m": load, "stray_jvms": n_java}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    machine = _machine_state()   # BEFORE get_spark: every JVM is a stray
+    print(f"machine state at start: {machine}", file=sys.stderr)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -112,6 +137,14 @@ def main() -> None:
     snapshot["bands"] = {k: [round(v[0], 2), round(v[1], 2)]
                          for k, v in bands.items()}
     snapshot["n_passes"] = n_passes
+    # machine-state stamp (VERDICT r7 #8): start state (strays counted
+    # before our own JVM existed) + the load average at close
+    snapshot["machine"] = dict(machine)
+    try:
+        snapshot["machine"]["loadavg_at_end"] = [
+            round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
     with open(os.path.join(hist_dir, f"bench_{stamp}_sf{sf}.json"),
               "w") as fh:
         json.dump(snapshot, fh, indent=1, sort_keys=True)
