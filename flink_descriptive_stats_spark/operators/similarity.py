@@ -935,9 +935,12 @@ def append_pq_index(df_new: DataFrame, path: str, id_col: str = "vec_id",
     Each append writes its OWN ``codes/epoch=N`` directory with
     overwrite semantics (``epoch`` defaults to max existing + 1; the
     streaming sink passes its offset epoch explicitly) — a replayed
-    epoch rewrites itself, never double-appends. Appending to a legacy
-    flat-layout index (pre-epoch dirs) falls back to a plain parquet
-    append."""
+    epoch rewrites itself, never double-appends. Appending WITHOUT a
+    pinned epoch to a legacy flat-layout index (pre-epoch dirs) falls
+    back to a plain parquet append; an EXPLICIT epoch on that layout
+    raises instead — the caller pinned it for crash-replay idempotency
+    (the streaming sink does), and a silent mode('append') fallback
+    would double-append on replay."""
     import json
     import os
 
@@ -948,12 +951,28 @@ def append_pq_index(df_new: DataFrame, path: str, id_col: str = "vec_id",
     enc = pq_encode(df_new, books, id_col=id_col, vec_col=vec_col)
     epochs = _codes_epochs(path)
     if not epochs and os.path.isdir(os.path.join(path, "codes")):
+        _require_no_pinned_epoch_on_legacy(epoch, path)
         enc.write.mode("append").parquet(os.path.join(path, "codes"))
         return
     if epoch is None:
         epoch = (epochs[-1] + 1) if epochs else 0
     enc.write.mode("overwrite").parquet(
         os.path.join(path, "codes", f"epoch={epoch}"))
+
+
+def _require_no_pinned_epoch_on_legacy(epoch: int | None,
+                                       path: str) -> None:
+    """A pinned epoch is a replay-idempotency contract (epoch=N rewrites
+    its own directory); the legacy flat layout has no epoch directories,
+    so honoring the pin is impossible and degrading to mode('append')
+    would double-append on a replayed micro-batch. Raise loudly: the fix
+    is a one-time compact_index(path) migration into the epoch layout."""
+    if epoch is not None:
+        raise ValueError(
+            f"index at {path!r} has the legacy flat code layout: cannot "
+            f"honor pinned epoch {epoch} (idempotent replay needs "
+            "epoch directories). Run compact_index(spark, path) once to "
+            "migrate, then re-attach the stream.")
 
 
 def append_ivf_pq_index(df_new: DataFrame, path: str,
@@ -1001,6 +1020,7 @@ def append_ivf_pq_index(df_new: DataFrame, path: str,
         batches, "id bigint, cell_id bigint, codes array<int>")
     epochs = _codes_epochs(path)
     if not epochs and os.path.isdir(os.path.join(path, "codes")):
+        _require_no_pinned_epoch_on_legacy(epoch, path)
         (enc.write.mode("append").partitionBy("cell_id")
          .parquet(os.path.join(path, "codes")))
         return
@@ -1008,6 +1028,120 @@ def append_ivf_pq_index(df_new: DataFrame, path: str,
         epoch = (epochs[-1] + 1) if epochs else 0
     (enc.write.mode("overwrite").partitionBy("cell_id")
      .parquet(os.path.join(path, "codes", f"epoch={epoch}")))
+
+
+def compact_index(spark, path: str, target_files: int = 8) -> dict:
+    """Close the epoch-dir layout's small-file debt: rewrite ALL epochs'
+    stored codes into a fresh single base epoch (``codes/epoch=-1``)
+    with a bounded file count — N retrain-free appends leave N epoch
+    directories (x cells for IVF-PQ; a year of daily appends is ~365
+    dirs of small parquet files), and this is the remediation the
+    ``index_stats.n_appends`` counter points at. NO re-encode: the codes
+    are already encoded and the codebooks/centroids don't change, so
+    searches over the compacted index return EXACTLY what they returned
+    before (the scan kernels are batch-layout-independent;
+    pytest-pinned) — compaction is a pure I/O-layout rewrite, the cheap
+    lifecycle step next to rebuild_index's full retrain. Also migrates a
+    legacy flat layout into the epoch layout (the fix the pinned-epoch
+    append guard demands).
+
+    Shape: one scan of the code table (codes only, never vectors), one
+    repartition to ``target_files`` tasks (hashed by cell_id for IVF-PQ,
+    so each cell's rows land in ONE task = one file per cell directory),
+    one write. Swap is rename-based: the new base is fully written
+    before the old directories move aside; a crash mid-swap leaves a
+    complete copy on disk (``codes`` or ``codes.compact.tmp``) —
+    single-writer maintenance contract, same as the appends: stop any
+    attached stream (checkpoint committed) before compacting, since a
+    replay of an uncommitted micro-batch after its epoch was folded into
+    the base would double-append.
+
+    Returns {"n_epochs_before", "n_files_before", "n_files_after"}."""
+    import json
+    import os
+    import shutil
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    codes_dir = os.path.join(path, "codes")
+
+    def _n_files(root: str) -> int:
+        return sum(len([f for f in fs if f.endswith(".parquet")])
+                   for _, _, fs in os.walk(root))
+
+    n_before = _n_files(codes_dir)
+    epochs_before = _codes_epochs(path)
+    codes = spark.read.parquet(codes_dir)
+    if "epoch" in codes.columns:
+        codes = codes.drop("epoch")
+    tmp = codes_dir + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if "cells" in meta:
+        (codes.repartition(target_files, "cell_id")
+         .write.mode("overwrite").partitionBy("cell_id")
+         .parquet(os.path.join(tmp, "epoch=-1")))
+    else:
+        (codes.repartition(target_files)
+         .write.mode("overwrite")
+         .parquet(os.path.join(tmp, "epoch=-1")))
+    old = codes_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(codes_dir, old)
+    os.rename(tmp, codes_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    # every append epoch is folded into the base: pinned stream offsets
+    # no longer name real directories — attachments must re-key
+    _clear_stream_runs(path)
+    return {"n_epochs_before": len(epochs_before),
+            "n_files_before": n_before,
+            "n_files_after": _n_files(codes_dir)}
+
+
+def rebuild_index(df: DataFrame, path: str, iters: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  max_train: int = 1 << 16) -> None:
+    """The full lifecycle remediation the drift alarms recommend:
+    RETRAIN the codebooks (and centroids, for IVF-PQ) on the CURRENT
+    corpus ``df`` — including everything appended since the original
+    build — and re-encode from scratch, preserving the index's declared
+    geometry (m, ksub, n_cells) from its own sidecar. After appends
+    drifted away from the original training distribution
+    (``pq_index_calibration`` error up, ``index_stats.fill_skew`` up),
+    a rebuild returns both to fresh-build level (pytest-pinned on the
+    round-7 drifted fixture); compact_index is the cheap no-retrain
+    alternative when only the file layout aged. Expensive by design —
+    one full encode pass over the corpus, the same cost as the original
+    build — which is exactly why the alarms exist to tell you WHEN it
+    is worth paying. Attached streams must re-attach with a fresh
+    checkpoint afterwards (the rebuild clears pinned stream offsets:
+    every stored code was re-derived, so old replay bookkeeping is
+    meaningless)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if "cells" in meta:
+        write_ivf_pq_index(df, path, n_cells=len(meta["cells"]),
+                           m=int(meta["m"]), ksub=int(meta["ksub"]),
+                           iters=iters, id_col=id_col, vec_col=vec_col,
+                           max_train=max_train)
+    else:
+        write_pq_index(df, path, m=int(meta["m"]),
+                       ksub=int(meta["ksub"]), id_col=id_col,
+                       vec_col=vec_col, max_train=max_train)
+    _clear_stream_runs(path)
+
+
+def _clear_stream_runs(path: str) -> None:
+    """Drop pinned streaming-append offsets: after a compact (epochs
+    folded) or rebuild (codes re-derived) the old offsets no longer
+    describe the directory layout, and a resumed stream reusing one
+    could collide with or double-count folded epochs."""
+    import contextlib
+    import os
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(path, "stream_runs.json"))
 
 
 def write_ivf_pq_index(df: DataFrame, path: str, n_cells: int = 16,

@@ -1014,30 +1014,45 @@ def start_index_append_stream(stream: DataFrame, index_path: str,
     per checkpoint (max existing epoch + 1 at first attach) and pinned
     in ``stream_runs.json`` (write-then-rename), so restarts of the same
     checkpoint reuse it while a later, different stream gets fresh
-    directories. Caller contract (same as the batch appends): streamed
-    ids are disjoint from stored ids, and one writer grows an index at a
-    time."""
+    directories. WITHOUT a checkpoint there is no replay identity to key
+    on (epoch ids restart at 0 every run), so the offset is allocated
+    fresh at every start and never persisted — two successive
+    uncheckpointed runs land in disjoint directory ranges instead of the
+    second silently overwriting the first (the idempotent-replay
+    guarantee itself still requires a checkpoint). Caller contract (same
+    as the batch appends): streamed ids are disjoint from stored ids,
+    and one writer grows an index at a time."""
     import json
     import os
 
     from flink_descriptive_stats_spark.operators.similarity import \
         _codes_epochs
 
-    runs_path = os.path.join(index_path, "stream_runs.json")
-    runs: dict = {}
-    if os.path.exists(runs_path):
-        with open(runs_path) as f:
-            runs = json.load(f)
-    key = (os.path.abspath(checkpoint_path) if checkpoint_path
-           else "__no_checkpoint__")
-    if key not in runs:
+    if checkpoint_path is None:
+        # No checkpoint means Structured Streaming restarts epoch ids at
+        # 0 on EVERY start and gives no replay guarantee to key on — a
+        # persisted offset would make a second uncheckpointed run reuse
+        # the first run's directories and silently overwrite its codes.
+        # Allocate a FRESH offset per start (max committed epoch + 1)
+        # and never persist it: each run gets its own directory range.
         epochs = _codes_epochs(index_path)
-        runs[key] = (epochs[-1] + 1) if epochs else 0
-        tmp = runs_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(runs, f)
-        os.replace(tmp, runs_path)
-    emit = _index_append_emitter(index_path, int(runs[key]),
+        offset = (epochs[-1] + 1) if epochs else 0
+    else:
+        runs_path = os.path.join(index_path, "stream_runs.json")
+        runs: dict = {}
+        if os.path.exists(runs_path):
+            with open(runs_path) as f:
+                runs = json.load(f)
+        key = os.path.abspath(checkpoint_path)
+        if key not in runs:
+            epochs = _codes_epochs(index_path)
+            runs[key] = (epochs[-1] + 1) if epochs else 0
+            tmp = runs_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(runs, f)
+            os.replace(tmp, runs_path)
+        offset = int(runs[key])
+    emit = _index_append_emitter(index_path, offset,
                                  id_col=id_col, vec_col=vec_col)
     writer = stream.writeStream.outputMode("append").foreachBatch(emit)
     if checkpoint_path:

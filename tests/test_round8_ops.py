@@ -110,3 +110,188 @@ def test_grouped_correlation_gram_null_group_and_constant(spark):
     assert got[("a", "x", "y")] is None          # constant x in group a
     va = np.corrcoef([1.0, 2.0, 3.0], [2.0, 5.0, 7.0])[0, 1]
     assert abs(float(got[(None, "x", "y")]) - va) < 1e-6
+
+
+# ---------------------------------------------------------------- index
+# lifecycle: compact + rebuild (VERDICT r7 next-round #1) and the
+# pinned-epoch legacy guard (ADVICE r7 #3)
+
+def _flatten_to_legacy(idx: str) -> None:
+    """Rewrite an epoch-layout PQ index into the pre-epoch flat layout
+    (codes/*.parquet directly) — the migration-source fixture."""
+    import shutil
+    codes = os.path.join(idx, "codes")
+    epoch_dir = os.path.join(codes, "epoch=-1")
+    for name in os.listdir(epoch_dir):
+        shutil.move(os.path.join(epoch_dir, name),
+                    os.path.join(codes, name))
+    os.rmdir(epoch_dir)
+
+
+def _parquet_files(root: str) -> int:
+    return sum(len([f for f in fs if f.endswith(".parquet")])
+               for _, _, fs in os.walk(root))
+
+
+def test_compact_index_pq_search_equality_and_file_drop(spark, tmp_path):
+    """Compaction is a pure I/O-layout rewrite: after two appends, the
+    compacted PQ index searches EXACTLY like the pre-compaction one,
+    the epoch count returns to 1, the parquet file count drops, and
+    index_stats' append counter resets."""
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    a = emb.where(F.col("vec_id") % 3 == 0)
+    b1 = emb.where(F.col("vec_id") % 3 == 1)
+    b2 = emb.where(F.col("vec_id") % 3 == 2)
+    idx = str(tmp_path / "pq")
+    S.write_pq_index(a, idx)
+    S.append_pq_index(b1, idx)
+    S.append_pq_index(b2, idx)
+    before = sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
+    files_before = _parquet_files(os.path.join(idx, "codes"))
+    assert len(S._codes_epochs(idx)) == 3
+    r = S.compact_index(spark, idx, target_files=2)
+    assert r["n_epochs_before"] == 3
+    assert r["n_files_after"] < r["n_files_before"] == files_before
+    assert S._codes_epochs(idx) == [-1]
+    after = sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
+    assert after == before
+    m = {x["metric"]: x["value"]
+         for x in S.index_stats(spark, idx).collect()}
+    assert (m["n_epochs"], m["n_appends"]) == ("1", "0")
+    assert int(m["n_vectors"]) == emb.count()
+
+
+def test_compact_index_ivf_pq_keeps_cell_partitioning(spark, tmp_path):
+    """IVF-PQ compaction preserves the cell_id partition layout (the
+    probe bound stays a disk bound) and search equality; each cell
+    directory collapses to one file."""
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf")
+    S.write_ivf_pq_index(a, idx)
+    S.append_ivf_pq_index(b, idx)
+    before = sorted(map(tuple, S.ivf_pq_index_topk(emb, idx).collect()))
+    r = S.compact_index(spark, idx, target_files=4)
+    assert r["n_files_after"] < r["n_files_before"]
+    base = os.path.join(idx, "codes", "epoch=-1")
+    cell_dirs = [d for d in os.listdir(base) if d.startswith("cell_id=")]
+    assert cell_dirs, "cell partitioning must survive compaction"
+    for d in cell_dirs:      # hashed-by-cell repartition: 1 file per cell
+        assert _parquet_files(os.path.join(base, d)) == 1, d
+    after = sorted(map(tuple, S.ivf_pq_index_topk(emb, idx).collect()))
+    assert after == before
+
+
+def test_compact_index_migrates_legacy_layout(spark, tmp_path):
+    """Compacting a legacy flat-layout index migrates it into the epoch
+    layout (search unchanged), after which pinned-epoch appends — the
+    streaming sink's idempotency contract — are honored again."""
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "legacy")
+    S.write_pq_index(a, idx)
+    _flatten_to_legacy(idx)
+    assert S._codes_epochs(idx) == []
+    before = sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
+    S.compact_index(spark, idx, target_files=2)
+    assert S._codes_epochs(idx) == [-1]
+    assert sorted(map(tuple,
+                      S.pq_index_topk(emb, idx).collect())) == before
+    S.append_pq_index(b, idx, epoch=7)        # pinned epoch now honored
+    assert S._codes_epochs(idx) == [-1, 7]
+
+
+def test_append_pinned_epoch_on_legacy_layout_raises(spark, tmp_path):
+    """ADVICE r7 #3: an EXPLICIT epoch on the legacy flat layout must
+    raise (a silent mode('append') fallback would double-append on a
+    replayed micro-batch); the unpinned batch append still works."""
+    import pytest as _pytest
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "legacy_pin")
+    S.write_pq_index(a, idx)
+    _flatten_to_legacy(idx)
+    with _pytest.raises(ValueError, match="legacy flat code layout"):
+        S.append_pq_index(b, idx, epoch=3)
+    S.append_pq_index(b, idx)                 # unpinned: plain append OK
+    n = spark.read.parquet(os.path.join(idx, "codes")).count()
+    assert n == emb.count()
+
+
+def test_rebuild_index_resets_calibration_to_fresh_build(spark, tmp_path):
+    """The alarm-remediation loop closes: a distribution-stretch append
+    raises the stored-books ADC error (round-7 fixture); rebuild_index
+    retrains on the CURRENT corpus and the calibration rows become
+    IDENTICAL to a fresh build on that corpus (deterministic training),
+    i.e. the error returns exactly to fresh-build level."""
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "drift")
+    S.write_ivf_pq_index(a, idx)
+
+    def err(path, corpus):
+        rows = S.pq_index_calibration(corpus, path).collect()
+        return sum(float(r["mean_abs_err"]) for r in rows) / len(rows)
+
+    err0 = err(idx, a)
+    stretched = b.withColumn("embedding", F.expr(
+        "transform(embedding, (x, i) -> "
+        "CASE WHEN i % 2 = 1 THEN x * 5.0 ELSE x END)"))
+    S.append_ivf_pq_index(stretched, idx)
+    union = a.unionByName(stretched)
+    err1 = err(idx, union)
+    assert err1 > err0, (err0, err1)
+    S.rebuild_index(union, idx)
+    fresh = str(tmp_path / "fresh")
+    S.write_ivf_pq_index(union, fresh)
+    got = sorted(map(tuple, S.pq_index_calibration(union, idx).collect()))
+    want = sorted(map(tuple,
+                      S.pq_index_calibration(union, fresh).collect()))
+    assert got == want                         # exactly fresh-build level
+    err2 = err(idx, union)
+    assert err2 < err1, (err2, err1)
+    # geometry preserved from the sidecar; appends folded, epochs reset
+    assert S._codes_epochs(idx) == [-1]
+    m = {x["metric"]: x["value"]
+         for x in S.index_stats(spark, idx).collect()}
+    assert int(m["n_vectors"]) == union.count()
+
+
+def test_uncheckpointed_stream_runs_get_fresh_offsets(spark, tmp_path):
+    """ADVICE r7 #2: two successive UNCHECKPOINTED stream runs against
+    the same index must land in disjoint epoch ranges — the second run
+    must not reuse the first's offset (epoch ids restart at 0) and
+    silently overwrite its codes."""
+    from flink_descriptive_stats_spark.operators import similarity as S
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        start_index_append_stream)
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    a = emb.where(F.col("vec_id") % 3 == 0)
+    b1 = emb.where(F.col("vec_id") % 3 == 1)
+    b2 = emb.where(F.col("vec_id") % 3 == 2)
+    idx = str(tmp_path / "nock")
+    S.write_pq_index(a, idx)
+    for i, part in enumerate((b1, b2)):
+        src = str(tmp_path / f"src{i}")
+        part.coalesce(1).write.parquet(src)
+        stream = (spark.readStream.schema(emb.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = start_index_append_stream(stream, idx)   # no checkpoint
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # nothing overwritten: all three populations present, epochs disjoint
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    assert codes.count() == emb.count()
+    assert not os.path.exists(os.path.join(idx, "stream_runs.json"))
+    assert len(S._codes_epochs(idx)) == 3          # base + one per run
