@@ -120,6 +120,67 @@ def decontaminate(train: DataFrame, holdout: DataFrame,
     return train.join(contaminated, id_col, "anti")
 
 
+def _splitmix_probe(x: "np.ndarray", i: int) -> "np.ndarray":
+    """splitmix64 finalizer over (h + i*GOLD): k independent probe
+    streams from one stored 64-bit hash (uint64 wraps are the intended
+    modular arithmetic). Shared by the Bloom build and probe sides —
+    both must derive identical positions."""
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(i) * GOLD
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _bloom_set_words(h: DataFrame, m_bits: int, n_probes: int) -> DataFrame:
+    """The distributed half of the Bloom build: per Arrow batch of
+    distinct holdout hashes, compute every probe position and emit the
+    batch's SET WORDS as (w = word index, b = 64-bit word) rows —
+    sort + reduceat ORs within the batch, so rows emitted per batch are
+    bounded by the batch's distinct touched words. One bounded
+    groupBy(w).bit_or merges the partials; the result frame has at most
+    m_bits/64 rows regardless of holdout size (signed int64 view: the
+    OR of the signed representation ORs the same bits)."""
+    import pandas as pd
+    from typing import Iterator
+
+    def words(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
+            pos = np.concatenate([
+                _splitmix_probe(x, i) % np.uint64(m_bits)
+                for i in range(n_probes)])
+            w = (pos // np.uint64(64)).astype(np.int64)
+            bit = np.uint64(1) << (pos % np.uint64(64))
+            order = np.argsort(w, kind="stable")
+            ws, starts = np.unique(w[order], return_index=True)
+            ors = np.bitwise_or.reduceat(bit[order], starts)
+            yield pd.DataFrame({"w": ws, "b": ors.view(np.int64)})
+
+    return (h.mapInPandas(words, "w bigint, b bigint")
+            .groupBy("w").agg(F.bit_or("b").alias("b")))
+
+
+def _bloom_bitset(h: DataFrame, bits_per_item: int,
+                  n_probes: int) -> tuple["np.ndarray", int]:
+    """Assemble the numpy bitset from the distributed set-words frame:
+    one count sizes it, one Arrow toPandas collect of <= m_bits/64
+    (w, b) rows fills it — driver peak is bitset-scale (~2x the final
+    8 bytes/word), never holdout-scale."""
+    n_items = h.count()
+    m_bits = max(64, bits_per_item * max(1, n_items))
+    m_bits = ((m_bits + 63) // 64) * 64
+    bloom = np.zeros(m_bits // 64, dtype=np.uint64)
+    if n_items:
+        wpdf = _bloom_set_words(h, m_bits, n_probes).toPandas()
+        bloom[wpdf["w"].to_numpy(dtype=np.int64)] = \
+            wpdf["b"].to_numpy(dtype=np.int64).view(np.uint64)
+    return bloom, m_bits
+
+
 def decontaminate_bloom(train: DataFrame, holdout: DataFrame,
                         content_col: str = "text",
                         id_col: str = "doc_id",
@@ -131,55 +192,42 @@ def decontaminate_bloom(train: DataFrame, holdout: DataFrame,
     threshold) but its Bloom bitset still fits everywhere: ~2 bytes per
     holdout doc at the defaults vs 16+ for the hash set itself.
 
-    Shape: ONE bounded collect of the holdout's distinct xxhash64 values
-    (eval-set scale — the same side decontaminate() already treats as
-    the small one), a numpy bitset built driver-side and SHARED via a
-    Spark broadcast variable, then a vectorized Arrow flagging pass over
-    the corpus scan. Bloom-NEGATIVE rows are definitely clean (no false
-    negatives) and flow straight through; only the bloom-POSITIVE sliver
-    (true matches + ~0.06% false positives at 16 bits/item, 8 probes)
-    pays the exact md5 anti-join — so the shuffle the plain exact path
-    runs over the WHOLE corpus shrinks to the sliver. The final result
-    is EXACT (the anti-join recheck kills every false positive), so this
-    query gates against the SAME oracle as decontaminate(fuzzy=False);
-    equality is also pytest-pinned, including at a deliberately
-    undersized filter.
+    Shape: the bitset is built DISTRIBUTED — one bounded count of the
+    holdout's distinct xxhash64 values sizes it, then an Arrow
+    mapInPandas pass emits each batch's SET WORDS as (word_index,
+    word_bits) partials and one groupBy(word_index).bit_or aggregate
+    OR-merges them, so what reaches the driver is the words frame
+    (<= m_bits/64 rows ~ 16 bytes per 8-byte bitset word via the Arrow
+    collect — bitset-scale, never the 8 B/doc of raw hashes the first
+    version collected, a 4x driver-peak cut at exactly the holdout
+    scale this operator exists for). The assembled numpy bitset is
+    SHARED via a Spark broadcast variable, then a vectorized Arrow
+    flagging pass runs over the corpus scan. Bloom-NEGATIVE rows are
+    definitely clean (no false negatives) and flow straight through;
+    only the bloom-POSITIVE sliver (true matches + ~0.06% false
+    positives at 16 bits/item, 8 probes) pays the exact md5 anti-join —
+    so the shuffle the plain exact path runs over the WHOLE corpus
+    shrinks to the sliver. The final result is EXACT (the anti-join
+    recheck kills every false positive), so this query gates against
+    the SAME oracle as decontaminate(fuzzy=False); equality is also
+    pytest-pinned, including at a deliberately undersized filter, and
+    the distributed bitset is pinned bit-identical to a driver-built
+    one.
 
     The two output branches each re-run the cheap narrow flag pass
     rather than caching it — at scale two narrow scans beat
     materializing the corpus. NULL-content rows are kept, matching the
     exact path (md5(NULL) joins nothing)."""
-    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    hrows = (holdout.where(F.col(content_col).isNotNull())
-             .select(F.xxhash64(F.col(content_col)).alias("h"))
-             .distinct().collect())
-    hashes = np.array([r["h"] for r in hrows],
-                      dtype=np.int64).astype(np.uint64)
-    m_bits = max(64, bits_per_item * max(1, len(hashes)))
-    m_bits = ((m_bits + 63) // 64) * 64
-    GOLD = np.uint64(0x9E3779B97F4A7C15)
-
-    def _mix(x: "np.ndarray", i: int) -> "np.ndarray":
-        # splitmix64 finalizer over (h + i*GOLD): k independent probe
-        # streams from one stored 64-bit hash (uint64 wraps are the
-        # intended modular arithmetic)
-        with np.errstate(over="ignore"):
-            z = x + np.uint64(i) * GOLD
-            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            return z ^ (z >> np.uint64(31))
-
-    bloom = np.zeros(m_bits // 64, dtype=np.uint64)
-    if len(hashes):
-        for i in range(n_probes):
-            pos = _mix(hashes, i) % np.uint64(m_bits)
-            np.bitwise_or.at(bloom, (pos // np.uint64(64)).astype(np.int64),
-                             np.uint64(1) << (pos % np.uint64(64)))
+    h = (holdout.where(F.col(content_col).isNotNull())
+         .select(F.xxhash64(F.col(content_col)).alias("h"))
+         .distinct())
+    bloom, m_bits = _bloom_bitset(h, bits_per_item, n_probes)
     bc = train.sparkSession.sparkContext.broadcast(bloom)
     mb = m_bits
+    _mix = _splitmix_probe
 
     @pandas_udf("boolean")
     def bloom_hit(h: pd.Series) -> pd.Series:

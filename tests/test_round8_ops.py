@@ -295,3 +295,33 @@ def test_uncheckpointed_stream_runs_get_fresh_offsets(spark, tmp_path):
     assert codes.count() == emb.count()
     assert not os.path.exists(os.path.join(idx, "stream_runs.json"))
     assert len(S._codes_epochs(idx)) == 3          # base + one per run
+
+
+# ---------------------------------------------------------------- bloom:
+# distributed construction (VERDICT r7 next-round #2)
+
+def test_bloom_bitset_distributed_equals_driver_built(spark):
+    """The distributed Bloom build (per-batch set-word partials OR-merged
+    in one bounded aggregate) produces a bitset BIT-IDENTICAL to the
+    naive driver-side construction over the collected hashes, and what
+    reaches the driver is the words frame — at most m_bits/64 rows,
+    never holdout-scale."""
+    from flink_descriptive_stats_spark.operators.dedup import (
+        _bloom_bitset, _bloom_set_words, _splitmix_probe)
+    docs = load_table(spark, SF_DIR, "documents")
+    h = (docs.where(F.col("text").isNotNull())
+         .select(F.xxhash64(F.col("text")).alias("h"))
+         .distinct().repartition(7))          # multi-partition partials
+    bloom, m_bits = _bloom_bitset(h, 16, 8)
+    hashes = np.array([r["h"] for r in h.collect()],
+                      dtype=np.int64).astype(np.uint64)
+    ref = np.zeros(m_bits // 64, dtype=np.uint64)
+    for i in range(8):
+        pos = _splitmix_probe(hashes, i) % np.uint64(m_bits)
+        np.bitwise_or.at(ref, (pos // np.uint64(64)).astype(np.int64),
+                         np.uint64(1) << (pos % np.uint64(64)))
+    assert np.array_equal(bloom, ref)
+    assert _bloom_set_words(h, m_bits, 8).count() <= m_bits // 64
+    # empty holdout: a well-formed all-zero minimum-size bitset
+    empty, me = _bloom_bitset(h.limit(0), 16, 8)
+    assert me == 64 and not empty.any()
