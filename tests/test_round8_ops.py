@@ -325,3 +325,46 @@ def test_bloom_bitset_distributed_equals_driver_built(spark):
     # empty holdout: a well-formed all-zero minimum-size bitset
     empty, me = _bloom_bitset(h.limit(0), 16, 8)
     assert me == 64 and not empty.any()
+
+
+# ---------------------------------------------------------------- BPE:
+# pair-priority encode (VERDICT r7 next-round #4)
+
+def test_bpe_pair_priority_encode_matches_mirror_at_1k_merges(spark):
+    """The pair-priority encode (lowest-rank pair first, table-size-
+    independent per word) equals the rank-by-rank mirror on a LEARNED
+    >= 1k-merge table — the equivalence the production encode relies on
+    (a merge's output symbol only appears in later-rank pairs), pinned
+    at the table size where the old O(n_merges x len) loop hurt."""
+    from flink_descriptive_stats_spark.operators.text import (
+        _bpe_merge_loop, bpe_token_stats)
+    import hashlib
+    words = ["".join(chr(97 + b % 26)
+                     for b in hashlib.md5(str(i).encode()).digest()
+                     [:5 + i % 9]) for i in range(600)]
+    wc = [(w, 1 + (i % 17)) for i, w in enumerate(words)]
+    full = _bpe_merge_loop(wc, 1200)
+    assert len(full) >= 1000, len(full)
+    merges = [(left, right) for _, left, right, _, _ in full[:1000]]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i::37])) for i in range(37)],
+        "doc_id bigint, text string")
+    got = {r["id"]: (r["n_words"], r["n_bpe_tokens"])
+           for r in bpe_token_stats(docs, merges=merges).collect()}
+    for i in range(37):
+        ws = words[i::37]
+        total = 0
+        for w in ws:
+            s = list(w) + ["</w>"]
+            for a, b in merges:            # the rank-by-rank mirror
+                out, j = [], 0
+                while j < len(s):
+                    if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                        out.append(a + b)
+                        j += 2
+                    else:
+                        out.append(s[j])
+                        j += 1
+                s = out
+            total += len(s)
+        assert got[i] == (len(ws), total), i
