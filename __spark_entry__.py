@@ -742,6 +742,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.audio_neardup_pairs(d)
     q["audio_neardup_synthetic"] = _audio_neardup
 
+    # Hamming-funnel recall calibration (r8): measured funnel recall vs
+    # exhaustive ground truth per distance, on a signature frame with
+    # KNOWN pair distances — doc_id%3 picks the perturbation: 2 in-band
+    # flips (d=2, pigeonhole-guaranteed), one flip per band (d=4,
+    # adversarial for 4 bands), 4 in-band flips (d=4, friendly) — so
+    # the measured drop above n_bands-1 is visible by construction.
+    # Rows-only (the ground-truth popcount matrix is no SQL engine's);
+    # recall values pytest-pinned on the same construction.
+    def _hamming_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        base = docs.select(
+            (F.col("doc_id") * 2).alias("id"),
+            F.xxhash64(F.col("text")).alias("phash"))
+        mask = (F.when(F.col("doc_id") % 3 == 0, F.lit(3))
+                .when(F.col("doc_id") % 3 == 1,
+                      F.lit((1 << 8) | (1 << 24) | (1 << 40) | (1 << 56)))
+                .otherwise(F.lit(0x1E)))
+        copies = docs.select(
+            (F.col("doc_id") * 2 + 1).alias("id"),
+            F.expr("xxhash64(text)").bitwiseXOR(mask).alias("phash"))
+        return multimodal.hamming_calibration(
+            base.unionByName(copies), max_hamming=6)
+    q["hamming_calibration_synthetic"] = _hamming_calibration
+
     # pairs -> keep set: the media twin of dedup_corpus (star CC over
     # the perceptual pair graph, lowest-id representative); rows-only,
     # cluster/singleton/undecodable behavior pytest-pinned

@@ -134,7 +134,13 @@ def build_parser() -> argparse.ArgumentParser:
     mn.add_argument("--kind", default="image",
                     choices=["image", "audio"])
     mn.add_argument("--max-hamming", type=int, default=None,
-                    help="bit threshold (default 6 image / 8 audio)")
+                    help="bit threshold (default 6 image / 8 audio). "
+                         "NOTE: the banded funnel guarantees recall "
+                         "only up to n_bands-1 bits (3 at the default "
+                         "4 bands); pairs above that are heuristically "
+                         "recalled — measure with hamming_calibration "
+                         "or raise n_bands to max_hamming+1 for "
+                         "guaranteed completeness")
     mn.add_argument("--id-col", default="id")
     mn.add_argument("--payload-col", default="payload")
     _add_common(mn)

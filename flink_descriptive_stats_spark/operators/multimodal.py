@@ -522,6 +522,64 @@ def hamming_neardup_pairs(hashes: DataFrame, max_hamming: int = 6,
             .orderBy("id_a", "id_b"))
 
 
+def hamming_calibration(hashes: DataFrame, max_hamming: int = 6,
+                        n_bands: int = 4, max_bucket: int = 1024,
+                        max_sample: int = 2048) -> DataFrame:
+    """Measured recall of the banded Hamming funnel against exhaustive
+    O(n^2) ground truth on a bounded deterministic sample — the
+    minhash_calibration analogue for the 64-bit-signature family
+    (image pHash / audio fingerprint / SimHash codes all feed the same
+    funnel). The funnel is pigeonhole-EXHAUSTIVE only for hamming <=
+    n_bands - 1; pairs differing in n_bands..max_hamming bits spread
+    across every band are heuristically recalled, and an operator
+    raising max_hamming (say to 16 at the default 4 bands) should SEE
+    that recall cost on a sample BEFORE a 100 TB run commits to the
+    geometry. Output per distance d in 0..max_hamming: (hamming,
+    n_true_pairs, n_found_pairs, recall) — recall NULL where no true
+    pair exists at that distance.
+
+    Cost shape: the sample is the lowest ``max_sample`` ids (bounded,
+    deterministic); the FUNNEL side runs the real hamming_neardup_pairs
+    subplan on that sample (same banding/cap code path the production
+    run uses); ground truth is one bounded driver-side numpy popcount
+    over the sample's 64-bit codes (chunked XOR + unpackbits — at the
+    default 2048 sample that is 2M pair popcounts, metadata-scale).
+    Rows-only by nature (the ground-truth matrix is no SQL engine's);
+    pytest pins recall == 1.0 below the pigeonhole bound and the
+    measured drop above it."""
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    sample = hashes.orderBy("id").limit(max_sample)
+    rows = sample.collect()
+    h = np.array([r["phash"] for r in rows],
+                 dtype=np.int64).astype(np.uint64)
+    n = len(h)
+    true_counts = np.zeros(max_hamming + 1, dtype=np.int64)
+    chunk = 256
+    for lo in range(0, n, chunk):
+        X = (h[lo:lo + chunk, None] ^ h[None, :])
+        bits = np.unpackbits(X.view(np.uint8).reshape(len(X), n, 8),
+                             axis=2).sum(axis=2, dtype=np.int64)
+        for d in range(max_hamming + 1):
+            # count only i < j (upper triangle in global indexing)
+            eq = bits == d
+            jj = np.arange(n)[None, :]
+            ii = (lo + np.arange(len(X)))[:, None]
+            true_counts[d] += int((eq & (ii < jj)).sum())
+    found = hamming_neardup_pairs(
+        sample, max_hamming=max_hamming, n_bands=n_bands,
+        max_bucket=max_bucket)
+    fc = {int(r["hamming"]): int(r["n"])
+          for r in found.groupBy("hamming")
+          .agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = []
+    for d in range(max_hamming + 1):
+        t, g = int(true_counts[d]), fc.get(d, 0)
+        out.append((d, t, g, sig6_py(g / t) if t else None))
+    return hashes.sparkSession.createDataFrame(
+        out, "hamming int, n_true_pairs bigint, n_found_pairs bigint, "
+             "recall string")
+
+
 def image_neardup_pairs(df: DataFrame, max_hamming: int = 6,
                         n_bands: int = 4, max_bucket: int = 1024,
                         payload_col: str = "payload",
