@@ -286,7 +286,9 @@ def quality_ensemble(df: DataFrame, text_col: str = "text",
 def dataset_card(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  source_col: str = "source",
-                 exact: bool = True) -> DataFrame:
+                 exact: bool = True,
+                 payload_col: str | None = None,
+                 media_kind: str = "image") -> DataFrame:
     """One-call corpus datasheet — the LLM-pipeline analogue of the
     reference's console report: (section, metric, value) rows, in a
     fixed order, covering size (docs/sources/tokens/chars + the max
@@ -316,7 +318,20 @@ def dataset_card(df: DataFrame, text_col: str = "text",
     (GK sketch, fixed-size mergeable state — the same exact/approx
     pairing every sibling family has); every other card number is
     identical by construction, and a pytest pins the approx median
-    within the GK accuracy bound of the exact one."""
+    within the GK accuracy bound of the exact one.
+
+    ``payload_col`` (r8): when named AND present in the frame, a media
+    section is appended — (n_payloads, decodable_fraction,
+    neardup_cluster_fraction) — the datasheet view of the modality's
+    dedup primitives: fingerprints via image_phash / audio_fingerprint
+    (``media_kind``), near-dup membership via the shared banded Hamming
+    funnel + star CC at the modality's default threshold, and
+    neardup_cluster_fraction = the share of DECODABLE payloads sitting
+    in a cluster of size >= 2 (the mass a media_dedup_corpus pass would
+    collapse). One Arrow fingerprint pass + the bounded funnel; counts
+    exact, fractions sig6; NULL-payload rows are out of scope like
+    NULL-text ones. Defaults to None so the text-only card — the gated
+    oracle surface — is byte-identical to before."""
     from flink_descriptive_stats_spark.functions.sig import sig6, sig6_py
     from flink_descriptive_stats_spark.operators.dedup import \
         _canonical_expr
@@ -367,8 +382,52 @@ def dataset_card(df: DataFrame, text_col: str = "text",
         ("lang", "n_langs", str(len(lrows))),
         ("pii", "pii_doc_fraction", sig6_py(int(pf["p"]) / n)),
     ]
+    if payload_col is not None and payload_col in df.columns:
+        rows += _media_card_rows(df, payload_col, media_kind, id_col)
     return df.sparkSession.createDataFrame(
         rows, "section string, metric string, value string")
+
+
+def _media_card_rows(df: DataFrame, payload_col: str, media_kind: str,
+                     id_col: str) -> list:
+    """The media section of dataset_card — see there for the contract."""
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    from flink_descriptive_stats_spark.operators.dedup import \
+        connected_components_star
+    from flink_descriptive_stats_spark.operators.multimodal import (
+        audio_fingerprint, hamming_neardup_pairs, image_phash)
+    p = df.where(F.col(payload_col).isNotNull())
+    if media_kind == "image":
+        hs, mh = image_phash(p, payload_col=payload_col,
+                             id_col=id_col), 6
+    elif media_kind == "audio":
+        hs, mh = audio_fingerprint(p, payload_col=payload_col,
+                                   id_col=id_col), 8
+    else:
+        raise ValueError(f"unknown media kind: {media_kind!r}")
+    c = hs.agg(F.count(F.lit(1)).alias("n"),
+               F.count_if(F.col("decoded")).alias("d")).collect()[0]
+    n_pay, n_dec = int(c["n"]), int(c["d"])
+    n_clustered = 0
+    if n_dec:
+        dec = hs.where(F.col("decoded")).select("id", "phash")
+        pairs = hamming_neardup_pairs(dec, max_hamming=mh)
+        labels = connected_components_star(
+            pairs.select(F.col("id_a").alias("u"),
+                         F.col("id_b").alias("v")),
+            dec.select("id"))
+        sizes = labels.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("sz"))
+        r = (sizes.where(F.col("sz") >= 2)
+             .agg(F.sum("sz").alias("s")).collect()[0]["s"])
+        n_clustered = int(r) if r is not None else 0
+    return [
+        ("media", "n_payloads", str(n_pay)),
+        ("media", "decodable_fraction",
+         sig6_py(n_dec / n_pay) if n_pay else None),
+        ("media", "neardup_cluster_fraction",
+         sig6_py(n_clustered / n_dec) if n_dec else None),
+    ]
 
 
 def dataset_card_by_source(df: DataFrame, text_col: str = "text",

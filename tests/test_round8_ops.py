@@ -433,3 +433,48 @@ def test_hamming_calibration_full_recall_at_enough_bands(spark):
     for d in (2, 4):
         assert cal[d]["n_found_pairs"] == cal[d]["n_true_pairs"], d
         assert float(cal[d]["recall"]) == 1.0
+
+
+# ---------------------------------------------------------------- dataset
+# card: media section (VERDICT r7 next-round #7)
+
+def test_dataset_card_media_section(spark):
+    """With a payload column named, the card appends the media section:
+    exact n_payloads, sig6 decodable_fraction, and the near-dup cluster
+    mass (share of decodable payloads in a pHash cluster of size >= 2).
+    Without payload_col the card is byte-identical to before — the
+    gated oracle surface is untouched."""
+    import hashlib
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    from flink_descriptive_stats_spark.operators import quality as Q
+
+    def ppm(seed):
+        px = b"".join(hashlib.md5(f"{seed}{j}".encode()).digest()
+                      for j in range(48))     # 16x16x3 = 768 bytes
+        return bytearray(b"P6\n16 16\n255\n" + px)
+
+    rows = []
+    for i in range(12):
+        if i in (0, 1):
+            payload = ppm("A")                # cluster of 2
+        elif i in (2, 3, 4):
+            payload = ppm("B")                # cluster of 3
+        elif i in (5, 6, 7, 8):
+            payload = ppm(f"solo{i}")         # singletons
+        elif i in (9, 10):
+            payload = bytearray(b"JFIF not decodable")
+        else:
+            payload = None
+        rows.append((i, f"document number {i} with some words",
+                     "s0", payload))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string, payload binary")
+    card = {(r["section"], r["metric"]): r["value"]
+            for r in Q.dataset_card(df, payload_col="payload").collect()}
+    assert card[("media", "n_payloads")] == "11"
+    assert card[("media", "decodable_fraction")] == sig6_py(9 / 11)
+    assert card[("media", "neardup_cluster_fraction")] == sig6_py(5 / 9)
+    plain = {(r["section"], r["metric"]): r["value"]
+             for r in Q.dataset_card(df).collect()}
+    assert not [k for k in plain if k[0] == "media"]
+    assert plain == {k: v for k, v in card.items() if k[0] != "media"}
