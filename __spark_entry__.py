@@ -703,6 +703,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _image_payload_frame(spark, sf_dir))
     q["image_neardup_synthetic"] = _image_neardup
 
+    # dataset card WITH the media section (r8): the documents card plus
+    # the synthetic image payloads joined on, so the (n_payloads,
+    # decodable_fraction, neardup_cluster_fraction) rows ride the same
+    # composition the gated text-only card runs. Rows-only (the pHash
+    # funnel is no SQL engine's); section values pytest-pinned on a
+    # constructed fixture.
+    def _card_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import quality
+        docs = _load(spark, sf_dir, "documents")
+        pay = _image_payload_frame(spark, sf_dir) \
+            .withColumnRenamed("id", "doc_id")
+        return quality.dataset_card(docs.join(pay, "doc_id", "left"),
+                                    payload_col="payload")
+    q["dataset_card_media_synthetic"] = _card_media
+
     # audio near-dup via the Haitsma-Kalker fingerprint (r7): WAV
     # payloads from doc_id // 2 with a parity noise overlay — adjacent
     # ids are the same clip re-noised; rows-only (no FFT in SQL),
@@ -1278,6 +1293,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity.write_pq_index(emb, path)
         return similarity.pq_index_calibration(emb, path)
     q["pq_index_calibration_embeddings"] = _index_calibration
+
+    # index lifecycle END TO END (r8): build -> append (splits of the
+    # same corpus) -> compact -> stats. Returns the compacted index's
+    # datasheet: n_epochs back to 1, n_appends 0, n_vectors = whole
+    # corpus. Rows-only; search equality before/after compaction and
+    # the rebuild alarm-reset are pytest-pinned (tests/test_round8_ops).
+    def _index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+        emb = _load(spark, sf_dir, "embeddings")
+        path = os.path.join(
+            tempfile.gettempdir(), f"fds_spark_idxlife_{os.getpid()}",
+            os.path.basename(os.path.normpath(sf_dir)))
+        similarity.write_pq_index(emb.where(F.col("vec_id") % 3 == 0),
+                                  path)
+        similarity.append_pq_index(emb.where(F.col("vec_id") % 3 == 1),
+                                   path)
+        similarity.append_pq_index(emb.where(F.col("vec_id") % 3 == 2),
+                                   path)
+        similarity.compact_index(spark, path, target_files=4)
+        return similarity.index_stats(spark, path)
+    q["index_lifecycle_embeddings"] = _index_lifecycle
     # 100 TB scale-path siblings of gated exact operators: cutpoints come
     # from Spark-side GK sketches (percentile_approx), so no SQL engine
     # reproduces them — rows-only; agreement-vs-exact pytest-pinned
@@ -1300,6 +1337,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fully oracle-verified (DuckDB grouped corr under the same snap)
     q["grouped_corr_events"] = _tq(extras.grouped_correlation, "events",
                                    group_col="event_type")
+    # per-segment covariance (r8): the unnormalized grouped sibling —
+    # oracle-verified (DuckDB grouped covar_samp); its wide-schema gram
+    # route shares the grouped Gram kernel, pytest-pinned vs numpy
+    q["grouped_covariance_events"] = _tq(extras.grouped_covariance,
+                                         "events",
+                                         group_col="event_type")
 
     def _ks_drift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b = _snapshots(spark, sf_dir)
@@ -1371,6 +1414,8 @@ def oracle_sql() -> dict[str, str]:
         o[f"corr_{table}"] = oracle.correlation_sql(table)
         o[f"covariance_{table}"] = oracle.covariance_sql(table)
     o["grouped_corr_events"] = oracle.grouped_correlation_sql(
+        "events", "event_type")
+    o["grouped_covariance_events"] = oracle.grouped_covariance_sql(
         "events", "event_type")
     for table, col in _HISTOGRAMS:
         o[f"histogram_{table}_{col}"] = oracle.histogram_sql(table, col)

@@ -593,6 +593,66 @@ def covariance_matrix(df: DataFrame,
         out, "col_a string, col_b string, cov string")
 
 
+def grouped_covariance(df: DataFrame, group_col: str,
+                       columns: list[str] | None = None,
+                       max_pairs_per_pass: int = 4000,
+                       method: str | None = None) -> DataFrame:
+    """Per-segment sample covariance — (group, col_a, col_b, cov), the
+    unnormalized sibling of grouped_correlation exactly as
+    covariance_matrix is of correlation_matrix: the input a per-segment
+    whitening / risk decomposition needs when the SCALE of co-movement
+    differs across segments, not just its direction.
+
+    method="agg" (the oracle path; auto up to ``max_pairs_per_pass``
+    pairs): k(k-1)/2 covar_samp buffers riding one groupBy —
+    PAIRWISE-complete NULLs, DuckDB's grouped covar_samp exactly under
+    sig6; chunked past the budget, merged on the bounded groups x pairs
+    frame; a single-row group (covar_samp NaN) maps to NULL.
+    method="gram" (auto above the budget): the SAME grouped centered-
+    Gram kernel as grouped_correlation — cov = C_g[a,b] / (n_g - 1) —
+    with the same documented deltas (listwise per-group NULL deletion,
+    CAST-rendered group key), identical on NULL-free columns
+    (pytest-pinned)."""
+    cols = columns or [c for c in numeric_columns(df) if c != group_col]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    if not pairs:
+        return df.sparkSession.createDataFrame(
+            [], "group string, col_a string, col_b string, cov string")
+    if method is None:
+        method = "agg" if len(pairs) <= max_pairs_per_pass else "gram"
+    if method == "gram":
+        mats = _grouped_gram(df, group_col, cols)
+        out = []
+        for grp in sorted(mats, key=lambda x: (x is None, str(x))):
+            C, n = mats[grp]
+            for i in range(len(cols)):
+                for j in range(i + 1, len(cols)):
+                    v = C[i, j] / (n - 1) if n > 1 else None
+                    out.append((grp, cols[i], cols[j], sig6_py(v)))
+        return df.sparkSession.createDataFrame(
+            out, "group string, col_a string, col_b string, cov string")
+    rows: dict = {}
+    for lo in range(0, len(pairs), max_pairs_per_pass):
+        chunk = pairs[lo:lo + max_pairs_per_pass]
+        g = (df.groupBy(F.col(group_col).alias("group"))
+             .agg(*[F.covar_samp(F.col(a).cast("double"),
+                                 F.col(b).cast("double"))
+                    .alias(f"{a}__{b}") for a, b in chunk]))
+        for r in g.collect():
+            rows.setdefault(r["group"], {}).update(
+                {k: r[k] for k in r.asDict() if k != "group"})
+    out = []
+    for grp in sorted(rows, key=lambda x: (x is None, str(x))):
+        for a, b in pairs:
+            v = rows[grp].get(f"{a}__{b}")
+            if v is not None and math.isnan(v):
+                v = None
+            out.append((None if grp is None else str(grp),
+                        a, b, sig6_py(v)))
+    return df.sparkSession.createDataFrame(
+        out, "group string, col_a string, col_b string, cov string")
+
+
 def rolling_stats(df: DataFrame, ts_col: str = "ts",
                   key_col: str = "user_id", value_col: str = "value",
                   window_seconds: int = 3600) -> DataFrame:

@@ -388,6 +388,25 @@ def covariance_sql(table: str) -> str:
     return "\nUNION ALL\n".join(branches)
 
 
+def grouped_covariance_sql(table: str, group_col: str) -> str:
+    """Oracle for extras.grouped_covariance (the agg path): DuckDB's
+    grouped covar_samp over the same double-cast pairs, group rendered
+    as VARCHAR, NaN (single-row group) mapped to NULL like the Spark
+    side."""
+    cols = [c for c in _numeric_cols(table) if c != group_col]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    branches = []
+    for a, b in pairs:
+        raw = f"covar_samp(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE))"
+        safe = f"CASE WHEN isnan({raw}) THEN NULL ELSE {raw} END"
+        branches.append(
+            f"SELECT CAST({group_col} AS VARCHAR) AS \"group\", "
+            f"'{a}' AS col_a, '{b}' AS col_b, "
+            f"{duck_sig6(safe)} AS cov FROM {table} "
+            f"GROUP BY {group_col}")
+    return "\nUNION ALL\n".join(branches)
+
+
 def windowed_profile_sql(table: str = "events", ts_col: str = "ts",
                          value_col: str = "value",
                          window_hours: int = 6,

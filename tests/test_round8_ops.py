@@ -478,3 +478,37 @@ def test_dataset_card_media_section(spark):
              for r in Q.dataset_card(df).collect()}
     assert not [k for k in plain if k[0] == "media"]
     assert plain == {k: v for k, v in card.items() if k[0] != "media"}
+
+
+# ---------------------------------------------------------------- grouped
+# covariance (r8 sibling of the grouped-correlation family)
+
+def test_grouped_covariance_gram_equals_agg_and_numpy(spark):
+    """grouped_covariance's two routes agree on NULL-free columns, and
+    the agg route matches numpy.cov per group on a constructed frame."""
+    ev = load_table(spark, SF_DIR, "events")
+    cols = ["value", "user_id", "event_id"]
+    agg = {(r["group"], r["col_a"], r["col_b"]): r["cov"]
+           for r in X.grouped_covariance(
+               ev, "event_type", cols, method="agg").collect()}
+    gram = {(r["group"], r["col_a"], r["col_b"]): r["cov"]
+            for r in X.grouped_covariance(
+                ev, "event_type", cols, method="gram").collect()}
+    assert set(agg) == set(gram)
+    for p in agg:
+        if agg[p] is None or gram[p] is None:
+            assert agg[p] == gram[p], p
+        else:
+            ra, rg = float(agg[p]), float(gram[p])
+            assert abs(ra - rg) <= 1e-6 * max(1.0, abs(ra)), p
+    rows = [("g0" if i % 2 else "g1", float(i), float((i * 3) % 11))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    got = {r["group"]: r["cov"]
+           for r in X.grouped_covariance(df, "grp", ["x", "y"]).collect()}
+    for g in ("g0", "g1"):
+        xs = np.array([r[1] for r in rows if r[0] == g])
+        ys = np.array([r[2] for r in rows if r[0] == g])
+        want = np.cov(xs, ys, ddof=1)[0, 1]
+        from flink_descriptive_stats_spark.functions.sig import sig6_py
+        assert got[g] == sig6_py(want), g
