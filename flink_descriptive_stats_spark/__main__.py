@@ -143,6 +143,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "guaranteed completeness")
     mn.add_argument("--id-col", default="id")
     mn.add_argument("--payload-col", default="payload")
+    mn.add_argument("--n-bands", default="4",
+                    help="funnel bands (must divide 64); 'auto' picks "
+                         "the guaranteed-recall geometry "
+                         "(max_hamming+1 rounded up to a 64-divisor — "
+                         "mind the 2^(64/n_bands) bucket-key space)")
+    mn.add_argument("--calibrate", action="store_true",
+                    help="instead of pairs, report measured funnel "
+                         "recall vs exhaustive ground truth per Hamming "
+                         "distance on a bounded sample "
+                         "(hamming_calibration)")
     _add_common(mn)
 
     cr = sub.add_parser("compression",
@@ -785,15 +795,27 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "media-neardup":
+        from pyspark.sql import functions as F
+
         from flink_descriptive_stats_spark.operators import multimodal
         df = _load(spark, args.input, args.format)
-        if args.kind == "image":
+        mh = args.max_hamming or (6 if args.kind == "image" else 8)
+        nb = "auto" if args.n_bands == "auto" else int(args.n_bands)
+        if args.calibrate:
+            fp = (multimodal.image_phash if args.kind == "image"
+                  else multimodal.audio_fingerprint)
+            hs = (fp(df, payload_col=args.payload_col,
+                     id_col=args.id_col)
+                  .where(F.col("decoded")).select("id", "phash"))
+            out = multimodal.hamming_calibration(hs, max_hamming=mh,
+                                                 n_bands=nb)
+        elif args.kind == "image":
             out = multimodal.image_neardup_pairs(
-                df, max_hamming=args.max_hamming or 6,
+                df, max_hamming=mh, n_bands=nb,
                 payload_col=args.payload_col, id_col=args.id_col)
         else:
             out = multimodal.audio_neardup_pairs(
-                df, max_hamming=args.max_hamming or 8,
+                df, max_hamming=mh, n_bands=nb,
                 payload_col=args.payload_col, id_col=args.id_col)
         _emit(out, args.output)
         return 0

@@ -475,8 +475,28 @@ def image_phash(df: DataFrame, payload_col: str = "payload",
                                   "phash bigint"))
 
 
+def auto_bands(max_hamming: int) -> int:
+    """The smallest divisor of 64 giving >= max_hamming + 1 bands — the
+    pigeonhole-exhaustive geometry for a 64-bit code at the given
+    threshold (a pair differing in d <= max_hamming bits touches at
+    most d bands, so at d+1 bands one band always agrees). The price is
+    band WIDTH: n_bands bands are 64/n_bands bits wide, so each band
+    has only 2^(64/n_bands) possible values — at 16+ bands the bucket
+    key space collapses (65k / 16 values) and max_bucket starts
+    dropping everything on a large corpus. Practical guaranteed-recall
+    territory for 64-bit codes is max_hamming <= 7 (8 bands of 8 bits);
+    beyond that, prefer the measured-recall route
+    (hamming_calibration) over brute banding."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63]: {max_hamming}")
+    for b in (1, 2, 4, 8, 16, 32, 64):
+        if b >= max_hamming + 1:
+            return b
+    return 64
+
+
 def hamming_neardup_pairs(hashes: DataFrame, max_hamming: int = 6,
-                          n_bands: int = 4,
+                          n_bands: int | str = 4,
                           max_bucket: int = 1024) -> DataFrame:
     """The shared banded Hamming candidate funnel over any (id, phash)
     64-bit signature frame (the SimHash near-pair plan re-expressed as
@@ -488,7 +508,15 @@ def hamming_neardup_pairs(hashes: DataFrame, max_hamming: int = 6,
     ``max_bucket`` ids (all-black thumbnails / silence — the
     boilerplate skew cap, visible as dropped buckets, not silent
     O(n^2)), then the EXACT bit_count(xor) recheck JVM-side. Only
-    (id, 64-bit) rows ever shuffle."""
+    (id, 64-bit) rows ever shuffle.
+
+    ``n_bands="auto"`` picks the guaranteed-recall geometry via
+    auto_bands (smallest 64-divisor >= max_hamming + 1) — see there for
+    the band-width/bucket-cardinality price; the integer default stays
+    4 (the measured-recall heuristic every banded step here uses,
+    quantifiable per corpus with hamming_calibration)."""
+    if n_bands == "auto":
+        n_bands = auto_bands(max_hamming)
     if 64 % n_bands:
         raise ValueError(f"n_bands must divide 64 (got {n_bands}): "
                          "uneven bands would leave uncovered bits and "
@@ -523,7 +551,7 @@ def hamming_neardup_pairs(hashes: DataFrame, max_hamming: int = 6,
 
 
 def hamming_calibration(hashes: DataFrame, max_hamming: int = 6,
-                        n_bands: int = 4, max_bucket: int = 1024,
+                        n_bands: int | str = 4, max_bucket: int = 1024,
                         max_sample: int = 2048) -> DataFrame:
     """Measured recall of the banded Hamming funnel against exhaustive
     O(n^2) ground truth on a bounded deterministic sample — the
@@ -581,7 +609,7 @@ def hamming_calibration(hashes: DataFrame, max_hamming: int = 6,
 
 
 def image_neardup_pairs(df: DataFrame, max_hamming: int = 6,
-                        n_bands: int = 4, max_bucket: int = 1024,
+                        n_bands: int | str = 4, max_bucket: int = 1024,
                         payload_col: str = "payload",
                         id_col: str = "id") -> DataFrame:
     """Near-duplicate image pairs: (id_a, id_b, hamming) for decodable
@@ -655,7 +683,7 @@ def audio_fingerprint(df: DataFrame, payload_col: str = "payload",
 
 
 def audio_neardup_pairs(df: DataFrame, max_hamming: int = 8,
-                        n_bands: int = 4, max_bucket: int = 1024,
+                        n_bands: int | str = 4, max_bucket: int = 1024,
                         payload_col: str = "payload",
                         id_col: str = "id") -> DataFrame:
     """Near-duplicate audio pairs — re-encoded / noise-overlaid copies
@@ -669,7 +697,7 @@ def audio_neardup_pairs(df: DataFrame, max_hamming: int = 8,
 
 def media_dedup_corpus(df: DataFrame, kind: str = "image",
                        max_hamming: int | None = None,
-                       n_bands: int = 4, max_bucket: int = 1024,
+                       n_bands: int | str = 4, max_bucket: int = 1024,
                        payload_col: str = "payload",
                        id_col: str = "id") -> DataFrame:
     """The near-dup-DEDUPLICATED media corpus: one representative (the

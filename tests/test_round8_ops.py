@@ -512,3 +512,20 @@ def test_grouped_covariance_gram_equals_agg_and_numpy(spark):
         want = np.cov(xs, ys, ddof=1)[0, 1]
         from flink_descriptive_stats_spark.functions.sig import sig6_py
         assert got[g] == sig6_py(want), g
+
+
+def test_auto_bands_geometry_and_full_recall(spark):
+    """n_bands='auto' resolves to the smallest 64-divisor >= mh+1 and
+    restores guaranteed recall on the adversarial fixture; out-of-range
+    thresholds raise."""
+    from flink_descriptive_stats_spark.operators import multimodal as M
+    assert [M.auto_bands(h) for h in (0, 1, 3, 6, 7, 8, 15, 31, 63)] \
+        == [1, 2, 4, 8, 8, 16, 16, 32, 64]
+    with pytest.raises(ValueError):
+        M.auto_bands(64)
+    hs = _calibration_fixture(spark)
+    cal = {r["hamming"]: r
+           for r in M.hamming_calibration(hs, max_hamming=6,
+                                          n_bands="auto").collect()}
+    for d in (2, 4):
+        assert float(cal[d]["recall"]) == 1.0, d

@@ -394,6 +394,57 @@ def main() -> None:
             docs2.where(F.col("doc_id") % 10 != 0),
             docs2.where(F.col("doc_id") % 10 == 0)))))
 
+    # round 8: grouped Gram pass (wide-schema grouped corr/covariance)
+    ggcols = ["value", "user_id"]
+    ggbase = (ev.select(F.col("event_type").cast("string").alias("__g"),
+                        *[F.col(c).cast("double").alias(c)
+                          for c in ggcols]).dropna(subset=ggcols))
+    ggmu = {r["__g"]: np.array([r[c] for c in ggcols])
+            for r in ggbase.groupBy("__g")
+            .agg(*[F.avg(c).alias(c) for c in ggcols]).collect()}
+    ggiu = np.triu_indices(len(ggcols))
+
+    def _ggram(it):
+        for pdf in it:
+            for g, sub in pdf.groupby(pdf["__g"], sort=False):
+                Xm = sub[ggcols].to_numpy() - ggmu[g]
+                G = Xm.T @ Xm
+                yield pd.DataFrame({"g": g,
+                                    "i": ggiu[0].astype("int32"),
+                                    "j": ggiu[1].astype("int32"),
+                                    "s": G[ggiu]})
+
+    sections.append((
+        "Grouped Gram pass: wide-schema grouped correlation/covariance "
+        "(round 8)",
+        "grouped_correlation/grouped_covariance past the pair budget:\n"
+        "the agg route would re-meet the 31k-aggregate janino planning\n"
+        "cliff PER CHUNK PER GROUP, so the round-7 Gram kernel extends\n"
+        "to groups — per-group means from ONE bounded grouped k-slot\n"
+        "aggregate (k avg buffers, nothing pairwise), then the SAME\n"
+        "narrow Arrow scan emitting per-(batch, group) triangle\n"
+        "partials, then a bounded groupBy(group, i, j) sum. The corpus\n"
+        "is scanned twice but narrow; every exchange carries partials\n"
+        "bounded by groups x k^2, never data.",
+        fmt(spark, ggbase.mapInPandas(
+            _ggram, "g string, i int, j int, s double")
+            .groupBy("g", "i", "j").agg(F.sum("s")))))
+
+    # round 8: distributed Bloom construction
+    hframe = (docs2.where(F.col("text").isNotNull())
+              .select(F.xxhash64(F.col("text")).alias("h")).distinct())
+    sections.append((
+        "Distributed Bloom construction (round 8)",
+        "decontaminate_bloom's bitset build: each Arrow batch of\n"
+        "distinct holdout hashes emits its SET WORDS as (word_index,\n"
+        "word_bits) rows — sort + reduceat ORs within the batch — and\n"
+        "one groupBy(w).bit_or merges the partials. The driver receives\n"
+        "at most m_bits/64 rows (bitset-scale) instead of the raw\n"
+        "8 B/doc hash collect the first version paid; the hash distinct\n"
+        "is the only holdout-sized shuffle, and it is keyed by the\n"
+        "64-bit hash itself.",
+        fmt(spark, dedup_ops._bloom_set_words(hframe, 1 << 16, 8))))
+
     with open("EXPLAIN.md", "w") as f:
         f.write(
             '# Plan audit — `.explain("formatted")` of the flagship '
