@@ -413,11 +413,16 @@ def grouped_correlation(df: DataFrame, group_col: str,
     corpus-level matrix averages away.
 
     method="agg" (the oracle path; auto-chosen up to
-    ``max_pairs_per_pass`` pairs): the k(k-1)/2 corr() buffers ride a
-    groupBy instead of a global agg — PAIRWISE-complete NULL handling,
-    exactly DuckDB's grouped corr() (each pair uses the rows where BOTH
-    its columns are non-null; a covar/stddev composition would mix
-    per-column row sets on misaligned NULLs and stop being Pearson).
+    ``max_pairs_per_pass`` pairs): k(k-1)/2 Pearson buffers ride a
+    groupBy instead of a global agg, with PAIRWISE-complete NULL
+    handling — each column is null-masked on its partner
+    (when(b not null, a) etc.), so covar AND both stddevs run over the
+    rows where BOTH columns are non-null, exactly DuckDB's grouped
+    corr() (an unmasked covar/stddev composition would mix per-column
+    row sets on misaligned NULLs and stop being Pearson). try_divide
+    keeps a within-group constant column at NULL instead of an ANSI
+    DIVIDE_BY_ZERO (F.corr itself THROWS there under ANSI mode, which
+    is why the masked composition is used rather than corr()).
     Chunked past the budget exactly like correlation_matrix, merged on
     the bounded groups x pairs frame.
 
@@ -450,10 +455,15 @@ def grouped_correlation(df: DataFrame, group_col: str,
     rows: dict = {}
     for lo in range(0, len(pairs), max_pairs_per_pass):
         chunk = pairs[lo:lo + max_pairs_per_pass]
-        g = (df.groupBy(F.col(group_col).alias("group"))
-             .agg(*[F.corr(F.col(a).cast("double"),
-                           F.col(b).cast("double"))
-                    .alias(f"{a}__{b}") for a, b in chunk]))
+        exprs = []
+        for a, b in chunk:
+            xa = F.when(F.col(b).isNotNull(), F.col(a).cast("double"))
+            xb = F.when(F.col(a).isNotNull(), F.col(b).cast("double"))
+            exprs.append(F.try_divide(
+                F.covar_samp(xa, xb),
+                F.stddev_samp(xa) * F.stddev_samp(xb))
+                .alias(f"{a}__{b}"))
+        g = (df.groupBy(F.col(group_col).alias("group")).agg(*exprs))
         for r in g.collect():
             rows.setdefault(r["group"], {}).update(
                 {k: r[k] for k in r.asDict() if k != "group"})
