@@ -1030,7 +1030,8 @@ def append_ivf_pq_index(df_new: DataFrame, path: str,
      .parquet(os.path.join(path, "codes", f"epoch={epoch}")))
 
 
-def compact_index(spark, path: str, target_files: int = 8) -> dict:
+def compact_index(spark, path: str, target_files: int = 8,
+                  keep_epochs_from: int | None = None) -> dict:
     """Close the epoch-dir layout's small-file debt: rewrite ALL epochs'
     stored codes into a fresh single base epoch (``codes/epoch=-1``)
     with a bounded file count — N retrain-free appends leave N epoch
@@ -1050,11 +1051,20 @@ def compact_index(spark, path: str, target_files: int = 8) -> dict:
     so each cell's rows land in ONE task = one file per cell directory),
     one write. Swap is rename-based: the new base is fully written
     before the old directories move aside; a crash mid-swap leaves a
-    complete copy on disk (``codes`` or ``codes.compact.tmp``) —
-    single-writer maintenance contract, same as the appends: stop any
-    attached stream (checkpoint committed) before compacting, since a
-    replay of an uncommitted micro-batch after its epoch was folded into
-    the base would double-append.
+    complete copy on disk (``codes`` or ``codes.old``), and the next
+    compact_index call RESTORES a missing ``codes`` from ``codes.old``
+    before proceeding. Single-writer maintenance contract, same as the
+    appends: stop any attached stream (checkpoint committed) before a
+    FULL compaction, since a replay of an uncommitted micro-batch after
+    its epoch was folded into the base would double-append.
+
+    ``keep_epochs_from``: fold only epochs STRICTLY BELOW this value
+    into the new base and keep the rest as live epoch directories —
+    the generational mode the streaming index-append sink uses (it
+    keeps its current, not-yet-checkpointed epoch out of the fold so a
+    crash replay stays idempotent). Pinned stream offsets are cleared
+    only on a FULL compaction (generational folds leave the epoch
+    numbering of everything kept — and everything future — intact).
 
     Returns {"n_epochs_before", "n_files_before", "n_files_after"}."""
     import json
@@ -1064,6 +1074,9 @@ def compact_index(spark, path: str, target_files: int = 8) -> dict:
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     codes_dir = os.path.join(path, "codes")
+    old = codes_dir + ".old"
+    if not os.path.isdir(codes_dir) and os.path.isdir(old):
+        os.rename(old, codes_dir)        # crash-window recovery
 
     def _n_files(root: str) -> int:
         return sum(len([f for f in fs if f.endswith(".parquet")])
@@ -1071,7 +1084,18 @@ def compact_index(spark, path: str, target_files: int = 8) -> dict:
 
     n_before = _n_files(codes_dir)
     epochs_before = _codes_epochs(path)
-    codes = spark.read.parquet(codes_dir)
+    if keep_epochs_from is None:
+        fold, keep = epochs_before, []
+        codes = spark.read.parquet(codes_dir)
+    else:
+        fold = [e for e in epochs_before if e < keep_epochs_from]
+        keep = [e for e in epochs_before if e >= keep_epochs_from]
+        if not fold:
+            return {"n_epochs_before": len(epochs_before),
+                    "n_files_before": n_before,
+                    "n_files_after": n_before}
+        codes = spark.read.parquet(
+            *[os.path.join(codes_dir, f"epoch={e}") for e in fold])
     if "epoch" in codes.columns:
         codes = codes.drop("epoch")
     tmp = codes_dir + ".compact.tmp"
@@ -1084,14 +1108,17 @@ def compact_index(spark, path: str, target_files: int = 8) -> dict:
         (codes.repartition(target_files)
          .write.mode("overwrite")
          .parquet(os.path.join(tmp, "epoch=-1")))
-    old = codes_dir + ".old"
+    for e in keep:                       # carry live epochs into the new
+        os.rename(os.path.join(codes_dir, f"epoch={e}"),
+                  os.path.join(tmp, f"epoch={e}"))
     shutil.rmtree(old, ignore_errors=True)
     os.rename(codes_dir, old)
     os.rename(tmp, codes_dir)
     shutil.rmtree(old, ignore_errors=True)
-    # every append epoch is folded into the base: pinned stream offsets
-    # no longer name real directories — attachments must re-key
-    _clear_stream_runs(path)
+    if keep_epochs_from is None:
+        # every append epoch is folded into the base: pinned stream
+        # offsets no longer name real directories — attachments re-key
+        _clear_stream_runs(path)
     return {"n_epochs_before": len(epochs_before),
             "n_files_before": n_before,
             "n_files_after": _n_files(codes_dir)}

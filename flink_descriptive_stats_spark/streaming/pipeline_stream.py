@@ -962,7 +962,8 @@ def start_ingest_dedup_monitor(stream: DataFrame, old: DataFrame,
 
 def _index_append_emitter(index_path: str, offset: int,
                           id_col: str = "vec_id",
-                          vec_col: str = "embedding"):
+                          vec_col: str = "embedding",
+                          compact_every: int | None = None):
     """The foreachBatch body of start_index_append_stream, factored out
     so tests can drive it directly with a pinned epoch id (the
     crash-replay simulation). Each micro-batch encodes with the index's
@@ -970,7 +971,17 @@ def _index_append_emitter(index_path: str, offset: int,
     epoch_id`` directory with OVERWRITE semantics — the write itself is
     the idempotency mechanism (a replayed epoch rewrites its own
     directory; no watermark race, no double count), the same epoch-keyed
-    discipline as the ingest-dedup monitor's per-epoch hash dirs."""
+    discipline as the ingest-dedup monitor's per-epoch hash dirs.
+
+    ``compact_every``: generational compaction, the same discipline the
+    ingest-dedup monitor applies to its hash state — once the append-
+    epoch count reaches the bound, fold base + COMMITTED epochs into a
+    fresh base via compact_index(keep_epochs_from=current epoch). The
+    just-written epoch stays a live directory because its checkpoint
+    commit has not happened yet: a crash between this fold and the
+    commit replays the batch into its own (kept) directory, never
+    double-counting against the folded base. Search results are
+    unchanged by construction (compaction is a pure layout rewrite)."""
     import json
     import os
 
@@ -989,6 +1000,11 @@ def _index_append_emitter(index_path: str, offset: int,
         else:
             S.append_pq_index(batch_df, index_path, id_col=id_col,
                               vec_col=vec_col, epoch=e)
+        if compact_every:
+            epochs = S._codes_epochs(index_path)
+            if len(epochs) - 1 >= compact_every:
+                S.compact_index(batch_df.sparkSession, index_path,
+                                keep_epochs_from=e)
 
     return emit
 
@@ -996,7 +1012,8 @@ def _index_append_emitter(index_path: str, offset: int,
 def start_index_append_stream(stream: DataFrame, index_path: str,
                               checkpoint_path: str | None = None,
                               id_col: str = "vec_id",
-                              vec_col: str = "embedding"):
+                              vec_col: str = "embedding",
+                              compact_every: int | None = None):
     """Continuous ANN-index maintenance: grow a persisted PQ or IVF-PQ
     index (write_pq_index / write_ivf_pq_index) from a vector stream —
     the daily-ingest path as a foreachBatch sink. The index kind is read
@@ -1021,7 +1038,15 @@ def start_index_append_stream(stream: DataFrame, index_path: str,
     second silently overwriting the first (the idempotent-replay
     guarantee itself still requires a checkpoint). Caller contract (same
     as the batch appends): streamed ids are disjoint from stored ids,
-    and one writer grows an index at a time."""
+    and one writer grows an index at a time.
+
+    ``compact_every`` (r8): bound the epoch-directory debt IN the sink —
+    once the append-epoch count reaches the bound, committed epochs fold
+    into a fresh base while the current (uncommitted) epoch stays live,
+    so crash replay remains idempotent (see _index_append_emitter). A
+    long-lived stream then holds the index at O(compact_every) epoch
+    dirs instead of one per micro-batch — the same generational
+    discipline as the ingest-dedup monitor's hash state."""
     import json
     import os
 
@@ -1053,7 +1078,8 @@ def start_index_append_stream(stream: DataFrame, index_path: str,
             os.replace(tmp, runs_path)
         offset = int(runs[key])
     emit = _index_append_emitter(index_path, offset,
-                                 id_col=id_col, vec_col=vec_col)
+                                 id_col=id_col, vec_col=vec_col,
+                                 compact_every=compact_every)
     writer = stream.writeStream.outputMode("append").foreachBatch(emit)
     if checkpoint_path:
         writer = writer.option("checkpointLocation", checkpoint_path)

@@ -529,3 +529,61 @@ def test_auto_bands_geometry_and_full_recall(spark):
                                           n_bands="auto").collect()}
     for d in (2, 4):
         assert float(cal[d]["recall"]) == 1.0, d
+
+
+def test_streaming_index_append_generational_compaction(spark, tmp_path):
+    """compact_every bounds the epoch-dir debt INSIDE the sink: driving
+    the emitter through 4 micro-batches with compact_every=2, the epoch
+    count stays O(bound) instead of one dir per batch, nothing is lost
+    or double-counted (count == union after every batch), a replay of
+    the LAST batch (kept out of the fold) is still a no-op, and search
+    equals the plain batch-append reference."""
+    from flink_descriptive_stats_spark.operators import similarity as S
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        _index_append_emitter)
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    a = emb.where(F.col("vec_id") % 5 == 0)
+    parts = [emb.where(F.col("vec_id") % 5 == k) for k in (1, 2, 3, 4)]
+    idx = str(tmp_path / "gen")
+    S.write_pq_index(a, idx)
+    ref = str(tmp_path / "ref")
+    S.write_pq_index(a, ref)
+    emit = _index_append_emitter(idx, offset=0, compact_every=2)
+    running = a.count()
+    for n, part in enumerate(parts):
+        emit(part, n)
+        S.append_pq_index(part, ref)
+        running += part.count()
+        codes = spark.read.parquet(os.path.join(idx, "codes"))
+        assert codes.count() == running, n
+        assert len(S._codes_epochs(idx)) <= 3, n   # base + <= bound
+    n_epochs = len(S._codes_epochs(idx))
+    emit(parts[-1], 3)                             # replay the last batch
+    assert spark.read.parquet(os.path.join(idx, "codes")).count() \
+        == running
+    assert len(S._codes_epochs(idx)) == n_epochs
+    got = sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
+    want = sorted(map(tuple, S.pq_index_topk(emb, ref).collect()))
+    assert got == want
+
+
+def test_compact_index_recovers_from_crash_window(spark, tmp_path):
+    """A crash between the two swap renames leaves codes.old complete
+    and codes missing; the next compact_index restores it and proceeds
+    — search results identical to the never-crashed path."""
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "crash")
+    S.write_pq_index(a, idx)
+    S.append_pq_index(b, idx)
+    before = sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
+    codes = os.path.join(idx, "codes")
+    os.rename(codes, codes + ".old")               # the crash window
+    r = S.compact_index(spark, idx, target_files=2)
+    assert r["n_epochs_before"] == 2
+    assert S._codes_epochs(idx) == [-1]
+    assert not os.path.exists(codes + ".old")
+    assert sorted(map(tuple,
+                      S.pq_index_topk(emb, idx).collect())) == before
