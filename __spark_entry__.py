@@ -1343,6 +1343,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["grouped_covariance_events"] = _tq(extras.grouped_covariance,
                                          "events",
                                          group_col="event_type")
+    # per-segment Spearman (r8): rank WITHIN each group (a per-group
+    # sort, not the global exact path's one) then the grouped Pearson
+    # aggregate — oracle-verified; the approx global-cutpoint sibling
+    # is pytest-pinned
+    q["grouped_spearman_events"] = _tq(
+        extras.grouped_spearman, "events", group_col="event_type",
+        columns=["event_id", "user_id", "value"])
 
     def _ks_drift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b = _snapshots(spark, sf_dir)
@@ -1417,6 +1424,9 @@ def oracle_sql() -> dict[str, str]:
         "events", "event_type")
     o["grouped_covariance_events"] = oracle.grouped_covariance_sql(
         "events", "event_type")
+    from flink_descriptive_stats_spark import oracle_pipeline as _opl
+    o["grouped_spearman_events"] = _opl.grouped_spearman_sql(
+        "events", "event_type", ["event_id", "user_id", "value"])
     for table, col in _HISTOGRAMS:
         o[f"histogram_{table}_{col}"] = oracle.histogram_sql(table, col)
     from flink_descriptive_stats_spark.report import jb_report_sql

@@ -603,6 +603,62 @@ def covariance_matrix(df: DataFrame,
         out, "col_a string, col_b string, cov string")
 
 
+def grouped_spearman(df: DataFrame, group_col: str,
+                     columns: list[str] | None = None,
+                     exact: bool = True,
+                     n_buckets: int = 200) -> DataFrame:
+    """Per-segment Spearman rank correlation — (group, col_a, col_b,
+    rho): the robust-association view of grouped_correlation, exactly
+    as spearman_matrix is of correlation_matrix. A pair whose MONOTONE
+    relationship flips or collapses in one segment is invisible both to
+    the global rho (it averages) and to the grouped Pearson (outliers
+    / nonlinearity mask it).
+
+    exact=True (the oracle path): average ranks WITHIN each group —
+    rank() over (partition by group order by c) + (ties - 1) / 2, the
+    same tie policy as spearman_matrix — then the grouped Pearson
+    aggregate over the rank frame. Note the grouped exact path is
+    MORE scalable than the global one: the rank windows sort per
+    group partition, not globally (one exchange keyed by group, same
+    skew story as sessionize), so this is audit-scale only in the
+    single-giant-group degenerate case.
+
+    exact=False (the same exact/approx pairing as spearman_matrix):
+    rank surrogate = equi-frequency bucket index from ONE GLOBAL
+    approx_percentile cutpoint aggregate — a monotone transform of the
+    value, and monotone globally implies monotone within every group,
+    so per-group Pearson over the indices converges to the grouped rho
+    as buckets shrink. No window or sort anywhere. A pytest pins the
+    exact path against pandas-rank ground truth and the approx path's
+    agreement.
+
+    Listwise deletion over the selected columns (the spearman_matrix
+    contract); NULL groups form their own segment; a within-group
+    constant column yields NULL rho."""
+    cols = columns or [c for c in numeric_columns(df) if c != group_col]
+    base = (df.select(F.col(group_col).alias("__g"), *cols)
+            .dropna(subset=list(cols)))
+    from pyspark.sql import Window
+    if exact:
+        ranked = base.select("__g", *[
+            (F.rank().over(Window.partitionBy("__g").orderBy(c))
+             + (F.count(F.lit(1)).over(Window.partitionBy("__g", c)) - 1)
+             / 2.0).alias(c) for c in cols])
+    else:
+        probs = F.array(*[F.lit((i + 1) / n_buckets)
+                          for i in range(n_buckets - 1)])
+        cuts = base.agg(*[
+            F.percentile_approx(F.col(c).cast("double"), probs).alias(c)
+            for c in cols]).collect()[0]
+        ranked = base.select("__g", *[
+            (F.lit(0.0) if cuts[c] is None
+             else _cut_index_expr(f"CAST(`{c}` AS DOUBLE)", cuts[c]))
+            .alias(c) for c in cols])
+    out = grouped_correlation(ranked, "__g", cols)
+    return out.select("group", "col_a", "col_b",
+                      F.col("corr").alias("rho"))
+
+
 def grouped_covariance(df: DataFrame, group_col: str,
                        columns: list[str] | None = None,
                        max_pairs_per_pass: int = 4000,

@@ -1843,6 +1843,35 @@ def spearman_sql(table: str, columns: list[str]) -> str:
             + "\nUNION ALL\n".join(branches))
 
 
+def grouped_spearman_sql(table: str, group_col: str,
+                         columns: list[str]) -> str:
+    """Mirror of extras.grouped_spearman (exact path): average ranks
+    WITHIN each group partition — same tie policy as spearman_sql —
+    then per-group corr, group rendered as VARCHAR, NaN (within-group
+    constant ranks) mapped to NULL, same near-zero snap + sig6."""
+    ranks = ", ".join(
+        f"rank() OVER (PARTITION BY {group_col} ORDER BY {c}) + "
+        f"(count(*) OVER (PARTITION BY {group_col}, {c}) - 1) / 2.0 "
+        f"AS {c}"
+        for c in columns)
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in columns)
+    pairs = [(a, b) for i, a in enumerate(columns)
+             for b in columns[i + 1:]]
+    branches = []
+    for a, b in pairs:
+        raw = f"corr({a}, {b})"
+        snapped = (f"CASE WHEN {raw} IS NOT NULL AND isnan({raw}) "
+                   f"THEN NULL "
+                   f"WHEN {raw} IS NOT NULL AND abs({raw}) < 1e-9 "
+                   f"THEN 0.0 ELSE {raw} END")
+        branches.append(
+            f"SELECT grp AS \"group\", '{a}' AS col_a, '{b}' AS col_b, "
+            f"{duck_sig6(snapped)} AS rho FROM r GROUP BY grp")
+    return (f"WITH r AS (SELECT CAST({group_col} AS VARCHAR) AS grp, "
+            f"{ranks} FROM {table} WHERE {notnull})\n"
+            + "\nUNION ALL\n".join(branches))
+
+
 def woe_iv_sql(table: str, feature: str, label_expr: str,
                bins: int = 10) -> str:
     """Mirror of extras.woe_iv (same histogram bucketing conventions,

@@ -587,3 +587,37 @@ def test_compact_index_recovers_from_crash_window(spark, tmp_path):
     assert not os.path.exists(codes + ".old")
     assert sorted(map(tuple,
                       S.pq_index_topk(emb, idx).collect())) == before
+
+
+def test_grouped_spearman_exact_vs_pandas_and_approx_agreement(spark):
+    """Exact grouped Spearman equals pandas average-rank ground truth
+    per group (incl. ties); the approx global-cutpoint path agrees
+    within tolerance on the events fixture (monotone transform: global
+    monotonicity implies within-group monotonicity)."""
+    import pandas as pd
+    rows = [("g0" if i % 2 else "g1",
+             float(i % 7),                      # ties within groups
+             float((i * i) % 23),
+             float((i * 3) % 11)) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "grp string, x double, y double, z double")
+    got = {(r["group"], r["col_a"], r["col_b"]): r["rho"]
+           for r in X.grouped_spearman(
+               df, "grp", ["x", "y", "z"]).collect()}
+    pdf = pd.DataFrame(rows, columns=["grp", "x", "y", "z"])
+    for g, sub in pdf.groupby("grp"):
+        rk = sub[["x", "y", "z"]].rank(method="average")
+        for a, b in (("x", "y"), ("x", "z"), ("y", "z")):
+            want = np.corrcoef(rk[a], rk[b])[0, 1]
+            assert abs(float(got[(g, a, b)]) - want) < 1e-6, (g, a, b)
+    ev = load_table(spark, SF_DIR, "events")
+    cols = ["event_id", "user_id", "value"]
+    exact = {(r["group"], r["col_a"], r["col_b"]): float(r["rho"])
+             for r in X.grouped_spearman(
+                 ev, "event_type", cols).collect()}
+    approx = {(r["group"], r["col_a"], r["col_b"]): float(r["rho"])
+              for r in X.grouped_spearman(
+                  ev, "event_type", cols, exact=False).collect()}
+    assert set(exact) == set(approx)
+    for p in exact:
+        assert abs(exact[p] - approx[p]) < 0.08, (p, exact[p], approx[p])
