@@ -621,3 +621,31 @@ def test_grouped_spearman_exact_vs_pandas_and_approx_agreement(spark):
     assert set(exact) == set(approx)
     for p in exact:
         assert abs(exact[p] - approx[p]) < 0.08, (p, exact[p], approx[p])
+
+
+def test_grouped_spearman_approx_plan_has_no_window_or_sort(spark):
+    """The approx grouped-Spearman path must stay window/sort-free end
+    to end except the bounded grouped aggregate — the same plan pin the
+    global approx Spearman carries (the whole point of the surrogate is
+    no per-column sorting)."""
+    ev = load_table(spark, SF_DIR, "events")
+    ranked_plus_agg = X.grouped_spearman(
+        ev, "event_type", ["event_id", "user_id", "value"], exact=False)
+    # the output frame is driver-assembled; pin the upstream rank frame
+    # instead: rebuild it the way grouped_spearman does
+    from pyspark.sql import functions as F2
+    base = (ev.select(F2.col("event_type").alias("__g"),
+                      "event_id", "user_id", "value")
+            .dropna(subset=["event_id", "user_id", "value"]))
+    probs = F2.array(*[F2.lit((i + 1) / 200) for i in range(199)])
+    cuts = base.agg(*[
+        F2.percentile_approx(F2.col(c).cast("double"), probs).alias(c)
+        for c in ["event_id", "user_id", "value"]]).collect()[0]
+    ranked = base.select("__g", *[
+        X._cut_index_expr(f"CAST(`{c}` AS DOUBLE)", cuts[c]).alias(c)
+        for c in ["event_id", "user_id", "value"]])
+    plan = ranked._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "Window" not in plan and "Sort" not in plan
+    assert len(ranked_plus_agg.columns) == 4     # end-to-end still runs
