@@ -167,17 +167,26 @@ def _bloom_set_words(h: DataFrame, m_bits: int, n_probes: int) -> DataFrame:
 def _bloom_bitset(h: DataFrame, bits_per_item: int,
                   n_probes: int) -> tuple["np.ndarray", int]:
     """Assemble the numpy bitset from the distributed set-words frame:
-    one count sizes it, one Arrow toPandas collect of <= m_bits/64
-    (w, b) rows fills it — driver peak is bitset-scale (~2x the final
-    8 bytes/word), never holdout-scale."""
-    n_items = h.count()
-    m_bits = max(64, bits_per_item * max(1, n_items))
-    m_bits = ((m_bits + 63) // 64) * 64
-    bloom = np.zeros(m_bits // 64, dtype=np.uint64)
-    if n_items:
-        wpdf = _bloom_set_words(h, m_bits, n_probes).toPandas()
-        bloom[wpdf["w"].to_numpy(dtype=np.int64)] = \
-            wpdf["b"].to_numpy(dtype=np.int64).view(np.uint64)
+    one count sizes it (the bitset width must be known before probe
+    positions can be computed), one Arrow toPandas collect of <=
+    m_bits/64 (w, b) rows fills it — driver peak is bitset-scale
+    (~2x the final 8 bytes/word), never holdout-scale. The distinct
+    hash frame is persisted across the two jobs so the holdout's
+    distinct shuffle runs once, not twice (a ~constant extra job vs
+    the old driver-collect build is the price of bounded driver
+    memory; reusing the materialization keeps it to one pass)."""
+    h = h.persist()
+    try:
+        n_items = h.count()
+        m_bits = max(64, bits_per_item * max(1, n_items))
+        m_bits = ((m_bits + 63) // 64) * 64
+        bloom = np.zeros(m_bits // 64, dtype=np.uint64)
+        if n_items:
+            wpdf = _bloom_set_words(h, m_bits, n_probes).toPandas()
+            bloom[wpdf["w"].to_numpy(dtype=np.int64)] = \
+                wpdf["b"].to_numpy(dtype=np.int64).view(np.uint64)
+    finally:
+        h.unpersist()
     return bloom, m_bits
 
 
