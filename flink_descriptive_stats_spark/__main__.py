@@ -117,7 +117,8 @@ def build_parser() -> argparse.ArgumentParser:
                              "ivf-kmeans", "pq", "ivf-pq",
                              "pq-calibration", "pq-index",
                              "ivf-pq-index", "index-stats",
-                             "index-calibration"])
+                             "index-calibration",
+                             "compact-index", "rebuild-index"])
     an.add_argument("--k", type=int, default=5)
     an.add_argument("--vec-col", default="embedding")
     an.add_argument("--id-col", default="vec_id")
@@ -763,6 +764,23 @@ def main(argv: list[str] | None = None) -> int:
                     df, path, id_col=args.id_col, vec_col=args.vec_col)
             return similarity.index_stats(spark, path)
 
+        def _ann_compact_index():
+            # the alarm remediation: fold every append epoch into one
+            # fresh base (no re-encode; search unchanged), then report
+            # the post-compaction datasheet
+            path = args.index_path or _default_index_path("pq_index")
+            r = similarity.compact_index(spark, path)
+            print(f"compacted {path}: {r}", file=sys.stderr)
+            return similarity.index_stats(spark, path)
+
+        def _ann_rebuild_index():
+            # the heavy remediation: retrain on the CURRENT input with
+            # the sidecar's declared geometry and re-encode
+            path = args.index_path or _default_index_path("pq_index")
+            similarity.rebuild_index(df, path, id_col=args.id_col,
+                                     vec_col=args.vec_col)
+            return similarity.index_stats(spark, path)
+
         def _ann_index_calibration():
             # |ADC - exact| against the STORED books: the rebuild signal
             # after retrain-free appends
@@ -790,6 +808,8 @@ def main(argv: list[str] | None = None) -> int:
             "ivf-pq-index": lambda: _ann_ivf_pq_index(),
             "index-stats": lambda: _ann_index_stats(),
             "index-calibration": lambda: _ann_index_calibration(),
+            "compact-index": lambda: _ann_compact_index(),
+            "rebuild-index": lambda: _ann_rebuild_index(),
         }[args.method]()
         _emit(out, args.output)
         return 0
