@@ -425,6 +425,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dataset_card
         return dataset_card(_load(spark, sf_dir, "documents"), exact=False)
     q["dataset_card_approx_documents"] = _dataset_card_approx
+
+    # 100 TB scan-count route of the gated card (r8): ONE combined
+    # narrow per-doc projection + one global aggregate + one bounded
+    # (source, lang) groupBy — the corpus is scanned ONCE where the
+    # default path scans it five times. Same rows by construction, so
+    # it gates against the SAME oracle as dataset_card_documents.
+    def _dataset_card_1pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators.quality import \
+            dataset_card
+        return dataset_card(_load(spark, sf_dir, "documents"),
+                            single_pass=True)
+    q["dataset_card_1pass_documents"] = _dataset_card_1pass
     q["temporal_split_events"] = _tq(sampling.temporal_split, "events")
     q["neardup_clusters_documents"] = _tq(dedup.neardup_clusters, "documents")
     q["dedup_corpus_documents"] = _tq(dedup.dedup_corpus, "documents")
@@ -1567,6 +1579,8 @@ def oracle_sql() -> dict[str, str]:
     o["quality_ensemble_documents"] = op.quality_ensemble_sql()
     o["curate_corpus_documents"] = op.curate_corpus_sql()
     o["dataset_card_documents"] = op.dataset_card_sql()
+    # the single-pass route computes the SAME card: same oracle
+    o["dataset_card_1pass_documents"] = op.dataset_card_sql()
     o["dataset_card_by_source_documents"] = op.dataset_card_by_source_sql()
     o["temporal_split_events"] = op.temporal_split_sql()
     o["paragraph_dedup_documents"] = (

@@ -288,7 +288,8 @@ def dataset_card(df: DataFrame, text_col: str = "text",
                  source_col: str = "source",
                  exact: bool = True,
                  payload_col: str | None = None,
-                 media_kind: str = "image") -> DataFrame:
+                 media_kind: str = "image",
+                 single_pass: bool = False) -> DataFrame:
     """One-call corpus datasheet — the LLM-pipeline analogue of the
     reference's console report: (section, metric, value) rows, in a
     fixed order, covering size (docs/sources/tokens/chars + the max
@@ -331,7 +332,28 @@ def dataset_card(df: DataFrame, text_col: str = "text",
     collapse). One Arrow fingerprint pass + the bounded funnel; counts
     exact, fractions sig6; NULL-payload rows are out of scope like
     NULL-text ones. Defaults to None so the text-only card — the gated
-    oracle surface — is byte-identical to before."""
+    oracle surface — is byte-identical to before.
+
+    ``single_pass`` (r8): the 100 TB route. The default path runs FIVE
+    bounded aggregates, each over its own corpus scan — five scans of a
+    100 TB corpus for one datasheet. single_pass=True builds ONE
+    combined narrow per-doc projection (the component operators' OWN
+    expression bundles — text_stats_exprs / pii_exprs / the lang-score
+    expressions — plus the two content hashes and the source), persists
+    it, and derives every card number from one global aggregate (the
+    three count_distincts, the sums, the quality stats, the median, the
+    PII count) plus ONE bounded groupBy(source, lang) whose driver fold
+    yields the source-share and language rows. The corpus is scanned
+    once; the two follow-ups read the cached narrow frame. Same rows,
+    same order, same rendering (pytest-pinned equal to the five-pass
+    card; gated against the SAME oracle as the default path)."""
+    if single_pass:
+        rows = _dataset_card_rows_single_pass(df, text_col, id_col,
+                                              source_col, exact)
+        if payload_col is not None and payload_col in df.columns:
+            rows += _media_card_rows(df, payload_col, media_kind, id_col)
+        return df.sparkSession.createDataFrame(
+            rows, "section string, metric string, value string")
     from flink_descriptive_stats_spark.functions.sig import sig6, sig6_py
     from flink_descriptive_stats_spark.operators.dedup import \
         _canonical_expr
@@ -386,6 +408,75 @@ def dataset_card(df: DataFrame, text_col: str = "text",
         rows += _media_card_rows(df, payload_col, media_kind, id_col)
     return df.sparkSession.createDataFrame(
         rows, "section string, metric string, value string")
+
+
+def _dataset_card_rows_single_pass(df: DataFrame, text_col: str,
+                                   id_col: str, source_col: str,
+                                   exact: bool) -> list:
+    """The single_pass route of dataset_card — see there for the
+    contract. One corpus scan, two cached follow-ups, identical rows."""
+    from flink_descriptive_stats_spark.functions.sig import sig6, sig6_py
+    from flink_descriptive_stats_spark.operators.dedup import \
+        _canonical_expr
+    from flink_descriptive_stats_spark.operators.text import (
+        _lang_scores, _predicted_lang_expr, pii_exprs, text_stats_exprs)
+    c = F.col(text_col)
+    per = (df.where(c.isNotNull())
+           .select(F.md5(c).alias("__h"),
+                   F.md5(_canonical_expr(text_col)).alias("__hc"),
+                   F.col(source_col).alias("__src"),
+                   _predicted_lang_expr(_lang_scores(c)).alias("__lang"),
+                   *text_stats_exprs(text_col),
+                   *pii_exprs(text_col))
+           .persist())
+    try:
+        q = F.col("quality_score").cast("double")
+        tok = F.col("n_tokens").cast("double")
+        med = (F.percentile(tok, F.lit(0.5)) if exact
+               else F.percentile_approx(tok, F.lit(0.5), F.lit(10000))
+               .cast("double"))
+        r = per.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("__h").alias("cd"),
+            F.count_distinct("__hc").alias("cc"),
+            F.count_distinct("__src").alias("ns"),
+            F.sum("n_tokens").alias("ntok"),
+            F.sum("n_chars").alias("nch"),
+            sig6(F.avg(q)).alias("mq"),
+            sig6(F.count_if(q < 0.5).cast("double")
+                 / F.count(F.lit(1))).alias("lowq"),
+            sig6(med).alias("med"),
+            F.count_if(F.col("n_pii") > 0).alias("p")).collect()[0]
+        sl = (per.groupBy("__src", "__lang")
+              .agg(F.count(F.lit(1)).alias("c")).collect())
+    finally:
+        per.unpersist()
+    n = int(r["n"])
+    src_counts: dict = {}
+    lang_counts: dict = {}
+    for x in sl:
+        src_counts[x["__src"]] = src_counts.get(x["__src"], 0) + x["c"]
+        lang_counts[x["__lang"]] = (lang_counts.get(x["__lang"], 0)
+                                    + x["c"])
+    smax = max(src_counts.values())
+    lrows = sorted(lang_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [
+        ("corpus", "n_docs", str(n)),
+        ("corpus", "n_sources", str(int(r["ns"]))),
+        ("corpus", "n_tokens", str(int(r["ntok"]))),
+        ("corpus", "n_chars", str(int(r["nch"]))),
+        ("corpus", "max_source_share", sig6_py(int(smax) / n)),
+        ("dedup", "exact_dup_fraction", sig6_py(1.0 - int(r["cd"]) / n)),
+        ("dedup", "canonical_dup_fraction",
+         sig6_py(1.0 - int(r["cc"]) / n)),
+        ("quality", "mean_quality", r["mq"]),
+        ("quality", "low_quality_fraction", r["lowq"]),
+        ("quality", "median_tokens", r["med"]),
+        ("lang", "top_lang", lrows[0][0]),
+        ("lang", "top_lang_share", sig6_py(int(lrows[0][1]) / n)),
+        ("lang", "n_langs", str(len(lrows))),
+        ("pii", "pii_doc_fraction", sig6_py(int(r["p"]) / n)),
+    ]
 
 
 def _media_card_rows(df: DataFrame, payload_col: str, media_kind: str,

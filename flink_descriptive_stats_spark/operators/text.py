@@ -121,13 +121,19 @@ def pii_scan(df: DataFrame, text_col: str = "text",
     the filter-or-route signal of a scrubbing stage. All JVM regexp over
     one scan; NULL-text rows excluded."""
     d = df.where(F.col(text_col).isNotNull())
-    cols = [F.col(id_col).alias("id")]
+    return d.select(F.col(id_col).alias("id"), *pii_exprs(text_col))
+
+
+def pii_exprs(text_col: str = "text") -> list:
+    """pii_scan's per-doc expression bundle (id excluded) — exposed for
+    the same single-pass composition reuse as text_stats_exprs."""
+    cols = []
     total = None
     for name, pat in PII_PATTERNS:
         cnt = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
         cols.append(cnt.cast("bigint").alias(f"n_{name}"))
         total = cnt if total is None else total + cnt
-    return d.select(*cols, total.cast("bigint").alias("n_pii"))
+    return cols + [total.cast("bigint").alias("n_pii")]
 
 
 def pii_redact(df: DataFrame, text_col: str = "text",
@@ -163,8 +169,18 @@ def text_stats(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Per-doc text statistics + composite quality score. NULL-text rows
     are excluded (mirrored by the oracle's tokens CTE)."""
-    from flink_descriptive_stats_spark.functions.sig import sig6
     df = df.where(F.col(text_col).isNotNull())
+    return df.select(F.col(id_col).alias("id"),
+                     *text_stats_exprs(text_col))
+
+
+def text_stats_exprs(text_col: str = "text") -> list:
+    """The per-doc expression bundle text_stats selects (id excluded) —
+    exposed so single-pass compositions (dataset_card's single_pass
+    route) ride the EXACT same expressions in one combined projection
+    instead of re-joining per-doc frames. Pure column expressions: no
+    shuffle, no Python."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
     c = F.col(text_col)
     toks = H.tokens_expr(c)
     n_tok = F.size(toks)
@@ -192,8 +208,7 @@ def text_stats(df: DataFrame, text_col: str = "text",
                                                     F.lit(1.0)))
                + F.lit(0.3) * F.least(stop_ratio * 4.0, F.lit(1.0)))
 
-    return df.select(
-        F.col(id_col).alias("id"),
+    return [
         n_chars.cast("bigint").alias("n_chars"),
         n_tok.cast("bigint").alias("n_tokens"),
         ws_tokens.cast("bigint").alias("n_ws_tokens"),
@@ -205,7 +220,7 @@ def text_stats(df: DataFrame, text_col: str = "text",
         sig6(avg_tok_len).alias("avg_token_len"),
         sig6(punct_ratio).alias("punct_ratio"),
         sig6(quality).alias("quality_score"),
-    )
+    ]
 
 
 def _lang_scores(c):

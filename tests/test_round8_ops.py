@@ -649,3 +649,38 @@ def test_grouped_spearman_approx_plan_has_no_window_or_sort(spark):
         .fromString("formatted"))
     assert "Window" not in plan and "Sort" not in plan
     assert len(ranked_plus_agg.columns) == 4     # end-to-end still runs
+
+
+def test_dataset_card_single_pass_equals_default(spark):
+    """The single-pass card (one corpus scan + one global agg + one
+    bounded (source, lang) groupBy over the cached narrow frame) equals
+    the five-scan default row for row — including with the media
+    section — and its per-doc projection is a pure narrow select (no
+    Join, no Exchange)."""
+    from flink_descriptive_stats_spark.operators import quality as Q
+    docs = load_table(spark, SF01, "documents")
+    default = [tuple(r) for r in Q.dataset_card(docs).collect()]
+    single = [tuple(r) for r in Q.dataset_card(
+        docs, single_pass=True).collect()]
+    assert single == default
+    # approx-median variant rides the same switch
+    sa = [tuple(r) for r in Q.dataset_card(
+        docs, exact=False, single_pass=True).collect()]
+    da = [tuple(r) for r in Q.dataset_card(docs, exact=False).collect()]
+    assert sa == da
+    # plan pin on the combined per-doc projection
+    from flink_descriptive_stats_spark.operators.dedup import \
+        _canonical_expr
+    from flink_descriptive_stats_spark.operators.text import (
+        _lang_scores, _predicted_lang_expr, pii_exprs, text_stats_exprs)
+    c = F.col("text")
+    per = (docs.where(c.isNotNull())
+           .select(F.md5(c).alias("__h"),
+                   F.md5(_canonical_expr("text")).alias("__hc"),
+                   F.col("source").alias("__src"),
+                   _predicted_lang_expr(_lang_scores(c)).alias("__lang"),
+                   *text_stats_exprs("text"), *pii_exprs("text")))
+    plan = per._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "Join" not in plan and "Exchange" not in plan
