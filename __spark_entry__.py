@@ -437,6 +437,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dataset_card(_load(spark, sf_dir, "documents"),
                             single_pass=True)
     q["dataset_card_1pass_documents"] = _dataset_card_1pass
+
+    def _dataset_card_by_source_1pass(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators.quality import \
+            dataset_card_by_source
+        return dataset_card_by_source(_load(spark, sf_dir, "documents"),
+                                      single_pass=True)
+    q["dataset_card_by_source_1pass_documents"] = \
+        _dataset_card_by_source_1pass
     q["temporal_split_events"] = _tq(sampling.temporal_split, "events")
     q["neardup_clusters_documents"] = _tq(dedup.neardup_clusters, "documents")
     q["dedup_corpus_documents"] = _tq(dedup.dedup_corpus, "documents")
@@ -1582,6 +1591,8 @@ def oracle_sql() -> dict[str, str]:
     # the single-pass route computes the SAME card: same oracle
     o["dataset_card_1pass_documents"] = op.dataset_card_sql()
     o["dataset_card_by_source_documents"] = op.dataset_card_by_source_sql()
+    o["dataset_card_by_source_1pass_documents"] = \
+        op.dataset_card_by_source_sql()
     o["temporal_split_events"] = op.temporal_split_sql()
     o["paragraph_dedup_documents"] = (
         "WITH t AS (SELECT doc_id AS id, "

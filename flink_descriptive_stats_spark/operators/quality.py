@@ -523,7 +523,8 @@ def _media_card_rows(df: DataFrame, payload_col: str, media_kind: str,
 
 def dataset_card_by_source(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
-                           source_col: str = "source") -> DataFrame:
+                           source_col: str = "source",
+                           single_pass: bool = False) -> DataFrame:
     """Per-source datasheet — the which-source-is-dirty triage view of
     dataset_card (the same relationship check_constraints_by has to
     check_constraints): (source, metric, value) per source for n_docs,
@@ -537,7 +538,19 @@ def dataset_card_by_source(df: DataFrame, text_col: str = "text",
     doc id — a doc-scale equi-join, nothing wide); outputs are
     sources x metrics driver rows, value rendering identical to
     dataset_card (counts as integer strings, fractions sig6, labels
-    verbatim)."""
+    verbatim).
+
+    ``single_pass`` (r8): same trade as dataset_card's — the default
+    path pays FOUR doc-scale equi-join shuffles (each per-doc signal
+    frame back onto (id, source)) plus a scan per signal; single-pass
+    computes ONE combined narrow per-doc projection (the operators' own
+    expression bundles, source carried inline so NOTHING joins), then
+    one bounded groupBy(source) aggregate and one bounded
+    groupBy(source, lang) count. Identical rows (pytest-pinned; gates
+    against the same oracle)."""
+    if single_pass:
+        return _dataset_card_by_source_single_pass(df, text_col, id_col,
+                                                   source_col)
     from flink_descriptive_stats_spark.functions.sig import sig6, sig6_py
     from flink_descriptive_stats_spark.operators.text import (lang_id,
                                                               pii_scan,
@@ -581,6 +594,55 @@ def dataset_card_by_source(df: DataFrame, text_col: str = "text",
             (s, "low_quality_fraction", per2[s]["lowq"]),
             (s, "top_lang", top_lang[s]),
             (s, "pii_doc_fraction", sig6_py(int(per4[s]["p"]) / n)),
+        ]
+    return df.sparkSession.createDataFrame(
+        rows, "source string, metric string, value string")
+
+
+def _dataset_card_by_source_single_pass(df: DataFrame, text_col: str,
+                                        id_col: str,
+                                        source_col: str) -> DataFrame:
+    """The single_pass route of dataset_card_by_source — see there."""
+    from flink_descriptive_stats_spark.functions.sig import sig6, sig6_py
+    from flink_descriptive_stats_spark.operators.text import (
+        _lang_scores, _predicted_lang_expr, pii_exprs, text_stats_exprs)
+    c = F.col(text_col)
+    per = (df.where(c.isNotNull())
+           .select(F.md5(c).alias("__h"),
+                   F.col(source_col).alias("__src"),
+                   _predicted_lang_expr(_lang_scores(c)).alias("__lang"),
+                   *text_stats_exprs(text_col),
+                   *pii_exprs(text_col))
+           .persist())
+    try:
+        q = F.col("quality_score").cast("double")
+        g = {r["__src"]: r for r in per.groupBy("__src").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("__h").alias("cd"),
+            F.sum("n_tokens").alias("ntok"),
+            sig6(F.avg(q)).alias("mq"),
+            sig6(F.count_if(q < 0.5).cast("double")
+                 / F.count(F.lit(1))).alias("lowq"),
+            F.count_if(F.col("n_pii") > 0).alias("p")).collect()}
+        sl = (per.groupBy("__src", "__lang")
+              .agg(F.count(F.lit(1)).alias("c")).collect())
+    finally:
+        per.unpersist()
+    top_lang: dict = {}
+    for r in sorted(sl, key=lambda r: (r["__src"], -r["c"], r["__lang"])):
+        top_lang.setdefault(r["__src"], r["__lang"])
+    rows = []
+    for s in sorted(g):
+        n = int(g[s]["n"])
+        rows += [
+            (s, "n_docs", str(n)),
+            (s, "n_tokens", str(int(g[s]["ntok"]))),
+            (s, "exact_dup_fraction",
+             sig6_py(1.0 - int(g[s]["cd"]) / n)),
+            (s, "mean_quality", g[s]["mq"]),
+            (s, "low_quality_fraction", g[s]["lowq"]),
+            (s, "top_lang", top_lang[s]),
+            (s, "pii_doc_fraction", sig6_py(int(g[s]["p"]) / n)),
         ]
     return df.sparkSession.createDataFrame(
         rows, "source string, metric string, value string")

@@ -684,3 +684,16 @@ def test_dataset_card_single_pass_equals_default(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted"))
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_dataset_card_by_source_single_pass_equals_default(spark):
+    """The single-pass per-source card (no per-doc joins: source rides
+    the one combined projection) equals the join-based default row for
+    row."""
+    from flink_descriptive_stats_spark.operators import quality as Q
+    docs = load_table(spark, SF01, "documents")
+    default = [tuple(r)
+               for r in Q.dataset_card_by_source(docs).collect()]
+    single = [tuple(r) for r in Q.dataset_card_by_source(
+        docs, single_pass=True).collect()]
+    assert single == default
