@@ -445,6 +445,53 @@ def main() -> None:
         "64-bit hash itself.",
         fmt(spark, dedup_ops._bloom_set_words(hframe, 1 << 16, 8))))
 
+    # round 8: the single-pass dataset-card projection
+    from flink_descriptive_stats_spark.operators.dedup import \
+        _canonical_expr
+    from flink_descriptive_stats_spark.operators.text import (
+        _lang_scores, _predicted_lang_expr, pii_exprs, text_stats_exprs)
+    ctext = F.col("text")
+    per_doc = (docs2.where(ctext.isNotNull())
+               .select(F.md5(ctext).alias("__h"),
+                       F.md5(_canonical_expr("text")).alias("__hc"),
+                       F.col("source").alias("__src"),
+                       _predicted_lang_expr(_lang_scores(ctext))
+                       .alias("__lang"),
+                       *text_stats_exprs("text"), *pii_exprs("text")))
+    sections.append((
+        "Single-pass dataset card: the combined per-doc projection "
+        "(round 8)",
+        "dataset_card(single_pass=True): the five per-signal corpus\n"
+        "scans collapse into ONE narrow projection built from the\n"
+        "component operators' own expression bundles (text_stats_exprs,\n"
+        "pii_exprs, the lang scores) plus the two content hashes and\n"
+        "the source — no Join, no Exchange, pure whole-stage-codegen\n"
+        "expressions over one scan. The card's numbers then come from\n"
+        "one global aggregate and one bounded (source, lang) groupBy\n"
+        "over the persisted narrow frame. Row-for-row equal to the\n"
+        "five-pass card; gates against the same oracle.",
+        fmt(spark, per_doc)))
+
+    # round 8: grouped Spearman, exact route
+    from pyspark.sql import Window as W
+    gsbase = (ev.select(F.col("event_type").alias("__g"),
+                        "event_id", "value").dropna())
+    gsranked = gsbase.select("__g", *[
+        (F.rank().over(W.partitionBy("__g").orderBy(c))
+         + (F.count(F.lit(1)).over(W.partitionBy("__g", c)) - 1) / 2.0)
+        .alias(c) for c in ("event_id", "value")])
+    sections.append((
+        "Grouped Spearman: per-group rank windows (exact route) "
+        "(round 8)",
+        "The rank windows PARTITION BY the group — one exchange keyed\n"
+        "by group, per-group sorts (contrast the global exact\n"
+        "Spearman's single-partition Window, which this plan never\n"
+        "produces). The approx route replaces ranks with global\n"
+        "equi-frequency bucket indices (monotone globally => monotone\n"
+        "within every group): no Window, no Sort anywhere (plan-pinned\n"
+        "in tests/test_round8_ops.py).",
+        fmt(spark, gsranked)))
+
     with open("EXPLAIN.md", "w") as f:
         f.write(
             '# Plan audit — `.explain("formatted")` of the flagship '
