@@ -697,3 +697,83 @@ def test_dataset_card_by_source_single_pass_equals_default(spark):
     single = [tuple(r) for r in Q.dataset_card_by_source(
         docs, single_pass=True).collect()]
     assert single == default
+
+
+# ---------------------------------------------------------------- property
+# tests (hypothesis): round-8 primitives
+
+def test_auto_bands_properties():
+    """For every legal threshold: the result divides 64, gives >=
+    max_hamming+1 bands (pigeonhole guarantee), and is the SMALLEST
+    such divisor (band width maximal => bucket keyspace maximal)."""
+    from flink_descriptive_stats_spark.operators.multimodal import \
+        auto_bands
+    divisors = [1, 2, 4, 8, 16, 32, 64]
+    for mh in range(64):
+        b = auto_bands(mh)
+        assert b in divisors and 64 % b == 0
+        assert b >= mh + 1
+        smaller = [d for d in divisors if d < b]
+        assert all(d < mh + 1 for d in smaller), (mh, b)
+
+
+def test_bpe_pair_priority_equivalence_property():
+    """Hypothesis: for random words and random learned merge tables,
+    pair-priority encoding == rank-by-rank application (the equivalence
+    the production encode relies on), without Spark in the loop."""
+    from hypothesis import given, settings, strategies as st
+
+    def rank_by_rank(word, merges):
+        s = list(word) + ["</w>"]
+        for a, b in merges:
+            out, j = [], 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            s = out
+        return len(s)
+
+    def pair_priority(word, merges):
+        ranks = {tuple(p): r for r, p in enumerate(merges)}
+        sym = list(word) + ["</w>"]
+        while len(sym) > 1:
+            best = None
+            for p in zip(sym, sym[1:]):
+                r = ranks.get(p)
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            left, right = merges[best]
+            out, j = [], 0
+            while j < len(sym):
+                if (j + 1 < len(sym) and sym[j] == left
+                        and sym[j + 1] == right):
+                    out.append(left + right)
+                    j += 2
+                else:
+                    out.append(sym[j])
+                    j += 1
+            sym = out
+        return len(sym)
+
+    from flink_descriptive_stats_spark.operators.text import \
+        _bpe_merge_loop
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=8),
+                    min_size=1, max_size=20),
+           st.integers(min_value=1, max_value=40))
+    def check(words, n_merges):
+        wc = [(w, i + 1) for i, w in enumerate(words)]
+        merges = [(left, right)
+                  for _, left, right, _, _ in _bpe_merge_loop(wc, n_merges)]
+        for w in words:
+            assert pair_priority(w, merges) == rank_by_rank(w, merges), \
+                (w, merges)
+
+    check()
