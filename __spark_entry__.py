@@ -803,6 +803,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             base.unionByName(copies), max_hamming=6)
     q["hamming_calibration_synthetic"] = _hamming_calibration
 
+    # the ORACLE-GATED calibration variant (r8): same construction but
+    # the 60-bit signatures derive from md5 (the functions/hashing.py
+    # cross-engine recipe), so DuckDB replays the WHOLE diagnostic —
+    # exhaustive per-distance ground truth, the banded funnel with its
+    # bucket cap, and the recall fractions — end to end.
+    def _hamming_calibration_md5(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        sig = F.conv(F.substring(F.md5(F.col("text")), 1, 15),
+                     16, 10).cast("bigint")
+        mask = (F.when(F.col("doc_id") % 3 == 0, F.lit(3))
+                .when(F.col("doc_id") % 3 == 1,
+                      F.lit((1 << 8) | (1 << 24) | (1 << 40) | (1 << 56)))
+                .otherwise(F.lit(0x1E)))
+        base = docs.select((F.col("doc_id") * 2).alias("id"),
+                           sig.alias("phash"))
+        copies = docs.select((F.col("doc_id") * 2 + 1).alias("id"),
+                             sig.bitwiseXOR(mask).alias("phash"))
+        return multimodal.hamming_calibration(
+            base.unionByName(copies), max_hamming=6)
+    q["hamming_calibration_md5_documents"] = _hamming_calibration_md5
+
     # pairs -> keep set: the media twin of dedup_corpus (star CC over
     # the perceptual pair graph, lowest-id representative); rows-only,
     # cluster/singleton/undecodable behavior pytest-pinned
@@ -1448,6 +1471,8 @@ def oracle_sql() -> dict[str, str]:
     from flink_descriptive_stats_spark import oracle_pipeline as _opl
     o["grouped_spearman_events"] = _opl.grouped_spearman_sql(
         "events", "event_type", ["event_id", "user_id", "value"])
+    o["hamming_calibration_md5_documents"] = \
+        _opl.hamming_calibration_md5_sql()
     for table, col in _HISTOGRAMS:
         o[f"histogram_{table}_{col}"] = oracle.histogram_sql(table, col)
     from flink_descriptive_stats_spark.report import jb_report_sql

@@ -1872,6 +1872,61 @@ def grouped_spearman_sql(table: str, group_col: str,
             + "\nUNION ALL\n".join(branches))
 
 
+def hamming_calibration_md5_sql(max_hamming: int = 6, n_bands: int = 4,
+                                max_bucket: int = 1024,
+                                max_sample: int = 2048) -> str:
+    """Mirror of the hamming_calibration_md5_documents query: 60-bit
+    md5-derived signatures (the functions/hashing.py recipe, 15 hex
+    chars), the same perturbation masks keyed by doc_id % 3, the
+    exhaustive per-distance ground truth as an O(sample^2) self-join
+    with bit_count(xor), and the banded funnel replayed literally —
+    band values by shift/mask, the bucket cap as a HAVING, distinct
+    candidate pairs, the exact Hamming recheck. recall through
+    duck_sig6; distances with no true pairs -> NULL recall."""
+    width = 64 // n_bands
+    mask1 = (1 << 8) | (1 << 24) | (1 << 40) | (1 << 56)
+    band_rows = ", ".join(f"({b})" for b in range(n_bands))
+    recall = duck_sig6("CAST(COALESCE(f.n, 0) AS DOUBLE) / t.n")
+    return f"""
+WITH sig AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS s
+             FROM documents WHERE text IS NOT NULL),
+ h AS (SELECT doc_id * 2 AS id, s AS phash FROM sig
+       UNION ALL
+       SELECT doc_id * 2 + 1 AS id,
+              xor(s, CASE WHEN doc_id % 3 = 0 THEN 3
+                          WHEN doc_id % 3 = 1 THEN {mask1}
+                          ELSE 30 END) AS phash FROM sig),
+ samp AS (SELECT id, phash FROM h ORDER BY id LIMIT {max_sample}),
+ truec AS (SELECT bit_count(xor(a.phash, b.phash)) AS d,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM samp a JOIN samp b ON a.id < b.id
+           WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+           GROUP BY 1),
+ bands AS (SELECT id, phash, band,
+                  (phash >> (band * {width})) & {(1 << width) - 1} AS val
+           FROM samp, (VALUES {band_rows}) AS bt(band)),
+ okb AS (SELECT band, val FROM bands GROUP BY band, val
+         HAVING count(*) <= {max_bucket}),
+ b2 AS (SELECT bands.id, bands.phash, bands.band, bands.val
+        FROM bands JOIN okb USING (band, val)),
+ cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                 a.phash AS pa, b.phash AS pb
+          FROM b2 a JOIN b2 b
+            ON a.band = b.band AND a.val = b.val AND a.id < b.id),
+ found AS (SELECT bit_count(xor(pa, pb)) AS d,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM cand WHERE bit_count(xor(pa, pb)) <= {max_hamming}
+           GROUP BY 1),
+ ds AS (SELECT unnest(generate_series(0, {max_hamming})) AS d)
+SELECT CAST(ds.d AS INTEGER) AS hamming,
+       CAST(COALESCE(t.n, 0) AS BIGINT) AS n_true_pairs,
+       CAST(COALESCE(f.n, 0) AS BIGINT) AS n_found_pairs,
+       CASE WHEN COALESCE(t.n, 0) = 0 THEN NULL ELSE {recall} END
+         AS recall
+FROM ds LEFT JOIN truec t ON ds.d = t.d
+        LEFT JOIN found f ON ds.d = f.d"""
+
+
 def woe_iv_sql(table: str, feature: str, label_expr: str,
                bins: int = 10) -> str:
     """Mirror of extras.woe_iv (same histogram bucketing conventions,
