@@ -777,3 +777,21 @@ def test_bpe_pair_priority_equivalence_property():
                 (w, merges)
 
     check()
+
+
+def test_hamming_calibration_md5_query_structure(spark):
+    """The oracle-gated md5-signature calibration query shows the
+    intended structure at fixture scale: every base/copy pair at d=2
+    (doc_id%3==0 -> 2 in-band flips) is found; the d=4 population is
+    split between the in-band half (found) and the one-flip-per-band
+    half (missed) -> recall strictly between 0 and 1."""
+    import __spark_entry__ as m
+    rows = {r["hamming"]: r
+            for r in m.queries()["hamming_calibration_md5_documents"](
+                spark, SF_DIR).collect()}
+    assert set(rows) == set(range(7))
+    assert rows[2]["n_true_pairs"] > 0
+    assert rows[2]["n_found_pairs"] == rows[2]["n_true_pairs"]
+    assert float(rows[2]["recall"]) == 1.0
+    assert rows[4]["n_true_pairs"] > rows[4]["n_found_pairs"] > 0
+    assert 0.0 < float(rows[4]["recall"]) < 1.0
