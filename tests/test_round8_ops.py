@@ -795,3 +795,30 @@ def test_hamming_calibration_md5_query_structure(spark):
     assert float(rows[2]["recall"]) == 1.0
     assert rows[4]["n_true_pairs"] > rows[4]["n_found_pairs"] > 0
     assert 0.0 < float(rows[4]["recall"]) < 1.0
+
+
+def test_compact_index_edge_paths(spark, tmp_path):
+    """Edges of the lifecycle ops: compacting a base-only index (no
+    appends) still searches identically; a generational fold whose
+    threshold is below every epoch is a no-op; rebuild works for the
+    flat-PQ kind too (geometry preserved from the sidecar)."""
+    import json
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    idx = str(tmp_path / "baseonly")
+    S.write_pq_index(emb, idx, m=8, ksub=16)
+    before = sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
+    r = S.compact_index(spark, idx, target_files=2)
+    assert r["n_epochs_before"] == 1 and S._codes_epochs(idx) == [-1]
+    assert sorted(map(tuple,
+                      S.pq_index_topk(emb, idx).collect())) == before
+    # generational no-op: every epoch >= threshold stays untouched
+    r2 = S.compact_index(spark, idx, keep_epochs_from=-1)
+    assert r2["n_files_after"] == r2["n_files_before"]
+    # PQ rebuild preserves declared geometry
+    S.rebuild_index(emb, idx)
+    with open(os.path.join(idx, "meta.json")) as f:
+        meta = json.load(f)
+    assert (meta["m"], meta["ksub"]) == (8, 16)
+    assert sorted(map(tuple,
+                      S.pq_index_topk(emb, idx).collect())) == before
