@@ -576,8 +576,14 @@ def hamming_calibration(hashes: DataFrame, max_hamming: int = 6,
     pytest pins recall == 1.0 below the pigeonhole bound and the
     measured drop above it."""
     from flink_descriptive_stats_spark.functions.sig import sig6_py
-    sample = hashes.orderBy("id").limit(max_sample)
-    rows = sample.collect()
+    # Materialize the sample ONCE and feed both sides from the same
+    # collected rows: orderBy(id).limit is not a stable selection under
+    # duplicate/tied ids, so evaluating it in two independent jobs
+    # (collect for ground truth, then the funnel) could hand each side
+    # different rows and make recall disagree (even exceed 1).
+    proj = hashes.select("id", "phash")
+    rows = proj.orderBy("id").limit(max_sample).collect()
+    sample = hashes.sparkSession.createDataFrame(rows, proj.schema)
     h = np.array([r["phash"] for r in rows],
                  dtype=np.int64).astype(np.uint64)
     n = len(h)

