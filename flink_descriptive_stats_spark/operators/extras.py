@@ -401,10 +401,54 @@ def _correlation_matrix_gram(df: DataFrame, cols: list[str]) -> DataFrame:
         out, "col_a string, col_b string, corr string")
 
 
+#: default ceiling on the grouped-matrix driver materialization:
+#: groups x pairs result cells (each one float + three short strings).
+#: ~2M cells is low-hundreds-of-MB of Python rows — generous for every
+#: segment-style group key, far below anything that could brown out a
+#: driver. The auto budget divides it by the pair count, so a 250-col
+#: call (31k pairs) gets ~64 groups by default while a 2-col call gets
+#: 2M groups; an explicit max_groups overrides.
+GROUPED_MATRIX_MAX_CELLS = 2_000_000
+
+#: internal sentinel: the caller (grouped_spearman) already ran the
+#: budget probe on the cheap pre-rank frame — don't probe again on the
+#: derived frame (whose distinct would trigger the rank windows).
+_BUDGET_CHECKED = object()
+
+
+def _check_group_budget(df: DataFrame, group_col: str, n_pairs: int,
+                        max_groups: int | None, op: str) -> None:
+    """Enforce the grouped-matrix group-cardinality budget BEFORE any
+    expensive work: these operators return (and driver-materialize) a
+    groups x pairs frame, bounded for the segment-style keys they exist
+    for — but nothing in the data model stops
+    grouped_correlation(df, "user_id", 250 cols), which is 100k groups
+    x 31k pairs = 3.1B driver floats. One cheap bounded probe
+    (distinct().limit(budget+1).count() — partial aggregation makes
+    this metadata-scale) raises a clear, actionable error instead of
+    letting the driver collect an unbounded result. max_groups=None
+    derives the budget from GROUPED_MATRIX_MAX_CELLS / n_pairs; pass an
+    explicit max_groups to raise (or tighten) it when groups x pairs is
+    genuinely bounded for your key."""
+    budget = (max(64, GROUPED_MATRIX_MAX_CELLS // max(1, n_pairs))
+              if max_groups is None else int(max_groups))
+    n = (df.select(F.col(group_col)).distinct()
+         .limit(budget + 1).count())
+    if n > budget:
+        raise ValueError(
+            f"{op}: group column '{group_col}' has more than {budget} "
+            f"distinct values ({'auto budget from ' + str(n_pairs) + ' pairs' if max_groups is None else 'explicit max_groups'}); "
+            f"the result is groups x pairs = >{budget * n_pairs} cells "
+            "materialized on the driver. Use a coarser segment key, "
+            "restrict `columns`, or pass an explicit max_groups if "
+            "groups x pairs is genuinely bounded for this key.")
+
+
 def grouped_correlation(df: DataFrame, group_col: str,
                         columns: list[str] | None = None,
                         max_pairs_per_pass: int = 4000,
-                        method: str | None = None) -> DataFrame:
+                        method: str | None = None,
+                        max_groups: int | None = None) -> DataFrame:
     """Per-segment Pearson correlation — (group, col_a, col_b, corr),
     the which-segment-has-different-structure view of
     correlation_matrix (the same relationship check_constraints_by has
@@ -440,14 +484,22 @@ def grouped_correlation(df: DataFrame, group_col: str,
     group key renders via SQL CAST(.. AS STRING) rather than Python
     str() — identical for string/int keys.
 
-    Output is bounded by groups x pairs. NULL groups form their own
-    segment, like every grouped operator here. corr of a within-group
-    constant column is NULL (not an error)."""
+    Output is bounded by groups x pairs — and that bound is ENFORCED:
+    a cheap bounded distinct probe raises a clear error when the group
+    key's cardinality exceeds ``max_groups`` (default: auto,
+    GROUPED_MATRIX_MAX_CELLS / n_pairs), before any expensive work —
+    the guard against grouped_correlation(df, "user_id", 250 cols)
+    silently driving a 3.1B-float driver materialization. NULL groups
+    form their own segment, like every grouped operator here. corr of
+    a within-group constant column is NULL (not an error)."""
     cols = columns or [c for c in numeric_columns(df) if c != group_col]
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     if not pairs:
         return df.sparkSession.createDataFrame(
             [], "group string, col_a string, col_b string, corr string")
+    if max_groups is not _BUDGET_CHECKED:
+        _check_group_budget(df, group_col, len(pairs), max_groups,
+                            "grouped_correlation")
     if method is None:
         method = "agg" if len(pairs) <= max_pairs_per_pass else "gram"
     if method == "gram":
@@ -606,7 +658,8 @@ def covariance_matrix(df: DataFrame,
 def grouped_spearman(df: DataFrame, group_col: str,
                      columns: list[str] | None = None,
                      exact: bool = True,
-                     n_buckets: int = 200) -> DataFrame:
+                     n_buckets: int = 200,
+                     max_groups: int | None = None) -> DataFrame:
     """Per-segment Spearman rank correlation — (group, col_a, col_b,
     rho): the robust-association view of grouped_correlation, exactly
     as spearman_matrix is of correlation_matrix. A pair whose MONOTONE
@@ -636,6 +689,12 @@ def grouped_spearman(df: DataFrame, group_col: str,
     contract); NULL groups form their own segment; a within-group
     constant column yields NULL rho."""
     cols = columns or [c for c in numeric_columns(df) if c != group_col]
+    n_pairs = len(cols) * (len(cols) - 1) // 2
+    if n_pairs:
+        # probe the CHEAP pre-rank frame (probing the ranked frame
+        # would trigger the rank windows just to count groups)
+        _check_group_budget(df, group_col, n_pairs, max_groups,
+                            "grouped_spearman")
     base = (df.select(F.col(group_col).alias("__g"), *cols)
             .dropna(subset=list(cols)))
     from pyspark.sql import Window
@@ -654,7 +713,8 @@ def grouped_spearman(df: DataFrame, group_col: str,
             (F.lit(0.0) if cuts[c] is None
              else _cut_index_expr(f"CAST(`{c}` AS DOUBLE)", cuts[c]))
             .alias(c) for c in cols])
-    out = grouped_correlation(ranked, "__g", cols)
+    out = grouped_correlation(ranked, "__g", cols,
+                              max_groups=_BUDGET_CHECKED)
     return out.select("group", "col_a", "col_b",
                       F.col("corr").alias("rho"))
 
@@ -662,7 +722,8 @@ def grouped_spearman(df: DataFrame, group_col: str,
 def grouped_covariance(df: DataFrame, group_col: str,
                        columns: list[str] | None = None,
                        max_pairs_per_pass: int = 4000,
-                       method: str | None = None) -> DataFrame:
+                       method: str | None = None,
+                       max_groups: int | None = None) -> DataFrame:
     """Per-segment sample covariance — (group, col_a, col_b, cov), the
     unnormalized sibling of grouped_correlation exactly as
     covariance_matrix is of correlation_matrix: the input a per-segment
@@ -684,6 +745,8 @@ def grouped_covariance(df: DataFrame, group_col: str,
     if not pairs:
         return df.sparkSession.createDataFrame(
             [], "group string, col_a string, col_b string, cov string")
+    _check_group_budget(df, group_col, len(pairs), max_groups,
+                        "grouped_covariance")
     if method is None:
         method = "agg" if len(pairs) <= max_pairs_per_pass else "gram"
     if method == "gram":
