@@ -1359,6 +1359,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity.compact_index(spark, path, target_files=4)
         return similarity.index_stats(spark, path)
     q["index_lifecycle_embeddings"] = _index_lifecycle
+
+    # lifecycle under GROWTH (r9): the corpus grows past the original
+    # geometry, and the remediation is a geometry-overridden rebuild —
+    # 2x the cells, halving the mean per-cell fill and restoring the
+    # n_probe/n_cells pruning ratio. Returns the post-rebuild
+    # datasheet (n_cells doubled vs the build's 4). Rows-only; search
+    # equality vs a fresh build at the new geometry and the exact
+    # mean-fill halving are pytest-pinned (tests/test_round9_ops.py).
+    def _index_regeometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+        emb = _load(spark, sf_dir, "embeddings")
+        path = os.path.join(
+            tempfile.gettempdir(), f"fds_spark_idxregeo_{os.getpid()}",
+            os.path.basename(os.path.normpath(sf_dir)))
+        similarity.write_ivf_pq_index(
+            emb.where(F.col("vec_id") % 4 == 0), path, n_cells=4)
+        similarity.append_ivf_pq_index(
+            emb.where(F.col("vec_id") % 4 != 0), path)
+        similarity.rebuild_index(emb, path, n_cells=8)
+        return similarity.index_stats(spark, path)
+    q["index_regeometry_embeddings"] = _index_regeometry
     # 100 TB scale-path siblings of gated exact operators: cutpoints come
     # from Spark-side GK sketches (percentile_approx), so no SQL engine
     # reproduces them — rows-only; agreement-vs-exact pytest-pinned

@@ -1156,37 +1156,61 @@ def compact_index(spark, path: str, target_files: int = 8,
 
 def rebuild_index(df: DataFrame, path: str, iters: int = 2,
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  max_train: int = 1 << 16) -> None:
+                  max_train: int = 1 << 16,
+                  n_cells: int | None = None, m: int | None = None,
+                  ksub: int | None = None) -> None:
     """The full lifecycle remediation the drift alarms recommend:
     RETRAIN the codebooks (and centroids, for IVF-PQ) on the CURRENT
     corpus ``df`` — including everything appended since the original
-    build — and re-encode from scratch, preserving the index's declared
-    geometry (m, ksub, n_cells) from its own sidecar. After appends
-    drifted away from the original training distribution
-    (``pq_index_calibration`` error up, ``index_stats.fill_skew`` up),
-    a rebuild returns both to fresh-build level (pytest-pinned on the
-    round-7 drifted fixture); compact_index is the cheap no-retrain
-    alternative when only the file layout aged. Expensive by design —
-    one full encode pass over the corpus, the same cost as the original
-    build — which is exactly why the alarms exist to tell you WHEN it
-    is worth paying. Attached streams must re-attach with a fresh
-    checkpoint afterwards (the rebuild clears pinned stream offsets:
-    every stored code was re-derived, so old replay bookkeeping is
-    meaningless)."""
+    build — and re-encode from scratch. Geometry defaults to the
+    index's own sidecar (m, ksub, n_cells), and each knob can be
+    OVERRIDDEN: after the corpus grows 10x, the right remediation is
+    often a BIGGER index, not a same-shape retrain — ``fill_skew`` may
+    look healthy while every cell is simply 10x overfull and the
+    n_probe/n_cells pruning ratio stops paying; rebuilding at, say,
+    ``n_cells=2 * old`` halves the mean per-cell fill and restores the
+    probe bound as a real disk bound (pytest-pinned: a geometry-
+    overridden rebuild equals a fresh build at the new geometry
+    exactly, deterministic training). After appends drifted away from
+    the original training distribution (``pq_index_calibration`` error
+    up, ``index_stats.fill_skew`` up), a rebuild returns both to
+    fresh-build level (pytest-pinned on the round-7 drifted fixture);
+    compact_index is the cheap no-retrain alternative when only the
+    file layout aged. Expensive by design — one full encode pass over
+    the corpus, the same cost as the original build — which is exactly
+    why the alarms exist to tell you WHEN it is worth paying. The
+    sidecar is rewritten atomically with the new geometry
+    (write-then-rename inside the build). Attached streams must
+    re-attach with a fresh checkpoint afterwards (the rebuild clears
+    pinned stream offsets: every stored code was re-derived, so old
+    replay bookkeeping is meaningless). ``n_cells`` on a flat PQ index
+    raises: cell geometry is an IVF concept — build an IVF-PQ index
+    under a new path for that migration."""
     import json
     import os
 
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    if "cells" not in meta and n_cells is not None:
+        raise ValueError(
+            "rebuild_index: n_cells override on a flat PQ index — cell "
+            "geometry is an IVF-PQ concept; write_ivf_pq_index under a "
+            "new path is the flat->IVF migration")
     if "cells" in meta:
-        write_ivf_pq_index(df, path, n_cells=len(meta["cells"]),
-                           m=int(meta["m"]), ksub=int(meta["ksub"]),
-                           iters=iters, id_col=id_col, vec_col=vec_col,
-                           max_train=max_train)
+        write_ivf_pq_index(
+            df, path,
+            n_cells=int(n_cells) if n_cells is not None
+            else len(meta["cells"]),
+            m=int(m if m is not None else meta["m"]),
+            ksub=int(ksub if ksub is not None else meta["ksub"]),
+            iters=iters, id_col=id_col, vec_col=vec_col,
+            max_train=max_train)
     else:
-        write_pq_index(df, path, m=int(meta["m"]),
-                       ksub=int(meta["ksub"]), id_col=id_col,
-                       vec_col=vec_col, max_train=max_train)
+        write_pq_index(
+            df, path,
+            m=int(m if m is not None else meta["m"]),
+            ksub=int(ksub if ksub is not None else meta["ksub"]),
+            id_col=id_col, vec_col=vec_col, max_train=max_train)
     _clear_stream_runs(path)
 
 

@@ -209,3 +209,60 @@ def test_grouped_matrix_auto_budget_scales_with_pairs(spark):
     ok = X.grouped_correlation(
         df.withColumn("g", F.col("g") % 4), "g", columns=cols[:3])
     assert ok.count() == 4 * 3
+
+
+# ------------------------------------------------- rebuild_index geometry
+# override (VERDICT r9 ask #2)
+
+def test_rebuild_index_geometry_override_2x_cells(spark, tmp_path):
+    """VERDICT r9 ask #2: corpus growth makes the ORIGINAL geometry the
+    problem — every cell k-times overfull is invisible to fill_skew
+    while the n_probe/n_cells pruning ratio stops paying. rebuild_index
+    now accepts n_cells/m/ksub overriding the sidecar: rebuilding the
+    grown corpus at 2x cells equals a FRESH build at the new geometry
+    exactly (deterministic training => search equality), halves the
+    mean per-cell fill, and atomically rewrites the sidecar."""
+    import json
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    small = emb.where(F.col("vec_id") < 100)
+    grown = emb.where(F.col("vec_id") >= 100)
+    idx = str(tmp_path / "grow")
+    S.write_ivf_pq_index(small, idx, n_cells=4)
+    S.append_ivf_pq_index(grown, idx)
+    mean_before = float({r["metric"]: r["value"] for r in
+                         S.index_stats(spark, idx).collect()}["mean_cell"])
+
+    S.rebuild_index(emb, idx, n_cells=8)
+    fresh = str(tmp_path / "fresh")
+    S.write_ivf_pq_index(emb, fresh, n_cells=8)
+    got = sorted(map(tuple, S.ivf_pq_index_topk(emb, idx).collect()))
+    ref = sorted(map(tuple, S.ivf_pq_index_topk(emb, fresh).collect()))
+    assert got == ref, "rebuild at new geometry == fresh build"
+
+    m = {r["metric"]: r["value"] for r in
+         S.index_stats(spark, idx).collect()}
+    assert m["n_cells"] == "8"
+    assert abs(float(m["mean_cell"]) - mean_before / 2) < 1e-6
+    with open(os.path.join(idx, "meta.json")) as f:
+        assert len(json.load(f)["cells"]) == 8
+
+
+def test_rebuild_index_geometry_override_flat_pq(spark, tmp_path):
+    """m/ksub overrides work on the flat PQ index too; n_cells there
+    raises (cell geometry is an IVF concept, not a silent ignore)."""
+    import json
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    idx = str(tmp_path / "flat")
+    S.write_pq_index(emb, idx, m=16, ksub=32)
+    with pytest.raises(ValueError, match="IVF"):
+        S.rebuild_index(emb, idx, n_cells=8)
+    S.rebuild_index(emb, idx, m=8, ksub=16)
+    with open(os.path.join(idx, "meta.json")) as f:
+        meta = json.load(f)
+    assert (meta["m"], meta["ksub"]) == (8, 16)
+    fresh = str(tmp_path / "flatfresh")
+    S.write_pq_index(emb, fresh, m=8, ksub=16)
+    assert sorted(map(tuple, S.pq_index_topk(emb, idx).collect())) == \
+        sorted(map(tuple, S.pq_index_topk(emb, fresh).collect()))
