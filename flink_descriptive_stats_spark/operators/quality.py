@@ -289,7 +289,7 @@ def dataset_card(df: DataFrame, text_col: str = "text",
                  exact: bool = True,
                  payload_col: str | None = None,
                  media_kind: str = "image",
-                 single_pass: bool = False) -> DataFrame:
+                 single_pass: bool = True) -> DataFrame:
     """One-call corpus datasheet — the LLM-pipeline analogue of the
     reference's console report: (section, metric, value) rows, in a
     fixed order, covering size (docs/sources/tokens/chars + the max
@@ -334,9 +334,13 @@ def dataset_card(df: DataFrame, text_col: str = "text",
     NULL-text ones. Defaults to None so the text-only card — the gated
     oracle surface — is byte-identical to before.
 
-    ``single_pass`` (r8): the 100 TB route. The default path runs FIVE
-    bounded aggregates, each over its own corpus scan — five scans of a
-    100 TB corpus for one datasheet. single_pass=True builds ONE
+    ``single_pass`` (r8; the DEFAULT since r9 — parity with the
+    five-pass path is row-for-row pinned and both gate against the
+    same oracle, so the 100 TB plan is what a naive caller gets):
+    single_pass=False runs FIVE bounded aggregates, each over its own
+    corpus scan — five scans of a 100 TB corpus for one datasheet,
+    kept as the audit-trail path whose numbers are literally the
+    component operators' own. single_pass=True builds ONE
     combined narrow per-doc projection (the component operators' OWN
     expression bundles — text_stats_exprs / pii_exprs / the lang-score
     expressions — plus the two content hashes and the source), persists
@@ -524,7 +528,7 @@ def _media_card_rows(df: DataFrame, payload_col: str, media_kind: str,
 def dataset_card_by_source(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            source_col: str = "source",
-                           single_pass: bool = False) -> DataFrame:
+                           single_pass: bool = True) -> DataFrame:
     """Per-source datasheet — the which-source-is-dirty triage view of
     dataset_card (the same relationship check_constraints_by has to
     check_constraints): (source, metric, value) per source for n_docs,
@@ -540,14 +544,15 @@ def dataset_card_by_source(df: DataFrame, text_col: str = "text",
     dataset_card (counts as integer strings, fractions sig6, labels
     verbatim).
 
-    ``single_pass`` (r8): same trade as dataset_card's — the default
-    path pays FOUR doc-scale equi-join shuffles (each per-doc signal
-    frame back onto (id, source)) plus a scan per signal; single-pass
-    computes ONE combined narrow per-doc projection (the operators' own
-    expression bundles, source carried inline so NOTHING joins), then
-    one bounded groupBy(source) aggregate and one bounded
-    groupBy(source, lang) count. Identical rows (pytest-pinned; gates
-    against the same oracle)."""
+    ``single_pass`` (r8; the DEFAULT since r9, same rationale as
+    dataset_card's): single_pass=False pays FOUR doc-scale equi-join
+    shuffles (each per-doc signal frame back onto (id, source)) plus a
+    scan per signal — the audit-trail path; single-pass computes ONE
+    combined narrow per-doc projection (the operators' own expression
+    bundles, source carried inline so NOTHING joins), then one bounded
+    groupBy(source) aggregate and one bounded groupBy(source, lang)
+    count. Identical rows (pytest-pinned; gates against the same
+    oracle)."""
     if single_pass:
         return _dataset_card_by_source_single_pass(df, text_col, id_col,
                                                    source_col)

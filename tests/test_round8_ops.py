@@ -654,20 +654,22 @@ def test_grouped_spearman_approx_plan_has_no_window_or_sort(spark):
 def test_dataset_card_single_pass_equals_default(spark):
     """The single-pass card (one corpus scan + one global agg + one
     bounded (source, lang) groupBy over the cached narrow frame) equals
-    the five-scan default row for row — including with the media
+    the five-scan audit path row for row — including with the media
     section — and its per-doc projection is a pure narrow select (no
-    Join, no Exchange)."""
+    Join, no Exchange). Since r9 single_pass=True IS the default (the
+    100 TB plan is what a naive caller gets), so the DEFAULT call is
+    compared against the explicit five-pass audit path."""
     from flink_descriptive_stats_spark.operators import quality as Q
     docs = load_table(spark, SF01, "documents")
+    five_pass = [tuple(r) for r in Q.dataset_card(
+        docs, single_pass=False).collect()]
     default = [tuple(r) for r in Q.dataset_card(docs).collect()]
-    single = [tuple(r) for r in Q.dataset_card(
-        docs, single_pass=True).collect()]
-    assert single == default
+    assert default == five_pass
     # approx-median variant rides the same switch
-    sa = [tuple(r) for r in Q.dataset_card(
-        docs, exact=False, single_pass=True).collect()]
     da = [tuple(r) for r in Q.dataset_card(docs, exact=False).collect()]
-    assert sa == da
+    fa = [tuple(r) for r in Q.dataset_card(
+        docs, exact=False, single_pass=False).collect()]
+    assert da == fa
     # plan pin on the combined per-doc projection
     from flink_descriptive_stats_spark.operators.dedup import \
         _canonical_expr
@@ -688,15 +690,15 @@ def test_dataset_card_single_pass_equals_default(spark):
 
 def test_dataset_card_by_source_single_pass_equals_default(spark):
     """The single-pass per-source card (no per-doc joins: source rides
-    the one combined projection) equals the join-based default row for
-    row."""
+    the one combined projection) is the r9 DEFAULT and equals the
+    join-based audit path row for row."""
     from flink_descriptive_stats_spark.operators import quality as Q
     docs = load_table(spark, SF01, "documents")
     default = [tuple(r)
                for r in Q.dataset_card_by_source(docs).collect()]
-    single = [tuple(r) for r in Q.dataset_card_by_source(
-        docs, single_pass=True).collect()]
-    assert single == default
+    join_based = [tuple(r) for r in Q.dataset_card_by_source(
+        docs, single_pass=False).collect()]
+    assert default == join_based
 
 
 # ---------------------------------------------------------------- property
