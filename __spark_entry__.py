@@ -82,6 +82,111 @@ def entry(spark: SparkSession) -> DataFrame:
     return prof.profile(_load(spark, "/root/testdata/sf0.001", "lineitem"))
 
 
+# bump when a synthetic payload CONSTRUCTION changes — a stale cache
+# would otherwise keep serving last round's bytes
+_MEDIA_FIXTURE_VERSION = "v1"
+
+
+def _media_fixture(spark: SparkSession, sf_dir: str, name: str,
+                   build: Callable[[], DataFrame]) -> DataFrame:
+    """Materialize-once parquet cache for the deterministic synthetic
+    media payload frames (VERDICT r8 ask #6): the md5-chain payload
+    construction used to run INSIDE every timed query consuming it,
+    making dataset_card_media_synthetic / image_dedup_corpus_synthetic
+    the slowest bench rows for reasons that were fixture cost, not
+    operator cost. The frames derive deterministically from
+    documents.parquet, so they are written once per (sf, name,
+    construction version) under scratch/ (TESTDATA-style) and read back
+    by every consumer; the same srcstamp staleness guard as the
+    multitask copy (source size + mtime_ns + version) forces a rebuild
+    when the driver regenerates the fixtures between rounds."""
+    import os
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = f"/root/repo/scratch/mediafix/{sf}"
+    out = f"{base}/{name}.parquet"
+    src = f"{sf_dir}/documents.parquet"
+    stamp = os.path.join(base, f"{name}.srcstamp")
+    st = os.stat(src)
+    want = f"{st.st_size}:{st.st_mtime_ns}:{_MEDIA_FIXTURE_VERSION}"
+    have = None
+    if os.path.exists(stamp):
+        with open(stamp) as fh:
+            have = fh.read().strip()
+    if (have != want
+            or not os.path.exists(os.path.join(out, "_SUCCESS"))):
+        build().write.mode("overwrite").parquet(out)
+        os.makedirs(base, exist_ok=True)
+        with open(stamp, "w") as fh:
+            fh.write(want)
+    return spark.read.parquet(out)
+
+
+def _image_payload_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic image payloads (materialized once — _media_fixture):
+    valid 8x8 P6 PPM bytes derived from doc_id // 2, so every adjacent
+    id pair is the SAME picture up to a 1-byte parity perturbation — a
+    built-in near-dup cluster per pair, proving NEAR (not just exact)
+    matching for the pHash funnel consumers."""
+    def build() -> DataFrame:
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        base = F.floor(F.col("doc_id") / 2).cast("string")
+        parts = [F.unhex(F.md5(F.concat(F.lit("img"), base,
+                                        F.lit(str(j)))))
+                 for j in range(12)]
+        tweak = F.when(F.col("doc_id") % 2 == 0,
+                       F.lit(bytearray(b"\x00"))
+                       ).otherwise(F.lit(bytearray(b"\x07")))
+        return docs.select(
+            F.col("doc_id").alias("id"),
+            F.concat(F.lit(bytearray(b"P6\n8 8\n255\n")), tweak,
+                     F.substr(F.concat(*parts), F.lit(2), F.lit(191)))
+            .alias("payload"))
+    return _media_fixture(spark, sf_dir, "image_payloads", build)
+
+
+def _audio_payload_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic WAV payloads (materialized once — _media_fixture):
+    valid 8 kHz 16-bit mono WAV bytes from doc_id // 2 with a
+    parity-keyed 16-byte noise burst — adjacent ids are the same clip
+    re-noised, proving NEAR matching for the Haitsma-Kalker
+    fingerprint funnel. 48 chained md5s = 768 bytes = 384 samples:
+    long enough that the 17-frame x 5-band energy grid is
+    non-degenerate (measured: near-pair hamming 0-3, cross >= 18)."""
+    def build() -> DataFrame:
+        import struct as _struct
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        base = F.floor(F.col("doc_id") / 2).cast("string")
+        parts = [F.unhex(F.md5(F.concat(F.lit("wav"), base,
+                                        F.lit(str(j)))))
+                 for j in range(48)]
+        n_bytes = 48 * 16
+        fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        header = (b"RIFF"
+                  + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + n_bytes)
+                  + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt))
+                  + fmt + b"data" + _struct.pack("<I", n_bytes))
+        tweak = F.unhex(F.md5(F.concat(F.lit("ov"),
+                                       (F.col("doc_id") % 2)
+                                       .cast("string"))))
+        return docs.select(
+            F.col("doc_id").alias("id"),
+            F.concat(F.lit(bytearray(header)), tweak,
+                     F.substr(F.concat(*parts), F.lit(17),
+                              F.lit(n_bytes - 16)))
+            .alias("payload"))
+    return _media_fixture(spark, sf_dir, "audio_payloads", build)
+
+
+def materialize_media_fixtures(spark: SparkSession, sf_dir: str) -> None:
+    """Force-build every synthetic media payload fixture for ``sf_dir``
+    (no-op when fresh) — bench.py calls this after warmup so fixture
+    construction never lands inside a timed query."""
+    _image_payload_frame(spark, sf_dir).count()
+    _audio_payload_frame(spark, sf_dir).count()
+
+
 def _topk_table(table: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return topk.topk_tokens(_load(spark, sf_dir, table))
@@ -699,26 +804,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.image_features(d)
     q["image_features_synthetic"] = _image_features_synth
 
-    # image near-dup via DCT perceptual hash (r7): PPM payloads derived
-    # from doc_id // 2, so every adjacent id pair is the SAME picture up
-    # to a 1-byte parity perturbation — a built-in near-dup cluster per
-    # pair (bounded n/2 output), proving NEAR (not just exact) matching;
-    # rows-only (no DCT in SQL), banding recall + perturbation tolerance
-    # pytest-pinned
-    def _image_payload_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = (_load(spark, sf_dir, "documents")
-                .where(F.col("text").isNotNull()))
-        base = F.floor(F.col("doc_id") / 2).cast("string")
-        parts = [F.unhex(F.md5(F.concat(F.lit("img"), base, F.lit(str(j)))))
-                 for j in range(12)]
-        tweak = F.when(F.col("doc_id") % 2 == 0, F.lit(bytearray(b"\x00"))
-                       ).otherwise(F.lit(bytearray(b"\x07")))
-        return docs.select(
-            F.col("doc_id").alias("id"),
-            F.concat(F.lit(bytearray(b"P6\n8 8\n255\n")), tweak,
-                     F.substr(F.concat(*parts), F.lit(2), F.lit(191)))
-            .alias("payload"))
-
+    # image near-dup via DCT perceptual hash (r7): the materialized PPM
+    # payload fixture (_image_payload_frame — adjacent ids are the same
+    # picture up to a 1-byte parity perturbation), so each pair is a
+    # built-in near-dup cluster (bounded n/2 output), proving NEAR (not
+    # just exact) matching; rows-only (no DCT in SQL), banding recall +
+    # perturbation tolerance pytest-pinned. Since r9 the payload frame
+    # reads a scratch/ parquet built once per fixture generation, so
+    # these queries time the OPERATOR, not the md5-chain construction.
     def _image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return multimodal.image_neardup_pairs(
             _image_payload_frame(spark, sf_dir))
@@ -739,43 +832,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     payload_col="payload")
     q["dataset_card_media_synthetic"] = _card_media
 
-    # audio near-dup via the Haitsma-Kalker fingerprint (r7): WAV
-    # payloads from doc_id // 2 with a parity noise overlay — adjacent
-    # ids are the same clip re-noised; rows-only (no FFT in SQL),
+    # audio near-dup via the Haitsma-Kalker fingerprint (r7): the
+    # materialized WAV payload fixture (_audio_payload_frame — adjacent
+    # ids are the same clip re-noised); rows-only (no FFT in SQL),
     # fingerprint robustness pytest-pinned
     def _audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import struct as _struct
-        docs = (_load(spark, sf_dir, "documents")
-                .where(F.col("text").isNotNull()))
-        base = F.floor(F.col("doc_id") / 2).cast("string")
-        # 48 chained md5s = 768 bytes = 384 samples: long enough that
-        # the 17-frame x 5-band energy grid is non-degenerate (the
-        # 96-sample clips the decode queries use collapse to 3 FFT bins
-        # and cross-match; measured separation at 48 parts: near-pair
-        # hamming 0-3, cross-pair >= 18), short enough that the md5
-        # payload construction stays cheap at bench scale
-        parts = [F.unhex(F.md5(F.concat(F.lit("wav"), base, F.lit(str(j)))))
-                 for j in range(48)]
-        n_bytes = 48 * 16
-        fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
-        header = (b"RIFF"
-                  + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + n_bytes)
-                  + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
-                  + b"data" + _struct.pack("<I", n_bytes))
-        # parity overlay: the first 16 data bytes (8 samples) come from
-        # a parity-keyed md5 — a short noise burst the sign-of-
-        # difference bits mostly survive (near-pair hamming 0-3),
-        # proving NEAR matching, not just exact
-        tweak = F.unhex(F.md5(F.concat(F.lit("ov"),
-                                       (F.col("doc_id") % 2)
-                                       .cast("string"))))
-        d = docs.select(
-            F.col("doc_id").alias("id"),
-            F.concat(F.lit(bytearray(header)), tweak,
-                     F.substr(F.concat(*parts), F.lit(17),
-                              F.lit(n_bytes - 16)))
-            .alias("payload"))
-        return multimodal.audio_neardup_pairs(d)
+        return multimodal.audio_neardup_pairs(
+            _audio_payload_frame(spark, sf_dir))
     q["audio_neardup_synthetic"] = _audio_neardup
 
     # Hamming-funnel recall calibration (r8): measured funnel recall vs

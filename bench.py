@@ -74,6 +74,14 @@ def main() -> None:
         # timed query adds seconds of pure noise
         spark.sparkContext._jvm.System.gc()
         time.sleep(1)
+    # Build the synthetic media payload fixtures for the TIMED sf_dir
+    # before the clock starts (no-op when fresh): the md5-chain payload
+    # construction is fixture cost, not operator cost, and used to make
+    # the media queries the slowest bench rows for the wrong reason.
+    t0 = time.perf_counter()
+    entrymod.materialize_media_fixtures(spark, sf_dir)
+    print(f"media fixtures: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
     # Two timed passes, report the per-query MIN: a single-run bench showed
     # >30% round-over-round swings on queries whose code had not changed
     # (GC landing mid-query, JIT recompilation, OS page cache) — min-of-2
