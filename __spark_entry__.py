@@ -832,6 +832,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     payload_col="payload")
     q["dataset_card_media_synthetic"] = _card_media
 
+    # the MIXED-modality card (r9): images on even doc_ids, audio on
+    # odd — one payload column carrying two container formats, as a
+    # real multimodal drop would. media_kind="auto" sniffs the header
+    # per row and emits per-modality media sections. Rows-only;
+    # per-section metrics == single-kind cards on each slice
+    # pytest-pinned (tests/test_round9_ops.py).
+    def _card_media_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import quality
+        docs = _load(spark, sf_dir, "documents")
+        img = _image_payload_frame(spark, sf_dir).where(
+            F.col("id") % 2 == 0)
+        aud = _audio_payload_frame(spark, sf_dir).where(
+            F.col("id") % 2 == 1)
+        pay = img.unionByName(aud).withColumnRenamed("id", "doc_id")
+        return quality.dataset_card(docs.join(pay, "doc_id", "left"),
+                                    payload_col="payload",
+                                    media_kind="auto")
+    q["dataset_card_mixed_media_synthetic"] = _card_media_mixed
+
     # audio near-dup via the Haitsma-Kalker fingerprint (r7): the
     # materialized WAV payload fixture (_audio_payload_frame — adjacent
     # ids are the same clip re-noised); rows-only (no FFT in SQL),

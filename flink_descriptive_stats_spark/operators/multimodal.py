@@ -116,10 +116,16 @@ def decode_image(payload: bytes) -> np.ndarray:
     -> uint8 ndarray (H, W, 3). Compressed formats need PIL/opencv (absent
     in this container) and raise NotImplementedError — callers fall back to
     byte-level features (see extract_features)."""
-    if payload[:2] in (b"P6", b"P3"):
-        return _decode_ppm(payload)
-    if payload[:2] == b"BM":
-        return _decode_bmp(payload)
+    try:
+        if payload[:2] in (b"P6", b"P3"):
+            return _decode_ppm(payload)
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+    except struct.error as e:
+        # a truncated/malformed container header is a DATA defect: it
+        # must degrade like any other undecodable payload, never crash
+        # an Arrow task (the "decode failure degrades" contract)
+        raise ValueError(f"truncated image header: {e}") from e
     raise NotImplementedError(
         "only uncompressed PPM/BMP decode natively; JPEG/PNG/... require "
         "PIL/opencv, not available in this container")
@@ -150,19 +156,23 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     i = 12
     rate = channels = None
     data = None
-    while i + 8 <= len(payload):
-        cid = payload[i:i + 4]
-        size, = struct.unpack_from("<I", payload, i + 4)
-        body = payload[i + 8:i + 8 + size]
-        if cid == b"fmt ":
-            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
-            bits, = struct.unpack_from("<H", body, 14)
-            if fmt != 1 or bits != 16:
-                raise NotImplementedError(
-                    f"only 16-bit PCM WAV (got fmt={fmt}, bits={bits})")
-        elif cid == b"data":
-            data = np.frombuffer(body, dtype="<i2")
-        i += 8 + size + (size & 1)        # chunks are 2-byte aligned
+    try:
+        while i + 8 <= len(payload):
+            cid = payload[i:i + 4]
+            size, = struct.unpack_from("<I", payload, i + 4)
+            body = payload[i + 8:i + 8 + size]
+            if cid == b"fmt ":
+                fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+                bits, = struct.unpack_from("<H", body, 14)
+                if fmt != 1 or bits != 16:
+                    raise NotImplementedError(
+                        f"only 16-bit PCM WAV (got fmt={fmt}, bits={bits})")
+            elif cid == b"data":
+                data = np.frombuffer(body, dtype="<i2")
+            i += 8 + size + (size & 1)    # chunks are 2-byte aligned
+    except struct.error as e:
+        # same degrade-never-crash contract as decode_image
+        raise ValueError(f"truncated WAV chunk header: {e}") from e
     if rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     return rate, channels, data.reshape(-1, channels)

@@ -334,6 +334,15 @@ def dataset_card(df: DataFrame, text_col: str = "text",
     NULL-text ones. Defaults to None so the text-only card — the gated
     oracle surface — is byte-identical to before.
 
+    ``media_kind="auto"`` (r9): a real multimodal drop mixes images
+    and audio in ONE payload column. The container header is sniffed
+    per row JVM-side (the same magic bytes the decoders dispatch on:
+    P6/BM vs RIFF....WAVE), the frame splits, and the card emits a
+    ``media`` summary (n_payloads, unrecognized_fraction) followed by
+    ``media_image`` / ``media_audio`` sections whose three metrics
+    each equal the single-kind card on that modality's slice alone
+    (pytest-pinned); single-kind cards are byte-identical to before.
+
     ``single_pass`` (r8; the DEFAULT since r9 — parity with the
     five-pass path is row-for-row pinned and both gate against the
     same oracle, so the 100 TB plan is what a naive caller gets):
@@ -484,13 +493,17 @@ def _dataset_card_rows_single_pass(df: DataFrame, text_col: str,
 
 
 def _media_card_rows(df: DataFrame, payload_col: str, media_kind: str,
-                     id_col: str) -> list:
-    """The media section of dataset_card — see there for the contract."""
+                     id_col: str, section: str = "media") -> list:
+    """The media section of dataset_card — see there for the contract.
+    ``section`` labels the emitted rows (the mixed-modality card emits
+    one section per sniffed modality: media_image / media_audio)."""
     from flink_descriptive_stats_spark.functions.sig import sig6_py
     from flink_descriptive_stats_spark.operators.dedup import \
         connected_components_star
     from flink_descriptive_stats_spark.operators.multimodal import (
         audio_fingerprint, hamming_neardup_pairs, image_phash)
+    if media_kind == "auto":
+        return _media_card_rows_mixed(df, payload_col, id_col)
     p = df.where(F.col(payload_col).isNotNull())
     if media_kind == "image":
         hs, mh = image_phash(p, payload_col=payload_col,
@@ -517,12 +530,53 @@ def _media_card_rows(df: DataFrame, payload_col: str, media_kind: str,
              .agg(F.sum("sz").alias("s")).collect()[0]["s"])
         n_clustered = int(r) if r is not None else 0
     return [
-        ("media", "n_payloads", str(n_pay)),
-        ("media", "decodable_fraction",
+        (section, "n_payloads", str(n_pay)),
+        (section, "decodable_fraction",
          sig6_py(n_dec / n_pay) if n_pay else None),
-        ("media", "neardup_cluster_fraction",
+        (section, "neardup_cluster_fraction",
          sig6_py(n_clustered / n_dec) if n_dec else None),
     ]
+
+
+def _media_card_rows_mixed(df: DataFrame, payload_col: str,
+                           id_col: str) -> list:
+    """media_kind="auto": a real multimodal drop mixes images and audio
+    in ONE payload column, and a single-kind fingerprint pass would
+    report the other modality as undecodable noise. Sniff the payload
+    container header per row — the same magic bytes the decoders
+    dispatch on (P6/BM for PPM/BMP images, RIFF....WAVE for audio) —
+    as a JVM-side binary-prefix comparison (no Python touches the
+    bytes), split, and run the standard media section per modality:
+    one ``media`` summary (n_payloads + the unrecognized fraction the
+    sniffer could not place) followed by ``media_image`` /
+    ``media_audio`` sections, each with the usual three metrics over
+    its own sniffed subset, in fixed image-then-audio order; a
+    modality with no payloads emits no section. Cost: one counting
+    aggregate for the sniff, then the per-modality passes scan only
+    their filtered slice."""
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    p = df.where(F.col(payload_col).isNotNull())
+    c = F.col(payload_col)
+    is_img = (F.substring(c, 1, 2) == F.lit(bytearray(b"P6"))) | \
+        (F.substring(c, 1, 2) == F.lit(bytearray(b"BM")))
+    is_wav = (F.substring(c, 1, 4) == F.lit(bytearray(b"RIFF"))) & \
+        (F.substring(c, 9, 4) == F.lit(bytearray(b"WAVE")))
+    r = p.agg(F.count(F.lit(1)).alias("n"),
+              F.count_if(is_img).alias("ni"),
+              F.count_if(is_wav).alias("na")).collect()[0]
+    n, n_img, n_aud = int(r["n"]), int(r["ni"]), int(r["na"])
+    rows = [
+        ("media", "n_payloads", str(n)),
+        ("media", "unrecognized_fraction",
+         sig6_py((n - n_img - n_aud) / n) if n else None),
+    ]
+    if n_img:
+        rows += _media_card_rows(p.where(is_img), payload_col, "image",
+                                 id_col, section="media_image")
+    if n_aud:
+        rows += _media_card_rows(p.where(is_wav), payload_col, "audio",
+                                 id_col, section="media_audio")
+    return rows
 
 
 def dataset_card_by_source(df: DataFrame, text_col: str = "text",

@@ -266,3 +266,88 @@ def test_rebuild_index_geometry_override_flat_pq(spark, tmp_path):
     S.write_pq_index(emb, fresh, m=8, ksub=16)
     assert sorted(map(tuple, S.pq_index_topk(emb, idx).collect())) == \
         sorted(map(tuple, S.pq_index_topk(emb, fresh).collect()))
+
+
+# --------------------------------------------------- mixed-modality media
+# card (VERDICT r9 ask #7)
+
+def _ppm(seed: str) -> bytearray:
+    import hashlib
+    px = b"".join(hashlib.md5(f"{seed}{j}".encode()).digest()
+                  for j in range(48))          # 16x16x3 = 768 bytes
+    return bytearray(b"P6\n16 16\n255\n" + px)
+
+
+def _wav(seed: str) -> bytearray:
+    import hashlib
+    import struct
+    data = b"".join(hashlib.md5(f"{seed}{j}".encode()).digest()
+                    for j in range(48))        # 768 bytes = 384 samples
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return bytearray(
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_dataset_card_mixed_modality_auto(spark):
+    """VERDICT r9 ask #7: a real multimodal drop mixes images and audio
+    in one payload column; media_kind='auto' sniffs the container
+    header per row (the same magic bytes the decoders dispatch on),
+    splits, and emits one media summary plus per-modality sections —
+    each metric equal to what the single-kind card reports on that
+    modality's slice alone."""
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    from flink_descriptive_stats_spark.operators import quality as Q
+    rows = []
+    for i in range(16):
+        if i in (0, 1):
+            payload = _ppm("A")                 # image cluster of 2
+        elif i <= 5:
+            payload = _ppm(f"solo{i}")          # image singletons
+        elif i in (6, 7):
+            payload = _wav("X")                 # audio cluster of 2
+        elif i <= 11:
+            payload = _wav(f"clip{i}")          # audio singletons
+        elif i <= 13:
+            payload = bytearray(b"JFIF not a known container")
+        elif i == 14:
+            payload = None
+        else:
+            payload = bytearray(b"BM" + b"\x01" * 30)  # sniffed image,
+            #                                            undecodable BMP
+        rows.append((i, f"document number {i} with some words",
+                     "s0", payload))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string, payload binary")
+    card = [(r["section"], r["metric"], r["value"]) for r in
+            Q.dataset_card(df, payload_col="payload",
+                           media_kind="auto").collect()]
+    d = {(s, m): v for s, m, v in card}
+    assert d[("media", "n_payloads")] == "15"
+    assert d[("media", "unrecognized_fraction")] == sig6_py(2 / 15)
+    assert d[("media_image", "n_payloads")] == "7"
+    assert d[("media_image", "decodable_fraction")] == sig6_py(6 / 7)
+    assert d[("media_image", "neardup_cluster_fraction")] == \
+        sig6_py(2 / 6)
+    assert d[("media_audio", "n_payloads")] == "6"
+    assert d[("media_audio", "decodable_fraction")] == sig6_py(1.0)
+    assert d[("media_audio", "neardup_cluster_fraction")] == \
+        sig6_py(2 / 6)
+    # fixed section order: summary, then image, then audio
+    secs = [s for s, _, _ in card if s.startswith("media")]
+    assert secs == (["media"] * 2 + ["media_image"] * 3
+                    + ["media_audio"] * 3)
+    # per-modality numbers == the single-kind card on that slice alone
+    img_only = df.where(
+        (F.col("doc_id") <= 5) | (F.col("doc_id") == 15))
+    single = {(r["section"], r["metric"]): r["value"] for r in
+              Q.dataset_card(img_only, payload_col="payload",
+                             media_kind="image").collect()}
+    for m in ("n_payloads", "decodable_fraction",
+              "neardup_cluster_fraction"):
+        assert single[("media", m)] == d[("media_image", m)], m
+    # single-modality cards are untouched by the feature (default kind)
+    base = {(r["section"], r["metric"]): r["value"]
+            for r in Q.dataset_card(df).collect()}
+    assert not [k for k in base if k[0].startswith("media")]
