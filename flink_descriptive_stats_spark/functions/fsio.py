@@ -1,0 +1,190 @@
+"""Filesystem shim for persisted-index maintenance I/O.
+
+The persisted PQ/IVF-PQ index is the one component whose 100 TB story
+REQUIRES durable shared storage: the code table itself is written and
+read by Spark (already FS-agnostic), but the maintenance protocol —
+the ``meta.json`` sidecar, the ``codes.old`` rename swap, epoch-dir
+listing/counting, ``stream_runs.json`` — used raw ``os``/``open``
+calls, correct on a local disk and impossible against HDFS/S3. This
+module routes those through one small contract with two
+implementations:
+
+- ``LocalFS`` (default for scheme-less paths): ``os``/``shutil``,
+  atomic ``os.rename``.
+- ``HadoopFS`` (for ``scheme://`` paths, built from the live session's
+  JVM gateway): ``org.apache.hadoop.fs.FileSystem`` — the SAME
+  connector classes Spark's own writers use, so any store a cluster
+  can write parquet to, the maintenance protocol can manage.
+
+Object-store caveat (documented, deliberate): ``rename`` on HDFS and
+on POSIX is atomic, and the compact/rebuild swap protocol keeps its
+crash-safety guarantees there. On S3-family stores Hadoop implements
+rename as copy+delete — NOT atomic — so the swap degrades to
+"crash-window leaves both trees, next call self-heals via codes.old"
+semantics without the single-instant cutover; ``fs.atomic_rename``
+exposes which regime a path is in so callers can warn or refuse.
+Single-writer maintenance (already the documented contract) is what
+makes this safe in both regimes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+#: Hadoop schemes whose rename is copy+delete (no atomic directory
+#: rename). file/hdfs/viewfs/o3fs keep real rename semantics.
+_NON_ATOMIC_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "oss", "wasb", "wasbs", "abfs", "abfss",
+     "swift", "cos"})
+
+
+class LocalFS:
+    """POSIX implementation — the default for scheme-less paths."""
+
+    atomic_rename = True
+
+    def exists(self, p: str) -> bool:
+        return os.path.exists(p)
+
+    def isdir(self, p: str) -> bool:
+        return os.path.isdir(p)
+
+    def listdir(self, p: str) -> list[str]:
+        return os.listdir(p)
+
+    def mkdirs(self, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def delete(self, p: str) -> None:
+        """Recursive, missing-ok (the shutil.rmtree(ignore_errors)
+        idiom every swap step uses)."""
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            os.remove(p)
+
+    def remove_if_exists(self, p: str) -> None:
+        import contextlib
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(p)
+
+    def copytree(self, src: str, dst: str) -> None:
+        shutil.copytree(src, dst)
+
+    def read_text(self, p: str) -> str:
+        with open(p) as f:
+            return f.read()
+
+    def write_text_atomic(self, p: str, text: str) -> None:
+        """write-then-rename: no reader ever sees a half-written file."""
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, p)
+
+    def count_files(self, root: str, suffix: str = ".parquet") -> int:
+        return sum(len([f for f in fs if f.endswith(suffix)])
+                   for _, _, fs in os.walk(root))
+
+
+class HadoopFS:
+    """``org.apache.hadoop.fs.FileSystem`` via the live session's JVM
+    gateway — one instance per (scheme, authority), resolved from the
+    session's own Hadoop configuration (credentials, endpoints), i.e.
+    exactly what ``df.write.parquet`` would talk to."""
+
+    def __init__(self, spark, path: str):
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        uri = jvm.java.net.URI(path)
+        self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            uri, self._conf)
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        scheme = (uri.getScheme() or "file").lower()
+        self.atomic_rename = scheme not in _NON_ATOMIC_SCHEMES
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._Path(p)))
+
+    def isdir(self, p: str) -> bool:
+        jp = self._Path(p)
+        return bool(self._fs.exists(jp)
+                    and self._fs.getFileStatus(jp).isDirectory())
+
+    def listdir(self, p: str) -> list[str]:
+        return [s.getPath().getName()
+                for s in self._fs.listStatus(self._Path(p))]
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._Path(p))
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def delete(self, p: str) -> None:
+        jp = self._Path(p)
+        if self._fs.exists(jp):
+            self._fs.delete(jp, True)
+
+    def remove_if_exists(self, p: str) -> None:
+        self.delete(p)
+
+    def copytree(self, src: str, dst: str) -> None:
+        FileUtil = self._jvm.org.apache.hadoop.fs.FileUtil
+        ok = FileUtil.copy(self._fs, self._Path(src),
+                           self._fs, self._Path(dst),
+                           False, self._conf)
+        if not ok:
+            raise OSError(f"copy failed: {src} -> {dst}")
+
+    def read_text(self, p: str) -> str:
+        stream = self._fs.open(self._Path(p))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, p: str, text: str) -> None:
+        tmp = p + ".tmp"
+        out = self._fs.create(self._Path(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        self.delete(p)          # Hadoop rename won't clobber a dest
+        self.rename(tmp, p)
+
+    def count_files(self, root: str, suffix: str = ".parquet") -> int:
+        jp = self._Path(root)
+        if not self._fs.exists(jp):
+            return 0
+        it = self._fs.listFiles(jp, True)
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(suffix):
+                n += 1
+        return n
+
+
+_LOCAL = LocalFS()
+
+
+def get_fs(path: str, spark=None):
+    """Resolve the filesystem for ``path``: scheme-less -> LocalFS;
+    ``scheme://`` -> HadoopFS built from the live session. A remote
+    path without a session is a hard error (better than a silent
+    POSIX attempt against an s3a:// string)."""
+    if "://" not in path:
+        return _LOCAL
+    if spark is None:
+        raise ValueError(
+            f"path {path!r} has a filesystem scheme but no live "
+            "SparkSession was provided to resolve its Hadoop FileSystem")
+    return HadoopFS(spark, path)

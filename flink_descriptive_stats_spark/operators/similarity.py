@@ -31,6 +31,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_descriptive_stats_spark.functions.fsio import get_fs
+
 
 def with_norm(df: DataFrame, id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:
@@ -798,7 +800,7 @@ def _adc_rerank(d: DataFrame, cands: DataFrame, nkeep: int, k: int,
             .where(F.col("rank") <= k))
 
 
-def _recover_codes_dir(path: str) -> None:
+def _recover_codes_dir(path: str, fs=None) -> None:
     """Crash-window recovery for the compact_index rename swap: if the
     live ``codes`` dir is missing but ``codes.old`` exists, the process
     died between the two swap renames — restore the old (complete) tree
@@ -807,26 +809,30 @@ def _recover_codes_dir(path: str) -> None:
     new epoch, and a later compact would rmtree ``codes.old`` and
     permanently drop the base codes. Called by every path that inspects
     the epoch layout (_codes_epochs), so appends, searches, and stats
-    all self-heal, not just compact_index itself."""
+    all self-heal, not just compact_index itself. I/O goes through the
+    fsio shim (HDFS/S3-capable when the caller passes the session's
+    fs); scheme-less paths default to LocalFS."""
     import os
+    fs = fs or get_fs(path)
     codes_dir = os.path.join(path, "codes")
     old = codes_dir + ".old"
-    if not os.path.isdir(codes_dir) and os.path.isdir(old):
-        os.rename(old, codes_dir)
+    if not fs.isdir(codes_dir) and fs.isdir(old):
+        fs.rename(old, codes_dir)
 
 
-def _codes_epochs(path: str) -> list[int]:
+def _codes_epochs(path: str, fs=None) -> list[int]:
     """Sorted epoch ids present in a layout-v2 code table (epoch=N
     directories under codes/ — the base build is epoch=-1, every append
     its own epoch). Empty for a missing dir or the legacy flat layout.
     Restores a crash-windowed ``codes.old`` first (_recover_codes_dir)."""
     import os
-    _recover_codes_dir(path)
+    fs = fs or get_fs(path)
+    _recover_codes_dir(path, fs)
     base = os.path.join(path, "codes")
-    if not os.path.isdir(base):
+    if not fs.isdir(base):
         return []
     out = []
-    for n in os.listdir(base):
+    for n in fs.listdir(base):
         tail = n[len("epoch="):]
         if n.startswith("epoch=") and tail.lstrip("-").isdigit():
             out.append(int(tail))
@@ -858,21 +864,19 @@ def write_pq_index(df: DataFrame, path: str, m: int = 16, ksub: int = 32,
     default sample (pq_codebooks)."""
     import json
     import os
-    import shutil
+    fs = get_fs(path, df.sparkSession)
     books = pq_codebooks(df, m=m, ksub=ksub, id_col=id_col,
                          vec_col=vec_col, max_train=max_train)
     # a REbuild must clear any appended epoch dirs from a prior life of
     # this path — epoch=-1 overwrite alone would leave them visible
-    shutil.rmtree(os.path.join(path, "codes"), ignore_errors=True)
+    fs.delete(os.path.join(path, "codes"))
     (pq_encode(df, books, id_col=id_col, vec_col=vec_col)
      .write.mode("overwrite")
      .parquet(os.path.join(path, "codes", "epoch=-1")))
     meta = {"m": int(books.shape[0]), "ksub": int(books.shape[1]),
             "dsub": int(books.shape[2]), "books": books.tolist()}
-    tmp = os.path.join(path, "meta.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, "meta.json"))
+    fs.write_text_atomic(os.path.join(path, "meta.json"),
+                         json.dumps(meta))
 
 
 def pq_index_topk(df: DataFrame, path: str, k: int = 5, refine: int = 8,
@@ -897,8 +901,8 @@ def pq_index_topk(df: DataFrame, path: str, k: int = 5, refine: int = 8,
     import pandas as pd
     from typing import Iterator
 
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
+    fs = get_fs(path, df.sparkSession)
+    meta = json.loads(fs.read_text(os.path.join(path, "meta.json")))
     books = np.asarray(meta["books"], dtype=np.float64)
     dsub = books.shape[2]
     d = with_norm(df, id_col, vec_col)
@@ -933,7 +937,7 @@ def pq_index_topk(df: DataFrame, path: str, k: int = 5, refine: int = 8,
             if out:
                 yield pd.concat(out)
 
-    _recover_codes_dir(path)
+    _recover_codes_dir(path, fs)
     codes_df = df.sparkSession.read.parquet(os.path.join(path, "codes"))
     cands = codes_df.mapInPandas(
         scan, "query_id bigint, neighbor_id bigint, adc_dist double")
@@ -965,12 +969,12 @@ def append_pq_index(df_new: DataFrame, path: str, id_col: str = "vec_id",
     import os
 
     import numpy as np
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
+    fs = get_fs(path, df_new.sparkSession)
+    meta = json.loads(fs.read_text(os.path.join(path, "meta.json")))
     books = np.asarray(meta["books"], dtype=np.float64)
     enc = pq_encode(df_new, books, id_col=id_col, vec_col=vec_col)
-    epochs = _codes_epochs(path)
-    if not epochs and os.path.isdir(os.path.join(path, "codes")):
+    epochs = _codes_epochs(path, fs)
+    if not epochs and fs.isdir(os.path.join(path, "codes")):
         _require_no_pinned_epoch_on_legacy(epoch, path)
         enc.write.mode("append").parquet(os.path.join(path, "codes"))
         return
@@ -1011,8 +1015,8 @@ def append_ivf_pq_index(df_new: DataFrame, path: str,
     import numpy as np
     import pandas as pd
     from typing import Iterator
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
+    fs = get_fs(path, df_new.sparkSession)
+    meta = json.loads(fs.read_text(os.path.join(path, "meta.json")))
     books = np.asarray(meta["books"], dtype=np.float64)
     m_books, _, dsub = books.shape
     d = with_norm(df_new, id_col, vec_col)
@@ -1038,8 +1042,8 @@ def append_ivf_pq_index(df_new: DataFrame, path: str,
 
     enc = assigned.mapInPandas(
         batches, "id bigint, cell_id bigint, codes array<int>")
-    epochs = _codes_epochs(path)
-    if not epochs and os.path.isdir(os.path.join(path, "codes")):
+    epochs = _codes_epochs(path, fs)
+    if not epochs and fs.isdir(os.path.join(path, "codes")):
         _require_no_pinned_epoch_on_legacy(epoch, path)
         (enc.write.mode("append").partitionBy("cell_id")
          .parquet(os.path.join(path, "codes")))
@@ -1077,7 +1081,14 @@ def compact_index(spark, path: str, target_files: int = 8,
     staging dir never holds the only copy of anything (its rmtree is
     always safe) — and any reader/appender/compact call RESTORES a
     missing ``codes`` from ``codes.old`` before proceeding
-    (_recover_codes_dir). Single-writer maintenance contract, same as the
+    (_recover_codes_dir). All maintenance I/O goes through the fsio
+    shim: scheme'd paths (hdfs:// s3a:// ...) use the session's Hadoop
+    FileSystem — the same connector Spark's writers use. Object-store
+    caveat: S3-family rename is copy+delete (``fs.atomic_rename`` is
+    False there), so the swap loses its single-instant cutover and
+    relies entirely on the single-writer contract plus codes.old
+    self-healing; on HDFS and POSIX the rename is atomic as documented.
+    Single-writer maintenance contract, same as the
     appends: stop any attached stream (checkpoint committed) before a
     FULL compaction, since a replay of an uncommitted micro-batch after
     its epoch was folded into the base would double-append.
@@ -1093,20 +1104,14 @@ def compact_index(spark, path: str, target_files: int = 8,
     Returns {"n_epochs_before", "n_files_before", "n_files_after"}."""
     import json
     import os
-    import shutil
 
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
+    fs = get_fs(path, spark)
+    meta = json.loads(fs.read_text(os.path.join(path, "meta.json")))
     codes_dir = os.path.join(path, "codes")
     old = codes_dir + ".old"
-    _recover_codes_dir(path)
-
-    def _n_files(root: str) -> int:
-        return sum(len([f for f in fs if f.endswith(".parquet")])
-                   for _, _, fs in os.walk(root))
-
-    n_before = _n_files(codes_dir)
-    epochs_before = _codes_epochs(path)
+    _recover_codes_dir(path, fs)
+    n_before = fs.count_files(codes_dir)
+    epochs_before = _codes_epochs(path, fs)
     if keep_epochs_from is None:
         fold, keep = epochs_before, []
         codes = spark.read.parquet(codes_dir)
@@ -1122,7 +1127,7 @@ def compact_index(spark, path: str, target_files: int = 8,
     if "epoch" in codes.columns:
         codes = codes.drop("epoch")
     tmp = codes_dir + ".compact.tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs.delete(tmp)
     if "cells" in meta:
         (codes.repartition(target_files, "cell_id")
          .write.mode("overwrite").partitionBy("cell_id")
@@ -1139,19 +1144,19 @@ def compact_index(spark, path: str, target_files: int = 8,
         # until the swap, so every crash point leaves a full tree in
         # codes or codes.old. Kept epochs are the recent live appends
         # (small by construction), so the copy cost is bounded.
-        shutil.copytree(os.path.join(codes_dir, f"epoch={e}"),
-                        os.path.join(tmp, f"epoch={e}"))
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(codes_dir, old)
-    os.rename(tmp, codes_dir)
-    shutil.rmtree(old, ignore_errors=True)
+        fs.copytree(os.path.join(codes_dir, f"epoch={e}"),
+                    os.path.join(tmp, f"epoch={e}"))
+    fs.delete(old)
+    fs.rename(codes_dir, old)
+    fs.rename(tmp, codes_dir)
+    fs.delete(old)
     if keep_epochs_from is None:
         # every append epoch is folded into the base: pinned stream
         # offsets no longer name real directories — attachments re-key
-        _clear_stream_runs(path)
+        _clear_stream_runs(path, fs)
     return {"n_epochs_before": len(epochs_before),
             "n_files_before": n_before,
-            "n_files_after": _n_files(codes_dir)}
+            "n_files_after": fs.count_files(codes_dir)}
 
 
 def rebuild_index(df: DataFrame, path: str, iters: int = 2,
@@ -1189,8 +1194,8 @@ def rebuild_index(df: DataFrame, path: str, iters: int = 2,
     import json
     import os
 
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
+    fs = get_fs(path, df.sparkSession)
+    meta = json.loads(fs.read_text(os.path.join(path, "meta.json")))
     if "cells" not in meta and n_cells is not None:
         raise ValueError(
             "rebuild_index: n_cells override on a flat PQ index — cell "
@@ -1211,18 +1216,17 @@ def rebuild_index(df: DataFrame, path: str, iters: int = 2,
             m=int(m if m is not None else meta["m"]),
             ksub=int(ksub if ksub is not None else meta["ksub"]),
             id_col=id_col, vec_col=vec_col, max_train=max_train)
-    _clear_stream_runs(path)
+    _clear_stream_runs(path, fs)
 
 
-def _clear_stream_runs(path: str) -> None:
+def _clear_stream_runs(path: str, fs=None) -> None:
     """Drop pinned streaming-append offsets: after a compact (epochs
     folded) or rebuild (codes re-derived) the old offsets no longer
     describe the directory layout, and a resumed stream reusing one
     could collide with or double-count folded epochs."""
-    import contextlib
     import os
-    with contextlib.suppress(FileNotFoundError):
-        os.remove(os.path.join(path, "stream_runs.json"))
+    (fs or get_fs(path)).remove_if_exists(
+        os.path.join(path, "stream_runs.json"))
 
 
 def write_ivf_pq_index(df: DataFrame, path: str, n_cells: int = 16,
@@ -1279,8 +1283,8 @@ def write_ivf_pq_index(df: DataFrame, path: str, n_cells: int = 16,
 
     enc = assigned.mapInPandas(
         batches, "id bigint, cell_id bigint, codes array<int>")
-    import shutil
-    shutil.rmtree(os.path.join(path, "codes"), ignore_errors=True)
+    fs = get_fs(path, df.sparkSession)
+    fs.delete(os.path.join(path, "codes"))
     (enc.write.mode("overwrite").partitionBy("cell_id")
      .parquet(os.path.join(path, "codes", "epoch=-1")))
     meta = {"m": int(m_books), "ksub": int(books.shape[1]),
@@ -1288,10 +1292,8 @@ def write_ivf_pq_index(df: DataFrame, path: str, n_cells: int = 16,
             "cells": [{"cell_id": int(r["cell_id"]),
                        "cv": [float(x) for x in r["cv"]],
                        "cnorm": float(r["cnorm"])} for r in crows]}
-    tmp = os.path.join(path, "meta.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, "meta.json"))
+    fs.write_text_atomic(os.path.join(path, "meta.json"),
+                         json.dumps(meta))
 
 
 def ivf_pq_index_topk(df: DataFrame, path: str, k: int = 5,
@@ -1312,8 +1314,8 @@ def ivf_pq_index_topk(df: DataFrame, path: str, k: int = 5,
     import pandas as pd
     from typing import Iterator
 
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
+    fs = get_fs(path, df.sparkSession)
+    meta = json.loads(fs.read_text(os.path.join(path, "meta.json")))
     books = np.asarray(meta["books"], dtype=np.float64)
     dsub = books.shape[2]
     d = with_norm(df, id_col, vec_col)
@@ -1359,7 +1361,7 @@ def ivf_pq_index_topk(df: DataFrame, path: str, k: int = 5,
             if out:
                 yield pd.concat(out)
 
-    _recover_codes_dir(path)
+    _recover_codes_dir(path, fs)
     codes_df = (df.sparkSession.read
                 .parquet(os.path.join(path, "codes"))
                 .where(F.col("cell_id").isin(probe_union)))
@@ -1495,8 +1497,8 @@ def pq_index_calibration(df: DataFrame, path: str,
     import os
 
     import numpy as np
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
+    fs = get_fs(path, df.sparkSession)
+    meta = json.loads(fs.read_text(os.path.join(path, "meta.json")))
     books = np.asarray(meta["books"], dtype=np.float64)
     return _adc_probe_error(with_norm(df, id_col, vec_col), books,
                             max_query_id, max_probe)
@@ -1524,9 +1526,9 @@ def index_stats(spark, path: str) -> DataFrame:
     import os
 
     from flink_descriptive_stats_spark.functions.sig import sig6_py
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
-    epochs = _codes_epochs(path)          # also self-heals codes.old
+    fs = get_fs(path, spark)
+    meta = json.loads(fs.read_text(os.path.join(path, "meta.json")))
+    epochs = _codes_epochs(path, fs)      # also self-heals codes.old
     codes = spark.read.parquet(os.path.join(path, "codes"))
     rows = [("kind", "ivf_pq" if "cells" in meta else "pq"),
             ("m", str(int(meta["m"]))),

@@ -985,23 +985,34 @@ def _index_append_emitter(index_path: str, offset: int,
     import json
     import os
 
+    from flink_descriptive_stats_spark.functions.fsio import get_fs
     from flink_descriptive_stats_spark.operators import similarity as S
 
-    with open(os.path.join(index_path, "meta.json")) as f:
-        is_ivf = "cells" in json.load(f)
+    # scheme-less paths resolve to LocalFS without a session; the live
+    # session in emit() is used for any scheme'd (HDFS/S3) index path
+    _meta_path = os.path.join(index_path, "meta.json")
+
+    def _is_ivf(spark=None) -> bool:
+        fs = get_fs(index_path, spark)
+        return "cells" in json.loads(fs.read_text(_meta_path))
+
+    is_ivf = None if "://" in index_path else _is_ivf()
 
     def emit(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        ivf = (is_ivf if is_ivf is not None
+               else _is_ivf(batch_df.sparkSession))
         e = offset + int(epoch_id)
-        if is_ivf:
+        if ivf:
             S.append_ivf_pq_index(batch_df, index_path, id_col=id_col,
                                   vec_col=vec_col, epoch=e)
         else:
             S.append_pq_index(batch_df, index_path, id_col=id_col,
                               vec_col=vec_col, epoch=e)
         if compact_every:
-            epochs = S._codes_epochs(index_path)
+            epochs = S._codes_epochs(
+                index_path, get_fs(index_path, batch_df.sparkSession))
             if len(epochs) - 1 >= compact_every:
                 S.compact_index(batch_df.sparkSession, index_path,
                                 keep_epochs_from=e)
@@ -1050,9 +1061,11 @@ def start_index_append_stream(stream: DataFrame, index_path: str,
     import json
     import os
 
+    from flink_descriptive_stats_spark.functions.fsio import get_fs
     from flink_descriptive_stats_spark.operators.similarity import \
         _codes_epochs
 
+    fs = get_fs(index_path, stream.sparkSession)
     if checkpoint_path is None:
         # No checkpoint means Structured Streaming restarts epoch ids at
         # 0 on EVERY start and gives no replay guarantee to key on — a
@@ -1060,22 +1073,19 @@ def start_index_append_stream(stream: DataFrame, index_path: str,
         # the first run's directories and silently overwrite its codes.
         # Allocate a FRESH offset per start (max committed epoch + 1)
         # and never persist it: each run gets its own directory range.
-        epochs = _codes_epochs(index_path)
+        epochs = _codes_epochs(index_path, fs)
         offset = (epochs[-1] + 1) if epochs else 0
     else:
         runs_path = os.path.join(index_path, "stream_runs.json")
         runs: dict = {}
-        if os.path.exists(runs_path):
-            with open(runs_path) as f:
-                runs = json.load(f)
-        key = os.path.abspath(checkpoint_path)
+        if fs.exists(runs_path):
+            runs = json.loads(fs.read_text(runs_path))
+        key = (checkpoint_path if "://" in checkpoint_path
+               else os.path.abspath(checkpoint_path))
         if key not in runs:
-            epochs = _codes_epochs(index_path)
+            epochs = _codes_epochs(index_path, fs)
             runs[key] = (epochs[-1] + 1) if epochs else 0
-            tmp = runs_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(runs, f)
-            os.replace(tmp, runs_path)
+            fs.write_text_atomic(runs_path, json.dumps(runs))
         offset = int(runs[key])
     emit = _index_append_emitter(index_path, offset,
                                  id_col=id_col, vec_col=vec_col,

@@ -351,3 +351,115 @@ def test_dataset_card_mixed_modality_auto(spark):
     base = {(r["section"], r["metric"]): r["value"]
             for r in Q.dataset_card(df).collect()}
     assert not [k for k in base if k[0].startswith("media")]
+
+
+# ------------------------------------------------------ fsio shim (VERDICT
+# r9 ask #5): index maintenance I/O off raw POSIX
+
+def test_fsio_local_contract(tmp_path):
+    """LocalFS implements the maintenance contract: atomic text write,
+    rename, recursive delete (missing-ok), copytree, recursive parquet
+    counting, listing."""
+    from flink_descriptive_stats_spark.functions import fsio
+    fs = fsio.get_fs(str(tmp_path))
+    assert isinstance(fs, fsio.LocalFS) and fs.atomic_rename
+    d = str(tmp_path / "a" / "b")
+    fs.mkdirs(d)
+    fs.write_text_atomic(os.path.join(d, "m.json"), '{"k": 1}')
+    assert fs.read_text(os.path.join(d, "m.json")) == '{"k": 1}'
+    assert not fs.exists(os.path.join(d, "m.json.tmp"))
+    for n in ("x.parquet", "y.parquet", "z.txt"):
+        fs.write_text_atomic(os.path.join(d, n), "")
+    assert fs.count_files(str(tmp_path)) == 2
+    assert sorted(fs.listdir(d)) == ["m.json", "x.parquet",
+                                     "y.parquet", "z.txt"]
+    fs.copytree(d, str(tmp_path / "a" / "c"))
+    assert fs.count_files(str(tmp_path)) == 4
+    fs.rename(str(tmp_path / "a" / "c"), str(tmp_path / "a" / "d"))
+    assert fs.isdir(str(tmp_path / "a" / "d"))
+    fs.delete(str(tmp_path / "a" / "d"))
+    fs.delete(str(tmp_path / "a" / "d"))     # missing-ok
+    assert fs.count_files(str(tmp_path)) == 2
+    fs.remove_if_exists(os.path.join(d, "z.txt"))
+    fs.remove_if_exists(os.path.join(d, "z.txt"))
+    assert fs.count_files(str(tmp_path), suffix=".txt") == 0
+
+
+def test_fsio_scheme_routing(spark, tmp_path):
+    """get_fs: scheme-less -> LocalFS; scheme'd -> HadoopFS from the
+    live session; scheme'd without a session is a hard error (never a
+    silent POSIX attempt against an s3a:// string). atomic_rename is
+    True for file/hdfs and False for the S3 family."""
+    from flink_descriptive_stats_spark.functions import fsio
+    assert isinstance(fsio.get_fs("/x/y"), fsio.LocalFS)
+    with pytest.raises(ValueError, match="scheme"):
+        fsio.get_fs("s3a://bucket/key")
+    h = fsio.get_fs(f"file://{tmp_path}", spark)
+    assert isinstance(h, fsio.HadoopFS) and h.atomic_rename
+    from flink_descriptive_stats_spark.functions.fsio import \
+        _NON_ATOMIC_SCHEMES
+    assert "s3a" in _NON_ATOMIC_SCHEMES and "hdfs" not in \
+        _NON_ATOMIC_SCHEMES
+
+
+def test_fsio_hadoop_contract_on_file_uri(spark, tmp_path):
+    """The HadoopFS implementation passes the same contract test as
+    LocalFS, driven against file:// URIs through the real
+    org.apache.hadoop.fs.FileSystem the session would use for HDFS/S3."""
+    from flink_descriptive_stats_spark.functions import fsio
+    root = f"file://{tmp_path}"
+    fs = fsio.get_fs(root, spark)
+    d = f"{root}/a/b"
+    fs.mkdirs(d)
+    fs.write_text_atomic(f"{d}/m.json", '{"k": 1}')
+    assert fs.read_text(f"{d}/m.json") == '{"k": 1}'
+    for n in ("x.parquet", "y.parquet"):
+        fs.write_text_atomic(f"{d}/{n}", "")
+    assert fs.count_files(root) == 2
+    assert sorted(fs.listdir(d)) == ["m.json", "x.parquet", "y.parquet"]
+    fs.copytree(d, f"{root}/a/c")
+    assert fs.count_files(root) == 4
+    fs.rename(f"{root}/a/c", f"{root}/a/d")
+    assert fs.isdir(f"{root}/a/d") and not fs.exists(f"{root}/a/c")
+    fs.delete(f"{root}/a/d")
+    fs.delete(f"{root}/a/d")                  # missing-ok
+    assert fs.count_files(root) == 2
+    fs.remove_if_exists(f"{d}/m.json")
+    assert not fs.exists(f"{d}/m.json")
+
+
+def test_index_lifecycle_through_file_uri(spark, tmp_path):
+    """End to end through the shim on a scheme'd path: build, append,
+    crash-window self-heal, generational compact, stats — every
+    maintenance step against file:// URIs, i.e. the exact code path an
+    HDFS-resident index takes (only the connector class differs)."""
+    from flink_descriptive_stats_spark.functions import fsio
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    a = emb.where(F.col("vec_id") % 3 == 0)
+    b1 = emb.where(F.col("vec_id") % 3 == 1)
+    b2 = emb.where(F.col("vec_id") % 3 == 2)
+    idx = f"file://{tmp_path}/pq_uri"
+    S.write_pq_index(a, idx)
+    S.append_pq_index(b1, idx)
+    S.append_pq_index(b2, idx)
+    before = sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
+    assert sorted(S._codes_epochs(idx, fsio.get_fs(idx, spark))) == \
+        [-1, 0, 1]
+    # crash-window: codes.old present, codes missing -> search self-heals
+    fs = fsio.get_fs(idx, spark)
+    fs.rename(f"{idx}/codes", f"{idx}/codes.old")
+    healed = sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
+    assert healed == before
+    r = S.compact_index(spark, idx, target_files=2, keep_epochs_from=1)
+    assert r["n_epochs_before"] == 3
+    # at fixture scale each epoch is one file, so the generational fold
+    # pins epoch-count shrink (3 -> base + 1 kept), not a file drop
+    assert r["n_files_after"] <= r["n_files_before"]
+    assert sorted(S._codes_epochs(idx, fs)) == [-1, 1]
+    after = sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
+    assert after == before
+    m = {x["metric"]: x["value"]
+         for x in S.index_stats(spark, idx).collect()}
+    assert int(m["n_vectors"]) == emb.count()
+    assert m["n_epochs"] == "2"
