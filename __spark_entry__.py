@@ -250,7 +250,15 @@ GATED_50 = (
     "decontaminate_fuzzy_documents",
     "paragraph_dedup_documents",         # sub-document granularity
     "neardup_clusters_documents",        # consumes the banded-pair subplan
-    "simhash_near_pairs_documents",
+    # r9 #14: the md5 Hamming-funnel calibration in — round 8's most
+    # novel oracle surface (DuckDB replays signature construction, the
+    # banded funnel, the bucket cap, AND the recall computation
+    # literally in SQL); simhash_near_pairs demoted with transitive
+    # cover: the calibration gates the SAME hamming_neardup_pairs
+    # subplan end to end and deeper (per-distance recall, not just
+    # pairs), and neardup_clusters keeps the banded-pair candidate
+    # machinery gated — still oracle-verified at 51+, see SURVEY §5.7
+    "hamming_calibration_md5_documents",
     "ngram_jaccard_pairs_documents",
     "embedding_neardup_lsh",
     "curate_corpus_documents",           # end-to-end curation composition

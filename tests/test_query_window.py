@@ -54,7 +54,7 @@ def test_gated_window_holds_all_operator_families():
                  "paragraph_dedup_documents",
                  # carried family representatives
                  "profile_lineitem", "topk_lineitem",
-                 "simhash_near_pairs_documents",
+                 "hamming_calibration_md5_documents",  # r9 #14 promotion
                  "ngram_jaccard_pairs_documents",
                  "embedding_neardup_lsh",
                  "ann_lsh_topk",
@@ -71,6 +71,10 @@ def test_gated_window_holds_all_operator_families():
                     "pii_scan_documents",     # r7 #12 (dataset_card cover)
                     "dedup_exact_documents",  # r8 #13 (curate_corpus +
                                               # distinct_rows cover)
+                    "simhash_near_pairs_documents",  # r9 #14 (the promoted
+                                              # md5 calibration replays the
+                                              # same banded Hamming funnel
+                                              # end to end, deeper)
                     "profile_documents", "topk_documents",
                     "decontaminate_exact_documents", "distinct_lineitem",
                     "dedup_corpus_documents",
