@@ -492,6 +492,74 @@ def main() -> None:
         "in tests/test_round8_ops.py).",
         fmt(spark, gsranked)))
 
+    # --- round 9 -------------------------------------------------------
+    from flink_descriptive_stats_spark.operators.dedup import \
+        _canonical_expr
+    from flink_descriptive_stats_spark.operators.text import (
+        _lang_scores, _predicted_lang_expr, pii_exprs, text_stats_exprs)
+    docs = load_table(spark, SF, "documents")
+    tcol = F.col("text")
+    card_per_doc = (docs.where(tcol.isNotNull())
+                    .select(F.md5(tcol).alias("__h"),
+                            F.md5(_canonical_expr("text")).alias("__hc"),
+                            F.col("source").alias("__src"),
+                            _predicted_lang_expr(_lang_scores(tcol))
+                            .alias("__lang"),
+                            *text_stats_exprs("text"),
+                            *pii_exprs("text")))
+    sections.append((
+        "Dataset card: the single-pass per-doc projection "
+        "(the DEFAULT since round 9)",
+        "ONE corpus scan builds the combined narrow per-doc frame (the\n"
+        "component operators' own expression bundles — text stats, PII,\n"
+        "lang scores — plus the two content hashes and the source): a\n"
+        "pure narrow select, NO Join and NO Exchange anywhere. The card\n"
+        "derives every number from one global aggregate plus one bounded\n"
+        "(source, lang) groupBy over this cached frame — one scan of a\n"
+        "100 TB corpus instead of five (plan-pinned in\n"
+        "tests/test_round8_ops.py; row-for-row equal to the five-pass\n"
+        "audit path, which remains available as single_pass=False).",
+        fmt(spark, card_per_doc)))
+
+    pay = F.col("payload")
+    sniff = (docs.where(tcol.isNotNull())
+             .select(F.col("doc_id").alias("id"),
+                     F.unhex(F.md5(tcol)).alias("payload"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.count_if(
+                      (F.substring(pay, 1, 2)
+                       == F.lit(bytearray(b"P6")))
+                      | (F.substring(pay, 1, 2)
+                         == F.lit(bytearray(b"BM")))).alias("ni"),
+                  F.count_if(
+                      (F.substring(pay, 1, 4)
+                       == F.lit(bytearray(b"RIFF")))
+                      & (F.substring(pay, 9, 4)
+                         == F.lit(bytearray(b"WAVE")))).alias("na")))
+    sections.append((
+        "Mixed-modality media card: the container sniff (round 9)",
+        "media_kind='auto' classifies each payload by its container\n"
+        "magic bytes — binary-prefix comparisons inside ONE counting\n"
+        "aggregate, entirely whole-stage codegen (no Python touches the\n"
+        "bytes, no shuffle beyond the single-row aggregate exchange).\n"
+        "The per-modality media passes then scan only their sniffed\n"
+        "slice. At 100 TB the sniff costs one pass over the payload\n"
+        "column's first bytes.",
+        fmt(spark, sniff)))
+
+    from flink_descriptive_stats_spark.operators import extras as X
+    probe = (li.select(F.col("l_returnflag")).distinct()
+             .limit(X.GROUPED_MATRIX_MAX_CELLS // 6 + 1))
+    sections.append((
+        "Grouped-matrix group-cardinality budget probe (round 9)",
+        "The guard that runs BEFORE any grouped correlation/covariance/\n"
+        "Spearman work: distinct on the group column with a LIMIT —\n"
+        "partial aggregation per partition, CollectLimit stops the scan\n"
+        "early once budget+1 distinct values are seen. Metadata-scale\n"
+        "at any corpus size; the error it raises is the alternative to\n"
+        "a groups x pairs driver materialization with no bound.",
+        fmt(spark, probe)))
+
     with open("EXPLAIN.md", "w") as f:
         f.write(
             '# Plan audit — `.explain("formatted")` of the flagship '
