@@ -859,6 +859,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     media_kind="auto")
     q["dataset_card_mixed_media_synthetic"] = _card_media_mixed
 
+    # the mixed-modality dedup keep set (r9): media_dedup_corpus with
+    # kind="auto" over the same mixed payload column — ONE
+    # media_fingerprints pass sniffs + fingerprints both modalities,
+    # per-kind funnels at their own thresholds, one CC over the union.
+    # Rows-only; single-kind equivalence and mixed keep-set behavior
+    # pytest-pinned (tests/test_round9_ops.py).
+    def _media_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+        img = _image_payload_frame(spark, sf_dir).where(
+            F.col("id") % 2 == 0)
+        aud = _audio_payload_frame(spark, sf_dir).where(
+            F.col("id") % 2 == 1)
+        return (multimodal.media_dedup_corpus(
+            img.unionByName(aud), kind="auto")
+            .select("id").orderBy("id"))
+    q["media_dedup_corpus_auto_synthetic"] = _media_dedup_auto
+
     # audio near-dup via the Haitsma-Kalker fingerprint (r7): the
     # materialized WAV payload fixture (_audio_payload_frame — adjacent
     # ids are the same clip re-noised); rows-only (no FFT in SQL),

@@ -711,6 +711,56 @@ def audio_neardup_pairs(df: DataFrame, max_hamming: int = 8,
                                  n_bands=n_bands, max_bucket=max_bucket)
 
 
+def media_fingerprints(df: DataFrame, payload_col: str = "payload",
+                       id_col: str = "id") -> DataFrame:
+    """(id, kind, decoded, phash) over a MIXED binary payload column in
+    ONE Arrow pass: each row's container magic bytes are sniffed
+    in-batch (P6/P3/BM -> image, RIFF....WAVE -> audio) and dispatched
+    to that modality's decoder + 64-bit fingerprint (DCT pHash /
+    Haitsma-Kalker); unknown containers and NULL payloads degrade to
+    (kind='unknown', decoded=false), malformed payloads of a recognized
+    container keep their sniffed kind with decoded=false (the triage
+    distinction between "not media" and "broken media"). This is the
+    single-scan primitive under the mixed-modality dataset card and
+    media_dedup_corpus(kind='auto'): the payload BYTES are read once,
+    and everything downstream — per-modality funnels, summaries, keep
+    sets — works on the tiny (id, 64-bit) fingerprint frame. The same
+    magic-byte dispatch as decode_image/decode_wav themselves, so a
+    single-kind pass over a pure column produces identical hashes
+    (pytest-pinned)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    rows.append((int(i), "unknown", False, None))
+                    continue
+                b = bytes(p)
+                if b[:2] in (b"P6", b"P3", b"BM"):
+                    kind = "image"
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    kind = "audio"
+                else:
+                    rows.append((int(i), "unknown", False, None))
+                    continue
+                try:
+                    if kind == "image":
+                        h = phash64(decode_image(b))
+                    else:
+                        rate, _, samples = decode_wav(b)
+                        h = audio_fingerprint64(rate, samples)
+                    rows.append((int(i), kind, True, h))
+                except (NotImplementedError, ValueError, IndexError,
+                        struct.error):
+                    rows.append((int(i), kind, False, None))
+            yield pd.DataFrame(
+                rows, columns=["id", "kind", "decoded", "phash"])
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(batches, "id bigint, kind string, "
+                                  "decoded boolean, phash bigint"))
+
+
 def media_dedup_corpus(df: DataFrame, kind: str = "image",
                        max_hamming: int | None = None,
                        n_bands: int | str = 4, max_bucket: int = 1024,
@@ -724,21 +774,49 @@ def media_dedup_corpus(df: DataFrame, kind: str = "image",
     large-star/small-star connected-components step text dedup uses
     (O(log n) rounds, edge-list-sized work); undecodable payloads are
     their own singletons (kept — failing to decode is a triage signal,
-    not a dedup decision)."""
+    not a dedup decision).
+
+    ``kind="auto"`` (r9): a MIXED payload column — the keep-set twin of
+    dataset_card's media_kind='auto'. One media_fingerprints pass
+    sniffs each row's container and fingerprints it with its own
+    modality's hash; per-modality funnels (each at its own default
+    threshold unless ``max_hamming`` overrides both) feed ONE
+    connected-components step over the union of pair lists (cross-kind
+    pairs cannot exist — the funnels never mix kinds). Unknown
+    containers are kept as singletons like undecodable payloads. A
+    pure single-kind column through 'auto' keeps exactly what the
+    explicit kind keeps (pytest-pinned)."""
     from flink_descriptive_stats_spark.operators.dedup import \
         connected_components_star
     if kind == "image":
         hs = image_phash(df, payload_col=payload_col, id_col=id_col)
         mh = 6 if max_hamming is None else max_hamming
+        dec = hs.where(F.col("decoded")).select("id", "phash")
+        pairs = hamming_neardup_pairs(dec, max_hamming=mh,
+                                      n_bands=n_bands,
+                                      max_bucket=max_bucket)
     elif kind == "audio":
         hs = audio_fingerprint(df, payload_col=payload_col,
                                id_col=id_col)
         mh = 8 if max_hamming is None else max_hamming
+        dec = hs.where(F.col("decoded")).select("id", "phash")
+        pairs = hamming_neardup_pairs(dec, max_hamming=mh,
+                                      n_bands=n_bands,
+                                      max_bucket=max_bucket)
+    elif kind == "auto":
+        hs = media_fingerprints(df, payload_col=payload_col,
+                                id_col=id_col)
+        dec = hs.where(F.col("decoded")).select("id", "kind", "phash")
+        per_kind = []
+        for k, mh_k in (("image", 6), ("audio", 8)):
+            per_kind.append(hamming_neardup_pairs(
+                dec.where(F.col("kind") == k).select("id", "phash"),
+                max_hamming=mh_k if max_hamming is None else max_hamming,
+                n_bands=n_bands, max_bucket=max_bucket))
+        pairs = per_kind[0].unionByName(per_kind[1])
+        dec = dec.select("id", "phash")
     else:
         raise ValueError(f"unknown media kind: {kind!r}")
-    dec = hs.where(F.col("decoded")).select("id", "phash")
-    pairs = hamming_neardup_pairs(dec, max_hamming=mh, n_bands=n_bands,
-                                  max_bucket=max_bucket)
     labels = connected_components_star(
         pairs.select(F.col("id_a").alias("u"),
                      F.col("id_b").alias("v")),

@@ -497,11 +497,8 @@ def _media_card_rows(df: DataFrame, payload_col: str, media_kind: str,
     """The media section of dataset_card — see there for the contract.
     ``section`` labels the emitted rows (the mixed-modality card emits
     one section per sniffed modality: media_image / media_audio)."""
-    from flink_descriptive_stats_spark.functions.sig import sig6_py
-    from flink_descriptive_stats_spark.operators.dedup import \
-        connected_components_star
     from flink_descriptive_stats_spark.operators.multimodal import (
-        audio_fingerprint, hamming_neardup_pairs, image_phash)
+        audio_fingerprint, image_phash)
     if media_kind == "auto":
         return _media_card_rows_mixed(df, payload_col, id_col)
     p = df.where(F.col(payload_col).isNotNull())
@@ -513,6 +510,18 @@ def _media_card_rows(df: DataFrame, payload_col: str, media_kind: str,
                                    id_col=id_col), 8
     else:
         raise ValueError(f"unknown media kind: {media_kind!r}")
+    return _media_section_rows(hs, mh, section)
+
+
+def _media_section_rows(hs: DataFrame, mh: int, section: str) -> list:
+    """The three media metrics over a fingerprint frame (id, decoded,
+    phash): exact payload/decodable counts, then the near-dup cluster
+    mass via the shared banded Hamming funnel + star CC."""
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    from flink_descriptive_stats_spark.operators.dedup import \
+        connected_components_star
+    from flink_descriptive_stats_spark.operators.multimodal import \
+        hamming_neardup_pairs
     c = hs.agg(F.count(F.lit(1)).alias("n"),
                F.count_if(F.col("decoded")).alias("d")).collect()[0]
     n_pay, n_dec = int(c["n"]), int(c["d"])
@@ -542,41 +551,43 @@ def _media_card_rows_mixed(df: DataFrame, payload_col: str,
                            id_col: str) -> list:
     """media_kind="auto": a real multimodal drop mixes images and audio
     in ONE payload column, and a single-kind fingerprint pass would
-    report the other modality as undecodable noise. Sniff the payload
-    container header per row — the same magic bytes the decoders
-    dispatch on (P6/BM for PPM/BMP images, RIFF....WAVE for audio) —
-    as a JVM-side binary-prefix comparison (no Python touches the
-    bytes), split, and run the standard media section per modality:
-    one ``media`` summary (n_payloads + the unrecognized fraction the
-    sniffer could not place) followed by ``media_image`` /
+    report the other modality as undecodable noise. ONE
+    media_fingerprints Arrow pass sniffs each row's container magic
+    bytes (the same prefixes the decoders dispatch on — P6/P3/BM vs
+    RIFF....WAVE) and fingerprints it with its own modality's hash;
+    the pass is persisted, so the payload BYTES are scanned exactly
+    once and every downstream step — the summary counts, both
+    per-modality funnels — reads the tiny (id, kind, 64-bit) frame.
+    Output: one ``media`` summary (n_payloads + the unrecognized
+    fraction the sniffer could not place) followed by ``media_image`` /
     ``media_audio`` sections, each with the usual three metrics over
-    its own sniffed subset, in fixed image-then-audio order; a
-    modality with no payloads emits no section. Cost: one counting
-    aggregate for the sniff, then the per-modality passes scan only
-    their filtered slice."""
+    its own sniffed subset, in fixed image-then-audio order; a modality
+    with no payloads emits no section."""
     from flink_descriptive_stats_spark.functions.sig import sig6_py
-    p = df.where(F.col(payload_col).isNotNull())
-    c = F.col(payload_col)
-    is_img = (F.substring(c, 1, 2) == F.lit(bytearray(b"P6"))) | \
-        (F.substring(c, 1, 2) == F.lit(bytearray(b"BM")))
-    is_wav = (F.substring(c, 1, 4) == F.lit(bytearray(b"RIFF"))) & \
-        (F.substring(c, 9, 4) == F.lit(bytearray(b"WAVE")))
-    r = p.agg(F.count(F.lit(1)).alias("n"),
-              F.count_if(is_img).alias("ni"),
-              F.count_if(is_wav).alias("na")).collect()[0]
-    n, n_img, n_aud = int(r["n"]), int(r["ni"]), int(r["na"])
-    rows = [
-        ("media", "n_payloads", str(n)),
-        ("media", "unrecognized_fraction",
-         sig6_py((n - n_img - n_aud) / n) if n else None),
-    ]
-    if n_img:
-        rows += _media_card_rows(p.where(is_img), payload_col, "image",
-                                 id_col, section="media_image")
-    if n_aud:
-        rows += _media_card_rows(p.where(is_wav), payload_col, "audio",
-                                 id_col, section="media_audio")
-    return rows
+    from flink_descriptive_stats_spark.operators.multimodal import \
+        media_fingerprints
+    fp = media_fingerprints(df.where(F.col(payload_col).isNotNull()),
+                            payload_col=payload_col, id_col=id_col)
+    fp = fp.persist()
+    try:
+        counts = {r["kind"]: int(r["n"]) for r in
+                  fp.groupBy("kind").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        n = sum(counts.values())
+        rows = [
+            ("media", "n_payloads", str(n)),
+            ("media", "unrecognized_fraction",
+             sig6_py(counts.get("unknown", 0) / n) if n else None),
+        ]
+        for kind, mh, section in (("image", 6, "media_image"),
+                                  ("audio", 8, "media_audio")):
+            if counts.get(kind):
+                rows += _media_section_rows(
+                    fp.where(F.col("kind") == kind)
+                      .select("id", "decoded", "phash"), mh, section)
+        return rows
+    finally:
+        fp.unpersist()
 
 
 def dataset_card_by_source(df: DataFrame, text_col: str = "text",

@@ -463,3 +463,59 @@ def test_index_lifecycle_through_file_uri(spark, tmp_path):
          for x in S.index_stats(spark, idx).collect()}
     assert int(m["n_vectors"]) == emb.count()
     assert m["n_epochs"] == "2"
+
+
+# --------------------------------------------- single-scan mixed media
+# fingerprints + media_dedup_corpus(kind="auto")
+
+def test_media_fingerprints_match_single_kind_passes(spark):
+    """media_fingerprints (one Arrow pass over a mixed column) produces
+    byte-identical hashes to the single-kind kernels on each sniffed
+    slice, classifies unknown containers and NULL payloads as
+    kind='unknown', and keeps the sniffed kind on malformed payloads
+    of a recognized container (broken media != not media)."""
+    from flink_descriptive_stats_spark.operators import multimodal as M
+    rows = [(0, _ppm("A")), (1, _ppm("B")), (2, _wav("X")),
+            (3, _wav("Y")), (4, bytearray(b"JFIF junk")), (5, None),
+            (6, bytearray(b"BM" + b"\x01" * 30)),        # broken image
+            (7, bytearray(b"RIFF\x00\x00\x00\x00WAVExx"))]  # broken wav
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    fp = {r["id"]: (r["kind"], r["decoded"], r["phash"])
+          for r in M.media_fingerprints(df).collect()}
+    assert fp[4] == ("unknown", False, None)
+    assert fp[5] == ("unknown", False, None)
+    assert fp[6] == ("image", False, None)
+    assert fp[7] == ("audio", False, None)
+    img = {r["id"]: r["phash"] for r in M.image_phash(
+        df.where(F.col("id").isin(0, 1))).collect()}
+    aud = {r["id"]: r["phash"] for r in M.audio_fingerprint(
+        df.where(F.col("id").isin(2, 3))).collect()}
+    assert (fp[0][2], fp[1][2]) == (img[0], img[1])
+    assert (fp[2][2], fp[3][2]) == (aud[2], aud[3])
+    assert fp[0][0] == "image" and fp[2][0] == "audio"
+
+
+def test_media_dedup_corpus_auto_mixed(spark):
+    """kind='auto' dedups a MIXED payload column: per-modality funnels
+    at their own thresholds, one CC over the union, unknown containers
+    kept as singletons; a pure single-kind column through 'auto' keeps
+    exactly what the explicit kind keeps."""
+    from flink_descriptive_stats_spark.operators import multimodal as M
+    rows = [(0, _ppm("A")), (1, _ppm("A")),       # image cluster of 2
+            (2, _ppm("Q")),                        # image singleton
+            (3, _wav("X")), (4, _wav("X")),        # audio cluster of 2
+            (5, _wav("Z")),                        # audio singleton
+            (6, bytearray(b"not media at all")),   # unknown: kept
+            (7, None)]                             # null payload: dropped
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    keep = sorted(r["id"] for r in M.media_dedup_corpus(
+        df.where(F.col("payload").isNotNull()), kind="auto")
+        .select("id").collect())
+    assert keep == [0, 2, 3, 5, 6]
+    # pure-image column: auto == explicit image
+    img_only = df.where(F.col("id") <= 2)
+    a = sorted(r["id"] for r in M.media_dedup_corpus(
+        img_only, kind="auto").select("id").collect())
+    b = sorted(r["id"] for r in M.media_dedup_corpus(
+        img_only, kind="image").select("id").collect())
+    assert a == b == [0, 2]
