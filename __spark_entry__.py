@@ -1487,6 +1487,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity.rebuild_index(emb, path, n_cells=8)
         return similarity.index_stats(spark, path)
     q["index_regeometry_embeddings"] = _index_regeometry
+
+    # the n_probe recall sweep (r9): measured recall@k of the persisted
+    # IVF-PQ index vs exact brute force per probe budget — the END
+    # metric of the lifecycle instrument family (fill shape ->
+    # quantization error -> what they cost in search quality), the
+    # sweep a deployment runs before committing to a probe budget.
+    # Rows-only (no SQL engine ranks by ADC); monotonicity + the
+    # full-probe ceiling pytest-pinned.
+    def _index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+        emb = _load(spark, sf_dir, "embeddings")
+        path = os.path.join(
+            tempfile.gettempdir(), f"fds_spark_idxrecall_{os.getpid()}",
+            os.path.basename(os.path.normpath(sf_dir)))
+        similarity.write_ivf_pq_index(emb, path, n_cells=8)
+        return similarity.index_recall_calibration(
+            emb, path, k=5, n_probes=(1, 2, 4, 8), refine=16)
+    q["index_recall_embeddings"] = _index_recall
     # 100 TB scale-path siblings of gated exact operators: cutpoints come
     # from Spark-side GK sketches (percentile_approx), so no SQL engine
     # reproduces them — rows-only; agreement-vs-exact pytest-pinned

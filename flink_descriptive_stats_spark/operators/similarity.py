@@ -1504,6 +1504,53 @@ def pq_index_calibration(df: DataFrame, path: str,
                             max_query_id, max_probe)
 
 
+def index_recall_calibration(df: DataFrame, path: str, k: int = 5,
+                             n_probes: tuple = (1, 2, 4, 8),
+                             refine: int = 8, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             max_query_id: int = 10) -> DataFrame:
+    """Measured recall@k of a PERSISTED IVF-PQ index against exact
+    brute-force ground truth, swept over an ``n_probe`` grid — the
+    missing END metric of the lifecycle instrument family: index_stats
+    reports the cell-fill shape, pq_index_calibration the quantization
+    error, and this reports what those actually COST in search quality
+    and what raising n_probe buys back (the FAISS nprobe tuning sweep,
+    run before committing a 100 TB deployment to a probe budget).
+    Output: (n_probe, k, recall) rows, recall = mean over the bounded
+    query sample of |index top-k ∩ exact top-k| / k, sig6-rendered.
+
+    Cost shape: ONE exact brute-force pass on the bounded query sample
+    (broadcast queries, corpus streams — the ground truth), then one
+    partition-pruned index search per grid point; the driver compares
+    queries x k id sets (metadata-scale). Recall is monotone
+    non-decreasing in n_probe up to funnel-shortlist effects and
+    reaches the refine-bound ceiling at n_probe = n_cells
+    (pytest-pinned on the drifted fixture). Rows-only by nature (no
+    SQL engine ranks by IVF-PQ ADC)."""
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    truth: dict = {}
+    for r in brute_force_topk(df, k=k, id_col=id_col, vec_col=vec_col,
+                              max_query_id=max_query_id).collect():
+        truth.setdefault(int(r["query_id"]), set()).add(
+            int(r["neighbor_id"]))
+    rows = []
+    for n_probe in n_probes:
+        got: dict = {}
+        for r in ivf_pq_index_topk(df, path, k=k, n_probe=int(n_probe),
+                                   refine=refine, id_col=id_col,
+                                   vec_col=vec_col,
+                                   max_query_id=max_query_id).collect():
+            got.setdefault(int(r["query_id"]), set()).add(
+                int(r["neighbor_id"]))
+        recalls = [len(got.get(q, set()) & t) / len(t)
+                   for q, t in truth.items() if t]
+        rows.append((int(n_probe), int(k),
+                     sig6_py(sum(recalls) / len(recalls))
+                     if recalls else None))
+    return df.sparkSession.createDataFrame(
+        rows, "n_probe int, k int, recall string")
+
+
 def index_stats(spark, path: str) -> DataFrame:
     """Persisted-index health datasheet: (metric, value) rows read from
     the sidecar + ONE bounded aggregate over the stored code table — the

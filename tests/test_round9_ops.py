@@ -519,3 +519,27 @@ def test_media_dedup_corpus_auto_mixed(spark):
     b = sorted(r["id"] for r in M.media_dedup_corpus(
         img_only, kind="image").select("id").collect())
     assert a == b == [0, 2]
+
+
+# ------------------------------------------------- index recall sweep
+
+def test_index_recall_calibration_monotone_and_ceiling(spark, tmp_path):
+    """The n_probe recall sweep: recall@k vs exact brute force is
+    monotone non-decreasing in n_probe (more cells probed can only add
+    candidates to the shortlist) and hits a high ceiling at n_probe =
+    n_cells with a generous refine (the exact re-rank then sees nearly
+    every true neighbor). The instrument closes the lifecycle metric
+    family: fill shape (index_stats) -> quantization error
+    (pq_index_calibration) -> what they cost in search quality."""
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    idx = str(tmp_path / "ivfrecall")
+    S.write_ivf_pq_index(emb, idx, n_cells=8)
+    out = {r["n_probe"]: float(r["recall"])
+           for r in S.index_recall_calibration(
+               emb, idx, k=5, n_probes=(1, 2, 4, 8), refine=16)
+           .collect()}
+    vals = [out[p] for p in (1, 2, 4, 8)]
+    assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:])), vals
+    assert vals[-1] >= 0.95, vals
+    assert vals[0] <= vals[-1]

@@ -537,15 +537,36 @@ def main() -> None:
                       & (F.substring(pay, 9, 4)
                          == F.lit(bytearray(b"WAVE")))).alias("na")))
     sections.append((
-        "Mixed-modality media card: the container sniff (round 9)",
-        "media_kind='auto' classifies each payload by its container\n"
-        "magic bytes — binary-prefix comparisons inside ONE counting\n"
-        "aggregate, entirely whole-stage codegen (no Python touches the\n"
-        "bytes, no shuffle beyond the single-row aggregate exchange).\n"
-        "The per-modality media passes then scan only their sniffed\n"
-        "slice. At 100 TB the sniff costs one pass over the payload\n"
-        "column's first bytes.",
+        "Mixed-modality media: the sniff expressions (round 9; shown "
+        "standalone)",
+        "The container dispatch media_kind='auto' uses — binary-prefix\n"
+        "comparisons on the magic bytes, shown here as a standalone\n"
+        "counting aggregate for plan review. In the SHIPPED mixed card\n"
+        "the sniff rides INSIDE the single media_fingerprints Arrow\n"
+        "pass (next section): the payload bytes are read once and the\n"
+        "sniff costs nothing extra.",
         fmt(spark, sniff)))
+
+    from flink_descriptive_stats_spark.operators.multimodal import \
+        media_fingerprints
+    fp = media_fingerprints(
+        docs.where(tcol.isNotNull())
+        .select(F.col("doc_id").alias("id"),
+                F.unhex(F.md5(tcol)).alias("payload")))
+    sections.append((
+        "Mixed-modality media: the single-scan fingerprint pass "
+        "(round 9)",
+        "ONE ArrowEvalPython (mapInPandas) over a narrow (id, payload)\n"
+        "projection: each batch sniffs the container magic bytes and\n"
+        "fingerprints the row with its own modality's 64-bit hash\n"
+        "(DCT pHash / Haitsma-Kalker). No shuffle; the output is the\n"
+        "tiny (id, kind, decoded, phash) frame every downstream step —\n"
+        "the mixed card's summary + both per-modality funnels,\n"
+        "media_dedup_corpus(kind='auto') — works on. At 100 TB the\n"
+        "payload bytes are read ONCE (the previous shape read them\n"
+        "three times: a JVM sniff aggregate plus one fingerprint pass\n"
+        "per modality).",
+        fmt(spark, fp)))
 
     from flink_descriptive_stats_spark.operators import extras as X
     probe = (li.select(F.col("l_returnflag")).distinct()
