@@ -790,23 +790,23 @@ def media_dedup_corpus(df: DataFrame, kind: str = "image",
         connected_components_star
     if kind == "image":
         hs = image_phash(df, payload_col=payload_col, id_col=id_col)
-        mh = 6 if max_hamming is None else max_hamming
-        dec = hs.where(F.col("decoded")).select("id", "phash")
-        pairs = hamming_neardup_pairs(dec, max_hamming=mh,
-                                      n_bands=n_bands,
-                                      max_bucket=max_bucket)
     elif kind == "audio":
         hs = audio_fingerprint(df, payload_col=payload_col,
                                id_col=id_col)
-        mh = 8 if max_hamming is None else max_hamming
-        dec = hs.where(F.col("decoded")).select("id", "phash")
-        pairs = hamming_neardup_pairs(dec, max_hamming=mh,
-                                      n_bands=n_bands,
-                                      max_bucket=max_bucket)
     elif kind == "auto":
         hs = media_fingerprints(df, payload_col=payload_col,
                                 id_col=id_col)
-        dec = hs.where(F.col("decoded")).select("id", "kind", "phash")
+    else:
+        raise ValueError(f"unknown media kind: {kind!r}")
+    # The fingerprint frame feeds three plan branches (funnel pairs, CC
+    # node list, undecodable singletons): materialize it once so the
+    # payload Arrow pass runs ONCE, not per branch — the same
+    # localCheckpoint discipline connected_components_star applies to
+    # its edge list. The checkpointed frame is (id, 64-bit)-scale,
+    # never the bytes.
+    hs = hs.localCheckpoint()
+    if kind == "auto":
+        dec = hs.where(F.col("decoded"))
         per_kind = []
         for k, mh_k in (("image", 6), ("audio", 8)):
             per_kind.append(hamming_neardup_pairs(
@@ -816,7 +816,12 @@ def media_dedup_corpus(df: DataFrame, kind: str = "image",
         pairs = per_kind[0].unionByName(per_kind[1])
         dec = dec.select("id", "phash")
     else:
-        raise ValueError(f"unknown media kind: {kind!r}")
+        mh = ((6 if kind == "image" else 8)
+              if max_hamming is None else max_hamming)
+        dec = hs.where(F.col("decoded")).select("id", "phash")
+        pairs = hamming_neardup_pairs(dec, max_hamming=mh,
+                                      n_bands=n_bands,
+                                      max_bucket=max_bucket)
     labels = connected_components_star(
         pairs.select(F.col("id_a").alias("u"),
                      F.col("id_b").alias("v")),

@@ -522,22 +522,31 @@ def _media_section_rows(hs: DataFrame, mh: int, section: str) -> list:
         connected_components_star
     from flink_descriptive_stats_spark.operators.multimodal import \
         hamming_neardup_pairs
-    c = hs.agg(F.count(F.lit(1)).alias("n"),
-               F.count_if(F.col("decoded")).alias("d")).collect()[0]
-    n_pay, n_dec = int(c["n"]), int(c["d"])
-    n_clustered = 0
-    if n_dec:
-        dec = hs.where(F.col("decoded")).select("id", "phash")
-        pairs = hamming_neardup_pairs(dec, max_hamming=mh)
-        labels = connected_components_star(
-            pairs.select(F.col("id_a").alias("u"),
-                         F.col("id_b").alias("v")),
-            dec.select("id"))
-        sizes = labels.groupBy("cluster_id").agg(
-            F.count(F.lit(1)).alias("sz"))
-        r = (sizes.where(F.col("sz") >= 2)
-             .agg(F.sum("sz").alias("s")).collect()[0]["s"])
-        n_clustered = int(r) if r is not None else 0
+    # the fingerprint frame is read by the counts aggregate AND the
+    # funnel/CC branches: persist it for the duration of this
+    # driver-side computation so the underlying payload Arrow pass
+    # (or, on the mixed path, the slice of the already-persisted
+    # media_fingerprints frame) runs once
+    hs = hs.persist()
+    try:
+        c = hs.agg(F.count(F.lit(1)).alias("n"),
+                   F.count_if(F.col("decoded")).alias("d")).collect()[0]
+        n_pay, n_dec = int(c["n"]), int(c["d"])
+        n_clustered = 0
+        if n_dec:
+            dec = hs.where(F.col("decoded")).select("id", "phash")
+            pairs = hamming_neardup_pairs(dec, max_hamming=mh)
+            labels = connected_components_star(
+                pairs.select(F.col("id_a").alias("u"),
+                             F.col("id_b").alias("v")),
+                dec.select("id"))
+            sizes = labels.groupBy("cluster_id").agg(
+                F.count(F.lit(1)).alias("sz"))
+            r = (sizes.where(F.col("sz") >= 2)
+                 .agg(F.sum("sz").alias("s")).collect()[0]["s"])
+            n_clustered = int(r) if r is not None else 0
+    finally:
+        hs.unpersist()
     return [
         (section, "n_payloads", str(n_pay)),
         (section, "decodable_fraction",
