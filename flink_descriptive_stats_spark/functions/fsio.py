@@ -152,6 +152,12 @@ class HadoopFS:
             stream.close()
 
     def write_text_atomic(self, p: str, text: str) -> None:
+        """write-then-rename; Hadoop rename refuses to clobber an
+        existing destination, so the old file is deleted first — a
+        crash inside that window leaves no ``p`` but a complete
+        ``p + '.tmp'`` (the sidecar writers only run under the
+        single-writer maintenance contract, and a missing sidecar
+        fails loudly rather than half-readably)."""
         tmp = p + ".tmp"
         out = self._fs.create(self._Path(tmp), True)
         try:

@@ -634,7 +634,10 @@ def image_neardup_pairs(df: DataFrame, max_hamming: int = 6,
     pass, then the shared hamming_neardup_pairs funnel."""
     hs = image_phash(df, payload_col=payload_col, id_col=id_col) \
         .where(F.col("decoded")).select("id", "phash")
-    return hamming_neardup_pairs(hs, max_hamming=max_hamming,
+    # the funnel references its input three times (bucket-cap agg +
+    # both join sides): checkpoint so the Arrow decode pass runs once
+    return hamming_neardup_pairs(hs.localCheckpoint(),
+                                 max_hamming=max_hamming,
                                  n_bands=n_bands, max_bucket=max_bucket)
 
 
@@ -707,7 +710,9 @@ def audio_neardup_pairs(df: DataFrame, max_hamming: int = 8,
     fingerprint pass into the shared banded Hamming funnel."""
     hs = audio_fingerprint(df, payload_col=payload_col, id_col=id_col) \
         .where(F.col("decoded")).select("id", "phash")
-    return hamming_neardup_pairs(hs, max_hamming=max_hamming,
+    # same three-branch funnel input as image_neardup_pairs: one decode
+    return hamming_neardup_pairs(hs.localCheckpoint(),
+                                 max_hamming=max_hamming,
                                  n_bands=n_bands, max_bucket=max_bucket)
 
 
