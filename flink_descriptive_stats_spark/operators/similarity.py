@@ -1527,7 +1527,17 @@ def index_recall_calibration(df: DataFrame, path: str, k: int = 5,
     reaches the refine-bound ceiling at n_probe = n_cells
     (pytest-pinned on the drifted fixture). Rows-only by nature (no
     SQL engine ranks by IVF-PQ ADC)."""
+    import json
+    import os
+
     from flink_descriptive_stats_spark.functions.sig import sig6_py
+    fs = get_fs(path, df.sparkSession)
+    meta = json.loads(fs.read_text(os.path.join(path, "meta.json")))
+    if "cells" not in meta:
+        raise ValueError(
+            "index_recall_calibration: flat PQ index has no n_probe "
+            "knob — its recall/cost trade is the pq_index_topk "
+            "`refine` parameter; this sweep is for IVF-PQ indexes")
     truth: dict = {}
     for r in brute_force_topk(df, k=k, id_col=id_col, vec_col=vec_col,
                               max_query_id=max_query_id).collect():

@@ -543,3 +543,12 @@ def test_index_recall_calibration_monotone_and_ceiling(spark, tmp_path):
     assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:])), vals
     assert vals[-1] >= 0.95, vals
     assert vals[0] <= vals[-1]
+
+
+def test_index_recall_calibration_flat_pq_raises(spark, tmp_path):
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    idx = str(tmp_path / "flatrecall")
+    S.write_pq_index(emb, idx)
+    with pytest.raises(ValueError, match="refine"):
+        S.index_recall_calibration(emb, idx)
