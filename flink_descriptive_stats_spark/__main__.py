@@ -118,13 +118,27 @@ def build_parser() -> argparse.ArgumentParser:
                              "pq-calibration", "pq-index",
                              "ivf-pq-index", "index-stats",
                              "index-calibration",
-                             "compact-index", "rebuild-index"])
+                             "compact-index", "rebuild-index",
+                             "index-recall"])
     an.add_argument("--k", type=int, default=5)
     an.add_argument("--vec-col", default="embedding")
     an.add_argument("--id-col", default="vec_id")
     an.add_argument("--index-path", default=None,
                     help="pq-index: where the code table + codebook "
                          "sidecar live (built if absent)")
+    an.add_argument("--n-cells", type=int, default=None,
+                    help="rebuild-index: override the sidecar's IVF "
+                         "cell count (the growth remediation — e.g. 2x "
+                         "cells after the corpus outgrew the build)")
+    an.add_argument("--m", type=int, default=None,
+                    help="rebuild-index: override the sidecar's PQ "
+                         "subquantizer count")
+    an.add_argument("--ksub", type=int, default=None,
+                    help="rebuild-index: override the sidecar's "
+                         "per-subquantizer codebook size")
+    an.add_argument("--n-probes", default="1,2,4,8",
+                    help="index-recall: comma-separated n_probe grid "
+                         "for the recall@k sweep")
     _add_common(an)
 
     mn = sub.add_parser("media-neardup",
@@ -133,7 +147,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "Haitsma-Kalker fingerprint)")
     mn.add_argument("input", help="parquet with (id, payload binary)")
     mn.add_argument("--kind", default="image",
-                    choices=["image", "audio"])
+                    choices=["image", "audio", "auto"],
+                    help="'auto' (with --dedup): sniff each payload's "
+                         "container and dedup a MIXED image+audio "
+                         "column in one fingerprint pass")
+    mn.add_argument("--dedup", action="store_true",
+                    help="emit the near-dup-DEDUPLICATED keep set "
+                         "(one representative per perceptual cluster; "
+                         "media_dedup_corpus) instead of the pair list")
     mn.add_argument("--max-hamming", type=int, default=None,
                     help="bit threshold (default 6 image / 8 audio). "
                          "NOTE: the banded funnel guarantees recall "
@@ -266,6 +287,19 @@ def build_parser() -> argparse.ArgumentParser:
     dca.add_argument("--approx", action="store_true",
                      help="GK-sketch median_tokens (the 100 TB path) "
                           "instead of the exact percentile")
+    dca.add_argument("--payload-col", default=None,
+                     help="binary media column: append the media "
+                          "section (n_payloads, decodable fraction, "
+                          "near-dup cluster mass)")
+    dca.add_argument("--media-kind", default="image",
+                     choices=["image", "audio", "auto"],
+                     help="'auto' sniffs each payload's container and "
+                          "emits per-modality media sections")
+    dca.add_argument("--five-pass", action="store_true",
+                     help="the audit-trail path: one scan per signal "
+                          "aggregate (the component operators' own "
+                          "numbers, literally) instead of the default "
+                          "single-pass plan")
     _add_common(dca)
 
     tmx = sub.add_parser("temperature-mix",
@@ -774,12 +808,28 @@ def main(argv: list[str] | None = None) -> int:
             return similarity.index_stats(spark, path)
 
         def _ann_rebuild_index():
-            # the heavy remediation: retrain on the CURRENT input with
-            # the sidecar's declared geometry and re-encode
+            # the heavy remediation: retrain on the CURRENT input —
+            # sidecar geometry by default, or overridden (--n-cells /
+            # --m / --ksub: the growth remediation) — and re-encode
             path = args.index_path or _default_index_path("pq_index")
             similarity.rebuild_index(df, path, id_col=args.id_col,
-                                     vec_col=args.vec_col)
+                                     vec_col=args.vec_col,
+                                     n_cells=args.n_cells, m=args.m,
+                                     ksub=args.ksub)
             return similarity.index_stats(spark, path)
+
+        def _ann_index_recall():
+            # measured recall@k vs exact brute force per n_probe — the
+            # sweep to run before committing a deployment's probe budget
+            import os
+            path = args.index_path or _default_index_path("ivf_pq_index")
+            if not os.path.exists(os.path.join(path, "meta.json")):
+                similarity.write_ivf_pq_index(
+                    df, path, id_col=args.id_col, vec_col=args.vec_col)
+            grid = tuple(int(x) for x in args.n_probes.split(","))
+            return similarity.index_recall_calibration(
+                df, path, k=args.k, n_probes=grid,
+                id_col=args.id_col, vec_col=args.vec_col)
 
         def _ann_index_calibration():
             # |ADC - exact| against the STORED books: the rebuild signal
@@ -810,6 +860,7 @@ def main(argv: list[str] | None = None) -> int:
             "index-calibration": lambda: _ann_index_calibration(),
             "compact-index": lambda: _ann_compact_index(),
             "rebuild-index": lambda: _ann_rebuild_index(),
+            "index-recall": lambda: _ann_index_recall(),
         }[args.method]()
         _emit(out, args.output)
         return 0
@@ -821,7 +872,17 @@ def main(argv: list[str] | None = None) -> int:
         df = _load(spark, args.input, args.format)
         mh = args.max_hamming or (6 if args.kind == "image" else 8)
         nb = "auto" if args.n_bands == "auto" else int(args.n_bands)
-        if args.calibrate:
+        if args.kind == "auto" and not args.dedup:
+            print("--kind auto requires --dedup (pair lists are "
+                  "per-modality; the mixed keep set is the auto "
+                  "product)", file=sys.stderr)
+            return 2
+        if args.dedup:
+            out = multimodal.media_dedup_corpus(
+                df, kind=args.kind, max_hamming=args.max_hamming,
+                n_bands=nb, payload_col=args.payload_col,
+                id_col=args.id_col)
+        elif args.calibrate:
             fp = (multimodal.image_phash if args.kind == "image"
                   else multimodal.audio_fingerprint)
             hs = (fp(df, payload_col=args.payload_col,
@@ -891,12 +952,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.by_source:
             out = dataset_card_by_source(
                 df, text_col=args.text_col, id_col=args.id_col,
-                source_col=args.source_col)
+                source_col=args.source_col,
+                single_pass=not args.five_pass)
         else:
             out = dataset_card(df, text_col=args.text_col,
                                id_col=args.id_col,
                                source_col=args.source_col,
-                               exact=not args.approx)
+                               exact=not args.approx,
+                               payload_col=args.payload_col,
+                               media_kind=args.media_kind,
+                               single_pass=not args.five_pass)
         _emit(out, args.output)
         return 0
 
