@@ -228,7 +228,9 @@ def image_features(df: DataFrame, payload_col: str = "payload",
         for pdf in it:
             rows = []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                b = bytes(p)
+                # NULL payload -> empty bytes -> the decoder raises and
+                # the row degrades to decoded=false (never a task crash)
+                b = b"" if p is None else bytes(p)
                 try:
                     img = decode_image(b)
                     m = img.reshape(-1, 3).mean(axis=0)
@@ -255,7 +257,9 @@ def audio_features(df: DataFrame, payload_col: str = "payload",
         for pdf in it:
             rows = []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                b = bytes(p)
+                # NULL payload -> empty bytes -> the decoder raises and
+                # the row degrades to decoded=false (never a task crash)
+                b = b"" if p is None else bytes(p)
                 try:
                     rate, ch, samples = decode_wav(b)
                     x = samples.astype(np.float64)
@@ -297,7 +301,8 @@ def extract_features(df: DataFrame, content_col: str = "text",
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = [(int(i), *(_fake_features(bytes(p))))
+            rows = [(int(i), *(_fake_features(
+                        b"" if p is None else bytes(p))))
                     for i, p in zip(pdf["id"], pdf["payload"])]
             yield pd.DataFrame(rows, columns=["id", "n_bytes", "byte_sum",
                                               "head_byte", "tail_byte",
@@ -331,7 +336,9 @@ def audio_spectral_features(df: DataFrame, payload_col: str = "payload",
         for pdf in it:
             rows = []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                b = bytes(p)
+                # NULL payload -> empty bytes -> the decoder raises and
+                # the row degrades to decoded=false (never a task crash)
+                b = b"" if p is None else bytes(p)
                 try:
                     rate, ch, samples = decode_wav(b)
                     mono = samples.astype(np.float64).mean(axis=1)
@@ -392,7 +399,9 @@ def image_texture_features(df: DataFrame, payload_col: str = "payload",
         for pdf in it:
             rows = []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                b = bytes(p)
+                # NULL payload -> empty bytes -> the decoder raises and
+                # the row degrades to decoded=false (never a task crash)
+                b = b"" if p is None else bytes(p)
                 try:
                     img = decode_image(b).astype(np.float64)
                     luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
@@ -473,6 +482,9 @@ def image_phash(df: DataFrame, payload_col: str = "payload",
         for pdf in it:
             rows = []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:       # NULL payload: degrade, not crash
+                    rows.append((int(i), False, None))
+                    continue
                 try:
                     rows.append((int(i), True,
                                  phash64(decode_image(bytes(p)))))
@@ -687,6 +699,9 @@ def audio_fingerprint(df: DataFrame, payload_col: str = "payload",
         for pdf in it:
             rows = []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:       # NULL payload: degrade, not crash
+                    rows.append((int(i), False, None))
+                    continue
                 try:
                     rate, _, samples = decode_wav(bytes(p))
                     rows.append((int(i), True,

@@ -552,3 +552,28 @@ def test_index_recall_calibration_flat_pq_raises(spark, tmp_path):
     S.write_pq_index(emb, idx)
     with pytest.raises(ValueError, match="refine"):
         S.index_recall_calibration(emb, idx)
+
+
+def test_null_payloads_degrade_never_crash(spark):
+    """NULL payloads through every Arrow media kernel degrade to
+    decoded=false rows (or metadata-zero rows) instead of TypeError-ing
+    the task — previously bytes(None) crashed image_phash /
+    audio_fingerprint / image_features / audio_features /
+    audio_spectral / image_texture, and media_dedup_corpus on a frame
+    with NULL payloads died instead of keeping them as singletons."""
+    from flink_descriptive_stats_spark.operators import multimodal as M
+    df = spark.createDataFrame(
+        [(0, _ppm("A")), (1, None), (2, _wav("X")), (3, None)],
+        "id bigint, payload binary")
+    assert {r["id"]: r["decoded"] for r in M.image_phash(df).collect()} \
+        == {0: True, 1: False, 2: False, 3: False}
+    assert {r["id"]: r["decoded"]
+            for r in M.audio_fingerprint(df).collect()} \
+        == {0: False, 1: False, 2: True, 3: False}
+    for fn in (M.image_features, M.audio_features,
+               M.image_texture_features, M.audio_spectral_features):
+        got = {r["id"]: r["decoded"] for r in fn(df).collect()}
+        assert set(got) == {0, 1, 2, 3} and not got[1] and not got[3], fn
+    keep = sorted(r["id"] for r in M.media_dedup_corpus(df, kind="auto")
+                  .select("id").collect())
+    assert keep == [0, 1, 2, 3]   # nothing duplicated; NULLs kept
