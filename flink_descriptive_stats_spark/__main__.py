@@ -27,7 +27,8 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "semdedup", "trend", "lm-score", "lang-confusion",
                "histogram2d", "doc-clusters", "cluster-sample",
                "session-summary", "spearman", "woe", "null-patterns",
-               "paths", "monitor-profile", "monitor-drift", "explain",
+               "paths", "monitor-profile", "monitor-drift",
+               "monitor-card", "explain",
                "list-queries", "compression", "label-separation",
                "join-advisor", "paragraph-dedup", "label-purity",
                "dup-rate", "temporal-split", "pack-bfd", "k-anonymity",
@@ -565,6 +566,22 @@ def build_parser() -> argparse.ArgumentParser:
     mp.add_argument("--checkpoint", default=None)
     mp.add_argument("--master", default=None)
     mp.add_argument("--format", default=None)
+
+    mc = sub.add_parser(
+        "monitor-card",
+        help="running dataset card over a growing document directory: "
+             "counts/quality/langs/PII fold exactly, median_tokens "
+             "stays EXACT (token-count histogram state), duplicate "
+             "fractions ride mergeable HLL sketches (*_approx rows)")
+    mc.add_argument("input", help="parquet DIRECTORY (streaming source)")
+    mc.add_argument("--sink", required=True)
+    mc.add_argument("--state", default=None)
+    mc.add_argument("--checkpoint", default=None)
+    mc.add_argument("--text-col", default="text")
+    mc.add_argument("--id-col", default="doc_id")
+    mc.add_argument("--source-col", default="source")
+    mc.add_argument("--master", default=None)
+    mc.add_argument("--format", default=None)
 
     md = sub.add_parser(
         "monitor-drift",
@@ -1262,15 +1279,20 @@ def main(argv: list[str] | None = None) -> int:
               args.output)
         return 0
 
-    if args.cmd in ("monitor-profile", "monitor-drift"):
+    if args.cmd in ("monitor-profile", "monitor-drift", "monitor-card"):
         from flink_descriptive_stats_spark.streaming.pipeline_stream import (
-            start_drift_monitor, start_profile_monitor)
+            start_card_monitor, start_drift_monitor, start_profile_monitor)
         schema = spark.read.parquet(args.input).schema
         stream = spark.readStream.schema(schema).parquet(args.input)
         if args.cmd == "monitor-profile":
             q = start_profile_monitor(
                 stream, args.columns.split(","), args.sink,
                 state_path=args.state, checkpoint_path=args.checkpoint)
+        elif args.cmd == "monitor-card":
+            q = start_card_monitor(
+                stream, args.sink, state_path=args.state,
+                checkpoint_path=args.checkpoint, text_col=args.text_col,
+                id_col=args.id_col, source_col=args.source_col)
         else:
             ref = spark.read.parquet(args.reference)
             q = start_drift_monitor(

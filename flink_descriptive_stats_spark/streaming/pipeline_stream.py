@@ -746,6 +746,244 @@ def start_profile_monitor(stream: DataFrame, columns: list[str],
     return writer.start()
 
 
+def start_card_monitor(stream: DataFrame, sink_path: str,
+                       state_path: str | None = None,
+                       checkpoint_path: str | None = None,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       source_col: str = "source"):
+    """Continuous dataset card: the running corpus datasheet over an
+    unbounded document ingest — after N micro-batches the sink holds
+    the same (section, metric, value) rows ``dataset_card`` reports on
+    the union of everything seen (streaming == batch pytest-pinned),
+    with ONE documented delta: the two duplicate fractions ride
+    mergeable HLL sketches (``hll_sketch_agg`` per batch, driver-folded
+    with ``hll_union``) instead of an exact cross-batch
+    count_distinct, because exact distinctness over an unbounded
+    stream is not a bounded monoid (the same boundary
+    start_constraint_monitor declares for `unique` rules) — the rows
+    are named ``*_dup_fraction_approx`` to say so. Everything else is
+    exactly mergeable: counters (docs/tokens/chars/quality-sum/low-q/
+    PII) are sums, source and language tallies are bounded keyed maps,
+    and median_tokens stays EXACT via a token-count histogram state
+    (token counts are small integers, so the histogram is
+    vocabulary-of-counts-bounded — the stream gets an exact order
+    statistic no sketch could give).
+
+    Per micro-batch: the single-pass card's OWN per-doc projection
+    (text_stats_exprs / pii_exprs / lang scores / both content hashes
+    — one scan of the batch), then one global aggregate + one bounded
+    (source, lang) groupBy + one bounded (n_tokens) groupBy. State is
+    O(sources + langs + distinct token counts + 2 sketches); snapshots
+    follow the versioned-epoch durability contract of the other
+    monitors (restart-safe, replay-idempotent via last_folded)."""
+    import json as _json
+    import os
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    from flink_descriptive_stats_spark.operators.dedup import \
+        _canonical_expr
+    from flink_descriptive_stats_spark.operators.text import (
+        _lang_scores, _predicted_lang_expr, pii_exprs, text_stats_exprs)
+    if (state_path is None) != (checkpoint_path is None):
+        raise ValueError(
+            "state_path and checkpoint_path must be passed together (see "
+            "start_global_topk_sketch)")
+    state = {"n": 0, "ntok": 0, "nch": 0, "qsum": 0.0, "lowq": 0,
+             "pii": 0}
+    src_counts: dict = {}
+    lang_counts: dict = {}
+    tok_hist: dict = {}
+    sketches: dict = {"h": None, "hc": None}
+    last_folded = -1
+
+    def _versions() -> list[int]:
+        if not (state_path and os.path.isdir(state_path)):
+            return []
+        return sorted(
+            int(n[1:]) for n in os.listdir(state_path)
+            if n.startswith("v") and n[1:].isdigit()
+            and os.path.exists(os.path.join(state_path, n, "_SUCCESS")))
+
+    latest = _versions()
+    if latest:
+        snap = stream.sparkSession.read.parquet(
+            os.path.join(state_path, f"v{latest[-1]}")).collect()
+        for r in snap:
+            kind, key = r["kind"], r["key"]
+            if kind == "meta":
+                m = _json.loads(key)
+                last_folded = m["last_folded"]
+                state.update({k: m[k] for k in state})
+            elif kind == "src":
+                src_counts[key] = int(r["n"])
+            elif kind == "lang":
+                lang_counts[key] = int(r["n"])
+            elif kind == "tok":
+                tok_hist[int(key)] = int(r["n"])
+            elif kind == "sketch":
+                sketches[key] = bytes(r["bin"])
+
+    def _estimate(spark, sk: bytes | None) -> int:
+        if sk is None:
+            return 0
+        return int(spark.range(1).select(
+            F.hll_sketch_estimate(F.lit(sk)).alias("e"))
+            .collect()[0]["e"])
+
+    def _union(spark, a: bytes | None, b: bytes | None) -> bytes | None:
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return bytes(spark.range(1).select(
+            F.hll_union(F.lit(a), F.lit(b)).alias("u"))
+            .collect()[0]["u"])
+
+    def _median_from_hist() -> float | None:
+        total = sum(tok_hist.values())
+        if not total:
+            return None
+        # F.percentile semantics at p=0.5: linear interpolation on the
+        # sorted values; reproduce it exactly from the histogram
+        pos = 0.5 * (total - 1)
+        lo_i, hi_i = int(pos), min(int(pos) + 1, total - 1)
+        frac = pos - int(pos)
+        acc = 0
+        lo_v = hi_v = None
+        for v in sorted(tok_hist):
+            nxt = acc + tok_hist[v]
+            if lo_v is None and lo_i < nxt:
+                lo_v = v
+            if hi_v is None and hi_i < nxt:
+                hi_v = v
+                break
+            acc = nxt
+        return lo_v + (hi_v - lo_v) * frac
+
+    def _report(spark) -> None:
+        import pyarrow as pa
+        n = state["n"]
+        rows: list = []
+        if n:
+            smax = max(src_counts.values())
+            lrows = sorted(lang_counts.items(),
+                           key=lambda kv: (-kv[1], kv[0]))
+            cd = min(_estimate(spark, sketches["h"]), n)
+            cc = min(_estimate(spark, sketches["hc"]), n)
+            rows = [
+                ("corpus", "n_docs", str(n)),
+                ("corpus", "n_sources", str(len(src_counts))),
+                ("corpus", "n_tokens", str(state["ntok"])),
+                ("corpus", "n_chars", str(state["nch"])),
+                ("corpus", "max_source_share", sig6_py(smax / n)),
+                ("dedup", "exact_dup_fraction_approx",
+                 sig6_py(1.0 - cd / n)),
+                ("dedup", "canonical_dup_fraction_approx",
+                 sig6_py(1.0 - cc / n)),
+                ("quality", "mean_quality", sig6_py(state["qsum"] / n)),
+                ("quality", "low_quality_fraction",
+                 sig6_py(state["lowq"] / n)),
+                ("quality", "median_tokens",
+                 sig6_py(_median_from_hist())),
+                ("lang", "top_lang", lrows[0][0]),
+                ("lang", "top_lang_share", sig6_py(lrows[0][1] / n)),
+                ("lang", "n_langs", str(len(lrows))),
+                ("pii", "pii_doc_fraction", sig6_py(state["pii"] / n)),
+            ]
+        _pa_write_dir(sink_path, pa.table({
+            "section": [r[0] for r in rows],
+            "metric": [r[1] for r in rows],
+            "value": pa.array([r[2] for r in rows], pa.string())}))
+
+    def emit(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal last_folded
+        spark = batch_df.sparkSession
+        if epoch_id > last_folded:
+            c = F.col(text_col)
+            per = (batch_df.where(c.isNotNull())
+                   .select(F.md5(c).alias("__h"),
+                           F.md5(_canonical_expr(text_col)).alias("__hc"),
+                           F.col(source_col).alias("__src"),
+                           _predicted_lang_expr(_lang_scores(c))
+                           .alias("__lang"),
+                           *text_stats_exprs(text_col),
+                           *pii_exprs(text_col))
+                   .persist())
+            try:
+                q = F.col("quality_score").cast("double")
+                r = per.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("n_tokens").alias("ntok"),
+                    F.sum("n_chars").alias("nch"),
+                    F.sum(q).alias("qsum"),
+                    F.count_if(q < 0.5).alias("lowq"),
+                    F.count_if(F.col("n_pii") > 0).alias("p"),
+                    F.hll_sketch_agg("__h").alias("sh"),
+                    F.hll_sketch_agg("__hc").alias("shc")).collect()[0]
+                if int(r["n"]):
+                    sl = (per.groupBy("__src", "__lang")
+                          .agg(F.count(F.lit(1)).alias("c")).collect())
+                    th = (per.groupBy("n_tokens")
+                          .agg(F.count(F.lit(1)).alias("c")).collect())
+                else:
+                    sl, th = [], []
+            finally:
+                per.unpersist()
+            state["n"] += int(r["n"])
+            if int(r["n"]):
+                state["ntok"] += int(r["ntok"])
+                state["nch"] += int(r["nch"])
+                state["qsum"] += float(r["qsum"])
+                state["lowq"] += int(r["lowq"])
+                state["pii"] += int(r["p"])
+                sketches["h"] = _union(spark, sketches["h"],
+                                       bytes(r["sh"]))
+                sketches["hc"] = _union(spark, sketches["hc"],
+                                        bytes(r["shc"]))
+                for x in sl:
+                    src_counts[x["__src"]] = (
+                        src_counts.get(x["__src"], 0) + x["c"])
+                    lang_counts[x["__lang"]] = (
+                        lang_counts.get(x["__lang"], 0) + x["c"])
+                for x in th:
+                    k = int(x["n_tokens"])
+                    tok_hist[k] = tok_hist.get(k, 0) + x["c"]
+            last_folded = epoch_id
+            if state_path:
+                import shutil
+                import pyarrow as pa
+                meta = dict(state)
+                meta["last_folded"] = epoch_id
+                kinds, keys, ns, bins = ["meta"], [_json.dumps(meta)], \
+                    [0], [None]
+                for k, v in src_counts.items():
+                    kinds.append("src"); keys.append(k)
+                    ns.append(v); bins.append(None)
+                for k, v in lang_counts.items():
+                    kinds.append("lang"); keys.append(k)
+                    ns.append(v); bins.append(None)
+                for k, v in tok_hist.items():
+                    kinds.append("tok"); keys.append(str(k))
+                    ns.append(v); bins.append(None)
+                for k in ("h", "hc"):
+                    if sketches[k] is not None:
+                        kinds.append("sketch"); keys.append(k)
+                        ns.append(0); bins.append(sketches[k])
+                _pa_write_dir(
+                    os.path.join(state_path, f"v{epoch_id}"),
+                    pa.table({"kind": kinds, "key": keys,
+                              "n": pa.array(ns, pa.int64()),
+                              "bin": pa.array(bins, pa.binary())}))
+                for v in _versions()[:-1]:
+                    shutil.rmtree(os.path.join(state_path, f"v{v}"),
+                                  ignore_errors=True)
+        _report(spark)
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(emit)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()
+
+
 def start_ingest_dedup_monitor(stream: DataFrame, old: DataFrame,
                                sink_path: str,
                                state_path: str,

@@ -577,3 +577,67 @@ def test_null_payloads_degrade_never_crash(spark):
     keep = sorted(r["id"] for r in M.media_dedup_corpus(df, kind="auto")
                   .select("id").collect())
     assert keep == [0, 1, 2, 3]   # nothing duplicated; NULLs kept
+
+
+# ------------------------------------------------ streaming dataset card
+
+def test_streaming_card_monitor_equals_batch(spark, tmp_path):
+    """The running dataset card over an unbounded ingest: after N
+    micro-batches the sink equals dataset_card on the union — counts,
+    source/lang tallies, quality stats, and the EXACT median (token-
+    count histogram state, not a sketch) match the batch card row for
+    row; the two duplicate fractions ride mergeable HLL sketches and
+    match within sketch tolerance under their *_approx names. A
+    restart resumes losslessly from the versioned state."""
+    from flink_descriptive_stats_spark.operators.quality import \
+        dataset_card
+    from flink_descriptive_stats_spark.sources.tables import load_table
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import \
+        start_card_monitor
+    docs = load_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "text", "source")
+    chunks = str(tmp_path / "chunks")
+    docs.repartition(3).write.parquet(chunks)
+    sink = str(tmp_path / "card_sink")
+    state = str(tmp_path / "card_state")
+    ckpt = str(tmp_path / "card_ckpt")
+
+    def _run(stream):
+        q = start_card_monitor(stream, sink, state_path=state,
+                               checkpoint_path=ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {(r["section"], r["metric"]): r["value"]
+                for r in spark.read.parquet(sink).collect()}
+
+    def _want(df):
+        return {(r["section"], r["metric"]): r["value"]
+                for r in dataset_card(df).collect()}
+
+    def _check(got, want, n):
+        for key, v in want.items():
+            if key[1] in ("exact_dup_fraction", "canonical_dup_fraction"):
+                gk = (key[0], key[1] + "_approx")
+                exact = float(v.replace("e", "E"))
+                approx = float(got[gk].replace("e", "E"))
+                # HLL default lgConfigK=12: ~2% relative distinct error
+                assert abs(approx - exact) <= 0.05, (key, exact, approx)
+            else:
+                assert got[key] == v, (key, v, got.get(key))
+        assert len(got) == len(want)
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(chunks))
+    _check(_run(stream), _want(docs), docs.count())
+
+    # restart: more documents arrive (some exact duplicates of existing
+    # text, stressing the cross-batch dedup sketches and the median)
+    more = (docs.limit(120)
+            .withColumn("doc_id", F.col("doc_id") + 1000000))
+    more.coalesce(1).write.mode("append").parquet(chunks)
+    stream2 = (spark.readStream.schema(docs.schema)
+               .option("maxFilesPerTrigger", 1).parquet(chunks))
+    _check(_run(stream2), _want(docs.unionByName(more)),
+           docs.count() + 120)
