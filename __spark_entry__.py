@@ -595,6 +595,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_fertility_documents"] = _tq(text_ops.token_fertility,
                                          "documents")
 
+    # markup / text extraction (r10): the crawl pipeline's FIRST stage.
+    # The fixture text is plain, so each doc is wrapped in its doc_id%5
+    # deterministic markup shell (markup.HTML_VARIANTS — full page /
+    # script+entities / nested divs / bare / fragment) and the oracle
+    # rebuilds the SAME html in SQL and replays the extraction pipeline
+    # literally (regexes + entity order + whitespace collapse).
+    def _synth_html_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import markup as M
+        d = (_load(spark, sf_dir, "documents")
+             .where(F.col("text").isNotNull()))
+        return d.select(
+            "doc_id",
+            M.synth_html_expr(F.col("text"), F.col("doc_id"))
+            .alias("html"))
+
+    def _extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import markup as M
+        return M.extract_text(_synth_html_frame(spark, sf_dir))
+    q["extract_text_documents"] = _extract_text
+
+    def _markup_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import markup as M
+        return M.markup_density(_synth_html_frame(spark, sf_dir))
+    q["markup_density_documents"] = _markup_density
+
     # operator composition: histogram of a derived per-doc statistic
     def _tok_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         return extras.histogram(
@@ -1646,6 +1671,8 @@ def oracle_sql() -> dict[str, str]:
     o["profile_nation_orc"] = oracle.profile_table_sql("nation")
     o["psi_drift_documents"] = op.psi_drift_sql()
     o["repetition_stats_documents"] = op.repetition_stats_sql()
+    o["extract_text_documents"] = op.extract_text_sql()
+    o["markup_density_documents"] = op.markup_density_sql()
     # chunking mirror: stride 48 (64 - 16), DuckDB 1-based list slicing
     o["chunk_documents"] = (
         "WITH t AS (SELECT doc_id AS id, "

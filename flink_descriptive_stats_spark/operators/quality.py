@@ -289,6 +289,7 @@ def dataset_card(df: DataFrame, text_col: str = "text",
                  exact: bool = True,
                  payload_col: str | None = None,
                  media_kind: str = "image",
+                 html_col: str | None = None,
                  single_pass: bool = True) -> DataFrame:
     """One-call corpus datasheet — the LLM-pipeline analogue of the
     reference's console report: (section, metric, value) rows, in a
@@ -343,6 +344,17 @@ def dataset_card(df: DataFrame, text_col: str = "text",
     each equal the single-kind card on that modality's slice alone
     (pytest-pinned); single-kind cards are byte-identical to before.
 
+    ``html_col`` (r10): when named AND present, a ``markup`` section
+    is appended BEFORE any media section (extraction precedes
+    everything in a crawl pipeline): n_html_docs,
+    mean_markup_density, high_markup_fraction (density > 0.5 — the
+    mostly-chrome share a quality filter drops first), and
+    mean_links_per_doc — each the bounded aggregate of
+    markup.markup_density's own per-doc signals (pytest-pinned
+    equal). One narrow scan of the html column; NULL-markup rows out
+    of scope like NULL-text ones. Defaults to None so existing cards
+    are byte-identical.
+
     ``single_pass`` (r8; the DEFAULT since r9 — parity with the
     five-pass path is row-for-row pinned and both gate against the
     same oracle, so the 100 TB plan is what a naive caller gets):
@@ -363,6 +375,8 @@ def dataset_card(df: DataFrame, text_col: str = "text",
     if single_pass:
         rows = _dataset_card_rows_single_pass(df, text_col, id_col,
                                               source_col, exact)
+        if html_col is not None and html_col in df.columns:
+            rows += _markup_card_rows(df, html_col)
         if payload_col is not None and payload_col in df.columns:
             rows += _media_card_rows(df, payload_col, media_kind, id_col)
         return df.sparkSession.createDataFrame(
@@ -417,10 +431,41 @@ def dataset_card(df: DataFrame, text_col: str = "text",
         ("lang", "n_langs", str(len(lrows))),
         ("pii", "pii_doc_fraction", sig6_py(int(pf["p"]) / n)),
     ]
+    if html_col is not None and html_col in df.columns:
+        rows += _markup_card_rows(df, html_col)
     if payload_col is not None and payload_col in df.columns:
         rows += _media_card_rows(df, payload_col, media_kind, id_col)
     return df.sparkSession.createDataFrame(
         rows, "section string, metric string, value string")
+
+
+def _markup_card_rows(df: DataFrame, html_col: str) -> list:
+    """The markup section of dataset_card — the datasheet view of the
+    crawl-extraction stage (operators/markup.py): how much of the drop
+    is chrome, and how link-farm-shaped it is. ONE bounded narrow
+    aggregate over the html column; every number is the per-doc
+    markup_density operator's own signal re-aggregated
+    (pytest-pinned)."""
+    from flink_descriptive_stats_spark.functions.sig import sig6, sig6_py
+    from flink_descriptive_stats_spark.operators.markup import (
+        LINK_RE, markup_density_expr)
+    c = F.col(html_col)
+    dens = markup_density_expr(c)
+    links = F.size(F.regexp_extract_all(c, F.lit(LINK_RE), F.lit(0)))
+    r = (df.where(c.isNotNull())
+         .agg(F.count(F.lit(1)).alias("n"),
+              sig6(F.avg(dens)).alias("md"),
+              F.count_if(dens > 0.5).alias("hi"),
+              sig6(F.avg(links.cast("double"))).alias("ml"))
+         .collect()[0])
+    n = int(r["n"])
+    return [
+        ("markup", "n_html_docs", str(n)),
+        ("markup", "mean_markup_density", r["md"]),
+        ("markup", "high_markup_fraction",
+         sig6_py(int(r["hi"]) / n) if n else None),
+        ("markup", "mean_links_per_doc", r["ml"]),
+    ]
 
 
 def _dataset_card_rows_single_pass(df: DataFrame, text_col: str,

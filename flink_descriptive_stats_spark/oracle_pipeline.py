@@ -2946,3 +2946,66 @@ FROM la CROSS JOIN rb
 WHERE levenshtein(la.k, rb.k) <= {max_dist}
   AND (la.k = rb.k OR (length(la.k) <= {max_key_len}
                        AND length(rb.k) <= {max_key_len}))"""
+
+
+# --------------------------------------------------------------------------
+# markup / text extraction (operators/markup.py)
+# --------------------------------------------------------------------------
+
+def _synth_html_case(text_expr: str = "text",
+                     id_expr: str = "doc_id") -> str:
+    """The shared HTML-fixture shell as a DuckDB CASE expression — the
+    SQL twin of markup.synth_html_expr, built from the SAME
+    HTML_VARIANTS literals (asserted quote/backslash-free there), so
+    the two sides cannot drift."""
+    from flink_descriptive_stats_spark.operators import markup as MK
+    whens = []
+    for i, (pre, post) in enumerate(MK.HTML_VARIANTS):
+        assert "'" not in pre + post and "\\" not in pre + post
+        whens.append(f"WHEN {i} THEN '{pre}' || {text_expr} || '{post}'")
+    return (f"CASE CAST({id_expr} AS BIGINT) % {len(MK.HTML_VARIANTS)} "
+            + " ".join(whens) + " END")
+
+
+def _duck_extract_text(expr: str) -> str:
+    """markup.extract_text_expr mirrored step by step: the same regex
+    constants (Java/RE2 common subset), the same entity order, the
+    same whitespace collapse."""
+    from flink_descriptive_stats_spark.operators import markup as MK
+    x = expr
+    for pat in (MK.COMMENT_RE, MK.SCRIPT_RE, MK.STYLE_RE, MK.NAV_RE,
+                MK.TAG_RE):
+        x = f"regexp_replace({x}, '{pat}', ' ', 'g')"
+    for ent, ch in MK.ENTITIES:
+        x = f"replace({x}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    return f"trim(regexp_replace({x}, '\\s+', ' ', 'g'))"
+
+
+def extract_text_sql(table: str = "documents") -> str:
+    return f"""
+WITH h AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                  {_synth_html_case()} AS html
+           FROM {table} WHERE text IS NOT NULL)
+SELECT id, {_duck_extract_text('html')} AS text_extracted FROM h"""
+
+
+def markup_density_sql(table: str = "documents") -> str:
+    from flink_descriptive_stats_spark.operators import markup as MK
+    dens = ("CASE WHEN length(html) > 0 THEN 1.0 - "
+            f"CAST(length({_duck_extract_text('html')}) AS DOUBLE) / "
+            "CAST(length(html) AS DOUBLE) ELSE 0.0 END")
+    return f"""
+WITH h AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                  {_synth_html_case()} AS html
+           FROM {table} WHERE text IS NOT NULL)
+SELECT id, CAST(length(html) AS BIGINT) AS raw_len,
+       CAST(length({_duck_extract_text('html')}) AS BIGINT)
+         AS extracted_len,
+       {duck_sig6(dens)} AS markup_density,
+       CAST(len(regexp_extract_all(html, '{MK.TAG_RE}')) AS BIGINT)
+         AS n_tags,
+       CAST(len(regexp_extract_all(html, '{MK.LINK_RE}')) AS BIGINT)
+         AS n_links,
+       CAST(len(regexp_extract_all(html, '{MK.SCRIPT_RE}')) AS BIGINT)
+         AS n_scripts
+FROM h"""
