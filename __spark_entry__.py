@@ -273,7 +273,17 @@ GATED_50 = (
     "dataset_card_documents",
     "typo_pairs_documents",
     "tfidf_top_terms_documents",
-    "lang_confusion_documents",
+    # r10 #15: the markup/text-extraction family in — the crawl
+    # pipeline's first stage, round 10's new oracle surface (DuckDB
+    # rebuilds the doc_id%5 markup shells and replays the whole
+    # extraction pipeline literally: regex strips, entity order,
+    # whitespace collapse). lang_confusion demoted with transitive
+    # cover: it consumes lang_id's predicted_lang subplan, and the
+    # gated dataset_card_documents' lang section (top_lang /
+    # top_lang_share / n_langs) exercises the SAME _lang_scores +
+    # _predicted_lang_expr bundle — lang_confusion AND lang_id stay
+    # oracle-verified at 51+, see SURVEY §5.7
+    "extract_text_documents",
     "quality_ensemble_documents",        # rank-fusion ensemble
     "doc_clusters_documents",            # text -> vector -> clustering
     "column_entropy_events",

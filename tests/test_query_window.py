@@ -42,7 +42,7 @@ def test_gated_window_holds_all_operator_families():
                  "daily_profile_partitioned_events",
                  # fourth rotation
                  "trend_events", "quality_ensemble_documents",
-                 "lang_confusion_documents", "doc_clusters_documents",
+                 "doc_clusters_documents",
                  # fifth rotation
                  "spearman_lineitem", "woe_iv_events",
                  "null_patterns_events", "incremental_profile_lineitem",
@@ -64,6 +64,7 @@ def test_gated_window_holds_all_operator_families():
                  "repetition_stats_documents",
                  "temperature_mixture_documents",   # r7 #12 promotion
                  "covariance_lineitem",             # r8 #13 promotion
+                 "extract_text_documents",          # r10 #15 promotion
                  "countmin_topk_documents"):
         assert must in first50, must
     # every demoted duplicate still exists at 51+ with its oracle intact
@@ -75,6 +76,11 @@ def test_gated_window_holds_all_operator_families():
                                               # md5 calibration replays the
                                               # same banded Hamming funnel
                                               # end to end, deeper)
+                    "lang_confusion_documents",  # r10 #15 (the gated
+                                              # dataset_card's lang section
+                                              # exercises the same
+                                              # _lang_scores +
+                                              # _predicted_lang_expr bundle)
                     "profile_documents", "topk_documents",
                     "decontaminate_exact_documents", "distinct_lineitem",
                     "dedup_corpus_documents",
