@@ -22,15 +22,58 @@ crash-safety guarantees there. On S3-family stores Hadoop implements
 rename as copy+delete — NOT atomic — so the swap degrades to
 "crash-window leaves both trees, next call self-heals via codes.old"
 semantics without the single-instant cutover; ``fs.atomic_rename``
-exposes which regime a path is in so callers can warn or refuse.
-Single-writer maintenance (already the documented contract) is what
-makes this safe in both regimes.
+exposes which regime a path is in, and since r10 the swap sites
+ENFORCE it: compact_index's two-rename swap and every
+write_text_atomic emit a NonAtomicRenameWarning on such stores
+(warn_non_atomic). Single-writer maintenance (already the documented
+contract) is what makes this safe in both regimes.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import warnings
+
+
+class NonAtomicRenameWarning(UserWarning):
+    """Raised (as a warning) when a swap/sidecar protocol that is
+    crash-atomic on POSIX/HDFS runs against a store whose rename is
+    copy+delete (S3-family): the operation still completes and the
+    codes.old / .tmp self-heal paths still close every crash window,
+    but the single-instant cutover guarantee is degraded — the
+    documented regime of the module docstring, now ENFORCED as a
+    warning at each swap site (VERDICT r9 ask #2) instead of only
+    documented."""
+
+
+def warn_non_atomic(fs, path: str, op: str) -> None:
+    """One warning per call site (the warnings module's default
+    once-per-location dedup) when ``fs`` reports non-atomic rename."""
+    if getattr(fs, "atomic_rename", True):
+        return
+    warnings.warn(
+        f"{op} on {path!r}: this filesystem implements rename as "
+        "copy+delete (no atomic cutover). The protocol still "
+        "self-heals every crash window (codes.old / .tmp recovery), "
+        "but a concurrent reader can observe the intermediate state; "
+        "single-writer maintenance is REQUIRED here (see "
+        "functions/fsio.py module docs).",
+        NonAtomicRenameWarning, stacklevel=3)
+
+
+def read_text_recovering(fs, p: str) -> str:
+    """Sidecar read with crash-window self-heal (ADVICE r9 #1):
+    HadoopFS.write_text_atomic is delete-then-rename (Hadoop rename
+    refuses to clobber), so a crash between the delete and the rename
+    leaves NO ``p`` but a COMPLETE ``p + '.tmp'``. Mirror the
+    _recover_codes_dir idiom: if ``p`` is missing and the .tmp exists,
+    rename it into place before reading — the next reader heals the
+    window instead of hard-failing until a manual restore."""
+    tmp = p + ".tmp"
+    if not fs.exists(p) and fs.exists(tmp):
+        fs.rename(tmp, p)
+    return fs.read_text(p)
 
 #: Hadoop schemes whose rename is copy+delete (no atomic directory
 #: rename). file/hdfs/viewfs/o3fs keep real rename semantics.
@@ -80,7 +123,11 @@ class LocalFS:
             return f.read()
 
     def write_text_atomic(self, p: str, text: str) -> None:
-        """write-then-rename: no reader ever sees a half-written file."""
+        """write-then-rename: no reader ever sees a half-written file.
+        The warn call is a no-op here (POSIX rename is atomic) but
+        keeps the contract uniform across implementations — a stub FS
+        reporting atomic_rename=False pins the warning in tests."""
+        warn_non_atomic(self, p, "sidecar write_text_atomic")
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
             f.write(text)
@@ -156,8 +203,10 @@ class HadoopFS:
         existing destination, so the old file is deleted first — a
         crash inside that window leaves no ``p`` but a complete
         ``p + '.tmp'`` (the sidecar writers only run under the
-        single-writer maintenance contract, and a missing sidecar
-        fails loudly rather than half-readably)."""
+        single-writer maintenance contract, and readers go through
+        read_text_recovering, which restores ``p`` from the complete
+        .tmp — the window self-heals instead of hard-failing)."""
+        warn_non_atomic(self, p, "sidecar write_text_atomic")
         tmp = p + ".tmp"
         out = self._fs.create(self._Path(tmp), True)
         try:

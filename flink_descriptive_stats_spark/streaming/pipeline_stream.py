@@ -1231,8 +1231,10 @@ def _index_append_emitter(index_path: str, offset: int,
     _meta_path = os.path.join(index_path, "meta.json")
 
     def _is_ivf(spark=None) -> bool:
+        from flink_descriptive_stats_spark.functions.fsio import \
+            read_text_recovering
         fs = get_fs(index_path, spark)
-        return "cells" in json.loads(fs.read_text(_meta_path))
+        return "cells" in json.loads(read_text_recovering(fs, _meta_path))
 
     is_ivf = None if "://" in index_path else _is_ivf()
 
@@ -1316,8 +1318,13 @@ def start_index_append_stream(stream: DataFrame, index_path: str,
     else:
         runs_path = os.path.join(index_path, "stream_runs.json")
         runs: dict = {}
-        if fs.exists(runs_path):
-            runs = json.loads(fs.read_text(runs_path))
+        # r10: heal the delete-then-rename crash window (a missing
+        # stream_runs.json whose complete .tmp survives) instead of
+        # silently re-keying every attached stream from scratch
+        from flink_descriptive_stats_spark.functions.fsio import \
+            read_text_recovering
+        if fs.exists(runs_path) or fs.exists(runs_path + ".tmp"):
+            runs = json.loads(read_text_recovering(fs, runs_path))
         key = (checkpoint_path if "://" in checkpoint_path
                else os.path.abspath(checkpoint_path))
         if key not in runs:
