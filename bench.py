@@ -36,9 +36,44 @@ def _machine_state() -> dict:
     return {"loadavg_1m_5m_15m": load, "stray_jvms": n_java}
 
 
+def _await_clean_machine(max_wait_s: int = 300) -> dict:
+    """Stray-JVM guard (VERDICT r9 ask #7): the driver's recorded runs
+    twice landed in an inflated band because a timed-out pytest JVM was
+    still draining when the bench started (~25% uniform inflation —
+    adjudicable only via snapshot common-set diffs). Rather than stamp
+    and adjudicate after the fact, WAIT: poll until no foreign JVM is
+    running (they exit on their own — these are orphaned test/bench
+    sessions, never killed, since killing a process this harness does
+    not own is worse than waiting). If strays persist past
+    ``max_wait_s`` the bench proceeds anyway — a refusal would record
+    NO number, worse than an inflated one — and the stamp makes the
+    band explicit. SPARK_GRAFT_BENCH_NOWAIT=1 skips the wait."""
+    machine = _machine_state()
+    if os.environ.get("SPARK_GRAFT_BENCH_NOWAIT"):
+        return machine
+    waited = 0
+    while machine["stray_jvms"] and waited < max_wait_s:
+        print(f"stray-JVM guard: {machine['stray_jvms']} foreign JVM(s) "
+              f"running, waiting ({waited}s/{max_wait_s}s)...",
+              file=sys.stderr)
+        time.sleep(10)
+        waited += 10
+        machine = _machine_state()
+    if machine["stray_jvms"]:
+        print(f"stray-JVM guard: giving up after {waited}s — proceeding "
+              f"with {machine['stray_jvms']} stray(s); totals land in "
+              "the inflated band (stamped)", file=sys.stderr)
+    elif waited:
+        print(f"stray-JVM guard: clean after {waited}s", file=sys.stderr)
+    machine["stray_wait_s"] = waited
+    return machine
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    machine = _machine_state()   # BEFORE get_spark: every JVM is a stray
+    # BEFORE get_spark: every JVM is a stray; wait for them to drain so
+    # the recorded artifact is the clean band by construction
+    machine = _await_clean_machine()
     print(f"machine state at start: {machine}", file=sys.stderr)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     try:
