@@ -1541,6 +1541,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.index_recall_calibration(
             emb, path, k=5, n_probes=(1, 2, 4, 8), refine=16)
     q["index_recall_embeddings"] = _index_recall
+
+    # the refine recall sweep (r10): the FLAT-PQ twin of the n_probe
+    # sweep — refine sizes the ADC shortlist the exact re-rank sees,
+    # and this measures what each level buys (recall monotone in
+    # refine, 1.0 once refine*k covers the corpus — pytest-pinned).
+    # Rows-only for the same reason as index_recall_embeddings.
+    def _index_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+        emb = _load(spark, sf_dir, "embeddings")
+        path = os.path.join(
+            tempfile.gettempdir(), f"fds_spark_idxrefine_{os.getpid()}",
+            os.path.basename(os.path.normpath(sf_dir)))
+        similarity.write_pq_index(emb, path)
+        return similarity.index_refine_calibration(
+            emb, path, k=5, refines=(1, 2, 4, 8))
+    q["index_refine_embeddings"] = _index_refine
     # 100 TB scale-path siblings of gated exact operators: cutpoints come
     # from Spark-side GK sketches (percentile_approx), so no SQL engine
     # reproduces them — rows-only; agreement-vs-exact pytest-pinned

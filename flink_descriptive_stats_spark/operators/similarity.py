@@ -1542,7 +1542,8 @@ def index_recall_calibration(df: DataFrame, path: str, k: int = 5,
         raise ValueError(
             "index_recall_calibration: flat PQ index has no n_probe "
             "knob — its recall/cost trade is the pq_index_topk "
-            "`refine` parameter; this sweep is for IVF-PQ indexes")
+            "`refine` parameter; run index_refine_calibration (the "
+            "refine sweep) on flat indexes")
     truth: dict = {}
     for r in brute_force_topk(df, k=k, id_col=id_col, vec_col=vec_col,
                               max_query_id=max_query_id).collect():
@@ -1564,6 +1565,79 @@ def index_recall_calibration(df: DataFrame, path: str, k: int = 5,
                      if recalls else None))
     return df.sparkSession.createDataFrame(
         rows, "n_probe int, k int, recall string")
+
+
+def index_refine_calibration(df: DataFrame, path: str, k: int = 5,
+                             refines: tuple = (1, 2, 4, 8),
+                             n_probe: int | None = None,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             max_query_id: int = 10) -> DataFrame:
+    """Measured recall@k swept over the ``refine`` grid — the missing
+    recall instrument for FLAT PQ indexes (VERDICT r9 ask #5):
+    index_recall_calibration's raise names ``refine`` as flat PQ's
+    recall/cost knob, and this is the sweep that measures what each
+    refine level actually buys. ``refine`` sizes the ADC candidate
+    shortlist (refine*k per query) that gets exact-cosine re-ranked,
+    so recall is monotone non-decreasing in refine and reaches 1.0
+    once refine*k covers the corpus (both pytest-pinned) — the
+    quantization error can hide a true neighbor from the shortlist,
+    and raising refine is the remediation the pq_index_calibration
+    alarm points at when a rebuild is not yet worth paying.
+
+    Works for BOTH persisted kinds, because refine matters to both:
+    flat PQ sweeps pq_index_topk; IVF-PQ sweeps ivf_pq_index_topk at a
+    FIXED probe budget (``n_probe``, default all cells so refine is
+    the only moving knob — pair with index_recall_calibration to
+    sweep the other axis). Cost shape: one exact brute-force pass on
+    the bounded query sample, then one code-table scan per grid
+    point; the driver compares queries x k id sets (metadata-scale).
+    Output (refine, k, recall) rows; rows-only by nature (no SQL
+    engine ranks by ADC)."""
+    import json
+    import os
+
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    fs = get_fs(path, df.sparkSession)
+    meta = json.loads(
+        read_text_recovering(fs, os.path.join(path, "meta.json")))
+    truth: dict = {}
+    for r in brute_force_topk(df, k=k, id_col=id_col, vec_col=vec_col,
+                              max_query_id=max_query_id).collect():
+        truth.setdefault(int(r["query_id"]), set()).add(
+            int(r["neighbor_id"]))
+    if "cells" in meta:
+        probe = int(n_probe) if n_probe is not None else len(meta["cells"])
+
+        def search(r: int) -> DataFrame:
+            return ivf_pq_index_topk(df, path, k=k, n_probe=probe,
+                                     refine=r, id_col=id_col,
+                                     vec_col=vec_col,
+                                     max_query_id=max_query_id)
+    else:
+        if n_probe is not None:
+            raise ValueError(
+                "index_refine_calibration: n_probe on a flat PQ index — "
+                "probing is an IVF-PQ concept; this sweep's only knob "
+                "here is refine")
+
+        def search(r: int) -> DataFrame:
+            return pq_index_topk(df, path, k=k, refine=r, id_col=id_col,
+                                 vec_col=vec_col,
+                                 max_query_id=max_query_id)
+    rows = []
+    for refine in refines:
+        got: dict = {}
+        for r in search(int(refine)).collect():
+            got.setdefault(int(r["query_id"]), set()).add(
+                int(r["neighbor_id"]))
+        recalls = [len(got.get(q, set()) & t) / len(t)
+                   for q, t in truth.items() if t]
+        rows.append((int(refine), int(k),
+                     sig6_py(sum(recalls) / len(recalls))
+                     if recalls else None))
+    return df.sparkSession.createDataFrame(
+        rows, "refine int, k int, recall string")
 
 
 def index_stats(spark, path: str) -> DataFrame:

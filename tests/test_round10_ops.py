@@ -266,3 +266,54 @@ def test_index_search_survives_meta_crash_window(spark, tmp_path):
     os.rename(meta, meta + ".tmp")
     after = sorted(map(tuple, S.pq_index_topk(emb, idx).collect()))
     assert after == before and os.path.exists(meta)
+
+
+# ------------------------------------------------------------ flat-PQ
+# refine recall sweep (VERDICT r9 ask #5)
+
+def test_refine_sweep_flat_pq_monotone_to_one(spark, tmp_path):
+    """Recall is monotone non-decreasing in refine and hits 1.0 once
+    refine*k covers the corpus (the shortlist then IS the corpus and
+    the exact re-rank recovers brute force)."""
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = (spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+           .where(F.col("vec_id") < 120))
+    idx = str(tmp_path / "pq")
+    S.write_pq_index(emb, idx)
+    # sig6 strings ("9600000e-7", "1e0") are valid float literals
+    out = {r["refine"]: float(r["recall"])
+           for r in S.index_refine_calibration(
+               emb, idx, k=5, refines=(1, 2, 8, 24)).collect()}
+    vals = [out[r] for r in (1, 2, 8, 24)]
+    assert vals == sorted(vals)
+    assert vals[-1] == 1.0   # refine*k = 120 >= corpus
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_refine_sweep_ivf_pq_fixed_probe(spark, tmp_path):
+    """On IVF-PQ the sweep fixes n_probe (default: all cells) so refine
+    is the only moving knob; full-probe max-refine equals brute force."""
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = (spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+           .where(F.col("vec_id") < 120))
+    idx = str(tmp_path / "ivfpq")
+    S.write_ivf_pq_index(emb, idx, n_cells=4)
+    rows = S.index_refine_calibration(
+        emb, idx, k=5, refines=(1, 24)).collect()
+    got = {r["refine"]: float(r["recall"]) for r in rows}
+    assert got[24] == 1.0 and got[1] <= got[24]
+    # flat-only knob misuse is loud
+    with pytest.raises(ValueError, match="n_probe on a flat PQ"):
+        idx2 = str(tmp_path / "pq2")
+        S.write_pq_index(emb, idx2)
+        S.index_refine_calibration(emb, idx2, n_probe=2)
+
+
+def test_recall_calibration_raise_points_at_refine_sweep(spark,
+                                                         tmp_path):
+    from flink_descriptive_stats_spark.operators import similarity as S
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    idx = str(tmp_path / "pqflat")
+    S.write_pq_index(emb.where(F.col("vec_id") < 60), idx)
+    with pytest.raises(ValueError, match="index_refine_calibration"):
+        S.index_recall_calibration(emb, idx)
