@@ -617,36 +617,102 @@ def _media_card_rows_mixed(df: DataFrame, payload_col: str,
     ``media_audio`` sections, each with the usual three metrics over
     its own sniffed subset, in fixed image-then-audio order; a modality
     with no payloads emits no section."""
-    from flink_descriptive_stats_spark.functions.sig import sig6_py
     from flink_descriptive_stats_spark.operators.multimodal import \
         media_fingerprints
     fp = media_fingerprints(df.where(F.col(payload_col).isNotNull()),
                             payload_col=payload_col, id_col=id_col)
     fp = fp.persist()
     try:
-        counts = {r["kind"]: int(r["n"]) for r in
-                  fp.groupBy("kind").agg(F.count(F.lit(1)).alias("n"))
-                  .collect()}
-        n = sum(counts.values())
-        rows = [
-            ("media", "n_payloads", str(n)),
-            ("media", "unrecognized_fraction",
-             sig6_py(counts.get("unknown", 0) / n) if n else None),
-        ]
-        for kind, mh, section in (("image", 6, "media_image"),
-                                  ("audio", 8, "media_audio")):
-            if counts.get(kind):
-                rows += _media_section_rows(
-                    fp.where(F.col("kind") == kind)
-                      .select("id", "decoded", "phash"), mh, section)
-        return rows
+        return _mixed_rows_from_fp(fp)
     finally:
         fp.unpersist()
+
+
+def _mixed_rows_from_fp(fp: DataFrame) -> list:
+    """The mixed-modality card rows from an ALREADY-materialized
+    (id, kind, decoded, phash) fingerprint frame — split out (r10) so
+    the by-source card can loop bounded source slices of ONE persisted
+    fingerprint pass instead of re-reading payload bytes per source."""
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    counts = {r["kind"]: int(r["n"]) for r in
+              fp.groupBy("kind").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    n = sum(counts.values())
+    rows = [
+        ("media", "n_payloads", str(n)),
+        ("media", "unrecognized_fraction",
+         sig6_py(counts.get("unknown", 0) / n) if n else None),
+    ]
+    for kind, mh, section in (("image", 6, "media_image"),
+                              ("audio", 8, "media_audio")):
+        if counts.get(kind):
+            rows += _media_section_rows(
+                fp.where(F.col("kind") == kind)
+                  .select("id", "decoded", "phash"), mh, section)
+    return rows
+
+
+def _media_by_source_rows(df: DataFrame, payload_col: str,
+                          media_kind: str, id_col: str,
+                          source_col: str) -> list:
+    """Per-source media triage rows (VERDICT r9 ask #4): the corpus
+    card answers "is my media broken/duplicated"; these rows answer
+    WHICH source is dumping it. Metric names are the corpus card's
+    media rows with their section folded in (``media_n_payloads``,
+    ``media_decodable_fraction``, ``media_neardup_cluster_fraction``;
+    the auto kind adds ``media_unrecognized_fraction`` and per-kind
+    ``media_image_*`` / ``media_audio_*``), and each source's numbers
+    EQUAL the corpus card's media section computed on that source's
+    slice alone (pytest-pinned) — near-dup clustering is within-source
+    by that definition, which is also the triage semantics (a cluster
+    spanning sources indicts neither alone).
+
+    Cost shape: payload bytes are fingerprinted ONCE (one Arrow pass
+    over the whole frame), joined back to (id, source) — a doc-scale
+    equi-join on tiny rows — and persisted; the per-source loop (a
+    bounded card dimension, like the driver folds the text metrics
+    already do) re-reads only the (id, source, kind, 64-bit) frame for
+    its funnels."""
+    from flink_descriptive_stats_spark.operators.multimodal import (
+        audio_fingerprint, image_phash, media_fingerprints)
+    p = df.where(F.col(payload_col).isNotNull())
+    ids = p.select(F.col(id_col).alias("id"),
+                   F.col(source_col).alias("__src"))
+    if media_kind == "auto":
+        fp, mh = media_fingerprints(p, payload_col=payload_col,
+                                    id_col=id_col), None
+    elif media_kind == "image":
+        fp, mh = image_phash(p, payload_col=payload_col,
+                             id_col=id_col), 6
+    elif media_kind == "audio":
+        fp, mh = audio_fingerprint(p, payload_col=payload_col,
+                                   id_col=id_col), 8
+    else:
+        raise ValueError(f"unknown media kind: {media_kind!r}")
+    fp = fp.join(ids, "id").persist()
+    rows = []
+    try:
+        sources = sorted(r["__src"] for r in
+                         fp.select("__src").distinct().collect())
+        for s in sources:
+            sl = fp.where(F.col("__src") == s).drop("__src")
+            if media_kind == "auto":
+                sec_rows = _mixed_rows_from_fp(sl)
+            else:
+                sec_rows = _media_section_rows(
+                    sl.select("id", "decoded", "phash"), mh, "media")
+            rows += [(s, f"{sec}_{metric}", value)
+                     for sec, metric, value in sec_rows]
+    finally:
+        fp.unpersist()
+    return rows
 
 
 def dataset_card_by_source(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            source_col: str = "source",
+                           payload_col: str | None = None,
+                           media_kind: str = "image",
                            single_pass: bool = True) -> DataFrame:
     """Per-source datasheet — the which-source-is-dirty triage view of
     dataset_card (the same relationship check_constraints_by has to
@@ -663,6 +729,13 @@ def dataset_card_by_source(df: DataFrame, text_col: str = "text",
     dataset_card (counts as integer strings, fractions sig6, labels
     verbatim).
 
+    ``payload_col``/``media_kind`` (r10): when named AND present, the
+    per-source media triage rows are appended after the text metrics —
+    see _media_by_source_rows for the contract (each source's numbers
+    equal the corpus card's media section on that source's slice;
+    payload bytes fingerprinted once). Defaults keep existing cards
+    byte-identical.
+
     ``single_pass`` (r8; the DEFAULT since r9, same rationale as
     dataset_card's): single_pass=False pays FOUR doc-scale equi-join
     shuffles (each per-doc signal frame back onto (id, source)) plus a
@@ -672,9 +745,17 @@ def dataset_card_by_source(df: DataFrame, text_col: str = "text",
     groupBy(source) aggregate and one bounded groupBy(source, lang)
     count. Identical rows (pytest-pinned; gates against the same
     oracle)."""
+    media_rows = (
+        _media_by_source_rows(df, payload_col, media_kind, id_col,
+                              source_col)
+        if payload_col is not None and payload_col in df.columns else [])
     if single_pass:
-        return _dataset_card_by_source_single_pass(df, text_col, id_col,
-                                                   source_col)
+        out = _dataset_card_by_source_single_pass(df, text_col, id_col,
+                                                  source_col)
+        if not media_rows:
+            return out
+        return out.unionAll(out.sparkSession.createDataFrame(
+            media_rows, "source string, metric string, value string"))
     from flink_descriptive_stats_spark.functions.sig import sig6, sig6_py
     from flink_descriptive_stats_spark.operators.text import (lang_id,
                                                               pii_scan,
@@ -720,7 +801,7 @@ def dataset_card_by_source(df: DataFrame, text_col: str = "text",
             (s, "pii_doc_fraction", sig6_py(int(per4[s]["p"]) / n)),
         ]
     return df.sparkSession.createDataFrame(
-        rows, "source string, metric string, value string")
+        rows + media_rows, "source string, metric string, value string")
 
 
 def _dataset_card_by_source_single_pass(df: DataFrame, text_col: str,

@@ -317,3 +317,83 @@ def test_recall_calibration_raise_points_at_refine_sweep(spark,
     S.write_pq_index(emb.where(F.col("vec_id") < 60), idx)
     with pytest.raises(ValueError, match="index_refine_calibration"):
         S.index_recall_calibration(emb, idx)
+
+
+# ------------------------------------------------------------ by-source
+# media section (VERDICT r9 ask #4)
+
+def _mixed_media_frame(spark):
+    from tests.test_round9_ops import _ppm, _wav
+    rows = []
+    for i in range(20):
+        src = "sA" if i < 10 else "sB"
+        j = i % 10
+        if j in (0, 1):
+            payload = _ppm(f"{src}A")      # within-source image pair
+        elif j <= 3:
+            payload = _ppm(f"{src}solo{j}")
+        elif j in (4, 5):
+            payload = _wav(f"{src}X")      # within-source audio pair
+        elif j == 6:
+            payload = _wav(f"{src}clip")
+        elif j == 7:
+            payload = bytearray(b"JFIF not a known container")
+        elif j == 8:
+            payload = None
+        else:
+            payload = bytearray(b"BM" + b"\x01" * 30)  # undecodable BMP
+        rows.append((i, f"doc {i} words and more words", src, payload))
+    return spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, source string, payload binary")
+
+
+def test_by_source_media_rows_equal_corpus_card_slices(spark):
+    """VERDICT r9 ask #4: each source's media rows equal the corpus
+    card's media section computed on that source's slice alone — the
+    'which source is dumping broken media' triage view."""
+    from flink_descriptive_stats_spark.operators import quality as Q
+    df = _mixed_media_frame(spark)
+    by_src = Q.dataset_card_by_source(df, payload_col="payload",
+                                      media_kind="auto").collect()
+    for s in ("sA", "sB"):
+        got = [(r["metric"], r["value"]) for r in by_src
+               if r["source"] == s and r["metric"].startswith("media")]
+        want = [(f"{sec}_{m}", v) for sec, m, v in
+                ((r["section"], r["metric"], r["value"]) for r in
+                 Q.dataset_card(df.where(F.col("source") == s),
+                                payload_col="payload",
+                                media_kind="auto").collect())
+                if sec.startswith("media")]
+        assert got == want, s
+
+
+def test_by_source_media_single_kind_and_unchanged_without(spark):
+    from flink_descriptive_stats_spark.operators import quality as Q
+    df = _mixed_media_frame(spark)
+    img = df.where(~F.col("payload").isNull())
+    base = Q.dataset_card_by_source(df).collect()
+    # no payload_col -> byte-identical to before
+    assert Q.dataset_card_by_source(
+        df, payload_col=None).collect() == base
+    # a payload_col absent from the frame is a no-op too
+    assert Q.dataset_card_by_source(
+        df.drop("payload"), payload_col="payload").collect() == base
+    # single-kind: media_* metrics present per source, corpus-slice equal
+    by_src = Q.dataset_card_by_source(img, payload_col="payload",
+                                      media_kind="image").collect()
+    got = [(r["metric"], r["value"]) for r in by_src
+           if r["source"] == "sA" and r["metric"].startswith("media")]
+    want = [(f"media_{m}", v) for sec, m, v in
+            ((r["section"], r["metric"], r["value"]) for r in
+             Q.dataset_card(img.where(F.col("source") == "sA"),
+                            payload_col="payload",
+                            media_kind="image").collect())
+            if sec == "media"]
+    assert got == want
+    # five-pass path appends the same media rows
+    by_src5 = Q.dataset_card_by_source(
+        img, payload_col="payload", media_kind="image",
+        single_pass=False).collect()
+    assert [r for r in by_src5 if r["metric"].startswith("media")] \
+        == [r for r in by_src if r["metric"].startswith("media")]
