@@ -750,7 +750,8 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                        state_path: str | None = None,
                        checkpoint_path: str | None = None,
                        text_col: str = "text", id_col: str = "doc_id",
-                       source_col: str = "source"):
+                       source_col: str = "source",
+                       payload_col: str | None = None):
     """Continuous dataset card: the running corpus datasheet over an
     unbounded document ingest — after N micro-batches the sink holds
     the same (section, metric, value) rows ``dataset_card`` reports on
@@ -775,7 +776,20 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
     (source, lang) groupBy + one bounded (n_tokens) groupBy. State is
     O(sources + langs + distinct token counts + 2 sketches); snapshots
     follow the versioned-epoch durability contract of the other
-    monitors (restart-safe, replay-idempotent via last_folded)."""
+    monitors (restart-safe, replay-idempotent via last_folded).
+
+    ``payload_col`` (r10): when named AND present in the stream, each
+    batch additionally runs ONE media_fingerprints Arrow pass (the
+    auto container sniff) and folds the per-kind (n_payloads,
+    decodable) counters — pure sum-monoids — so the streaming
+    datasheet reports the batch card's media summary and per-modality
+    n_payloads / decodable_fraction rows exactly (streaming == batch
+    pinned). ``neardup_cluster_fraction`` stays BATCH-ONLY, declared
+    not faked: cluster mass over an unbounded stream is not a bounded
+    monoid (pairs span batches), the same boundary the two
+    ``*_dup_fraction_approx`` rows and the constraint monitor's
+    ``unique`` rule declare — run media_dedup_corpus / the batch card
+    over the accumulated corpus for it."""
     import json as _json
     import os
     from flink_descriptive_stats_spark.functions.sig import sig6_py
@@ -792,6 +806,7 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
     src_counts: dict = {}
     lang_counts: dict = {}
     tok_hist: dict = {}
+    media_counts: dict = {}     # kind -> [n_payloads, n_decodable]
     sketches: dict = {"h": None, "hc": None}
     last_folded = -1
 
@@ -819,6 +834,10 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                 lang_counts[key] = int(r["n"])
             elif kind == "tok":
                 tok_hist[int(key)] = int(r["n"])
+            elif kind == "media":
+                mk, field = key.rsplit(":", 1)
+                c = media_counts.setdefault(mk, [0, 0])
+                c[0 if field == "n" else 1] = int(r["n"])
             elif kind == "sketch":
                 sketches[key] = bytes(r["bin"])
 
@@ -889,9 +908,32 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                 ("lang", "n_langs", str(len(lrows))),
                 ("pii", "pii_doc_fraction", sig6_py(state["pii"] / n)),
             ]
+        # media counters (r10): the sum-monoid subset of the batch
+        # card's media section (cluster mass is batch-only, see the
+        # function docstring) — emitted even when no doc had text
+        if media_counts:
+            tot = sum(c[0] for c in media_counts.values())
+            rows += [
+                ("media", "n_payloads", str(tot)),
+                ("media", "unrecognized_fraction",
+                 sig6_py(media_counts.get("unknown", [0, 0])[0] / tot)
+                 if tot else None),
+            ]
+            for mk, section in (("image", "media_image"),
+                                ("audio", "media_audio")):
+                c = media_counts.get(mk)
+                if c and c[0]:
+                    rows += [
+                        (section, "n_payloads", str(c[0])),
+                        (section, "decodable_fraction",
+                         sig6_py(c[1] / c[0])),
+                    ]
+        # all three columns explicitly typed (ADVICE r9 #2): an empty
+        # first batch used to infer null-typed section/metric columns,
+        # writing a sink parquet Spark reads as void columns
         _pa_write_dir(sink_path, pa.table({
-            "section": [r[0] for r in rows],
-            "metric": [r[1] for r in rows],
+            "section": pa.array([r[0] for r in rows], pa.string()),
+            "metric": pa.array([r[1] for r in rows], pa.string()),
             "value": pa.array([r[2] for r in rows], pa.string())}))
 
     def emit(batch_df: DataFrame, epoch_id: int) -> None:
@@ -947,6 +989,20 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                 for x in th:
                     k = int(x["n_tokens"])
                     tok_hist[k] = tok_hist.get(k, 0) + x["c"]
+            if payload_col is not None and payload_col in batch_df.columns:
+                from flink_descriptive_stats_spark.operators.multimodal \
+                    import media_fingerprints
+                mf = (media_fingerprints(
+                        batch_df.where(F.col(payload_col).isNotNull()),
+                        payload_col=payload_col, id_col=id_col)
+                      .groupBy("kind")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.count_if(F.col("decoded")).alias("d"))
+                      .collect())
+                for x in mf:
+                    c = media_counts.setdefault(x["kind"], [0, 0])
+                    c[0] += int(x["n"])
+                    c[1] += int(x["d"])
             last_folded = epoch_id
             if state_path:
                 import shutil
@@ -964,6 +1020,11 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                 for k, v in tok_hist.items():
                     kinds.append("tok"); keys.append(str(k))
                     ns.append(v); bins.append(None)
+                for k, c in media_counts.items():
+                    kinds.append("media"); keys.append(f"{k}:n")
+                    ns.append(c[0]); bins.append(None)
+                    kinds.append("media"); keys.append(f"{k}:d")
+                    ns.append(c[1]); bins.append(None)
                 for k in ("h", "hc"):
                     if sketches[k] is not None:
                         kinds.append("sketch"); keys.append(k)

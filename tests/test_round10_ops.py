@@ -397,3 +397,87 @@ def test_by_source_media_single_kind_and_unchanged_without(spark):
         single_pass=False).collect()
     assert [r for r in by_src5 if r["metric"].startswith("media")] \
         == [r for r in by_src if r["metric"].startswith("media")]
+
+
+# ------------------------------------------------------------ streaming
+# card monitor: media counters (VERDICT r9 ask #6) + typed empty-batch
+# schema (ADVICE r9 #2)
+
+def test_card_monitor_media_counters_equal_batch(spark, tmp_path):
+    """The streaming datasheet's media rows equal the batch card's
+    (media_kind='auto') for every sum-monoid metric; the cluster-mass
+    row stays batch-only by documented design. Restart resumes the
+    media counters losslessly from the versioned state."""
+    from flink_descriptive_stats_spark.operators.quality import \
+        dataset_card
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import \
+        start_card_monitor
+    df = _mixed_media_frame(spark)
+    chunks = str(tmp_path / "chunks")
+    df.repartition(3).write.parquet(chunks)
+    sink = str(tmp_path / "sink")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(chunks))
+        q = start_card_monitor(stream, sink, state_path=state,
+                               checkpoint_path=ckpt,
+                               payload_col="payload")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {(r["section"], r["metric"]): r["value"]
+                for r in spark.read.parquet(sink).collect()}
+
+    def _want(frame):
+        return {(r["section"], r["metric"]): r["value"]
+                for r in dataset_card(frame, payload_col="payload",
+                                      media_kind="auto").collect()
+                if r["section"].startswith("media")
+                and r["metric"] != "neardup_cluster_fraction"}
+
+    got = _run()
+    want = _want(df)
+    for key, v in want.items():
+        assert got[key] == v, (key, v, got.get(key))
+    # no cluster row leaks into the stream (declared batch-only)
+    assert not [k for k in got if k[1] == "neardup_cluster_fraction"]
+
+    # restart with more payloads (new audio pair within sA)
+    from tests.test_round9_ops import _wav
+    more = spark.createDataFrame(
+        [(100 + i, f"late doc {i}", "sA", _wav("late")) for i in (0, 1)],
+        df.schema)
+    more.coalesce(1).write.mode("append").parquet(chunks)
+    got2 = _run()
+    want2 = _want(df.unionByName(more))
+    for key, v in want2.items():
+        assert got2[key] == v, (key, v, got2.get(key))
+
+
+def test_card_monitor_empty_first_batch_typed_schema(spark, tmp_path):
+    """ADVICE r9 #2: a first micro-batch whose docs are all NULL-text
+    used to write a sink parquet with null-typed section/metric columns
+    (only value was typed) — Spark then read void columns. All three
+    columns are now explicitly string-typed."""
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import \
+        start_card_monitor
+    df = spark.createDataFrame([(1, None, "s0")],
+                               "doc_id bigint, text string, source string")
+    chunks = str(tmp_path / "chunks")
+    df.write.parquet(chunks)
+    sink = str(tmp_path / "sink")
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(chunks))
+    q = start_card_monitor(stream, sink)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(sink)
+    assert [f.dataType.simpleString() for f in out.schema.fields] \
+        == ["string", "string", "string"]
+    assert out.count() == 0
