@@ -894,6 +894,14 @@ def main(argv: list[str] | None = None) -> int:
                   "per-modality; the mixed keep set is the auto "
                   "product)", file=sys.stderr)
             return 2
+        if args.dedup and args.calibrate:
+            # ADVICE r9 #4: the if/elif below would silently run the
+            # dedup path and drop --calibrate — reject the combination
+            print("--dedup and --calibrate are mutually exclusive "
+                  "(dedup emits the keep set, calibrate the per-distance "
+                  "recall table — run them as two invocations)",
+                  file=sys.stderr)
+            return 2
         if args.dedup:
             out = multimodal.media_dedup_corpus(
                 df, kind=args.kind, max_hamming=args.max_hamming,

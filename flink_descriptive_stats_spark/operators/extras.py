@@ -692,9 +692,14 @@ def grouped_spearman(df: DataFrame, group_col: str,
     n_pairs = len(cols) * (len(cols) - 1) // 2
     if n_pairs:
         # probe the CHEAP pre-rank frame (probing the ranked frame
-        # would trigger the rank windows just to count groups)
-        _check_group_budget(df, group_col, n_pairs, max_groups,
-                            "grouped_spearman")
+        # would trigger the rank windows just to count groups) but
+        # AFTER listwise deletion (ADVICE r9 #5): probing the raw
+        # frame counted groups whose rows all drop, so a key within
+        # budget post-drop could still raise — now the probe counts
+        # exactly the groups the matrix aggregates, matching
+        # grouped_correlation's contract, still window-free
+        _check_group_budget(df.dropna(subset=list(cols)), group_col,
+                            n_pairs, max_groups, "grouped_spearman")
     base = (df.select(F.col(group_col).alias("__g"), *cols)
             .dropna(subset=list(cols)))
     from pyspark.sql import Window

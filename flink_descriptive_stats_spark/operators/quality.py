@@ -337,8 +337,10 @@ def dataset_card(df: DataFrame, text_col: str = "text",
 
     ``media_kind="auto"`` (r9): a real multimodal drop mixes images
     and audio in ONE payload column. The container header is sniffed
-    per row JVM-side (the same magic bytes the decoders dispatch on:
-    P6/BM vs RIFF....WAVE), the frame splits, and the card emits a
+    per row INSIDE the single media_fingerprints Arrow pass (the same
+    magic bytes the decoders dispatch on: P6/P3/BM vs RIFF....WAVE —
+    payload bytes are read exactly once, sniff and fingerprint
+    together), the frame splits, and the card emits a
     ``media`` summary (n_payloads, unrecognized_fraction) followed by
     ``media_image`` / ``media_audio`` sections whose three metrics
     each equal the single-kind card on that modality's slice alone

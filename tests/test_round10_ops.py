@@ -481,3 +481,45 @@ def test_card_monitor_empty_first_batch_typed_schema(spark, tmp_path):
     assert [f.dataType.simpleString() for f in out.schema.fields] \
         == ["string", "string", "string"]
     assert out.count() == 0
+
+
+# ------------------------------------------------------------ remaining
+# ADVICE r9 items: CLI flag conflict (#4), spearman probe post-drop (#5)
+
+def test_cli_media_neardup_rejects_dedup_plus_calibrate(spark, capsys,
+                                                        tmp_path):
+    """ADVICE r9 #4: --dedup + --calibrate used to silently run dedup
+    and drop --calibrate; now the combination is rejected loudly."""
+    from tests.test_round9_ops import _ppm
+    from flink_descriptive_stats_spark.__main__ import main
+    src = str(tmp_path / "media.parquet")
+    spark.createDataFrame(
+        [(i, _ppm(f"x{i}")) for i in range(4)],
+        "doc_id bigint, payload binary").write.parquet(src)
+    rc = main(["media-neardup", src, "--kind", "image",
+               "--dedup", "--calibrate"])
+    assert rc == 2
+    assert "mutually exclusive" in capsys.readouterr().err
+
+
+def test_grouped_spearman_budget_probes_post_dropna(spark):
+    """ADVICE r9 #5: the group-cardinality budget probe now counts the
+    groups that survive listwise deletion — a frame whose over-budget
+    groups are all-NULL rows must NOT raise, and results are
+    unchanged."""
+    from flink_descriptive_stats_spark.operators import extras as X
+    rows = []
+    for g in range(6):          # 6 raw groups...
+        for i in range(4):
+            if g < 2:
+                rows.append((f"g{g}", float(i), float(i * 2)))
+            else:               # ...4 of them all-NULL in the columns
+                rows.append((f"g{g}", None, None))
+    df = spark.createDataFrame(rows, "grp string, a double, b double")
+    out = X.grouped_spearman(df, "grp", ["a", "b"],
+                             max_groups=2).collect()
+    assert sorted({r["group"] for r in out}) == ["g0", "g1"]
+    # and a genuinely over-budget post-drop frame still raises
+    with pytest.raises(ValueError, match="grouped_spearman"):
+        X.grouped_spearman(
+            df.fillna(0.0), "grp", ["a", "b"], max_groups=2).collect()
