@@ -513,3 +513,21 @@ def test_paragraph_dedup_one_hash_keyed_exchange(spark):
     # first exchange but the narrow chunk explode
     assert plan.count("Exchange") == 4
     assert "Generate" in plan
+
+
+def test_markup_extraction_narrow_codegen(spark):
+    """Markup extraction (r10) is a pure narrow map: no Exchange, no
+    Python/Arrow node — the whole regex/entity/collapse pipeline stays
+    inside whole-stage codegen, and the density variant evaluates the
+    extraction inline (one scan, one Project)."""
+    from flink_descriptive_stats_spark.operators import markup as M
+    docs = load_table(spark, SF_DIR, "documents")
+    html = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        M.synth_html_expr(F.col("text"), F.col("doc_id")).alias("html"))
+    for df in (M.extract_text(html), M.markup_density(html)):
+        plan = _formatted_plan(df)
+        assert "Exchange" not in plan
+        assert "ArrowEval" not in plan and "BatchEval" not in plan
+        assert "* Project" in plan            # codegen'd (the * marker)
+        assert plan.count("Scan parquet") == 2    # one scan (tree+detail)
