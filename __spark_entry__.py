@@ -630,6 +630,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return M.markup_density(_synth_html_frame(spark, sf_dir))
     q["markup_density_documents"] = _markup_density
 
+    # end-to-end extraction composition: the crawl shape a real user
+    # runs — extract FIRST, then the text analyzers on the extracted
+    # text. The oracle replays extraction inline and feeds the same
+    # text_stats SQL, so stage INTERACTION (tokenization over extracted
+    # whitespace, entity-decoded chars in the counts) is gated too.
+    def _extracted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import markup as M
+        from flink_descriptive_stats_spark.operators import text as t_ops
+        ext = M.extract_text(_synth_html_frame(spark, sf_dir))
+        return t_ops.text_stats(ext, text_col="text_extracted",
+                                id_col="id")
+    q["extracted_text_stats_documents"] = _extracted_stats
+
     # operator composition: histogram of a derived per-doc statistic
     def _tok_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         return extras.histogram(
@@ -1700,6 +1713,7 @@ def oracle_sql() -> dict[str, str]:
     o["repetition_stats_documents"] = op.repetition_stats_sql()
     o["extract_text_documents"] = op.extract_text_sql()
     o["markup_density_documents"] = op.markup_density_sql()
+    o["extracted_text_stats_documents"] = op.extracted_text_stats_sql()
     # chunking mirror: stride 48 (64 - 16), DuckDB 1-based list slicing
     o["chunk_documents"] = (
         "WITH t AS (SELECT doc_id AS id, "

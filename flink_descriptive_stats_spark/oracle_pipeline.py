@@ -3009,3 +3009,15 @@ SELECT id, CAST(length(html) AS BIGINT) AS raw_len,
        CAST(len(regexp_extract_all(html, '{MK.SCRIPT_RE}')) AS BIGINT)
          AS n_scripts
 FROM h"""
+
+
+def extracted_text_stats_sql(table: str = "documents") -> str:
+    """text_stats over the extraction output — the end-to-end crawl
+    composition: the inner derived table rebuilds the markup shells and
+    extracts inline; text_stats_sql's own CTE then tokenizes the
+    EXTRACTED text, so the oracle replays both stages and their
+    interaction."""
+    inner = (f"(SELECT doc_id, "
+             f"{_duck_extract_text(_synth_html_case())} AS text "
+             f"FROM {table} WHERE text IS NOT NULL)")
+    return text_stats_sql(inner)
