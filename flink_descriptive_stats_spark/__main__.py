@@ -34,7 +34,7 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "dup-rate", "temporal-split", "pack-bfd", "k-anonymity",
                "quality-ensemble", "curate", "keys", "fuzzy-join",
                "temperature-mix", "dataset-card", "covariance",
-               "media-neardup")
+               "media-neardup", "extract")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -120,7 +120,7 @@ def build_parser() -> argparse.ArgumentParser:
                              "ivf-pq-index", "index-stats",
                              "index-calibration",
                              "compact-index", "rebuild-index",
-                             "index-recall"])
+                             "index-recall", "index-refine"])
     an.add_argument("--k", type=int, default=5)
     an.add_argument("--vec-col", default="embedding")
     an.add_argument("--id-col", default="vec_id")
@@ -140,6 +140,10 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--n-probes", default="1,2,4,8",
                     help="index-recall: comma-separated n_probe grid "
                          "for the recall@k sweep")
+    an.add_argument("--refines", default="1,2,4,8",
+                    help="index-refine: comma-separated refine grid "
+                         "(ADC shortlist = refine*k) for the flat-PQ "
+                         "recall@k sweep")
     _add_common(an)
 
     mn = sub.add_parser("media-neardup",
@@ -184,6 +188,18 @@ def build_parser() -> argparse.ArgumentParser:
     cr.add_argument("--text-col", default="text")
     cr.add_argument("--id-col", default="doc_id")
     _add_common(cr)
+
+    ex = sub.add_parser("extract",
+                        help="markup text extraction (crawl stage 0): "
+                             "strip script/style/nav/comments/tags, "
+                             "decode entities, collapse whitespace")
+    ex.add_argument("input")
+    ex.add_argument("--html-col", default="html")
+    ex.add_argument("--id-col", default="doc_id")
+    ex.add_argument("--density", action="store_true",
+                    help="emit per-doc markup-density signals instead "
+                         "of the extracted text")
+    _add_common(ex)
 
     ls = sub.add_parser("label-separation",
                         help="per-label Fisher separability over embeddings")
@@ -848,6 +864,19 @@ def main(argv: list[str] | None = None) -> int:
                 df, path, k=args.k, n_probes=grid,
                 id_col=args.id_col, vec_col=args.vec_col)
 
+        def _ann_index_refine():
+            # recall@k per refine level — the flat-PQ recall instrument
+            # (works on IVF-PQ too, at a fixed full-probe budget)
+            import os
+            path = args.index_path or _default_index_path("pq_index")
+            if not os.path.exists(os.path.join(path, "meta.json")):
+                similarity.write_pq_index(
+                    df, path, id_col=args.id_col, vec_col=args.vec_col)
+            grid = tuple(int(x) for x in args.refines.split(","))
+            return similarity.index_refine_calibration(
+                df, path, k=args.k, refines=grid,
+                id_col=args.id_col, vec_col=args.vec_col)
+
         def _ann_index_calibration():
             # |ADC - exact| against the STORED books: the rebuild signal
             # after retrain-free appends
@@ -878,6 +907,7 @@ def main(argv: list[str] | None = None) -> int:
             "compact-index": lambda: _ann_compact_index(),
             "rebuild-index": lambda: _ann_rebuild_index(),
             "index-recall": lambda: _ann_index_recall(),
+            "index-refine": lambda: _ann_index_refine(),
         }[args.method]()
         _emit(out, args.output)
         return 0
@@ -931,6 +961,14 @@ def main(argv: list[str] | None = None) -> int:
         df = _load(spark, args.input, args.format)
         _emit(text_ops.compression_ratio(df, text_col=args.text_col,
                                          id_col=args.id_col), args.output)
+        return 0
+
+    if args.cmd == "extract":
+        from flink_descriptive_stats_spark.operators import markup
+        df = _load(spark, args.input, args.format)
+        fn = markup.markup_density if args.density else markup.extract_text
+        _emit(fn(df, html_col=args.html_col, id_col=args.id_col),
+              args.output)
         return 0
 
     if args.cmd == "label-separation":

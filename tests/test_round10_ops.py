@@ -523,3 +523,29 @@ def test_grouped_spearman_budget_probes_post_dropna(spark):
     with pytest.raises(ValueError, match="grouped_spearman"):
         X.grouped_spearman(
             df.fillna(0.0), "grp", ["a", "b"], max_groups=2).collect()
+
+
+def test_cli_extract_subcommand(spark, capsys, tmp_path):
+    """CLI surface for the markup family: extract emits (id,
+    text_extracted); --density emits the chrome signals."""
+    from flink_descriptive_stats_spark.__main__ import main
+    src = str(tmp_path / "html.parquet")
+    spark.createDataFrame(
+        [(1, "<p>hello <em>world</em></p><script>x</script>")],
+        "doc_id bigint, html string").write.parquet(src)
+    rc = main(["extract", src])
+    out = capsys.readouterr().out
+    assert rc == 0 and "hello world" in out
+    rc = main(["extract", src, "--density"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "markup_density" in out and "n_scripts" in out
+
+
+def test_cli_ann_index_refine(spark, capsys, tmp_path):
+    from flink_descriptive_stats_spark.__main__ import main
+    src = os.path.join(SF_DIR, "embeddings.parquet")
+    idx = str(tmp_path / "pqidx")
+    rc = main(["ann", src, "--method", "index-refine",
+               "--index-path", idx, "--refines", "1,4"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "refine" in out and "recall" in out
