@@ -643,6 +643,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 id_col="id")
     q["extracted_text_stats_documents"] = _extracted_stats
 
+    # URL / domain analysis (r10): the crawl-metadata companion — the
+    # doc_id%6 deterministic URL shells exercise www/deep-subdomain/
+    # port/co.uk/uppercase-host/bare-domain/query/malformed rows; the
+    # oracle rebuilds the same URLs and replays every regex literally.
+    def _url_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import urls as U
+        d = (_load(spark, sf_dir, "documents")
+             .where(F.col("text").isNotNull()))
+        return d.select("doc_id",
+                        U.synth_url_expr(F.col("doc_id")).alias("url"))
+
+    def _url_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import urls as U
+        return U.url_components(_url_frame(spark, sf_dir))
+    q["url_components_documents"] = _url_components
+
+    def _domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import urls as U
+        return U.domain_mix(_url_frame(spark, sf_dir))
+    q["domain_mix_documents"] = _domain_mix
+
     # operator composition: histogram of a derived per-doc statistic
     def _tok_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         return extras.histogram(
@@ -1714,6 +1735,8 @@ def oracle_sql() -> dict[str, str]:
     o["extract_text_documents"] = op.extract_text_sql()
     o["markup_density_documents"] = op.markup_density_sql()
     o["extracted_text_stats_documents"] = op.extracted_text_stats_sql()
+    o["url_components_documents"] = op.url_components_sql()
+    o["domain_mix_documents"] = op.domain_mix_sql()
     # chunking mirror: stride 48 (64 - 16), DuckDB 1-based list slicing
     o["chunk_documents"] = (
         "WITH t AS (SELECT doc_id AS id, "

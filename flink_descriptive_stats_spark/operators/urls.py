@@ -1,0 +1,144 @@
+"""URL / domain analysis — the crawl-metadata companion of the markup
+family.
+
+A crawl corpus carries a URL per document, and the first curation
+questions are metadata questions: which domains dominate (per-domain
+caps), what the TLD mix is, how deep the average page sits, how much
+carries query strings (session/tracking URLs are dedup bait). All
+JVM-side regexp_extract / split built-ins — zero Python — with the
+same Java-regex/RE2 common-subset discipline as operators/markup.py so
+the DuckDB oracle (oracle_pipeline.url_components_sql / domain_mix_sql)
+replays every expression literally.
+
+The reference has no analog (it profiles typed columns,
+ProfileJob.java:86-98); extension surface for the pipeline story.
+
+Parsing contract (documented, deliberate — a regex parser, not an RFC
+3986 state machine):
+
+- scheme     lowercase ``[a-z][a-z0-9+.-]*`` before ``://``; a row
+             without one parses to all-NULL components (kept, flagged
+             ``valid=false`` — the triage row for malformed crawl
+             metadata).
+- host       authority up to the first ``/``, ``?`` or ``#``;
+             lowercased; a trailing ``:port`` is stripped (the port is
+             not a component we report).
+- domain     the LAST TWO dot-labels of the host — a heuristic, NOT the
+             public-suffix list: ``bbc.co.uk`` reports ``co.uk``
+             (documented; carrying Mozilla's PSL is out of scope and
+             the dominance/cap use case only needs a stable key).
+- tld        the last label.
+- path_depth the count of non-empty ``/`` segments after the host
+             (0 for a bare domain, query/fragment excluded).
+- has_query  a literal ``?`` anywhere after the scheme.
+
+Scale: one narrow codegen Project (url_components); domain_mix is one
+bounded groupBy(domain) — the same shuffle shape as the card's source
+tally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_descriptive_stats_spark.functions.sig import sig6
+
+#: scheme://  (group 1 = scheme) — anchored, lowercase-only by contract
+SCHEME_RE = "^([a-z][a-z0-9+.-]*)://"
+#: authority after the scheme (group 1), up to /, ? or #
+HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
+#: trailing :port on an authority
+PORT_RE = ":[0-9]+$"
+#: last two dot-labels (group 1) — the registrable-domain heuristic
+DOMAIN_RE = "([^.]+[.][^.]+)$"
+#: last label (group 1)
+TLD_RE = "[.]([^.]+)$"
+#: the path part (group 1): after authority, before ? or #
+PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)"
+
+
+def url_components(df: DataFrame, url_col: str = "url",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id, valid, scheme, host, domain, tld, path_depth, has_query)
+    per document — see the module docstring for the parsing contract.
+    NULL urls are out of scope; malformed ones (no ``scheme://``) stay
+    as valid=false rows with NULL components so the corpus's
+    bad-metadata fraction is countable."""
+    c = F.col(url_col)
+    scheme = F.nullif(F.regexp_extract(c, SCHEME_RE, 1), F.lit(""))
+    raw_host = F.nullif(F.regexp_extract(c, HOST_RE, 1), F.lit(""))
+    host = F.lower(F.regexp_replace(raw_host, PORT_RE, ""))
+    path = F.nullif(F.regexp_extract(c, PATH_RE, 1), F.lit(""))
+    depth = F.when(
+        scheme.isNull(), F.lit(None).cast("bigint")
+    ).otherwise(
+        F.size(F.filter(F.split(F.coalesce(path, F.lit("")), "/"),
+                        lambda x: x != "")).cast("bigint"))
+    return (df.where(c.isNotNull())
+            .select(
+                F.col(id_col).alias("id"),
+                scheme.isNotNull().alias("valid"),
+                scheme.alias("scheme"),
+                host.alias("host"),
+                F.nullif(F.regexp_extract(host, DOMAIN_RE, 1),
+                         F.lit("")).alias("domain"),
+                F.nullif(F.regexp_extract(host, TLD_RE, 1),
+                         F.lit("")).alias("tld"),
+                depth.alias("path_depth"),
+                F.when(scheme.isNull(), F.lit(None).cast("boolean"))
+                .otherwise(c.contains("?")).alias("has_query")))
+
+
+def domain_mix(df: DataFrame, url_col: str = "url",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-domain dominance table: (domain, n_docs, share) over the
+    VALID urls — the per-domain-cap planning view (a domain whose share
+    dwarfs the rest is the upstream ticket, exactly like the card's
+    max_source_share but keyed on crawl metadata). share is sig6 of
+    n_docs / total valid docs. One bounded groupBy; invalid/malformed
+    rows are excluded (they have no domain) and countable via
+    url_components."""
+    comp = url_components(df, url_col=url_col, id_col=id_col)
+    d = comp.where(F.col("domain").isNotNull())
+    counts = d.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+    # total via a broadcast 1-row cross join, not a global window: the
+    # domain table is bounded either way, but this keeps the plan free
+    # of the single-partition WindowExec shape
+    total = counts.agg(F.sum("n_docs").alias("__total"))
+    return (counts.crossJoin(F.broadcast(total)).select(
+        "domain", "n_docs",
+        sig6(F.col("n_docs").cast("double")
+             / F.col("__total").cast("double")).alias("share")))
+
+
+# --------------------------------------------------------------------------
+# deterministic URL fixture (crawl metadata synthesized from doc_id)
+# --------------------------------------------------------------------------
+#: (scheme, host, path template, query) shells, chosen to exercise the
+#: whole contract: www/no-www, deep subdomain, explicit port, co.uk
+#: (the documented 2-label heuristic boundary), uppercase host
+#: (lowercased), bare domain (depth 0), deep path, query string, and
+#: one malformed row (no scheme). No single quotes or backslashes.
+URL_VARIANTS: tuple[str, ...] = (
+    "https://www.example.com/articles/",
+    "http://news.example.org/a/b/c",
+    "https://EXAMPLE.net#frag",          # bare domain: depth 0, no query
+    "https://cdn.static.example.io:8443/assets",
+    "http://bbc.co.uk/news?page=",
+    "www.broken-no-scheme.com/x",
+)
+
+
+def synth_url_expr(id_col):
+    """doc_id -> a deterministic URL (variant by id % 6, id suffixed
+    into the path/query so hosts repeat but URLs stay distinct) — the
+    Spark side of the shared fixture (SQL twin:
+    oracle_pipeline._synth_url_case)."""
+    v = id_col.cast("bigint") % len(URL_VARIANTS)
+    out = None
+    for i, base in enumerate(URL_VARIANTS):
+        branch = F.concat(F.lit(base), id_col.cast("string"))
+        out = (F.when(v == i, branch) if out is None
+               else out.when(v == i, branch))
+    return out

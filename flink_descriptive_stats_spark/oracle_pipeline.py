@@ -3021,3 +3021,67 @@ def extracted_text_stats_sql(table: str = "documents") -> str:
              f"{_duck_extract_text(_synth_html_case())} AS text "
              f"FROM {table} WHERE text IS NOT NULL)")
     return text_stats_sql(inner)
+
+
+# --------------------------------------------------------------------------
+# URL / domain analysis (operators/urls.py)
+# --------------------------------------------------------------------------
+
+def _synth_url_case(id_expr: str = "doc_id") -> str:
+    """The shared URL-fixture shells as a DuckDB CASE expression — the
+    SQL twin of urls.synth_url_expr, built from the SAME URL_VARIANTS
+    literals."""
+    from flink_descriptive_stats_spark.operators import urls as U
+    whens = []
+    for i, base in enumerate(U.URL_VARIANTS):
+        assert "'" not in base and "\\" not in base
+        whens.append(
+            f"WHEN {i} THEN '{base}' || CAST({id_expr} AS VARCHAR)")
+    return (f"CASE CAST({id_expr} AS BIGINT) % {len(U.URL_VARIANTS)} "
+            + " ".join(whens) + " END")
+
+
+def url_components_sql(table: str = "documents") -> str:
+    """urls.url_components mirrored expression by expression (same
+    regex constants, same NULL/empty handling, same port-strip-then-
+    lowercase order, same depth guard on invalid rows)."""
+    from flink_descriptive_stats_spark.operators import urls as U
+    scheme = f"nullif(regexp_extract(url, '{U.SCHEME_RE}', 1), '')"
+    raw_host = f"nullif(regexp_extract(url, '{U.HOST_RE}', 1), '')"
+    host = f"lower(regexp_replace({raw_host}, '{U.PORT_RE}', ''))"
+    path = f"nullif(regexp_extract(url, '{U.PATH_RE}', 1), '')"
+    depth = (f"CASE WHEN {scheme} IS NULL THEN NULL ELSE "
+             f"CAST(len(list_filter(string_split(coalesce({path}, ''), "
+             f"'/'), x -> x <> '')) AS BIGINT) END")
+    return f"""
+WITH u AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                  {_synth_url_case()} AS url
+           FROM {table} WHERE text IS NOT NULL)
+SELECT id,
+       {scheme} IS NOT NULL AS valid,
+       {scheme} AS scheme,
+       {host} AS host,
+       nullif(regexp_extract({host}, '{U.DOMAIN_RE}', 1), '') AS domain,
+       nullif(regexp_extract({host}, '{U.TLD_RE}', 1), '') AS tld,
+       {depth} AS path_depth,
+       CASE WHEN {scheme} IS NULL THEN NULL
+            ELSE contains(url, '?') END AS has_query
+FROM u"""
+
+
+def domain_mix_sql(table: str = "documents") -> str:
+    from flink_descriptive_stats_spark.operators import urls as U
+    raw_host = f"nullif(regexp_extract(url, '{U.HOST_RE}', 1), '')"
+    host = f"lower(regexp_replace({raw_host}, '{U.PORT_RE}', ''))"
+    return f"""
+WITH u AS (SELECT {_synth_url_case()} AS url
+           FROM {table} WHERE text IS NOT NULL),
+d AS (SELECT nullif(regexp_extract({host}, '{U.DOMAIN_RE}', 1), '')
+        AS domain FROM u),
+c AS (SELECT domain, count(*) AS n_docs FROM d
+      WHERE domain IS NOT NULL GROUP BY domain),
+r AS (SELECT domain, n_docs, CAST(n_docs AS DOUBLE)
+        / CAST(sum(n_docs) OVER () AS DOUBLE) AS sh FROM c)
+SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+       {duck_sig6("sh")} AS share
+FROM r"""

@@ -531,3 +531,30 @@ def test_markup_extraction_narrow_codegen(spark):
         assert "ArrowEval" not in plan and "BatchEval" not in plan
         assert "* Project" in plan            # codegen'd (the * marker)
         assert plan.count("Scan parquet") == 2    # one scan (tree+detail)
+
+
+def test_url_components_narrow_codegen(spark):
+    """URL parsing (r10) is the same shape as markup extraction: one
+    narrow codegen Project over the scan, no Exchange, no Python.
+    domain_mix adds exactly the bounded two-phase groupBy plus the
+    broadcast of the 1-row total — never a single-partition window."""
+    from flink_descriptive_stats_spark.operators import urls as U
+    docs = load_table(spark, SF_DIR, "documents")
+    withurl = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", U.synth_url_expr(F.col("doc_id")).alias("url"))
+    plan = _formatted_plan(U.url_components(withurl))
+    assert "Exchange" not in plan
+    assert "ArrowEval" not in plan and "BatchEval" not in plan
+    assert "* Project" in plan
+    mixdf = U.domain_mix(withurl)
+    mix = _formatted_plan(mixdf)
+    assert "Window" not in mix
+    assert "BroadcastExchange" in mix
+    # the total-agg branch statically duplicates the counts subtree;
+    # at runtime AQE computes the keyed shuffle ONCE — pin the reuse
+    # in the executed (final) plan
+    mixdf.collect()
+    final = mixdf._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "ReusedExchange" in final

@@ -549,3 +549,90 @@ def test_cli_ann_index_refine(spark, capsys, tmp_path):
                "--index-path", idx, "--refines", "1,4"])
     out = capsys.readouterr().out
     assert rc == 0 and "refine" in out and "recall" in out
+
+
+# ------------------------------------------------------------ URL /
+# domain analysis (round-10 extension: crawl-metadata companion)
+
+def _url_rows(spark, urls):
+    from flink_descriptive_stats_spark.operators import urls as U
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id bigint, url string")
+    return {r["id"]: r.asDict() for r in U.url_components(df).collect()}
+
+
+def test_url_components_contract(spark):
+    """One row per URL_VARIANTS shell: www host kept, port stripped,
+    uppercase host lowered, co.uk reports the documented 2-label
+    heuristic, bare domain has depth 0 and no query, malformed row is
+    valid=false with all-NULL components."""
+    rows = _url_rows(spark, [
+        "https://www.example.com/articles/guide",
+        "http://news.example.org/a/b/c",
+        "https://EXAMPLE.net#frag",
+        "https://cdn.static.example.io:8443/assets",
+        "http://bbc.co.uk/news?page=2",
+        "www.broken-no-scheme.com/x",
+    ])
+    r = rows[0]
+    assert r["valid"] and r["scheme"] == "https"
+    assert r["host"] == "www.example.com" and r["domain"] == "example.com"
+    assert r["tld"] == "com" and r["path_depth"] == 2
+    assert r["has_query"] is False
+    assert rows[1]["path_depth"] == 3
+    assert rows[1]["domain"] == "example.org"
+    r = rows[2]  # uppercase bare domain with fragment
+    assert r["host"] == "example.net" and r["path_depth"] == 0
+    assert r["has_query"] is False
+    r = rows[3]  # explicit port stripped
+    assert r["host"] == "cdn.static.example.io"
+    assert r["domain"] == "example.io" and r["tld"] == "io"
+    r = rows[4]  # documented 2-label heuristic: co.uk, not bbc.co.uk
+    assert r["domain"] == "co.uk" and r["tld"] == "uk"
+    assert r["has_query"] is True
+    r = rows[5]  # no scheme:// -> triage row
+    assert r["valid"] is False
+    for k in ("scheme", "host", "domain", "tld", "path_depth",
+              "has_query"):
+        assert r[k] is None, k
+
+
+def test_url_components_null_urls_excluded(spark):
+    from flink_descriptive_stats_spark.operators import urls as U
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x"), (2, None)],
+        "doc_id bigint, url string")
+    out = U.url_components(df).collect()
+    assert [r["id"] for r in out] == [1]
+
+
+def test_domain_mix_shares(spark):
+    """Shares are over VALID rows only and sum to 1; the malformed row
+    is excluded from the denominator."""
+    from flink_descriptive_stats_spark.operators import urls as U
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x"), (2, "https://b.example.com/y"),
+         (3, "http://other.org"), (4, "no-scheme.com/z")],
+        "doc_id bigint, url string")
+    rows = {r["domain"]: r for r in U.domain_mix(df).collect()}
+    assert rows["example.com"]["n_docs"] == 2
+    assert rows["other.org"]["n_docs"] == 1
+    assert abs(float(rows["example.com"]["share"]) - 2 / 3) < 1e-6
+    assert abs(sum(float(r["share"]) for r in rows.values()) - 1.0) < 1e-6
+
+
+def test_synth_url_fixture_exercises_every_variant(spark):
+    """The deterministic doc_id fixture hits all six shells and stays
+    distinct per id (hosts repeat, URLs do not)."""
+    from flink_descriptive_stats_spark.operators import urls as U
+    df = spark.range(12).select(
+        F.col("id").alias("doc_id"),
+        U.synth_url_expr(F.col("id")).alias("url"))
+    comp = U.url_components(df)
+    assert comp.count() == 12
+    assert df.select("url").distinct().count() == 12
+    hosts = {r["host"] for r in comp.where("valid").collect()}
+    assert hosts == {"www.example.com", "news.example.org",
+                     "example.net", "cdn.static.example.io",
+                     "bbc.co.uk"}
+    assert comp.where(~F.col("valid")).count() == 2
