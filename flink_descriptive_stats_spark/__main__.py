@@ -34,7 +34,7 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "dup-rate", "temporal-split", "pack-bfd", "k-anonymity",
                "quality-ensemble", "curate", "keys", "fuzzy-join",
                "temperature-mix", "dataset-card", "covariance",
-               "media-neardup", "extract")
+               "media-neardup", "extract", "urls")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -200,6 +200,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="emit per-doc markup-density signals instead "
                          "of the extracted text")
     _add_common(ex)
+
+    ur = sub.add_parser("urls",
+                        help="crawl-metadata URL parsing: per-doc "
+                             "scheme/host/domain/tld/path-depth/query "
+                             "components, or the per-domain dominance "
+                             "mix (--mix)")
+    ur.add_argument("input")
+    ur.add_argument("--url-col", default="url")
+    ur.add_argument("--id-col", default="doc_id")
+    ur.add_argument("--mix", action="store_true",
+                    help="emit (domain, n_docs, share) over valid URLs "
+                         "instead of per-doc components")
+    _add_common(ur)
 
     ls = sub.add_parser("label-separation",
                         help="per-label Fisher separability over embeddings")
@@ -968,6 +981,14 @@ def main(argv: list[str] | None = None) -> int:
         df = _load(spark, args.input, args.format)
         fn = markup.markup_density if args.density else markup.extract_text
         _emit(fn(df, html_col=args.html_col, id_col=args.id_col),
+              args.output)
+        return 0
+
+    if args.cmd == "urls":
+        from flink_descriptive_stats_spark.operators import urls as url_ops
+        df = _load(spark, args.input, args.format)
+        fn = url_ops.domain_mix if args.mix else url_ops.url_components
+        _emit(fn(df, url_col=args.url_col, id_col=args.id_col),
               args.output)
         return 0
 

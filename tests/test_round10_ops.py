@@ -636,3 +636,18 @@ def test_synth_url_fixture_exercises_every_variant(spark):
                      "example.net", "cdn.static.example.io",
                      "bbc.co.uk"}
     assert comp.where(~F.col("valid")).count() == 2
+
+
+def test_cli_urls_subcommand(spark, capsys, tmp_path):
+    from flink_descriptive_stats_spark.__main__ import main
+    src = str(tmp_path / "urls.parquet")
+    spark.createDataFrame(
+        [(1, "https://www.example.com/a/b"), (2, "http://other.org?q=1"),
+         (3, "no-scheme.net/x")],
+        "doc_id bigint, url string").write.parquet(src)
+    rc = main(["urls", src])
+    out = capsys.readouterr().out
+    assert rc == 0 and "example.com" in out and "path_depth" in out
+    rc = main(["urls", src, "--mix"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "share" in out and "other.org" in out

@@ -606,6 +606,27 @@ def main() -> None:
         "card's markup section without any extra pass.",
         fmt(spark, MK.markup_density(html))))
 
+    from flink_descriptive_stats_spark.operators import urls as UR
+    withurl = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", UR.synth_url_expr(F.col("doc_id")).alias("url"))
+    sections.append((
+        "URL components (round 10)",
+        "Crawl-metadata parsing: one narrow codegen Project — six JVM\n"
+        "regexp extractions (scheme, host, port strip, registrable\n"
+        "domain, TLD, path) plus a split/filter depth count. No\n"
+        "shuffle, no Python; malformed rows stay as valid=false triage\n"
+        "rows instead of being dropped.",
+        fmt(spark, UR.url_components(withurl))))
+
+    sections.append((
+        "Domain dominance mix (round 10)",
+        "Per-domain shares via ONE bounded groupBy(domain) plus a\n"
+        "broadcast 1-row total — never a single-partition Window. The\n"
+        "static plan duplicates the counts subtree for the total\n"
+        "branch; AQE computes the keyed shuffle once (ReusedExchange —\n"
+        "pinned in tests/test_plan_shapes.py on the executed plan).",
+        fmt(spark, UR.domain_mix(withurl))))
+
     with open("EXPLAIN.md", "w") as f:
         f.write(
             '# Plan audit — `.explain("formatted")` of the flagship '
