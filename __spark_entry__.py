@@ -664,6 +664,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return U.domain_mix(_url_frame(spark, sf_dir))
     q["domain_mix_documents"] = _domain_mix
 
+    # the curation ACTION domain_mix plans for: cap 40 per domain
+    # (~83/domain at sf0.01, so the cap genuinely cuts), keep-lowest-id
+    # deterministic, malformed rows kept
+    def _domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import urls as U
+        capped = U.cap_domains(_url_frame(spark, sf_dir),
+                               max_per_domain=40)
+        return capped.select(F.col("doc_id").alias("id"), "domain")
+    q["domain_cap_documents"] = _domain_cap
+
     # operator composition: histogram of a derived per-doc statistic
     def _tok_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         return extras.histogram(
@@ -1737,6 +1747,7 @@ def oracle_sql() -> dict[str, str]:
     o["extracted_text_stats_documents"] = op.extracted_text_stats_sql()
     o["url_components_documents"] = op.url_components_sql()
     o["domain_mix_documents"] = op.domain_mix_sql()
+    o["domain_cap_documents"] = op.domain_cap_sql(max_per_domain=40)
     # chunking mirror: stride 48 (64 - 16), DuckDB 1-based list slicing
     o["chunk_documents"] = (
         "WITH t AS (SELECT doc_id AS id, "

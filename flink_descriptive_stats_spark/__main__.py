@@ -212,6 +212,10 @@ def build_parser() -> argparse.ArgumentParser:
     ur.add_argument("--mix", action="store_true",
                     help="emit (domain, n_docs, share) over valid URLs "
                          "instead of per-doc components")
+    ur.add_argument("--cap", type=int, default=None, metavar="N",
+                    help="apply the per-domain cap instead: keep at "
+                         "most N docs per domain (lowest id first; "
+                         "malformed rows kept)")
     _add_common(ur)
 
     ls = sub.add_parser("label-separation",
@@ -986,10 +990,22 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "urls":
         from flink_descriptive_stats_spark.operators import urls as url_ops
+        if args.mix and args.cap is not None:
+            print("error: --mix and --cap are mutually exclusive",
+                  file=sys.stderr)
+            return 2
         df = _load(spark, args.input, args.format)
-        fn = url_ops.domain_mix if args.mix else url_ops.url_components
-        _emit(fn(df, url_col=args.url_col, id_col=args.id_col),
-              args.output)
+        if args.cap is not None:
+            out = url_ops.cap_domains(df, url_col=args.url_col,
+                                      id_col=args.id_col,
+                                      max_per_domain=args.cap)
+        elif args.mix:
+            out = url_ops.domain_mix(df, url_col=args.url_col,
+                                     id_col=args.id_col)
+        else:
+            out = url_ops.url_components(df, url_col=args.url_col,
+                                         id_col=args.id_col)
+        _emit(out, args.output)
         return 0
 
     if args.cmd == "label-separation":

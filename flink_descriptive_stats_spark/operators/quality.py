@@ -290,6 +290,7 @@ def dataset_card(df: DataFrame, text_col: str = "text",
                  payload_col: str | None = None,
                  media_kind: str = "image",
                  html_col: str | None = None,
+                 url_col: str | None = None,
                  single_pass: bool = True) -> DataFrame:
     """One-call corpus datasheet — the LLM-pipeline analogue of the
     reference's console report: (section, metric, value) rows, in a
@@ -357,6 +358,15 @@ def dataset_card(df: DataFrame, text_col: str = "text",
     of scope like NULL-text ones. Defaults to None so existing cards
     are byte-identical.
 
+    ``url_col`` (r10): when named AND present, a ``url`` section
+    follows the markup one — the crawl-metadata datasheet:
+    n_url_docs, invalid_url_fraction (the valid=false triage share),
+    n_domains, max_domain_share (the per-domain-cap planning number,
+    the metadata twin of max_source_share), query_url_fraction, and
+    mean_path_depth — each a bounded aggregate of
+    urls.url_components' own per-doc output (pytest-pinned equal).
+    Defaults to None so existing cards are byte-identical.
+
     ``single_pass`` (r8; the DEFAULT since r9 — parity with the
     five-pass path is row-for-row pinned and both gate against the
     same oracle, so the 100 TB plan is what a naive caller gets):
@@ -379,6 +389,8 @@ def dataset_card(df: DataFrame, text_col: str = "text",
                                               source_col, exact)
         if html_col is not None and html_col in df.columns:
             rows += _markup_card_rows(df, html_col)
+        if url_col is not None and url_col in df.columns:
+            rows += _url_card_rows(df, url_col)
         if payload_col is not None and payload_col in df.columns:
             rows += _media_card_rows(df, payload_col, media_kind, id_col)
         return df.sparkSession.createDataFrame(
@@ -435,10 +447,50 @@ def dataset_card(df: DataFrame, text_col: str = "text",
     ]
     if html_col is not None and html_col in df.columns:
         rows += _markup_card_rows(df, html_col)
+    if url_col is not None and url_col in df.columns:
+        rows += _url_card_rows(df, url_col)
     if payload_col is not None and payload_col in df.columns:
         rows += _media_card_rows(df, payload_col, media_kind, id_col)
     return df.sparkSession.createDataFrame(
         rows, "section string, metric string, value string")
+
+
+def _url_card_rows(df: DataFrame, url_col: str) -> list:
+    """The url section of dataset_card — the datasheet view of the
+    crawl metadata (operators/urls.py): how domain-concentrated the
+    corpus is (the per-domain-cap planning number, exactly like
+    max_source_share), how much metadata is malformed, how much
+    carries query strings, and how deep pages sit. ONE bounded
+    aggregate over url_components' expressions plus ONE bounded
+    groupBy(domain) for the dominance row — the same shape as the
+    source tally. Fractions are over VALID urls except
+    invalid_url_fraction itself (over all non-NULL url rows)."""
+    from flink_descriptive_stats_spark.functions.sig import sig6, sig6_py
+    from flink_descriptive_stats_spark.operators.urls import \
+        url_components
+    comp = url_components(df, url_col=url_col)
+    r = comp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(~F.col("valid")).alias("bad"),
+        F.count_if(F.col("valid")).alias("ok"),
+        F.count_if(F.col("has_query")).alias("q"),
+        sig6(F.avg(F.col("path_depth").cast("double"))).alias("depth"),
+        F.count_distinct(F.col("domain")).alias("nd")).collect()[0]
+    n, ok = int(r["n"]), int(r["ok"])
+    dmax = (comp.where(F.col("domain").isNotNull())
+            .groupBy("domain").agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c")).collect()[0][0])
+    return [
+        ("url", "n_url_docs", str(n)),
+        ("url", "invalid_url_fraction",
+         sig6_py(int(r["bad"]) / n) if n else None),
+        ("url", "n_domains", str(int(r["nd"]))),
+        ("url", "max_domain_share",
+         sig6_py(int(dmax) / ok) if ok and dmax is not None else None),
+        ("url", "query_url_fraction",
+         sig6_py(int(r["q"]) / ok) if ok else None),
+        ("url", "mean_path_depth", r["depth"]),
+    ]
 
 
 def _markup_card_rows(df: DataFrame, html_col: str) -> list:

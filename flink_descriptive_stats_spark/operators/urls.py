@@ -112,6 +112,41 @@ def domain_mix(df: DataFrame, url_col: str = "url",
              / F.col("__total").cast("double")).alias("share")))
 
 
+def cap_domains(df: DataFrame, url_col: str = "url",
+                id_col: str = "doc_id", max_per_domain: int = 100,
+                keep_invalid: bool = True) -> DataFrame:
+    """Per-domain cap — the curation ACTION domain_mix plans for: keep
+    at most ``max_per_domain`` documents per registrable domain,
+    deterministically (lowest id first), so one crawl-heavy domain
+    cannot dominate the training mix. Returns the input columns plus
+    the ``domain`` each row was capped under.
+
+    Rows with no domain (malformed metadata, valid=false) are KEPT by
+    default — capping is a dominance remediation, not a validity
+    filter; pass ``keep_invalid=False`` to drop them instead.
+
+    Scale: one keyed shuffle (window partitioned by domain) with
+    bounded per-group state — the same shape as keep-first dedup; the
+    full rows ride the shuffle once and nothing is collected."""
+    from pyspark.sql import Window
+    if max_per_domain < 1:
+        raise ValueError("max_per_domain must be >= 1, got "
+                         f"{max_per_domain}")
+    c = F.col(url_col)
+    raw_host = F.nullif(F.regexp_extract(c, HOST_RE, 1), F.lit(""))
+    host = F.lower(F.regexp_replace(raw_host, PORT_RE, ""))
+    domain = F.nullif(F.regexp_extract(host, DOMAIN_RE, 1), F.lit(""))
+    w = Window.partitionBy("domain").orderBy(F.col(id_col))
+    out = (df.where(c.isNotNull())
+           .withColumn("domain", domain)
+           .withColumn("__rn", F.row_number().over(w))
+           .where(F.when(F.col("domain").isNull(),
+                         F.lit(bool(keep_invalid)))
+                  .otherwise(F.col("__rn") <= max_per_domain))
+           .drop("__rn"))
+    return out
+
+
 # --------------------------------------------------------------------------
 # deterministic URL fixture (crawl metadata synthesized from doc_id)
 # --------------------------------------------------------------------------

@@ -3085,3 +3085,25 @@ r AS (SELECT domain, n_docs, CAST(n_docs AS DOUBLE)
 SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
        {duck_sig6("sh")} AS share
 FROM r"""
+
+
+def domain_cap_sql(table: str = "documents",
+                   max_per_domain: int = 40) -> str:
+    """urls.cap_domains mirrored: the same domain derivation chain
+    (host extract -> port strip -> lowercase -> 2-label heuristic) and
+    the same deterministic keep-lowest-id-first row_number cap;
+    domain-less (malformed) rows kept, like keep_invalid=True."""
+    from flink_descriptive_stats_spark.operators import urls as U
+    raw_host = f"nullif(regexp_extract(url, '{U.HOST_RE}', 1), '')"
+    host = f"lower(regexp_replace({raw_host}, '{U.PORT_RE}', ''))"
+    domain = f"nullif(regexp_extract({host}, '{U.DOMAIN_RE}', 1), '')"
+    return f"""
+WITH u AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                  {_synth_url_case()} AS url
+           FROM {table} WHERE text IS NOT NULL),
+d AS (SELECT id, {domain} AS domain FROM u),
+r AS (SELECT id, domain,
+             row_number() OVER (PARTITION BY domain ORDER BY id) AS rn
+      FROM d)
+SELECT id, domain FROM r
+WHERE domain IS NULL OR rn <= {max_per_domain}"""

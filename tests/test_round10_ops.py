@@ -651,3 +651,76 @@ def test_cli_urls_subcommand(spark, capsys, tmp_path):
     rc = main(["urls", src, "--mix"])
     out = capsys.readouterr().out
     assert rc == 0 and "share" in out and "other.org" in out
+
+
+def test_cap_domains_semantics(spark):
+    """Cap keeps the LOWEST ids per domain, leaves under-cap domains
+    whole, keeps malformed rows by default and drops them with
+    keep_invalid=False; cap < 1 raises."""
+    from flink_descriptive_stats_spark.operators import urls as U
+    rows = ([(i, "https://big.example.com/p") for i in range(5)]
+            + [(10, "https://small.org/x")]
+            + [(11, "malformed-no-scheme/x")])
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    out = U.cap_domains(df, max_per_domain=2).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r["doc_id"])
+    assert sorted(by_dom["example.com"]) == [0, 1]   # lowest ids win
+    assert by_dom["small.org"] == [10]               # under cap: whole
+    assert by_dom[None] == [11]                      # malformed kept
+    strict = U.cap_domains(df, max_per_domain=2, keep_invalid=False)
+    assert strict.where(F.col("domain").isNull()).count() == 0
+    with pytest.raises(ValueError):
+        U.cap_domains(df, max_per_domain=0)
+
+
+def test_dataset_card_url_section(spark):
+    """Card integration pin: the url section's numbers equal bounded
+    aggregates of url_components' own per-doc output; the card without
+    url_col is byte-identical to before."""
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    from flink_descriptive_stats_spark.operators import quality as Q
+    from flink_descriptive_stats_spark.operators import urls as U
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    withurl = docs.select(
+        "doc_id", "text", "source",
+        U.synth_url_expr(F.col("doc_id")).alias("url"))
+
+    base = Q.dataset_card(withurl).collect()
+    assert Q.dataset_card(docs).collect() == base    # unchanged w/o url
+
+    card = Q.dataset_card(withurl, url_col="url").collect()
+    assert card[:len(base)] == base
+    ur = {r["metric"]: r["value"] for r in card[len(base):]
+          if r["section"] == "url"}
+    per = U.url_components(withurl).collect()
+    n = len(per)
+    valid = [r for r in per if r["valid"]]
+    doms = [r["domain"] for r in valid if r["domain"] is not None]
+    from collections import Counter
+    top = Counter(doms).most_common(1)[0][1]
+    assert ur["n_url_docs"] == str(n)
+    assert ur["invalid_url_fraction"] == sig6_py((n - len(valid)) / n)
+    assert ur["n_domains"] == str(len(set(doms)))
+    assert ur["max_domain_share"] == sig6_py(top / len(valid))
+    assert ur["query_url_fraction"] == sig6_py(
+        sum(r["has_query"] for r in valid) / len(valid))
+    assert ur["mean_path_depth"] == sig6_py(
+        sum(r["path_depth"] for r in valid) / len(valid))
+
+
+def test_cli_urls_cap_and_flag_conflict(spark, capsys, tmp_path):
+    from flink_descriptive_stats_spark.__main__ import main
+    src = str(tmp_path / "capurls.parquet")
+    spark.createDataFrame(
+        [(i, "https://big.example.com/p") for i in range(4)]
+        + [(9, "https://small.org/x")],
+        "doc_id bigint, url string").write.parquet(src)
+    rc = main(["urls", src, "--cap", "2"])
+    out = capsys.readouterr().out
+    # 2 kept rows, each showing the domain in url AND domain columns
+    assert rc == 0 and out.count("example.com") == 4
+    assert "small.org" in out
+    rc = main(["urls", src, "--mix", "--cap", "2"])
+    assert rc == 2
