@@ -674,6 +674,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return capped.select(F.col("doc_id").alias("id"), "domain")
     q["domain_cap_documents"] = _domain_cap
 
+    # URL-keyed eval-set decontamination: holdout = every id%5==0 doc,
+    # re-schemed https->http so scheme-insensitive matching is what the
+    # gate actually verifies; variants whose canonical key collapses
+    # (query-string and fragment-only paths) are removed wholesale by
+    # one holdout hit — by-design, replayed literally by the oracle
+    def _url_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import urls as U
+        train = _url_frame(spark, sf_dir)
+        holdout = (train.where(F.col("doc_id") % 5 == 0)
+                   .select(F.regexp_replace("url", "^https://",
+                                            "http://").alias("url")))
+        kept = U.decontaminate_by_url(train, holdout)
+        return kept.select(F.col("doc_id").alias("id"), "url")
+    q["url_decontaminate_documents"] = _url_decon
+
     # operator composition: histogram of a derived per-doc statistic
     def _tok_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         return extras.histogram(
@@ -1748,6 +1763,7 @@ def oracle_sql() -> dict[str, str]:
     o["url_components_documents"] = op.url_components_sql()
     o["domain_mix_documents"] = op.domain_mix_sql()
     o["domain_cap_documents"] = op.domain_cap_sql(max_per_domain=40)
+    o["url_decontaminate_documents"] = op.url_decontaminate_sql()
     # chunking mirror: stride 48 (64 - 16), DuckDB 1-based list slicing
     o["chunk_documents"] = (
         "WITH t AS (SELECT doc_id AS id, "

@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Bloom-prefiltered exact path: same output, the "
                          "corpus-side shuffle shrinks to the bloom-"
                          "positive sliver (the 100 TB middle regime)")
+    dc.add_argument("--by-url", action="store_true",
+                    help="match on canonical URLs (scheme/case/port/"
+                         "www/query-insensitive) instead of content — "
+                         "catches eval docs whose published page the "
+                         "train text doesn't reproduce verbatim")
+    dc.add_argument("--url-col", default="url")
     dc.add_argument("--text-col", default="text")
     dc.add_argument("--id-col", default="doc_id")
     _add_common(dc)
@@ -784,6 +790,16 @@ def main(argv: list[str] | None = None) -> int:
         from flink_descriptive_stats_spark.operators import dedup
         train = _load(spark, args.train, args.format)
         holdout = _load(spark, args.holdout, args.format)
+        if args.by_url and (args.bloom or args.fuzzy):
+            print("error: --by-url cannot combine with --bloom/--fuzzy",
+                  file=sys.stderr)
+            return 2
+        if args.by_url:
+            from flink_descriptive_stats_spark.operators import urls
+            _emit(urls.decontaminate_by_url(train, holdout,
+                                            url_col=args.url_col),
+                  args.output)
+            return 0
         if args.bloom:
             out = dedup.decontaminate_bloom(
                 train, holdout, content_col=args.text_col,

@@ -762,11 +762,67 @@ def _media_by_source_rows(df: DataFrame, payload_col: str,
     return rows
 
 
+def _url_by_source_rows(df: DataFrame, url_col: str, id_col: str,
+                        source_col: str) -> list:
+    """Per-source url triage rows: the corpus card's url section says
+    the corpus is domain-skewed or metadata-broken; these rows say
+    WHICH source. Metric names are the corpus rows with the section
+    folded in (``url_n_url_docs``, ``url_invalid_url_fraction``,
+    ``url_n_domains``, ``url_max_domain_share``,
+    ``url_query_url_fraction``, ``url_mean_path_depth``), and each
+    source's numbers EQUAL the corpus card's url section on that
+    source's slice alone (pytest-pinned) — max_domain_share is
+    within-source by that definition, which is also the cap-planning
+    semantics (caps apply to the mixed corpus; the skewed SOURCE is
+    the ticket).
+
+    Cost shape: url_components' narrow expressions joined back to
+    (id, source) — a doc-scale equi-join on tiny rows — then ONE
+    bounded groupBy(source) aggregate and ONE bounded
+    groupBy(source, domain) count; no per-source jobs."""
+    from flink_descriptive_stats_spark.functions.sig import sig6, sig6_py
+    from flink_descriptive_stats_spark.operators.urls import \
+        url_components
+    ids = df.select(F.col(id_col).alias("id"),
+                    F.col(source_col).alias("__src"))
+    comp = url_components(df, url_col=url_col, id_col=id_col) \
+        .join(ids, "id")
+    agg = {r["__src"]: r for r in comp.groupBy("__src").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(~F.col("valid")).alias("bad"),
+        F.count_if(F.col("valid")).alias("ok"),
+        F.count_if(F.col("has_query")).alias("q"),
+        sig6(F.avg(F.col("path_depth").cast("double"))).alias("depth"),
+        F.count_distinct(F.col("domain")).alias("nd")).collect()}
+    dmax = {r["__src"]: int(r["m"]) for r in
+            comp.where(F.col("domain").isNotNull())
+            .groupBy("__src", "domain")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("__src").agg(F.max("c").alias("m")).collect()}
+    rows = []
+    for s in sorted(agg):
+        r = agg[s]
+        n, ok = int(r["n"]), int(r["ok"])
+        rows += [
+            (s, "url_n_url_docs", str(n)),
+            (s, "url_invalid_url_fraction",
+             sig6_py(int(r["bad"]) / n) if n else None),
+            (s, "url_n_domains", str(int(r["nd"]))),
+            (s, "url_max_domain_share",
+             sig6_py(dmax[s] / ok) if ok and s in dmax else None),
+            (s, "url_query_url_fraction",
+             sig6_py(int(r["q"]) / ok) if ok else None),
+            (s, "url_mean_path_depth", r["depth"]),
+        ]
+    return rows
+
+
 def dataset_card_by_source(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            source_col: str = "source",
                            payload_col: str | None = None,
                            media_kind: str = "image",
+                           url_col: str | None = None,
                            single_pass: bool = True) -> DataFrame:
     """Per-source datasheet — the which-source-is-dirty triage view of
     dataset_card (the same relationship check_constraints_by has to
@@ -790,6 +846,12 @@ def dataset_card_by_source(df: DataFrame, text_col: str = "text",
     payload bytes fingerprinted once). Defaults keep existing cards
     byte-identical.
 
+    ``url_col`` (r10): when named AND present, per-source url triage
+    rows (url_n_url_docs .. url_mean_path_depth) are appended BEFORE
+    any media rows, matching the corpus card's section order — see
+    _url_by_source_rows for the slice-equality contract. Defaults
+    keep existing cards byte-identical.
+
     ``single_pass`` (r8; the DEFAULT since r9, same rationale as
     dataset_card's): single_pass=False pays FOUR doc-scale equi-join
     shuffles (each per-doc signal frame back onto (id, source)) plus a
@@ -799,17 +861,21 @@ def dataset_card_by_source(df: DataFrame, text_col: str = "text",
     groupBy(source) aggregate and one bounded groupBy(source, lang)
     count. Identical rows (pytest-pinned; gates against the same
     oracle)."""
+    url_rows = (
+        _url_by_source_rows(df, url_col, id_col, source_col)
+        if url_col is not None and url_col in df.columns else [])
     media_rows = (
         _media_by_source_rows(df, payload_col, media_kind, id_col,
                               source_col)
         if payload_col is not None and payload_col in df.columns else [])
+    extra_rows = url_rows + media_rows
     if single_pass:
         out = _dataset_card_by_source_single_pass(df, text_col, id_col,
                                                   source_col)
-        if not media_rows:
+        if not extra_rows:
             return out
         return out.unionAll(out.sparkSession.createDataFrame(
-            media_rows, "source string, metric string, value string"))
+            extra_rows, "source string, metric string, value string"))
     from flink_descriptive_stats_spark.functions.sig import sig6, sig6_py
     from flink_descriptive_stats_spark.operators.text import (lang_id,
                                                               pii_scan,
@@ -855,7 +921,7 @@ def dataset_card_by_source(df: DataFrame, text_col: str = "text",
             (s, "pii_doc_fraction", sig6_py(int(per4[s]["p"]) / n)),
         ]
     return df.sparkSession.createDataFrame(
-        rows + media_rows, "source string, metric string, value string")
+        rows + extra_rows, "source string, metric string, value string")
 
 
 def _dataset_card_by_source_single_pass(df: DataFrame, text_col: str,

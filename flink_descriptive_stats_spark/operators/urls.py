@@ -112,6 +112,48 @@ def domain_mix(df: DataFrame, url_col: str = "url",
              / F.col("__total").cast("double")).alias("share")))
 
 
+def canonical_url_expr(c):
+    """The normalized URL identity used by decontaminate_by_url: two
+    URLs that differ only in scheme (http vs https), host case, an
+    explicit port, a leading ``www.``, a query string / fragment, or a
+    missing path vs ``/`` are the SAME page for decontamination
+    purposes. Key = ``host_without_www + path`` (path defaulting to
+    ``/``); a URL with no ``scheme://`` cannot be parsed, so it keys on
+    its raw string (exact match still catches it). Trailing-slash
+    differences INSIDE a path are kept verbatim (documented — path
+    semantics are site-specific)."""
+    scheme = F.nullif(F.regexp_extract(c, SCHEME_RE, 1), F.lit(""))
+    raw_host = F.nullif(F.regexp_extract(c, HOST_RE, 1), F.lit(""))
+    host = F.lower(F.regexp_replace(raw_host, PORT_RE, ""))
+    host = F.regexp_replace(host, "^www[.]", "")
+    path = F.nullif(F.regexp_extract(c, PATH_RE, 1), F.lit(""))
+    return F.when(scheme.isNull(), c).otherwise(
+        F.concat(host, F.coalesce(path, F.lit("/"))))
+
+
+def decontaminate_by_url(train: DataFrame, holdout: DataFrame,
+                         url_col: str = "url",
+                         holdout_url_col: str | None = None) -> DataFrame:
+    """URL-keyed eval-set decontamination — the metadata sibling of
+    dedup.decontaminate: benchmarks routinely publish the SOURCE URLS
+    of their documents, and matching on those catches contamination
+    that text matching misses (the eval set holds an extract or a
+    cleaned rendition of the page, not its verbatim text). Removes
+    from ``train`` every row whose canonical URL (canonical_url_expr:
+    scheme/case/port/www/query-insensitive) appears in ``holdout``.
+
+    Scale: anti-join keyed on the canonical URL — holdout side
+    distinct'd first; eval sets are small, so AQE broadcasts them and
+    the train corpus never shuffles."""
+    hc = F.col(holdout_url_col or url_col)
+    hk = (holdout.where(hc.isNotNull())
+          .select(canonical_url_expr(hc).alias("__uk")).distinct())
+    return (train.withColumn("__uk",
+                             canonical_url_expr(F.col(url_col)))
+            .join(hk, "__uk", "anti")
+            .drop("__uk"))
+
+
 def cap_domains(df: DataFrame, url_col: str = "url",
                 id_col: str = "doc_id", max_per_domain: int = 100,
                 keep_invalid: bool = True) -> DataFrame:

@@ -3087,6 +3087,38 @@ SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
 FROM r"""
 
 
+def _duck_canonical_url(u: str = "url") -> str:
+    """urls.canonical_url_expr mirrored: scheme/case/port/www/query-
+    insensitive page identity; scheme-less URLs key on the raw
+    string."""
+    from flink_descriptive_stats_spark.operators import urls as U
+    scheme = f"nullif(regexp_extract({u}, '{U.SCHEME_RE}', 1), '')"
+    raw_host = f"nullif(regexp_extract({u}, '{U.HOST_RE}', 1), '')"
+    host = f"lower(regexp_replace({raw_host}, '{U.PORT_RE}', ''))"
+    host = f"regexp_replace({host}, '^www[.]', '')"
+    path = f"nullif(regexp_extract({u}, '{U.PATH_RE}', 1), '')"
+    return (f"CASE WHEN {scheme} IS NULL THEN {u} "
+            f"ELSE {host} || coalesce({path}, '/') END")
+
+
+def url_decontaminate_sql(table: str = "documents",
+                          holdout_mod: int = 5) -> str:
+    """urls.decontaminate_by_url mirrored: the holdout is every
+    (id %% holdout_mod == 0) doc with its fixture URL re-schemed
+    https->http (proving scheme-insensitivity rides the gate, not just
+    pytest); anti-join on the canonical key."""
+    return f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                  {_synth_url_case()} AS url
+           FROM {table} WHERE text IS NOT NULL),
+h AS (SELECT regexp_replace(url, '^https://', 'http://') AS url
+      FROM t WHERE id % {holdout_mod} = 0),
+hk AS (SELECT DISTINCT {_duck_canonical_url()} AS uk
+       FROM h WHERE url IS NOT NULL),
+tk AS (SELECT id, url, {_duck_canonical_url()} AS uk FROM t)
+SELECT id, url FROM tk ANTI JOIN hk ON tk.uk = hk.uk"""
+
+
 def domain_cap_sql(table: str = "documents",
                    max_per_domain: int = 40) -> str:
     """urls.cap_domains mirrored: the same domain derivation chain

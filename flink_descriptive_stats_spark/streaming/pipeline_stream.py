@@ -751,7 +751,8 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                        checkpoint_path: str | None = None,
                        text_col: str = "text", id_col: str = "doc_id",
                        source_col: str = "source",
-                       payload_col: str | None = None):
+                       payload_col: str | None = None,
+                       url_col: str | None = None):
     """Continuous dataset card: the running corpus datasheet over an
     unbounded document ingest — after N micro-batches the sink holds
     the same (section, metric, value) rows ``dataset_card`` reports on
@@ -789,7 +790,16 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
     monoid (pairs span batches), the same boundary the two
     ``*_dup_fraction_approx`` rows and the constraint monitor's
     ``unique`` rule declare — run media_dedup_corpus / the batch card
-    over the accumulated corpus for it."""
+    over the accumulated corpus for it.
+
+    ``url_col`` (r10): when named AND present in the stream, each
+    batch folds url_components' narrow expressions — and unlike media,
+    the ENTIRE url section streams exactly: counts (docs, invalid,
+    valid, query) and the path-depth sum are sum-monoids, and the
+    per-domain tally is a bounded keyed map (domains are bounded the
+    same way sources are), so n_domains and max_domain_share are
+    EXACT across batches, not approximations (streaming == batch
+    pinned row-for-row)."""
     import json as _json
     import os
     from flink_descriptive_stats_spark.functions.sig import sig6_py
@@ -807,6 +817,8 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
     lang_counts: dict = {}
     tok_hist: dict = {}
     media_counts: dict = {}     # kind -> [n_payloads, n_decodable]
+    url_state = {"n": 0, "bad": 0, "ok": 0, "q": 0, "depth": 0}
+    domain_counts: dict = {}    # domain -> n_docs (bounded keyed map)
     sketches: dict = {"h": None, "hc": None}
     last_folded = -1
 
@@ -838,6 +850,10 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                 mk, field = key.rsplit(":", 1)
                 c = media_counts.setdefault(mk, [0, 0])
                 c[0 if field == "n" else 1] = int(r["n"])
+            elif kind == "url":
+                url_state[key] = int(r["n"])
+            elif kind == "dom":
+                domain_counts[key] = int(r["n"])
             elif kind == "sketch":
                 sketches[key] = bytes(r["bin"])
 
@@ -907,6 +923,24 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                 ("lang", "top_lang_share", sig6_py(lrows[0][1] / n)),
                 ("lang", "n_langs", str(len(lrows))),
                 ("pii", "pii_doc_fraction", sig6_py(state["pii"] / n)),
+            ]
+        # url section (r10): fully exact across batches — sums plus
+        # the bounded domain map (see the function docstring); emitted
+        # even when no doc had text, like media
+        if url_state["n"]:
+            un, uok = url_state["n"], url_state["ok"]
+            rows += [
+                ("url", "n_url_docs", str(un)),
+                ("url", "invalid_url_fraction",
+                 sig6_py(url_state["bad"] / un)),
+                ("url", "n_domains", str(len(domain_counts))),
+                ("url", "max_domain_share",
+                 sig6_py(max(domain_counts.values()) / uok)
+                 if uok and domain_counts else None),
+                ("url", "query_url_fraction",
+                 sig6_py(url_state["q"] / uok) if uok else None),
+                ("url", "mean_path_depth",
+                 sig6_py(url_state["depth"] / uok) if uok else None),
             ]
         # media counters (r10): the sum-monoid subset of the batch
         # card's media section (cluster mass is batch-only, see the
@@ -1003,6 +1037,34 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                     c = media_counts.setdefault(x["kind"], [0, 0])
                     c[0] += int(x["n"])
                     c[1] += int(x["d"])
+            if url_col is not None and url_col in batch_df.columns:
+                from flink_descriptive_stats_spark.operators.urls \
+                    import url_components
+                comp = url_components(batch_df, url_col=url_col,
+                                      id_col=id_col).persist()
+                try:
+                    ur = comp.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.count_if(~F.col("valid")).alias("bad"),
+                        F.count_if(F.col("valid")).alias("ok"),
+                        F.count_if(F.col("has_query")).alias("q"),
+                        F.sum(F.col("path_depth")).alias("depth")
+                    ).collect()[0]
+                    dq = (comp.where(F.col("domain").isNotNull())
+                          .groupBy("domain")
+                          .agg(F.count(F.lit(1)).alias("c")).collect()
+                          if int(ur["n"]) else [])
+                finally:
+                    comp.unpersist()
+                if int(ur["n"]):
+                    url_state["n"] += int(ur["n"])
+                    url_state["bad"] += int(ur["bad"])
+                    url_state["ok"] += int(ur["ok"])
+                    url_state["q"] += int(ur["q"])
+                    url_state["depth"] += int(ur["depth"] or 0)
+                    for x in dq:
+                        domain_counts[x["domain"]] = (
+                            domain_counts.get(x["domain"], 0) + x["c"])
             last_folded = epoch_id
             if state_path:
                 import shutil
@@ -1025,6 +1087,13 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                     ns.append(c[0]); bins.append(None)
                     kinds.append("media"); keys.append(f"{k}:d")
                     ns.append(c[1]); bins.append(None)
+                if url_state["n"]:
+                    for k, v in url_state.items():
+                        kinds.append("url"); keys.append(k)
+                        ns.append(v); bins.append(None)
+                    for k, v in domain_counts.items():
+                        kinds.append("dom"); keys.append(k)
+                        ns.append(v); bins.append(None)
                 for k in ("h", "hc"):
                     if sketches[k] is not None:
                         kinds.append("sketch"); keys.append(k)

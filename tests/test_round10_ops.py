@@ -724,3 +724,124 @@ def test_cli_urls_cap_and_flag_conflict(spark, capsys, tmp_path):
     assert "small.org" in out
     rc = main(["urls", src, "--mix", "--cap", "2"])
     assert rc == 2
+
+
+def test_by_source_url_rows_equal_corpus_card_slices(spark):
+    """dataset_card_by_source(url_col=): each source's url rows equal
+    the corpus card's url section computed on that source's slice
+    alone; without url_col the card is byte-identical to before."""
+    from flink_descriptive_stats_spark.operators import quality as Q
+    from flink_descriptive_stats_spark.operators import urls as U
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    withurl = docs.select(
+        "doc_id", "text", "source",
+        U.synth_url_expr(F.col("doc_id")).alias("url"))
+
+    base = Q.dataset_card_by_source(withurl).collect()
+    assert Q.dataset_card_by_source(docs).collect() == base
+
+    out = Q.dataset_card_by_source(withurl, url_col="url").collect()
+    assert out[:len(base)] == base
+    extra = out[len(base):]
+    assert all(r["metric"].startswith("url_") for r in extra)
+    sources = sorted({r["source"] for r in extra})
+    for s in sources:
+        got = {r["metric"]: r["value"] for r in extra
+               if r["source"] == s}
+        card = Q.dataset_card(withurl.where(F.col("source") == s),
+                              url_col="url").collect()
+        want = {"url_" + r["metric"]: r["value"] for r in card
+                if r["section"] == "url"}
+        assert got == want, s
+
+
+def test_card_monitor_url_section_equal_batch(spark, tmp_path):
+    """The streaming datasheet's url section equals the batch card's
+    row-for-row — EVERY url metric is exactly mergeable (sums + the
+    bounded domain map), no *_approx names needed. Restart resumes the
+    url state losslessly and cross-batch domain counts stay exact even
+    when one domain's docs span micro-batches."""
+    from flink_descriptive_stats_spark.operators import urls as U
+    from flink_descriptive_stats_spark.operators.quality import \
+        dataset_card
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import \
+        start_card_monitor
+    df = spark.range(24).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc text "), F.col("id")).alias("text"),
+        F.lit("sA").alias("source"),
+        U.synth_url_expr(F.col("id")).alias("url"))
+    chunks = str(tmp_path / "chunks")
+    df.repartition(3).write.parquet(chunks)
+    sink = str(tmp_path / "sink")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(chunks))
+        q = start_card_monitor(stream, sink, state_path=state,
+                               checkpoint_path=ckpt, url_col="url")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {r["metric"]: r["value"]
+                for r in spark.read.parquet(sink).collect()
+                if r["section"] == "url"}
+
+    def _want(frame):
+        return {r["metric"]: r["value"]
+                for r in dataset_card(frame, url_col="url").collect()
+                if r["section"] == "url"}
+
+    assert _run() == _want(df)
+
+    # restart with more docs: a heavy burst on ONE domain (bbc.co.uk)
+    more = spark.range(6).select(
+        (F.col("id") * 6 + 100).alias("doc_id"),  # %6==4 -> bbc.co.uk
+        F.lit("late doc").alias("text"),
+        F.lit("sB").alias("source"),
+        U.synth_url_expr(F.col("id") * 6 + 100).alias("url"))
+    more.coalesce(1).write.mode("append").parquet(chunks)
+    assert _run() == _want(df.unionByName(more))
+
+
+def test_decontaminate_by_url_normalization_matrix(spark):
+    """Every documented canonical-URL equivalence removes the train
+    row; path differences and non-matching malformed rows survive;
+    NULL train urls are kept (no key, no match)."""
+    from flink_descriptive_stats_spark.operators import urls as U
+    train = spark.createDataFrame([
+        (0, "https://a.org/page"),          # scheme flip -> removed
+        (1, "http://WWW.B.org:8080/x"),     # www+case+port -> removed
+        (2, "https://c.org/p?utm=1#f"),     # query+fragment -> removed
+        (3, "https://d.org"),               # bare vs '/' -> removed
+        (4, "https://a.org/other"),         # different path -> kept
+        (5, "raw-no-scheme/z"),             # raw-equal -> removed
+        (6, "raw-no-scheme/other"),         # raw-differs -> kept
+        (7, None),                          # NULL -> kept
+    ], "doc_id bigint, url string")
+    holdout = spark.createDataFrame(
+        [("http://a.org/page",), ("https://b.org/x",),
+         ("https://c.org/p",), ("https://d.org/",),
+         ("raw-no-scheme/z",)], "url string")
+    kept = sorted(r["doc_id"] for r in
+                  U.decontaminate_by_url(train, holdout).collect())
+    assert kept == [4, 6, 7]
+
+
+def test_cli_decontaminate_by_url(spark, capsys, tmp_path):
+    from flink_descriptive_stats_spark.__main__ import main
+    train = str(tmp_path / "train.parquet")
+    hold = str(tmp_path / "hold.parquet")
+    spark.createDataFrame(
+        [(1, "https://keep.org/a"), (2, "http://WWW.Gone.org:80/x?q=1")],
+        "doc_id bigint, url string").write.parquet(train)
+    spark.createDataFrame([("https://gone.org/x",)],
+                          "url string").write.parquet(hold)
+    rc = main(["decontaminate", train, hold, "--by-url"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "keep.org" in out and "Gone.org" not in out
+    rc = main(["decontaminate", train, hold, "--by-url", "--fuzzy"])
+    assert rc == 2
