@@ -689,6 +689,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kept.select(F.col("doc_id").alias("id"), "url")
     q["url_decontaminate_documents"] = _url_decon
 
+    # the url-aware curation pipeline: content + URL decontamination,
+    # quality filter, per-domain cap, then the strata cap — stage
+    # interactions gated end to end like curate_corpus_documents
+    def _curate_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import urls as U
+        from flink_descriptive_stats_spark.operators.quality import \
+            curate_corpus
+        docs = _load(spark, sf_dir, "documents").withColumn(
+            "url", U.synth_url_expr(F.col("doc_id")))
+        return curate_corpus(docs.where(F.col("doc_id") % 10 != 0),
+                             docs.where(F.col("doc_id") % 10 == 0),
+                             url_col="url", max_per_domain=10)
+    q["curate_corpus_url_documents"] = _curate_url
+
     # operator composition: histogram of a derived per-doc statistic
     def _tok_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         return extras.histogram(
@@ -1764,6 +1778,7 @@ def oracle_sql() -> dict[str, str]:
     o["domain_mix_documents"] = op.domain_mix_sql()
     o["domain_cap_documents"] = op.domain_cap_sql(max_per_domain=40)
     o["url_decontaminate_documents"] = op.url_decontaminate_sql()
+    o["curate_corpus_url_documents"] = op.curate_corpus_url_sql()
     # chunking mirror: stride 48 (64 - 16), DuckDB 1-based list slicing
     o["chunk_documents"] = (
         "WITH t AS (SELECT doc_id AS id, "

@@ -297,13 +297,20 @@ def build_parser() -> argparse.ArgumentParser:
 
     cu = sub.add_parser("curate",
                         help="full curation pipeline: keep-best dedup -> "
-                             "decontaminate -> quality filter -> "
-                             "per-stratum cap")
+                             "decontaminate (content, and by URL with "
+                             "--url-col) -> quality filter -> optional "
+                             "per-domain cap -> per-stratum cap")
     cu.add_argument("train")
     cu.add_argument("holdout")
     cu.add_argument("--min-score", type=float, default=0.5)
     cu.add_argument("--strata-col", default="lang")
     cu.add_argument("--cap", type=int, default=10)
+    cu.add_argument("--url-col", default=None,
+                    help="when set, also decontaminate by canonical "
+                         "URL (if the holdout carries the column)")
+    cu.add_argument("--max-per-domain", type=int, default=None,
+                    help="with --url-col: cap docs per registrable "
+                         "domain before the strata cap")
     cu.add_argument("--text-col", default="text")
     cu.add_argument("--id-col", default="doc_id")
     _add_common(cu)
@@ -1113,7 +1120,9 @@ def main(argv: list[str] | None = None) -> int:
         holdout = _load(spark, args.holdout, args.format)
         _emit(curate_corpus(train, holdout, text_col=args.text_col,
                             id_col=args.id_col, min_score=args.min_score,
-                            strata_col=args.strata_col, cap=args.cap),
+                            strata_col=args.strata_col, cap=args.cap,
+                            url_col=args.url_col,
+                            max_per_domain=args.max_per_domain),
               args.output)
         return 0
 

@@ -976,24 +976,32 @@ def _dataset_card_by_source_single_pass(df: DataFrame, text_col: str,
 def curate_corpus(df: DataFrame, holdout: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   min_score: float = 0.5, strata_col: str = "lang",
-                  cap: int = 10) -> DataFrame:
+                  cap: int = 10, url_col: str | None = None,
+                  max_per_domain: int | None = None) -> DataFrame:
     """The end-to-end curation pipeline as ONE dataflow — what a user of
     this engine actually runs per corpus drop:
 
     1. keep_best_canonical: collapse exact AND formatting-variant
        duplicates, keeping the most complete copy per group;
     2. decontaminate (exact): remove anything whose content appears in
-       the eval holdout;
+       the eval holdout; when ``url_col`` names a column present in
+       BOTH frames, decontaminate_by_url runs as well (r10 — content
+       AND metadata matching, each an anti-join);
     3. quality_filter: drop documents below the composite quality score;
-    4. stratified cap: at most ``cap`` docs per ``strata_col`` value
+    4. (r10, optional) cap_domains: at most ``max_per_domain`` docs per
+       registrable domain when ``url_col`` and ``max_per_domain`` are
+       both given — the crawl-dominance remediation, applied before the
+       strata cap so a single domain can't fill a stratum;
+    5. stratified cap: at most ``cap`` docs per ``strata_col`` value
        (md5-deterministic), so no language/source dominates the output.
 
     Each stage is the already-gated operator — this composition is
     itself oracle-gated end to end, so stage INTERACTIONS (e.g. the
     dedup keeping a copy the quality filter then drops) are pinned too.
-    One logical plan: Catalyst fuses the stages into two window passes,
-    an anti-join, and the quality semi-join — no intermediate
-    materialization."""
+    One logical plan: Catalyst fuses the stages into window passes,
+    anti-joins, and the quality semi-join — no intermediate
+    materialization. Defaults leave the pipeline byte-identical to the
+    pre-r10 four-stage one."""
     from flink_descriptive_stats_spark.operators.dedup import (
         decontaminate, keep_best_canonical)
     from flink_descriptive_stats_spark.operators.sampling import \
@@ -1001,7 +1009,18 @@ def curate_corpus(df: DataFrame, holdout: DataFrame,
     from flink_descriptive_stats_spark.operators.text import quality_filter
     kb = keep_best_canonical(df, content_col=text_col, id_col=id_col)
     dec = decontaminate(kb, holdout, content_col=text_col, id_col=id_col)
+    if (url_col is not None and url_col in df.columns
+            and url_col in holdout.columns):
+        from flink_descriptive_stats_spark.operators.urls import \
+            decontaminate_by_url
+        dec = decontaminate_by_url(dec, holdout, url_col=url_col)
     qf = quality_filter(dec, text_col=text_col, id_col=id_col,
                         min_score=min_score)
+    if url_col is not None and url_col in df.columns \
+            and max_per_domain is not None:
+        from flink_descriptive_stats_spark.operators.urls import \
+            cap_domains
+        qf = cap_domains(qf, url_col=url_col, id_col=id_col,
+                         max_per_domain=max_per_domain).drop("domain")
     return stratified_sample(qf, strata_col=strata_col, k=cap,
                              id_col=id_col)

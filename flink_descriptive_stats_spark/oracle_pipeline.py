@@ -2858,6 +2858,50 @@ SELECT * FROM qf QUALIFY row_number() OVER (PARTITION BY lang
   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= {cap}"""
 
 
+def curate_corpus_url_sql(table: str = "documents",
+                          holdout_pred: str = "doc_id % 10 = 0",
+                          min_score: float = 0.5, cap: int = 10,
+                          max_per_domain: int = 10) -> str:
+    """Mirror of the r10 url-aware quality.curate_corpus: the four-stage
+    chain of curate_corpus_sql plus URL decontamination (canonical-key
+    anti-join, NOT EXISTS) after the content one and the per-domain cap
+    (row_number, domain-less rows kept) after the quality filter,
+    before the strata cap — stage order replayed literally."""
+    from flink_descriptive_stats_spark.operators import urls as U
+    hp = holdout_pred.replace("doc_id", "h.doc_id")
+    canon_h = _duck_canonical_url("h.url")
+    canon_d = _duck_canonical_url("dec.url")
+    raw_host = f"nullif(regexp_extract(url, '{U.HOST_RE}', 1), '')"
+    host = f"lower(regexp_replace({raw_host}, '{U.PORT_RE}', ''))"
+    domain = f"nullif(regexp_extract({host}, '{U.DOMAIN_RE}', 1), '')"
+    return f"""
+WITH base AS (SELECT *, {_synth_url_case()} AS url FROM {table}),
+train AS (SELECT * FROM base WHERE NOT ({holdout_pred})),
+kb AS (SELECT * FROM train WHERE text IS NOT NULL
+       QUALIFY row_number() OVER (PARTITION BY {_CANON}
+         ORDER BY length(text) DESC, doc_id ASC) = 1),
+dec0 AS (SELECT kb.* FROM kb WHERE NOT EXISTS (
+          SELECT 1 FROM base h
+          WHERE ({hp})
+            AND h.text IS NOT NULL AND md5(h.text) = md5(kb.text))),
+dec AS (SELECT dec.* FROM dec0 dec WHERE NOT EXISTS (
+          SELECT 1 FROM base h
+          WHERE ({hp}) AND h.url IS NOT NULL
+            AND {canon_h} = {canon_d})),
+qf AS (SELECT d.* FROM dec d WHERE d.doc_id IN
+         (SELECT id FROM ({text_stats_sql('dec')})
+          WHERE CAST(quality_score AS DOUBLE) >= {min_score})),
+capd AS (SELECT * FROM (
+           SELECT qf.*, {domain} AS __dom,
+                  row_number() OVER (PARTITION BY {domain}
+                    ORDER BY doc_id) AS __rn
+           FROM qf)
+         WHERE __dom IS NULL OR __rn <= {max_per_domain})
+SELECT * EXCLUDE (__dom, __rn) FROM capd
+QUALIFY row_number() OVER (PARTITION BY lang
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= {cap}"""
+
+
 def vocab_growth_sql(table: str = "documents",
                      bucket_docs: int = 50) -> str:
     """Mirror of text.vocab_growth."""

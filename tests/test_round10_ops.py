@@ -845,3 +845,41 @@ def test_cli_decontaminate_by_url(spark, capsys, tmp_path):
     assert rc == 0 and "keep.org" in out and "Gone.org" not in out
     rc = main(["decontaminate", train, hold, "--by-url", "--fuzzy"])
     assert rc == 2
+
+
+def test_curate_corpus_url_stages_equal_manual_composition(spark):
+    """url-aware curate_corpus == the manual five-stage composition
+    (content decon -> url decon -> quality -> domain cap -> strata
+    cap); defaults leave the four-stage pipeline byte-identical."""
+    from flink_descriptive_stats_spark.operators import urls as U
+    from flink_descriptive_stats_spark.operators.dedup import (
+        decontaminate, keep_best_canonical)
+    from flink_descriptive_stats_spark.operators.quality import \
+        curate_corpus
+    from flink_descriptive_stats_spark.operators.sampling import \
+        stratified_sample
+    from flink_descriptive_stats_spark.operators.text import \
+        quality_filter
+    docs = (spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+            .withColumn("url", U.synth_url_expr(F.col("doc_id"))))
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    hold = docs.where(F.col("doc_id") % 10 == 0)
+
+    got = sorted(r["doc_id"] for r in
+                 curate_corpus(train, hold, url_col="url",
+                               max_per_domain=5).collect())
+    manual = keep_best_canonical(train)
+    manual = decontaminate(manual, hold)
+    manual = U.decontaminate_by_url(manual, hold)
+    manual = quality_filter(manual)
+    manual = U.cap_domains(manual, max_per_domain=5).drop("domain")
+    manual = stratified_sample(manual, strata_col="lang", k=10)
+    assert got == sorted(r["doc_id"] for r in manual.collect())
+
+    # defaults: byte-identical to the pre-r10 pipeline (url col ignored)
+    a = sorted(r["doc_id"] for r in
+               curate_corpus(train, hold).collect())
+    b = sorted(r["doc_id"] for r in
+               curate_corpus(train.drop("url"),
+                             hold.drop("url")).collect())
+    assert a == b
