@@ -319,6 +319,29 @@ GATED_50 = (
 )
 
 
+#: declared FK graph for inclusion_deps_tpch: the five real TPC-H edges
+#: plus the REVERSE of lineitem->orders, which genuinely fails (orders
+#: with no lineitems exist at every SF) — the non-vacuous row.
+FK_SPECS: tuple[tuple[str, str, str, str], ...] = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+)
+
+#: fk_discover's eligible (integral) columns per dim table — the oracle
+#: builds its melted stats/values frames from this dict, and a pytest
+#: pins that fk_discover's schema-derived column set equals it.
+FK_DISCOVER_COLUMNS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All engine queries. INSERTION ORDER IS LOAD-BEARING: the driver's
     correctness gate checks exactly the first 50 entries. The returned dict
@@ -702,6 +725,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              docs.where(F.col("doc_id") % 10 == 0),
                              url_col="url", max_per_domain=10)
     q["curate_corpus_url_documents"] = _curate_url
+
+    # dependency discovery (r10): the engine's first genuinely
+    # MULTI-TABLE profiling queries — the declared TPC-H FK graph
+    # audited (with the reverse edge that genuinely fails: 257 orders
+    # without lineitems at sf0.01), row-level orphan triage, and
+    # undeclared discovery over the four dim tables (true FKs ranked
+    # by name_affinity; range-contained coincidences reported honestly)
+    def _inclusion_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import \
+            dependencies as DP
+        t = {n: _load(spark, sf_dir, n)
+             for n in ("lineitem", "orders", "customer", "supplier",
+                       "nation", "region")}
+        return DP.inclusion_dependencies(
+            [(c, t[c], cc, p, t[p], pc) for c, cc, p, pc in FK_SPECS])
+    q["inclusion_deps_tpch"] = _inclusion_deps
+
+    def _fk_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import \
+            dependencies as DP
+        return DP.fk_discover({n: _load(spark, sf_dir, n)
+                               for n in FK_DISCOVER_COLUMNS})
+    q["fk_discover_dims"] = _fk_discover
+
+    def _fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import \
+            dependencies as DP
+        rows = DP.fk_orphan_rows(_load(spark, sf_dir, "orders"),
+                                 _load(spark, sf_dir, "lineitem"),
+                                 "o_orderkey", "l_orderkey")
+        # project off the TIMESTAMP column: engine-specific pandas
+        # renderings (Timestamp vs date) would hash-mismatch raw dates
+        return rows.select("o_orderkey", "o_custkey", "o_orderstatus",
+                           "o_totalprice")
+    q["fk_orphans_orders"] = _fk_orphans
+
+    # corpus snapshot delta (r10): documents vs a deterministic 'next
+    # pipeline run' (id%7 removed, id%11 text-edited, id%13 re-added
+    # under id+1e6) — the oracle rebuilds the same snapshot and replays
+    # the md5-identity full outer join literally
+    def _delta_frames(spark: SparkSession, sf_dir: str):
+        from flink_descriptive_stats_spark.operators import delta as DL
+        old = _load(spark, sf_dir, "documents")
+        return old, DL.synth_new_snapshot(old)
+
+    def _corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import delta as DL
+        return DL.corpus_delta(*_delta_frames(spark, sf_dir))
+    q["corpus_delta_documents"] = _corpus_delta
+
+    def _delta_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import delta as DL
+        return DL.delta_summary(*_delta_frames(spark, sf_dir))
+    q["delta_summary_documents"] = _delta_summary
+
+    def _delta_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import delta as DL
+        return DL.delta_by_source(*_delta_frames(spark, sf_dir))
+    q["delta_by_source_documents"] = _delta_by_source
 
     # operator composition: histogram of a derived per-doc statistic
     def _tok_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1779,6 +1861,13 @@ def oracle_sql() -> dict[str, str]:
     o["domain_cap_documents"] = op.domain_cap_sql(max_per_domain=40)
     o["url_decontaminate_documents"] = op.url_decontaminate_sql()
     o["curate_corpus_url_documents"] = op.curate_corpus_url_sql()
+    o["inclusion_deps_tpch"] = op.inclusion_deps_sql(
+        [(c, cc, p, pc) for c, cc, p, pc in FK_SPECS])
+    o["fk_discover_dims"] = op.fk_discover_sql(FK_DISCOVER_COLUMNS)
+    o["fk_orphans_orders"] = op.fk_orphans_sql()
+    o["corpus_delta_documents"] = op.corpus_delta_sql()
+    o["delta_summary_documents"] = op.delta_summary_sql()
+    o["delta_by_source_documents"] = op.delta_by_source_sql()
     # chunking mirror: stride 48 (64 - 16), DuckDB 1-based list slicing
     o["chunk_documents"] = (
         "WITH t AS (SELECT doc_id AS id, "

@@ -3183,3 +3183,192 @@ r AS (SELECT id, domain,
       FROM d)
 SELECT id, domain FROM r
 WHERE domain IS NULL OR rn <= {max_per_domain}"""
+
+
+# --------------------------------------------------------------------------
+# dependency discovery (operators/dependencies.py)
+# --------------------------------------------------------------------------
+
+def inclusion_deps_sql(
+        specs: list[tuple[str, str, str, str]]) -> str:
+    """dependencies.inclusion_dependencies mirrored: per declared
+    (child_table, child_col, parent_table, parent_col) spec, DISTINCT
+    non-NULL child keys LEFT-joined to DISTINCT non-NULL parent keys,
+    orphans counted on the miss; empty child = vacuous containment 1.0
+    (the NOT EXISTS convention)."""
+    parts = []
+    for ct, cc, pt, pc in specs:
+        parts.append(f"""
+SELECT '{ct}' AS child_table, '{cc}' AS child_col,
+       '{pt}' AS parent_table, '{pc}' AS parent_col,
+       count(*) AS n_child_distinct,
+       count(*) FILTER (WHERE p.__k IS NULL) AS n_orphans
+FROM (SELECT DISTINCT {cc} AS __k FROM {ct}
+      WHERE {cc} IS NOT NULL) c
+LEFT JOIN (SELECT DISTINCT {pc} AS __k FROM {pt}
+           WHERE {pc} IS NOT NULL) p USING (__k)""")
+    cont = ("CASE WHEN n_child_distinct = 0 THEN 1.0 "
+            "ELSE CAST(n_child_distinct - n_orphans AS DOUBLE) "
+            "/ CAST(n_child_distinct AS DOUBLE) END")
+    return f"""
+WITH raw AS ({" UNION ALL ".join(parts)})
+SELECT child_table, child_col, parent_table, parent_col,
+       n_child_distinct, n_orphans,
+       {duck_sig6(cont)} AS containment,
+       n_orphans = 0 AS ind_holds
+FROM raw"""
+
+
+def fk_orphans_sql(child: str = "orders", child_col: str = "o_orderkey",
+                   parent: str = "lineitem",
+                   parent_col: str = "l_orderkey",
+                   select_cols: tuple[str, ...] = (
+                       "o_orderkey", "o_custkey", "o_orderstatus",
+                       "o_totalprice")) -> str:
+    """dependencies.fk_orphan_rows mirrored: child rows whose non-NULL
+    key has no parent match (NOT EXISTS == Spark's anti-join over the
+    distinct parent key)."""
+    cols = ", ".join(select_cols)
+    return f"""
+SELECT {cols} FROM {child} c
+WHERE {child_col} IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM {parent} p
+                  WHERE p.{parent_col} = c.{child_col})"""
+
+
+def fk_discover_sql(columns: dict[str, list[str]],
+                    min_containment: float = 1.0) -> str:
+    """dependencies.fk_discover mirrored declaratively: the output
+    contract is "all directed pairs passing the exact-stats pruning
+    predicates with exact containment >= min_containment", so the
+    oracle computes containment for EVERY pair over a melted
+    (table, column, distinct value) frame and filters by the SAME
+    predicates — evaluation order differs (Spark prunes before
+    joining; that is the scale optimization), results cannot.
+
+    ``columns`` maps table -> its integral columns, matching what the
+    Spark side derives from the schema (pinned by a test)."""
+    stats, vals = [], []
+    for t, cols in columns.items():
+        for c in cols:
+            stats.append(
+                f"SELECT '{t}' AS tbl, '{c}' AS col, count(*) AS n, "
+                f"count({c}) AS nn, count(DISTINCT {c}) AS nd, "
+                f"CAST(min({c}) AS BIGINT) AS mn, "
+                f"CAST(max({c}) AS BIGINT) AS mx FROM {t}")
+            vals.append(
+                f"SELECT '{t}' AS tbl, '{c}' AS col, "
+                f"CAST({c} AS BIGINT) AS v FROM {t} "
+                f"WHERE {c} IS NOT NULL GROUP BY 3")
+    cont = "CAST(nd - orph AS DOUBLE) / CAST(nd AS DOUBLE)"
+    return f"""
+WITH stats AS ({" UNION ALL ".join(stats)}),
+vals AS ({" UNION ALL ".join(vals)}),
+pairs AS (
+  SELECT c.tbl AS ct, c.col AS cc, p.tbl AS pt, p.col AS pc
+  FROM stats c JOIN stats p
+    ON p.n > 0 AND p.nd = p.nn AND p.nn = p.n
+   AND NOT (c.tbl = p.tbl AND c.col = p.col)
+   AND c.nn > 0 AND c.nd <= p.nd AND c.mn >= p.mn AND c.mx <= p.mx),
+cont AS (
+  SELECT pr.ct, pr.cc, pr.pt, pr.pc, count(*) AS nd,
+         count(*) FILTER (WHERE pv.v IS NULL) AS orph
+  FROM pairs pr
+  JOIN vals cv ON cv.tbl = pr.ct AND cv.col = pr.cc
+  LEFT JOIN vals pv ON pv.tbl = pr.pt AND pv.col = pr.pc
+                   AND pv.v = cv.v
+  GROUP BY 1, 2, 3, 4)
+SELECT ct AS child_table, cc AS child_col,
+       pt AS parent_table, pc AS parent_col,
+       nd AS n_child_distinct, orph AS n_orphans,
+       {duck_sig6(cont)} AS containment,
+       regexp_replace(cc, '^[^_]*_', '')
+         = regexp_replace(pc, '^[^_]*_', '') AS name_affinity
+FROM cont WHERE {cont} >= {min_containment}"""
+
+
+# --------------------------------------------------------------------------
+# corpus snapshot delta (operators/delta.py)
+# --------------------------------------------------------------------------
+
+def _delta_hash(cols: tuple[str, ...], rel: str = "") -> str:
+    """delta.content_hash_expr mirrored: md5 over NULL-sentineled,
+    unit-separator-joined content columns (sentinels built with chr()
+    so no control characters ride inside the SQL text)."""
+    from flink_descriptive_stats_spark.operators import delta as DL
+    sep = " || ".join(f"chr({ord(ch)})" for ch in DL.HASH_SEP)
+    sent = " || ".join(
+        f"chr({ord(ch)})" if ord(ch) < 32 else f"'{ch}'"
+        for ch in DL.NULL_SENTINEL)
+    parts = [f"coalesce(CAST({rel}{c} AS VARCHAR), {sent})" for c in cols]
+    return f"md5(concat_ws({sep}, {', '.join(parts)}))"
+
+
+def _synth_new_snapshot_sql(table: str = "documents") -> str:
+    """delta.synth_new_snapshot mirrored (same REMOVED/CHANGED/ADDED
+    constants): the deterministic 'next pipeline run' CTE body."""
+    from flink_descriptive_stats_spark.operators import delta as DL
+    return f"""
+  SELECT doc_id,
+         CASE WHEN doc_id % {DL.CHANGED_MOD} = 0
+              THEN text || ' rev2' ELSE text END AS text,
+         lang, source, n_chars
+  FROM {table} WHERE doc_id % {DL.REMOVED_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + {DL.ADDED_ID_OFFSET}, text, lang, source, n_chars
+  FROM {table} WHERE doc_id % {DL.ADDED_MOD} = 0"""
+
+
+def corpus_delta_sql(table: str = "documents",
+                     content_cols: tuple[str, ...] = ("text",)) -> str:
+    """delta.corpus_delta mirrored: full outer join of the two
+    pre-hashed snapshots on id, status by presence + hash equality."""
+    ho, hn = _delta_hash(content_cols), _delta_hash(content_cols)
+    return f"""
+WITH nw AS ({_synth_new_snapshot_sql(table)}),
+o AS (SELECT CAST(doc_id AS BIGINT) AS id, {ho} AS ho FROM {table}),
+n AS (SELECT CAST(doc_id AS BIGINT) AS id, {hn} AS hn FROM nw)
+SELECT coalesce(o.id, n.id) AS id,
+       CASE WHEN o.id IS NULL THEN 'added'
+            WHEN n.id IS NULL THEN 'removed'
+            WHEN ho = hn THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.id = n.id"""
+
+
+def delta_summary_sql(table: str = "documents",
+                      content_cols: tuple[str, ...] = ("text",)) -> str:
+    """delta.delta_summary mirrored: always 4 rows (absent statuses at
+    n = 0), share = n / union size."""
+    from flink_descriptive_stats_spark.operators import delta as DL
+    statuses = ", ".join(f"'{s}'" for s in DL.STATUSES)
+    share = "CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(total AS DOUBLE)"
+    return f"""
+WITH delta AS ({corpus_delta_sql(table, content_cols)}),
+c AS (SELECT status, count(*) AS n FROM delta GROUP BY status),
+s AS (SELECT unnest([{statuses}]) AS status),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT s.status, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+       {duck_sig6(share)} AS share
+FROM s LEFT JOIN c USING (status) CROSS JOIN t"""
+
+
+def delta_by_source_sql(table: str = "documents",
+                        content_cols: tuple[str, ...] = ("text",)) -> str:
+    """delta.delta_by_source mirrored: source from the new snapshot,
+    old for removed docs; observed (source, status) combinations
+    only."""
+    h = _delta_hash(content_cols)
+    return f"""
+WITH nw AS ({_synth_new_snapshot_sql(table)}),
+o AS (SELECT CAST(doc_id AS BIGINT) AS id, {h} AS ho, source AS so
+      FROM {table}),
+n AS (SELECT CAST(doc_id AS BIGINT) AS id, {h} AS hn, source AS sn
+      FROM nw),
+d AS (SELECT coalesce(n.sn, o.so) AS source,
+             CASE WHEN o.id IS NULL THEN 'added'
+                  WHEN n.id IS NULL THEN 'removed'
+                  WHEN ho = hn THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM o FULL OUTER JOIN n ON o.id = n.id)
+SELECT source, status, count(*) AS n FROM d GROUP BY source, status"""

@@ -1,0 +1,235 @@
+"""Dependency discovery (operators/dependencies.py) and corpus snapshot
+delta (operators/delta.py) — round-10 extension families: declared
+FK-graph audits, row-level orphan triage, undeclared FK discovery with
+exact-stats pruning, and the doc-level added/removed/changed diff."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------- dependencies
+
+@pytest.fixture(scope="module")
+def fk_frames(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99), (5, None), (6, 99)],
+        "id bigint, ref int")
+    parent = spark.createDataFrame(
+        [(10,), (20,), (30,), (None,)], "k int")
+    return child, parent
+
+
+def test_inclusion_dependencies_orphans_and_nulls(spark, fk_frames):
+    from flink_descriptive_stats_spark.operators import dependencies as DP
+    child, parent = fk_frames
+    out = DP.inclusion_dependencies(
+        [("c", child, "ref", "p", parent, "k")]).collect()
+    assert len(out) == 1
+    r = out[0]
+    # distinct non-NULL child keys: {10, 20, 99}; 99 is the orphan;
+    # NULL keys ignored on BOTH sides
+    assert (r["n_child_distinct"], r["n_orphans"]) == (3, 1)
+    assert r["ind_holds"] is False
+    assert r["containment"] == "6666667e-7"  # sig6(2/3)
+
+
+def test_inclusion_dependencies_vacuous_empty_child(spark, fk_frames):
+    from flink_descriptive_stats_spark.operators import dependencies as DP
+    child, parent = fk_frames
+    empty = child.where(F.lit(False))
+    r = DP.inclusion_dependencies(
+        [("c", empty, "ref", "p", parent, "k")]).collect()[0]
+    assert (r["n_child_distinct"], r["n_orphans"]) == (0, 0)
+    assert r["ind_holds"] is True
+    assert r["containment"] == "1000000e-6"
+
+
+def test_inclusion_dependencies_multi_spec_one_table(spark, fk_frames):
+    from flink_descriptive_stats_spark.operators import dependencies as DP
+    child, parent = fk_frames
+    out = DP.inclusion_dependencies(
+        [("c", child, "ref", "p", parent, "k"),
+         ("c", child, "id", "p", parent, "k")]).collect()
+    by = {(r["child_col"], r["parent_col"]): r for r in out}
+    assert len(by) == 2
+    # id 1..6 vs k {10,20,30}: all six ids are orphans
+    assert by[("id", "k")]["n_orphans"] == 6
+
+
+def test_fk_orphan_rows_returns_rows(spark, fk_frames):
+    from flink_descriptive_stats_spark.operators import dependencies as DP
+    child, parent = fk_frames
+    rows = DP.fk_orphan_rows(child, parent, "ref", "k")
+    got = sorted(r["id"] for r in rows.collect())
+    assert got == [4, 6]  # the two 99-keyed rows; NULL-keyed id=5 excluded
+    assert rows.columns == child.columns  # full child width, no helper col
+
+
+def test_fk_discover_finds_true_fk_and_prunes(spark):
+    from flink_descriptive_stats_spark.operators import dependencies as DP
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "d_key int, d_name string")
+    fact = spark.createDataFrame(
+        [(100, 0), (101, 1), (102, 1), (103, 2)],
+        "f_id bigint, f_key int")
+    out = DP.fk_discover({"fact": fact, "dim": dim}).collect()
+    found = {(r["child_table"], r["child_col"],
+              r["parent_table"], r["parent_col"]) for r in out}
+    # the true FK holds
+    assert ("fact", "f_key", "dim", "d_key") in found
+    # f_id (100..103) is range-pruned against d_key (0..2) and
+    # d_key cannot be contained in f_id either
+    assert ("fact", "f_id", "dim", "d_key") not in found
+    assert ("dim", "d_key", "fact", "f_id") not in found
+    r = next(r for r in out
+             if (r["child_table"], r["child_col"]) == ("fact", "f_key"))
+    assert r["n_orphans"] == 0 and r["containment"] == "1000000e-6"
+    assert r["name_affinity"] is True  # suffix 'key' == 'key'
+
+
+def test_fk_discover_min_containment_threshold(spark):
+    from flink_descriptive_stats_spark.operators import dependencies as DP
+    dim = spark.createDataFrame([(0,), (1,), (2,), (3,)], "d_key int")
+    # 3 of 4 distinct child keys contained (orphan 3 is INSIDE the
+    # parent's range, so only the containment threshold can reject it)
+    fact = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2), (3, 3)], "f_key int, other int")
+    dim2 = spark.createDataFrame([(0,), (1,), (2,)], "e_key int")
+    strict = DP.fk_discover({"f": fact.where("f_key < 4"), "d": dim})
+    # f_key {0..3} vs d_key {0..3}: containment 1.0 -> emitted
+    assert any(r["parent_col"] == "d_key" and r["child_col"] == "f_key"
+               for r in strict.collect())
+    # against a smaller parent it is cardinality-pruned (4 > 3)
+    assert not any(r["parent_col"] == "e_key"
+                   for r in DP.fk_discover(
+                       {"f": fact, "e": dim2}).collect())
+
+
+def test_fk_discover_skips_non_key_parent(spark):
+    from flink_descriptive_stats_spark.operators import dependencies as DP
+    dup = spark.createDataFrame([(1,), (1,), (2,)], "d_key int")
+    fact = spark.createDataFrame([(1,), (2,)], "f_key int")
+    out = DP.fk_discover({"f": fact, "d": dup}).collect()
+    assert not any(r["parent_table"] == "d" for r in out)
+
+
+def test_fk_discover_columns_constant_matches_schema(spark):
+    """The oracle builds its melted frames from FK_DISCOVER_COLUMNS;
+    pin that the Spark side's schema-derived eligible set is the same
+    dict on the real fixture tables."""
+    import __spark_entry__ as entry
+    from flink_descriptive_stats_spark.operators import dependencies as DP
+    from flink_descriptive_stats_spark.sources.tables import load_table
+    for t, expect in entry.FK_DISCOVER_COLUMNS.items():
+        df = load_table(spark, SF_DIR, t)
+        got = [f.name for f in df.schema.fields
+               if f.dataType.simpleString() in DP.DISCOVER_DTYPES]
+        assert got == expect, t
+
+
+def test_suffix_affinity_rule():
+    from flink_descriptive_stats_spark.operators.dependencies import _suffix
+    assert _suffix("c_nationkey") == "nationkey"
+    assert _suffix("n_nationkey") == "nationkey"
+    assert _suffix("plain") == "plain"  # no underscore: keys on itself
+    assert _suffix("a_b_c") == "b_c"  # FIRST underscore only
+
+
+# ------------------------------------------------------- corpus delta
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    old = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "b", "s1"), (3, None, "s2"), (4, "d", "s2"),
+         (5, "e", "s3")],
+        "doc_id bigint, text string, source string")
+    new = spark.createDataFrame(
+        [(1, "a", "s1"),          # unchanged
+         (2, "B", "s1"),          # changed
+         (3, None, "s2"),         # NULL == NULL: unchanged
+         (4, None, "s2"),         # value -> NULL: changed
+         (6, "f", "s9")],         # added; 5 removed
+        "doc_id bigint, text string, source string")
+    return old, new
+
+
+def test_corpus_delta_statuses(spark, snapshots):
+    from flink_descriptive_stats_spark.operators import delta as DL
+    old, new = snapshots
+    got = {r["id"]: r["status"]
+           for r in DL.corpus_delta(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "unchanged",
+                   4: "changed", 5: "removed", 6: "added"}
+
+
+def test_corpus_delta_carry_cols_fallback(spark, snapshots):
+    from flink_descriptive_stats_spark.operators import delta as DL
+    old, new = snapshots
+    d = DL.corpus_delta(old, new, carry_cols=("source",)).collect()
+    src = {r["id"]: r["source"] for r in d}
+    assert src[5] == "s3"  # removed doc: source from the OLD snapshot
+    assert src[6] == "s9"  # added doc: from the new one
+
+
+def test_corpus_delta_multi_content_cols(spark, snapshots):
+    from flink_descriptive_stats_spark.operators import delta as DL
+    old, new = snapshots
+    # hashing (text, source): doc 6's source differs too — still added;
+    # doc 1 stays unchanged (same text AND source)
+    got = {r["id"]: r["status"]
+           for r in DL.corpus_delta(
+               old, new, content_cols=("text", "source")).collect()}
+    assert got[1] == "unchanged" and got[2] == "changed"
+
+
+def test_delta_summary_always_four_rows(spark, snapshots):
+    from flink_descriptive_stats_spark.operators import delta as DL
+    old, _ = snapshots
+    out = {r["status"]: (r["n"], r["share"])
+           for r in DL.delta_summary(old, old).collect()}
+    assert set(out) == {"added", "removed", "changed", "unchanged"}
+    assert out["unchanged"] == (5, "1000000e-6")
+    for s in ("added", "removed", "changed"):
+        assert out[s] == (0, "0e0")
+
+
+def test_delta_by_source(spark, snapshots):
+    from flink_descriptive_stats_spark.operators import delta as DL
+    old, new = snapshots
+    got = {(r["source"], r["status"]): r["n"]
+           for r in DL.delta_by_source(old, new).collect()}
+    assert got[("s3", "removed")] == 1
+    assert got[("s9", "added")] == 1
+    assert got[("s2", "changed")] == 1 and got[("s2", "unchanged")] == 1
+
+
+def test_synth_new_snapshot_covers_all_statuses(spark):
+    """The shared fixture must make every status non-empty at the
+    smallest SF, or the gated queries go vacuous."""
+    from flink_descriptive_stats_spark.operators import delta as DL
+    from flink_descriptive_stats_spark.sources.tables import load_table
+    old = load_table(spark, SF_DIR, "documents")
+    counts = {r["status"]: r["n"]
+              for r in DL.delta_summary(
+                  old, DL.synth_new_snapshot(old)).collect()}
+    assert all(counts[s] > 0 for s in DL.STATUSES), counts
+
+
+def test_delta_plan_hashes_before_join(spark, snapshots):
+    """The full outer join must exchange pre-hashed narrow rows — the
+    text column may not survive into the join input."""
+    from flink_descriptive_stats_spark.operators import delta as DL
+    old, new = snapshots
+    plan = DL.corpus_delta(old, new)._jdf.queryExecution() \
+        .executedPlan().toString()
+    join_at = plan.find("SortMergeJoin")
+    if join_at == -1:
+        join_at = plan.find("ShuffledHashJoin")
+    assert join_at != -1
+    # below the join sit only the hash projections: 'text' appears in
+    # them as md5(... text ...) input, never as a carried-through
+    # output attribute of an Exchange row. Cheap proxy: the join keys
+    # are id-only.
+    assert "md5" in plan
