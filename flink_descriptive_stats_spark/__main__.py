@@ -21,7 +21,8 @@ import sys
 
 SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "quality-filter", "ann", "pii-scan", "pii-redact",
-               "entropy", "refint", "benford", "tfidf", "compare",
+               "entropy", "refint", "fk", "fk-discover", "delta",
+               "benford", "tfidf", "compare",
                "funnel", "retention", "resample", "robust-outliers", "fd",
                "check", "acf", "transitions", "rollup", "typos",
                "semdedup", "trend", "lm-score", "lang-confusion",
@@ -373,6 +374,40 @@ def build_parser() -> argparse.ArgumentParser:
     en.add_argument("input")
     en.add_argument("--columns", default=None)
     _add_common(en)
+
+    fk = sub.add_parser("fk",
+                        help="inclusion-dependency audit between two "
+                             "tables (or --orphans: the violating rows)")
+    fk.add_argument("child")
+    fk.add_argument("parent")
+    fk.add_argument("--child-col", required=True)
+    fk.add_argument("--parent-col", required=True)
+    fk.add_argument("--orphans", action="store_true",
+                    help="emit the orphan child ROWS instead of the "
+                         "one-row containment audit")
+    _add_common(fk)
+
+    fkd = sub.add_parser("fk-discover",
+                         help="undeclared FK discovery across tables "
+                              "(exact key/range pruning + containment)")
+    fkd.add_argument("inputs", nargs="+",
+                     help="table paths; the table name is the file stem")
+    fkd.add_argument("--min-containment", type=float, default=1.0)
+    _add_common(fkd)
+
+    dl = sub.add_parser("delta",
+                        help="doc-level snapshot diff: added/removed/"
+                             "changed/unchanged between two runs")
+    dl.add_argument("old")
+    dl.add_argument("new")
+    dl.add_argument("--id-col", default="doc_id")
+    dl.add_argument("--content-cols", default="text",
+                    help="comma-separated content-identity columns")
+    dl.add_argument("--summary", action="store_true",
+                    help="4-row status rollup instead of per-doc rows")
+    dl.add_argument("--by-source", metavar="COL", default=None,
+                    help="(source, status, n) rollup keyed on COL")
+    _add_common(dl)
 
     ri = sub.add_parser("refint",
                         help="FK orphan check between fact and dim")
@@ -1179,6 +1214,60 @@ def main(argv: list[str] | None = None) -> int:
         dim = _load(spark, args.dim, args.format)
         _emit(extras.referential_integrity(fact, dim, args.fk, args.pk),
               args.output)
+        return 0
+
+    if args.cmd == "fk":
+        from flink_descriptive_stats_spark.operators import \
+            dependencies as deps
+        child = _load(spark, args.child, args.format)
+        parent = _load(spark, args.parent, args.format)
+        if args.orphans:
+            out = deps.fk_orphan_rows(child, parent, args.child_col,
+                                      args.parent_col)
+        else:
+            out = deps.inclusion_dependencies(
+                [(args.child, child, args.child_col,
+                  args.parent, parent, args.parent_col)])
+        _emit(out, args.output)
+        return 0
+
+    if args.cmd == "fk-discover":
+        import os.path
+        from flink_descriptive_stats_spark.operators import \
+            dependencies as deps
+        tables = {}
+        for path in args.inputs:
+            name = os.path.splitext(os.path.basename(path.rstrip("/")))[0]
+            if name in tables:
+                print(f"error: duplicate table name {name!r} "
+                      "(file stems must be unique)", file=sys.stderr)
+                return 2
+            tables[name] = _load(spark, path, args.format)
+        _emit(deps.fk_discover(tables,
+                               min_containment=args.min_containment),
+              args.output)
+        return 0
+
+    if args.cmd == "delta":
+        from flink_descriptive_stats_spark.operators import delta as dlt
+        if args.summary and args.by_source:
+            print("error: --summary and --by-source are exclusive "
+                  "rollups; pick one", file=sys.stderr)
+            return 2
+        old = _load(spark, args.old, args.format)
+        new = _load(spark, args.new, args.format)
+        cols = tuple(args.content_cols.split(","))
+        if args.summary:
+            out = dlt.delta_summary(old, new, id_col=args.id_col,
+                                    content_cols=cols)
+        elif args.by_source:
+            out = dlt.delta_by_source(old, new, source_col=args.by_source,
+                                      id_col=args.id_col,
+                                      content_cols=cols)
+        else:
+            out = dlt.corpus_delta(old, new, id_col=args.id_col,
+                                   content_cols=cols)
+        _emit(out, args.output)
         return 0
 
     if args.cmd == "benford":

@@ -233,3 +233,47 @@ def test_delta_plan_hashes_before_join(spark, snapshots):
     # output attribute of an Exchange row. Cheap proxy: the join keys
     # are id-only.
     assert "md5" in plan
+
+
+# --------------------------------------------------------------- CLI
+
+def test_cli_fk_and_orphans(spark, capsys, tmp_path):
+    from flink_descriptive_stats_spark.__main__ import main
+    c = str(tmp_path / "child.parquet")
+    p = str(tmp_path / "par.parquet")
+    spark.createDataFrame([(1, 10), (2, 99)],
+                          "id bigint, ref int").write.parquet(c)
+    spark.createDataFrame([(10,), (20,)], "k int").write.parquet(p)
+    rc = main(["fk", c, p, "--child-col", "ref", "--parent-col", "k"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "n_orphans" in out and "false" in out
+    rc = main(["fk", c, p, "--child-col", "ref", "--parent-col", "k",
+               "--orphans"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "99" in out and "10" not in out.split("ref")[-1] \
+        .splitlines()[2]
+
+
+def test_cli_fk_discover_duplicate_stem_rejected(spark, capsys, tmp_path):
+    from flink_descriptive_stats_spark.__main__ import main
+    a = tmp_path / "a" / "t.parquet"
+    b = tmp_path / "b" / "t.parquet"
+    spark.createDataFrame([(1,)], "k int").write.parquet(str(a))
+    spark.createDataFrame([(1,)], "k int").write.parquet(str(b))
+    rc = main(["fk-discover", str(a), str(b)])
+    assert rc == 2
+    assert "duplicate table name" in capsys.readouterr().err
+
+
+def test_cli_delta_rollup_flags_exclusive(spark, capsys, tmp_path):
+    from flink_descriptive_stats_spark.__main__ import main
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame([(1, "a", "s")],
+                          "doc_id bigint, text string, source string"
+                          ).write.parquet(src)
+    rc = main(["delta", src, src, "--summary", "--by-source", "source"])
+    assert rc == 2
+    assert "exclusive" in capsys.readouterr().err
+    rc = main(["delta", src, src, "--summary"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "unchanged" in out

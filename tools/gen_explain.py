@@ -627,6 +627,32 @@ def main() -> None:
         "pinned in tests/test_plan_shapes.py on the executed plan).",
         fmt(spark, UR.domain_mix(withurl))))
 
+    from flink_descriptive_stats_spark.operators import delta as DLT
+    from flink_descriptive_stats_spark.operators import \
+        dependencies as DEPS
+    orders = load_table(spark, SF, "orders")
+    sections.append((
+        "FK orphan rows (round 10)",
+        "Row-level inclusion-dependency triage: the parent collapses\n"
+        "to its DISTINCT key before the anti-join (build side is key-\n"
+        "cardinality, AQE broadcasts it when small); the child rides\n"
+        "the join once, full rows. The containment audits\n"
+        "(inclusion_dependencies / fk_discover) use the same key-only\n"
+        "distinct-distinct shape with a LEFT join so containment and\n"
+        "orphan counts come out of one pass.",
+        fmt(spark, DEPS.fk_orphan_rows(orders, li, "o_orderkey",
+                                       "l_orderkey"))))
+
+    sections.append((
+        "Corpus snapshot delta (round 10)",
+        "Doc-level diff of two pipeline runs: each side is projected\n"
+        "to (id, md5(content)) BEFORE the full outer join, so the one\n"
+        "unavoidable co-location of the snapshots exchanges 16-byte\n"
+        "hashes, never document text. Status is a narrow Project over\n"
+        "the join; the summary/by-source rollups aggregate this frame\n"
+        "to bounded tables.",
+        fmt(spark, DLT.corpus_delta(docs, DLT.synth_new_snapshot(docs)))))
+
     with open("EXPLAIN.md", "w") as f:
         f.write(
             '# Plan audit — `.explain("formatted")` of the flagship '
