@@ -48,10 +48,12 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_descriptive_stats_spark.functions.sig import sig6_py
+from flink_descriptive_stats_spark.functions.sig import sig6
 
 #: Spark simpleString dtypes eligible for fk_discover (FK keys are
 #: integral in practice; bounding the type family keeps the per-table
@@ -77,13 +79,25 @@ def _containment_row(child: DataFrame, child_col: str,
                  .alias("n_orphans")))
 
 
-def _finish_pair(row, child_table: str, child_col: str,
-                 parent_table: str, parent_col: str) -> tuple:
-    nd, orph = int(row["n_child_distinct"]), int(row["n_orphans"])
+def _labelled_pair(child: DataFrame, child_col: str,
+                   parent: DataFrame, parent_col: str,
+                   child_name: str, parent_name: str) -> DataFrame:
+    """The one-row audit frame for a pair, with the pair identity as
+    literal columns and the derived stats computed lazily — union-able
+    across pairs into ONE job (independent subtrees schedule
+    concurrently instead of one collect per pair)."""
+    nd, orph = F.col("n_child_distinct"), F.col("n_orphans")
     # empty child: contained vacuously (the NOT EXISTS convention)
-    cont = 1.0 if nd == 0 else (nd - orph) / nd
-    return (child_table, child_col, parent_table, parent_col,
-            nd, orph, sig6_py(cont), orph == 0)
+    cont = F.when(nd == 0, F.lit(1.0)).otherwise(
+        (nd - orph).cast("double") / nd.cast("double"))
+    return _containment_row(child, child_col, parent, parent_col).select(
+        F.lit(child_name).alias("child_table"),
+        F.lit(child_col).alias("child_col"),
+        F.lit(parent_name).alias("parent_table"),
+        F.lit(parent_col).alias("parent_col"),
+        nd, orph,
+        sig6(cont).alias("containment"),
+        (orph == 0).alias("ind_holds"))
 
 
 def inclusion_dependencies(
@@ -100,18 +114,12 @@ def inclusion_dependencies(
     their row mass.
 
     Each spec costs one distinct-distinct left join over key columns
-    only; results are collected (one row per declared edge — bounded by
-    construction) and returned as a small DataFrame."""
-    out = []
-    spark = None
-    for cn, cdf, cc, pn, pdf, pc in specs:
-        spark = cdf.sparkSession
-        row = _containment_row(cdf, cc, pdf, pc).collect()[0]
-        out.append(_finish_pair(row, cn, cc, pn, pc))
-    return spark.createDataFrame(
-        out, "child_table string, child_col string, parent_table string, "
-             "parent_col string, n_child_distinct bigint, n_orphans bigint, "
-             "containment string, ind_holds boolean")
+    only; the per-edge one-row audits are UNIONed into a single lazy
+    plan, so the whole graph is one job whose independent edge subtrees
+    run concurrently."""
+    return reduce(DataFrame.unionByName,
+                  (_labelled_pair(cdf, cc, pdf, pc, cn, pn)
+                   for cn, cdf, cc, pn, pdf, pc in specs))
 
 
 def fk_orphan_rows(child: DataFrame, parent: DataFrame,
@@ -161,7 +169,9 @@ def fk_discover(tables: dict[str, DataFrame],
       (range-contained coincidences are reported, not hidden).
 
     Cost: ONE stats aggregate per table (bounded driver rows), then one
-    key-distinct left join per surviving pair."""
+    key-distinct left join per surviving pair, all UNIONed into a
+    single lazy result plan (the survivor joins run concurrently in one
+    job)."""
     stats: dict[tuple[str, str], dict] = {}
     for tname, df in tables.items():
         cols = [f.name for f in df.schema.fields
@@ -183,8 +193,8 @@ def fk_discover(tables: dict[str, DataFrame],
             }
     parents = [(t, c) for (t, c), s in stats.items()
                if s["n"] > 0 and s["d"] == s["nn"] == s["n"]]
-    out = []
     spark = next(iter(tables.values())).sparkSession
+    frames = []
     for (pt, pc) in parents:
         ps = stats[(pt, pc)]
         for (ct, cc), cs in stats.items():
@@ -193,14 +203,22 @@ def fk_discover(tables: dict[str, DataFrame],
             if (cs["d"] > ps["d"] or cs["mn"] < ps["mn"]
                     or cs["mx"] > ps["mx"]):
                 continue
-            row = _containment_row(tables[ct], cc,
-                                   tables[pt], pc).collect()[0]
-            nd, orph = int(row["n_child_distinct"]), int(row["n_orphans"])
-            cont = (nd - orph) / nd  # nd >= 1: nn > 0 above
-            if cont >= min_containment:
-                out.append((ct, cc, pt, pc, nd, orph, sig6_py(cont),
-                            _suffix(cc) == _suffix(pc)))
-    return spark.createDataFrame(
-        out, "child_table string, child_col string, parent_table string, "
-             "parent_col string, n_child_distinct bigint, n_orphans bigint, "
-             "containment string, name_affinity boolean")
+            nd, orph = F.col("n_child_distinct"), F.col("n_orphans")
+            cont = (nd - orph).cast("double") / nd.cast("double")
+            frames.append(
+                _containment_row(tables[ct], cc, tables[pt], pc)
+                .where(cont >= F.lit(float(min_containment)))
+                .select(F.lit(ct).alias("child_table"),
+                        F.lit(cc).alias("child_col"),
+                        F.lit(pt).alias("parent_table"),
+                        F.lit(pc).alias("parent_col"),
+                        nd, orph,
+                        sig6(cont).alias("containment"),
+                        F.lit(_suffix(cc) == _suffix(pc))
+                        .alias("name_affinity")))
+    schema = ("child_table string, child_col string, parent_table string, "
+              "parent_col string, n_child_distinct bigint, "
+              "n_orphans bigint, containment string, name_affinity boolean")
+    if not frames:
+        return spark.createDataFrame([], schema)
+    return reduce(DataFrame.unionByName, frames)
