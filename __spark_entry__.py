@@ -726,6 +726,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              url_col="url", max_per_domain=10)
     q["curate_corpus_url_documents"] = _curate_url
 
+    # text cleaning / unicode normalization (r10): the stage between
+    # extraction and every text operator — the doc_id%5 damage shells
+    # (controls, zero-widths, unicode spaces, decomposed combining
+    # marks, pristine) are rebuilt by the oracle via chr() and every
+    # repair replayed literally; NFC gates against DuckDB's own UAX#15
+    # implementation
+    def _dirty_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import cleaning as CL
+        d = (_load(spark, sf_dir, "documents")
+             .where(F.col("text").isNotNull()))
+        return d.select("doc_id",
+                        CL.synth_dirty_expr(F.col("text"),
+                                            F.col("doc_id")).alias("dirty"))
+
+    def _clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import cleaning as CL
+        return CL.clean_text(_dirty_frame(spark, sf_dir),
+                             text_col="dirty")
+    q["clean_text_documents"] = _clean_text
+
+    def _cleaning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import cleaning as CL
+        return CL.cleaning_report(_dirty_frame(spark, sf_dir),
+                                  text_col="dirty")
+    q["cleaning_report_documents"] = _cleaning_report
+
+    def _nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import cleaning as CL
+        return CL.nfc_normalize(_dirty_frame(spark, sf_dir),
+                                text_col="dirty")
+    q["nfc_normalize_documents"] = _nfc
+
     # dependency discovery (r10): the engine's first genuinely
     # MULTI-TABLE profiling queries — the declared TPC-H FK graph
     # audited (with the reverse edge that genuinely fails: 257 orders
@@ -1861,6 +1893,9 @@ def oracle_sql() -> dict[str, str]:
     o["domain_cap_documents"] = op.domain_cap_sql(max_per_domain=40)
     o["url_decontaminate_documents"] = op.url_decontaminate_sql()
     o["curate_corpus_url_documents"] = op.curate_corpus_url_sql()
+    o["clean_text_documents"] = op.clean_text_sql()
+    o["cleaning_report_documents"] = op.cleaning_report_sql()
+    o["nfc_normalize_documents"] = op.nfc_normalize_sql()
     o["inclusion_deps_tpch"] = op.inclusion_deps_sql(
         [(c, cc, p, pc) for c, cc, p, pc in FK_SPECS])
     o["fk_discover_dims"] = op.fk_discover_sql(FK_DISCOVER_COLUMNS)

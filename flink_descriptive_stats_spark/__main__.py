@@ -21,7 +21,7 @@ import sys
 
 SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "quality-filter", "ann", "pii-scan", "pii-redact",
-               "entropy", "refint", "fk", "fk-discover", "delta",
+               "entropy", "refint", "fk", "fk-discover", "delta", "clean",
                "benford", "tfidf", "compare",
                "funnel", "retention", "resample", "robust-outliers", "fd",
                "check", "acf", "transitions", "rollup", "typos",
@@ -408,6 +408,19 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("--by-source", metavar="COL", default=None,
                     help="(source, status, n) rollup keyed on COL")
     _add_common(dl)
+
+    cl = sub.add_parser("clean",
+                        help="unicode text repair: strip controls/"
+                             "zero-widths, canonicalize spaces")
+    cl.add_argument("input")
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--id-col", default="doc_id")
+    cl.add_argument("--report", action="store_true",
+                    help="per-doc damage counts instead of cleaned text")
+    cl.add_argument("--nfc", action="store_true",
+                    help="NFC canonical composition instead of the "
+                         "regex repairs")
+    _add_common(cl)
 
     ri = sub.add_parser("refint",
                         help="FK orphan check between fact and dim")
@@ -1214,6 +1227,25 @@ def main(argv: list[str] | None = None) -> int:
         dim = _load(spark, args.dim, args.format)
         _emit(extras.referential_integrity(fact, dim, args.fk, args.pk),
               args.output)
+        return 0
+
+    if args.cmd == "clean":
+        from flink_descriptive_stats_spark.operators import cleaning
+        if args.report and args.nfc:
+            print("error: --report and --nfc are exclusive modes; "
+                  "pick one", file=sys.stderr)
+            return 2
+        df = _load(spark, args.input, args.format)
+        if args.report:
+            out = cleaning.cleaning_report(df, text_col=args.text_col,
+                                           id_col=args.id_col)
+        elif args.nfc:
+            out = cleaning.nfc_normalize(df, text_col=args.text_col,
+                                         id_col=args.id_col)
+        else:
+            out = cleaning.clean_text(df, text_col=args.text_col,
+                                      id_col=args.id_col)
+        _emit(out, args.output)
         return 0
 
     if args.cmd == "fk":

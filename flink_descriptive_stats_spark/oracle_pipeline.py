@@ -3372,3 +3372,99 @@ d AS (SELECT coalesce(n.sn, o.so) AS source,
                   ELSE 'changed' END AS status
       FROM o FULL OUTER JOIN n ON o.id = n.id)
 SELECT source, status, count(*) AS n FROM d GROUP BY source, status"""
+
+
+# --------------------------------------------------------------------------
+# text cleaning / unicode normalization (operators/cleaning.py)
+# --------------------------------------------------------------------------
+
+def _duck_str(s: str) -> str:
+    """A DuckDB expression equal to the Python string ``s``: printable
+    ASCII runs as quoted literals, everything else (control chars,
+    non-ASCII) via chr() — so fixture strings with invisible damage
+    stay reviewable inside the generated SQL."""
+    if s == "":
+        return "''"
+    parts, run = [], []
+
+    def flush():
+        if run:
+            lit = "".join(run).replace("'", "''")
+            parts.append(f"'{lit}'")
+            run.clear()
+
+    for ch in s:
+        if 32 <= ord(ch) < 127:
+            run.append(ch)
+        else:
+            flush()
+            parts.append(f"chr({ord(ch)})")
+    flush()
+    return " || ".join(parts)
+
+
+def _synth_dirty_case(id_expr: str = "doc_id",
+                      text_expr: str = "text") -> str:
+    """cleaning.synth_dirty_expr mirrored: the id%5 damage shells from
+    the SAME DIRTY_VARIANTS constants, non-ASCII built via chr()."""
+    from flink_descriptive_stats_spark.operators import cleaning as CL
+    whens = []
+    for i, (pre, post) in enumerate(CL.DIRTY_VARIANTS):
+        parts = [p for p in (_duck_str(pre) if pre else "",
+                             text_expr,
+                             _duck_str(post) if post else "") if p]
+        whens.append(f"WHEN {i} THEN {' || '.join(parts)}")
+    return (f"CASE CAST({id_expr} AS BIGINT) % {len(CL.DIRTY_VARIANTS)} "
+            + " ".join(whens) + " END")
+
+
+def _dirty_cte(table: str = "documents") -> str:
+    return (f"t AS (SELECT CAST(doc_id AS BIGINT) AS id, "
+            f"{_synth_dirty_case()} AS dirty FROM {table} "
+            f"WHERE text IS NOT NULL)")
+
+
+def clean_text_sql(table: str = "documents") -> str:
+    """cleaning.clean_text mirrored: the same three \\x{HHHH} class
+    replaces (RE2 == Java regex on this subset), global flag explicit
+    (Spark's regexp_replace is global by default)."""
+    from flink_descriptive_stats_spark.operators import cleaning as CL
+    x = f"regexp_replace(dirty, '{CL.CONTROL_RE}', '', 'g')"
+    x = f"regexp_replace({x}, '{CL.ZERO_WIDTH_RE}', '', 'g')"
+    x = f"regexp_replace({x}, '{CL.UNICODE_SPACE_RE}', ' ', 'g')"
+    return f"""
+WITH {_dirty_cte(table)}
+SELECT id, {x} AS text_clean FROM t"""
+
+
+def cleaning_report_sql(table: str = "documents") -> str:
+    """cleaning.cleaning_report mirrored: per-class damage counts via
+    regexp_extract_all lengths; both engines' length() counts code
+    points, so combining marks and ideographic spaces tally
+    identically."""
+    from flink_descriptive_stats_spark.operators import cleaning as CL
+    n_ctrl = f"len(regexp_extract_all(dirty, '{CL.CONTROL_RE}'))"
+    n_zw = f"len(regexp_extract_all(dirty, '{CL.ZERO_WIDTH_RE}'))"
+    n_sp = f"len(regexp_extract_all(dirty, '{CL.UNICODE_SPACE_RE}'))"
+    clean = f"regexp_replace(dirty, '{CL.CONTROL_RE}', '', 'g')"
+    clean = f"regexp_replace({clean}, '{CL.ZERO_WIDTH_RE}', '', 'g')"
+    clean = f"regexp_replace({clean}, '{CL.UNICODE_SPACE_RE}', ' ', 'g')"
+    return f"""
+WITH {_dirty_cte(table)}
+SELECT id,
+       CAST({n_ctrl} AS BIGINT) AS n_control,
+       CAST({n_zw} AS BIGINT) AS n_zero_width,
+       CAST({n_sp} AS BIGINT) AS n_unicode_space,
+       CAST(len(dirty) AS BIGINT) AS n_chars,
+       CAST(len({clean}) AS BIGINT) AS n_chars_clean,
+       ({n_ctrl} + {n_zw} + {n_sp}) > 0 AS changed
+FROM t"""
+
+
+def nfc_normalize_sql(table: str = "documents") -> str:
+    """cleaning.nfc_normalize mirrored by DuckDB's built-in
+    nfc_normalize — both sides implement UAX #15 canonical
+    composition, so the normalized STRINGS hash-compare."""
+    return f"""
+WITH {_dirty_cte(table)}
+SELECT id, nfc_normalize(dirty) AS text_nfc FROM t"""

@@ -1,0 +1,175 @@
+"""Text cleaning / unicode normalization (operators/cleaning.py):
+code-point-class repairs, damage report counts, NFC composition, and
+the Spark<->DuckDB parity sweep. All non-ASCII test data is written as
+\\uXXXX escapes so every code point is reviewable."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+
+def _clean_one(spark, s: str) -> str | None:
+    from flink_descriptive_stats_spark.operators import cleaning as C
+    return (spark.createDataFrame([(1, s)], "doc_id bigint, text string")
+            .select(C.clean_text_expr(F.col("text")).alias("t"))
+            .collect()[0]["t"])
+
+
+def test_control_chars_removed_whitespace_kept(spark):
+    assert _clean_one(spark, "a\x07b\x1bc\x0bd") == "abcd"
+    # tab / newline / CR are CONTENT whitespace, not damage
+    assert _clean_one(spark, "a\tb\nc\rd") == "a\tb\nc\rd"
+    # DEL and a C1 control
+    assert _clean_one(spark, "a\x7fb\x85c") == "abc"
+
+
+def test_zero_width_removed(spark):
+    assert _clean_one(
+        spark,
+        "\ufeffzero\u200bwidth\u200c\u200d soft\u00adhyphen\u2060"
+    ) == "zerowidth softhyphen"
+
+
+def test_unicode_spaces_mapped_not_collapsed(spark):
+    # each exotic space becomes ONE ascii space; runs stay runs
+    assert _clean_one(spark, "a\u00a0\u2009b\u3000c") == "a  b c"
+    assert _clean_one(spark, "a b\u2003 c") == "a b  c"
+
+
+def test_combining_marks_survive_cleaning(spark):
+    # NFC is a separate opt-in op; cleaning never touches marks
+    s = "cafe\u0301"
+    assert _clean_one(spark, s) == s
+
+
+def test_clean_text_null_excluded(spark):
+    from flink_descriptive_stats_spark.operators import cleaning as C
+    df = spark.createDataFrame([(1, "a"), (2, None)],
+                               "doc_id bigint, text string")
+    assert C.clean_text(df).count() == 1
+
+
+def test_cleaning_report_counts_and_invariant(spark):
+    from flink_descriptive_stats_spark.operators import cleaning as C
+    df = spark.createDataFrame(
+        [(1, "x\x07y\u200b\u00a0z"), (2, "clean")],
+        "doc_id bigint, text string")
+    rows = {r["id"]: r for r in C.cleaning_report(df).collect()}
+    r = rows[1]
+    assert (r["n_control"], r["n_zero_width"], r["n_unicode_space"]) \
+        == (1, 1, 1)
+    # removals shrink, space maps keep length
+    assert r["n_chars_clean"] == r["n_chars"] - r["n_control"] \
+        - r["n_zero_width"]
+    assert r["changed"] is True
+    assert rows[2]["changed"] is False
+
+
+def test_nfc_composes_and_is_idempotent(spark):
+    from flink_descriptive_stats_spark.operators import cleaning as C
+    df = spark.createDataFrame(
+        [(1, "cafe\u0301"), (2, "caf\u00e9"), (3, None)],
+        "doc_id bigint, text string")
+    out = {r["id"]: r["text_nfc"] for r in C.nfc_normalize(df).collect()}
+    assert out[1] == "caf\u00e9" and len(out[1]) == 4
+    assert out[2] == "caf\u00e9"  # already composed: unchanged
+    assert 3 not in out  # NULL text out of scope
+
+
+ADVERSARIAL = [
+    "",
+    "plain ascii only",
+    "\x00nul\x01 soh",
+    "mix\u200b\x07 of al\u0301l three",
+    "\u3000\u3000double ideographic",
+    "tab\tand\u2060joiner",
+    "\ufeff\ufeffdouble bom",
+    "edge c1 \u009f high",
+    "\u1680ogham mark",
+    "narrow\u202fnbsp math\u205fspace hair\u200aspace",
+]
+
+
+def test_clean_parity_spark_duckdb(spark):
+    """Character-for-character: Spark's clean expression == the DuckDB
+    oracle's replace chain on adversarial inputs."""
+    from flink_descriptive_stats_spark.operators import cleaning as C
+    from flink_descriptive_stats_spark.oracle_pipeline import _duck_str
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ADVERSARIAL)],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r["t"] for r in sdf.select(
+        "doc_id", C.clean_text_expr(F.col("text")).alias("t")).collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(ADVERSARIAL):
+        if "\x00" in s:
+            # DuckDB varchars cannot hold NUL; pin the Spark-side
+            # behavior directly (both controls removed)
+            assert got[i] == "nul soh"
+            continue
+        x = f"regexp_replace({_duck_str(s)}, '{C.CONTROL_RE}', '', 'g')"
+        x = f"regexp_replace({x}, '{C.ZERO_WIDTH_RE}', '', 'g')"
+        x = f"regexp_replace({x}, '{C.UNICODE_SPACE_RE}', ' ', 'g')"
+        duck = con.execute(f"SELECT {x}").fetchone()[0]
+        assert got[i] == duck, (i, s)
+
+
+def test_nfc_parity_spark_duckdb(spark):
+    from flink_descriptive_stats_spark.operators import cleaning as C
+    from flink_descriptive_stats_spark.oracle_pipeline import _duck_str
+    cases = ["cafe\u0301", "A\u030a", "\u00c5", "q\u0323\u0307",
+             "plain", "combining\u0308 run\u0301\u0301"]
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)],
+        "doc_id bigint, text string")
+    got = {r["id"]: r["text_nfc"]
+           for r in C.nfc_normalize(sdf).collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(cases):
+        duck = con.execute(
+            f"SELECT nfc_normalize({_duck_str(s)})").fetchone()[0]
+        assert got[i] == duck, (i, s)
+
+
+def test_dirty_fixture_covers_every_class(spark):
+    """Each damage class must be non-empty on the fixture or the gated
+    queries go vacuous; the pristine variant must stay byte-identical."""
+    from flink_descriptive_stats_spark.operators import cleaning as C
+    from flink_descriptive_stats_spark.sources.tables import load_table
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .where(F.col("text").isNotNull()))
+    dirty = docs.select(
+        "doc_id", "text",
+        C.synth_dirty_expr(F.col("text"), F.col("doc_id")).alias("dirty"))
+    rep = C.cleaning_report(dirty, text_col="dirty")
+    agg = rep.agg(F.sum("n_control").alias("c"),
+                  F.sum("n_zero_width").alias("z"),
+                  F.sum("n_unicode_space").alias("s")).collect()[0]
+    assert agg["c"] > 0 and agg["z"] > 0 and agg["s"] > 0
+    pristine = dirty.where(F.col("doc_id") % 5 == 4) \
+        .where(F.col("dirty") != F.col("text")).count()
+    assert pristine == 0
+
+
+def test_clean_text_plan_is_pure_codegen(spark):
+    """No Exchange, no Python/Arrow eval: a map-only Project."""
+    from flink_descriptive_stats_spark.operators import cleaning as C
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    plan = C.clean_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "Arrow" not in plan
+
+
+def test_cli_clean_subcommand(spark, capsys, tmp_path):
+    from flink_descriptive_stats_spark.__main__ import main
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame([(1, "a b\u200b")],
+                          "doc_id bigint, text string").write.parquet(src)
+    rc = main(["clean", src])
+    assert rc == 0 and "text_clean" in capsys.readouterr().out
+    rc = main(["clean", src, "--report"])
+    assert rc == 0 and "n_zero_width" in capsys.readouterr().out
+    rc = main(["clean", src, "--nfc"])
+    assert rc == 0 and "text_nfc" in capsys.readouterr().out
+    rc = main(["clean", src, "--report", "--nfc"])
+    assert rc == 2
+    assert "exclusive" in capsys.readouterr().err

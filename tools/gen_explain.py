@@ -653,6 +653,20 @@ def main() -> None:
         "to bounded tables.",
         fmt(spark, DLT.corpus_delta(docs, DLT.synth_new_snapshot(docs)))))
 
+    from flink_descriptive_stats_spark.operators import cleaning as CLN
+    dirty = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        CLN.synth_dirty_expr(F.col("text"), F.col("doc_id"))
+        .alias("dirty"))
+    sections.append((
+        "Unicode text cleaning (round 10)",
+        "The repair stage between extraction and every text operator:\n"
+        "three code-point-class regexp passes (controls, zero-widths,\n"
+        "exotic spaces) in ONE codegen Project — no shuffle, no Python\n"
+        "(NFC is the separate opt-in Arrow pass, the only part of the\n"
+        "family the JVM cannot express).",
+        fmt(spark, CLN.clean_text(dirty, text_col="dirty"))))
+
     with open("EXPLAIN.md", "w") as f:
         f.write(
             '# Plan audit — `.explain("formatted")` of the flagship '
