@@ -343,6 +343,9 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=["image", "audio", "auto"],
                      help="'auto' sniffs each payload's container and "
                           "emits per-modality media sections")
+    dca.add_argument("--cleaning", action="store_true",
+                     help="append the cleaning section (invisible-"
+                          "damage fractions and per-class char totals)")
     dca.add_argument("--five-pass", action="store_true",
                      help="the audit-trail path: one scan per signal "
                           "aggregate (the component operators' own "
@@ -1124,6 +1127,7 @@ def main(argv: list[str] | None = None) -> int:
             out = dataset_card_by_source(
                 df, text_col=args.text_col, id_col=args.id_col,
                 source_col=args.source_col,
+                cleaning_section=args.cleaning,
                 single_pass=not args.five_pass)
         else:
             out = dataset_card(df, text_col=args.text_col,
@@ -1132,6 +1136,7 @@ def main(argv: list[str] | None = None) -> int:
                                exact=not args.approx,
                                payload_col=args.payload_col,
                                media_kind=args.media_kind,
+                               cleaning_section=args.cleaning,
                                single_pass=not args.five_pass)
         _emit(out, args.output)
         return 0

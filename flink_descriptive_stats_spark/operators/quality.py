@@ -291,6 +291,7 @@ def dataset_card(df: DataFrame, text_col: str = "text",
                  media_kind: str = "image",
                  html_col: str | None = None,
                  url_col: str | None = None,
+                 cleaning_section: bool = False,
                  single_pass: bool = True) -> DataFrame:
     """One-call corpus datasheet — the LLM-pipeline analogue of the
     reference's console report: (section, metric, value) rows, in a
@@ -358,6 +359,13 @@ def dataset_card(df: DataFrame, text_col: str = "text",
     of scope like NULL-text ones. Defaults to None so existing cards
     are byte-identical.
 
+    ``cleaning_section`` (r10): opt-in ``cleaning`` rows between the
+    markup and url sections (pipeline order: extract, clean, then
+    metadata): damaged_doc_fraction, damaged_char_fraction, and the
+    per-class character totals — cleaning_report's own signals
+    re-aggregated (pytest-pinned). Opt-in because it adds three regexp
+    passes over the text column; the default card stays byte-identical.
+
     ``url_col`` (r10): when named AND present, a ``url`` section
     follows the markup one — the crawl-metadata datasheet:
     n_url_docs, invalid_url_fraction (the valid=false triage share),
@@ -389,6 +397,8 @@ def dataset_card(df: DataFrame, text_col: str = "text",
                                               source_col, exact)
         if html_col is not None and html_col in df.columns:
             rows += _markup_card_rows(df, html_col)
+        if cleaning_section:
+            rows += _cleaning_card_rows(df, text_col)
         if url_col is not None and url_col in df.columns:
             rows += _url_card_rows(df, url_col)
         if payload_col is not None and payload_col in df.columns:
@@ -447,12 +457,87 @@ def dataset_card(df: DataFrame, text_col: str = "text",
     ]
     if html_col is not None and html_col in df.columns:
         rows += _markup_card_rows(df, html_col)
+    if cleaning_section:
+        rows += _cleaning_card_rows(df, text_col)
     if url_col is not None and url_col in df.columns:
         rows += _url_card_rows(df, url_col)
     if payload_col is not None and payload_col in df.columns:
         rows += _media_card_rows(df, payload_col, media_kind, id_col)
     return df.sparkSession.createDataFrame(
         rows, "section string, metric string, value string")
+
+
+def _cleaning_card_rows(df: DataFrame, text_col: str) -> list:
+    """The cleaning section of dataset_card — the datasheet view of
+    operators/cleaning.py: how much of the drop carries invisible
+    damage (controls / zero-widths / exotic spaces) that clean_text
+    would repair. ONE bounded narrow aggregate over the text column;
+    every number is cleaning_report's own per-doc signal re-aggregated
+    (pytest-pinned). Opt-in (cleaning_section=True) because it adds
+    three regexp passes to the card's scan and the gated text-only
+    card must stay byte-identical."""
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    from flink_descriptive_stats_spark.operators.cleaning import (
+        CONTROL_RE, UNICODE_SPACE_RE, ZERO_WIDTH_RE)
+    c = F.col(text_col)
+    nc = F.regexp_count(c, F.lit(CONTROL_RE))
+    nz = F.regexp_count(c, F.lit(ZERO_WIDTH_RE))
+    ns = F.regexp_count(c, F.lit(UNICODE_SPACE_RE))
+    r = (df.where(c.isNotNull())
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.count_if((nc + nz + ns) > 0).alias("dmg"),
+              F.sum(nc).alias("tc"), F.sum(nz).alias("tz"),
+              F.sum(ns).alias("ts"),
+              F.sum(F.length(c)).alias("chars")).collect()[0])
+    n, chars = int(r["n"]), int(r["chars"] or 0)
+    tot = int(r["tc"]) + int(r["tz"]) + int(r["ts"])
+    return [
+        ("cleaning", "damaged_doc_fraction",
+         sig6_py(int(r["dmg"]) / n) if n else None),
+        ("cleaning", "damaged_char_fraction",
+         sig6_py(tot / chars) if chars else None),
+        ("cleaning", "control_chars", str(int(r["tc"]))),
+        ("cleaning", "zero_width_chars", str(int(r["tz"]))),
+        ("cleaning", "unicode_space_chars", str(int(r["ts"]))),
+    ]
+
+
+def _cleaning_by_source_rows(df: DataFrame, text_col: str,
+                             source_col: str) -> list:
+    """Per-source cleaning triage rows (metric names = the corpus
+    section folded in, the by-source convention): each source's
+    numbers equal the corpus card's cleaning section on that source's
+    slice alone (pytest-pinned) — the 'which feed ships broken
+    encodings' answer. ONE bounded groupBy(source)."""
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    from flink_descriptive_stats_spark.operators.cleaning import (
+        CONTROL_RE, UNICODE_SPACE_RE, ZERO_WIDTH_RE)
+    c = F.col(text_col)
+    nc = F.regexp_count(c, F.lit(CONTROL_RE))
+    nz = F.regexp_count(c, F.lit(ZERO_WIDTH_RE))
+    ns = F.regexp_count(c, F.lit(UNICODE_SPACE_RE))
+    agg = (df.where(c.isNotNull()).groupBy(source_col)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.count_if((nc + nz + ns) > 0).alias("dmg"),
+                F.sum(nc).alias("tc"), F.sum(nz).alias("tz"),
+                F.sum(ns).alias("ts"),
+                F.sum(F.length(c)).alias("chars")).collect())
+    rows = []
+    for r in sorted(agg, key=lambda r: r[source_col]):
+        n, chars = int(r["n"]), int(r["chars"] or 0)
+        tot = int(r["tc"]) + int(r["tz"]) + int(r["ts"])
+        rows += [
+            (r[source_col], "cleaning_damaged_doc_fraction",
+             sig6_py(int(r["dmg"]) / n) if n else None),
+            (r[source_col], "cleaning_damaged_char_fraction",
+             sig6_py(tot / chars) if chars else None),
+            (r[source_col], "cleaning_control_chars", str(int(r["tc"]))),
+            (r[source_col], "cleaning_zero_width_chars",
+             str(int(r["tz"]))),
+            (r[source_col], "cleaning_unicode_space_chars",
+             str(int(r["ts"]))),
+        ]
+    return rows
 
 
 def _url_card_rows(df: DataFrame, url_col: str) -> list:
@@ -823,6 +908,7 @@ def dataset_card_by_source(df: DataFrame, text_col: str = "text",
                            payload_col: str | None = None,
                            media_kind: str = "image",
                            url_col: str | None = None,
+                           cleaning_section: bool = False,
                            single_pass: bool = True) -> DataFrame:
     """Per-source datasheet — the which-source-is-dirty triage view of
     dataset_card (the same relationship check_constraints_by has to
@@ -852,6 +938,11 @@ def dataset_card_by_source(df: DataFrame, text_col: str = "text",
     _url_by_source_rows for the slice-equality contract. Defaults
     keep existing cards byte-identical.
 
+    ``cleaning_section`` (r10): opt-in per-source cleaning triage rows
+    (cleaning_damaged_doc_fraction .. cleaning_unicode_space_chars)
+    appended before the url rows — each source's numbers equal the
+    corpus card's cleaning section on that slice (pytest-pinned).
+
     ``single_pass`` (r8; the DEFAULT since r9, same rationale as
     dataset_card's): single_pass=False pays FOUR doc-scale equi-join
     shuffles (each per-doc signal frame back onto (id, source)) plus a
@@ -861,6 +952,9 @@ def dataset_card_by_source(df: DataFrame, text_col: str = "text",
     groupBy(source) aggregate and one bounded groupBy(source, lang)
     count. Identical rows (pytest-pinned; gates against the same
     oracle)."""
+    cleaning_rows = (
+        _cleaning_by_source_rows(df, text_col, source_col)
+        if cleaning_section else [])
     url_rows = (
         _url_by_source_rows(df, url_col, id_col, source_col)
         if url_col is not None and url_col in df.columns else [])
@@ -868,7 +962,7 @@ def dataset_card_by_source(df: DataFrame, text_col: str = "text",
         _media_by_source_rows(df, payload_col, media_kind, id_col,
                               source_col)
         if payload_col is not None and payload_col in df.columns else [])
-    extra_rows = url_rows + media_rows
+    extra_rows = cleaning_rows + url_rows + media_rows
     if single_pass:
         out = _dataset_card_by_source_single_pass(df, text_col, id_col,
                                                   source_col)

@@ -752,7 +752,8 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                        text_col: str = "text", id_col: str = "doc_id",
                        source_col: str = "source",
                        payload_col: str | None = None,
-                       url_col: str | None = None):
+                       url_col: str | None = None,
+                       cleaning_section: bool = False):
     """Continuous dataset card: the running corpus datasheet over an
     unbounded document ingest — after N micro-batches the sink holds
     the same (section, metric, value) rows ``dataset_card`` reports on
@@ -799,7 +800,14 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
     per-domain tally is a bounded keyed map (domains are bounded the
     same way sources are), so n_domains and max_domain_share are
     EXACT across batches, not approximations (streaming == batch
-    pinned row-for-row)."""
+    pinned row-for-row).
+
+    ``cleaning_section`` (r10): opt-in ``cleaning`` rows (the batch
+    card's cleaning_section twin) — damaged-doc count and per-class
+    damage-character totals are pure sum-monoids riding the SAME
+    per-batch projection (three extra regexp_count columns, no extra
+    scan), so the whole section streams exactly (streaming == batch
+    pinned)."""
     import json as _json
     import os
     from flink_descriptive_stats_spark.functions.sig import sig6_py
@@ -819,6 +827,7 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
     media_counts: dict = {}     # kind -> [n_payloads, n_decodable]
     url_state = {"n": 0, "bad": 0, "ok": 0, "q": 0, "depth": 0}
     domain_counts: dict = {}    # domain -> n_docs (bounded keyed map)
+    clean_state = {"dmg": 0, "tc": 0, "tz": 0, "ts": 0}
     sketches: dict = {"h": None, "hc": None}
     last_folded = -1
 
@@ -852,6 +861,8 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                 c[0 if field == "n" else 1] = int(r["n"])
             elif kind == "url":
                 url_state[key] = int(r["n"])
+            elif kind == "clean":
+                clean_state[key] = int(r["n"])
             elif kind == "dom":
                 domain_counts[key] = int(r["n"])
             elif kind == "sketch":
@@ -924,6 +935,24 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                 ("lang", "n_langs", str(len(lrows))),
                 ("pii", "pii_doc_fraction", sig6_py(state["pii"] / n)),
             ]
+            # cleaning section (r10): all sums, streams exactly —
+            # rendered like the batch card's _cleaning_card_rows
+            if cleaning_section:
+                tot = (clean_state["tc"] + clean_state["tz"]
+                       + clean_state["ts"])
+                rows += [
+                    ("cleaning", "damaged_doc_fraction",
+                     sig6_py(clean_state["dmg"] / n)),
+                    ("cleaning", "damaged_char_fraction",
+                     sig6_py(tot / state["nch"])
+                     if state["nch"] else None),
+                    ("cleaning", "control_chars",
+                     str(clean_state["tc"])),
+                    ("cleaning", "zero_width_chars",
+                     str(clean_state["tz"])),
+                    ("cleaning", "unicode_space_chars",
+                     str(clean_state["ts"])),
+                ]
         # url section (r10): fully exact across batches — sums plus
         # the bounded domain map (see the function docstring); emitted
         # even when no doc had text, like media
@@ -975,6 +1004,21 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
         spark = batch_df.sparkSession
         if epoch_id > last_folded:
             c = F.col(text_col)
+            clean_cols, clean_aggs = [], []
+            if cleaning_section:
+                from flink_descriptive_stats_spark.operators.cleaning \
+                    import CONTROL_RE, UNICODE_SPACE_RE, ZERO_WIDTH_RE
+                clean_cols = [
+                    F.regexp_count(c, F.lit(CONTROL_RE)).alias("__nc"),
+                    F.regexp_count(c, F.lit(ZERO_WIDTH_RE)).alias("__nz"),
+                    F.regexp_count(c, F.lit(UNICODE_SPACE_RE))
+                    .alias("__ns")]
+                dmg = F.col("__nc") + F.col("__nz") + F.col("__ns")
+                clean_aggs = [
+                    F.count_if(dmg > 0).alias("cdmg"),
+                    F.sum("__nc").alias("ctc"),
+                    F.sum("__nz").alias("ctz"),
+                    F.sum("__ns").alias("cts")]
             per = (batch_df.where(c.isNotNull())
                    .select(F.md5(c).alias("__h"),
                            F.md5(_canonical_expr(text_col)).alias("__hc"),
@@ -982,7 +1026,8 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                            _predicted_lang_expr(_lang_scores(c))
                            .alias("__lang"),
                            *text_stats_exprs(text_col),
-                           *pii_exprs(text_col))
+                           *pii_exprs(text_col),
+                           *clean_cols)
                    .persist())
             try:
                 q = F.col("quality_score").cast("double")
@@ -994,7 +1039,8 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                     F.count_if(q < 0.5).alias("lowq"),
                     F.count_if(F.col("n_pii") > 0).alias("p"),
                     F.hll_sketch_agg("__h").alias("sh"),
-                    F.hll_sketch_agg("__hc").alias("shc")).collect()[0]
+                    F.hll_sketch_agg("__hc").alias("shc"),
+                    *clean_aggs).collect()[0]
                 if int(r["n"]):
                     sl = (per.groupBy("__src", "__lang")
                           .agg(F.count(F.lit(1)).alias("c")).collect())
@@ -1023,6 +1069,11 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                 for x in th:
                     k = int(x["n_tokens"])
                     tok_hist[k] = tok_hist.get(k, 0) + x["c"]
+                if cleaning_section:
+                    clean_state["dmg"] += int(r["cdmg"])
+                    clean_state["tc"] += int(r["ctc"])
+                    clean_state["tz"] += int(r["ctz"])
+                    clean_state["ts"] += int(r["cts"])
             if payload_col is not None and payload_col in batch_df.columns:
                 from flink_descriptive_stats_spark.operators.multimodal \
                     import media_fingerprints
@@ -1087,6 +1138,10 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                     ns.append(c[0]); bins.append(None)
                     kinds.append("media"); keys.append(f"{k}:d")
                     ns.append(c[1]); bins.append(None)
+                if cleaning_section:
+                    for k, v in clean_state.items():
+                        kinds.append("clean"); keys.append(k)
+                        ns.append(v); bins.append(None)
                 if url_state["n"]:
                     for k, v in url_state.items():
                         kinds.append("url"); keys.append(k)

@@ -173,3 +173,112 @@ def test_cli_clean_subcommand(spark, capsys, tmp_path):
     rc = main(["clean", src, "--report", "--nfc"])
     assert rc == 2
     assert "exclusive" in capsys.readouterr().err
+
+
+# ---------------------------------------------- card / monitor sections
+
+def _dirty_docs(spark):
+    from flink_descriptive_stats_spark.operators import cleaning as C
+    from flink_descriptive_stats_spark.sources.tables import load_table
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .where(F.col("text").isNotNull()).limit(60))
+    return docs.select(
+        "doc_id", F.col("source"),
+        C.synth_dirty_expr(F.col("text"), F.col("doc_id")).alias("text"))
+
+
+def test_dataset_card_cleaning_section_matches_report(spark):
+    """The card's cleaning rows equal cleaning_report's own per-doc
+    signals re-aggregated; the default card has no cleaning section."""
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    from flink_descriptive_stats_spark.operators import cleaning as C
+    from flink_descriptive_stats_spark.operators.quality import \
+        dataset_card
+    df = _dirty_docs(spark)
+    card = {(r["section"], r["metric"]): r["value"]
+            for r in dataset_card(df, cleaning_section=True).collect()}
+    rep = C.cleaning_report(df).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("changed")).alias("dmg"),
+        F.sum("n_control").alias("tc"),
+        F.sum("n_zero_width").alias("tz"),
+        F.sum("n_unicode_space").alias("ts"),
+        F.sum("n_chars").alias("chars")).collect()[0]
+    assert card[("cleaning", "damaged_doc_fraction")] == \
+        sig6_py(int(rep["dmg"]) / int(rep["n"]))
+    tot = int(rep["tc"]) + int(rep["tz"]) + int(rep["ts"])
+    assert card[("cleaning", "damaged_char_fraction")] == \
+        sig6_py(tot / int(rep["chars"]))
+    assert card[("cleaning", "control_chars")] == str(int(rep["tc"]))
+    assert card[("cleaning", "zero_width_chars")] == str(int(rep["tz"]))
+    assert card[("cleaning", "unicode_space_chars")] == \
+        str(int(rep["ts"]))
+    default = dataset_card(df).collect()
+    assert not [r for r in default if r["section"] == "cleaning"]
+
+
+def test_by_source_cleaning_rows_equal_corpus_slices(spark):
+    """Each source's cleaning rows == the corpus card's cleaning
+    section on that source's slice alone; the flag-off card is
+    byte-identical to before."""
+    from flink_descriptive_stats_spark.operators.quality import (
+        dataset_card, dataset_card_by_source)
+    df = _dirty_docs(spark)
+    per = {(r["source"], r["metric"]): r["value"]
+           for r in dataset_card_by_source(
+               df, cleaning_section=True).collect()
+           if r["metric"].startswith("cleaning_")}
+    assert per, "no cleaning rows emitted"
+    srcs = [r["source"] for r in df.select("source").distinct().collect()]
+    for s in srcs[:3]:
+        card = {r["metric"]: r["value"]
+                for r in dataset_card(df.where(F.col("source") == s),
+                                      cleaning_section=True).collect()
+                if r["section"] == "cleaning"}
+        for m, v in card.items():
+            assert per[(s, f"cleaning_{m}")] == v, (s, m)
+    base = dataset_card_by_source(df).collect()
+    assert not [r for r in base if r["metric"].startswith("cleaning_")]
+
+
+def test_card_monitor_cleaning_streams_exactly(spark, tmp_path):
+    """Streaming cleaning rows == the batch card's cleaning section
+    after N micro-batches, including across a restart (all metrics are
+    sum-monoids)."""
+    from flink_descriptive_stats_spark.operators.quality import \
+        dataset_card
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import \
+        start_card_monitor
+    df = _dirty_docs(spark)
+    chunks = str(tmp_path / "chunks")
+    df.repartition(3).write.parquet(chunks)
+    sink = str(tmp_path / "sink")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(chunks))
+        q = start_card_monitor(stream, sink, state_path=state,
+                               checkpoint_path=ckpt,
+                               cleaning_section=True)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {r["metric"]: r["value"]
+                for r in spark.read.parquet(sink).collect()
+                if r["section"] == "cleaning"}
+
+    def _want(frame):
+        return {r["metric"]: r["value"]
+                for r in dataset_card(frame,
+                                      cleaning_section=True).collect()
+                if r["section"] == "cleaning"}
+
+    assert _run() == _want(df)
+    more = spark.createDataFrame(
+        [(1000, "late \x07damaged​ doc", "sZ")],
+        "doc_id bigint, text string, source string")
+    more.coalesce(1).write.mode("append").parquet(chunks)
+    assert _run() == _want(df.unionByName(more))
