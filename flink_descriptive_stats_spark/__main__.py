@@ -314,6 +314,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "domain before the strata cap")
     cu.add_argument("--text-col", default="text")
     cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--clean", action="store_true",
+                    help="repair invisible unicode damage FIRST so "
+                         "dedup/decontamination/quality see clean text")
     _add_common(cu)
 
     ky = sub.add_parser("keys",
@@ -1175,7 +1178,8 @@ def main(argv: list[str] | None = None) -> int:
                             id_col=args.id_col, min_score=args.min_score,
                             strata_col=args.strata_col, cap=args.cap,
                             url_col=args.url_col,
-                            max_per_domain=args.max_per_domain),
+                            max_per_domain=args.max_per_domain,
+                            clean=args.clean),
               args.output)
         return 0
 

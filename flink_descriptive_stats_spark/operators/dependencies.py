@@ -147,7 +147,8 @@ def _suffix(name: str) -> str:
 
 
 def fk_discover(tables: dict[str, DataFrame],
-                min_containment: float = 1.0) -> DataFrame:
+                min_containment: float = 1.0,
+                approx: bool = False) -> DataFrame:
     """Undeclared foreign-key discovery over a dict of named tables:
     (child_table, child_col, parent_table, parent_col,
     n_child_distinct, n_orphans, containment, name_affinity) for every
@@ -171,8 +172,22 @@ def fk_discover(tables: dict[str, DataFrame],
     Cost: ONE stats aggregate per table (bounded driver rows), then one
     key-distinct left join per surviving pair, all UNIONed into a
     single lazy result plan (the survivor joins run concurrently in one
-    job)."""
+    job).
+
+    ``approx`` (the 100 TB stats pass): count_distinct inside the
+    per-table stats aggregate is exact but shuffles per column;
+    approx=True swaps it for approx_count_distinct (HLL++, mergeable
+    fixed-size state, map-side combined). The HEURISTIC changes: a
+    sketch estimate can mis-rank key-ness or child-vs-parent
+    cardinality near the boundary, so pruning — and therefore the pair
+    set TESTED — is approximate (the declarative contract above holds
+    exactly only for approx=False; the containment numbers of every
+    emitted pair remain exact either way). Use it to scope candidates
+    on a corpus where exact per-column distincts are a real cost, then
+    confirm with the default mode on the survivors."""
     stats: dict[tuple[str, str], dict] = {}
+    distinct_of = (F.approx_count_distinct if approx
+                   else F.count_distinct)
     for tname, df in tables.items():
         cols = [f.name for f in df.schema.fields
                 if f.dataType.simpleString() in DISCOVER_DTYPES]
@@ -181,7 +196,7 @@ def fk_discover(tables: dict[str, DataFrame],
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in cols:
             aggs += [F.count(F.col(c)).alias(f"{c}__nn"),
-                     F.count_distinct(F.col(c)).alias(f"{c}__d"),
+                     distinct_of(F.col(c)).alias(f"{c}__d"),
                      F.min(F.col(c)).cast("bigint").alias(f"{c}__mn"),
                      F.max(F.col(c)).cast("bigint").alias(f"{c}__mx")]
         row = df.agg(*aggs).collect()[0]
@@ -191,8 +206,17 @@ def fk_discover(tables: dict[str, DataFrame],
                 "d": int(row[f"{c}__d"]), "mn": row[f"{c}__mn"],
                 "mx": row[f"{c}__mx"],
             }
-    parents = [(t, c) for (t, c), s in stats.items()
-               if s["n"] > 0 and s["d"] == s["nn"] == s["n"]]
+    # approx mode: HLL++ default relative error is ~5%, so the two
+    # cardinality predicates get matching slack (the min/max and
+    # non-null predicates stay exact counts in both modes)
+    eps = 0.05 if approx else 0.0
+
+    def _is_key(s: dict) -> bool:
+        if s["n"] == 0 or s["nn"] != s["n"]:
+            return False
+        return abs(s["d"] - s["nn"]) <= eps * s["nn"]
+
+    parents = [(t, c) for (t, c), s in stats.items() if _is_key(s)]
     spark = next(iter(tables.values())).sparkSession
     frames = []
     for (pt, pc) in parents:
@@ -200,7 +224,7 @@ def fk_discover(tables: dict[str, DataFrame],
         for (ct, cc), cs in stats.items():
             if (ct, cc) == (pt, pc) or cs["nn"] == 0:
                 continue
-            if (cs["d"] > ps["d"] or cs["mn"] < ps["mn"]
+            if (cs["d"] > ps["d"] * (1.0 + eps) or cs["mn"] < ps["mn"]
                     or cs["mx"] > ps["mx"]):
                 continue
             nd, orph = F.col("n_child_distinct"), F.col("n_orphans")

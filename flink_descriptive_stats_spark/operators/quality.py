@@ -1071,10 +1071,18 @@ def curate_corpus(df: DataFrame, holdout: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   min_score: float = 0.5, strata_col: str = "lang",
                   cap: int = 10, url_col: str | None = None,
-                  max_per_domain: int | None = None) -> DataFrame:
+                  max_per_domain: int | None = None,
+                  clean: bool = False) -> DataFrame:
     """The end-to-end curation pipeline as ONE dataflow — what a user of
     this engine actually runs per corpus drop:
 
+    0. (r10, optional) clean: rewrite ``text_col`` through
+       cleaning.clean_text_expr FIRST (controls/zero-widths stripped,
+       unicode spaces canonicalized) so dedup hashes, decontamination
+       keys, and quality signals all see repaired text — two docs that
+       differ only by invisible damage dedup together (pinned); the
+       holdout is cleaned identically so decontamination stays
+       symmetric;
     1. keep_best_canonical: collapse exact AND formatting-variant
        duplicates, keeping the most complete copy per group;
     2. decontaminate (exact): remove anything whose content appears in
@@ -1101,6 +1109,12 @@ def curate_corpus(df: DataFrame, holdout: DataFrame,
     from flink_descriptive_stats_spark.operators.sampling import \
         stratified_sample
     from flink_descriptive_stats_spark.operators.text import quality_filter
+    if clean:
+        from flink_descriptive_stats_spark.operators.cleaning import \
+            clean_text_expr
+        df = df.withColumn(text_col, clean_text_expr(F.col(text_col)))
+        holdout = holdout.withColumn(text_col,
+                                     clean_text_expr(F.col(text_col)))
     kb = keep_best_canonical(df, content_col=text_col, id_col=id_col)
     dec = decontaminate(kb, holdout, content_col=text_col, id_col=id_col)
     if (url_col is not None and url_col in df.columns

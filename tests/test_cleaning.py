@@ -282,3 +282,34 @@ def test_card_monitor_cleaning_streams_exactly(spark, tmp_path):
         "doc_id bigint, text string, source string")
     more.coalesce(1).write.mode("append").parquet(chunks)
     assert _run() == _want(df.unionByName(more))
+
+
+def test_curate_corpus_clean_stage(spark):
+    """curate_corpus(clean=True) rewrites text through clean_text_expr
+    FIRST: two docs differing only by invisible damage dedup together
+    (they don't without the stage), and the result equals curating the
+    pre-cleaned frames."""
+    from flink_descriptive_stats_spark.operators import cleaning as C
+    from flink_descriptive_stats_spark.operators.quality import \
+        curate_corpus
+    # damage INSIDE a word: canonical dedup maps the ZWSP run to
+    # a space ("jum ps" != "jumps"), so only the clean stage
+    # unifies the pair
+    rows = [(1, "the quick brown fox jumps over dogs", "en"),
+            (2, "the quick brown fox jum\u200bps over dogs", "en"),
+            (3, "an entirely different document body here", "en")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                     "lang string")
+    holdout = spark.createDataFrame(
+        [(9, "held out text", "en")], "doc_id bigint, text string, "
+                                      "lang string")
+    plain = {r["doc_id"] for r in curate_corpus(df, holdout, min_score=0.0).collect()}
+    cleaned = {r["doc_id"]
+               for r in curate_corpus(df, holdout, clean=True,
+                             min_score=0.0).collect()}
+    assert {1, 2} <= plain            # damage splits the dup group
+    assert not {1, 2} <= cleaned      # cleaned: they collapse to one
+    pre = df.withColumn("text", C.clean_text_expr(F.col("text")))
+    pre_h = holdout.withColumn("text", C.clean_text_expr(F.col("text")))
+    want = {r["doc_id"] for r in curate_corpus(pre, pre_h, min_score=0.0).collect()}
+    assert cleaned == want

@@ -277,3 +277,21 @@ def test_cli_delta_rollup_flags_exclusive(spark, capsys, tmp_path):
     rc = main(["delta", src, src, "--summary"])
     out = capsys.readouterr().out
     assert rc == 0 and "unchanged" in out
+
+
+def test_fk_discover_approx_mode(spark):
+    """approx=True swaps the stats pass to HLL++ (the 100 TB
+    prefilter); at test-table cardinalities the sparse sketch is exact,
+    so the discovered set matches the exact mode, and the tolerance-
+    based key test still finds the true FK. Emitted containment stays
+    exact by construction in both modes."""
+    from flink_descriptive_stats_spark.operators import dependencies as DP
+    dim = spark.createDataFrame([(i,) for i in range(30)], "d_key int")
+    fact = spark.createDataFrame(
+        [(i % 30, i) for i in range(90)], "f_key int, f_other bigint")
+    exact = {tuple(r) for r in DP.fk_discover(
+        {"f": fact, "d": dim}).collect()}
+    approx = {tuple(r) for r in DP.fk_discover(
+        {"f": fact, "d": dim}, approx=True).collect()}
+    assert exact == approx and any(
+        r[1] == "f_key" and r[3] == "d_key" for r in approx)
