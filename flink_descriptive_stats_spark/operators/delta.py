@@ -138,3 +138,28 @@ def synth_new_snapshot(df: DataFrame, id_col: str = "doc_id",
     added = (df.where(i % ADDED_MOD == 0)
              .withColumn(id_col, i + ADDED_ID_OFFSET))
     return kept.unionByName(added)
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Column-level snapshot diff — the schema companion of
+    corpus_delta (rows) and extras.profile_compare (statistics): one
+    row per column present in either snapshot with (column, status,
+    old_type, new_type), status in added/removed/type_changed/
+    unchanged. The pre-flight check before any cross-snapshot join or
+    union: a silently re-typed column (bigint -> double is the classic
+    parquet-writer drift) breaks hash identities downstream.
+
+    Driver-side over the two schemas — no job runs; column order
+    follows the NEW snapshot (removed columns trail in old order)."""
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for name in list(n) + [c for c in o if c not in n]:
+        ot, nt = o.get(name), n.get(name)
+        status = ("added" if ot is None else
+                  "removed" if nt is None else
+                  "unchanged" if ot == nt else "type_changed")
+        rows.append((name, status, ot, nt))
+    return old.sparkSession.createDataFrame(
+        rows, "column string, status string, old_type string, "
+              "new_type string")

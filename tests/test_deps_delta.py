@@ -295,3 +295,18 @@ def test_fk_discover_approx_mode(spark):
         {"f": fact, "d": dim}, approx=True).collect()}
     assert exact == approx and any(
         r[1] == "f_key" and r[3] == "d_key" for r in approx)
+
+
+def test_schema_diff(spark):
+    from flink_descriptive_stats_spark.operators import delta as DL
+    old = spark.createDataFrame([], "id bigint, text string, n int")
+    new = spark.createDataFrame([], "id bigint, text string, "
+                                    "n double, lang string")
+    got = {r["column"]: (r["status"], r["old_type"], r["new_type"])
+           for r in DL.schema_diff(old, new).collect()}
+    assert got["id"] == ("unchanged", "bigint", "bigint")
+    assert got["n"] == ("type_changed", "int", "double")
+    assert got["lang"] == ("added", None, "string")
+    assert "text" in got and got["text"][0] == "unchanged"
+    same = DL.schema_diff(old, old).collect()
+    assert all(r["status"] == "unchanged" for r in same)
