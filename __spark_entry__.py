@@ -726,6 +726,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              url_col="url", max_per_domain=10)
     q["curate_corpus_url_documents"] = _curate_url
 
+    # cross-source duplication matrix (r10): which feeds duplicate
+    # EACH OTHER — the fixture has no cross-source dups, so the query
+    # re-sources every id%9==0 doc under 'dupsrc' (the delta-family
+    # synthesis pattern, mirrored by the oracle)
+    def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import dedup
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        dup = (docs.where(F.col("doc_id") % 9 == 0)
+               .withColumn("source", F.lit("dupsrc")))
+        return dedup.source_overlap(docs.unionByName(dup))
+    q["source_overlap_documents"] = _source_overlap
+
     # text cleaning / unicode normalization (r10): the stage between
     # extraction and every text operator — the doc_id%5 damage shells
     # (controls, zero-widths, unicode spaces, decomposed combining
@@ -1893,6 +1906,7 @@ def oracle_sql() -> dict[str, str]:
     o["domain_cap_documents"] = op.domain_cap_sql(max_per_domain=40)
     o["url_decontaminate_documents"] = op.url_decontaminate_sql()
     o["curate_corpus_url_documents"] = op.curate_corpus_url_sql()
+    o["source_overlap_documents"] = op.source_overlap_sql()
     o["clean_text_documents"] = op.clean_text_sql()
     o["cleaning_report_documents"] = op.cleaning_report_sql()
     o["nfc_normalize_documents"] = op.nfc_normalize_sql()

@@ -1331,3 +1331,49 @@ def dedup_corpus_keep_best(df: DataFrame, content_col: str = "text",
            .where(F.col("__rn") == 1)
            .select(F.col("id").alias(id_col)))
     return df.join(lab, id_col, "semi")
+
+
+def source_overlap(df: DataFrame, content_col: str = "text",
+                   source_col: str = "source",
+                   canonical: bool = False) -> DataFrame:
+    """Pairwise cross-source duplication matrix: (source_a, source_b,
+    n_shared, containment_a, containment_b) for every UNORDERED source
+    pair sharing at least one content hash (source_a < source_b
+    lexically) — dup_rate_by_source says which feed duplicates ITSELF;
+    this says which feeds duplicate EACH OTHER (mirrored crawls,
+    re-scraped aggregators), i.e. which source you can drop wholesale.
+    n_shared counts distinct shared hashes; containment_x = n_shared /
+    that source's distinct hashes (sig6) — asymmetric by design, like
+    ngram_containment_pairs. ``canonical=True`` keys on the
+    formatting-insensitive canonical form instead of raw bytes.
+
+    Scale: the corpus collapses to DISTINCT (source, 16-byte-hash)
+    rows first, so the self-join exchanges hash-scale rows (never
+    text) and equi-joins on the hash; output is bounded by sources^2.
+    Per-side distinct counts ride the same frame."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    key = (F.md5(_canonical_expr(content_col)) if canonical
+           else F.md5(F.col(content_col)))
+    h = (df.where(F.col(content_col).isNotNull())
+         .select(F.col(source_col).alias("__s"), key.alias("__h"))
+         .distinct())
+    per = h.groupBy("__s").agg(F.count(F.lit(1)).alias("__n"))
+    a = h.select(F.col("__s").alias("source_a"), "__h")
+    b = h.select(F.col("__s").alias("source_b"), "__h")
+    shared = (a.join(b, "__h")
+              .where(F.col("source_a") < F.col("source_b"))
+              .groupBy("source_a", "source_b")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    na = per.select(F.col("__s").alias("source_a"),
+                    F.col("__n").alias("__na"))
+    nb = per.select(F.col("__s").alias("source_b"),
+                    F.col("__n").alias("__nb"))
+    return (shared.join(F.broadcast(na), "source_a")
+            .join(F.broadcast(nb), "source_b")
+            .select("source_a", "source_b", "n_shared",
+                    sig6(F.col("n_shared").cast("double")
+                         / F.col("__na").cast("double"))
+                    .alias("containment_a"),
+                    sig6(F.col("n_shared").cast("double")
+                         / F.col("__nb").cast("double"))
+                    .alias("containment_b")))

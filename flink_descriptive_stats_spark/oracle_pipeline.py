@@ -3468,3 +3468,33 @@ def nfc_normalize_sql(table: str = "documents") -> str:
     return f"""
 WITH {_dirty_cte(table)}
 SELECT id, nfc_normalize(dirty) AS text_nfc FROM t"""
+
+
+def source_overlap_sql(table: str = "documents",
+                       dup_mod: int = 9,
+                       dup_source: str = "dupsrc") -> str:
+    """dedup.source_overlap mirrored over the shared fixture: the base
+    corpus plus a re-sourced copy of every (id %% dup_mod == 0) doc
+    under ``dup_source`` — deterministic cross-source duplication the
+    raw fixture lacks. DISTINCT (source, md5) frame, hash self-join
+    with the a < b order, per-side distinct counts."""
+    return f"""
+WITH base AS (
+  SELECT source, text FROM {table} WHERE text IS NOT NULL
+  UNION ALL
+  SELECT '{dup_source}' AS source, text FROM {table}
+  WHERE text IS NOT NULL AND doc_id % {dup_mod} = 0),
+h AS (SELECT DISTINCT source AS s, md5(text) AS hh FROM base),
+per AS (SELECT s, count(*) AS n FROM h GROUP BY s),
+shared AS (
+  SELECT a.s AS source_a, b.s AS source_b, count(*) AS n_shared
+  FROM h a JOIN h b ON a.hh = b.hh AND a.s < b.s
+  GROUP BY 1, 2)
+SELECT source_a, source_b, n_shared,
+       {duck_sig6("CAST(n_shared AS DOUBLE) / CAST(na.n AS DOUBLE)")}
+         AS containment_a,
+       {duck_sig6("CAST(n_shared AS DOUBLE) / CAST(nb.n AS DOUBLE)")}
+         AS containment_b
+FROM shared
+JOIN per na ON na.s = source_a
+JOIN per nb ON nb.s = source_b"""

@@ -310,3 +310,28 @@ def test_schema_diff(spark):
     assert "text" in got and got["text"][0] == "unchanged"
     same = DL.schema_diff(old, old).collect()
     assert all(r["status"] == "unchanged" for r in same)
+
+
+def test_source_overlap_matrix(spark):
+    """Pairwise matrix: shared distinct hashes, asymmetric containment,
+    a < b ordering, within-source dups never counted, canonical mode
+    unifies formatting variants."""
+    from flink_descriptive_stats_spark.operators import dedup
+    rows = [(1, "alpha", "s1"), (2, "beta", "s1"), (3, "alpha", "s1"),
+            (4, "alpha", "s2"), (5, "gamma", "s2"),
+            (6, "ALPHA!", "s3"), (7, None, "s3")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                     "source string")
+    got = {(r["source_a"], r["source_b"]): r
+           for r in dedup.source_overlap(df).collect()}
+    # s1 {alpha,beta} vs s2 {alpha,gamma}: one shared hash; the
+    # duplicated alpha INSIDE s1 doesn't inflate anything
+    assert set(got) == {("s1", "s2")}
+    r = got[("s1", "s2")]
+    assert r["n_shared"] == 1
+    assert r["containment_a"] == "5000000e-7"  # 1 of s1's 2 hashes
+    assert r["containment_b"] == "5000000e-7"
+    canon = {(r["source_a"], r["source_b"]): r["n_shared"]
+             for r in dedup.source_overlap(df, canonical=True).collect()}
+    # canonical: 'ALPHA!' == 'alpha', so s3 joins both pairs
+    assert canon == {("s1", "s2"): 1, ("s1", "s3"): 1, ("s2", "s3"): 1}
