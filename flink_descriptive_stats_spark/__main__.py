@@ -32,7 +32,8 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "monitor-card", "explain",
                "list-queries", "compression", "label-separation",
                "join-advisor", "paragraph-dedup", "label-purity",
-               "dup-rate", "temporal-split", "pack-bfd", "k-anonymity",
+               "dup-rate", "source-overlap", "temporal-split", "pack-bfd",
+               "k-anonymity",
                "quality-ensemble", "curate", "keys", "fuzzy-join",
                "temperature-mix", "dataset-card", "covariance",
                "media-neardup", "extract", "urls")
@@ -257,6 +258,17 @@ def build_parser() -> argparse.ArgumentParser:
     lp.add_argument("--id-col", default="vec_id")
     lp.add_argument("--label-col", default="label")
     _add_common(lp)
+
+    so = sub.add_parser("source-overlap",
+                        help="pairwise cross-source duplication matrix "
+                             "(which feeds mirror each other)")
+    so.add_argument("input")
+    so.add_argument("--text-col", default="text")
+    so.add_argument("--source-col", default="source")
+    so.add_argument("--canonical", action="store_true",
+                    help="key on the formatting-insensitive canonical "
+                         "form instead of raw bytes")
+    _add_common(so)
 
     dr = sub.add_parser("dup-rate",
                         help="per-source exact/canonical duplication rates")
@@ -1180,6 +1192,15 @@ def main(argv: list[str] | None = None) -> int:
                             url_col=args.url_col,
                             max_per_domain=args.max_per_domain,
                             clean=args.clean),
+              args.output)
+        return 0
+
+    if args.cmd == "source-overlap":
+        from flink_descriptive_stats_spark.operators import dedup
+        df = _load(spark, args.input, args.format)
+        _emit(dedup.source_overlap(df, content_col=args.text_col,
+                                   source_col=args.source_col,
+                                   canonical=args.canonical),
               args.output)
         return 0
 
