@@ -126,7 +126,7 @@ def fk_orphan_rows(child: DataFrame, parent: DataFrame,
                    child_col: str, parent_col: str) -> DataFrame:
     """The rows behind a violated inclusion dependency: every child row
     (full width) whose non-NULL key has no match in the parent — the
-    triage view `inclusion_dependency` plans for. NULL-keyed rows are
+    triage view `inclusion_dependencies` plans for. NULL-keyed rows are
     excluded (no reference to dangle).
 
     Scale: the parent is projected to its distinct key before the
@@ -185,6 +185,8 @@ def fk_discover(tables: dict[str, DataFrame],
     emitted pair remain exact either way). Use it to scope candidates
     on a corpus where exact per-column distincts are a real cost, then
     confirm with the default mode on the survivors."""
+    if not tables:
+        raise ValueError("fk_discover needs at least one table")
     stats: dict[tuple[str, str], dict] = {}
     distinct_of = (F.approx_count_distinct if approx
                    else F.count_distinct)
