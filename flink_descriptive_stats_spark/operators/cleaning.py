@@ -107,6 +107,34 @@ def cleaning_report(df: DataFrame, text_col: str = "text",
                     ((n_ctrl + n_zw + n_sp) > 0).alias("changed")))
 
 
+def cleaning_signal_exprs(text_col: str = "text") -> list[Column]:
+    """The per-doc damage-count bundle (__nc/__nz/__ns regexp counts) —
+    exposed like text_stats_exprs so the card, the by-source triage,
+    and the streaming monitor all ride the SAME expressions inside
+    their existing projections (one definition; their pinned equality
+    cannot drift)."""
+    c = F.col(text_col)
+    return [
+        F.regexp_count(c, F.lit(CONTROL_RE)).alias("__nc"),
+        F.regexp_count(c, F.lit(ZERO_WIDTH_RE)).alias("__nz"),
+        F.regexp_count(c, F.lit(UNICODE_SPACE_RE)).alias("__ns"),
+    ]
+
+
+def cleaning_agg_exprs() -> list[Column]:
+    """The aggregate set over cleaning_signal_exprs' columns: damaged-
+    doc count (cdmg) and per-class character totals (ctc/ctz/cts) —
+    every one a sum-monoid, which is what lets the streaming card
+    fold them exactly."""
+    dmg = F.col("__nc") + F.col("__nz") + F.col("__ns")
+    return [
+        F.count_if(dmg > 0).alias("cdmg"),
+        F.sum("__nc").alias("ctc"),
+        F.sum("__nz").alias("ctz"),
+        F.sum("__ns").alias("cts"),
+    ]
+
+
 def nfc_normalize(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
                   out_col: str = "text_nfc") -> DataFrame:

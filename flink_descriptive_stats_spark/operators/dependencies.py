@@ -117,6 +117,9 @@ def inclusion_dependencies(
     only; the per-edge one-row audits are UNIONed into a single lazy
     plan, so the whole graph is one job whose independent edge subtrees
     run concurrently."""
+    if not specs:
+        raise ValueError(
+            "inclusion_dependencies needs at least one spec")
     return reduce(DataFrame.unionByName,
                   (_labelled_pair(cdf, cc, pdf, pc, cn, pn)
                    for cn, cdf, cc, pn, pdf, pc in specs))

@@ -421,8 +421,10 @@ def dataset_card(df: DataFrame, text_col: str = "text",
         F.sum("n_tokens").alias("ntok"),
         F.sum("n_chars").alias("nch"),
         sig6(F.avg(q)).alias("mq"),
-        sig6(F.count_if(q < 0.5).cast("double")
-             / F.count(F.lit(1))).alias("lowq"),
+        # try_divide: see the single-pass route — an EMPTY corpus must
+        # yield the degenerate card, not an ANSI divide-by-zero abort
+        sig6(F.try_divide(F.count_if(q < 0.5).cast("double"),
+                          F.count(F.lit(1)))).alias("lowq"),
         sig6(med).alias("med")).collect()[0]
     r2 = d.agg(
         F.count(F.lit(1)).alias("n"),
@@ -430,31 +432,35 @@ def dataset_card(df: DataFrame, text_col: str = "text",
         F.count_distinct(F.md5(_canonical_expr(text_col))).alias("cc"),
         F.count_distinct(F.col(source_col)).alias("ns")).collect()[0]
     n = int(r2["n"])
-    smax = (d.groupBy(source_col).agg(F.count(F.lit(1)).alias("c"))
-            .agg(F.max("c")).collect()[0][0])
-    lrows = (lang_id(df, text_col=text_col, id_col=id_col)
-             .groupBy("predicted_lang")
-             .agg(F.count(F.lit(1)).alias("c")).collect())
-    lrows.sort(key=lambda r: (-r["c"], r["predicted_lang"]))
-    pf = pii_scan(df, text_col=text_col, id_col=id_col).agg(
-        F.count_if(F.col("n_pii") > 0).alias("p")).collect()[0]
-    rows = [
-        ("corpus", "n_docs", str(n)),
-        ("corpus", "n_sources", str(int(r2["ns"]))),
-        ("corpus", "n_tokens", str(int(r1["ntok"]))),
-        ("corpus", "n_chars", str(int(r1["nch"]))),
-        ("corpus", "max_source_share", sig6_py(int(smax) / n)),
-        ("dedup", "exact_dup_fraction", sig6_py(1.0 - int(r2["cd"]) / n)),
-        ("dedup", "canonical_dup_fraction",
-         sig6_py(1.0 - int(r2["cc"]) / n)),
-        ("quality", "mean_quality", r1["mq"]),
-        ("quality", "low_quality_fraction", r1["lowq"]),
-        ("quality", "median_tokens", r1["med"]),
-        ("lang", "top_lang", lrows[0]["predicted_lang"]),
-        ("lang", "top_lang_share", sig6_py(int(lrows[0]["c"]) / n)),
-        ("lang", "n_langs", str(len(lrows))),
-        ("pii", "pii_doc_fraction", sig6_py(int(pf["p"]) / n)),
-    ]
+    if n == 0:
+        rows = _empty_card_rows()
+    else:
+        smax = (d.groupBy(source_col).agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.max("c")).collect()[0][0])
+        lrows = (lang_id(df, text_col=text_col, id_col=id_col)
+                 .groupBy("predicted_lang")
+                 .agg(F.count(F.lit(1)).alias("c")).collect())
+        lrows.sort(key=lambda r: (-r["c"], r["predicted_lang"]))
+        pf = pii_scan(df, text_col=text_col, id_col=id_col).agg(
+            F.count_if(F.col("n_pii") > 0).alias("p")).collect()[0]
+        rows = [
+            ("corpus", "n_docs", str(n)),
+            ("corpus", "n_sources", str(int(r2["ns"]))),
+            ("corpus", "n_tokens", str(int(r1["ntok"]))),
+            ("corpus", "n_chars", str(int(r1["nch"]))),
+            ("corpus", "max_source_share", sig6_py(int(smax) / n)),
+            ("dedup", "exact_dup_fraction",
+             sig6_py(1.0 - int(r2["cd"]) / n)),
+            ("dedup", "canonical_dup_fraction",
+             sig6_py(1.0 - int(r2["cc"]) / n)),
+            ("quality", "mean_quality", r1["mq"]),
+            ("quality", "low_quality_fraction", r1["lowq"]),
+            ("quality", "median_tokens", r1["med"]),
+            ("lang", "top_lang", lrows[0]["predicted_lang"]),
+            ("lang", "top_lang_share", sig6_py(int(lrows[0]["c"]) / n)),
+            ("lang", "n_langs", str(len(lrows))),
+            ("pii", "pii_doc_fraction", sig6_py(int(pf["p"]) / n)),
+        ]
     if html_col is not None and html_col in df.columns:
         rows += _markup_card_rows(df, html_col)
     if cleaning_section:
@@ -478,27 +484,26 @@ def _cleaning_card_rows(df: DataFrame, text_col: str) -> list:
     card must stay byte-identical."""
     from flink_descriptive_stats_spark.functions.sig import sig6_py
     from flink_descriptive_stats_spark.operators.cleaning import (
-        CONTROL_RE, UNICODE_SPACE_RE, ZERO_WIDTH_RE)
+        cleaning_agg_exprs, cleaning_signal_exprs)
     c = F.col(text_col)
-    nc = F.regexp_count(c, F.lit(CONTROL_RE))
-    nz = F.regexp_count(c, F.lit(ZERO_WIDTH_RE))
-    ns = F.regexp_count(c, F.lit(UNICODE_SPACE_RE))
     r = (df.where(c.isNotNull())
+         .select(F.length(c).alias("__len"),
+                 *cleaning_signal_exprs(text_col))
          .agg(F.count(F.lit(1)).alias("n"),
-              F.count_if((nc + nz + ns) > 0).alias("dmg"),
-              F.sum(nc).alias("tc"), F.sum(nz).alias("tz"),
-              F.sum(ns).alias("ts"),
-              F.sum(F.length(c)).alias("chars")).collect()[0])
+              F.sum("__len").alias("chars"),
+              *cleaning_agg_exprs()).collect()[0])
+    # sums over zero rows are NULL — guard like the chars one
     n, chars = int(r["n"]), int(r["chars"] or 0)
-    tot = int(r["tc"]) + int(r["tz"]) + int(r["ts"])
+    tc, tz, ts = (int(r["ctc"] or 0), int(r["ctz"] or 0),
+                  int(r["cts"] or 0))
     return [
         ("cleaning", "damaged_doc_fraction",
-         sig6_py(int(r["dmg"]) / n) if n else None),
+         sig6_py(int(r["cdmg"]) / n) if n else None),
         ("cleaning", "damaged_char_fraction",
-         sig6_py(tot / chars) if chars else None),
-        ("cleaning", "control_chars", str(int(r["tc"]))),
-        ("cleaning", "zero_width_chars", str(int(r["tz"]))),
-        ("cleaning", "unicode_space_chars", str(int(r["ts"]))),
+         sig6_py((tc + tz + ts) / chars) if chars else None),
+        ("cleaning", "control_chars", str(tc)),
+        ("cleaning", "zero_width_chars", str(tz)),
+        ("cleaning", "unicode_space_chars", str(ts)),
     ]
 
 
@@ -511,31 +516,30 @@ def _cleaning_by_source_rows(df: DataFrame, text_col: str,
     encodings' answer. ONE bounded groupBy(source)."""
     from flink_descriptive_stats_spark.functions.sig import sig6_py
     from flink_descriptive_stats_spark.operators.cleaning import (
-        CONTROL_RE, UNICODE_SPACE_RE, ZERO_WIDTH_RE)
+        cleaning_agg_exprs, cleaning_signal_exprs)
     c = F.col(text_col)
-    nc = F.regexp_count(c, F.lit(CONTROL_RE))
-    nz = F.regexp_count(c, F.lit(ZERO_WIDTH_RE))
-    ns = F.regexp_count(c, F.lit(UNICODE_SPACE_RE))
-    agg = (df.where(c.isNotNull()).groupBy(source_col)
+    agg = (df.where(c.isNotNull())
+           .select(F.col(source_col), F.length(c).alias("__len"),
+                   *cleaning_signal_exprs(text_col))
+           .groupBy(source_col)
            .agg(F.count(F.lit(1)).alias("n"),
-                F.count_if((nc + nz + ns) > 0).alias("dmg"),
-                F.sum(nc).alias("tc"), F.sum(nz).alias("tz"),
-                F.sum(ns).alias("ts"),
-                F.sum(F.length(c)).alias("chars")).collect())
+                F.sum("__len").alias("chars"),
+                *cleaning_agg_exprs()).collect())
     rows = []
     for r in sorted(agg, key=lambda r: r[source_col]):
+        # grouped rows always hold >= 1 doc, so the sums are non-NULL;
+        # the `or 0` mirrors the corpus-card guard anyway
         n, chars = int(r["n"]), int(r["chars"] or 0)
-        tot = int(r["tc"]) + int(r["tz"]) + int(r["ts"])
+        tc, tz, ts = (int(r["ctc"] or 0), int(r["ctz"] or 0),
+                      int(r["cts"] or 0))
         rows += [
             (r[source_col], "cleaning_damaged_doc_fraction",
-             sig6_py(int(r["dmg"]) / n) if n else None),
+             sig6_py(int(r["cdmg"]) / n) if n else None),
             (r[source_col], "cleaning_damaged_char_fraction",
-             sig6_py(tot / chars) if chars else None),
-            (r[source_col], "cleaning_control_chars", str(int(r["tc"]))),
-            (r[source_col], "cleaning_zero_width_chars",
-             str(int(r["tz"]))),
-            (r[source_col], "cleaning_unicode_space_chars",
-             str(int(r["ts"]))),
+             sig6_py((tc + tz + ts) / chars) if chars else None),
+            (r[source_col], "cleaning_control_chars", str(tc)),
+            (r[source_col], "cleaning_zero_width_chars", str(tz)),
+            (r[source_col], "cleaning_unicode_space_chars", str(ts)),
         ]
     return rows
 
@@ -607,6 +611,30 @@ def _markup_card_rows(df: DataFrame, html_col: str) -> list:
     ]
 
 
+def _empty_card_rows() -> list:
+    """The degenerate card for a corpus with zero non-NULL-text docs:
+    the same (section, metric) shape with zero counts and NULL
+    fractions/labels, so monitoring joins keyed on metric names stay
+    valid on an empty drop instead of crashing (both card routes
+    return this; pinned)."""
+    return [
+        ("corpus", "n_docs", "0"),
+        ("corpus", "n_sources", "0"),
+        ("corpus", "n_tokens", "0"),
+        ("corpus", "n_chars", "0"),
+        ("corpus", "max_source_share", None),
+        ("dedup", "exact_dup_fraction", None),
+        ("dedup", "canonical_dup_fraction", None),
+        ("quality", "mean_quality", None),
+        ("quality", "low_quality_fraction", None),
+        ("quality", "median_tokens", None),
+        ("lang", "top_lang", None),
+        ("lang", "top_lang_share", None),
+        ("lang", "n_langs", "0"),
+        ("pii", "pii_doc_fraction", None),
+    ]
+
+
 def _dataset_card_rows_single_pass(df: DataFrame, text_col: str,
                                    id_col: str, source_col: str,
                                    exact: bool) -> list:
@@ -640,8 +668,10 @@ def _dataset_card_rows_single_pass(df: DataFrame, text_col: str,
             F.sum("n_tokens").alias("ntok"),
             F.sum("n_chars").alias("nch"),
             sig6(F.avg(q)).alias("mq"),
-            sig6(F.count_if(q < 0.5).cast("double")
-                 / F.count(F.lit(1))).alias("lowq"),
+            # try_divide: ANSI division would abort the whole aggregate
+            # on an EMPTY corpus; NULL feeds the degenerate card below
+            sig6(F.try_divide(F.count_if(q < 0.5).cast("double"),
+                              F.count(F.lit(1)))).alias("lowq"),
             sig6(med).alias("med"),
             F.count_if(F.col("n_pii") > 0).alias("p")).collect()[0]
         sl = (per.groupBy("__src", "__lang")
@@ -649,6 +679,8 @@ def _dataset_card_rows_single_pass(df: DataFrame, text_col: str,
     finally:
         per.unpersist()
     n = int(r["n"])
+    if n == 0:
+        return _empty_card_rows()
     src_counts: dict = {}
     lang_counts: dict = {}
     for x in sl:

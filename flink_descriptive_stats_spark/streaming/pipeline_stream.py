@@ -1007,18 +1007,9 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
             clean_cols, clean_aggs = [], []
             if cleaning_section:
                 from flink_descriptive_stats_spark.operators.cleaning \
-                    import CONTROL_RE, UNICODE_SPACE_RE, ZERO_WIDTH_RE
-                clean_cols = [
-                    F.regexp_count(c, F.lit(CONTROL_RE)).alias("__nc"),
-                    F.regexp_count(c, F.lit(ZERO_WIDTH_RE)).alias("__nz"),
-                    F.regexp_count(c, F.lit(UNICODE_SPACE_RE))
-                    .alias("__ns")]
-                dmg = F.col("__nc") + F.col("__nz") + F.col("__ns")
-                clean_aggs = [
-                    F.count_if(dmg > 0).alias("cdmg"),
-                    F.sum("__nc").alias("ctc"),
-                    F.sum("__nz").alias("ctz"),
-                    F.sum("__ns").alias("cts")]
+                    import cleaning_agg_exprs, cleaning_signal_exprs
+                clean_cols = cleaning_signal_exprs(text_col)
+                clean_aggs = cleaning_agg_exprs()
             per = (batch_df.where(c.isNotNull())
                    .select(F.md5(c).alias("__h"),
                            F.md5(_canonical_expr(text_col)).alias("__hc"),

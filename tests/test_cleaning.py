@@ -313,3 +313,34 @@ def test_curate_corpus_clean_stage(spark):
     pre_h = holdout.withColumn("text", C.clean_text_expr(F.col("text")))
     want = {r["doc_id"] for r in curate_corpus(pre, pre_h, min_score=0.0).collect()}
     assert cleaned == want
+
+
+def test_dataset_card_empty_corpus_degenerate(spark):
+    """An empty (or all-NULL-text) drop yields the degenerate card —
+    zero counts, NULL fractions/labels, same (section, metric) shape —
+    on BOTH routes, instead of an ANSI divide-by-zero abort (the
+    pre-existing crash a review of the cleaning section surfaced)."""
+    from flink_descriptive_stats_spark.operators.quality import \
+        dataset_card
+    empty = spark.createDataFrame([], "doc_id bigint, text string, "
+                                      "source string")
+    allnull = spark.createDataFrame(
+        [(1, None, "s")], "doc_id bigint, text string, source string")
+    for frame in (empty, allnull):
+        for sp in (True, False):
+            vals = {(r["section"], r["metric"]): r["value"]
+                    for r in dataset_card(frame, cleaning_section=True,
+                                          single_pass=sp).collect()}
+            assert vals[("corpus", "n_docs")] == "0"
+            assert vals[("lang", "top_lang")] is None
+            assert vals[("cleaning", "control_chars")] == "0"
+            assert vals[("cleaning", "damaged_doc_fraction")] is None
+
+
+def test_dependency_empty_inputs_raise_clearly(spark):
+    from flink_descriptive_stats_spark.operators import dependencies as DP
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one spec"):
+        DP.inclusion_dependencies([])
+    with _pytest.raises(ValueError, match="at least one table"):
+        DP.fk_discover({})
