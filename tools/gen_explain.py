@@ -667,6 +667,16 @@ def main() -> None:
         "family the JVM cannot express).",
         fmt(spark, CLN.clean_text(dirty, text_col="dirty"))))
 
+    from flink_descriptive_stats_spark.operators import dedup as DDP
+    sections.append((
+        "Cross-source duplication matrix (round 10)",
+        "source_overlap: the corpus collapses to DISTINCT (source,\n"
+        "16-byte-md5) rows BEFORE the self-join, so the pair discovery\n"
+        "exchanges hash-scale rows and equi-joins on the hash; the\n"
+        "per-side totals are broadcast back onto the bounded\n"
+        "(sources^2) matrix. Document text never shuffles.",
+        fmt(spark, DDP.source_overlap(docs))))
+
     with open("EXPLAIN.md", "w") as f:
         f.write(
             '# Plan audit — `.explain("formatted")` of the flagship '
