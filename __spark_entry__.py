@@ -739,6 +739,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.source_overlap(docs.unionByName(dup))
     q["source_overlap_documents"] = _source_overlap
 
+    # the near-dup companion: cross-source MinHash pairs occur
+    # NATURALLY in the fixture (24 at sf0.01), so no synthesis needed
+    def _source_overlap_fuzzy(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import dedup
+        return dedup.source_overlap_fuzzy(
+            _load(spark, sf_dir, "documents"))
+    q["source_overlap_fuzzy_documents"] = _source_overlap_fuzzy
+
     # text cleaning / unicode normalization (r10): the stage between
     # extraction and every text operator — the doc_id%5 damage shells
     # (controls, zero-widths, unicode spaces, decomposed combining
@@ -1907,6 +1916,7 @@ def oracle_sql() -> dict[str, str]:
     o["url_decontaminate_documents"] = op.url_decontaminate_sql()
     o["curate_corpus_url_documents"] = op.curate_corpus_url_sql()
     o["source_overlap_documents"] = op.source_overlap_sql()
+    o["source_overlap_fuzzy_documents"] = op.source_overlap_fuzzy_sql()
     o["clean_text_documents"] = op.clean_text_sql()
     o["cleaning_report_documents"] = op.cleaning_report_sql()
     o["nfc_normalize_documents"] = op.nfc_normalize_sql()

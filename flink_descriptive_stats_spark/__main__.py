@@ -268,6 +268,11 @@ def build_parser() -> argparse.ArgumentParser:
     so.add_argument("--canonical", action="store_true",
                     help="key on the formatting-insensitive canonical "
                          "form instead of raw bytes")
+    so.add_argument("--fuzzy", action="store_true",
+                    help="MinHash near-dup pairs across sources "
+                         "instead of exact shared hashes")
+    so.add_argument("--threshold", type=float, default=0.5,
+                    help="with --fuzzy: verified-Jaccard cutoff")
     _add_common(so)
 
     dr = sub.add_parser("dup-rate",
@@ -1197,11 +1202,20 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "source-overlap":
         from flink_descriptive_stats_spark.operators import dedup
+        if args.fuzzy and args.canonical:
+            print("error: --fuzzy and --canonical are exclusive "
+                  "keying modes; pick one", file=sys.stderr)
+            return 2
         df = _load(spark, args.input, args.format)
-        _emit(dedup.source_overlap(df, content_col=args.text_col,
-                                   source_col=args.source_col,
-                                   canonical=args.canonical),
-              args.output)
+        if args.fuzzy:
+            out = dedup.source_overlap_fuzzy(
+                df, content_col=args.text_col,
+                source_col=args.source_col, threshold=args.threshold)
+        else:
+            out = dedup.source_overlap(df, content_col=args.text_col,
+                                       source_col=args.source_col,
+                                       canonical=args.canonical)
+        _emit(out, args.output)
         return 0
 
     if args.cmd == "dup-rate":

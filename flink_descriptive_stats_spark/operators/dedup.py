@@ -1377,3 +1377,37 @@ def source_overlap(df: DataFrame, content_col: str = "text",
                     sig6(F.col("n_shared").cast("double")
                          / F.col("__nb").cast("double"))
                     .alias("containment_b")))
+
+
+def source_overlap_fuzzy(df: DataFrame, content_col: str = "text",
+                         id_col: str = "doc_id",
+                         source_col: str = "source",
+                         threshold: float = 0.5,
+                         max_bucket: int = 1000) -> DataFrame:
+    """The NEAR-dup companion of source_overlap: (source_a, source_b,
+    n_pairs) per unordered cross-source pair, counting verified
+    MinHash-LSH near-duplicate pairs (jaccard >= threshold) whose two
+    docs live in DIFFERENT sources — exact hashing catches mirrored
+    feeds, this catches re-edited/boilerplate-shifted mirrors.
+    Within-source pairs are dup_rate_by_source territory and excluded;
+    source order is normalized lexically.
+
+    Scale: minhash_dedup_pairs emits (id_a, id_b) only; the two
+    source lookups are doc-scale equi-joins on tiny rows, then one
+    bounded groupBy — the pair funnel (banded buckets, skew cap,
+    exact verify) is unchanged."""
+    pairs = minhash_dedup_pairs(df, content_col=content_col,
+                                id_col=id_col, threshold=threshold,
+                                max_bucket=max_bucket)
+    ids = df.select(F.col(id_col).alias("__id"),
+                    F.col(source_col).alias("__src"))
+    j = (pairs
+         .join(ids.select(F.col("__id").alias("id_a"),
+                          F.col("__src").alias("__sa")), "id_a")
+         .join(ids.select(F.col("__id").alias("id_b"),
+                          F.col("__src").alias("__sb")), "id_b")
+         .where(F.col("__sa") != F.col("__sb")))
+    return (j.select(F.least("__sa", "__sb").alias("source_a"),
+                     F.greatest("__sa", "__sb").alias("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))

@@ -3498,3 +3498,21 @@ SELECT source_a, source_b, n_shared,
 FROM shared
 JOIN per na ON na.s = source_a
 JOIN per nb ON nb.s = source_b"""
+
+
+def source_overlap_fuzzy_sql(table: str = "documents",
+                             threshold: float = 0.5,
+                             max_bucket: int = 1000) -> str:
+    """dedup.source_overlap_fuzzy mirrored: the SAME minhash pair CTE
+    chain as minhash_pairs_sql, sources joined back for both ids,
+    cross-source pairs only, lexically normalized order."""
+    return f"""
+WITH {_pairs_ctes(table, max_bucket)},
+pr AS (SELECT id_a, id_b FROM j WHERE jaccard >= {threshold}),
+s AS (SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM pr JOIN {table} da ON da.doc_id = pr.id_a
+              JOIN {table} db ON db.doc_id = pr.id_b
+      WHERE da.source <> db.source)
+SELECT source_a, source_b, count(*) AS n_pairs
+FROM s GROUP BY source_a, source_b"""

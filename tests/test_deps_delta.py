@@ -335,3 +335,28 @@ def test_source_overlap_matrix(spark):
              for r in dedup.source_overlap(df, canonical=True).collect()}
     # canonical: 'ALPHA!' == 'alpha', so s3 joins both pairs
     assert canon == {("s1", "s2"): 1, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+def test_source_overlap_fuzzy(spark, capsys):
+    """Near-dup pairs across sources only: a near-identical pair in
+    DIFFERENT sources is counted once (lexically normalized), a
+    within-source near-dup pair is excluded, unrelated docs don't
+    pair; --fuzzy/--canonical CLI conflict is rejected."""
+    from flink_descriptive_stats_spark.operators import dedup
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight again")
+    rows = [(1, base, "s2"),
+            (2, base + " extra", "s1"),            # near-dup of 1
+            (3, base + " extra", "s1"),            # within-source pair
+            (4, "completely different text about spark and duckdb "
+                "engines with nothing shared at all here", "s3")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                     "source string")
+    got = {(r["source_a"], r["source_b"]): r["n_pairs"]
+           for r in dedup.source_overlap_fuzzy(df,
+                                               threshold=0.5).collect()}
+    assert got == {("s1", "s2"): 2}  # docs 2 and 3 each pair with 1
+    from flink_descriptive_stats_spark.__main__ import main
+    rc = main(["source-overlap", "/nonexistent", "--fuzzy",
+               "--canonical"])
+    assert rc == 2 and "exclusive" in capsys.readouterr().err
