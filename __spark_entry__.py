@@ -726,6 +726,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              url_col="url", max_per_domain=10)
     q["curate_corpus_url_documents"] = _curate_url
 
+    # domain blocklist (r10): the deny-list action — blocks two of the
+    # six URL shells (example.com exactly; bbc.co.uk via the co.uk
+    # 2-label heuristic), keeps deep subdomains of OTHER domains and
+    # the malformed row
+    def _domain_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import urls as U
+        kept = U.block_domains(_url_frame(spark, sf_dir),
+                               blocked=["example.com", "co.uk"])
+        return kept.select(F.col("doc_id").alias("id"), "url")
+    q["domain_block_documents"] = _domain_block
+
     # cross-source duplication matrix (r10): which feeds duplicate
     # EACH OTHER — the fixture has no cross-source dups, so the query
     # re-sources every id%9==0 doc under 'dupsrc' (the delta-family
@@ -1915,6 +1926,7 @@ def oracle_sql() -> dict[str, str]:
     o["domain_cap_documents"] = op.domain_cap_sql(max_per_domain=40)
     o["url_decontaminate_documents"] = op.url_decontaminate_sql()
     o["curate_corpus_url_documents"] = op.curate_corpus_url_sql()
+    o["domain_block_documents"] = op.domain_block_sql()
     o["source_overlap_documents"] = op.source_overlap_sql()
     o["source_overlap_fuzzy_documents"] = op.source_overlap_fuzzy_sql()
     o["clean_text_documents"] = op.clean_text_sql()

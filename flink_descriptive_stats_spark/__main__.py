@@ -224,6 +224,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="apply the per-domain cap instead: keep at "
                          "most N docs per domain (lowest id first; "
                          "malformed rows kept)")
+    ur.add_argument("--block", default=None, metavar="D1,D2",
+                    help="apply the domain blocklist instead: drop "
+                         "rows under these comma-separated registrable "
+                         "domains (subdomains included; malformed rows "
+                         "kept)")
     _add_common(ur)
 
     ls = sub.add_parser("label-separation",
@@ -1084,12 +1089,18 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "urls":
         from flink_descriptive_stats_spark.operators import urls as url_ops
-        if args.mix and args.cap is not None:
-            print("error: --mix and --cap are mutually exclusive",
-                  file=sys.stderr)
+        modes = [bool(args.mix), args.cap is not None,
+                 args.block is not None]
+        if sum(modes) > 1:
+            print("error: --mix, --cap, and --block are mutually "
+                  "exclusive modes; pick one", file=sys.stderr)
             return 2
         df = _load(spark, args.input, args.format)
-        if args.cap is not None:
+        if args.block is not None:
+            out = url_ops.block_domains(
+                df, blocked=args.block.split(","),
+                url_col=args.url_col, id_col=args.id_col)
+        elif args.cap is not None:
             out = url_ops.cap_domains(df, url_col=args.url_col,
                                       id_col=args.id_col,
                                       max_per_domain=args.cap)

@@ -219,3 +219,40 @@ def synth_url_expr(id_col):
         out = (F.when(v == i, branch) if out is None
                else out.when(v == i, branch))
     return out
+
+
+def block_domains(df: DataFrame, blocked: list[str],
+                  url_col: str = "url", id_col: str = "doc_id",
+                  include_subdomains: bool = True,
+                  keep_invalid: bool = True) -> DataFrame:
+    """Domain blocklist filter — the deny-list ACTION every crawl
+    pipeline carries (spam/adult/SEO-farm domains): drop every row
+    whose registrable domain (the same 2-label heuristic as
+    url_components) matches an entry of ``blocked``; with
+    ``include_subdomains`` (default) a HOST suffix match on
+    ``.domain`` also blocks (ads.example.com under example.com — but
+    NOT notexample.com, the dot anchors the label boundary).
+    Malformed/scheme-less rows have no domain and are KEPT by default
+    (blocklisting is a deny decision, not a validity filter;
+    ``keep_invalid=False`` drops them). Blocklist entries are
+    lowercased; NULL urls are out of scope.
+
+    Scale: the blocklist is a driver-side literal set folded into ONE
+    codegen filter (isin + a bounded OR of endswith) — no join, no
+    shuffle, list size is policy-scale (thousands), not data-scale.
+    For a data-scale blocklist, anti-join on the domain instead."""
+    if not blocked:
+        raise ValueError("block_domains needs at least one domain")
+    bl = sorted({b.lower() for b in blocked})
+    c = F.col(url_col)
+    raw_host = F.nullif(F.regexp_extract(c, HOST_RE, 1), F.lit(""))
+    host = F.lower(F.regexp_replace(raw_host, PORT_RE, ""))
+    domain = F.nullif(F.regexp_extract(host, DOMAIN_RE, 1), F.lit(""))
+    hit = domain.isin(bl)
+    if include_subdomains:
+        for b in bl:
+            hit = hit | host.endswith("." + b) | (host == b)
+    return (df.where(c.isNotNull())
+            .where(F.when(domain.isNull() & host.isNull(),
+                          F.lit(bool(keep_invalid)))
+                   .otherwise(~F.coalesce(hit, F.lit(False)))))

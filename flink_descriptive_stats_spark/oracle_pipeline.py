@@ -3516,3 +3516,28 @@ s AS (SELECT least(da.source, db.source) AS source_a,
       WHERE da.source <> db.source)
 SELECT source_a, source_b, count(*) AS n_pairs
 FROM s GROUP BY source_a, source_b"""
+
+
+def domain_block_sql(table: str = "documents",
+                     blocked: tuple[str, ...] = ("example.com",
+                                                 "co.uk")) -> str:
+    """urls.block_domains mirrored over the URL fixture: same domain
+    derivation chain, domain IN blocklist OR host suffix '.entry' OR
+    host == entry; domain-less rows kept (keep_invalid=True)."""
+    from flink_descriptive_stats_spark.operators import urls as U
+    raw_host = f"nullif(regexp_extract(url, '{U.HOST_RE}', 1), '')"
+    host = f"lower(regexp_replace({raw_host}, '{U.PORT_RE}', ''))"
+    domain = f"nullif(regexp_extract({host}, '{U.DOMAIN_RE}', 1), '')"
+    bl = sorted({b.lower() for b in blocked})
+    in_list = ", ".join(f"'{b}'" for b in bl)
+    hit = f"({domain} IN ({in_list}))"
+    for b in bl:
+        hit += (f" OR ends_with({host}, '.{b}')"
+                f" OR {host} = '{b}'")
+    return f"""
+WITH u AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                  {_synth_url_case()} AS url
+           FROM {table} WHERE text IS NOT NULL)
+SELECT id, url FROM u
+WHERE CASE WHEN {domain} IS NULL AND {host} IS NULL THEN TRUE
+           ELSE NOT coalesce({hit}, FALSE) END"""

@@ -360,3 +360,40 @@ def test_source_overlap_fuzzy(spark, capsys):
     rc = main(["source-overlap", "/nonexistent", "--fuzzy",
                "--canonical"])
     assert rc == 2 and "exclusive" in capsys.readouterr().err
+
+
+def test_block_domains_semantics(spark, capsys):
+    """Blocklist drops the registrable domain AND its subdomains (dot-
+    anchored — notexample.com survives), keeps malformed rows by
+    default, lowercases entries, raises on an empty list; the urls CLI
+    rejects mixed modes."""
+    from flink_descriptive_stats_spark.operators import urls as U
+    import pytest as _pytest
+    rows = [(1, "https://example.com/a"),
+            (2, "https://ads.EXAMPLE.com/b"),      # subdomain, cased
+            (3, "https://notexample.com/c"),       # dot anchor holds
+            (4, "https://other.org/d"),
+            (5, "no-scheme-malformed/e"),
+            (6, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    kept = sorted(r["doc_id"] for r in
+                  U.block_domains(df, ["Example.COM"]).collect())
+    assert kept == [3, 4, 5]  # NULL url out of scope; malformed kept
+    strict = sorted(r["doc_id"] for r in
+                    U.block_domains(df, ["example.com"],
+                                    keep_invalid=False).collect())
+    assert strict == [3, 4]
+    # include_subdomains=False changes nothing here: the 2-label
+    # registrable-domain heuristic already maps ads.example.com to
+    # example.com, so the domain match blocks it either way (the flag
+    # matters for blocklist entries DEEPER than two labels)
+    exact_only = sorted(r["doc_id"] for r in
+                        U.block_domains(df, ["example.com"],
+                                        include_subdomains=False)
+                        .collect())
+    assert exact_only == [3, 4, 5]
+    with _pytest.raises(ValueError, match="at least one domain"):
+        U.block_domains(df, [])
+    from flink_descriptive_stats_spark.__main__ import main
+    rc = main(["urls", "/nonexistent", "--mix", "--block", "x.com"])
+    assert rc == 2 and "exclusive" in capsys.readouterr().err
