@@ -1515,3 +1515,110 @@ def start_index_append_stream(stream: DataFrame, index_path: str,
     if checkpoint_path:
         writer = writer.option("checkpointLocation", checkpoint_path)
     return writer.start()
+
+
+def start_refint_monitor(stream: DataFrame, dim: DataFrame,
+                         fk: str, pk: str, sink_path: str,
+                         state_path: str | None = None,
+                         checkpoint_path: str | None = None):
+    """Continuous referential-integrity monitoring — the streaming twin
+    of extras.referential_integrity and the dependency family's bridge
+    into the monitor suite: each micro-batch of fact rows is scored
+    against a STATIC dim's key set, and the sink always holds the
+    cumulative (fk_rows, null_fk, matched, orphans, orphan_fraction)
+    row over everything seen — the "did the upstream feed start
+    shipping dangling keys" alarm, running next to the constraint and
+    drift monitors.
+
+    All four counters are sums, so after N batches the report equals
+    batch referential_integrity over the concatenated stream for every
+    shared column (pinned). ``distinct_orphan_keys`` is deliberately
+    ABSENT: exact cross-batch key distinctness is not a bounded monoid
+    — the same boundary the constraint monitor declares for `unique`
+    rules; run the batch operator for it.
+
+    Per batch: the dim collapses to its DISTINCT key once (computed
+    lazily per batch against the static frame — AQE broadcasts a
+    dim-scale key set), one left join keyed by the fk, one aggregate.
+    State is a handful of integers; durability follows the versioned-
+    epoch contract of the sibling monitors (restart-lossless,
+    replay-idempotent, config-mismatch refused)."""
+    import json as _json
+    import os
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    if (state_path is None) != (checkpoint_path is None):
+        raise ValueError(
+            "state_path and checkpoint_path must be passed together (see "
+            "start_global_topk_sketch)")
+    totals = {"fk_rows": 0, "null_fk": 0, "matched": 0, "orphans": 0}
+    last_folded = -1
+
+    def _versions() -> list[int]:
+        if not (state_path and os.path.isdir(state_path)):
+            return []
+        return sorted(
+            int(n[1:]) for n in os.listdir(state_path)
+            if n.startswith("v") and n[1:].isdigit()
+            and os.path.exists(os.path.join(state_path, n, "_SUCCESS")))
+
+    latest = _versions()
+    if latest:
+        snap = stream.sparkSession.read.parquet(
+            os.path.join(state_path, f"v{latest[-1]}")).collect()[0]
+        meta = _json.loads(snap["meta"])
+        if meta["keys"] != [fk, pk]:
+            raise ValueError(
+                f"snapshot at {state_path} was built for keys "
+                f"{meta['keys']}; refusing to merge into ({fk}, {pk})")
+        last_folded = meta["last_folded"]
+        for k in totals:
+            totals[k] = int(snap[k])
+
+    def _write_report() -> None:
+        import pyarrow as pa
+        frac = (sig6_py(totals["orphans"] / totals["fk_rows"])
+                if totals["fk_rows"] else None)
+        _pa_write_dir(sink_path, pa.table({
+            "fk_rows": pa.array([totals["fk_rows"]], pa.int64()),
+            "null_fk": pa.array([totals["null_fk"]], pa.int64()),
+            "matched": pa.array([totals["matched"]], pa.int64()),
+            "orphans": pa.array([totals["orphans"]], pa.int64()),
+            "orphan_fraction": pa.array([frac], pa.string())}))
+
+    def emit(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal last_folded
+        if epoch_id > last_folded:
+            keys = (dim.select(F.col(pk).alias("__k"))
+                    .where(F.col("__k").isNotNull()).distinct()
+                    .withColumn("__hit", F.lit(1)))
+            j = batch_df.select(F.col(fk).alias("__fk")).join(
+                keys, F.col("__fk") == F.col("__k"), "left")
+            fknn = F.col("__fk").isNotNull()
+            r = j.agg(
+                F.count(F.when(fknn, F.lit(1))).alias("fk_rows"),
+                F.count(F.when(~fknn, F.lit(1))).alias("null_fk"),
+                F.count(F.when(fknn & F.col("__hit").isNotNull(),
+                               F.lit(1))).alias("matched"),
+                F.count(F.when(fknn & F.col("__hit").isNull(),
+                               F.lit(1))).alias("orphans")).collect()[0]
+            for k in totals:
+                totals[k] += int(r[k])
+            last_folded = epoch_id
+            if state_path:
+                import shutil
+                import pyarrow as pa
+                cols = {k: pa.array([totals[k]], pa.int64())
+                        for k in sorted(totals)}
+                cols["meta"] = [_json.dumps(
+                    {"keys": [fk, pk], "last_folded": epoch_id})]
+                _pa_write_dir(os.path.join(state_path, f"v{epoch_id}"),
+                              pa.table(cols))
+                for v in _versions()[:-1]:
+                    shutil.rmtree(os.path.join(state_path, f"v{v}"),
+                                  ignore_errors=True)
+        _write_report()
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(emit)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

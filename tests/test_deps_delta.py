@@ -397,3 +397,59 @@ def test_block_domains_semantics(spark, capsys):
     from flink_descriptive_stats_spark.__main__ import main
     rc = main(["urls", "/nonexistent", "--mix", "--block", "x.com"])
     assert rc == 2 and "exclusive" in capsys.readouterr().err
+
+
+def test_refint_monitor_streams_exactly(spark, tmp_path):
+    """Streaming cumulative counts == batch referential_integrity over
+    the concatenated stream (every shared column), including across a
+    restart; a snapshot built for different keys is refused."""
+    import pytest as _pytest
+    from flink_descriptive_stats_spark.operators.extras import \
+        referential_integrity
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import \
+        start_refint_monitor
+    dim = spark.createDataFrame([(10,), (20,), (30,)], "k int")
+    facts = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None), (5, 20), (6, 77)],
+        "id bigint, ref int")
+    chunks = str(tmp_path / "chunks")
+    facts.repartition(3).write.parquet(chunks)
+    sink = str(tmp_path / "sink")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (spark.readStream.schema(facts.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(chunks))
+        q = start_refint_monitor(stream, dim, "ref", "k", sink,
+                                 state_path=state,
+                                 checkpoint_path=ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(sink).collect()[0]
+
+    def _want(frame):
+        r = referential_integrity(frame, dim, "ref", "k").collect()[0]
+        return {c: r[c] for c in ("fk_rows", "null_fk", "matched",
+                                  "orphans", "orphan_fraction")}
+
+    got = _run()
+    want = _want(facts)
+    for c, v in want.items():
+        assert got[c] == v, (c, v, got[c])
+    assert "distinct_orphan_keys" not in got.asDict()  # declared absent
+
+    late = spark.createDataFrame([(7, 30), (8, 55)], facts.schema)
+    late.coalesce(1).write.mode("append").parquet(chunks)
+    got2 = _run()
+    want2 = _want(facts.unionByName(late))
+    for c, v in want2.items():
+        assert got2[c] == v, (c, v, got2[c])
+
+    with _pytest.raises(ValueError, match="refusing to merge"):
+        stream = (spark.readStream.schema(facts.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(chunks))
+        start_refint_monitor(stream, dim, "id", "k", sink,
+                             state_path=state, checkpoint_path=ckpt)
