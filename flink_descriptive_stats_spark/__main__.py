@@ -435,6 +435,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="4-row status rollup instead of per-doc rows")
     dl.add_argument("--by-source", metavar="COL", default=None,
                     help="(source, status, n) rollup keyed on COL")
+    dl.add_argument("--schema", action="store_true",
+                    help="column-level diff (added/removed/type-"
+                         "changed) instead of the row-level one")
     _add_common(dl)
 
     cl = sub.add_parser("clean",
@@ -1337,14 +1340,17 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "delta":
         from flink_descriptive_stats_spark.operators import delta as dlt
-        if args.summary and args.by_source:
-            print("error: --summary and --by-source are exclusive "
-                  "rollups; pick one", file=sys.stderr)
+        if sum([bool(args.summary), bool(args.by_source),
+                bool(args.schema)]) > 1:
+            print("error: --summary, --by-source, and --schema are "
+                  "exclusive modes; pick one", file=sys.stderr)
             return 2
         old = _load(spark, args.old, args.format)
         new = _load(spark, args.new, args.format)
         cols = tuple(args.content_cols.split(","))
-        if args.summary:
+        if args.schema:
+            out = dlt.schema_diff(old, new)
+        elif args.summary:
             out = dlt.delta_summary(old, new, id_col=args.id_col,
                                     content_cols=cols)
         elif args.by_source:

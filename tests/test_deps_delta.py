@@ -453,3 +453,19 @@ def test_refint_monitor_streams_exactly(spark, tmp_path):
                   .option("maxFilesPerTrigger", 1).parquet(chunks))
         start_refint_monitor(stream, dim, "id", "k", sink,
                              state_path=state, checkpoint_path=ckpt)
+
+
+def test_cli_delta_schema_mode(spark, capsys, tmp_path):
+    from flink_descriptive_stats_spark.__main__ import main
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    spark.createDataFrame([(1, "x")],
+                          "doc_id bigint, text string").write.parquet(a)
+    spark.createDataFrame([(1, 1.0, "en")],
+                          "doc_id bigint, text double, lang string"
+                          ).write.parquet(b)
+    rc = main(["delta", a, b, "--schema"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "type_changed" in out and "added" in out
+    rc = main(["delta", a, b, "--schema", "--summary"])
+    assert rc == 2 and "exclusive" in capsys.readouterr().err

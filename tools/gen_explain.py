@@ -667,6 +667,20 @@ def main() -> None:
         "family the JVM cannot express).",
         fmt(spark, CLN.clean_text(dirty, text_col="dirty"))))
 
+    fk_specs = [("lineitem", li, "l_orderkey", "orders", orders,
+                 "o_orderkey"),
+                ("orders", orders, "o_orderkey", "lineitem", li,
+                 "l_orderkey")]
+    sections.append((
+        "Inclusion-dependency graph audit (round 10)",
+        "inclusion_dependencies: each declared edge is a key-only\n"
+        "distinct-distinct left join whose one-row aggregate carries\n"
+        "the pair identity as literals; the edges UNION into one lazy\n"
+        "plan, so the whole FK graph is one job with independent edge\n"
+        "subtrees. Only keys ever exchange — full rows never shuffle\n"
+        "for the audit.",
+        fmt(spark, DEPS.inclusion_dependencies(fk_specs))))
+
     from flink_descriptive_stats_spark.operators import dedup as DDP
     sections.append((
         "Cross-source duplication matrix (round 10)",
