@@ -726,6 +726,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              url_col="url", max_per_domain=10)
     q["curate_corpus_url_documents"] = _curate_url
 
+    # mixed-language segmentation (r10): per-chunk lang votes rolled
+    # up per doc; the id%4 German-stopword tail makes the mixed path
+    # non-vacuous (119 mixed docs at sf0.01), mirrored by the oracle
+    def _lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _load(spark, sf_dir, "documents")
+        mixed = docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.col("text"),
+                            F.lit(text_ops.MIXED_LANG_TAIL)))
+            .otherwise(F.col("text")))
+        return text_ops.lang_segments(mixed, max_tokens=16)
+    q["lang_segments_documents"] = _lang_segments
+
     # domain blocklist (r10): the deny-list action — blocks two of the
     # six URL shells (example.com exactly; bbc.co.uk via the co.uk
     # 2-label heuristic), keeps deep subdomains of OTHER domains and
@@ -1927,6 +1941,8 @@ def oracle_sql() -> dict[str, str]:
     o["url_decontaminate_documents"] = op.url_decontaminate_sql()
     o["curate_corpus_url_documents"] = op.curate_corpus_url_sql()
     o["domain_block_documents"] = op.domain_block_sql()
+    o["lang_segments_documents"] = op.lang_segments_sql(
+        max_tokens=16, mix_tail_mod=4)
     o["source_overlap_documents"] = op.source_overlap_sql()
     o["source_overlap_fuzzy_documents"] = op.source_overlap_fuzzy_sql()
     o["clean_text_documents"] = op.clean_text_sql()

@@ -1036,3 +1036,60 @@ def bpe_token_stats(df: DataFrame, merges: list | None = None,
     return res.select("id", "n_words", "n_bpe_tokens",
                       sig6(F.col("tokens_per_word"))
                       .alias("tokens_per_word"))
+
+
+def lang_segments(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  max_tokens: int = 64) -> DataFrame:
+    """Mixed-language / code-switching report: the document is cut into
+    DISJOINT ``max_tokens`` token windows (chunk_documents with
+    overlap=0 — segmentation, not embedding prep), each window gets the
+    SAME stopword-score language vote as lang_id, and the votes roll up
+    per doc: (id, n_chunks, n_langs, majority_lang, majority_share,
+    mixed). A doc whose majority_share is low (or mixed=true with a
+    near-split) is the code-switched / concatenated-source shape that
+    poisons single-language quality and perplexity signals — lang_id
+    alone calls it whatever wins globally.
+
+    Majority ties break deterministically: highest chunk count, then
+    lexically smallest language (mirrored by the oracle's row_number).
+    Documented limitation: chunk text is rebuilt from ``\\w+`` tokens,
+    which carry no CJK characters in either engine, so the zh score is
+    structurally 0 at chunk level — zh detection belongs to the
+    document-level lang_id; both engines agree, so the gate is exact.
+
+    Scale: the chunk explode is narrow (no shuffle); ONE
+    groupBy(id, lang) vote count and ONE groupBy(id) rollup via a
+    keyed window — bounded keys, tiny rows."""
+    from pyspark.sql import Window
+    ch = chunk_documents(df, text_col=text_col, id_col=id_col,
+                         max_tokens=max_tokens, overlap=0)
+    scores = _lang_scores(F.col("chunk_text"))
+    voted = ch.select("id",
+                      _predicted_lang_expr(scores).alias("__lang"))
+    votes = (voted.groupBy("id", "__lang")
+             .agg(F.count(F.lit(1)).alias("__c")))
+    w = Window.partitionBy("id").orderBy(F.col("__c").desc(),
+                                         F.col("__lang").asc())
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    agg = (votes
+           .withColumn("__rn", F.row_number().over(w))
+           .withColumn("__total", F.sum("__c").over(
+               Window.partitionBy("id")))
+           .withColumn("__nl", F.count(F.lit(1)).over(
+               Window.partitionBy("id"))))
+    return (agg.where(F.col("__rn") == 1)
+            .select(F.col("id"),
+                    F.col("__total").cast("bigint").alias("n_chunks"),
+                    F.col("__nl").cast("bigint").alias("n_langs"),
+                    F.col("__lang").alias("majority_lang"),
+                    sig6(F.col("__c").cast("double")
+                         / F.col("__total").cast("double"))
+                    .alias("majority_share"),
+                    (F.col("__nl") > 1).alias("mixed")))
+
+
+#: deterministic code-switch tail for the lang_segments fixture: two
+#: rounds of the German stopword list — exactly one 16-token window
+#: that votes 'de' when appended (SQL twin inside lang_segments_sql)
+MIXED_LANG_TAIL: str = " " + " ".join(STOPWORDS["de"] * 2)

@@ -3541,3 +3541,66 @@ WITH u AS (SELECT CAST(doc_id AS BIGINT) AS id,
 SELECT id, url FROM u
 WHERE CASE WHEN {domain} IS NULL AND {host} IS NULL THEN TRUE
            ELSE NOT coalesce({hit}, FALSE) END"""
+
+
+def lang_segments_sql(table: str = "documents",
+                      max_tokens: int = 64,
+                      mix_tail_mod: int | None = None) -> str:
+    """text.lang_segments mirrored: disjoint token windows from the
+    SAME tokenizer, per-chunk stopword votes (the lang_id score and
+    tie-order machinery on the chunk's token slice; zh = CJK count on
+    the rebuilt chunk text, structurally 0 — see the operator's
+    documented limitation), majority by (count DESC, lang ASC)
+    row_number. ``mix_tail_mod``: append text.MIXED_LANG_TAIL (two
+    rounds of the German stopword list) to every id %% mod == 0 doc —
+    the shared code-switch fixture that makes the mixed path
+    non-vacuous on the pseudo-English test corpus."""
+    mt = max_tokens
+    scores = {lang: _stop_filter(words).replace("toks", "ctoks")
+              for lang, words in TX.STOPWORDS.items()}
+    scores["zh"] = f"len(regexp_extract_all(chunk_text, '{TX.CJK_RE}'))"
+    score_cols = ", ".join(f"{scores[lang]} AS s_{lang}"
+                           for lang in TX.LANG_ORDER)
+    whens = []
+    for lang in TX.LANG_ORDER[:-1]:
+        cond = " AND ".join(f"s_{lang} >= s_{other}"
+                            for other in TX.LANG_ORDER if other != lang)
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    pred = f"CASE {' '.join(whens)} ELSE '{TX.LANG_ORDER[-1]}' END"
+    if mix_tail_mod is None:
+        tcte = _tokens_cte(table)
+    else:
+        tail = TX.MIXED_LANG_TAIL
+        assert "'" not in tail
+        texpr = (f"CASE WHEN doc_id % {mix_tail_mod} = 0 "
+                 f"THEN text || '{tail}' ELSE text END")
+        tcte = (f"t AS (SELECT doc_id AS id, {H.duck_tokens(texpr)} "
+                f"AS toks FROM {table} WHERE text IS NOT NULL)")
+    return f"""
+WITH {tcte},
+e AS (SELECT id, toks,
+             unnest(generate_series(0,
+               CAST(ceil(CAST(len(toks) AS DOUBLE) / {mt}.0) AS INTEGER)
+               - 1)) AS ci
+      FROM t WHERE len(toks) > 0),
+c AS (SELECT id, toks[ci * {mt} + 1 : ci * {mt} + {mt}] AS ctoks,
+             array_to_string(toks[ci * {mt} + 1 : ci * {mt} + {mt}],
+                             ' ') AS chunk_text
+      FROM e),
+m AS (SELECT id, {score_cols} FROM c),
+v AS (SELECT id, {pred} AS lang FROM m),
+g AS (SELECT id, lang, count(*) AS c FROM v GROUP BY id, lang),
+r AS (SELECT id, lang, c,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY c DESC, lang ASC) AS rn,
+             sum(c) OVER (PARTITION BY id) AS total,
+             count(*) OVER (PARTITION BY id) AS nl
+      FROM g)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(total AS BIGINT) AS n_chunks,
+       CAST(nl AS BIGINT) AS n_langs,
+       lang AS majority_lang,
+       {duck_sig6("CAST(c AS DOUBLE) / CAST(total AS DOUBLE)")}
+         AS majority_share,
+       nl > 1 AS mixed
+FROM r WHERE rn = 1"""

@@ -469,3 +469,30 @@ def test_cli_delta_schema_mode(spark, capsys, tmp_path):
     assert rc == 0 and "type_changed" in out and "added" in out
     rc = main(["delta", a, b, "--schema", "--summary"])
     assert rc == 2 and "exclusive" in capsys.readouterr().err
+
+
+def test_lang_segments_code_switch_detection(spark):
+    """A doc that is half English stopwords, half German stopwords
+    (in disjoint windows) is mixed with a deterministic majority; a
+    monolingual doc is not; ties break (count DESC, lang ASC); docs
+    shorter than one window are single-chunk."""
+    from flink_descriptive_stats_spark.operators import text as T
+    en = " ".join(T.STOPWORDS["en"] * 2)   # 16 en tokens
+    de = " ".join(T.STOPWORDS["de"] * 2)   # 16 de tokens
+    rows = [(1, en + " " + de + " " + de),  # 1 en chunk, 2 de chunks
+            (2, en),                        # monolingual
+            (3, "short text")]              # sub-window doc
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["id"]: r
+           for r in T.lang_segments(df, max_tokens=16).collect()}
+    r1 = got[1]
+    assert (r1["n_chunks"], r1["n_langs"], r1["majority_lang"],
+            r1["mixed"]) == (3, 2, "de", True)
+    assert r1["majority_share"] == "6666667e-7"
+    assert (got[2]["majority_lang"], got[2]["mixed"]) == ("en", False)
+    assert got[3]["n_chunks"] == 1
+    # exact 1-1 split: count ties, lexically smallest lang wins ('de')
+    tie = spark.createDataFrame([(9, en + " " + de)],
+                                "doc_id bigint, text string")
+    t = T.lang_segments(tie, max_tokens=16).collect()[0]
+    assert t["majority_lang"] == "de" and t["mixed"] is True
