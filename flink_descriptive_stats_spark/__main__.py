@@ -26,6 +26,7 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "funnel", "retention", "resample", "robust-outliers", "fd",
                "check", "acf", "transitions", "rollup", "typos",
                "semdedup", "trend", "lm-score", "lang-confusion",
+               "lang-segments",
                "histogram2d", "doc-clusters", "cluster-sample",
                "session-summary", "spearman", "woe", "null-patterns",
                "paths", "monitor-profile", "monitor-drift",
@@ -592,6 +593,15 @@ def build_parser() -> argparse.ArgumentParser:
     lm.add_argument("--text-col", default="text")
     lm.add_argument("--id-col", default="doc_id")
     _add_common(lm)
+
+    lsg = sub.add_parser("lang-segments",
+                         help="per-doc mixed-language report from "
+                              "disjoint chunk-level language votes")
+    lsg.add_argument("input")
+    lsg.add_argument("--text-col", default="text")
+    lsg.add_argument("--id-col", default="doc_id")
+    lsg.add_argument("--max-tokens", type=int, default=64)
+    _add_common(lsg)
 
     lc = sub.add_parser("lang-confusion",
                         help="declared vs predicted language matrix")
@@ -1483,6 +1493,15 @@ def main(argv: list[str] | None = None) -> int:
         df = _load(spark, args.input, args.format)
         _emit(text_ops.lm_score(df, text_col=args.text_col,
                                 id_col=args.id_col), args.output)
+        return 0
+
+    if args.cmd == "lang-segments":
+        from flink_descriptive_stats_spark.operators import text as t_ops
+        df = _load(spark, args.input, args.format)
+        _emit(t_ops.lang_segments(df, text_col=args.text_col,
+                                  id_col=args.id_col,
+                                  max_tokens=args.max_tokens),
+              args.output)
         return 0
 
     if args.cmd == "lang-confusion":
