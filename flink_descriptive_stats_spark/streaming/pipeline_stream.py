@@ -1622,3 +1622,114 @@ def start_refint_monitor(stream: DataFrame, dim: DataFrame,
     if checkpoint_path:
         writer = writer.option("checkpointLocation", checkpoint_path)
     return writer.start()
+
+
+def start_delta_monitor(stream: DataFrame, old: DataFrame,
+                        sink_path: str,
+                        state_path: str | None = None,
+                        checkpoint_path: str | None = None,
+                        id_col: str = "doc_id",
+                        content_cols: tuple[str, ...] = ("text",)):
+    """Continuous snapshot-delta monitoring — the streaming twin of
+    delta.corpus_delta: each micro-batch of 'new run' documents is
+    scored against the STATIC old snapshot's (id, content-md5) frame
+    and the sink holds cumulative (status, n, share) rows for
+    ``added`` / ``changed`` / ``unchanged`` — the live "how much of
+    this re-crawl is actually new" view.
+
+    ``removed`` is deliberately ABSENT: on an unbounded stream "old ids
+    never seen again" is undecidable mid-stream (any absence may end
+    with the next batch) — the same declared-boundary discipline as
+    the card monitor's cluster row and the refint monitor's
+    distinct-orphan count; run batch corpus_delta when the new
+    snapshot is complete. Counters are sums under corpus_delta's own
+    unique-id-per-snapshot contract (ids must not repeat across the
+    stream; keep_first upstream is the remediation).
+
+    Per batch: the batch projects to (id, md5) exactly like the batch
+    operator (text never shuffles), one left join against the old
+    key-hash frame, one aggregate. Versioned-epoch durability;
+    restarts refuse a snapshot built for different identity columns."""
+    import json as _json
+    import os
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    from flink_descriptive_stats_spark.operators.delta import \
+        content_hash_expr
+    if (state_path is None) != (checkpoint_path is None):
+        raise ValueError(
+            "state_path and checkpoint_path must be passed together (see "
+            "start_global_topk_sketch)")
+    totals = {"added": 0, "changed": 0, "unchanged": 0}
+    last_folded = -1
+    okeys = old.select(F.col(id_col).alias("__id"),
+                       content_hash_expr(content_cols).alias("__ho"))
+
+    def _versions() -> list[int]:
+        if not (state_path and os.path.isdir(state_path)):
+            return []
+        return sorted(
+            int(n[1:]) for n in os.listdir(state_path)
+            if n.startswith("v") and n[1:].isdigit()
+            and os.path.exists(os.path.join(state_path, n, "_SUCCESS")))
+
+    latest = _versions()
+    if latest:
+        snap = stream.sparkSession.read.parquet(
+            os.path.join(state_path, f"v{latest[-1]}")).collect()[0]
+        meta = _json.loads(snap["meta"])
+        if meta["identity"] != [id_col, list(content_cols)]:
+            raise ValueError(
+                f"snapshot at {state_path} was built for identity "
+                f"{meta['identity']}; refusing to merge")
+        last_folded = meta["last_folded"]
+        for k in totals:
+            totals[k] = int(snap[k])
+
+    def _write_report() -> None:
+        import pyarrow as pa
+        tot = sum(totals.values())
+        rows = [(s, totals[s],
+                 sig6_py(totals[s] / tot) if tot else None)
+                for s in ("added", "changed", "unchanged")]
+        _pa_write_dir(sink_path, pa.table({
+            "status": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "share": pa.array([r[2] for r in rows], pa.string())}))
+
+    def emit(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal last_folded
+        if epoch_id > last_folded:
+            b = batch_df.select(
+                F.col(id_col).alias("__id"),
+                content_hash_expr(content_cols).alias("__hn"))
+            j = b.join(okeys, "__id", "left")
+            r = j.agg(
+                F.count(F.when(F.col("__ho").isNull(), 1))
+                .alias("added"),
+                F.count(F.when(F.col("__ho").isNotNull()
+                               & (F.col("__ho") != F.col("__hn")), 1))
+                .alias("changed"),
+                F.count(F.when(F.col("__ho") == F.col("__hn"), 1))
+                .alias("unchanged")).collect()[0]
+            for k in totals:
+                totals[k] += int(r[k])
+            last_folded = epoch_id
+            if state_path:
+                import shutil
+                import pyarrow as pa
+                cols = {k: pa.array([totals[k]], pa.int64())
+                        for k in sorted(totals)}
+                cols["meta"] = [_json.dumps(
+                    {"identity": [id_col, list(content_cols)],
+                     "last_folded": epoch_id})]
+                _pa_write_dir(os.path.join(state_path, f"v{epoch_id}"),
+                              pa.table(cols))
+                for v in _versions()[:-1]:
+                    shutil.rmtree(os.path.join(state_path, f"v{v}"),
+                                  ignore_errors=True)
+        _write_report()
+
+    writer = stream.writeStream.outputMode("append").foreachBatch(emit)
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

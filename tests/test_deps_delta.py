@@ -496,3 +496,57 @@ def test_lang_segments_code_switch_detection(spark):
                                 "doc_id bigint, text string")
     t = T.lang_segments(tie, max_tokens=16).collect()[0]
     assert t["majority_lang"] == "de" and t["mixed"] is True
+
+
+def test_delta_monitor_streams_exactly(spark, tmp_path):
+    """Cumulative streaming statuses == batch corpus_delta over the
+    concatenated stream for added/changed/unchanged (removed declared
+    absent), incl. restart; identity-mismatch snapshots refused."""
+    import pytest as _pytest
+    from flink_descriptive_stats_spark.operators import delta as DL
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import \
+        start_delta_monitor
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")],
+        "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (5, "e"), (6, "f")],
+        "doc_id bigint, text string")
+    chunks = str(tmp_path / "chunks")
+    new.repartition(2).write.parquet(chunks)
+    sink = str(tmp_path / "sink")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (spark.readStream.schema(new.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(chunks))
+        q = start_delta_monitor(stream, old, sink, state_path=state,
+                                checkpoint_path=ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {r["status"]: (r["n"], r["share"])
+                for r in spark.read.parquet(sink).collect()}
+
+    def _want(frame):
+        from flink_descriptive_stats_spark.functions.sig import sig6_py
+        got = {r["status"]: r["n"]
+               for r in DL.delta_summary(old, frame).collect()}
+        tot = sum(got[s] for s in ("added", "changed", "unchanged"))
+        return {s: (got[s], sig6_py(got[s] / tot))
+                for s in ("added", "changed", "unchanged")}
+
+    res = _run()
+    assert "removed" not in res  # declared absent
+    assert res == _want(new)
+    late = spark.createDataFrame([(7, "g"), (3, "C")], new.schema)
+    late.coalesce(1).write.mode("append").parquet(chunks)
+    assert _run() == _want(new.unionByName(late))
+    with _pytest.raises(ValueError, match="refusing to merge"):
+        stream = (spark.readStream.schema(new.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(chunks))
+        start_delta_monitor(stream, old, sink, state_path=state,
+                            checkpoint_path=ckpt,
+                            content_cols=("text", "doc_id"))
