@@ -1635,7 +1635,9 @@ def start_delta_monitor(stream: DataFrame, old: DataFrame,
     scored against the STATIC old snapshot's (id, content-md5) frame
     and the sink holds cumulative (status, n, share) rows for
     ``added`` / ``changed`` / ``unchanged`` — the live "how much of
-    this re-crawl is actually new" view.
+    this re-crawl is actually new" view. ``share`` is over rows SEEN
+    (the three streamable statuses), not the batch operator's
+    union-of-snapshots denominator, which needs the removed count.
 
     ``removed`` is deliberately ABSENT: on an unbounded stream "old ids
     never seen again" is undecidable mid-stream (any absence may end
