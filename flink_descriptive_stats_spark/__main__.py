@@ -414,6 +414,10 @@ def build_parser() -> argparse.ArgumentParser:
     fk.add_argument("--orphans", action="store_true",
                     help="emit the orphan child ROWS instead of the "
                          "one-row containment audit")
+    fk.add_argument("--repair", choices=["drop", "nullify"],
+                    default=None,
+                    help="emit the REPAIRED child instead: drop "
+                         "orphan rows, or NULL their dangling keys")
     _add_common(fk)
 
     fkd = sub.add_parser("fk-discover",
@@ -1321,7 +1325,14 @@ def main(argv: list[str] | None = None) -> int:
             dependencies as deps
         child = _load(spark, args.child, args.format)
         parent = _load(spark, args.parent, args.format)
-        if args.orphans:
+        if args.orphans and args.repair:
+            print("error: --orphans and --repair are exclusive modes; "
+                  "pick one", file=sys.stderr)
+            return 2
+        if args.repair:
+            out = deps.fk_repair(child, parent, args.child_col,
+                                 args.parent_col, action=args.repair)
+        elif args.orphans:
             out = deps.fk_orphan_rows(child, parent, args.child_col,
                                       args.parent_col)
         else:

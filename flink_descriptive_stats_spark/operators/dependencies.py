@@ -251,3 +251,40 @@ def fk_discover(tables: dict[str, DataFrame],
     if not frames:
         return spark.createDataFrame([], schema)
     return reduce(DataFrame.unionByName, frames)
+
+
+def fk_repair(child: DataFrame, parent: DataFrame,
+              child_col: str, parent_col: str,
+              action: str = "drop") -> DataFrame:
+    """The remediation behind a violated inclusion dependency —
+    `inclusion_dependencies` detects, `fk_orphan_rows` shows,
+    this FIXES, restoring the invariant an inner join needs:
+
+    - action='drop'     remove orphan rows (semi-join on the distinct
+                        parent key; NULL-keyed rows KEPT — a NULL FK is
+                        'no reference', already join-safe).
+    - action='nullify'  keep every row but set dangling keys to NULL
+                        (left join + conditional overwrite) — the
+                        choice when the child's other columns must
+                        survive.
+
+    Scale: parent collapses to its distinct key either way; 'drop' is
+    the same build-side shape as fk_orphan_rows with the join flipped
+    to semi; 'nullify' carries full child rows through one left join."""
+    if action not in ("drop", "nullify"):
+        raise ValueError(
+            f"action must be 'drop' or 'nullify', got {action!r}")
+    pk = (parent.select(F.col(parent_col).alias("__pk"))
+          .where(F.col("__pk").isNotNull()).distinct())
+    if action == "drop":
+        keyed = child.where(F.col(child_col).isNotNull()).join(
+            pk, on=F.col(child_col) == F.col("__pk"), how="semi")
+        return keyed.unionByName(
+            child.where(F.col(child_col).isNull()))
+    j = child.join(pk.withColumn("__hit", F.lit(1)),
+                   on=F.col(child_col) == F.col("__pk"), how="left")
+    nullified = F.when(F.col("__hit").isNotNull()
+                       | F.col(child_col).isNull(),
+                       F.col(child_col)).otherwise(F.lit(None))
+    return (j.withColumn(child_col, nullified)
+            .drop("__pk", "__hit"))

@@ -550,3 +550,26 @@ def test_delta_monitor_streams_exactly(spark, tmp_path):
         start_delta_monitor(stream, old, sink, state_path=state,
                             checkpoint_path=ckpt,
                             content_cols=("text", "doc_id"))
+
+
+def test_fk_repair_drop_and_nullify(spark, fk_frames):
+    """drop removes orphan rows but KEEPS NULL-keyed ones (already
+    join-safe); nullify keeps every row and NULLs only dangling keys;
+    both restore ind_holds; bad action raises."""
+    import pytest as _pytest
+    from flink_descriptive_stats_spark.operators import dependencies as DP
+    child, parent = fk_frames
+    dropped = DP.fk_repair(child, parent, "ref", "k", action="drop")
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 2, 3, 5]
+    nullified = {r["id"]: r["ref"]
+                 for r in DP.fk_repair(child, parent, "ref", "k",
+                                       action="nullify").collect()}
+    assert nullified == {1: 10, 2: 10, 3: 20, 4: None, 5: None, 6: None}
+    for fixed in (dropped,
+                  DP.fk_repair(child, parent, "ref", "k", "nullify")):
+        r = DP.inclusion_dependencies(
+            [("c", fixed, "ref", "p", parent, "k")]).collect()[0]
+        assert r["ind_holds"] is True
+    assert dropped.columns == child.columns
+    with _pytest.raises(ValueError, match="drop.*nullify"):
+        DP.fk_repair(child, parent, "ref", "k", action="purge")
