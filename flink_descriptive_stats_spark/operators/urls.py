@@ -169,7 +169,16 @@ def cap_domains(df: DataFrame, url_col: str = "url",
 
     Scale: one keyed shuffle (window partitioned by domain) with
     bounded per-group state — the same shape as keep-first dedup; the
-    full rows ride the shuffle once and nothing is collected."""
+    full rows ride the shuffle once and nothing is collected. The rank
+    filter is the BARE ``__rn <= max_per_domain`` predicate on the
+    domain-non-null branch (NULL-domain rows are handled by a separate
+    union branch, not a CASE inside the filter) — deliberately, so
+    Spark's InferWindowGroupLimit plans a partial WindowGroupLimit
+    BELOW the Exchange: every map task pre-truncates each domain to
+    ``max_per_domain`` rows before shuffling, which is exactly the
+    skew guard a 30%-share crawl domain needs at 100 TB. A CASE-wrapped
+    filter suppresses that rewrite (verified against the physical
+    plan; pinned in tests/test_plan_shapes.py)."""
     from pyspark.sql import Window
     if max_per_domain < 1:
         raise ValueError("max_per_domain must be >= 1, got "
@@ -178,15 +187,15 @@ def cap_domains(df: DataFrame, url_col: str = "url",
     raw_host = F.nullif(F.regexp_extract(c, HOST_RE, 1), F.lit(""))
     host = F.lower(F.regexp_replace(raw_host, PORT_RE, ""))
     domain = F.nullif(F.regexp_extract(host, DOMAIN_RE, 1), F.lit(""))
+    base = df.where(c.isNotNull()).withColumn("domain", domain)
     w = Window.partitionBy("domain").orderBy(F.col(id_col))
-    out = (df.where(c.isNotNull())
-           .withColumn("domain", domain)
-           .withColumn("__rn", F.row_number().over(w))
-           .where(F.when(F.col("domain").isNull(),
-                         F.lit(bool(keep_invalid)))
-                  .otherwise(F.col("__rn") <= max_per_domain))
-           .drop("__rn"))
-    return out
+    capped = (base.where(F.col("domain").isNotNull())
+              .withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= max_per_domain)
+              .drop("__rn"))
+    if keep_invalid:
+        return capped.unionByName(base.where(F.col("domain").isNull()))
+    return capped
 
 
 # --------------------------------------------------------------------------

@@ -558,3 +558,23 @@ def test_url_components_narrow_codegen(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted"))
     assert "ReusedExchange" in final
+
+
+def test_cap_domains_partial_window_group_limit(spark):
+    """cap_domains (r11 fix): the rank filter must be the bare
+    ``__rn <= k`` predicate so InferWindowGroupLimit plans a PARTIAL
+    WindowGroupLimit below the Exchange — each map task pre-truncates
+    every domain to k rows before shuffling. The r10 shape (CASE-wrapped
+    keep-invalid filter) suppressed the rewrite, leaving the hot-domain
+    shuffle the operator exists to remediate unguarded at scale."""
+    from flink_descriptive_stats_spark.operators import urls as U
+    docs = load_table(spark, SF_DIR, "documents")
+    withurl = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", U.synth_url_expr(F.col("doc_id")).alias("url"))
+    for keep_invalid in (True, False):
+        plan = _formatted_plan(
+            U.cap_domains(withurl, max_per_domain=5,
+                          keep_invalid=keep_invalid))
+        # Partial + Final — the two-phase skew guard
+        assert plan.count("WindowGroupLimit") >= 2, plan
+        assert "Partial" in plan, plan
