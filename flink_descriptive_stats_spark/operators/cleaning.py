@@ -89,9 +89,10 @@ def cleaning_report(df: DataFrame, text_col: str = "text",
     n_zero_width, n_unicode_space, n_chars, n_chars_clean, changed) —
     the triage view that says which feed ships broken encodings (join
     to source, or feed the counts to quality filters). Same narrow
-    codegen Project as clean_text; `changed` is length-based, exact
-    because every repair changes length (removals shrink, space maps
-    keep length — so changed = shrunk OR any space mapped)."""
+    codegen Project as clean_text; `changed` is derived from the
+    per-class damage counts — true iff any control / zero-width /
+    Unicode-space character was found (equivalently: iff the repair
+    would alter the string, since every mapped class changes it)."""
     c = F.col(text_col)
     n_ctrl = F.regexp_count(c, F.lit(CONTROL_RE))
     n_zw = F.regexp_count(c, F.lit(ZERO_WIDTH_RE))

@@ -83,19 +83,28 @@ def delta_summary(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     """The release-note numbers: one row per status with its count and
     its share of the union of both snapshots (sig6). Statuses absent
     from the delta (e.g. nothing removed) are emitted with n = 0, so
-    the shape is always 4 rows — a monitorable, joinable contract."""
+    the shape is always 4 rows — a monitorable, joinable contract.
+
+    The total is a window sum over the 4-row joined frame (NOT a
+    second aggregate over the delta), so the corpus_delta full-outer-
+    join subtree appears exactly ONCE in the plan — a separate
+    counts.agg() branch duplicated it and cost a second pass per
+    action. The empty window is bounded by construction: the frame is
+    the 4-status domain, never data-scale."""
+    from pyspark.sql import Window
     d = corpus_delta(old, new, id_col=id_col, content_cols=content_cols)
     counts = d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
     spark = old.sparkSession
     frame = spark.createDataFrame([(s,) for s in STATUSES],
                                   "status string")
-    total = counts.agg(F.sum("n").alias("__total"))
-    return (frame.join(counts, "status", "left")
-            .crossJoin(F.broadcast(total))
-            .select("status",
-                    F.coalesce(F.col("n"), F.lit(0)).alias("n"),
-                    sig6(F.coalesce(F.col("n"), F.lit(0)).cast("double")
-                         / F.col("__total").cast("double")).alias("share")))
+    joined = (frame.join(counts, "status", "left")
+              .select("status",
+                      F.coalesce(F.col("n"), F.lit(0)).alias("n")))
+    total = F.sum("n").over(Window.partitionBy())
+    return joined.select(
+        "status", "n",
+        sig6(F.col("n").cast("double")
+             / total.cast("double")).alias("share"))
 
 
 def delta_by_source(old: DataFrame, new: DataFrame,

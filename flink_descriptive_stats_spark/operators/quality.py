@@ -513,12 +513,15 @@ def _cleaning_by_source_rows(df: DataFrame, text_col: str,
     section folded in, the by-source convention): each source's
     numbers equal the corpus card's cleaning section on that source's
     slice alone (pytest-pinned) — the 'which feed ships broken
-    encodings' answer. ONE bounded groupBy(source)."""
+    encodings' answer. ONE bounded groupBy(source). NULL-source rows
+    belong to no slice and are excluded (matching the corpus card's
+    count_distinct(source) semantics — and a None key would crash the
+    deterministic sort below)."""
     from flink_descriptive_stats_spark.functions.sig import sig6_py
     from flink_descriptive_stats_spark.operators.cleaning import (
         cleaning_agg_exprs, cleaning_signal_exprs)
     c = F.col(text_col)
-    agg = (df.where(c.isNotNull())
+    agg = (df.where(c.isNotNull() & F.col(source_col).isNotNull())
            .select(F.col(source_col), F.length(c).alias("__len"),
                    *cleaning_signal_exprs(text_col))
            .groupBy(source_col)
@@ -846,7 +849,10 @@ def _media_by_source_rows(df: DataFrame, payload_col: str,
     its funnels."""
     from flink_descriptive_stats_spark.operators.multimodal import (
         audio_fingerprint, image_phash, media_fingerprints)
-    p = df.where(F.col(payload_col).isNotNull())
+    # NULL-source rows belong to no slice (same exclusion as the
+    # cleaning rows; a None key would crash the sorted() below)
+    p = df.where(F.col(payload_col).isNotNull()
+                 & F.col(source_col).isNotNull())
     ids = p.select(F.col(id_col).alias("id"),
                    F.col(source_col).alias("__src"))
     if media_kind == "auto":
@@ -900,8 +906,10 @@ def _url_by_source_rows(df: DataFrame, url_col: str, id_col: str,
     from flink_descriptive_stats_spark.functions.sig import sig6, sig6_py
     from flink_descriptive_stats_spark.operators.urls import \
         url_components
-    ids = df.select(F.col(id_col).alias("id"),
-                    F.col(source_col).alias("__src"))
+    # NULL-source rows: same exclusion as the cleaning/media rows
+    ids = (df.where(F.col(source_col).isNotNull())
+           .select(F.col(id_col).alias("id"),
+                   F.col(source_col).alias("__src")))
     comp = url_components(df, url_col=url_col, id_col=id_col) \
         .join(ids, "id")
     agg = {r["__src"]: r for r in comp.groupBy("__src").agg(

@@ -847,6 +847,22 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
             kind, key = r["kind"], r["key"]
             if kind == "meta":
                 m = _json.loads(key)
+                # config guard (same contract as the constraint/profile/
+                # histogram/refint/delta monitors): the cleaning rows'
+                # denominators (n, nch) count EVERY doc folded, so a
+                # snapshot folded without the cleaning projection cannot
+                # be continued with it (damage never scanned for those
+                # docs) — refuse instead of silently under-reporting.
+                # Pre-r11 snapshots carry no flag; they are only
+                # continuable with cleaning_section=False.
+                if bool(m.get("cleaning_section", False)) \
+                        != bool(cleaning_section):
+                    raise ValueError(
+                        "card-monitor snapshot at "
+                        f"{state_path} was folded with cleaning_section="
+                        f"{bool(m.get('cleaning_section', False))}; "
+                        "refusing to merge with cleaning_section="
+                        f"{bool(cleaning_section)}")
                 last_folded = m["last_folded"]
                 state.update({k: m[k] for k in state})
             elif kind == "src":
@@ -1113,6 +1129,7 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                 import pyarrow as pa
                 meta = dict(state)
                 meta["last_folded"] = epoch_id
+                meta["cleaning_section"] = bool(cleaning_section)
                 kinds, keys, ns, bins = ["meta"], [_json.dumps(meta)], \
                     [0], [None]
                 for k, v in src_counts.items():

@@ -344,3 +344,56 @@ def test_dependency_empty_inputs_raise_clearly(spark):
         DP.inclusion_dependencies([])
     with _pytest.raises(ValueError, match="at least one table"):
         DP.fk_discover({})
+
+
+def test_card_monitor_cleaning_config_guard(spark, tmp_path):
+    """Restarting the card monitor with a different cleaning_section
+    than the snapshot was folded with must REFUSE to merge (r11,
+    ADVICE fix): the cleaning denominators (n, nch) count every doc
+    folded, so a snapshot folded without the cleaning projection
+    cannot be continued with it — same contract as the constraint/
+    profile/histogram/refint monitors."""
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import \
+        start_card_monitor
+    df = _dirty_docs(spark)
+    chunks = str(tmp_path / "chunks")
+    df.coalesce(1).write.parquet(chunks)
+
+    def _run(state, ckpt, flag):
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(chunks))
+        q = start_card_monitor(stream, str(tmp_path / "sink"),
+                               state_path=state, checkpoint_path=ckpt,
+                               cleaning_section=flag)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    _run(state, ckpt, True)
+    with pytest.raises(Exception) as ei:
+        _run(state, str(tmp_path / "ckpt2"), False)
+    assert "refusing to merge" in str(ei.value)
+    # matching config restarts fine
+    _run(state, str(tmp_path / "ckpt3"), True)
+
+
+def test_by_source_cleaning_null_source_excluded(spark):
+    """A NULL source must not crash the by-source cleaning sort (r11,
+    ADVICE fix): the row is excluded from every slice, matching the
+    corpus card's count_distinct(source) semantics."""
+    from flink_descriptive_stats_spark.operators.quality import \
+        dataset_card_by_source
+    df = spark.createDataFrame(
+        [(1, "clean doc one", "sA"),
+         (2, "bell\x07damage", None),
+         (3, "clean doc two", "sB")],
+        "doc_id bigint, text string, source string")
+    out = dataset_card_by_source(df, cleaning_section=True).collect()
+    srcs = {r["source"] for r in out
+            if r["metric"] == "cleaning_damaged_doc_fraction"}
+    assert srcs == {"sA", "sB"}
+    dmg = {r["source"]: r["value"] for r in out
+           if r["metric"] == "cleaning_damaged_doc_fraction"}
+    assert dmg["sA"] == "0e0" and dmg["sB"] == "0e0"

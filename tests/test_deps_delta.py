@@ -573,3 +573,20 @@ def test_fk_repair_drop_and_nullify(spark, fk_frames):
     assert dropped.columns == child.columns
     with _pytest.raises(ValueError, match="drop.*nullify"):
         DP.fk_repair(child, parent, "ref", "k", action="purge")
+
+
+def test_delta_summary_single_delta_subtree(spark, snapshots):
+    """delta_summary's total is a window sum over the bounded 4-row
+    joined frame (r11, ADVICE fix): the corpus_delta full-outer-join
+    subtree must appear exactly ONCE in the plan — the old separate
+    counts.agg() total branch duplicated it and computed the delta
+    twice per action."""
+    from flink_descriptive_stats_spark.operators import delta as DL
+    old, new = snapshots
+    df = DL.delta_summary(old, new)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    # the formatted detail section prints one "Join type: FullOuter"
+    # line per join operator — exactly one full-outer join in the plan
+    assert plan.count("Join type: FullOuter") == 1, plan
