@@ -312,7 +312,15 @@ GATED_50 = (
     "transition_matrix_events",
     "trend_events",
     # -- relational diagnostics / associations
-    "refint_lineitem_orders",
+    # r11 #16: inclusion_deps_tpch in — the window's first MULTI-TABLE
+    # row: the declared six-edge FK graph audited in one unioned job
+    # (incl. the genuinely failing orders->lineitem reverse edge, 257
+    # orphans at sf0.01). refint_lineitem_orders demoted with
+    # transitive cover: it gates the SAME distinct-key left-join orphan
+    # machinery (dependencies.inclusion_dependencies is refint replayed
+    # per edge), now audited graph-wide instead of on one edge — refint
+    # stays oracle-verified at 51+, see SURVEY §5.7
+    "inclusion_deps_tpch",
     "fd_candidates_orders",
     "spearman_lineitem",
     "woe_iv_events",

@@ -32,7 +32,7 @@ def test_gated_window_holds_all_operator_families():
                  "json_profile_events",
                  "distinct_rows_documents",
                  # round-5 families (second intra-round rotation)
-                 "column_entropy_events", "refint_lineitem_orders",
+                 "column_entropy_events",
                  "tfidf_top_terms_documents",
                  "ks_drift_events_value", "fd_candidates_orders",
                  # round-5 session-2 families (third rotation)
@@ -65,6 +65,9 @@ def test_gated_window_holds_all_operator_families():
                  "temperature_mixture_documents",   # r7 #12 promotion
                  "covariance_lineitem",             # r8 #13 promotion
                  "extract_text_documents",          # r10 #15 promotion
+                 "inclusion_deps_tpch",             # r11 #16 promotion:
+                                              # the window's first
+                                              # multi-table row
                  "countmin_topk_documents"):
         assert must in first50, must
     # every demoted duplicate still exists at 51+ with its oracle intact
@@ -81,6 +84,12 @@ def test_gated_window_holds_all_operator_families():
                                               # exercises the same
                                               # _lang_scores +
                                               # _predicted_lang_expr bundle)
+                    "refint_lineitem_orders",  # r11 #16 (the promoted
+                                              # inclusion_deps_tpch replays
+                                              # the same distinct-key
+                                              # left-join orphan machinery
+                                              # graph-wide, incl. a failing
+                                              # edge)
                     "profile_documents", "topk_documents",
                     "decontaminate_exact_documents", "distinct_lineitem",
                     "dedup_corpus_documents",
