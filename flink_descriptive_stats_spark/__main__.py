@@ -230,6 +230,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "rows under these comma-separated registrable "
                          "domains (subdomains included; malformed rows "
                          "kept)")
+    ur.add_argument("--suffixes", default=None, metavar="S1,S2",
+                    help="optional public-suffix list (e.g. co.uk) "
+                         "folded into the registrable-domain "
+                         "expression for every mode — bbc.co.uk "
+                         "reports bbc.co.uk instead of co.uk")
     _add_common(ur)
 
     ls = sub.add_parser("label-separation",
@@ -1113,20 +1118,23 @@ def main(argv: list[str] | None = None) -> int:
                   "exclusive modes; pick one", file=sys.stderr)
             return 2
         df = _load(spark, args.input, args.format)
+        sfx = args.suffixes.split(",") if args.suffixes else None
         if args.block is not None:
             out = url_ops.block_domains(
                 df, blocked=args.block.split(","),
-                url_col=args.url_col, id_col=args.id_col)
+                url_col=args.url_col, id_col=args.id_col, suffixes=sfx)
         elif args.cap is not None:
             out = url_ops.cap_domains(df, url_col=args.url_col,
                                       id_col=args.id_col,
-                                      max_per_domain=args.cap)
+                                      max_per_domain=args.cap,
+                                      suffixes=sfx)
         elif args.mix:
             out = url_ops.domain_mix(df, url_col=args.url_col,
-                                     id_col=args.id_col)
+                                     id_col=args.id_col, suffixes=sfx)
         else:
             out = url_ops.url_components(df, url_col=args.url_col,
-                                         id_col=args.id_col)
+                                         id_col=args.id_col,
+                                         suffixes=sfx)
         _emit(out, args.output)
         return 0
 

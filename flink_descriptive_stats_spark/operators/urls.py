@@ -27,6 +27,11 @@ Parsing contract (documented, deliberate — a regex parser, not an RFC
              public-suffix list: ``bbc.co.uk`` reports ``co.uk``
              (documented; carrying Mozilla's PSL is out of scope and
              the dominance/cap use case only needs a stable key).
+             r11: every operator takes an optional ``suffixes`` list
+             (user-supplied public suffixes, policy-scale, folded into
+             the same codegen expression) for the ccTLD-heavy crawls
+             where the 2-label heuristic is most wrong — see
+             registrable_domain_expr.
 - tld        the last label.
 - path_depth the count of non-empty ``/`` segments after the host
              (0 for a bare domain, query/fragment excluded).
@@ -58,13 +63,47 @@ TLD_RE = "[.]([^.]+)$"
 PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)"
 
 
+def registrable_domain_expr(host, suffixes: list[str] | None = None):
+    """The registrable-domain Column over a (lowercased, port-stripped)
+    host: by default the documented 2-label heuristic (DOMAIN_RE —
+    ``bbc.co.uk`` reports ``co.uk``). ``suffixes`` (r11) is the
+    escape hatch for ccTLD-heavy crawls: a user-supplied set of
+    public suffixes (e.g. ``["co.uk", "com.au"]``) folded into the
+    SAME codegen expression, block_domains-style — a host ending in
+    ``.suffix`` reports ``label.suffix`` (``bbc.co.uk`` ->
+    ``bbc.co.uk``). Longer suffixes win (``a.b.uk`` entries override
+    ``b.uk``); a host EQUAL to a suffix has no registrable label and
+    falls back to the heuristic. Carrying Mozilla's full PSL stays
+    out of scope — the list is policy-scale (folded as literals,
+    no join), and the default is unchanged so existing oracles are
+    byte-identical."""
+    base = F.nullif(F.regexp_extract(host, DOMAIN_RE, 1), F.lit(""))
+    if not suffixes:
+        return base
+    out = base
+    # ascending label-count: the LAST when() applied is evaluated
+    # FIRST, so longer (more specific) suffixes take precedence
+    for s in sorted({x.lower().strip(".") for x in suffixes if x},
+                    key=lambda x: (x.count("."), len(x), x)):
+        esc = s.replace(".", "[.]")
+        dom = F.nullif(
+            F.regexp_extract(host, "([^.]+[.]" + esc + ")$", 1),
+            F.lit(""))
+        out = (F.when(host.endswith("." + s),
+                      F.coalesce(dom, base)).otherwise(out))
+    return out
+
+
 def url_components(df: DataFrame, url_col: str = "url",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   suffixes: list[str] | None = None) -> DataFrame:
     """(id, valid, scheme, host, domain, tld, path_depth, has_query)
     per document — see the module docstring for the parsing contract.
     NULL urls are out of scope; malformed ones (no ``scheme://``) stay
     as valid=false rows with NULL components so the corpus's
-    bad-metadata fraction is countable."""
+    bad-metadata fraction is countable. ``suffixes`` (r11): optional
+    public-suffix set for the domain column — see
+    registrable_domain_expr."""
     c = F.col(url_col)
     scheme = F.nullif(F.regexp_extract(c, SCHEME_RE, 1), F.lit(""))
     raw_host = F.nullif(F.regexp_extract(c, HOST_RE, 1), F.lit(""))
@@ -81,8 +120,7 @@ def url_components(df: DataFrame, url_col: str = "url",
                 scheme.isNotNull().alias("valid"),
                 scheme.alias("scheme"),
                 host.alias("host"),
-                F.nullif(F.regexp_extract(host, DOMAIN_RE, 1),
-                         F.lit("")).alias("domain"),
+                registrable_domain_expr(host, suffixes).alias("domain"),
                 F.nullif(F.regexp_extract(host, TLD_RE, 1),
                          F.lit("")).alias("tld"),
                 depth.alias("path_depth"),
@@ -91,7 +129,8 @@ def url_components(df: DataFrame, url_col: str = "url",
 
 
 def domain_mix(df: DataFrame, url_col: str = "url",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               suffixes: list[str] | None = None) -> DataFrame:
     """Per-domain dominance table: (domain, n_docs, share) over the
     VALID urls — the per-domain-cap planning view (a domain whose share
     dwarfs the rest is the upstream ticket, exactly like the card's
@@ -99,7 +138,8 @@ def domain_mix(df: DataFrame, url_col: str = "url",
     n_docs / total valid docs. One bounded groupBy; invalid/malformed
     rows are excluded (they have no domain) and countable via
     url_components."""
-    comp = url_components(df, url_col=url_col, id_col=id_col)
+    comp = url_components(df, url_col=url_col, id_col=id_col,
+                          suffixes=suffixes)
     d = comp.where(F.col("domain").isNotNull())
     counts = d.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
     # total via a broadcast 1-row cross join, not a global window: the
@@ -156,7 +196,8 @@ def decontaminate_by_url(train: DataFrame, holdout: DataFrame,
 
 def cap_domains(df: DataFrame, url_col: str = "url",
                 id_col: str = "doc_id", max_per_domain: int = 100,
-                keep_invalid: bool = True) -> DataFrame:
+                keep_invalid: bool = True,
+                suffixes: list[str] | None = None) -> DataFrame:
     """Per-domain cap — the curation ACTION domain_mix plans for: keep
     at most ``max_per_domain`` documents per registrable domain,
     deterministically (lowest id first), so one crawl-heavy domain
@@ -186,7 +227,7 @@ def cap_domains(df: DataFrame, url_col: str = "url",
     c = F.col(url_col)
     raw_host = F.nullif(F.regexp_extract(c, HOST_RE, 1), F.lit(""))
     host = F.lower(F.regexp_replace(raw_host, PORT_RE, ""))
-    domain = F.nullif(F.regexp_extract(host, DOMAIN_RE, 1), F.lit(""))
+    domain = registrable_domain_expr(host, suffixes)
     base = df.where(c.isNotNull()).withColumn("domain", domain)
     w = Window.partitionBy("domain").orderBy(F.col(id_col))
     capped = (base.where(F.col("domain").isNotNull())
@@ -233,7 +274,8 @@ def synth_url_expr(id_col):
 def block_domains(df: DataFrame, blocked: list[str],
                   url_col: str = "url", id_col: str = "doc_id",
                   include_subdomains: bool = True,
-                  keep_invalid: bool = True) -> DataFrame:
+                  keep_invalid: bool = True,
+                  suffixes: list[str] | None = None) -> DataFrame:
     """Domain blocklist filter — the deny-list ACTION every crawl
     pipeline carries (spam/adult/SEO-farm domains): drop every row
     whose registrable domain (the same 2-label heuristic as
@@ -256,7 +298,7 @@ def block_domains(df: DataFrame, blocked: list[str],
     c = F.col(url_col)
     raw_host = F.nullif(F.regexp_extract(c, HOST_RE, 1), F.lit(""))
     host = F.lower(F.regexp_replace(raw_host, PORT_RE, ""))
-    domain = F.nullif(F.regexp_extract(host, DOMAIN_RE, 1), F.lit(""))
+    domain = registrable_domain_expr(host, suffixes)
     hit = domain.isin(bl)
     if include_subdomains:
         for b in bl:

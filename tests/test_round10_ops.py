@@ -883,3 +883,56 @@ def test_curate_corpus_url_stages_equal_manual_composition(spark):
                curate_corpus(train.drop("url"),
                              hold.drop("url")).collect())
     assert a == b
+
+
+# ---------------------------------------------------------- r11: suffixes
+
+def test_registrable_domain_suffix_escape_hatch(spark):
+    """r11 (VERDICT ask #5): a user-supplied public-suffix set fixes
+    the 2-label heuristic for ccTLD hosts — bbc.co.uk reports
+    bbc.co.uk with suffixes=["co.uk"]; non-matching hosts and the
+    no-suffixes default are byte-identical to before; longer suffixes
+    win; a host EQUAL to a suffix falls back to the heuristic."""
+    from flink_descriptive_stats_spark.operators import urls as U
+    df = spark.createDataFrame(
+        [(1, "https://bbc.co.uk/news"),
+         (2, "https://www.example.com/a"),
+         (3, "https://a.b.co.uk/x"),
+         (4, "https://co.uk/"),          # host == suffix: heuristic
+         (5, "https://x.ads.co.uk/y")],
+        "doc_id bigint, url string")
+    base = {r["id"]: r["domain"] for r in U.url_components(df).collect()}
+    assert base[1] == "co.uk" and base[2] == "example.com"
+    got = {r["id"]: r["domain"]
+           for r in U.url_components(df, suffixes=["co.uk"]).collect()}
+    assert got[1] == "bbc.co.uk"
+    assert got[2] == "example.com"       # unaffected host unchanged
+    assert got[3] == "b.co.uk"           # one label above the suffix
+    assert got[4] == "co.uk"             # no registrable label
+    # longer suffix wins over its own suffix
+    deep = {r["id"]: r["domain"]
+            for r in U.url_components(
+                df, suffixes=["co.uk", "ads.co.uk"]).collect()}
+    assert deep[5] == "x.ads.co.uk" and deep[1] == "bbc.co.uk"
+
+
+def test_suffixes_thread_through_mix_cap_block(spark):
+    """domain_mix keys, cap_domains caps, and block_domains blocks on
+    the suffix-aware domain when the list is passed."""
+    from flink_descriptive_stats_spark.operators import urls as U
+    rows = ([(i, f"https://site{i % 2}.co.uk/p") for i in range(6)]
+            + [(10, "https://plain.org/x")])
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    sfx = ["co.uk"]
+    mix = {r["domain"]: r["n_docs"]
+           for r in U.domain_mix(df, suffixes=sfx).collect()}
+    assert mix == {"site0.co.uk": 3, "site1.co.uk": 3, "plain.org": 1}
+    # without the list every .co.uk host collapses into one domain
+    assert U.domain_mix(df).count() == 2
+    capped = U.cap_domains(df, max_per_domain=2, suffixes=sfx)
+    per = {r["domain"]: 0 for r in capped.collect()}
+    for r in capped.collect():
+        per[r["domain"]] += 1
+    assert per == {"site0.co.uk": 2, "site1.co.uk": 2, "plain.org": 1}
+    blocked = U.block_domains(df, ["site0.co.uk"], suffixes=sfx)
+    assert {r["doc_id"] for r in blocked.collect()} == {1, 3, 5, 10}
