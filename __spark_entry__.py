@@ -848,6 +848,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            "o_totalprice")
     q["fk_orphans_orders"] = _fk_orphans
 
+    # composite-key discovery (r11): a 2-column key whose single
+    # columns are NOT keys — parent = the distinct (orderkey,
+    # linenumber) pair table, child = lineitem with 1/13 of orders'
+    # linenumbers deterministically swapped (8-n keeps the component
+    # range, so the edge survives range pruning and carries genuinely
+    # orphaned pairs). No single-column key exists in either table, so
+    # the width-1 arm contributes zero rows and the output isolates
+    # the composite contract; the oracle replays BOTH arms in SQL.
+    def _fk_discover_composite(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators import \
+            dependencies as DP
+        li = _load(spark, sf_dir, "lineitem")
+        linepairs = (li.select(
+            F.col("l_orderkey").alias("p_orderkey"),
+            F.col("l_linenumber").alias("p_linenumber")).distinct())
+        fact = li.select(
+            F.col("l_orderkey").alias("f_orderkey"),
+            F.when(F.col("l_orderkey") % 13 == 0,
+                   F.lit(8) - F.col("l_linenumber"))
+            .otherwise(F.col("l_linenumber")).alias("f_linenumber"))
+        return DP.fk_discover({"linepairs": linepairs, "fact": fact},
+                              min_containment=0.5, max_key_width=2)
+    q["fk_discover_composite"] = _fk_discover_composite
+
     # corpus snapshot delta (r10): documents vs a deterministic 'next
     # pipeline run' (id%7 removed, id%11 text-edited, id%13 re-added
     # under id+1e6) — the oracle rebuilds the same snapshot and replays
@@ -1959,6 +1984,7 @@ def oracle_sql() -> dict[str, str]:
     o["inclusion_deps_tpch"] = op.inclusion_deps_sql(
         [(c, cc, p, pc) for c, cc, p, pc in FK_SPECS])
     o["fk_discover_dims"] = op.fk_discover_sql(FK_DISCOVER_COLUMNS)
+    o["fk_discover_composite"] = op.fk_discover_composite_sql()
     o["fk_orphans_orders"] = op.fk_orphans_sql()
     o["corpus_delta_documents"] = op.corpus_delta_sql()
     o["delta_summary_documents"] = op.delta_summary_sql()

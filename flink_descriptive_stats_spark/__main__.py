@@ -414,8 +414,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "tables (or --orphans: the violating rows)")
     fk.add_argument("child")
     fk.add_argument("parent")
-    fk.add_argument("--child-col", required=True)
-    fk.add_argument("--parent-col", required=True)
+    fk.add_argument("--child-col", required=True,
+                    help="child key column; comma-separate for a "
+                         "composite key (a,b)")
+    fk.add_argument("--parent-col", required=True,
+                    help="parent key column; comma-separate for a "
+                         "composite key (same width as --child-col)")
     fk.add_argument("--orphans", action="store_true",
                     help="emit the orphan child ROWS instead of the "
                          "one-row containment audit")
@@ -431,6 +435,10 @@ def build_parser() -> argparse.ArgumentParser:
     fkd.add_argument("inputs", nargs="+",
                      help="table paths; the table name is the file stem")
     fkd.add_argument("--min-containment", type=float, default=1.0)
+    fkd.add_argument("--max-key-width", type=int, default=1,
+                     choices=(1, 2),
+                     help="2: also discover composite 2-column keys "
+                          "(name-affinity-bounded pair space)")
     _add_common(fkd)
 
     dl = sub.add_parser("delta",
@@ -1337,16 +1345,18 @@ def main(argv: list[str] | None = None) -> int:
             print("error: --orphans and --repair are exclusive modes; "
                   "pick one", file=sys.stderr)
             return 2
+        def _key(spec):
+            cols = tuple(c for c in spec.split(",") if c)
+            return cols[0] if len(cols) == 1 else cols
+        ck, pk = _key(args.child_col), _key(args.parent_col)
         if args.repair:
-            out = deps.fk_repair(child, parent, args.child_col,
-                                 args.parent_col, action=args.repair)
+            out = deps.fk_repair(child, parent, ck, pk,
+                                 action=args.repair)
         elif args.orphans:
-            out = deps.fk_orphan_rows(child, parent, args.child_col,
-                                      args.parent_col)
+            out = deps.fk_orphan_rows(child, parent, ck, pk)
         else:
             out = deps.inclusion_dependencies(
-                [(args.child, child, args.child_col,
-                  args.parent, parent, args.parent_col)])
+                [(args.child, child, ck, args.parent, parent, pk)])
         _emit(out, args.output)
         return 0
 
@@ -1363,7 +1373,8 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             tables[name] = _load(spark, path, args.format)
         _emit(deps.fk_discover(tables,
-                               min_containment=args.min_containment),
+                               min_containment=args.min_containment,
+                               max_key_width=args.max_key_width),
               args.output)
         return 0
 

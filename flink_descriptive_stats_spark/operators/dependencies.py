@@ -61,26 +61,62 @@ from flink_descriptive_stats_spark.functions.sig import sig6
 DISCOVER_DTYPES: tuple[str, ...] = ("tinyint", "smallint", "int", "bigint")
 
 
-def _containment_row(child: DataFrame, child_col: str,
-                     parent: DataFrame, parent_col: str) -> DataFrame:
+def _key_cols(col) -> tuple[str, ...]:
+    """Normalize a key spec: a column name, or a tuple/list of names
+    for a COMPOSITE key (r11 — real schemas carry multi-column keys;
+    the lineitem PK is (l_orderkey, l_linenumber))."""
+    if isinstance(col, str):
+        return (col,)
+    cols = tuple(col)
+    if not cols or not all(isinstance(c, str) for c in cols):
+        raise ValueError(f"key spec must be a column name or a "
+                         f"non-empty tuple of names, got {col!r}")
+    return cols
+
+
+def _key_label(col) -> str:
+    """Stable string rendering of a (possibly composite) key for the
+    child_col/parent_col output columns: ``c1,c2``."""
+    return ",".join(_key_cols(col))
+
+
+def _all_not_null(cols: list[str]):
+    out = F.col(cols[0]).isNotNull()
+    for c in cols[1:]:
+        out = out & F.col(c).isNotNull()
+    return out
+
+
+def _containment_row(child: DataFrame, child_col,
+                     parent: DataFrame, parent_col) -> DataFrame:
     """One-row frame (n_child_distinct, n_orphans) for a single pair:
     distinct child keys LEFT-joined to distinct parent keys, orphans
     counted on the join miss — containment proved and quantified in the
     same pass. NULL keys are out of scope on both sides (a NULL FK is
-    'no reference', not a dangling one)."""
-    ck = (child.select(F.col(child_col).alias("__k"))
-          .where(F.col("__k").isNotNull()).distinct())
-    pk = (parent.select(F.col(parent_col).alias("__k"))
-          .where(F.col("__k").isNotNull()).distinct()
+    'no reference', not a dangling one); for a COMPOSITE key a NULL in
+    ANY component is 'no reference' (SQL simple-match semantics).
+
+    Composite keys keep the exact same shape: both sides project to
+    the key components, distinct, and equi-join on all of them — one
+    multi-column shuffle key, never a second exchange."""
+    ccols, pcols = _key_cols(child_col), _key_cols(parent_col)
+    if len(ccols) != len(pcols):
+        raise ValueError(
+            f"key widths differ: {ccols} vs {pcols}")
+    ks = [f"__k{i}" for i in range(len(ccols))]
+    ck = (child.select(*[F.col(c).alias(k) for c, k in zip(ccols, ks)])
+          .where(_all_not_null(ks)).distinct())
+    pk = (parent.select(*[F.col(c).alias(k) for c, k in zip(pcols, ks)])
+          .where(_all_not_null(ks)).distinct()
           .withColumn("__hit", F.lit(1)))
-    return (ck.join(pk, "__k", "left")
+    return (ck.join(pk, ks, "left")
             .agg(F.count(F.lit(1)).alias("n_child_distinct"),
                  F.count(F.when(F.col("__hit").isNull(), 1))
                  .alias("n_orphans")))
 
 
-def _labelled_pair(child: DataFrame, child_col: str,
-                   parent: DataFrame, parent_col: str,
+def _labelled_pair(child: DataFrame, child_col,
+                   parent: DataFrame, parent_col,
                    child_name: str, parent_name: str) -> DataFrame:
     """The one-row audit frame for a pair, with the pair identity as
     literal columns and the derived stats computed lazily — union-able
@@ -92,9 +128,9 @@ def _labelled_pair(child: DataFrame, child_col: str,
         (nd - orph).cast("double") / nd.cast("double"))
     return _containment_row(child, child_col, parent, parent_col).select(
         F.lit(child_name).alias("child_table"),
-        F.lit(child_col).alias("child_col"),
+        F.lit(_key_label(child_col)).alias("child_col"),
         F.lit(parent_name).alias("parent_table"),
-        F.lit(parent_col).alias("parent_col"),
+        F.lit(_key_label(parent_col)).alias("parent_col"),
         nd, orph,
         sig6(cont).alias("containment"),
         (orph == 0).alias("ind_holds"))
@@ -105,7 +141,9 @@ def inclusion_dependencies(
 ) -> DataFrame:
     """Exact inclusion-dependency audit of a declared FK graph: each
     spec is (child_name, child_df, child_col, parent_name, parent_df,
-    parent_col); one output row per spec with the distinct child-key
+    parent_col), where child_col/parent_col are a column name or a
+    same-length TUPLE of names for a composite key (r11 — rendered
+    comma-joined in the output); one output row per spec with the distinct child-key
     count, the orphan-key count (child keys absent from the parent),
     containment = contained/distinct (sig6-rendered; empty child = 1.0,
     the NOT EXISTS convention), and ind_holds (zero orphans). A violated
@@ -126,19 +164,27 @@ def inclusion_dependencies(
 
 
 def fk_orphan_rows(child: DataFrame, parent: DataFrame,
-                   child_col: str, parent_col: str) -> DataFrame:
+                   child_col, parent_col) -> DataFrame:
     """The rows behind a violated inclusion dependency: every child row
     (full width) whose non-NULL key has no match in the parent — the
     triage view `inclusion_dependencies` plans for. NULL-keyed rows are
-    excluded (no reference to dangle).
+    excluded (no reference to dangle); composite keys (tuple specs,
+    r11) treat a NULL in any component as 'no reference'.
 
     Scale: the parent is projected to its distinct key before the
     anti-join, so the build side is key-cardinality; the child rides
     the join once, full rows, no pre-shuffle."""
-    pk = (parent.select(F.col(parent_col).alias("__pk"))
-          .where(F.col("__pk").isNotNull()).distinct())
-    return (child.where(F.col(child_col).isNotNull())
-            .join(pk, on=F.col(child_col) == F.col("__pk"), how="anti"))
+    ccols, pcols = _key_cols(child_col), _key_cols(parent_col)
+    if len(ccols) != len(pcols):
+        raise ValueError(f"key widths differ: {ccols} vs {pcols}")
+    pks = [f"__pk{i}" for i in range(len(pcols))]
+    pk = (parent.select(*[F.col(c).alias(k)
+                          for c, k in zip(pcols, pks)])
+          .where(_all_not_null(pks)).distinct())
+    cond = reduce(lambda a, b: a & b,
+                  (F.col(c) == F.col(k) for c, k in zip(ccols, pks)))
+    return (child.where(_all_not_null(list(ccols)))
+            .join(pk, on=cond, how="anti"))
 
 
 def _suffix(name: str) -> str:
@@ -151,7 +197,8 @@ def _suffix(name: str) -> str:
 
 def fk_discover(tables: dict[str, DataFrame],
                 min_containment: float = 1.0,
-                approx: bool = False) -> DataFrame:
+                approx: bool = False,
+                max_key_width: int = 1) -> DataFrame:
     """Undeclared foreign-key discovery over a dict of named tables:
     (child_table, child_col, parent_table, parent_col,
     n_child_distinct, n_orphans, containment, name_affinity) for every
@@ -187,15 +234,39 @@ def fk_discover(tables: dict[str, DataFrame],
     exactly only for approx=False; the containment numbers of every
     emitted pair remain exact either way). Use it to scope candidates
     on a corpus where exact per-column distincts are a real cost, then
-    confirm with the default mode on the survivors."""
+    confirm with the default mode on the survivors.
+
+    ``max_key_width=2`` (r11): additionally discover COMPOSITE 2-column
+    inclusions — the (l_orderkey, l_linenumber)-style keys real schemas
+    carry, whose single columns are NOT keys. The pair space is bounded
+    by NAME AFFINITY *before* any job runs: a column pair of table T
+    gets pair statistics only if another (table, pair) carries the
+    same suffix pair, because only those pairs can ever be matched
+    (documented boundary: composite inclusions between non-affine
+    column pairs are out of scope — the unbounded all-pairs-of-pairs
+    space is exactly what a 100 TB schema cannot afford). Surviving
+    pairs follow the single-column contract shape: parent pair must be
+    an exact 2-column key, child pair distinct <= parent distinct and
+    each component's [min, max] within the parent component's, then
+    one exact distinct-pair containment join (the same multi-column
+    shuffle key shape; in approx mode the pair-distinct statistic is
+    HLL++ over the xxhash64-combined key, with the same eps slack).
+    Composite rows render child_col/parent_col comma-joined;
+    name_affinity is True by construction."""
     if not tables:
         raise ValueError("fk_discover needs at least one table")
+    if max_key_width not in (1, 2):
+        raise ValueError("max_key_width must be 1 or 2, got "
+                         f"{max_key_width}")
     stats: dict[tuple[str, str], dict] = {}
     distinct_of = (F.approx_count_distinct if approx
                    else F.count_distinct)
-    for tname, df in tables.items():
-        cols = [f.name for f in df.schema.fields
+    eligible: dict[str, list[str]] = {
+        tname: [f.name for f in df.schema.fields
                 if f.dataType.simpleString() in DISCOVER_DTYPES]
+        for tname, df in tables.items()}
+    for tname, df in tables.items():
+        cols = eligible[tname]
         if not cols:
             continue
         aggs = [F.count(F.lit(1)).alias("__n")]
@@ -245,6 +316,9 @@ def fk_discover(tables: dict[str, DataFrame],
                         sig6(cont).alias("containment"),
                         F.lit(_suffix(cc) == _suffix(pc))
                         .alias("name_affinity")))
+    if max_key_width >= 2:
+        frames += _composite_frames(tables, stats, eligible, eps,
+                                    min_containment, approx)
     schema = ("child_table string, child_col string, parent_table string, "
               "parent_col string, n_child_distinct bigint, "
               "n_orphans bigint, containment string, name_affinity boolean")
@@ -253,8 +327,90 @@ def fk_discover(tables: dict[str, DataFrame],
     return reduce(DataFrame.unionByName, frames)
 
 
+def _composite_frames(tables: dict[str, DataFrame],
+                      stats: dict, eligible: dict[str, list[str]],
+                      eps: float, min_containment: float,
+                      approx: bool) -> list[DataFrame]:
+    """The max_key_width=2 arm of fk_discover — see its docstring for
+    the contract. Returns lazy one-row audit frames for every
+    surviving composite pair.
+
+    Cost shape: the affinity bound prunes the pair space driver-side
+    from schema names alone (no job); pair statistics are ONE extra
+    bounded aggregate per table that still owns candidate pairs; each
+    survivor pays one distinct-pair containment join, unioned into the
+    same single lazy result job as the single-column survivors."""
+    from itertools import combinations
+    # 1. affinity-bounded candidate pair space (driver-side, no job):
+    #    order each pair's components by suffix so matching below is
+    #    positional (component i of the child maps to component i of
+    #    the parent, suffixes equal by construction)
+    by_suffix: dict[tuple[str, str],
+                    list[tuple[str, tuple[str, str]]]] = {}
+    for tname, cols in eligible.items():
+        for a, b in combinations(cols, 2):
+            sa, sb = _suffix(a), _suffix(b)
+            if (sb, b) < (sa, a):
+                a, b, sa, sb = b, a, sb, sa
+            by_suffix.setdefault((sa, sb), []).append((tname, (a, b)))
+    needed = {k: v for k, v in by_suffix.items() if len(v) >= 2}
+    # 2. pair statistics: one bounded agg per table owning candidates
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for entries in needed.values():
+        for tname, pair in entries:
+            by_table.setdefault(tname, []).append(pair)
+    pstats: dict[tuple[str, tuple[str, str]], dict] = {}
+    for tname, pairs in sorted(by_table.items()):
+        df = tables[tname]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, (a, b) in enumerate(pairs):
+            nn = F.count(F.when(F.col(a).isNotNull()
+                                & F.col(b).isNotNull(), 1))
+            d = (F.approx_count_distinct(F.xxhash64(F.col(a), F.col(b)))
+                 if approx else F.count_distinct(F.col(a), F.col(b)))
+            aggs += [nn.alias(f"p{i}__nn"), d.alias(f"p{i}__d")]
+        row = df.agg(*aggs).collect()[0]
+        for i, pair in enumerate(pairs):
+            pstats[(tname, pair)] = {
+                "n": int(row["__n"]), "nn": int(row[f"p{i}__nn"]),
+                "d": int(row[f"p{i}__d"])}
+    # 3. match: exact-2-column-key parents vs stats-pruned children
+    frames: list[DataFrame] = []
+    for skey in sorted(needed):
+        entries = needed[skey]
+        for pt, ppair in entries:
+            ps = pstats[(pt, ppair)]
+            if not (ps["n"] > 0 and ps["nn"] == ps["n"]
+                    and abs(ps["d"] - ps["nn"]) <= eps * ps["nn"]):
+                continue
+            for ct, cpair in entries:
+                if (ct, cpair) == (pt, ppair):
+                    continue
+                cs = pstats[(ct, cpair)]
+                if cs["nn"] == 0 or cs["d"] > ps["d"] * (1.0 + eps):
+                    continue
+                if any(stats[(ct, cc)]["mn"] < stats[(pt, pc)]["mn"]
+                       or stats[(ct, cc)]["mx"] > stats[(pt, pc)]["mx"]
+                       for cc, pc in zip(cpair, ppair)):
+                    continue
+                nd, orph = F.col("n_child_distinct"), F.col("n_orphans")
+                cont = (nd - orph).cast("double") / nd.cast("double")
+                frames.append(
+                    _containment_row(tables[ct], cpair,
+                                     tables[pt], ppair)
+                    .where(cont >= F.lit(float(min_containment)))
+                    .select(F.lit(ct).alias("child_table"),
+                            F.lit(",".join(cpair)).alias("child_col"),
+                            F.lit(pt).alias("parent_table"),
+                            F.lit(",".join(ppair)).alias("parent_col"),
+                            nd, orph,
+                            sig6(cont).alias("containment"),
+                            F.lit(True).alias("name_affinity")))
+    return frames
+
+
 def fk_repair(child: DataFrame, parent: DataFrame,
-              child_col: str, parent_col: str,
+              child_col, parent_col,
               action: str = "drop") -> DataFrame:
     """The remediation behind a violated inclusion dependency —
     `inclusion_dependencies` detects, `fk_orphan_rows` shows,
@@ -268,23 +424,38 @@ def fk_repair(child: DataFrame, parent: DataFrame,
                         choice when the child's other columns must
                         survive.
 
+    Composite keys (tuple specs, r11): 'no reference' = any component
+    NULL (kept under 'drop'); 'nullify' clears EVERY component of a
+    dangling key, never a partial one.
+
     Scale: parent collapses to its distinct key either way; 'drop' is
     the same build-side shape as fk_orphan_rows with the join flipped
     to semi; 'nullify' carries full child rows through one left join."""
     if action not in ("drop", "nullify"):
         raise ValueError(
             f"action must be 'drop' or 'nullify', got {action!r}")
-    pk = (parent.select(F.col(parent_col).alias("__pk"))
-          .where(F.col("__pk").isNotNull()).distinct())
+    ccols, pcols = _key_cols(child_col), _key_cols(parent_col)
+    if len(ccols) != len(pcols):
+        raise ValueError(f"key widths differ: {ccols} vs {pcols}")
+    pks = [f"__pk{i}" for i in range(len(pcols))]
+    pk = (parent.select(*[F.col(c).alias(k)
+                          for c, k in zip(pcols, pks)])
+          .where(_all_not_null(pks)).distinct())
+    cond = reduce(lambda a, b: a & b,
+                  (F.col(c) == F.col(k) for c, k in zip(ccols, pks)))
     if action == "drop":
-        keyed = child.where(F.col(child_col).isNotNull()).join(
-            pk, on=F.col(child_col) == F.col("__pk"), how="semi")
+        keyed = child.where(_all_not_null(list(ccols))).join(
+            pk, on=cond, how="semi")
         return keyed.unionByName(
-            child.where(F.col(child_col).isNull()))
+            child.where(~_all_not_null(list(ccols))))
     j = child.join(pk.withColumn("__hit", F.lit(1)),
-                   on=F.col(child_col) == F.col("__pk"), how="left")
-    nullified = F.when(F.col("__hit").isNotNull()
-                       | F.col(child_col).isNull(),
-                       F.col(child_col)).otherwise(F.lit(None))
-    return (j.withColumn(child_col, nullified)
-            .drop("__pk", "__hit"))
+                   on=cond, how="left")
+    # materialize the keep predicate BEFORE overwriting any component:
+    # nullifying c1 first would make ~all_not_null true and leave c2
+    # of the same dangling key un-cleared (a partial composite key)
+    out = j.withColumn("__keep", F.col("__hit").isNotNull()
+                       | ~_all_not_null(list(ccols)))
+    for c in ccols:
+        out = out.withColumn(
+            c, F.when(F.col("__keep"), F.col(c)).otherwise(F.lit(None)))
+    return out.drop("__hit", "__keep", *pks)

@@ -3287,6 +3287,90 @@ SELECT ct AS child_table, cc AS child_col,
 FROM cont WHERE {cont} >= {min_containment}"""
 
 
+def fk_discover_composite_sql(min_containment: float = 0.5) -> str:
+    """dependencies.fk_discover(max_key_width=2) mirrored on the shared
+    composite fixture (__spark_entry__._fk_discover_composite): parent
+    = the DISTINCT (orderkey, linenumber) pair table, child = lineitem
+    with orders where l_orderkey % 13 = 0 linenumber-swapped to
+    8 - l_linenumber (component range preserved, pairs genuinely
+    orphaned). The oracle replays BOTH arms of the contract: the
+    width-1 predicates over all four columns (which yield zero rows —
+    no single column is a key in either table) UNION ALL the width-2
+    arm — pair statistics, exact-2-column-key parents, the stats
+    prune, and the distinct-pair containment join, all literally in
+    SQL over melted pair values."""
+    w1 = fk_discover_sql(
+        {"linepairs": ["p_orderkey", "p_linenumber"],
+         "fact": ["f_orderkey", "f_linenumber"]}, min_containment)
+    cont = "CAST(nd - orph AS DOUBLE) / CAST(nd AS DOUBLE)"
+    return f"""
+WITH linepairs AS (
+  SELECT DISTINCT l_orderkey AS p_orderkey,
+         l_linenumber AS p_linenumber FROM lineitem),
+fact AS (
+  SELECT l_orderkey AS f_orderkey,
+         CASE WHEN l_orderkey % 13 = 0 THEN 8 - l_linenumber
+              ELSE l_linenumber END AS f_linenumber FROM lineitem)
+SELECT * FROM ({w1})
+UNION ALL
+SELECT * FROM (
+WITH ps AS (
+  SELECT 'linepairs' AS tbl, 'p_linenumber,p_orderkey' AS pr,
+         count(*) AS n,
+         count(*) FILTER (WHERE p_linenumber IS NOT NULL
+                            AND p_orderkey IS NOT NULL) AS nn,
+         count(DISTINCT ROW(p_linenumber, p_orderkey)) AS d,
+         CAST(min(p_linenumber) AS BIGINT) AS mn1,
+         CAST(max(p_linenumber) AS BIGINT) AS mx1,
+         CAST(min(p_orderkey) AS BIGINT) AS mn2,
+         CAST(max(p_orderkey) AS BIGINT) AS mx2
+  FROM linepairs
+  UNION ALL
+  SELECT 'fact', 'f_linenumber,f_orderkey', count(*),
+         count(*) FILTER (WHERE f_linenumber IS NOT NULL
+                            AND f_orderkey IS NOT NULL),
+         count(DISTINCT ROW(f_linenumber, f_orderkey)),
+         CAST(min(f_linenumber) AS BIGINT),
+         CAST(max(f_linenumber) AS BIGINT),
+         CAST(min(f_orderkey) AS BIGINT),
+         CAST(max(f_orderkey) AS BIGINT)
+  FROM fact),
+prs AS (
+  SELECT c.tbl AS ct, c.pr AS cc, p.tbl AS pt, p.pr AS pc
+  FROM ps c JOIN ps p
+    ON p.n > 0 AND p.nn = p.n AND p.d = p.nn
+   AND NOT (c.tbl = p.tbl AND c.pr = p.pr)
+   AND c.nn > 0 AND c.d <= p.d
+   AND c.mn1 >= p.mn1 AND c.mx1 <= p.mx1
+   AND c.mn2 >= p.mn2 AND c.mx2 <= p.mx2),
+kv AS (
+  SELECT 'linepairs' AS tbl, CAST(p_linenumber AS BIGINT) AS v1,
+         CAST(p_orderkey AS BIGINT) AS v2
+  FROM linepairs
+  WHERE p_linenumber IS NOT NULL AND p_orderkey IS NOT NULL
+  GROUP BY 2, 3
+  UNION ALL
+  SELECT 'fact', CAST(f_linenumber AS BIGINT),
+         CAST(f_orderkey AS BIGINT)
+  FROM fact
+  WHERE f_linenumber IS NOT NULL AND f_orderkey IS NOT NULL
+  GROUP BY 2, 3),
+cont AS (
+  SELECT pr.ct, pr.cc, pr.pt, pr.pc, count(*) AS nd,
+         count(*) FILTER (WHERE pv.tbl IS NULL) AS orph
+  FROM prs pr
+  JOIN kv cv ON cv.tbl = pr.ct
+  LEFT JOIN kv pv ON pv.tbl = pr.pt AND pv.v1 = cv.v1
+                 AND pv.v2 = cv.v2
+  GROUP BY 1, 2, 3, 4)
+SELECT ct AS child_table, cc AS child_col,
+       pt AS parent_table, pc AS parent_col,
+       nd AS n_child_distinct, orph AS n_orphans,
+       {duck_sig6(cont)} AS containment,
+       TRUE AS name_affinity
+FROM cont WHERE {cont} >= {min_containment})"""
+
+
 # --------------------------------------------------------------------------
 # corpus snapshot delta (operators/delta.py)
 # --------------------------------------------------------------------------

@@ -590,3 +590,111 @@ def test_delta_summary_single_delta_subtree(spark, snapshots):
     # the formatted detail section prints one "Join type: FullOuter"
     # line per join operator — exactly one full-outer join in the plan
     assert plan.count("Join type: FullOuter") == 1, plan
+
+
+# ------------------------------------------------- r11: composite keys
+
+@pytest.fixture(scope="module")
+def composite_frames(spark):
+    """(g, i) is a key of parent; NEITHER g nor i alone is — the case
+    single-column discovery is blind to. Child references the pair,
+    with one dangling pair (2, 3) inside the component ranges and one
+    partial-NULL key."""
+    parent = spark.createDataFrame(
+        [(g, i, g * 10 + i) for g in range(1, 5)
+         for i in range(1, g + 1)],
+        "p_grp bigint, p_idx bigint, p_val bigint")
+    child = spark.createDataFrame(
+        [(1, 1, 7), (2, 1, 7), (2, 2, 7), (4, 3, 7), (2, 3, 7),
+         (None, 2, 9)],
+        "f_grp bigint, f_idx bigint, f_x bigint")
+    return parent, child
+
+
+def test_inclusion_dependencies_composite_spec(spark, composite_frames):
+    from flink_descriptive_stats_spark.operators import dependencies as DP
+    parent, child = composite_frames
+    [r] = DP.inclusion_dependencies(
+        [("fact", child, ("f_grp", "f_idx"),
+          "parent", parent, ("p_grp", "p_idx"))]).collect()
+    # 5 distinct non-partial-NULL pairs, one orphan (2, 3)
+    assert (r["child_col"], r["parent_col"]) == ("f_grp,f_idx",
+                                                 "p_grp,p_idx")
+    assert (r["n_child_distinct"], r["n_orphans"]) == (5, 1)
+    assert r["ind_holds"] is False
+    with pytest.raises(ValueError):
+        DP.inclusion_dependencies(
+            [("fact", child, ("f_grp", "f_idx"),
+              "parent", parent, "p_grp")])
+
+
+def test_fk_orphan_and_repair_composite(spark, composite_frames):
+    from flink_descriptive_stats_spark.operators import dependencies as DP
+    parent, child = composite_frames
+    orph = DP.fk_orphan_rows(child, parent, ("f_grp", "f_idx"),
+                             ("p_grp", "p_idx")).collect()
+    assert [(r["f_grp"], r["f_idx"]) for r in orph] == [(2, 3)]
+    dropped = DP.fk_repair(child, parent, ("f_grp", "f_idx"),
+                           ("p_grp", "p_idx"), action="drop").collect()
+    # orphan dropped; partial-NULL key KEPT (no reference to dangle)
+    keys = sorted(((r["f_grp"], r["f_idx"]) for r in dropped), key=str)
+    assert (2, 3) not in keys and (None, 2) in keys and len(keys) == 5
+    nulled = DP.fk_repair(child, parent, ("f_grp", "f_idx"),
+                          ("p_grp", "p_idx"), action="nullify")
+    assert nulled.columns == child.columns
+    rows = {r["f_x"]: (r["f_grp"], r["f_idx"])
+            for r in nulled.collect() if r["f_grp"] is None}
+    # the dangling key is FULLY nullified (never a partial composite
+    # key); the pre-existing partial-NULL row is untouched
+    got = sorted(((r["f_grp"], r["f_idx"]) for r in nulled.collect()
+                  if r["f_idx"] is None or r["f_grp"] is None), key=str)
+    assert (None, None) in got and (None, 2) in got and len(got) == 2
+
+
+def test_fk_discover_composite_key_found_only_at_width2(
+        spark, composite_frames):
+    from flink_descriptive_stats_spark.operators import dependencies as DP
+    parent, child = composite_frames
+    tables = {"parent": parent, "fact": child}
+    assert DP.fk_discover(tables, min_containment=0.5).count() == 0
+    out = DP.fk_discover(tables, min_containment=0.5,
+                         max_key_width=2).collect()
+    assert len(out) == 1
+    [r] = out
+    assert (r["child_table"], r["parent_table"]) == ("fact", "parent")
+    # components ordered by (suffix, name)
+    assert r["child_col"] == "f_grp,f_idx"
+    assert r["parent_col"] == "p_grp,p_idx"
+    assert (r["n_child_distinct"], r["n_orphans"]) == (5, 1)
+    assert r["name_affinity"] is True
+    with pytest.raises(ValueError):
+        DP.fk_discover(tables, max_key_width=3)
+
+
+def test_fk_discover_composite_affinity_bound(spark):
+    """The composite pair space is NAME-AFFINITY bounded: a perfectly
+    contained pair whose suffixes match no other table's pair is out
+    of scope by contract (the documented 100 TB boundary)."""
+    from flink_descriptive_stats_spark.operators import dependencies as DP
+    parent = spark.createDataFrame(
+        [(g, i) for g in range(1, 4) for i in range(1, 3)],
+        "a_grp bigint, a_idx bigint")
+    child = spark.createDataFrame(
+        [(1, 1), (2, 2)], "b_one bigint, b_two bigint")
+    out = DP.fk_discover({"parent": parent, "fact": child},
+                         min_containment=0.5, max_key_width=2)
+    # single-column edges may legitimately exist in this tiny fixture;
+    # the pin is that NO composite row is tested or emitted
+    assert not [r for r in out.collect() if "," in r["child_col"]]
+
+
+def test_fk_discover_composite_range_prune(spark, composite_frames):
+    """A child pair with a component outside the parent component's
+    [min, max] is pruned before any containment join."""
+    from flink_descriptive_stats_spark.operators import dependencies as DP
+    parent, _ = composite_frames
+    child = spark.createDataFrame(
+        [(1, 1, 7), (2, 99, 7)], "f_grp bigint, f_idx bigint, f_x bigint")
+    out = DP.fk_discover({"parent": parent, "fact": child},
+                         min_containment=0.0, max_key_width=2)
+    assert not [r for r in out.collect() if "," in r["child_col"]]
