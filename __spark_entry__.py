@@ -516,6 +516,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cross_source_dups_documents"] = _cross_source_dups
     q["paragraph_dedup_documents"] = _tq(dedup.paragraph_dedup,
                                          "documents")
+
+    # cross-document repeated-span removal (r11): boilerplate
+    # header/footer planted deterministically (dedup.synth_span_expr),
+    # the cleaned STRINGS hash-compared against the DuckDB replay of
+    # the whole contract (positional n-gram DF, span consolidation,
+    # separator-preserving rewrite)
+    def _remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        planted = docs.select(
+            "doc_id",
+            dedup.synth_span_expr("text", "doc_id").alias("text"))
+        return dedup.remove_repeated_spans(planted, min_ngram=5,
+                                           min_df=25)
+    q["remove_spans_documents"] = _remove_spans
     q["dup_rate_by_source_documents"] = _tq(dedup.dup_rate_by_source,
                                             "documents")
     # bucket_docs=2: the synthetic 31-word vocabulary saturates by doc 8,
@@ -2109,6 +2124,7 @@ def oracle_sql() -> dict[str, str]:
     o["dataset_card_by_source_1pass_documents"] = \
         op.dataset_card_by_source_sql()
     o["temporal_split_events"] = op.temporal_split_sql()
+    o["remove_spans_documents"] = op.remove_repeated_spans_sql()
     o["paragraph_dedup_documents"] = (
         "WITH t AS (SELECT doc_id AS id, "
         "regexp_extract_all(lower(text), '\\w+') AS toks FROM documents "

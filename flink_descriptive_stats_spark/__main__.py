@@ -37,7 +37,7 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "k-anonymity",
                "quality-ensemble", "curate", "keys", "fuzzy-join",
                "temperature-mix", "dataset-card", "covariance",
-               "media-neardup", "extract", "urls")
+               "media-neardup", "extract", "urls", "remove-spans")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -470,6 +470,21 @@ def build_parser() -> argparse.ArgumentParser:
                     help="NFC canonical composition instead of the "
                          "regex repairs")
     _add_common(cl)
+
+    rs = sub.add_parser("remove-spans",
+                        help="strip cross-document repeated spans "
+                             "(boilerplate headers/footers) — the "
+                             "exact-substring dedup stage after "
+                             "doc-level dedup")
+    rs.add_argument("input")
+    rs.add_argument("--text-col", default="text")
+    rs.add_argument("--id-col", default="doc_id")
+    rs.add_argument("--min-ngram", type=int, default=5,
+                    help="span granularity: word n-gram length")
+    rs.add_argument("--min-df", type=int, default=5,
+                    help="an n-gram is boilerplate when >= this many "
+                         "DISTINCT docs contain it")
+    _add_common(rs)
 
     ri = sub.add_parser("refint",
                         help="FK orphan check between fact and dim")
@@ -1334,6 +1349,17 @@ def main(argv: list[str] | None = None) -> int:
             out = cleaning.clean_text(df, text_col=args.text_col,
                                       id_col=args.id_col)
         _emit(out, args.output)
+        return 0
+
+    if args.cmd == "remove-spans":
+        from flink_descriptive_stats_spark.operators.dedup import \
+            remove_repeated_spans
+        df = _load(spark, args.input, args.format)
+        _emit(remove_repeated_spans(df, text_col=args.text_col,
+                                    id_col=args.id_col,
+                                    min_ngram=args.min_ngram,
+                                    min_df=args.min_df),
+              args.output)
         return 0
 
     if args.cmd == "fk":

@@ -1411,3 +1411,166 @@ def source_overlap_fuzzy(df: DataFrame, content_col: str = "text",
                      F.greatest("__sa", "__sb").alias("source_b"))
             .groupBy("source_a", "source_b")
             .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+# --------------------------------------------------------------------------
+# cross-document repeated-span removal (r11 — the substring granularity
+# doc- and paragraph-level dedup both miss: boilerplate headers/footers)
+# --------------------------------------------------------------------------
+
+def remove_repeated_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", min_ngram: int = 5,
+                          min_df: int = 5) -> DataFrame:
+    """Strip cross-document repeated spans — the exact-substring dedup
+    stage every large corpus-curation pipeline applies AFTER doc-level
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" motivates it): site headers, footers, cookie
+    banners and licence blurbs survive exact/canonical/near dedup
+    (the surrounding document is unique) and paragraph_dedup (they
+    are rarely their own paragraph). The reference has no analog (it
+    profiles typed columns, ProfileJob.java:86-98).
+
+    Contract (token-level, deterministic, oracle-replayable):
+
+    - a WORD is a whitespace-delimited run (``\\S+``) of the ORIGINAL
+      text; matching is case-insensitive (the word-n-gram identity is
+      ``lower(words[i..i+n))`` joined by one space, hashed with the
+      engine's md5 hash family) but the text is never case-mangled.
+    - an n-gram (n = ``min_ngram``) is REPEATED when its document
+      frequency — DISTINCT docs containing it — is >= ``min_df``.
+      Within-doc repetition alone never qualifies (that is
+      repetition_stats' dimension); this operator targets
+      cross-document boilerplate.
+    - a word position is covered when ANY repeated n-gram occurrence
+      spans it; covered positions consolidate into maximal spans and
+      are removed. Docs with < n words emit no n-grams and pass
+      through untouched (whole-short-doc duplication is exact dedup's
+      job).
+    - rewrite: an untouched doc returns its text byte-identical.
+      In a modified doc every contiguous KEPT region keeps its
+      original bytes (each kept word is re-joined with the original
+      separator that preceded it); where a span was removed between
+      two kept words they splice with ONE space; leading/trailing
+      whitespace survives only if the first/last word survives.
+
+    Returns (id, text_clean, n_tokens, n_tokens_removed,
+    n_spans_removed). NULL-text rows are out of scope.
+
+    Scale: never all-pairs — the n-gram document-frequency pass is a
+    distinct + one bounded groupBy on the 8-byte shingle hash; the
+    repeated set joins back by hash (one row per hash on the build
+    side, so a boilerplate shingle present in EVERY doc skews no
+    pair explosion); covered positions are per-doc bounded arrays
+    (collect_set bounded by doc length); the rewrite itself is
+    per-row array math, no Python anywhere."""
+    if min_ngram < 2:
+        raise ValueError(f"min_ngram must be >= 2, got {min_ngram}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    n = int(min_ngram)
+    t = F.col(text_col)
+    base = (df.where(t.isNotNull())
+            .select(F.col(id_col).alias("id"), t.alias("__text"),
+                    F.regexp_extract_all(t, F.lit(r"\S+"), 0)
+                    .alias("__w"),
+                    F.regexp_extract(t, r"^\s*", 0).alias("__lead"),
+                    F.regexp_extract(t, r"\s*$", 0).alias("__trail"),
+                    F.regexp_extract_all(t, F.lit(r"\s+"), 0)
+                    .alias("__seps")))
+    m = F.size("__w")
+    # the m-1 INTERNAL separators: drop the leading/trailing runs
+    core = F.slice(F.col("__seps"),
+                   F.when(F.col("__lead") != "", F.lit(2))
+                   .otherwise(F.lit(1)),
+                   F.greatest(m - 1, F.lit(0)))
+    # no checkpoint: base is a narrow projection over the scan; the two
+    # consumers (n-gram branch, rewrite branch) each re-scan, which is
+    # cheaper at scale than materializing full text
+    base = base.withColumn("__core", core)
+    # positional n-gram hashes: explode a start-index sequence and
+    # element_at into the word array — the shingle_hashes_long codegen
+    # shape, positions kept
+    idx = F.explode(F.sequence(F.lit(0), m - n))
+    gram = F.lower(F.concat_ws(
+        " ", *[F.element_at("__w", F.col("__i") + j + 1)
+               for j in range(n)]))
+    pos = (base.where(m >= n)
+           .select("id", idx.alias("__i"), "__w")
+           .select("id", "__i",
+                   F.pmod(H.token_hash(gram),
+                          F.lit(H.MERSENNE_P)).alias("__sh")))
+    rep = (pos.select("__sh", "id").distinct()
+           .groupBy("__sh").agg(F.count(F.lit(1)).alias("__dfc"))
+           .where(F.col("__dfc") >= min_df).select("__sh"))
+    covered = (pos.join(rep, "__sh")
+               .select("id", F.explode(
+                   F.sequence(F.col("__i"),
+                              F.col("__i") + n - 1)).alias("__j"))
+               .distinct()
+               .groupBy("id")
+               .agg(F.array_sort(F.collect_set("__j")).alias("__cov")))
+    j = base.join(covered, "id", "left")
+    cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform("__w", lambda w, i: F.struct(w.alias("w"),
+                                                 i.alias("i"))),
+        lambda s: ~F.array_contains(cov, s["i"]))
+    # rebuild: each kept word carries the ORIGINAL separator that
+    # preceded it; across a removed span the splice is one space; the
+    # accumulator carries (text so far, previous kept index)
+    body = F.aggregate(
+        kept,
+        F.struct(F.lit("").alias("s"), F.lit(-2).cast("int").alias("p")),
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["s"],
+                F.when(acc["p"] == -2, F.lit(""))
+                .when(acc["p"] == x["i"] - 1,
+                      F.element_at("__core", x["i"]))
+                .otherwise(F.lit(" ")),
+                x["w"]).alias("s"),
+            x["i"].cast("int").alias("p")),
+        lambda acc: acc["s"])
+    first_kept = ~F.array_contains(cov, F.lit(0))
+    last_kept = ~F.array_contains(cov, m - 1)
+    n_rm = F.size(cov)
+    rebuilt = F.concat(
+        F.when(first_kept, F.col("__lead")).otherwise(F.lit("")),
+        body,
+        F.when(last_kept, F.col("__trail")).otherwise(F.lit("")))
+    spans = F.size(F.filter(
+        cov, lambda x: ~F.array_contains(cov, x - 1)))
+    return j.select(
+        "id",
+        F.when(n_rm == 0, F.col("__text")).otherwise(rebuilt)
+        .alias("text_clean"),
+        m.cast("bigint").alias("n_tokens"),
+        n_rm.cast("bigint").alias("n_tokens_removed"),
+        F.when(n_rm == 0, F.lit(0)).otherwise(spans)
+        .cast("bigint").alias("n_spans_removed"))
+
+
+# deterministic boilerplate fixture (cross-doc header/footer planted by
+# doc_id) — the test tables are clean, so the gated span-removal query
+# derives its adversarial input from these module constants and the
+# oracle rebuilds the SAME constants (oracle_pipeline.
+# remove_repeated_spans_sql). Plain ASCII, no quotes/backslashes.
+SPAN_HEADER = "Subscribe To Our Newsletter For Daily Updates"
+SPAN_FOOTER = "All Rights Reserved See Our Terms Of Service"
+SPAN_HEADER_MOD = 3   # doc_id % 3 != 2 -> header prepended + one space
+SPAN_FOOTER_MOD = 4   # doc_id % 4 == 0 -> TWO spaces + footer appended
+
+
+def synth_span_expr(text_col: str, id_col: str) -> F.Column:
+    """documents.text with the shared boilerplate planted (see the
+    constants above) — the Spark side of the span-removal fixture. The
+    footer's two-space join pins separator handling; the mixed-case
+    header pins case-insensitive matching with case-preserving
+    output."""
+    i = F.col(id_col)
+    t0 = (F.when(i % SPAN_HEADER_MOD != SPAN_HEADER_MOD - 1,
+                 F.concat(F.lit(SPAN_HEADER + " "), F.col(text_col)))
+          .otherwise(F.col(text_col)))
+    return (F.when(i % SPAN_FOOTER_MOD == 0,
+                   F.concat(t0, F.lit("  " + SPAN_FOOTER)))
+            .otherwise(t0))

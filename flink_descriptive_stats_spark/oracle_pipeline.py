@@ -286,6 +286,99 @@ GROUP BY h.id
 """
 
 
+def remove_repeated_spans_sql(table: str = "documents",
+                              min_ngram: int = 5,
+                              min_df: int = 25) -> str:
+    """dedup.remove_repeated_spans mirrored on the shared boilerplate
+    fixture (dedup.synth_span_expr — header on doc_id%3!=2, two-space
+    footer on doc_id%4==0): whitespace-delimited words, positional
+    lowercased n-gram hashes, document frequency >= min_df, covered
+    positions consolidated, and the SEPARATOR-PRESERVING rewrite
+    (each kept word re-joined with its original preceding separator;
+    one-space splice across removed spans; lead/trail survive with
+    the first/last word) replayed literally in SQL — the cleaned
+    STRINGS themselves are hash-compared."""
+    from flink_descriptive_stats_spark.operators import dedup as DD
+    n = int(min_ngram)
+    hdr, ftr = DD.SPAN_HEADER, DD.SPAN_FOOTER
+    hm, fm = DD.SPAN_HEADER_MOD, DD.SPAN_FOOTER_MOD
+    th = H.duck_token_hash(
+        f"lower(array_to_string(list_slice(words, i, i + {n - 1}), ' '))")
+    return f"""
+WITH src AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % {hm} <> {hm - 1}
+              THEN '{hdr} ' || text ELSE text END AS t0
+  FROM {table} WHERE text IS NOT NULL),
+docs AS (
+  SELECT id, CASE WHEN id % {fm} = 0 THEN t0 || '  {ftr}'
+                  ELSE t0 END AS text FROM src),
+w2 AS (
+  SELECT id, text,
+         regexp_extract_all(text, '\\S+') AS words,
+         regexp_extract(text, '^\\s*') AS lead,
+         regexp_extract(text, '\\s*$') AS trail,
+         len(regexp_extract_all(text, '\\S+')) AS m,
+         list_slice(regexp_extract_all(text, '\\s+'),
+                    CASE WHEN regexp_extract(text, '^\\s*') <> ''
+                         THEN 2 ELSE 1 END,
+                    CASE WHEN regexp_extract(text, '^\\s*') <> ''
+                         THEN 2 ELSE 1 END
+                    + greatest(len(regexp_extract_all(text, '\\S+'))
+                               - 1, 0) - 1) AS core
+  FROM docs),
+ps AS (
+  SELECT id, i - 1 AS i, {th} % {P} AS sh
+  FROM (SELECT id, words,
+               unnest(generate_series(1, m - {n} + 1)) AS i
+        FROM w2 WHERE m >= {n})),
+rep AS (
+  SELECT sh FROM (SELECT DISTINCT sh, id FROM ps)
+  GROUP BY sh HAVING count(*) >= {min_df}),
+cov AS (
+  SELECT DISTINCT p.id, p.i + d.d AS j
+  FROM ps p JOIN rep USING (sh)
+  CROSS JOIN (SELECT unnest(generate_series(0, {n - 1})) AS d) d),
+idx AS (SELECT id, unnest(generate_series(0, m - 1)) AS i
+        FROM w2 WHERE m > 0),
+kept AS (
+  SELECT idx.id, idx.i FROM idx
+  LEFT JOIN cov ON cov.id = idx.id AND cov.j = idx.i
+  WHERE cov.id IS NULL),
+ordered AS (
+  SELECT id, i, lag(i) OVER (PARTITION BY id ORDER BY i) AS pi
+  FROM kept),
+body AS (
+  SELECT o.id,
+         string_agg(CASE WHEN o.pi IS NULL THEN ''
+                         WHEN o.pi = o.i - 1 THEN w2.core[o.i]
+                         ELSE ' ' END || w2.words[o.i + 1],
+                    '' ORDER BY o.i) AS b
+  FROM ordered o JOIN w2 ON w2.id = o.id GROUP BY o.id),
+st AS (
+  SELECT c.id, count(*) AS nrm,
+         count(*) FILTER (WHERE NOT EXISTS (
+           SELECT 1 FROM cov c2
+           WHERE c2.id = c.id AND c2.j = c.j - 1)) AS nsp
+  FROM cov c GROUP BY c.id)
+SELECT CAST(w2.id AS BIGINT) AS id,
+       CASE WHEN st.nrm IS NULL THEN w2.text
+            ELSE CASE WHEN NOT EXISTS (SELECT 1 FROM cov c
+                                       WHERE c.id = w2.id AND c.j = 0)
+                      THEN w2.lead ELSE '' END
+                 || coalesce(body.b, '')
+                 || CASE WHEN NOT EXISTS (
+                           SELECT 1 FROM cov c
+                           WHERE c.id = w2.id AND c.j = w2.m - 1)
+                         THEN w2.trail ELSE '' END
+       END AS text_clean,
+       CAST(w2.m AS BIGINT) AS n_tokens,
+       CAST(coalesce(st.nrm, 0) AS BIGINT) AS n_tokens_removed,
+       CAST(coalesce(st.nsp, 0) AS BIGINT) AS n_spans_removed
+FROM w2 LEFT JOIN st ON st.id = w2.id LEFT JOIN body ON body.id = w2.id
+"""
+
+
 def duplicated_ngram_fraction_sql(table: str = "documents") -> str:
     """Mirror of dedup.duplicated_ngram_fraction."""
     return f"""

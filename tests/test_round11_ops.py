@@ -1,0 +1,175 @@
+"""Round-11 operator pins: cross-document repeated-span removal
+(dedup.remove_repeated_spans) — the substring granularity doc- and
+paragraph-level dedup both miss."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_descriptive_stats_spark.operators.dedup import (
+    SPAN_FOOTER, SPAN_HEADER, remove_repeated_spans, synth_span_expr)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+HDR = "Subscribe To Our Newsletter For Daily Updates"  # 7 words
+
+
+def _planted(spark, n_docs=8, footer=False):
+    rows = []
+    for i in range(n_docs):
+        body = (f"unusual-{i} narrative about topic-{i * 7} mentioning "
+                f"item-{i * 11} and fact-{i * 13} end-{i * 17}")
+        txt = HDR + " " + body
+        if footer:
+            txt = txt + "  " + SPAN_FOOTER
+        rows.append((i, txt, body))
+    return spark.createDataFrame(rows,
+                                 "doc_id bigint, text string, body string")
+
+
+def test_spans_removed_and_kept_text_byte_identical(spark):
+    """The planted header is removed on every doc and the remaining
+    text is BYTE-IDENTICAL to the original body (the contiguous kept
+    region keeps its original separators)."""
+    df = _planted(spark)
+    out = {r["id"]: r for r in
+           remove_repeated_spans(df, min_ngram=5, min_df=4).collect()}
+    bodies = {r["doc_id"]: r["body"] for r in df.collect()}
+    for i, body in bodies.items():
+        assert out[i]["text_clean"] == body, i
+        assert out[i]["n_tokens_removed"] == 7
+        assert out[i]["n_spans_removed"] == 1
+
+
+def test_header_and_footer_two_spans(spark):
+    df = _planted(spark, footer=True)
+    out = {r["id"]: r for r in
+           remove_repeated_spans(df, min_ngram=5, min_df=4).collect()}
+    bodies = {r["doc_id"]: r["body"] for r in df.collect()}
+    for i, body in bodies.items():
+        assert out[i]["text_clean"] == body, (i, out[i]["text_clean"])
+        assert out[i]["n_spans_removed"] == 2
+        assert out[i]["n_tokens_removed"] == 7 + len(SPAN_FOOTER.split())
+
+
+def test_untouched_docs_byte_identical(spark):
+    """Docs carrying no repeated n-gram pass through with their exact
+    bytes — including leading/trailing whitespace and interior runs."""
+    weird = "  Oddly\t spaced   unique document nobody else repeats  "
+    df = _planted(spark).unionByName(
+        _planted(spark).sparkSession.createDataFrame(
+            [(99, weird, weird)],
+            "doc_id bigint, text string, body string"))
+    out = {r["id"]: r for r in
+           remove_repeated_spans(df, min_ngram=5, min_df=4).collect()}
+    assert out[99]["text_clean"] == weird
+    assert out[99]["n_tokens_removed"] == 0
+    assert out[99]["n_spans_removed"] == 0
+
+
+def test_interior_span_splices_with_one_space(spark):
+    mid = "CLICK HERE TO ACCEPT ALL COOKIES NOW"
+    # neighbors unique per doc: a shared word ADJACENT to the shared
+    # span would legitimately extend the repeated n-grams into it
+    rows = [(i, f"u{i}x u{i}y u{i}z {mid} v{i}x v{i}y v{i}z")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["id"]: r["text_clean"] for r in
+           remove_repeated_spans(df, min_ngram=5, min_df=4).collect()}
+    for i in range(6):
+        assert out[i] == f"u{i}x u{i}y u{i}z v{i}x v{i}y v{i}z"
+
+
+def test_case_insensitive_match_case_preserving_output(spark):
+    """Matching lowercases the n-gram identity, but surviving text is
+    never case-mangled."""
+    rows = [(i, ("COMMON BOILERPLATE PHRASE REPEATED VERBATIM "
+                 if i % 2 else "common boilerplate phrase repeated "
+                               "verbatim ")
+             + f"UqA{i} MixEd{i} TaIl{i} pad-{i * 3} end-{i * 5}")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["id"]: r["text_clean"] for r in
+           remove_repeated_spans(df, min_ngram=5, min_df=4).collect()}
+    for i in range(6):
+        # the differently-CASED boilerplate matched anyway; the kept
+        # mixed-case tail is byte-identical, never case-mangled
+        assert out[i] == (f"UqA{i} MixEd{i} TaIl{i} "
+                          f"pad-{i * 3} end-{i * 5}")
+
+
+def test_within_doc_repetition_not_removed(spark):
+    """A doc repeating a phrase 10x alone (df = 1) is untouched —
+    within-doc repetition is repetition_stats' dimension, not
+    cross-document boilerplate."""
+    loop = " ".join(["again and again we go round"] * 10)
+    df = spark.createDataFrame(
+        [(0, loop)] + [(i, f"unique filler doc {i} nothing shared "
+                           f"w-{i * 7} x-{i * 11} y-{i * 13} z-{i * 17}")
+                       for i in range(1, 5)],
+        "doc_id bigint, text string")
+    out = {r["id"]: r for r in
+           remove_repeated_spans(df, min_ngram=5, min_df=2).collect()}
+    assert out[0]["text_clean"] == loop
+    assert out[0]["n_tokens_removed"] == 0
+
+
+def test_short_docs_and_validation(spark):
+    df = spark.createDataFrame([(0, "a b c"), (1, "a b c")],
+                               "doc_id bigint, text string")
+    out = {r["id"]: r for r in
+           remove_repeated_spans(df, min_ngram=5, min_df=2).collect()}
+    # < n words: no n-grams, untouched (whole-doc dup is exact dedup's job)
+    assert out[0]["text_clean"] == "a b c"
+    with pytest.raises(ValueError):
+        remove_repeated_spans(df, min_ngram=1)
+    with pytest.raises(ValueError):
+        remove_repeated_spans(df, min_df=1)
+
+
+def test_duplicated_ngram_fraction_drops_on_cleaned_corpus(spark):
+    """The VERDICT 'done' pin: the cross-doc duplicated-ngram measure
+    drops measurably after span removal on the planted documents
+    fixture."""
+    from flink_descriptive_stats_spark.operators.dedup import \
+        duplicated_ngram_fraction
+    from flink_descriptive_stats_spark.sources.tables import load_table
+    docs = (load_table(spark, SF_DIR, "documents")
+            .where(F.col("text").isNotNull()))
+    planted = docs.select(
+        "doc_id", synth_span_expr("text", "doc_id").alias("text"))
+    cleaned = (remove_repeated_spans(planted, min_ngram=5, min_df=25)
+               .select(F.col("id").alias("doc_id"),
+                       F.col("text_clean").alias("text")))
+
+    def mean_dup(frame):
+        return (duplicated_ngram_fraction(frame)
+                .agg(F.avg("dup_fraction")).collect()[0][0])
+
+    before, after = mean_dup(planted), mean_dup(cleaned)
+    # the synthetic corpus carries heavy natural 3-gram duplication
+    # (~0.68 baseline) — the planted boilerplate's removal still moves
+    # the corpus mean measurably, and the spans themselves are GONE
+    assert after < before - 0.02, (before, after)
+    assert cleaned.where(F.col("text").contains(SPAN_HEADER)).count() == 0
+    assert cleaned.where(F.col("text").contains(SPAN_FOOTER)).count() == 0
+
+
+def test_planted_fixture_nonvacuous_every_branch(spark):
+    """The gated query's fixture must exercise header-only,
+    footer-only, both, and neither docs at the smallest SF."""
+    from flink_descriptive_stats_spark.sources.tables import load_table
+    docs = (load_table(spark, SF_DIR, "documents")
+            .where(F.col("text").isNotNull()))
+    planted = docs.select(
+        "doc_id", synth_span_expr("text", "doc_id").alias("text"))
+    got = planted.select(
+        F.count_if(F.col("text").startswith(SPAN_HEADER)
+                   & F.col("text").endswith(SPAN_FOOTER)).alias("both"),
+        F.count_if(F.col("text").startswith(SPAN_HEADER)
+                   & ~F.col("text").endswith(SPAN_FOOTER)).alias("h"),
+        F.count_if(~F.col("text").startswith(SPAN_HEADER)
+                   & F.col("text").endswith(SPAN_FOOTER)).alias("f"),
+        F.count_if(~F.col("text").startswith(SPAN_HEADER)
+                   & ~F.col("text").endswith(SPAN_FOOTER)).alias("n"),
+    ).collect()[0]
+    assert min(got["both"], got["h"], got["f"], got["n"]) > 0, got
