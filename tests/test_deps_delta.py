@@ -698,3 +698,59 @@ def test_fk_discover_composite_range_prune(spark, composite_frames):
     out = DP.fk_discover({"parent": parent, "fact": child},
                          min_containment=0.0, max_key_width=2)
     assert not [r for r in out.collect() if "," in r["child_col"]]
+
+
+def test_delta_monitor_finalize_matches_batch(spark, tmp_path):
+    """r11 (VERDICT ask #6): streaming-then-finalize == batch
+    delta_summary row-for-row (all FOUR statuses, union-of-snapshots
+    shares) — including across a restart; finalize refuses a state
+    built for a different identity; no state raises clearly."""
+    import pytest as _pytest
+    from flink_descriptive_stats_spark.operators import delta as DL
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import (
+        finalize_delta_monitor, start_delta_monitor)
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (8, "h")],
+        "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (5, "e"), (6, "f")],
+        "doc_id bigint, text string")
+    chunks = str(tmp_path / "chunks")
+    new.repartition(2).write.parquet(chunks)
+    sink = str(tmp_path / "sink")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (spark.readStream.schema(new.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(chunks))
+        q = start_delta_monitor(stream, old, sink, state_path=state,
+                                checkpoint_path=ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def _want(frame):
+        return {r["status"]: (r["n"], r["share"])
+                for r in DL.delta_summary(old, frame).collect()}
+
+    _run()
+    late = spark.createDataFrame([(7, "g"), (3, "C")], new.schema)
+    late.coalesce(1).write.mode("append").parquet(chunks)
+    _run()    # restart: replayed epochs must not double-count ids
+    rows = finalize_delta_monitor(old, sink, state)
+    got = {s: (n, share) for s, n, share in rows}
+    want = _want(new.unionByName(late))
+    assert got == want, (got, want)
+    # the sink now holds the full 4-status report
+    sunk = {r["status"]: (r["n"], r["share"])
+            for r in spark.read.parquet(sink).collect()}
+    assert sunk == want
+    # docs 4 and 8 were never seen -> removed exactly 2
+    assert got["removed"][0] == 2
+    with _pytest.raises(ValueError, match="refusing to finalize"):
+        finalize_delta_monitor(old, sink, state,
+                               content_cols=("text", "doc_id"))
+    with _pytest.raises(ValueError, match="no folded"):
+        finalize_delta_monitor(old, sink, str(tmp_path / "nostate"))
