@@ -519,7 +519,8 @@ def auto_bands(max_hamming: int) -> int:
 
 def hamming_neardup_pairs(hashes: DataFrame, max_hamming: int = 6,
                           n_bands: int | str = 4,
-                          max_bucket: int = 1024) -> DataFrame:
+                          max_bucket: int = 1024,
+                          group_col: str | None = None) -> DataFrame:
     """The shared banded Hamming candidate funnel over any (id, phash)
     64-bit signature frame (the SimHash near-pair plan re-expressed as
     a reusable step — image pHash and the audio fingerprint both feed
@@ -536,7 +537,15 @@ def hamming_neardup_pairs(hashes: DataFrame, max_hamming: int = 6,
     auto_bands (smallest 64-divisor >= max_hamming + 1) — see there for
     the band-width/bucket-cardinality price; the integer default stays
     4 (the measured-recall heuristic every banded step here uses,
-    quantifiable per corpus with hamming_calibration)."""
+    quantifiable per corpus with hamming_calibration).
+
+    ``group_col`` (r11): when named (a column of ``hashes``), the
+    funnel keys by (group, band, value) instead of (band, value) —
+    cross-group pairs are IMPOSSIBLE by key construction and the
+    bucket cap applies per group, so running N groups through one
+    call is row-for-row identical to N separate per-group funnels
+    while paying ONE job (the by-source media triage's shape: all
+    sources in one keyed pass)."""
     if n_bands == "auto":
         n_bands = auto_bands(max_hamming)
     if 64 % n_bands:
@@ -545,24 +554,26 @@ def hamming_neardup_pairs(hashes: DataFrame, max_hamming: int = 6,
                          "silently drop candidates")
     width = 64 // n_bands
     mask = (1 << width) - 1
+    gcols = [group_col] if group_col else []
+    keys = gcols + ["band", "val"]
     bands = hashes.select(
-        "id", "phash", F.explode(F.array(*[
+        "id", "phash", *gcols, F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.expr(f"shiftrightunsigned(phash, {b * width}) "
                             f"& {mask}").alias("val"))
             for b in range(n_bands)])).alias("bk")) \
-        .select("id", "phash", F.col("bk.band").alias("band"),
+        .select("id", "phash", *gcols, F.col("bk.band").alias("band"),
                 F.col("bk.val").alias("val"))
-    ok = (bands.groupBy("band", "val")
+    ok = (bands.groupBy(*keys)
           .agg(F.count(F.lit(1)).alias("__n"))
           .where(F.col("__n") <= max_bucket)
-          .select("band", "val"))
-    bands = bands.join(ok, ["band", "val"], "semi")
+          .select(*keys))
+    bands = bands.join(ok, keys, "semi")
     a = bands.select(F.col("id").alias("id_a"),
-                     F.col("phash").alias("pa"), "band", "val")
+                     F.col("phash").alias("pa"), *keys)
     b = bands.select(F.col("id").alias("id_b"),
-                     F.col("phash").alias("pb"), "band", "val")
-    cand = (a.join(b, ["band", "val"])
+                     F.col("phash").alias("pb"), *keys)
+    cand = (a.join(b, keys)
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "pa", "pb").distinct())
     return (cand.withColumn("hamming",

@@ -841,12 +841,16 @@ def _media_by_source_rows(df: DataFrame, payload_col: str,
     by that definition, which is also the triage semantics (a cluster
     spanning sources indicts neither alone).
 
-    Cost shape: payload bytes are fingerprinted ONCE (one Arrow pass
-    over the whole frame), joined back to (id, source) — a doc-scale
-    equi-join on tiny rows — and persisted; the per-source loop (a
-    bounded card dimension, like the driver folds the text metrics
-    already do) re-reads only the (id, source, kind, 64-bit) frame for
-    its funnels."""
+    Cost shape (r11, VERDICT r10 ask #7): payload bytes are
+    fingerprinted ONCE (one Arrow pass over the whole frame), joined
+    back to (id, source) — a doc-scale equi-join on tiny rows — and
+    persisted; then ALL sources run through ONE (source, band)-keyed
+    near-dup funnel per modality (hamming_neardup_pairs' group_col:
+    cross-source pairs impossible by key construction, bucket caps
+    per source — row-for-row identical to the former one-job-per-
+    source loop, pinned) plus ONE star-CC over the merged
+    within-source pair graph and bounded grouped aggregates. No
+    per-source jobs remain."""
     from flink_descriptive_stats_spark.operators.multimodal import (
         audio_fingerprint, image_phash, media_fingerprints)
     # NULL-source rows belong to no slice (same exclusion as the
@@ -866,23 +870,89 @@ def _media_by_source_rows(df: DataFrame, payload_col: str,
                                    id_col=id_col), 8
     else:
         raise ValueError(f"unknown media kind: {media_kind!r}")
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
     fp = fp.join(ids, "id").persist()
     rows = []
     try:
-        sources = sorted(r["__src"] for r in
-                         fp.select("__src").distinct().collect())
-        for s in sources:
-            sl = fp.where(F.col("__src") == s).drop("__src")
-            if media_kind == "auto":
-                sec_rows = _mixed_rows_from_fp(sl)
-            else:
-                sec_rows = _media_section_rows(
-                    sl.select("id", "decoded", "phash"), mh, "media")
-            rows += [(s, f"{sec}_{metric}", value)
-                     for sec, metric, value in sec_rows]
+        if media_kind == "auto":
+            counts = {(r["__src"], r["kind"]): int(r["n"]) for r in
+                      fp.groupBy("__src", "kind")
+                      .agg(F.count(F.lit(1)).alias("n")).collect()}
+            secs = {}
+            for kind, kmh, section in (("image", 6, "media_image"),
+                                       ("audio", 8, "media_audio")):
+                sl = fp.where(F.col("kind") == kind).select(
+                    "id", "decoded", "phash", "__src")
+                secs[kind] = _media_section_rows_grouped(sl, kmh,
+                                                         section)
+            for s in sorted({sk for sk, _ in counts}):
+                n = sum(c for (s2, _), c in counts.items() if s2 == s)
+                rows += [
+                    (s, "media_n_payloads", str(n)),
+                    (s, "media_unrecognized_fraction",
+                     sig6_py(counts.get((s, "unknown"), 0) / n)
+                     if n else None)]
+                for kind in ("image", "audio"):
+                    if counts.get((s, kind)):
+                        rows += [(s, f"{sec}_{metric}", v)
+                                 for sec, metric, v in secs[kind][s]]
+        else:
+            secs = _media_section_rows_grouped(
+                fp.select("id", "decoded", "phash", "__src"), mh,
+                "media")
+            for s in sorted(secs):
+                rows += [(s, f"{sec}_{metric}", v)
+                         for sec, metric, v in secs[s]]
     finally:
         fp.unpersist()
     return rows
+
+
+def _media_section_rows_grouped(hs: DataFrame, mh: int,
+                                section: str) -> dict:
+    """Per-source media section rows in ONE keyed pass (r11): the
+    payload/decodable counts are one groupBy(source); the near-dup
+    cluster mass runs the shared banded funnel keyed by (source,
+    band) — cross-source pairs impossible by key construction, bucket
+    caps per source, so each source's numbers EQUAL the corpus card's
+    media section on that slice alone (the r10 slice-equality
+    contract, pinned) — followed by ONE star-CC over the merged
+    within-source pair graph. Returns {source: [(section, metric,
+    value), ...]} with the _media_section_rows metric order."""
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    from flink_descriptive_stats_spark.operators.dedup import \
+        connected_components_star
+    from flink_descriptive_stats_spark.operators.multimodal import \
+        hamming_neardup_pairs
+    agg = {r["__src"]: (int(r["n"]), int(r["d"])) for r in
+           hs.groupBy("__src").agg(
+               F.count(F.lit(1)).alias("n"),
+               F.count_if(F.col("decoded")).alias("d")).collect()}
+    mass: dict = {}
+    if any(d for _, d in agg.values()):
+        dec = hs.where(F.col("decoded")).select("id", "phash", "__src")
+        pairs = hamming_neardup_pairs(dec, max_hamming=mh,
+                                      group_col="__src")
+        labels = connected_components_star(
+            pairs.select(F.col("id_a").alias("u"),
+                         F.col("id_b").alias("v")),
+            dec.select("id"))
+        sizes = (labels.join(dec.select("id", "__src"), "id")
+                 .groupBy("__src", "cluster_id")
+                 .agg(F.count(F.lit(1)).alias("sz")))
+        mass = {r["__src"]: int(r["m"]) for r in
+                sizes.where(F.col("sz") >= 2).groupBy("__src")
+                .agg(F.sum("sz").alias("m")).collect()}
+    out = {}
+    for s, (n_pay, n_dec) in agg.items():
+        out[s] = [
+            (section, "n_payloads", str(n_pay)),
+            (section, "decodable_fraction",
+             sig6_py(n_dec / n_pay) if n_pay else None),
+            (section, "neardup_cluster_fraction",
+             sig6_py(mass.get(s, 0) / n_dec) if n_dec else None),
+        ]
+    return out
 
 
 def _url_by_source_rows(df: DataFrame, url_col: str, id_col: str,

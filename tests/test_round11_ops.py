@@ -173,3 +173,36 @@ def test_planted_fixture_nonvacuous_every_branch(spark):
                    & ~F.col("text").endswith(SPAN_FOOTER)).alias("n"),
     ).collect()[0]
     assert min(got["both"], got["h"], got["f"], got["n"]) > 0, got
+
+
+def test_grouped_hamming_funnel_equals_per_group_runs(spark):
+    """r11 (VERDICT ask #7): the (group, band)-keyed funnel returns
+    row-for-row the union of per-group funnels — cross-group pairs
+    impossible, bucket caps per group — while paying one job."""
+    from flink_descriptive_stats_spark.operators.multimodal import \
+        hamming_neardup_pairs
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        base = rng.getrandbits(64) - (1 << 63)
+        src = f"s{i % 3}"
+        rows.append((i * 2, base, src))
+        # a near-dup sibling IN THE SAME group (flip one low bit)
+        rows.append((i * 2 + 1, base ^ (1 << (i % 8)), src))
+    df = spark.createDataFrame(rows, "id bigint, phash bigint, "
+                                     "__src string")
+    merged = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+              hamming_neardup_pairs(df, max_hamming=6,
+                                    group_col="__src").collect()}
+    per_group = set()
+    for s in ("s0", "s1", "s2"):
+        per_group |= {(r["id_a"], r["id_b"], r["hamming"]) for r in
+                      hamming_neardup_pairs(
+                          df.where(F.col("__src") == s)
+                          .select("id", "phash"),
+                          max_hamming=6).collect()}
+    assert merged == per_group and merged
+    # sanity: no pair crosses groups
+    src_of = {r["id"]: r["__src"] for r in df.collect()}
+    assert all(src_of[a] == src_of[b] for a, b, _ in merged)

@@ -691,6 +691,35 @@ def main() -> None:
         "(sources^2) matrix. Document text never shuffles.",
         fmt(spark, DDP.source_overlap(docs))))
 
+    from flink_descriptive_stats_spark.operators import multimodal as MM
+    ph = docs.select(F.col("doc_id").alias("id"),
+                     F.xxhash64("text").alias("phash"),
+                     (F.col("doc_id") % 3).cast("string").alias("__src"))
+    sections.append((
+        "Grouped banded Hamming funnel (round 11)",
+        "hamming_neardup_pairs(group_col=...): ALL sources run in ONE\n"
+        "job — the band explode carries the group, the bucket cap and\n"
+        "the candidate equi-join key on (group, band, value), so\n"
+        "cross-group pairs are impossible by key construction and the\n"
+        "results are row-for-row the N per-group funnels without N\n"
+        "jobs. This is the by-source media triage's funnel shape\n"
+        "(the r10 per-source loop is gone).",
+        fmt(spark, MM.hamming_neardup_pairs(ph, group_col="__src"))))
+
+    sections.append((
+        "Cross-document repeated-span removal (round 11)",
+        "remove_repeated_spans: positional n-gram hashes explode from\n"
+        "the narrow word-array projection (codegen, no shuffle), the\n"
+        "document-frequency pass is distinct + ONE bounded groupBy on\n"
+        "the 8-byte hash, the repeated set joins back BY HASH (build\n"
+        "side has one row per repeated hash, so an everywhere-\n"
+        "boilerplate shingle causes no pair explosion), covered\n"
+        "positions aggregate per doc (bounded by doc length), and the\n"
+        "separator-preserving rewrite is per-row array math. Never\n"
+        "all-pairs; full text rides only the final id-keyed join.",
+        fmt(spark, DDP.remove_repeated_spans(docs, min_ngram=5,
+                                             min_df=25))))
+
     with open("EXPLAIN.md", "w") as f:
         f.write(
             '# Plan audit — `.explain("formatted")` of the flagship '
