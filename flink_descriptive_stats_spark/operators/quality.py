@@ -1084,7 +1084,10 @@ def dataset_card_by_source(df: DataFrame, text_col: str = "text",
     from flink_descriptive_stats_spark.operators.text import (lang_id,
                                                               pii_scan,
                                                               text_stats)
-    d = df.where(F.col(text_col).isNotNull())
+    # NULL-source rows belong to no slice (r11 — a None key crashed
+    # the deterministic sorts; same exclusion as the extras rows)
+    d = df.where(F.col(text_col).isNotNull()
+                 & F.col(source_col).isNotNull())
     base = d.select(F.col(id_col).alias("id"),
                     F.col(source_col).alias("source"),
                     F.md5(F.col(text_col)).alias("h"))
@@ -1136,7 +1139,9 @@ def _dataset_card_by_source_single_pass(df: DataFrame, text_col: str,
     from flink_descriptive_stats_spark.operators.text import (
         _lang_scores, _predicted_lang_expr, pii_exprs, text_stats_exprs)
     c = F.col(text_col)
-    per = (df.where(c.isNotNull())
+    # NULL-source rows belong to no slice (r11 — a None key crashed
+    # the deterministic sorts; same exclusion as the extras rows)
+    per = (df.where(c.isNotNull() & F.col(source_col).isNotNull())
            .select(F.md5(c).alias("__h"),
                    F.col(source_col).alias("__src"),
                    _predicted_lang_expr(_lang_scores(c)).alias("__lang"),

@@ -286,6 +286,81 @@ GROUP BY h.id
 """
 
 
+def _span_ctes(src: str, n: int, min_df: int) -> str:
+    """The remove_repeated_spans contract as a reusable CTE chain from
+    ``{src}(id, text)`` to ``spanfinal(id, text_clean, n_tokens,
+    n_tokens_removed, n_spans_removed)`` — shared by the standalone
+    gated query and the curate_corpus despan-stage composition. All
+    CTE names are sp_-prefixed to compose without collisions."""
+    th = H.duck_token_hash(
+        f"lower(array_to_string(list_slice(words, i, i + {n - 1}), ' '))")
+    return f"""sp_w2 AS (
+  SELECT id, text,
+         regexp_extract_all(text, '\\S+') AS words,
+         regexp_extract(text, '^\\s*') AS lead,
+         regexp_extract(text, '\\s*$') AS trail,
+         len(regexp_extract_all(text, '\\S+')) AS m,
+         list_slice(regexp_extract_all(text, '\\s+'),
+                    CASE WHEN regexp_extract(text, '^\\s*') <> ''
+                         THEN 2 ELSE 1 END,
+                    CASE WHEN regexp_extract(text, '^\\s*') <> ''
+                         THEN 2 ELSE 1 END
+                    + greatest(len(regexp_extract_all(text, '\\S+'))
+                               - 1, 0) - 1) AS core
+  FROM {src}),
+sp_ps AS (
+  SELECT id, i - 1 AS i, {th} % {P} AS sh
+  FROM (SELECT id, words,
+               unnest(generate_series(1, m - {n} + 1)) AS i
+        FROM sp_w2 WHERE m >= {n})),
+sp_rep AS (
+  SELECT sh FROM (SELECT DISTINCT sh, id FROM sp_ps)
+  GROUP BY sh HAVING count(*) >= {min_df}),
+sp_cov AS (
+  SELECT DISTINCT p.id, p.i + d.d AS j
+  FROM sp_ps p JOIN sp_rep USING (sh)
+  CROSS JOIN (SELECT unnest(generate_series(0, {n - 1})) AS d) d),
+sp_idx AS (SELECT id, unnest(generate_series(0, m - 1)) AS i
+           FROM sp_w2 WHERE m > 0),
+sp_kept AS (
+  SELECT sp_idx.id, sp_idx.i FROM sp_idx
+  LEFT JOIN sp_cov ON sp_cov.id = sp_idx.id AND sp_cov.j = sp_idx.i
+  WHERE sp_cov.id IS NULL),
+sp_ordered AS (
+  SELECT id, i, lag(i) OVER (PARTITION BY id ORDER BY i) AS pi
+  FROM sp_kept),
+sp_body AS (
+  SELECT o.id,
+         string_agg(CASE WHEN o.pi IS NULL THEN ''
+                         WHEN o.pi = o.i - 1 THEN w.core[o.i]
+                         ELSE ' ' END || w.words[o.i + 1],
+                    '' ORDER BY o.i) AS b
+  FROM sp_ordered o JOIN sp_w2 w ON w.id = o.id GROUP BY o.id),
+sp_st AS (
+  SELECT c.id, count(*) AS nrm,
+         count(*) FILTER (WHERE NOT EXISTS (
+           SELECT 1 FROM sp_cov c2
+           WHERE c2.id = c.id AND c2.j = c.j - 1)) AS nsp
+  FROM sp_cov c GROUP BY c.id),
+spanfinal AS (
+  SELECT w.id,
+       CASE WHEN sp_st.nrm IS NULL THEN w.text
+            ELSE CASE WHEN NOT EXISTS (SELECT 1 FROM sp_cov c
+                                       WHERE c.id = w.id AND c.j = 0)
+                      THEN w.lead ELSE '' END
+                 || coalesce(sp_body.b, '')
+                 || CASE WHEN NOT EXISTS (
+                           SELECT 1 FROM sp_cov c
+                           WHERE c.id = w.id AND c.j = w.m - 1)
+                         THEN w.trail ELSE '' END
+       END AS text_clean,
+       CAST(w.m AS BIGINT) AS n_tokens,
+       CAST(coalesce(sp_st.nrm, 0) AS BIGINT) AS n_tokens_removed,
+       CAST(coalesce(sp_st.nsp, 0) AS BIGINT) AS n_spans_removed
+  FROM sp_w2 w LEFT JOIN sp_st ON sp_st.id = w.id
+  LEFT JOIN sp_body ON sp_body.id = w.id)"""
+
+
 def remove_repeated_spans_sql(table: str = "documents",
                               min_ngram: int = 5,
                               min_df: int = 25) -> str:
@@ -299,83 +374,19 @@ def remove_repeated_spans_sql(table: str = "documents",
     the first/last word) replayed literally in SQL — the cleaned
     STRINGS themselves are hash-compared."""
     from flink_descriptive_stats_spark.operators import dedup as DD
-    n = int(min_ngram)
     hdr, ftr = DD.SPAN_HEADER, DD.SPAN_FOOTER
     hm, fm = DD.SPAN_HEADER_MOD, DD.SPAN_FOOTER_MOD
-    th = H.duck_token_hash(
-        f"lower(array_to_string(list_slice(words, i, i + {n - 1}), ' '))")
     return f"""
-WITH src AS (
+WITH sp_src AS (
   SELECT doc_id AS id,
          CASE WHEN doc_id % {hm} <> {hm - 1}
               THEN '{hdr} ' || text ELSE text END AS t0
   FROM {table} WHERE text IS NOT NULL),
-docs AS (
+sp_docs AS (
   SELECT id, CASE WHEN id % {fm} = 0 THEN t0 || '  {ftr}'
-                  ELSE t0 END AS text FROM src),
-w2 AS (
-  SELECT id, text,
-         regexp_extract_all(text, '\\S+') AS words,
-         regexp_extract(text, '^\\s*') AS lead,
-         regexp_extract(text, '\\s*$') AS trail,
-         len(regexp_extract_all(text, '\\S+')) AS m,
-         list_slice(regexp_extract_all(text, '\\s+'),
-                    CASE WHEN regexp_extract(text, '^\\s*') <> ''
-                         THEN 2 ELSE 1 END,
-                    CASE WHEN regexp_extract(text, '^\\s*') <> ''
-                         THEN 2 ELSE 1 END
-                    + greatest(len(regexp_extract_all(text, '\\S+'))
-                               - 1, 0) - 1) AS core
-  FROM docs),
-ps AS (
-  SELECT id, i - 1 AS i, {th} % {P} AS sh
-  FROM (SELECT id, words,
-               unnest(generate_series(1, m - {n} + 1)) AS i
-        FROM w2 WHERE m >= {n})),
-rep AS (
-  SELECT sh FROM (SELECT DISTINCT sh, id FROM ps)
-  GROUP BY sh HAVING count(*) >= {min_df}),
-cov AS (
-  SELECT DISTINCT p.id, p.i + d.d AS j
-  FROM ps p JOIN rep USING (sh)
-  CROSS JOIN (SELECT unnest(generate_series(0, {n - 1})) AS d) d),
-idx AS (SELECT id, unnest(generate_series(0, m - 1)) AS i
-        FROM w2 WHERE m > 0),
-kept AS (
-  SELECT idx.id, idx.i FROM idx
-  LEFT JOIN cov ON cov.id = idx.id AND cov.j = idx.i
-  WHERE cov.id IS NULL),
-ordered AS (
-  SELECT id, i, lag(i) OVER (PARTITION BY id ORDER BY i) AS pi
-  FROM kept),
-body AS (
-  SELECT o.id,
-         string_agg(CASE WHEN o.pi IS NULL THEN ''
-                         WHEN o.pi = o.i - 1 THEN w2.core[o.i]
-                         ELSE ' ' END || w2.words[o.i + 1],
-                    '' ORDER BY o.i) AS b
-  FROM ordered o JOIN w2 ON w2.id = o.id GROUP BY o.id),
-st AS (
-  SELECT c.id, count(*) AS nrm,
-         count(*) FILTER (WHERE NOT EXISTS (
-           SELECT 1 FROM cov c2
-           WHERE c2.id = c.id AND c2.j = c.j - 1)) AS nsp
-  FROM cov c GROUP BY c.id)
-SELECT CAST(w2.id AS BIGINT) AS id,
-       CASE WHEN st.nrm IS NULL THEN w2.text
-            ELSE CASE WHEN NOT EXISTS (SELECT 1 FROM cov c
-                                       WHERE c.id = w2.id AND c.j = 0)
-                      THEN w2.lead ELSE '' END
-                 || coalesce(body.b, '')
-                 || CASE WHEN NOT EXISTS (
-                           SELECT 1 FROM cov c
-                           WHERE c.id = w2.id AND c.j = w2.m - 1)
-                         THEN w2.trail ELSE '' END
-       END AS text_clean,
-       CAST(w2.m AS BIGINT) AS n_tokens,
-       CAST(coalesce(st.nrm, 0) AS BIGINT) AS n_tokens_removed,
-       CAST(coalesce(st.nsp, 0) AS BIGINT) AS n_spans_removed
-FROM w2 LEFT JOIN st ON st.id = w2.id LEFT JOIN body ON body.id = w2.id
+                  ELSE t0 END AS text FROM sp_src),
+{_span_ctes("sp_docs", int(min_ngram), int(min_df))}
+SELECT * FROM spanfinal
 """
 
 

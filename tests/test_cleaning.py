@@ -4,6 +4,7 @@ the Spark<->DuckDB parity sweep. All non-ASCII test data is written as
 \\uXXXX escapes so every code point is reviewable."""
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 
