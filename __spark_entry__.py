@@ -531,6 +531,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.remove_repeated_spans(planted, min_ngram=5,
                                            min_df=25)
     q["remove_spans_documents"] = _remove_spans
+
+    # the triage view before removal: the boilerplate STRINGS ranked
+    # by document frequency (deterministic ties), same fixture
+    def _boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        planted = docs.select(
+            "doc_id",
+            dedup.synth_span_expr("text", "doc_id").alias("text"))
+        return dedup.boilerplate_ngrams(planted, min_ngram=5,
+                                        min_df=25, k=20)
+    q["boilerplate_ngrams_documents"] = _boilerplate
     q["dup_rate_by_source_documents"] = _tq(dedup.dup_rate_by_source,
                                             "documents")
     # bucket_docs=2: the synthetic 31-word vocabulary saturates by doc 8,
@@ -748,6 +760,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              docs.where(F.col("doc_id") % 10 == 0),
                              url_col="url", max_per_domain=10)
     q["curate_corpus_url_documents"] = _curate_url
+
+    # span-aware curation (r11): the despan stage wired into the
+    # five-stage chain — boilerplate planted via synth_span_expr so the
+    # stage is non-vacuous (despanned text changes the quality filter's
+    # and the strata cap's inputs); the oracle replays the WHOLE chain
+    # incl. the sp_ CTE contract after the decontamination stage
+    def _curate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators.quality import \
+            curate_corpus
+        docs = _load(spark, sf_dir, "documents").withColumn(
+            "text", dedup.synth_span_expr("text", "doc_id"))
+        return curate_corpus(docs.where(F.col("doc_id") % 10 != 0),
+                             docs.where(F.col("doc_id") % 10 == 0),
+                             despan_min_df=25)
+    q["curate_corpus_spans_documents"] = _curate_spans
 
     # mixed-language segmentation (r10): per-chunk lang votes rolled
     # up per doc; the id%4 German-stopword tail makes the mixed path
@@ -1988,6 +2015,7 @@ def oracle_sql() -> dict[str, str]:
     o["domain_cap_documents"] = op.domain_cap_sql(max_per_domain=40)
     o["url_decontaminate_documents"] = op.url_decontaminate_sql()
     o["curate_corpus_url_documents"] = op.curate_corpus_url_sql()
+    o["curate_corpus_spans_documents"] = op.curate_corpus_spans_sql()
     o["domain_block_documents"] = op.domain_block_sql()
     o["lang_segments_documents"] = op.lang_segments_sql(
         max_tokens=16, mix_tail_mod=4)
@@ -2125,6 +2153,7 @@ def oracle_sql() -> dict[str, str]:
         op.dataset_card_by_source_sql()
     o["temporal_split_events"] = op.temporal_split_sql()
     o["remove_spans_documents"] = op.remove_repeated_spans_sql()
+    o["boilerplate_ngrams_documents"] = op.boilerplate_ngrams_sql()
     o["paragraph_dedup_documents"] = (
         "WITH t AS (SELECT doc_id AS id, "
         "regexp_extract_all(lower(text), '\\w+') AS toks FROM documents "

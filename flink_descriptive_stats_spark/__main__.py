@@ -345,6 +345,11 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--clean", action="store_true",
                     help="repair invisible unicode damage FIRST so "
                          "dedup/decontamination/quality see clean text")
+    cu.add_argument("--despan-min-df", type=int, default=None,
+                    metavar="DF",
+                    help="strip cross-document repeated spans (df >= "
+                         "DF boilerplate) after decontamination, "
+                         "before the quality filter")
     _add_common(cu)
 
     ky = sub.add_parser("keys",
@@ -484,6 +489,10 @@ def build_parser() -> argparse.ArgumentParser:
     rs.add_argument("--min-df", type=int, default=5,
                     help="an n-gram is boilerplate when >= this many "
                          "DISTINCT docs contain it")
+    rs.add_argument("--report-top", type=int, default=None,
+                    metavar="K",
+                    help="emit the top-K repeated n-grams AS STRINGS "
+                         "(the triage view) instead of rewriting")
     _add_common(rs)
 
     ri = sub.add_parser("refint",
@@ -1255,7 +1264,8 @@ def main(argv: list[str] | None = None) -> int:
                             strata_col=args.strata_col, cap=args.cap,
                             url_col=args.url_col,
                             max_per_domain=args.max_per_domain,
-                            clean=args.clean),
+                            clean=args.clean,
+                            despan_min_df=args.despan_min_df),
               args.output)
         return 0
 
@@ -1352,14 +1362,21 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "remove-spans":
-        from flink_descriptive_stats_spark.operators.dedup import \
-            remove_repeated_spans
+        from flink_descriptive_stats_spark.operators.dedup import (
+            boilerplate_ngrams, remove_repeated_spans)
         df = _load(spark, args.input, args.format)
-        _emit(remove_repeated_spans(df, text_col=args.text_col,
-                                    id_col=args.id_col,
-                                    min_ngram=args.min_ngram,
-                                    min_df=args.min_df),
-              args.output)
+        if args.report_top is not None:
+            out = boilerplate_ngrams(df, text_col=args.text_col,
+                                     id_col=args.id_col,
+                                     min_ngram=args.min_ngram,
+                                     min_df=args.min_df,
+                                     k=args.report_top)
+        else:
+            out = remove_repeated_spans(df, text_col=args.text_col,
+                                        id_col=args.id_col,
+                                        min_ngram=args.min_ngram,
+                                        min_df=args.min_df)
+        _emit(out, args.output)
         return 0
 
     if args.cmd == "fk":

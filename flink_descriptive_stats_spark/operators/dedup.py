@@ -1574,3 +1574,44 @@ def synth_span_expr(text_col: str, id_col: str) -> F.Column:
     return (F.when(i % SPAN_FOOTER_MOD == 0,
                    F.concat(t0, F.lit("  " + SPAN_FOOTER)))
             .otherwise(t0))
+
+
+def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", min_ngram: int = 5,
+                       min_df: int = 5, k: int = 20) -> DataFrame:
+    """The triage view BEFORE remove_repeated_spans: the top-``k``
+    cross-document repeated word n-grams as STRINGS — (ngram, df_docs)
+    ordered by document frequency — so an operator can read the actual
+    boilerplate ("subscribe to our newsletter...") and choose min_df
+    before committing a 100 TB rewrite. Same word/casing contract as
+    remove_repeated_spans (whitespace-delimited words, lowercased
+    n-gram identity); deterministic ties (df desc, then ngram asc).
+
+    Scale: distinct (id, ngram) then ONE bounded groupBy(ngram) with
+    HAVING df >= min_df — the n-gram strings ride the shuffle (the
+    report must SHOW them; the removal operator itself stays on 8-byte
+    hashes), the same string-keyed shape as topk_tokens; the output is
+    a k-row frame."""
+    if min_ngram < 2:
+        raise ValueError(f"min_ngram must be >= 2, got {min_ngram}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    n = int(min_ngram)
+    t = F.col(text_col)
+    base = (df.where(t.isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.regexp_extract_all(t, F.lit(r"\S+"), 0)
+                    .alias("__w")))
+    m = F.size("__w")
+    idx = F.explode(F.sequence(F.lit(0), m - n))
+    gram = F.lower(F.concat_ws(
+        " ", *[F.element_at("__w", F.col("__i") + j + 1)
+               for j in range(n)]))
+    return (base.where(m >= n)
+            .select("id", idx.alias("__i"), "__w")
+            .select("id", gram.alias("ngram")).distinct()
+            .groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("df_docs"))
+            .where(F.col("df_docs") >= min_df)
+            .orderBy(F.col("df_docs").desc(), F.col("ngram"))
+            .limit(k))

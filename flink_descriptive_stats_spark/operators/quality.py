@@ -1187,7 +1187,9 @@ def curate_corpus(df: DataFrame, holdout: DataFrame,
                   min_score: float = 0.5, strata_col: str = "lang",
                   cap: int = 10, url_col: str | None = None,
                   max_per_domain: int | None = None,
-                  clean: bool = False) -> DataFrame:
+                  clean: bool = False,
+                  despan_min_df: int | None = None,
+                  despan_min_ngram: int = 5) -> DataFrame:
     """The end-to-end curation pipeline as ONE dataflow — what a user of
     this engine actually runs per corpus drop:
 
@@ -1204,6 +1206,14 @@ def curate_corpus(df: DataFrame, holdout: DataFrame,
        the eval holdout; when ``url_col`` names a column present in
        BOTH frames, decontaminate_by_url runs as well (r10 — content
        AND metadata matching, each an anti-join);
+    2b. (r11, optional) despan: when ``despan_min_df`` is given, strip
+       cross-document repeated spans (dedup.remove_repeated_spans —
+       boilerplate headers/footers) AFTER decontamination (content
+       matching stays verbatim against the holdout) and BEFORE the
+       quality filter (scores judge the despanned text — a doc that
+       is all boilerplate scores as the empty-ish doc it really is);
+       document frequency is counted on the deduped, decontaminated
+       train corpus;
     3. quality_filter: drop documents below the composite quality score;
     4. (r10, optional) cap_domains: at most ``max_per_domain`` docs per
        registrable domain when ``url_col`` and ``max_per_domain`` are
@@ -1237,6 +1247,19 @@ def curate_corpus(df: DataFrame, holdout: DataFrame,
         from flink_descriptive_stats_spark.operators.urls import \
             decontaminate_by_url
         dec = decontaminate_by_url(dec, holdout, url_col=url_col)
+    if despan_min_df is not None:
+        from flink_descriptive_stats_spark.operators.dedup import \
+            remove_repeated_spans
+        sp = remove_repeated_spans(dec, text_col=text_col,
+                                   id_col=id_col,
+                                   min_ngram=despan_min_ngram,
+                                   min_df=despan_min_df)
+        dec = (dec.join(sp.select(F.col("id").alias(id_col),
+                                  "text_clean"),
+                        id_col, "left")
+               .withColumn(text_col, F.coalesce("text_clean",
+                                                F.col(text_col)))
+               .drop("text_clean"))
     qf = quality_filter(dec, text_col=text_col, id_col=id_col,
                         min_score=min_score)
     if url_col is not None and url_col in df.columns \

@@ -390,6 +390,39 @@ SELECT * FROM spanfinal
 """
 
 
+def boilerplate_ngrams_sql(table: str = "documents",
+                           min_ngram: int = 5, min_df: int = 25,
+                           k: int = 20) -> str:
+    """dedup.boilerplate_ngrams mirrored on the span fixture: the
+    top-k repeated n-grams AS STRINGS by distinct-doc frequency,
+    deterministic ties (df desc, ngram asc)."""
+    from flink_descriptive_stats_spark.operators import dedup as DD
+    n = int(min_ngram)
+    hdr, ftr = DD.SPAN_HEADER, DD.SPAN_FOOTER
+    hm, fm = DD.SPAN_HEADER_MOD, DD.SPAN_FOOTER_MOD
+    return f"""
+WITH sp_src AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % {hm} <> {hm - 1}
+              THEN '{hdr} ' || text ELSE text END AS t0
+  FROM {table} WHERE text IS NOT NULL),
+sp_docs AS (
+  SELECT id, CASE WHEN id % {fm} = 0 THEN t0 || '  {ftr}'
+                  ELSE t0 END AS text FROM sp_src),
+w AS (SELECT id, regexp_extract_all(text, '\\S+') AS words,
+             len(regexp_extract_all(text, '\\S+')) AS m
+      FROM sp_docs),
+g AS (SELECT DISTINCT id,
+        lower(array_to_string(list_slice(words, i, i + {n - 1}), ' '))
+          AS ngram
+      FROM (SELECT id, words,
+                   unnest(generate_series(1, m - {n} + 1)) AS i
+            FROM w WHERE m >= {n}))
+SELECT ngram, CAST(count(*) AS BIGINT) AS df_docs
+FROM g GROUP BY ngram HAVING count(*) >= {min_df}
+ORDER BY df_docs DESC, ngram LIMIT {k}"""
+
+
 def duplicated_ngram_fraction_sql(table: str = "documents") -> str:
     """Mirror of dedup.duplicated_ngram_fraction."""
     return f"""
@@ -2957,6 +2990,50 @@ dec AS (SELECT kb.* FROM kb WHERE NOT EXISTS (
             AND h.text IS NOT NULL AND md5(h.text) = md5(kb.text))),
 qf AS (SELECT d.* FROM dec d WHERE d.doc_id IN
          (SELECT id FROM ({text_stats_sql('dec')})
+          WHERE CAST(quality_score AS DOUBLE) >= {min_score}))
+SELECT * FROM qf QUALIFY row_number() OVER (PARTITION BY lang
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= {cap}"""
+
+
+def curate_corpus_spans_sql(table: str = "documents",
+                            holdout_pred: str = "doc_id % 10 = 0",
+                            min_score: float = 0.5, cap: int = 10,
+                            min_ngram: int = 5,
+                            min_df: int = 25) -> str:
+    """Mirror of the r11 span-aware quality.curate_corpus: the
+    boilerplate fixture planted on the BASE frame (both the train and
+    holdout splits see it, keeping decontamination symmetric), then
+    keep-best canonical dedup, exact decontamination, the despan stage
+    (the sp_ CTE chain — remove_repeated_spans' full contract — run on
+    the deduped, decontaminated train corpus, text REPLACEd in place),
+    the quality filter over the DESPANNED text, and the strata cap —
+    stage order replayed literally."""
+    from flink_descriptive_stats_spark.operators import dedup as DD
+    hdr, ftr = DD.SPAN_HEADER, DD.SPAN_FOOTER
+    hm, fm = DD.SPAN_HEADER_MOD, DD.SPAN_FOOTER_MOD
+    hp = holdout_pred.replace("doc_id", "h.doc_id")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {fm} = 0 THEN t0 || '  {ftr}'
+              ELSE t0 END AS text, lang, source, n_chars
+  FROM (SELECT *, CASE WHEN doc_id % {hm} <> {hm - 1}
+                       THEN '{hdr} ' || text ELSE text END AS t0
+        FROM {table})),
+train AS (SELECT * FROM base WHERE NOT ({holdout_pred})),
+kb AS (SELECT * FROM train WHERE text IS NOT NULL
+       QUALIFY row_number() OVER (PARTITION BY {_CANON}
+         ORDER BY length(text) DESC, doc_id ASC) = 1),
+dec AS (SELECT kb.* FROM kb WHERE NOT EXISTS (
+          SELECT 1 FROM base h
+          WHERE ({hp}) AND h.text IS NOT NULL
+            AND md5(h.text) = md5(kb.text))),
+sp_docsrc AS (SELECT doc_id AS id, text FROM dec),
+{_span_ctes("sp_docsrc", int(min_ngram), int(min_df))},
+desp AS (SELECT dec.* REPLACE (s.text_clean AS text)
+         FROM dec JOIN spanfinal s ON s.id = dec.doc_id),
+qf AS (SELECT d.* FROM desp d WHERE d.doc_id IN
+         (SELECT id FROM ({text_stats_sql('desp')})
           WHERE CAST(quality_score AS DOUBLE) >= {min_score}))
 SELECT * FROM qf QUALIFY row_number() OVER (PARTITION BY lang
   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= {cap}"""

@@ -206,3 +206,51 @@ def test_grouped_hamming_funnel_equals_per_group_runs(spark):
     # sanity: no pair crosses groups
     src_of = {r["id"]: r["__src"] for r in df.collect()}
     assert all(src_of[a] == src_of[b] for a, b, _ in merged)
+
+
+def test_boilerplate_ngrams_report(spark):
+    """The triage view shows the actual boilerplate strings ranked by
+    document frequency with deterministic ties; within-doc repetition
+    counts once per doc."""
+    from flink_descriptive_stats_spark.operators.dedup import \
+        boilerplate_ngrams
+    rows = [(i, HDR + f" unique tail {i} x-{i * 3} y-{i * 7} z-{i * 11}")
+            for i in range(6)]
+    rows.append((99, (HDR + " ") * 3 + "self repeater"))  # 1 doc, 3x
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = boilerplate_ngrams(df, min_ngram=5, min_df=4, k=10).collect()
+    grams = {r["ngram"]: r["df_docs"] for r in out}
+    assert "subscribe to our newsletter for" in grams
+    assert grams["subscribe to our newsletter for"] == 7  # 99 once
+    # ordering: df desc then ngram asc
+    seq = [(r["df_docs"], r["ngram"]) for r in out]
+    assert seq == sorted(seq, key=lambda t: (-t[0], t[1]))
+    with pytest.raises(ValueError):
+        boilerplate_ngrams(df, min_df=1)
+
+
+def test_curate_corpus_despan_stage_nonvacuous(spark):
+    """curate_corpus(despan_min_df=...) rewrites text through span
+    removal between decontamination and the quality filter: the
+    planted boilerplate is GONE from every selected doc, and the
+    selection itself differs from the plain pipeline (the stage feeds
+    the quality filter different text)."""
+    from flink_descriptive_stats_spark.operators.dedup import (
+        SPAN_FOOTER, SPAN_HEADER, synth_span_expr)
+    from flink_descriptive_stats_spark.operators.quality import \
+        curate_corpus
+    from flink_descriptive_stats_spark.sources.tables import load_table
+    docs = (load_table(spark, SF_DIR, "documents")
+            .withColumn("text", synth_span_expr("text", "doc_id")))
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    hold = docs.where(F.col("doc_id") % 10 == 0)
+    plain = curate_corpus(train, hold)
+    sp = curate_corpus(train, hold, despan_min_df=25)
+    assert sp.columns == plain.columns
+    assert sp.where(F.col("text").contains(SPAN_HEADER)).count() == 0
+    assert sp.where(F.col("text").contains(SPAN_FOOTER)).count() == 0
+    # the plain pipeline keeps the boilerplate — the stage is live
+    assert plain.where(F.col("text").contains(SPAN_HEADER)).count() > 0
+    plain_txt = {r["doc_id"]: r["text"] for r in plain.collect()}
+    sp_txt = {r["doc_id"]: r["text"] for r in sp.collect()}
+    assert sp_txt != plain_txt
