@@ -543,6 +543,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.boilerplate_ngrams(planted, min_ngram=5,
                                         min_df=25, k=20)
     q["boilerplate_ngrams_documents"] = _boilerplate
+
+    def _span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        planted = docs.select(
+            "doc_id",
+            dedup.synth_span_expr("text", "doc_id").alias("text"))
+        return dedup.span_removal_stats(planted, min_ngram=5,
+                                        min_df=25)
+    q["span_removal_stats_documents"] = _span_stats
     q["dup_rate_by_source_documents"] = _tq(dedup.dup_rate_by_source,
                                             "documents")
     # bucket_docs=2: the synthetic 31-word vocabulary saturates by doc 8,
@@ -2154,6 +2164,7 @@ def oracle_sql() -> dict[str, str]:
     o["temporal_split_events"] = op.temporal_split_sql()
     o["remove_spans_documents"] = op.remove_repeated_spans_sql()
     o["boilerplate_ngrams_documents"] = op.boilerplate_ngrams_sql()
+    o["span_removal_stats_documents"] = op.span_removal_stats_sql()
     o["paragraph_dedup_documents"] = (
         "WITH t AS (SELECT doc_id AS id, "
         "regexp_extract_all(lower(text), '\\w+') AS toks FROM documents "

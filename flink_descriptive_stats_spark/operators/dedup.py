@@ -1615,3 +1615,35 @@ def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
             .where(F.col("df_docs") >= min_df)
             .orderBy(F.col("df_docs").desc(), F.col("ngram"))
             .limit(k))
+
+
+def span_removal_stats(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", min_ngram: int = 5,
+                       min_df: int = 5) -> DataFrame:
+    """The corpus-level effect view of remove_repeated_spans — ONE row
+    (n_docs, n_docs_affected, affected_doc_fraction, n_tokens,
+    n_tokens_removed, removed_token_fraction, n_spans_removed): what a
+    despan stage would do to this corpus, as a bounded aggregate you
+    can read before (or monitor after) committing the rewrite. sig6
+    fractions; counts raw."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    out = remove_repeated_spans(df, text_col=text_col, id_col=id_col,
+                                min_ngram=min_ngram, min_df=min_df)
+    nd, rm = F.col("n_docs"), F.col("rm")
+    tok = F.col("tok")
+    return (out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("n_tokens_removed") > 0).alias("aff"),
+        F.sum("n_tokens").alias("tok"),
+        F.sum("n_tokens_removed").alias("rm"),
+        F.sum("n_spans_removed").alias("sp"))
+        .select(
+            nd.alias("n_docs"),
+            F.col("aff").alias("n_docs_affected"),
+            sig6(F.col("aff").cast("double")
+                 / nd.cast("double")).alias("affected_doc_fraction"),
+            tok.alias("n_tokens"),
+            rm.alias("n_tokens_removed"),
+            sig6(rm.cast("double")
+                 / tok.cast("double")).alias("removed_token_fraction"),
+            F.col("sp").alias("n_spans_removed")))

@@ -423,6 +423,46 @@ FROM g GROUP BY ngram HAVING count(*) >= {min_df}
 ORDER BY df_docs DESC, ngram LIMIT {k}"""
 
 
+def span_removal_stats_sql(table: str = "documents",
+                           min_ngram: int = 5,
+                           min_df: int = 25) -> str:
+    """dedup.span_removal_stats mirrored: one aggregate row over the
+    spanfinal chain on the shared boilerplate fixture (aggregates in
+    their own CTE because duck_sig6's mantissa subquery cannot wrap a
+    raw aggregate)."""
+    from flink_descriptive_stats_spark.operators import dedup as DD
+    hdr, ftr = DD.SPAN_HEADER, DD.SPAN_FOOTER
+    hm, fm = DD.SPAN_HEADER_MOD, DD.SPAN_FOOTER_MOD
+    return f"""
+WITH sp_src AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % {hm} <> {hm - 1}
+              THEN '{hdr} ' || text ELSE text END AS t0
+  FROM {table} WHERE text IS NOT NULL),
+sp_docs AS (
+  SELECT id, CASE WHEN id % {fm} = 0 THEN t0 || '  {ftr}'
+                  ELSE t0 END AS text FROM sp_src),
+{_span_ctes("sp_docs", int(min_ngram), int(min_df))},
+agg AS (
+  SELECT count(*) AS nd,
+         count(*) FILTER (WHERE n_tokens_removed > 0) AS aff,
+         sum(n_tokens) AS tok,
+         sum(n_tokens_removed) AS rm,
+         sum(n_spans_removed) AS sp
+  FROM spanfinal)
+SELECT CAST(nd AS BIGINT) AS n_docs,
+       CAST(aff AS BIGINT) AS n_docs_affected,
+       {duck_sig6("CAST(aff AS DOUBLE) / CAST(nd AS DOUBLE)")}
+         AS affected_doc_fraction,
+       CAST(tok AS BIGINT) AS n_tokens,
+       CAST(rm AS BIGINT) AS n_tokens_removed,
+       {duck_sig6("CAST(rm AS DOUBLE) / CAST(tok AS DOUBLE)")}
+         AS removed_token_fraction,
+       CAST(sp AS BIGINT) AS n_spans_removed
+FROM agg
+"""
+
+
 def duplicated_ngram_fraction_sql(table: str = "documents") -> str:
     """Mirror of dedup.duplicated_ngram_fraction."""
     return f"""

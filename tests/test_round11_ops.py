@@ -254,3 +254,20 @@ def test_curate_corpus_despan_stage_nonvacuous(spark):
     plain_txt = {r["doc_id"]: r["text"] for r in plain.collect()}
     sp_txt = {r["doc_id"]: r["text"] for r in sp.collect()}
     assert sp_txt != plain_txt
+
+
+def test_span_removal_stats_consistent_with_rewrite(spark):
+    """The aggregate planning view equals aggregates of the rewrite's
+    own per-doc output."""
+    from flink_descriptive_stats_spark.operators.dedup import (
+        remove_repeated_spans, span_removal_stats)
+    df = _planted(spark, footer=True)
+    [st] = span_removal_stats(df, min_ngram=5, min_df=4).collect()
+    per = remove_repeated_spans(df, min_ngram=5, min_df=4).collect()
+    assert st["n_docs"] == len(per)
+    assert st["n_docs_affected"] == sum(
+        1 for r in per if r["n_tokens_removed"] > 0)
+    assert st["n_tokens_removed"] == sum(
+        r["n_tokens_removed"] for r in per)
+    assert st["n_spans_removed"] == sum(
+        r["n_spans_removed"] for r in per)
