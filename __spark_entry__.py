@@ -553,6 +553,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.span_removal_stats(planted, min_ngram=5,
                                         min_df=25)
     q["span_removal_stats_documents"] = _span_stats
+
+    # the frozen-list applier (r11): the map-only second half of the
+    # 100 TB recipe — mine on a sample, freeze, apply at scan speed;
+    # the list here is the two planted phrases, so the gate proves the
+    # list path removes EXACTLY the listed spans (unlike the mined
+    # sibling, which also removes natural corpus boilerplate)
+    def _listed_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        planted = docs.select(
+            "doc_id",
+            dedup.synth_span_expr("text", "doc_id").alias("text"))
+        return dedup.remove_listed_spans(
+            planted, [dedup.SPAN_HEADER, dedup.SPAN_FOOTER])
+    q["remove_listed_spans_documents"] = _listed_spans
     q["dup_rate_by_source_documents"] = _tq(dedup.dup_rate_by_source,
                                             "documents")
     # bucket_docs=2: the synthetic 31-word vocabulary saturates by doc 8,
@@ -1353,6 +1368,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("o_orderkey") % 2 == 0),
             fk="l_orderkey", pk="o_orderkey")
     q["refint_lineitem_orders"] = _refint
+
+    # composite-key refint (r11): the row-mass scorer on the same
+    # linepairs/fact fixture as fk_discover_composite, with doc%17
+    # NULLed linenumbers so every counter (null_fk incl.) is
+    # non-vacuous; distinct_orphan_keys counts component COMBINATIONS
+    def _refint_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = _load(spark, sf_dir, "lineitem")
+        linepairs = (li.select(
+            F.col("l_orderkey").alias("p_orderkey"),
+            F.col("l_linenumber").alias("p_linenumber")).distinct())
+        fact = li.select(
+            F.col("l_orderkey").alias("f_orderkey"),
+            F.when(F.col("l_orderkey") % 17 == 0,
+                   F.lit(None).cast("int"))
+            .when(F.col("l_orderkey") % 13 == 0,
+                  F.lit(8) - F.col("l_linenumber"))
+            .otherwise(F.col("l_linenumber")).alias("f_linenumber"))
+        return extras.referential_integrity(
+            fact, linepairs, fk=("f_orderkey", "f_linenumber"),
+            pk=("p_orderkey", "p_linenumber"))
+    q["refint_composite_lineitem"] = _refint_composite
     # l_partkey (bigint): the fixture renders l_extendedprice as DOUBLE,
     # which benford_digits rejects by design (engine-specific rendering)
     q["benford_lineitem_partkey"] = _tq(
@@ -2165,6 +2201,7 @@ def oracle_sql() -> dict[str, str]:
     o["remove_spans_documents"] = op.remove_repeated_spans_sql()
     o["boilerplate_ngrams_documents"] = op.boilerplate_ngrams_sql()
     o["span_removal_stats_documents"] = op.span_removal_stats_sql()
+    o["remove_listed_spans_documents"] = op.remove_listed_spans_sql()
     o["paragraph_dedup_documents"] = (
         "WITH t AS (SELECT doc_id AS id, "
         "regexp_extract_all(lower(text), '\\w+') AS toks FROM documents "
@@ -2250,6 +2287,8 @@ def oracle_sql() -> dict[str, str]:
     o["column_entropy_events"] = op.column_entropy_sql(
         "events", ["event_id", "ts", "user_id", "event_type", "value",
                    "props"])
+    o["refint_composite_lineitem"] = \
+        op.referential_integrity_composite_sql()
     o["refint_lineitem_orders"] = op.referential_integrity_sql(
         "lineitem",
         "SELECT * FROM orders WHERE o_orderkey % 2 = 0",

@@ -493,6 +493,11 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar="K",
                     help="emit the top-K repeated n-grams AS STRINGS "
                          "(the triage view) instead of rewriting")
+    rs.add_argument("--phrase", action="append", default=None,
+                    metavar="P",
+                    help="apply a FROZEN boilerplate phrase instead of "
+                         "mining (repeatable; map-only, streams): the "
+                         "mine-on-sample-then-apply-everywhere recipe")
     _add_common(rs)
 
     ri = sub.add_parser("refint",
@@ -1338,7 +1343,11 @@ def main(argv: list[str] | None = None) -> int:
         from flink_descriptive_stats_spark.operators import extras
         fact = _load(spark, args.fact, args.format)
         dim = _load(spark, args.dim, args.format)
-        _emit(extras.referential_integrity(fact, dim, args.fk, args.pk),
+        def _rk(spec):
+            cols = tuple(c for c in spec.split(",") if c)
+            return cols[0] if len(cols) == 1 else cols
+        _emit(extras.referential_integrity(fact, dim, _rk(args.fk),
+                                           _rk(args.pk)),
               args.output)
         return 0
 
@@ -1365,12 +1374,22 @@ def main(argv: list[str] | None = None) -> int:
         from flink_descriptive_stats_spark.operators.dedup import (
             boilerplate_ngrams, remove_repeated_spans)
         df = _load(spark, args.input, args.format)
+        if args.report_top is not None and args.phrase:
+            print("error: --report-top and --phrase are exclusive "
+                  "modes; pick one", file=sys.stderr)
+            return 2
         if args.report_top is not None:
             out = boilerplate_ngrams(df, text_col=args.text_col,
                                      id_col=args.id_col,
                                      min_ngram=args.min_ngram,
                                      min_df=args.min_df,
                                      k=args.report_top)
+        elif args.phrase:
+            from flink_descriptive_stats_spark.operators.dedup import \
+                remove_listed_spans
+            out = remove_listed_spans(df, args.phrase,
+                                      text_col=args.text_col,
+                                      id_col=args.id_col)
         else:
             out = remove_repeated_spans(df, text_col=args.text_col,
                                         id_col=args.id_col,

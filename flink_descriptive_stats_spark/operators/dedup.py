@@ -1418,6 +1418,29 @@ def source_overlap_fuzzy(df: DataFrame, content_col: str = "text",
 # doc- and paragraph-level dedup both miss: boilerplate headers/footers)
 # --------------------------------------------------------------------------
 
+def _span_base(df: DataFrame, text_col: str,
+               id_col: str) -> DataFrame:
+    """The shared narrow word/separator projection of the span family:
+    (id, __text, __w words, __lead, __trail, __core internal
+    separators) — one codegen Project over the scan."""
+    t = F.col(text_col)
+    base = (df.where(t.isNotNull())
+            .select(F.col(id_col).alias("id"), t.alias("__text"),
+                    F.regexp_extract_all(t, F.lit(r"\S+"), 0)
+                    .alias("__w"),
+                    F.regexp_extract(t, r"^\s*", 0).alias("__lead"),
+                    F.regexp_extract(t, r"\s*$", 0).alias("__trail"),
+                    F.regexp_extract_all(t, F.lit(r"\s+"), 0)
+                    .alias("__seps")))
+    m = F.size("__w")
+    # the m-1 INTERNAL separators: drop the leading/trailing runs
+    core = F.slice(F.col("__seps"),
+                   F.when(F.col("__lead") != "", F.lit(2))
+                   .otherwise(F.lit(1)),
+                   F.greatest(m - 1, F.lit(0)))
+    return base.withColumn("__core", core).drop("__seps")
+
+
 def remove_repeated_spans(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", min_ngram: int = 5,
                           min_df: int = 5) -> DataFrame:
@@ -1468,25 +1491,11 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2, got {min_df}")
     n = int(min_ngram)
-    t = F.col(text_col)
-    base = (df.where(t.isNotNull())
-            .select(F.col(id_col).alias("id"), t.alias("__text"),
-                    F.regexp_extract_all(t, F.lit(r"\S+"), 0)
-                    .alias("__w"),
-                    F.regexp_extract(t, r"^\s*", 0).alias("__lead"),
-                    F.regexp_extract(t, r"\s*$", 0).alias("__trail"),
-                    F.regexp_extract_all(t, F.lit(r"\s+"), 0)
-                    .alias("__seps")))
-    m = F.size("__w")
-    # the m-1 INTERNAL separators: drop the leading/trailing runs
-    core = F.slice(F.col("__seps"),
-                   F.when(F.col("__lead") != "", F.lit(2))
-                   .otherwise(F.lit(1)),
-                   F.greatest(m - 1, F.lit(0)))
     # no checkpoint: base is a narrow projection over the scan; the two
     # consumers (n-gram branch, rewrite branch) each re-scan, which is
     # cheaper at scale than materializing full text
-    base = base.withColumn("__core", core)
+    base = _span_base(df, text_col, id_col)
+    m = F.size("__w")
     # positional n-gram hashes: explode a start-index sequence and
     # element_at into the word array — the shingle_hashes_long codegen
     # shape, positions kept
@@ -1510,6 +1519,16 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
                .groupBy("id")
                .agg(F.array_sort(F.collect_set("__j")).alias("__cov")))
     j = base.join(covered, "id", "left")
+    return _span_rewrite_select(j)
+
+
+def _span_rewrite_select(j: DataFrame) -> DataFrame:
+    """The separator-preserving rewrite shared by remove_repeated_spans
+    (corpus-mined coverage) and remove_listed_spans (frozen-list
+    coverage): ``j`` carries (id, __text, __w, __lead, __trail,
+    __core, __cov nullable sorted int array) — ONE expression bundle,
+    so the two operators' rewrite semantics cannot drift."""
+    m = F.size("__w")
     cov = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
     kept = F.filter(
         F.transform("__w", lambda w, i: F.struct(w.alias("w"),
@@ -1548,6 +1567,57 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
         n_rm.cast("bigint").alias("n_tokens_removed"),
         F.when(n_rm == 0, F.lit(0)).otherwise(spans)
         .cast("bigint").alias("n_spans_removed"))
+
+
+def remove_listed_spans(df: DataFrame, phrases: list[str],
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Strip a FROZEN boilerplate list — the map-only, stateless
+    sibling of remove_repeated_spans and the second half of the 100 TB
+    recipe: MINE the boilerplate once on a bounded sample
+    (boilerplate_ngrams), freeze the list, then APPLY it everywhere at
+    scan speed — no document-frequency pass, no shuffle, no state, so
+    it also runs as-is under Structured Streaming (stateless per row;
+    pinned streaming == batch).
+
+    Matching/removal contract identical to remove_repeated_spans (ONE
+    shared rewrite bundle, _span_rewrite_select): phrases match as
+    lowercased whitespace-delimited word sequences at any position;
+    covered positions consolidate into maximal spans; untouched docs
+    return byte-identical text; kept regions keep their original
+    bytes. ``phrases`` is policy-scale (folded as literal expressions,
+    block_domains-style — thousands, not data-scale); each phrase
+    must contain at least one word."""
+    norm: list[list[str]] = []
+    for ph in phrases:
+        toks = [t.lower() for t in ph.split()]
+        if not toks:
+            raise ValueError("remove_listed_spans: empty phrase")
+        norm.append(toks)
+    if not norm:
+        raise ValueError("remove_listed_spans needs at least one phrase")
+    base = _span_base(df, text_col, id_col)
+    m = F.size("__w")
+    lw = F.transform("__w", lambda w: F.lower(w))
+    per_phrase = []
+    for toks in norm:
+        L = len(toks)
+        lit = " ".join(toks)
+        starts = F.filter(
+            F.sequence(F.lit(0), m - L),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(lw, i + k + 1)
+                       for k in range(L)]) == F.lit(lit))
+        per_phrase.append(F.when(
+            m >= L,
+            F.flatten(F.transform(
+                starts, lambda i: F.sequence(i, i + L - 1)))
+        ).otherwise(F.array().cast("array<int>")))
+    cov = F.array_sort(F.array_distinct(F.concat(*per_phrase))) \
+        if len(per_phrase) > 1 else F.array_sort(per_phrase[0])
+    j = base.withColumn("__cov",
+                        F.when(F.size(cov) > 0, cov))
+    return _span_rewrite_select(j)
 
 
 # deterministic boilerplate fixture (cross-doc header/footer planted by

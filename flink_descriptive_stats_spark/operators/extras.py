@@ -956,26 +956,50 @@ def column_entropy(df: DataFrame,
                  "entropy_norm"))
 
 
-def referential_integrity(fact: DataFrame, dim: DataFrame, fk: str,
-                          pk: str) -> DataFrame:
+def referential_integrity(fact: DataFrame, dim: DataFrame, fk,
+                          pk) -> DataFrame:
     """Foreign-key integrity between two tables: one row with
     (fk_rows, null_fk, matched, orphans, orphan_fraction,
     distinct_orphan_keys) — the cross-table data-quality check a profiler
     runs before any join-dependent metric is trusted.
 
+    ``fk``/``pk`` accept a column name or a same-length TUPLE of names
+    for a COMPOSITE key (r11, matching the dependencies family): a row
+    with ANY NULL component counts as null_fk ('no reference', SQL
+    simple-match semantics), and distinct_orphan_keys counts distinct
+    component COMBINATIONS.
+
     Shape: the dim side collapses to DISTINCT keys before the join (a
     key-only projection, never dim payload), then one left join keyed by
-    the fk + a single aggregate. AQE broadcasts the key set when small;
+    the fk + a single aggregate — composite keys ride the same single
+    multi-column shuffle key. AQE broadcasts the key set when small;
     at 100 TB with a big dim both sides shuffle once on the key — the
     minimal cost for an exact answer. NULL fks are counted separately
     (SQL semantics: NULL matches nothing but usually means 'absent', not
     'broken')."""
+    from functools import reduce as _reduce
+
     from flink_descriptive_stats_spark.functions.sig import sig6
-    keys = dim.select(F.col(pk).alias("__k")).distinct() \
-              .withColumn("__hit", F.lit(1))
-    j = fact.select(F.col(fk).alias("__fk")).join(
-        keys, F.col("__fk") == F.col("__k"), "left")
-    fknn = F.col("__fk").isNotNull()
+    from flink_descriptive_stats_spark.operators.dependencies import \
+        _key_cols
+    fks, pks = _key_cols(fk), _key_cols(pk)
+    if len(fks) != len(pks):
+        raise ValueError(f"key widths differ: {fks} vs {pks}")
+    fnames = [f"__fk{i}" for i in range(len(fks))]
+    knames = [f"__k{i}" for i in range(len(pks))]
+    keys = (dim.select(*[F.col(c).alias(k)
+                         for c, k in zip(pks, knames)])
+            .where(_reduce(lambda a, b: a & b,
+                           (F.col(k).isNotNull() for k in knames)))
+            .distinct().withColumn("__hit", F.lit(1)))
+    cond = _reduce(lambda a, b: a & b,
+                   (F.col(fc) == F.col(kc)
+                    for fc, kc in zip(fnames, knames)))
+    j = fact.select(*[F.col(c).alias(n)
+                      for c, n in zip(fks, fnames)]).join(
+        keys, cond, "left")
+    fknn = _reduce(lambda a, b: a & b,
+                   (F.col(n).isNotNull() for n in fnames))
     orphan = fknn & F.col("__hit").isNull()
     agg = j.agg(
         F.count(F.when(fknn, F.lit(1))).alias("fk_rows"),
@@ -983,7 +1007,8 @@ def referential_integrity(fact: DataFrame, dim: DataFrame, fk: str,
         F.count(F.when(fknn & F.col("__hit").isNotNull(), F.lit(1)))
         .alias("matched"),
         F.count(F.when(orphan, F.lit(1))).alias("orphans"),
-        F.count_distinct(F.when(orphan, F.col("__fk")))
+        F.count_distinct(*[F.when(orphan, F.col(n))
+                           for n in fnames])
         .alias("distinct_orphan_keys"))
     return agg.select(
         "fk_rows", "null_fk", "matched", "orphans",

@@ -286,14 +286,9 @@ GROUP BY h.id
 """
 
 
-def _span_ctes(src: str, n: int, min_df: int) -> str:
-    """The remove_repeated_spans contract as a reusable CTE chain from
-    ``{src}(id, text)`` to ``spanfinal(id, text_clean, n_tokens,
-    n_tokens_removed, n_spans_removed)`` — shared by the standalone
-    gated query and the curate_corpus despan-stage composition. All
-    CTE names are sp_-prefixed to compose without collisions."""
-    th = H.duck_token_hash(
-        f"lower(array_to_string(list_slice(words, i, i + {n - 1}), ' '))")
+def _span_w2_cte(src: str) -> str:
+    """The shared word/separator CTE of the span family over
+    ``{src}(id, text)``."""
     return f"""sp_w2 AS (
   SELECT id, text,
          regexp_extract_all(text, '\\S+') AS words,
@@ -307,8 +302,15 @@ def _span_ctes(src: str, n: int, min_df: int) -> str:
                          THEN 2 ELSE 1 END
                     + greatest(len(regexp_extract_all(text, '\\S+'))
                                - 1, 0) - 1) AS core
-  FROM {src}),
-sp_ps AS (
+  FROM {src})"""
+
+
+def _span_mine_ctes(n: int, min_df: int) -> str:
+    """The document-frequency MINING coverage: positional n-gram
+    hashes -> df >= min_df -> sp_cov."""
+    th = H.duck_token_hash(
+        f"lower(array_to_string(list_slice(words, i, i + {n - 1}), ' '))")
+    return f"""sp_ps AS (
   SELECT id, i - 1 AS i, {th} % {P} AS sh
   FROM (SELECT id, words,
                unnest(generate_series(1, m - {n} + 1)) AS i
@@ -319,8 +321,14 @@ sp_rep AS (
 sp_cov AS (
   SELECT DISTINCT p.id, p.i + d.d AS j
   FROM sp_ps p JOIN sp_rep USING (sh)
-  CROSS JOIN (SELECT unnest(generate_series(0, {n - 1})) AS d) d),
-sp_idx AS (SELECT id, unnest(generate_series(0, m - 1)) AS i
+  CROSS JOIN (SELECT unnest(generate_series(0, {n - 1})) AS d) d)"""
+
+
+def _span_rewrite_ctes() -> str:
+    """The separator-preserving rewrite from sp_w2 + sp_cov to
+    spanfinal — shared by the mined and the frozen-list variants (one
+    SQL bundle, like Spark's _span_rewrite_select)."""
+    return f"""sp_idx AS (SELECT id, unnest(generate_series(0, m - 1)) AS i
            FROM sp_w2 WHERE m > 0),
 sp_kept AS (
   SELECT sp_idx.id, sp_idx.i FROM sp_idx
@@ -361,6 +369,16 @@ spanfinal AS (
   LEFT JOIN sp_body ON sp_body.id = w.id)"""
 
 
+def _span_ctes(src: str, n: int, min_df: int) -> str:
+    """The remove_repeated_spans contract as a reusable CTE chain from
+    ``{src}(id, text)`` to ``spanfinal(id, text_clean, n_tokens,
+    n_tokens_removed, n_spans_removed)`` — shared by the standalone
+    gated query and the curate_corpus despan-stage composition. All
+    CTE names are sp_-prefixed to compose without collisions."""
+    return (_span_w2_cte(src) + ",\n" + _span_mine_ctes(n, min_df)
+            + ",\n" + _span_rewrite_ctes())
+
+
 def remove_repeated_spans_sql(table: str = "documents",
                               min_ngram: int = 5,
                               min_df: int = 25) -> str:
@@ -386,6 +404,50 @@ sp_docs AS (
   SELECT id, CASE WHEN id % {fm} = 0 THEN t0 || '  {ftr}'
                   ELSE t0 END AS text FROM sp_src),
 {_span_ctes("sp_docs", int(min_ngram), int(min_df))}
+SELECT * FROM spanfinal
+"""
+
+
+def remove_listed_spans_sql(table: str = "documents") -> str:
+    """dedup.remove_listed_spans mirrored on the planted fixture with
+    the FROZEN list = the two planted phrases themselves (header +
+    footer): per phrase, match starts where the lowercased word slice
+    equals the phrase, expand to covered positions, then the SAME
+    sp_ rewrite chain as the mined variant."""
+    from flink_descriptive_stats_spark.operators import dedup as DD
+    hdr, ftr = DD.SPAN_HEADER, DD.SPAN_FOOTER
+    hm, fm = DD.SPAN_HEADER_MOD, DD.SPAN_FOOTER_MOD
+    phrases = [hdr, ftr]
+    max_l = max(len(p.split()) for p in phrases)
+    starts = []
+    for ph in phrases:
+        toks = [t.lower() for t in ph.split()]
+        L = len(toks)
+        lit = " ".join(toks).replace("'", "''")
+        starts.append(
+            f"SELECT id, i, {L} AS L FROM "
+            f"(SELECT id, words, "
+            f"unnest(generate_series(1, m - {L} + 1)) AS i "
+            f"FROM sp_w2 WHERE m >= {L}) "
+            f"WHERE lower(array_to_string("
+            f"list_slice(words, i, i + {L - 1}), ' ')) = '{lit}'")
+    starts_sql = " UNION ALL ".join(starts)
+    return f"""
+WITH sp_src AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % {hm} <> {hm - 1}
+              THEN '{hdr} ' || text ELSE text END AS t0
+  FROM {table} WHERE text IS NOT NULL),
+sp_docs AS (
+  SELECT id, CASE WHEN id % {fm} = 0 THEN t0 || '  {ftr}'
+                  ELSE t0 END AS text FROM sp_src),
+{_span_w2_cte("sp_docs")},
+sp_cov AS (
+  SELECT DISTINCT st.id, st.i - 1 + dd.d AS j
+  FROM ({starts_sql}) st
+  CROSS JOIN (SELECT unnest(generate_series(0, {max_l - 1})) AS d) dd
+  WHERE dd.d < st.L),
+{_span_rewrite_ctes()}
 SELECT * FROM spanfinal
 """
 
@@ -1205,6 +1267,49 @@ SELECT '{c}' AS "column", CAST(n AS BIGINT) AS n_non_null,
              'WHEN n > 0 THEN 0.0 END')} AS entropy_norm
 FROM a)""")
     return "\nUNION ALL\n".join(branches)
+
+
+def referential_integrity_composite_sql() -> str:
+    """extras.referential_integrity with a COMPOSITE key mirrored on
+    the shared linepairs/fact fixture (see fk_discover_composite_sql):
+    the fk is (orderkey, swapped linenumber), the pk the distinct true
+    pair — null_fk injected by NULLing f_linenumber on doc % 17 = 0
+    rows so every counter is non-vacuous."""
+    return f"""
+WITH linepairs AS (
+  SELECT DISTINCT l_orderkey AS p_orderkey,
+         l_linenumber AS p_linenumber FROM lineitem),
+fact AS (
+  SELECT l_orderkey AS f_orderkey,
+         CASE WHEN l_orderkey % 17 = 0 THEN NULL
+              WHEN l_orderkey % 13 = 0 THEN 8 - l_linenumber
+              ELSE l_linenumber END AS f_linenumber FROM lineitem),
+k AS (SELECT DISTINCT p_orderkey AS k1, p_linenumber AS k2
+      FROM linepairs
+      WHERE p_orderkey IS NOT NULL AND p_linenumber IS NOT NULL),
+j AS (SELECT f.f_orderkey AS f1, f.f_linenumber AS f2,
+             k.k1 FROM fact f
+      LEFT JOIN k ON f.f_orderkey = k.k1
+                 AND f.f_linenumber = k.k2),
+a AS (SELECT
+  count(*) FILTER (f1 IS NOT NULL AND f2 IS NOT NULL) AS fk_rows,
+  count(*) FILTER (f1 IS NULL OR f2 IS NULL) AS null_fk,
+  count(*) FILTER (f1 IS NOT NULL AND f2 IS NOT NULL
+                   AND k1 IS NOT NULL) AS matched,
+  count(*) FILTER (f1 IS NOT NULL AND f2 IS NOT NULL
+                   AND k1 IS NULL) AS orphans,
+  count(DISTINCT (f1, f2)) FILTER (f1 IS NOT NULL AND f2 IS NOT NULL
+                                   AND k1 IS NULL)
+    AS distinct_orphan_keys
+ FROM j)
+SELECT CAST(fk_rows AS BIGINT) AS fk_rows,
+  CAST(null_fk AS BIGINT) AS null_fk, CAST(matched AS BIGINT) AS matched,
+  CAST(orphans AS BIGINT) AS orphans,
+  {duck_sig6('CASE WHEN fk_rows > 0 '
+             'THEN orphans / CAST(fk_rows AS DOUBLE) END')}
+    AS orphan_fraction,
+  CAST(distinct_orphan_keys AS BIGINT) AS distinct_orphan_keys
+FROM a"""
 
 
 def referential_integrity_sql(fact: str, dim_sql: str, fk: str,

@@ -271,3 +271,86 @@ def test_span_removal_stats_consistent_with_rewrite(spark):
         r["n_tokens_removed"] for r in per)
     assert st["n_spans_removed"] == sum(
         r["n_spans_removed"] for r in per)
+
+
+def test_remove_listed_spans_matches_mined_on_controlled_fixture(spark):
+    """With the frozen list equal to the only cross-doc boilerplate,
+    the map-only applier and the mining remover produce IDENTICAL
+    output (one shared rewrite bundle); the list path needs no second
+    corpus and no shuffle."""
+    from flink_descriptive_stats_spark.operators.dedup import (
+        remove_listed_spans, remove_repeated_spans)
+    df = _planted(spark, footer=True)
+    mined = {r["id"]: tuple(r) for r in
+             remove_repeated_spans(df, min_ngram=5,
+                                   min_df=4).collect()}
+    listed = {r["id"]: tuple(r) for r in
+              remove_listed_spans(df, [HDR, SPAN_FOOTER]).collect()}
+    assert mined == listed
+    with pytest.raises(ValueError):
+        remove_listed_spans(df, [])
+    with pytest.raises(ValueError):
+        remove_listed_spans(df, ["  "])
+
+
+def test_remove_listed_spans_plan_is_narrow(spark):
+    """The frozen-list applier is ONE codegen Project over the scan —
+    no Exchange, no Arrow, no join: the property that makes it the
+    apply-everywhere half of the mine-then-apply recipe."""
+    df = _planted(spark)
+    from flink_descriptive_stats_spark.operators.dedup import \
+        remove_listed_spans
+    out = remove_listed_spans(df, [HDR])
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "ArrowEval" not in plan and "BatchEval" not in plan
+
+
+def test_remove_listed_spans_streams_stateless(spark, tmp_path):
+    """Stateless per row: the same call runs under Structured
+    Streaming and emits row-for-row the batch output."""
+    from flink_descriptive_stats_spark.operators.dedup import \
+        remove_listed_spans
+    df = _planted(spark, footer=True).drop("body")
+    chunks = str(tmp_path / "chunks")
+    df.repartition(2).write.parquet(chunks)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(chunks))
+    sink = str(tmp_path / "sink")
+    q = (remove_listed_spans(stream, [HDR, SPAN_FOOTER])
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["id"]: tuple(r) for r in spark.read.parquet(sink).collect()}
+    want = {r["id"]: tuple(r) for r in
+            remove_listed_spans(df, [HDR, SPAN_FOOTER]).collect()}
+    assert got == want
+
+
+def test_referential_integrity_composite(spark, ):
+    """Composite fk/pk tuples: any-NULL-component counts as null_fk,
+    orphans are pair misses, distinct_orphan_keys counts component
+    combinations; width mismatch raises."""
+    from flink_descriptive_stats_spark.operators.extras import \
+        referential_integrity
+    dim = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1)], "a bigint, b bigint")
+    fact = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 9), (2, 9), (None, 1), (3, None)],
+        "x bigint, y bigint")
+    [r] = referential_integrity(fact, dim, ("x", "y"),
+                                ("a", "b")).collect()
+    assert (r["fk_rows"], r["null_fk"], r["matched"],
+            r["orphans"], r["distinct_orphan_keys"]) == (4, 2, 2, 2, 1)
+    with pytest.raises(ValueError):
+        referential_integrity(fact, dim, ("x", "y"), "a")
+    # single-column path unchanged
+    [s1] = referential_integrity(fact, dim, "x", "a").collect()
+    assert s1["null_fk"] == 1 and s1["orphans"] == 1  # x=3 orphan
