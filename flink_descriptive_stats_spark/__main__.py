@@ -382,6 +382,13 @@ def build_parser() -> argparse.ArgumentParser:
     dca.add_argument("--cleaning", action="store_true",
                      help="append the cleaning section (invisible-"
                           "damage fractions and per-class char totals)")
+    dca.add_argument("--card-url-col", default=None, metavar="COL",
+                     help="crawl-metadata URL column: append the url "
+                          "section (domain dominance, malformed/query "
+                          "fractions, path depth)")
+    dca.add_argument("--url-suffixes", default=None, metavar="S1,S2",
+                     help="optional public-suffix list for the url "
+                          "section's registrable-domain keying")
     dca.add_argument("--five-pass", action="store_true",
                      help="the audit-trail path: one scan per signal "
                           "aggregate (the component operators' own "
@@ -1216,10 +1223,13 @@ def main(argv: list[str] | None = None) -> int:
         from flink_descriptive_stats_spark.operators.quality import (
             dataset_card, dataset_card_by_source)
         df = _load(spark, args.input, args.format)
+        sfx = (args.url_suffixes.split(",")
+               if args.url_suffixes else None)
         if args.by_source:
             out = dataset_card_by_source(
                 df, text_col=args.text_col, id_col=args.id_col,
                 source_col=args.source_col,
+                url_col=args.card_url_col, url_suffixes=sfx,
                 cleaning_section=args.cleaning,
                 single_pass=not args.five_pass)
         else:
@@ -1229,6 +1239,8 @@ def main(argv: list[str] | None = None) -> int:
                                exact=not args.approx,
                                payload_col=args.payload_col,
                                media_kind=args.media_kind,
+                               url_col=args.card_url_col,
+                               url_suffixes=sfx,
                                cleaning_section=args.cleaning,
                                single_pass=not args.five_pass)
         _emit(out, args.output)

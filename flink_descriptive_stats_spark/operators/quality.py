@@ -291,6 +291,7 @@ def dataset_card(df: DataFrame, text_col: str = "text",
                  media_kind: str = "image",
                  html_col: str | None = None,
                  url_col: str | None = None,
+                 url_suffixes: list[str] | None = None,
                  cleaning_section: bool = False,
                  single_pass: bool = True) -> DataFrame:
     """One-call corpus datasheet — the LLM-pipeline analogue of the
@@ -400,7 +401,7 @@ def dataset_card(df: DataFrame, text_col: str = "text",
         if cleaning_section:
             rows += _cleaning_card_rows(df, text_col)
         if url_col is not None and url_col in df.columns:
-            rows += _url_card_rows(df, url_col)
+            rows += _url_card_rows(df, url_col, url_suffixes)
         if payload_col is not None and payload_col in df.columns:
             rows += _media_card_rows(df, payload_col, media_kind, id_col)
         return df.sparkSession.createDataFrame(
@@ -466,7 +467,7 @@ def dataset_card(df: DataFrame, text_col: str = "text",
     if cleaning_section:
         rows += _cleaning_card_rows(df, text_col)
     if url_col is not None and url_col in df.columns:
-        rows += _url_card_rows(df, url_col)
+        rows += _url_card_rows(df, url_col, url_suffixes)
     if payload_col is not None and payload_col in df.columns:
         rows += _media_card_rows(df, payload_col, media_kind, id_col)
     return df.sparkSession.createDataFrame(
@@ -547,7 +548,8 @@ def _cleaning_by_source_rows(df: DataFrame, text_col: str,
     return rows
 
 
-def _url_card_rows(df: DataFrame, url_col: str) -> list:
+def _url_card_rows(df: DataFrame, url_col: str,
+                   suffixes: list[str] | None = None) -> list:
     """The url section of dataset_card — the datasheet view of the
     crawl metadata (operators/urls.py): how domain-concentrated the
     corpus is (the per-domain-cap planning number, exactly like
@@ -560,7 +562,7 @@ def _url_card_rows(df: DataFrame, url_col: str) -> list:
     from flink_descriptive_stats_spark.functions.sig import sig6, sig6_py
     from flink_descriptive_stats_spark.operators.urls import \
         url_components
-    comp = url_components(df, url_col=url_col)
+    comp = url_components(df, url_col=url_col, suffixes=suffixes)
     r = comp.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_if(~F.col("valid")).alias("bad"),
@@ -956,7 +958,8 @@ def _media_section_rows_grouped(hs: DataFrame, mh: int,
 
 
 def _url_by_source_rows(df: DataFrame, url_col: str, id_col: str,
-                        source_col: str) -> list:
+                        source_col: str,
+                        suffixes: list[str] | None = None) -> list:
     """Per-source url triage rows: the corpus card's url section says
     the corpus is domain-skewed or metadata-broken; these rows say
     WHICH source. Metric names are the corpus rows with the section
@@ -980,7 +983,8 @@ def _url_by_source_rows(df: DataFrame, url_col: str, id_col: str,
     ids = (df.where(F.col(source_col).isNotNull())
            .select(F.col(id_col).alias("id"),
                    F.col(source_col).alias("__src")))
-    comp = url_components(df, url_col=url_col, id_col=id_col) \
+    comp = url_components(df, url_col=url_col, id_col=id_col,
+                          suffixes=suffixes) \
         .join(ids, "id")
     agg = {r["__src"]: r for r in comp.groupBy("__src").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1018,6 +1022,7 @@ def dataset_card_by_source(df: DataFrame, text_col: str = "text",
                            payload_col: str | None = None,
                            media_kind: str = "image",
                            url_col: str | None = None,
+                           url_suffixes: list[str] | None = None,
                            cleaning_section: bool = False,
                            single_pass: bool = True) -> DataFrame:
     """Per-source datasheet — the which-source-is-dirty triage view of
@@ -1066,7 +1071,8 @@ def dataset_card_by_source(df: DataFrame, text_col: str = "text",
         _cleaning_by_source_rows(df, text_col, source_col)
         if cleaning_section else [])
     url_rows = (
-        _url_by_source_rows(df, url_col, id_col, source_col)
+        _url_by_source_rows(df, url_col, id_col, source_col,
+                            suffixes=url_suffixes)
         if url_col is not None and url_col in df.columns else [])
     media_rows = (
         _media_by_source_rows(df, payload_col, media_kind, id_col,

@@ -753,6 +753,7 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                        source_col: str = "source",
                        payload_col: str | None = None,
                        url_col: str | None = None,
+                       url_suffixes: list[str] | None = None,
                        cleaning_section: bool = False):
     """Continuous dataset card: the running corpus datasheet over an
     unbounded document ingest — after N micro-batches the sink holds
@@ -863,6 +864,18 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                         f"{bool(m.get('cleaning_section', False))}; "
                         "refusing to merge with cleaning_section="
                         f"{bool(cleaning_section)}")
+                # same contract for the suffix set: the per-domain
+                # tally is KEYED by the suffix-aware domain, so a
+                # different list silently mixes keyings
+                want_sfx = (sorted({x.lower().strip(".")
+                                    for x in url_suffixes})
+                            if url_suffixes else None)
+                if m.get("url_suffixes") != want_sfx:
+                    raise ValueError(
+                        "card-monitor snapshot at "
+                        f"{state_path} was folded with url_suffixes="
+                        f"{m.get('url_suffixes')}; refusing to merge "
+                        f"with url_suffixes={want_sfx}")
                 last_folded = m["last_folded"]
                 state.update({k: m[k] for k in state})
             elif kind == "src":
@@ -1099,7 +1112,8 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                 from flink_descriptive_stats_spark.operators.urls \
                     import url_components
                 comp = url_components(batch_df, url_col=url_col,
-                                      id_col=id_col).persist()
+                                      id_col=id_col,
+                                      suffixes=url_suffixes).persist()
                 try:
                     ur = comp.agg(
                         F.count(F.lit(1)).alias("n"),
@@ -1130,6 +1144,9 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                 meta = dict(state)
                 meta["last_folded"] = epoch_id
                 meta["cleaning_section"] = bool(cleaning_section)
+                meta["url_suffixes"] = (
+                    sorted({x.lower().strip(".") for x in url_suffixes})
+                    if url_suffixes else None)
                 kinds, keys, ns, bins = ["meta"], [_json.dumps(meta)], \
                     [0], [None]
                 for k, v in src_counts.items():

@@ -354,3 +354,63 @@ def test_referential_integrity_composite(spark, ):
     # single-column path unchanged
     [s1] = referential_integrity(fact, dim, "x", "a").collect()
     assert s1["null_fk"] == 1 and s1["orphans"] == 1  # x=3 orphan
+
+
+def test_card_url_section_suffix_aware(spark, tmp_path):
+    """url_suffixes threads through the card, the by-source triage,
+    and the streaming monitor: with suffixes=["co.uk"] the domain
+    tally keys on bbc.co.uk-style registrable domains everywhere
+    (batch == by-source slice == streaming, the r10 contracts), and a
+    monitor restart with a DIFFERENT list refuses to merge."""
+    from flink_descriptive_stats_spark.operators.quality import (
+        dataset_card, dataset_card_by_source)
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import \
+        start_card_monitor
+    rows = [(i, f"document body number {i} with words w-{i * 3}",
+             "sA" if i % 2 else "sB",
+             f"https://site{i % 3}.co.uk/p{i}") for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string, url string")
+    sfx = ["co.uk"]
+
+    def _url_rows(frame, **kw):
+        return {r["metric"]: r["value"]
+                for r in dataset_card(frame, url_col="url", **kw)
+                .collect() if r["section"] == "url"}
+
+    plain, aware = _url_rows(df), _url_rows(df, url_suffixes=sfx)
+    assert plain["n_domains"] == "1"     # everything collapses to co.uk
+    assert aware["n_domains"] == "3"     # site0/1/2.co.uk
+    assert aware["max_domain_share"] != plain["max_domain_share"]
+    bys = {(r["source"], r["metric"]): r["value"]
+           for r in dataset_card_by_source(
+               df, url_col="url", url_suffixes=sfx).collect()}
+    # slice equality against the corpus card on the slice
+    slice_a = _url_rows(df.where(F.col("source") == "sA"),
+                        url_suffixes=sfx)
+    assert bys[("sA", "url_n_domains")] == slice_a["n_domains"]
+
+    chunks = str(tmp_path / "chunks")
+    df.repartition(2).write.parquet(chunks)
+    sink = str(tmp_path / "sink")
+    state = str(tmp_path / "state")
+
+    def _mon(suffixes, ckpt):
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(chunks))
+        q = start_card_monitor(stream, sink, state_path=state,
+                               checkpoint_path=str(tmp_path / ckpt),
+                               url_col="url", url_suffixes=suffixes)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {r["metric"]: r["value"]
+                for r in spark.read.parquet(sink).collect()
+                if r["section"] == "url"}
+
+    got = _mon(sfx, "ckpt")
+    want = _url_rows(df, url_suffixes=sfx)
+    assert got == want                   # streaming == batch
+    with pytest.raises(ValueError, match="url_suffixes"):
+        _mon(["com.au"], "ckpt2")
