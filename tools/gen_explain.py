@@ -720,6 +720,17 @@ def main() -> None:
         fmt(spark, DDP.remove_repeated_spans(docs, min_ngram=5,
                                              min_df=25))))
 
+    sections.append((
+        "Frozen-list span applier (round 11)",
+        "remove_listed_spans: the policy-scale phrase list folds into\n"
+        "literal array expressions — ONE codegen Project over the scan,\n"
+        "no Exchange, no Join, no Arrow, no state. This is the\n"
+        "apply-everywhere half of the mine-then-apply recipe (mine with\n"
+        "boilerplate_ngrams on a bounded sample, freeze, apply at scan\n"
+        "speed — also under Structured Streaming, stateless per row).",
+        fmt(spark, DDP.remove_listed_spans(
+            docs, ["the fast key", "merge part window"]))))
+
     with open("EXPLAIN.md", "w") as f:
         f.write(
             '# Plan audit — `.explain("formatted")` of the flagship '
