@@ -1,6 +1,6 @@
 """Deduplication operators for large-scale (training-data) pipelines.
 
-Five dedup families, all Spark-first and (except where noted) verifiable
+Six dedup granularities, all Spark-first and (except where noted) verifiable
 against the DuckDB oracle because every hash is md5-derived
 (functions/hashing.py):
 
@@ -18,6 +18,13 @@ against the DuckDB oracle because every hash is md5-derived
                LSH; quadratic in bucket size, linear in shared shingles.
 - embedding near-dup: cosine > threshold over the embeddings table (see
                operators/similarity.py for the top-k variant).
+- repeated spans (r11): SUB-document, CROSS-document — the exact-
+               substring stage after doc-level dedup (boilerplate
+               headers/footers): mine document-frequency-qualified word
+               n-grams (remove_repeated_spans / boilerplate_ngrams /
+               span_removal_stats), or apply a frozen phrase list
+               map-only at scan speed (remove_listed_spans — also under
+               Structured Streaming).
 
 Scale notes: signatures/bands are O(rows); the only quadratic step is within
 LSH buckets (by construction small). Skewed buckets (e.g. empty-text
