@@ -568,6 +568,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.remove_listed_spans(
             planted, [dedup.SPAN_HEADER, dedup.SPAN_FOOTER])
     q["remove_listed_spans_documents"] = _listed_spans
+
+    # surgical span-level decontamination (r11): train spans quoting
+    # the holdout are REWRITTEN out instead of dropping whole docs —
+    # the eval quote planted on every holdout doc and on train docs
+    # with id%7==1 (plus whatever 5-grams overlap naturally; the
+    # oracle replays both identically)
+    def _decon_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        planted = docs.select(
+            "doc_id",
+            dedup.synth_quote_expr("text", "doc_id").alias("text"))
+        return dedup.decontaminate_spans(
+            planted.where(F.col("doc_id") % 10 != 0),
+            planted.where(F.col("doc_id") % 10 == 0), min_ngram=5)
+    q["decontaminate_spans_documents"] = _decon_spans
     q["dup_rate_by_source_documents"] = _tq(dedup.dup_rate_by_source,
                                             "documents")
     # bucket_docs=2: the synthetic 31-word vocabulary saturates by doc 8,
@@ -2202,6 +2218,7 @@ def oracle_sql() -> dict[str, str]:
     o["boilerplate_ngrams_documents"] = op.boilerplate_ngrams_sql()
     o["span_removal_stats_documents"] = op.span_removal_stats_sql()
     o["remove_listed_spans_documents"] = op.remove_listed_spans_sql()
+    o["decontaminate_spans_documents"] = op.decontaminate_spans_sql()
     o["paragraph_dedup_documents"] = (
         "WITH t AS (SELECT doc_id AS id, "
         "regexp_extract_all(lower(text), '\\w+') AS toks FROM documents "

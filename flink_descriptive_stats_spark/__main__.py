@@ -89,6 +89,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Bloom-prefiltered exact path: same output, the "
                          "corpus-side shuffle shrinks to the bloom-"
                          "positive sliver (the 100 TB middle regime)")
+    dc.add_argument("--spans", action="store_true",
+                    help="SURGICAL: rewrite out only the train spans "
+                         "whose word n-grams appear in the holdout "
+                         "(docs survive minus the quoted text) "
+                         "instead of dropping whole docs")
+    dc.add_argument("--span-ngram", type=int, default=5,
+                    help="with --spans: the word n-gram width")
     dc.add_argument("--by-url", action="store_true",
                     help="match on canonical URLs (scheme/case/port/"
                          "www/query-insensitive) instead of content — "
@@ -943,6 +950,19 @@ def main(argv: list[str] | None = None) -> int:
             print("error: --by-url cannot combine with --bloom/--fuzzy",
                   file=sys.stderr)
             return 2
+        if args.spans and (args.bloom or args.fuzzy or args.by_url):
+            print("error: --spans cannot combine with "
+                  "--bloom/--fuzzy/--by-url", file=sys.stderr)
+            return 2
+        if args.spans:
+            from flink_descriptive_stats_spark.operators.dedup import \
+                decontaminate_spans
+            _emit(decontaminate_spans(train, holdout,
+                                      content_col=args.text_col,
+                                      id_col=args.id_col,
+                                      min_ngram=args.span_ngram),
+                  args.output)
+            return 0
         if args.by_url:
             from flink_descriptive_stats_spark.operators import urls
             _emit(urls.decontaminate_by_url(train, holdout,

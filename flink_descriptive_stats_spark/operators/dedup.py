@@ -1633,6 +1633,24 @@ def remove_listed_spans(df: DataFrame, phrases: list[str],
 # oracle rebuilds the SAME constants (oracle_pipeline.
 # remove_repeated_spans_sql). Plain ASCII, no quotes/backslashes.
 SPAN_HEADER = "Subscribe To Our Newsletter For Daily Updates"
+#: the shared eval-quote fixture for decontaminate_spans: appended to
+#: EVERY holdout doc (doc_id%10==0, the gated split) and to train docs
+#: with doc_id % QUOTE_TRAIN_MOD == 1 — the planted contamination the
+#: surgical pass must remove. 9 words, plain ASCII, no quotes.
+EVAL_QUOTE = "The quick benchmark question asks about seven distinct answers"
+QUOTE_TRAIN_MOD = 7
+
+
+def synth_quote_expr(text_col: str, id_col: str) -> F.Column:
+    """documents.text with the eval quote planted (see EVAL_QUOTE) —
+    the Spark side of the decontaminate_spans fixture (SQL twin in
+    oracle_pipeline.decontaminate_spans_sql)."""
+    i = F.col(id_col)
+    hit = (i % 10 == 0) | (i % QUOTE_TRAIN_MOD == 1)
+    return (F.when(hit, F.concat(F.col(text_col),
+                                 F.lit(" " + EVAL_QUOTE)))
+            .otherwise(F.col(text_col)))
+
 SPAN_FOOTER = "All Rights Reserved See Our Terms Of Service"
 SPAN_HEADER_MOD = 3   # doc_id % 3 != 2 -> header prepended + one space
 SPAN_FOOTER_MOD = 4   # doc_id % 4 == 0 -> TWO spaces + footer appended
@@ -1724,3 +1742,66 @@ def span_removal_stats(df: DataFrame, text_col: str = "text",
             sig6(rm.cast("double")
                  / tok.cast("double")).alias("removed_token_fraction"),
             F.col("sp").alias("n_spans_removed")))
+
+
+def decontaminate_spans(train: DataFrame, holdout: DataFrame,
+                        content_col: str = "text",
+                        id_col: str = "doc_id",
+                        min_ngram: int = 5) -> DataFrame:
+    """SURGICAL span-level decontamination — the third granularity of
+    the decontamination story: `decontaminate` drops whole train docs
+    whose content matches the holdout, `contamination_report` measures
+    n-gram overlap per doc, and this REWRITES: every train span whose
+    ``min_ngram``-word sequence appears ANYWHERE in the holdout is
+    removed, the rest of the document survives byte-identical — the
+    choice when a long document merely QUOTES an eval item and
+    dropping it whole would waste good text.
+
+    Matching/removal contract shared with the repeated-span family
+    (ONE rewrite bundle, _span_rewrite_select): lowercased
+    whitespace-delimited word n-grams, covered positions consolidated
+    into maximal spans, untouched docs byte-identical, kept regions
+    keep their original bytes, one-space splice at removal points.
+    Returns (id, text_clean, n_tokens, n_tokens_removed,
+    n_spans_removed) — feed n_tokens_removed > 0 to quarantine
+    reports; docs with < min_ngram words pass through (exact/fuzzy
+    decontamination already covers whole-short-doc matches).
+
+    Scale: the holdout collapses to its DISTINCT 8-byte n-gram hashes
+    (eval sets are small — AQE broadcasts them); the train side pays
+    the positional-shingle explode and ONE hash equi-join; full text
+    rides only the final id-keyed rewrite join. Never all-pairs."""
+    if min_ngram < 2:
+        raise ValueError(f"min_ngram must be >= 2, got {min_ngram}")
+    n = int(min_ngram)
+    base = _span_base(train, content_col, id_col)
+    m = F.size("__w")
+    idx = F.explode(F.sequence(F.lit(0), m - n))
+    gram = F.lower(F.concat_ws(
+        " ", *[F.element_at("__w", F.col("__i") + j + 1)
+               for j in range(n)]))
+    pos = (base.where(m >= n)
+           .select("id", idx.alias("__i"), "__w")
+           .select("id", "__i",
+                   F.pmod(H.token_hash(gram),
+                          F.lit(H.MERSENNE_P)).alias("__sh")))
+    hb = _span_base(holdout, content_col, id_col)
+    hm = F.size("__w")
+    hidx = F.explode(F.sequence(F.lit(0), hm - n))
+    hgram = F.lower(F.concat_ws(
+        " ", *[F.element_at("__w", F.col("__i") + j + 1)
+               for j in range(n)]))
+    hset = (hb.where(hm >= n)
+            .select(hidx.alias("__i"), "__w")
+            .select(F.pmod(H.token_hash(hgram),
+                           F.lit(H.MERSENNE_P)).alias("__sh"))
+            .distinct())
+    covered = (pos.join(hset, "__sh")
+               .select("id", F.explode(
+                   F.sequence(F.col("__i"),
+                              F.col("__i") + n - 1)).alias("__j"))
+               .distinct()
+               .groupBy("id")
+               .agg(F.array_sort(F.collect_set("__j")).alias("__cov")))
+    j = base.join(covered, "id", "left")
+    return _span_rewrite_select(j)

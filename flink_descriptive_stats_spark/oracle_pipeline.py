@@ -452,6 +452,48 @@ SELECT * FROM spanfinal
 """
 
 
+def decontaminate_spans_sql(table: str = "documents",
+                            min_ngram: int = 5) -> str:
+    """dedup.decontaminate_spans mirrored on the planted-quote fixture
+    (dedup.synth_quote_expr): the holdout's DISTINCT lowercased n-gram
+    hashes, positional train hashes joined against them, covered
+    positions, then the shared sp_ rewrite chain."""
+    from flink_descriptive_stats_spark.operators import dedup as DD
+    n = int(min_ngram)
+    q = DD.EVAL_QUOTE
+    tm = DD.QUOTE_TRAIN_MOD
+    th = H.duck_token_hash(
+        f"lower(array_to_string(list_slice(words, i, i + {n - 1}), ' '))")
+    return f"""
+WITH pl AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 10 = 0 OR doc_id % {tm} = 1
+              THEN text || ' {q}' ELSE text END AS text
+  FROM {table} WHERE text IS NOT NULL),
+tr AS (SELECT * FROM pl WHERE id % 10 <> 0),
+ho AS (SELECT * FROM pl WHERE id % 10 = 0),
+{_span_w2_cte("tr")},
+hw AS (SELECT id, regexp_extract_all(text, '\\S+') AS words,
+              len(regexp_extract_all(text, '\\S+')) AS m FROM ho),
+hset AS (
+  SELECT DISTINCT {th} % {P} AS sh
+  FROM (SELECT id, words,
+               unnest(generate_series(1, m - {n} + 1)) AS i
+        FROM hw WHERE m >= {n})),
+sp_ps AS (
+  SELECT id, i - 1 AS i, {th} % {P} AS sh
+  FROM (SELECT id, words,
+               unnest(generate_series(1, m - {n} + 1)) AS i
+        FROM sp_w2 WHERE m >= {n})),
+sp_cov AS (
+  SELECT DISTINCT p.id, p.i + d.d AS j
+  FROM sp_ps p JOIN hset USING (sh)
+  CROSS JOIN (SELECT unnest(generate_series(0, {n - 1})) AS d) d),
+{_span_rewrite_ctes()}
+SELECT * FROM spanfinal
+"""
+
+
 def boilerplate_ngrams_sql(table: str = "documents",
                            min_ngram: int = 5, min_df: int = 25,
                            k: int = 20) -> str:

@@ -414,3 +414,62 @@ def test_card_url_section_suffix_aware(spark, tmp_path):
     assert got == want                   # streaming == batch
     with pytest.raises(ValueError, match="url_suffixes"):
         _mon(["com.au"], "ckpt2")
+
+
+def test_decontaminate_spans_surgical(spark):
+    """Only the holdout-quoted span is removed; the rest of each train
+    doc is byte-identical; a train doc ENTIRELY made of holdout text
+    empties; clean docs and <n-word docs pass through untouched."""
+    from flink_descriptive_stats_spark.operators.dedup import \
+        decontaminate_spans
+    hold = spark.createDataFrame(
+        [(100, "What is the capital city of France exactly")],
+        "doc_id bigint, text string")
+    train = spark.createDataFrame(
+        [(1, "intro-1 words here What is the capital city of France "
+             "exactly tail-1 closing"),
+         (2, "What is the capital city of France exactly"),
+         (3, "totally unrelated document nine unique words w3 w5 w7"),
+         (4, "tiny doc")],
+        "doc_id bigint, text string")
+    out = {r["id"]: r for r in
+           decontaminate_spans(train, hold, min_ngram=5).collect()}
+    assert out[1]["text_clean"] == "intro-1 words here tail-1 closing"
+    assert out[1]["n_spans_removed"] == 1
+    assert out[2]["text_clean"] == "" and out[2]["n_tokens_removed"] == 8
+    assert out[3]["text_clean"] == train.collect()[2]["text"]
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[4]["text_clean"] == "tiny doc"
+    with pytest.raises(ValueError):
+        decontaminate_spans(train, hold, min_ngram=1)
+
+
+def test_decontaminate_spans_drops_contamination_measure(spark):
+    """After the surgical pass, contamination_report's matched
+    fraction over the planted corpus drops to (near) zero for the
+    quote n-width."""
+    from flink_descriptive_stats_spark.operators.dedup import (
+        contamination_report, decontaminate_spans, synth_quote_expr)
+    from flink_descriptive_stats_spark.sources.tables import load_table
+    docs = (load_table(spark, SF_DIR, "documents")
+            .where(F.col("text").isNotNull()))
+    planted = docs.select(
+        "doc_id", synth_quote_expr("text", "doc_id").alias("text"))
+    train = planted.where(F.col("doc_id") % 10 != 0)
+    hold = planted.where(F.col("doc_id") % 10 == 0)
+
+    def mean_match(frame):
+        rep = contamination_report(hold, frame, n=5)
+        # report is per-HOLDOUT-doc vs a train corpus
+        return rep.agg(F.avg("matched_fraction")).collect()[0][0]
+
+    cleaned = (decontaminate_spans(train, hold, min_ngram=5)
+               .select(F.col("id").alias("doc_id"),
+                       F.col("text_clean").alias("text")))
+    before, after = mean_match(train), mean_match(cleaned)
+    # the 9-word quote is a few percent of each holdout doc's
+    # shingles (different tokenization than the span words, so the
+    # report is an independent measure) — the surgical pass must
+    # remove a visible share of it
+    assert before > 0.02       # the plant is live
+    assert after < before * 0.9, (before, after)
