@@ -554,6 +554,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                         min_df=25)
     q["span_removal_stats_documents"] = _span_stats
 
+    def _boilerplate_by_src(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        planted = docs.select(
+            "doc_id", "source",
+            dedup.synth_span_expr("text", "doc_id").alias("text"))
+        return dedup.boilerplate_by_source(planted, min_ngram=5,
+                                           min_df=25, k=20)
+    q["boilerplate_by_source_documents"] = _boilerplate_by_src
+
     # the frozen-list applier (r11): the map-only second half of the
     # 100 TB recipe — mine on a sample, freeze, apply at scan speed;
     # the list here is the two planted phrases, so the gate proves the
@@ -2217,6 +2228,7 @@ def oracle_sql() -> dict[str, str]:
     o["remove_spans_documents"] = op.remove_repeated_spans_sql()
     o["boilerplate_ngrams_documents"] = op.boilerplate_ngrams_sql()
     o["span_removal_stats_documents"] = op.span_removal_stats_sql()
+    o["boilerplate_by_source_documents"] = op.boilerplate_by_source_sql()
     o["remove_listed_spans_documents"] = op.remove_listed_spans_sql()
     o["decontaminate_spans_documents"] = op.decontaminate_spans_sql()
     o["paragraph_dedup_documents"] = (

@@ -396,6 +396,12 @@ def build_parser() -> argparse.ArgumentParser:
     dca.add_argument("--url-suffixes", default=None, metavar="S1,S2",
                      help="optional public-suffix list for the url "
                           "section's registrable-domain keying")
+    dca.add_argument("--boilerplate-phrase", action="append",
+                     default=None, metavar="P",
+                     help="append the boilerplate section: per-phrase "
+                          "doc counts + any-phrase fraction "
+                          "(repeatable; frozen list, sum-monoids — "
+                          "also available on monitor-card)")
     dca.add_argument("--five-pass", action="store_true",
                      help="the audit-trail path: one scan per signal "
                           "aggregate (the component operators' own "
@@ -775,6 +781,11 @@ def build_parser() -> argparse.ArgumentParser:
     mc.add_argument("--text-col", default="text")
     mc.add_argument("--id-col", default="doc_id")
     mc.add_argument("--source-col", default="source")
+    mc.add_argument("--boilerplate-phrase", action="append",
+                    default=None, metavar="P",
+                    help="fold the boilerplate section (per-phrase "
+                         "doc counts, any-phrase fraction — pure "
+                         "sums, streams exactly)")
     mc.add_argument("--master", default=None)
     mc.add_argument("--format", default=None)
 
@@ -1262,6 +1273,7 @@ def main(argv: list[str] | None = None) -> int:
                                url_col=args.card_url_col,
                                url_suffixes=sfx,
                                cleaning_section=args.cleaning,
+                               boilerplate_phrases=args.boilerplate_phrase,
                                single_pass=not args.five_pass)
         _emit(out, args.output)
         return 0
@@ -1725,7 +1737,8 @@ def main(argv: list[str] | None = None) -> int:
             q = start_card_monitor(
                 stream, args.sink, state_path=args.state,
                 checkpoint_path=args.checkpoint, text_col=args.text_col,
-                id_col=args.id_col, source_col=args.source_col)
+                id_col=args.id_col, source_col=args.source_col,
+                boilerplate_phrases=args.boilerplate_phrase)
         else:
             ref = spark.read.parquet(args.reference)
             q = start_drift_monitor(

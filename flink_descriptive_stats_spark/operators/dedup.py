@@ -1805,3 +1805,73 @@ def decontaminate_spans(train: DataFrame, holdout: DataFrame,
                .agg(F.array_sort(F.collect_set("__j")).alias("__cov")))
     j = base.join(covered, "id", "left")
     return _span_rewrite_select(j)
+
+
+def boilerplate_by_source(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          source_col: str = "source",
+                          min_ngram: int = 5, min_df: int = 5,
+                          k: int = 20) -> DataFrame:
+    """WHICH source ships the boilerplate: (ngram, source, df_docs)
+    for every n-gram in the corpus-level top-``k`` (boilerplate_ngrams'
+    exact contract — same candidate set, pinned), with df_docs counted
+    per source — the upstream-ticket view of the span family, the
+    same triage relationship dataset_card_by_source has to the corpus
+    card. NULL-source docs belong to no slice (the by-source
+    convention).
+
+    Scale: one distinct (id, source, ngram) long format + ONE bounded
+    groupBy, semi-joined to the k-row global top (broadcast); the
+    n-gram strings ride the shuffle once, the report's price."""
+    top = boilerplate_ngrams(df, text_col=text_col, id_col=id_col,
+                             min_ngram=min_ngram, min_df=min_df, k=k) \
+        .select("ngram")
+    n = int(min_ngram)
+    t = F.col(text_col)
+    base = (df.where(t.isNotNull() & F.col(source_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.col(source_col).alias("source"),
+                    F.regexp_extract_all(t, F.lit(r"\S+"), 0)
+                    .alias("__w")))
+    m = F.size("__w")
+    idx = F.explode(F.sequence(F.lit(0), m - n))
+    gram = F.lower(F.concat_ws(
+        " ", *[F.element_at("__w", F.col("__i") + j + 1)
+               for j in range(n)]))
+    return (base.where(m >= n)
+            .select("id", "source", idx.alias("__i"), "__w")
+            .select("id", "source", gram.alias("ngram")).distinct()
+            .join(F.broadcast(top), "ngram")
+            .groupBy("ngram", "source")
+            .agg(F.count(F.lit(1)).alias("df_docs")))
+
+
+def phrase_hit_exprs(phrases: list[str],
+                     text_col: str = "text") -> list:
+    """Per-doc boolean bundle: one Column per FROZEN phrase, true iff
+    the lowercased whitespace-word sequence occurs anywhere in the
+    doc — shared by the dataset_card boilerplate section and the
+    streaming card monitor (one definition, their pinned equality
+    cannot drift; the cleaning_signal_exprs convention). Aliased
+    __bp0..__bpN in the given phrase order."""
+    t = F.col(text_col)
+    lw = F.transform(
+        F.regexp_extract_all(t, F.lit(r"\S+"), 0),
+        lambda w: F.lower(w))
+    out = []
+    for i, ph in enumerate(phrases):
+        toks = [x.lower() for x in ph.split()]
+        if not toks:
+            raise ValueError("phrase_hit_exprs: empty phrase")
+        L = len(toks)
+        lit = " ".join(toks)
+        m = F.size(lw)
+        hit = F.when(
+            m >= L,
+            F.exists(F.sequence(F.lit(0), m - L),
+                     lambda j: F.concat_ws(
+                         " ", *[F.element_at(lw, j + kk + 1)
+                                for kk in range(L)]) == F.lit(lit))
+        ).otherwise(F.lit(False))
+        out.append(hit.alias(f"__bp{i}"))
+    return out

@@ -293,6 +293,7 @@ def dataset_card(df: DataFrame, text_col: str = "text",
                  url_col: str | None = None,
                  url_suffixes: list[str] | None = None,
                  cleaning_section: bool = False,
+                 boilerplate_phrases: list[str] | None = None,
                  single_pass: bool = True) -> DataFrame:
     """One-call corpus datasheet — the LLM-pipeline analogue of the
     reference's console report: (section, metric, value) rows, in a
@@ -400,6 +401,9 @@ def dataset_card(df: DataFrame, text_col: str = "text",
             rows += _markup_card_rows(df, html_col)
         if cleaning_section:
             rows += _cleaning_card_rows(df, text_col)
+        if boilerplate_phrases:
+            rows += _boilerplate_card_rows(df, text_col,
+                                           boilerplate_phrases)
         if url_col is not None and url_col in df.columns:
             rows += _url_card_rows(df, url_col, url_suffixes)
         if payload_col is not None and payload_col in df.columns:
@@ -466,6 +470,9 @@ def dataset_card(df: DataFrame, text_col: str = "text",
         rows += _markup_card_rows(df, html_col)
     if cleaning_section:
         rows += _cleaning_card_rows(df, text_col)
+    if boilerplate_phrases:
+        rows += _boilerplate_card_rows(df, text_col,
+                                       boilerplate_phrases)
     if url_col is not None and url_col in df.columns:
         rows += _url_card_rows(df, url_col, url_suffixes)
     if payload_col is not None and payload_col in df.columns:
@@ -506,6 +513,36 @@ def _cleaning_card_rows(df: DataFrame, text_col: str) -> list:
         ("cleaning", "zero_width_chars", str(tz)),
         ("cleaning", "unicode_space_chars", str(ts)),
     ]
+
+
+def _boilerplate_card_rows(df: DataFrame, text_col: str,
+                           phrases: list[str]) -> list:
+    """The boilerplate section (r11): per-FROZEN-phrase doc counts and
+    the any-phrase affected fraction — every metric a sum-monoid over
+    dedup.phrase_hit_exprs' shared per-doc booleans, so the streaming
+    card folds the section exactly (pinned). ONE bounded aggregate
+    pass; metric labels carry the phrase verbatim (the in_set[...]
+    labeling convention)."""
+    from flink_descriptive_stats_spark.functions.sig import sig6_py
+    from flink_descriptive_stats_spark.operators.dedup import \
+        phrase_hit_exprs
+    c = F.col(text_col)
+    hits = phrase_hit_exprs(phrases, text_col)
+    any_hit = None
+    for i in range(len(phrases)):
+        b = F.col(f"__bp{i}")
+        any_hit = b if any_hit is None else (any_hit | b)
+    r = (df.where(c.isNotNull()).select(*hits)
+         .agg(F.count(F.lit(1)).alias("n"),
+              *[F.count_if(F.col(f"__bp{i}")).alias(f"c{i}")
+                for i in range(len(phrases))],
+              F.count_if(any_hit).alias("anyc")).collect()[0])
+    n = int(r["n"])
+    rows = [("boilerplate", f"docs_with[{ph}]", str(int(r[f"c{i}"])))
+            for i, ph in enumerate(phrases)]
+    rows.append(("boilerplate", "affected_doc_fraction",
+                 sig6_py(int(r["anyc"]) / n) if n else None))
+    return rows
 
 
 def _cleaning_by_source_rows(df: DataFrame, text_col: str,

@@ -567,6 +567,47 @@ FROM agg
 """
 
 
+def boilerplate_by_source_sql(table: str = "documents",
+                              min_ngram: int = 5, min_df: int = 25,
+                              k: int = 20) -> str:
+    """dedup.boilerplate_by_source mirrored: the corpus-level top-k
+    (boilerplate_ngrams' exact contract, ALL text docs) joined to
+    per-source doc frequencies (NULL sources excluded), on the span
+    fixture with the fixture's own source column carried through."""
+    from flink_descriptive_stats_spark.operators import dedup as DD
+    n = int(min_ngram)
+    hdr, ftr = DD.SPAN_HEADER, DD.SPAN_FOOTER
+    hm, fm = DD.SPAN_HEADER_MOD, DD.SPAN_FOOTER_MOD
+    return f"""
+WITH sp_src AS (
+  SELECT doc_id AS id, source,
+         CASE WHEN doc_id % {hm} <> {hm - 1}
+              THEN '{hdr} ' || text ELSE text END AS t0
+  FROM {table} WHERE text IS NOT NULL),
+sp_docs AS (
+  SELECT id, source, CASE WHEN id % {fm} = 0 THEN t0 || '  {ftr}'
+                          ELSE t0 END AS text FROM sp_src),
+w AS (SELECT id, source, regexp_extract_all(text, '\\S+') AS words,
+             len(regexp_extract_all(text, '\\S+')) AS m
+      FROM sp_docs),
+g AS (SELECT DISTINCT id, source,
+        lower(array_to_string(list_slice(words, i, i + {n - 1}), ' '))
+          AS ngram
+      FROM (SELECT id, source, words,
+               unnest(generate_series(1, m - {n} + 1)) AS i
+            FROM w WHERE m >= {n})),
+top AS (
+  SELECT ngram FROM (
+    SELECT ngram, count(DISTINCT id) AS dfd FROM g GROUP BY ngram
+    HAVING count(DISTINCT id) >= {min_df})
+  ORDER BY dfd DESC, ngram LIMIT {k})
+SELECT g.ngram, g.source, CAST(count(DISTINCT g.id) AS BIGINT)
+         AS df_docs
+FROM g JOIN top USING (ngram)
+WHERE g.source IS NOT NULL
+GROUP BY g.ngram, g.source"""
+
+
 def duplicated_ngram_fraction_sql(table: str = "documents") -> str:
     """Mirror of dedup.duplicated_ngram_fraction."""
     return f"""

@@ -754,7 +754,8 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                        payload_col: str | None = None,
                        url_col: str | None = None,
                        url_suffixes: list[str] | None = None,
-                       cleaning_section: bool = False):
+                       cleaning_section: bool = False,
+                       boilerplate_phrases: list[str] | None = None):
     """Continuous dataset card: the running corpus datasheet over an
     unbounded document ingest — after N micro-batches the sink holds
     the same (section, metric, value) rows ``dataset_card`` reports on
@@ -829,6 +830,8 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
     url_state = {"n": 0, "bad": 0, "ok": 0, "q": 0, "depth": 0}
     domain_counts: dict = {}    # domain -> n_docs (bounded keyed map)
     clean_state = {"dmg": 0, "tc": 0, "tz": 0, "ts": 0}
+    bp_state = {"any": 0}
+    bp_counts = [0] * len(boilerplate_phrases or [])
     sketches: dict = {"h": None, "hc": None}
     last_folded = -1
 
@@ -864,6 +867,15 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                         f"{bool(m.get('cleaning_section', False))}; "
                         "refusing to merge with cleaning_section="
                         f"{bool(cleaning_section)}")
+                if m.get("boilerplate_phrases") != (
+                        list(boilerplate_phrases or []) or None):
+                    raise ValueError(
+                        "card-monitor snapshot at "
+                        f"{state_path} was folded with "
+                        f"boilerplate_phrases="
+                        f"{m.get('boilerplate_phrases')}; refusing to "
+                        "merge with boilerplate_phrases="
+                        f"{list(boilerplate_phrases or []) or None}")
                 # same contract for the suffix set: the per-domain
                 # tally is KEYED by the suffix-aware domain, so a
                 # different list silently mixes keyings
@@ -892,6 +904,11 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                 url_state[key] = int(r["n"])
             elif kind == "clean":
                 clean_state[key] = int(r["n"])
+            elif kind == "bp":
+                if key == "any":
+                    bp_state["any"] = int(r["n"])
+                else:
+                    bp_counts[int(key)] = int(r["n"])
             elif kind == "dom":
                 domain_counts[key] = int(r["n"])
             elif kind == "sketch":
@@ -982,6 +999,15 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                     ("cleaning", "unicode_space_chars",
                      str(clean_state["ts"])),
                 ]
+            # boilerplate section (r11): per-frozen-phrase doc counts
+            # and the any-phrase fraction — pure sums, streams exactly
+            # (rendered like _boilerplate_card_rows)
+            if boilerplate_phrases:
+                rows += [("boilerplate", f"docs_with[{ph}]",
+                          str(bp_counts[i]))
+                         for i, ph in enumerate(boilerplate_phrases)]
+                rows.append(("boilerplate", "affected_doc_fraction",
+                             sig6_py(bp_state["any"] / n)))
         # url section (r10): fully exact across batches — sums plus
         # the bounded domain map (see the function docstring); emitted
         # even when no doc had text, like media
@@ -1039,6 +1065,20 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                     import cleaning_agg_exprs, cleaning_signal_exprs
                 clean_cols = cleaning_signal_exprs(text_col)
                 clean_aggs = cleaning_agg_exprs()
+            bp_cols, bp_aggs = [], []
+            if boilerplate_phrases:
+                from flink_descriptive_stats_spark.operators.dedup \
+                    import phrase_hit_exprs
+                bp_cols = phrase_hit_exprs(boilerplate_phrases,
+                                           text_col)
+                any_bp = None
+                for i in range(len(boilerplate_phrases)):
+                    b = F.col(f"__bp{i}")
+                    any_bp = b if any_bp is None else (any_bp | b)
+                bp_aggs = [F.count_if(F.col(f"__bp{i}"))
+                           .alias(f"__bpc{i}")
+                           for i in range(len(boilerplate_phrases))]
+                bp_aggs.append(F.count_if(any_bp).alias("__bpany"))
             per = (batch_df.where(c.isNotNull())
                    .select(F.md5(c).alias("__h"),
                            F.md5(_canonical_expr(text_col)).alias("__hc"),
@@ -1047,7 +1087,7 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                            .alias("__lang"),
                            *text_stats_exprs(text_col),
                            *pii_exprs(text_col),
-                           *clean_cols)
+                           *clean_cols, *bp_cols)
                    .persist())
             try:
                 q = F.col("quality_score").cast("double")
@@ -1060,7 +1100,7 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                     F.count_if(F.col("n_pii") > 0).alias("p"),
                     F.hll_sketch_agg("__h").alias("sh"),
                     F.hll_sketch_agg("__hc").alias("shc"),
-                    *clean_aggs).collect()[0]
+                    *clean_aggs, *bp_aggs).collect()[0]
                 if int(r["n"]):
                     sl = (per.groupBy("__src", "__lang")
                           .agg(F.count(F.lit(1)).alias("c")).collect())
@@ -1089,6 +1129,10 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                 for x in th:
                     k = int(x["n_tokens"])
                     tok_hist[k] = tok_hist.get(k, 0) + x["c"]
+                if boilerplate_phrases:
+                    for i in range(len(boilerplate_phrases)):
+                        bp_counts[i] += int(r[f"__bpc{i}"])
+                    bp_state["any"] += int(r["__bpany"])
                 if cleaning_section:
                     clean_state["dmg"] += int(r["cdmg"])
                     clean_state["tc"] += int(r["ctc"])
@@ -1144,6 +1188,8 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                 meta = dict(state)
                 meta["last_folded"] = epoch_id
                 meta["cleaning_section"] = bool(cleaning_section)
+                meta["boilerplate_phrases"] = list(
+                    boilerplate_phrases or []) or None
                 meta["url_suffixes"] = (
                     sorted({x.lower().strip(".") for x in url_suffixes})
                     if url_suffixes else None)
@@ -1167,6 +1213,12 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                     for k, v in clean_state.items():
                         kinds.append("clean"); keys.append(k)
                         ns.append(v); bins.append(None)
+                if boilerplate_phrases:
+                    for i, v in enumerate(bp_counts):
+                        kinds.append("bp"); keys.append(str(i))
+                        ns.append(v); bins.append(None)
+                    kinds.append("bp"); keys.append("any")
+                    ns.append(bp_state["any"]); bins.append(None)
                 if url_state["n"]:
                     for k, v in url_state.items():
                         kinds.append("url"); keys.append(k)

@@ -473,3 +473,86 @@ def test_decontaminate_spans_drops_contamination_measure(spark):
     # remove a visible share of it
     assert before > 0.02       # the plant is live
     assert after < before * 0.9, (before, after)
+
+
+def test_boilerplate_by_source_counts(spark):
+    """Per-source doc frequencies of the corpus top-k grams; NULL
+    sources excluded; candidate set equals boilerplate_ngrams'."""
+    from flink_descriptive_stats_spark.operators.dedup import (
+        boilerplate_by_source, boilerplate_ngrams)
+    rows = ([(i, HDR + f" unique-{i} words w-{i * 3} x-{i * 7} "
+                       f"y-{i * 11} z-{i * 13}",
+              "sA" if i % 2 else "sB") for i in range(8)]
+            + [(50, HDR + " null src doc words a1 b2 c3 d4", None)])
+    df = spark.createDataFrame(rows,
+                               "doc_id bigint, text string, "
+                               "source string")
+    out = boilerplate_by_source(df, min_ngram=5, min_df=4).collect()
+    grams = {r["ngram"] for r in out}
+    top = {r["ngram"] for r in
+           boilerplate_ngrams(df, min_ngram=5, min_df=4).collect()}
+    assert grams <= top and grams
+    per = {(r["ngram"], r["source"]): r["df_docs"] for r in out}
+    g = "subscribe to our newsletter for"
+    assert per[(g, "sA")] == 4 and per[(g, "sB")] == 4  # null excluded
+    assert not [s for _, s in per if s is None]
+
+
+def test_card_boilerplate_section_and_monitor(spark, tmp_path):
+    """The card's boilerplate section (both routes identical) and the
+    streaming twin: per-phrase doc counts and the any-phrase fraction
+    are sum-monoids — streaming == batch incl. restart; a restart
+    with a different phrase list refuses to merge."""
+    from flink_descriptive_stats_spark.operators.quality import \
+        dataset_card
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import \
+        start_card_monitor
+    phrases = [HDR, "never present phrase here anywhere"]
+    rows = [(i, (HDR + " " if i % 2 else "") +
+             f"body words {i} unique w-{i * 3} x-{i * 7}", f"s{i % 2}")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                     "source string")
+
+    def _sec(frame, **kw):
+        return [(r["metric"], r["value"])
+                for r in dataset_card(frame,
+                                      boilerplate_phrases=phrases,
+                                      **kw).collect()
+                if r["section"] == "boilerplate"]
+
+    one, five = _sec(df), _sec(df, single_pass=False)
+    assert one == five
+    d = dict(one)
+    assert d[f"docs_with[{HDR}]"] == "5"
+    assert d["docs_with[never present phrase here anywhere]"] == "0"
+    assert d["affected_doc_fraction"] == "5000000e-7"
+
+    chunks = str(tmp_path / "chunks")
+    df.repartition(2).write.parquet(chunks)
+    sink = str(tmp_path / "sink")
+    state = str(tmp_path / "state")
+
+    def _mon(ph, ckpt):
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(chunks))
+        q = start_card_monitor(stream, sink, state_path=state,
+                               checkpoint_path=str(tmp_path / ckpt),
+                               boilerplate_phrases=ph)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return [(r["metric"], r["value"])
+                for r in spark.read.parquet(sink).collect()
+                if r["section"] == "boilerplate"]
+
+    assert sorted(_mon(phrases, "ck1")) == sorted(one)
+    more = spark.createDataFrame([(100, HDR + " late doc", "s0")],
+                                 df.schema)
+    more.coalesce(1).write.mode("append").parquet(chunks)
+    got = dict(_mon(phrases, "ck1"))
+    want = dict(_sec(df.unionByName(more)))
+    assert got == want                      # restart + late batch
+    with pytest.raises(ValueError, match="boilerplate_phrases"):
+        _mon([HDR], "ck2")
