@@ -565,6 +565,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                            min_df=25, k=20)
     q["boilerplate_by_source_documents"] = _boilerplate_by_src
 
+    # the min_df-choosing instrument: where organic phrase-sharing
+    # ends and boilerplate begins (the planted header/footer spike in
+    # their own high-DF buckets, pinned)
+    def _ngram_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        planted = docs.select(
+            "doc_id",
+            dedup.synth_span_expr("text", "doc_id").alias("text"))
+        return dedup.ngram_df_histogram(planted, min_ngram=5)
+    q["ngram_df_histogram_documents"] = _ngram_hist
+
     # the frozen-list applier (r11): the map-only second half of the
     # 100 TB recipe — mine on a sample, freeze, apply at scan speed;
     # the list here is the two planted phrases, so the gate proves the
@@ -2229,6 +2241,7 @@ def oracle_sql() -> dict[str, str]:
     o["boilerplate_ngrams_documents"] = op.boilerplate_ngrams_sql()
     o["span_removal_stats_documents"] = op.span_removal_stats_sql()
     o["boilerplate_by_source_documents"] = op.boilerplate_by_source_sql()
+    o["ngram_df_histogram_documents"] = op.ngram_df_histogram_sql()
     o["remove_listed_spans_documents"] = op.remove_listed_spans_sql()
     o["decontaminate_spans_documents"] = op.decontaminate_spans_sql()
     o["paragraph_dedup_documents"] = (

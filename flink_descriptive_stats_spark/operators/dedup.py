@@ -1875,3 +1875,53 @@ def phrase_hit_exprs(phrases: list[str],
         ).otherwise(F.lit(False))
         out.append(hit.alias(f"__bp{i}"))
     return out
+
+
+def ngram_df_histogram(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       min_ngram: int = 5) -> DataFrame:
+    """The min_df-choosing instrument of the span family (the
+    calibration-before-commit pattern of minhash_calibration /
+    index_recall): the document-frequency distribution of word
+    n-grams as log2 buckets — (bucket_min_df, bucket_max_df,
+    n_ngrams, n_doc_ngrams) where a bucket holds the n-grams whose DF
+    lands in [2^k, 2^(k+1)) and ``n_doc_ngrams`` sums their DF (the
+    doc-occurrence mass a remove_repeated_spans run at min_df <=
+    bucket_min_df would act on). Read the histogram, see where
+    organic phrase-sharing ends and boilerplate begins, then pick
+    min_df. DF-1 n-grams (no cross-doc repetition) are excluded —
+    they are the (huge, uninteresting) unique tail.
+
+    Scale: the same distinct (id, 8-byte hash) + ONE bounded
+    groupBy(hash) pass as the remover's mining stage, then a
+    log-bucket rollup over the (hash, df) frame — no strings ride any
+    shuffle."""
+    if min_ngram < 2:
+        raise ValueError(f"min_ngram must be >= 2, got {min_ngram}")
+    n = int(min_ngram)
+    t = F.col(text_col)
+    base = (df.where(t.isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.regexp_extract_all(t, F.lit(r"\S+"), 0)
+                    .alias("__w")))
+    m = F.size("__w")
+    idx = F.explode(F.sequence(F.lit(0), m - n))
+    gram = F.lower(F.concat_ws(
+        " ", *[F.element_at("__w", F.col("__i") + j + 1)
+               for j in range(n)]))
+    dfc = (base.where(m >= n)
+           .select("id", idx.alias("__i"), "__w")
+           .select("id", F.pmod(H.token_hash(gram),
+                                F.lit(H.MERSENNE_P)).alias("__sh"))
+           .distinct()
+           .groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+           .where(F.col("__df") >= 2))
+    bucket = F.floor(F.log2(F.col("__df"))).cast("int")
+    return (dfc.groupBy(bucket.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                 F.sum("__df").alias("n_doc_ngrams"))
+            .select(F.pow(F.lit(2.0), F.col("__b")).cast("bigint")
+                    .alias("bucket_min_df"),
+                    (F.pow(F.lit(2.0), F.col("__b") + 1)
+                     .cast("bigint") - 1).alias("bucket_max_df"),
+                    "n_ngrams", "n_doc_ngrams"))

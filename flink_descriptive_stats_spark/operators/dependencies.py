@@ -60,6 +60,13 @@ from flink_descriptive_stats_spark.functions.sig import sig6
 #: stats pass narrow and the oracle mirror literal).
 DISCOVER_DTYPES: tuple[str, ...] = ("tinyint", "smallint", "int", "bigint")
 
+#: fk_discover approx mode: the HLL++ relative standard deviation
+#: requested from approx_count_distinct, and the pruning slack =
+#: 3 * rsd (the ~99.7% band) — a 1-sigma slack would mis-prune ~1 in 3
+#: true keys purely from sketch noise (r11 fix; observed: a 10-row
+#: exact key estimated at 9 and rejected under the old 1-sigma 5%).
+APPROX_RSD = 0.05
+
 
 def _key_cols(col) -> tuple[str, ...]:
     """Normalize a key spec: a column name, or a tuple/list of names
@@ -226,15 +233,19 @@ def fk_discover(tables: dict[str, DataFrame],
 
     ``approx`` (the 100 TB stats pass): count_distinct inside the
     per-table stats aggregate is exact but shuffles per column;
-    approx=True swaps it for approx_count_distinct (HLL++, mergeable
-    fixed-size state, map-side combined). The HEURISTIC changes: a
-    sketch estimate can mis-rank key-ness or child-vs-parent
-    cardinality near the boundary, so pruning — and therefore the pair
-    set TESTED — is approximate (the declarative contract above holds
-    exactly only for approx=False; the containment numbers of every
-    emitted pair remain exact either way). Use it to scope candidates
-    on a corpus where exact per-column distincts are a real cost, then
-    confirm with the default mode on the survivors.
+    approx=True swaps it for approx_count_distinct (HLL++ at
+    APPROX_RSD, mergeable fixed-size state, map-side combined) and
+    widens the two cardinality prunes by 3 * APPROX_RSD — the ~99.7%
+    band, so a TRUE key is virtually never mis-pruned by sketch noise
+    (a 1-sigma slack rejected ~1 in 3 real keys; r11 fix). The
+    HEURISTIC still changes: a sketch estimate can mis-rank key-ness
+    or child-vs-parent cardinality past 3 sigma, so pruning — and
+    therefore the pair set TESTED — is approximate (the declarative
+    contract above holds exactly only for approx=False; the
+    containment numbers of every emitted pair remain exact either
+    way). Use it to scope candidates on a corpus where exact
+    per-column distincts are a real cost, then confirm with the
+    default mode on the survivors.
 
     ``max_key_width=2`` (r11): additionally discover COMPOSITE 2-column
     inclusions — the (l_orderkey, l_linenumber)-style keys real schemas
@@ -259,8 +270,8 @@ def fk_discover(tables: dict[str, DataFrame],
         raise ValueError("max_key_width must be 1 or 2, got "
                          f"{max_key_width}")
     stats: dict[tuple[str, str], dict] = {}
-    distinct_of = (F.approx_count_distinct if approx
-                   else F.count_distinct)
+    distinct_of = ((lambda c: F.approx_count_distinct(c, APPROX_RSD))
+                   if approx else F.count_distinct)
     eligible: dict[str, list[str]] = {
         tname: [f.name for f in df.schema.fields
                 if f.dataType.simpleString() in DISCOVER_DTYPES]
@@ -282,10 +293,12 @@ def fk_discover(tables: dict[str, DataFrame],
                 "d": int(row[f"{c}__d"]), "mn": row[f"{c}__mn"],
                 "mx": row[f"{c}__mx"],
             }
-    # approx mode: HLL++ default relative error is ~5%, so the two
-    # cardinality predicates get matching slack (the min/max and
+    # approx mode: the two cardinality predicates get slack = 3x the
+    # sketch's requested rsd — the ~99.7% band, so a true key is
+    # virtually never mis-pruned by sketch noise, while the pair set
+    # TESTED remains approximate by contract (the min/max and
     # non-null predicates stay exact counts in both modes)
-    eps = 0.05 if approx else 0.0
+    eps = 3 * APPROX_RSD if approx else 0.0
 
     def _is_key(s: dict) -> bool:
         if s["n"] == 0 or s["nn"] != s["n"]:
@@ -366,7 +379,14 @@ def _composite_frames(tables: dict[str, DataFrame],
         for i, (a, b) in enumerate(pairs):
             nn = F.count(F.when(F.col(a).isNotNull()
                                 & F.col(b).isNotNull(), 1))
-            d = (F.approx_count_distinct(F.xxhash64(F.col(a), F.col(b)))
+            # any-NULL-component pairs are no key value: mask them
+            # BEFORE hashing (xxhash64 would otherwise hash the null
+            # row to a real value and inflate the pair count — exact
+            # count_distinct(a, b) skips such rows natively)
+            d = (F.approx_count_distinct(
+                     F.when(F.col(a).isNotNull() & F.col(b).isNotNull(),
+                            F.xxhash64(F.col(a), F.col(b))),
+                     APPROX_RSD)
                  if approx else F.count_distinct(F.col(a), F.col(b)))
             aggs += [nn.alias(f"p{i}__nn"), d.alias(f"p{i}__d")]
         row = df.agg(*aggs).collect()[0]

@@ -608,6 +608,44 @@ WHERE g.source IS NOT NULL
 GROUP BY g.ngram, g.source"""
 
 
+def ngram_df_histogram_sql(table: str = "documents",
+                           min_ngram: int = 5) -> str:
+    """dedup.ngram_df_histogram mirrored on the span fixture: log2
+    document-frequency buckets over the distinct (id, hash) n-gram
+    frame, DF-1 excluded."""
+    from flink_descriptive_stats_spark.operators import dedup as DD
+    n = int(min_ngram)
+    hdr, ftr = DD.SPAN_HEADER, DD.SPAN_FOOTER
+    hm, fm = DD.SPAN_HEADER_MOD, DD.SPAN_FOOTER_MOD
+    th = H.duck_token_hash(
+        f"lower(array_to_string(list_slice(words, i, i + {n - 1}), ' '))")
+    return f"""
+WITH sp_src AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % {hm} <> {hm - 1}
+              THEN '{hdr} ' || text ELSE text END AS t0
+  FROM {table} WHERE text IS NOT NULL),
+sp_docs AS (
+  SELECT id, CASE WHEN id % {fm} = 0 THEN t0 || '  {ftr}'
+                  ELSE t0 END AS text FROM sp_src),
+w AS (SELECT id, regexp_extract_all(text, '\\S+') AS words,
+             len(regexp_extract_all(text, '\\S+')) AS m
+      FROM sp_docs),
+dfc AS (
+  SELECT sh, count(*) AS dfd FROM (
+    SELECT DISTINCT id, {th} % {P} AS sh
+    FROM (SELECT id, words,
+                 unnest(generate_series(1, m - {n} + 1)) AS i
+          FROM w WHERE m >= {n}))
+  GROUP BY sh HAVING count(*) >= 2)
+SELECT CAST(pow(2.0, b) AS BIGINT) AS bucket_min_df,
+       CAST(pow(2.0, b + 1) AS BIGINT) - 1 AS bucket_max_df,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(dfd) AS BIGINT) AS n_doc_ngrams
+FROM (SELECT dfd, CAST(floor(log2(dfd)) AS INTEGER) AS b FROM dfc)
+GROUP BY b"""
+
+
 def duplicated_ngram_fraction_sql(table: str = "documents") -> str:
     """Mirror of dedup.duplicated_ngram_fraction."""
     return f"""

@@ -556,3 +556,51 @@ def test_card_boilerplate_section_and_monitor(spark, tmp_path):
     assert got == want                      # restart + late batch
     with pytest.raises(ValueError, match="boilerplate_phrases"):
         _mon([HDR], "ck2")
+
+
+def test_ngram_df_histogram_boilerplate_spike(spark):
+    """The instrument's purpose: planted boilerplate lands in its own
+    high-DF buckets above the organic-sharing decay; DF-1 grams are
+    excluded; buckets partition [2, inf)."""
+    from flink_descriptive_stats_spark.operators.dedup import (
+        ngram_df_histogram, synth_span_expr)
+    from flink_descriptive_stats_spark.sources.tables import load_table
+    docs = (load_table(spark, SF_DIR, "documents")
+            .where(F.col("text").isNotNull()))
+    planted = docs.select(
+        "doc_id", synth_span_expr("text", "doc_id").alias("text"))
+    rows = sorted((r["bucket_min_df"], r["bucket_max_df"],
+                   r["n_ngrams"], r["n_doc_ngrams"])
+                  for r in ngram_df_histogram(planted).collect())
+    assert rows[0][0] == 2
+    for lo, hi, n_g, n_d in rows:
+        assert hi == 2 * lo - 1 and n_g > 0 and n_d >= 2 * n_g - n_g
+    # the header (df ~333) and footer (df ~125) spike above every
+    # organic bucket: the top TWO buckets hold exactly the 3+4
+    # planted gram groups
+    assert rows[-1][2] == 3 and rows[-2][2] == 4
+    with pytest.raises(ValueError):
+        ngram_df_histogram(planted, min_ngram=1)
+
+
+def test_fk_discover_composite_approx_mode(spark):
+    """approx=True with max_key_width=2: the pair-distinct statistic
+    rides HLL++ over the xxhash64-combined key; the true composite
+    edge still survives the slackened prunes on the fixture."""
+    from flink_descriptive_stats_spark.operators import dependencies as DP
+    parent = spark.createDataFrame(
+        [(g, i, g * 10 + i) for g in range(1, 5)
+         for i in range(1, g + 1)],
+        "p_grp bigint, p_idx bigint, p_val bigint")
+    child = spark.createDataFrame(
+        [(1, 1, 7), (2, 1, 7), (2, 2, 7), (4, 3, 7), (2, 3, 7),
+         (None, 2, 9)],
+        "f_grp bigint, f_idx bigint, f_x bigint")
+    out = DP.fk_discover({"parent": parent, "fact": child},
+                         min_containment=0.5, max_key_width=2,
+                         approx=True).collect()
+    comp = [r for r in out if "," in r["child_col"]]
+    assert [(r["child_table"], r["parent_table"]) for r in comp] \
+        == [("fact", "parent")]
+    # the emitted containment stays EXACT in approx mode
+    assert comp[0]["n_orphans"] == 1
