@@ -299,7 +299,16 @@ GATED_50 = (
     # -- multimodal plumbing
     "multimodal_frames_documents",
     # -- cleaning / constraints / drift
-    "repetition_stats_documents",
+    # r12 #17: the cross-document span REWRITE in — round 11's flagship
+    # oracle surface (the cleaned STRINGS hash-compared against a full
+    # DuckDB replay of positional n-gram DF mining + the separator-
+    # preserving rewrite); the window previously had no sub-document
+    # rewrite row. repetition_stats demoted with transitive cover: the
+    # span family measures AND removes the repetition dimension it
+    # reports (span_removal_stats + ngram_df_histogram gate the same
+    # n-gram machinery deeper) — still oracle-verified at 51+, see
+    # SURVEY §5.7
+    "remove_spans_documents",
     "check_constraints_lineitem",
     "ks_drift_events_value",
     "null_patterns_events",
@@ -531,6 +540,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.remove_repeated_spans(planted, min_ngram=5,
                                            min_df=25)
     q["remove_spans_documents"] = _remove_spans
+
+    # multi-n span mining (r12): the same fixture PLUS a 4-word banner
+    # (doc_id%5==1) that single-n mining at min_ngram=5 provably
+    # misses; lengths 4..7 mined in one positional pass, length folded
+    # into the hash, coverage unioned — the cleaned STRINGS are
+    # hash-compared against the DuckDB replay
+    def _remove_spans_multi(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        planted = docs.select(
+            "doc_id",
+            dedup.synth_span_multi_expr("text", "doc_id").alias("text"))
+        return dedup.remove_repeated_spans(planted, min_ngram=4,
+                                           min_df=25, max_ngram=7)
+    q["remove_spans_multi_documents"] = _remove_spans_multi
 
     # the triage view before removal: the boilerplate STRINGS ranked
     # by document frequency (deterministic ties), same fixture
@@ -1799,10 +1824,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PQ-ADC ANN: codebooks from a bounded driver-side k-means (float
     # trajectories not SQL-expressible); recall 0.92 vs brute force and
     # run-to-run determinism are pytest-pinned instead
-    # BFD bin-state is not SQL-expressible; invariants + an optimality
-    # fixture are pytest-pinned (rows-only)
+    # BFD is deterministic (sort by size desc/id asc, tightest bin,
+    # lowest pack_id on ties), so since r12 BOTH the per-doc assignment
+    # and the pack summary are oracle-gated: DuckDB replays the bin
+    # state literally via a recursive CTE (oracle_pipeline._bfd_ctes)
     q["pack_sequences_bfd_documents"] = _tq(sampling.pack_sequences_bfd,
                                             "documents")
+    # BFD packing summary (r12, VERDICT r11 missing #3): DuckDB replays
+    # best-fit-decreasing literally via a recursive CTE carrying the
+    # per-shard remaining-capacity list — n_packs / fills / overflow
+    # are exact, so the BFD family gains a hard oracle signal
+    q["pack_stats_bfd_documents"] = _tq(sampling.pack_stats_bfd,
+                                        "documents")
     # Datasketches HLL rollup: per-day sketches unioned to the total —
     # sketch bytes differ from any SQL engine's, so the gate is rows-only;
     # estimates are pytest-pinned against exact distincts within tolerance
@@ -2238,6 +2271,8 @@ def oracle_sql() -> dict[str, str]:
         op.dataset_card_by_source_sql()
     o["temporal_split_events"] = op.temporal_split_sql()
     o["remove_spans_documents"] = op.remove_repeated_spans_sql()
+    o["remove_spans_multi_documents"] = \
+        op.remove_repeated_spans_multi_sql()
     o["boilerplate_ngrams_documents"] = op.boilerplate_ngrams_sql()
     o["span_removal_stats_documents"] = op.span_removal_stats_sql()
     o["boilerplate_by_source_documents"] = op.boilerplate_by_source_sql()
@@ -2299,6 +2334,8 @@ def oracle_sql() -> dict[str, str]:
         rates=MIX_RATES, default_rate=0.25)
     o["temperature_mixture_documents"] = op.temperature_mixture_sql()
     o["pack_sequences_documents"] = op.pack_sequences_sql()
+    o["pack_sequences_bfd_documents"] = op.pack_sequences_bfd_sql()
+    o["pack_stats_bfd_documents"] = op.pack_stats_bfd_sql()
     o["simhash_near_pairs_documents"] = op.simhash_near_pairs_sql()
     o["multimodal_frames_documents"] = (
         "WITH d AS (SELECT doc_id AS id, text, "

@@ -69,6 +69,17 @@ def _await_clean_machine(max_wait_s: int = 300) -> dict:
     return machine
 
 
+def _fold_in(fold: dict, times: dict, prior_queries: dict) -> None:
+    """Fold one same-day snapshot's per-query times into ``fold`` (the
+    min-of-day map): a prior time replaces the current one only when
+    BOTH runs passed — folding a prior pass over a current -1 would
+    report a passing time for a query that is broken right now,
+    masking a same-day regression (ADVICE r11)."""
+    for k, v in prior_queries.items():
+        if times[k] >= 0 and 0 <= v < fold[k]:
+            fold[k] = v
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # BEFORE get_spark: every JVM is a stray; wait for them to drain so
@@ -179,9 +190,7 @@ def main() -> None:
             if prior.get("machine", {}).get("stray_jvms"):
                 continue
             folded_from.append(fname)
-            for k, v in pq.items():
-                if v >= 0 and (fold[k] < 0 or v < fold[k]):
-                    fold[k] = v
+            _fold_in(fold, times, pq)
         if folded_from:
             print(f"min-of-day fold: {len(folded_from)} prior same-day "
                   f"snapshot(s): {folded_from}", file=sys.stderr)

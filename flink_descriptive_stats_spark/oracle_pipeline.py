@@ -408,6 +408,75 @@ SELECT * FROM spanfinal
 """
 
 
+def _span_mine_multi_ctes(ns: list[int], min_df) -> str:
+    """The MULTI-length document-frequency mining coverage (r12):
+    every n in ``ns`` rides the unnest next to the start index, the
+    gram is a variable-length list slice, and the hash input is
+    nn::VARCHAR || ':' || gram — literally the Spark side's
+    "{n}:{gram}" fold, so lengths never alias. ``min_df`` is a scalar
+    or a {n: df} dict (CASE over nn)."""
+    gram = ("lower(array_to_string("
+            "list_slice(words, i, i + nn - 1), ' '))")
+    th = H.duck_token_hash(f"nn::VARCHAR || ':' || {gram}")
+    if isinstance(min_df, dict):
+        arms = " ".join(f"WHEN {int(k)} THEN {int(v)}"
+                        for k, v in sorted(min_df.items()))
+        thr = f"CASE nn {arms} END"
+    else:
+        thr = str(int(min_df))
+    ns_lit = ", ".join(str(int(k)) for k in ns)
+    return f"""sp_ps AS (
+  SELECT id, i - 1 AS i, nn, {th} % {P} AS sh
+  FROM (SELECT id, words, nn,
+               unnest(generate_series(1, m - nn + 1)) AS i
+        FROM (SELECT id, words, m, unnest([{ns_lit}]) AS nn
+              FROM sp_w2)
+        WHERE m >= nn)),
+sp_rep AS (
+  SELECT sh FROM (SELECT DISTINCT sh, nn, id FROM sp_ps)
+  GROUP BY sh, nn HAVING count(*) >= {thr}),
+sp_cov AS (
+  SELECT DISTINCT p.id, p.i + d.d AS j
+  FROM sp_ps p JOIN sp_rep USING (sh)
+  CROSS JOIN (SELECT unnest(generate_series(0, {max(ns) - 1})) AS d) d
+  WHERE d.d < p.nn)"""
+
+
+def remove_repeated_spans_multi_sql(table: str = "documents",
+                                    min_ngram: int = 4,
+                                    max_ngram: int = 7,
+                                    min_df: int | dict = 25) -> str:
+    """dedup.remove_repeated_spans(max_ngram=...) mirrored on the
+    multi-n fixture (dedup.synth_span_multi_expr — the single-n
+    header/footer planting PLUS the 4-word banner on doc_id%5==1
+    that single-n mining at min_ngram=5 provably misses): per-length
+    positional hashes with the length folded in, per-length DF
+    thresholds, coverage union, then the SAME sp_ rewrite chain —
+    the cleaned STRINGS are hash-compared."""
+    from flink_descriptive_stats_spark.operators import dedup as DD
+    hdr, ftr, ban = DD.SPAN_HEADER, DD.SPAN_FOOTER, DD.SPAN_SHORT
+    hm, fm, sm = DD.SPAN_HEADER_MOD, DD.SPAN_FOOTER_MOD, \
+        DD.SPAN_SHORT_MOD
+    ns = list(range(int(min_ngram), int(max_ngram) + 1))
+    return f"""
+WITH sp_src AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % {hm} <> {hm - 1}
+              THEN '{hdr} ' || text ELSE text END AS t0
+  FROM {table} WHERE text IS NOT NULL),
+sp_src2 AS (
+  SELECT id, CASE WHEN id % {fm} = 0 THEN t0 || '  {ftr}'
+                  ELSE t0 END AS t1 FROM sp_src),
+sp_docs AS (
+  SELECT id, CASE WHEN id % {sm} = 1 THEN t1 || ' {ban}'
+                  ELSE t1 END AS text FROM sp_src2),
+{_span_w2_cte("sp_docs")},
+{_span_mine_multi_ctes(ns, min_df)},
+{_span_rewrite_ctes()}
+SELECT * FROM spanfinal
+"""
+
+
 def remove_listed_spans_sql(table: str = "documents") -> str:
     """dedup.remove_listed_spans mirrored on the planted fixture with
     the FROZEN list = the two planted phrases themselves (header +
@@ -418,10 +487,11 @@ def remove_listed_spans_sql(table: str = "documents") -> str:
     hdr, ftr = DD.SPAN_HEADER, DD.SPAN_FOOTER
     hm, fm = DD.SPAN_HEADER_MOD, DD.SPAN_FOOTER_MOD
     phrases = [hdr, ftr]
-    max_l = max(len(p.split()) for p in phrases)
+    max_l = max(len(DD._phrase_tokens(p, "remove_listed_spans_sql"))
+                for p in phrases)
     starts = []
     for ph in phrases:
-        toks = [t.lower() for t in ph.split()]
+        toks = DD._phrase_tokens(ph, "remove_listed_spans_sql")
         L = len(toks)
         lit = " ".join(toks).replace("'", "''")
         starts.append(
@@ -1115,6 +1185,99 @@ w AS (
 SELECT id, shard, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
        CAST(start_offset // {max_tokens} AS BIGINT) AS pack_id
 FROM w
+"""
+
+
+def _bfd_ctes(table: str, cap: int, n_shards: int) -> str:
+    """Best-fit-decreasing REPLAYED literally (r12): a recursive CTE
+    walks each shard's (size desc, id asc) order carrying the
+    remaining-capacity list as bin state;
+    list_min(list_filter(rem, x -> x >= size)) is the tightest
+    fitting bin and list_position takes its FIRST occurrence
+    (= lowest pack_id on ties), exactly the Spark applyInPandas loop.
+    Each recursive row also carries the processed item's (id,
+    pack_id, nt), so the chain yields BOTH the per-doc assignment
+    (rk > 0 rows) and the final bin state (max-rk row per shard)."""
+    toks = H.duck_tokens("text")
+    return f"""d AS (
+  SELECT doc_id AS id, doc_id % {n_shards} AS shard,
+         least(len({toks}), {cap}) AS nt,
+         len({toks}) AS raw
+  FROM {table}
+  WHERE text IS NOT NULL AND len({toks}) > 0),
+ranked AS (
+  SELECT shard, id, nt,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY nt DESC, id ASC) AS rk
+  FROM d),
+bfd AS (
+  SELECT shard, 0 AS rk, CAST([] AS BIGINT[]) AS rem,
+         CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS pack_id,
+         CAST(NULL AS BIGINT) AS nt
+  FROM (SELECT DISTINCT shard FROM ranked)
+  UNION ALL
+  SELECT shard, rk,
+         CASE WHEN best IS NULL THEN list_append(rem, {cap} - nt)
+              ELSE rem[1:pos - 1] || [best - nt]
+                   || rem[pos + 1:len(rem)]
+         END AS rem,
+         id,
+         CASE WHEN best IS NULL THEN len(rem)
+              ELSE pos - 1 END AS pack_id,
+         nt
+  FROM (SELECT r.shard AS shard, r.rk AS rk, r.nt AS nt, r.id AS id,
+               b.rem AS rem,
+               list_min(list_filter(b.rem, x -> x >= r.nt)) AS best,
+               list_position(b.rem,
+                 list_min(list_filter(b.rem, x -> x >= r.nt))) AS pos
+        FROM bfd b JOIN ranked r
+          ON r.shard = b.shard AND r.rk = b.rk + 1))"""
+
+
+def pack_sequences_bfd_sql(table: str = "documents",
+                           max_tokens: int = 512,
+                           n_shards: int = 8) -> str:
+    """Mirror of sampling.pack_sequences_bfd — the per-doc (id, shard,
+    pack_id, n_tokens) assignment straight off the recursive BFD
+    replay (see _bfd_ctes)."""
+    return f"""
+WITH RECURSIVE {_bfd_ctes(table, int(max_tokens), int(n_shards))}
+SELECT CAST(id AS BIGINT) AS id, CAST(shard AS BIGINT) AS shard,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(nt AS BIGINT) AS n_tokens
+FROM bfd WHERE rk > 0
+"""
+
+
+def pack_stats_bfd_sql(table: str = "documents", max_tokens: int = 512,
+                       n_shards: int = 8) -> str:
+    """Mirror of sampling.pack_stats_bfd — final per-shard bin states
+    from the recursive BFD replay (_bfd_ctes) become pack fills; the
+    summary aggregates them (mean through the shared sig6 rendering,
+    aggregated in a CTE first because duck_sig6 cannot wrap a raw
+    aggregate)."""
+    cap = int(max_tokens)
+    return f"""
+WITH RECURSIVE {_bfd_ctes(table, cap, int(n_shards))},
+fin AS (
+  SELECT shard, rem
+  FROM (SELECT shard, rem, rk,
+               max(rk) OVER (PARTITION BY shard) AS mx FROM bfd)
+  WHERE rk = mx),
+fills AS (SELECT shard, {cap} - unnest(rem) AS fill FROM fin),
+agg AS (SELECT count(*) AS np, avg(CAST(fill AS DOUBLE)) AS mf,
+               max(fill) AS xf, min(fill) AS nf
+        FROM fills),
+ov AS (SELECT count(*) AS nd,
+              count(*) FILTER (WHERE raw > {cap}) AS nov
+       FROM d)
+SELECT CAST(np AS BIGINT) AS n_packs,
+       CAST(nd AS BIGINT) AS n_docs,
+       CAST(nov AS BIGINT) AS n_overflow,
+       {duck_sig6("mf")} AS mean_fill,
+       CAST(xf AS BIGINT) AS max_fill,
+       CAST(nf AS BIGINT) AS min_fill
+FROM agg, ov
 """
 
 

@@ -847,6 +847,14 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
     if latest:
         snap = stream.sparkSession.read.parquet(
             os.path.join(state_path, f"v{latest[-1]}")).collect()
+        # legacy inference (ADVICE r11 #4): flag-less (pre-r11) snapshots
+        # DID persist per-class cleaning counters when the section was
+        # on — the "clean" state rows are written only under
+        # cleaning_section=True — so their presence, not the missing
+        # meta key, says how the snapshot was folded. Without this, a
+        # valid cleaning_section=True accumulation would be refused on
+        # restart and forced to discard state.
+        has_clean_rows = any(r["kind"] == "clean" for r in snap)
         for r in snap:
             kind, key = r["kind"], r["key"]
             if kind == "meta":
@@ -857,14 +865,14 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                 # snapshot folded without the cleaning projection cannot
                 # be continued with it (damage never scanned for those
                 # docs) — refuse instead of silently under-reporting.
-                # Pre-r11 snapshots carry no flag; they are only
-                # continuable with cleaning_section=False.
-                if bool(m.get("cleaning_section", False)) \
-                        != bool(cleaning_section):
+                snap_cleaning = bool(
+                    m["cleaning_section"] if "cleaning_section" in m
+                    else has_clean_rows)
+                if snap_cleaning != bool(cleaning_section):
                     raise ValueError(
                         "card-monitor snapshot at "
                         f"{state_path} was folded with cleaning_section="
-                        f"{bool(m.get('cleaning_section', False))}; "
+                        f"{snap_cleaning}; "
                         "refusing to merge with cleaning_section="
                         f"{bool(cleaning_section)}")
                 if m.get("boilerplate_phrases") != (

@@ -61,7 +61,11 @@ def test_gated_window_holds_all_operator_families():
                  "dataset_card_documents",   # r6 #11 composition row
                  "hash_split_documents",
                  "multimodal_frames_documents", "sessionize_events",
-                 "repetition_stats_documents",
+                 "remove_spans_documents",          # r12 #17 promotion:
+                                              # the sub-document span
+                                              # REWRITE row (cleaned
+                                              # strings vs full DuckDB
+                                              # replay)
                  "temperature_mixture_documents",   # r7 #12 promotion
                  "covariance_lineitem",             # r8 #13 promotion
                  "extract_text_documents",          # r10 #15 promotion
@@ -90,6 +94,13 @@ def test_gated_window_holds_all_operator_families():
                                               # left-join orphan machinery
                                               # graph-wide, incl. a failing
                                               # edge)
+                    "repetition_stats_documents",  # r12 #17 (the span
+                                              # family measures AND removes
+                                              # the repetition dimension;
+                                              # span_removal_stats +
+                                              # ngram_df_histogram gate the
+                                              # same n-gram machinery
+                                              # deeper)
                     "profile_documents", "topk_documents",
                     "decontaminate_exact_documents", "distinct_lineitem",
                     "dedup_corpus_documents",

@@ -48,17 +48,32 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     for c in a.columns:
         av, bv = a[c].values, b[c].values
-        for i in range(len(av)):
-            x, y = av[i], bv[i]
-            xn = x is None or (isinstance(x, float) and np.isnan(x))
-            yn = y is None or (isinstance(y, float) and np.isnan(y))
-            if xn and yn:
-                continue
-            if xn != yn or x != y:
-                problems.append(f"col={c} row={i}: spark={x!r} duck={y!r}")
-                if len(problems) > 8:
-                    return problems
+        # vectorized equal-or-both-null mask (VERDICT r11 #3: the
+        # per-cell Python loop was measurable across the 252-query
+        # sweep); pd.isna matches the loop's None/NaN semantics on
+        # scalars — non-scalar cells (list values) fall back below
+        try:
+            an, bn = pd.isna(av), pd.isna(bv)
+            with np.errstate(all="ignore"):
+                neq = (an != bn) | (~an & ~bn & (av != bv))
+            bad = np.flatnonzero(np.asarray(neq, dtype=bool))
+        except (TypeError, ValueError):
+            bad = [i for i in range(len(av))
+                   if _cell_mismatch(av[i], bv[i])]
+        for i in bad:
+            problems.append(
+                f"col={c} row={i}: spark={av[i]!r} duck={bv[i]!r}")
+            if len(problems) > 8:
+                return problems
     return problems
+
+
+def _cell_mismatch(x, y) -> bool:
+    xn = x is None or (isinstance(x, float) and np.isnan(x))
+    yn = y is None or (isinstance(y, float) and np.isnan(y))
+    if xn and yn:
+        return False
+    return xn != yn or x != y
 
 
 def main():
