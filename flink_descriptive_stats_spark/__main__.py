@@ -314,6 +314,9 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--n-shards", type=int, default=8)
     pb.add_argument("--text-col", default="text")
     pb.add_argument("--id-col", default="doc_id")
+    pb.add_argument("--stats", action="store_true",
+                    help="one-row packing summary (n_packs, fills, "
+                         "overflow) instead of the per-doc assignment")
     _add_common(pb)
 
     ka = sub.add_parser("k-anonymity",
@@ -376,8 +379,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="per-source triage view instead of the "
                           "corpus-level card")
     dca.add_argument("--approx", action="store_true",
-                     help="GK-sketch median_tokens (the 100 TB path) "
-                          "instead of the exact percentile")
+                     help="the 100 TB path: GK-sketch median_tokens "
+                          "and HLL duplicate fractions (no Expand, no "
+                          "exact-distinct shuffle over doc hashes) "
+                          "instead of the exact percentile/distincts")
     dca.add_argument("--payload-col", default=None,
                      help="binary media column: append the media "
                           "section (n_payloads, decodable fraction, "
@@ -506,6 +511,10 @@ def build_parser() -> argparse.ArgumentParser:
     rs.add_argument("--id-col", default="doc_id")
     rs.add_argument("--min-ngram", type=int, default=5,
                     help="span granularity: word n-gram length")
+    rs.add_argument("--max-ngram", type=int, default=None,
+                    help="mine every length in [min-ngram, max-ngram] "
+                         "in one pass (length folded into the hash); "
+                         "default: single-length mining")
     rs.add_argument("--min-df", type=int, default=5,
                     help="an n-gram is boilerplate when >= this many "
                          "DISTINCT docs contain it")
@@ -1355,10 +1364,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "pack-bfd":
         from flink_descriptive_stats_spark.operators import sampling
         df = _load(spark, args.input, args.format)
-        _emit(sampling.pack_sequences_bfd(
-            df, text_col=args.text_col, id_col=args.id_col,
-            max_tokens=args.max_tokens, n_shards=args.n_shards),
-            args.output)
+        fn = (sampling.pack_stats_bfd if args.stats
+              else sampling.pack_sequences_bfd)
+        _emit(fn(df, text_col=args.text_col, id_col=args.id_col,
+                 max_tokens=args.max_tokens, n_shards=args.n_shards),
+              args.output)
         return 0
 
     if args.cmd == "k-anonymity":
@@ -1438,7 +1448,8 @@ def main(argv: list[str] | None = None) -> int:
             out = remove_repeated_spans(df, text_col=args.text_col,
                                         id_col=args.id_col,
                                         min_ngram=args.min_ngram,
-                                        min_df=args.min_df)
+                                        min_df=args.min_df,
+                                        max_ngram=args.max_ngram)
         _emit(out, args.output)
         return 0
 

@@ -1856,16 +1856,19 @@ def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
 
 def span_removal_stats(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", min_ngram: int = 5,
-                       min_df: int = 5) -> DataFrame:
+                       min_df: int | dict[int, int] = 5,
+                       max_ngram: int | None = None) -> DataFrame:
     """The corpus-level effect view of remove_repeated_spans — ONE row
     (n_docs, n_docs_affected, affected_doc_fraction, n_tokens,
     n_tokens_removed, removed_token_fraction, n_spans_removed): what a
     despan stage would do to this corpus, as a bounded aggregate you
     can read before (or monitor after) committing the rewrite. sig6
-    fractions; counts raw."""
+    fractions; counts raw. ``max_ngram``/dict ``min_df`` preview the
+    multi-length pass with the remover's own parameters (r12)."""
     from flink_descriptive_stats_spark.functions.sig import sig6
     out = remove_repeated_spans(df, text_col=text_col, id_col=id_col,
-                                min_ngram=min_ngram, min_df=min_df)
+                                min_ngram=min_ngram, min_df=min_df,
+                                max_ngram=max_ngram)
     nd, rm = F.col("n_docs"), F.col("rm")
     tok = F.col("tok")
     return (out.agg(

@@ -578,3 +578,36 @@ def test_cap_domains_partial_window_group_limit(spark):
         # Partial + Final — the two-phase skew guard
         assert plan.count("WindowGroupLimit") >= 2, plan
         assert "Partial" in plan, plan
+
+
+def test_multi_n_span_mining_no_extra_shuffle_stages(spark):
+    """Multi-length span mining (r12) folds every length into the ONE
+    positional pass: the plan must carry exactly as many Exchanges as
+    the single-length miner (the lengths ride an explode, they never
+    add shuffle stages), and the per-length DF thresholds stay a CASE
+    on the carried length — no extra join."""
+    from flink_descriptive_stats_spark.operators import dedup as DD
+    docs = load_table(spark, SF_DIR, "documents")
+    single = _formatted_plan(
+        DD.remove_repeated_spans(docs, min_ngram=5, min_df=25))
+    multi = _formatted_plan(
+        DD.remove_repeated_spans(docs, min_ngram=4, min_df=25,
+                                 max_ngram=7))
+    assert multi.count("Exchange") == single.count("Exchange"), multi
+    assert multi.count("Join type:") == single.count("Join type:"), multi
+
+
+def test_embedding_neardup_block_memo_single_scan_derivation(spark):
+    """VERDICT r11 #2: the num_blocks derivation is ONE aggregate (not
+    count()+first()), memoized — a repeat call reads the memo, no job."""
+    from flink_descriptive_stats_spark.functions.memo import (
+        agg_row_peek, clear_all_memos)
+    from flink_descriptive_stats_spark.operators import dedup as DD
+    from flink_descriptive_stats_spark.operators.similarity import \
+        with_norm
+    clear_all_memos()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    DD.embedding_near_dup_pairs(emb)
+    row = agg_row_peek(with_norm(emb, "vec_id", "embedding"),
+                       ("embedding_near_dup_blocks",))
+    assert row is not None and int(row["n"]) > 0 and int(row["dim"]) > 0

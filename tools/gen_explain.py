@@ -731,6 +731,50 @@ def main() -> None:
         fmt(spark, DDP.remove_listed_spans(
             docs, ["the fast key", "merge part window"]))))
 
+    sections.append((
+        "Multi-length span mining (round 12)",
+        "remove_repeated_spans(max_ngram=...): every length in\n"
+        "[min_ngram, max_ngram] rides ONE positional pass — the length\n"
+        "explodes next to the start index, the gram is a variable-\n"
+        "length slice, and the length folds into the hash so lengths\n"
+        "never alias. Same DF shape as single-n (distinct + one bounded\n"
+        "groupBy on the 8-byte hash, per-length thresholds as a CASE on\n"
+        "the carried length); coverage unions across lengths before the\n"
+        "unchanged rewrite. Cost is ~len(ns) x the positional frame,\n"
+        "still never all-pairs.",
+        fmt(spark, DDP.remove_repeated_spans(docs, min_ngram=4,
+                                             min_df=25, max_ngram=7))))
+
+    from flink_descriptive_stats_spark.operators import sampling as SMP
+    sections.append((
+        "BFD packing summary (round 12)",
+        "pack_stats_bfd: the per-shard applyInPandas BFD run collapses\n"
+        "into ONE bounded (shard, pack_id) groupBy whose single-row\n"
+        "aggregate cross-joins the 1-row overflow count — both sides of\n"
+        "the crossJoin are single rows (broadcast), so the summary adds\n"
+        "one bounded shuffle to the packing itself. The whole family is\n"
+        "now oracle-gated: DuckDB replays the bin state literally via a\n"
+        "recursive CTE.",
+        fmt(spark, SMP.pack_stats_bfd(docs))))
+
+    from flink_descriptive_stats_spark.operators import quality as QLT
+    per12 = (docs.where(F.col("text").isNotNull())
+             .select(F.md5("text").alias("__h"),
+                     F.md5(_canonical_expr("text")).alias("__hc"),
+                     F.col("source").alias("__src"),
+                     *text_stats_exprs("text"), *pii_exprs("text")))
+    sections.append((
+        "Dataset card, approximate mode (round 12)",
+        "dataset_card(exact=False)'s one global aggregate: the two\n"
+        "content-hash cardinalities become approx_count_distinct\n"
+        "(HLL++, rsd 0.02, clamped to n driver-side) and the median a\n"
+        "GK sketch, leaving a SINGLE exact distinct (__src) — so\n"
+        "Catalyst plans the ordinary two-phase distinct rewrite with NO\n"
+        "Expand and no exact-distinct shuffle over every doc hash. The\n"
+        "exact mode (three distincts -> Expand) stays the gated/oracle\n"
+        "path; this is what the card should run first on 100 TB.",
+        fmt(spark, QLT._card_agg_frame(per12, exact=False))))
+
     with open("EXPLAIN.md", "w") as f:
         f.write(
             '# Plan audit — `.explain("formatted")` of the flagship '
