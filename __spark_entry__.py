@@ -557,6 +557,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                            min_df=25, max_ngram=7)
     q["remove_spans_multi_documents"] = _remove_spans_multi
 
+    # WITHIN-document repeated-line removal (r12): the page-level
+    # cleanup before any cross-document dedup (CCNet/RefinedWeb drop
+    # scraper-duplicated nav/footer lines inside one page); map-only,
+    # no corpus statistics; nav-line fixture planted per doc_id%2 and
+    # the cleaned multi-line STRINGS hash-compared
+    def _dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        planted = docs.select(
+            "doc_id",
+            dedup.synth_lines_expr("text", "doc_id").alias("text"))
+        return dedup.dedup_lines(planted)
+    q["dedup_lines_documents"] = _dedup_lines
+
+    # the multi-length miner's triage sibling (r12): every length's
+    # repeated n-grams AS STRINGS in one pass, longest-first ties —
+    # read WHAT a multi-n despan would remove before committing it
+    def _boilerplate_multi(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        planted = docs.select(
+            "doc_id",
+            dedup.synth_span_multi_expr("text", "doc_id").alias("text"))
+        return dedup.boilerplate_ngrams(planted, min_ngram=4,
+                                        min_df=25, k=20, max_ngram=7)
+    q["boilerplate_ngrams_multi_documents"] = _boilerplate_multi
+
     # the triage view before removal: the boilerplate STRINGS ranked
     # by document frequency (deterministic ties), same fixture
     def _boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -864,6 +892,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              docs.where(F.col("doc_id") % 10 == 0),
                              despan_min_df=25)
     q["curate_corpus_spans_documents"] = _curate_spans
+
+    # the r12 page-cleanup stage inside the composition: nav lines
+    # planted on the BASE frame (both splits), line-dedup rewrites
+    # both sides before dedup/decontamination — stage interactions
+    # gated end to end
+    def _curate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators.quality import \
+            curate_corpus
+        docs = _load(spark, sf_dir, "documents").withColumn(
+            "text", dedup.synth_lines_expr("text", "doc_id"))
+        return curate_corpus(docs.where(F.col("doc_id") % 10 != 0),
+                             docs.where(F.col("doc_id") % 10 == 0),
+                             dedup_lines=True)
+    q["curate_corpus_lines_documents"] = _curate_lines
 
     # mixed-language segmentation (r10): per-chunk lang votes rolled
     # up per doc; the id%4 German-stopword tail makes the mixed path
@@ -2134,6 +2176,7 @@ def oracle_sql() -> dict[str, str]:
     o["url_decontaminate_documents"] = op.url_decontaminate_sql()
     o["curate_corpus_url_documents"] = op.curate_corpus_url_sql()
     o["curate_corpus_spans_documents"] = op.curate_corpus_spans_sql()
+    o["curate_corpus_lines_documents"] = op.curate_corpus_lines_sql()
     o["domain_block_documents"] = op.domain_block_sql()
     o["lang_segments_documents"] = op.lang_segments_sql(
         max_tokens=16, mix_tail_mod=4)
@@ -2273,6 +2316,9 @@ def oracle_sql() -> dict[str, str]:
     o["remove_spans_documents"] = op.remove_repeated_spans_sql()
     o["remove_spans_multi_documents"] = \
         op.remove_repeated_spans_multi_sql()
+    o["dedup_lines_documents"] = op.dedup_lines_sql()
+    o["boilerplate_ngrams_multi_documents"] = \
+        op.boilerplate_ngrams_multi_sql()
     o["boilerplate_ngrams_documents"] = op.boilerplate_ngrams_sql()
     o["span_removal_stats_documents"] = op.span_removal_stats_sql()
     o["boilerplate_by_source_documents"] = op.boilerplate_by_source_sql()

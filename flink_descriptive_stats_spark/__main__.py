@@ -37,7 +37,8 @@ SUBCOMMANDS = ("profile", "dedup", "decontaminate", "text-stats",
                "k-anonymity",
                "quality-ensemble", "curate", "keys", "fuzzy-join",
                "temperature-mix", "dataset-card", "covariance",
-               "media-neardup", "extract", "urls", "remove-spans")
+               "media-neardup", "extract", "urls", "remove-spans",
+               "dedup-lines")
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -360,6 +361,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="strip cross-document repeated spans (df >= "
                          "DF boilerplate) after decontamination, "
                          "before the quality filter")
+    cu.add_argument("--dedup-lines", action="store_true",
+                    help="within-page repeated-line removal on both "
+                         "sides before dedup/decontamination")
     _add_common(cu)
 
     ky = sub.add_parser("keys",
@@ -528,6 +532,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "mining (repeatable; map-only, streams): the "
                          "mine-on-sample-then-apply-everywhere recipe")
     _add_common(rs)
+
+    dl = sub.add_parser("dedup-lines",
+                        help="remove repeated lines WITHIN each "
+                             "document (scraper-duplicated nav/footer "
+                             "lines; blank lines kept) — map-only, "
+                             "runs before any cross-document dedup")
+    dl.add_argument("input")
+    dl.add_argument("--text-col", default="text")
+    dl.add_argument("--id-col", default="doc_id")
+    _add_common(dl)
 
     ri = sub.add_parser("refint",
                         help="FK orphan check between fact and dim")
@@ -1323,7 +1337,8 @@ def main(argv: list[str] | None = None) -> int:
                             url_col=args.url_col,
                             max_per_domain=args.max_per_domain,
                             clean=args.clean,
-                            despan_min_df=args.despan_min_df),
+                            despan_min_df=args.despan_min_df,
+                            dedup_lines=args.dedup_lines),
               args.output)
         return 0
 
@@ -1437,7 +1452,8 @@ def main(argv: list[str] | None = None) -> int:
                                      id_col=args.id_col,
                                      min_ngram=args.min_ngram,
                                      min_df=args.min_df,
-                                     k=args.report_top)
+                                     k=args.report_top,
+                                     max_ngram=args.max_ngram)
         elif args.phrase:
             from flink_descriptive_stats_spark.operators.dedup import \
                 remove_listed_spans
@@ -1451,6 +1467,14 @@ def main(argv: list[str] | None = None) -> int:
                                         min_df=args.min_df,
                                         max_ngram=args.max_ngram)
         _emit(out, args.output)
+        return 0
+
+    if args.cmd == "dedup-lines":
+        from flink_descriptive_stats_spark.operators.dedup import \
+            dedup_lines
+        df = _load(spark, args.input, args.format)
+        _emit(dedup_lines(df, text_col=args.text_col,
+                          id_col=args.id_col), args.output)
         return 0
 
     if args.cmd == "fk":

@@ -1815,7 +1815,8 @@ def synth_span_expr(text_col: str, id_col: str) -> F.Column:
 
 def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", min_ngram: int = 5,
-                       min_df: int = 5, k: int = 20) -> DataFrame:
+                       min_df: int = 5, k: int = 20,
+                       max_ngram: int | None = None) -> DataFrame:
     """The triage view BEFORE remove_repeated_spans: the top-``k``
     cross-document repeated word n-grams as STRINGS — (ngram, df_docs)
     ordered by document frequency — so an operator can read the actual
@@ -1823,6 +1824,13 @@ def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
     before committing a 100 TB rewrite. Same word/casing contract as
     remove_repeated_spans (whitespace-delimited words, lowercased
     n-gram identity); deterministic ties (df desc, then ngram asc).
+
+    ``max_ngram`` (r12): the multi-length miner's triage sibling —
+    every length in [min_ngram, max_ngram] ranked in ONE pass, with
+    an extra ``ngram_len`` column and (df desc, len desc, ngram asc)
+    ties so the longest form of a nested repeat surfaces first; the
+    default (None) keeps the single-length (ngram, df_docs) schema
+    byte-identical.
 
     Scale: distinct (id, ngram) then ONE bounded groupBy(ngram) with
     HAVING df >= min_df — the n-gram strings ride the shuffle (the
@@ -1840,6 +1848,32 @@ def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
                     F.regexp_extract_all(t, F.lit(r"\S+"), 0)
                     .alias("__w")))
     m = F.size("__w")
+    if max_ngram is not None:
+        ns = list(range(n, int(max_ngram) + 1))
+        if not ns:
+            raise ValueError(
+                f"max_ngram must be >= min_ngram, got {max_ngram} < {n}")
+        gram = F.lower(F.concat_ws(
+            " ", F.slice("__w", F.col("__i") + 1, F.col("__n"))))
+        pos = (base.where(m >= min(ns))
+               .select("id", "__w",
+                       F.explode(F.array(*[F.lit(x) for x in ns]))
+                       .alias("__n"))
+               .where(m >= F.col("__n"))
+               .select("id", "__w", "__n",
+                       F.explode(F.sequence(F.lit(0), m - F.col("__n")))
+                       .alias("__i"))
+               .select("id", F.col("__n").alias("ngram_len"),
+                       gram.alias("ngram")))
+        return (pos.distinct()
+                .groupBy("ngram", "ngram_len")
+                .agg(F.count(F.lit(1)).alias("df_docs"))
+                .where(F.col("df_docs") >= min_df)
+                .orderBy(F.col("df_docs").desc(),
+                         F.col("ngram_len").desc(), F.col("ngram"))
+                .limit(k)
+                .select("ngram", F.col("ngram_len").cast("int")
+                        .alias("ngram_len"), "df_docs"))
     idx = F.explode(F.sequence(F.lit(0), m - n))
     gram = F.lower(F.concat_ws(
         " ", *[F.element_at("__w", F.col("__i") + j + 1)
@@ -1989,6 +2023,93 @@ def boilerplate_by_source(df: DataFrame, text_col: str = "text",
             .join(F.broadcast(top), "ngram")
             .groupBy("ngram", "source")
             .agg(F.count(F.lit(1)).alias("df_docs")))
+
+
+#: the repeated nav/menu line of the line-dedup fixture (plain ASCII).
+LINE_NAV = "Home | About | Contact | Privacy Policy"
+LINE_NAV_MOD = 2      # doc_id % 2 == 0 -> nav planted 3x + a blank line
+
+
+def synth_lines_expr(text_col: str, id_col: str) -> F.Column:
+    """documents.text rebuilt as a multi-line page with the nav line
+    planted (see LINE_NAV) — the Spark side of the dedup_lines
+    fixture (SQL twin in oracle_pipeline.dedup_lines_sql). Even docs:
+    nav, body, nav, blank, nav (two removable repeats + a kept blank);
+    odd docs: body, nav (nothing to remove)."""
+    i, t = F.col(id_col), F.col(text_col)
+    nav = F.lit(LINE_NAV)
+    return (F.when(i % LINE_NAV_MOD == 0,
+                   F.concat(nav, F.lit("\n"), t, F.lit("\n"), nav,
+                            F.lit("\n\n"), nav))
+            .otherwise(F.concat(t, F.lit("\n"), nav)))
+
+
+def dedup_lines(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """WITHIN-document repeated-line removal — the page-level cleanup
+    stage public crawl pipelines run before any cross-document dedup
+    (CCNet / RefinedWeb drop repeated nav menus, cookie bars and
+    footer lines that a scraper duplicates inside one page). The
+    reference has no analog (it profiles typed columns,
+    ProfileJob.java:86-98); the cross-document siblings are
+    paragraph_dedup (corpus-level paragraphs) and
+    remove_repeated_spans (corpus-level n-grams) — this one needs no
+    corpus statistics at all.
+
+    Contract (deterministic, oracle-replayable):
+    - a LINE is a '\\n'-delimited segment of the original text
+      (trailing empties kept, no other splitting);
+    - a line is kept iff it is BLANK (empty after ASCII-space trim —
+      blank lines are paragraph structure, not content) or it is the
+      FIRST occurrence of its exact bytes within the document;
+    - kept lines re-join with '\\n' in original order, byte-identical.
+
+    Returns (id, text_clean, n_lines, n_lines_removed). NULL-text
+    rows are out of scope.
+
+    Scale: map-only — ONE Project over the scan, no shuffle, no
+    state, no Python; runs as-is under Structured Streaming
+    (stateless per row). The first-occurrence test is array_position
+    inside a filter lambda — O(L^2) per doc in the line count, which
+    is page-bounded, never corpus-bounded."""
+    t = F.col(text_col)
+    # materialize the line array as a COLUMN before the lambda: an
+    # array_position over the derived split EXPRESSION would re-run
+    # the split per element (the r11 remove_listed_spans lesson)
+    base = (df.where(t.isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.split(t, "\n", -1).alias("__lines")))
+    lines = F.col("__lines")
+    kept = _kept_lines(lines)
+    n_lines = F.size(lines)
+    return base.select(
+        "id",
+        F.array_join(kept, "\n").alias("text_clean"),
+        n_lines.cast("bigint").alias("n_lines"),
+        (n_lines - F.size(kept)).cast("bigint").alias("n_lines_removed"))
+
+
+def _kept_lines(lines: F.Column) -> F.Column:
+    """dedup_lines' keep rule over a MATERIALIZED line-array column:
+    blank (ASCII-space trim) or first exact-byte occurrence."""
+    return F.filter(
+        lines,
+        lambda x, i: (F.trim(x) == "") |
+                     (F.array_position(lines, x) == i + 1))
+
+
+def dedup_lines_rewrite(df: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """Replace ``text_col`` with its line-deduped form IN PLACE (same
+    keep rule as dedup_lines), keeping every other column — the
+    composition form curate_corpus uses as its page-cleanup stage.
+    NULL text stays NULL; still one map-only Project."""
+    d = df.withColumn("__lines", F.split(F.col(text_col), "\n", -1))
+    kept = _kept_lines(F.col("__lines"))
+    return (d.withColumn(
+        text_col,
+        F.when(F.col(text_col).isNotNull(), F.array_join(kept, "\n")))
+        .drop("__lines"))
 
 
 def phrase_hit_exprs(phrases: list[str],

@@ -1276,7 +1276,8 @@ def curate_corpus(df: DataFrame, holdout: DataFrame,
                   max_per_domain: int | None = None,
                   clean: bool = False,
                   despan_min_df: int | None = None,
-                  despan_min_ngram: int = 5) -> DataFrame:
+                  despan_min_ngram: int = 5,
+                  dedup_lines: bool = False) -> DataFrame:
     """The end-to-end curation pipeline as ONE dataflow — what a user of
     this engine actually runs per corpus drop:
 
@@ -1287,6 +1288,11 @@ def curate_corpus(df: DataFrame, holdout: DataFrame,
        differ only by invisible damage dedup together (pinned); the
        holdout is cleaned identically so decontamination stays
        symmetric;
+    0b. (r12, optional) dedup_lines: within-page repeated-line removal
+       (dedup.dedup_lines_rewrite) before any cross-document stage, so
+       pages differing only by scraper-duplicated nav/footer lines
+       dedup together; holdout rewritten identically (same symmetry
+       contract as clean);
     1. keep_best_canonical: collapse exact AND formatting-variant
        duplicates, keeping the most complete copy per group;
     2. decontaminate (exact): remove anything whose content appears in
@@ -1327,6 +1333,15 @@ def curate_corpus(df: DataFrame, holdout: DataFrame,
         df = df.withColumn(text_col, clean_text_expr(F.col(text_col)))
         holdout = holdout.withColumn(text_col,
                                      clean_text_expr(F.col(text_col)))
+    if dedup_lines:
+        # 0b (r12): within-page repeated-line removal BEFORE dedup so
+        # two pages differing only by scraper-duplicated lines dedup
+        # together; applied to the holdout identically (the clean=True
+        # symmetry contract) so exact decontamination keys agree
+        from flink_descriptive_stats_spark.operators.dedup import \
+            dedup_lines_rewrite
+        df = dedup_lines_rewrite(df, text_col=text_col)
+        holdout = dedup_lines_rewrite(holdout, text_col=text_col)
     kb = keep_best_canonical(df, content_col=text_col, id_col=id_col)
     dec = decontaminate(kb, holdout, content_col=text_col, id_col=id_col)
     if (url_col is not None and url_col in df.columns

@@ -522,6 +522,37 @@ SELECT * FROM spanfinal
 """
 
 
+def dedup_lines_sql(table: str = "documents") -> str:
+    """dedup.dedup_lines mirrored on the planted nav-line fixture
+    (dedup.synth_lines_expr): '\\n'-split lines, keep blanks (ASCII-
+    space trim) and first exact occurrences (DuckDB list lambdas are
+    1-indexed: list_position(lines, x) = i IS the first-occurrence
+    test), re-join byte-identically."""
+    from flink_descriptive_stats_spark.operators import dedup as DD
+    nav = DD.LINE_NAV
+    m = DD.LINE_NAV_MOD
+    nl = "chr(10)"
+    return f"""
+WITH src AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % {m} = 0
+              THEN '{nav}' || {nl} || text || {nl} || '{nav}'
+                   || {nl} || {nl} || '{nav}'
+              ELSE text || {nl} || '{nav}' END AS text
+  FROM {table} WHERE text IS NOT NULL),
+l AS (SELECT id, string_split(text, {nl}) AS lines FROM src),
+k AS (SELECT id, lines,
+             list_filter(lines, (x, i) -> trim(x) = ''
+                         OR list_position(lines, x) = i) AS kept
+      FROM l)
+SELECT CAST(id AS BIGINT) AS id,
+       array_to_string(kept, {nl}) AS text_clean,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_removed
+FROM k
+"""
+
+
 def decontaminate_spans_sql(table: str = "documents",
                             min_ngram: int = 5) -> str:
     """dedup.decontaminate_spans mirrored on the planted-quote fixture
@@ -595,6 +626,47 @@ g AS (SELECT DISTINCT id,
 SELECT ngram, CAST(count(*) AS BIGINT) AS df_docs
 FROM g GROUP BY ngram HAVING count(*) >= {min_df}
 ORDER BY df_docs DESC, ngram LIMIT {k}"""
+
+
+def boilerplate_ngrams_multi_sql(table: str = "documents",
+                                 min_ngram: int = 4, max_ngram: int = 7,
+                                 min_df: int = 25, k: int = 20) -> str:
+    """dedup.boilerplate_ngrams(max_ngram=...) mirrored on the multi-n
+    fixture: every length's repeated n-grams AS STRINGS ranked by
+    (df desc, len desc, ngram asc)."""
+    from flink_descriptive_stats_spark.operators import dedup as DD
+    hdr, ftr, ban = DD.SPAN_HEADER, DD.SPAN_FOOTER, DD.SPAN_SHORT
+    hm, fm, sm = DD.SPAN_HEADER_MOD, DD.SPAN_FOOTER_MOD, \
+        DD.SPAN_SHORT_MOD
+    ns_lit = ", ".join(str(x) for x in
+                       range(int(min_ngram), int(max_ngram) + 1))
+    return f"""
+WITH sp_src AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % {hm} <> {hm - 1}
+              THEN '{hdr} ' || text ELSE text END AS t0
+  FROM {table} WHERE text IS NOT NULL),
+sp_src2 AS (
+  SELECT id, CASE WHEN id % {fm} = 0 THEN t0 || '  {ftr}'
+                  ELSE t0 END AS t1 FROM sp_src),
+sp_docs AS (
+  SELECT id, CASE WHEN id % {sm} = 1 THEN t1 || ' {ban}'
+                  ELSE t1 END AS text FROM sp_src2),
+w AS (SELECT id, regexp_extract_all(text, '\\S+') AS words,
+             len(regexp_extract_all(text, '\\S+')) AS m
+      FROM sp_docs),
+g AS (SELECT DISTINCT id, nn,
+        lower(array_to_string(list_slice(words, i, i + nn - 1), ' '))
+          AS ngram
+      FROM (SELECT id, words, nn,
+                   unnest(generate_series(1, m - nn + 1)) AS i
+            FROM (SELECT id, words, m, unnest([{ns_lit}]) AS nn
+                  FROM w)
+            WHERE m >= nn))
+SELECT ngram, CAST(nn AS INTEGER) AS ngram_len,
+       CAST(count(*) AS BIGINT) AS df_docs
+FROM g GROUP BY ngram, nn HAVING count(*) >= {min_df}
+ORDER BY df_docs DESC, ngram_len DESC, ngram LIMIT {k}"""
 
 
 def span_removal_stats_sql(table: str = "documents",
@@ -3417,6 +3489,49 @@ dec AS (SELECT kb.* FROM kb WHERE NOT EXISTS (
           SELECT 1 FROM {table} h
           WHERE ({holdout_pred.replace('doc_id', 'h.doc_id')})
             AND h.text IS NOT NULL AND md5(h.text) = md5(kb.text))),
+qf AS (SELECT d.* FROM dec d WHERE d.doc_id IN
+         (SELECT id FROM ({text_stats_sql('dec')})
+          WHERE CAST(quality_score AS DOUBLE) >= {min_score}))
+SELECT * FROM qf QUALIFY row_number() OVER (PARTITION BY lang
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= {cap}"""
+
+
+def curate_corpus_lines_sql(table: str = "documents",
+                            holdout_pred: str = "doc_id % 10 = 0",
+                            min_score: float = 0.5,
+                            cap: int = 10) -> str:
+    """Mirror of the r12 line-dedup-aware quality.curate_corpus: the
+    nav-line fixture planted on the BASE frame (both splits), the
+    dedup_lines rewrite applied to BOTH sides (the clean=True symmetry
+    contract), then the standard keep-best / decontaminate / quality /
+    strata-cap chain — stage order replayed literally."""
+    from flink_descriptive_stats_spark.operators import dedup as DD
+    nav, m = DD.LINE_NAV, DD.LINE_NAV_MOD
+    nl = "chr(10)"
+    ld = ("CASE WHEN text IS NULL THEN NULL ELSE array_to_string("
+          f"list_filter(string_split(text, {nl}), (x, i) -> "
+          "trim(x) = '' OR "
+          f"list_position(string_split(text, {nl}), x) = i), {nl}) END")
+    hp = holdout_pred.replace("doc_id", "h.doc_id")
+    return f"""
+WITH base0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {m} = 0
+              THEN '{nav}' || {nl} || text || {nl} || '{nav}'
+                   || {nl} || {nl} || '{nav}'
+              ELSE text || {nl} || '{nav}' END AS text,
+         lang, source, n_chars
+  FROM {table}),
+base AS (SELECT doc_id, {ld} AS text, lang, source, n_chars
+         FROM base0),
+train AS (SELECT * FROM base WHERE NOT ({holdout_pred})),
+kb AS (SELECT * FROM train WHERE text IS NOT NULL
+       QUALIFY row_number() OVER (PARTITION BY {_CANON}
+         ORDER BY length(text) DESC, doc_id ASC) = 1),
+dec AS (SELECT kb.* FROM kb WHERE NOT EXISTS (
+          SELECT 1 FROM base h
+          WHERE ({hp}) AND h.text IS NOT NULL
+            AND md5(h.text) = md5(kb.text))),
 qf AS (SELECT d.* FROM dec d WHERE d.doc_id IN
          (SELECT id FROM ({text_stats_sql('dec')})
           WHERE CAST(quality_score AS DOUBLE) >= {min_score}))

@@ -411,3 +411,138 @@ def test_card_monitor_legacy_flagless_snapshot_compat(spark, tmp_path):
     pq.write_table(t2, p2)
     with pytest.raises(Exception, match="cleaning_section"):
         _run2(True, "ck4")
+
+
+# -------------------------------------- within-doc line dedup (r12)
+
+def test_dedup_lines_removes_repeats_keeps_blanks(spark):
+    from flink_descriptive_stats_spark.operators.dedup import dedup_lines
+    nav = "Home | About | Contact"
+    txt = (nav + "\nreal content line one\n" + nav
+           + "\n\nsecond paragraph\n" + nav + "\ntrailing\n")
+    df = spark.createDataFrame(
+        [(0, txt), (1, "no repeats\n\nhere at all")],
+        "doc_id bigint, text string")
+    out = {r["id"]: r for r in dedup_lines(df).collect()}
+    assert out[0]["text_clean"] == (
+        nav + "\nreal content line one\n\nsecond paragraph\ntrailing\n")
+    assert out[0]["n_lines"] == 8          # incl. the trailing empty
+    assert out[0]["n_lines_removed"] == 2
+    # blank lines are structure: kept even though repeated
+    assert out[1]["text_clean"] == "no repeats\n\nhere at all"
+    assert out[1]["n_lines_removed"] == 0
+
+
+def test_dedup_lines_exact_bytes_and_trailing_empties(spark):
+    from flink_descriptive_stats_spark.operators.dedup import dedup_lines
+    # differing whitespace = different lines (exact-byte identity);
+    # whitespace-only lines count as blank (ASCII-space trim) and stay
+    df = spark.createDataFrame(
+        [(0, "a \na\na \n   \n   \na")],
+        "doc_id bigint, text string")
+    r = dedup_lines(df).collect()[0]
+    # "a " (idx 2) repeats idx 0; final "a" repeats idx 1; the two
+    # whitespace-only lines are blank and both stay
+    assert r["text_clean"] == "a \na\n   \n   "
+    assert r["n_lines_removed"] == 2
+    df2 = spark.createDataFrame([(0, "x\n\n\n")],
+                                "doc_id bigint, text string")
+    r2 = dedup_lines(df2).collect()[0]
+    assert r2["text_clean"] == "x\n\n\n"   # trailing empties preserved
+    assert r2["n_lines_removed"] == 0
+
+
+def test_dedup_lines_plan_is_map_only(spark):
+    from flink_descriptive_stats_spark.operators.dedup import dedup_lines
+    df = spark.createDataFrame([(0, "a\nb")],
+                               "doc_id bigint, text string")
+    plan = dedup_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEval" not in plan and "BatchEval" not in plan
+
+
+def test_dedup_lines_duplicate_line_fraction_drops(spark):
+    """Cleaning the planted fixture removes the nav repeats the
+    fixture plants and nothing else (synth_lines_expr contract)."""
+    from flink_descriptive_stats_spark.operators.dedup import (
+        LINE_NAV, dedup_lines, synth_lines_expr)
+    docs = (spark.read.parquet(SF_DIR + "/documents.parquet")
+            .where(F.col("text").isNotNull()).limit(50))
+    planted = docs.select(
+        "doc_id", synth_lines_expr("text", "doc_id").alias("text"))
+    out = dedup_lines(planted).collect()
+    for r in out:
+        if r["id"] % 2 == 0:
+            assert r["n_lines_removed"] == 2, r["id"]
+            assert r["text_clean"].count(LINE_NAV) == 1
+            # the kept blank line is the final segment -> trailing \n
+            assert r["text_clean"].endswith("\n")
+        else:
+            assert r["n_lines_removed"] == 0, r["id"]
+
+
+def test_boilerplate_ngrams_multi_length_report(spark):
+    """The multi-length triage sibling: both the 7-word header's
+    lengths and the 4-word banner surface in ONE pass, longest form
+    first on DF ties; the single-length schema stays unchanged."""
+    from flink_descriptive_stats_spark.operators.dedup import (
+        SPAN_HEADER, boilerplate_ngrams)
+    rows = []
+    for i in range(10):
+        body = f"distinct-{i} on subject-{i * 19} tail-{i * 23}"
+        rows.append((i, SPAN_HEADER + " " + body + " " + SPAN_SHORT))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = boilerplate_ngrams(df, min_ngram=4, min_df=10, k=50,
+                             max_ngram=7).collect()
+    assert out and out[0].asDict().keys() == {"ngram", "ngram_len",
+                                              "df_docs"}
+    got = {(r["ngram"], r["ngram_len"]) for r in out}
+    assert (SPAN_HEADER.lower(), 7) in got
+    assert (SPAN_SHORT.lower(), 4) in got
+    # all-df-10 fixture: ties order longest first
+    lens = [r["ngram_len"] for r in out]
+    assert lens == sorted(lens, reverse=True)
+    single = boilerplate_ngrams(df, min_ngram=7, min_df=10).collect()
+    assert single[0].asDict().keys() == {"ngram", "df_docs"}
+    with pytest.raises(ValueError, match="max_ngram"):
+        boilerplate_ngrams(df, min_ngram=5, max_ngram=4)
+
+
+def test_curate_dedup_lines_stage_merges_scraper_variants(spark):
+    """Composition pin: two pages identical except a scraper-duplicated
+    nav line are DIFFERENT docs to canonical dedup, but dedup together
+    once the r12 dedup_lines stage rewrites them; the holdout is
+    rewritten symmetrically so exact decontamination still fires."""
+    from flink_descriptive_stats_spark.operators.quality import \
+        curate_corpus
+    nav = "Home | About"
+    body = ("substantial real page content with many meaningful words "
+            "covering an actual topic in depth and detail for quality")
+    rows = [
+        (0, nav + "\n" + body, "en", "s", 1),
+        (1, nav + "\n" + body + "\n" + nav, "en", "s", 1),  # dup'd nav
+        (2, "totally different discussion of another valuable topic "
+            "with plenty of informative unique words to pass quality",
+         "en", "s", 1),
+        (3, nav + "\nleaked holdout content words appear here twice "
+            "with enough length to be a real page", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    ho = spark.createDataFrame(
+        [(9, nav + "\nleaked holdout content words appear here twice "
+             "with enough length to be a real page\n" + nav,
+          "en", "s", 1)], df.schema)
+    out = curate_corpus(df, ho, min_score=0.0, cap=10,
+                        dedup_lines=True)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 0/1 merged (keep-best keeps one), 3 decontaminated despite the
+    # nav-line difference between train and holdout copies
+    assert 2 in ids and 3 not in ids
+    assert len([i for i in ids if i in (0, 1)]) == 1
+    # without the stage: 0/1 both survive and 3 escapes decontamination
+    base = curate_corpus(df, ho, min_score=0.0, cap=10)
+    bids = sorted(r["doc_id"] for r in base.collect())
+    assert 0 in bids and 1 in bids and 3 in bids

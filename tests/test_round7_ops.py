@@ -20,27 +20,41 @@ SF01 = "/root/testdata/sf0.01"
 # card: approx median (VERDICT r6 "What's missing #2")
 
 def test_dataset_card_approx_matches_exact(spark):
-    """exact=False swaps ONLY the median's aggregate (F.percentile ->
-    percentile_approx): every other card row is identical, and the
-    approx median sits within the GK accuracy bound of the exact one
-    (at accuracy=10000 and fixture scale the two are equal or adjacent
-    token-count values)."""
+    """exact=False swaps the median's aggregate (F.percentile ->
+    percentile_approx) and, since r12, the two duplicate fractions
+    (count_distinct -> approx_count_distinct at CARD_APPROX_RSD):
+    those three rows sit within their sketches' accuracy bounds of the
+    exact card; every other row is identical."""
+    from flink_descriptive_stats_spark.operators.quality import \
+        CARD_APPROX_RSD
     docs = load_table(spark, SF01, "documents")
     exact = {(r["section"], r["metric"]): r["value"]
              for r in Q.dataset_card(docs).collect()}
     approx = {(r["section"], r["metric"]): r["value"]
               for r in Q.dataset_card(docs, exact=False).collect()}
     assert set(exact) == set(approx)
+    sketched = {("quality", "median_tokens"),
+                ("dedup", "exact_dup_fraction"),
+                ("dedup", "canonical_dup_fraction")}
     for k in exact:
-        if k == ("quality", "median_tokens"):
+        if k in sketched:
             continue
         assert exact[k] == approx[k], k
+    n = docs.where(F.col("text").isNotNull()).count()
     me = float(exact[("quality", "median_tokens")])
     ma = float(approx[("quality", "median_tokens")])
-    n = docs.where(F.col("text").isNotNull()).count()
     # GK bound: rank error <= n/accuracy; translate to a value bound via
     # the observed token-count spread (loose but fixture-honest)
     assert abs(me - ma) <= max(1.0, me * 0.05), (me, ma, n)
+    for k in (("dedup", "exact_dup_fraction"),
+              ("dedup", "canonical_dup_fraction")):
+        def _f(v):
+            m, e = v.split("e")
+            return float(m) * 10.0 ** int(e)
+        cd_e = (1.0 - _f(exact[k])) * n     # back to distinct counts
+        cd_a = (1.0 - _f(approx[k])) * n
+        assert abs(cd_a - cd_e) <= 3 * CARD_APPROX_RSD * cd_e + 1e-9, \
+            (k, exact[k], approx[k])
 
 
 # ---------------------------------------------------------------- chunked

@@ -775,6 +775,17 @@ def main() -> None:
         "path; this is what the card should run first on 100 TB.",
         fmt(spark, QLT._card_agg_frame(per12, exact=False))))
 
+    sections.append((
+        "Within-document line dedup (round 12)",
+        "dedup_lines: the page-level repeated-line cleanup (scraper-\n"
+        "duplicated nav/footer lines; blank lines kept as structure)\n"
+        "is ONE Project over the scan — the line array materializes as\n"
+        "a column BEFORE the first-occurrence filter lambda (the r11\n"
+        "derived-array lesson), so no Exchange, no Join, no Python,\n"
+        "no state; runs as-is under Structured Streaming. O(L^2) only\n"
+        "in the per-page line count.",
+        fmt(spark, DDP.dedup_lines(docs))))
+
     with open("EXPLAIN.md", "w") as f:
         f.write(
             '# Plan audit — `.explain("formatted")` of the flagship '
