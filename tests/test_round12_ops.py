@@ -546,3 +546,29 @@ def test_curate_dedup_lines_stage_merges_scraper_variants(spark):
     base = curate_corpus(df, ho, min_score=0.0, cap=10)
     bids = sorted(r["doc_id"] for r in base.collect())
     assert 0 in bids and 1 in bids and 3 in bids
+
+
+def test_dedup_lines_streams_stateless(spark, tmp_path):
+    """Stateless per row: the same dedup_lines call runs under
+    Structured Streaming and emits row-for-row the batch output."""
+    from flink_descriptive_stats_spark.operators.dedup import dedup_lines
+    nav = "Nav | Bar"
+    df = spark.createDataFrame(
+        [(i, nav + f"\nbody {i} words\n" + nav) for i in range(8)],
+        "doc_id bigint, text string")
+    chunks = str(tmp_path / "chunks")
+    df.repartition(2).write.parquet(chunks)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(chunks))
+    sink = str(tmp_path / "sink")
+    q = (dedup_lines(stream)
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["id"]: tuple(r) for r in spark.read.parquet(sink).collect()}
+    want = {r["id"]: tuple(r) for r in dedup_lines(df).collect()}
+    assert got == want and len(got) == 8
