@@ -1576,26 +1576,38 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
     return _span_rewrite_select(j)
 
 
+def _multi_n_grams(base: DataFrame, ns: list[int]) -> DataFrame:
+    """The shared multi-length positional scaffold: (id, __i, __n,
+    __gram) from a frame carrying a materialized ``__w`` word array —
+    every length in ``ns`` rides one explode next to the start index,
+    the gram is a variable-length lowercased slice. ONE definition so
+    the remover (_multi_n_covered) and the triage view
+    (boilerplate_ngrams max_ngram) cannot drift."""
+    m = F.size("__w")
+    gram = F.lower(F.concat_ws(
+        " ", F.slice("__w", F.col("__i") + 1, F.col("__n"))))
+    return (base.where(m >= min(ns))
+            .select("id", "__w",
+                    F.explode(F.array(*[F.lit(k) for k in ns]))
+                    .alias("__n"))
+            .where(m >= F.col("__n"))
+            .select("id", "__w", "__n",
+                    F.explode(F.sequence(F.lit(0), m - F.col("__n")))
+                    .alias("__i"))
+            .select("id", "__i", "__n", gram.alias("__gram")))
+
+
 def _multi_n_covered(base: DataFrame, ns: list[int],
                      min_df) -> DataFrame:
     """Multi-length positional mining: (id, __cov) coverage from every
-    n in ``ns`` in ONE pass over the word arrays — n rides the explode
-    as __n, the gram is a variable-length slice, and the hash input is
+    n in ``ns`` in ONE pass over the word arrays — the hash input is
     "{n}:{gram}" (length folded in, mirrored literally by the oracle's
     nn::VARCHAR || ':' || gram)."""
-    m = F.size("__w")
-    n_lit = F.explode(F.array(*[F.lit(k) for k in ns]))
-    gram = F.lower(F.concat_ws(
-        " ", F.slice("__w", F.col("__i") + 1, F.col("__n"))))
-    pos = (base.where(m >= min(ns))
-           .select("id", "__w", n_lit.alias("__n"))
-           .where(m >= F.col("__n"))
-           .select("id", "__w", "__n",
-                   F.explode(F.sequence(F.lit(0), m - F.col("__n")))
-                   .alias("__i"))
+    pos = (_multi_n_grams(base, ns)
            .select("id", "__i", "__n",
                    F.pmod(H.token_hash(F.concat(
-                       F.col("__n").cast("string"), F.lit(":"), gram)),
+                       F.col("__n").cast("string"), F.lit(":"),
+                       F.col("__gram"))),
                        F.lit(H.MERSENNE_P)).alias("__sh")))
     if isinstance(min_df, dict):
         thr = None
@@ -1853,18 +1865,9 @@ def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
         if not ns:
             raise ValueError(
                 f"max_ngram must be >= min_ngram, got {max_ngram} < {n}")
-        gram = F.lower(F.concat_ws(
-            " ", F.slice("__w", F.col("__i") + 1, F.col("__n"))))
-        pos = (base.where(m >= min(ns))
-               .select("id", "__w",
-                       F.explode(F.array(*[F.lit(x) for x in ns]))
-                       .alias("__n"))
-               .where(m >= F.col("__n"))
-               .select("id", "__w", "__n",
-                       F.explode(F.sequence(F.lit(0), m - F.col("__n")))
-                       .alias("__i"))
+        pos = (_multi_n_grams(base, ns)
                .select("id", F.col("__n").alias("ngram_len"),
-                       gram.alias("ngram")))
+                       F.col("__gram").alias("ngram")))
         return (pos.distinct()
                 .groupBy("ngram", "ngram_len")
                 .agg(F.count(F.lit(1)).alias("df_docs"))

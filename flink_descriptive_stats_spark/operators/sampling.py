@@ -272,9 +272,12 @@ def pack_sequences_bfd(df: DataFrame, text_col: str = "text",
     applyInPandas over shard = id % n_shards — shard count is the
     parallelism knob exactly as in pack_sequences, and each shard's
     Python loop is O(docs_in_shard x open_bins). Deterministic: sort by
-    (size desc, id asc), tie-break bins by lowest pack_id; rows-only
-    gate (bin state is not SQL-expressible), invariants + an optimality
-    fixture are pytest-pinned."""
+    (size desc, id asc), tie-break bins by lowest pack_id. Since r12
+    the assignment is fully ORACLE-GATED: the DuckDB mirror
+    (oracle_pipeline.pack_sequences_bfd_sql) REPLAYS the bin state
+    literally via a recursive CTE, so any change to the sort or the
+    tie-break must land on both sides; invariants + an optimality
+    fixture stay pytest-pinned, and pack_stats_bfd gates the summary."""
     import pandas as pd
 
     from flink_descriptive_stats_spark.functions import hashing as H
@@ -286,28 +289,36 @@ def pack_sequences_bfd(df: DataFrame, text_col: str = "text",
          .where(F.col("n_tokens") > 0))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["n_tokens", "id"],
-                              ascending=[False, True])
-        remaining: list[int] = []
-        assign = []
-        for sz in pdf["n_tokens"]:
-            sz = int(sz)
-            best, best_rem = -1, max_tokens + 1
-            for b, rem in enumerate(remaining):
-                if sz <= rem < best_rem:
-                    best, best_rem = b, rem
-            if best < 0:
-                best = len(remaining)
-                remaining.append(max_tokens)
-            remaining[best] -= sz
-            assign.append(best)
-        out = pdf.copy()
-        out["pack_id"] = assign
+        out = pdf.sort_values(["n_tokens", "id"],
+                              ascending=[False, True]).copy()
+        out["pack_id"] = _bfd_assign(out["n_tokens"], max_tokens)
         return out[["id", "shard", "pack_id", "n_tokens"]]
 
     return (d.groupBy("shard")
             .applyInPandas(pack, "id bigint, shard bigint, "
                                  "pack_id bigint, n_tokens bigint"))
+
+
+def _bfd_assign(sizes, max_tokens: int) -> list[int]:
+    """The best-fit-decreasing core over an ALREADY (size desc, id asc)
+    sorted size sequence: tightest fitting bin, lowest pack_id on
+    ties, new bin otherwise — one definition shared by the assignment
+    and the stats operators (and replayed literally by the oracle's
+    recursive CTE)."""
+    remaining: list[int] = []
+    assign: list[int] = []
+    for sz in sizes:
+        sz = int(sz)
+        best, best_rem = -1, max_tokens + 1
+        for b, rem in enumerate(remaining):
+            if sz <= rem < best_rem:
+                best, best_rem = b, rem
+        if best < 0:
+            best = len(remaining)
+            remaining.append(max_tokens)
+        remaining[best] -= sz
+        assign.append(best)
+    return assign
 
 
 def pack_stats_bfd(df: DataFrame, text_col: str = "text",
@@ -325,32 +336,44 @@ def pack_stats_bfd(df: DataFrame, text_col: str = "text",
     (oracle_pipeline.pack_stats_bfd_sql), turning the rows-only
     pack_sequences_bfd family into an oracle-gated one.
 
-    Cost: the pack run itself (one applyInPandas over n_shards) plus
-    ONE bounded (shard, pack_id) groupBy and a 1-row overflow
-    aggregate cross-joined in (broadcast of one row). mean_fill goes
-    through sig6; counts and min/max stay raw."""
+    Cost: ONE corpus scan — the narrow projection carries the capped
+    token count AND an overflow flag (codegen subexpression
+    elimination tokenizes once), the per-shard applyInPandas runs the
+    shared _bfd_assign core, and ONE bounded (shard, pack_id) groupBy
+    folds fills, doc counts and overflow together (the r12 review
+    found the first version re-scanning the corpus just for the
+    overflow count). mean_fill goes through sig6; counts and min/max
+    stay raw."""
+    import pandas as pd
+
     from flink_descriptive_stats_spark.functions.sig import sig6
-    packed = pack_sequences_bfd(df, text_col=text_col, id_col=id_col,
-                                max_tokens=max_tokens,
-                                n_shards=n_shards)
+    toks = F.size(H.tokens_expr(F.col(text_col)))
+    d = (df.where(F.col(text_col).isNotNull())
+         .select(F.col(id_col).alias("id"),
+                 F.least(toks, F.lit(max_tokens)).alias("n_tokens"),
+                 (toks > max_tokens).alias("over"),
+                 (F.col(id_col) % n_shards).alias("shard"))
+         .where(F.col("n_tokens") > 0))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(["n_tokens", "id"],
+                              ascending=[False, True]).copy()
+        out["pack_id"] = _bfd_assign(out["n_tokens"], max_tokens)
+        return out[["id", "shard", "pack_id", "n_tokens", "over"]]
+
+    packed = d.groupBy("shard").applyInPandas(
+        pack, "id bigint, shard bigint, pack_id bigint, "
+              "n_tokens bigint, over boolean")
     fills = (packed.groupBy("shard", "pack_id")
              .agg(F.sum("n_tokens").alias("fill"),
-                  F.count(F.lit(1)).alias("nd")))
-    fa = fills.agg(
-        F.count(F.lit(1)).alias("n_packs"),
-        F.sum("nd").alias("n_docs"),
+                  F.count(F.lit(1)).alias("nd"),
+                  F.count_if(F.col("over")).alias("novf")))
+    return fills.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+        F.coalesce(F.sum("nd"), F.lit(0)).cast("bigint")
+        .alias("n_docs"),
+        F.coalesce(F.sum("novf"), F.lit(0)).cast("bigint")
+        .alias("n_overflow"),
         sig6(F.avg(F.col("fill").cast("double"))).alias("mean_fill"),
-        F.max("fill").alias("max_fill"),
-        F.min("fill").alias("min_fill"))
-    raw = F.size(H.tokens_expr(F.col(text_col)))
-    ov = (df.where(F.col(text_col).isNotNull())
-          .agg(F.count_if(raw > max_tokens).alias("n_overflow")))
-    return (fa.crossJoin(ov)         # 1-row x 1-row
-            .select(F.col("n_packs").cast("bigint").alias("n_packs"),
-                    F.coalesce(F.col("n_docs"), F.lit(0))
-                    .cast("bigint").alias("n_docs"),
-                    F.col("n_overflow").cast("bigint")
-                    .alias("n_overflow"),
-                    "mean_fill",
-                    F.col("max_fill").cast("bigint").alias("max_fill"),
-                    F.col("min_fill").cast("bigint").alias("min_fill")))
+        F.max("fill").cast("bigint").alias("max_fill"),
+        F.min("fill").cast("bigint").alias("min_fill"))

@@ -12,6 +12,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: card-monitor phrase-tokenization contract version, recorded in the
+#: snapshot meta row: bumped when phrase_hit_exprs' tokenization rule
+#: changes hit semantics (2 = the r12 ASCII-whitespace class; the
+#: unversioned era used str.split's Unicode class).
+_PHRASE_TOK_VERSION = 2
+
+
 def _pa_write_dir(path: str, table) -> None:
     """Write a TINY driver-local pyarrow table as a parquet directory that
     spark.read.parquet accepts (part file + _SUCCESS), atomically (temp
@@ -884,6 +891,29 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                         f"{m.get('boilerplate_phrases')}; refusing to "
                         "merge with boilerplate_phrases="
                         f"{list(boilerplate_phrases or []) or None}")
+                # phrase-TOKENIZATION version (r12): phrase_hit_exprs
+                # switched from str.split() (Unicode whitespace) to
+                # the engine's ASCII class — the same phrase STRING
+                # can count different docs across that change, so a
+                # pre-r12 snapshot is only continuable when every
+                # phrase tokenizes identically under both rules
+                # (which covers all plain-ASCII phrase lists)
+                if boilerplate_phrases and \
+                        m.get("phrase_tok") != _PHRASE_TOK_VERSION:
+                    from flink_descriptive_stats_spark.operators.dedup \
+                        import _phrase_tokens
+                    drifted = [
+                        ph for ph in boilerplate_phrases
+                        if [t.lower() for t in ph.split()]
+                        != _phrase_tokens(ph, "card-monitor")]
+                    if drifted:
+                        raise ValueError(
+                            "card-monitor snapshot at "
+                            f"{state_path} predates the r12 phrase-"
+                            "tokenization contract and these phrases "
+                            "tokenize differently under it: "
+                            f"{drifted}; refusing to merge counters "
+                            "with mixed hit semantics")
                 # same contract for the suffix set: the per-domain
                 # tally is KEYED by the suffix-aware domain, so a
                 # different list silently mixes keyings
@@ -1198,6 +1228,7 @@ def start_card_monitor(stream: DataFrame, sink_path: str,
                 meta["cleaning_section"] = bool(cleaning_section)
                 meta["boilerplate_phrases"] = list(
                     boilerplate_phrases or []) or None
+                meta["phrase_tok"] = _PHRASE_TOK_VERSION
                 meta["url_suffixes"] = (
                     sorted({x.lower().strip(".") for x in url_suffixes})
                     if url_suffixes else None)

@@ -572,3 +572,63 @@ def test_dedup_lines_streams_stateless(spark, tmp_path):
     got = {r["id"]: tuple(r) for r in spark.read.parquet(sink).collect()}
     want = {r["id"]: tuple(r) for r in dedup_lines(df).collect()}
     assert got == want and len(got) == 8
+
+
+def test_card_monitor_phrase_tokenization_version_guard(spark, tmp_path):
+    """r12 review fix: the phrase-hit tokenization rule changed (ASCII
+    whitespace class); a pre-r12 snapshot (no phrase_tok in meta) is
+    continuable only when every configured phrase tokenizes the same
+    under both rules — an NBSP phrase proves drift and is refused."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from flink_descriptive_stats_spark.streaming.pipeline_stream import \
+        start_card_monitor
+    ascii_ph = ["plain ascii phrase"]
+    nbsp_ph = ["foo bar"]
+    df = spark.createDataFrame(
+        [(i, f"doc {i} plain ascii phrase words", "s0")
+         for i in range(4)],
+        "doc_id bigint, text string, source string")
+
+    def _run(phrases, tag, strip_version=False):
+        chunks = str(tmp_path / f"chunks{tag}")
+        if not os.path.isdir(chunks):
+            df.write.parquet(chunks)
+        state = str(tmp_path / f"state{tag}")
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(chunks))
+        q = start_card_monitor(
+            stream, str(tmp_path / f"sink{tag}"), state_path=state,
+            checkpoint_path=str(
+                tmp_path / f"ck{tag}-{strip_version}"),
+            boilerplate_phrases=phrases)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if strip_version:
+            vdir = sorted(os.listdir(state))[-1]
+            f = [x for x in os.listdir(os.path.join(state, vdir))
+                 if x.endswith(".parquet")][0]
+            path = os.path.join(state, vdir, f)
+            t = pq.read_table(path)
+            keys = t.column("key").to_pylist()
+            for i, kind in enumerate(t.column("kind").to_pylist()):
+                if kind == "meta":
+                    m = json.loads(keys[i])
+                    assert m.pop("phrase_tok") == 2
+                    keys[i] = json.dumps(m)
+            t = t.set_column(t.schema.get_field_index("key"), "key",
+                             pa.array(keys, pa.string()))
+            pq.write_table(t, path)
+        return state
+
+    # ASCII phrases: legacy (version-stripped) snapshot continues fine
+    _run(ascii_ph, "a", strip_version=True)
+    _run(ascii_ph, "a")
+    # NBSP phrase: legacy snapshot refused, versioned snapshot fine
+    _run(nbsp_ph, "b", strip_version=True)
+    with pytest.raises(ValueError, match="phrase-"):
+        _run(nbsp_ph, "b")
+    _run(nbsp_ph, "c")
+    _run(nbsp_ph, "c")            # same-version restart continues

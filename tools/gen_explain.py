@@ -748,13 +748,15 @@ def main() -> None:
     from flink_descriptive_stats_spark.operators import sampling as SMP
     sections.append((
         "BFD packing summary (round 12)",
-        "pack_stats_bfd: the per-shard applyInPandas BFD run collapses\n"
-        "into ONE bounded (shard, pack_id) groupBy whose single-row\n"
-        "aggregate cross-joins the 1-row overflow count — both sides of\n"
-        "the crossJoin are single rows (broadcast), so the summary adds\n"
-        "one bounded shuffle to the packing itself. The whole family is\n"
-        "now oracle-gated: DuckDB replays the bin state literally via a\n"
-        "recursive CTE.",
+        "pack_stats_bfd: ONE corpus scan — the narrow projection\n"
+        "carries the capped token count AND the overflow flag (codegen\n"
+        "subexpression elimination tokenizes once), the per-shard\n"
+        "applyInPandas runs the shared BFD core, and ONE bounded\n"
+        "(shard, pack_id) groupBy folds fills, doc counts and overflow\n"
+        "together into the single summary row (the first draft paid a\n"
+        "second full scan just for the overflow count — caught in the\n"
+        "r12 self-review). The whole family is oracle-gated: DuckDB\n"
+        "replays the bin state literally via a recursive CTE.",
         fmt(spark, SMP.pack_stats_bfd(docs))))
 
     from flink_descriptive_stats_spark.operators import quality as QLT
