@@ -288,13 +288,23 @@ GATED_50 = (
     "doc_clusters_documents",            # text -> vector -> clustering
     "column_entropy_events",
     # -- sketches / sampling / prep (r7 #12: temperature_mixture in —
-    #    the n^alpha source re-weighting recipe joins hash_split so the
-    #    mixture-law math gets a hard gate; pii_scan demoted with
-    #    transitive cover from the gated dataset_card_documents, whose
-    #    pii_doc_fraction row consumes pii_scan's aggregate — still
-    #    oracle-verified at 51+, see SURVEY §5.7)
+    #    the n^alpha source re-weighting recipe gets a hard gate on the
+    #    mixture-law math; pii_scan demoted with transitive cover from
+    #    the gated dataset_card_documents, whose pii_doc_fraction row
+    #    consumes pii_scan's aggregate — still oracle-verified at 51+,
+    #    see SURVEY §5.7)
     "countmin_topk_documents",
-    "hash_split_documents",
+    # r13 #18: the BFD bin-packing summary in — the window's first
+    # bin-packing row and round 12's deepest oracle surface (DuckDB
+    # replays the per-shard remaining-capacity list step by step via a
+    # recursive CTE, so any drift in the size-desc/id-asc sort or the
+    # tightest-bin/lowest-pack-id tie-break is caught by the driver).
+    # hash_split demoted with transitive cover: the gated
+    # temperature_mixture_documents keeps the SAME deterministic
+    # md5-bucket keep rule (_bucket + integer-literal thresholds, the
+    # one sampling decision primitive) driver-gated — hash_split stays
+    # oracle-verified at 51+, see SURVEY §5.7
+    "pack_stats_bfd_documents",
     "temperature_mixture_documents",
     # -- multimodal plumbing
     "multimodal_frames_documents",

@@ -69,15 +69,20 @@ def _await_clean_machine(max_wait_s: int = 300) -> dict:
     return machine
 
 
-def _fold_in(fold: dict, times: dict, prior_queries: dict) -> None:
+def _fold_in(fold: dict, times: dict, prior_queries: dict) -> bool:
     """Fold one same-day snapshot's per-query times into ``fold`` (the
     min-of-day map): a prior time replaces the current one only when
     BOTH runs passed — folding a prior pass over a current -1 would
     report a passing time for a query that is broken right now,
-    masking a same-day regression (ADVICE r11)."""
+    masking a same-day regression (ADVICE r11). Returns whether any
+    time was actually replaced, so a snapshot that contributed
+    nothing is not counted among the folded runs (ADVICE r12)."""
+    replaced = False
     for k, v in prior_queries.items():
         if times[k] >= 0 and 0 <= v < fold[k]:
             fold[k] = v
+            replaced = True
+    return replaced
 
 
 def main() -> None:
@@ -189,8 +194,8 @@ def main() -> None:
                 continue
             if prior.get("machine", {}).get("stray_jvms"):
                 continue
-            folded_from.append(fname)
-            _fold_in(fold, times, pq)
+            if _fold_in(fold, times, pq):
+                folded_from.append(fname)
         if folded_from:
             print(f"min-of-day fold: {len(folded_from)} prior same-day "
                   f"snapshot(s): {folded_from}", file=sys.stderr)

@@ -1530,16 +1530,7 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
     if not ns:
         raise ValueError(
             f"max_ngram must be >= min_ngram, got {max_ngram} < {n}")
-    if isinstance(min_df, dict):
-        if len(ns) == 1:
-            raise ValueError("per-n min_df needs max_ngram > min_ngram")
-        missing = [k for k in ns if k not in min_df]
-        if missing:
-            raise ValueError(f"min_df dict missing lengths {missing}")
-        if any(v < 2 for v in min_df.values()):
-            raise ValueError(f"every min_df must be >= 2, got {min_df}")
-    elif min_df < 2:
-        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    _validate_min_df(min_df, ns)
     # no checkpoint: base is a narrow projection over the scan; the two
     # consumers (n-gram branch, rewrite branch) each re-scan, which is
     # cheaper at scale than materializing full text
@@ -1597,6 +1588,42 @@ def _multi_n_grams(base: DataFrame, ns: list[int]) -> DataFrame:
             .select("id", "__i", "__n", gram.alias("__gram")))
 
 
+def _per_n_threshold(min_df, n_col: str) -> F.Column:
+    """The per-length DF threshold as a Column over ``n_col``: a plain
+    literal for scalar ``min_df``, a CASE on the n-gram length for the
+    {n: df} dict form — ONE definition shared by the remover
+    (_multi_n_covered) and the triage view (boilerplate_ngrams
+    max_ngram), so a dict-threshold despan can always be previewed
+    with matching parameters (ADVICE r12)."""
+    if isinstance(min_df, dict):
+        thr = None
+        for k, v in sorted(min_df.items()):
+            cond = F.col(n_col) == int(k)
+            thr = (F.when(cond, F.lit(int(v))) if thr is None
+                   else thr.when(cond, F.lit(int(v))))
+        return thr
+    return F.lit(int(min_df))
+
+
+def _validate_min_df(min_df, ns: list[int]) -> None:
+    """Shared {n: df}/scalar validation for the span-mining family:
+    a dict needs a real multi-length range, must cover every mined
+    length, and every threshold must be >= 2 (df=1 would mark every
+    n-gram repeated). Raises the same messages remove_repeated_spans
+    always raised, now also from boilerplate_ngrams instead of an
+    opaque Column-comparison error (ADVICE r12)."""
+    if isinstance(min_df, dict):
+        if len(ns) == 1:
+            raise ValueError("per-n min_df needs max_ngram > min_ngram")
+        missing = [k for k in ns if k not in min_df]
+        if missing:
+            raise ValueError(f"min_df dict missing lengths {missing}")
+        if any(v < 2 for v in min_df.values()):
+            raise ValueError(f"every min_df must be >= 2, got {min_df}")
+    elif min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+
+
 def _multi_n_covered(base: DataFrame, ns: list[int],
                      min_df) -> DataFrame:
     """Multi-length positional mining: (id, __cov) coverage from every
@@ -1609,14 +1636,7 @@ def _multi_n_covered(base: DataFrame, ns: list[int],
                        F.col("__n").cast("string"), F.lit(":"),
                        F.col("__gram"))),
                        F.lit(H.MERSENNE_P)).alias("__sh")))
-    if isinstance(min_df, dict):
-        thr = None
-        for k, v in sorted(min_df.items()):
-            cond = F.col("__n") == int(k)
-            thr = (F.when(cond, F.lit(int(v))) if thr is None
-                   else thr.when(cond, F.lit(int(v))))
-    else:
-        thr = F.lit(int(min_df))
+    thr = _per_n_threshold(min_df, "__n")
     # __n is functionally determined by __sh (it is folded into the
     # hash) — grouping by both keeps it addressable for the per-n
     # threshold without changing the key's cardinality
@@ -1827,7 +1847,7 @@ def synth_span_expr(text_col: str, id_col: str) -> F.Column:
 
 def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", min_ngram: int = 5,
-                       min_df: int = 5, k: int = 20,
+                       min_df: int | dict[int, int] = 5, k: int = 20,
                        max_ngram: int | None = None) -> DataFrame:
     """The triage view BEFORE remove_repeated_spans: the top-``k``
     cross-document repeated word n-grams as STRINGS — (ngram, df_docs)
@@ -1842,7 +1862,10 @@ def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
     an extra ``ngram_len`` column and (df desc, len desc, ngram asc)
     ties so the longest form of a nested repeat surfaces first; the
     default (None) keeps the single-length (ngram, df_docs) schema
-    byte-identical.
+    byte-identical. ``min_df`` then accepts the remover's {n: df}
+    dict (per-length thresholds, same validation), so a
+    dict-threshold remove_repeated_spans can be PREVIEWED with
+    matching parameters — the triage contract (ADVICE r12).
 
     Scale: distinct (id, ngram) then ONE bounded groupBy(ngram) with
     HAVING df >= min_df — the n-gram strings ride the shuffle (the
@@ -1851,9 +1874,12 @@ def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
     a k-row frame."""
     if min_ngram < 2:
         raise ValueError(f"min_ngram must be >= 2, got {min_ngram}")
-    if min_df < 2:
-        raise ValueError(f"min_df must be >= 2, got {min_df}")
     n = int(min_ngram)
+    ns = [n] if max_ngram is None else list(range(n, int(max_ngram) + 1))
+    if not ns:
+        raise ValueError(
+            f"max_ngram must be >= min_ngram, got {max_ngram} < {n}")
+    _validate_min_df(min_df, ns)
     t = F.col(text_col)
     base = (df.where(t.isNotNull())
             .select(F.col(id_col).alias("id"),
@@ -1861,17 +1887,14 @@ def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
                     .alias("__w")))
     m = F.size("__w")
     if max_ngram is not None:
-        ns = list(range(n, int(max_ngram) + 1))
-        if not ns:
-            raise ValueError(
-                f"max_ngram must be >= min_ngram, got {max_ngram} < {n}")
         pos = (_multi_n_grams(base, ns)
                .select("id", F.col("__n").alias("ngram_len"),
                        F.col("__gram").alias("ngram")))
         return (pos.distinct()
                 .groupBy("ngram", "ngram_len")
                 .agg(F.count(F.lit(1)).alias("df_docs"))
-                .where(F.col("df_docs") >= min_df)
+                .where(F.col("df_docs") >=
+                       _per_n_threshold(min_df, "ngram_len"))
                 .orderBy(F.col("df_docs").desc(),
                          F.col("ngram_len").desc(), F.col("ngram"))
                 .limit(k)

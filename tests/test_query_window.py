@@ -59,7 +59,10 @@ def test_gated_window_holds_all_operator_families():
                  "embedding_neardup_lsh",
                  "ann_lsh_topk",
                  "dataset_card_documents",   # r6 #11 composition row
-                 "hash_split_documents",
+                 "pack_stats_bfd_documents",  # r13 #18 promotion: the
+                                              # window's first bin-
+                                              # packing row (recursive-
+                                              # CTE BFD replay)
                  "multimodal_frames_documents", "sessionize_events",
                  "remove_spans_documents",          # r12 #17 promotion:
                                               # the sub-document span
@@ -94,6 +97,10 @@ def test_gated_window_holds_all_operator_families():
                                               # left-join orphan machinery
                                               # graph-wide, incl. a failing
                                               # edge)
+                    "hash_split_documents",   # r13 #18 (the gated
+                                              # temperature_mixture keeps
+                                              # the same md5 _bucket keep
+                                              # rule driver-gated)
                     "repetition_stats_documents",  # r12 #17 (the span
                                               # family measures AND removes
                                               # the repetition dimension;

