@@ -725,14 +725,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dataset_card_by_source(_load(spark, sf_dir, "documents"))
     q["dataset_card_by_source_documents"] = _dataset_card_by_source
 
-    # 100 TB sibling of the gated card (r7): percentile_approx median —
-    # GK sketch state, so no SQL engine mirrors it; rows-only, agreement
-    # with the exact card pytest-pinned (tests/test_round7_ops.py)
-    def _dataset_card_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from flink_descriptive_stats_spark.operators.quality import \
-            dataset_card
-        return dataset_card(_load(spark, sf_dir, "documents"), exact=False)
-    q["dataset_card_approx_documents"] = _dataset_card_approx
+    # the 100 TB-default card, HASH-GATED (r13, VERDICT r12 missing #1):
+    # exact=False runs the full approx plan (HLL++ dup fractions, GK
+    # median — no Expand, no exact-distinct shuffle over doc hashes)
+    # and the gate selects the card's DETERMINISTIC rows (everything
+    # except CARD_SKETCHED_METRICS, whose values are engine-specific
+    # sketch state) — so the default path's plan executes under the
+    # driver gate and 11 of its 14 rows hash-compare against the same
+    # SQL as the exact card; the sketched three stay pytest-pinned to
+    # the exact card within their accuracy bounds (test_round7_ops).
+    # Replaces the rows-only dataset_card_approx_documents entry.
+    def _dataset_card_approx_stable(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+        from flink_descriptive_stats_spark.operators.quality import (
+            CARD_SKETCHED_METRICS, dataset_card)
+        card = dataset_card(_load(spark, sf_dir, "documents"), exact=False)
+        return card.where(~F.col("metric").isin(*CARD_SKETCHED_METRICS))
+    q["dataset_card_approx_stable_documents"] = _dataset_card_approx_stable
 
     # 100 TB scan-count route of the gated card (r8): ONE combined
     # narrow per-doc projection + one global aggregate + one bounded
@@ -2317,6 +2326,8 @@ def oracle_sql() -> dict[str, str]:
     o["quality_ensemble_documents"] = op.quality_ensemble_sql()
     o["curate_corpus_documents"] = op.curate_corpus_sql()
     o["dataset_card_documents"] = op.dataset_card_sql()
+    o["dataset_card_approx_stable_documents"] = \
+        op.dataset_card_approx_stable_sql()
     # the single-pass route computes the SAME card: same oracle
     o["dataset_card_1pass_documents"] = op.dataset_card_sql()
     o["dataset_card_by_source_documents"] = op.dataset_card_by_source_sql()

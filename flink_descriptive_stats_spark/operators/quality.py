@@ -691,6 +691,16 @@ def _empty_card_rows() -> list:
 #: hashes. Tests allow 3x (HLL rsd is one sigma).
 CARD_APPROX_RSD = 0.02
 
+#: the card metrics whose exact=False values come from engine-specific
+#: sketch state — the two HLL++ duplicate fractions and the GK-sketch
+#: median. Every OTHER row of the approx card is deterministic and
+#: oracle-expressible, so the driver gate hash-compares the 100 TB
+#: default path on the complement (dataset_card_approx_stable_documents,
+#: VERDICT r12 missing #1); the sketched three stay pytest-pinned to the
+#: exact card within their accuracy bounds (test_round7_ops).
+CARD_SKETCHED_METRICS: tuple[str, ...] = (
+    "exact_dup_fraction", "canonical_dup_fraction", "median_tokens")
+
 
 def _card_count_distinct(col, exact: bool):
     """The card's content-hash cardinality aggregate: exact
