@@ -1897,6 +1897,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are exact, so the BFD family gains a hard oracle signal
     q["pack_stats_bfd_documents"] = _tq(sampling.pack_stats_bfd,
                                         "documents")
+
+    # tokenizer-true packing (r13, VERDICT r12 missing #2): budget by a
+    # PRECOMPUTED per-doc token-count column (n_tokens_col) instead of
+    # the whitespace-regex proxy. The fixture column is the
+    # deterministic ~4-chars/token estimate floor(len/4)+1 (explicit
+    # floor on BOTH sides — Spark truncates double->bigint, DuckDB
+    # rounds), so the precomputed-budget plumbing is oracle-gated end
+    # to end; the real route is bpe_token_stats -> join n_bpe_tokens ->
+    # n_tokens_col="n_bpe_tokens" (equality with a materialized count
+    # column pytest-pinned, test_round13_ops)
+    def _pack_stats_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+        est = _load(spark, sf_dir, "documents").withColumn(
+            "n_tok_est", F.floor(F.length("text") / F.lit(4)) + F.lit(1))
+        return sampling.pack_stats_bfd(est, n_tokens_col="n_tok_est")
+    q["pack_stats_bfd_tokens_documents"] = _pack_stats_tokens
     # Datasketches HLL rollup: per-day sketches unioned to the total —
     # sketch bytes differ from any SQL engine's, so the gate is rows-only;
     # estimates are pytest-pinned against exact distincts within tolerance
@@ -2403,6 +2418,7 @@ def oracle_sql() -> dict[str, str]:
     o["pack_sequences_documents"] = op.pack_sequences_sql()
     o["pack_sequences_bfd_documents"] = op.pack_sequences_bfd_sql()
     o["pack_stats_bfd_documents"] = op.pack_stats_bfd_sql()
+    o["pack_stats_bfd_tokens_documents"] = op.pack_stats_bfd_tokens_sql()
     o["simhash_near_pairs_documents"] = op.simhash_near_pairs_sql()
     o["multimodal_frames_documents"] = (
         "WITH d AS (SELECT doc_id AS id, text, "

@@ -318,6 +318,11 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--stats", action="store_true",
                     help="one-row packing summary (n_packs, fills, "
                          "overflow) instead of the per-doc assignment")
+    pb.add_argument("--n-tokens-col", default=None,
+                    help="budget by this precomputed per-doc token-count "
+                         "column (tokenizer-true packing, e.g. the "
+                         "n_bpe_tokens a bpe-stats run wrote) instead "
+                         "of whitespace tokens of --text-col")
     _add_common(pb)
 
     ka = sub.add_parser("k-anonymity",
@@ -1382,7 +1387,8 @@ def main(argv: list[str] | None = None) -> int:
         fn = (sampling.pack_stats_bfd if args.stats
               else sampling.pack_sequences_bfd)
         _emit(fn(df, text_col=args.text_col, id_col=args.id_col,
-                 max_tokens=args.max_tokens, n_shards=args.n_shards),
+                 max_tokens=args.max_tokens, n_shards=args.n_shards,
+                 n_tokens_col=args.n_tokens_col),
               args.output)
         return 0
 

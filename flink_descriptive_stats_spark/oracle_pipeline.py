@@ -1260,7 +1260,8 @@ FROM w
 """
 
 
-def _bfd_ctes(table: str, cap: int, n_shards: int) -> str:
+def _bfd_ctes(table: str, cap: int, n_shards: int,
+              raw_sql: str | None = None) -> str:
     """Best-fit-decreasing REPLAYED literally (r12): a recursive CTE
     walks each shard's (size desc, id asc) order carrying the
     remaining-capacity list as bin state;
@@ -1269,14 +1270,19 @@ def _bfd_ctes(table: str, cap: int, n_shards: int) -> str:
     (= lowest pack_id on ties), exactly the Spark applyInPandas loop.
     Each recursive row also carries the processed item's (id,
     pack_id, nt), so the chain yields BOTH the per-doc assignment
-    (rk > 0 rows) and the final bin state (max-rk row per shard)."""
+    (rk > 0 rows) and the final bin state (max-rk row per shard).
+    ``raw_sql`` (r13) swaps the whitespace-token budget for any
+    per-doc count expression — the tokenizer-true path's mirror
+    (sampling._bfd_narrow n_tokens_col); NULL budgets are out of
+    scope exactly like the Spark side."""
     toks = H.duck_tokens("text")
+    raw = raw_sql if raw_sql is not None else f"len({toks})"
     return f"""d AS (
   SELECT doc_id AS id, doc_id % {n_shards} AS shard,
-         least(len({toks}), {cap}) AS nt,
-         len({toks}) AS raw
+         least({raw}, {cap}) AS nt,
+         {raw} AS raw
   FROM {table}
-  WHERE text IS NOT NULL AND len({toks}) > 0),
+  WHERE ({raw}) IS NOT NULL AND ({raw}) > 0),
 ranked AS (
   SELECT shard, id, nt,
          row_number() OVER (PARTITION BY shard
@@ -1322,15 +1328,16 @@ FROM bfd WHERE rk > 0
 
 
 def pack_stats_bfd_sql(table: str = "documents", max_tokens: int = 512,
-                       n_shards: int = 8) -> str:
+                       n_shards: int = 8,
+                       raw_sql: str | None = None) -> str:
     """Mirror of sampling.pack_stats_bfd — final per-shard bin states
     from the recursive BFD replay (_bfd_ctes) become pack fills; the
     summary aggregates them (mean through the shared sig6 rendering,
     aggregated in a CTE first because duck_sig6 cannot wrap a raw
-    aggregate)."""
+    aggregate). ``raw_sql`` mirrors n_tokens_col (see _bfd_ctes)."""
     cap = int(max_tokens)
     return f"""
-WITH RECURSIVE {_bfd_ctes(table, cap, int(n_shards))},
+WITH RECURSIVE {_bfd_ctes(table, cap, int(n_shards), raw_sql)},
 fin AS (
   SELECT shard, rem
   FROM (SELECT shard, rem, rk,
@@ -1351,6 +1358,25 @@ SELECT CAST(np AS BIGINT) AS n_packs,
        CAST(nf AS BIGINT) AS min_fill
 FROM agg, ov
 """
+
+
+#: the r13 tokenizer-true budget fixture: a deterministic chars-per-token
+#: estimate (floor(len/4)+1 — the ~4-chars/token heuristic) standing in
+#: for a real tokenizer's per-doc counts, floor'd EXPLICITLY on both
+#: sides because Spark truncates double->bigint casts while DuckDB
+#: rounds. The Spark query materializes the same formula as a column and
+#: packs with n_tokens_col, so the gate proves the precomputed-budget
+#: plumbing end to end.
+BFD_TOKENS_RAW_SQL = "CAST(floor(length(text) / 4) AS BIGINT) + 1"
+
+
+def pack_stats_bfd_tokens_sql(table: str = "documents",
+                              max_tokens: int = 512,
+                              n_shards: int = 8) -> str:
+    """Mirror of sampling.pack_stats_bfd(n_tokens_col=...) on the
+    chars-per-token estimate column (BFD_TOKENS_RAW_SQL)."""
+    return pack_stats_bfd_sql(table, max_tokens, n_shards,
+                              raw_sql=BFD_TOKENS_RAW_SQL)
 
 
 def ivf_topk_sql(table: str = "embeddings", k: int = 5, n_cells: int = 16,
