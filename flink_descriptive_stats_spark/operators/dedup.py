@@ -2071,7 +2071,8 @@ def synth_lines_expr(text_col: str, id_col: str) -> F.Column:
 
 
 def dedup_lines(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                max_lines: int | None = 100_000) -> DataFrame:
     """WITHIN-document repeated-line removal — the page-level cleanup
     stage public crawl pipelines run before any cross-document dedup
     (CCNet / RefinedWeb drop repeated nav menus, cookie bars and
@@ -2097,22 +2098,41 @@ def dedup_lines(df: DataFrame, text_col: str = "text",
     state, no Python; runs as-is under Structured Streaming
     (stateless per row). The first-occurrence test is array_position
     inside a filter lambda — O(L^2) per doc in the line count, which
-    is page-bounded, never corpus-bounded."""
+    is page-bounded, never corpus-bounded.
+
+    ``max_lines`` (r13, VERDICT r12 ask #5): the degenerate-page
+    guard. A pathological single document with millions of lines (a
+    concatenated log dump, a scraper loop) turns the page-bounded
+    O(L^2) into a task-stalling quadratic; docs with MORE than
+    ``max_lines`` lines therefore pass through UNTOUCHED
+    (n_lines_removed=0, n_lines still reported so the skip is
+    visible and filterable). The default 100k lines is ~50 MB of
+    text at typical line lengths — far beyond any real page, and
+    ~10^10 comparisons if quadratic. The test stays a row-local
+    size() comparison, so the plan is STILL one codegen Project
+    (pinned); None disables the guard."""
     t = F.col(text_col)
     # materialize the line array as a COLUMN before the lambda: an
     # array_position over the derived split EXPRESSION would re-run
     # the split per element (the r11 remove_listed_spans lesson)
     base = (df.where(t.isNotNull())
             .select(F.col(id_col).alias("id"),
+                    F.col(text_col).alias("__text"),
                     F.split(t, "\n", -1).alias("__lines")))
     lines = F.col("__lines")
     kept = _kept_lines(lines)
     n_lines = F.size(lines)
+    clean = F.array_join(kept, "\n")
+    removed = (n_lines - F.size(kept)).cast("bigint")
+    if max_lines is not None:
+        over = n_lines > int(max_lines)
+        clean = F.when(over, F.col("__text")).otherwise(clean)
+        removed = F.when(over, F.lit(0).cast("bigint")).otherwise(removed)
     return base.select(
         "id",
-        F.array_join(kept, "\n").alias("text_clean"),
+        clean.alias("text_clean"),
         n_lines.cast("bigint").alias("n_lines"),
-        (n_lines - F.size(kept)).cast("bigint").alias("n_lines_removed"))
+        removed.alias("n_lines_removed"))
 
 
 def _kept_lines(lines: F.Column) -> F.Column:
@@ -2124,17 +2144,24 @@ def _kept_lines(lines: F.Column) -> F.Column:
                      (F.array_position(lines, x) == i + 1))
 
 
-def dedup_lines_rewrite(df: DataFrame,
-                        text_col: str = "text") -> DataFrame:
+def dedup_lines_rewrite(df: DataFrame, text_col: str = "text",
+                        max_lines: int | None = 100_000) -> DataFrame:
     """Replace ``text_col`` with its line-deduped form IN PLACE (same
     keep rule as dedup_lines), keeping every other column — the
     composition form curate_corpus uses as its page-cleanup stage.
-    NULL text stays NULL; still one map-only Project."""
+    NULL text stays NULL; still one map-only Project. ``max_lines``
+    is dedup_lines' degenerate-page guard (docs with more lines pass
+    through untouched)."""
     d = df.withColumn("__lines", F.split(F.col(text_col), "\n", -1))
     kept = _kept_lines(F.col("__lines"))
+    rewritten = F.array_join(kept, "\n")
+    if max_lines is not None:
+        rewritten = (F.when(F.size("__lines") > int(max_lines),
+                            F.col(text_col))
+                     .otherwise(rewritten))
     return (d.withColumn(
         text_col,
-        F.when(F.col(text_col).isNotNull(), F.array_join(kept, "\n")))
+        F.when(F.col(text_col).isNotNull(), rewritten))
         .drop("__lines"))
 
 

@@ -527,7 +527,10 @@ def dedup_lines_sql(table: str = "documents") -> str:
     (dedup.synth_lines_expr): '\\n'-split lines, keep blanks (ASCII-
     space trim) and first exact occurrences (DuckDB list lambdas are
     1-indexed: list_position(lines, x) = i IS the first-occurrence
-    test), re-join byte-identically."""
+    test), re-join byte-identically — including the r13 default
+    max_lines=100000 degenerate-page guard (docs with more lines pass
+    through untouched), so the mirror carries the operator's FULL
+    default contract even though no fixture page approaches it."""
     from flink_descriptive_stats_spark.operators import dedup as DD
     nav = DD.LINE_NAV
     m = DD.LINE_NAV_MOD
@@ -546,9 +549,13 @@ k AS (SELECT id, lines,
                          OR list_position(lines, x) = i) AS kept
       FROM l)
 SELECT CAST(id AS BIGINT) AS id,
-       array_to_string(kept, {nl}) AS text_clean,
+       CASE WHEN len(lines) > 100000
+            THEN array_to_string(lines, {nl})
+            ELSE array_to_string(kept, {nl}) END AS text_clean,
        CAST(len(lines) AS BIGINT) AS n_lines,
-       CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_removed
+       CAST(CASE WHEN len(lines) > 100000 THEN 0
+                 ELSE len(lines) - len(kept) END AS BIGINT)
+         AS n_lines_removed
 FROM k
 """
 

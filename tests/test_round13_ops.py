@@ -160,3 +160,39 @@ def test_pack_bfd_budgets_by_bpe_token_counts(spark):
     ws = pack_sequences_bfd(docs, max_tokens=256).collect()
     assert {r["id"]: r["n_tokens"] for r in via_bpe} != \
         {r["id"]: r["n_tokens"] for r in ws}
+
+
+def test_dedup_lines_max_lines_guard(spark):
+    """The r13 degenerate-page guard: a doc with more than max_lines
+    lines passes through UNTOUCHED (text byte-identical, removals 0,
+    n_lines still reported), normal pages dedup exactly as before,
+    max_lines=None disables the guard, and the plan stays ONE
+    map-only codegen Project — the guard is a row-local size test,
+    not a second pass."""
+    from flink_descriptive_stats_spark.operators.dedup import (
+        dedup_lines, dedup_lines_rewrite)
+    big = "\n".join(["dup line"] * 10 + [f"u{i}" for i in range(5)])
+    small = "a\ndup\ndup\nb"
+    df = spark.createDataFrame([(0, big), (1, small)],
+                               "doc_id bigint, text string")
+    out = {r["id"]: r for r in dedup_lines(df, max_lines=10).collect()}
+    assert out[0]["text_clean"] == big          # 15 lines > 10: skipped
+    assert out[0]["n_lines_removed"] == 0
+    assert out[0]["n_lines"] == 15              # the skip is visible
+    assert out[1]["text_clean"] == "a\ndup\nb"  # 4 lines: deduped
+    assert out[1]["n_lines_removed"] == 1
+    # None disables the guard; the default (100k) never fires on pages
+    full = {r["id"]: r
+            for r in dedup_lines(df, max_lines=None).collect()}
+    assert full[0]["n_lines_removed"] == 9
+    dflt = {r["id"]: r for r in dedup_lines(df).collect()}
+    assert dflt[0]["n_lines_removed"] == 9
+    # rewrite form honors the same guard
+    rw = {r["doc_id"]: r["text"]
+          for r in dedup_lines_rewrite(df, max_lines=10).collect()}
+    assert rw[0] == big and rw[1] == "a\ndup\nb"
+    # map-only plan pin unchanged with the guard in the expression
+    plan = (dedup_lines(df, max_lines=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    for bad in ("Exchange", "Join", "Python", "Sort"):
+        assert bad not in plan, plan
