@@ -1531,9 +1531,9 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
         raise ValueError(
             f"max_ngram must be >= min_ngram, got {max_ngram} < {n}")
     _validate_min_df(min_df, ns)
-    # no checkpoint: base is a narrow projection over the scan; the two
-    # consumers (n-gram branch, rewrite branch) each re-scan, which is
-    # cheaper at scale than materializing full text
+    # base is NOT cached: it carries full text, and materializing it
+    # measured SLOWER than recomputing from the scan (sf0.1: 7.6s vs
+    # the shipped 3.5s — see the positional-persist note below)
     base = _span_base(df, text_col, id_col)
     m = F.size("__w")
     if len(ns) == 1:
@@ -1545,11 +1545,12 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
         gram = F.lower(F.concat_ws(
             " ", *[F.element_at("__w", F.col("__i") + j + 1)
                    for j in range(n)]))
-        pos = (base.where(m >= n)
-               .select("id", idx.alias("__i"), "__w")
-               .select("id", "__i",
-                       F.pmod(H.token_hash(gram),
-                              F.lit(H.MERSENNE_P)).alias("__sh")))
+        pos = _persist_pos(
+            base.where(m >= n)
+            .select("id", idx.alias("__i"), "__w")
+            .select("id", "__i",
+                    F.pmod(H.token_hash(gram),
+                           F.lit(H.MERSENNE_P)).alias("__sh")))
         rep = (pos.select("__sh", "id").distinct()
                .groupBy("__sh").agg(F.count(F.lit(1)).alias("__dfc"))
                .where(F.col("__dfc") >= min_df).select("__sh"))
@@ -1565,6 +1566,26 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
         covered = _multi_n_covered(base, ns, min_df)
     j = base.join(covered, "id", "left")
     return _span_rewrite_select(j)
+
+
+def _persist_pos(pos: DataFrame) -> DataFrame:
+    """Cache the span miner's positional hash frame (id, __i [, __n],
+    __sh — narrow ints, ~one row per word position) — it is consumed
+    TWICE (the DF aggregate that finds repeated hashes, then the
+    join-back that marks covered positions), and without a cache each
+    consumer recomputes the whole explode subtree from the parquet
+    scan. Measured at sf0.1 (min of 3, r13): recompute 6.94s ->
+    persist 3.53s on the multi-length miner. Losers documented:
+    localCheckpoint was marginally faster (3.17s) but truncates
+    lineage — an executor loss mid-job becomes irrecoverable, the
+    wrong trade on a 1000-executor cluster where node loss is
+    routine; persisting the full-text base was SLOWER than
+    recomputing (7.6s). MEMORY_AND_DISK, so a corpus whose positions
+    outgrow storage memory spills instead of OOMing; eviction is
+    LRU (or spark.catalog.clearCache()) since the operator returns a
+    lazy frame and cannot unpersist behind its own result."""
+    from pyspark.storagelevel import StorageLevel
+    return pos.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _multi_n_grams(base: DataFrame, ns: list[int]) -> DataFrame:
@@ -1630,12 +1651,13 @@ def _multi_n_covered(base: DataFrame, ns: list[int],
     n in ``ns`` in ONE pass over the word arrays — the hash input is
     "{n}:{gram}" (length folded in, mirrored literally by the oracle's
     nn::VARCHAR || ':' || gram)."""
-    pos = (_multi_n_grams(base, ns)
-           .select("id", "__i", "__n",
-                   F.pmod(H.token_hash(F.concat(
-                       F.col("__n").cast("string"), F.lit(":"),
-                       F.col("__gram"))),
-                       F.lit(H.MERSENNE_P)).alias("__sh")))
+    pos = _persist_pos(
+        _multi_n_grams(base, ns)
+        .select("id", "__i", "__n",
+                F.pmod(H.token_hash(F.concat(
+                    F.col("__n").cast("string"), F.lit(":"),
+                    F.col("__gram"))),
+                    F.lit(H.MERSENNE_P)).alias("__sh")))
     thr = _per_n_threshold(min_df, "__n")
     # __n is functionally determined by __sh (it is folded into the
     # hash) — grouping by both keeps it addressable for the per-n
