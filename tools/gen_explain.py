@@ -741,7 +741,15 @@ def main() -> None:
         "groupBy on the 8-byte hash, per-length thresholds as a CASE on\n"
         "the carried length); coverage unions across lengths before the\n"
         "unchanged rewrite. Cost is ~len(ns) x the positional frame,\n"
-        "still never all-pairs.",
+        "still never all-pairs. Round 13: the positional frame is\n"
+        "PERSISTED (MEMORY_AND_DISK) — it is consumed twice (the DF\n"
+        "aggregate and the join-back) and recomputing the explode\n"
+        "subtree per consumer measured 2x slower (6.94s -> 3.53s at\n"
+        "sf0.1); the plan now shows exactly TWO InMemoryTableScan\n"
+        "consumers over one cached relation (pinned). localCheckpoint\n"
+        "was marginally faster but truncates lineage (irrecoverable on\n"
+        "executor loss); persisting the full-text base was slower than\n"
+        "recomputing — both documented losers.",
         fmt(spark, DDP.remove_repeated_spans(docs, min_ngram=4,
                                              min_df=25, max_ngram=7))))
 
@@ -758,6 +766,23 @@ def main() -> None:
         "r12 self-review). The whole family is oracle-gated: DuckDB\n"
         "replays the bin state literally via a recursive CTE.",
         fmt(spark, SMP.pack_stats_bfd(docs))))
+
+    sections.append((
+        "Tokenizer-true BFD packing (round 13)",
+        "pack_stats_bfd(n_tokens_col=...): the token budget comes from\n"
+        "a PRECOMPUTED per-doc count column (the tokenizer-true path —\n"
+        "e.g. bpe_token_stats' n_bpe_tokens joined on) instead of the\n"
+        "whitespace-regex proxy: the narrow projection reads the\n"
+        "column, no regexp tokenize anywhere in the plan; everything\n"
+        "downstream (shard shuffle, shared BFD core, ONE bounded\n"
+        "(shard, pack_id) groupBy) is identical. Oracle-gated on a\n"
+        "deterministic chars-per-token estimate (floor on BOTH sides:\n"
+        "Spark truncates double->bigint casts, DuckDB rounds).",
+        fmt(spark, SMP.pack_stats_bfd(
+            docs.withColumn("n_tok_est",
+                            F.floor(F.length("text") / F.lit(4))
+                            + F.lit(1)),
+            n_tokens_col="n_tok_est"))))
 
     from flink_descriptive_stats_spark.operators import quality as QLT
     per12 = (docs.where(F.col("text").isNotNull())
