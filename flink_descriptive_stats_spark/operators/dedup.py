@@ -435,7 +435,12 @@ def _shared_shingle_counts(df: DataFrame, content_col: str, id_col: str,
     ngram_containment_pairs. Pairs are generated inline per shingle group
     (JVM nested transform, no self-join); ``max_df`` drops stopword-grams
     whose doc frequency exceeds it BEFORE the k(k-1)/2 pair explosion."""
-    long = shingle_hashes_long(df, content_col, id_col, n)
+    # the long frame is consumed twice (sizes, grouped) — persist the
+    # narrow (id, sh) ints instead of recomputing the shingle explode
+    # from the scan per consumer (the r13 span-persist lesson; measured
+    # at sf0.1 min-of-3: jaccard 2.12 -> ~2.0s, containment 2.13 ->
+    # ~1.6-2.0s — modest but real, and the scan count drops 2 -> 1)
+    long = _persist_pos(shingle_hashes_long(df, content_col, id_col, n))
     sizes = long.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     grouped = (long.groupBy("sh")
                .agg(F.array_sort(F.collect_list("id")).alias("ids"))
@@ -534,6 +539,9 @@ def duplicated_ngram_fraction(df: DataFrame, content_col: str = "text",
     frequency, a doc's row count its shingle count)."""
     long = (shingle_hashes_long(df, content_col, id_col, n)
             .select("id", "sh").distinct())
+    # consumed twice (docfreq + the join back) — persist the narrow
+    # (id, sh) ints (r13 span-persist lesson)
+    long = _persist_pos(long)
     # (id, sh) is distinct above, so plain count == distinct doc count
     # without the expand/distinct aggregation state
     docfreq = long.groupBy("sh").agg(
@@ -1100,6 +1108,14 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, content_col: str = "text",
     sorted hash arrays (array length = doc shingle count, bounded by
     doc length — the full corpus never cross-joins)."""
     r = threshold / (1.0 + threshold)
+    # NOT persisted despite three consumers (docfreq, the rank join,
+    # the verification sets): measured at sf0.1 the cache bought
+    # nothing here (4.28s -> 4.14-4.29s min-of-3) — this path is
+    # dominated by the two per-id windows and the verification join,
+    # not the shingle explode; caching a corpus-scale frame that does
+    # not pay for itself is pure storage pressure at 100 TB (the r13
+    # measure-don't-guess rule; the subplans that DO pay are persisted
+    # in _shared_shingle_counts / duplicated_ngram_fraction)
     long = shingle_hashes_long(df, content_col, id_col, n)
     docfreq = long.groupBy("sh").agg(F.count(F.lit(1)).alias("df_docs"))
     w = (Window.partitionBy("id")
@@ -1569,13 +1585,16 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
 
 
 def _persist_pos(pos: DataFrame) -> DataFrame:
-    """Cache the span miner's positional hash frame (id, __i [, __n],
-    __sh — narrow ints, ~one row per word position) — it is consumed
-    TWICE (the DF aggregate that finds repeated hashes, then the
-    join-back that marks covered positions), and without a cache each
-    consumer recomputes the whole explode subtree from the parquet
-    scan. Measured at sf0.1 (min of 3, r13): recompute 6.94s ->
-    persist 3.53s on the multi-length miner. Losers documented:
+    """Cache a multiply-consumed NARROW derived frame — the span
+    miner's positional hashes (id, __i [, __n], __sh) and the shingle
+    family's long frame (id, sh): a handful of ints per row, consumed
+    2-3x (a DF aggregate plus one or two join-backs), where without a
+    cache each consumer recomputes the whole explode subtree from the
+    parquet scan. Measured at sf0.1 (min of 3, r13): multi-length
+    miner 6.94s -> 3.53s; duplicated_ngram_fraction 1.4s -> ~0.8s;
+    jaccard/containment ~ -10%. Where measurement showed NO win (the
+    PPJoin prefix path — window/join-dominated) the frame is
+    deliberately not persisted. Losers documented:
     localCheckpoint was marginally faster (3.17s) but truncates
     lineage — an executor loss mid-job becomes irrecoverable, the
     wrong trade on a 1000-executor cluster where node loss is
