@@ -595,6 +595,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                         min_df=25, k=20, max_ngram=7)
     q["boilerplate_ngrams_multi_documents"] = _boilerplate_multi
 
+    # per-length {n: df} thresholds (r13, ADVICE r12): the dict that a
+    # dict-threshold despan would use previews through the SAME CASE
+    # threshold on both engines. 126 at n=4 hides the footer's five
+    # 4-grams (df = n_docs/4 = 125 at the sf0.01 gate) AND the 4-word
+    # banner (df = 100) while the header's 4-grams (df ~ 2/3 n_docs =
+    # 334) and every longer length survive — the k=20 window then
+    # admits a different rank-20 row than the scalar sibling (checked:
+    # exactly one row differs, and no 4-gram below df=334 appears), so
+    # the gate exercises the per-length CASE non-vacuously
+    def _boilerplate_dict(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+        docs = (_load(spark, sf_dir, "documents")
+                .where(F.col("text").isNotNull()))
+        planted = docs.select(
+            "doc_id",
+            dedup.synth_span_multi_expr("text", "doc_id").alias("text"))
+        return dedup.boilerplate_ngrams(
+            planted, min_ngram=4, k=20, max_ngram=7,
+            min_df={4: 126, 5: 25, 6: 25, 7: 25})
+    q["boilerplate_ngrams_dict_documents"] = _boilerplate_dict
+
     # the triage view before removal: the boilerplate STRINGS ranked
     # by document frequency (deterministic ties), same fixture
     def _boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2355,6 +2376,9 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_lines_documents"] = op.dedup_lines_sql()
     o["boilerplate_ngrams_multi_documents"] = \
         op.boilerplate_ngrams_multi_sql()
+    o["boilerplate_ngrams_dict_documents"] = \
+        op.boilerplate_ngrams_multi_sql(
+            min_df={4: 126, 5: 25, 6: 25, 7: 25})
     o["boilerplate_ngrams_documents"] = op.boilerplate_ngrams_sql()
     o["span_removal_stats_documents"] = op.span_removal_stats_sql()
     o["boilerplate_by_source_documents"] = op.boilerplate_by_source_sql()

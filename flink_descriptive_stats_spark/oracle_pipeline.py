@@ -637,16 +637,25 @@ ORDER BY df_docs DESC, ngram LIMIT {k}"""
 
 def boilerplate_ngrams_multi_sql(table: str = "documents",
                                  min_ngram: int = 4, max_ngram: int = 7,
-                                 min_df: int = 25, k: int = 20) -> str:
+                                 min_df: int | dict = 25,
+                                 k: int = 20) -> str:
     """dedup.boilerplate_ngrams(max_ngram=...) mirrored on the multi-n
     fixture: every length's repeated n-grams AS STRINGS ranked by
-    (df desc, len desc, ngram asc)."""
+    (df desc, len desc, ngram asc). ``min_df`` may be the operator's
+    per-length {n: df} dict (r13) — the threshold becomes a CASE on
+    the carried length, exactly dedup._per_n_threshold."""
     from flink_descriptive_stats_spark.operators import dedup as DD
     hdr, ftr, ban = DD.SPAN_HEADER, DD.SPAN_FOOTER, DD.SPAN_SHORT
     hm, fm, sm = DD.SPAN_HEADER_MOD, DD.SPAN_FOOTER_MOD, \
         DD.SPAN_SHORT_MOD
     ns_lit = ", ".join(str(x) for x in
                        range(int(min_ngram), int(max_ngram) + 1))
+    if isinstance(min_df, dict):
+        cases = " ".join(f"WHEN {int(n)} THEN {int(v)}"
+                         for n, v in sorted(min_df.items()))
+        thr = f"CASE nn {cases} END"
+    else:
+        thr = str(int(min_df))
     return f"""
 WITH sp_src AS (
   SELECT doc_id AS id,
@@ -672,7 +681,7 @@ g AS (SELECT DISTINCT id, nn,
             WHERE m >= nn))
 SELECT ngram, CAST(nn AS INTEGER) AS ngram_len,
        CAST(count(*) AS BIGINT) AS df_docs
-FROM g GROUP BY ngram, nn HAVING count(*) >= {min_df}
+FROM g GROUP BY ngram, nn HAVING count(*) >= {thr}
 ORDER BY df_docs DESC, ngram_len DESC, ngram LIMIT {k}"""
 
 
