@@ -1584,6 +1584,19 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
     return _span_rewrite_select(j)
 
 
+#: the last-K persisted narrow frames (see _persist_pos): a lazy
+#: operator cannot unpersist behind its own returned result, and
+#: DataFrame.persist entries are never GC-collected, so without a bound
+#: a long session (or a 259-query bench) accumulates stale cached
+#: frames until storage starves execution — measured: the star-CC
+#: clusterer (cache-hungry iterative localCheckpoints) ran 3.8s alone
+#: but ~11s late in a bench that had leaked every prior persist.
+#: Evicting beyond K is always SAFE: an evicted frame that a still-lazy
+#: result later references simply recomputes (the pre-persist plan).
+_PERSISTED_NARROW: list = []
+_PERSISTED_NARROW_KEEP = 8
+
+
 def _persist_pos(pos: DataFrame) -> DataFrame:
     """Cache a multiply-consumed NARROW derived frame — the span
     miner's positional hashes (id, __i [, __n], __sh) and the shingle
@@ -1600,11 +1613,20 @@ def _persist_pos(pos: DataFrame) -> DataFrame:
     wrong trade on a 1000-executor cluster where node loss is
     routine; persisting the full-text base was SLOWER than
     recomputing (7.6s). MEMORY_AND_DISK, so a corpus whose positions
-    outgrow storage memory spills instead of OOMing; eviction is
-    LRU (or spark.catalog.clearCache()) since the operator returns a
-    lazy frame and cannot unpersist behind its own result."""
+    outgrow storage memory spills instead of OOMing. The module keeps
+    only the last _PERSISTED_NARROW_KEEP frames cached (older ones
+    unpersist non-blocking) so repeated calls across a long session
+    cannot starve storage — the measured failure mode above."""
     from pyspark.storagelevel import StorageLevel
-    return pos.persist(StorageLevel.MEMORY_AND_DISK)
+    out = pos.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_NARROW.append(out)
+    while len(_PERSISTED_NARROW) > _PERSISTED_NARROW_KEEP:
+        old = _PERSISTED_NARROW.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped; nothing to release
+    return out
 
 
 def _multi_n_grams(base: DataFrame, ns: list[int]) -> DataFrame:

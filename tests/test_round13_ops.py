@@ -162,6 +162,30 @@ def test_pack_bfd_budgets_by_bpe_token_counts(spark):
         {r["id"]: r["n_tokens"] for r in ws}
 
 
+def test_persist_pos_registry_is_bounded(spark):
+    """The narrow-frame cache registry (r13): DataFrame.persist entries
+    are never GC-collected, so the span/shingle persists must self-evict
+    beyond the last K or a long session leaks storage until it starves
+    execution (measured: star-CC 3.8s alone vs ~11s late in a bench
+    that had leaked every prior persist). Eviction is safe — an evicted
+    frame recomputes. Pin: after K+4 persists only K stay registered,
+    evicted frames report StorageLevel NONE, survivors stay cached."""
+    from flink_descriptive_stats_spark.operators.dedup import (
+        _PERSISTED_NARROW, _PERSISTED_NARROW_KEEP, _persist_pos)
+    _PERSISTED_NARROW.clear()
+    frames = [_persist_pos(spark.range(i + 1, numPartitions=1))
+              for i in range(_PERSISTED_NARROW_KEEP + 4)]
+    assert len(_PERSISTED_NARROW) == _PERSISTED_NARROW_KEEP
+    for f in frames[:4]:                       # evicted
+        assert not f.storageLevel.useMemory, f.storageLevel
+    for f in frames[4:]:                       # survivors
+        assert f.storageLevel.useMemory, f.storageLevel
+        assert f.count() > 0                   # still correct
+    _PERSISTED_NARROW.clear()
+    for f in frames[4:]:
+        f.unpersist(blocking=False)
+
+
 def test_dedup_lines_max_lines_guard(spark):
     """The r13 degenerate-page guard: a doc with more than max_lines
     lines passes through UNTOUCHED (text byte-identical, removals 0,
