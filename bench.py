@@ -85,6 +85,19 @@ def _fold_in(fold: dict, times: dict, prior_queries: dict) -> bool:
     return replaced
 
 
+def _fold_credit(fold: dict, times: dict,
+                 candidates: list) -> list:
+    """The snapshots the FINAL fold actually draws from: those that
+    supply a final per-query minimum strictly better than the current
+    run — a pure function of the candidate SET (scan-order
+    independent), unlike crediting inside the fold loop, where a
+    snapshot dominated by an earlier-scanned one went uncounted while
+    one superseded by a later one still counted (r13 self-review)."""
+    return [fname for fname, pq in candidates
+            if any(times[k] >= 0 and 0 <= pq[k] == fold[k] < times[k]
+                   for k in pq)]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # BEFORE get_spark: every JVM is a stray; wait for them to drain so
@@ -180,6 +193,14 @@ def main() -> None:
     fold = dict(times)
     folded_from: list[str] = []
     if not os.environ.get("SPARK_GRAFT_BENCH_NOFOLD"):
+        # two passes so the recorded provenance is a pure function of
+        # the snapshot SET, not of directory scan order (r13 ADVICE +
+        # self-review: with A older-than-B, a snapshot dominated by an
+        # earlier-scanned one was uncounted while one superseded by a
+        # LATER one still counted): first fold every candidate into the
+        # elementwise min, then credit exactly the snapshots that
+        # supply a FINAL minimum strictly better than the current run
+        candidates: list[tuple[str, dict]] = []
         for fname in sorted(os.listdir(hist_dir)):
             if not (fname.startswith(f"bench_{stamp[:8]}")
                     and fname.endswith(f"_sf{sf}.json")):
@@ -194,8 +215,10 @@ def main() -> None:
                 continue
             if prior.get("machine", {}).get("stray_jvms"):
                 continue
-            if _fold_in(fold, times, pq):
-                folded_from.append(fname)
+            candidates.append((fname, pq))
+        for _, pq in candidates:
+            _fold_in(fold, times, pq)
+        folded_from = _fold_credit(fold, times, candidates)
         if folded_from:
             print(f"min-of-day fold: {len(folded_from)} prior same-day "
                   f"snapshot(s): {folded_from}", file=sys.stderr)

@@ -546,6 +546,10 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("input")
     dl.add_argument("--text-col", default="text")
     dl.add_argument("--id-col", default="doc_id")
+    dl.add_argument("--max-lines", type=int, default=None,
+                    help="degenerate-page guard: docs with more lines "
+                         "pass through untouched (default: the "
+                         "operator's 100000); 0 disables the guard")
     _add_common(dl)
 
     ri = sub.add_parser("refint",
@@ -1476,11 +1480,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "dedup-lines":
-        from flink_descriptive_stats_spark.operators.dedup import \
-            dedup_lines
+        from flink_descriptive_stats_spark.operators.dedup import (
+            DEDUP_MAX_LINES, dedup_lines)
         df = _load(spark, args.input, args.format)
+        ml = (DEDUP_MAX_LINES if args.max_lines is None
+              else (None if args.max_lines == 0 else args.max_lines))
         _emit(dedup_lines(df, text_col=args.text_col,
-                          id_col=args.id_col), args.output)
+                          id_col=args.id_col, max_lines=ml),
+              args.output)
         return 0
 
     if args.cmd == "fk":

@@ -2118,6 +2118,14 @@ def boilerplate_by_source(df: DataFrame, text_col: str = "text",
 LINE_NAV = "Home | About | Contact | Privacy Policy"
 LINE_NAV_MOD = 2      # doc_id % 2 == 0 -> nav planted 3x + a blank line
 
+#: dedup_lines' default degenerate-page guard (r13): docs with more
+#: lines pass through untouched. ONE constant shared by dedup_lines,
+#: dedup_lines_rewrite, the CLI flag default, AND both DuckDB mirrors
+#: (dedup_lines_sql, curate_corpus_lines_sql) — the CARD_SKETCHED
+#: discipline: a threshold that exists on two engines lives in one place
+#: so the sides cannot drift (r13 self-review #2).
+DEDUP_MAX_LINES = 100_000
+
 
 def synth_lines_expr(text_col: str, id_col: str) -> F.Column:
     """documents.text rebuilt as a multi-line page with the nav line
@@ -2135,7 +2143,7 @@ def synth_lines_expr(text_col: str, id_col: str) -> F.Column:
 
 def dedup_lines(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id",
-                max_lines: int | None = 100_000) -> DataFrame:
+                max_lines: int | None = DEDUP_MAX_LINES) -> DataFrame:
     """WITHIN-document repeated-line removal — the page-level cleanup
     stage public crawl pipelines run before any cross-document dedup
     (CCNet / RefinedWeb drop repeated nav menus, cookie bars and
@@ -2208,7 +2216,8 @@ def _kept_lines(lines: F.Column) -> F.Column:
 
 
 def dedup_lines_rewrite(df: DataFrame, text_col: str = "text",
-                        max_lines: int | None = 100_000) -> DataFrame:
+                        max_lines: int | None = DEDUP_MAX_LINES
+                        ) -> DataFrame:
     """Replace ``text_col`` with its line-deduped form IN PLACE (same
     keep rule as dedup_lines), keeping every other column — the
     composition form curate_corpus uses as its page-cleanup stage.

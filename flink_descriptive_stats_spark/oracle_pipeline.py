@@ -408,6 +408,20 @@ SELECT * FROM spanfinal
 """
 
 
+def _duck_per_n_threshold(min_df) -> str:
+    """The DuckDB rendering of dedup._per_n_threshold: a plain literal
+    for scalar ``min_df``, `CASE nn WHEN .. THEN .. END` for the
+    per-length {n: df} dict — ONE definition shared by the span-mining
+    CTEs and the triage-view mirror, matching the Spark side's single
+    helper so the two SQL copies cannot drift either (r13 self-review
+    #3)."""
+    if isinstance(min_df, dict):
+        arms = " ".join(f"WHEN {int(k)} THEN {int(v)}"
+                        for k, v in sorted(min_df.items()))
+        return f"CASE nn {arms} END"
+    return str(int(min_df))
+
+
 def _span_mine_multi_ctes(ns: list[int], min_df) -> str:
     """The MULTI-length document-frequency mining coverage (r12):
     every n in ``ns`` rides the unnest next to the start index, the
@@ -418,12 +432,7 @@ def _span_mine_multi_ctes(ns: list[int], min_df) -> str:
     gram = ("lower(array_to_string("
             "list_slice(words, i, i + nn - 1), ' '))")
     th = H.duck_token_hash(f"nn::VARCHAR || ':' || {gram}")
-    if isinstance(min_df, dict):
-        arms = " ".join(f"WHEN {int(k)} THEN {int(v)}"
-                        for k, v in sorted(min_df.items()))
-        thr = f"CASE nn {arms} END"
-    else:
-        thr = str(int(min_df))
+    thr = _duck_per_n_threshold(min_df)
     ns_lit = ", ".join(str(int(k)) for k in ns)
     return f"""sp_ps AS (
   SELECT id, i - 1 AS i, nn, {th} % {P} AS sh
@@ -549,11 +558,11 @@ k AS (SELECT id, lines,
                          OR list_position(lines, x) = i) AS kept
       FROM l)
 SELECT CAST(id AS BIGINT) AS id,
-       CASE WHEN len(lines) > 100000
+       CASE WHEN len(lines) > {DD.DEDUP_MAX_LINES}
             THEN array_to_string(lines, {nl})
             ELSE array_to_string(kept, {nl}) END AS text_clean,
        CAST(len(lines) AS BIGINT) AS n_lines,
-       CAST(CASE WHEN len(lines) > 100000 THEN 0
+       CAST(CASE WHEN len(lines) > {DD.DEDUP_MAX_LINES} THEN 0
                  ELSE len(lines) - len(kept) END AS BIGINT)
          AS n_lines_removed
 FROM k
@@ -650,12 +659,7 @@ def boilerplate_ngrams_multi_sql(table: str = "documents",
         DD.SPAN_SHORT_MOD
     ns_lit = ", ".join(str(x) for x in
                        range(int(min_ngram), int(max_ngram) + 1))
-    if isinstance(min_df, dict):
-        cases = " ".join(f"WHEN {int(n)} THEN {int(v)}"
-                         for n, v in sorted(min_df.items()))
-        thr = f"CASE nn {cases} END"
-    else:
-        thr = str(int(min_df))
+    thr = _duck_per_n_threshold(min_df)
     return f"""
 WITH sp_src AS (
   SELECT doc_id AS id,
@@ -3564,7 +3568,14 @@ def curate_corpus_lines_sql(table: str = "documents",
     from flink_descriptive_stats_spark.operators import dedup as DD
     nav, m = DD.LINE_NAV, DD.LINE_NAV_MOD
     nl = "chr(10)"
-    ld = ("CASE WHEN text IS NULL THEN NULL ELSE array_to_string("
+    # the rewrite mirror carries the operator's FULL default contract,
+    # including the r13 DEDUP_MAX_LINES degenerate-page guard that
+    # dedup_lines_rewrite applies inside curate_corpus (r13 self-review
+    # #1: this second mirror had silently missed it)
+    ld = ("CASE WHEN text IS NULL THEN NULL "
+          f"WHEN len(string_split(text, {nl})) > {DD.DEDUP_MAX_LINES} "
+          "THEN text "
+          "ELSE array_to_string("
           f"list_filter(string_split(text, {nl}), (x, i) -> "
           "trim(x) = '' OR "
           f"list_position(string_split(text, {nl}), x) = i), {nl}) END")

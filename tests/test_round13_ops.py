@@ -162,6 +162,33 @@ def test_pack_bfd_budgets_by_bpe_token_counts(spark):
         {r["id"]: r["n_tokens"] for r in ws}
 
 
+def test_fold_credit_is_scan_order_independent():
+    """r13 self-review: fold provenance must be a pure function of the
+    snapshot SET. A=3s (dominant) and B=4s (dominated) must yield the
+    SAME folded_from in either scan order: only A, because only A
+    supplies a final minimum that beats the current run."""
+    import bench
+    times = {"q": 5.0}
+    a, b = ("A.json", {"q": 3.0}), ("B.json", {"q": 4.0})
+    for order in ([a, b], [b, a]):
+        fold = dict(times)
+        for _, pq in order:
+            bench._fold_in(fold, times, pq)
+        assert fold == {"q": 3.0}
+        assert bench._fold_credit(fold, times, order) == ["A.json"]
+    # a snapshot equal to the current run contributes nothing
+    fold = dict(times)
+    bench._fold_in(fold, times, {"q": 5.0})
+    assert bench._fold_credit(fold, times, [("C.json", {"q": 5.0})]) == []
+    # a currently-failing query never takes a prior time (r11 guard)
+    times_f = {"q": -1.0}
+    fold = dict(times_f)
+    bench._fold_in(fold, times_f, {"q": 3.0})
+    assert fold == {"q": -1.0}
+    assert bench._fold_credit(fold, times_f,
+                              [("D.json", {"q": 3.0})]) == []
+
+
 def test_persist_pos_registry_is_bounded(spark):
     """The narrow-frame cache registry (r13): DataFrame.persist entries
     are never GC-collected, so the span/shingle persists must self-evict
