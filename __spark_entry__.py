@@ -1128,6 +1128,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # integer threshold so the discrete keep rule matches the oracle
     q["temperature_mixture_documents"] = _tq(
         sampling.temperature_mixture_sample, "documents")
+    # token-mass mixture law (r13): real LM mixing states the n^alpha
+    # law over TOKEN mass, not doc counts — weight_col runs the same
+    # sig6-rounded arithmetic over sum(n_chars) per source (documents'
+    # own mass column; any precomputed token count works identically,
+    # pairing with the tokenizer-true packing path)
+    q["temperature_mixture_tokens_documents"] = _tq(
+        sampling.temperature_mixture_sample, "documents",
+        weight_col="n_chars")
     q["pack_sequences_documents"] = _tq(sampling.pack_sequences, "documents")
 
     # multimodal plumbing (metadata/frames are oracle-checkable)
@@ -2439,6 +2447,8 @@ def oracle_sql() -> dict[str, str]:
     o["mixture_sample_documents"] = op.mixture_sample_sql(
         rates=MIX_RATES, default_rate=0.25)
     o["temperature_mixture_documents"] = op.temperature_mixture_sql()
+    o["temperature_mixture_tokens_documents"] = \
+        op.temperature_mixture_sql(weight_sql="n_chars")
     o["pack_sequences_documents"] = op.pack_sequences_sql()
     o["pack_sequences_bfd_documents"] = op.pack_sequences_bfd_sql()
     o["pack_stats_bfd_documents"] = op.pack_stats_bfd_sql()

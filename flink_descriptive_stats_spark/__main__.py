@@ -431,6 +431,10 @@ def build_parser() -> argparse.ArgumentParser:
     tmx.add_argument("--target-fraction", type=float, default=0.5)
     tmx.add_argument("--source-col", default="source")
     tmx.add_argument("--id-col", default="doc_id")
+    tmx.add_argument("--weight-col", default=None,
+                     help="weight sources by this per-doc mass column "
+                          "(token counts) instead of doc counts — the "
+                          "token-mass n^alpha law")
     _add_common(tmx)
 
     fj = sub.add_parser("fuzzy-join",
@@ -1315,7 +1319,8 @@ def main(argv: list[str] | None = None) -> int:
         df = _load(spark, args.input, args.format)
         _emit(sampling.temperature_mixture_sample(
             df, alpha=args.alpha, target_fraction=args.target_fraction,
-            source_col=args.source_col, id_col=args.id_col), args.output)
+            source_col=args.source_col, id_col=args.id_col,
+            weight_col=args.weight_col), args.output)
         return 0
 
     if args.cmd == "fuzzy-join":

@@ -94,7 +94,8 @@ def temperature_mixture_sample(df: DataFrame, alpha: float = 0.5,
                                target_fraction: float = 0.5,
                                source_col: str = "source",
                                id_col: str = "doc_id",
-                               salt: str = "tmix") -> DataFrame:
+                               salt: str = "tmix",
+                               weight_col: str | None = None) -> DataFrame:
     """Temperature-weighted mixture sampling — the multilingual/multi-
     source LM data-mixing recipe (sample source s with probability
     proportional to n_s^alpha): alpha=1 keeps natural proportions,
@@ -117,11 +118,32 @@ def temperature_mixture_sample(df: DataFrame, alpha: float = 0.5,
     sig6 BEFORE the floor to integer bucket threshold, so the discrete
     keep decision cannot fork on pow()/division last-ulp differences
     (the established FP-boundary discipline). NULL-source rows are out
-    of scope (no mixture weight to apply) and are dropped."""
+    of scope (no mixture weight to apply) and are dropped.
+
+    ``weight_col`` (r13): weight sources by a per-doc MASS column
+    instead of doc counts — real LM mixing laws are stated over TOKEN
+    mass (sample source s proportional to T_s^alpha), and a corpus
+    whose sources differ in document length gets materially different
+    rates under the two laws. The same arithmetic runs over
+    t_s = sum(weight) per source (r_s = min(1, target_fraction * T *
+    p_s / t_s), p_s = t_s^alpha / sum_u t_u^alpha): the keep decision
+    stays the per-doc md5 bucket rule, so expected KEPT MASS per
+    source is r_s * t_s and the output mass distributes ~p_s. The
+    token route pairs with the tokenizer-true packing path: a
+    precomputed count column (bpe_token_stats' n_bpe_tokens, or any
+    estimate) serves both. NULL-weight rows are out of scope like
+    NULL-source ones; the default (None) keeps the doc-count law
+    byte-identical."""
     from flink_descriptive_stats_spark.functions.sig import sig6
-    cnt = (df.where(F.col(source_col).isNotNull())
+    scoped = df.where(F.col(source_col).isNotNull())
+    if weight_col is not None:
+        scoped = scoped.where(F.col(weight_col).isNotNull())
+        mass = F.sum(F.col(weight_col).cast("double"))
+    else:
+        mass = F.count(F.lit(1)).cast("double")
+    cnt = (scoped
            .groupBy(F.col(source_col).alias("__s"))
-           .agg(F.count(F.lit(1)).alias("__n")))
+           .agg(mass.alias("__n")))
     w = Window.partitionBy()
     nd = F.col("__n").cast("double")
     p = F.pow(nd, F.lit(float(alpha)))
@@ -131,8 +153,10 @@ def temperature_mixture_sample(df: DataFrame, alpha: float = 0.5,
     rate = F.least(F.lit(1.0), sig6(raw).cast("double"))
     thr = F.floor(rate * F.lit(float(BUCKETS))).cast("bigint")
     rates = cnt.select("__s", thr.alias("__thr"))
-    return (df.join(F.broadcast(rates),
-                    F.col(source_col) == F.col("__s"))
+    base = df if weight_col is None else \
+        df.where(F.col(weight_col).isNotNull())
+    return (base.join(F.broadcast(rates),
+                      F.col(source_col) == F.col("__s"))
             .where(_bucket(id_col, salt) < F.col("__thr"))
             .drop("__s", "__thr"))
 

@@ -1234,20 +1234,30 @@ def mixture_sample_sql(table: str = "documents",
 
 def temperature_mixture_sql(table: str = "documents", alpha: float = 0.5,
                             target_fraction: float = 0.5,
-                            salt: str = "tmix") -> str:
+                            salt: str = "tmix",
+                            weight_sql: str | None = None) -> str:
     """Mirror of sampling.temperature_mixture_sample: same bounded
     per-source counts, the identical left-to-right rate arithmetic, the
     sig6 round BEFORE the floor-to-threshold (so pow/division last-ulp
     differences cannot flip the discrete keep decision), and the shared
-    md5 bucket rule."""
+    md5 bucket rule. ``weight_sql`` mirrors weight_col (r13): per-source
+    mass = sum(weight) as DOUBLE (exact for integer token counts),
+    NULL-weight rows out of scope on both the mass and the output."""
     from flink_descriptive_stats_spark.operators import sampling as SP
     bucket = (H.duck_token_hash(f"CAST(doc_id AS VARCHAR) || '/{salt}'")
               + f" % {SP.BUCKETS}")
     raw = (f"{float(target_fraction)!r} * tn * p / tp "
            f"/ CAST(n AS DOUBLE)")
+    if weight_sql is None:
+        mass, scope, out_scope = "count(*)", "source IS NOT NULL", ""
+    else:
+        assert weight_sql.isidentifier(), weight_sql  # a column name
+        mass = f"sum(CAST({weight_sql} AS DOUBLE))"
+        scope = f"source IS NOT NULL AND {weight_sql} IS NOT NULL"
+        out_scope = f" AND x.{weight_sql} IS NOT NULL"
     return f"""
-WITH c AS (SELECT source AS s, count(*) AS n FROM {table}
-           WHERE source IS NOT NULL GROUP BY 1),
+WITH c AS (SELECT source AS s, {mass} AS n FROM {table}
+           WHERE {scope} GROUP BY 1),
 r AS (SELECT s, n, pow(CAST(n AS DOUBLE), {float(alpha)!r}) AS p,
              sum(pow(CAST(n AS DOUBLE), {float(alpha)!r})) OVER () AS tp,
              CAST(sum(n) OVER () AS DOUBLE) AS tn
@@ -1257,7 +1267,7 @@ t AS (SELECT s, CAST(floor(least(1.0,
              AS BIGINT) AS thr
       FROM r)
 SELECT x.* FROM {table} x JOIN t ON x.source = t.s
-WHERE {bucket} < t.thr"""
+WHERE {bucket} < t.thr{out_scope}"""
 
 
 def pack_sequences_sql(table: str = "documents", max_tokens: int = 512,

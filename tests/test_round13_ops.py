@@ -162,6 +162,45 @@ def test_pack_bfd_budgets_by_bpe_token_counts(spark):
         {r["id"]: r["n_tokens"] for r in ws}
 
 
+def test_temperature_mixture_token_mass_law(spark):
+    """The r13 weight_col mixture law: unit weights reproduce the
+    doc-count law EXACTLY (t_s = n_s), and on a corpus whose sources
+    differ in doc length the token law keeps a SMALLER share of the
+    long-doc-heavy source than the doc law (its mass share exceeds its
+    doc share, so its per-doc keep rate drops). NULL-weight rows are
+    out of scope."""
+    from flink_descriptive_stats_spark.operators.sampling import \
+        temperature_mixture_sample
+    rows = []
+    for i in range(200):
+        # source 'long': few docs, 10x tokens each; 'short': many docs
+        src = "long" if i < 40 else "short"
+        rows.append((i, src, 1000 if src == "long" else 100))
+    rows.append((900, "short", None))      # NULL weight: out of scope
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, n_tok bigint")
+    ones = df.withColumn("one", F.lit(1))
+    base = temperature_mixture_sample(df, alpha=0.5,
+                                      target_fraction=0.5)
+    unit = temperature_mixture_sample(ones, alpha=0.5,
+                                      target_fraction=0.5,
+                                      weight_col="one")
+    assert sorted(r["doc_id"] for r in base.collect()) == \
+        sorted(r["doc_id"] for r in unit.collect())
+    tok = temperature_mixture_sample(df, alpha=0.5,
+                                     target_fraction=0.5,
+                                     weight_col="n_tok").collect()
+    kept_tok = {s: sum(1 for r in tok if r["source"] == s)
+                for s in ("long", "short")}
+    kept_doc = {s: sum(1 for r in base.collect()
+                       if r["source"] == s)
+                for s in ("long", "short")}
+    # 'long' holds 40/200 docs but 40k/56k tokens: the token law must
+    # keep fewer of its docs than the doc law (which UPsamples it)
+    assert kept_tok["long"] < kept_doc["long"], (kept_tok, kept_doc)
+    assert all(r["doc_id"] != 900 for r in tok)
+
+
 def test_fold_credit_is_scan_order_independent():
     """r13 self-review: fold provenance must be a pure function of the
     snapshot SET. A=3s (dominant) and B=4s (dominated) must yield the
