@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from flink_descriptive_stats_spark.functions import scalar
 from flink_descriptive_stats_spark.functions.sig import sig6_py
+from flink_descriptive_stats_spark.functions.spread import spread
 
 QUARTILES = (0.25, 0.5, 0.75)
 
@@ -42,6 +43,16 @@ def _exact_stats_row(df: DataFrame, cols: list[str]):
     same input share a single percentile job instead of sorting each
     column's values twice."""
     from flink_descriptive_stats_spark.functions.memo import agg_row_memoized
+    from flink_descriptive_stats_spark.functions.spread import \
+        SPREAD_MIN_BYTES
+    # exact percentile's per-partition counts-map build is the CPU cost;
+    # project to the stat columns (guide §2.3 — only needed bytes cross
+    # the exchange; full-width spread measured SLOWER than no spread) and
+    # spread a deficiently-parallel input so the percentile build runs on
+    # every core (guide §2.5 — no-op on an already-parallel scan, and on
+    # inputs too small to repay the exchange). Memo keys on this plan
+    # consistently because every consumer routes through this one.
+    df = spread(df.select(*cols), cols, min_bytes=SPREAD_MIN_BYTES)
     arr = F.array(*[F.lit(p) for p in QUARTILES])
     aggs = ([F.percentile(F.col(c), arr).alias(f"{c}__q") for c in cols]
             + [F.avg(F.col(c)).alias(f"{c}__mu") for c in cols]
@@ -110,7 +121,11 @@ def quantiles(df: DataFrame, columns: list[str] | None = None,
     else:
         fn = F.percentile if exact else F.percentile_approx
         arr = F.array(*[F.lit(p) for p in probs])
-        row = df.agg(*[fn(F.col(c), arr).alias(c) for c in cols]).collect()[0]
+        from flink_descriptive_stats_spark.functions.spread import \
+            SPREAD_MIN_BYTES
+        d = (spread(df.select(*cols), cols, min_bytes=SPREAD_MIN_BYTES)
+             if exact else df)
+        row = d.agg(*[fn(F.col(c), arr).alias(c) for c in cols]).collect()[0]
     out = [tuple([c] + ([None] * len(probs) if row[c] is None
                         else [sig6_py(v) for v in row[c]]))
            for c in cols]  # row[c] is NULL for an all-NULL column
@@ -1357,7 +1372,15 @@ def robust_outlier_counts(df: DataFrame,
     meds = {c: (None if med_of[c] is None else float(sig6_py(med_of[c])))
             for c in cols}
     live = [c for c in cols if meds[c] is not None]
-    mad_row = df.agg(*[
+    # the MAD percentile is the one remaining heavy pass: same narrow
+    # projection + adaptive spread as _exact_stats_row (guide §2.3/2.5);
+    # the cheap counting pass below stays on the raw scan — an exchange
+    # there measured slower than the single-task count
+    from flink_descriptive_stats_spark.functions.spread import \
+        SPREAD_MIN_BYTES
+    mad_in = spread(df.select(*live), live,
+                    min_bytes=SPREAD_MIN_BYTES) if live else df
+    mad_row = mad_in.agg(*[
         F.percentile(F.abs(F.col(c).cast("double") - F.lit(meds[c])),
                      F.lit(0.5)).alias(c) for c in live]).collect()[0] \
         if live else {}
@@ -1631,6 +1654,14 @@ def schema_suggestions(df: DataFrame) -> DataFrame:
             [], "column string, current_type string, "
                 "suggested_type string, n_non_null bigint, "
                 "parse_rate string")
+    # spread with profile()'s exact parameters (all columns, same size
+    # guard) so the memoized profile row — registered under the spread
+    # plan since the input parallelization landed there — is still found
+    # by the peek, and the cold lean aggregate (string-parse count_ifs,
+    # the same per-byte-heavy shape as the profile) parallelizes too
+    from flink_descriptive_stats_spark.functions.spread import \
+        SPREAD_MIN_BYTES
+    df = spread(df, min_bytes=SPREAD_MIN_BYTES)
     prow = agg_row_peek(df, ("profile", tuple(f.name for f in fields)))
     if prow is not None:
         def col_counts(i, c):

@@ -40,6 +40,25 @@ def pick_queries(arg: str, qs: dict) -> list[str]:
     return [q for q in arg.split(",") if q in qs]
 
 
+def _event_lines(app_id: str):
+    """Yield event-log JSON lines for the app — handles both the single
+    file layout and Spark 4's rolling eventlog_v2_<appid>/ directory."""
+    path = os.path.join(EVDIR, app_id)
+    if not os.path.exists(path):
+        cands = [p for p in os.listdir(EVDIR)
+                 if app_id in p]
+        path = os.path.join(EVDIR, cands[0])
+    if os.path.isdir(path):
+        parts = sorted(p for p in os.listdir(path)
+                       if p.startswith("events_"))
+        for p in parts:
+            with open(os.path.join(path, p)) as fh:
+                yield from fh
+    else:
+        with open(path) as fh:
+            yield from fh
+
+
 def main() -> None:
     os.makedirs(EVDIR, exist_ok=True)
     import __spark_entry__ as entrymod
@@ -94,12 +113,8 @@ def main() -> None:
     # parse the event log: jobs with group property == query name
     jobs = []   # (group, job_id, t_submit, t_complete)
     pending = {}
-    path = os.path.join(EVDIR, app_id)
-    if not os.path.exists(path):
-        cands = [p for p in os.listdir(EVDIR) if p.startswith(app_id)]
-        path = os.path.join(EVDIR, cands[0])
-    with open(path) as fh:
-        for line in fh:
+    for line in _event_lines(app_id):
+        if True:
             try:
                 ev = json.loads(line)
             except ValueError:
