@@ -836,7 +836,12 @@ def connected_components_star(edges: DataFrame, nodes: DataFrame,
         e = (joined.select(F.col("v").alias("u"), F.col("mn").alias("v"))
              .union(mins.select("u", F.col("mn").alias("v")))
              .where(F.col("u") != F.col("v")).distinct())
-        e = e.localCheckpoint()
+        # LAZY checkpoint: the signature aggregate right below is the
+        # round's one action and materializes the checkpoint as it runs —
+        # an eager checkpoint would cost a second job per round for the
+        # same bytes (measured: the CC rounds dominate the media funnels'
+        # job count)
+        e = e.localCheckpoint(eager=False)
         new_sig = _edge_signature(e)
         if new_sig == sig:
             break
@@ -909,7 +914,9 @@ def neardup_clusters(df: DataFrame, content_col: str = "text",
         merged = (labels.join(prop, "id", "left")
                   .select("id", F.least("comp", "ncomp").alias("comp"),
                           (F.col("ncomp") < F.col("comp")).alias("chg")))
-        merged = merged.localCheckpoint()
+        # lazy checkpoint: the change-count action materializes it — one
+        # job per round instead of two (same trick as the star loop)
+        merged = merged.localCheckpoint(eager=False)
         changed = merged.where("chg").count()
         labels = merged.drop("chg")
         if changed == 0:

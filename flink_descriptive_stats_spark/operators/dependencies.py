@@ -276,6 +276,13 @@ def fk_discover(tables: dict[str, DataFrame],
         tname: [f.name for f in df.schema.fields
                 if f.dataType.simpleString() in DISCOVER_DTYPES]
         for tname, df in tables.items()}
+    # one bounded stats aggregate per table — independent jobs, so they
+    # run overlapped from driver threads (guide §2.6) instead of paying
+    # len(tables) serial job latencies; the stats fold below consumes
+    # results in table order, so the emitted pair set is unchanged
+    from flink_descriptive_stats_spark.functions.overlap import \
+        run_concurrently
+    stat_tables = []
     for tname, df in tables.items():
         cols = eligible[tname]
         if not cols:
@@ -286,7 +293,10 @@ def fk_discover(tables: dict[str, DataFrame],
                      distinct_of(F.col(c)).alias(f"{c}__d"),
                      F.min(F.col(c)).cast("bigint").alias(f"{c}__mn"),
                      F.max(F.col(c)).cast("bigint").alias(f"{c}__mx")]
-        row = df.agg(*aggs).collect()[0]
+        stat_tables.append((tname, cols, df.agg(*aggs)))
+    rows = run_concurrently(
+        [lambda a=agg: a.collect()[0] for _, _, agg in stat_tables])
+    for (tname, cols, _), row in zip(stat_tables, rows):
         for c in cols:
             stats[(tname, c)] = {
                 "n": int(row["__n"]), "nn": int(row[f"{c}__nn"]),
@@ -373,6 +383,7 @@ def _composite_frames(tables: dict[str, DataFrame],
         for tname, pair in entries:
             by_table.setdefault(tname, []).append(pair)
     pstats: dict[tuple[str, tuple[str, str]], dict] = {}
+    pair_aggs = []
     for tname, pairs in sorted(by_table.items()):
         df = tables[tname]
         aggs = [F.count(F.lit(1)).alias("__n")]
@@ -389,7 +400,14 @@ def _composite_frames(tables: dict[str, DataFrame],
                      APPROX_RSD)
                  if approx else F.count_distinct(F.col(a), F.col(b)))
             aggs += [nn.alias(f"p{i}__nn"), d.alias(f"p{i}__d")]
-        row = df.agg(*aggs).collect()[0]
+        pair_aggs.append((tname, pairs, df.agg(*aggs)))
+    # independent per-table aggregates: overlap them (guide §2.6), fold
+    # in table order — pstats content identical to the serial loop
+    from flink_descriptive_stats_spark.functions.overlap import \
+        run_concurrently
+    rows = run_concurrently(
+        [lambda a=agg: a.collect()[0] for _, _, agg in pair_aggs])
+    for (tname, pairs, _), row in zip(pair_aggs, rows):
         for i, pair in enumerate(pairs):
             pstats[(tname, pair)] = {
                 "n": int(row["__n"]), "nn": int(row[f"p{i}__nn"]),

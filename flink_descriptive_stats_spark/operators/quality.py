@@ -918,12 +918,22 @@ def _mixed_rows_from_fp(fp: DataFrame) -> list:
         ("media", "unrecognized_fraction",
          sig6_py(counts.get("unknown", 0) / n) if n else None),
     ]
-    for kind, mh, section in (("image", 6, "media_image"),
-                              ("audio", 8, "media_audio")):
-        if counts.get(kind):
-            rows += _media_section_rows(
-                fp.where(F.col("kind") == kind)
-                  .select("id", "decoded", "phash"), mh, section)
+    # the two modality sections are independent funnel+CC computations
+    # over disjoint slices of the persisted fingerprint frame — run them
+    # overlapped (guide §2.6); rows append in fixed image-then-audio
+    # order from the ordered results, so the card is byte-identical
+    from flink_descriptive_stats_spark.functions.overlap import \
+        run_concurrently
+    live = [(kind, mh, section)
+            for kind, mh, section in (("image", 6, "media_image"),
+                                      ("audio", 8, "media_audio"))
+            if counts.get(kind)]
+    for section_rows in run_concurrently(
+            [lambda k=kind, m=mh, s=section: _media_section_rows(
+                fp.where(F.col("kind") == k)
+                  .select("id", "decoded", "phash"), m, s)
+             for kind, mh, section in live]):
+        rows += section_rows
     return rows
 
 

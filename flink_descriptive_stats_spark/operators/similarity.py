@@ -1544,18 +1544,31 @@ def index_recall_calibration(df: DataFrame, path: str, k: int = 5,
             "knob — its recall/cost trade is the pq_index_topk "
             "`refine` parameter; run index_refine_calibration (the "
             "refine sweep) on flat indexes")
+    # the ground-truth pass and every grid point are independent bounded
+    # searches — overlap them from driver threads (guide §2.6) instead of
+    # chaining 1 + len(n_probes) collect latencies; the recall fold below
+    # reads results in grid order, so the output is byte-identical
+    from flink_descriptive_stats_spark.functions.overlap import \
+        run_concurrently
+
+    def _search(n_probe: int):
+        return ivf_pq_index_topk(df, path, k=k, n_probe=n_probe,
+                                 refine=refine, id_col=id_col,
+                                 vec_col=vec_col,
+                                 max_query_id=max_query_id).collect()
+
+    truth_rows, *grid = run_concurrently(
+        [lambda: brute_force_topk(df, k=k, id_col=id_col, vec_col=vec_col,
+                                  max_query_id=max_query_id).collect()]
+        + [lambda p=int(n_probe): _search(p) for n_probe in n_probes])
     truth: dict = {}
-    for r in brute_force_topk(df, k=k, id_col=id_col, vec_col=vec_col,
-                              max_query_id=max_query_id).collect():
+    for r in truth_rows:
         truth.setdefault(int(r["query_id"]), set()).add(
             int(r["neighbor_id"]))
     rows = []
-    for n_probe in n_probes:
+    for n_probe, got_rows in zip(n_probes, grid):
         got: dict = {}
-        for r in ivf_pq_index_topk(df, path, k=k, n_probe=int(n_probe),
-                                   refine=refine, id_col=id_col,
-                                   vec_col=vec_col,
-                                   max_query_id=max_query_id).collect():
+        for r in got_rows:
             got.setdefault(int(r["query_id"]), set()).add(
                 int(r["neighbor_id"]))
         recalls = [len(got.get(q, set()) & t) / len(t)
@@ -1601,11 +1614,6 @@ def index_refine_calibration(df: DataFrame, path: str, k: int = 5,
     fs = get_fs(path, df.sparkSession)
     meta = json.loads(
         read_text_recovering(fs, os.path.join(path, "meta.json")))
-    truth: dict = {}
-    for r in brute_force_topk(df, k=k, id_col=id_col, vec_col=vec_col,
-                              max_query_id=max_query_id).collect():
-        truth.setdefault(int(r["query_id"]), set()).add(
-            int(r["neighbor_id"]))
     if "cells" in meta:
         probe = int(n_probe) if n_probe is not None else len(meta["cells"])
 
@@ -1625,10 +1633,24 @@ def index_refine_calibration(df: DataFrame, path: str, k: int = 5,
             return pq_index_topk(df, path, k=k, refine=r, id_col=id_col,
                                  vec_col=vec_col,
                                  max_query_id=max_query_id)
+    # ground truth + one code-table scan per grid point: independent
+    # bounded searches, overlapped from driver threads (guide §2.6);
+    # results are folded in grid order so the output is byte-identical
+    from flink_descriptive_stats_spark.functions.overlap import \
+        run_concurrently
+    truth_rows, *grid = run_concurrently(
+        [lambda: brute_force_topk(df, k=k, id_col=id_col, vec_col=vec_col,
+                                  max_query_id=max_query_id).collect()]
+        + [lambda rr=int(refine): search(rr).collect()
+           for refine in refines])
+    truth: dict = {}
+    for r in truth_rows:
+        truth.setdefault(int(r["query_id"]), set()).add(
+            int(r["neighbor_id"]))
     rows = []
-    for refine in refines:
+    for refine, got_rows in zip(refines, grid):
         got: dict = {}
-        for r in search(int(refine)).collect():
+        for r in got_rows:
             got.setdefault(int(r["query_id"]), set()).add(
                 int(r["neighbor_id"]))
         recalls = [len(got.get(q, set()) & t) / len(t)
