@@ -83,7 +83,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # bump when a synthetic payload CONSTRUCTION changes — a stale cache
-# would otherwise keep serving last round's bytes
+# would otherwise keep serving last round's bytes. Optimization r13
+# measured (and REVERTED) a many-file layout: splitting the payload
+# frame across the session's cores made the Arrow fingerprint pass
+# parallel but multiplied every downstream funnel/CC stage's task count
+# by the partition count — the media cards run ~150 tiny AQE jobs, and
+# 32 tasks per tiny job took the mixed card from 9s to 22s at sf0.1.
+# The one-part layout keeps those stages single-task-per-job, which is
+# the cheaper side at this fixture size.
 _MEDIA_FIXTURE_VERSION = "v1"
 
 

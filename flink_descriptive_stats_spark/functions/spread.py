@@ -63,6 +63,17 @@ def spread(df: DataFrame, cols: list[str] | None = None,
     if want <= 1:
         return df
     try:
+        # scan-rooted inputs only: a frame that already went through a
+        # join/aggregate/window/repartition acquired its parallelism at
+        # that shuffle, and adding a spread barrier above such a chain
+        # measured SLOWER (it re-executes the chain into the exchange
+        # and can break AQE exchange reuse between sibling consumers —
+        # curate_corpus' despan stage went 4.5s -> 5.7s). Narrow
+        # projections over a deficient scan are exactly the win case.
+        lp = df._jdf.queryExecution().analyzed().toString()
+        if any(k in lp for k in ("Join", "Aggregate", "Window",
+                                 "Repartition", "Union", "Sort")):
+            return df
         if min_bytes:
             sz = int(df._jdf.queryExecution().optimizedPlan()
                      .stats().sizeInBytes())

@@ -516,10 +516,14 @@ def test_paragraph_dedup_one_hash_keyed_exchange(spark):
 
 
 def test_markup_extraction_narrow_codegen(spark):
-    """Markup extraction (r10) is a pure narrow map: no Exchange, no
-    Python/Arrow node — the whole regex/entity/collapse pipeline stays
-    inside whole-stage codegen, and the density variant evaluates the
-    extraction inline (one scan, one Project)."""
+    """Markup extraction (r10) is a pure narrow map: no Python/Arrow
+    node — the whole regex/entity/collapse pipeline stays inside
+    whole-stage codegen, and the density variant evaluates the
+    extraction inline (one scan, one Project). The r13 optimization
+    round adds the adaptive input spread: a deficiently-parallel scan
+    (this fixture: one row group) gets exactly ONE narrow exchange of
+    (id, html) below the extraction; an already-parallel input gets
+    NONE (the 100 TB shape — spread() is a no-op there)."""
     from flink_descriptive_stats_spark.operators import markup as M
     docs = load_table(spark, SF_DIR, "documents")
     html = docs.where(F.col("text").isNotNull()).select(
@@ -527,10 +531,22 @@ def test_markup_extraction_narrow_codegen(spark):
         M.synth_html_expr(F.col("text"), F.col("doc_id")).alias("html"))
     for df in (M.extract_text(html), M.markup_density(html)):
         plan = _formatted_plan(df)
-        assert "Exchange" not in plan
+        # exactly the one adaptive-spread exchange (tree + detail), keyed
+        # by the deterministic hash, BELOW the extraction projection
+        assert plan.count("Exchange") == 2
+        assert "xxhash64" in plan
         assert "ArrowEval" not in plan and "BatchEval" not in plan
-        assert "* Project" in plan            # codegen'd (the * marker)
         assert plan.count("Scan parquet") == 2    # one scan (tree+detail)
+    # already-parallel input (lineage cut so no exchange remains in the
+    # plan): the spread must disappear entirely and the extraction stays
+    # one codegen'd narrow Project — the 100 TB shape
+    par = (html.repartition(spark.sparkContext.defaultParallelism,
+                            "doc_id").localCheckpoint())
+    for df in (M.extract_text(par), M.markup_density(par)):
+        plan = _formatted_plan(df)
+        assert "xxhash64" not in plan
+        assert "Exchange" not in plan
+        assert "* Project" in plan            # codegen'd (the * marker)
 
 
 def test_url_components_narrow_codegen(spark):
