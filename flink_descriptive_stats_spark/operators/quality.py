@@ -402,19 +402,29 @@ def dataset_card(df: DataFrame, text_col: str = "text",
     same order, same rendering (pytest-pinned equal to the five-pass
     card; gated against the SAME oracle as the default path)."""
     if single_pass:
-        rows = _dataset_card_rows_single_pass(df, text_col, id_col,
-                                              source_col, exact)
+        # every section is an independent bounded computation over its
+        # own projection of the corpus — run them overlapped (guide
+        # §2.6) and concatenate in the fixed section order, so the card
+        # is byte-identical to the serial composition
+        from flink_descriptive_stats_spark.functions.overlap import \
+            run_concurrently
+        thunks = [lambda: _dataset_card_rows_single_pass(
+            df, text_col, id_col, source_col, exact)]
         if html_col is not None and html_col in df.columns:
-            rows += _markup_card_rows(df, html_col)
+            thunks.append(lambda: _markup_card_rows(df, html_col))
         if cleaning_section:
-            rows += _cleaning_card_rows(df, text_col)
+            thunks.append(lambda: _cleaning_card_rows(df, text_col))
         if boilerplate_phrases:
-            rows += _boilerplate_card_rows(df, text_col,
-                                           boilerplate_phrases)
+            thunks.append(lambda: _boilerplate_card_rows(
+                df, text_col, boilerplate_phrases))
         if url_col is not None and url_col in df.columns:
-            rows += _url_card_rows(df, url_col, url_suffixes)
+            thunks.append(lambda: _url_card_rows(df, url_col,
+                                                 url_suffixes))
         if payload_col is not None and payload_col in df.columns:
-            rows += _media_card_rows(df, payload_col, media_kind, id_col)
+            thunks.append(lambda: _media_card_rows(df, payload_col,
+                                                   media_kind, id_col))
+        rows = [r for section in run_concurrently(thunks)
+                for r in section]
         return df.sparkSession.createDataFrame(
             rows, "section string, metric string, value string")
     from flink_descriptive_stats_spark.functions.sig import sig6, sig6_py
@@ -849,11 +859,22 @@ def _media_section_rows(hs: DataFrame, mh: int, section: str) -> list:
     # media_fingerprints frame) runs once
     hs = hs.persist()
     try:
-        c = hs.agg(F.count(F.lit(1)).alias("n"),
-                   F.count_if(F.col("decoded")).alias("d")).collect()[0]
-        n_pay, n_dec = int(c["n"]), int(c["d"])
-        n_clustered = 0
-        if n_dec:
+        # counts and funnel+CC are independent reads of the persisted
+        # fingerprint frame — overlap them (guide §2.6). The funnel runs
+        # unconditionally now: on a decodable-free frame it sees zero
+        # rows, CC converges immediately, and the sum is NULL -> 0, the
+        # same n_clustered the n_dec gate produced (the fraction below
+        # still reports None when n_dec == 0).
+        from flink_descriptive_stats_spark.functions.overlap import \
+            run_concurrently
+
+        def _counts():
+            c = hs.agg(F.count(F.lit(1)).alias("n"),
+                       F.count_if(F.col("decoded")).alias("d")
+                       ).collect()[0]
+            return int(c["n"]), int(c["d"])
+
+        def _cluster_mass():
             dec = hs.where(F.col("decoded")).select("id", "phash")
             pairs = hamming_neardup_pairs(dec, max_hamming=mh)
             labels = connected_components_star(
@@ -864,7 +885,10 @@ def _media_section_rows(hs: DataFrame, mh: int, section: str) -> list:
                 F.count(F.lit(1)).alias("sz"))
             r = (sizes.where(F.col("sz") >= 2)
                  .agg(F.sum("sz").alias("s")).collect()[0]["s"])
-            n_clustered = int(r) if r is not None else 0
+            return int(r) if r is not None else 0
+
+        (n_pay, n_dec), n_clustered = run_concurrently(
+            [_counts, _cluster_mass])
     finally:
         hs.unpersist()
     return [

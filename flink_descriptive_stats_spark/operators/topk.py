@@ -48,9 +48,15 @@ def topk_tokens(df: DataFrame, columns: list[str] | None = None,
     if not cols:
         raise ValueError("no string columns to profile")
 
+    # adaptive input spread (guide §2.5): the melt explode and the
+    # pattern/accent generation run fused into the scan stage — a
+    # single-row-group table pins them to one core; the exchange moves
+    # only the string columns and is a no-op on a parallel scan
+    from flink_descriptive_stats_spark.functions.spread import spread
+    base = spread(df.select(*cols), cols)
     structs = [F.struct(F.lit(c).alias("column"),
                         F.col(c).alias("token")) for c in cols]
-    stacked = (df.select(F.explode(F.array(*structs)).alias("s"))
+    stacked = (base.select(F.explode(F.array(*structs)).alias("s"))
                .select("s.*")
                .where(F.col("token").isNotNull()))  # P3: null filter
 
