@@ -44,6 +44,12 @@ from pyspark.sql import functions as F
 #: min_bytes=0 — they win even on sub-MB inputs.
 SPREAD_MIN_BYTES = 4_000_000
 
+#: the exact-percentile paths build a per-partition counts map — much
+#: heavier per byte than the parse count_ifs — so their break-even sits
+#: lower (a 1.5 MB single-column slice of lineitem still pays ~1s of
+#: single-core build without the spread)
+SPREAD_MIN_BYTES_PERCENTILE = 1_000_000
+
 
 def spread(df: DataFrame, cols: list[str] | None = None,
            min_bytes: int = 0) -> DataFrame:

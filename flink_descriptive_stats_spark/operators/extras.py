@@ -44,7 +44,7 @@ def _exact_stats_row(df: DataFrame, cols: list[str]):
     column's values twice."""
     from flink_descriptive_stats_spark.functions.memo import agg_row_memoized
     from flink_descriptive_stats_spark.functions.spread import \
-        SPREAD_MIN_BYTES
+        SPREAD_MIN_BYTES_PERCENTILE
     # exact percentile's per-partition counts-map build is the CPU cost;
     # project to the stat columns (guide §2.3 — only needed bytes cross
     # the exchange; full-width spread measured SLOWER than no spread) and
@@ -52,7 +52,8 @@ def _exact_stats_row(df: DataFrame, cols: list[str]):
     # every core (guide §2.5 — no-op on an already-parallel scan, and on
     # inputs too small to repay the exchange). Memo keys on this plan
     # consistently because every consumer routes through this one.
-    df = spread(df.select(*cols), cols, min_bytes=SPREAD_MIN_BYTES)
+    df = spread(df.select(*cols), cols,
+                min_bytes=SPREAD_MIN_BYTES_PERCENTILE)
     arr = F.array(*[F.lit(p) for p in QUARTILES])
     aggs = ([F.percentile(F.col(c), arr).alias(f"{c}__q") for c in cols]
             + [F.avg(F.col(c)).alias(f"{c}__mu") for c in cols]
@@ -122,8 +123,9 @@ def quantiles(df: DataFrame, columns: list[str] | None = None,
         fn = F.percentile if exact else F.percentile_approx
         arr = F.array(*[F.lit(p) for p in probs])
         from flink_descriptive_stats_spark.functions.spread import \
-            SPREAD_MIN_BYTES
-        d = (spread(df.select(*cols), cols, min_bytes=SPREAD_MIN_BYTES)
+            SPREAD_MIN_BYTES_PERCENTILE
+        d = (spread(df.select(*cols), cols,
+                    min_bytes=SPREAD_MIN_BYTES_PERCENTILE)
              if exact else df)
         row = d.agg(*[fn(F.col(c), arr).alias(c) for c in cols]).collect()[0]
     out = [tuple([c] + ([None] * len(probs) if row[c] is None
@@ -1088,8 +1090,12 @@ def histogram_equidepth(df: DataFrame, column: str,
     probs = [i / buckets for i in range(1, buckets)]
     x = F.col(column).cast("double")
     # cutpoints AND min/max in ONE 1-row aggregate pass (they were two
-    # separate jobs; the boundary metadata should cost one scan)
-    row = df.agg(
+    # separate jobs; the boundary metadata should cost one scan), with
+    # the exact-percentile build spread like _exact_stats_row's
+    from flink_descriptive_stats_spark.functions.spread import (
+        SPREAD_MIN_BYTES_PERCENTILE, spread)
+    row = spread(df.select(column), [column],
+                 min_bytes=SPREAD_MIN_BYTES_PERCENTILE).agg(
         F.percentile(F.col(column), F.array(
             *[F.lit(p) for p in probs])).alias("qs"),
         F.min(x).alias("mn"), F.max(x).alias("mx")).collect()[0]
@@ -1377,9 +1383,9 @@ def robust_outlier_counts(df: DataFrame,
     # the cheap counting pass below stays on the raw scan — an exchange
     # there measured slower than the single-task count
     from flink_descriptive_stats_spark.functions.spread import \
-        SPREAD_MIN_BYTES
+        SPREAD_MIN_BYTES_PERCENTILE
     mad_in = spread(df.select(*live), live,
-                    min_bytes=SPREAD_MIN_BYTES) if live else df
+                    min_bytes=SPREAD_MIN_BYTES_PERCENTILE) if live else df
     mad_row = mad_in.agg(*[
         F.percentile(F.abs(F.col(c).cast("double") - F.lit(meds[c])),
                      F.lit(0.5)).alias(c) for c in live]).collect()[0] \
