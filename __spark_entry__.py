@@ -125,7 +125,10 @@ def _media_fixture(spark: SparkSession, sf_dir: str, name: str,
         os.makedirs(base, exist_ok=True)
         with open(stamp, "w") as fh:
             fh.write(want)
-    return spark.read.parquet(out)
+    # memoized footer schema (sources.tables): skips the per-read schema
+    # inference job — the fixture is read by every media query
+    from flink_descriptive_stats_spark.sources.tables import _parquet_schema
+    return spark.read.schema(_parquet_schema(spark, out)).parquet(out)
 
 
 def _image_payload_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

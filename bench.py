@@ -215,6 +215,13 @@ def main() -> None:
                 continue
             if prior.get("machine", {}).get("stray_jvms"):
                 continue
+            # Fold only snapshots taken at the SAME core count (VERDICT
+            # r13 ask #2): the min-of-day fold used to mix 32-core runs
+            # into an 8-core artifact, making the driver's scaling block
+            # unreadable. Snapshots that predate the cpus stamp were all
+            # 32-core runs.
+            if prior.get("cpus", 32) != int(cpus):
+                continue
             candidates.append((fname, pq))
         for _, pq in candidates:
             _fold_in(fold, times, pq)
@@ -235,6 +242,7 @@ def main() -> None:
         "n_queries": len(times),
         "n_failed": sum(1 for t in times.values() if t < 0),
         "min_of_runs": len(folded_from) + 1,
+        "cpus": int(cpus),
         "value": folded_total,
         "sf": sf,
     }
@@ -282,6 +290,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(times),
         "min_of_runs": len(folded_from) + 1,
+        "cpus": int(cpus),
         "slowest": {k: round(v, 2) for k, v in slowest.items()},
     }
     print(json.dumps(summary, separators=(",", ":")))

@@ -43,6 +43,8 @@ def clear_all_memos() -> None:
     dedup._CLUSTER_MEMO.clear()
     from flink_descriptive_stats_spark.operators import similarity
     similarity._MODEL_MEMO.clear()
+    from flink_descriptive_stats_spark.sources import tables
+    tables._SCHEMA_MEMO.clear()
 
 
 def agg_row_memoized(df: DataFrame, agg_exprs: list[Column], tag: tuple):

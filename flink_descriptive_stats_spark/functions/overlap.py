@@ -30,16 +30,39 @@ T = TypeVar("T")
 MAX_IN_FLIGHT = 8
 
 
+def _inheritable(thunk: Callable[[], T]) -> Callable[[], T]:
+    """Wrap the thunk so the worker thread inherits the caller's JVM
+    thread-local properties (job group, job description). Under PySpark's
+    pinned-thread mode a plain pool thread carries NO job group, so jobs
+    submitted here were attributed to no query in the event log — exactly
+    the concurrent queries the profiler was built to measure (r13 ADVICE).
+    Falls back to the raw thunk when no SparkContext is active (the wrap
+    captures properties from the active context at submit time)."""
+    try:
+        from pyspark import SparkContext, inheritable_thread_target
+        if SparkContext._active_spark_context is not None:
+            return inheritable_thread_target(thunk)
+    except Exception:
+        pass
+    return thunk
+
+
 def run_concurrently(thunks: Sequence[Callable[[], T]]) -> list[T]:
     """Run the thunks on a small driver thread pool; return their results
     in input order. A single thunk (or none) runs inline — no pool, no
     thread overhead. Exceptions propagate to the caller exactly as the
-    serial loop would raise them (first by input order)."""
+    serial loop would raise them (first by input order); on failure the
+    not-yet-started thunks are cancelled rather than run to completion
+    for a result that will be discarded (r13 ADVICE)."""
     if not thunks:
         return []
     if len(thunks) == 1:
         return [thunks[0]()]
     with ThreadPoolExecutor(
             max_workers=min(len(thunks), MAX_IN_FLIGHT)) as pool:
-        futures = [pool.submit(t) for t in thunks]
-        return [f.result() for f in futures]
+        futures = [pool.submit(_inheritable(t)) for t in thunks]
+        try:
+            return [f.result() for f in futures]
+        except BaseException:
+            pool.shutdown(wait=False, cancel_futures=True)
+            raise

@@ -32,6 +32,8 @@ must not be spread.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,8 +49,44 @@ SPREAD_MIN_BYTES = 4_000_000
 #: the exact-percentile paths build a per-partition counts map — much
 #: heavier per byte than the parse count_ifs — so their break-even sits
 #: lower (a 1.5 MB single-column slice of lineitem still pays ~1s of
-#: single-core build without the spread)
+#: single-core build without the spread).
+#: FP-ORDER NOTE (r13 ADVICE): spreading the input of avg/stddev/percentile
+#: bundles changes float accumulation order vs the unspread plan; the sig6
+#: rounding in the oracle comparisons absorbs it on the current gates, but
+#: if a pinned output ever changes on a boundary value, trace it here first.
 SPREAD_MIN_BYTES_PERCENTILE = 1_000_000
+
+#: logical nodes that acquire their own parallelism at a shuffle (or
+#: re-distribute rows themselves): a frame containing one is not
+#: scan-rooted, and a spread above it re-executes the chain into the new
+#: exchange / breaks AQE exchange reuse (measured: curate_corpus despan
+#: 4.5s -> 5.7s). Matched against the NODE NAME at the head of each
+#: analyzed-plan tree line — not a substring of the whole rendered plan,
+#: where a column alias like `UnionId` or a literal containing `Join`
+#: would silently disable the spread (r13 ADVICE). Includes Deduplicate
+#: (distinct()/dropDuplicates) and the Python map-partition nodes, which
+#: the old substring list missed.
+_SHUFFLE_NODES = frozenset({
+    "Join", "Aggregate", "Window", "Sort", "Union",
+    "Repartition", "RepartitionByExpression", "RebalancePartitions",
+    "Deduplicate", "Distinct", "Intersect", "Except",
+    "GlobalLimit", "Offset", "CoGroup", "MapGroups",
+    "FlatMapGroupsInPandas", "FlatMapGroupsInArrow",
+    "FlatMapCoGroupsInPandas", "FlatMapCoGroupsInArrow",
+    "MapInPandas", "PythonMapInArrow", "MapInArrow",
+})
+
+#: head-of-line node-name extractor: skips the tree-drawing prefix
+#: (`+- `, `:- `, `|  `, indentation) and captures the node class name
+_NODE_NAME = re.compile(r"^[\s+\-:|']*([A-Za-z]\w*)")
+
+
+def _has_shuffle_node(analyzed_str: str) -> bool:
+    for line in analyzed_str.splitlines():
+        m = _NODE_NAME.match(line)
+        if m and m.group(1) in _SHUFFLE_NODES:
+            return True
+    return False
 
 
 def spread(df: DataFrame, cols: list[str] | None = None,
@@ -80,8 +118,7 @@ def spread(df: DataFrame, cols: list[str] | None = None,
         # curate_corpus' despan stage went 4.5s -> 5.7s). Narrow
         # projections over a deficient scan are exactly the win case.
         lp = df._jdf.queryExecution().analyzed().toString()
-        if any(k in lp for k in ("Join", "Aggregate", "Window",
-                                 "Repartition", "Union", "Sort")):
+        if _has_shuffle_node(lp):
             return df
         if min_bytes:
             sz = int(df._jdf.queryExecution().optimizedPlan()

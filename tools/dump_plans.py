@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-TAG = "r13"
+TAG = os.environ.get("SPARK_GRAFT_PLAN_TAG", "r14")
 
 
 def main() -> None:

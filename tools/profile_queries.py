@@ -132,7 +132,12 @@ def main() -> None:
     for name in names:
         t0, t1 = spans[name]
         wall = (t1 - t0) / 1000
-        qjobs = sorted([j for j in jobs if j[0] == name],
+        # group match, plus group-LESS jobs submitted inside this query's
+        # wall span: queries run serially here, so any unattributed job in
+        # the span belongs to this query (thread-pool jobs predating the
+        # inheritable_thread_target fix in overlap.py carried no group)
+        qjobs = sorted([j for j in jobs
+                        if j[0] == name or (not j[0] and t0 <= j[2] < t1)],
                        key=lambda j: j[2])
         jt = sum((c - s) for _, _, s, c in qjobs) / 1000
         # serial gap: time not covered by any job interval (flatten union)
