@@ -48,15 +48,25 @@ def _event_lines(app_id: str):
         cands = [p for p in os.listdir(EVDIR)
                  if app_id in p]
         path = os.path.join(EVDIR, cands[0])
+    def _open_lines(fp: str):
+        # Spark 4 compresses rolling event logs (events_*.zstd) — shell out
+        # to the zstd binary (no python-zstandard in this env)
+        if fp.endswith(".zstd"):
+            import subprocess
+            out = subprocess.run(["zstd", "-dc", fp], capture_output=True,
+                                 check=True).stdout
+            yield from out.decode("utf-8", "replace").splitlines()
+        else:
+            with open(fp) as fh:
+                yield from fh
+
     if os.path.isdir(path):
         parts = sorted(p for p in os.listdir(path)
                        if p.startswith("events_"))
         for p in parts:
-            with open(os.path.join(path, p)) as fh:
-                yield from fh
+            yield from _open_lines(os.path.join(path, p))
     else:
-        with open(path) as fh:
-            yield from fh
+        yield from _open_lines(path)
 
 
 def main() -> None:
