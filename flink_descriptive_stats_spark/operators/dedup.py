@@ -440,12 +440,16 @@ def _shared_shingle_counts(df: DataFrame, content_col: str, id_col: str,
     ngram_containment_pairs. Pairs are generated inline per shingle group
     (JVM nested transform, no self-join); ``max_df`` drops stopword-grams
     whose doc frequency exceeds it BEFORE the k(k-1)/2 pair explosion."""
-    # the long frame is consumed twice (sizes, grouped) — persist the
-    # narrow (id, sh) ints instead of recomputing the shingle explode
-    # from the scan per consumer (the r13 span-persist lesson; measured
-    # at sf0.1 min-of-3: jaccard 2.12 -> ~2.0s, containment 2.13 ->
-    # ~1.6-2.0s — modest but real, and the scan count drops 2 -> 1)
-    long = _persist_pos(shingle_hashes_long(df, content_col, id_col, n))
+    # NOT persisted (r14 revert of the r13 build-session _persist_pos):
+    # the r13 A/B (2.12 -> ~2.0s) was band-confounded, and the driver's
+    # r13 bench showed jaccard_pairs regressing 1.57 -> 2.35s (+50%, the
+    # round's one real regression). A clean same-harness min-of-3 x2 A/B
+    # at sf0.1 (r14): WITH persist jaccard 1.80-2.07s / containment
+    # 1.65-2.07s, WITHOUT 1.58-1.89s / 1.59-1.81s — the materialization
+    # job costs more than the two groupBy consumers repay here (both
+    # consumers shuffle immediately, so the recompute is one extra
+    # narrow scan, not a repeated explode tree per round).
+    long = shingle_hashes_long(df, content_col, id_col, n)
     sizes = long.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     grouped = (long.groupBy("sh")
                .agg(F.array_sort(F.collect_list("id")).alias("ids"))
