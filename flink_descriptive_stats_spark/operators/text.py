@@ -559,12 +559,18 @@ def lm_score(df: DataFrame, text_col: str = "text",
                   F.element_at("tk", F.col("i") + 2).alias("nxt")))
     bc = bg.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c"))
     pc = bc.groupBy("prev").agg(F.sum("c").alias("cp"))
-    vocab = int(toks.select(F.explode("tk").alias("w"))
-                .agg(F.count_distinct("w")).collect()[0][0])
-    model = bc.join(pc, "prev")
+    # V rides the plan as a broadcast 1-row cross join instead of a
+    # driver-collected literal (r14): the separate collect serialized a
+    # full tokenize+explode+distinct job before the main job could even
+    # be SUBMITTED; in-plan, the vocab aggregate runs as one more stage
+    # of the same job (overlapping the model build) and the arithmetic
+    # is unchanged (same exact count, integer add).
+    vocab = (toks.select(F.explode("tk").alias("w"))
+             .agg(F.count_distinct("w").alias("__V")))
+    model = bc.join(pc, "prev").crossJoin(F.broadcast(vocab))
     j = bg.join(model, ["prev", "nxt"])
     logp = F.log((F.col("c") + 1).cast("double")
-                 / (F.col("cp") + F.lit(vocab)).cast("double"))
+                 / (F.col("cp") + F.col("__V")).cast("double"))
     return (j.groupBy(F.col("id").alias(id_col))
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  sig6(-F.avg(logp)).alias("lm_score")))
