@@ -1276,10 +1276,18 @@ def write_ivf_pq_index(df: DataFrame, path: str, n_cells: int = 16,
     import numpy as np
     import pandas as pd
     from typing import Iterator
-    crows = kmeans_centroid_rows(df, n_cells=n_cells, iters=iters,
-                                 id_col=id_col, vec_col=vec_col)
-    books = pq_codebooks(df, m=m, ksub=ksub, id_col=id_col,
-                         vec_col=vec_col, max_train=max_train)
+    # centroid training (Lloyd rounds over raw vectors) and PQ codebook
+    # training (stride sample of normalized vectors) are independent
+    # bounded chains — overlap them (guide §2.6); both memoize, so
+    # repeated builds on the same input still hit the memo
+    from flink_descriptive_stats_spark.functions.overlap import \
+        run_concurrently
+    crows, books = run_concurrently([
+        lambda: kmeans_centroid_rows(df, n_cells=n_cells, iters=iters,
+                                     id_col=id_col, vec_col=vec_col),
+        lambda: pq_codebooks(df, m=m, ksub=ksub, id_col=id_col,
+                             vec_col=vec_col, max_train=max_train),
+    ])
     d = with_norm(df, id_col, vec_col)
     ranked = ranked_cells_expr(crows)
     assigned = d.select(
@@ -1827,10 +1835,18 @@ def ivf_pq_topk(df: DataFrame, k: int = 5, n_cells: int = 16,
     import pandas as pd
     from typing import Iterator
 
-    crows = kmeans_centroid_rows(df, n_cells=n_cells, iters=iters,
-                                 id_col=id_col, vec_col=vec_col)
-    books = pq_codebooks(df, m=m, ksub=ksub, id_col=id_col,
-                         vec_col=vec_col, max_train=max_train)
+    # centroid training (Lloyd rounds over raw vectors) and PQ codebook
+    # training (stride sample of normalized vectors) are independent
+    # bounded chains — overlap them (guide §2.6); both memoize, so
+    # repeated builds on the same input still hit the memo
+    from flink_descriptive_stats_spark.functions.overlap import \
+        run_concurrently
+    crows, books = run_concurrently([
+        lambda: kmeans_centroid_rows(df, n_cells=n_cells, iters=iters,
+                                     id_col=id_col, vec_col=vec_col),
+        lambda: pq_codebooks(df, m=m, ksub=ksub, id_col=id_col,
+                             vec_col=vec_col, max_train=max_train),
+    ])
     d = with_norm(df, id_col, vec_col)
     ranked = ranked_cells_expr(crows)
     assigned = d.select(
