@@ -87,7 +87,16 @@ def distinct_counts(df: DataFrame, columns: list[str] | None = None,
         exact = len(cols) <= EXACT_DISTINCT_MAX_COLUMNS
     if not exact:
         return approx_distinct_counts(df, columns=cols)
-    agg = df.agg(*[F.count_distinct(F.col(c)).alias(c) for c in cols])
+    # spread before the Expand (r14, REVERSING the r13 revert): the
+    # Expand replicates every SCAN-partition row N_cols times, so on a
+    # single-row-group input the N-fold blowup AND its partial distinct
+    # aggregation run on ONE core. r13 measured 3.18 -> 3.65-4.08s and
+    # reverted, but an r14 alternating same-harness A/B (4 rounds)
+    # shows the spread winning every round: one-agg 2.40-3.32s vs
+    # spread 1.40-2.67s. count_distinct is exact integer arithmetic —
+    # no FP-order sensitivity; the exchange vanishes at scale as usual.
+    agg = (spread(df.select(*cols), cols)
+           .agg(*[F.count_distinct(F.col(c)).alias(c) for c in cols]))
     row = agg.collect()[0]
     out = [(c, row[c]) for c in cols]
     return df.sparkSession.createDataFrame(out, "column string, distinct_count bigint")
@@ -1845,7 +1854,10 @@ def key_candidates(df: DataFrame,
     for c in cols:
         aggs += [F.count(F.col(c)).alias(f"{c}__nn"),
                  F.count_distinct(F.col(c)).alias(f"{c}__d")]
-    row = df.agg(*aggs).collect()[0]
+    # spread before the Expand — same evidence as distinct_counts (r14
+    # alternating A/B on this exact agg shape: plain 3.30-4.90s vs
+    # spread 1.71-3.05s per round); exact integer counts, no FP concern
+    row = spread(df.select(*cols), cols).agg(*aggs).collect()[0]
     n = int(row["__n"])
     out = []
     for c in cols:
