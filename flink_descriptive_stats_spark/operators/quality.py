@@ -859,20 +859,28 @@ def _media_section_rows(hs: DataFrame, mh: int, section: str) -> list:
     # media_fingerprints frame) runs once
     hs = hs.persist()
     try:
-        # The counts aggregate runs FIRST and alone: it is the cheapest
-        # consumer, and running it serially materializes the persisted
-        # fingerprint frame exactly once — overlapping it with the
-        # funnel (the r13 shape) raced both jobs into the cold cache and
-        # could run the payload decode pass twice (r13 ADVICE). The
-        # funnel then reads the warm cache; when nothing decodes it is
-        # skipped outright (n_clustered = 0, same value the empty CC
-        # would produce, minus several empty Spark jobs).
-        c = hs.agg(F.count(F.lit(1)).alias("n"),
-                   F.count_if(F.col("decoded")).alias("d")
-                   ).collect()[0]
-        n_pay, n_dec = int(c["n"]), int(c["d"])
-        n_clustered = 0
-        if n_dec:
+        # counts and funnel+CC are independent reads of the persisted
+        # fingerprint frame — overlap them (guide §2.6). KNOWN TRADE
+        # (r13 ADVICE, r14 re-measured): both jobs race into the cold
+        # cache, so the payload decode pass can run up to twice before
+        # the persist is populated — duplicated work, but it runs on
+        # otherwise-idle cores, and the overlap is faster on the wall
+        # than counts-first serialization (A/B over the four media-card
+        # queries, 2 rounds: serial 19.1-19.4s vs overlap 16.9-18.3s).
+        # The funnel runs unconditionally: on a decodable-free frame it
+        # sees zero rows, CC converges immediately, and the sum is
+        # NULL -> 0, the same n_clustered an n_dec gate would produce
+        # (the fraction below still reports None when n_dec == 0).
+        from flink_descriptive_stats_spark.functions.overlap import \
+            run_concurrently
+
+        def _counts():
+            c = hs.agg(F.count(F.lit(1)).alias("n"),
+                       F.count_if(F.col("decoded")).alias("d")
+                       ).collect()[0]
+            return int(c["n"]), int(c["d"])
+
+        def _cluster_mass():
             dec = hs.where(F.col("decoded")).select("id", "phash")
             pairs = hamming_neardup_pairs(dec, max_hamming=mh)
             labels = connected_components_star(
@@ -883,7 +891,10 @@ def _media_section_rows(hs: DataFrame, mh: int, section: str) -> list:
                 F.count(F.lit(1)).alias("sz"))
             r = (sizes.where(F.col("sz") >= 2)
                  .agg(F.sum("sz").alias("s")).collect()[0]["s"])
-            n_clustered = int(r) if r is not None else 0
+            return int(r) if r is not None else 0
+
+        (n_pay, n_dec), n_clustered = run_concurrently(
+            [_counts, _cluster_mass])
     finally:
         hs.unpersist()
     return [
