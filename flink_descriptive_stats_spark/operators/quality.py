@@ -786,9 +786,17 @@ def _dataset_card_rows_single_pass(df: DataFrame, text_col: str,
                    *pii_exprs(text_col))
            .persist())
     try:
-        r = _card_agg_frame(per, exact).collect()[0]
-        sl = (per.groupBy("__src", "__lang")
-              .agg(F.count(F.lit(1)).alias("c")).collect())
+        # the global aggregate and the (source, lang) groupBy are
+        # independent reads of the persisted narrow frame — overlap
+        # them (guide §2.6; same cold-cache double-materialization
+        # trade as the media sections, measured worth it: the four
+        # text cards total 14.2-14.4s serial vs 11.7-11.9s overlapped)
+        from flink_descriptive_stats_spark.functions.overlap import \
+            run_concurrently
+        r, sl = run_concurrently([
+            lambda: _card_agg_frame(per, exact).collect()[0],
+            lambda: (per.groupBy("__src", "__lang")
+                     .agg(F.count(F.lit(1)).alias("c")).collect())])
     finally:
         per.unpersist()
     n = int(r["n"])
