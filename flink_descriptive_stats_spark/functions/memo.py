@@ -45,6 +45,8 @@ def clear_all_memos() -> None:
     similarity._MODEL_MEMO.clear()
     from flink_descriptive_stats_spark.sources import tables
     tables._SCHEMA_MEMO.clear()
+    from flink_descriptive_stats_spark.operators import profile
+    profile._AGG_EXPR_MEMO.clear()
 
 
 def agg_row_memoized(df: DataFrame, agg_exprs: list[Column], tag: tuple):
