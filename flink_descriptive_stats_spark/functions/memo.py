@@ -33,6 +33,7 @@ def clear_all_memos() -> None:
     are localCheckpoint-materialized DataFrames — unpersist their cached
     blocks instead of leaving them to nondeterministic JVM GC."""
     _MEMO.clear()
+    _EXPR_MEMO.clear()
     from flink_descriptive_stats_spark.operators import dedup
     for ref, df in dedup._CLUSTER_MEMO.values():
         try:
@@ -47,6 +48,36 @@ def clear_all_memos() -> None:
     tables._SCHEMA_MEMO.clear()
     from flink_descriptive_stats_spark.operators import profile
     profile._AGG_EXPR_MEMO.clear()
+
+
+#: session-keyed memo for BUILT Column expression bundles — metadata
+#: only (unresolved, immutable expression trees reusable across any
+#: DataFrame), never data. Building a big bundle costs hundreds of py4j
+#: round trips (text_stats_exprs measured 0.65s per build), re-paid by
+#: every query composing it; the memo pays it once per session+pass.
+_EXPR_MEMO: dict = {}
+_EXPR_MEMO_MAX = 512
+
+
+def exprs_memoized(tag: tuple, build):
+    """Return build(), memoized per (active SparkContext, tag). Lists are
+    shallow-copied on return so callers may extend them safely."""
+    import weakref
+
+    from pyspark import SparkContext
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return build()
+    key = (id(sc), tag)
+    hit = _EXPR_MEMO.get(key)
+    if hit is not None and hit[0]() is sc:
+        out = hit[1]
+        return list(out) if isinstance(out, list) else out
+    out = build()
+    if len(_EXPR_MEMO) >= _EXPR_MEMO_MAX:
+        _EXPR_MEMO.pop(next(iter(_EXPR_MEMO)))
+    _EXPR_MEMO[key] = (weakref.ref(sc), out)
+    return list(out) if isinstance(out, list) else out
 
 
 def agg_row_memoized(df: DataFrame, agg_exprs: list[Column], tag: tuple):

@@ -767,7 +767,7 @@ def _dataset_card_rows_single_pass(df: DataFrame, text_col: str,
     from flink_descriptive_stats_spark.operators.dedup import \
         _canonical_expr
     from flink_descriptive_stats_spark.operators.text import (
-        _lang_scores, _predicted_lang_expr, pii_exprs, text_stats_exprs)
+        pii_exprs, predicted_lang_expr_for, text_stats_exprs)
     from flink_descriptive_stats_spark.functions.spread import spread
     c = F.col(text_col)
     # project to the two consumed columns BEFORE the adaptive spread
@@ -781,7 +781,7 @@ def _dataset_card_rows_single_pass(df: DataFrame, text_col: str,
            .select(F.md5(c).alias("__h"),
                    F.md5(_canonical_expr(text_col)).alias("__hc"),
                    F.col(source_col).alias("__src"),
-                   _predicted_lang_expr(_lang_scores(c)).alias("__lang"),
+                   predicted_lang_expr_for(text_col).alias("__lang"),
                    *text_stats_exprs(text_col),
                    *pii_exprs(text_col))
            .persist())
@@ -1290,14 +1290,14 @@ def _dataset_card_by_source_single_pass(df: DataFrame, text_col: str,
     """The single_pass route of dataset_card_by_source — see there."""
     from flink_descriptive_stats_spark.functions.sig import sig6, sig6_py
     from flink_descriptive_stats_spark.operators.text import (
-        _lang_scores, _predicted_lang_expr, pii_exprs, text_stats_exprs)
+        pii_exprs, predicted_lang_expr_for, text_stats_exprs)
     c = F.col(text_col)
     # NULL-source rows belong to no slice (r11 — a None key crashed
     # the deterministic sorts; same exclusion as the extras rows)
     per = (df.where(c.isNotNull() & F.col(source_col).isNotNull())
            .select(F.md5(c).alias("__h"),
                    F.col(source_col).alias("__src"),
-                   _predicted_lang_expr(_lang_scores(c)).alias("__lang"),
+                   predicted_lang_expr_for(text_col).alias("__lang"),
                    *text_stats_exprs(text_col),
                    *pii_exprs(text_col))
            .persist())

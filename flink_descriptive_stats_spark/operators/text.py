@@ -126,7 +126,14 @@ def pii_scan(df: DataFrame, text_col: str = "text",
 
 def pii_exprs(text_col: str = "text") -> list:
     """pii_scan's per-doc expression bundle (id excluded) — exposed for
-    the same single-pass composition reuse as text_stats_exprs."""
+    the same single-pass composition reuse as text_stats_exprs; memoized
+    per session like it."""
+    from flink_descriptive_stats_spark.functions.memo import exprs_memoized
+    return exprs_memoized(("pii_exprs", text_col),
+                          lambda: _build_pii_exprs(text_col))
+
+
+def _build_pii_exprs(text_col: str) -> list:
     cols = []
     total = None
     for name, pat in PII_PATTERNS:
@@ -184,7 +191,15 @@ def text_stats_exprs(text_col: str = "text") -> list:
     exposed so single-pass compositions (dataset_card's single_pass
     route) ride the EXACT same expressions in one combined projection
     instead of re-joining per-doc frames. Pure column expressions: no
-    shuffle, no Python."""
+    shuffle, no Python. Built once per session (memo.exprs_memoized —
+    building this bundle costs ~0.65s of py4j round trips, and a dozen
+    queries compose it)."""
+    from flink_descriptive_stats_spark.functions.memo import exprs_memoized
+    return exprs_memoized(("text_stats_exprs", text_col),
+                          lambda: _build_text_stats_exprs(text_col))
+
+
+def _build_text_stats_exprs(text_col: str) -> list:
     from flink_descriptive_stats_spark.functions.sig import sig6
     c = F.col(text_col)
     toks = H.tokens_expr(c)
@@ -237,6 +252,16 @@ def _lang_scores(c):
     return scores
 
 
+def predicted_lang_expr_for(text_col: str):
+    """_predicted_lang_expr(_lang_scores(col(text_col))), memoized per
+    session — the bundle costs ~0.15s of py4j round trips per build and
+    every card/lang query composes the same one."""
+    from flink_descriptive_stats_spark.functions.memo import exprs_memoized
+    return exprs_memoized(
+        ("predicted_lang", text_col),
+        lambda: _predicted_lang_expr(_lang_scores(F.col(text_col))))
+
+
 def _predicted_lang_expr(scores):
     """First maximum in LANG_ORDER wins — the deterministic tie policy."""
     conds = []
@@ -283,9 +308,8 @@ def lang_confusion(df: DataFrame, text_col: str = "text",
     from flink_descriptive_stats_spark.functions.sig import sig6
     from pyspark.sql import Window
     base = df.where(F.col(text_col).isNotNull())
-    scores = _lang_scores(F.col(text_col))
     p = base.select(F.col(lang_col).alias("declared"),
-                    _predicted_lang_expr(scores).alias("predicted"))
+                    predicted_lang_expr_for(text_col).alias("predicted"))
     counts = p.groupBy("declared", "predicted").agg(
         F.count(F.lit(1)).alias("n"))
     tot = Window.partitionBy("declared")
@@ -1080,9 +1104,8 @@ def lang_segments(df: DataFrame, text_col: str = "text",
     from pyspark.sql import Window
     ch = chunk_documents(df, text_col=text_col, id_col=id_col,
                          max_tokens=max_tokens, overlap=0)
-    scores = _lang_scores(F.col("chunk_text"))
     voted = ch.select("id",
-                      _predicted_lang_expr(scores).alias("__lang"))
+                      predicted_lang_expr_for("chunk_text").alias("__lang"))
     votes = (voted.groupBy("id", "__lang")
              .agg(F.count(F.lit(1)).alias("__c")))
     w = Window.partitionBy("id").orderBy(F.col("__c").desc(),
